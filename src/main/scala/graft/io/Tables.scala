@@ -1,0 +1,54 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet-backed table loading for the harness star schema (TESTDATA.md).
+  *
+  * The reference's sources are a REST API and S3 CSV
+  * (`src/lms_to_s3_lambda.py:36-51`, `src/s3_to_rds_lambda.py:103-113`);
+  * in the harness all inputs are Parquet fixtures, so this is the single
+  * scan entry point. Filters/projections applied downstream are pushed
+  * into the Parquet scan by Catalyst (the Spark-native form of the
+  * reference's hand-written server-side `_filter`,
+  * `src/lms_to_s3_lambda.py:196-200`).
+  */
+object Tables {
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
+  def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
+  /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
+    * Spark's vectorized reader rejects. Read nanos as long
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and convert to a micros
+    * timestamp with integral division (nanos ≈ 1.7e18 would lose
+    * precision through a double). */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = load(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
+  }
+  def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
+
+  /** CSV write with the reference's conventions: header row, no index
+    * column (`df.to_csv(index=False)`, `src/lms_to_s3_lambda.py:211`). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** CSV read with the reference's conventions: header + inferred schema
+    * (`pd.read_csv`, `src/s3_to_rds_lambda.py:111`). Callers that know the
+    * target schema should coerce with [[graft.ops.Coerce]] afterwards —
+    * that mirrors the reference's read-infer-then-coerce split. */
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+}

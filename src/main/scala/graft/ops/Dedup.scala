@@ -1,0 +1,170 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators (EXT X1/X3 — SURVEY §2.5): the LLM-training-
+  * pipeline dedup family, designed shuffle-first for 100 TB:
+  *
+  *  - exact: hash-groupBy on a content digest — one shuffle on the digest,
+  *    map-side partial aggregation, no full-row comparisons.
+  *  - near-dup: MinHash + LSH banding — signatures are computed per row
+  *    (narrow), candidates come from a groupBy on (band, band-signature)
+  *    buckets, and only bucket-mates are pair-verified. No O(n²) cross
+  *    join ever materializes.
+  *  - SimHash: 64-bit fingerprint + Hamming-ball banding.
+  *
+  * All signature math is native Catalyst expressions (`xxhash64`, higher-
+  * order array functions) — codegen-friendly, no UDFs, deterministic.
+  */
+object Dedup {
+
+  /** X1 — deterministic `dropDuplicates`: keep exactly one row per key,
+    * chosen by `orderBy` asc (stable, unlike Spark's dropDuplicates which
+    * keeps an arbitrary first). One shuffle on `keys`. */
+  def firstPerKey(df: DataFrame, keys: Seq[String], orderBy: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderBy.map(col(_).asc): _*)
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** X1 — content-hash digest for exact text dedup. sha2-256 keeps the
+    * collision probability negligible at 100 TB (~2^-128 per pair), so
+    * grouping on the digest alone is safe and the shuffle key is 64 bytes
+    * regardless of document size. */
+  def contentHash(text: Column): Column = sha2(text, 256)
+
+  /** X1 — exact dedup by content: one surviving doc id (min) per distinct
+    * content digest plus the duplicate count. */
+  def exactByContent(df: DataFrame, text: String, id: String): DataFrame =
+    df.groupBy(contentHash(col(text)).as("content_hash"))
+      .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_dupes"))
+
+  // ---------------------------------------------------------------------
+  // MinHash + LSH (X3)
+  // ---------------------------------------------------------------------
+
+  /** Distinct word k-shingles of a text column: lower-cased, whitespace-
+    * tokenized, k consecutive tokens joined by a single space. Native
+    * higher-order functions only. */
+  def wordShingles(text: Column, k: Int): Column = {
+    val tokens = split(lower(text), "\\s+")
+    val n = size(tokens)
+    val starts = sequence(lit(0), greatest(n - k, lit(0)))
+    val sh = when(n >= k,
+      transform(starts, i => concat_ws(" ", slice(tokens, i + lit(1), lit(k))))
+    ).otherwise(array(concat_ws(" ", tokens)))
+    array_distinct(sh)
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions,
+    * the min over all shingles of `xxhash64(seed, shingle)`. Returns an
+    * array<bigint> of length `numHashes`. Pure expression — the standard
+    * "k independent permutations" construction with xxhash64 as the hash
+    * family. */
+  def minHashSignature(shingles: Column, numHashes: Int): Column = {
+    val sigs = (0 until numHashes).map { seed =>
+      aggregate(
+        shingles,
+        lit(Long.MaxValue),
+        (acc, s) => least(acc, xxhash64(lit(seed), s))
+      )
+    }
+    array(sigs: _*)
+  }
+
+  /** LSH banding: split a signature of length b*r into b bands of r rows;
+    * each band becomes (band_id, band_hash). Docs sharing any band bucket
+    * are candidate pairs. Probability a pair with Jaccard j collides:
+    * 1-(1-j^r)^b — with b=8, r=4 the S-curve centers near j≈0.6. */
+  def lshBands(signature: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      struct(b.as("band_id"), xxhash64(b, concat_ws(",", slice(signature, b * lit(rows) + lit(1), lit(rows)))).as("band_hash")))
+
+  /** X3 — full MinHash/LSH near-dup pipeline: returns candidate pairs
+    * (id_a < id_b) with their exact shingle-Jaccard, filtered to
+    * `minJaccard`. Scale shape: shuffle 1 groups by band bucket; buckets
+    * are capped (`maxBucket`) to bound skew blowup (a degenerate bucket —
+    * e.g. empty docs — would otherwise produce |bucket|² pairs); shuffle 2
+    * dedups pairs; the verify join re-reads shingles by id. */
+  def minHashNearDups(
+      df: DataFrame,
+      id: String,
+      text: String,
+      shingleK: Int = 3,
+      bands: Int = 8,
+      rows: Int = 4,
+      minJaccard: Double = 0.5,
+      maxBucket: Int = 64): DataFrame = {
+    val shingled = df.select(col(id).as("_id"), wordShingles(col(text), shingleK).as("_sh"))
+    val sig = shingled.withColumn("_sig", minHashSignature(col("_sh"), bands * rows))
+    val banded = sig
+      .select(col("_id"), explode(lshBands(col("_sig"), bands, rows)).as("_b"))
+      .select(col("_id"), col("_b.band_id"), col("_b.band_hash"))
+    val buckets = banded
+      .groupBy("band_id", "band_hash")
+      .agg(collect_list("_id").as("_ids"))
+      .filter(size(col("_ids")) > 1 && size(col("_ids")) <= maxBucket)
+    // pairs within bucket, ordered a < b, deduped across bands
+    val pairs = buckets
+      .select(explode(col("_ids")).as("id_a"), col("_ids"))
+      .select(col("id_a"), explode(col("_ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+    // verify with exact Jaccard on the shingle sets
+    val a = shingled.select(col("_id").as("id_a"), col("_sh").as("_sha"))
+    val b = shingled.select(col("_id").as("id_b"), col("_sh").as("_shb"))
+    pairs.join(a, "id_a").join(b, "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("_sha"), col("_shb"))).cast("double") /
+          size(array_union(col("_sha"), col("_shb"))).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Exact n-gram Jaccard between two shingle-set columns (the verify
+    * kernel of X3, usable standalone for pair scoring). */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
+
+  // ---------------------------------------------------------------------
+  // SimHash (X3 variant)
+  // ---------------------------------------------------------------------
+
+  /** 64-bit SimHash over whitespace tokens: per bit j, sum +1/-1 across
+    * token hashes' bit j; fingerprint bit j = 1 iff the sum is positive.
+    * Expression-only construction: O(64·n_tokens) per row, narrow. */
+  def simHash(text: Column): Column = {
+    val hashes = transform(split(lower(text), "\\s+"), t => xxhash64(t))
+    val bits = transform(sequence(lit(0), lit(63)), j =>
+      when(
+        aggregate(hashes, lit(0L),
+          (acc, h) => acc + when(call_function("shiftright", h, j).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))
+        ) > 0, lit(1L)).otherwise(lit(0L)))
+    aggregate(
+      zip_with(bits, sequence(lit(0), lit(63)), (bit, j) => call_function("shiftleft", bit, j)),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** SimHash near-dup: candidates from banding the 64-bit fingerprint into
+    * 4×16-bit blocks (any pair within Hamming distance 3 shares ≥1 exact
+    * block), verified by exact Hamming distance ≤ maxHamming. */
+  def simHashNearDups(df: DataFrame, id: String, text: String, maxHamming: Int = 3): DataFrame = {
+    val fp = df.select(col(id).as("_id"), simHash(col(text)).as("_fp"))
+    val blocks = fp.select(col("_id"), col("_fp"),
+      explode(transform(sequence(lit(0), lit(3)), b =>
+        struct(b.as("block_id"), call_function("shiftright", col("_fp"), b * lit(16)).bitwiseAND(lit(0xFFFFL)).as("block_val")))).as("_b"))
+      .select(col("_id"), col("_fp"), col("_b.block_id"), col("_b.block_val"))
+    val cand = blocks.as("x").join(blocks.as("y"),
+        col("x.block_id") === col("y.block_id") &&
+          col("x.block_val") === col("y.block_val") &&
+          col("x._id") < col("y._id"))
+      .select(col("x._id").as("id_a"), col("y._id").as("id_b"),
+        col("x._fp").as("fp_a"), col("y._fp").as("fp_b"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyed upsert as a distributed merge — the Spark-native form of the
+  * reference's Postgres `INSERT … ON CONFLICT (key) DO UPDATE` sink
+  * (S8, `src/s3_to_rds_lambda.py:69-85`).
+  *
+  * Without a mutable store, upsert is last-write-wins (LWW) dedup over
+  * `existing ∪ incoming`: incoming rows beat existing rows on the same
+  * key; within a batch the newest version wins, ties broken stably. This
+  * is idempotent (re-applying a batch is a no-op) and deterministic, which
+  * gives the same at-least-once safety as the reference's single
+  * transaction (SURVEY §2.4 W4, §7.4.2).
+  *
+  * Scale notes: one shuffle on the merge key; partial aggregation
+  * (`max_by` form) combines map-side, so the shuffle carries one row per
+  * key per map partition — this is the 100 TB-safe shape. No driver-side
+  * state.
+  */
+object Merge {
+
+  /** W4 — LWW merge via `row_number` over (key, recency desc, priority).
+    * `recency` columns order versions (newest wins); `tieBreak` makes the
+    * winner stable when recency ties. */
+  def upsertLww(
+      existing: DataFrame,
+      incoming: DataFrame,
+      keys: Seq[String],
+      recency: Seq[String],
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    // incoming wins over existing on equal recency — mirrors ON CONFLICT
+    // DO UPDATE (the new row replaces the stored one).
+    val tagged = incoming.withColumn("_src", lit(1))
+      .unionByName(existing.withColumn("_src", lit(0)))
+    val order: Seq[Column] =
+      recency.map(col(_).desc) ++ Seq(col("_src").desc) ++ tieBreak.map(col(_).desc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    tagged
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_src")
+  }
+
+  /** W4 alternate — `max_by(struct(*), ordering)` form. Same semantics for
+    * a total ordering; preferred at scale because hash aggregation with
+    * map-side combine avoids the full sort a window needs. */
+  def upsertLwwAgg(
+      existing: DataFrame,
+      incoming: DataFrame,
+      keys: Seq[String],
+      recency: Seq[String],
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val tagged = incoming.withColumn("_src", lit(1))
+      .unionByName(existing.withColumn("_src", lit(0)))
+    val valueCols = tagged.columns.filterNot(_ == "_src").toSeq
+    val ord = struct((recency.map(col) :+ col("_src")) ++ tieBreak.map(col): _*)
+    val picked = tagged
+      .groupBy(keys.map(col): _*)
+      .agg(max_by(struct(valueCols.map(col): _*), ord).as("_row"))
+      .select(col("_row.*"))
+    picked
+  }
+
+  /** Latest-row-per-key over a single table (the in-table form of W4 —
+    * e.g. "current state per (user, event_type)" over an event log). */
+  def latestByKey(df: DataFrame, keys: Seq[String], recency: Seq[String], tieBreak: Seq[String] = Nil): DataFrame = {
+    val order: Seq[Column] = (recency ++ tieBreak).map(col(_).desc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+}

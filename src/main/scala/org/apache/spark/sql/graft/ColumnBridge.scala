@@ -1,0 +1,19 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge between the public `Column` API and Catalyst `Expression`s.
+  *
+  * Spark 4 moved `Column` to the connect-agnostic sql-api module, so the
+  * classic `column.expr` accessor is gone; the supported conversion lives
+  * in `org.apache.spark.sql.classic.ExpressionUtils`, which is
+  * `private[sql]`. This object sits inside the `org.apache.spark.sql`
+  * package namespace to re-export the two conversions our native
+  * expressions (try_cast with TRY eval mode, custom Catalyst nodes) need.
+  */
+object ColumnBridge {
+  def toExpr(c: Column): Expression = ExpressionUtils.expression(c)
+  def toColumn(e: Expression): Column = ExpressionUtils.column(e)
+}
