@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.io.Tables
-import graft.ops.{Coerce, Dedup, Merge, Normalize}
+import graft.ops.{Coerce, Dedup, Merge, Multimodal, Normalize, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -263,7 +263,138 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("k")).cast("long").as("sum_k"))
         .orderBy("event_type")
-    })
+    }),
+
+    // TPC-H Q5-style 6-table join: dims broadcast, fact joins stay
+    // shuffle-free until the final agg on nation.
+    "q5_local_volume" -> ((s, dir) => {
+      val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      val n = Tables.nation(s, dir).join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      val c = Tables.customer(s, dir).join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+      val l = Tables.lineitem(s, dir)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) * (dec(lit(1)) - dec(col("l_discount"))))
+          .cast("decimal(38,4)").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+    }),
+
+    // X2 — exact brute-force top-k cosine (float-mul/double-sum contract).
+    "x2_topk_cosine" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") % 100 === 0)
+      Similarity.topKBruteForce(q, e, "vec_id", "embedding", 5)
+        .orderBy("qid", "rk")
+    }),
+
+    // X2 scale path — LSH-bucketed ANN top-k (recall<1 ⇒ no SQL oracle;
+    // driver records rows-only).
+    "x2_ann_lsh" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") % 100 === 0)
+      Similarity.lshBucketTopK(q, e, "vec_id", "embedding", 5, planes = 6)
+        .orderBy("qid", "rk")
+    }),
+
+    // X3 — MinHash+LSH near-dup candidates w/ exact-Jaccard verify
+    // (sketch internals not SQL-expressible; property-tested instead).
+    "x3_minhash_neardup" -> ((s, dir) => {
+      Dedup.minHashNearDups(Tables.documents(s, dir), "doc_id", "text",
+          shingleK = 3, bands = 8, rows = 4, minJaccard = 0.3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // X3 variant — SimHash fingerprint + Hamming-ball near-dup.
+    "x3_simhash_neardup" -> ((s, dir) => {
+      Dedup.simHashNearDups(Tables.documents(s, dir), "doc_id", "text", maxHamming = 8)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // X3 verify kernel — exact word-3-shingle Jaccard on adjacent-id pairs.
+    "x3_ngram_jaccard" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val a = d.select(col("doc_id").as("id_a"), Dedup.wordShingles(lower(col("text")), 3).as("_sa"))
+      val b = d.select(col("doc_id").as("id_b"), Dedup.wordShingles(lower(col("text")), 3).as("_sb"))
+      a.join(b, col("id_a") + 1 === col("id_b"))
+        .select(col("id_a"), col("id_b"), Dedup.jaccard(col("_sa"), col("_sb")).as("jaccard"))
+        .orderBy("id_a")
+    }),
+
+    // X4 — corpus token/char statistics per language.
+    "x4_text_stats" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      d.select(col("lang"),
+          TextAnalysis.tokenCount(col("text")).as("nt"),
+          length(col("text")).cast("long").as("nc"),
+          TextAnalysis.subwordCountEstimate(col("text")).as("nsw"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt")).cast("long").as("sum_tokens"),
+          sum(col("nc")).cast("long").as("sum_chars"),
+          sum(col("nsw")).cast("long").as("sum_subwords"))
+        .orderBy("lang")
+    }),
+
+    // X4 — per-document quality scoring (integer-exact heuristics).
+    "x4_quality_score" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val nt = TextAnalysis.tokenCount(col("text"))
+      val nc = length(col("text")).cast("long")
+      val stops = TextAnalysis.wordOccurrences(lower(col("text")), TextAnalysis.englishStopwords)
+      d.select(col("doc_id"), nt.as("n_tokens"), nc.as("n_chars"),
+          TextAnalysis.punctCount(col("text")).as("n_punct"),
+          stops.as("n_stopwords"),
+          TextAnalysis.qualityGate(nt, nc, stops).as("is_quality"))
+        .orderBy("doc_id")
+    }),
+
+    // X4 — heuristic language identification vs the labeled lang column.
+    "x4_langid" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.languageId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    // X4 — normalized content fingerprint (formatting-invariant dedup key).
+    "x4_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // X5 — multimodal binary payload + typed metadata plumbing.
+    "x5_binary_meta" -> ((s, dir) => {
+      Multimodal.packBinary(Tables.documents(s, dir), "doc_id", "text", "lang", "text/plain")
+        .select(col("doc_id"), length(col("payload")).cast("long").as("n_bytes"),
+          col("fmt"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
+    // X5 — batched per-partition feature extraction through the STUB
+    // decode kernel (mapPartitions plumbing; stub ⇒ rows-only check).
+    "x5_features_stub" -> ((s, dir) => {
+      import s.implicits._
+      val packed = Multimodal.packBinary(Tables.documents(s, dir),
+        "doc_id", "text", "lang", "text/plain").as[Multimodal.MediaRecord]
+      Multimodal.extractFeatures(packed).toDF()
+        .select(col("doc_id"), col("n_bytes"), col("fmt"), col("feature"))
+        .orderBy("doc_id")
+    }),
+
+    // Streaming — tumbling 1h window agg via AvailableNow drain.
+    "stream_tumbling_agg" -> ((s, dir) =>
+      graft.streaming.Streams.tumblingHourlyAgg(s, dir)),
+
+    // Streaming — 30-min-gap session windows per user.
+    "stream_sessionize" -> ((s, dir) =>
+      graft.streaming.Streams.sessionizeByGap(s, dir))
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -407,6 +538,134 @@ object SparkEntry {
         | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events
         |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
-        |GROUP BY event_type ORDER BY event_type""".stripMargin
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q5_local_volume" ->
+      """SELECT n_name,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
+
+    "x2_topk_cosine" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding,
+        |    list_sum(list_transform(generate_series(1, len(embedding)),
+        |      i -> embedding[i] * embedding[i])) AS nrm
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    list_sum(list_transform(generate_series(1, len(q.embedding)),
+        |      i -> q.embedding[i] * c.embedding[i]))
+        |      / (sqrt(q.nrm) * sqrt(c.nrm)) AS sim
+        |  FROM v q, v c
+        |  WHERE q.vec_id % 100 = 0 AND q.vec_id != c.vec_id),
+        |r AS (
+        |  SELECT qid, cid, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rk
+        |  FROM p)
+        |SELECT qid, cid, round(sim, 6) AS sim, rk FROM r
+        |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+    "x3_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) >= 3 THEN
+        |      list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |    ELSE [array_to_string(w, ' ')] END AS s
+        |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+        |        FROM documents) t)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id
+        |ORDER BY id_a""".stripMargin,
+
+    "x4_text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS sum_tokens,
+        | CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        | CAST(sum(list_sum(list_transform(string_split_regex(text, '\s+'),
+        |   t -> greatest(1, CAST(ceil(length(t) / 4.0) AS BIGINT))))) AS BIGINT) AS sum_subwords
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "x4_quality_score" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      w -> w IN ('the','a','an','and','or','of','to','in','is','it',
+        |                 'that','for','on','with','as','at','by','from'))) AS BIGINT) AS n_stopwords
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, n_chars, n_punct, n_stopwords,
+        |  (n_tokens BETWEEN 5 AND 100000
+        |   AND (n_chars / greatest(n_tokens, 1)) BETWEEN 1 AND 15
+        |   AND n_stopwords * 50 >= n_tokens) AS is_quality
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "x4_langid" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      w -> w IN ('the','and','of','to','is','in','that','it'))) AS s_en,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      w -> w IN ('der','die','das','und','ist','nicht','ein','zu'))) AS s_de,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      w -> w IN ('le','la','et','les','des','est','un','une'))) AS s_fr,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      w -> w IN ('el','los','las','es','un','una','que','y'))) AS s_es
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
+        |       WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+        |       WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+        |       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+        |       ELSE 'es' END AS lang_pred
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "x4_fingerprint" ->
+      """SELECT doc_id,
+        | substring(sha256(regexp_replace(regexp_replace(lower(trim(text)),
+        |   '[.,!?;:]', '', 'g'), '\s+', ' ', 'g')), 1, 16) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x5_binary_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | 'text/plain' AS fmt, lang
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "stream_tumbling_agg" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        | count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_v
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "stream_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_v
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
   )
 }

@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (EXT X2 — SURVEY §2.5):
+  * brute-force cosine top-k as the exact baseline, and a random-
+  * hyperplane LSH-bucketed variant as the 100 TB scale path.
+  *
+  * Numeric discipline: dot products keep the element multiply in FLOAT
+  * (IEEE-identical everywhere) and accumulate sequentially in DOUBLE —
+  * the same shape a DuckDB `sum(a[i]*b[i])` subquery computes, so cross-
+  * engine results are bit-reproducible (no FP-reassociation drift).
+  * All expressions are native higher-order functions — codegen-friendly,
+  * no UDFs.
+  */
+object Similarity {
+
+  /** Sequential-accumulation dot product over two array<float> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Squared L2 norm (sequential, same accumulation shape as [[dot]]). */
+  def normSq(a: Column): Column = dot(a, a)
+
+  /** Cosine similarity given precomputed squared norms — the division
+    * order (dot / (sqrt·sqrt)) is part of the cross-engine contract. */
+  def cosineWithNorms(dotAb: Column, normSqA: Column, normSqB: Column): Column =
+    dotAb / (sqrt(normSqA) * sqrt(normSqB))
+
+  def cosine(a: Column, b: Column): Column =
+    cosineWithNorms(dot(a, b), normSq(a), normSq(b))
+
+  /** X2 baseline — exact top-k cosine neighbors for each query vector.
+    *
+    * Scale shape: norms are computed once per row (narrow); the query
+    * side is broadcast (queries ≪ corpus is the realistic regime), so
+    * the corpus never shuffles for the join; per-query ranking windows
+    * only shuffle the (corpus × |queries|) pair stream on query id.
+    * At 100 TB corpus scale, swap the window for a bounded-heap
+    * aggregate or pre-filter with [[lshBucketTopK]].
+    *
+    * Output: qid, cid, sim (rounded for display; ranking uses the raw
+    * double), rk ∈ [1..k].
+    */
+  def topKBruteForce(queries: DataFrame, corpus: DataFrame, id: String, vec: String, k: Int): DataFrame = {
+    val q = queries.select(col(id).as("qid"), col(vec).as("_qe"), normSq(col(vec)).as("_nq"))
+    val c = corpus.select(col(id).as("cid"), col(vec).as("_ce"), normSq(col(vec)).as("_nc"))
+    val pairs = c.join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("_sim", cosineWithNorms(dot(col("_qe"), col("_ce")), col("_nq"), col("_nc")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("_sim").desc, col("cid").asc)
+    pairs
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("cid"), round(col("_sim"), 6).as("sim"), col("rk"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component: hash(plane, dim)
+    * mapped to [-1, 1). Data-independent and reproducible across runs
+    * and engines — no RNG state to ship to executors. */
+  private def planeComponent(plane: Column, dim: Column): Column =
+    (pmod(xxhash64(plane, dim), lit(2000001L)).cast("double") - 1000000.0) / 1000000.0
+
+  /** Sign-random-projection (SimHash-for-vectors) LSH bucket id: one bit
+    * per hyperplane = sign of ⟨v, h_p⟩. Vectors in the same bucket are
+    * likely high-cosine. */
+  def lshBucket(vec: Column, planes: Int): Column = {
+    val bits = transform(sequence(lit(0), lit(planes - 1)), p => {
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) => x * planeComponent(p, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L)).otherwise(lit(0L))
+    })
+    aggregate(zip_with(bits, sequence(lit(0), lit(planes - 1)),
+      (bit, p) => call_function("shiftleft", bit, p)), lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** X2 scale path — ANN top-k: candidates only from the query's LSH
+    * bucket, then exact cosine re-rank within the bucket. One shuffle on
+    * bucket id instead of a full cross join; recall < 1 by construction
+    * (tune `planes` for the recall/fan-in trade-off). */
+  def lshBucketTopK(queries: DataFrame, corpus: DataFrame, id: String, vec: String,
+      k: Int, planes: Int = 8): DataFrame = {
+    val q = queries.select(col(id).as("qid"), col(vec).as("_qe"),
+      normSq(col(vec)).as("_nq"), lshBucket(col(vec), planes).as("_bkt"))
+    val c = corpus.select(col(id).as("cid"), col(vec).as("_ce"),
+      normSq(col(vec)).as("_nc"), lshBucket(col(vec), planes).as("_bkt"))
+    val pairs = c.join(broadcast(q), Seq("_bkt")).filter(col("qid") =!= col("cid"))
+      .withColumn("_sim", cosineWithNorms(dot(col("_qe"), col("_ce")), col("_nq"), col("_nc")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("_sim").desc, col("cid").asc)
+    pairs
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("cid"), round(col("_sim"), 6).as("sim"), col("rk"))
+  }
+
+  /** Embedding near-duplicate pairs: same-bucket candidates with cosine
+    * above `minCosine` (X1's embedding-cosine near-dup flavor). */
+  def embeddingNearDups(df: DataFrame, id: String, vec: String,
+      minCosine: Double = 0.95, planes: Int = 8): DataFrame = {
+    val v = df.select(col(id).as("_id"), col(vec).as("_v"),
+      normSq(col(vec)).as("_n"), lshBucket(col(vec), planes).as("_bkt"))
+    val a = v.select(col("_id").as("id_a"), col("_v").as("_va"), col("_n").as("_na"), col("_bkt"))
+    val b = v.select(col("_id").as("id_b"), col("_v").as("_vb"), col("_n").as("_nb"), col("_bkt"))
+    a.join(b, Seq("_bkt")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosineWithNorms(dot(col("_va"), col("_vb")), col("_na"), col("_nb")))
+      .filter(col("cos") >= minCosine)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      .distinct()
+  }
+}

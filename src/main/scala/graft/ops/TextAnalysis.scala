@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis operators (EXT X4 — SURVEY §2.5): the per-document
+  * statistics a training-data pipeline filters on. All narrow, per-row
+  * native expressions — they pipeline inside whole-stage codegen with
+  * whatever scan feeds them, and aggregate with ordinary hash aggs.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (the `\s+` contract is shared with the
+    * DuckDB oracles: `string_split_regex(text, '\s+')`). */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword count estimate: words + extra splits at case/digit
+    * boundaries and every ~4 chars of long words — a deterministic proxy
+    * for tokenizer budget accounting without shipping a vocab. */
+  def subwordCountEstimate(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc + greatest(lit(1L), ceil(length(t).cast("double") / 4.0).cast("long")))
+
+  /** Count of occurrences (not distinct) of `words` among the tokens. */
+  def wordOccurrences(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(words))).cast("long")
+
+  def punctCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[.,!?;:]", ""))).cast("long")
+
+  val englishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "from")
+
+  /** Quality heuristics, integer-exact so oracles match bit-for-bit:
+    * token count, char count, punctuation, stopword occurrences, and a
+    * boolean gate resembling Gopher/C4-style length+stopword rules. */
+  def qualityGate(nTokens: Column, nChars: Column, stopCount: Column): Column =
+    nTokens.between(5, 100000) &&
+      (nChars / greatest(nTokens, lit(1L))).between(1, 15) &&
+      stopCount * 50 >= nTokens
+
+  /** Language-ID marker sets: top function words per language. The
+    * when-chain tie-break order (en, de, fr, es, unknown) is part of the
+    * cross-engine contract — oracles use the same CASE order. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "un", "une"),
+    "es" -> Seq("el", "los", "las", "es", "un", "una", "que", "y"))
+
+  /** X4 — n-gram/function-word language identification: argmax of marker
+    * occurrences with a deterministic CASE-order tie-break; 'und' (sic)
+    * when nothing matches. */
+  def languageId(text: Column): Column = {
+    val t = lower(text)
+    val scores = langMarkers.map { case (lang, words) => lang -> wordOccurrences(t, words) }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("unknown")) { case ((lang, score), elseCol) =>
+      when(score === best && best > 0, lit(lang)).otherwise(elseCol)
+    }
+  }
+
+  /** Normalized content fingerprint: lowercase, strip punctuation,
+    * collapse whitespace, sha-256, keep 16 hex chars. The canonical
+    * "same doc modulo formatting" key for X1-style dedup at scale (the
+    * 64-bit prefix keeps shuffle keys small; collision rate ~2^-32 per
+    * pair is acceptable for candidate generation). */
+  def fingerprint(text: Column): Column =
+    substring(sha2(regexp_replace(regexp_replace(lower(trim(text)), "[.,!?;:]", ""), "\\s+", " "), 256), 1, 16)
+
+  /** Polynomial rolling hash (mod 1e9+7) over the first `cap` characters —
+    * the classic Rabin-Karp fingerprint, expression-only. Not mirrored in
+    * SQL oracles (DuckDB lacks a portable fold); covered by unit tests. */
+  def rollingHash(text: Column, cap: Int = 64): Column = {
+    val n = least(length(text), lit(cap))
+    val idx = sequence(lit(1), greatest(n, lit(1)))
+    aggregate(idx, lit(0L),
+      (acc, i) => (acc * 31 + ascii(call_function("substring", text, i, lit(1)))) % 1000000007L)
+  }
+}
