@@ -215,9 +215,10 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
-    // W4 — LWW latest state per (user, event_type) over the event log.
+    // W4 — LWW latest state per (user, event_type) over the event log
+    // (max_by hash-agg form: map-side combine, no per-partition sort).
     "w4_lww_latest" -> ((s, dir) => {
-      Merge.latestByKey(Tables.events(s, dir),
+      Merge.latestByKeyAgg(Tables.events(s, dir),
           Seq("user_id", "event_type"), Seq("ts"), Seq("event_id"))
         .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
         .orderBy("user_id", "event_type")
@@ -228,11 +229,11 @@ object SparkEntry {
     "s8_merge_upsert" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val split = to_timestamp(lit("2024-02-15"))
-      val existing = Merge.latestByKey(ev.filter(col("ts") < split),
+      val existing = Merge.latestByKeyAgg(ev.filter(col("ts") < split),
         Seq("user_id"), Seq("ts"), Seq("event_id"))
-      val incoming = Merge.latestByKey(ev.filter(col("ts") >= split),
+      val incoming = Merge.latestByKeyAgg(ev.filter(col("ts") >= split),
         Seq("user_id"), Seq("ts"), Seq("event_id"))
-      Merge.upsertLww(existing, incoming, Seq("user_id"), Seq("ts"), Seq("event_id"))
+      Merge.upsertLwwAgg(existing, incoming, Seq("user_id"), Seq("ts"), Seq("event_id"))
         .select(col("user_id"), col("event_id"), col("value"))
         .orderBy("user_id")
     }),

@@ -57,18 +57,21 @@ object Dedup {
     array_distinct(sh)
   }
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions,
-    * the min over all shingles of `xxhash64(seed, shingle)`. Returns an
-    * array<bigint> of length `numHashes`. Pure expression — the standard
-    * "k independent permutations" construction with xxhash64 as the hash
-    * family. */
+  /** The i-th member of the MinHash permutation family applied to a base
+    * hash: a seeded re-hash (`xxhash64(i, h)`). Avalanche makes the
+    * members effectively independent, and — unlike an affine `a·h+b`
+    * family — the mixing wraps inside the hash kernel, so ANSI mode
+    * (Spark 4 default) sees no overflowing SQL arithmetic. */
+  def permutedHash(i: Int, h: Column): Column = xxhash64(lit(i), h)
+
+  /** MinHash signature as a single expression (array<bigint> of length
+    * `numHashes`). Fine for ad-hoc use; the pipeline form in
+    * [[minHashNearDups]] uses explode + codegen'd min() aggregates
+    * instead, because array-aggregate lambdas are CodegenFallback. */
   def minHashSignature(shingles: Column, numHashes: Int): Column = {
-    val sigs = (0 until numHashes).map { seed =>
-      aggregate(
-        shingles,
-        lit(Long.MaxValue),
-        (acc, s) => least(acc, xxhash64(lit(seed), s))
-      )
+    val base = transform(shingles, s => xxhash64(s))
+    val sigs = (0 until numHashes).map { i =>
+      aggregate(base, lit(Long.MaxValue), (acc, h) => least(acc, permutedHash(i, h)))
     }
     array(sigs: _*)
   }
@@ -96,8 +99,26 @@ object Dedup {
       rows: Int = 4,
       minJaccard: Double = 0.5,
       maxBucket: Int = 64): DataFrame = {
-    val shingled = df.select(col(id).as("_id"), wordShingles(col(text), shingleK).as("_sh"))
-    val sig = shingled.withColumn("_sig", minHashSignature(col("_sh"), bands * rows))
+    // Shingle HASH sets (array<bigint>) via the codegen'd kernel — the
+    // shingle string never materializes (graft.expr.WordShingleHashes;
+    // ~30× over the interpreted HOF form). Persisted because they feed
+    // the signature path AND both sides of the verify join (3 plan
+    // branches — Spark has no cross-branch CSE). Disk-backed, size ∝
+    // corpus tokens; the standard "write shingles once" LSH shape.
+    val shingled = df.select(col(id).as("_id"),
+        graft.expr.WordShingleHashes(col(text), shingleK, distinct = true).as("_sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Signature via explode + one hash-agg with b·r min() slots rather
+    // than array-aggregate lambdas: higher-order functions are
+    // CodegenFallback (interpreted per element), while min() aggregates
+    // run in whole-stage codegen with map-side partial aggregation —
+    // the shape that survives a 100× scale-up.
+    val n = bands * rows
+    val hashes = shingled.select(col("_id"), explode(col("_sh")).as("_h"))
+    val minAggs = (0 until n).map(i => min(permutedHash(i, col("_h"))).as(s"_m$i"))
+    val sig = hashes.groupBy(col("_id"))
+      .agg(minAggs.head, minAggs.tail: _*)
+      .select(col("_id"), array((0 until n).map(i => col(s"_m$i")): _*).as("_sig"))
     val banded = sig
       .select(col("_id"), explode(lshBands(col("_sig"), bands, rows)).as("_b"))
       .select(col("_id"), col("_b.band_id"), col("_b.band_hash"))
@@ -111,7 +132,8 @@ object Dedup {
       .select(col("id_a"), explode(col("_ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .distinct()
-    // verify with exact Jaccard on the shingle sets
+    // verify with exact Jaccard on the shingle-hash sets (collision odds
+    // per pair ~2^-64·|set|² — negligible at any corpus size)
     val a = shingled.select(col("_id").as("id_a"), col("_sh").as("_sha"))
     val b = shingled.select(col("_id").as("id_b"), col("_sh").as("_shb"))
     pairs.join(a, "id_a").join(b, "id_b")
@@ -131,26 +153,48 @@ object Dedup {
   // SimHash (X3 variant)
   // ---------------------------------------------------------------------
 
-  /** 64-bit SimHash over whitespace tokens: per bit j, sum +1/-1 across
-    * token hashes' bit j; fingerprint bit j = 1 iff the sum is positive.
-    * Expression-only construction: O(64·n_tokens) per row, narrow. */
-  def simHash(text: Column): Column = {
-    val hashes = transform(split(lower(text), "\\s+"), t => xxhash64(t))
+  /** 64-bit SimHash from a pre-materialized array of token hashes: per
+    * bit j, count tokens with bit j set; fingerprint bit j = 1 iff set in
+    * the majority. O(64·n_tokens) per row, narrow.
+    *
+    * Callers must materialize the hash array in its own projection first
+    * (see [[simHashNearDups]]) — referencing the tokenize+hash expression
+    * directly here would re-evaluate it once per bit lambda (64×). */
+  def simHashFromHashes(hashes: Column, nTokens: Column): Column = {
     val bits = transform(sequence(lit(0), lit(63)), j =>
       when(
         aggregate(hashes, lit(0L),
-          (acc, h) => acc + when(call_function("shiftright", h, j).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))
-        ) > 0, lit(1L)).otherwise(lit(0L)))
+          (acc, h) => acc + call_function("shiftright", h, j).bitwiseAND(lit(1L))
+        ) * 2 > nTokens, lit(1L)).otherwise(lit(0L)))
     aggregate(
       zip_with(bits, sequence(lit(0), lit(63)), (bit, j) => call_function("shiftleft", bit, j)),
       lit(0L), (acc, v) => acc.bitwiseOR(v))
   }
 
+  /** Token-hash array for SimHash (lower → whitespace split → xxhash64). */
+  def tokenHashes(text: Column): Column =
+    transform(split(lower(text), "\\s+"), t => xxhash64(t))
+
   /** SimHash near-dup: candidates from banding the 64-bit fingerprint into
     * 4×16-bit blocks (any pair within Hamming distance 3 shares ≥1 exact
     * block), verified by exact Hamming distance ≤ maxHamming. */
   def simHashNearDups(df: DataFrame, id: String, text: String, maxHamming: Int = 3): DataFrame = {
-    val fp = df.select(col(id).as("_id"), simHash(col(text)).as("_fp"))
+    // Fingerprint via explode + 64 codegen'd sum() slots (HOF lambdas are
+    // interpreted; see minHashNearDups); token hashes from the codegen'd
+    // kernel (k=1, keep duplicates — SimHash weights repeats). fp is
+    // persisted because both sides of the candidate self-join read it
+    // (no cross-branch CSE). Footprint: 2 longs per doc.
+    val tok = df.select(col(id).as("_id"),
+      explode(graft.expr.WordShingleHashes(col(text), 1, distinct = false)).as("_h"))
+    val bitAggs = (0 until 64).map(j =>
+      sum(call_function("shiftright", col("_h"), lit(j)).bitwiseAND(lit(1L))).as(s"_c$j"))
+    val counted = tok.groupBy(col("_id"))
+      .agg(count(lit(1)).as("_n"), bitAggs: _*)
+    val fpExpr = (0 until 64).map(j =>
+      when(col(s"_c$j") * 2 > col("_n"), lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    val fp = counted.select(col("_id"), fpExpr.as("_fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blocks = fp.select(col("_id"), col("_fp"),
       explode(transform(sequence(lit(0), lit(3)), b =>
         struct(b.as("block_id"), call_function("shiftright", col("_fp"), b * lit(16)).bitwiseAND(lit(0xFFFFL)).as("block_val")))).as("_b"))

@@ -71,4 +71,17 @@ object Merge {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
     df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
+
+  /** Latest-row-per-key via `max_by` hash aggregation — same result as
+    * [[latestByKey]] when (recency ++ tieBreak) totally orders rows per
+    * key, but partial-aggregates map-side: the shuffle carries one row
+    * per key per map partition instead of every row, and no sort runs.
+    * This is the form to prefer at scale. */
+  def latestByKeyAgg(df: DataFrame, keys: Seq[String], recency: Seq[String], tieBreak: Seq[String] = Nil): DataFrame = {
+    val valueCols = df.columns.toSeq
+    val ord = struct((recency ++ tieBreak).map(col): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(valueCols.map(col): _*), ord).as("_row"))
+      .select(col("_row.*"))
+  }
 }
