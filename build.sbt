@@ -28,3 +28,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// One shared SparkSession across suites; Spark local-mode sessions are
+// not safe to create concurrently from parallel suite init.
+Test / parallelExecution := false

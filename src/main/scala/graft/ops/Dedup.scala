@@ -207,7 +207,7 @@ object Dedup {
         col("x._fp").as("fp_a"), col("y._fp").as("fp_b"))
       .distinct()
     cand
-      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }

@@ -108,17 +108,21 @@ object Normalize {
     * fields by default (`spark.sql.jsonGenerator.ignoreNullFields=true`),
     * so a single native expression reproduces it inside codegen. */
   def consolidateToJson(df: DataFrame, cols: Seq[String], target: String): DataFrame = {
-    val payload = struct(cols.map(c => col(c).as(stripPrefix(c))): _*)
+    val payload = struct(cols.map(c => quoted(c).as(stripPrefix(c))): _*)
     df.withColumn(target, to_json(payload)).drop(cols: _*)
   }
 
   /** Map form of P4: keep a queryable MapType column (null values removed)
     * instead of an opaque JSON string. */
   def consolidateToMap(df: DataFrame, cols: Seq[String], target: String): DataFrame = {
-    val kvs = cols.flatMap(c => Seq(lit(stripPrefix(c)), col(c).cast(StringType)))
+    val kvs = cols.flatMap(c => Seq(lit(stripPrefix(c)), quoted(c).cast(StringType)))
     val m = map_filter(map(kvs: _*), (_, v) => v.isNotNull)
     df.withColumn(target, m).drop(cols: _*)
   }
+
+  /** Column ref by literal name — flattened columns contain dots, which
+    * bare `col()` would parse as struct-field access. */
+  private def quoted(c: String): Column = col(s"`$c`")
 
   /** `customFields.cohort` → `cohort`, matching the reference's
     * `col.split('.')[1]` key derivation (`lms_to_s3_lambda.py:153-156`). */

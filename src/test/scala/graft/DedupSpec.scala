@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Dedup
+
+/** X1/X3 dedup family: exact content dedup, shingle-kernel equivalence
+  * with the composable HOF form, MinHash recall on a known near-dup,
+  * SimHash self-consistency. */
+class DedupSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+  private val nearDup = base.replace("lazy", "sleepy") // 1-word edit
+  private val other = "completely different content with no overlap at all in any shingle here"
+
+  private def docs = Seq(
+    (1L, base), (2L, nearDup), (3L, other), (4L, base) // 4 = exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("X1 exactByContent groups exact duplicates under one digest") {
+    val out = Dedup.exactByContent(docs, "text", "doc_id").collect()
+    assert(out.length == 3)
+    val dupRow = out.find(_.getLong(2) == 2L).get
+    assert(dupRow.getLong(1) == 1L) // keep_id = min(doc_id)
+  }
+
+  test("X1 firstPerKey keeps exactly the lowest-ordered row per key") {
+    val df = Seq(("a", 3L), ("a", 1L), ("b", 2L)).toDF("k", "id")
+    val out = Dedup.firstPerKey(df, Seq("k"), Seq("id")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a" -> 1L, "b" -> 2L))
+  }
+
+  test("shingle kernel == composable form hashed (same xxhash64 seed, join, dedup)") {
+    val viaKernel = docs.select(col("doc_id"),
+      graft.expr.WordShingleHashes(col("text"), 3, distinct = true).as("h"))
+    val viaHof = docs.select(col("doc_id"),
+      array_distinct(transform(Dedup.wordShingles(col("text"), 3), s => xxhash64(s))).as("h"))
+    val joined = viaKernel.as("k").join(viaHof.as("f"), "doc_id")
+      .select(col("k.h").as("kh"), col("f.h").as("fh")).collect()
+    joined.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
+
+  test("X3 MinHash finds the near-dup pair and not the unrelated doc") {
+    // bands=16/rows=2: the 1-word-edit pair sits at Jaccard≈0.6 where the
+    // default 8×4 S-curve recalls only ~67%; 16×2 recalls >99.9% (and the
+    // outcome is deterministic for the fixed hash family).
+    val pairs = Dedup.minHashNearDups(docs, "doc_id", "text",
+        bands = 16, rows = 2, minJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // exact dup always collides
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // near-dup caught
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated never passes verify
+  }
+
+  test("X3 jaccard: exact dup = 1.0, near-dup in (0,1)") {
+    val sh = docs.select(col("doc_id"),
+      graft.expr.WordShingleHashes(col("text"), 3, distinct = true).as("h"))
+    val j = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        Dedup.jaccard(col("a.h"), col("b.h")).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 4L)) == 1.0)
+    assert(j((1L, 2L)) > 0.3 && j((1L, 2L)) < 1.0)
+    assert(j((1L, 3L)) == 0.0)
+  }
+
+  test("X3 SimHash: exact dups hamming 0; verified pairs only") {
+    val out = Dedup.simHashNearDups(docs, "doc_id", "text", maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((1L, 4L)) == 0L)
+    assert(!out.contains((1L, 3L)))
+  }
+}

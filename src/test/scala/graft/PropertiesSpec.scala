@@ -1,0 +1,70 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.ops.{Coerce, Dedup, Merge}
+
+/** ScalaCheck properties (SURVEY §5.3): upsert idempotence/LWW, dedup
+  * key-distinctness and subset-ness, coercion totality under ANSI mode.
+  * Generators are kept small — each property materializes Spark jobs. */
+object PropertiesSpec extends Properties("graft") {
+
+  private lazy val spark = SparkTestBase.session
+  import org.apache.spark.sql.functions.col
+
+  private val keyVal: Gen[List[(Long, String, Long)]] =
+    Gen.listOfN(12, for {
+      k <- Gen.choose(0L, 5L)
+      v <- Gen.alphaStr.map(_.take(6))
+      ver <- Gen.choose(0L, 9L)
+    } yield (k, v, ver))
+
+  property("upsert idempotent: merge(merge(t,b),b) == merge(t,b)") =
+    forAll(keyVal, keyVal) { (t, b) =>
+      import spark.implicits._
+      // make versions a total order per (key, ver) by disambiguating with
+      // the value — upsert determinism needs a total order (SURVEY §7.4.2)
+      val tDf = t.toDF("k", "v", "ver")
+      val bDf = b.toDF("k", "v", "ver")
+      val once = Merge.upsertLww(tDf, bDf, Seq("k"), Seq("ver"), Seq("v"))
+      val twice = Merge.upsertLww(once, bDf, Seq("k"), Seq("ver"), Seq("v"))
+      val a = once.collect().map(_.toSeq).toSet
+      val c = twice.collect().map(_.toSeq).toSet
+      a == c
+    }
+
+  property("upsert keys = union of input keys, one row per key") =
+    forAll(keyVal, keyVal) { (t, b) =>
+      import spark.implicits._
+      val out = Merge.upsertLww(t.toDF("k", "v", "ver"), b.toDF("k", "v", "ver"),
+        Seq("k"), Seq("ver"), Seq("v")).collect()
+      val keys = out.map(_.getLong(0)).toSeq
+      keys.distinct.sorted == (t.map(_._1) ++ b.map(_._1)).distinct.sorted &&
+        keys.length == keys.distinct.length
+    }
+
+  property("firstPerKey: distinct keys, rows are a subset of input") =
+    forAll(keyVal) { rows =>
+      import spark.implicits._
+      val df = rows.toDF("k", "v", "ver")
+      val out = Dedup.firstPerKey(df, Seq("k"), Seq("ver", "v")).collect()
+      val inSet = rows.toSet
+      out.map(_.getLong(0)).distinct.length == out.length &&
+        out.forall(r => inSet.contains((r.getLong(0), r.getString(1), r.getLong(2))))
+    }
+
+  property("toLongCoerce total under ANSI: parses clean ints, nulls garbage") =
+    forAll(Gen.listOfN(8, Gen.oneOf(
+      Gen.choose(-1000000L, 1000000L).map(_.toString),
+      Gen.choose(-1000L, 1000L).map(n => s"$n.0"),
+      Gen.alphaStr.map(_.take(8))))) { vals =>
+      import spark.implicits._
+      val out = vals.toDF("v").select(Coerce.toLongCoerce(col("v")).as("v")).collect()
+      out.zip(vals).forall { case (r, in) =>
+        val expected = scala.util.Try(in.trim.toDouble).toOption.map(_.toLong)
+        if (r.isNullAt(0)) expected.isEmpty || in.isEmpty
+        else expected.contains(r.getLong(0))
+      }
+    }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Similarity
+
+/** X2 similarity search: cosine kernel sanity, brute-force top-k
+  * ordering, ANN recall against the exact baseline. */
+class SimilaritySpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),   // close to 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f)),  // opposite of 0
+    (4L, Array(0.5f, 0.5f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("cosine: identical=1, orthogonal=0, opposite=-1") {
+    val out = vecs.as("a").join(vecs.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(out((0L, 2L))) < 1e-9)
+    assert(math.abs(out((0L, 3L)) + 1.0) < 1e-9)
+    assert(out((0L, 1L)) > 0.99)
+  }
+
+  test("brute-force top-k ranks by cosine desc with id tie-break") {
+    val q = vecs.filter(col("vec_id") === 0)
+    val out = Similarity.topKBruteForce(q, vecs, "vec_id", "embedding", 4)
+      .orderBy("rk").collect().map(r => (r.getLong(1), r.getLong(3)))
+    // expected neighbor order for query 0: 1 (.994), 4 (.707), 2 (0), 3 (-1)
+    assert(out.toSeq == Seq((1L, 1L), (4L, 2L), (2L, 3L), (3L, 4L)))
+  }
+
+  test("ANN top-k returns a subset of the exact ranking's candidates, correctly ordered") {
+    val q = vecs.filter(col("vec_id") === 0)
+    val ann = Similarity.lshBucketTopK(q, vecs, "vec_id", "embedding", 4, planes = 2)
+      .orderBy("rk").collect().map(_.getLong(1)).toSeq
+    val exact = Similarity.topKBruteForce(q, vecs, "vec_id", "embedding", 4)
+      .orderBy("rk").collect().map(_.getLong(1)).toSeq
+    // ANN candidates are a sub-sequence of the exact order (same ranking,
+    // possibly missing cross-bucket neighbors)
+    assert(ann.nonEmpty)
+    val positions = ann.map(exact.indexOf)
+    assert(positions == positions.sorted)
+  }
+
+  test("embeddingNearDups finds the high-cosine pair only") {
+    val pairs = Similarity.embeddingNearDups(vecs, "vec_id", "embedding",
+      minCosine = 0.99, planes = 2).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.contains((0L, 3L)))
+  }
+}

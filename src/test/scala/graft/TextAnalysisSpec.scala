@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.TextAnalysis
+
+/** X4 text analysis: counts, quality gate, language ID, fingerprint
+  * normalization invariance, rolling-hash determinism. */
+class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("token and punctuation counts") {
+    val df = Seq("the quick, brown fox. runs!").toDF("t")
+    val r = df.select(
+      TextAnalysis.tokenCount(col("t")).as("n"),
+      TextAnalysis.punctCount(col("t")).as("p")).collect().head
+    assert(r.getLong(0) == 5L)
+    assert(r.getLong(1) == 3L) // comma, period, bang
+  }
+
+  test("language ID picks the dominant marker language, CASE-order tie-break") {
+    val df = Seq(
+      ("en", "the cat and the dog is in the house"),
+      ("de", "der hund und die katze ist nicht zu hause"),
+      ("fr", "le chat et la souris est un animal les deux"),
+      ("xx", "zzz qqq www")
+    ).toDF("expected", "t")
+    val out = df.select(col("expected"), TextAnalysis.languageId(col("t")).as("got"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("en") == "en")
+    assert(out("de") == "de")
+    assert(out("fr") == "fr")
+    assert(out("xx") == "unknown")
+  }
+
+  test("fingerprint is invariant to case, punctuation, and whitespace runs") {
+    val df = Seq(
+      ("a", "The quick   brown fox."),
+      ("b", "the quick brown fox"),
+      ("c", "THE QUICK\tBROWN   FOX!?"),
+      ("d", "a different document")
+    ).toDF("id", "t")
+    val fp = df.select(col("id"), TextAnalysis.fingerprint(col("t")).as("fp"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(fp("a") == fp("b") && fp("b") == fp("c"))
+    assert(fp("a") != fp("d"))
+    assert(fp("a").length == 16)
+  }
+
+  test("quality gate: word-soup passes, degenerate docs fail") {
+    val df = Seq(
+      ("good", "the quick brown fox jumps over the lazy dog again and again today"),
+      ("short", "hi"),
+      ("nostops", "zzz qqq www rrr ttt yyy uuu iii ooo ppp")
+    ).toDF("id", "t")
+    val nt = TextAnalysis.tokenCount(col("t"))
+    val out = df.select(col("id"),
+      TextAnalysis.qualityGate(nt, length(col("t")).cast("long"),
+        TextAnalysis.wordOccurrences(lower(col("t")), TextAnalysis.englishStopwords)).as("q"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(out("good"))
+    assert(!out("short"))
+    assert(!out("nostops"))
+  }
+
+  test("rolling hash: deterministic, order-sensitive, bounded by the modulus") {
+    val df = Seq("abc", "acb", "abc").toDF("t")
+    val out = df.select(TextAnalysis.rollingHash(col("t")).as("h")).collect().map(_.getLong(0))
+    assert(out(0) == out(2))
+    assert(out(0) != out(1))
+    assert(out.forall(h => h >= 0 && h < 1000000007L))
+  }
+
+  test("subword estimate: ~len/4 per long word, min 1 per word") {
+    val df = Seq("a supercalifragilistic cat").toDF("t")
+    val r = df.select(TextAnalysis.subwordCountEstimate(col("t")).as("n")).collect().head
+    // a->1, supercalifragilistic(20 chars)->5, cat->1
+    assert(r.getLong(0) == 7L)
+  }
+}
