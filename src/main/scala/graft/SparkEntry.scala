@@ -218,7 +218,10 @@ object SparkEntry {
     // W4 — LWW latest state per (user, event_type) over the event log
     // (max_by hash-agg form: map-side combine, no per-partition sort).
     "w4_lww_latest" -> ((s, dir) => {
-      Merge.latestByKeyAgg(Tables.events(s, dir),
+      // project before the merge: max_by(struct(*)) defeats Catalyst's
+      // column pruning, so unused columns (props) must not enter the agg
+      Merge.latestByKeyAgg(
+          Tables.events(s, dir).select("user_id", "event_type", "event_id", "value", "ts"),
           Seq("user_id", "event_type"), Seq("ts"), Seq("event_id"))
         .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
         .orderBy("user_id", "event_type")
@@ -227,7 +230,7 @@ object SparkEntry {
     // S8 — upsert: per-user snapshot before the split merged with incoming
     // events after it; incoming wins per key (ON CONFLICT DO UPDATE).
     "s8_merge_upsert" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
+      val ev = Tables.events(s, dir).select("user_id", "event_id", "value", "ts")
       val split = to_timestamp(lit("2024-02-15"))
       val existing = Merge.latestByKeyAgg(ev.filter(col("ts") < split),
         Seq("user_id"), Seq("ts"), Seq("event_id"))
@@ -387,6 +390,105 @@ object SparkEntry {
       Multimodal.extractFeatures(packed).toDF()
         .select(col("doc_id"), col("n_bytes"), col("fmt"), col("feature"))
         .orderBy("doc_id")
+    }),
+
+    // Running totals + lag over an ordered per-customer window.
+    "window_running_total" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      Tables.orders(s, dir)
+        .withColumn("run_total",
+          sum(dec(col("o_totalprice"))).over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("decimal(38,2)"))
+        .withColumn("prev_price", lag(dec(col("o_totalprice")), 1).over(w))
+        .select(col("o_custkey"), col("o_orderkey"), col("run_total"), col("prev_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // Cube over status × priority (full grouping-set lattice).
+    "agg_cube_orders" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("o_totalprice"))).cast("decimal(38,2)").as("sum_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // TPC-H Q17-style correlated aggregate, rearranged to integer/decimal
+    // arithmetic (qty·2·cnt < sum) so both engines compare exactly.
+    "q17_small_quantity" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val perPart = l.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(dec(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("cnt"))
+      l.join(broadcast(perPart), col("l_partkey") === col("pk"))
+        .filter(dec(col("l_quantity")) * 2 * col("cnt") < col("sum_qty"))
+        .agg(sum(dec(col("l_extendedprice"))).cast("decimal(38,2)").as("total_price"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // As-of join: for each purchase, the user's latest preceding click.
+    "asof_click_attribution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("event_id", "user_id", "event_type", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.ops.AsOf.joinAsOf(purchases, clicks, "user_id", "ts", "ts",
+          leftId = "purchase_id", rightTieBreak = Seq("event_id"))
+        .select(col("purchase_id"), col("user_id"), col("asof_event_id").as("click_id"))
+        .orderBy("purchase_id")
+    }),
+
+    // Range join: activity burst — events within 7 days after each signup.
+    "range_events_after_signup" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("event_id", "user_id", "event_type", "ts")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), col("user_id"), col("ts"))
+      graft.ops.AsOf.rangeJoin(signups, ev, "user_id", "ts", "ts",
+          expr("INTERVAL 7 DAYS"))
+        .filter(col("r_event_id") =!= col("signup_id"))
+        .groupBy(col("signup_id"))
+        .agg(count(lit(1)).as("n_following"))
+        .orderBy("signup_id")
+    }),
+
+    // Set op: customers active in both years (INTERSECT).
+    "set_intersect_customers" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val a = o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey").as("custkey"))
+      val b = o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey").as("custkey"))
+      a.intersect(b).orderBy("custkey")
+    }),
+
+    // X4 — top-5 words (>3 chars) per language by occurrence.
+    "x4_top_words" -> ((s, dir) => {
+      val words = Tables.documents(s, dir)
+        .select(col("lang"), explode(split(lower(col("text")), "\\s+")).as("w"))
+        .filter(length(col("w")) > 3)
+        .groupBy(col("lang"), col("w"))
+        .agg(count(lit(1)).as("n"))
+      val rw = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("w").asc)
+      words.withColumn("rk", row_number().over(rw).cast("long"))
+        .filter(col("rk") <= 5)
+        .select(col("lang"), col("w"), col("n"), col("rk"))
+        .orderBy("lang", "rk")
+    }),
+
+    // X4 — document length histogram (100-char buckets).
+    "x4_len_histogram" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy((floor(col("n_chars") / 100) * 100).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).cast("long").as("min_chars"),
+          max(col("n_chars")).cast("long").as("max_chars"))
+        .orderBy("bucket")
+    }),
+
+    // X1 embedding-cosine near-dup (bucketed; recall<1 ⇒ rows-only).
+    "x1_embedding_neardup" -> ((s, dir) => {
+      graft.ops.Similarity.embeddingNearDups(Tables.embeddings(s, dir),
+          "vec_id", "embedding", minCosine = 0.5, planes = 4)
+        .orderBy("id_a", "id_b")
     }),
 
     // Streaming — tumbling 1h window agg via AvailableNow drain.
@@ -644,6 +746,79 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         | 'text/plain' AS fmt, lang
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "window_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DECIMAL(38,2)) AS run_total,
+        | LAG(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER w AS prev_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |             ROWS UNBOUNDED PRECEDING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "agg_cube_orders" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q17_small_quantity" ->
+      """WITH pp AS (
+        |  SELECT l_partkey AS pk,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |    count(*) AS cnt
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN pp ON l_partkey = pk
+        |WHERE CAST(l_quantity AS DECIMAL(18,2)) * 2 * cnt < sum_qty""".stripMargin,
+
+    "asof_click_attribution" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |     c AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'click'),
+        |     j AS (SELECT p.purchase_id, p.user_id, c.event_id AS click_id,
+        |             ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+        |               ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        |           FROM p JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts)
+        |SELECT purchase_id, user_id, click_id FROM j WHERE rn = 1
+        |ORDER BY purchase_id""".stripMargin,
+
+    "range_events_after_signup" ->
+      """WITH s AS (SELECT event_id AS signup_id, user_id, ts FROM events
+        |           WHERE event_type = 'signup')
+        |SELECT s.signup_id, count(*) AS n_following
+        |FROM s JOIN events e ON s.user_id = e.user_id
+        |  AND e.ts >= s.ts AND e.ts <= s.ts + INTERVAL 7 DAY
+        |  AND e.event_id != s.signup_id
+        |GROUP BY s.signup_id ORDER BY s.signup_id""".stripMargin,
+
+    "set_intersect_customers" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
+        |INTERSECT
+        |SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+        |ORDER BY custkey""".stripMargin,
+
+    "x4_top_words" ->
+      """WITH words AS (
+        |  SELECT lang, unnest(string_split_regex(lower(text), '\s+')) AS w
+        |  FROM documents),
+        |counts AS (
+        |  SELECT lang, w, count(*) AS n FROM words
+        |  WHERE length(w) > 3 GROUP BY lang, w),
+        |ranked AS (
+        |  SELECT lang, w, n,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, w ASC) AS rk
+        |  FROM counts)
+        |SELECT lang, w, n, rk FROM ranked WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
+
+    "x4_len_histogram" ->
+      """SELECT CAST(floor(n_chars / 100) * 100 AS BIGINT) AS bucket,
+        | count(*) AS n_docs,
+        | CAST(min(n_chars) AS BIGINT) AS min_chars,
+        | CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "stream_tumbling_agg" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
