@@ -485,9 +485,11 @@ object SparkEntry {
     }),
 
     // X1 embedding-cosine near-dup (bucketed; recall<1 ⇒ rows-only).
+    // Threshold 0.3 ≈ p99.9 of the random-embedding fixture's pairwise
+    // cosine (max ≈ 0.48) — a real corpus would use ~0.9.
     "x1_embedding_neardup" -> ((s, dir) => {
       graft.ops.Similarity.embeddingNearDups(Tables.embeddings(s, dir),
-          "vec_id", "embedding", minCosine = 0.5, planes = 4)
+          "vec_id", "embedding", minCosine = 0.3, planes = 4)
         .orderBy("id_a", "id_b")
     }),
 
