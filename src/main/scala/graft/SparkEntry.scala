@@ -499,7 +499,11 @@ object SparkEntry {
 
     // Streaming — 30-min-gap session windows per user.
     "stream_sessionize" -> ((s, dir) =>
-      graft.streaming.Streams.sessionizeByGap(s, dir))
+      graft.streaming.Streams.sessionizeByGap(s, dir)),
+
+    // Streaming — arbitrary per-key state via mapGroupsWithState.
+    "stream_user_state" -> ((s, dir) =>
+      graft.streaming.Streams.statefulUserState(s, dir))
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -844,6 +848,15 @@ object SparkEntry {
         |  max(ts) + INTERVAL 30 MINUTE AS session_end,
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_v
-        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    "stream_user_state" ->
+      """SELECT user_id, last_event_id, n_events FROM (
+        |  SELECT user_id, event_id AS last_event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n_events
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin
   )
 }

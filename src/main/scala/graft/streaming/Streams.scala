@@ -67,6 +67,58 @@ object Streams {
     spark.table(name).orderBy("window_start", "event_type")
   }
 
+  /** Typed event row for stateful ops (ts in micros to keep state
+    * encoders simple). */
+  case class EventRow(event_id: Long, user_id: Long, event_type: String,
+      value: Double, ts_us: Long)
+
+  /** Running per-user state: latest event + lifetime count. */
+  case class UserState(user_id: Long, last_event_id: Long, last_ts_us: Long, n_events: Long)
+
+  /** Arbitrary stateful streaming (SURVEY §2.3): per-user running state
+    * via `mapGroupsWithState` — the Spark-native form of "keep a live
+    * per-key aggregate across micro-batches". Update-mode emissions are
+    * compacted to the final state per key after the AvailableNow drain
+    * (each micro-batch emits a state snapshot; the last one wins). */
+  def statefulUserState(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val name = s"stream_state_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val typed = eventsStream(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[EventRow]
+    val updated = typed
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, events: Iterator[EventRow], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(uid, -1L, Long.MinValue, 0L))
+          // fold the batch in (ts, event_id) order so the "latest" choice
+          // is deterministic regardless of partition iteration order
+          val next = events.foldLeft(prev) { (s, e) =>
+            val newer = e.ts_us > s.last_ts_us ||
+              (e.ts_us == s.last_ts_us && e.event_id > s.last_event_id)
+            UserState(uid,
+              if (newer) e.event_id else s.last_event_id,
+              if (newer) e.ts_us else s.last_ts_us,
+              s.n_events + 1)
+          }
+          state.update(next)
+          next
+      }
+    val q = updated.toDF()
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // compact update-mode emissions: last snapshot per user
+    graft.ops.Merge.latestByKeyAgg(spark.table(name),
+        Seq("user_id"), Seq("n_events"))
+      .select(col("user_id"), col("last_event_id"), col("n_events"))
+      .orderBy("user_id")
+  }
+
   /** Sessionization per user with a 30-minute inactivity gap — session
     * windows are the stateful-streaming op the events table exists to
     * exercise (SURVEY §2.3). Same AvailableNow drain. */
