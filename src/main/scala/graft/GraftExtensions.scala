@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.expr.{DotProductFloat, SignProjectionBucket, WordShingleHashes}
+
+/** SQL surface for the custom expressions: `word_shingle_hashes(text, k,
+  * distinct)`, `dot_product_f(a, b)`, `sign_projection_bucket(v, planes)`.
+  *
+  * Two registration paths:
+  *  - cluster/spark-submit: `--conf spark.sql.extensions=graft.GraftExtensions`
+  *  - an existing session: `GraftExtensions.register(spark)`
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.registrations.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+
+  private def boolArg(e: Expression, what: String): Boolean = e match {
+    case Literal(v: Boolean, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be a boolean literal, got $other")
+  }
+
+  private[graft] val registrations: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("word_shingle_hashes",
+      new ExpressionInfo(classOf[WordShingleHashes].getName, "word_shingle_hashes"),
+      (args: Seq[Expression]) =>
+        WordShingleHashes(args.head, intArg(args(1), "k"), boolArg(args(2), "distinct"))),
+    ("dot_product_f",
+      new ExpressionInfo(classOf[DotProductFloat].getName, "dot_product_f"),
+      (args: Seq[Expression]) => DotProductFloat(args.head, args(1))),
+    ("sign_projection_bucket",
+      new ExpressionInfo(classOf[SignProjectionBucket].getName, "sign_projection_bucket"),
+      (args: Seq[Expression]) => SignProjectionBucket(args.head, intArg(args(1), "planes")))
+  )
+
+  /** Register on an already-built session (test/REPL path). */
+  def register(spark: SparkSession): Unit =
+    registrations.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}

@@ -1,0 +1,106 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Codegen'd vector kernels for the similarity ops (X1e/X2).
+  *
+  * The composable form (`aggregate(zip_with(a,b,_*_), 0.0, _+_)`) routes
+  * every element through interpreted lambda dispatch (higher-order
+  * functions are CodegenFallback). These expressions compile to one tight
+  * loop per row while preserving the cross-engine numeric contract:
+  * element products in FLOAT (IEEE-identical everywhere), accumulation
+  * in DOUBLE, strictly sequential — the exact arithmetic the DuckDB
+  * oracle's `list_sum(list_transform(...))` performs, so results stay
+  * bit-reproducible.
+  */
+case class DotProductFloat(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernel.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.VectorKernel.dotF($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductFloat =
+    copy(left = l, right = r)
+
+  override def prettyName: String = "dot_product_f"
+}
+
+object DotProductFloat {
+  def apply(a: Column, b: Column): Column =
+    ColumnBridge.toColumn(DotProductFloat(ColumnBridge.toExpr(a), ColumnBridge.toExpr(b)))
+}
+
+/** Sign-random-projection LSH bucket id: bit p = sign of ⟨v, h_p⟩ where
+  * hyperplane components are derived from xxhash64(p, dim) mapped to
+  * [-1, 1) — deterministic, data-independent, no RNG state shipped. */
+case class SignProjectionBucket(child: Expression, planes: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernel.signBucket(v.asInstanceOf[ArrayData], planes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.expr.VectorKernel.signBucket($v, $planes)")
+
+  override protected def withNewChildInternal(newChild: Expression): SignProjectionBucket =
+    copy(child = newChild)
+
+  override def prettyName: String = "sign_projection_bucket"
+}
+
+object SignProjectionBucket {
+  def apply(vec: Column, planes: Int): Column =
+    ColumnBridge.toColumn(SignProjectionBucket(ColumnBridge.toExpr(vec), planes))
+}
+
+object VectorKernel {
+  /** Float-multiply / sequential-double-sum dot product (the contract —
+    * do not reassociate or vectorize into a different summation order). */
+  def dotF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i) * b.getFloat(i) // Float*Float, widened on add
+      i += 1
+    }
+    acc
+  }
+
+  /** Deterministic hyperplane component in [-1, 1): pmod(xxhash64 of
+    * (plane, dim) with Spark's seed chain, 2000001)/1e6 - 1. Matches
+    * graft.ops.Similarity's expression formula. */
+  private def planeComponent(plane: Int, dim: Int): Double = {
+    // Spark's xxhash64(lit(plane), lit(dim)) folds: hashInt(plane, 42)
+    // then hashInt(dim, prev) — ints hash via hashInt.
+    val h = XXH64.hashInt(dim, XXH64.hashInt(plane, 42L))
+    val m = 2000001L
+    val pmod = ((h % m) + m) % m
+    (pmod.toDouble - 1000000.0) / 1000000.0
+  }
+
+  def signBucket(v: ArrayData, planes: Int): Long = {
+    val n = v.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += v.getFloat(i) * planeComponent(p, i)
+        i += 1
+      }
+      if (acc >= 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+}

@@ -17,9 +17,10 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-accumulation dot product over two array<float> columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Sequential-accumulation dot product over two array<float> columns
+    * (codegen'd kernel — see graft.expr.VectorExpressions; the HOF form
+    * `aggregate(zip_with(...))` is interpreted and ~10× slower). */
+  def dot(a: Column, b: Column): Column = graft.expr.DotProductFloat(a, b)
 
   /** Squared L2 norm (sequential, same accumulation shape as [[dot]]). */
   def normSq(a: Column): Column = dot(a, a)
@@ -56,25 +57,12 @@ object Similarity {
       .select(col("qid"), col("cid"), round(col("_sim"), 6).as("sim"), col("rk"))
   }
 
-  /** Deterministic pseudo-random hyperplane component: hash(plane, dim)
-    * mapped to [-1, 1). Data-independent and reproducible across runs
-    * and engines — no RNG state to ship to executors. */
-  private def planeComponent(plane: Column, dim: Column): Column =
-    (pmod(xxhash64(plane, dim), lit(2000001L)).cast("double") - 1000000.0) / 1000000.0
-
   /** Sign-random-projection (SimHash-for-vectors) LSH bucket id: one bit
-    * per hyperplane = sign of ⟨v, h_p⟩. Vectors in the same bucket are
-    * likely high-cosine. */
-  def lshBucket(vec: Column, planes: Int): Column = {
-    val bits = transform(sequence(lit(0), lit(planes - 1)), p => {
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) => x * planeComponent(p, i)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, lit(1L)).otherwise(lit(0L))
-    })
-    aggregate(zip_with(bits, sequence(lit(0), lit(planes - 1)),
-      (bit, p) => call_function("shiftleft", bit, p)), lit(0L), (acc, v) => acc.bitwiseOR(v))
-  }
+    * per hyperplane = sign of ⟨v, h_p⟩, hyperplanes derived
+    * deterministically from xxhash64(plane, dim) — no RNG state to ship.
+    * Codegen'd kernel (graft.expr.SignProjectionBucket). */
+  def lshBucket(vec: Column, planes: Int): Column =
+    graft.expr.SignProjectionBucket(vec, planes)
 
   /** X2 scale path — ANN top-k: candidates only from the query's LSH
     * bucket, then exact cosine re-rank within the bucket. One shuffle on

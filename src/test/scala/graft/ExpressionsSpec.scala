@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Custom Catalyst expressions: kernel/HOF equivalence (the codegen'd
+  * kernels must compute the exact same values as the composable forms)
+  * and the SQL registration surface. */
+class ExpressionsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("DotProductFloat == HOF aggregate(zip_with) bit-for-bit") {
+    val df = Seq(
+      (Array(1.5f, -2.25f, 3.125f), Array(0.5f, 4.0f, -1.0f)),
+      (Array(0.1f, 0.2f), Array(0.3f, 0.4f))
+    ).toDF("a", "b")
+    val rows = df.select(
+      graft.expr.DotProductFloat(col("a"), col("b")).as("kernel"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v).as("hof")).collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1))) // exact, not approx
+  }
+
+  test("SignProjectionBucket is deterministic and spreads vectors") {
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.5f)),
+      (1L, Array(-1.0f, 0.2f, -0.3f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.5f)) // identical to 0
+    ).toDF("id", "v")
+    val b = df.select(col("id"), graft.expr.SignProjectionBucket(col("v"), 8).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b(0L) == b(2L))
+    assert(b.values.forall(x => x >= 0 && x < 256))
+  }
+
+  test("SQL registration: functions callable from spark.sql") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT word_shingle_hashes('a b c d', 2, true) AS sh,
+        |       dot_product_f(array(cast(1.0 as float), cast(2.0 as float)),
+        |                     array(cast(3.0 as float), cast(4.0 as float))) AS d,
+        |       sign_projection_bucket(array(cast(1.0 as float)), 4) AS bkt
+        |""".stripMargin).collect().head
+    assert(r.getSeq[Long](0).length == 3) // 'a b','b c','c d'
+    assert(r.getDouble(1) == 11.0)
+    assert(r.getLong(2) >= 0 && r.getLong(2) < 16)
+  }
+
+  test("WordShingleHashes: null text -> null, short text -> one shingle") {
+    val df = Seq(Some("one two"), None).toDF("t")
+    val out = df.select(graft.expr.WordShingleHashes(col("t"), 3, distinct = true).as("h")).collect()
+    assert(out(0).getSeq[Long](0).length == 1)
+    assert(out(1).isNullAt(0))
+  }
+}
