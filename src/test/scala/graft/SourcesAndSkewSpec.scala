@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Skew
+
+/** DSv2 paged source (partition planning + pruning) and skew helpers. */
+class SourcesAndSkewSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def paged = spark.read
+    .format("graft.sources.PagedRestSource")
+    .option("pages", "6").option("pageSize", "50")
+    .load()
+
+  test("DSv2 source: pages × pageSize rows, one partition per page") {
+    assert(paged.count() == 300)
+    assert(paged.rdd.getNumPartitions == 6)
+    assert(paged.select(countDistinct(col("page"))).collect().head.getLong(0) == 6)
+  }
+
+  test("DSv2 source: pagesPerPartition coalesces page ranges") {
+    val df = spark.read.format("graft.sources.PagedRestSource")
+      .option("pages", "6").option("pageSize", "10")
+      .option("pagesPerPartition", "3").load()
+    assert(df.rdd.getNumPartitions == 2)
+    assert(df.count() == 60)
+  }
+
+  test("DSv2 source: column pruning reaches the reader") {
+    val pruned = paged.select("lms_user_id")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("lms_user_id"))
+    assert(pruned.distinct().count() == 300)
+    // ReadSchema in the scan should not carry the other 4 columns
+    val scanLine = pruned.queryExecution.simpleString
+    assert(!scanLine.contains("first_name"))
+  }
+
+  test("DSv2 source: deterministic content (same options, same rows)") {
+    val a = paged.orderBy("lms_user_id").collect()
+    val b = paged.orderBy("lms_user_id").collect()
+    assert(a.sameElements(b))
+    assert(a.head.getString(1) == "user_0")
+  }
+
+  test("saltedJoin == plain join result on a skewed key") {
+    val fact = Seq.tabulate(200)(i => (if (i % 4 == 0) "hot" else s"k$i", i.toLong))
+      .toDF("key", "v")
+    val dim = (Seq("hot") ++ (1 to 199).map(i => s"k$i")).map(k => (k, s"d_$k"))
+      .toDF("key", "attr")
+    val plain = fact.join(dim, "key").select("key", "v", "attr")
+      .collect().map(_.toSeq).toSet
+    val salted = Skew.saltedJoin(fact, dim, "key", 8).select("key", "v", "attr")
+      .collect().map(_.toSeq).toSet
+    assert(salted == plain)
+  }
+
+  test("saltedCount == plain count per key") {
+    val df = Seq.fill(500)("hot").map(Tuple1(_)).toDF("key")
+      .union(Seq("a", "b", "a").map(Tuple1(_)).toDF("key"))
+    val plain = df.groupBy("key").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedCount(df, "key", 8).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+}
