@@ -493,6 +493,15 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // X2 scale path — IVF ANN (inverted lists; recall<1 ⇒ rows-only).
+    "x2_ann_ivf" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") % 100 === 0)
+      graft.ops.Similarity.ivfTopK(q, e, "vec_id", "embedding", 5,
+          nCentroids = 16, nprobe = 3)
+        .orderBy("qid", "rk")
+    }),
+
     // Streaming — tumbling 1h window agg via AvailableNow drain.
     "stream_tumbling_agg" -> ((s, dir) =>
       graft.streaming.Streams.tumblingHourlyAgg(s, dir)),

@@ -83,6 +83,47 @@ object Similarity {
       .select(col("qid"), col("cid"), round(col("_sim"), 6).as("sim"), col("rk"))
   }
 
+  /** X2 scale path (IVF flavor) — inverted-file ANN: a coarse quantizer
+    * assigns every corpus vector to its nearest centroid (the inverted
+    * lists); a query searches only its `nprobe` nearest centroids' lists.
+    *
+    * Centroid "training" is STUBBED deterministically (the first
+    * `nCentroids` corpus vectors) — production would k-means on a sample;
+    * the distributed shape is the real part: centroid assignment is a
+    * broadcast of the (small) centroid set against the corpus (narrow,
+    * one pass), lists live as a `centroid_id` column (no materialized
+    * index), and the probe join shuffles only on centroid id.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, id: String, vec: String,
+      k: Int, nCentroids: Int = 16, nprobe: Int = 2): DataFrame = {
+    val cents = corpus.orderBy(col(id).asc).limit(nCentroids)
+      .select(col(id).as("cent_id"), col(vec).as("cent_vec"), normSq(col(vec)).as("cent_n"))
+    // rank centroids per vector by cosine; corpus keeps 1, queries nprobe
+    def assign(df: DataFrame, outId: String, keep: Int): DataFrame = {
+      val scored = df.select(col(id).as(outId), col(vec).as("_v"), normSq(col(vec)).as("_n"))
+        .join(broadcast(cents), expr("true"))
+        .withColumn("_csim", cosineWithNorms(dot(col("_v"), col("cent_vec")), col("_n"), col("cent_n")))
+      val w = Window.partitionBy(col(outId)).orderBy(col("_csim").desc, col("cent_id").asc)
+      scored.withColumn("_crk", row_number().over(w))
+        .filter(col("_crk") <= keep)
+        .select(col(outId), col("_v"), col("_n"), col("cent_id"))
+    }
+    val corpusLists = assign(corpus, "cid", 1)
+      .select(col("cid"), col("_v").as("_ce"), col("_n").as("_nc"), col("cent_id"))
+    val queryProbes = assign(queries, "qid", nprobe)
+      .select(col("qid"), col("_v").as("_qe"), col("_n").as("_nq"), col("cent_id"))
+    val pairs = corpusLists.join(broadcast(queryProbes), Seq("cent_id"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("_sim", cosineWithNorms(dot(col("_qe"), col("_ce")), col("_nq"), col("_nc")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("_sim").desc, col("cid").asc)
+    pairs
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("cid"), round(col("_sim"), 6).as("sim"), col("rk"))
+    // note: no pair dedup needed — each corpus vector lives in exactly
+    // one inverted list, so (qid, cid) surfaces at most once
+  }
+
   /** Embedding near-duplicate pairs: same-bucket candidates with cosine
     * above `minCosine` (X1's embedding-cosine near-dup flavor). */
   def embeddingNearDups(df: DataFrame, id: String, vec: String,

@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming semantics beyond the oracle-gated queries:
+  * watermark + append-mode emission (windows seal only once the
+  * watermark passes), late-data dropping, and IVF ANN sanity. */
+class StreamingSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("watermark + append mode: sealed windows emit, late data is dropped") {
+    val dir = Files.createTempDirectory("graft_stream").toString
+
+    def land(batch: String, rows: Seq[(String, String, Double)]): Unit =
+      rows.toDF("ts_s", "k", "v")
+        .select(to_timestamp(col("ts_s")).as("ts"), col("k"), col("v"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/in/$batch")
+
+    // one AvailableNow drain per landed batch, shared checkpoint — the
+    // production incremental pattern (each run = one micro-batch here)
+    def drain(): Map[String, Double] = {
+      val stream = spark.readStream
+        .schema("ts timestamp, k string, v double")
+        .parquet(s"$dir/in/*")
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("k"))
+        .agg(sum(col("v")).as("sum_v"))
+        .select(col("window.start").as("ws"), col("k"), col("sum_v"))
+      val q = stream.writeStream.format("parquet")
+        .option("path", s"$dir/out")
+        .outputMode("append")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.schema("ws timestamp, k string, sum_v double")
+        .parquet(s"$dir/out").collect()
+        .map(r => r.getTimestamp(0).toString -> r.getDouble(2)).toMap
+    }
+
+    // batch 1: hour-10 events + hour-11 event → watermark 10:40 after run
+    land("b1", Seq(("2024-01-01 10:05:00", "a", 1.0),
+      ("2024-01-01 10:40:00", "a", 2.0), ("2024-01-01 11:10:00", "a", 4.0)))
+    assert(drain().isEmpty) // nothing sealed yet
+
+    // batch 2: 13:30 advances the watermark to 13:00 after this run
+    land("b2", Seq(("2024-01-01 13:30:00", "a", 8.0)))
+    drain() // watermark at start still 10:40 → no window sealed yet
+
+    // batch 3: fresh event keeps the stream moving; the 10:50 event is
+    // LATE — its window's end (11:00) is behind the watermark (13:00),
+    // so it must be dropped, and the sealed windows emit
+    land("b3", Seq(("2024-01-01 14:00:00", "a", 16.0),
+      ("2024-01-01 10:50:00", "a", 100.0)))
+    val out3 = drain()
+    assert(out3.get("2024-01-01 10:00:00.0").contains(3.0)) // late 100.0 dropped
+    assert(out3.get("2024-01-01 11:00:00.0").contains(4.0))
+    assert(!out3.contains("2024-01-01 13:00:00.0")) // still open
+  }
+
+  test("IVF ANN: neighbors are correctly ordered and probe beyond one list") {
+    val vecs = (0 until 40).map { i =>
+      val angle = i * math.Pi / 40.0
+      (i.toLong, Array(math.cos(angle).toFloat, math.sin(angle).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === 0)
+    val out = graft.ops.Similarity.ivfTopK(q, vecs, "vec_id", "embedding", 3,
+      nCentroids = 4, nprobe = 2).orderBy("rk").collect()
+    assert(out.nonEmpty)
+    // ranked by decreasing cosine => increasing angle distance from 0
+    val ids = out.map(_.getLong(1)).toSeq
+    assert(ids == ids.sortBy(identity))
+    assert(ids.head == 1L)
+  }
+}
