@@ -414,14 +414,17 @@ object SparkEntry {
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
     }),
 
-    // TPC-H Q17-style correlated aggregate, rearranged to integer/decimal
-    // arithmetic (qty·2·cnt < sum) so both engines compare exactly.
+    // TPC-H Q17-style correlated aggregate, rearranged to exact scaled-
+    // long arithmetic (qty·100 as bigint; qty·2·cnt < sum): decimal in
+    // the per-row filter costs ~4s at sf0.1 (BigDecimal per row), longs
+    // are exact AND codegen-cheap; both engines compute identically.
     "q17_small_quantity" -> ((s, dir) => {
       val l = Tables.lineitem(s, dir)
+      val qs = round(col("l_quantity") * 100).cast("long")
       val perPart = l.groupBy(col("l_partkey").as("pk"))
-        .agg(sum(dec(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("cnt"))
+        .agg(sum(qs).cast("long").as("sum_qs"), count(lit(1)).as("cnt"))
       l.join(broadcast(perPart), col("l_partkey") === col("pk"))
-        .filter(dec(col("l_quantity")) * 2 * col("cnt") < col("sum_qty"))
+        .filter(qs * 2 * col("cnt") < col("sum_qs"))
         .agg(sum(dec(col("l_extendedprice"))).cast("decimal(38,2)").as("total_price"),
           count(lit(1)).as("n_lines"))
     }),
@@ -491,6 +494,46 @@ object SparkEntry {
       graft.ops.Similarity.embeddingNearDups(Tables.embeddings(s, dir),
           "vec_id", "embedding", minCosine = 0.3, planes = 4)
         .orderBy("id_a", "id_b")
+    }),
+
+    // Pivot: per-user-bucket event-type count matrix.
+    "pivot_event_counts" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Tables.events(s, dir)
+        .groupBy((col("user_id") % 10).as("user_bucket"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .select(col("user_bucket") +:
+          types.map(t => coalesce(col(t), lit(0L)).cast("long").as(t)): _*)
+        .orderBy("user_bucket")
+    }),
+
+    // Array aggregation: sorted distinct event types per user, as a
+    // string (arrays hash differently across readers; string is stable).
+    "array_event_types" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(concat_ws(",", sort_array(collect_set(col("event_type")))).as("types"),
+          countDistinct(col("event_type")).as("n_types"))
+        .orderBy("user_id")
+    }),
+
+    // Table generator: posexplode of tokens with positions.
+    "posexplode_tokens" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("tok"))
+        .orderBy("doc_id", "pos")
+    }),
+
+    // Exact median (interpolating percentile) per order status.
+    "agg_median_price" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(round(expr("percentile(o_totalprice, 0.5)"), 2).as("median_price"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
     }),
 
     // X2 scale path — IVF ANN (inverted lists; recall<1 ⇒ rows-only).
@@ -780,13 +823,13 @@ object SparkEntry {
     "q17_small_quantity" ->
       """WITH pp AS (
         |  SELECT l_partkey AS pk,
-        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qs,
         |    count(*) AS cnt
         |  FROM lineitem GROUP BY l_partkey)
         |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price,
         |  count(*) AS n_lines
         |FROM lineitem JOIN pp ON l_partkey = pk
-        |WHERE CAST(l_quantity AS DECIMAL(18,2)) * 2 * cnt < sum_qty""".stripMargin,
+        |WHERE CAST(round(l_quantity * 100) AS BIGINT) * 2 * cnt < sum_qs""".stripMargin,
 
     "asof_click_attribution" ->
       """WITH p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
@@ -858,6 +901,36 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_v
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    "pivot_event_counts" ->
+      """SELECT user_id % 10 AS user_bucket,
+        | count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        | count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        | count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        | count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        | count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY 1 ORDER BY user_bucket""".stripMargin,
+
+    "array_event_types" ->
+      """SELECT user_id,
+        | array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+        | count(DISTINCT event_type) AS n_types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "posexplode_tokens" ->
+      """SELECT doc_id, CAST(u['pos'] AS BIGINT) AS pos, u['tok'] AS tok FROM (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(w)),
+        |      i -> {'pos': i - 1, 'tok': w[i]})) AS u
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+        |        FROM documents WHERE doc_id < 20) t) t2
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    "agg_median_price" ->
+      """SELECT o_orderstatus,
+        | round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+        | count(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "stream_user_state" ->
       """SELECT user_id, last_event_id, n_events FROM (

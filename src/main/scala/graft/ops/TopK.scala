@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Bounded top-k as a typed `Aggregator` (SURVEY §7.3's optional
+  * "bounded top-k heap"): an alternative to window+rank for X2-style
+  * per-group neighbor selection.
+  *
+  * Why it matters at scale: a window top-k sorts each partition (Spark's
+  * WindowGroupLimit prunes, but still buffers per group), while an
+  * aggregator's buffer is O(k) and partial-aggregates map-side — the
+  * shuffle carries at most k rows per group per map partition. The
+  * ordering contract matches the window form: score desc, id asc on ties.
+  *
+  * Buffer is a sorted Vector (k is small); a production variant for
+  * large k would use a primitive-array heap, same interface.
+  */
+class TopKAggregator(k: Int)
+    extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+
+  private def ord(t: (Double, Long)): (Double, Long) = (-t._1, t._2)
+
+  override def zero: Seq[(Double, Long)] = Vector.empty
+
+  override def reduce(buf: Seq[(Double, Long)], x: (Double, Long)): Seq[(Double, Long)] =
+    if (buf.size < k) (buf :+ x).sortBy(ord)
+    else if (ord(x)._1 < ord(buf.last)._1 || (ord(x)._1 == ord(buf.last)._1 && x._2 < buf.last._2))
+      (buf.init :+ x).sortBy(ord)
+    else buf
+
+  override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    (a ++ b).sortBy(ord).take(k)
+
+  override def finish(buf: Seq[(Double, Long)]): Seq[(Double, Long)] = buf
+
+  override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+
+  override def outputEncoder: Encoder[Seq[(Double, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+}
+
+object TopK {
+  /** Untyped-column form usable in `df.groupBy(...).agg(...)`:
+    * `top_k(score, id)` → array<struct<_1: double, _2: bigint>>. */
+  def topK(k: Int)(score: Column, id: Column): Column =
+    udaf(new TopKAggregator(k)).apply(score, id)
+}
