@@ -496,6 +496,48 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // S5+S6+W2 composed: events → CSV (header, inferSchema read-back) →
+    // schema coercion → aggregate. The CSV hop is the reference's stage
+    // boundary; the oracle reads the original parquet, proving the
+    // round-trip is lossless under the coercion pipeline.
+    "csv_roundtrip_load" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+      val src = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      Tables.writeCsv(src, s"$tmp/events_csv")
+      val back = Tables.readCsv(s, s"$tmp/events_csv")
+      val target = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType)))
+      Coerce.toSchema(back, target)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast("decimal(38,2)").as("sum_v"),
+          min(col("event_id")).cast("long").as("min_id"),
+          max(col("event_id")).cast("long").as("max_id"))
+        .orderBy("event_type")
+    }),
+
+    // TPC-H Q7-style volume shipping: two nation roles, year breakdown.
+    "q7_volume_shipping" -> ((s, dir) => {
+      val n1 = Tables.nation(s, dir).select(col("n_nationkey").as("supp_nk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, dir).select(col("n_nationkey").as("cust_nk"), col("n_name").as("cust_nation"))
+      val l = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate").between(to_timestamp(lit("1995-01-01")), to_timestamp(lit("1996-12-31"))))
+      l.join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("supp_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("cust_nk"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .filter(col("supp_nk") < 3 || col("cust_nk") < 3)
+        .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(dec(col("l_extendedprice")) * (dec(lit(1)) - dec(col("l_discount"))))
+          .cast("decimal(38,4)").as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
     // Pivot: per-user-bucket event-type count matrix.
     "pivot_event_counts" -> ((s, dir) => {
       val types = Seq("click", "error", "purchase", "signup", "view")
@@ -901,6 +943,28 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_v
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    "csv_roundtrip_load" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_v,
+        | CAST(min(event_id) AS BIGINT) AS min_id,
+        | CAST(max(event_id) AS BIGINT) AS max_id
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        | CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+        |  AND n1.n_name != n2.n_name
+        |  AND (n1.n_nationkey < 3 OR n2.n_nationkey < 3)
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "pivot_event_counts" ->
       """SELECT user_id % 10 AS user_bucket,

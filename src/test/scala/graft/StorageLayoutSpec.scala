@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Storage-layout scale patterns: partitioned writes with partition
+  * pruning, bucketed tables with exchange-free joins, and the S9 error
+  * channel listener. */
+class StorageLayoutSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("partitionBy write → partition-pruned read (no full scan)") {
+    val dir = Files.createTempDirectory("graft_part").toString
+    graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+      .write.partitionBy("lang").mode("overwrite").parquet(s"$dir/docs")
+    val pruned = spark.read.parquet(s"$dir/docs").filter(col("lang") === "en")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"))
+    // pruning actually skips other partitions: scanned files all under lang=en
+    val files = pruned.select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains("lang=en")))
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the issue
+    try {
+      val o = graft.io.Tables.orders(spark, "/root/testdata/sf0.001")
+      o.write.bucketBy(4, "o_custkey").sortBy("o_custkey")
+        .mode("overwrite").saveAsTable("orders_bkt")
+      val a = spark.table("orders_bkt").groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"))
+      // bucketed distribution satisfies the agg's requirement: no Exchange
+      val aggPlan = a.queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("Exchange hashpartitioning"), aggPlan.take(500))
+      val selfJoin = spark.table("orders_bkt").as("x")
+        .join(spark.table("orders_bkt").as("y"), "o_custkey")
+      val joinPlan = selfJoin.queryExecution.executedPlan.toString
+      assert(joinPlan.contains("SortMergeJoin"))
+      assert(!joinPlan.contains("Exchange hashpartitioning"), joinPlan.take(500))
+      assert(selfJoin.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS orders_bkt")
+    }
+  }
+
+  test("S9 error channel records failed actions") {
+    val failures = graft.io.ErrorChannel.attach(spark)
+    // ANSI division by zero fails at execution time, not analysis
+    intercept[Exception] {
+      Seq(1L, 0L).toDF("d").select((lit(10L) / col("d")).as("q"))
+        .filter(col("q") > 0).count()
+    }
+    // listener delivery is async on the listener bus
+    val deadline = System.currentTimeMillis() + 10000
+    while (failures.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(!failures.isEmpty)
+    val f = failures.peek()
+    assert(f.action == "count")
+  }
+}
