@@ -538,6 +538,21 @@ object SparkEntry {
         .orderBy("supp_nation", "cust_nation", "l_year")
     }),
 
+    // SQL surface: TPC-H Q4-shape EXISTS subquery through spark.sql —
+    // the engine's second entry path next to the DataFrame API.
+    "sql_q4_priority" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS order_count
+          |FROM orders_v
+          |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          |  AND o_orderdate < TIMESTAMP '1996-07-01'
+          |  AND EXISTS (SELECT 1 FROM lineitem_v
+          |              WHERE l_orderkey = o_orderkey AND l_quantity > 30)
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }),
+
     // Pivot: per-user-bucket event-type count matrix.
     "pivot_event_counts" -> ((s, dir) => {
       val types = Seq("click", "error", "purchase", "signup", "view")
@@ -943,6 +958,15 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_v
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    "sql_q4_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 30)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "csv_roundtrip_load" ->
       """SELECT event_type, count(*) AS n,
