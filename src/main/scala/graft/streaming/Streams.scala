@@ -67,6 +67,29 @@ object Streams {
     spark.table(name).orderBy("window_start", "event_type")
   }
 
+  /** W3 — the reference's end-to-end incremental sync (`cron → extract →
+    * S3 event → load → upsert`, README.md:10-17) in its Spark-native
+    * form: a file-source stream drains whatever landed (AvailableNow),
+    * and `foreachBatch` applies each micro-batch through the SAME
+    * idempotent LWW merge the batch path uses — at-least-once delivery ×
+    * idempotent sink = effectively-once table state, checkpointed.
+    *
+    * Each batch keeps only its newest row per key before merging, so the
+    * merge input is one row per key per batch. */
+  def incrementalLoad(spark: SparkSession, sfDir: String, tablePath: String,
+      keys: Seq[String], recency: Seq[String], tieBreak: Seq[String]): Unit = {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_incr_ckpt").toString
+    val q = eventsStream(spark, sfDir).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val compacted = graft.ops.Merge.latestByKeyAgg(batch.toDF(), keys, recency, tieBreak)
+        graft.io.JdbcUpsert.mergeIntoParquet(spark, tablePath, compacted, keys, recency, tieBreak)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Typed event row for stateful ops (ts in micros to keep state
     * encoders simple). */
   case class EventRow(event_id: Long, user_id: Long, event_type: String,
