@@ -149,6 +149,56 @@ object Dedup {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
 
+  /** Near-dup pairs → connected components, via iterative min-label
+    * propagation: every id starts as its own label; each round, a node
+    * adopts the smallest label in its neighborhood; converged when no
+    * label changes. Rounds needed ≈ graph diameter — near-dup components
+    * are small and star-like, so this converges in a handful of rounds
+    * even at corpus scale (each round = one shuffle join + one agg; the
+    * driver only sees a changed-row COUNT, never data).
+    *
+    * Input: (id_a, id_b) pairs. Output: (id, cluster) for every id that
+    * appears in some pair (singletons never enter and survive dedup by
+    * definition). `cluster` = min id of the component. */
+  def clusterPairs(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val edges = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("cluster", "_nc"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("_nc")).as("_nbmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("_nbmin"), col("cluster"))).as("cluster"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("cluster", "_old"), Seq("id"))
+        .filter(col("cluster") =!= col("_old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Full near-dup dedup: from candidate pairs, keep one doc per
+    * component (the min id) plus every singleton. Returns the surviving
+    * id set as a one-column frame. */
+  def survivorsAfterNearDedup(df: DataFrame, id: String, pairs: DataFrame): DataFrame = {
+    val clustered = clusterPairs(pairs)
+    val drop = clustered.filter(col("id") =!= col("cluster")).select(col("id").as(id))
+    df.select(col(id)).join(drop, Seq(id), "left_anti")
+  }
+
   // ---------------------------------------------------------------------
   // SimHash (X3 variant)
   // ---------------------------------------------------------------------

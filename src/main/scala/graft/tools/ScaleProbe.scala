@@ -1,0 +1,60 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool: empirical scaling probe for the ops whose 100 TB story
+  * matters most — inflate the documents corpus N× (distinct synthetic
+  * doc ids, perturbed text so dedup stays non-degenerate) and measure
+  * near-dup + dedup + text-analysis runtime vs corpus size. */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factors = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 5, 20)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = graft.io.Tables.documents(spark, dir)
+
+    factors.foreach { f =>
+      val docs = base
+        .crossJoin(spark.range(f).toDF("rep"))
+        .select((col("doc_id") * f + col("rep")).as("doc_id"),
+          // perturb: prefix replicas with a replica tag so exact dedup
+          // keeps one copy per text and minhash sees near- not exact-dups
+          when(col("rep") === 0, col("text"))
+            .otherwise(concat(lit("rep"), col("rep"), lit(" "), col("text"))).as("text"),
+          col("lang"))
+        .repartition(32)
+        .persist()
+      val n = docs.count()
+
+      def time(label: String)(body: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val rows = body
+        println(f"[scale] f=$f%-3d n=$n%-7d $label%-18s ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($rows rows)")
+      }
+
+      time("minhash_neardup") {
+        graft.ops.Dedup.minHashNearDups(docs, "doc_id", "text", minJaccard = 0.5).count()
+      }
+      time("simhash_neardup") {
+        graft.ops.Dedup.simHashNearDups(docs, "doc_id", "text", maxHamming = 3).count()
+      }
+      time("exact_dedup") {
+        graft.ops.Dedup.exactByContent(docs, "text", "doc_id").count()
+      }
+      time("quality_score") {
+        val nt = graft.ops.TextAnalysis.tokenCount(col("text"))
+        docs.select(graft.ops.TextAnalysis.qualityGate(nt,
+          length(col("text")).cast("long"),
+          graft.ops.TextAnalysis.wordOccurrences(lower(col("text")),
+            graft.ops.TextAnalysis.englishStopwords)).as("q")).filter(col("q")).count()
+      }
+      docs.unpersist()
+    }
+    spark.stop()
+  }
+}

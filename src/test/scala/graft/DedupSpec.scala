@@ -69,6 +69,23 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(j((1L, 3L)) == 0.0)
   }
 
+  test("clusterPairs: components via min-label propagation, incl. a chain") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.clusterPairs(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("survivorsAfterNearDedup keeps one per cluster plus singletons") {
+    val universe = Seq(1L, 2L, 3L, 4L, 10L, 11L, 99L).map(Tuple1(_)).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val kept = Dedup.survivorsAfterNearDedup(universe, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 10L, 99L))
+  }
+
   test("X3 SimHash: exact dups hamming 0; verified pairs only") {
     val out = Dedup.simHashNearDups(docs, "doc_id", "text", maxHamming = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
