@@ -330,6 +330,21 @@ object SparkEntry {
         .orderBy("id_a")
     }),
 
+    // X3 — full near-dup dedup: pairs → connected components → one
+    // survivor per component. Pairs restricted to adjacent ids so the
+    // oracle can express components (runs) without recursion; the Spark
+    // side runs the general label-propagation clustering.
+    "x3_cluster_survivors" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val a = d.select(col("doc_id").as("id_a"), Dedup.wordShingles(lower(col("text")), 3).as("_sa"))
+      val b = d.select(col("doc_id").as("id_b"), Dedup.wordShingles(lower(col("text")), 3).as("_sb"))
+      val pairs = a.join(b, col("id_a") + 1 === col("id_b"))
+        .filter(Dedup.jaccard(col("_sa"), col("_sb")) >= 0.01)
+        .select(col("id_a"), col("id_b"))
+      Dedup.survivorsAfterNearDedup(d, "doc_id", pairs)
+        .orderBy("doc_id")
+    }),
+
     // X4 — corpus token/char statistics per language.
     "x4_text_stats" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
@@ -806,6 +821,24 @@ object SparkEntry {
         |    / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jaccard
         |FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id
         |ORDER BY id_a""".stripMargin,
+
+    "x3_cluster_survivors" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) >= 3 THEN
+        |      list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |    ELSE [array_to_string(w, ' ')] END AS s
+        |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+        |        FROM documents) t),
+        |dropped AS (
+        |  SELECT b.doc_id AS id
+        |  FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.01)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM dropped)
+        |ORDER BY doc_id""".stripMargin,
 
     "x4_text_stats" ->
       """SELECT lang, count(*) AS n_docs,
