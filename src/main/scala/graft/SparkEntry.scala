@@ -553,6 +553,13 @@ object SparkEntry {
         .orderBy("supp_nation", "cust_nation", "l_year")
     }),
 
+    // Data profiling: per-column stats in one pass (null/distinct/range).
+    "profile_events" -> ((s, dir) => {
+      graft.ops.Profiling.summarize(Tables.events(s, dir),
+          Seq("event_id", "event_type", "value", "ts"))
+        .orderBy("col_name")
+    }),
+
     // SQL surface: TPC-H Q4-shape EXISTS subquery through spark.sql —
     // the engine's second entry path next to the DataFrame API.
     "sql_q4_priority" -> ((s, dir) => {
@@ -991,6 +998,29 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_v
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    "profile_events" ->
+      """SELECT 'event_id' AS col_name, count(*) AS n_rows,
+        |  CAST(count(*) - count(event_id) AS BIGINT) AS n_null,
+        |  CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+        |  CAST(min(event_id) AS VARCHAR) AS min_str,
+        |  CAST(max(event_id) AS VARCHAR) AS max_str FROM events
+        |UNION ALL
+        |SELECT 'event_type', count(*),
+        |  CAST(count(*) - count(event_type) AS BIGINT),
+        |  CAST(count(DISTINCT event_type) AS BIGINT),
+        |  CAST(min(event_type) AS VARCHAR), CAST(max(event_type) AS VARCHAR) FROM events
+        |UNION ALL
+        |SELECT 'value', count(*),
+        |  CAST(count(*) - count(value) AS BIGINT),
+        |  CAST(count(DISTINCT value) AS BIGINT),
+        |  CAST(min(value) AS VARCHAR), CAST(max(value) AS VARCHAR) FROM events
+        |UNION ALL
+        |SELECT 'ts', count(*),
+        |  CAST(count(*) - count(ts) AS BIGINT),
+        |  CAST(count(DISTINCT ts) AS BIGINT),
+        |  CAST(min(ts) AS VARCHAR), CAST(max(ts) AS VARCHAR) FROM events
+        |ORDER BY col_name""".stripMargin,
 
     "sql_q4_priority" ->
       """SELECT o_orderpriority, count(*) AS order_count
