@@ -624,6 +624,131 @@ object SparkEntry {
         .orderBy("qid", "rk")
     }),
 
+    // Grouping sets: explicit lattice (status totals, priority totals,
+    // grand total) — the generalized machinery behind rollup/cube.
+    "agg_grouping_sets" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("o_totalprice"))).cast("decimal(38,2)").as("sum_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // Conditional aggregation (FILTER-clause shape): several sliced
+    // aggregates from one scan — no self-joins, no second pass.
+    "agg_filtered_counts" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(year(col("o_orderdate")).cast("long").as("y"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("o_orderstatus") === "F", 1)).as("n_finished"),
+          count(when(col("o_orderpriority").startsWith("1"), 1)).as("n_urgent"),
+          sum(when(col("o_orderstatus") === "O", dec(col("o_totalprice"))))
+            .cast("decimal(38,2)").as("open_price"))
+        .orderBy("y")
+    }),
+
+    // Full outer join: per-user activity snapshots for two half-months
+    // merged with COALESCE (rows missing on either side survive).
+    "join_full_outer_activity" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val split = to_timestamp(lit("2024-01-15"))
+      val a = ev.filter(col("ts") < split)
+        .groupBy(col("user_id").as("ua")).agg(count(lit(1)).as("n_early"))
+      val b = ev.filter(col("ts") >= split)
+        .groupBy(col("user_id").as("ub")).agg(count(lit(1)).as("n_late"))
+      a.join(b, col("ua") === col("ub"), "full_outer")
+        .select(coalesce(col("ua"), col("ub")).as("user_id"),
+          coalesce(col("n_early"), lit(0L)).as("n_early"),
+          coalesce(col("n_late"), lit(0L)).as("n_late"))
+        .orderBy("user_id")
+    }),
+
+    // Window value functions: ntile / percent_rank / cume_dist /
+    // first / last over an unbounded frame (total order ⇒ deterministic).
+    "window_value_functions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cdist"),
+          first(col("o_orderkey")).over(w).as("biggest_order"),
+          last(col("o_orderkey")).over(wFull).as("smallest_order"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // TPC-H Q18: large-volume orders — HAVING-filtered agg joined back.
+    // The agg shrinks to a handful of keys after the filter → broadcast
+    // it into orders; at 100 TB the big side never shuffles for the join.
+    "q18_large_orders" -> ((s, dir) => {
+      val big = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(dec(col("l_quantity"))).cast("decimal(38,2)").as("total_qty"))
+        .filter(col("total_qty") > 300)
+      Tables.orders(s, dir).join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_totalprice"), col("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey").asc)
+    }),
+
+    // TPC-H Q19 shape: OR-of-ANDs join predicate — Catalyst extracts the
+    // common l_partkey=p_partkey equi-condition and pushes the per-branch
+    // part filters below the broadcast join.
+    "q19_disjunctive_filter" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+            col("l_quantity").between(20, 30)))
+        .agg(sum(dec(col("l_extendedprice")) * (dec(lit(1)) - dec(col("l_discount"))))
+          .cast("decimal(38,4)").as("revenue"), count(lit(1)).as("n_lines"))
+    }),
+
+    // Correlated scalar subqueries through the SQL surface (Catalyst
+    // decorrelates to aggregates+joins); predicate rearranged to exact
+    // arithmetic: price·cnt > 2·sum instead of price > 2·avg.
+    "sql_correlated_scalar" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_cs")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice
+          |FROM orders_cs o
+          |WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+          |      (SELECT count(*) FROM orders_cs o2 WHERE o2.o_custkey = o.o_custkey)
+          |    > 2 * (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+          |           FROM orders_cs o3 WHERE o3.o_custkey = o.o_custkey)
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    // Cartesian product (tiny×tiny only — a guarded operator, never the
+    // scale path): unordered region pairs.
+    "cross_join_region_pairs" -> ((s, dir) => {
+      val a = Tables.region(s, dir).select(col("r_regionkey").as("ka"), col("r_name").as("r1"))
+      val b = Tables.region(s, dir).select(col("r_regionkey").as("kb"), col("r_name").as("r2"))
+      a.crossJoin(b).filter(col("ka") < col("kb"))
+        .select(col("r1"), col("r2")).orderBy("r1", "r2")
+    }),
+
+    // Physical join-strategy control: force shuffle-hash (vs default
+    // sort-merge) for the large-large join — no per-partition sort, the
+    // right choice when neither side fits a broadcast but one hashes.
+    "join_hint_shuffle_hash" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).hint("shuffle_hash")
+      Tables.lineitem(s, dir).join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(dec(col("l_extendedprice"))).cast("decimal(38,2)").as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Streaming — tumbling 1h window agg via AvailableNow drain.
     "stream_tumbling_agg" -> ((s, dir) =>
       graft.streaming.Streams.tumblingHourlyAgg(s, dir)),
@@ -1082,6 +1207,85 @@ object SparkEntry {
         | round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
         | count(*) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "agg_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "agg_filtered_counts" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS y, count(*) AS n,
+        | count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+        | count(*) FILTER (WHERE o_orderpriority LIKE '1%') AS n_urgent,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |   FILTER (WHERE o_orderstatus = 'O') AS DECIMAL(38,2)) AS open_price
+        |FROM orders GROUP BY 1 ORDER BY y""".stripMargin,
+
+    "join_full_outer_activity" ->
+      """WITH a AS (SELECT user_id, count(*) AS n_early FROM events
+        |           WHERE ts < TIMESTAMP '2024-01-15' GROUP BY user_id),
+        |     b AS (SELECT user_id, count(*) AS n_late FROM events
+        |           WHERE ts >= TIMESTAMP '2024-01-15' GROUP BY user_id)
+        |SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+        |  COALESCE(n_early, 0) AS n_early, COALESCE(n_late, 0) AS n_late
+        |FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "window_value_functions" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        | round(percent_rank() OVER w, 6) AS pct_rank,
+        | round(cume_dist() OVER w, 6) AS cdist,
+        | first_value(o_orderkey) OVER w AS biggest_order,
+        | last_value(o_orderkey) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_totalprice DESC, o_orderkey ASC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS smallest_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) > 300)
+        |SELECT c_custkey, c_name, o_orderkey, o_totalprice, total_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey ASC""".stripMargin,
+
+    "q19_disjunctive_filter" ->
+      """SELECT
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
+        | count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "sql_correlated_scalar" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+        |      (SELECT count(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |    > 2 * (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+        |           FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "cross_join_region_pairs" ->
+      """SELECT a.r_name AS r1, b.r_name AS r2
+        |FROM region a CROSS JOIN region b
+        |WHERE a.r_regionkey < b.r_regionkey
+        |ORDER BY r1, r2""".stripMargin,
+
+    "join_hint_shuffle_hash" ->
+      """SELECT o_orderstatus, count(*) AS n_lines,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "stream_user_state" ->
       """SELECT user_id, last_event_id, n_events FROM (
