@@ -749,6 +749,26 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // Time series — gap-filled daily resample per user (bounded key set
+    // keeps the gate output small; the operator itself is unbounded).
+    "ts_daily_gapfill" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("user_id") < 50)
+      graft.ops.TimeSeries.resampleDailyCounts(ev, "user_id", "ts")
+        .orderBy("user_id", "day")
+    }),
+
+    // Time series — sliding-window agg in batch mode (2h window, 1h
+    // slide): each row replicates into 2 windows map-side, then a plain
+    // hash aggregate; the exact expression Structured Streaming plans.
+    "window_sliding_batch" -> ((s, dir) => {
+      graft.ops.TimeSeries.withSlidingWindow(
+          Tables.events(s, dir), "ts", "2 hours", "1 hour")
+        .groupBy(col("window_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast("decimal(38,2)").as("sum_v"))
+        .orderBy("window_start", "event_type")
+    }),
+
     // Streaming — tumbling 1h window agg via AvailableNow drain.
     "stream_tumbling_agg" -> ((s, dir) =>
       graft.streaming.Streams.tumblingHourlyAgg(s, dir)),
@@ -1207,6 +1227,25 @@ object SparkEntry {
         | round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
         | count(*) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "ts_daily_gapfill" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events WHERE user_id < 50),
+        |span AS (SELECT user_id, min(d) AS d0, max(d) AS d1 FROM ev GROUP BY user_id),
+        |days AS (SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |         FROM span),
+        |counts AS (SELECT user_id, d AS day, count(*) AS n FROM ev GROUP BY 1, 2)
+        |SELECT d.user_id, d.day, COALESCE(c.n, 0) AS n
+        |FROM days d LEFT JOIN counts c ON d.user_id = c.user_id AND d.day = c.day
+        |ORDER BY 1, 2""".stripMargin,
+
+    "window_sliding_batch" ->
+      """SELECT ws AS window_start, event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_v
+        |FROM (SELECT unnest([date_trunc('hour', ts),
+        |                    date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws,
+        |             event_type, value
+        |      FROM events) t
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "agg_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,

@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Time-series operators over event logs.
+  *
+  * The reference's only temporal behavior is its nightly batch cadence
+  * (README.md:89-91) and per-row timestamp parsing
+  * (`src/s3_to_rds_lambda.py:116-130`); a complete engine needs the
+  * derived time-series shapes a pipeline built on that data would run:
+  * regular resampling with gap fill, and sliding-window aggregation.
+  */
+object TimeSeries {
+
+  /** Gap-filled daily resample: one row per key per calendar day between
+    * that key's first and last event, zero-filled where no events landed.
+    *
+    * Scale shape: the `sequence` explode is bounded by each key's own
+    * span in days — never by dataset size — and both sides of the
+    * (key, day) equi-join shuffle on the same compound key, so a skewed
+    * event log still fans out evenly. No driver-side calendar
+    * materialization.
+    */
+  def resampleDailyCounts(df: DataFrame, key: String, ts: String): DataFrame = {
+    val days = df.groupBy(col(key))
+      .agg(min(to_date(col(ts))).as("_d0"), max(to_date(col(ts))).as("_d1"))
+      .select(col(key),
+        explode(sequence(col("_d0"), col("_d1"), expr("interval 1 day"))).as("day"))
+    val counts = df.groupBy(col(key), to_date(col(ts)).as("day"))
+      .agg(count(lit(1)).as("_n"))
+    days.join(counts, Seq(key, "day"), "left")
+      .select(col(key), col("day"), coalesce(col("_n"), lit(0L)).as("n"))
+  }
+
+  /** Sliding-window aggregation in batch mode, via the same `window()`
+    * expression Structured Streaming plans — each row replicates into
+    * duration/slide windows map-side, then a plain hash aggregate runs.
+    * Returns (window_start, <groupCols>, n, sum_v-style aggregates are
+    * the caller's job); this helper only assigns the windows.
+    */
+  def withSlidingWindow(df: DataFrame, ts: String,
+      duration: String, slide: String): DataFrame =
+    df.withColumn("_w", window(col(ts), duration, slide))
+      .withColumn("window_start", col("_w.start"))
+      .withColumn("window_end", col("_w.end"))
+      .drop("_w")
+}
