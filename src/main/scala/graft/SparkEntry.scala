@@ -749,6 +749,55 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // X4 — per-document top-3 tf·idf terms (rank over the rounded score:
+    // integer tf/df/N until the single ln, so engines can't disagree).
+    "x4_tfidf_top_terms" -> ((s, dir) => {
+      TextAnalysis.tfidfTopTerms(
+          Tables.documents(s, dir).filter(col("doc_id") < 50), "doc_id", "text", 3)
+        .orderBy("doc_id", "rk")
+    }),
+
+    // X2 — per-label centroid sums in exact fixed point (1e-6 floor →
+    // long): associative integer sums are partition-order- and engine-
+    // independent; this is the IVF centroid training step done honestly.
+    "x2_label_centroids" -> ((s, dir) => {
+      graft.ops.Similarity.labelCentroidSums(
+          Tables.embeddings(s, dir), "label", "embedding")
+        .orderBy("label", "pos")
+    }),
+
+    // Sketches — approx_count_distinct (HLL++) and approx_percentile
+    // next to their exact values (approx values are impl-defined ⇒
+    // rows-only gate; error bounds asserted in unit tests).
+    "sketch_approx_events" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"),
+          round(expr("approx_percentile(value, 0.5, 1000)"), 2).as("approx_median"))
+        .orderBy("event_type")
+    }),
+
+    // X1 — seeded stratified sample by language (RNG draw is engine-
+    // defined ⇒ rows-only gate; fraction tolerances unit-tested).
+    "x1_stratified_sample" -> ((s, dir) => {
+      graft.ops.Sampling.stratified(Tables.documents(s, dir), "lang",
+          Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25, "es" -> 0.25), seed = 42L)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
+    // Data-quality audit: unique key, NOT NULL, value range in ONE agg
+    // pass + FK orphan anti-join — long-form (check_name, n) report.
+    "dq_audit_orders" -> ((s, dir) => {
+      graft.ops.DataQuality.audit(Tables.orders(s, dir),
+          key = "o_orderkey",
+          notNull = Seq("o_custkey", "o_orderdate"),
+          nonNegative = Seq("o_totalprice"),
+          fk = Some(("o_custkey", Tables.customer(s, dir), "c_custkey")))
+        .orderBy("check_name")
+    }),
+
     // Time series — gap-filled daily resample per user (bounded key set
     // keeps the gate output small; the operator itself is unbounded).
     "ts_daily_gapfill" -> ((s, dir) => {
@@ -779,7 +828,11 @@ object SparkEntry {
 
     // Streaming — arbitrary per-key state via mapGroupsWithState.
     "stream_user_state" -> ((s, dir) =>
-      graft.streaming.Streams.statefulUserState(s, dir))
+      graft.streaming.Streams.statefulUserState(s, dir)),
+
+    // Streaming — exact dedup within watermark, then counts per type.
+    "stream_dedup_counts" -> ((s, dir) =>
+      graft.streaming.Streams.dedupCounts(s, dir))
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -1227,6 +1280,50 @@ object SparkEntry {
         | round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
         | count(*) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "x4_tfidf_top_terms" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  FROM documents WHERE doc_id < 50),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM words
+        |  WHERE length(term) >= 4 GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents WHERE doc_id < 50),
+        |scored AS (
+        |  SELECT doc_id, tf.term AS term, tf, df,
+        |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, tf, df, tfidf,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rk
+        |  FROM scored)
+        |SELECT doc_id, term, tf, df, tfidf, rk FROM ranked
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    "x2_label_centroids" ->
+      """SELECT label, CAST(i - 1 AS BIGINT) AS pos,
+        | CAST(sum(CAST(floor(CAST(val AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT) AS sum_fp,
+        | count(*) AS n
+        |FROM (SELECT label, unnest(embedding) AS val,
+        |             unnest(generate_series(1, len(embedding))) AS i
+        |      FROM embeddings) u
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "dq_audit_orders" ->
+      """SELECT 'row_count' AS check_name, count(*) AS n FROM orders
+        |UNION ALL SELECT 'dup_o_orderkey', count(*) - count(DISTINCT o_orderkey) FROM orders
+        |UNION ALL SELECT 'null_o_custkey', count(*) FILTER (WHERE o_custkey IS NULL) FROM orders
+        |UNION ALL SELECT 'null_o_orderdate', count(*) FILTER (WHERE o_orderdate IS NULL) FROM orders
+        |UNION ALL SELECT 'neg_o_totalprice', count(*) FILTER (WHERE o_totalprice < 0) FROM orders
+        |UNION ALL SELECT 'orphan_o_custkey', count(*) FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |ORDER BY check_name""".stripMargin,
+
+    "stream_dedup_counts" ->
+      """SELECT event_type, count(DISTINCT event_id) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "ts_daily_gapfill" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events WHERE user_id < 50),

@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality audit — the engine-side generalization of the
+  * reference's implicit contracts: a unique upsert key
+  * (`src/s3_to_rds_lambda.py:74-79`), NOT-NULL-ish coercion targets
+  * (`:48-61`), and the FK-like department filter
+  * (`src/lms_to_s3_lambda.py:196-200`). At 100 TB you audit these as
+  * queries, not as per-row exceptions.
+  */
+object DataQuality {
+
+  /** Rule audit in long form: one (check_name, n) row per rule.
+    *
+    * All non-FK rules fold into a SINGLE aggregate pass over the table
+    * (count/countDistinct/conditional counts in one hash agg); the tiny
+    * one-row wide result is exploded to long form driver-free. The FK
+    * orphan check is a separate anti-join (broadcast when the dim is
+    * small) because it genuinely needs the second table.
+    */
+  def audit(df: DataFrame, key: String, notNull: Seq[String],
+      nonNegative: Seq[String] = Seq.empty,
+      fk: Option[(String, DataFrame, String)] = None): DataFrame = {
+    val aggs =
+      Seq(count(lit(1)).as("row_count"),
+        (count(lit(1)) - countDistinct(col(key))).as(s"dup_$key")) ++
+      notNull.map(c => count(when(col(c).isNull, 1)).as(s"null_$c")) ++
+      nonNegative.map(c => count(when(col(c) < 0, 1)).as(s"neg_$c"))
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val long = wide.select(explode(map(
+      wide.columns.flatMap(c => Seq(lit(c), col(c))): _*)).as(Seq("check_name", "n")))
+    fk match {
+      case Some((fkCol, dim, dimKey)) =>
+        val orphans = df.join(broadcast(dim.select(col(dimKey))),
+            col(fkCol) === col(dimKey), "left_anti")
+          .agg(count(lit(1)).as("n"))
+          .select(lit(s"orphan_$fkCol").as("check_name"), col("n"))
+        long.unionByName(orphans)
+      case None => long
+    }
+  }
+}

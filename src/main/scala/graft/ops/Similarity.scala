@@ -138,4 +138,19 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
       .distinct()
   }
+
+  /** Per-label centroid component sums in fixed point: each float
+    * component is floored at 1e-6 resolution into a long, then summed
+    * exactly — integer arithmetic is associative, so the result is
+    * independent of partition order AND identical across engines (the
+    * caller divides sum_fp by n·10^6 for the centroid). posexplode +
+    * hash agg: partial aggregation map-side, shuffle carries one row per
+    * (label, pos) per map partition — the IVF training step at scale.
+    */
+  def labelCentroidSums(df: DataFrame, label: String, vec: String,
+      scale: Long = 1000000L): DataFrame =
+    df.select(col(label), posexplode(col(vec)).as(Seq("pos", "val")))
+      .groupBy(col(label), col("pos").cast("long").as("pos"))
+      .agg(sum(floor(col("val") * lit(scale.toDouble)).cast("long")).as("sum_fp"),
+        count(lit(1)).as("n"))
 }

@@ -80,4 +80,31 @@ object TextAnalysis {
     aggregate(idx, lit(0L),
       (acc, i) => (acc * 31 + ascii(call_function("substring", text, i, lit(1)))) % 1000000007L)
   }
+
+  /** Per-document top-k terms by tf·idf.
+    *
+    * Three hash aggregates (term counts per doc, doc frequency per term,
+    * corpus size as a 1-row broadcast) and a per-doc top-k window — all
+    * shuffles are on term or doc id, nothing is corpus-cardinality
+    * state. Determinism contract: rank over the ROUNDED score (6 dp,
+    * term tiebreak) so a last-ulp `ln` difference between engines can't
+    * reorder; tf/df/N stay integer until the single ln/multiply.
+    */
+  def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, id: String, text: String,
+      k: Int, minTokenLen: Int = 4): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = df.select(col(id), explode(tokens(lower(col(text)))).as("term"))
+      .filter(length(col("term")) >= minTokenLen)
+    val tf = words.groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("_n_docs"))
+    val scored = tf.join(docFreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("_n_docs").cast("double") / col("df")), 6))
+    val w = Window.partitionBy(col(id)).orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col(id), col("term"), col("tf"), col("df"), col("tfidf"), col("rk"))
+  }
 }

@@ -162,4 +162,27 @@ object Streams {
     q.awaitTermination()
     spark.table(name).orderBy("user_id", "session_start")
   }
+
+  /** Streaming exact dedup (X1 in stream form): at-least-once sources
+    * re-deliver, so the first stateful op of a production ingest is
+    * dropDuplicatesWithinWatermark on the event key — state expires with
+    * the watermark instead of growing with the stream. Counts per type
+    * after dedup are the observable (and the oracle: the fixture's
+    * event_id is unique, so counts equal the batch GROUP BY). */
+  def dedupCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = s"stream_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val agg = eventsStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("event_type")
+  }
 }

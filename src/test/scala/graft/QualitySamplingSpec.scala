@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit gates for the ops whose driver queries are rows-only checked
+  * (sketches, seeded sampling) plus the data-quality audit — the
+  * properties the DuckDB oracle can't express live here.
+  */
+class QualitySamplingSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("stratified sample hits per-stratum fractions within tolerance") {
+    import spark.implicits._
+    val n = 20000
+    val df = (0 until n).map(i => (i.toLong, if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    val fractions = Map("en" -> 0.5, "de" -> 0.1)
+    val sampled = graft.ops.Sampling.stratified(df, "lang", fractions, seed = 7L)
+    val got = sampled.groupBy("lang").count().as[(String, Long)].collect().toMap
+    for ((lang, frac) <- fractions) {
+      val expected = (n / 2) * frac
+      val actual = got.getOrElse(lang, 0L).toDouble
+      // Bernoulli draw: 5 sigma ≈ 5*sqrt(n*p*(1-p)) on 10k rows
+      val tol = 5 * math.sqrt((n / 2) * frac * (1 - frac))
+      assert(math.abs(actual - expected) <= tol,
+        s"$lang: got $actual, expected $expected ± $tol")
+    }
+  }
+
+  test("stratified sample is deterministic for a fixed seed") {
+    import spark.implicits._
+    val df = (0 until 5000).map(i => (i.toLong, "en")).toDF("id", "lang")
+    val a = graft.ops.Sampling.stratified(df, "lang", Map("en" -> 0.3), 42L)
+      .select("id").as[Long].collect().sorted.toSeq
+    val b = graft.ops.Sampling.stratified(df, "lang", Map("en" -> 0.3), 42L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+  }
+
+  test("approx_count_distinct is within documented rsd of exact") {
+    val events = graft.io.Tables.events(spark, sfDir)
+    val row = events.agg(
+      countDistinct(col("user_id")).as("exact"),
+      approx_count_distinct(col("user_id"), 0.02).as("approx")).head()
+    val exact = row.getLong(0).toDouble
+    val approx = row.getLong(1).toDouble
+    // rsd 0.02 → allow 4x slack for small-cardinality edge behavior
+    assert(math.abs(approx - exact) / exact <= 0.08,
+      s"approx $approx vs exact $exact")
+  }
+
+  test("approx_percentile(0.5) brackets the exact median") {
+    val events = graft.io.Tables.events(spark, sfDir)
+    val approx = events.agg(expr("approx_percentile(value, 0.5, 1000)")).head().getDouble(0)
+    val bounds = events.agg(
+      expr("percentile(value, 0.45)"), expr("percentile(value, 0.55)")).head()
+    assert(approx >= bounds.getDouble(0) && approx <= bounds.getDouble(1),
+      s"approx median $approx outside [${bounds.getDouble(0)}, ${bounds.getDouble(1)}]")
+  }
+
+  test("data-quality audit flags planted violations exactly") {
+    import spark.implicits._
+    val facts = Seq(
+      (1L, Option(10L), Option(5.0)),   // clean
+      (1L, Option(10L), Option(5.0)),   // dup key
+      (2L, None, Option(-1.0)),         // null fk + negative
+      (3L, Option(99L), Option(2.0))    // orphan fk
+    ).toDF("k", "fk", "v")
+    val dim = Seq(10L).toDF("dk")
+    val got = graft.ops.DataQuality.audit(facts, key = "k",
+        notNull = Seq("fk"), nonNegative = Seq("v"),
+        fk = Some(("fk", dim, "dk")))
+      .as[(String, Long)].collect().toMap
+    assert(got("row_count") == 4L)
+    assert(got("dup_k") == 1L)
+    assert(got("null_fk") == 1L)
+    assert(got("neg_v") == 1L)
+    // anti-join: null fk does not match → counted orphan along with 99
+    assert(got("orphan_fk") == 2L)
+  }
+
+  test("tfidf top-terms: rank bounded by k, tfidf consistent with tf/df") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < 20)
+    val out = graft.ops.TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", 3)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("rk") >= 1 && r.getAs[Long]("rk") <= 3))
+    val nDocs = docs.count().toDouble
+    rows.foreach { r =>
+      val expect = BigDecimal(r.getAs[Long]("tf") * math.log(nDocs / r.getAs[Long]("df")))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("tfidf") - expect) < 1e-9)
+    }
+  }
+
+  test("label centroid sums: n equals label cardinality, dims complete") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val out = graft.ops.Similarity.labelCentroidSums(emb, "label", "embedding")
+    val perLabel = out.groupBy("label").agg(
+      countDistinct(col("pos")).as("dims"), max(col("n")).as("n"), min(col("n")).as("nmin"))
+    val labelCounts = emb.groupBy("label").count()
+    val joined = perLabel.join(labelCounts, "label").collect()
+    joined.foreach { r =>
+      assert(r.getAs[Long]("dims") == dim.toLong)
+      assert(r.getAs[Long]("n") == r.getAs[Long]("count"))
+      assert(r.getAs[Long]("nmin") == r.getAs[Long]("count"))
+    }
+  }
+}
