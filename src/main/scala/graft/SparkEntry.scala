@@ -336,8 +336,14 @@ object SparkEntry {
     // side runs the general label-propagation clustering.
     "x3_cluster_survivors" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
-      val a = d.select(col("doc_id").as("id_a"), Dedup.wordShingles(lower(col("text")), 3).as("_sa"))
-      val b = d.select(col("doc_id").as("id_b"), Dedup.wordShingles(lower(col("text")), 3).as("_sb"))
+      // Hashed shingle sets (codegen'd kernel) — jaccard over array<long>
+      // instead of array<string>: same value modulo 64-bit collisions
+      // (~n²/2⁶⁴, negligible), ~10× cheaper than building shingle strings
+      // through interpreted HOF lambdas.
+      val a = d.select(col("doc_id").as("id_a"),
+        graft.expr.WordShingleHashes(col("text"), 3, distinct = true).as("_sa"))
+      val b = d.select(col("doc_id").as("id_b"),
+        graft.expr.WordShingleHashes(col("text"), 3, distinct = true).as("_sb"))
       val pairs = a.join(b, col("id_a") + 1 === col("id_b"))
         .filter(Dedup.jaccard(col("_sa"), col("_sb")) >= 0.01)
         .select(col("id_a"), col("id_b"))

@@ -149,25 +149,38 @@ object Dedup {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
 
-  /** Near-dup pairs → connected components, via iterative min-label
-    * propagation: every id starts as its own label; each round, a node
-    * adopts the smallest label in its neighborhood; converged when no
-    * label changes. Rounds needed ≈ graph diameter — near-dup components
-    * are small and star-like, so this converges in a handful of rounds
-    * even at corpus scale (each round = one shuffle join + one agg; the
-    * driver only sees a changed-row COUNT, never data).
+  /** Near-dup pairs → connected components, via min-label propagation
+    * with pointer jumping: every id starts as its own label; each round a
+    * node (1) adopts the smallest label in its neighborhood, then (2)
+    * jumps to its label's label. The jump doubles propagation distance
+    * per round, so even a chain-shaped component of length L (the
+    * worst case — e.g. adjacent-id near-dup runs) converges in
+    * O(log L) rounds instead of O(L).
+    *
+    * Scale discipline: edges persist hash-partitioned on the join key so
+    * the per-round neighbor join never re-shuffles the (larger) edge
+    * table; convergence is witnessed by the label SUM (labels only ever
+    * decrease, so an unchanged sum ⇔ a fixpoint) — a shuffle-free
+    * one-row aggregate instead of a join+count. The driver only ever
+    * sees that one number, never data.
     *
     * Input: (id_a, id_b) pairs. Output: (id, cluster) for every id that
     * appears in some pair (singletons never enter and survive dedup by
     * definition). `cluster` = min id of the component. */
   def clusterPairs(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
     val edges = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .repartition(col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // decimal(38,0): id sums can exceed Long at large cardinality
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
@@ -175,15 +188,22 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("cluster", "_nc"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("_nc")).as("_nbmin"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      val hop = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("_nbmin"), col("cluster"))).as("cluster"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(labels.withColumnRenamed("cluster", "_old"), Seq("id"))
-        .filter(col("cluster") =!= col("_old")).count()
+        .persist(StorageLevel.MEMORY_AND_DISK) // read twice below (no cross-branch CSE)
+      val next = hop.as("a")
+        .join(hop.select(col("id").as("_pid"), col("cluster").as("_pc")),
+          col("a.cluster") === col("_pid"), "left")
+        .select(col("a.id").as("id"),
+          least(col("a.cluster"), coalesce(col("_pc"), col("a.cluster"))).as("cluster"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val newSum = labelSum(next) // materializes next
+      hop.unpersist()
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = newSum.compareTo(prevSum) == 0
+      prevSum = newSum
       round += 1
     }
     edges.unpersist()
@@ -195,8 +215,13 @@ object Dedup {
     * id set as a one-column frame. */
   def survivorsAfterNearDedup(df: DataFrame, id: String, pairs: DataFrame): DataFrame = {
     val clustered = clusterPairs(pairs)
+    // Non-survivors are a tiny id list (bounded by pair count): localCheckpoint
+    // severs the iterative lineage and lets the loop's cached frames free
+    // (clusterPairs' returned cache would otherwise pin per invocation).
     val drop = clustered.filter(col("id") =!= col("cluster")).select(col("id").as(id))
-    df.select(col(id)).join(drop, Seq(id), "left_anti")
+      .localCheckpoint(eager = true)
+    clustered.unpersist()
+    df.select(col(id)).join(broadcast(drop), Seq(id), "left_anti")
   }
 
   // ---------------------------------------------------------------------
