@@ -45,6 +45,20 @@ object Streams {
     dst.toString
   }
 
+  /** Runs `f` with `spark.sql.shuffle.partitions` set to `n`, restoring
+    * the previous value after. Streaming state partitioning is bound into
+    * the checkpoint from this conf at first start — and unlike batch
+    * shuffles, AQE never coalesces it — so each stateful query should
+    * size it to its expected STATE volume (here: event types / users /
+    * windows, i.e. tiny), not inherit the batch scan width. At real scale
+    * this is the knob that decides state-store count per micro-batch. */
+  private def withStatePartitions[A](spark: SparkSession, n: Int)(f: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, prev)
+  }
+
   /** Tumbling-window aggregation (1h) over the event stream, drained with
     * AvailableNow into a memory sink and returned as a batch DataFrame.
     * Complete output mode: the drain is a single availability window, so
@@ -57,13 +71,15 @@ object Streams {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_v"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_v"))
-    val q = agg.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark, 8) {
+      val q = agg.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name).orderBy("window_start", "event_type")
   }
 
@@ -129,12 +145,14 @@ object Streams {
           state.update(next)
           next
       }
-    val q = updated.toDF()
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Update())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark, 8) {
+      val q = updated.toDF()
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     // compact update-mode emissions: last snapshot per user
     graft.ops.Merge.latestByKeyAgg(spark.table(name),
         Seq("user_id"), Seq("n_events"))
@@ -153,13 +171,15 @@ object Streams {
         sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_v"))
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"), col("sum_v"))
-    val q = agg.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark, 8) {
+      val q = agg.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name).orderBy("user_id", "session_start")
   }
 
@@ -176,13 +196,15 @@ object Streams {
       .dropDuplicatesWithinWatermark("event_id")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"))
-    val q = agg.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark, 8) {
+      val q = agg.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name).orderBy("event_type")
   }
 }
