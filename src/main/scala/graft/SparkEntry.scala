@@ -755,6 +755,36 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // X3 — benchmark decontamination: corpus docs sharing ≥1 distinct
+    // 5-shingle with the probe set (every 20th doc stands in for an eval
+    // set). Probe is broadcast; the corpus never shuffles.
+    "x3_decontaminate" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Dedup.decontaminationOverlap(d, "doc_id", "text",
+          d.filter(col("doc_id") % 20 === 0), "text", k = 5)
+        .orderBy("doc_id")
+    }),
+
+    // X4 — Gopher-style repetition stats (integer ingredients of the
+    // top-word-fraction / duplicate-bigram-fraction quality rules).
+    "x4_repetition_stats" -> ((s, dir) => {
+      TextAnalysis.repetitionStats(
+          Tables.documents(s, dir).filter(col("doc_id") < 200), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // X4 — PII redaction over text with planted email/phone/id (the
+    // fixture corpus is clean, so the PII is appended deterministically
+    // in both engines).
+    "x4_pii_redact" -> ((s, dir) => {
+      Tables.documents(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id"), TextAnalysis.redactPii(
+          concat(substring(col("text"), 1, 40),
+            lit(" reach bob.smith+x@mail.example.org or +1 (415) 555-0199 pin 123456 end")))
+          .as("clean_text"))
+        .orderBy("doc_id")
+    }),
+
     // X4 — per-document top-3 tf·idf terms (rank over the rounded score:
     // integer tf/df/N until the single ln, so engines can't disagree).
     "x4_tfidf_top_terms" -> ((s, dir) => {
@@ -1286,6 +1316,52 @@ object SparkEntry {
         | round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
         | count(*) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "x3_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) >= 5 THEN
+        |      list_distinct(list_transform(generate_series(1, len(w) - 4),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))
+        |    ELSE [array_to_string(w, ' ')] END AS s
+        |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+        |        FROM documents) t),
+        |cs AS (SELECT doc_id, unnest(s) AS h FROM sh),
+        |ps AS (SELECT DISTINCT unnest(s) AS h FROM sh WHERE doc_id % 20 = 0)
+        |SELECT c.doc_id, count(*) AS n_overlap
+        |FROM cs c JOIN ps USING (h)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "x4_repetition_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS w,
+        |    unnest(generate_series(1, len(string_split_regex(lower(text), '\s+')))) AS pos
+        |  FROM documents WHERE doc_id < 200),
+        |ws AS (
+        |  SELECT doc_id, sum(c) AS n_tokens, max(c) AS top_word_n
+        |  FROM (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |bg AS (
+        |  SELECT doc_id, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+        |  FROM toks),
+        |bs AS (
+        |  SELECT doc_id, sum(c) AS n_bigrams, sum(c) - count(*) AS dup_bigram_n
+        |  FROM (SELECT doc_id, bg, count(*) AS c FROM bg WHERE bg IS NOT NULL GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT ws.doc_id, n_tokens, top_word_n, n_bigrams, dup_bigram_n
+        |FROM ws JOIN bs USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "x4_pii_redact" ->
+      """SELECT doc_id,
+        | regexp_replace(
+        |   regexp_replace(
+        |     regexp_replace(
+        |       substr(text, 1, 40) || ' reach bob.smith+x@mail.example.org or +1 (415) 555-0199 pin 123456 end',
+        |       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |     '\+?[0-9][0-9() -]{7,}[0-9]', '<PHONE>', 'g'),
+        |   '[0-9]{6,}', '<ID>', 'g') AS clean_text
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
 
     "x4_tfidf_top_terms" ->
       """WITH words AS (

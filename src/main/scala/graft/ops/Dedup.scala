@@ -210,6 +210,30 @@ object Dedup {
     labels
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing ≥
+    * `minOverlap` distinct word-k-shingles with any probe (benchmark /
+    * eval-set) document. The canonical pre-training hygiene op: held-out
+    * test material must not leak into training data.
+    *
+    * Shape at scale: shingle hashes (codegen kernel) exploded on BOTH
+    * sides; the probe side — eval sets are tiny next to a 100 TB corpus —
+    * is distinct'd and BROADCAST, so the corpus never shuffles: the scan,
+    * the hash-join against the broadcast set, and the per-doc count
+    * pipeline in one stage, then one agg keyed by doc id. Output is one
+    * row per corpus doc: (id, n_overlap).
+    */
+  def decontaminationOverlap(corpus: DataFrame, id: String, text: String,
+      probe: DataFrame, probeText: String, k: Int = 5): DataFrame = {
+    val corpusShingles = corpus.select(col(id),
+      explode(graft.expr.WordShingleHashes(col(text), k, distinct = true)).as("_h"))
+    val probeShingles = probe
+      .select(explode(graft.expr.WordShingleHashes(col(probeText), k, distinct = true)).as("_h"))
+      .distinct()
+    corpusShingles.join(broadcast(probeShingles), Seq("_h"), "left_semi")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+
   /** Full near-dup dedup: from candidate pairs, keep one doc per
     * component (the min id) plus every singleton. Returns the surviving
     * id set as a one-column frame. */

@@ -81,6 +81,52 @@ object TextAnalysis {
       (acc, i) => (acc * 31 + ascii(call_function("substring", text, i, lit(1)))) % 1000000007L)
   }
 
+  /** PII redaction: emails, then phone-like digit runs, then any
+    * remaining long digit sequences (ids), each replaced by a typed
+    * placeholder token. Pure `regexp_replace` chain — narrow, codegen'd,
+    * pipelines inside the scan stage at any scale. Patterns are written
+    * in the RE2-compatible subset (no backrefs/lookaround) so the DuckDB
+    * oracle can run the identical regexes.
+    *
+    * The reference ships raw user PII (emails, names —
+    * `src/lms_to_s3_lambda.py:99-137` rename map) straight to its sink;
+    * a training-data pipeline must scrub it instead. */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val phone = regexp_replace(email, "\\+?[0-9][0-9() -]{7,}[0-9]", "<PHONE>")
+    regexp_replace(phone, "[0-9]{6,}", "<ID>")
+  }
+
+  /** Gopher-style repetition statistics per document: total tokens, the
+    * top single-token count, and duplicate-bigram count — the integer
+    * ingredients of "most frequent word fraction" / "duplicate 2-gram
+    * fraction" quality rules (kept integer so oracles hash-match; the
+    * caller divides).
+    *
+    * Shape at scale: posexplode + a per-doc window to form bigrams (the
+    * window sorts WITHIN each doc only — no global sort), then two hash
+    * aggs keyed by doc id. State per key is O(distinct terms per doc),
+    * never corpus-wide. */
+  def repetitionStats(df: org.apache.spark.sql.DataFrame, id: String,
+      text: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(id),
+      posexplode(tokens(lower(col(text)))).as(Seq("pos", "w")))
+    val wordCounts = toks.groupBy(col(id), col("w")).agg(count(lit(1)).as("c"))
+    val wordStats = wordCounts.groupBy(col(id))
+      .agg(sum(col("c")).as("n_tokens"), max(col("c")).as("top_word_n"))
+    val byDoc = Window.partitionBy(col(id)).orderBy(col("pos"))
+    val bigrams = toks
+      .withColumn("w2", lead(col("w"), 1).over(byDoc))
+      .filter(col("w2").isNotNull)
+      .select(col(id), concat_ws(" ", col("w"), col("w2")).as("bg"))
+    val bigramStats = bigrams.groupBy(col(id), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col(id))
+      .agg(sum(col("c")).as("n_bigrams"),
+        (sum(col("c")) - count(lit(1))).as("dup_bigram_n"))
+    wordStats.join(bigramStats, id)
+  }
+
   /** Per-document top-k terms by tf·idf.
     *
     * Three hash aggregates (term counts per doc, doc frequency per term,
