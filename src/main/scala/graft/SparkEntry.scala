@@ -755,6 +755,17 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // Shard packing — fixed-token-budget shard assignment via the
+    // distributed two-phase prefix sum (the oracle's global window is
+    // the semantics; the Spark plan never forms a global window).
+    "pack_shards" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      graft.ops.Packing.assignShards(d, "doc_id", "n_tokens", 5000L)
+        .select(col("doc_id"), col("n_tokens"), col("cum_w"), col("shard"))
+        .orderBy("doc_id")
+    }),
+
     // X3 — benchmark decontamination: corpus docs sharing ≥1 distinct
     // 5-shingle with the probe set (every 20th doc stands in for an eval
     // set). Probe is broadcast; the corpus never shuffles.
@@ -1316,6 +1327,17 @@ object SparkEntry {
         | round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
         | count(*) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "pack_shards" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_w,
+        |  CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |    - n_tokens) / 5000.0) AS BIGINT) AS shard
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "x3_decontaminate" ->
       """WITH sh AS (
