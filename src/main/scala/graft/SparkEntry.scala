@@ -755,6 +755,13 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // Mixture weights — temperature-scaled source rebalancing (τ=2
+    // flattens the natural mix toward uniform).
+    "mix_temperature_weights" -> ((s, dir) => {
+      graft.ops.Sampling.temperatureWeights(Tables.documents(s, dir), "source", 2.0)
+        .orderBy("source")
+    }),
+
     // Shard packing — fixed-token-budget shard assignment via the
     // distributed two-phase prefix sum (the oracle's global window is
     // the semantics; the Spark plan never forms a global window).
@@ -1327,6 +1334,12 @@ object SparkEntry {
         | round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
         | count(*) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "mix_temperature_weights" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        |s AS (SELECT source, n, pow(CAST(n AS DOUBLE), 1.0/2.0) AS sc FROM c)
+        |SELECT source, n, round(sc / (SELECT sum(sc) FROM s), 9) AS weight
+        |FROM s ORDER BY source""".stripMargin,
 
     "pack_shards" ->
       """WITH d AS (

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 /** Stratified sampling — a first-class training-data-pipeline op (down-
   * weight over-represented languages/sources before training). Absent
@@ -18,4 +19,19 @@ object Sampling {
   def stratified(df: DataFrame, strata: String,
       fractions: Map[String, Double], seed: Long): DataFrame =
     df.stat.sampleBy(strata, fractions, seed)
+
+  /** Temperature-scaled mixture weights per source: p_g ∝ n_g^(1/τ),
+    * normalized. τ=1 reproduces natural proportions; τ→∞ flattens to
+    * uniform — the standard rebalancing step for multi-source training
+    * mixes. One hash agg (G rows of state, G = #sources) + a one-row
+    * broadcast for the normalizer; the corpus itself is touched once.
+    * Output: (group, n, weight) — weight rounded to 9 dp so the oracle
+    * hash-matches across engines. */
+  def temperatureWeights(df: DataFrame, group: String, tau: Double): DataFrame = {
+    val counts = df.groupBy(col(group)).agg(count(lit(1)).as("n"))
+    val scaled = counts.withColumn("_s", pow(col("n").cast("double"), 1.0 / tau))
+    val z = scaled.agg(sum(col("_s")).as("_z"))
+    scaled.crossJoin(broadcast(z))
+      .select(col(group), col("n"), round(col("_s") / col("_z"), 9).as("weight"))
+  }
 }
