@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Shard packing for training-data pipelines: assign each document to a
   * fixed-weight-budget shard by running (prefix) sum of a weight column
@@ -14,50 +15,67 @@ import org.apache.spark.sql.functions._
   * dead at 100 TB. This implements the classic two-phase distributed
   * prefix sum instead:
   *
-  *   1. range-repartition by key (so partition p holds a contiguous key
-  *      range, and partition order == key order);
-  *   2. one tiny per-partition total per partition (P rows — thousands,
-  *      not billions) is collected and prefix-summed on the driver;
-  *   3. offsets broadcast-join back; each partition computes its local
-  *      running sum with a window PARTITIONED BY partition id — state
-  *      per window is one partition's rows, never the corpus.
+  *   1. range-repartition by key and sort within partitions (partition p
+  *      holds a contiguous key range; partition index order == key
+  *      order);
+  *   2. per-partition totals (P rows — thousands, not billions; P is
+  *      invariant of row count) are prefix-summed on the driver;
+  *   3. each partition computes its local running sum seeded with its
+  *      offset, via mapPartitions over the already-sorted rows.
   *
-  * The result is byte-identical to the global window (prefix sums don't
-  * depend on where partition boundaries fall), which is exactly what the
-  * DuckDB oracle checks.
+  * Phase 3 is the rare case where mapPartitions beats the declarative
+  * form: a window `PARTITION BY spark_partition_id()` would force a
+  * redundant hash exchange of the whole corpus (Catalyst cannot know the
+  * rows are already grouped by physical partition), while the
+  * partition-local fold reuses the range exchange — one corpus shuffle
+  * total. The result is byte-identical to the global window (prefix sums
+  * don't depend on where partition boundaries fall), which is exactly
+  * what the DuckDB oracle checks.
   */
 object Packing {
 
   /** Adds `cum_w` (inclusive running sum of `weight` in `key` order) and
-    * `shard` = floor((cum_w - w) / budget) — i.e. a document lands in the
-    * shard where it STARTS, so every shard's content begins within
-    * budget. Output keeps one row per input row. */
+    * `shard` = (cum_w - w) / budget — i.e. a document lands in the shard
+    * where it STARTS, so every shard's content begins within budget.
+    * `weight` must be non-negative; one output row per input row. */
   def assignShards(df: DataFrame, key: String, weight: String, budget: Long,
       numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
     val parts = if (numPartitions > 0) numPartitions
-      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val ranged = df.repartitionByRange(parts, col(key))
-      .withColumn("_pid", spark_partition_id())
-    // Phase 1+2: per-partition totals (P rows) -> driver prefix sum.
-    // Collecting P rows is not a driver-side data materialization: P is
-    // the partition count, invariant of row count.
-    val totals = ranged.groupBy(col("_pid"))
-      .agg(sum(col(weight)).as("_psum"), min(col(key)).as("_lo"))
-      .orderBy(col("_lo"))
-      .select(col("_pid"), col("_psum"))
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val normalized = df.withColumn(weight, col(weight).cast("long"))
+    // Persisted: phases 1 and 3 are separate jobs, and both must see the
+    // SAME physical partitioning (range boundaries come from sampling;
+    // re-evaluating the exchange per job would also double the shuffle).
+    val ranged = normalized.repartitionByRange(parts, col(key))
+      .sortWithinPartitions(col(key))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Phase 1+2: per-partition totals -> driver prefix sum. Range
+    // partition indices ascend with the key range, so offset order is
+    // partition-id order. Only P (pid, sum) rows ever reach the driver.
+    val totals = ranged
+      .select(spark_partition_id().as("_pid"), col(weight))
+      .groupBy(col("_pid"))
+      .agg(sum(col(weight)).as("_psum"))
+      .orderBy(col("_pid"))
       .collect()
     var acc = 0L
-    val offsets = totals.map { r =>
-      val off = acc
+    val offsets = new Array[Long](parts)
+    totals.foreach { r =>
+      offsets(r.getInt(0)) = acc
       acc += r.getLong(1)
-      (r.getInt(0), off)
-    }.toSeq
-    val offsetDf = df.sparkSession.createDataFrame(offsets).toDF("_pid", "_offset")
-    // Phase 3: local running sum per partition + broadcast offset.
-    val w = Window.partitionBy(col("_pid")).orderBy(col(key))
-    ranged.join(broadcast(offsetDf), Seq("_pid"))
-      .withColumn("cum_w", sum(col(weight)).over(w) + col("_offset"))
-      .withColumn("shard", floor((col("cum_w") - col(weight)) / lit(budget)))
-      .drop("_pid", "_offset")
+    }
+    val offsetsB = spark.sparkContext.broadcast(offsets)
+    // Phase 3: partition-local fold, seeded with the partition's offset.
+    val wIdx = ranged.schema.fieldIndex(weight)
+    val outSchema = ranged.schema.add("cum_w", LongType).add("shard", LongType)
+    ranged.mapPartitions { it =>
+      var acc = offsetsB.value(TaskContext.getPartitionId())
+      it.map { r =>
+        val w = r.getLong(wIdx)
+        acc += w
+        Row.fromSeq(r.toSeq :+ acc :+ (acc - w) / budget)
+      }
+    }(Encoders.row(outSchema))
   }
 }
