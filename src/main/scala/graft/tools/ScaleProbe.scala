@@ -11,6 +11,9 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factors = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 5, 20)
+    // comma-separated op-label filter (default: all)
+    val only: Set[String] = sys.env.get("SCALE_OPS")
+      .map(_.split(",").toSet).getOrElse(Set.empty)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -31,11 +34,12 @@ object ScaleProbe {
         .persist()
       val n = docs.count()
 
-      def time(label: String)(body: => Long): Unit = {
-        val t0 = System.nanoTime()
-        val rows = body
-        println(f"[scale] f=$f%-3d n=$n%-7d $label%-18s ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($rows rows)")
-      }
+      def time(label: String)(body: => Long): Unit =
+        if (only.isEmpty || only(label)) {
+          val t0 = System.nanoTime()
+          val rows = body
+          println(f"[scale] f=$f%-3d n=$n%-7d $label%-18s ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($rows rows)")
+        }
 
       time("minhash_neardup") {
         graft.ops.Dedup.minHashNearDups(docs, "doc_id", "text", minJaccard = 0.5).count()
@@ -52,6 +56,29 @@ object ScaleProbe {
           length(col("text")).cast("long"),
           graft.ops.TextAnalysis.wordOccurrences(lower(col("text")),
             graft.ops.TextAnalysis.englishStopwords)).as("q")).filter(col("q")).count()
+      }
+      time("decontaminate") {
+        graft.ops.Dedup.decontaminationOverlap(docs, "doc_id", "text",
+          base.filter(col("doc_id") % 20 === 0), "text", k = 5).count()
+      }
+      time("repetition_stats") {
+        graft.ops.TextAnalysis.repetitionStats(docs, "doc_id", "text").count()
+      }
+      time("pack_shards") {
+        graft.ops.Packing.assignShards(
+          docs.select(col("doc_id"),
+            graft.ops.TextAnalysis.tokenCount(col("text")).as("w")),
+          "doc_id", "w", 5000L).count()
+      }
+      time("cluster_survivors") {
+        val a = docs.select(col("doc_id").as("id_a"),
+          graft.expr.WordShingleHashes(col("text"), 3, distinct = true).as("_sa"))
+        val b = docs.select(col("doc_id").as("id_b"),
+          graft.expr.WordShingleHashes(col("text"), 3, distinct = true).as("_sb"))
+        val pairs = a.join(b, col("id_a") + 1 === col("id_b"))
+          .filter(graft.ops.Dedup.jaccard(col("_sa"), col("_sb")) >= 0.01)
+          .select(col("id_a"), col("id_b"))
+        graft.ops.Dedup.survivorsAfterNearDedup(docs, "doc_id", pairs).count()
       }
       docs.unpersist()
     }
