@@ -54,6 +54,51 @@ object PropertiesSpec extends Properties("graft") {
         out.forall(r => inSet.contains((r.getLong(0), r.getString(1), r.getLong(2))))
     }
 
+  property("redactPii is idempotent: redact(redact(x)) == redact(x)") =
+    forAll(Gen.listOfN(6, Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(20)),
+      Gen.const("mail me a.b@c.example.org now"),
+      Gen.const("call +1 415 555 0199 today"),
+      Gen.choose(100000L, 99999999L).map(n => s"acct $n pending"),
+      Gen.const("")))) { texts =>
+      import spark.implicits._
+      import graft.ops.TextAnalysis.redactPii
+      val df = texts.toDF("t")
+      val once = df.select(redactPii(col("t")).as("r")).collect().map(_.getString(0)).toSeq
+      val twice = df.select(redactPii(redactPii(col("t"))).as("r"))
+        .collect().map(_.getString(0)).toSeq
+      once == twice
+    }
+
+  property("temperatureWeights: weights normalize to 1, tau=1 is natural mix") =
+    forAll(Gen.listOfN(30, Gen.choose(0L, 4L).map(g => s"g$g"))) { groups =>
+      Prop.propBoolean(groups.nonEmpty) ==> {
+        import spark.implicits._
+        val df = groups.toDF("g")
+        val w1 = graft.ops.Sampling.temperatureWeights(df, "g", 1.0)
+          .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+        val total = groups.size.toDouble
+        val sumsTo1 = math.abs(w1.values.map(_._2).sum - 1.0) < 1e-6
+        val natural = w1.forall { case (_, (n, w)) => math.abs(w - n / total) < 1e-6 }
+        sumsTo1 && natural
+      }
+    }
+
+  property("assignShards == naive global prefix sum for arbitrary weights") =
+    forAll(Gen.listOfN(40, Gen.choose(1L, 50L)), Gen.choose(1, 6)) { (ws, parts) =>
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val df = ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("k", "w")
+      val win = Window.orderBy(col("k")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val naive = df.withColumn("cum_w", sum(col("w")).over(win))
+        .withColumn("shard", floor((col("cum_w") - col("w")) / lit(60L)))
+        .select("k", "cum_w", "shard").collect().map(_.toSeq).toSet
+      val dist = graft.ops.Packing.assignShards(df, "k", "w", 60L, numPartitions = parts)
+        .select("k", "cum_w", "shard").collect().map(_.toSeq).toSet
+      naive == dist
+    }
+
   property("toLongCoerce total under ANSI: parses clean ints, nulls garbage") =
     forAll(Gen.listOfN(8, Gen.oneOf(
       Gen.choose(-1000000L, 1000000L).map(_.toString),
