@@ -402,6 +402,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // X5 — resize stub (every-4th-byte downsample): the resized LENGTH
+    // is deterministic (ceil(n/4)), so the plumbing is oracle-gated even
+    // though the kernel is a stand-in.
+    "x5_resize" -> ((s, dir) => {
+      import s.implicits._
+      val recs = Multimodal.packBinary(
+          Tables.documents(s, dir), "doc_id", "text", "lang", "text/plain")
+        .as[Multimodal.MediaRecord]
+      Multimodal.resizePayloads(recs, 4).toDF()
+        .select(col("doc_id"), length(col("payload")).cast("long").as("resized_bytes"))
+        .orderBy("doc_id")
+    }),
+
     // X5 — batched per-partition feature extraction through the STUB
     // decode kernel (mapPartitions plumbing; stub ⇒ rows-only check).
     "x5_features_stub" -> ((s, dir) => {
@@ -1147,6 +1160,11 @@ object SparkEntry {
       """SELECT doc_id,
         | substring(sha256(regexp_replace(regexp_replace(lower(trim(text)),
         |   '[.,!?;:]', '', 'g'), '\s+', ' ', 'g')), 1, 16) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x5_resize" ->
+      """SELECT doc_id,
+        | CAST(ceil(octet_length(encode(text)) / 4.0) AS BIGINT) AS resized_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "x5_binary_meta" ->

@@ -63,6 +63,23 @@ object Multimodal {
     }
   }
 
+  /** Resize analog — deterministic downsample STUB: keep every
+    * `factor`-th byte (a real pipeline would pixel-resize / resample
+    * audio here; bytes-in → smaller-bytes-out is the real contract).
+    * Same batched mapPartitions shape as [[extractFeatures]]. */
+  def resizePayloads(records: Dataset[MediaRecord], factor: Int): Dataset[MediaRecord] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map { r =>
+        val src = r.payload
+        val out = new Array[Byte]((src.length + factor - 1) / factor)
+        var i = 0
+        while (i < out.length) { out(i) = src(i * factor); i += 1 }
+        MediaRecord(r.doc_id, out, r.fmt, r.lang)
+      }
+    }
+  }
+
   /** Frame-sampling analog: cut the payload into `frameBytes`-sized
     * frames and keep every `stride`-th one (as a real pipeline samples
     * video frames) — native substring arithmetic, no decode needed.
