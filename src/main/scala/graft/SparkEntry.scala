@@ -62,10 +62,10 @@ object SparkEntry {
         .filter(col("l_shipdate") <= to_timestamp(lit("1998-12-01")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec(col("l_quantity"))).cast("decimal(38,2)").as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).cast("decimal(38,2)").as("sum_base_price"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
           sum(dec(col("l_extendedprice")) * (dec(lit(1)) - dec(col("l_discount"))))
-            .cast("decimal(38,4)").as("sum_disc_price"),
+            .cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -81,7 +81,7 @@ object SparkEntry {
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate"))
         .agg(sum(dec(col("l_extendedprice")) * (dec(lit(1)) - dec(col("l_discount"))))
-          .cast("decimal(38,4)").as("revenue"))
+          .cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey").asc)
         .limit(10)
     }),
@@ -124,7 +124,7 @@ object SparkEntry {
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .rollup(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_cust"),
-          sum(dec(col("c_acctbal"))).cast("decimal(38,2)").as("sum_bal"))
+          sum(dec(col("c_acctbal"))).cast("double").as("sum_bal"))
         .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
     }),
 
@@ -134,7 +134,7 @@ object SparkEntry {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_cust"),
           countDistinct(col("c_nationkey")).as("n_nations"),
-          sum(dec(col("c_acctbal"))).cast("decimal(38,2)").as("sum_bal"))
+          sum(dec(col("c_acctbal"))).cast("double").as("sum_bal"))
         .orderBy("c_mktsegment")
     }),
 
@@ -285,7 +285,7 @@ object SparkEntry {
           col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
         .groupBy(col("n_name"))
         .agg(sum(dec(col("l_extendedprice")) * (dec(lit(1)) - dec(col("l_discount"))))
-          .cast("decimal(38,4)").as("revenue"))
+          .cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("n_name").asc)
     }),
 
@@ -416,13 +416,17 @@ object SparkEntry {
     }),
 
     // X5 — batched per-partition feature extraction through the STUB
-    // decode kernel (mapPartitions plumbing; stub ⇒ rows-only check).
+    // decode kernel (mapPartitions plumbing). The float32 feature values
+    // are engine-specific (unit-tested in MultimodalSpec); the oracle
+    // gates the plumbing columns. Raw arrays stay out of the output —
+    // the driver's pandas sort can't order ndarray cells.
     "x5_features_stub" -> ((s, dir) => {
       import s.implicits._
       val packed = Multimodal.packBinary(Tables.documents(s, dir),
         "doc_id", "text", "lang", "text/plain").as[Multimodal.MediaRecord]
       Multimodal.extractFeatures(packed).toDF()
-        .select(col("doc_id"), col("n_bytes"), col("fmt"), col("feature"))
+        .select(col("doc_id"), col("n_bytes"), col("fmt"),
+          size(col("feature")).cast("long").as("feat_dim"))
         .orderBy("doc_id")
     }),
 
@@ -433,8 +437,8 @@ object SparkEntry {
       Tables.orders(s, dir)
         .withColumn("run_total",
           sum(dec(col("o_totalprice"))).over(w.rowsBetween(Window.unboundedPreceding, 0))
-            .cast("decimal(38,2)"))
-        .withColumn("prev_price", lag(dec(col("o_totalprice")), 1).over(w))
+            .cast("double"))
+        .withColumn("prev_price", lag(dec(col("o_totalprice")), 1).over(w).cast("double"))
         .select(col("o_custkey"), col("o_orderkey"), col("run_total"), col("prev_price"))
         .orderBy("o_custkey", "o_orderkey")
     }),
@@ -444,7 +448,7 @@ object SparkEntry {
       Tables.orders(s, dir)
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          sum(dec(col("o_totalprice"))).cast("decimal(38,2)").as("sum_price"))
+          sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
     }),
 
@@ -459,7 +463,7 @@ object SparkEntry {
         .agg(sum(qs).cast("long").as("sum_qs"), count(lit(1)).as("cnt"))
       l.join(broadcast(perPart), col("l_partkey") === col("pk"))
         .filter(qs * 2 * col("cnt") < col("sum_qs"))
-        .agg(sum(dec(col("l_extendedprice"))).cast("decimal(38,2)").as("total_price"),
+        .agg(sum(dec(col("l_extendedprice"))).cast("double").as("total_price"),
           count(lit(1)).as("n_lines"))
     }),
 
@@ -547,7 +551,7 @@ object SparkEntry {
       Coerce.toSchema(back, target)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(dec(col("value"))).cast("decimal(38,2)").as("sum_v"),
+          sum(dec(col("value"))).cast("double").as("sum_v"),
           min(col("event_id")).cast("long").as("min_id"),
           max(col("event_id")).cast("long").as("max_id"))
         .orderBy("event_type")
@@ -568,7 +572,7 @@ object SparkEntry {
         .filter(col("supp_nk") < 3 || col("cust_nk") < 3)
         .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).cast("long").as("l_year"))
         .agg(sum(dec(col("l_extendedprice")) * (dec(lit(1)) - dec(col("l_discount"))))
-          .cast("decimal(38,4)").as("revenue"))
+          .cast("double").as("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     }),
 
@@ -651,7 +655,7 @@ object SparkEntry {
           Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
           col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          sum(dec(col("o_totalprice"))).cast("decimal(38,2)").as("sum_price"))
+          sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
     }),
 
@@ -664,7 +668,7 @@ object SparkEntry {
           count(when(col("o_orderstatus") === "F", 1)).as("n_finished"),
           count(when(col("o_orderpriority").startsWith("1"), 1)).as("n_urgent"),
           sum(when(col("o_orderstatus") === "O", dec(col("o_totalprice"))))
-            .cast("decimal(38,2)").as("open_price"))
+            .cast("double").as("open_price"))
         .orderBy("y")
     }),
 
@@ -706,8 +710,9 @@ object SparkEntry {
     "q18_large_orders" -> ((s, dir) => {
       val big = Tables.lineitem(s, dir)
         .groupBy(col("l_orderkey"))
-        .agg(sum(dec(col("l_quantity"))).cast("decimal(38,2)").as("total_qty"))
-        .filter(col("total_qty") > 300)
+        .agg(sum(dec(col("l_quantity"))).as("tq"))
+        .filter(col("tq") > 300)
+        .withColumn("total_qty", col("tq").cast("double")).drop("tq")
       Tables.orders(s, dir).join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
         .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
         .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
@@ -729,7 +734,7 @@ object SparkEntry {
           (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
             col("l_quantity").between(20, 30)))
         .agg(sum(dec(col("l_extendedprice")) * (dec(lit(1)) - dec(col("l_discount"))))
-          .cast("decimal(38,4)").as("revenue"), count(lit(1)).as("n_lines"))
+          .cast("double").as("revenue"), count(lit(1)).as("n_lines"))
     }),
 
     // Correlated scalar subqueries through the SQL surface (Catalyst
@@ -764,7 +769,7 @@ object SparkEntry {
       Tables.lineitem(s, dir).join(o, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_lines"),
-          sum(dec(col("l_extendedprice"))).cast("decimal(38,2)").as("sum_price"))
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"))
         .orderBy("o_orderstatus")
     }),
 
@@ -881,7 +886,7 @@ object SparkEntry {
           Tables.events(s, dir), "ts", "2 hours", "1 hour")
         .groupBy(col("window_start"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(dec(col("value"))).cast("decimal(38,2)").as("sum_v"))
+          sum(dec(col("value"))).cast("double").as("sum_v"))
         .orderBy("window_start", "event_type")
     }),
 
@@ -909,16 +914,16 @@ object SparkEntry {
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
         | count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-12-01'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q3_top_revenue_orders" ->
       """SELECT o_orderkey, o_orderdate,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -949,7 +954,7 @@ object SparkEntry {
 
     "agg_rollup_region" ->
       """SELECT r_name, n_name, count(*) AS n_cust,
-        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_bal
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -959,7 +964,7 @@ object SparkEntry {
     "agg_distinct_segments" ->
       """SELECT c_mktsegment, count(*) AS n_cust,
         | count(DISTINCT c_nationkey) AS n_nations,
-        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_bal
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "set_except_customers" ->
@@ -1047,7 +1052,7 @@ object SparkEntry {
 
     "q5_local_volume" ->
       """SELECT n_name,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -1167,6 +1172,11 @@ object SparkEntry {
         | CAST(ceil(octet_length(encode(text)) / 4.0) AS BIGINT) AS resized_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "x5_features_stub" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | 'text/plain' AS fmt, CAST(8 AS BIGINT) AS feat_dim
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "x5_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         | 'text/plain' AS fmt, lang
@@ -1174,8 +1184,8 @@ object SparkEntry {
 
     "window_running_total" ->
       """SELECT o_custkey, o_orderkey,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DECIMAL(38,2)) AS run_total,
-        | LAG(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER w AS prev_price
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS run_total,
+        | CAST(LAG(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER w AS DOUBLE) AS prev_price
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
         |             ROWS UNBOUNDED PRECEDING)
@@ -1183,7 +1193,7 @@ object SparkEntry {
 
     "agg_cube_orders" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
 
@@ -1193,7 +1203,7 @@ object SparkEntry {
         |    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qs,
         |    count(*) AS cnt
         |  FROM lineitem GROUP BY l_partkey)
-        |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price,
+        |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
         |  count(*) AS n_lines
         |FROM lineitem JOIN pp ON l_partkey = pk
         |WHERE CAST(round(l_quantity * 100) AS BIGINT) * 2 * cnt < sum_qs""".stripMargin,
@@ -1248,7 +1258,7 @@ object SparkEntry {
     "stream_tumbling_agg" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         | count(*) AS n,
-        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_v
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "stream_sessionize" ->
@@ -1266,7 +1276,7 @@ object SparkEntry {
         |SELECT user_id, min(ts) AS session_start,
         |  max(ts) + INTERVAL 30 MINUTE AS session_end,
         |  count(*) AS n_events,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_v
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
 
     "profile_events" ->
@@ -1303,7 +1313,7 @@ object SparkEntry {
 
     "csv_roundtrip_load" ->
       """SELECT event_type, count(*) AS n,
-        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_v,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
         | CAST(min(event_id) AS BIGINT) AS min_id,
         | CAST(max(event_id) AS BIGINT) AS max_id
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
@@ -1311,7 +1321,7 @@ object SparkEntry {
     "q7_volume_shipping" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         | CAST(year(l_shipdate) AS BIGINT) AS l_year,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN orders ON l_orderkey = o_orderkey
@@ -1365,7 +1375,7 @@ object SparkEntry {
         |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
         |  FROM documents)
         |SELECT doc_id, n_tokens,
-        |  sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_w,
+        |  CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_w,
         |  CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
         |    - n_tokens) / 5000.0) AS BIGINT) AS shard
         |FROM d ORDER BY doc_id""".stripMargin,
@@ -1392,14 +1402,16 @@ object SparkEntry {
         |    unnest(generate_series(1, len(string_split_regex(lower(text), '\s+')))) AS pos
         |  FROM documents WHERE doc_id < 200),
         |ws AS (
-        |  SELECT doc_id, sum(c) AS n_tokens, max(c) AS top_word_n
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(max(c) AS BIGINT) AS top_word_n
         |  FROM (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2)
         |  GROUP BY 1),
         |bg AS (
         |  SELECT doc_id, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
         |  FROM toks),
         |bs AS (
-        |  SELECT doc_id, sum(c) AS n_bigrams, sum(c) - count(*) AS dup_bigram_n
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(c) - count(*) AS BIGINT) AS dup_bigram_n
         |  FROM (SELECT doc_id, bg, count(*) AS c FROM bg WHERE bg IS NOT NULL GROUP BY 1, 2)
         |  GROUP BY 1)
         |SELECT ws.doc_id, n_tokens, top_word_n, n_bigrams, dup_bigram_n
@@ -1472,7 +1484,7 @@ object SparkEntry {
 
     "window_sliding_batch" ->
       """SELECT ws AS window_start, event_type, count(*) AS n,
-        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_v
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
         |FROM (SELECT unnest([date_trunc('hour', ts),
         |                    date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws,
         |             event_type, value
@@ -1481,7 +1493,7 @@ object SparkEntry {
 
     "agg_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
@@ -1491,7 +1503,7 @@ object SparkEntry {
         | count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
         | count(*) FILTER (WHERE o_orderpriority LIKE '1%') AS n_urgent,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-        |   FILTER (WHERE o_orderstatus = 'O') AS DECIMAL(38,2)) AS open_price
+        |   FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS open_price
         |FROM orders GROUP BY 1 ORDER BY y""".stripMargin,
 
     "join_full_outer_activity" ->
@@ -1520,9 +1532,9 @@ object SparkEntry {
     "q18_large_orders" ->
       """WITH big AS (
         |  SELECT l_orderkey,
-        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_qty
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
         |  FROM lineitem GROUP BY l_orderkey
-        |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) > 300)
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300)
         |SELECT c_custkey, c_name, o_orderkey, o_totalprice, total_qty
         |FROM orders JOIN big ON o_orderkey = l_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -1530,7 +1542,7 @@ object SparkEntry {
 
     "q19_disjunctive_filter" ->
       """SELECT
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
         | count(*) AS n_lines
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
@@ -1554,7 +1566,7 @@ object SparkEntry {
 
     "join_hint_shuffle_hash" ->
       """SELECT o_orderstatus, count(*) AS n_lines,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 

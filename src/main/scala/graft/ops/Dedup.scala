@@ -169,45 +169,65 @@ object Dedup {
     * definition). `cluster` = min id of the component. */
   def clusterPairs(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    val spark = pairs.sparkSession
     val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
     val edges = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .repartition(col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // decimal(38,0): id sums can exceed Long at large cardinality
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster").cast("decimal(38,0)"))).head().getDecimal(0)
-    var prevSum = labelSum(labels)
-    var converged = false
-    var round = 0
-    while (!converged && round < maxRounds) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("cluster", "_nc"), Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(min(col("_nc")).as("_nbmin"))
-      val hop = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("_nbmin"), col("cluster"))).as("cluster"))
-        .persist(StorageLevel.MEMORY_AND_DISK) // read twice below (no cross-branch CSE)
-      val next = hop.as("a")
-        .join(hop.select(col("id").as("_pid"), col("cluster").as("_pc")),
-          col("a.cluster") === col("_pid"), "left")
-        .select(col("a.id").as("id"),
-          least(col("a.cluster"), coalesce(col("_pc"), col("a.cluster"))).as("cluster"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val newSum = labelSum(next) // materializes next
-      hop.unpersist()
-      labels.unpersist()
-      labels = next
-      converged = newSum.compareTo(prevSum) == 0
-      prevSum = newSum
-      round += 1
-    }
-    edges.unpersist()
-    labels
+    val nEdges = edges.count() // one scalar to the driver; also warms the cache
+    // Size the loop's shuffle width to the EDGE volume, not the session
+    // default: the candidate-pair graph is typically orders of magnitude
+    // smaller than the corpus that produced it, and an iterative loop
+    // multiplies any fixed per-partition cost by rounds x stages. ~1M
+    // edges per partition; never wider than the session default.
+    val sessionWidth = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val loopWidth = math.max(1L, math.min(sessionWidth.toLong, nEdges / 1000000L + 1L)).toInt
+    val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", loopWidth)
+    try {
+      // decimal(38,0): id sums can exceed Long at large cardinality.
+      // sum() over zero rows is NULL - an empty pair set (legal in
+      // production: a chunk with no near-dup candidates) must read as
+      // ZERO, not NPE on the compareTo below.
+      def labelSum(df: DataFrame): java.math.BigDecimal =
+        Option(df.agg(sum(col("cluster").cast("decimal(38,0)"))).head().getDecimal(0))
+          .getOrElse(java.math.BigDecimal.ZERO)
+      // localCheckpoint (not persist) for the evolving labels frame:
+      // it truncates lineage so round N's plan doesn't nest all N-1
+      // previous plans - with plain persist, Catalyst re-analyzes a
+      // tree that grows per round and the loop goes superlinear.
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("cluster", col("id"))
+        .localCheckpoint(eager = true)
+      var prevSum = labelSum(labels)
+      var converged = false
+      var round = 0
+      while (!converged && round < maxRounds) {
+        val neighborMin = edges
+          .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("cluster", "_nc"), Seq("dst"))
+          .groupBy(col("src").as("id"))
+          .agg(min(col("_nc")).as("_nbmin"))
+        val hop = labels.join(neighborMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("cluster"), coalesce(col("_nbmin"), col("cluster"))).as("cluster"))
+          .persist(StorageLevel.MEMORY_AND_DISK) // read twice below (no cross-branch CSE)
+        val next = hop.as("a")
+          .join(hop.select(col("id").as("_pid"), col("cluster").as("_pc")),
+            col("a.cluster") === col("_pid"), "left")
+          .select(col("a.id").as("id"),
+            least(col("a.cluster"), coalesce(col("_pc"), col("a.cluster"))).as("cluster"))
+          .localCheckpoint(eager = true)
+        val newSum = labelSum(next)
+        hop.unpersist()
+        labels = next
+        converged = newSum.compareTo(prevSum) == 0
+        prevSum = newSum
+        round += 1
+      }
+      edges.unpersist()
+      labels
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
   }
 
   /** Benchmark decontamination: flag corpus documents sharing ≥
@@ -239,13 +259,18 @@ object Dedup {
     * id set as a one-column frame. */
   def survivorsAfterNearDedup(df: DataFrame, id: String, pairs: DataFrame): DataFrame = {
     val clustered = clusterPairs(pairs)
-    // Non-survivors are a tiny id list (bounded by pair count): localCheckpoint
-    // severs the iterative lineage and lets the loop's cached frames free
-    // (clusterPairs' returned cache would otherwise pin per invocation).
+    // localCheckpoint severs the iterative lineage and lets the loop's
+    // cached frames free (clusterPairs' returned cache would otherwise
+    // pin per invocation).
     val drop = clustered.filter(col("id") =!= col("cluster")).select(col("id").as(id))
       .localCheckpoint(eager = true)
     clustered.unpersist()
-    df.select(col(id)).join(broadcast(drop), Seq(id), "left_anti")
+    // No broadcast hint: the non-survivor list is bounded by candidate-
+    // pair count, which at 100 TB with tens-of-percent dup rates is
+    // billions of ids — an explicit hint would bypass
+    // autoBroadcastJoinThreshold and OOM. AQE picks broadcast at runtime
+    // whenever drop turns out small.
+    df.select(col(id)).join(drop, Seq(id), "left_anti")
   }
 
   // ---------------------------------------------------------------------

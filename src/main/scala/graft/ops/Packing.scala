@@ -28,9 +28,10 @@ import org.apache.spark.sql.types.LongType
   * redundant hash exchange of the whole corpus (Catalyst cannot know the
   * rows are already grouped by physical partition), while the
   * partition-local fold reuses the range exchange — one corpus shuffle
-  * total. The result is byte-identical to the global window (prefix sums
-  * don't depend on where partition boundaries fall), which is exactly
-  * what the DuckDB oracle checks.
+  * total. The result is value-identical to the global window the DuckDB
+  * oracle runs (prefix sums don't depend on where partition boundaries
+  * fall); the oracle casts its window sum to BIGINT so the type matches
+  * Spark's long output under the strict hash gate.
   */
 object Packing {
 

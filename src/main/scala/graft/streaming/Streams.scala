@@ -69,7 +69,7 @@ object Streams {
     val agg = eventsStream(spark, sfDir)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_v"))
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_v"))
     withStatePartitions(spark, 8) {
       val q = agg.writeStream
@@ -168,7 +168,7 @@ object Streams {
     val agg = eventsStream(spark, sfDir)
       .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_v"))
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"), col("sum_v"))
     withStatePartitions(spark, 8) {

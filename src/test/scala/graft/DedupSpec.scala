@@ -86,6 +86,15 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(kept == Set(1L, 10L, 99L))
   }
 
+  test("survivorsAfterNearDedup with ZERO candidate pairs keeps everything") {
+    // a chunk with no near-dups is a legal production case — must not NPE
+    val universe = Seq(1L, 2L, 3L).map(Tuple1(_)).toDF("doc_id")
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val kept = Dedup.survivorsAfterNearDedup(universe, "doc_id", empty)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L))
+  }
+
   test("X3 SimHash: exact dups hamming 0; verified pairs only") {
     val out = Dedup.simHashNearDups(docs, "doc_id", "text", maxHamming = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
