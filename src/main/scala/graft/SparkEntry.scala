@@ -1172,9 +1172,13 @@ object SparkEntry {
         | CAST(ceil(octet_length(encode(text)) / 4.0) AS BIGINT) AS resized_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // feat_dim is derived from Multimodal.stubFeatureDim (not a hardcoded
+    // mirror of the stub's width) — a stub dimension change flows into the
+    // oracle automatically; the feature VALUES are unit-tested in
+    // MultimodalSpec.
     "x5_features_stub" ->
-      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        | 'text/plain' AS fmt, CAST(8 AS BIGINT) AS feat_dim
+      s"""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | 'text/plain' AS fmt, CAST(${ops.Multimodal.stubFeatureDim} AS BIGINT) AS feat_dim
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "x5_binary_meta" ->

@@ -167,67 +167,99 @@ object Dedup {
     * Input: (id_a, id_b) pairs. Output: (id, cluster) for every id that
     * appears in some pair (singletons never enter and survive dedup by
     * definition). `cluster` = min id of the component. */
+  /** Release the block-store blocks behind a `localCheckpoint`'d frame.
+    * `Dataset.unpersist()` only clears CacheManager entries (`.persist`),
+    * not the RDD a checkpoint pinned — without this, reclamation waits on
+    * driver GC + ContextCleaner and blocks accumulate across rounds. */
+  def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   def clusterPairs(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val spark = pairs.sparkSession
-    val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-    val edges = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .repartition(col("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nEdges = edges.count() // one scalar to the driver; also warms the cache
     // Size the loop's shuffle width to the EDGE volume, not the session
     // default: the candidate-pair graph is typically orders of magnitude
     // smaller than the corpus that produced it, and an iterative loop
     // multiplies any fixed per-partition cost by rounds x stages. ~1M
-    // edges per partition; never wider than the session default.
+    // edges per partition; never wider than the session default. The
+    // width is applied as explicit plan-local repartition() calls — the
+    // session conf is never mutated, so concurrent queries on the same
+    // SparkSession are unaffected. pairs is persisted so counting it
+    // doesn't recompute the (possibly expensive) candidate pipeline when
+    // edges materialize below.
+    val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    val nPairs = p.count()
     val sessionWidth = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val loopWidth = math.max(1L, math.min(sessionWidth.toLong, nEdges / 1000000L + 1L)).toInt
-    val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", loopWidth)
-    try {
-      // decimal(38,0): id sums can exceed Long at large cardinality.
-      // sum() over zero rows is NULL - an empty pair set (legal in
-      // production: a chunk with no near-dup candidates) must read as
-      // ZERO, not NPE on the compareTo below.
-      def labelSum(df: DataFrame): java.math.BigDecimal =
-        Option(df.agg(sum(col("cluster").cast("decimal(38,0)"))).head().getDecimal(0))
-          .getOrElse(java.math.BigDecimal.ZERO)
-      // localCheckpoint (not persist) for the evolving labels frame:
-      // it truncates lineage so round N's plan doesn't nest all N-1
-      // previous plans - with plain persist, Catalyst re-analyzes a
-      // tree that grows per round and the loop goes superlinear.
-      var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("cluster", col("id"))
+    val loopWidth =
+      math.max(1L, math.min(sessionWidth.toLong, 2L * nPairs / 1000000L + 1L)).toInt
+    val fwd = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+    // Pre-partitioned at loopWidth on the loop's join key, so the
+    // per-round neighbor join reads the cached layout as-is and never
+    // re-shuffles the (larger) edge table.
+    val edges = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(loopWidth, col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count() // materialize the cache before the loop
+    p.unpersist()
+    // decimal(38,0): id sums can exceed Long at large cardinality.
+    // sum() over zero rows is NULL - an empty pair set (legal in
+    // production: a chunk with no near-dup candidates) must read as
+    // ZERO, not NPE on the compareTo below.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("cluster").cast("decimal(38,0)"))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
+    // localCheckpoint (not persist) for the evolving labels frame:
+    // it truncates lineage so round N's plan doesn't nest all N-1
+    // previous plans - with plain persist, Catalyst re-analyzes a
+    // tree that grows per round and the loop goes superlinear. Each
+    // round explicitly unpersists the previous round's checkpoint once
+    // the new one is materialized — reclamation must not wait on driver
+    // GC / ContextCleaner, or blocks pile up across rounds+invocations.
+    var labels = edges.select(col("src").as("id"))
+      .repartition(loopWidth, col("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint(eager = true)
+    var prevSum = labelSum(labels)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // labels re-shuffles to the edge layout (hash(dst, loopWidth)) so
+      // the join adds no exchange on the edge side; every shuffle in the
+      // round is pinned to loopWidth by explicit repartition, keeping
+      // the loop narrow without touching spark.sql.shuffle.partitions.
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("cluster", "_nc")
+          .repartition(loopWidth, col("dst")), Seq("dst"))
+        .repartition(loopWidth, col("src"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("_nc")).as("_nbmin"))
+      val hop = labels.repartition(loopWidth, col("id"))
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("_nbmin"), col("cluster"))).as("cluster"))
+        .persist(StorageLevel.MEMORY_AND_DISK) // read twice below (no cross-branch CSE)
+      val next = hop.repartition(loopWidth, col("cluster")).as("a")
+        .join(hop.select(col("id").as("_pid"), col("cluster").as("_pc"))
+          .repartition(loopWidth, col("_pid")),
+          col("a.cluster") === col("_pid"), "left")
+        .select(col("a.id").as("id"),
+          least(col("a.cluster"), coalesce(col("_pc"), col("a.cluster"))).as("cluster"))
         .localCheckpoint(eager = true)
-      var prevSum = labelSum(labels)
-      var converged = false
-      var round = 0
-      while (!converged && round < maxRounds) {
-        val neighborMin = edges
-          .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("cluster", "_nc"), Seq("dst"))
-          .groupBy(col("src").as("id"))
-          .agg(min(col("_nc")).as("_nbmin"))
-        val hop = labels.join(neighborMin, Seq("id"), "left")
-          .select(col("id"),
-            least(col("cluster"), coalesce(col("_nbmin"), col("cluster"))).as("cluster"))
-          .persist(StorageLevel.MEMORY_AND_DISK) // read twice below (no cross-branch CSE)
-        val next = hop.as("a")
-          .join(hop.select(col("id").as("_pid"), col("cluster").as("_pc")),
-            col("a.cluster") === col("_pid"), "left")
-          .select(col("a.id").as("id"),
-            least(col("a.cluster"), coalesce(col("_pc"), col("a.cluster"))).as("cluster"))
-          .localCheckpoint(eager = true)
-        val newSum = labelSum(next)
-        hop.unpersist()
-        labels = next
-        converged = newSum.compareTo(prevSum) == 0
-        prevSum = newSum
-        round += 1
-      }
-      edges.unpersist()
-      labels
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
+      val newSum = labelSum(next)
+      hop.unpersist()
+      freeLocalCheckpoint(labels) // free the previous round's checkpoint blocks
+      labels = next
+      converged = newSum.compareTo(prevSum) == 0
+      prevSum = newSum
+      round += 1
+    }
+    edges.unpersist()
+    labels
   }
 
   /** Benchmark decontamination: flag corpus documents sharing ≥
@@ -264,7 +296,7 @@ object Dedup {
     // pin per invocation).
     val drop = clustered.filter(col("id") =!= col("cluster")).select(col("id").as(id))
       .localCheckpoint(eager = true)
-    clustered.unpersist()
+    freeLocalCheckpoint(clustered)
     // No broadcast hint: the non-survivor list is bounded by candidate-
     // pair count, which at 100 TB with tens-of-percent dup rates is
     // billions of ids — an explicit hint would bypass

@@ -33,20 +33,26 @@ object Multimodal {
       lit(fmt).as("fmt"),
       col(lang).as("lang"))
 
-  /** STUB decode kernel — deterministic fake "decoder": derives an
-    * 8-dim feature vector from byte statistics. A real pipeline would
-    * decode the payload (image → pixels, audio → samples) here; the
-    * signature (bytes in, fixed-width float vector out) is the real
-    * contract. */
+  /** Output width of [[stubDecodeFeatures]]. Public so the
+    * `x5_features_stub` oracle derives its expected `feat_dim` from this
+    * constant instead of hardcoding a mirror value. */
+  val stubFeatureDim: Int = 8
+
+  /** STUB decode kernel — deterministic fake "decoder": derives a
+    * [[stubFeatureDim]]-wide feature vector from byte statistics. A real
+    * pipeline would decode the payload (image → pixels, audio → samples)
+    * here; the signature (bytes in, fixed-width float vector out) is the
+    * real contract. */
   private def stubDecodeFeatures(payload: Array[Byte]): Array[Float] = {
     val n = payload.length
-    val feat = new Array[Float](8)
+    val d = stubFeatureDim
+    val feat = new Array[Float](d)
     var i = 0
     while (i < n) {
-      feat(i % 8) += (payload(i) & 0xFF) / 255.0f
+      feat(i % d) += (payload(i) & 0xFF) / 255.0f
       i += 1
     }
-    if (n > 0) { var j = 0; while (j < 8) { feat(j) /= n; j += 1 } }
+    if (n > 0) { var j = 0; while (j < d) { feat(j) /= n; j += 1 } }
     feat
   }
 
