@@ -904,7 +904,83 @@ object SparkEntry {
 
     // Streaming — exact dedup within watermark, then counts per type.
     "stream_dedup_counts" -> ((s, dir) =>
-      graft.streaming.Streams.dedupCounts(s, dir))
+      graft.streaming.Streams.dedupCounts(s, dir)),
+
+    // Streaming — stream-stream interval join (two watermarks, join
+    // state bounded by the time-range condition).
+    "stream_join_clickview" -> ((s, dir) =>
+      graft.streaming.Streams.clickViewJoin(s, dir)),
+
+    // W5 — SCD2 type-2 history: per-user event_type version intervals
+    // (valid_from/valid_to/is_current). Pre-deduped to one row per
+    // (user, ts) so the history is deterministic.
+    "w5_scd2_history" -> ((s, dir) => {
+      val ev = Dedup.firstPerKey(
+        Tables.events(s, dir)
+          .filter(col("user_id") < 40)
+          .select(col("user_id"), col("ts"), col("event_type"), col("event_id")),
+        Seq("user_id", "ts"), Seq("event_id"))
+      Merge.scd2History(ev.drop("event_id"), "user_id", "event_type", "ts")
+        .orderBy("user_id", "valid_from")
+    }),
+
+    // Skew — salted join must equal the plain join (the oracle runs the
+    // plain form): lineitem fact salted, orders dim exploded ×8.
+    "skew_salted_join" -> ((s, dir) => {
+      val fact = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_extendedprice"))
+      val dim = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      graft.ops.Skew.saltedJoin(fact, dim, "l_orderkey", factor = 8)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // S10 variant — ORC round-trip: columnar sink/source with the schema
+    // riding in the file (no infer+coerce hop needed).
+    "orc_roundtrip_load" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+      val src = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      Tables.writeOrc(src, s"$tmp/events_orc")
+      Tables.readOrc(s, s"$tmp/events_orc")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast("double").as("sum_v"),
+          min(col("event_id")).cast("long").as("min_id"),
+          max(col("event_id")).cast("long").as("max_id"))
+        .orderBy("event_type")
+    }),
+
+    // S10 variant — JSON-lines round-trip through schema inference +
+    // coercion (same read-infer-then-coerce split as the CSV hop).
+    "json_roundtrip_load" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+      val src = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      Tables.writeJsonl(src, s"$tmp/events_jsonl")
+      val back = Tables.readJsonl(s, s"$tmp/events_jsonl")
+      val target = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType)))
+      Coerce.toSchema(back, target)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast("double").as("sum_v"),
+          min(col("event_id")).cast("long").as("min_id"),
+          max(col("event_id")).cast("long").as("max_id"))
+        .orderBy("event_type")
+    }),
+
+    // X1e exact — all-pairs cosine near-dup over a bounded subset: the
+    // oracle-able exact form next to the bucketed (recall<1) scale path.
+    "x1_embedding_neardup_exact" -> ((s, dir) => {
+      Similarity.exactNearDupPairs(
+          Tables.embeddings(s, dir).filter(col("vec_id") < 400),
+          "vec_id", "embedding", minCosine = 0.25)
+        .orderBy("id_a", "id_b")
+    })
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -1581,6 +1657,77 @@ object SparkEntry {
         |      ORDER BY ts DESC, event_id DESC) AS rn,
         |    COUNT(*) OVER (PARTITION BY user_id) AS n_events
         |  FROM events) t
-        |WHERE rn = 1 ORDER BY user_id""".stripMargin
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // Batch form of the stream-stream interval join: same pairs.
+    "stream_join_clickview" ->
+      """SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id
+        |FROM events c JOIN events v
+        |  ON c.user_id = v.user_id
+        | AND v.ts >= c.ts - INTERVAL 1 HOUR AND v.ts <= c.ts
+        |WHERE c.event_type = 'click' AND v.event_type = 'view'
+        |  AND c.user_id < 200
+        |ORDER BY click_id, view_id""".stripMargin,
+
+    "w5_scd2_history" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+        |  FROM events WHERE user_id < 40),
+        |d AS (SELECT user_id, ts, event_type FROM e WHERE rn = 1),
+        |c AS (
+        |  SELECT user_id, ts, event_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn2
+        |  FROM d),
+        |cp AS (
+        |  SELECT user_id, event_type, ts AS valid_from
+        |  FROM c WHERE rn2 = 1 OR prev <> event_type)
+        |SELECT user_id, event_type, valid_from,
+        |  LEAD(valid_from) OVER w AS valid_to,
+        |  (LEAD(valid_from) OVER w IS NULL) AS is_current
+        |FROM cp
+        |WINDOW w AS (PARTITION BY user_id ORDER BY valid_from)
+        |ORDER BY user_id, valid_from""".stripMargin,
+
+    // The salted join's oracle is the PLAIN join — equality proves the
+    // salting is semantics-preserving.
+    "skew_salted_join" ->
+      """SELECT o_orderstatus, count(*) AS n_lines,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // Round-trip oracles read the ORIGINAL parquet — equality proves the
+    // ORC / JSONL hop is lossless.
+    "orc_roundtrip_load" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+        | CAST(min(event_id) AS BIGINT) AS min_id,
+        | CAST(max(event_id) AS BIGINT) AS max_id
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "json_roundtrip_load" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+        | CAST(min(event_id) AS BIGINT) AS min_id,
+        | CAST(max(event_id) AS BIGINT) AS max_id
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "x1_embedding_neardup_exact" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding,
+        |    list_sum(list_transform(generate_series(1, len(embedding)),
+        |      i -> embedding[i] * embedding[i])) AS nrm
+        |  FROM embeddings WHERE vec_id < 400),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(generate_series(1, len(a.embedding)),
+        |      i -> a.embedding[i] * b.embedding[i]))
+        |      / (sqrt(a.nrm) * sqrt(b.nrm)) AS sim
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(sim, 6) AS cos
+        |FROM p WHERE sim >= 0.25
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }

@@ -51,4 +51,21 @@ object Tables {
     * that mirrors the reference's read-infer-then-coerce split. */
   def readCsv(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  /** ORC sink/source — the columnar alternative stage boundary: schema
+    * rides in the file (no infer-then-coerce pass needed), predicate
+    * pushdown and column pruning work on read like parquet. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** JSON-lines sink/source — the interchange-format stage boundary
+    * (one JSON object per line, splittable). Read infers schema like
+    * CSV; coerce after with [[graft.ops.Coerce]] when the target schema
+    * is known. */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+  def readJsonl(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
 }

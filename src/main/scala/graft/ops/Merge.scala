@@ -72,6 +72,41 @@ object Merge {
     df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** W5 — type-2 slowly-changing-dimension history from a change log:
+    * one row per (key, run of equal `attr` values), carrying
+    * `valid_from` / `valid_to` / `is_current`. The audit-side complement
+    * of the LWW upsert: instead of keeping only the newest version,
+    * every version interval is preserved — the standard warehouse
+    * history table a load stage builds next to the current-state table.
+    *
+    * Rows are ordered per key by (`ts`, `tieBreak`); consecutive rows
+    * with the same `attr` collapse into one interval (null-safe
+    * comparison, so a null attribute forms its own runs). `valid_to` is
+    * the next interval's `valid_from`, null for the open interval.
+    *
+    * Scale shape: two keyed windows (lag to find change points, lead to
+    * close intervals) — both partition by `key`, so the only exchange is
+    * hash(key) and no global sort exists. Callers with multiple rows per
+    * (key, ts) must pass `tieBreak` to make the history deterministic. */
+  def scd2History(df: DataFrame, key: String, attr: String, ts: String,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val ord: Seq[Column] = col(ts).asc +: tieBreak.map(col(_).asc)
+    val w = Window.partitionBy(col(key)).orderBy(ord: _*)
+    val changePoints = df
+      .withColumn("_prev", lag(col(attr), 1).over(w))
+      .withColumn("_first", row_number().over(w) === 1)
+      // null-safe: a change is "not <=>" so runs of nulls collapse too
+      .filter(col("_first") || !(col("_prev") <=> col(attr)))
+      .select(col(key), col(attr), col(ts).as("valid_from"))
+    // change points inherit per-(key, ts[, tieBreak]) uniqueness from the
+    // filter above, so ordering by valid_from alone is deterministic as
+    // long as the caller's (ts, tieBreak) was a total order per key.
+    val w2 = Window.partitionBy(col(key)).orderBy(col("valid_from").asc)
+    changePoints
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   /** Latest-row-per-key via `max_by` hash aggregation — same result as
     * [[latestByKey]] when (recency ++ tieBreak) totally orders rows per
     * key, but partial-aggregates map-side: the shuffle carries one row

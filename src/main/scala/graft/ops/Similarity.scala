@@ -124,6 +124,23 @@ object Similarity {
     // one inverted list, so (qid, cid) surfaces at most once
   }
 
+  /** Exact all-pairs cosine near-dup over a BOUNDED id set — the
+    * oracle-able exact form of [[embeddingNearDups]] (which buckets
+    * first and has recall < 1). O(n²) by construction: the guarded
+    * operator for verification/eval subsets, never the 100 TB path —
+    * at scale, bucket first (LSH/IVF) and use this only within buckets.
+    * Same float-mul/double-sum cosine contract as the rest of X2. */
+  def exactNearDupPairs(df: DataFrame, id: String, vec: String,
+      minCosine: Double): DataFrame = {
+    val v = df.select(col(id).as("_id"), col(vec).as("_v"), normSq(col(vec)).as("_n"))
+    val a = v.select(col("_id").as("id_a"), col("_v").as("_va"), col("_n").as("_na"))
+    val b = v.select(col("_id").as("id_b"), col("_v").as("_vb"), col("_n").as("_nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", cosineWithNorms(dot(col("_va"), col("_vb")), col("_na"), col("_nb")))
+      .filter(col("cos") >= minCosine)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+
   /** Embedding near-duplicate pairs: same-bucket candidates with cosine
     * above `minCosine` (X1's embedding-cosine near-dup flavor). */
   def embeddingNearDups(df: DataFrame, id: String, vec: String,

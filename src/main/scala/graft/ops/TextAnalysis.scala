@@ -109,22 +109,30 @@ object TextAnalysis {
     * never corpus-wide. */
   def repetitionStats(df: org.apache.spark.sql.DataFrame, id: String,
       text: String): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = df.select(col(id),
-      posexplode(tokens(lower(col(text)))).as(Seq("pos", "w")))
-    val wordCounts = toks.groupBy(col(id), col("w")).agg(count(lit(1)).as("c"))
-    val wordStats = wordCounts.groupBy(col(id))
-      .agg(sum(col("c")).as("n_tokens"), max(col("c")).as("top_word_n"))
-    val byDoc = Window.partitionBy(col(id)).orderBy(col("pos"))
-    val bigrams = toks
-      .withColumn("w2", lead(col("w"), 1).over(byDoc))
-      .filter(col("w2").isNotNull)
-      .select(col(id), concat_ws(" ", col("w"), col("w2")).as("bg"))
-    val bigramStats = bigrams.groupBy(col(id), col("bg")).agg(count(lit(1)).as("c"))
+    // Token and bigram streams from the codegen'd shingle-hash kernel
+    // (k=1 / k=2, duplicates kept): the bigram string never materializes
+    // and every shuffle carries (id, int64) instead of (id, string).
+    // This also drops the per-doc window sort the lead()-based bigram
+    // form needed — at 100 TB that sort is a full extra exchange+sort
+    // over the exploded token stream. Counting over hashes is exact
+    // modulo per-doc 2^-64 collisions (the same contract the Jaccard
+    // verify kernels use).
+    val tok1 = df.select(col(id),
+      explode(graft.expr.WordShingleHashes(col(text), 1, distinct = false)).as("_h"))
+    val wordStats = tok1.groupBy(col(id), col("_h")).agg(count(lit(1)).as("c"))
       .groupBy(col(id))
-      .agg(sum(col("c")).as("n_bigrams"),
-        (sum(col("c")) - count(lit(1))).as("dup_bigram_n"))
+      .agg(sum(col("c")).as("n_tokens"), max(col("c")).as("top_word_n"))
+    val tok2 = df.select(col(id),
+      explode(graft.expr.WordShingleHashes(col(text), 2, distinct = false)).as("_h"))
+    val bigramStats = tok2.groupBy(col(id), col("_h")).agg(count(lit(1)).as("c"))
+      .groupBy(col(id))
+      .agg(sum(col("c")).as("_nb"), (sum(col("c")) - count(lit(1))).as("_db"))
+    // <2 tokens ⇒ no bigrams (the kernel emits one whole-text shingle
+    // for short docs; the lead()-form emitted none — keep that contract).
     wordStats.join(bigramStats, id)
+      .select(col(id), col("n_tokens"), col("top_word_n"),
+        when(col("n_tokens") >= 2, col("_nb")).otherwise(lit(0L)).as("n_bigrams"),
+        when(col("n_tokens") >= 2, col("_db")).otherwise(lit(0L)).as("dup_bigram_n"))
   }
 
   /** Per-document top-k terms by tf·idf.

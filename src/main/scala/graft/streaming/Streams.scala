@@ -183,6 +183,41 @@ object Streams {
     spark.table(name).orderBy("user_id", "session_start")
   }
 
+  /** Stream-stream interval join (SURVEY §2.3 streaming row): click
+    * events joined to the same user's view events from the preceding
+    * hour — the streaming form of as-of/range attribution. Both sides
+    * carry watermarks and the join condition bounds event time in BOTH
+    * directions, so Spark can size the join state window and expire
+    * rows as the watermarks advance (unbounded state otherwise). Append
+    * output: inner interval joins emit matches once, when safe.
+    * `user_id < maxUser` keeps the gate's output bounded; the operator
+    * itself is unbounded. */
+  def clickViewJoin(spark: SparkSession, sfDir: String, maxUser: Long = 200L): DataFrame = {
+    val name = s"stream_join_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val ev = eventsStream(spark, sfDir).filter(col("user_id") < maxUser)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("_vu"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val joined = clicks.join(views,
+      col("user_id") === col("_vu") &&
+        col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+        col("view_ts") <= col("click_ts"))
+      .select(col("click_id"), col("view_id"), col("user_id"))
+    withStatePartitions(spark, 8) {
+      val q = joined.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name).orderBy("click_id", "view_id")
+  }
+
   /** Streaming exact dedup (X1 in stream form): at-least-once sources
     * re-deliver, so the first stateful op of a production ingest is
     * dropDuplicatesWithinWatermark on the event key — state expires with

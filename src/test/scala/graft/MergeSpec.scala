@@ -44,6 +44,29 @@ class MergeSpec extends AnyFunSuite with SparkTestBase {
     assert(asMap(w) == asMap(a))
   }
 
+  test("scd2History collapses runs into intervals with correct validity") {
+    val log = Seq(
+      // user 1: a,a,b,b,a — three intervals
+      (1L, 10L, "a"), (1L, 20L, "a"), (1L, 30L, "b"), (1L, 40L, "b"), (1L, 50L, "a"),
+      // user 2: single value — one open interval
+      (2L, 5L, "x"),
+      // user 3: null run then value — null-safe change detection
+      (3L, 1L, null), (3L, 2L, null), (3L, 3L, "y")
+    ).toDF("user_id", "ts", "attr")
+    val out = Merge.scd2History(log, "user_id", "attr", "ts")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)) ->
+        (Option(r.get(1)).map(_.toString), if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))
+      .toMap
+    assert(out((1L, 10L)) == (Some("a"), Some(30L), false))
+    assert(out((1L, 30L)) == (Some("b"), Some(50L), false))
+    assert(out((1L, 50L)) == (Some("a"), None, true))
+    assert(out((2L, 5L)) == (Some("x"), None, true))
+    assert(out((3L, 1L)) == (None, Some(3L), false)) // null run is one interval
+    assert(out((3L, 3L)) == (Some("y"), None, true))
+    assert(out.size == 6)
+  }
+
   test("latestByKey and latestByKeyAgg agree on a log with ties broken by id") {
     val log = Seq(
       (1L, "a", 10L, 100L), (1L, "a", 20L, 101L), (1L, "a", 20L, 102L),

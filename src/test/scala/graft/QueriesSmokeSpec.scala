@@ -13,7 +13,7 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkTestBase {
   // no SQL oracle (SURVEY §5.1) — keep this list justified and short.
   private val noOracleAllowed = Set(
     "x2_ann_lsh", "x2_ann_ivf", "x3_minhash_neardup", "x3_simhash_neardup",
-    "x5_features_stub", "x1_embedding_neardup",
+    "x1_embedding_neardup",
     // approx sketch values are impl-defined (HLL++/GK); bounds unit-tested
     "sketch_approx_events",
     // seeded RNG draw is engine-defined; fractions unit-tested

@@ -49,6 +49,14 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(positions == positions.sorted)
   }
 
+  test("exactNearDupPairs returns exactly the pairs above threshold") {
+    val out = Similarity.exactNearDupPairs(vecs, "vec_id", "embedding", minCosine = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cos(0,1)≈0.994, cos(0,4)≈0.707, cos(1,4)≈0.78, cos(2,4)≈0.707 —
+    // all ≥0.7; every other pair is ≤0.12 or negative
+    assert(out == Set((0L, 1L), (0L, 4L), (1L, 4L), (2L, 4L)))
+  }
+
   test("embeddingNearDups finds the high-cosine pair only") {
     val pairs = Similarity.embeddingNearDups(vecs, "vec_id", "embedding",
       minCosine = 0.99, planes = 2).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
