@@ -8,6 +8,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // 80+ queries × several codegen units each overflow the default
+      // 100-entry generated-class cache; LRU thrash then recompiles big
+      // classes (64-slot aggs) mid-suite, showing up as wandering
+      // multi-second spikes on whichever query recompiles.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // Untimed warm-up: session init, codegen compiler, and the first
@@ -28,6 +33,10 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       val elapsed = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
+      // Collect the previous query's garbage OUTSIDE the timed window:
+      // with per-query cache teardown across 80+ queries, old-gen pauses
+      // otherwise land on arbitrary queries as multi-second spikes.
+      System.gc()
       name -> elapsed
     }
     def r3(v: Double): String = "%.3f".format(v)

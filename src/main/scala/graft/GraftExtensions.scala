@@ -4,10 +4,11 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.expr.{DotProductFloat, SignProjectionBucket, WordShingleHashes}
+import graft.expr.{DotProductFloat, SignProjectionBucket, SimHash64, WordShingleHashes}
 
 /** SQL surface for the custom expressions: `word_shingle_hashes(text, k,
-  * distinct)`, `dot_product_f(a, b)`, `sign_projection_bucket(v, planes)`.
+  * distinct)`, `dot_product_f(a, b)`, `sign_projection_bucket(v, planes)`,
+  * `simhash64(text)`.
   *
   * Two registration paths:
   *  - cluster/spark-submit: `--conf spark.sql.extensions=graft.GraftExtensions`
@@ -42,7 +43,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => DotProductFloat(args.head, args(1))),
     ("sign_projection_bucket",
       new ExpressionInfo(classOf[SignProjectionBucket].getName, "sign_projection_bucket"),
-      (args: Seq[Expression]) => SignProjectionBucket(args.head, intArg(args(1), "planes")))
+      (args: Seq[Expression]) => SignProjectionBucket(args.head, intArg(args(1), "planes"))),
+    ("simhash64",
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => SimHash64(args.head))
   )
 
   /** Register on an already-built session (test/REPL path). */

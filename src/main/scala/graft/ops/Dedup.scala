@@ -335,21 +335,14 @@ object Dedup {
     * 4×16-bit blocks (any pair within Hamming distance 3 shares ≥1 exact
     * block), verified by exact Hamming distance ≤ maxHamming. */
   def simHashNearDups(df: DataFrame, id: String, text: String, maxHamming: Int = 3): DataFrame = {
-    // Fingerprint via explode + 64 codegen'd sum() slots (HOF lambdas are
-    // interpreted; see minHashNearDups); token hashes from the codegen'd
-    // kernel (k=1, keep duplicates — SimHash weights repeats). fp is
-    // persisted because both sides of the candidate self-join read it
-    // (no cross-branch CSE). Footprint: 2 longs per doc.
-    val tok = df.select(col(id).as("_id"),
-      explode(graft.expr.WordShingleHashes(col(text), 1, distinct = false)).as("_h"))
-    val bitAggs = (0 until 64).map(j =>
-      sum(call_function("shiftright", col("_h"), lit(j)).bitwiseAND(lit(1L))).as(s"_c$j"))
-    val counted = tok.groupBy(col("_id"))
-      .agg(count(lit(1)).as("_n"), bitAggs: _*)
-    val fpExpr = (0 until 64).map(j =>
-      when(col(s"_c$j") * 2 > col("_n"), lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ bitwiseOR _)
-    val fp = counted.select(col("_id"), fpExpr.as("_fp"))
+    // Fingerprint via the per-row codegen kernel (graft.expr.SimHash64):
+    // tokenize + hash + majority-vote in one compiled pass, so the
+    // fingerprint stage is NARROW — no explode, no per-token shuffle, no
+    // wide aggregate. (The previous explode + 64 sum()-slot form shuffled
+    // one row per corpus token.) fp is persisted because both sides of
+    // the candidate self-join read it (no cross-branch CSE). Footprint:
+    // 2 longs per doc.
+    val fp = df.select(col(id).as("_id"), graft.expr.SimHash64(col(text)).as("_fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blocks = fp.select(col("_id"), col("_fp"),
       explode(transform(sequence(lit(0), lit(3)), b =>

@@ -46,6 +46,31 @@ class ExpressionsSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getLong(2) >= 0 && r.getLong(2) < 16)
   }
 
+  test("SimHash64 kernel equals the explode + 64-sum-slot aggregate form") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the the the repeated token stream the the"),
+      (3L, "x"),
+      (4L, "Mixed CASE Tokens mixed case tokens"),
+      (5L, "")
+    ).toDF("id", "t")
+    val kernel = docs.select(col("id"), graft.expr.SimHash64(col("t")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: the previous aggregate formulation, bit for bit
+    val tok = docs.select(col("id"),
+      explode(graft.expr.WordShingleHashes(col("t"), 1, distinct = false)).as("_h"))
+    val bitAggs = (0 until 64).map(j =>
+      sum(call_function("shiftright", col("_h"), lit(j)).bitwiseAND(lit(1L))).as(s"_c$j"))
+    val counted = tok.groupBy(col("id")).agg(count(lit(1)).as("_n"), bitAggs: _*)
+    val fpExpr = (0 until 64).map(j =>
+      when(col(s"_c$j") * 2 > col("_n"), lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    val agg = counted.select(col("id"), fpExpr.as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kernel == agg)
+    assert(kernel(2L) != 0L) // single token: fingerprint is the token's bits
+  }
+
   test("WordShingleHashes: null text -> null, short text -> one shingle") {
     val df = Seq(Some("one two"), None).toDF("t")
     val out = df.select(graft.expr.WordShingleHashes(col("t"), 3, distinct = true).as("h")).collect()
