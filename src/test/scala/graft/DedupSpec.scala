@@ -78,6 +78,30 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("clusterPairs == reference union-find on seeded random graphs") {
+    (1 to 4).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(12) {
+        val a = rnd.nextInt(12).toLong
+        val b = (a + 1 + rnd.nextInt(11)) % 12 // b != a
+        (math.min(a, b), math.max(a, b))
+      }.distinct
+      val got = Dedup.clusterPairs(edges.toDF("id_a", "id_b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = parent.keys.map(x => x -> find(x)).toMap
+      assert(got == want, s"seed=$seed edges=$edges")
+    }
+  }
+
   test("survivorsAfterNearDedup keeps one per cluster plus singletons") {
     val universe = Seq(1L, 2L, 3L, 4L, 10L, 11L, 99L).map(Tuple1(_)).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")

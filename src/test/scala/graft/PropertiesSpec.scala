@@ -99,6 +99,32 @@ object PropertiesSpec extends Properties("graft") {
       naive == dist
     }
 
+  property("scd2History: open interval per key == latestByKey; intervals tile the log") =
+    forAll(Gen.listOfN(14, for {
+      k <- Gen.choose(0L, 3L)
+      ts <- Gen.choose(0L, 20L)
+      a <- Gen.oneOf("a", "b", "c")
+    } yield (k, ts, a))) { rowsRaw =>
+      import spark.implicits._
+      // one row per (key, ts): scd2 requires a total order per key
+      val rows = rowsRaw.groupBy(r => (r._1, r._2)).map(_._2.min).toList
+      val df = rows.toDF("k", "ts", "attr")
+      val hist = Merge.scd2History(df, "k", "attr", "ts").collect()
+      val current = hist.filter(_.getBoolean(4)).map(r => r.getLong(0) -> r.getString(1)).toMap
+      val latest = Merge.latestByKey(df, Seq("k"), Seq("ts")).collect()
+        .map(r => r.getLong(0) -> r.getString(2)).toMap
+      // exactly one open interval per key, and it carries the latest value
+      val oneOpenEach = hist.groupBy(_.getLong(0)).forall(_._2.count(_.getBoolean(4)) == 1)
+      // intervals tile: each non-current valid_to equals the next valid_from
+      val tiles = hist.groupBy(_.getLong(0)).values.forall { ivs =>
+        val sorted = ivs.sortBy(_.getLong(2))
+        sorted.zip(sorted.drop(1)).forall { case (cur, nxt) =>
+          !cur.isNullAt(3) && cur.getLong(3) == nxt.getLong(2)
+        }
+      }
+      current == latest && oneOpenEach && tiles
+    }
+
   property("toLongCoerce total under ANSI: parses clean ints, nulls garbage") =
     forAll(Gen.listOfN(8, Gen.oneOf(
       Gen.choose(-1000000L, 1000000L).map(_.toString),
