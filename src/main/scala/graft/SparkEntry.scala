@@ -973,6 +973,22 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // W6 — CDC apply: fold an I/U/D change log (derived deterministically
+    // from orders) into the customer base; newest change per key wins,
+    // winning D deletes. The delete path the plain LWW upsert lacks.
+    "w6_cdc_apply" -> ((s, dir) => {
+      val base = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val changes = Tables.orders(s, dir)
+        .select(col("o_custkey").as("c_custkey"),
+          concat(lit("cust_"), col("o_custkey").cast("string")).as("c_name"),
+          col("o_totalprice").as("c_acctbal"),
+          when(col("o_custkey") % 10 === 0, lit("D")).otherwise(lit("U")).as("op"),
+          col("o_orderkey").as("seq"))
+      Merge.applyCdc(base, changes, Seq("c_custkey"), Seq("seq"))
+        .orderBy("c_custkey")
+    }),
+
     // X1e exact — all-pairs cosine near-dup over a bounded subset: the
     // oracle-able exact form next to the bucketed (recall<1) scale path.
     "x1_embedding_neardup_exact" -> ((s, dir) => {
@@ -1713,6 +1729,21 @@ object SparkEntry {
         | CAST(min(event_id) AS BIGINT) AS min_id,
         | CAST(max(event_id) AS BIGINT) AS max_id
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "w6_cdc_apply" ->
+      """WITH ch AS (
+        |  SELECT o_custkey AS c_custkey,
+        |    'cust_' || CAST(o_custkey AS VARCHAR) AS c_name,
+        |    o_totalprice AS c_acctbal,
+        |    CASE WHEN o_custkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
+        |  FROM orders),
+        |latest AS (SELECT c_custkey, c_name, c_acctbal, op FROM ch WHERE rn = 1)
+        |SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_custkey NOT IN (SELECT c_custkey FROM latest)
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal FROM latest WHERE op <> 'D'
+        |ORDER BY c_custkey""".stripMargin,
 
     "x1_embedding_neardup_exact" ->
       """WITH v AS (

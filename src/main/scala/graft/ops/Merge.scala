@@ -72,6 +72,27 @@ object Merge {
     df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** W6 — CDC apply: fold an insert/update/delete change log into a base
+    * table. The missing member next to the LWW upsert (which can only
+    * keep-or-replace): `opCol` ∈ {I, U, D}; the NEWEST change per key
+    * wins (ordered by `seq`, ties by `tieBreak`), a winning D removes
+    * the key, a winning I/U replaces (or inserts) the row. Unchanged
+    * base rows pass through.
+    *
+    * Scale shape: one hash-agg compacts the log to one change per key
+    * (map-side combine), one anti-join removes touched keys from base,
+    * one union — base never sorts, and with AQE the compacted change set
+    * broadcasts when small (the common nightly-batch case). Idempotent:
+    * applying the same log twice is a no-op. */
+  def applyCdc(base: DataFrame, changes: DataFrame, keys: Seq[String],
+      seq: Seq[String], opCol: String = "op", tieBreak: Seq[String] = Nil): DataFrame = {
+    val latest = latestByKeyAgg(changes, keys, seq, tieBreak)
+    val untouched = base.join(latest.select(keys.map(col): _*), keys, "left_anti")
+    val applied = latest.filter(col(opCol) =!= "D")
+      .select(base.columns.map(col).toSeq: _*) // align: drop op/seq extras
+    untouched.unionByName(applied)
+  }
+
   /** W5 — type-2 slowly-changing-dimension history from a change log:
     * one row per (key, run of equal `attr` values), carrying
     * `valid_from` / `valid_to` / `is_current`. The audit-side complement

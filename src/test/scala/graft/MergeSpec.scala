@@ -44,6 +44,23 @@ class MergeSpec extends AnyFunSuite with SparkTestBase {
     assert(asMap(w) == asMap(a))
   }
 
+  test("applyCdc: newest op wins, D deletes, I inserts, idempotent") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "bal")
+    val log = Seq(
+      (2L, "b2", 21.0, "U", 1L), (2L, "b3", 22.0, "U", 2L), // latest U wins
+      (3L, "c", 30.0, "D", 1L),                             // delete
+      (4L, "d", 40.0, "I", 1L),                             // insert new key
+      (5L, "e", 50.0, "I", 1L), (5L, "e", 50.0, "D", 2L)    // insert then delete
+    ).toDF("k", "name", "bal", "op", "seq")
+    val out = Merge.applyCdc(base, log, Seq("k"), Seq("seq"))
+    def asMap2(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    val m = asMap2(out)
+    assert(m == Map(1L -> ("a", 10.0), 2L -> ("b3", 22.0), 4L -> ("d", 40.0)))
+    assert(asMap2(Merge.applyCdc(out, log, Seq("k"), Seq("seq"))) == m) // idempotent
+  }
+
   test("scd2History collapses runs into intervals with correct validity") {
     val log = Seq(
       // user 1: a,a,b,b,a — three intervals
