@@ -15,9 +15,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * (`src/lms_to_s3_lambda.py:36-51`, `limit`/`offset` envelope keys at
   * `:79-80`); here each Spark input partition owns a page range and
   * fetches independently, so a 1000-executor cluster pulls 1000 page
-  * ranges concurrently. Column pruning is pushed into the reader
-  * (`SupportsPushDownRequiredColumns`), the DSv2 analog of the
-  * reference's hand-written server-side `_filter` pushdown.
+  * ranges concurrently. Column pruning (`SupportsPushDownRequiredColumns`)
+  * and filter pushdown (`SupportsPushDownFilters`) both reach the
+  * reader — the DSv2 analog of the reference's hand-written server-side
+  * `_filter` string — and filters on `page` prune whole page-range
+  * partitions at planning time, so pruned pages are never fetched.
   *
   * The HTTP layer is a clearly-marked STUB (zero-egress container): the
   * default [[PageFetcher]] synthesizes deterministic user pages. The
@@ -77,35 +79,126 @@ class PagedRestTable(pages: Int, pageSize: Int, pagesPerPartition: Int)
 }
 
 class PagedRestScanBuilder(pages: Int, pageSize: Int, pagesPerPartition: Int)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
+
   private var required: StructType = PagedRestSource.schema
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** Accept simple comparisons/In on the source's fields — the DSv2
+    * analog of the reference's server-side `_filter` string
+    * (`src/lms_to_s3_lambda.py:196-200`): accepted filters are evaluated
+    * AT THE SOURCE (a production fetcher turns them into API query
+    * params), and filters on `page` additionally prune whole page-range
+    * partitions at planning time, so pruned pages are never fetched.
+    * Everything is also returned as residual — Spark re-applies all
+    * filters post-scan, so pushdown is purely an optimization and can
+    * never change results. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(PagedRestFilters.supported)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan = new Scan with Batch {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
 
-    override def planInputPartitions(): Array[InputPartition] =
-      (0 until pages by pagesPerPartition).map { start =>
-        PageRangePartition(start, math.min(start + pagesPerPartition, pages)): InputPartition
+    // surfaced in explain() — DSv2 doesn't render pushed filters unless
+    // the Scan says so itself
+    override def description(): String =
+      s"PagedRestScan PushedFilters: [${pushed.mkString(", ")}], " +
+        s"ReadSchema: ${required.simpleString}"
+
+    override def planInputPartitions(): Array[InputPartition] = {
+      val (lo, hi) = PagedRestFilters.pageBounds(pushed, pages)
+      (lo until hi by pagesPerPartition).map { start =>
+        PageRangePartition(start, math.min(start + pagesPerPartition, hi)): InputPartition
       }.toArray
+    }
 
     override def createReaderFactory(): PartitionReaderFactory =
-      new PagedRestReaderFactory(pageSize, required)
+      new PagedRestReaderFactory(pageSize, required, pushed)
+  }
+}
+
+/** Filter support shared by planning (partition pruning) and the reader
+  * (per-row source-side evaluation). */
+object PagedRestFilters {
+  import org.apache.spark.sql.sources._
+
+  private val fields = Set("lms_user_id", "first_name", "department_id",
+    "active_status", "page")
+
+  def supported(f: Filter): Boolean = f match {
+    case EqualTo(a, _) => fields(a)
+    case GreaterThan(a, _) => fields(a)
+    case GreaterThanOrEqual(a, _) => fields(a)
+    case LessThan(a, _) => fields(a)
+    case LessThanOrEqual(a, _) => fields(a)
+    case In(a, _) => fields(a)
+    case _ => false
+  }
+
+  /** [lo, hi) page range implied by pushed filters on `page`. */
+  def pageBounds(pushed: Array[Filter], pages: Int): (Int, Int) = {
+    var lo = 0
+    var hi = pages
+    pushed.foreach {
+      case EqualTo("page", v: Number) =>
+        lo = math.max(lo, v.intValue); hi = math.min(hi, v.intValue + 1)
+      case GreaterThan("page", v: Number) => lo = math.max(lo, v.intValue + 1)
+      case GreaterThanOrEqual("page", v: Number) => lo = math.max(lo, v.intValue)
+      case LessThan("page", v: Number) => hi = math.min(hi, v.intValue)
+      case LessThanOrEqual("page", v: Number) => hi = math.min(hi, v.intValue + 1)
+      case _ => ()
+    }
+    (math.min(lo, hi), hi)
+  }
+
+  /** Evaluate one pushed filter against a synthesized record. */
+  def eval(f: Filter, id: Long, name: String, dept: String, status: Int, pg: Int): Boolean = {
+    def value(attr: String): Any = attr match {
+      case "lms_user_id" => id
+      case "first_name" => name
+      case "department_id" => dept
+      case "active_status" => status
+      case "page" => pg
+    }
+    def cmp(attr: String, v: Any): Int = (value(attr), v) match {
+      case (a: String, b) => a.compareTo(b.toString)
+      case (a: Long, b: Number) => java.lang.Long.compare(a, b.longValue)
+      case (a: Int, b: Number) => java.lang.Long.compare(a.toLong, b.longValue)
+      case _ => 0
+    }
+    f match {
+      case EqualTo(a, v) => cmp(a, v) == 0
+      case GreaterThan(a, v) => cmp(a, v) > 0
+      case GreaterThanOrEqual(a, v) => cmp(a, v) >= 0
+      case LessThan(a, v) => cmp(a, v) < 0
+      case LessThanOrEqual(a, v) => cmp(a, v) <= 0
+      case In(a, vs) => vs.exists(v => cmp(a, v) == 0)
+      case _ => true
+    }
   }
 }
 
 case class PageRangePartition(startPage: Int, endPage: Int) extends InputPartition
 
-class PagedRestReaderFactory(pageSize: Int, required: StructType)
+class PagedRestReaderFactory(pageSize: Int, required: StructType,
+    pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[PageRangePartition]
     new PartitionReader[InternalRow] {
       private val it = (p.startPage until p.endPage).iterator
         .flatMap(pg => StubPageFetcher.fetch(pg, pageSize).map(r => (pg, r)))
+        .filter { case (pg, (id, name, dept, status)) =>
+          pushed.forall(PagedRestFilters.eval(_, id, name, dept, status, pg)) }
       private var current: InternalRow = _
       // projection map computed once: required field -> source ordinal
       private val ordinals = required.fields.map(f =>

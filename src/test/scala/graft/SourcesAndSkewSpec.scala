@@ -38,6 +38,26 @@ class SourcesAndSkewSpec extends AnyFunSuite with SparkTestBase {
     assert(!scanLine.contains("first_name"))
   }
 
+  test("DSv2 source: filter pushdown evaluates at the source, results exact") {
+    val f = paged.filter(col("department_id") === "dept_3" && col("lms_user_id") < 100)
+    // plan advertises the pushed filters
+    assert(f.queryExecution.executedPlan.toString.contains("PushedFilters"))
+    val got = f.select("lms_user_id").collect().map(_.getLong(0)).sorted
+    val want = (0L until 100L).filter(_ % 7 == 3)
+    assert(got.toSeq == want)
+  }
+
+  test("DSv2 source: page filter prunes input partitions at planning time") {
+    val f = paged.filter(col("page") < 2)
+    assert(f.rdd.getNumPartitions == 2) // 6 pages → only 2 planned
+    assert(f.count() == 100)
+    val eq = paged.filter(col("page") === 4)
+    assert(eq.rdd.getNumPartitions == 1)
+    assert(eq.count() == 50)
+    // contradictory bounds plan zero partitions and return nothing
+    assert(paged.filter(col("page") > 3 && col("page") < 2).count() == 0)
+  }
+
   test("DSv2 source: deterministic content (same options, same rows)") {
     val a = paged.orderBy("lms_user_id").collect()
     val b = paged.orderBy("lms_user_id").collect()
