@@ -973,6 +973,38 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Storage layout — bucketed co-located join: both sides written
+    // bucketed+sorted on the join key, so the sort-merge join (and the
+    // downstream agg on the same key) run with NO shuffle exchange — the
+    // layout that turns the nightly 100 TB fact-fact join into a local
+    // merge. Plan asserted exchange-free in StorageLayoutSpec; this
+    // entry gates the RESULT against the plain-join oracle.
+    "storage_bucketed_join" -> ((s, dir) => {
+      // in-memory catalog + on-disk warehouse can disagree across
+      // sessions: drop the table AND its leftover location first
+      Seq("graft_bkt_lineitem", "graft_bkt_orders").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File(
+          s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") + "/" + t))
+      }
+      val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_extendedprice"))
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderstatus"))
+      l.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("graft_bkt_lineitem")
+      o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("graft_bkt_orders")
+      s.table("graft_bkt_lineitem")
+        .join(s.table("graft_bkt_orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
+
     // W6 — CDC apply: fold an I/U/D change log (derived deterministically
     // from orders) into the customer base; newest change per key wins,
     // winning D deletes. The delete path the plain LWW upsert lacks.
@@ -1729,6 +1761,13 @@ object SparkEntry {
         | CAST(min(event_id) AS BIGINT) AS min_id,
         | CAST(max(event_id) AS BIGINT) AS max_id
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Same semantics as the plain join — the bucketing is pure layout.
+    "storage_bucketed_join" ->
+      """SELECT o_orderstatus, count(*) AS n_lines,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "w6_cdc_apply" ->
       """WITH ch AS (

@@ -57,6 +57,24 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(out == Set((0L, 1L), (0L, 4L), (1L, 4L), (2L, 4L)))
   }
 
+  test("ANN recall floor on the real fixture (regression guard for the rows-only gates)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") % 10 === 0)
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = hits(Similarity.topKBruteForce(q, e, "vec_id", "embedding", 5))
+    val lsh = hits(Similarity.lshBucketTopK(q, e, "vec_id", "embedding", 5, planes = 4))
+    val ivf = hits(Similarity.ivfTopK(q, e, "vec_id", "embedding", 5,
+      nCentroids = 4, nprobe = 2))
+    val lshRecall = (lsh & exact).size.toDouble / exact.size
+    val ivfRecall = (ivf & exact).size.toDouble / exact.size
+    // random fixture embeddings are a worst case for bucketing (no
+    // cluster structure; measured: LSH 0.164, deterministic) — floors
+    // are loose but catch a broken bucketer (recall ~0) immediately
+    assert(lshRecall >= 0.1, s"LSH recall $lshRecall")
+    assert(ivfRecall >= 0.3, s"IVF recall $ivfRecall")
+  }
+
   test("embeddingNearDups finds the high-cosine pair only") {
     val pairs = Similarity.embeddingNearDups(vecs, "vec_id", "embedding",
       minCosine = 0.99, planes = 2).collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -46,6 +46,33 @@ class StorageLayoutSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("two-table bucketed join (storage_bucketed_join shape) has no exchange") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val dir = "/root/testdata/sf0.001"
+      graft.io.Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_extendedprice"))
+        .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("bkt_l")
+      graft.io.Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderstatus"))
+        .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("bkt_o")
+      val j = spark.table("bkt_l")
+        .join(spark.table("bkt_o"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      // matching bucket layouts satisfy the join; only the (tiny) agg on
+      // a DIFFERENT key may exchange
+      assert(!plan.contains("Exchange hashpartitioning(l_orderkey")
+        && !plan.contains("Exchange hashpartitioning(o_orderkey"), plan.take(800))
+      assert(j.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS bkt_l")
+      spark.sql("DROP TABLE IF EXISTS bkt_o")
+    }
+  }
+
   test("S9 error channel records failed actions") {
     val failures = graft.io.ErrorChannel.attach(spark)
     // ANSI division by zero fails at execution time, not analysis
