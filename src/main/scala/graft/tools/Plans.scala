@@ -9,7 +9,9 @@ object Plans {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "q1_pricing_summary", "q3_top_revenue_orders", "q5_local_volume",
-      "w4_lww_latest", "x1_dedup_exact", "x2_topk_cosine", "x6_json_filter_agg")
+      "w4_lww_latest", "x1_dedup_exact", "x2_topk_cosine", "x6_json_filter_agg",
+      "skew_salted_join", "storage_bucketed_join", "w5_scd2_history",
+      "w6_cdc_apply", "x1_embedding_neardup_exact")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
