@@ -973,6 +973,16 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Skew detection — EXACT heavy hitters via Misra-Gries sketch +
+    // broadcast verify pass (bounded O(counters) state; provably no
+    // true heavy hitter missed). The detection step that decides which
+    // keys need salting before a 100 TB shuffle.
+    "skew_heavy_hitters" -> ((s, dir) => {
+      graft.ops.Skew.heavyHitters(Tables.orders(s, dir), "o_custkey",
+          perMille = 1, counters = 2048)
+        .orderBy("o_custkey")
+    }),
+
     // Storage layout — bucketed co-located join: both sides written
     // bucketed+sorted on the join key, so the sort-merge join (and the
     // downstream agg on the same key) run with NO shuffle exchange — the
@@ -1761,6 +1771,15 @@ object SparkEntry {
         | CAST(min(event_id) AS BIGINT) AS min_id,
         | CAST(max(event_id) AS BIGINT) AS max_id
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // The sketch+verify pipeline is EXACT by construction, so the oracle
+    // is the plain HAVING form.
+    "skew_heavy_hitters" ->
+      """SELECT o_custkey, count(*) AS n_rows
+        |FROM orders
+        |GROUP BY o_custkey
+        |HAVING count(*) * 1000 > (SELECT count(*) FROM orders) * 1
+        |ORDER BY o_custkey""".stripMargin,
 
     // Same semantics as the plain join — the bucketing is pure layout.
     "storage_bucketed_join" ->

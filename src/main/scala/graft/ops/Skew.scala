@@ -31,6 +31,79 @@ object Skew {
     saltedFact.join(explodedDim, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Misra-Gries heavy-hitter sketch over long keys: `counters`-bounded
+    * frequency map with total-count tracking. Mergeable (Agarwal et al.,
+    * "Mergeable Summaries"): per-partition partial sketches combine
+    * associatively, so the full pass is one hash aggregate whose state
+    * is O(counters) regardless of data size — the detection pass that
+    * decides WHICH keys need [[saltedJoin]] before a 100 TB shuffle.
+    *
+    * Guarantee: every key whose true count exceeds n/(counters+1)
+    * survives in the sketch (undercounted, never missed). */
+  class MisraGriesAggregator(counters: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Long, (Map[Long, Long], Long), (Map[Long, Long], Long)] {
+    override def zero: (Map[Long, Long], Long) = (Map.empty, 0L)
+
+    override def reduce(buf: (Map[Long, Long], Long), key: Long): (Map[Long, Long], Long) = {
+      val (m, n) = buf
+      m.get(key) match {
+        case Some(c) => (m.updated(key, c + 1), n + 1)
+        case None if m.size < counters => (m.updated(key, 1L), n + 1)
+        case None =>
+          // counters full: decrement all, drop zeros (amortized O(1) per
+          // element — each full-decrement event pays O(counters) but can
+          // happen at most n/(counters+1) times)
+          (m.flatMap { case (k, c) => if (c > 1) Some(k -> (c - 1)) else None }, n + 1)
+      }
+    }
+
+    override def merge(a: (Map[Long, Long], Long), b: (Map[Long, Long], Long)): (Map[Long, Long], Long) = {
+      val combined = (a._1.keySet ++ b._1.keySet).iterator
+        .map(k => k -> (a._1.getOrElse(k, 0L) + b._1.getOrElse(k, 0L))).toMap
+      val trimmed =
+        if (combined.size <= counters) combined
+        else {
+          // subtract the (counters+1)-th largest count, keep positives —
+          // the standard MG merge that preserves the error bound
+          val s = combined.values.toSeq.sortBy(-_)(Ordering.Long)(counters)
+          combined.flatMap { case (k, c) => if (c > s) Some(k -> (c - s)) else None }
+        }
+      (trimmed, a._2 + b._2)
+    }
+
+    override def finish(buf: (Map[Long, Long], Long)): (Map[Long, Long], Long) = buf
+
+    override def bufferEncoder: org.apache.spark.sql.Encoder[(Map[Long, Long], Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Map[Long, Long], Long)]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[(Map[Long, Long], Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Map[Long, Long], Long)]()
+  }
+
+  /** EXACT heavy hitters via sketch + verify — the two-pass production
+    * pattern: pass 1 runs the bounded-state Misra-Gries sketch to get a
+    * candidate superset (provably no true heavy hitter is missed when
+    * `counters + 1 > 1000 / perMille`); pass 2 exact-counts ONLY the
+    * ≤`counters` candidates via a broadcast semi-join (the corpus never
+    * shuffles) and keeps keys with `count * 1000 > n * perMille`.
+    * Integer threshold arithmetic ⇒ deterministic and oracle-exact. */
+  def heavyHitters(df: DataFrame, key: String, perMille: Int = 1,
+      counters: Int = 2048): DataFrame = {
+    // missed keys have count ≤ n/(counters+1); a heavy hitter has count
+    // > n·perMille/1000 — no miss possible iff perMille·(counters+1) ≥ 1000
+    require(perMille.toLong * (counters + 1) >= 1000L,
+      s"counters=$counters too small for perMille=$perMille: sketch could miss true heavy hitters")
+    val sketch = df.select(
+      org.apache.spark.sql.functions.udaf(new MisraGriesAggregator(counters))
+        .apply(col(key).cast("long")).as("s"))
+    val candidates = sketch.select(explode(map_keys(col("s._1"))).as("_ck"), col("s._2").as("_n"))
+    df.select(col(key).cast("long").as("_ck"))
+      .join(broadcast(candidates), Seq("_ck"))
+      .groupBy(col("_ck"), col("_n"))
+      .agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") * 1000 > col("_n") * perMille)
+      .select(col("_ck").as(key), col("n_rows"))
+  }
+
   /** Two-phase (partial → final) aggregation for skewed group-by keys:
     * count/sum-like aggregates per (key, salt) first, then re-aggregate
     * per key. Spark's hash aggregate already partial-aggregates map-side,

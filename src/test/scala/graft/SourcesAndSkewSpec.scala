@@ -65,6 +65,29 @@ class SourcesAndSkewSpec extends AnyFunSuite with SparkTestBase {
     assert(a.head.getString(1) == "user_0")
   }
 
+  test("heavyHitters == exact GROUP BY HAVING on skewed data") {
+    // one hot key (40% of rows), many cold keys
+    val rows = Seq.tabulate(500)(i => if (i % 5 < 2) 7L else (100 + i).toLong)
+    val df = rows.toDF("k")
+    val got = Skew.heavyHitters(df, "k", perMille = 100, counters = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = rows.size
+    val want = rows.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter { case (_, c) => c * 1000 > n.toLong * 100 }.toMap
+    assert(got == want)
+    assert(got.contains(7L)) // the hot key survives the sketch
+  }
+
+  test("MisraGries sketch never misses a key above the guarantee line") {
+    // adversarial: distinct cold keys far exceeding the counter budget
+    val rows = Seq.fill(300)(1L) ++ (1L to 700L).map(_ + 1000L)
+    val df = rows.toDF("k")
+    // 1000 rows, k with 300 (30%) must survive 32 counters (n/(k+1) ≈ 30)
+    val got = Skew.heavyHitters(df, "k", perMille = 100, counters = 32)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L))
+  }
+
   test("saltedJoin == plain join result on a skewed key") {
     val fact = Seq.tabulate(200)(i => (if (i % 4 == 0) "hot" else s"k$i", i.toLong))
       .toDF("key", "v")
