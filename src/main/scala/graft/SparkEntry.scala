@@ -973,6 +973,21 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Unpivot / melt — wide→long (the inverse of pivot; pandas melt):
+    // per-row measure columns become (measure, val) pairs. Narrow
+    // map-side transform, no shuffle.
+    "unpivot_lineitem_measures" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") < 100)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "measure", "val")
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    }),
+
     // Skew detection — EXACT heavy hitters via Misra-Gries sketch +
     // broadcast verify pass (bounded O(counters) state; provably no
     // true heavy hitter missed). The detection step that decides which
@@ -1771,6 +1786,23 @@ object SparkEntry {
         | CAST(min(event_id) AS BIGINT) AS min_id,
         | CAST(max(event_id) AS BIGINT) AS max_id
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // UNION ALL form (portable across engines; DuckDB UNPIVOT would
+    // also work).
+    "unpivot_lineitem_measures" ->
+      """WITH base AS (
+        |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |    l_quantity, l_extendedprice, l_discount, l_tax
+        |  FROM lineitem WHERE l_orderkey < 100)
+        |SELECT l_orderkey, l_linenumber, measure, val FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM base
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM base
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM base
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM base)
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
 
     // The sketch+verify pipeline is EXACT by construction, so the oracle
     // is the plain HAVING form.
