@@ -28,9 +28,16 @@ object Bench {
     // the resulting GC churn shows up as multi-second noise attributed
     // to whichever query runs late. The clear itself runs OUTSIDE the
     // timed window so its teardown cost isn't billed to the query.
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          // a query that THROWS at bench scale must be visible, not a
+          // suspiciously fast "success"
+          failed += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       val elapsed = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       // Collect the previous query's garbage OUTSIDE the timed window:
@@ -41,6 +48,8 @@ object Bench {
     }
     def r3(v: Double): String = "%.3f".format(v)
     val total = results.map(_._2).sum
+    val errorsField =
+      if (failed.isEmpty) "" else s""""errors":[${failed.map("\"" + _ + "\"").mkString(",")}],"""
     // Full per-query dump (all queries, 3 decimals) for humans/the judge.
     val fullJson = results.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
@@ -58,7 +67,7 @@ object Bench {
     // slowest queries first — the informative ones — up to a hard char
     // budget, plus how many short-runtime entries were elided
     // (full detail always in BENCH_FULL.json).
-    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{"""
+    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec",$errorsField"queries":{"""
     def tailPart(omitted: Int) = s"""},"omitted":$omitted,"sf":"$sfDir"}"""
     val maxLine = 1800
     val byTime = results.sortBy(-_._2)
