@@ -911,6 +911,23 @@ object SparkEntry {
     "stream_join_clickview" -> ((s, dir) =>
       graft.streaming.Streams.clickViewJoin(s, dir)),
 
+    // Streaming — flatMapGroupsWithState sessionizer with EVENT-TIME
+    // TIMEOUT (watermark closes idle sessions). Whether a user's FINAL
+    // session has been closed by the watermark at drain end depends on
+    // micro-batch boundaries, so the gate keeps only deterministically
+    // closed sessions: those not containing the user's last event
+    // (every such session emits exactly once, by event or by timeout,
+    // with identical content either way).
+    "stream_session_timeout" -> ((s, dir) => {
+      val out = graft.streaming.Streams.sessionizeWithTimeout(s, dir)
+      val lastTs = Tables.events(s, dir).groupBy("user_id")
+        .agg(max(unix_micros(col("ts"))).as("_max_us"))
+      out.join(broadcast(lastTs), "user_id")
+        .filter(col("session_end_us") - lit(1800000000L) =!= col("_max_us"))
+        .select("user_id", "session_start_us", "session_end_us", "n_events")
+        .orderBy("user_id", "session_start_us")
+    }),
+
     // W5 — SCD2 type-2 history: per-user event_type version intervals
     // (valid_from/valid_to/is_current). Pre-deduped to one row per
     // (user, ts) so the history is deterministic.
@@ -1431,6 +1448,30 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    "stream_session_timeout" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o),
+        |g AS (
+        |  SELECT user_id, min(ts_us) AS session_start_us,
+        |    max(ts_us) + 1800000000 AS session_end_us,
+        |    count(*) AS n_events, max(ts_us) AS last_us
+        |  FROM s GROUP BY user_id, sid),
+        |m AS (SELECT user_id, max(epoch_us(CAST(ts AS TIMESTAMP))) AS max_us
+        |      FROM events GROUP BY user_id)
+        |SELECT g.user_id, g.session_start_us, g.session_end_us, g.n_events
+        |FROM g JOIN m ON g.user_id = m.user_id
+        |WHERE g.last_us <> m.max_us
+        |ORDER BY g.user_id, g.session_start_us""".stripMargin,
 
     "profile_events" ->
       """SELECT 'event_id' AS col_name, count(*) AS n_rows,

@@ -160,6 +160,96 @@ object Streams {
       .orderBy("user_id")
   }
 
+  /** Session row emitted by the timeout-based sessionizer. */
+  case class SessionOut(user_id: Long, session_start_us: Long, session_end_us: Long,
+      n_events: Long, closed_by_timeout: Boolean)
+  /** Internal open-session state for the timeout sessionizer (public
+    * only because the state Encoder's generated code must instantiate
+    * it). */
+  case class SessionBuf(start_us: Long, last_us: Long, n: Long)
+
+  /** Input row for the timeout sessionizer. The WATERMARKED event-time
+    * column must reach the stateful operator (Spark's event-time-timeout
+    * check rejects plans where a projection drops it), so `ts` rides
+    * along as a timestamp and micros are derived inside the operator. */
+  case class SessEvent(event_id: Long, user_id: Long, ts: java.sql.Timestamp)
+  private def tsUs(t: java.sql.Timestamp): Long =
+    t.getTime * 1000 + (t.getNanos / 1000) % 1000
+
+  /** Sessionization via `flatMapGroupsWithState` + EVENT-TIME TIMEOUT —
+    * the arbitrary-state form of session windows: state carries the open
+    * session per user; a session closes (and emits) either when a new
+    * event arrives past the gap, or when the WATERMARK passes the
+    * session's timeout timestamp with no event at all — the case
+    * `session_window` handles internally and `mapGroupsWithState`
+    * without timeouts cannot express. Append mode: sessions emit once,
+    * when closed. After the AvailableNow drain the final open sessions
+    * are force-emitted by the last batch's timeout sweep only if the
+    * watermark passed them — so this demo emits CLOSED sessions, the
+    * production-correct behavior for an unbounded stream. */
+  def sessionizeWithTimeout(spark: SparkSession, sfDir: String,
+      gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    val name = s"stream_tosess_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val typed = eventsStream(spark, sfDir)
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .as[SessEvent]
+    val sessions = sessionStream(typed, gapMinutes.toLong * 60 * 1000 * 1000)
+    withStatePartitions(spark, 8) {
+      val q = sessions.toDF().writeStream
+        .format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name).orderBy("user_id", "session_start_us")
+  }
+
+  /** The core timeout sessionizer: a streaming `Dataset[EventRow]` (must
+    * already carry a watermark) → closed sessions. Exposed separately so
+    * tests can drive it with a controlled multi-batch source. */
+  def sessionStream(typed: org.apache.spark.sql.Dataset[SessEvent],
+      gapUs: Long): org.apache.spark.sql.Dataset[SessionOut] = {
+    import typed.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    typed
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionBuf, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, events: Iterator[SessEvent], state: GroupState[SessionBuf]) =>
+          if (!events.hasNext && state.hasTimedOut) {
+            // watermark passed the open session's gap: close and emit
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(uid, s.start_us, s.last_us + gapUs, s.n, true))
+          } else {
+            val sorted = events.toSeq.sortBy(e => (tsUs(e.ts), e.event_id))
+            val out = scala.collection.mutable.ListBuffer.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val eUs = tsUs(e.ts)
+              cur match {
+                case Some(s) if eUs - s.last_us < gapUs =>
+                  cur = Some(SessionBuf(s.start_us, eUs, s.n + 1))
+                case Some(s) =>
+                  out += SessionOut(uid, s.start_us, s.last_us + gapUs, s.n, false)
+                  cur = Some(SessionBuf(eUs, eUs, 1L))
+                case None =>
+                  cur = Some(SessionBuf(eUs, eUs, 1L))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close via watermark: time out once no event extends it
+              state.setTimeoutTimestamp((s.last_us + gapUs) / 1000)
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Sessionization per user with a 30-minute inactivity gap — session
     * windows are the stateful-streaming op the events table exists to
     * exercise (SURVEY §2.3). Same AvailableNow drain. */

@@ -28,7 +28,7 @@ object Profile {
     val hashes = sh2.select(col("_id"), explode(col("_sh")).as("_s"))
       .select(col("_id"), xxhash64(col("_s")).as("_h"))
     time("explode+hash")(hashes.count())
-    val minAggs = (0 until 32).map(i => min(col("_h") * (2 * i + 1) + i).as(s"_m$i"))
+    val minAggs = (0 until 32).map(i => min(graft.ops.Dedup.permutedHash(i, col("_h"))).as(s"_m$i"))
     val sig = hashes.groupBy(col("_id")).agg(minAggs.head, minAggs.tail: _*)
     time("sig agg")(sig.count())
     val full = Dedup.minHashNearDups(docs, "doc_id", "text", 3, 8, 4, 0.3)

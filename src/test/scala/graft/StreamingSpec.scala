@@ -62,6 +62,63 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(!out3.contains("2024-01-01 13:00:00.0")) // still open
   }
 
+  test("timeout sessionizer: watermark closes idle sessions; events close overrun sessions") {
+    import graft.streaming.Streams
+    import graft.streaming.Streams.SessEvent
+    val dir = Files.createTempDirectory("graft_tosess").toString
+
+    def land(batch: String, rows: Seq[(Long, Long, String)]): Unit =
+      rows.toDF("event_id", "user_id", "ts_s")
+        .select(col("event_id"), col("user_id"), to_timestamp(col("ts_s")).as("ts"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/in/$batch")
+
+    // one AvailableNow drain per landed batch over a shared checkpoint:
+    // the watermark persists between drains, so drain 2 starts where
+    // drain 1's watermark left off — a controlled multi-batch stream
+    def drain(): Seq[(Long, Long, Long, Long, Boolean)] = {
+      val typed = spark.readStream
+        .schema("event_id long, user_id long, ts timestamp")
+        .parquet(s"$dir/in/*")
+        .withWatermark("ts", "10 minutes")
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .as[SessEvent]
+      val q = Streams.sessionStream(typed, 30L * 60 * 1000 * 1000).toDF()
+        .writeStream.format("parquet")
+        .option("path", s"$dir/out")
+        .outputMode("append")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read
+        .schema("user_id long, session_start_us long, session_end_us long, n_events long, closed_by_timeout boolean")
+        .parquet(s"$dir/out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+        .toSeq.sorted
+    }
+
+    // session tz is UTC; parse expectations in UTC too (JVM default tz
+    // must not leak in)
+    def us(s: String): Long = java.time.LocalDateTime.parse(s.replace(" ", "T"))
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000
+
+    // batch 1: user 7 has a two-event session, user 8 one event.
+    // Watermark after the drain: 10:10 - 10min = 10:00 — nothing closes.
+    land("b1", Seq((1L, 7L, "2024-01-01 10:00:00"),
+      (2L, 7L, "2024-01-01 10:10:00"), (3L, 8L, "2024-01-01 10:05:00")))
+    assert(drain().isEmpty)
+
+    // batch 2: user 8 gets an event 12:00 — past the gap, so user 8's
+    // first session closes BY EVENT. The batch advances the watermark to
+    // 11:50, past user 7's session timeout (10:40), so user 7's session
+    // closes BY TIMEOUT in the sweep. User 8's new session stays open.
+    land("b2", Seq((4L, 8L, "2024-01-01 12:00:00")))
+    val out = drain()
+    assert(out == Seq(
+      (7L, us("2024-01-01 10:00:00"), us("2024-01-01 10:40:00"), 2L, true),
+      (8L, us("2024-01-01 10:05:00"), us("2024-01-01 10:35:00"), 1L, false)))
+  }
+
   test("IVF ANN: neighbors are correctly ordered and probe beyond one list") {
     val vecs = (0 until 40).map { i =>
       val angle = i * math.Pi / 40.0
