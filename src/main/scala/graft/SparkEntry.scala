@@ -752,6 +752,99 @@ object SparkEntry {
           |ORDER BY o_orderkey""".stripMargin)
     }),
 
+    // TPC-H q21 shape: correlated EXISTS + NOT EXISTS on the same fact
+    // table — "the supplier solely to blame on shared orders". Catalyst
+    // decorrelates both into left-semi and left-anti joins on
+    // l_orderkey; neither subquery ever executes per-row.
+    "sql_q21_sole_blame" -> ((s, dir) => {
+      Tables.supplier(s, dir).createOrReplaceTempView("supplier_b")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_b")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_b")
+      s.sql(
+        """SELECT s_name, count(*) AS numwait
+          |FROM supplier_b, lineitem_b l1, orders_b
+          |WHERE s_suppkey = l1.l_suppkey
+          |  AND o_orderkey = l1.l_orderkey
+          |  AND o_orderstatus = 'F'
+          |  AND l1.l_returnflag = 'R'
+          |  AND EXISTS (SELECT 1 FROM lineitem_b l2
+          |              WHERE l2.l_orderkey = l1.l_orderkey
+          |                AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (SELECT 1 FROM lineitem_b l3
+          |                  WHERE l3.l_orderkey = l1.l_orderkey
+          |                    AND l3.l_suppkey <> l1.l_suppkey
+          |                    AND l3.l_returnflag = 'R')
+          |GROUP BY s_name
+          |ORDER BY numwait DESC, s_name
+          |LIMIT 20""".stripMargin)
+    }),
+
+    // TPC-H q22 shape: uncorrelated scalar subquery (global threshold)
+    // + correlated NOT EXISTS — "well-funded customers with no recent
+    // orders". DECIMAL threshold on both sides so the boundary
+    // comparison is exact in both engines.
+    "sql_q22_idle_balance" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("customer_i")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_i")
+      s.sql(
+        """SELECT c_mktsegment AS segment, count(*) AS numcust,
+          |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+          |FROM customer_i
+          |WHERE CAST(c_acctbal AS DECIMAL(18,2)) >
+          |      (SELECT CAST(avg(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,6))
+          |       FROM customer_i WHERE c_acctbal > 0)
+          |  AND NOT EXISTS (SELECT 1 FROM orders_i WHERE o_custkey = c_custkey
+          |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+          |GROUP BY c_mktsegment
+          |ORDER BY segment""".stripMargin)
+    }),
+
+    // TPC-H q16 shape: NOT IN subquery (null-safe anti join) + count
+    // DISTINCT per group — supplier diversity per (brand, size) after
+    // excluding suppliers in arrears.
+    "sql_q16_supplier_cnt" -> ((s, dir) => {
+      Tables.part(s, dir).createOrReplaceTempView("part_sc")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_sc")
+      Tables.supplier(s, dir).createOrReplaceTempView("supplier_sc")
+      s.sql(
+        """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+          |FROM lineitem_sc JOIN part_sc ON p_partkey = l_partkey
+          |WHERE p_brand <> 'Brand#13'
+          |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+          |  AND l_suppkey NOT IN
+          |      (SELECT s_suppkey FROM supplier_sc WHERE s_acctbal < 0)
+          |GROUP BY p_brand, p_size
+          |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin)
+    }),
+
+    // TPC-H q20 shape: nested IN subqueries with a grouped HAVING
+    // threshold inside — "suppliers who moved real volume of the
+    // selected parts from a region". Exercises IN→semi-join
+    // decorrelation at two nesting levels.
+    "sql_q20_volume_suppliers" -> ((s, dir) => {
+      Tables.supplier(s, dir).createOrReplaceTempView("supplier_vs")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_vs")
+      Tables.part(s, dir).createOrReplaceTempView("part_vs")
+      Tables.nation(s, dir).createOrReplaceTempView("nation_vs")
+      Tables.region(s, dir).createOrReplaceTempView("region_vs")
+      s.sql(
+        """SELECT s_name, CAST(s_acctbal AS DECIMAL(18,2)) AS s_acctbal
+          |FROM supplier_vs
+          |WHERE s_suppkey IN (
+          |    SELECT l_suppkey FROM lineitem_vs
+          |    WHERE l_partkey IN
+          |        (SELECT p_partkey FROM part_vs WHERE p_name LIKE 'red%')
+          |      AND l_shipdate >= TIMESTAMP '1996-01-01'
+          |      AND l_shipdate < TIMESTAMP '1998-01-01'
+          |    GROUP BY l_suppkey
+          |    HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 50)
+          |  AND s_nationkey IN (
+          |    SELECT n_nationkey FROM nation_vs
+          |    WHERE n_regionkey IN
+          |        (SELECT r_regionkey FROM region_vs WHERE r_name = 'ASIA'))
+          |ORDER BY s_name""".stripMargin)
+    }),
+
     // Cartesian product (tiny×tiny only — a guarded operator, never the
     // scale path): unordered region pairs.
     "cross_join_region_pairs" -> ((s, dir) => {
@@ -1751,6 +1844,63 @@ object SparkEntry {
         |    > 2 * (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
         |           FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "sql_q21_sole_blame" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey
+        |  AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin,
+
+    "sql_q22_idle_balance" ->
+      """SELECT c_mktsegment AS segment, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) >
+        |      (SELECT CAST(avg(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,6))
+        |       FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_mktsegment
+        |ORDER BY segment""".stripMargin,
+
+    "sql_q16_supplier_cnt" ->
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#13'
+        |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+        |  AND l_suppkey NOT IN
+        |      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
+
+    "sql_q20_volume_suppliers" ->
+      """SELECT s_name, CAST(s_acctbal AS DECIMAL(18,2)) AS s_acctbal
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |    SELECT l_suppkey FROM lineitem
+        |    WHERE l_partkey IN
+        |        (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        |      AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |      AND l_shipdate < TIMESTAMP '1998-01-01'
+        |    GROUP BY l_suppkey
+        |    HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 50)
+        |  AND s_nationkey IN (
+        |    SELECT n_nationkey FROM nation
+        |    WHERE n_regionkey IN
+        |        (SELECT r_regionkey FROM region WHERE r_name = 'ASIA'))
+        |ORDER BY s_name""".stripMargin,
 
     "cross_join_region_pairs" ->
       """SELECT a.r_name AS r1, b.r_name AS r2
