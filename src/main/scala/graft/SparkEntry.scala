@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.io.Tables
-import graft.ops.{Coerce, Dedup, Merge, Multimodal, Normalize, Similarity, TextAnalysis}
+import graft.ops.{Coerce, Dedup, Merge, Multimodal, Normalize, Reagg, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -843,6 +843,39 @@ object SparkEntry {
           |    WHERE n_regionkey IN
           |        (SELECT r_regionkey FROM region_vs WHERE r_name = 'ASIA'))
           |ORDER BY s_name""".stripMargin)
+    }),
+
+    // Correlated LATERAL subquery with ORDER BY + LIMIT — per-nation
+    // top-2 customers. The lateral decorrelates to a window-style
+    // group-limit, not per-row subquery execution.
+    "sql_lateral_topn" -> ((s, dir) => {
+      Tables.nation(s, dir).createOrReplaceTempView("nation_lt")
+      Tables.customer(s, dir).createOrReplaceTempView("customer_lt")
+      s.sql(
+        """SELECT n_name, c.c_custkey, c.c_acctbal
+          |FROM nation_lt, LATERAL (
+          |  SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS c_acctbal
+          |  FROM customer_lt
+          |  WHERE c_nationkey = n_nationkey
+          |  ORDER BY c_acctbal DESC, c_custkey
+          |  LIMIT 2) c
+          |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin)
+    }),
+
+    // Partial-aggregate maintenance (ops.Reagg): daily partials per
+    // event type folded into MONTHLY aggregates without re-touching raw
+    // facts. The oracle aggregates raw events directly at month grain —
+    // equality proves the partials are correctly reaggregable (and that
+    // avg is derived from merged sum÷count, never avg-of-avgs).
+    "agg_reaggregate_monthly" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val daily = Reagg.partials(ev, Seq("event_type"), to_date(col("ts")), col("value"))
+      Reagg.mergeToCoarser(daily, Seq("event_type"), date_trunc("month", col("bucket")))
+        .select(col("bucket").as("month_start"), col("event_type"),
+          col("n"), col("total").cast("double").as("total"),
+          col("mn"), col("mx"),
+          round(col("total").cast("double") / col("n"), 6).as("avg_v"))
+        .orderBy("month_start", "event_type")
     }),
 
     // Cartesian product (tiny×tiny only — a guarded operator, never the
@@ -1901,6 +1934,24 @@ object SparkEntry {
         |    WHERE n_regionkey IN
         |        (SELECT r_regionkey FROM region WHERE r_name = 'ASIA'))
         |ORDER BY s_name""".stripMargin,
+
+    "sql_lateral_topn" ->
+      """SELECT n_name, c.c_custkey, c.c_acctbal
+        |FROM nation, LATERAL (
+        |  SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS c_acctbal
+        |  FROM customer
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey
+        |  LIMIT 2) c
+        |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin,
+
+    "agg_reaggregate_monthly" ->
+      """SELECT CAST(date_trunc('month', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS month_start,
+        |  event_type, count(value) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  min(value) AS mn, max(value) AS mx,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value), 6) AS avg_v
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "cross_join_region_pairs" ->
       """SELECT a.r_name AS r1, b.r_name AS r2
