@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.io.Tables
-import graft.ops.{Coerce, Dedup, Merge, Multimodal, Normalize, Reagg, Similarity, TextAnalysis}
+import graft.ops.{Coerce, Dedup, Layout, Merge, Multimodal, Normalize, Reagg, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -876,6 +876,17 @@ object SparkEntry {
           col("mn"), col("mx"),
           round(col("total").cast("double") / col("n"), 6).as("avg_v"))
         .orderBy("month_start", "event_type")
+    }),
+
+    // Z-order (Morton) interleave of two key dimensions — the z-value
+    // that ops.Layout.zOrder2 range-partitions and sorts by. Gated
+    // bit-for-bit against the oracle's unrolled shift/mask cascade; the
+    // layout/pruning behavior itself is asserted in LayoutSpec.
+    "layout_zorder_values" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          Layout.zValue2(col("l_partkey"), col("l_suppkey")).as("zval"))
+        .orderBy("l_orderkey", "l_linenumber")
     }),
 
     // Cartesian product (tiny×tiny only — a guarded operator, never the
@@ -1944,6 +1955,25 @@ object SparkEntry {
         |  ORDER BY c_acctbal DESC, c_custkey
         |  LIMIT 2) c
         |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin,
+
+    "layout_zorder_values" ->
+      """WITH c0 AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(l_partkey AS BIGINT) & 4294967295 AS x,
+        |    CAST(l_suppkey AS BIGINT) & 4294967295 AS y
+        |  FROM lineitem),
+        |c1 AS (SELECT l_orderkey, l_linenumber,
+        |  (x | (x << 16)) & 281470681808895 AS x, (y | (y << 16)) & 281470681808895 AS y FROM c0),
+        |c2 AS (SELECT l_orderkey, l_linenumber,
+        |  (x | (x << 8)) & 71777214294589695 AS x, (y | (y << 8)) & 71777214294589695 AS y FROM c1),
+        |c3 AS (SELECT l_orderkey, l_linenumber,
+        |  (x | (x << 4)) & 1085102592571150095 AS x, (y | (y << 4)) & 1085102592571150095 AS y FROM c2),
+        |c4 AS (SELECT l_orderkey, l_linenumber,
+        |  (x | (x << 2)) & 3689348814741910323 AS x, (y | (y << 2)) & 3689348814741910323 AS y FROM c3),
+        |c5 AS (SELECT l_orderkey, l_linenumber,
+        |  (x | (x << 1)) & 6148914691236517205 AS x, (y | (y << 1)) & 6148914691236517205 AS y FROM c4)
+        |SELECT l_orderkey, l_linenumber, x | (y << 1) AS zval
+        |FROM c5 ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "agg_reaggregate_monthly" ->
       """SELECT CAST(date_trunc('month', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS month_start,
