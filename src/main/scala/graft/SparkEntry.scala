@@ -1065,6 +1065,12 @@ object SparkEntry {
         .orderBy("user_id", "session_start_us")
     }),
 
+    // Streaming — transformWithState (Spark 4 arbitrary-state API):
+    // per-(user, event type) running counts in a per-key MapState on
+    // RocksDB; final counts equal the batch GROUP BY.
+    "stream_tws_type_counts" -> ((s, dir) =>
+      graft.streaming.Streams.typeCountsTws(s, dir)),
+
     // W5 — SCD2 type-2 history: per-user event_type version intervals
     // (valid_from/valid_to/is_current). Pre-deduped to one row per
     // (user, ts) so the history is deterministic.
@@ -1585,6 +1591,10 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    "stream_tws_type_counts" ->
+      """SELECT user_id, event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "stream_session_timeout" ->
       """WITH o AS (

@@ -250,6 +250,78 @@ object Streams {
       }
   }
 
+  /** Output row of the transformWithState demo. */
+  case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+  /** Per-(user, event type) running counts via TRANSFORMWITHSTATE —
+    * Spark 4's arbitrary-state API (SPARK-46815): typed composite state
+    * (a MapState per key, vs mapGroupsWithState's single value),
+    * explicit per-state TTL, timers, and state schema evolution. The
+    * state store must be RocksDB (the API rejects the HDFS-backed
+    * provider) — also the right provider at scale, where per-key maps
+    * outgrow executor heaps.
+    *
+    * Emissions are per-batch updated counts; the monotone count itself
+    * is the recency key for compaction after the drain. */
+  private class TypeCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EventRow, TypeCount] {
+    import org.apache.spark.sql.streaming.{MapState, OutputMode, TimeMode, TTLConfig}
+    import org.apache.spark.sql.Encoders
+    @transient private var counts: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counts = getHandle.getMapState[String, Long](
+        "counts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(uid: Long, rows: Iterator[EventRow],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[TypeCount] = {
+      val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+      rows.foreach { e =>
+        val prev = if (counts.containsKey(e.event_type)) counts.getValue(e.event_type) else 0L
+        counts.updateValue(e.event_type, prev + 1)
+        touched += e.event_type
+      }
+      touched.iterator.map(t => TypeCount(uid, t, counts.getValue(t)))
+    }
+  }
+
+  /** Drain the events stream through the TypeCountProcessor and return
+    * the final per-(user, event_type) counts. */
+  def typeCountsTws(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val name = s"stream_tws_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val typed = eventsStream(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+          unix_micros(col("ts")).as("ts_us"))
+        .as[EventRow]
+      val out = typed.groupByKey(_.user_id)
+        .transformWithState(new TypeCountProcessor,
+          TimeMode.None(), OutputMode.Update())
+      withStatePartitions(spark, 8) {
+        val q = out.toDF().writeStream
+          .format("memory").queryName(name)
+          .outputMode("update")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    // count is monotone per (user, type): latest emission == max n
+    graft.ops.Merge.latestByKeyAgg(spark.table(name),
+        Seq("user_id", "event_type"), Seq("n"))
+      .select(col("user_id"), col("event_type"), col("n"))
+      .orderBy("user_id", "event_type")
+  }
+
   /** Sessionization per user with a 30-minute inactivity gap — session
     * windows are the stateful-streaming op the events table exists to
     * exercise (SURVEY §2.3). Same AvailableNow drain. */
