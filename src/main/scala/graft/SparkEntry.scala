@@ -878,6 +878,19 @@ object SparkEntry {
         .orderBy("month_start", "event_type")
     }),
 
+    // Fractional-epoch mixture replication: each source gets 0.4 / 1.5
+    // / 2.3 epochs; the fractional copy is decided by an exact
+    // integer-basis draw (doc_id mod 100), so the expansion is
+    // deterministic across engines and partitionings.
+    "mix_epoch_replicate" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      val srcNum = substring(col("source"), 4, 10).cast("int")
+      val fBasis = when(srcNum % 3 === 0, 230)
+        .when(srcNum % 3 === 1, 40).otherwise(150)
+      graft.ops.Sampling.replicateEpochs(d, fBasis, pmod(col("doc_id"), lit(100)), 100)
+        .orderBy("doc_id", "copy_idx")
+    }),
+
     // Z-order (Morton) interleave of two key dimensions — the z-value
     // that ops.Layout.zOrder2 range-partitions and sorts by. Gated
     // bit-for-bit against the oracle's unrolled shift/mask cascade; the
@@ -1965,6 +1978,22 @@ object SparkEntry {
         |  ORDER BY c_acctbal DESC, c_custkey
         |  LIMIT 2) c
         |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin,
+
+    "mix_epoch_replicate" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, CAST(substr(source, 4) AS INT) % 3 AS m
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, source,
+        |    CASE m WHEN 0 THEN 230 WHEN 1 THEN 40 ELSE 150 END AS fb FROM d),
+        |c AS (
+        |  SELECT doc_id, source,
+        |    CAST(fb // 100 AS BIGINT)
+        |      + CASE WHEN doc_id % 100 < fb % 100 THEN 1 ELSE 0 END AS n
+        |  FROM f)
+        |SELECT doc_id, source, CAST(unnest(range(n)) AS BIGINT) AS copy_idx
+        |FROM c WHERE n > 0
+        |ORDER BY doc_id, copy_idx""".stripMargin,
 
     "layout_zorder_values" ->
       """WITH c0 AS (

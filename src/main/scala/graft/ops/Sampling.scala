@@ -34,4 +34,26 @@ object Sampling {
     scaled.crossJoin(broadcast(z))
       .select(col(group), col("n"), round(col("_s") / col("_z"), 9).as("weight"))
   }
+
+  /** Fractional-epoch replication: emit `factor` copies of each row,
+    * where factor can be non-integral ("2.3 epochs of wiki, 0.4 of
+    * web" — the standard way a training mixture realizes source
+    * weights). A row gets floor(factor) copies plus one more iff its
+    * deterministic uniform draw falls below the fractional part.
+    *
+    * Both factor and the draw are INTEGERS on a shared `basis`
+    * (factor 2.3 at basis 100 = 230; draw ∈ [0, basis)) so the
+    * boundary comparison is exact — no float-threshold flakes across
+    * engines, retries, or partitionings. The expansion is a narrow
+    * sequence+explode (no shuffle); output skew is bounded by
+    * max(factor), not data volume. Adds `copy_idx` (0-based). */
+  def replicateEpochs(df: DataFrame, factorBasis: org.apache.spark.sql.Column,
+      drawBasis: org.apache.spark.sql.Column, basis: Int = 100): DataFrame = {
+    val copies = (factorBasis.cast("long") / basis).cast("long") +
+      when(drawBasis.cast("long") < factorBasis.cast("long") % basis, 1L).otherwise(0L)
+    df.withColumn("_copies", copies)
+      .filter(col("_copies") > 0)
+      .withColumn("copy_idx", explode(sequence(lit(0L), col("_copies") - 1)))
+      .drop("_copies")
+  }
 }

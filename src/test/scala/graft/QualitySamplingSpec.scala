@@ -110,4 +110,20 @@ class QualitySamplingSpec extends AnyFunSuite with SparkTestBase {
       assert(r.getAs[Long]("nmin") == r.getAs[Long]("count"))
     }
   }
+
+  test("replicateEpochs: uniform draws realize the factor EXACTLY; per-row copies in {floor, floor+1}") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 100 rows with draws 0..99: factor 2.37 (basis 237) must produce
+    // exactly 237 copies — 2 each plus one extra for the 37 draws < 37
+    val rows = (0L until 100L).toDF("id")
+    val out = graft.ops.Sampling.replicateEpochs(rows, lit(237), col("id") % 100, 100)
+    assert(out.count() == 237L)
+    val perRow = out.groupBy("id").count().select("count").as[Long].collect()
+    assert(perRow.forall(c => c == 2L || c == 3L))
+    // factor below 1: only the fractional draw keeps a row at all
+    val thin = graft.ops.Sampling.replicateEpochs(rows, lit(40), col("id") % 100, 100)
+    assert(thin.count() == 40L)
+    assert(thin.select("copy_idx").distinct().as[Long].collect().toSeq == Seq(0L))
+  }
 }
