@@ -638,6 +638,18 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // Interpolated quartiles + IQR per group (percentile with linear
+    // interpolation — the percentile_cont semantics; exact, not the GK
+    // sketch, which sketch_approx_events covers).
+    "agg_quartiles_price" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(round(expr("percentile(o_totalprice, 0.25)"), 3).as("q1"),
+          round(expr("percentile(o_totalprice, 0.75)"), 3).as("q3"),
+          round(expr("percentile(o_totalprice, 0.75) - percentile(o_totalprice, 0.25)"), 3).as("iqr"))
+        .orderBy("o_orderpriority")
+    }),
+
     // X2 scale path — IVF ANN (inverted lists; recall<1 ⇒ rows-only).
     "x2_ann_ivf" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -876,6 +888,24 @@ object SparkEntry {
           col("mn"), col("mx"),
           round(col("total").cast("double") / col("n"), 6).as("avg_v"))
         .orderBy("month_start", "event_type")
+    }),
+
+    // Higher-order array functions (transform/aggregate) over the
+    // embedding column — the declarative form of the similarity math.
+    // Hot paths use the codegen kernels (expr.DotProductFloat et al.,
+    // HOF lambdas are CodegenFallback); this query keeps the HOF
+    // surface itself covered. Double-cast before any arithmetic and
+    // sequential folds on both engines keep the sums bit-stable.
+    "array_hof_norms" -> ((s, dir) => {
+      val sq = transform(col("embedding"),
+        v => v.cast("double") * v.cast("double"))
+      Tables.embeddings(s, dir).select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(sqrt(aggregate(sq, lit(0.0), (acc, v) => acc + v)), 5).as("l2_norm"),
+        round(aggregate(col("embedding"), lit(0.0),
+          (acc, v) => acc + v.cast("double")), 5).as("sum_v"))
+        .orderBy("vec_id")
     }),
 
     // Fractional-epoch mixture replication: each source gets 0.4 / 1.5
@@ -1978,6 +2008,22 @@ object SparkEntry {
         |  ORDER BY c_acctbal DESC, c_custkey
         |  LIMIT 2) c
         |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin,
+
+    "agg_quartiles_price" ->
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.25), 3) AS q1,
+        |  round(quantile_cont(o_totalprice, 0.75), 3) AS q3,
+        |  round(quantile_cont(o_totalprice, 0.75)
+        |        - quantile_cont(o_totalprice, 0.25), 3) AS iqr
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "array_hof_norms" ->
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+        |  round(sqrt(list_sum(list_transform(embedding,
+        |    v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))), 5) AS l2_norm,
+        |  round(list_sum(list_transform(embedding,
+        |    v -> CAST(v AS DOUBLE))), 5) AS sum_v
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "mix_epoch_replicate" ->
       """WITH d AS (

@@ -11,7 +11,9 @@ object Plans {
       "q1_pricing_summary", "q3_top_revenue_orders", "q5_local_volume",
       "w4_lww_latest", "x1_dedup_exact", "x2_topk_cosine", "x6_json_filter_agg",
       "skew_salted_join", "storage_bucketed_join", "w5_scd2_history",
-      "w6_cdc_apply", "x1_embedding_neardup_exact")
+      "w6_cdc_apply", "x1_embedding_neardup_exact",
+      "sql_q21_sole_blame", "sql_lateral_topn", "agg_reaggregate_monthly",
+      "layout_zorder_values", "mix_epoch_replicate")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")

@@ -70,6 +70,12 @@ object ScaleProbe {
             graft.ops.TextAnalysis.tokenCount(col("text")).as("w")),
           "doc_id", "w", 5000L).count()
       }
+      time("zorder_layout") {
+        graft.ops.Layout.zOrder2(
+          docs.select(col("doc_id"), xxhash64(col("text"))
+              .bitwiseAND(lit(0xFFFFFFFFL)).as("h")),
+          col("doc_id"), col("h"), 32).count()
+      }
       time("cluster_survivors") {
         val a = docs.select(col("doc_id").as("id_a"),
           graft.expr.WordShingleHashes(col("text"), 3, distinct = true).as("_sa"))
