@@ -659,6 +659,20 @@ object SparkEntry {
         .orderBy("qid", "rk")
     }),
 
+    // IVF with TRAINED centroids (distributed deterministic k-means)
+    // instead of the stub quantizer — the production IVF pipeline:
+    // train on the corpus, assign lists, probe. Rows-only gate; recall
+    // floors vs exact top-k are asserted in SimilaritySpec.
+    "x2_ann_ivf_kmeans" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") % 100 === 0)
+      val cents = graft.ops.Similarity.trainKMeans(e, "vec_id", "embedding",
+        k = 16, iters = 3)
+      graft.ops.Similarity.ivfTopKWith(q, e, "vec_id", "embedding", 5,
+          cents, nprobe = 3)
+        .orderBy("qid", "rk")
+    }),
+
     // Grouping sets: explicit lattice (status totals, priority totals,
     // grand total) — the generalized machinery behind rollup/cube.
     "agg_grouping_sets" -> ((s, dir) => {

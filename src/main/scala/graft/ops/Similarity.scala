@@ -98,6 +98,98 @@ object Similarity {
       k: Int, nCentroids: Int = 16, nprobe: Int = 2): DataFrame = {
     val cents = corpus.orderBy(col(id).asc).limit(nCentroids)
       .select(col(id).as("cent_id"), col(vec).as("cent_vec"), normSq(col(vec)).as("cent_n"))
+    ivfTopKWith(queries, corpus, id, vec, k, cents, nprobe)
+  }
+
+  /** Distributed Lloyd's k-means over the embedding column — the real
+    * IVF coarse-quantizer training ([[ivfTopK]]'s stub replacement).
+    * Deterministic end to end:
+    *   - seeds: maximin (k-center) init on a hash-drawn sample — the
+    *     sample is the `sampleSize` vectors with the smallest
+    *     `xxhash64(id, seed)` (a seeded pseudo-random draw with no RNG
+    *     state: same sample on any cluster, partitioning, or retry);
+    *     the farthest-point sweep then runs driver-side on O(sample)
+    *     data, so seeds can't collapse into one dense cluster the way
+    *     a plain random draw can;
+    *   - assignment = argmax cosine, ties to the smaller centroid id,
+    *     via one broadcast of the k centroids and a hash aggregate
+    *     (map-side combine folds the k candidate rows per vector before
+    *     the shuffle — no window sort anywhere);
+    *   - update = fixed-point component sums ([[labelCentroidSums]]'s
+    *     contract: integer addition is associative, so means don't
+    *     depend on partition order).
+    * Per round the corpus is touched twice (assign, sum); driver state
+    * is O(k·dim) — the centroid table itself — never O(rows). Empty
+    * clusters keep their previous centroid. Returns (cent_id, cent_vec,
+    * cent_n) ready for [[ivfTopKWith]]. */
+  def trainKMeans(corpus: DataFrame, id: String, vec: String,
+      k: Int, iters: Int, seed: Long = 42L, sampleSize: Int = 1024): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = corpus.select(col(id).as("_id"), col(vec).as("_v"))
+    val sample: Array[Seq[Float]] = base
+      .orderBy(xxhash64(col("_id"), lit(seed)).asc, col("_id").asc)
+      .limit(math.max(k, sampleSize)).select(col("_v")).as[Seq[Float]].collect()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na * nb)
+    }
+    // maximin sweep: first seed = first sample vector; each next seed is
+    // the sample vector FARTHEST (lowest max-cosine) from chosen seeds
+    val chosen = scala.collection.mutable.ArrayBuffer(sample.head)
+    val worst = Array.fill(sample.length)(2.0) // min over seeds of... tracked as max cos
+    while (chosen.length < math.min(k, sample.length)) {
+      var best = -1; var bestScore = 2.0
+      var i = 0
+      while (i < sample.length) {
+        val c = math.max(if (worst(i) == 2.0) -2.0 else worst(i), cos(sample(i), chosen.last))
+        worst(i) = c
+        if (c < bestScore) { bestScore = c; best = i }
+        i += 1
+      }
+      chosen += sample(best)
+      worst(best) = 2.0 // never re-picked: 2.0 beats any cosine
+    }
+    var cents: Seq[(Long, Seq[Float])] =
+      chosen.toSeq.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val scale = 1000000L
+    for (_ <- 0 until iters) {
+      val centsDf = broadcast(cents.toDF("cent_id", "cent_vec")
+        .select(col("cent_id"), col("cent_vec").cast("array<float>").as("cent_vec"))
+        .withColumn("cent_n", normSq(col("cent_vec"))))
+      val assigned = base.withColumn("_n", normSq(col("_v")))
+        .join(centsDf, expr("true"))
+        .withColumn("_sim", cosineWithNorms(dot(col("_v"), col("cent_vec")), col("_n"), col("cent_n")))
+        .groupBy(col("_id"))
+        .agg(max_by(col("cent_id"), struct(col("_sim"), -col("cent_id"))).as("cid"),
+          first(col("_v")).as("_v"))
+      val sums = labelCentroidSums(assigned, "cid", "_v", scale)
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          val dim = rows.length
+          val v = new Array[Float](dim)
+          rows.foreach { r =>
+            v(r.getLong(1).toInt) = (r.getLong(2).toDouble / (r.getLong(3) * scale)).toFloat
+          }
+          cid -> v.toSeq
+        }
+      cents = cents.map { case (cid, old) => (cid, sums.getOrElse(cid, old)) }
+    }
+    cents.toDF("cent_id", "cent_vec")
+      .select(col("cent_id"), col("cent_vec").cast("array<float>").as("cent_vec"))
+      .withColumn("cent_n", normSq(col("cent_vec")))
+  }
+
+  /** [[ivfTopK]] with caller-supplied centroids (e.g. [[trainKMeans]]
+    * output): (cent_id, cent_vec, cent_n). */
+  def ivfTopKWith(queries: DataFrame, corpus: DataFrame, id: String, vec: String,
+      k: Int, centroids: DataFrame, nprobe: Int): DataFrame = {
+    val cents = centroids
     // rank centroids per vector by cosine; corpus keeps 1, queries nprobe
     def assign(df: DataFrame, outId: String, keep: Int): DataFrame = {
       val scored = df.select(col(id).as(outId), col(vec).as("_v"), normSq(col(vec)).as("_n"))

@@ -75,6 +75,40 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(ivfRecall >= 0.3, s"IVF recall $ivfRecall")
   }
 
+  test("k-means recovers planted clusters; trained IVF beats the stub quantizer; training is deterministic") {
+    import spark.implicits._
+    // 4 planted clusters on near-orthogonal directions, 25 vectors each
+    val dirs = Seq(
+      Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f), Array(0f, 0f, 0f, 1f))
+    val planted = (0 until 100).map { i =>
+      val d = dirs(i % 4)
+      val noise = 0.05f * ((i * 37 % 11) - 5) / 5f
+      (i.toLong, d.toSeq.map(v => v + (if (v == 0f) noise else 0f)))
+    }.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val cents = Similarity.trainKMeans(planted, "vec_id", "embedding", k = 4, iters = 4)
+    // every trained centroid must be dominated by one planted direction
+    val cvecs = cents.select("cent_vec").as[Seq[Float]].collect()
+    val domAxes = cvecs.map(v => v.indexOf(v.map(math.abs).max)).toSet
+    assert(domAxes == Set(0, 1, 2, 3), s"centroids missed a cluster: $domAxes")
+    // determinism: same input, same centroids bit-for-bit
+    val again = Similarity.trainKMeans(planted, "vec_id", "embedding", k = 4, iters = 4)
+      .select("cent_vec").as[Seq[Float]].collect()
+    assert(cvecs.toSeq == again.toSeq)
+
+    // on the real fixture, trained IVF must meet the stub's recall floor
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") % 10 === 0)
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = hits(Similarity.topKBruteForce(q, e, "vec_id", "embedding", 5))
+    val trained = Similarity.trainKMeans(e, "vec_id", "embedding", k = 4, iters = 3)
+    val ivfT = hits(Similarity.ivfTopKWith(q, e, "vec_id", "embedding", 5, trained, nprobe = 2))
+    val recall = (ivfT & exact).size.toDouble / exact.size
+    assert(recall >= 0.3, s"trained-IVF recall $recall")
+  }
+
   test("embeddingNearDups finds the high-cosine pair only") {
     val pairs = Similarity.embeddingNearDups(vecs, "vec_id", "embedding",
       minCosine = 0.99, planes = 2).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
