@@ -904,6 +904,45 @@ object SparkEntry {
         .orderBy("month_start", "event_type")
     }),
 
+    // Funnel analysis over the event stream: first view → first click
+    // AFTER that view → first purchase AFTER that click, per user;
+    // stage counts are the funnel. Each stage is one hash agg + one
+    // broadcast of the (shrinking) per-user frontier — the fact table
+    // is scanned per stage but never self-joined row-to-row.
+    "events_funnel_stages" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+      def firstAfter(etype: String, frontier: DataFrame, tcol: String): DataFrame =
+        ev.filter(col("event_type") === etype)
+          .join(broadcast(frontier), Seq("user_id"))
+          .filter(col("ts") > col(tcol))
+          .groupBy(col("user_id")).agg(min(col("ts")).as(s"t_$etype"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val c = firstAfter("click", v, "t_view")
+      val p = firstAfter("purchase", c, "t_click")
+      v.agg(count(lit(1)).as("n")).select(lit("step1_view").as("stage"), col("n"))
+        .unionAll(c.agg(count(lit(1)).as("n")).select(lit("step2_click").as("stage"), col("n")))
+        .unionAll(p.agg(count(lit(1)).as("n")).select(lit("step3_purchase").as("stage"), col("n")))
+        .orderBy("stage")
+    }),
+
+    // Cohort retention: users grouped by first-activity week; for each
+    // (cohort week, week offset) the count of distinct active users.
+    // Week arithmetic stays in epoch seconds of week-truncated
+    // timestamps, so offsets are exact integers in both engines.
+    "events_cohort_retention" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"), col("ts"))
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+      val active = ev.select(col("user_id"), date_trunc("week", col("ts")).as("wk")).distinct()
+      active.join(broadcast(cohort), Seq("user_id"))
+        .withColumn("week_offset",
+          ((unix_timestamp(col("wk")) - unix_timestamp(col("cohort_week"))) / 604800L).cast("long"))
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     // Higher-order array functions (transform/aggregate) over the
     // embedding column — the declarative form of the similarity math.
     // Hot paths use the codegen kernels (expr.DotProductFloat et al.,
@@ -2022,6 +2061,38 @@ object SparkEntry {
         |  ORDER BY c_acctbal DESC, c_custkey
         |  LIMIT 2) c
         |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin,
+
+    "events_funnel_stages" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS t_click FROM events e
+        |  JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+        |  JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+        |  WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT 'step1_view' AS stage, count(*) AS n FROM v
+        |UNION ALL SELECT 'step2_click', count(*) FROM c
+        |UNION ALL SELECT 'step3_purchase', count(*) FROM p
+        |ORDER BY stage""".stripMargin,
+
+    "events_cohort_retention" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    CAST(date_trunc('week', min(CAST(ts AS TIMESTAMP))) AS TIMESTAMP) AS cohort_week
+        |  FROM events GROUP BY 1),
+        |a AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS wk
+        |  FROM events)
+        |SELECT f.cohort_week,
+        |  CAST((epoch(a.wk) - epoch(f.cohort_week)) / 604800 AS BIGINT) AS week_offset,
+        |  count(*) AS n_users
+        |FROM a JOIN f ON a.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "agg_quartiles_price" ->
       """SELECT o_orderpriority,
