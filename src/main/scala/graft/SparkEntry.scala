@@ -904,6 +904,28 @@ object SparkEntry {
         .orderBy("month_start", "event_type")
     }),
 
+    // Interval-overlap join (two-sided): per-user click windows vs view
+    // windows (each event ±30 min wide... here [ts, ts+30m]) that
+    // overlap. Bucketized equi-join — NOT a theta join: candidates come
+    // from shared 10-min time buckets, each pair emitted from the
+    // overlap's first bucket only (duplicate-free without distinct).
+    // The oracle runs the plain theta join; equality proves the
+    // bucketization is exact.
+    "interval_overlap_clicks" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("t0"))
+        .withColumn("t1", col("t0") + lit(1800000000L))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("t0"), col("t1"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("t0"), col("t1"))
+      graft.ops.AsOf.intervalOverlapJoin(clicks, views, "user_id",
+          "t0", "t1", "t0", "t1", bucketWidth = 600000000L)
+        .select(col("click_id"), col("r_view_id").as("view_id"))
+        .orderBy("click_id", "view_id")
+    }),
+
     // Funnel analysis over the event stream: first view → first click
     // AFTER that view → first purchase AFTER that click, per user;
     // stage counts are the funnel. Each stage is one hash agg + one
@@ -2061,6 +2083,14 @@ object SparkEntry {
         |  ORDER BY c_acctbal DESC, c_custkey
         |  LIMIT 2) c
         |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin,
+
+    "interval_overlap_clicks" ->
+      """SELECT l.event_id AS click_id, r.event_id AS view_id
+        |FROM events l JOIN events r ON l.user_id = r.user_id
+        |WHERE l.event_type = 'click' AND r.event_type = 'view'
+        |  AND l.ts <= r.ts + INTERVAL 30 MINUTE
+        |  AND r.ts <= l.ts + INTERVAL 30 MINUTE
+        |ORDER BY click_id, view_id""".stripMargin,
 
     "events_funnel_stages" ->
       """WITH v AS (

@@ -72,4 +72,46 @@ object AsOf {
         col(s"r_$rightTs") <= col(leftTs) + window)
       .drop(s"r_$key")
   }
+
+  /** Interval-overlap join: pairs of (left, right) intervals on the same
+    * `key` that OVERLAP (lStart ≤ rEnd ∧ rStart ≤ lEnd) — the two-sided
+    * generalization of [[rangeJoin]]. A naive theta-join on the overlap
+    * condition degenerates to per-key nested loops; this is the
+    * bucketized form that scales: each interval explodes to the fixed-
+    * width time buckets it covers, the join is an EQUI-join on
+    * (key, bucket), and the exact overlap test filters the candidates.
+    * An overlapping pair shares every bucket the overlap region covers —
+    * the pair is emitted only from the overlap's FIRST bucket
+    * (`bucket == floor(max(lStart, rStart) / W)`), so no `distinct()`
+    * pass exists at any scale. Per-task match sets stay bounded by
+    * (intervals alive per bucket)², tunable via `bucketWidth`; interval
+    * length / W bounds the explode fan-out.
+    *
+    * Start/end columns are event-time numbers (e.g. epoch micros);
+    * intervals are closed, with end ≥ start. Output: all left columns +
+    * right columns prefixed `r_` (key unduplicated). */
+  def intervalOverlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      lStart: String, lEnd: String,
+      rStart: String, rEnd: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val w = lit(bucketWidth)
+    def withBuckets(df: DataFrame, s: String, e: String, name: String): DataFrame =
+      df.withColumn(name,
+        explode(sequence(floor(col(s) / w).cast("long"), floor(col(e) / w).cast("long"))))
+    val l = withBuckets(left, lStart, lEnd, "_bkt")
+    val r = withBuckets(
+      right.columns.foldLeft(right)((df, c) => df.withColumnRenamed(c, s"r_$c")),
+      s"r_$rStart", s"r_$rEnd", "r__bkt")
+    l.join(r, col("_bkt") === col("r__bkt") && col(key) === col(s"r_$key"))
+      .filter(col(lStart) <= col(s"r_$rEnd") && col(s"r_$rStart") <= col(lEnd))
+      // emit from the overlap's first bucket only — duplicate-free by
+      // construction, no distinct/shuffle needed
+      .filter(col("_bkt") ===
+        floor(greatest(col(lStart), col(s"r_$rStart")) / w).cast("long"))
+      .drop("_bkt", "r__bkt", s"r_$key")
+  }
 }

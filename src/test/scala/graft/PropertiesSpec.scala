@@ -125,6 +125,31 @@ object PropertiesSpec extends Properties("graft") {
       current == latest && oneOpenEach && tiles
     }
 
+  private val intervals: Gen[List[(Long, Long, Long, Long)]] =
+    Gen.listOfN(10, for {
+      id <- Gen.choose(0L, 1000L)
+      key <- Gen.choose(0L, 2L)
+      s <- Gen.choose(0L, 500L)
+      len <- Gen.choose(0L, 120L)
+    } yield (id, key, s, s + len))
+
+  property("intervalOverlapJoin == theta join, duplicate-free, any bucket width") =
+    forAll(intervals, intervals, Gen.oneOf(7L, 50L, 1000L)) { (ls, rs, w) =>
+      import spark.implicits._
+      val l = ls.zipWithIndex.map { case ((_, k, s, e), i) => (i.toLong, k, s, e) }
+        .toDF("lid", "k", "s", "e")
+      val r = rs.zipWithIndex.map { case ((_, k, s, e), i) => (i.toLong, k, s, e) }
+        .toDF("rid", "k", "s", "e")
+      val got = graft.ops.AsOf.intervalOverlapJoin(l, r, "k", "s", "e", "s", "e", w)
+        .select("lid", "r_rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+      val expect = (for {
+        (li, lk, lsv, lev) <- ls.zipWithIndex.map { case ((_, k, s, e), i) => (i.toLong, k, s, e) }
+        (ri, rk, rsv, rev) <- rs.zipWithIndex.map { case ((_, k, s, e), i) => (i.toLong, k, s, e) }
+        if lk == rk && lsv <= rev && rsv <= lev
+      } yield (li, ri)).toSet
+      got.toSet == expect && got.size == expect.size
+    }
+
   property("toLongCoerce total under ANSI: parses clean ints, nulls garbage") =
     forAll(Gen.listOfN(8, Gen.oneOf(
       Gen.choose(-1000000L, 1000000L).map(_.toString),
