@@ -904,6 +904,17 @@ object SparkEntry {
         .orderBy("month_start", "event_type")
     }),
 
+    // Distribution drift (PSI) of the language mix between the full
+    // corpus and a length-filtered snapshot — the monitoring gate that
+    // catches a silently shifted source mix. Exact counts; the only
+    // float op is the final ln, rounded at 6 dp on both engines.
+    "dq_drift_lang" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.ops.DataQuality.categoricalDrift(
+          docs, docs.filter(col("n_chars") >= 300), "lang")
+        .orderBy("lang")
+    }),
+
     // Interval-overlap join (two-sided): per-user click windows vs view
     // windows (each event ±30 min wide... here [ts, ts+30m]) that
     // overlap. Bucketized equi-join — NOT a theta join: candidates come
@@ -2083,6 +2094,20 @@ object SparkEntry {
         |  ORDER BY c_acctbal DESC, c_custkey
         |  LIMIT 2) c
         |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin,
+
+    "dq_drift_lang" ->
+      """WITH b AS (SELECT lang, count(*) AS n_base FROM documents GROUP BY 1),
+        |c AS (SELECT lang, count(*) AS n_cur FROM documents
+        |      WHERE n_chars >= 300 GROUP BY 1),
+        |t AS (SELECT (SELECT CAST(sum(n_base) AS DOUBLE) FROM b) AS tb,
+        |             (SELECT CAST(sum(n_cur) AS DOUBLE) FROM c) AS tc)
+        |SELECT COALESCE(b.lang, c.lang) AS lang,
+        |  COALESCE(n_base, 0) AS n_base, COALESCE(n_cur, 0) AS n_cur,
+        |  round((COALESCE(n_base, 0) / tb - COALESCE(n_cur, 0) / tc)
+        |    * ln((COALESCE(n_base, 0) / tb + 1e-6)
+        |        / (COALESCE(n_cur, 0) / tc + 1e-6)), 6) AS psi
+        |FROM b FULL OUTER JOIN c ON b.lang = c.lang, t
+        |ORDER BY lang""".stripMargin,
 
     "interval_overlap_clicks" ->
       """SELECT l.event_id AS click_id, r.event_id AS view_id

@@ -41,4 +41,33 @@ object DataQuality {
       case None => long
     }
   }
+
+  /** Distribution drift of a categorical column between a baseline and
+    * a current snapshot — the monitoring op that catches a silently
+    * shifted source mix before it poisons a training run. Per category:
+    * both counts, both shares, and the PSI contribution
+    * (p−q)·ln((p+ε)/(q+ε)); sum the column for the headline PSI
+    * (common gates: <0.1 stable, >0.25 drifted). Two hash aggs (state =
+    * |categories|) + a full outer join on category — the snapshots are
+    * each scanned once and never co-shuffled row-wise. Shares divide
+    * exact counts, so the only float op is the final ln. */
+  def categoricalDrift(base: DataFrame, cur: DataFrame, category: String,
+      eps: Double = 1e-6): DataFrame = {
+    val bCounts = base.groupBy(col(category)).agg(count(lit(1)).as("n_base"))
+    val cCounts = cur.groupBy(col(category)).agg(count(lit(1)).as("n_cur"))
+      .withColumnRenamed(category, "_cur_cat")
+    // one (tb, tc) row broadcast onto the joined category table
+    val totals = broadcast(
+      bCounts.agg(sum(col("n_base")).cast("double").as("_tb"))
+        .crossJoin(cCounts.agg(sum(col("n_cur")).cast("double").as("_tc"))))
+    val p = coalesce(col("n_base"), lit(0L)) / col("_tb")
+    val q = coalesce(col("n_cur"), lit(0L)) / col("_tc")
+    bCounts.join(cCounts, col(category) === col("_cur_cat"), "full_outer")
+      .crossJoin(totals)
+      .select(
+        coalesce(col(category), col("_cur_cat")).as(category),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+        round((p - q) * log((p + eps) / (q + eps)), 6).as("psi"))
+  }
 }

@@ -126,4 +126,18 @@ class QualitySamplingSpec extends AnyFunSuite with SparkTestBase {
     assert(thin.count() == 40L)
     assert(thin.select("copy_idx").distinct().as[Long].collect().toSeq == Seq(0L))
   }
+
+  test("categoricalDrift: identical snapshots give PSI 0; vanished category contributes positive PSI") {
+    import spark.implicits._
+    val base = Seq("a", "a", "a", "b", "b", "c").toDF("cat")
+    val same = graft.ops.DataQuality.categoricalDrift(base, base, "cat").collect()
+    assert(same.forall(_.getDouble(3) == 0.0))
+    // current snapshot lost category c entirely
+    val cur = Seq("a", "a", "a", "b", "b").toDF("cat")
+    val out = graft.ops.DataQuality.categoricalDrift(base, cur, "cat")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("c").getLong(2) == 0L)       // n_cur = 0
+    assert(out("c").getDouble(3) > 0.5)     // vanished mass drives PSI up
+    assert(out.values.map(_.getDouble(3)).sum > 0.0)
+  }
 }
