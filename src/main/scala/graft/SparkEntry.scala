@@ -904,6 +904,34 @@ object SparkEntry {
         .orderBy("month_start", "event_type")
     }),
 
+    // Second-order statistics (stddev, Pearson corr of value vs epoch
+    // day) computed FROM EXACT MOMENTS — decimal/integer sums first,
+    // doubles only in the final closed-form combination. Spark's
+    // native corr()/stddev() accumulate doubles in partition order and
+    // flap in the last ulps across runs; exact moments are the
+    // deterministic (and mergeable, Reagg-style) form at any scale.
+    "agg_stats_moments" -> ((s, dir) => {
+      val x = expr("unix_micros(ts) div 86400000000").cast("long")
+      val y = col("value").cast("decimal(18,2)")
+      val m = Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(y).as("sy"), sum(y * y).as("syy"),
+          sum(x).as("sx"), sum(x * x).as("sxx"),
+          sum(y * x).as("sxy"))
+      val nD = col("n").cast("double")
+      val (syD, syyD, sxD, sxxD, sxyD) =
+        (col("sy").cast("double"), col("syy").cast("double"),
+          col("sx").cast("double"), col("sxx").cast("double"),
+          col("sxy").cast("double"))
+      m.select(col("event_type"), col("n"),
+        round(syD / nD, 6).as("mean_v"),
+        round(sqrt((nD * syyD - syD * syD) / (nD * (nD - 1))), 6).as("sd_v"),
+        round((nD * sxyD - sxD * syD) /
+          sqrt((nD * sxxD - sxD * sxD) * (nD * syyD - syD * syD)), 6).as("corr_day"))
+        .orderBy("event_type")
+    }),
+
     // Distribution drift (PSI) of the language mix between the full
     // corpus and a length-filtered snapshot — the monitoring gate that
     // catches a silently shifted source mix. Exact counts; the only
@@ -2094,6 +2122,30 @@ object SparkEntry {
         |  ORDER BY c_acctbal DESC, c_custkey
         |  LIMIT 2) c
         |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin,
+
+    "agg_stats_moments" ->
+      """WITH m AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS sy,
+        |    sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS syy,
+        |    sum(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS sx,
+        |    sum((epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000)
+        |      * (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000)) AS sxx,
+        |    sum(CAST(value AS DECIMAL(18,2))
+        |      * (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000)) AS sxy
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, n,
+        |  round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_v,
+        |  round(sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))), 6) AS sd_v,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr_day
+        |FROM m ORDER BY event_type""".stripMargin,
 
     "dq_drift_lang" ->
       """WITH b AS (SELECT lang, count(*) AS n_base FROM documents GROUP BY 1),

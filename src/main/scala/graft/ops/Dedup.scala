@@ -107,6 +107,7 @@ object Dedup {
     // corpus tokens; the standard "write shingles once" LSH shape.
     val shingled = df.select(col(id).as("_id"),
         graft.expr.WordShingleHashes(col(text), shingleK, distinct = true).as("_sh"))
+      .withColumn("_nsh", size(col("_sh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Signature via explode + one hash-agg with b·r min() slots rather
     // than array-aggregate lambdas: higher-order functions are
@@ -133,21 +134,29 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .distinct()
     // verify with exact Jaccard on the shingle-hash sets (collision odds
-    // per pair ~2^-64·|set|² — negligible at any corpus size)
-    val a = shingled.select(col("_id").as("id_a"), col("_sh").as("_sha"))
-    val b = shingled.select(col("_id").as("id_b"), col("_sh").as("_shb"))
+    // per pair ~2^-64·|set|² — negligible at any corpus size). The
+    // union never materializes: |A∪B| = |A|+|B|−|A∩B| with the set
+    // sizes precomputed per doc, so the per-pair work is ONE
+    // array_intersect instead of intersect + union array builds —
+    // the verify join is the cost driver when candidates are dense.
+    val a = shingled.select(col("_id").as("id_a"), col("_sh").as("_sha"), col("_nsh").as("_na"))
+    val b = shingled.select(col("_id").as("id_b"), col("_sh").as("_shb"), col("_nsh").as("_nb"))
     pairs.join(a, "id_a").join(b, "id_b")
+      .withColumn("_inter", size(array_intersect(col("_sha"), col("_shb"))).cast("double"))
       .withColumn("jaccard",
-        size(array_intersect(col("_sha"), col("_shb"))).cast("double") /
-          size(array_union(col("_sha"), col("_shb"))).cast("double"))
+        col("_inter") / (col("_na").cast("double") + col("_nb") - col("_inter")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** Exact n-gram Jaccard between two shingle-set columns (the verify
     * kernel of X3, usable standalone for pair scoring). */
-  def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
+  def jaccard(a: Column, b: Column): Column = {
+    // |A∪B| = |A|+|B|−|A∩B| — the union array never materializes; the
+    // repeated intersect is shared by codegen subexpression elimination
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a).cast("double") + size(b).cast("double") - inter)
+  }
 
   /** Near-dup pairs → connected components, via min-label propagation
     * with pointer jumping: every id starts as its own label; each round a
