@@ -904,6 +904,21 @@ object SparkEntry {
         .orderBy("month_start", "event_type")
     }),
 
+    // Bloom-filter semi-join: lineitems of suppliers in arrears. The
+    // filter side folds to a 128 KiB bit array (distributed bit_or,
+    // collected at O(bits)); fact rows are pruned scan-side by pure
+    // codegen'd probe expressions BEFORE the exact semi-join removes
+    // the false positives — result equals the plain semi-join oracle
+    // row-for-row.
+    "join_bloom_semi" -> ((s, dir) => {
+      val arrears = Tables.supplier(s, dir)
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      graft.ops.Bloom.bloomSemiJoin(
+          Tables.lineitem(s, dir), arrears, "l_suppkey", "s_suppkey")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // Second-order statistics (stddev, Pearson corr of value vs epoch
     // day) computed FROM EXACT MOMENTS — decimal/integer sums first,
     // doubles only in the final closed-form combination. Spark's
@@ -2122,6 +2137,13 @@ object SparkEntry {
         |  ORDER BY c_acctbal DESC, c_custkey
         |  LIMIT 2) c
         |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin,
+
+    "join_bloom_semi" ->
+      """SELECT l_orderkey, l_linenumber, l_suppkey
+        |FROM lineitem
+        |WHERE l_suppkey IN
+        |  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "agg_stats_moments" ->
       """WITH m AS (
