@@ -904,6 +904,30 @@ object SparkEntry {
         .orderBy("month_start", "event_type")
     }),
 
+    // Semantic (embedding-space) benchmark decontamination — the
+    // cosine twin of x3_decontaminate's n-gram overlap: corpus vectors
+    // whose max cosine against the broadcast eval set crosses the
+    // contamination threshold. Double-cast HOF arithmetic keeps the
+    // dot/norm bit-identical to DuckDB's list_transform/list_sum form
+    // (the array_hof_norms contract); the corpus is scanned once and
+    // never shuffled — eval rides as a broadcast.
+    "x3_decontaminate_embed" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val evalSet = e.filter(col("vec_id") % 40 === 0).select(col("embedding").as("_ev"))
+      val corpus = e.filter(col("vec_id") % 40 =!= 0).select(col("vec_id"), col("embedding"))
+      def sumSq(c: Column) = aggregate(
+        transform(c, v => v.cast("double") * v.cast("double")), lit(0.0), (a, v) => a + v)
+      val dot = aggregate(
+        zip_with(col("embedding"), col("_ev"), (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (a, v) => a + v)
+      corpus.crossJoin(broadcast(evalSet))
+        .withColumn("_c", dot / (sqrt(sumSq(col("embedding"))) * sqrt(sumSq(col("_ev")))))
+        .groupBy(col("vec_id")).agg(max(col("_c")).as("max_cos"))
+        .filter(col("max_cos") >= 0.35)
+        .select(col("vec_id"), round(col("max_cos"), 5).as("max_cos"))
+        .orderBy("vec_id")
+    }),
+
     // Bloom-filter semi-join: lineitems of suppliers in arrears. The
     // filter side folds to a 128 KiB bit array (distributed bit_or,
     // collected at O(bits)); fact rows are pruned scan-side by pure
@@ -2137,6 +2161,19 @@ object SparkEntry {
         |  ORDER BY c_acctbal DESC, c_custkey
         |  LIMIT 2) c
         |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin,
+
+    "x3_decontaminate_embed" ->
+      """WITH ev AS (SELECT embedding FROM embeddings WHERE vec_id % 40 = 0),
+        |co AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 40 <> 0),
+        |p AS (
+        |  SELECT co.vec_id,
+        |    max(list_sum(list_transform(list_zip(co.embedding, ev.embedding),
+        |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(co.embedding, v -> CAST(v AS DOUBLE) * v)))
+        |       * sqrt(list_sum(list_transform(ev.embedding, v -> CAST(v AS DOUBLE) * v))))) AS mc
+        |  FROM co, ev GROUP BY 1)
+        |SELECT vec_id, round(mc, 5) AS max_cos
+        |FROM p WHERE mc >= 0.35 ORDER BY vec_id""".stripMargin,
 
     "join_bloom_semi" ->
       """SELECT l_orderkey, l_linenumber, l_suppkey
