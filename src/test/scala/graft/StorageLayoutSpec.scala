@@ -23,6 +23,30 @@ class StorageLayoutSpec extends AnyFunSuite with SparkTestBase {
     assert(files.nonEmpty && files.forall(_.contains("lang=en")))
   }
 
+  test("schema evolution: mergeSchema unions old and new file schemas, old files read nulls") {
+    val dir = Files.createTempDirectory("graft_evolve").toString
+    import spark.implicits._
+    // v1 writer: (id, a); later deploy adds column b
+    Seq((1L, "x"), (2L, "y")).toDF("id", "a")
+      .write.parquet(s"$dir/t/batch=1")
+    Seq((3L, "z", 10.5)).toDF("id", "a", "b")
+      .write.parquet(s"$dir/t/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$dir/t")
+    assert(merged.columns.toSet == Set("id", "a", "b", "batch"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows.length == 3)
+    assert(rows.take(2).forall(_.isNullAt(merged.columns.indexOf("b"))))
+    assert(rows(2).getDouble(merged.columns.indexOf("b")) == 10.5)
+    // and the coercion pipeline drives the merged frame to a target schema
+    val target = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("a", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("b", org.apache.spark.sql.types.StringType)))
+    val coerced = graft.ops.Coerce.toSchema(merged.drop("batch"), target)
+    assert(coerced.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      target.fields.map(f => (f.name, f.dataType)).toSeq)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the issue
     try {
