@@ -142,6 +142,11 @@ object Dedup {
     val a = shingled.select(col("_id").as("id_a"), col("_sh").as("_sha"), col("_nsh").as("_na"))
     val b = shingled.select(col("_id").as("id_b"), col("_sh").as("_shb"), col("_nsh").as("_nb"))
     pairs.join(a, "id_a").join(b, "id_b")
+      // size-ratio bound: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so pairs
+      // whose set sizes differ by more than the threshold ratio cannot
+      // pass — pruned on two ints before any array work
+      .filter(least(col("_na"), col("_nb")).cast("double") >=
+        lit(minJaccard) * greatest(col("_na"), col("_nb")))
       .withColumn("_inter", size(array_intersect(col("_sha"), col("_shb"))).cast("double"))
       .withColumn("jaccard",
         col("_inter") / (col("_na").cast("double") + col("_nb") - col("_inter")))
