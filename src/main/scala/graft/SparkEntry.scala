@@ -936,7 +936,7 @@ object SparkEntry {
     // row-for-row.
     "join_bloom_semi" -> ((s, dir) => {
       val arrears = Tables.supplier(s, dir)
-        .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+        .filter(col("s_acctbal") < 1000).select(col("s_suppkey"))
       graft.ops.Bloom.bloomSemiJoin(
           Tables.lineitem(s, dir), arrears, "l_suppkey", "s_suppkey")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"))
@@ -2179,7 +2179,7 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_suppkey
         |FROM lineitem
         |WHERE l_suppkey IN
-        |  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "agg_stats_moments" ->
