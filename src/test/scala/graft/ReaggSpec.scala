@@ -52,4 +52,27 @@ class ReaggSpec extends AnyFunSuite with SparkTestBase {
     assert(merged == 40.0)
     assert(avgOfAvgs == 60.0)
   }
+
+  test("sketch partials reaggregate: daily HLL sketches union to the monthly distinct estimate") {
+    // count(DISTINCT) does NOT reaggregate from per-day counts — but its
+    // HLL sketch does: hll_sketch_agg partials at day grain,
+    // hll_union_agg to month. The 100 TB pattern for distinct-user
+    // rollups without rescanning facts.
+    val events = graft.io.Tables.events(spark, "/root/testdata/sf0.01")
+      .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+    val daily = events.groupBy(col("d"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"),
+        countDistinct(col("user_id")).as("exact_day"))
+    val merged = daily
+      .groupBy(date_trunc("month", col("d")).as("m"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    val exact = events.select(col("user_id")).distinct().count().toDouble
+    val est = merged.collect().map(_.getLong(1).toDouble).sum
+    // one month of data in the fixture; HLL default lgK=12 → rsd ~1.6%
+    assert(math.abs(est - exact) / exact < 0.05,
+      s"merged HLL estimate $est vs exact $exact")
+    // naive sum of per-day distincts overcounts (users active on many days)
+    val naive = daily.agg(sum(col("exact_day"))).collect()(0).getLong(0).toDouble
+    assert(naive > exact * 1.5)
+  }
 }
