@@ -904,6 +904,21 @@ object SparkEntry {
         .orderBy("month_start", "event_type")
     }),
 
+    // Bounded top-k per group via the typed Aggregator (ops.TopK) —
+    // the O(k)-buffer, map-side-combining alternative to window+rank:
+    // the shuffle carries at most k rows per group per map partition
+    // instead of every row. Oracle is the window row_number form —
+    // equality proves the ordering contract (score desc, id asc).
+    "window_topk_typed" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(graft.ops.TopK.topK(3)(col("o_totalprice"), col("o_orderkey")).as("_t"))
+        .select(col("o_custkey"), posexplode(col("_t")).as(Seq("_rk0", "_e")))
+        .select(col("o_custkey"), (col("_rk0") + 1).cast("long").as("rk"),
+          col("_e._2").as("o_orderkey"), col("_e._1").as("price"))
+        .orderBy("o_custkey", "rk")
+    }),
+
     // Semantic (embedding-space) benchmark decontamination — the
     // cosine twin of x3_decontaminate's n-gram overlap: corpus vectors
     // whose max cosine against the broadcast eval set crosses the
@@ -2161,6 +2176,15 @@ object SparkEntry {
         |  ORDER BY c_acctbal DESC, c_custkey
         |  LIMIT 2) c
         |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin,
+
+    "window_topk_typed" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders)
+        |SELECT o_custkey, rk, o_orderkey, o_totalprice AS price
+        |FROM r WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
 
     "x3_decontaminate_embed" ->
       """WITH ev AS (SELECT embedding FROM embeddings WHERE vec_id % 40 = 0),
