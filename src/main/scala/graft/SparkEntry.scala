@@ -395,6 +395,24 @@ object SparkEntry {
     }),
 
     // X5 — multimodal binary payload + typed metadata plumbing.
+    // X5 frame sampling: payload cut into 64-byte frames, every 3rd
+    // kept (the video-frame-sampling plumbing, no decode). The oracle
+    // gates the sampled-frame count and byte totals via pure arithmetic
+    // on n_bytes — deterministic without comparing blob lists.
+    "x5_frame_sample" -> ((s, dir) => {
+      val packed = Multimodal.packBinary(
+        Tables.documents(s, dir), "doc_id", "text", "lang", "text/plain")
+      packed
+        .select(col("doc_id"), length(col("payload")).cast("long").as("n_bytes"),
+          Multimodal.sampleFrames(col("payload"), 64, 3).as("_frames"))
+        .select(col("doc_id"), col("n_bytes"),
+          size(col("_frames")).cast("long").as("n_sampled"),
+          aggregate(transform(col("_frames"), f => length(f).cast("long")),
+            lit(0L), (a, v) => a + v).as("sampled_bytes"),
+          length(element_at(col("_frames"), 1)).cast("long").as("first_frame_bytes"))
+        .orderBy("doc_id")
+    }),
+
     "x5_binary_meta" -> ((s, dir) => {
       Multimodal.packBinary(Tables.documents(s, dir), "doc_id", "text", "lang", "text/plain")
         .select(col("doc_id"), length(col("payload")).cast("long").as("n_bytes"),
@@ -1700,6 +1718,21 @@ object SparkEntry {
       s"""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         | 'text/plain' AS fmt, CAST(${ops.Multimodal.stubFeatureDim} AS BIGINT) AS feat_dim
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x5_frame_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n,
+        |    CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS nf
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, n,
+        |    unnest(range(0, greatest(nf - 1, 0) + 1, 3)) AS i
+        |  FROM d)
+        |SELECT doc_id, max(n) AS n_bytes,
+        |  count(*) AS n_sampled,
+        |  CAST(sum(least(64, greatest(n - i * 64, 0))) AS BIGINT) AS sampled_bytes,
+        |  CAST(least(64, max(n)) AS BIGINT) AS first_frame_bytes
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "x5_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
