@@ -922,6 +922,21 @@ object SparkEntry {
         .orderBy("month_start", "event_type")
     }),
 
+    // Share-of-total (ratio_to_report) WITHOUT a global window: a
+    // one-partition `sum() OVER ()` is the classic scale trap; the
+    // scale-safe form is two hash aggs + a one-row broadcast.
+    "agg_share_of_total" -> ((s, dir) => {
+      val rev = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      val total = rev.agg(sum(col("rev")).as("_tot"))
+      rev.crossJoin(broadcast(total))
+        .select(col("o_orderpriority"),
+          col("rev").cast("double").as("revenue"),
+          round(col("rev").cast("double") / col("_tot").cast("double"), 6).as("share"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Bounded top-k per group via the typed Aggregator (ops.TopK) —
     // the O(k)-buffer, map-side-combining alternative to window+rank:
     // the shuffle carries at most k rows per group per map partition
@@ -2209,6 +2224,16 @@ object SparkEntry {
         |  ORDER BY c_acctbal DESC, c_custkey
         |  LIMIT 2) c
         |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin,
+
+    "agg_share_of_total" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(rev) AS DOUBLE) AS tot FROM r)
+        |SELECT o_orderpriority, CAST(rev AS DOUBLE) AS revenue,
+        |  round(CAST(rev AS DOUBLE) / tot, 6) AS share
+        |FROM r, t ORDER BY o_orderpriority""".stripMargin,
 
     "window_topk_typed" ->
       """WITH r AS (
