@@ -922,6 +922,27 @@ object SparkEntry {
         .orderBy("month_start", "event_type")
     }),
 
+    // Capstone composition — the corpus-to-training-shards pipeline in
+    // one dataflow: quality gate → exact content dedup (keep min id) →
+    // token-budget shard assignment (distributed prefix sum) → shard
+    // summary. Every stage is an op gated elsewhere; this gates their
+    // COMPOSITION against one SQL oracle.
+    "pipeline_corpus_to_shards" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val nt = TextAnalysis.tokenCount(col("text"))
+      val nc = length(col("text")).cast("long")
+      val stops = TextAnalysis.wordOccurrences(lower(col("text")), TextAnalysis.englishStopwords)
+      val gated = d.filter(TextAnalysis.qualityGate(nt, nc, stops))
+      val keep = Dedup.exactByContent(gated, "text", "doc_id")
+        .select(col("keep_id").as("doc_id"))
+      val weighted = gated.join(keep, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("w"))
+      graft.ops.Packing.assignShards(weighted, "doc_id", "w", 2000L)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("total_tokens"))
+        .orderBy("shard")
+    }),
+
     // Share-of-total (ratio_to_report) WITHOUT a global window: a
     // one-partition `sum() OVER ()` is the classic scale trap; the
     // scale-safe form is two hash aggs + a one-row broadcast.
@@ -2224,6 +2245,31 @@ object SparkEntry {
         |  ORDER BY c_acctbal DESC, c_custkey
         |  LIMIT 2) c
         |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin,
+
+    "pipeline_corpus_to_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      w -> w IN ('the','a','an','and','or','of','to','in','is','it',
+        |                 'that','for','on','with','as','at','by','from'))) AS BIGINT) AS n_stopwords
+        |  FROM documents),
+        |g AS (
+        |  SELECT * FROM t
+        |  WHERE n_tokens BETWEEN 5 AND 100000
+        |    AND (n_chars / greatest(n_tokens, 1)) BETWEEN 1 AND 15
+        |    AND n_stopwords * 50 >= n_tokens),
+        |k AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY sha256(text)),
+        |w AS (SELECT g.doc_id, g.n_tokens FROM g JOIN k ON g.doc_id = k.doc_id),
+        |sh AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |      - n_tokens) / 2000.0) AS BIGINT) AS shard
+        |  FROM w)
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
 
     "agg_share_of_total" ->
       """WITH r AS (
