@@ -98,7 +98,8 @@ object Dedup {
       bands: Int = 8,
       rows: Int = 4,
       minJaccard: Double = 0.5,
-      maxBucket: Int = 64): DataFrame = {
+      maxBucket: Int = 64,
+      estPrefilter: Double = 0.0): DataFrame = {
     // Shingle HASH sets (array<bigint>) via the codegen'd kernel — the
     // shingle string never materializes (graft.expr.WordShingleHashes;
     // ~30× over the interpreted HOF form). Persisted because they feed
@@ -128,11 +129,30 @@ object Dedup {
       .agg(collect_list("_id").as("_ids"))
       .filter(size(col("_ids")) > 1 && size(col("_ids")) <= maxBucket)
     // pairs within bucket, ordered a < b, deduped across bands
-    val pairs = buckets
+    val rawPairs = buckets
       .select(explode(col("_ids")).as("id_a"), col("_ids"))
       .select(col("id_a"), explode(col("_ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .distinct()
+    // Optional signature-estimate prefilter (estPrefilter > 0): the
+    // fraction of matching minhash slots is an unbiased estimate of
+    // Jaccard, and the signatures are n longs per doc vs ~|shingles|
+    // for the exact arrays — so banding's FALSE candidates are pruned
+    // on cheap payloads before the array-carrying verify join. This
+    // trades recall (a true pair with an unlucky signature can fall
+    // below the cutoff — set it 2-3σ below minJaccard, σ≈sqrt(J(1-J)/n))
+    // for verify cost; 0.0 disables it and verify stays exact on every
+    // banding candidate.
+    val pairs = if (estPrefilter <= 0.0) rawPairs else {
+      val sa = sig.select(col("_id").as("id_a"), col("_sig").as("_siga"))
+      val sb = sig.select(col("_id").as("id_b"), col("_sig").as("_sigb"))
+      rawPairs.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("_est",
+          size(filter(zip_with(col("_siga"), col("_sigb"), (x, y) => x === y),
+            m => m)).cast("double") / n)
+        .filter(col("_est") >= estPrefilter)
+        .select(col("id_a"), col("id_b"))
+    }
     // verify with exact Jaccard on the shingle-hash sets (collision odds
     // per pair ~2^-64·|set|² — negligible at any corpus size). The
     // union never materializes: |A∪B| = |A|+|B|−|A∩B| with the set

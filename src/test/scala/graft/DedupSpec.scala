@@ -57,6 +57,24 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated never passes verify
   }
 
+  test("X3 estimate prefilter: exact dups survive any cutoff; conservative cutoff keeps the verified set") {
+    val base = Dedup.minHashNearDups(docs, "doc_id", "text",
+        bands = 16, rows = 2, minJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a cutoff well below minJaccard prunes only banding noise — every
+    // verified pair survives
+    val conservative = Dedup.minHashNearDups(docs, "doc_id", "text",
+        bands = 16, rows = 2, minJaccard = 0.3, estPrefilter = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(conservative == base)
+    // exact dups have identical signatures: estimate 1.0, any cutoff passes
+    val strict = Dedup.minHashNearDups(docs, "doc_id", "text",
+        bands = 16, rows = 2, minJaccard = 0.3, estPrefilter = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict.contains((1L, 4L)))
+    assert(strict.subsetOf(base))
+  }
+
   test("X3 jaccard: exact dup = 1.0, near-dup in (0,1)") {
     val sh = docs.select(col("doc_id"),
       graft.expr.WordShingleHashes(col("text"), 3, distinct = true).as("h"))
