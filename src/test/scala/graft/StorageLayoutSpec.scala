@@ -97,6 +97,23 @@ class StorageLayoutSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("observe(): pipeline metrics ride the job without a second scan") {
+    // the monitoring twin of the S9 error channel: row counts and sums
+    // collected AS the job runs (no extra action, no extra scan) via the
+    // Observation API — at scale this is how a load job reports its own
+    // volume without paying for a count() pass
+    val obs = new org.apache.spark.sql.Observation("load_metrics")
+    val df = graft.io.Tables.orders(spark, "/root/testdata/sf0.001")
+      .observe(obs, count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("total_price"),
+        count_if(col("o_totalprice") > 100000).as("n_large"))
+    val written = df.filter(col("o_orderstatus") =!= "X").count() // the real action
+    val m = obs.get
+    assert(m("n_rows").asInstanceOf[Long] > 0)
+    assert(m("n_rows").asInstanceOf[Long] >= written)
+    assert(m("total_price") != null && m("n_large").asInstanceOf[Long] >= 0)
+  }
+
   test("S9 error channel records failed actions") {
     val failures = graft.io.ErrorChannel.attach(spark)
     // ANSI division by zero fails at execution time, not analysis
