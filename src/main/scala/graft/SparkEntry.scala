@@ -922,6 +922,23 @@ object SparkEntry {
         .orderBy("month_start", "event_type")
     }),
 
+    // Batch sessionization (gaps-and-islands op) — the at-rest twin of
+    // the streaming session window, for backfills over stored corpora.
+    // Keyed windows only: each task sorts one user's events, never the
+    // corpus. Same oracle semantics as stream_sessionize.
+    "batch_sessionize" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+      graft.ops.TimeSeries.sessionize(ev, "user_id", "ts", 1800L, Seq("event_id"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("ts")).as("session_start"),
+          (max(col("ts")) + expr("INTERVAL 30 MINUTE")).as("session_end"),
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
+        .drop("session_id")
+        .orderBy("user_id", "session_start")
+    }),
+
     // Capstone composition — the corpus-to-training-shards pipeline in
     // one dataflow: quality gate → exact content dedup (keep min id) →
     // token-budget shard assignment (distributed prefix sum) → shard
@@ -2245,6 +2262,24 @@ object SparkEntry {
         |  ORDER BY c_acctbal DESC, c_custkey
         |  LIMIT 2) c
         |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin,
+
+    "batch_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
 
     "pipeline_corpus_to_shards" ->
       """WITH t AS (

@@ -45,4 +45,30 @@ object TimeSeries {
       .withColumn("window_start", col("_w.start"))
       .withColumn("window_end", col("_w.end"))
       .drop("_w")
+
+  /** Batch sessionization (gaps-and-islands): rows keyed by `key` are
+    * split into sessions wherever the gap between consecutive `ts`
+    * exceeds `gap`; adds `session_id` (0-based per key, in time order).
+    * The windows are keyed — each partition sorts only its own key's
+    * rows — so this scales with per-key event counts, never corpus
+    * size. `tieBreak` makes the ordering total when timestamps can
+    * repeat. The streaming twin is `Streams.sessionizeByGap` /
+    * `sessionizeWithTimeout`; this is the form for backfills and
+    * batch-at-rest corpora. */
+  def sessionize(df: DataFrame, key: String, ts: String,
+      gapSeconds: Long, tieBreak: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = (col(ts).asc +: tieBreak.map(col(_).asc))
+    val w = Window.partitionBy(col(key)).orderBy(ord: _*)
+    // exact microsecond arithmetic — truncating to seconds would flip
+    // boundaries for gaps within a second of the threshold
+    val tUs = unix_micros(col(ts))
+    df.withColumn("_new_s",
+        when(lag(col(ts), 1).over(w).isNull ||
+          tUs - unix_micros(lag(col(ts), 1).over(w)) >= gapSeconds * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("_new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)
+      .drop("_new_s")
+  }
 }
