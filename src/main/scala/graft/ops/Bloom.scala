@@ -31,6 +31,9 @@ object Bloom {
     val probes = (0 until numHashes).map(i =>
       pmod(xxhash64(col(key), lit(i)), lit(m)))
     val words = keys
+      // NULL keys never match a semi-join (SQL IN semantics) — and a
+      // null probe position would NPE the word assembly below
+      .filter(col(key).isNotNull)
       .select(explode(array(probes: _*)).as("_p"))
       .select((col("_p") / 64).cast("int").as("_w"),
         call_function("shiftleft", lit(1L), (col("_p") % 64).cast("int")).as("_b"))

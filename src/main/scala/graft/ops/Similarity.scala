@@ -127,9 +127,11 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val base = corpus.select(col(id).as("_id"), col(vec).as("_v"))
+    require(k > 0 && iters >= 0, "k must be positive, iters non-negative")
     val sample: Array[Seq[Float]] = base
       .orderBy(xxhash64(col("_id"), lit(seed)).asc, col("_id").asc)
       .limit(math.max(k, sampleSize)).select(col("_v")).as[Seq[Float]].collect()
+    require(sample.nonEmpty, "trainKMeans: corpus is empty")
     def cos(a: Seq[Float], b: Seq[Float]): Double = {
       var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) {

@@ -129,7 +129,8 @@ object PropertiesSpec extends Properties("graft") {
     Gen.listOfN(10, for {
       id <- Gen.choose(0L, 1000L)
       key <- Gen.choose(0L, 2L)
-      s <- Gen.choose(0L, 500L)
+      // negative starts included: bucket floors must agree below zero
+      s <- Gen.choose(-300L, 500L)
       len <- Gen.choose(0L, 120L)
     } yield (id, key, s, s + len))
 
