@@ -922,6 +922,24 @@ object SparkEntry {
         .orderBy("month_start", "event_type")
     }),
 
+    // Forward as-of join: each signup matched to the user's NEXT
+    // purchase at-or-after it (conversion latency) — the mirror of
+    // asof_click_attribution's backward direction. Equi-join + min_by
+    // hash agg; no window sort.
+    "asof_forward_conversion" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), col("user_id"), col("ts").as("signup_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+      graft.ops.AsOf.joinAsOfForward(signups, purchases, "user_id",
+          "signup_ts", "p_ts", "signup_id", Seq("p_id"))
+        .select(col("signup_id"), col("user_id"), col("signup_ts"),
+          col("asof_p_ts").as("next_purchase_ts"),
+          col("asof_p_id").as("next_purchase_id"))
+        .orderBy("signup_id")
+    }),
+
     // Batch sessionization (gaps-and-islands op) — the at-rest twin of
     // the streaming session window, for backfills over stored corpora.
     // Keyed windows only: each task sorts one user's events, never the
@@ -2262,6 +2280,24 @@ object SparkEntry {
         |  ORDER BY c_acctbal DESC, c_custkey
         |  LIMIT 2) c
         |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin,
+
+    "asof_forward_conversion" ->
+      """WITH s AS (
+        |  SELECT event_id AS signup_id, user_id, ts AS signup_ts
+        |  FROM events WHERE event_type = 'signup'),
+        |p AS (
+        |  SELECT user_id, ts AS p_ts, event_id AS p_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (
+        |  SELECT s.signup_id, s.user_id, s.signup_ts,
+        |    min(p.p_ts) AS next_purchase_ts
+        |  FROM s JOIN p ON s.user_id = p.user_id AND p.p_ts >= s.signup_ts
+        |  GROUP BY 1, 2, 3)
+        |SELECT t.signup_id, t.user_id, t.signup_ts, t.next_purchase_ts,
+        |  min(p.p_id) AS next_purchase_id
+        |FROM t JOIN p ON t.user_id = p.user_id AND p.p_ts = t.next_purchase_ts
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY t.signup_id""".stripMargin,
 
     "batch_sessionize" ->
       """WITH o AS (

@@ -52,6 +52,35 @@ object AsOf {
         rightCols.map(c => col(s"_m.$c")): _*)
   }
 
+  /** Forward as-of join: for each left row, the single right row with
+    * the same `key` and the SMALLEST `rightTs` ≥ `leftTs` (ties by
+    * `rightTieBreak` asc) — "the next event after". Same shape as
+    * [[joinAsOf]] with the inequality and reduction flipped: equi-join
+    * + min_by hash aggregate, map-side combining throughout. */
+  def joinAsOfForward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      leftId: String,
+      rightTieBreak: Seq[String] = Nil): DataFrame = {
+    require(left.columns.contains(leftId), s"leftId $leftId must be a left column")
+    val r = right.columns.foldLeft(right)((df, c) => df.withColumnRenamed(c, s"asof_$c"))
+    val joined = left.join(r,
+      col(key) === col(s"asof_$key") && col(s"asof_$rightTs") >= col(leftTs))
+    val ord = struct((Seq(s"asof_$rightTs") ++ rightTieBreak.map("asof_" + _)).map(col): _*)
+    val rightCols = r.columns.toSeq.filterNot(_ == s"asof_$key")
+    val carried = left.columns.toSeq.filterNot(_ == leftId)
+      .map(c => first(col(c)).as(c))
+    val aggs = carried :+ min_by(struct(rightCols.map(col): _*), ord).as("_m")
+    joined
+      .groupBy(col(leftId))
+      .agg(aggs.head, aggs.tail: _*)
+      .select((col(leftId) +: left.columns.toSeq.filterNot(_ == leftId).map(col)) ++
+        rightCols.map(c => col(s"_m.$c")): _*)
+  }
+
   /** Range join: pairs (left, right) sharing `key` with `rightTs` in
     * [leftTs, leftTs + window]. At 100 TB the guard against quadratic
     * blow-up is the bounded window itself; for heavy-hitter keys, salt
