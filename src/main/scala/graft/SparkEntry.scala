@@ -872,7 +872,7 @@ object SparkEntry {
       Tables.nation(s, dir).createOrReplaceTempView("nation_vs")
       Tables.region(s, dir).createOrReplaceTempView("region_vs")
       s.sql(
-        """SELECT s_name, CAST(s_acctbal AS DECIMAL(18,2)) AS s_acctbal
+        """SELECT s_name, s_acctbal
           |FROM supplier_vs
           |WHERE s_suppkey IN (
           |    SELECT l_suppkey FROM lineitem_vs
@@ -898,7 +898,7 @@ object SparkEntry {
       s.sql(
         """SELECT n_name, c.c_custkey, c.c_acctbal
           |FROM nation_lt, LATERAL (
-          |  SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS c_acctbal
+          |  SELECT c_custkey, c_acctbal
           |  FROM customer_lt
           |  WHERE c_nationkey = n_nationkey
           |  ORDER BY c_acctbal DESC, c_custkey
@@ -2255,7 +2255,7 @@ object SparkEntry {
         |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
 
     "sql_q20_volume_suppliers" ->
-      """SELECT s_name, CAST(s_acctbal AS DECIMAL(18,2)) AS s_acctbal
+      """SELECT s_name, s_acctbal
         |FROM supplier
         |WHERE s_suppkey IN (
         |    SELECT l_suppkey FROM lineitem
@@ -2274,7 +2274,7 @@ object SparkEntry {
     "sql_lateral_topn" ->
       """SELECT n_name, c.c_custkey, c.c_acctbal
         |FROM nation, LATERAL (
-        |  SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS c_acctbal
+        |  SELECT c_custkey, c_acctbal
         |  FROM customer
         |  WHERE c_nationkey = n_nationkey
         |  ORDER BY c_acctbal DESC, c_custkey
