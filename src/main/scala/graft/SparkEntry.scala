@@ -485,6 +485,155 @@ object SparkEntry {
           count(lit(1)).as("n_lines"))
     }),
 
+    // TPC-H Q6 shape: pure scan-filter-agg — every predicate reaches the
+    // parquet reader (PushedFilters), no join, no shuffle beyond the
+    // one-row final agg. The "how fast can you not read data" query.
+    "q6_forecast_revenue" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+          .cast("double").as("revenue"))
+    }),
+
+    // TPC-H Q8 shape: market share of one supplier nation inside one
+    // customer region, per order year — a 6-table join where every dim
+    // is filtered then broadcast, so the fact table never shuffles for
+    // joins, only for the final per-year agg. Numerator and denominator
+    // are exact decimal sums; the share divides as double (identical
+    // IEEE inputs ⇒ identical quotient) and rounds for the gate.
+    "q8_market_share" -> ((s, dir) => {
+      val n1 = Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("_cnk"))
+      val n2 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("_snk"), col("n_name").as("supp_nation"))
+      val c = Tables.customer(s, dir)
+        .join(broadcast(n1), col("c_nationkey") === col("_cnk"))
+        .select(col("c_custkey"))
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1995-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+      val p = Tables.part(s, dir).filter(col("p_type") === "PROMO")
+        .select(col("p_partkey"))
+      val sup = Tables.supplier(s, dir)
+        .join(broadcast(n2), col("s_nationkey") === col("_snk"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val vol = dec(col("l_extendedprice")) * (dec(lit(1)) - dec(col("l_discount")))
+      Tables.lineitem(s, dir)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_5", vol).otherwise(dec(lit(0))))
+            .cast("double") /
+          sum(vol).cast("double"), 9).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    // TPC-H Q9 shape: profit by supplier nation × order year for a
+    // part-name LIKE family. The fixtures have no partsupp, so supply
+    // cost is a deterministic stand-in (5% of retail price per unit).
+    // Both terms stay two-factor decimal products (a third factor would
+    // exceed DuckDB's 38-digit multiply width); the 5% scales the exact
+    // cost sum AFTER aggregation, in double, identically in both engines.
+    "q9_product_profit" -> ((s, dir) => {
+      val p = Tables.part(s, dir).filter(col("p_name").like("%red%"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val sup = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("nation"), col("o_year"))
+        .agg(round(
+          sum(dec(col("l_extendedprice")) * (dec(lit(1)) - dec(col("l_discount"))))
+            .cast("double") -
+          lit(0.05) * sum(dec(col("p_retailprice")) * dec(col("l_quantity"))).cast("double"),
+          4).as("profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // TPC-H Q10 shape: top-20 customers by revenue lost to returns in a
+    // quarter — filtered fact joins broadcast dims, aggregates on the
+    // customer grain, TakeOrderedAndProject caps the result.
+    "q10_returned_customers" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-07-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1996-10-01")))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val n = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+      Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) * (dec(lit(1)) - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
+    // TPC-H Q13 shape: order-count distribution over ALL customers —
+    // the left join keeps zero-order customers (c_count=0), the filter
+    // lives in the join condition (a WHERE would silently drop them),
+    // then a second agg histograms the counts.
+    "q13_order_distribution" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_orderkey"), col("o_custkey"))
+      Tables.customer(s, dir)
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q14 shape: promo revenue share in a month — conditional
+    // aggregation producing a ratio; exact decimal sums divide as double.
+    "q14_promo_revenue" -> ((s, dir) => {
+      val vol = dec(col("l_extendedprice")) * (dec(lit(1)) - dec(col("l_discount")))
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-03-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1996-04-01")))
+        .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(round(lit(100.0) *
+          sum(when(col("p_type") === "PROMO", vol).otherwise(dec(lit(0)))).cast("double") /
+          sum(vol).cast("double"), 9).as("promo_revenue"))
+    }),
+
+    // TPC-H Q15 shape: supplier(s) hitting the quarter's max revenue —
+    // the revenue CTE aggregates once, its one-row max broadcasts back,
+    // and the equality compares EXACT decimals (a double total here
+    // could miss the max on a ULP and return zero rows).
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1996-04-01")))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(sum(dec(col("l_extendedprice")) * (dec(lit(1)) - dec(col("l_discount"))))
+          .as("_total_rev"))
+      val mx = rev.agg(max(col("_total_rev")).as("_mx"))
+      Tables.supplier(s, dir)
+        .join(rev, col("s_suppkey") === col("supplier_no"))
+        .join(broadcast(mx), col("_total_rev") === col("_mx"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("_total_rev").cast("double").as("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
     // As-of join: for each purchase, the user's latest preceding click.
     "asof_click_attribution" -> ((s, dir) => {
       val ev = Tables.events(s, dir).select("event_id", "user_id", "event_type", "ts")
@@ -1296,6 +1445,61 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // X1 — hash-keyed stratified sample: the draw comes from the row's
+    // own id, not a per-partition RNG, so the kept set is invariant to
+    // repartitioning/retries AND engine-portable — this variant hash-
+    // matches DuckDB running the same arithmetic (full oracle, unlike
+    // the rand-seeded form above).
+    "x1_stratified_sample_hash" -> ((s, dir) => {
+      graft.ops.Sampling.stratifiedByHash(Tables.documents(s, dir), "lang", "doc_id",
+          Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25, "es" -> 0.25), seed = 42L)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
+    // X4 — Levenshtein fuzzy matching within blocking buckets (record-
+    // linkage on short fields; blocking keys bound the pair scan the way
+    // LSH bands do for long text).
+    "x4_fuzzy_match" -> ((s, dir) => {
+      graft.ops.Dedup.editDistancePairs(Tables.part(s, dir), "p_partkey", "p_name",
+          Seq("p_brand"), maxDist = 2)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Time-based RANGE window frame: 7-day trailing revenue per customer.
+    // The frame is value-based (epoch-day ± 6), not row-based — same-day
+    // peers are all in-frame, so the result is order-independent and the
+    // decimal frame sum is exact.
+    "window_range_rolling" -> ((s, dir) => {
+      val epochDay = datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date"))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(epochDay)
+        .rangeBetween(-6, 0)
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          sum(dec(col("o_totalprice"))).over(w).cast("double").as("rev_7d"),
+          count(lit(1)).over(w).as("n_7d"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // Distribution ranking: ntile deciles + percent_rank/cume_dist over
+    // account balance. ntile is tie-broken by key for a total order;
+    // percent_rank/cume_dist rank over the raw value (rank-based, so
+    // ties are deterministic). NB: a global ORDER BY window is a single-
+    // reducer construct — at 100 TB the scalable form is quantile
+    // bucketing (approx_percentile cutpoints or Packing's two-phase
+    // prefix sum); this query exists for the operator surface.
+    "window_ntile_deciles" -> ((s, dir) => {
+      val wOrd = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      val wRank = Window.orderBy(col("c_acctbal").asc)
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_acctbal"),
+          ntile(10).over(wOrd).cast("long").as("decile"),
+          round(percent_rank().over(wRank), 9).as("pct_rank"),
+          round(cume_dist().over(wRank), 9).as("cume"))
+        .orderBy("c_custkey")
+    }),
+
     // Data-quality audit: unique key, NOT NULL, value range in ONE agg
     // pass + FK orphan anti-join — long-form (check_name, n) report.
     "dq_audit_orders" -> ((s, dir) => {
@@ -1835,6 +2039,126 @@ object SparkEntry {
         |  count(*) AS n_lines
         |FROM lineitem JOIN pp ON l_partkey = pk
         |WHERE CAST(round(l_quantity * 100) AS BIGINT) * 2 * cnt < sum_qs""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+        | round(
+        |   CAST(sum(CASE WHEN n2.n_name = 'NATION_5'
+        |     THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+        |   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+        |   9) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY o_year""".stripMargin,
+
+    "q9_product_profit" ->
+      """SELECT n_name AS nation,
+        | CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+        | round(
+        |   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |   - 0.05 * CAST(sum(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE),
+        |   4) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q10_returned_customers" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+
+    "q13_order_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q14_promo_revenue" ->
+      """SELECT round(100.0 *
+        |  CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+        |  9) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "x1_stratified_sample_hash" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ((doc_id % 1000003 + 42) * 2654435761) % 2147483647 % 1000000 <
+        |  CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
+        |            WHEN 'fr' THEN 250000 WHEN 'es' THEN 250000 ELSE 0 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "x4_fuzzy_match" ->
+      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        | CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "window_range_rolling" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS rev_7d,
+        | count(*) OVER w AS n_7d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "window_ntile_deciles" ->
+      """SELECT c_custkey, c_acctbal,
+        | CAST(ntile(10) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS BIGINT) AS decile,
+        | round(percent_rank() OVER (ORDER BY c_acctbal ASC), 9) AS pct_rank,
+        | round(cume_dist() OVER (ORDER BY c_acctbal ASC), 9) AS cume
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "asof_click_attribution" ->
       """WITH p AS (SELECT event_id AS purchase_id, user_id, ts FROM events

@@ -394,4 +394,30 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  // ---------------------------------------------------------------------
+  // Edit-distance fuzzy matching (short fields)
+  // ---------------------------------------------------------------------
+
+  /** Fuzzy-match pairs by Levenshtein distance within blocking buckets —
+    * the record-linkage / entity-resolution primitive for SHORT fields
+    * (names, titles, SKUs) where shingle-based MinHash has too little
+    * signal. Levenshtein is O(|a|·|b|) per pair, so the all-pairs form
+    * is never computed: candidates come from an equi-join on the
+    * blocking columns (the classic blocking-key design — at 100 TB the
+    * join shuffles on the bucket key and each bucket's pair scan is
+    * local and bounded by the largest bucket). `id_a < id_b` keeps each
+    * unordered pair once. Blocking trades recall for cost exactly like
+    * LSH banding: a true match in different buckets is missed — pick
+    * keys that fuzz-invariant attributes (brand, size, zip) rather than
+    * the noisy field itself. Output: (id_a, id_b, dist), dist ≤ maxDist. */
+  def editDistancePairs(df: DataFrame, id: String, text: String,
+      blockBy: Seq[String], maxDist: Int): DataFrame = {
+    val a = df.select(col(id).as("id_a") +: col(text).as("_ta") +: blockBy.map(col): _*)
+    val b = df.select(col(id).as("id_b") +: col(text).as("_tb") +: blockBy.map(col): _*)
+    a.join(b, blockBy).filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("_ta"), col("_tb")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

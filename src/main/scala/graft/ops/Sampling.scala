@@ -20,6 +20,37 @@ object Sampling {
       fractions: Map[String, Double], seed: Long): DataFrame =
     df.stat.sampleBy(strata, fractions, seed)
 
+  /** Deterministic per-stratum sample keyed on a stable id — the
+    * production-robust form of [[stratified]]. `rand(seed)` draws are
+    * seeded PER PARTITION INDEX, so a repartition, an AQE re-plan, or a
+    * task retry on a different split changes WHICH rows survive; a draw
+    * computed from the row's own key is invariant to all of that, and
+    * portable across engines (the gate hash-matches DuckDB running the
+    * same arithmetic — no RNG-definition exemption needed).
+    *
+    * Draw: Knuth multiplicative hash on the key, bounded before the
+    * multiply (`key mod 1000003`, a prime) so the product never
+    * overflows Long for any 64-bit id. The seed is added BEFORE the
+    * multiplier (adding it after would only shift every draw by a
+    * constant — same kept set for every seed); the multiply diffuses
+    * it, then the draw reduces mod a Mersenne prime and mod `basis`.
+    * Not cryptographic — adjacent ids land on a full-period progression
+    * mod `basis` (multiplier is coprime to it), which is equidistributed
+    * but predictable; fine for mixture control, not for sampling
+    * adversarial data someone can pick ids for. Keep-thresholds are
+    * exact integers (`frac*basis` rounded), so the boundary comparison
+    * never hits float edges. One scan, no shuffle, no state. */
+  def stratifiedByHash(df: DataFrame, strata: String, key: String,
+      fractions: Map[String, Double], seed: Long,
+      basis: Long = 1000000L): DataFrame = {
+    val draw = pmod((pmod(col(key), lit(1000003L)) + lit(((seed % 1000003L) + 1000003L) % 1000003L))
+      * lit(2654435761L), lit(2147483647L)) % lit(basis)
+    val threshold = fractions.foldLeft(lit(0L)) { case (acc, (k, f)) =>
+      when(col(strata) === k, lit(math.round(f * basis))).otherwise(acc)
+    }
+    df.filter(draw < threshold)
+  }
+
   /** Temperature-scaled mixture weights per source: p_g ∝ n_g^(1/τ),
     * normalized. τ=1 reproduces natural proportions; τ→∞ flattens to
     * uniform — the standard rebalancing step for multi-source training

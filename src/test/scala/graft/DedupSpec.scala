@@ -143,4 +143,18 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(out((1L, 4L)) == 0L)
     assert(!out.contains((1L, 3L)))
   }
+
+  test("editDistancePairs: blocked Levenshtein pairs, each unordered pair once") {
+    val recs = Seq(
+      (1L, "acme corp", "US"), (2L, "acme corp.", "US"), (3L, "acme co", "US"),
+      (4L, "zenith ltd", "US"), // same block, too far from the acmes
+      (5L, "acme corp", "DE") // exact name but different block ⇒ never paired
+    ).toDF("id", "name", "country")
+    val got = Dedup.editDistancePairs(recs, "id", "name", Seq("country"), maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (1L, 2L) -> 1L, // trailing dot
+      (1L, 3L) -> 2L)) // corp → co; (2,3) is dist 3 ⇒ over maxDist, dropped
+    assert(!got.keys.exists { case (a, b) => a >= b }, "pairs must be ordered a<b")
+  }
 }

@@ -29,6 +29,34 @@ class QualitySamplingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("hash-keyed stratified sample: fractions, repartition-invariance, seed sensitivity") {
+    import spark.implicits._
+    val n = 20000
+    val df = (0 until n).map(i => (i.toLong, if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    val fractions = Map("en" -> 0.5, "de" -> 0.1)
+    val sampled = graft.ops.Sampling.stratifiedByHash(df, "lang", "id", fractions, seed = 7L)
+    val got = sampled.groupBy("lang").count().as[(String, Long)].collect().toMap
+    for ((lang, frac) <- fractions) {
+      val expected = (n / 2) * frac
+      val tol = 5 * math.sqrt((n / 2) * frac * (1 - frac))
+      assert(math.abs(got.getOrElse(lang, 0L).toDouble - expected) <= tol)
+    }
+    // the property rand(seed) does NOT have: the kept set survives a
+    // repartition unchanged, because the draw depends only on the key
+    val a = sampled.select("id").as[Long].collect().sorted.toSeq
+    val b = graft.ops.Sampling.stratifiedByHash(df.repartition(13), "lang", "id",
+      fractions, seed = 7L).select("id").as[Long].collect().sorted.toSeq
+    assert(a == b, "hash sample must be invariant to partitioning")
+    // an unmatched stratum is never kept
+    assert(!graft.ops.Sampling.stratifiedByHash(df, "lang", "id",
+      Map("en" -> 0.5), seed = 7L).filter($"lang" === "de").head(1).nonEmpty)
+    // and the seed actually matters
+    val c = graft.ops.Sampling.stratifiedByHash(df, "lang", "id", fractions, seed = 8L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a != c, "different seeds must draw different samples")
+  }
+
   test("stratified sample is deterministic for a fixed seed") {
     import spark.implicits._
     val df = (0 until 5000).map(i => (i.toLong, "en")).toDF("id", "lang")
