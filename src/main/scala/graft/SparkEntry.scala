@@ -1552,6 +1552,11 @@ object SparkEntry {
     "stream_join_clickview" -> ((s, dir) =>
       graft.streaming.Streams.clickViewJoin(s, dir)),
 
+    // Streaming — stream-STATIC dimension-enrichment join (stateless;
+    // static side broadcast per micro-batch).
+    "stream_static_enrich" -> ((s, dir) =>
+      graft.streaming.Streams.staticEnrichAgg(s, dir)),
+
     // Streaming — flatMapGroupsWithState sessionizer with EVENT-TIME
     // TIMEOUT (watermark closes idle sessions). Whether a user's FINAL
     // session has been closed by the watermark at drain end depends on
@@ -2212,6 +2217,12 @@ object SparkEntry {
         | count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "stream_static_enrich" ->
+      """SELECT c_mktsegment, event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "stream_sessionize" ->
       """WITH o AS (

@@ -410,14 +410,43 @@ object Dedup {
     * unordered pair once. Blocking trades recall for cost exactly like
     * LSH banding: a true match in different buckets is missed — pick
     * keys that fuzz-invariant attributes (brand, size, zip) rather than
-    * the noisy field itself. Output: (id_a, id_b, dist), dist ≤ maxDist. */
+    * the noisy field itself. Output: (id_a, id_b, dist), dist ≤ maxDist.
+    *
+    * Per-pair cost discipline, in order:
+    *  1. DICTIONARY FIRST — the DP runs on DISTINCT (block, value)
+    *     pairs, not row pairs. Short-field columns are low-cardinality
+    *     almost by definition (names, cities, SKUs repeat), so this
+    *     collapses the quadratic term from rows² to distinct-values²
+    *     per block; row-level pairs come back from two hash joins on
+    *     (block, value). A heavily repeated value skews the expansion
+    *     join exactly like any skewed key — Skew.saltedJoin applies.
+    *  2. Length prefilter — edit distance ≥ |len(a)−len(b)|: a two-int
+    *     compare drops length-incompatible value pairs before any DP.
+    *  3. THRESHOLDED Levenshtein kernel — banded DP, abandons once the
+    *     band exceeds maxDist (O(maxDist·n) and early-exit vs O(n²));
+    *     −1 above threshold, exact distance otherwise. */
   def editDistancePairs(df: DataFrame, id: String, text: String,
       blockBy: Seq[String], maxDist: Int): DataFrame = {
-    val a = df.select(col(id).as("id_a") +: col(text).as("_ta") +: blockBy.map(col): _*)
-    val b = df.select(col(id).as("id_b") +: col(text).as("_tb") +: blockBy.map(col): _*)
-    a.join(b, blockBy).filter(col("id_a") < col("id_b"))
-      .withColumn("dist", levenshtein(col("_ta"), col("_tb")).cast("long"))
-      .filter(col("dist") <= maxDist)
-      .select(col("id_a"), col("id_b"), col("dist"))
+    val blockCols = blockBy.map(col)
+    val dict = df.select(blockCols :+ col(text).as("_t"): _*).distinct()
+    // value-level pairs once per block, each unordered value pair once
+    // (_tx <= _ty; the equal-value pair carries its dist-0 duplicates)
+    val dictPairs = dict.select(blockCols :+ col("_t").as("_tx"): _*)
+      .join(dict.select(blockCols :+ col("_t").as("_ty"): _*), blockBy)
+      .filter(col("_tx") <= col("_ty") &&
+        abs(length(col("_tx")) - length(col("_ty"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("_tx"), col("_ty"), maxDist).cast("long"))
+      .filter(col("dist") >= 0)
+    // expand back to id pairs: every row holding _tx × every row holding
+    // _ty in the same block. An unordered id pair appears exactly once
+    // (once per cross for _tx < _ty, i<j-filtered for the equal pair).
+    val ida = df.select(col(id).as("_ida") +: col(text).as("_tx") +: blockCols: _*)
+    val idb = df.select(col(id).as("_idb") +: col(text).as("_ty") +: blockCols: _*)
+    dictPairs
+      .join(ida, blockBy :+ "_tx")
+      .join(idb, blockBy :+ "_ty")
+      .filter(col("_tx") < col("_ty") || col("_ida") < col("_idb"))
+      .select(least(col("_ida"), col("_idb")).as("id_a"),
+        greatest(col("_ida"), col("_idb")).as("id_b"), col("dist"))
   }
 }

@@ -83,6 +83,35 @@ object Streams {
     spark.table(name).orderBy("window_start", "event_type")
   }
 
+  /** Stream-static join: each micro-batch of the event stream enriches
+    * against a STATIC dimension (customer) — the standard streaming
+    * dimension-lookup pattern. Unlike a stream-stream join this is
+    * STATELESS: the static side is just a batch plan re-evaluated per
+    * micro-batch, Catalyst broadcasts it when small, and no watermark or
+    * join state is needed. At scale the static side should be a
+    * broadcast-able dim or a bucketed table; a mutable dim is the CDC
+    * path ([[incrementalLoad]] + re-read per batch), not this. */
+  def staticEnrichAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = s"stream_enrich_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val dim = graft.io.Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val agg = eventsStream(spark, sfDir)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
+    withStatePartitions(spark, 8) {
+      val q = agg.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name).orderBy("c_mktsegment", "event_type")
+  }
+
   /** W3 — the reference's end-to-end incremental sync (`cron → extract →
     * S3 event → load → upsert`, README.md:10-17) in its Spark-native
     * form: a file-source stream drains whatever landed (AvailableNow),

@@ -23,6 +23,26 @@ class StorageLayoutSpec extends AnyFunSuite with SparkTestBase {
     assert(files.nonEmpty && files.forall(_.contains("lang=en")))
   }
 
+  test("dynamic partition overwrite replaces only the partitions present in the batch") {
+    // The incremental-reload primitive: a daily job rewrites the day(s)
+    // it processed and MUST NOT truncate the rest of the table — static
+    // overwrite mode (the default) would. Scoped conf, restored after.
+    val dir = Files.createTempDirectory("graft_dyn").toString
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "dynamic")
+      Seq((1L, "d1"), (2L, "d1"), (3L, "d2")).toDF("id", "day")
+        .write.partitionBy("day").mode("overwrite").parquet(s"$dir/t")
+      // re-load of d2 only; d1 must survive untouched
+      Seq((30L, "d2"), (31L, "d2")).toDF("id", "day")
+        .write.partitionBy("day").mode("overwrite").parquet(s"$dir/t")
+      val got = spark.read.parquet(s"$dir/t")
+        .select("id", "day").as[(Long, String)].collect().toSet
+      assert(got == Set((1L, "d1"), (2L, "d1"), (30L, "d2"), (31L, "d2")))
+    } finally spark.conf.set(key, prev)
+  }
+
   test("schema evolution: mergeSchema unions old and new file schemas, old files read nulls") {
     val dir = Files.createTempDirectory("graft_evolve").toString
     import spark.implicits._
