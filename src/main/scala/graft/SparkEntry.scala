@@ -297,6 +297,28 @@ object SparkEntry {
         .orderBy("qid", "rk")
     }),
 
+    // X2 — int8 embedding quantization (the 4× ANN memory/IO reduction).
+    // Gate: per-vector scale + quantized-value checksums + max
+    // reconstruction error, all from floor-based arithmetic that is
+    // bit-identical across engines (see Similarity.quantizeInt8).
+    "x2_quantize_int8" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.quantizeInt8(e, "vec_id", "embedding")
+        .join(e, Seq("vec_id"))
+        .select(col("vec_id"), col("scale"),
+          posexplode(arrays_zip(col("q"), col("embedding"))).as(Seq("_i", "_z")))
+        .select(col("vec_id"), col("scale"),
+          col("_z.q").cast("long").as("qv"),
+          col("_z.embedding").cast("double").as("vd"))
+        .groupBy(col("vec_id"))
+        .agg(round(max(col("scale")), 9).as("scale"),
+          sum(col("qv")).as("q_sum"),
+          min(col("qv")).as("q_min"),
+          max(col("qv")).as("q_max"),
+          round(max(abs(col("qv") * col("scale") - col("vd"))), 9).as("max_err"))
+        .orderBy("vec_id")
+    }),
+
     // X2 scale path — LSH-bucketed ANN top-k (recall<1 ⇒ no SQL oracle;
     // driver records rows-only).
     "x2_ann_lsh" -> ((s, dir) => {
@@ -879,6 +901,19 @@ object SparkEntry {
           coalesce(col("n_early"), lit(0L)).as("n_early"),
           coalesce(col("n_late"), lit(0L)).as("n_late"))
         .orderBy("user_id")
+    }),
+
+    // Right outer join: every order keeps a row even with zero matching
+    // high-value lines (completes the join-type matrix alongside
+    // left/full/semi/anti/cross).
+    "join_right_outer" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir).filter(col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_extendedprice"))
+      l.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"), "right")
+        .groupBy(col("o_orderkey"))
+        .agg(count(col("l_orderkey")).as("n_big_lines"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("big_value"))
+        .orderBy("o_orderkey")
     }),
 
     // Window value functions: ntile / percent_rank / cume_dist /
@@ -1901,6 +1936,28 @@ object SparkEntry {
         |  FROM p)
         |SELECT qid, cid, round(sim, 6) AS sim, rk FROM r
         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+    "x2_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, unnest(embedding) AS v FROM embeddings),
+        |sc AS (SELECT vec_id,
+        |         CAST(max(abs(CAST(v AS DOUBLE))) AS DOUBLE) / 127.0 AS scale
+        |       FROM e GROUP BY vec_id),
+        |q AS (SELECT e.vec_id, sc.scale, CAST(v AS DOUBLE) AS vd,
+        |        CASE WHEN sc.scale = 0 THEN 0
+        |             ELSE greatest(-127, least(127,
+        |               CAST(floor(CAST(v AS DOUBLE) / sc.scale + 0.5) AS BIGINT))) END AS qv
+        |      FROM e JOIN sc ON e.vec_id = sc.vec_id)
+        |SELECT vec_id, round(max(scale), 9) AS scale,
+        |  CAST(sum(qv) AS BIGINT) AS q_sum, min(qv) AS q_min, max(qv) AS q_max,
+        |  round(max(abs(qv * scale - vd)), 9) AS max_err
+        |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "join_right_outer" ->
+      """SELECT o_orderkey, count(l_orderkey) AS n_big_lines,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS big_value
+        |FROM (SELECT l_orderkey, l_extendedprice FROM lineitem WHERE l_quantity > 45) l
+        |RIGHT JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
 
     "x3_ngram_jaccard" ->
       """WITH sh AS (

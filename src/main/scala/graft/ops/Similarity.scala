@@ -264,4 +264,28 @@ object Similarity {
       .groupBy(col(label), col("pos").cast("long").as("pos"))
       .agg(sum(floor(col("val") * lit(scale.toDouble)).cast("long")).as("sum_fp"),
         count(lit(1)).as("n"))
+
+  /** Symmetric int8 quantization of an embedding column — the standard
+    * 4× memory/IO reduction for ANN at scale (a 100 TB float32 corpus
+    * becomes 25 TB; candidate scoring reads int8 and only the re-rank
+    * tail touches float32). Per-vector absmax scaling: scale =
+    * max|v|/127, q_i = clamp(⌊v_i/scale + 0.5⌋, ±127), so the max
+    * reconstruction error is scale/2 per component.
+    *
+    * Determinism across engines: the rounding is floor(x + 0.5) — NOT
+    * round() — because half-way tie behavior and double→int CAST rules
+    * differ between engines (Spark CAST truncates, DuckDB rounds),
+    * while floor on identical IEEE doubles is identical everywhere.
+    * All-zero vectors quantize to zeros (scale 0 guard). Narrow per-row
+    * transform, no shuffle. */
+  def quantizeInt8(df: DataFrame, id: String, vec: String): DataFrame = {
+    val maxabs = aggregate(col(vec), lit(0.0f), (m, x) => greatest(m, abs(x))).cast("double")
+    df.select(col(id), (maxabs / lit(127.0)).as("scale"), col(vec).as("_v"))
+      .withColumn("q",
+        when(col("scale") === 0.0, transform(col("_v"), _ => lit(0)))
+          .otherwise(transform(col("_v"), x =>
+            greatest(lit(-127), least(lit(127),
+              floor(x.cast("double") / col("scale") + lit(0.5)).cast("int"))))))
+      .select(col(id), col("scale"), col("q"))
+  }
 }

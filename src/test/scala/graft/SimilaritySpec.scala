@@ -109,6 +109,29 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.3, s"trained-IVF recall $recall")
   }
 
+  test("quantizeInt8: range, reconstruction bound, zero-vector guard") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)), // all-zero: scale 0, q all 0
+      (3L, Seq(1e-8f, -1e-8f, 1e-8f, -1e-8f))
+    ).toDF("vec_id", "v").select(col("vec_id"), col("v").cast("array<float>").as("v"))
+    val out = Similarity.quantizeInt8(df, "vec_id", "v")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getSeq[Int](2))).toMap
+    // every component in [-127, 127]; the absmax component hits ±127
+    assert(out(1L)._2.forall(q => q >= -127 && q <= 127))
+    assert(out(1L)._2.contains(-127))
+    // reconstruction error bounded by scale/2 per component
+    val (s1, q1) = out(1L)
+    val v1 = Seq(0.5, -1.0, 0.25, 0.0)
+    q1.zip(v1).foreach { case (q, v) =>
+      assert(math.abs(q * s1 - v) <= s1 / 2 + 1e-12) }
+    // zero vector: scale 0, all-zero quant (no div-by-zero artifacts)
+    assert(out(2L) == ((0.0, Seq(0, 0, 0, 0))))
+    // tiny but nonzero vectors still saturate their absmax to ±127
+    assert(out(3L)._2.toSet == Set(127, -127))
+  }
+
   test("embeddingNearDups finds the high-cosine pair only") {
     val pairs = Similarity.embeddingNearDups(vecs, "vec_id", "embedding",
       minCosine = 0.99, planes = 2).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
