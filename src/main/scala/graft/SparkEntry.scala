@@ -319,6 +319,16 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // X2 scale path — int8-scored ANN with float rerank (proxy-score
+    // ranking can reorder near-ties ⇒ rows-only; recall floor vs exact
+    // asserted in SimilaritySpec).
+    "x2_ann_quantized" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") % 100 === 0)
+      Similarity.quantizedTopK(q, e, "vec_id", "embedding", 5)
+        .orderBy("qid", "rk")
+    }),
+
     // X2 scale path — LSH-bucketed ANN top-k (recall<1 ⇒ no SQL oracle;
     // driver records rows-only).
     "x2_ann_lsh" -> ((s, dir) => {

@@ -38,6 +38,31 @@ object DotProductFloat {
     ColumnBridge.toColumn(DotProductFloat(ColumnBridge.toExpr(a), ColumnBridge.toExpr(b)))
 }
 
+/** Integer dot product over int8-quantized vectors (stored as
+  * array<int>): products and accumulation in LONG — exact, associative,
+  * overflow-free for any realistic dim (|q|≤127 ⇒ |term|≤16129; 2⁶³/16129
+  * ≈ 5.7e14 elements). The candidate-scoring kernel of the quantized ANN
+  * path: 4× less memory traffic than float32, integer SIMD-friendly. */
+case class DotProductInt(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernel.dotI(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.VectorKernel.dotI($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductInt =
+    copy(left = l, right = r)
+
+  override def prettyName: String = "dot_product_i"
+}
+
+object DotProductInt {
+  def apply(a: Column, b: Column): Column =
+    ColumnBridge.toColumn(DotProductInt(ColumnBridge.toExpr(a), ColumnBridge.toExpr(b)))
+}
+
 /** Sign-random-projection LSH bucket id: bit p = sign of ⟨v, h_p⟩ where
   * hyperplane components are derived from xxhash64(p, dim) mapped to
   * [-1, 1) — deterministic, data-independent, no RNG state shipped. */
@@ -70,6 +95,18 @@ object VectorKernel {
     var i = 0
     while (i < n) {
       acc += a.getFloat(i) * b.getFloat(i) // Float*Float, widened on add
+      i += 1
+    }
+    acc
+  }
+
+  /** Exact long-accumulated integer dot product (int8 range inputs). */
+  def dotI(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += a.getInt(i).toLong * b.getInt(i)
       i += 1
     }
     acc

@@ -265,6 +265,45 @@ object Similarity {
       .agg(sum(floor(col("val") * lit(scale.toDouble)).cast("long")).as("sum_fp"),
         count(lit(1)).as("n"))
 
+  /** Quantized ANN top-k: candidates are scored on the int8
+    * representation (exact LONG dot products via the codegen'd
+    * `dot_product_i` kernel — 4× less memory traffic than float32),
+    * the per-query top `rerank·k` on the int8 proxy score are re-ranked
+    * with the exact float kernel, and the top k of those are emitted.
+    *
+    * The proxy score long_dot·scale_q·scale_c approximates the float
+    * dot to within the quantization error, so recall loss only occurs
+    * when true top-k neighbors hide below rank rerank·k of the proxy —
+    * recall floors are asserted in `SimilaritySpec` (rows-only gate,
+    * like the other ANN variants). At 100 TB this is the scan-phase
+    * design: int8 columns stream through candidate scoring, float32 is
+    * fetched only for the rerank tail. Compose with IVF/LSH bucketing
+    * for sub-linear candidate generation; this brute-force form is the
+    * building block and the recall baseline. */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame, id: String,
+      vec: String, k: Int, rerank: Int = 3): DataFrame = {
+    def quant(df: DataFrame, outId: String, outVec: String, outQ: String, outScale: String) =
+      quantizeInt8(df.select(col(id), col(vec)), id, vec)
+        .join(df.select(col(id), col(vec)), Seq(id))
+        .select(col(id).as(outId), col(vec).as(outVec),
+          col("q").as(outQ), col("scale").as(outScale))
+    val q = quant(queries, "qid", "_qe", "_qq", "_qs")
+    val c = quant(corpus, "cid", "_ce", "_cq", "_cs")
+    val proxyW = Window.partitionBy(col("qid")).orderBy(col("_proxy").desc, col("cid").asc)
+    val cand = c.join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("_proxy",
+        graft.expr.DotProductInt(col("_qq"), col("_cq")).cast("double") *
+          col("_qs") * col("_cs"))
+      .withColumn("_prk", row_number().over(proxyW))
+      .filter(col("_prk") <= k * rerank)
+    val exactW = Window.partitionBy(col("qid")).orderBy(col("_sim").desc, col("cid").asc)
+    cand
+      .withColumn("_sim", cosine(col("_qe"), col("_ce")))
+      .withColumn("rk", row_number().over(exactW).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("cid"), round(col("_sim"), 6).as("sim"), col("rk"))
+  }
+
   /** Symmetric int8 quantization of an embedding column — the standard
     * 4× memory/IO reduction for ANN at scale (a 100 TB float32 corpus
     * becomes 25 TB; candidate scoring reads int8 and only the re-rank

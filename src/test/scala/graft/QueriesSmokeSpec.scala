@@ -12,7 +12,7 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkTestBase {
   // Ops whose results are sketch/recall-dependent and deliberately have
   // no SQL oracle (SURVEY §5.1) — keep this list justified and short.
   private val noOracleAllowed = Set(
-    "x2_ann_lsh", "x2_ann_ivf", "x2_ann_ivf_kmeans",
+    "x2_ann_lsh", "x2_ann_ivf", "x2_ann_ivf_kmeans", "x2_ann_quantized",
     "x3_minhash_neardup", "x3_simhash_neardup",
     "x1_embedding_neardup",
     // approx sketch values are impl-defined (HLL++/GK); bounds unit-tested

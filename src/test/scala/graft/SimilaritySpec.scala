@@ -109,6 +109,28 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.3, s"trained-IVF recall $recall")
   }
 
+  test("quantizedTopK: high recall vs exact float brute force; int kernel == HOF form") {
+    import spark.implicits._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") % 10 === 0)
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = hits(Similarity.topKBruteForce(q, e, "vec_id", "embedding", 5))
+    val quant = hits(Similarity.quantizedTopK(q, e, "vec_id", "embedding", 5))
+    val recall = (quant & exact).size.toDouble / exact.size
+    // int8 scan + 3k float rerank should be near-lossless on real vectors
+    assert(recall >= 0.9, s"quantized recall $recall")
+    // the codegen'd integer kernel agrees with the composable HOF form
+    val qq = Similarity.quantizeInt8(e.limit(50), "vec_id", "embedding")
+    val pairs = qq.select(col("vec_id").as("ida"), col("q").as("qa"))
+      .crossJoin(qq.select(col("vec_id").as("idb"), col("q").as("qb")))
+    val mismatch = pairs.withColumn("k", graft.expr.DotProductInt(col("qa"), col("qb")))
+      .withColumn("h", aggregate(zip_with(col("qa"), col("qb"),
+        (x, y) => x.cast("long") * y.cast("long")), lit(0L), (acc, v) => acc + v))
+      .filter(col("k") =!= col("h")).count()
+    assert(mismatch == 0L)
+  }
+
   test("quantizeInt8: range, reconstruction bound, zero-vector guard") {
     import spark.implicits._
     val df = Seq(
