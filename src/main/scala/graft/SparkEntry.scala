@@ -411,6 +411,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // X4 — context-window chunking: 64-token windows, 16-token overlap
+    // (training-sequence prep; narrow explode, no shuffle).
+    "x4_chunk_tokens" -> ((s, dir) => {
+      graft.ops.TextAnalysis.chunkByTokens(Tables.documents(s, dir), "doc_id", "text",
+          chunkSize = 64, overlap = 16)
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // X4 — heuristic language identification vs the labeled lang column.
     "x4_langid" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -2009,6 +2017,19 @@ object SparkEntry {
         | CAST(sum(list_sum(list_transform(string_split_regex(text, '\s+'),
         |   t -> greatest(1, CAST(ceil(length(t) / 4.0) AS BIGINT))))) AS BIGINT) AS sum_subwords
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "x4_chunk_tokens" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |w AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    unnest(generate_series(0, greatest((len(toks) - 1) // 48, 0))) AS chunk_id
+        |  FROM t)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(len(list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64)) AS BIGINT) AS n_tokens,
+        |  array_to_string(list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ') AS chunk_text
+        |FROM w WHERE chunk_id * 48 < n
+        |ORDER BY doc_id, chunk_id""".stripMargin,
 
     "x4_quality_score" ->
       """WITH t AS (

@@ -161,4 +161,35 @@ object TextAnalysis {
       .filter(col("rk") <= k)
       .select(col(id), col("term"), col("tf"), col("df"), col("tfidf"), col("rk"))
   }
+
+  /** Chunk documents into fixed-token windows with overlap — the
+    * context-window prep step of a training pipeline (a 100k-token doc
+    * becomes ⌈100k/stride⌉ rows of ≤`chunkSize` tokens each, stride =
+    * chunkSize − overlap). Narrow per-row expansion: tokenize once,
+    * `sequence` over window starts, explode, `slice` per window — no
+    * shuffle, no UDF; output skew is bounded by the longest document
+    * (pre-split pathological docs upstream if |doc| ≫ p99).
+    *
+    * Emits (id, chunk_id, n_tokens, chunk_text). The final window is
+    * the only one allowed shorter than `chunkSize`; a trailing window
+    * fully contained in the previous one is never emitted (starts only
+    * at k·stride < n_tokens), so chunk boundaries are reproducible from
+    * (chunkSize, overlap) alone. */
+  def chunkByTokens(df: org.apache.spark.sql.DataFrame, id: String, text: String,
+      chunkSize: Int, overlap: Int = 0): org.apache.spark.sql.DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
+    val stride = chunkSize - overlap
+    df.select(col(id), tokens(col(text)).as("_t"))
+      .withColumn("_n", size(col("_t")))
+      .withColumn("chunk_id",
+        explode(sequence(lit(0),
+          greatest(floor((col("_n") - 1) / lit(stride)).cast("int"), lit(0)))))
+      .filter(col("chunk_id") * stride < col("_n"))
+      .select(col(id), col("chunk_id").cast("long").as("chunk_id"),
+        slice(col("_t"), col("chunk_id") * stride + 1, lit(chunkSize)).as("_c"))
+      .select(col(id), col("chunk_id"),
+        size(col("_c")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("_c")).as("chunk_text"))
+  }
 }

@@ -78,4 +78,24 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     // a->1, supercalifragilistic(20 chars)->5, cat->1
     assert(r.getLong(0) == 7L)
   }
+
+  test("chunkByTokens: stride windows, short-doc single chunk, overlap reconstruction") {
+    val doc = (1 to 10).map(i => s"w$i").mkString(" ") // 10 tokens
+    val df = Seq((1L, doc), (2L, "only three tokens")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkByTokens(df, "doc_id", "text", chunkSize = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getString(3))).toMap
+    // stride 3: windows at 0,3,6,9 — the last is a 1-token tail
+    assert(out((1L, 0L)) == ((4L, "w1 w2 w3 w4")))
+    assert(out((1L, 1L)) == ((4L, "w4 w5 w6 w7")))
+    assert(out((1L, 2L)) == ((4L, "w7 w8 w9 w10")))
+    assert(out((1L, 3L)) == ((1L, "w10")))
+    assert(!out.contains((1L, 4L)))
+    // doc shorter than chunkSize → exactly one full-copy chunk
+    assert(out((2L, 0L)) == ((3L, "only three tokens")))
+    assert(!out.contains((2L, 1L)))
+    // every adjacent pair overlaps by exactly `overlap` tokens
+    val c0 = out((1L, 0L))._2.split(" ").toSeq
+    val c1 = out((1L, 1L))._2.split(" ").toSeq
+    assert(c0.takeRight(1) == c1.take(1))
+  }
 }
