@@ -539,11 +539,14 @@ object SparkEntry {
     }),
 
     // TPC-H Q8 shape: market share of one supplier nation inside one
-    // customer region, per order year — a 6-table join where every dim
-    // is filtered then broadcast, so the fact table never shuffles for
-    // joins, only for the final per-year agg. Numerator and denominator
-    // are exact decimal sums; the share divides as double (identical
-    // IEEE inputs ⇒ identical quotient) and rounds for the gate.
+    // customer region, per order year. Small dims (filtered part,
+    // supplier×nation, region×nation key list) broadcast; the
+    // orders/customer joins carry NO hint — at warehouse scale those
+    // sides exceed broadcast range, so they plan as shuffle joins on
+    // the key and AQE converts to broadcast when runtime sizes allow.
+    // Numerator and denominator are exact decimal sums; the share
+    // divides as double (identical IEEE inputs ⇒ identical quotient)
+    // and rounds for the gate.
     "q8_market_share" -> ((s, dir) => {
       val n1 = Tables.nation(s, dir)
         .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),

@@ -2,7 +2,7 @@ package graft.expr
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
@@ -18,8 +18,15 @@ import org.apache.spark.sql.types._
   * oracle's `list_sum(list_transform(...))` performs, so results stay
   * bit-reproducible.
   */
-case class DotProductFloat(left: Expression, right: Expression) extends BinaryExpression {
+case class DotProductFloat(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
   override def dataType: DataType = DoubleType
+
+  // analysis-time type gate: with the expression exposed to SQL, an
+  // array<double>/array<bigint> argument would otherwise reinterpret raw
+  // bytes via getFloat and return garbage instead of failing
+  override def inputTypes: Seq[org.apache.spark.sql.graft.TypeBridge.AbstractType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     VectorKernel.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -43,8 +50,12 @@ object DotProductFloat {
   * overflow-free for any realistic dim (|q|≤127 ⇒ |term|≤16129; 2⁶³/16129
   * ≈ 5.7e14 elements). The candidate-scoring kernel of the quantized ANN
   * path: 4× less memory traffic than float32, integer SIMD-friendly. */
-case class DotProductInt(left: Expression, right: Expression) extends BinaryExpression {
+case class DotProductInt(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
   override def dataType: DataType = LongType
+
+  override def inputTypes: Seq[org.apache.spark.sql.graft.TypeBridge.AbstractType] =
+    Seq(ArrayType(IntegerType), ArrayType(IntegerType))
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     VectorKernel.dotI(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -100,9 +111,12 @@ object VectorKernel {
     acc
   }
 
-  /** Exact long-accumulated integer dot product (int8 range inputs). */
+  /** Exact long-accumulated integer dot product (int8 range inputs).
+    * Dimension mismatch is a data bug, not a prefix to score silently. */
   def dotI(a: ArrayData, b: ArrayData): Long = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    require(b.numElements() == n,
+      s"dot_product_i dimension mismatch: $n vs ${b.numElements()}")
     var acc = 0L
     var i = 0
     while (i < n) {

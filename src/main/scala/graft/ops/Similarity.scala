@@ -268,36 +268,53 @@ object Similarity {
   /** Quantized ANN top-k: candidates are scored on the int8
     * representation (exact LONG dot products via the codegen'd
     * `dot_product_i` kernel — 4× less memory traffic than float32),
-    * the per-query top `rerank·k` on the int8 proxy score are re-ranked
-    * with the exact float kernel, and the top k of those are emitted.
+    * the per-query top `rerank·k` on the proxy score are re-ranked with
+    * the exact float kernel, and the top k of those are emitted.
     *
-    * The proxy score long_dot·scale_q·scale_c approximates the float
-    * dot to within the quantization error, so recall loss only occurs
-    * when true top-k neighbors hide below rank rerank·k of the proxy —
-    * recall floors are asserted in `SimilaritySpec` (rows-only gate,
-    * like the other ANN variants). At 100 TB this is the scan-phase
-    * design: int8 columns stream through candidate scoring, float32 is
-    * fetched only for the rerank tail. Compose with IVF/LSH bucketing
-    * for sub-linear candidate generation; this brute-force form is the
-    * building block and the recall baseline. */
+    * The proxy is a COSINE estimate — long_dot·scale_q·scale_c
+    * normalized by the float norms — not the raw dot: ranking by
+    * unnormalized dot would bury small-norm true neighbors below
+    * large-norm mediocre ones and the rerank window could not recover
+    * them. With the norms divided out, proxy and final metric agree to
+    * within quantization error, so recall loss needs a true neighbor
+    * hidden below rank rerank·k of the proxy — floors asserted in
+    * `SimilaritySpec` (rows-only gate, like the other ANN variants).
+    *
+    * Shuffle discipline (the scan-phase design at 100 TB): the ranking
+    * window sees only (qid, cid, proxy) — int arrays, float vectors and
+    * norms stay OUT of the candidate shuffle; float32 vectors are
+    * re-joined for the surviving rerank·k rows per query only. Compose
+    * with IVF/LSH bucketing for sub-linear candidate generation; this
+    * brute-force form is the building block and the recall baseline. */
   def quantizedTopK(queries: DataFrame, corpus: DataFrame, id: String,
       vec: String, k: Int, rerank: Int = 3): DataFrame = {
-    def quant(df: DataFrame, outId: String, outVec: String, outQ: String, outScale: String) =
-      quantizeInt8(df.select(col(id), col(vec)), id, vec)
-        .join(df.select(col(id), col(vec)), Seq(id))
-        .select(col(id).as(outId), col(vec).as(outVec),
-          col("q").as(outQ), col("scale").as(outScale))
-    val q = quant(queries, "qid", "_qe", "_qq", "_qs")
-    val c = quant(corpus, "cid", "_ce", "_cq", "_cs")
+    // id, scale, q, normSq in one narrow chain — the quantization
+    // COLUMN EXPRESSIONS run inline over the source frame (no join back
+    // to recover anything)
+    def quant(df: DataFrame, outId: String, outQ: String, outScale: String, outN: String) =
+      df.select(col(id).as(outId), col(vec).as("_v"), normSq(col(vec)).as(outN))
+        .withColumn(outScale, quantScale(col("_v")))
+        .withColumn(outQ, quantArray(col("_v"), col(outScale)))
+        .drop("_v")
+    val q = quant(queries, "qid", "_qq", "_qs", "_nq")
+    val c = quant(corpus, "cid", "_cq", "_cs", "_nc")
+    // proxy ranking on a NARROW projection: the window shuffle carries
+    // (qid, cid, _proxy) only
     val proxyW = Window.partitionBy(col("qid")).orderBy(col("_proxy").desc, col("cid").asc)
-    val cand = c.join(broadcast(q), col("qid") =!= col("cid"))
-      .withColumn("_proxy",
-        graft.expr.DotProductInt(col("_qq"), col("_cq")).cast("double") *
-          col("_qs") * col("_cs"))
+    val shortlist = c.join(broadcast(q), col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        (graft.expr.DotProductInt(col("_qq"), col("_cq")).cast("double") *
+          col("_qs") * col("_cs") / sqrt(col("_nq") * col("_nc"))).as("_proxy"))
       .withColumn("_prk", row_number().over(proxyW))
       .filter(col("_prk") <= k * rerank)
+      .select(col("qid"), col("cid"))
+    // float vectors fetched for the shortlist only
+    val qv = queries.select(col(id).as("qid"), col(vec).as("_qe"))
+    val cv = corpus.select(col(id).as("cid"), col(vec).as("_ce"))
     val exactW = Window.partitionBy(col("qid")).orderBy(col("_sim").desc, col("cid").asc)
-    cand
+    shortlist
+      .join(cv, Seq("cid"))
+      .join(broadcast(qv), Seq("qid"))
       .withColumn("_sim", cosine(col("_qe"), col("_ce")))
       .withColumn("rk", row_number().over(exactW).cast("long"))
       .filter(col("rk") <= k)
@@ -317,14 +334,23 @@ object Similarity {
     * while floor on identical IEEE doubles is identical everywhere.
     * All-zero vectors quantize to zeros (scale 0 guard). Narrow per-row
     * transform, no shuffle. */
-  def quantizeInt8(df: DataFrame, id: String, vec: String): DataFrame = {
-    val maxabs = aggregate(col(vec), lit(0.0f), (m, x) => greatest(m, abs(x))).cast("double")
-    df.select(col(id), (maxabs / lit(127.0)).as("scale"), col(vec).as("_v"))
-      .withColumn("q",
-        when(col("scale") === 0.0, transform(col("_v"), _ => lit(0)))
-          .otherwise(transform(col("_v"), x =>
-            greatest(lit(-127), least(lit(127),
-              floor(x.cast("double") / col("scale") + lit(0.5)).cast("int"))))))
+  /** Per-vector absmax quantization scale: max|v| / 127. */
+  def quantScale(vec: Column): Column =
+    aggregate(vec, lit(0.0f), (m, x) => greatest(m, abs(x))).cast("double") / lit(127.0)
+
+  /** int8 codes for `vec` under `scale` (floor-rounded, clamped; all
+    * zeros when scale is 0). `scale` must be a materialized column, not
+    * the quantScale expression itself — referencing the aggregate twice
+    * would evaluate it twice (HOFs are interpreted, no cross-expression
+    * CSE). */
+  def quantArray(vec: Column, scale: Column): Column =
+    when(scale === 0.0, transform(vec, _ => lit(0)))
+      .otherwise(transform(vec, x =>
+        greatest(lit(-127), least(lit(127),
+          floor(x.cast("double") / scale + lit(0.5)).cast("int")))))
+
+  def quantizeInt8(df: DataFrame, id: String, vec: String): DataFrame =
+    df.select(col(id), quantScale(col(vec)).as("scale"), col(vec).as("_v"))
+      .withColumn("q", quantArray(col("_v"), col("scale")))
       .select(col(id), col("scale"), col("q"))
-  }
 }

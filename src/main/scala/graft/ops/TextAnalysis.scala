@@ -171,10 +171,13 @@ object TextAnalysis {
     * (pre-split pathological docs upstream if |doc| ≫ p99).
     *
     * Emits (id, chunk_id, n_tokens, chunk_text). The final window is
-    * the only one allowed shorter than `chunkSize`; a trailing window
-    * fully contained in the previous one is never emitted (starts only
-    * at k·stride < n_tokens), so chunk boundaries are reproducible from
-    * (chunkSize, overlap) alone. */
+    * the only one allowed shorter than `chunkSize`. Windows start at
+    * every k·stride < n_tokens — with overlap > 0 a short tail window
+    * can therefore be fully contained in its predecessor (e.g. size 4 /
+    * overlap 1 over 10 tokens emits the 1-token [w10] after
+    * [w7 w8 w9 w10]); callers that must not duplicate training content
+    * should drop chunks with n_tokens ≤ overlap. Boundaries are
+    * reproducible from (chunkSize, overlap) alone. */
   def chunkByTokens(df: org.apache.spark.sql.DataFrame, id: String, text: String,
       chunkSize: Int, overlap: Int = 0): org.apache.spark.sql.DataFrame = {
     require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,

@@ -17,3 +17,10 @@ object ColumnBridge {
   def toExpr(c: Column): Expression = ExpressionUtils.expression(c)
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
 }
+
+/** `AbstractDataType` (the `ExpectsInputTypes.inputTypes` element type)
+  * is `private[sql]`; this alias re-exports it so graft expressions can
+  * declare analysis-time input types. */
+object TypeBridge {
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
+}

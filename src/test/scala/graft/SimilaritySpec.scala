@@ -131,6 +131,26 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(mismatch == 0L)
   }
 
+  test("quantizedTopK proxy is norm-invariant: wild norm spread must not hide true neighbors") {
+    import spark.implicits._
+    // cosine ignores norms; a raw-dot proxy would rank the 1000x-norm
+    // mediocre vectors above the tiny-norm true neighbor and never
+    // rerank it. The normalized proxy must keep recall.
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val scaled = e.withColumn("embedding",
+      transform(col("embedding"), x =>
+        (x * when(col("vec_id") % 3 === 0, lit(0.001f))
+          .when(col("vec_id") % 3 === 1, lit(1000.0f))
+          .otherwise(lit(1.0f))).cast("float")))
+    val q = scaled.filter(col("vec_id") % 10 === 0)
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = hits(Similarity.topKBruteForce(q, scaled, "vec_id", "embedding", 5))
+    val quant = hits(Similarity.quantizedTopK(q, scaled, "vec_id", "embedding", 5))
+    val recall = (quant & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"norm-spread quantized recall $recall")
+  }
+
   test("quantizeInt8: range, reconstruction bound, zero-vector guard") {
     import spark.implicits._
     val df = Seq(
