@@ -1575,6 +1575,20 @@ object SparkEntry {
         .orderBy("user_id", "day")
     }),
 
+    // Time series — forward fill (LOCF): nulls are synthesized
+    // deterministically (value of 'click' events masked), then each
+    // gap repairs to the latest preceding observation per user.
+    "ts_forward_fill" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("user_id") < 50)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("event_type") === "click", lit(null).cast("double"))
+            .otherwise(col("value")).as("value"))
+      graft.ops.TimeSeries.forwardFill(ev, "user_id", "ts", "value", "event_id")
+        .select(col("event_id"), col("user_id"), col("value"),
+          round(col("value_filled"), 6).as("value_filled"))
+        .orderBy("event_id")
+    }),
+
     // Time series — sliding-window agg in batch mode (2h window, 1h
     // slide): each row replicates into 2 windows map-side, then a plain
     // hash aggregate; the exact expression Structured Streaming plans.
@@ -2563,6 +2577,17 @@ object SparkEntry {
         |SELECT d.user_id, d.day, COALESCE(c.n, 0) AS n
         |FROM days d LEFT JOIN counts c ON d.user_id = c.user_id AND d.day = c.day
         |ORDER BY 1, 2""".stripMargin,
+
+    "ts_forward_fill" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN event_type = 'click' THEN NULL ELSE value END AS value
+        |  FROM events WHERE user_id < 50)
+        |SELECT event_id, user_id, value,
+        |  round(last_value(value IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value_filled
+        |FROM ev ORDER BY event_id""".stripMargin,
 
     "window_sliding_batch" ->
       """SELECT ws AS window_start, event_type, count(*) AS n,

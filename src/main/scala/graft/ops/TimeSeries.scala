@@ -71,4 +71,26 @@ object TimeSeries {
         sum(col("_new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)
       .drop("_new_s")
   }
+
+  /** Forward fill (LOCF — last observation carried forward): replace
+    * each NULL in `value` with the latest non-null value at or before
+    * it within the key's ordered history. THE gap-repair primitive for
+    * sensor/metric series (and the inverse of resample's zero-fill —
+    * use this when absence means "unchanged", zeros when it means
+    * "nothing happened").
+    *
+    * One keyed window, `last(ignoreNulls)` over an unbounded-preceding
+    * frame — per-partition sort on (key, ts, tieBreak), no extra
+    * shuffle beyond the window's own keyed exchange. Leading NULLs
+    * (no prior observation) stay NULL by definition. The tie-break
+    * column makes the fill deterministic when one timestamp carries
+    * both a null and a non-null row. */
+  def forwardFill(df: DataFrame, key: String, ts: String, value: String,
+      tieBreak: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).asc, col(tieBreak).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(s"${value}_filled", last(col(value), ignoreNulls = true).over(w))
+  }
 }

@@ -1,0 +1,51 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.TimeSeries
+
+/** Unit gates for the time-series ops whose edge behavior the DuckDB
+  * oracles exercise only incidentally (leading nulls, same-timestamp
+  * ties, single-row keys). */
+class TimeSeriesSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("forwardFill: carries last observation, leading nulls stay null, keys isolated") {
+    val df = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:00"), Option.empty[Double]), // leading null
+      (2L, 1L, ts("2024-01-01 00:01:00"), Some(10.0)),
+      (3L, 1L, ts("2024-01-01 00:02:00"), Option.empty[Double]), // -> 10.0
+      (4L, 1L, ts("2024-01-01 00:03:00"), Option.empty[Double]), // -> 10.0 (multi-gap)
+      (5L, 1L, ts("2024-01-01 00:04:00"), Some(20.0)),
+      (6L, 2L, ts("2024-01-01 00:05:00"), Option.empty[Double]) // other key: no bleed
+    ).toDF("event_id", "user_id", "ts", "value")
+    val got = TimeSeries.forwardFill(df, "user_id", "ts", "value", "event_id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(got(1L).isEmpty, "leading null has nothing to carry")
+    assert(got(2L).contains(10.0))
+    assert(got(3L).contains(10.0))
+    assert(got(4L).contains(10.0))
+    assert(got(5L).contains(20.0))
+    assert(got(6L).isEmpty, "fill must not cross keys")
+  }
+
+  test("forwardFill: same-timestamp tie resolved by the tie-break column") {
+    val t = ts("2024-01-01 00:00:00")
+    val df = Seq(
+      (1L, 7L, t, Some(1.0)),
+      (2L, 7L, t, Option.empty[Double]), // same ts as the observation
+      (3L, 7L, t, Some(3.0))
+    ).toDF("event_id", "user_id", "ts", "value")
+    val got = TimeSeries.forwardFill(df, "user_id", "ts", "value", "event_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    // event 2 sees event 1 (tie-break orders 1 < 2 < 3), not event 3
+    assert(got(2L) == 1.0)
+    assert(got(3L) == 3.0)
+  }
+}
