@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.expr.{DotProductFloat, DotProductInt, SignProjectionBucket, SimHash64, WordShingleHashes}
+import graft.expr.{DeletionNeighborhoodHashes, DotProductFloat, DotProductInt, SignProjectionBucket, SimHash64, WordShingleHashes}
 
 /** SQL surface for the custom expressions: `word_shingle_hashes(text, k,
   * distinct)`, `dot_product_f(a, b)`, `dot_product_i(a, b)`,
@@ -49,7 +49,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => SignProjectionBucket(args.head, intArg(args(1), "planes"))),
     ("simhash64",
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (args: Seq[Expression]) => SimHash64(args.head))
+      (args: Seq[Expression]) => SimHash64(args.head)),
+    ("deletion_neighborhood_hashes",
+      new ExpressionInfo(classOf[DeletionNeighborhoodHashes].getName,
+        "deletion_neighborhood_hashes"),
+      (args: Seq[Expression]) =>
+        DeletionNeighborhoodHashes(args.head, intArg(args(1), "maxDist")))
   )
 
   /** Register on an already-built session (test/REPL path). */

@@ -1522,6 +1522,15 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // X4 — SymSpell-path fuzzy matching (deletion-neighborhood hash
+    // candidates instead of the per-block value self-join); same oracle
+    // as x4_fuzzy_match — both paths must produce the identical pair set.
+    "x4_fuzzy_match_deletes" -> ((s, dir) => {
+      graft.ops.Dedup.editDistancePairsDeletes(Tables.part(s, dir), "p_partkey", "p_name",
+          Seq("p_brand"), maxDist = 2)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Time-based RANGE window frame: 7-day trailing revenue per customer.
     // The frame is value-based (epoch-day ± 6), not row-based — same-day
     // peers are all in-frame, so the result is order-independent and the
@@ -2246,6 +2255,14 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "x4_fuzzy_match" ->
+      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        | CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "x4_fuzzy_match_deletes" ->
       """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
         | CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
         |FROM part a JOIN part b

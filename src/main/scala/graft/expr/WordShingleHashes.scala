@@ -49,6 +49,44 @@ object WordShingleHashes {
     ColumnBridge.toColumn(WordShingleHashes(ColumnBridge.toExpr(text), k, distinct))
 }
 
+/** xxhash64 of every ≤`maxDist`-deletion variant of the string — the
+  * SymSpell candidate-generation kernel for edit-distance matching: if
+  * lev(a, b) ≤ k then some ≤k-deletion of a equals some ≤k-deletion of
+  * b, so two strings within distance k ALWAYS share a variant hash
+  * (hash collisions only ADD candidates; the exact verify removes
+  * them — completeness is unconditional). Only the 64-bit hashes are
+  * emitted; the variant strings never materialize.
+  *
+  * Deletions are BYTE-level on the raw UTF-8 encoding: exact for
+  * ASCII; for multibyte text a char edit spans several byte edits, so
+  * completeness at char-distance k needs byte budget up to 4k (callers
+  * matching non-ASCII short fields should pass the byte-level budget).
+  * Output size is 1 + n + n(n-1)/2 hashes for maxDist=2 — quadratic in
+  * STRING LENGTH, which is why this targets short fields. */
+case class DeletionNeighborhoodHashes(child: Expression, maxDist: Int)
+    extends UnaryExpression {
+  require(maxDist >= 0 && maxDist <= 2,
+    s"deletion neighborhood supported for maxDist 0..2, got $maxDist")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernel.deletionHashes(input.asInstanceOf[UTF8String], maxDist)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.ShingleKernel.deletionHashes($c, $maxDist)")
+
+  override protected def withNewChildInternal(newChild: Expression): DeletionNeighborhoodHashes =
+    copy(child = newChild)
+
+  override def prettyName: String = "deletion_neighborhood_hashes"
+}
+
+object DeletionNeighborhoodHashes {
+  def apply(text: Column, maxDist: Int): Column =
+    ColumnBridge.toColumn(DeletionNeighborhoodHashes(ColumnBridge.toExpr(text), maxDist))
+}
+
 /** Static kernel invoked from both interpreted eval and generated code. */
 object ShingleKernel {
   private val Seed = 42L
@@ -106,4 +144,40 @@ object ShingleKernel {
 
   private def isSpace(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f'
+
+  /** Hashes of all ≤maxDist byte-deletion variants (incl. the string
+    * itself), deduplicated, insertion-ordered. */
+  def deletionHashes(text: UTF8String, maxDist: Int): ArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    seen.add(hashBytes(bytes, 0, n))
+    if (maxDist >= 1 && n >= 1) {
+      val buf = new Array[Byte](n)
+      var i = 0
+      while (i < n) {
+        // delete byte i
+        System.arraycopy(bytes, 0, buf, 0, i)
+        System.arraycopy(bytes, i + 1, buf, i, n - i - 1)
+        seen.add(hashBytes(buf, 0, n - 1))
+        if (maxDist >= 2 && n >= 2) {
+          // delete byte j > i from the (n-1)-length buffer; indices in
+          // buf for original j are j-1, so iterate buf positions >= i
+          val buf2 = new Array[Byte](n)
+          var j = i
+          while (j < n - 1) {
+            System.arraycopy(buf, 0, buf2, 0, j)
+            System.arraycopy(buf, j + 1, buf2, j, n - 1 - j - 1)
+            seen.add(hashBytes(buf2, 0, n - 2))
+            j += 1
+          }
+        }
+        i += 1
+      }
+    }
+    val arr = new Array[Long](seen.size())
+    val it = seen.iterator(); var y = 0
+    while (it.hasNext) { arr(y) = it.next(); y += 1 }
+    UnsafeArrayData.fromPrimitiveArray(arr)
+  }
 }

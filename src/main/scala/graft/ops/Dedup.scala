@@ -429,20 +429,59 @@ object Dedup {
       blockBy: Seq[String], maxDist: Int): DataFrame = {
     val blockCols = blockBy.map(col)
     val dict = df.select(blockCols :+ col(text).as("_t"): _*).distinct()
-    // value-level pairs once per block, each unordered value pair once
-    // (_tx <= _ty; the equal-value pair carries its dist-0 duplicates)
-    val dictPairs = dict.select(blockCols :+ col("_t").as("_tx"): _*)
+    // value-level candidates once per block, each unordered value pair
+    // once (_tx <= _ty; the equal pair carries its dist-0 duplicates)
+    val candidates = dict.select(blockCols :+ col("_t").as("_tx"): _*)
       .join(dict.select(blockCols :+ col("_t").as("_ty"): _*), blockBy)
-      .filter(col("_tx") <= col("_ty") &&
-        abs(length(col("_tx")) - length(col("_ty"))) <= maxDist)
+      .filter(col("_tx") <= col("_ty"))
+    verifyAndExpand(df, id, text, blockBy, candidates, maxDist)
+  }
+
+  /** [[editDistancePairs]] for HIGH-cardinality short fields — the
+    * SymSpell design: candidates are value pairs sharing any
+    * ≤maxDist-byte-deletion variant (codegen'd hash kernel
+    * `graft.expr.DeletionNeighborhoodHashes`; if lev(a,b) ≤ k the pair
+    * always shares a variant, so completeness is unconditional — hash
+    * collisions only add candidates and the exact verify removes them).
+    *
+    * Where the dictionary form's value self-join is quadratic in
+    * distinct values per block, this is linear in values × neighborhood
+    * size (1 + n + n²/2 hashes for maxDist 2, n = byte length) and the
+    * join is equi on (block, variant-hash) — the candidate set is driven
+    * by actual near-matches, not by block width. The trade: neighborhood
+    * size is quadratic in STRING length, so this is for short fields
+    * (names, SKUs, titles); maxDist ≤ 2. Byte-level deletions: exact for
+    * ASCII, see the kernel doc for multibyte budgets. */
+  def editDistancePairsDeletes(df: DataFrame, id: String, text: String,
+      blockBy: Seq[String], maxDist: Int): DataFrame = {
+    val blockCols = blockBy.map(col)
+    val dict = df.select(blockCols :+ col(text).as("_t"): _*).distinct()
+    val keyed = dict.select(blockCols :+ col("_t") :+
+      explode(graft.expr.DeletionNeighborhoodHashes(col("_t"), maxDist)).as("_dk"): _*)
+    val candidates = keyed.select(blockCols :+ col("_t").as("_tx") :+ col("_dk"): _*)
+      .join(keyed.select(blockCols :+ col("_t").as("_ty") :+ col("_dk"): _*),
+        blockBy :+ "_dk")
+      .filter(col("_tx") <= col("_ty"))
+      .select(blockCols :+ col("_tx") :+ col("_ty"): _*)
+      .distinct() // a pair may share several deletion variants
+    verifyAndExpand(df, id, text, blockBy, candidates, maxDist)
+  }
+
+  /** Shared tail of the fuzzy matchers: length prefilter + thresholded
+    * banded Levenshtein on value pairs, then expansion back to id pairs
+    * (every row holding _tx × every row holding _ty in the block; an
+    * unordered id pair appears exactly once — once per cross for
+    * _tx < _ty, i<j-filtered for the equal pair). */
+  private def verifyAndExpand(df: DataFrame, id: String, text: String,
+      blockBy: Seq[String], candidates: DataFrame, maxDist: Int): DataFrame = {
+    val blockCols = blockBy.map(col)
+    val verified = candidates
+      .filter(abs(length(col("_tx")) - length(col("_ty"))) <= maxDist)
       .withColumn("dist", levenshtein(col("_tx"), col("_ty"), maxDist).cast("long"))
       .filter(col("dist") >= 0)
-    // expand back to id pairs: every row holding _tx × every row holding
-    // _ty in the same block. An unordered id pair appears exactly once
-    // (once per cross for _tx < _ty, i<j-filtered for the equal pair).
     val ida = df.select(col(id).as("_ida") +: col(text).as("_tx") +: blockCols: _*)
     val idb = df.select(col(id).as("_idb") +: col(text).as("_ty") +: blockCols: _*)
-    dictPairs
+    verified
       .join(ida, blockBy :+ "_tx")
       .join(idb, blockBy :+ "_ty")
       .filter(col("_tx") < col("_ty") || col("_ida") < col("_idb"))

@@ -76,6 +76,24 @@ object ScaleProbe {
               .bitwiseAND(lit(0xFFFFFFFFL)).as("h")),
           col("doc_id"), col("h"), 32).count()
       }
+      time("chunk_tokens") {
+        graft.ops.TextAnalysis.chunkByTokens(docs, "doc_id", "text", 64, 16).count()
+      }
+      time("fuzzy_match") {
+        // short-field linkage probe: doc id prefix as the noisy field,
+        // lang as the blocking key (low-cardinality values — exercises
+        // the dictionary-first design)
+        val short = docs.select(col("doc_id"),
+          substring(col("text"), 0, 24).as("name"), col("lang"))
+        graft.ops.Dedup.editDistancePairs(short, "doc_id", "name",
+          Seq("lang"), maxDist = 2).count()
+      }
+      time("fuzzy_deletes") {
+        val short = docs.select(col("doc_id"),
+          substring(col("text"), 0, 24).as("name"), col("lang"))
+        graft.ops.Dedup.editDistancePairsDeletes(short, "doc_id", "name",
+          Seq("lang"), maxDist = 2).count()
+      }
       time("cluster_survivors") {
         val a = docs.select(col("doc_id").as("id_a"),
           graft.expr.WordShingleHashes(col("text"), 3, distinct = true).as("_sa"))

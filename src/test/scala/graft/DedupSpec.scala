@@ -144,6 +144,31 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(!out.contains((1L, 3L)))
   }
 
+  test("editDistancePairsDeletes == editDistancePairs (SymSpell completeness)") {
+    // random-ish short strings, several blocks, plenty of dist-0/1/2
+    // and far pairs; the two candidate generators must verify to the
+    // SAME pair set
+    val rng = new scala.util.Random(7)
+    val base = Seq("acme corp", "zenith ltd", "widget co", "nadir inc")
+    val recs = (0 until 120).map { i =>
+      val s0 = base(rng.nextInt(base.length))
+      val mutated = rng.nextInt(4) match {
+        case 0 => s0
+        case 1 => s0.drop(1) // dist 1
+        case 2 => s0.updated(rng.nextInt(s0.length), 'x') // dist ≤ 1
+        case _ => rng.nextString(8).map(c => ('a' + (c % 26).abs).toChar) // far
+      }
+      (i.toLong, mutated, s"B${i % 3}")
+    }
+    val df = recs.toDF("id", "name", "blk")
+    def pairSet(out: org.apache.spark.sql.DataFrame) =
+      out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val dict = pairSet(Dedup.editDistancePairs(df, "id", "name", Seq("blk"), 2))
+    val dels = pairSet(Dedup.editDistancePairsDeletes(df, "id", "name", Seq("blk"), 2))
+    assert(dict == dels, s"missing=${dict -- dels} extra=${dels -- dict}")
+    assert(dict.nonEmpty)
+  }
+
   test("editDistancePairs: blocked Levenshtein pairs, each unordered pair once") {
     val recs = Seq(
       (1L, "acme corp", "US"), (2L, "acme corp.", "US"), (3L, "acme co", "US"),
