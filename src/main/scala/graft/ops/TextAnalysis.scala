@@ -170,14 +170,17 @@ object TextAnalysis {
     * shuffle, no UDF; output skew is bounded by the longest document
     * (pre-split pathological docs upstream if |doc| ≫ p99).
     *
-    * Emits (id, chunk_id, n_tokens, chunk_text). The final window is
-    * the only one allowed shorter than `chunkSize`. Windows start at
-    * every k·stride < n_tokens — with overlap > 0 a short tail window
-    * can therefore be fully contained in its predecessor (e.g. size 4 /
-    * overlap 1 over 10 tokens emits the 1-token [w10] after
-    * [w7 w8 w9 w10]); callers that must not duplicate training content
-    * should drop chunks with n_tokens ≤ overlap. Boundaries are
-    * reproducible from (chunkSize, overlap) alone. */
+    * Emits (id, chunk_id, n_tokens, chunk_text). Windows start at every
+    * k·stride < n_tokens and are truncated at the document end, so the
+    * trailing window(s) may be shorter than `chunkSize` — with
+    * overlap > 0 a short tail can even be fully contained in its
+    * predecessor (size 4 / overlap 1 over 10 tokens emits the 1-token
+    * [w10] after [w7 w8 w9 w10]); callers that must not duplicate
+    * training content should drop chunks with n_tokens ≤ overlap.
+    * Dropping the first `overlap` tokens of every chunk but the first
+    * reproduces the token stream exactly (lossless, no duplication —
+    * property-tested); boundaries are reproducible from
+    * (chunkSize, overlap) alone. */
   def chunkByTokens(df: org.apache.spark.sql.DataFrame, id: String, text: String,
       chunkSize: Int, overlap: Int = 0): org.apache.spark.sql.DataFrame = {
     require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,

@@ -151,6 +151,26 @@ object PropertiesSpec extends Properties("graft") {
       got.toSet == expect && got.size == expect.size
     }
 
+  property("chunkByTokens lossless: chunk 0 ++ overlap-stripped tails == tokens") =
+    forAll(for {
+      nTok <- Gen.choose(1, 40)
+      size <- Gen.choose(2, 8)
+      overlap <- Gen.choose(0, size - 1)
+    } yield (nTok, size, overlap)) { case (nTok, size, overlap) =>
+      import spark.implicits._
+      val toks = (1 to nTok).map(i => s"t$i")
+      val df = Seq((1L, toks.mkString(" "))).toDF("id", "text")
+      val chunks = graft.ops.TextAnalysis.chunkByTokens(df, "id", "text", size, overlap)
+        .orderBy("chunk_id").collect()
+        .map(r => (r.getLong(1), r.getString(3).split(" ").toSeq))
+      val rebuilt = chunks.flatMap { case (cid, c) =>
+        if (cid == 0L) c else c.drop(overlap) }
+      // every window ≤ size, and the overlap-stripped concatenation
+      // reproduces the token stream exactly (no gap, no duplication —
+      // holds even when a short tail follows a short predecessor)
+      chunks.forall(_._2.size <= size) && rebuilt.toSeq == toks
+    }
+
   property("toLongCoerce total under ANSI: parses clean ints, nulls garbage") =
     forAll(Gen.listOfN(8, Gen.oneOf(
       Gen.choose(-1000000L, 1000000L).map(_.toString),
