@@ -44,6 +44,18 @@ class ExpressionsSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getSeq[Long](0).length == 3) // 'a b','b c','c d'
     assert(r.getDouble(1) == 11.0)
     assert(r.getLong(2) >= 0 && r.getLong(2) < 16)
+    val r2 = spark.sql(
+      """SELECT dot_product_i(array(1, -2, 3), array(4, 5, 6)) AS di,
+        |       deletion_neighborhood_hashes('abc', 2) AS dn
+        |""".stripMargin).collect().head
+    assert(r2.getLong(0) == 4L - 10L + 18L)
+    // 'abc' ≤2-deletions: abc, ab, ac, bc, a, b, c → 7 distinct variants
+    assert(r2.getSeq[Long](1).length == 7)
+    // type misuse fails at ANALYSIS, not with garbage results
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT dot_product_i(array(1.5, 2.5), array(1.5, 2.5))").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("type"))
   }
 
   test("SimHash64 kernel equals the explode + 64-sum-slot aggregate form") {
