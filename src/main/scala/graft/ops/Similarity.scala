@@ -321,19 +321,6 @@ object Similarity {
       .select(col("qid"), col("cid"), round(col("_sim"), 6).as("sim"), col("rk"))
   }
 
-  /** Symmetric int8 quantization of an embedding column — the standard
-    * 4× memory/IO reduction for ANN at scale (a 100 TB float32 corpus
-    * becomes 25 TB; candidate scoring reads int8 and only the re-rank
-    * tail touches float32). Per-vector absmax scaling: scale =
-    * max|v|/127, q_i = clamp(⌊v_i/scale + 0.5⌋, ±127), so the max
-    * reconstruction error is scale/2 per component.
-    *
-    * Determinism across engines: the rounding is floor(x + 0.5) — NOT
-    * round() — because half-way tie behavior and double→int CAST rules
-    * differ between engines (Spark CAST truncates, DuckDB rounds),
-    * while floor on identical IEEE doubles is identical everywhere.
-    * All-zero vectors quantize to zeros (scale 0 guard). Narrow per-row
-    * transform, no shuffle. */
   /** Per-vector absmax quantization scale: max|v| / 127. */
   def quantScale(vec: Column): Column =
     aggregate(vec, lit(0.0f), (m, x) => greatest(m, abs(x))).cast("double") / lit(127.0)
@@ -349,6 +336,19 @@ object Similarity {
         greatest(lit(-127), least(lit(127),
           floor(x.cast("double") / scale + lit(0.5)).cast("int")))))
 
+  /** Symmetric int8 quantization of an embedding column — the standard
+    * 4× memory/IO reduction for ANN at scale (a 100 TB float32 corpus
+    * becomes 25 TB; candidate scoring reads int8 and only the re-rank
+    * tail touches float32). Per-vector absmax scaling: scale =
+    * max|v|/127, q_i = clamp(⌊v_i/scale + 0.5⌋, ±127), so the max
+    * reconstruction error is scale/2 per component.
+    *
+    * Determinism across engines: the rounding is floor(x + 0.5) — NOT
+    * round() — because half-way tie behavior and double→int CAST rules
+    * differ between engines (Spark CAST truncates, DuckDB rounds),
+    * while floor on identical IEEE doubles is identical everywhere.
+    * All-zero vectors quantize to zeros (scale 0 guard). Narrow per-row
+    * transform, no shuffle. */
   def quantizeInt8(df: DataFrame, id: String, vec: String): DataFrame =
     df.select(col(id), quantScale(col(vec)).as("scale"), col(vec).as("_v"))
       .withColumn("q", quantArray(col("_v"), col("scale")))

@@ -79,19 +79,17 @@ object ScaleProbe {
       time("chunk_tokens") {
         graft.ops.TextAnalysis.chunkByTokens(docs, "doc_id", "text", 64, 16).count()
       }
+      // short-field linkage probe frame: 24-byte text prefix as the
+      // noisy field, lang as the (coarse) blocking key — adversarial
+      // for blocked matching: high distinct cardinality per block
+      lazy val shortFields = docs.select(col("doc_id"),
+        substring(col("text"), 0, 24).as("name"), col("lang"))
       time("fuzzy_match") {
-        // short-field linkage probe: doc id prefix as the noisy field,
-        // lang as the blocking key (low-cardinality values — exercises
-        // the dictionary-first design)
-        val short = docs.select(col("doc_id"),
-          substring(col("text"), 0, 24).as("name"), col("lang"))
-        graft.ops.Dedup.editDistancePairs(short, "doc_id", "name",
+        graft.ops.Dedup.editDistancePairs(shortFields, "doc_id", "name",
           Seq("lang"), maxDist = 2).count()
       }
       time("fuzzy_deletes") {
-        val short = docs.select(col("doc_id"),
-          substring(col("text"), 0, 24).as("name"), col("lang"))
-        graft.ops.Dedup.editDistancePairsDeletes(short, "doc_id", "name",
+        graft.ops.Dedup.editDistancePairsDeletes(shortFields, "doc_id", "name",
           Seq("lang"), maxDist = 2).count()
       }
       time("cluster_survivors") {

@@ -35,10 +35,9 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("BroadcastHashJoin"))
   }
 
-  test("window_range_rolling: single keyed window, no extra exchange beyond the window's") {
+  test("window_range_rolling: value-based RANGE frame, not ROWS") {
     val p = plan("window_range_rolling")
-    // one Window node; RANGE frame (not ROWS)
-    assert("\\bWindow\\b".r.findAllIn(p).nonEmpty)
     assert(p.contains("RANGE BETWEEN") || p.contains("specifiedwindowframe(RangeFrame"))
+    assert(!p.contains("ROWS BETWEEN"))
   }
 }
