@@ -451,13 +451,28 @@ object Dedup {
     * by actual near-matches, not by block width. The trade: neighborhood
     * size is quadratic in STRING length, so this is for short fields
     * (names, SKUs, titles); maxDist ≤ 2. Byte-level deletions: exact for
-    * ASCII, see the kernel doc for multibyte budgets. */
+    * ASCII, see the kernel doc for multibyte budgets.
+    *
+    * `maxBucket` (0 = off) drops variant-hash keys shared by more than
+    * that many distinct values before the pair join — the same
+    * degenerate-key bound MinHash banding applies (`maxBucket` there):
+    * in a dense near-dup blob every bucket is family-sized and the join
+    * emits |bucket|² rows per key. The trade is recall — a true pair
+    * ALL of whose shared variants are hot is missed; sparse-match
+    * corpora (the design target) lose nothing because true pairs share
+    * cold keys too. Dense blobs belong to MinHash clustering anyway. */
   def editDistancePairsDeletes(df: DataFrame, id: String, text: String,
-      blockBy: Seq[String], maxDist: Int): DataFrame = {
+      blockBy: Seq[String], maxDist: Int, maxBucket: Int = 0): DataFrame = {
     val blockCols = blockBy.map(col)
     val dict = df.select(blockCols :+ col(text).as("_t"): _*).distinct()
-    val keyed = dict.select(blockCols :+ col("_t") :+
+    val keyedAll = dict.select(blockCols :+ col("_t") :+
       explode(graft.expr.DeletionNeighborhoodHashes(col("_t"), maxDist)).as("_dk"): _*)
+    val keyed = if (maxBucket <= 0) keyedAll else {
+      val hot = keyedAll.groupBy(blockCols :+ col("_dk"): _*)
+        .agg(count(lit(1)).as("_bn")).filter(col("_bn") > maxBucket)
+        .select(blockCols :+ col("_dk"): _*)
+      keyedAll.join(hot, blockBy :+ "_dk", "left_anti")
+    }
     val candidates = keyed.select(blockCols :+ col("_t").as("_tx") :+ col("_dk"): _*)
       .join(keyed.select(blockCols :+ col("_t").as("_ty") :+ col("_dk"): _*),
         blockBy :+ "_dk")

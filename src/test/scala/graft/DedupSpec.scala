@@ -167,6 +167,14 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     val dels = pairSet(Dedup.editDistancePairsDeletes(df, "id", "name", Seq("blk"), 2))
     assert(dict == dels, s"missing=${dict -- dels} extra=${dels -- dict}")
     assert(dict.nonEmpty)
+    // a generous bucket cap must not lose pairs on a sparse-ish corpus
+    val capped = pairSet(Dedup.editDistancePairsDeletes(df, "id", "name", Seq("blk"), 2,
+      maxBucket = 1000))
+    assert(capped == dict)
+    // an absurdly tight cap degrades recall but never invents pairs
+    val tight = pairSet(Dedup.editDistancePairsDeletes(df, "id", "name", Seq("blk"), 2,
+      maxBucket = 1))
+    assert(tight.subsetOf(dict))
   }
 
   test("editDistancePairs: blocked Levenshtein pairs, each unordered pair once") {
