@@ -23,8 +23,9 @@ object AsOf {
     * `key` and the greatest `rightTs` ≤ `leftTs` (ties broken by
     * `rightTieBreak` desc). Inner semantics: left rows with no match drop.
     *
-    * Output: all left columns (prefixed `left_` only on collision) plus
-    * the matched right columns prefixed with `asof_`.
+    * Output: all left columns (prefixed `left_` only on collision with
+    * an `asof_*` output or the internal `_m` alias) plus the matched
+    * right columns prefixed with `asof_`.
     */
   def joinAsOf(
       left: DataFrame,
@@ -33,24 +34,8 @@ object AsOf {
       leftTs: String,
       rightTs: String,
       leftId: String,
-      rightTieBreak: Seq[String] = Nil): DataFrame = {
-    require(left.columns.contains(leftId), s"leftId $leftId must be a left column")
-    val r = right.columns.foldLeft(right)((df, c) => df.withColumnRenamed(c, s"asof_$c"))
-    val joined = left.join(r,
-      col(key) === col(s"asof_$key") && col(s"asof_$rightTs") <= col(leftTs))
-    val ord = struct((Seq(s"asof_$rightTs") ++ rightTieBreak.map("asof_" + _)).map(col): _*)
-    val rightCols = r.columns.toSeq.filterNot(_ == s"asof_$key")
-    // leftId is unique per left row, so the other left columns are
-    // group-constant and ride along via first()
-    val carried = left.columns.toSeq.filterNot(_ == leftId)
-      .map(c => first(col(c)).as(c))
-    val aggs = carried :+ max_by(struct(rightCols.map(col): _*), ord).as("_m")
-    joined
-      .groupBy(col(leftId))
-      .agg(aggs.head, aggs.tail: _*)
-      .select((col(leftId) +: left.columns.toSeq.filterNot(_ == leftId).map(col)) ++
-        rightCols.map(c => col(s"_m.$c")): _*)
-  }
+      rightTieBreak: Seq[String] = Nil): DataFrame =
+    asOfImpl(left, right, key, leftTs, rightTs, leftId, rightTieBreak, forward = false)
 
   /** Forward as-of join: for each left row, the single right row with
     * the same `key` and the SMALLEST `rightTs` ≥ `leftTs` (ties by
@@ -64,20 +49,48 @@ object AsOf {
       leftTs: String,
       rightTs: String,
       leftId: String,
-      rightTieBreak: Seq[String] = Nil): DataFrame = {
+      rightTieBreak: Seq[String] = Nil): DataFrame =
+    asOfImpl(left, right, key, leftTs, rightTs, leftId, rightTieBreak, forward = true)
+
+  /** Shared body of both as-of directions — one implementation so fixes
+    * can't silently diverge. `forward` flips the time inequality and
+    * the max_by/min_by reduction; everything else is identical. */
+  private def asOfImpl(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      leftId: String,
+      rightTieBreak: Seq[String],
+      forward: Boolean): DataFrame = {
     require(left.columns.contains(leftId), s"leftId $leftId must be a left column")
     val r = right.columns.foldLeft(right)((df, c) => df.withColumnRenamed(c, s"asof_$c"))
-    val joined = left.join(r,
-      col(key) === col(s"asof_$key") && col(s"asof_$rightTs") >= col(leftTs))
+    // left columns colliding with an asof_* output (e.g. a previous
+    // as-of result fed back in) or the internal _m alias get the
+    // documented left_ prefix — otherwise the output would carry
+    // ambiguous duplicate names
+    val reserved = r.columns.toSet + "_m"
+    def leftName(c: String) = if (reserved(c)) s"left_$c" else c
+    val l = left.columns.foldLeft(left)((df, c) =>
+      if (reserved(c)) df.withColumnRenamed(c, leftName(c)) else df)
+    val (keyC, leftTsC, leftIdC) = (leftName(key), leftName(leftTs), leftName(leftId))
+    val cond = col(keyC) === col(s"asof_$key") &&
+      (if (forward) col(s"asof_$rightTs") >= col(leftTsC)
+       else col(s"asof_$rightTs") <= col(leftTsC))
+    val joined = l.join(r, cond)
     val ord = struct((Seq(s"asof_$rightTs") ++ rightTieBreak.map("asof_" + _)).map(col): _*)
     val rightCols = r.columns.toSeq.filterNot(_ == s"asof_$key")
-    val carried = left.columns.toSeq.filterNot(_ == leftId)
-      .map(c => first(col(c)).as(c))
-    val aggs = carried :+ min_by(struct(rightCols.map(col): _*), ord).as("_m")
+    // leftId is unique per left row, so the other left columns are
+    // group-constant and ride along via first()
+    val otherLeft = l.columns.toSeq.filterNot(_ == leftIdC)
+    val carried = otherLeft.map(c => first(col(c)).as(c))
+    val reducer = if (forward) min_by _ else max_by _
+    val aggs = carried :+ reducer(struct(rightCols.map(col): _*), ord).as("_m")
     joined
-      .groupBy(col(leftId))
+      .groupBy(col(leftIdC))
       .agg(aggs.head, aggs.tail: _*)
-      .select((col(leftId) +: left.columns.toSeq.filterNot(_ == leftId).map(col)) ++
+      .select((col(leftIdC) +: otherLeft.map(col)) ++
         rightCols.map(c => col(s"_m.$c")): _*)
   }
 

@@ -66,13 +66,32 @@ object Bloom {
   def bloomSemiJoin(large: DataFrame, small: DataFrame,
       largeKey: String, smallKey: String,
       numWords: Int = 1 << 14, numHashes: Int = 5): DataFrame = {
-    val bitsDf = buildBits(small.select(col(smallKey)), smallKey, numWords, numHashes)
+    // xxhash64 hashes by PHYSICAL type (int 5 and bigint 5 hash
+    // differently), so build and probe must hash the same type or the
+    // prefilter false-negatives its way to a silently near-empty
+    // result. Same type: hash as-is. Both integral: widen both to long
+    // (lossless). Anything else mixed: refuse — a silent fix isn't
+    // possible without knowing the caller's coercion intent.
+    import org.apache.spark.sql.types._
+    val lt = large.schema(largeKey).dataType
+    val st = small.schema(smallKey).dataType
+    val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
+    val (probeKey, buildKey): (Column, Column) =
+      if (lt == st) (col(largeKey), col(smallKey))
+      else if (integral(lt) && integral(st))
+        (col(largeKey).cast("long"), col(smallKey).cast("long"))
+      else throw new IllegalArgumentException(
+        s"bloomSemiJoin key types differ and are not both integral: $lt vs $st")
+    val bitsDf = buildBits(small.select(buildKey.as(smallKey)), smallKey, numWords, numHashes)
     val prefiltered = large
       .crossJoin(broadcast(bitsDf))
-      .filter(mightContain(col(largeKey), col("_bloom_bits"), numWords, numHashes))
+      .filter(mightContain(probeKey, col("_bloom_bits"), numWords, numHashes))
       .drop("_bloom_bits")
+    // no distinct() on the build side: left_semi semantics are identical
+    // with duplicate keys, and the dedup would cost an extra exchange;
+    // mixed integral types coerce via the join's own widening
     prefiltered.join(
-      small.select(col(smallKey).as(largeKey)).distinct(),
+      small.select(col(smallKey).as(largeKey)),
       Seq(largeKey), "left_semi")
   }
 }

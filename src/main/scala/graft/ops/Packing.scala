@@ -41,16 +41,27 @@ object Packing {
     * `weight` must be non-negative; one output row per input row. */
   def assignShards(df: DataFrame, key: String, weight: String, budget: Long,
       numPartitions: Int = 0): DataFrame = {
+    require(budget > 0, s"shard budget must be positive, got $budget")
     val spark = df.sparkSession
     val parts = if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val normalized = df.withColumn(weight, col(weight).cast("long"))
-    // Persisted: phases 1 and 3 are separate jobs, and both must see the
-    // SAME physical partitioning (range boundaries come from sampling;
-    // re-evaluating the exchange per job would also double the shuffle).
+    // null (or uncastable) weights pack as zero-cost rows — phase 3's
+    // positional getLong cannot tolerate nulls, and silently dropping
+    // the rows would change the output contract (one row per input row)
+    val normalized = df.withColumn(weight, coalesce(col(weight).cast("long"), lit(0L)))
+    // localCheckpoint (eager), not persist: phases 1 and 3 are separate
+    // jobs and both must see the SAME physical partitioning (range
+    // boundaries come from sampling — re-evaluating the exchange per
+    // job could draw different boundaries AND double the shuffle).
+    // A persist() would pin the corpus-sized cache in the CacheManager
+    // until someone calls unpersist, which this API cannot do for the
+    // caller (the returned plan still reads the cache); checkpoint
+    // blocks are instead reclaimed by the ContextCleaner once the
+    // returned frame is dropped. Trade (as with Dedup.clusterPairs):
+    // local checkpoints don't survive executor loss.
     val ranged = normalized.repartitionByRange(parts, col(key))
       .sortWithinPartitions(col(key))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // Phase 1+2: per-partition totals -> driver prefix sum. Range
     // partition indices ascend with the key range, so offset order is
     // partition-id order. Only P (pid, sum) rows ever reach the driver.

@@ -17,13 +17,32 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Deterministic per-row salt derived from the whole row's hash —
-    * stable across retries (no rand(), which would break task replays). */
-  private def salt(df: DataFrame, factor: Int): Column =
-    pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(factor)).cast("int")
+  /** Deterministic per-row salt derived from the row's content hash —
+    * stable across retries (no rand(), which would break task replays;
+    * no partition-dependent ids, which a retry on a different split
+    * would change). MapType columns are skipped (xxhash64 rejects
+    * maps); nested maps inside structs/arrays likewise.
+    *
+    * Degeneracy caveat: content-identical rows of a hot key all hash to
+    * ONE salt — the spread silently vanishes. If the fact frame was
+    * projected down to the key alone, or hot rows are duplicated
+    * sentinels, include a unique id column in the frame before salting;
+    * content hashing cannot spread what it cannot distinguish. */
+  private def salt(df: DataFrame, factor: Int): Column = {
+    def hashSafe(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashSafe(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hashSafe(a.elementType)
+      case _ => true
+    }
+    val cols = df.schema.fields.filter(f => hashSafe(f.dataType)).map(f => col(f.name))
+    require(cols.nonEmpty, "no hashable (non-map) columns to derive a salt from")
+    pmod(xxhash64(cols.toSeq: _*), lit(factor)).cast("int")
+  }
 
   /** Salted inner equi-join of a skewed `fact` against `dim` on `key`. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, factor: Int): DataFrame = {
+    require(factor > 0, s"salt factor must be positive, got $factor")
     val saltedFact = fact.withColumn("_salt", salt(fact, factor))
     val explodedDim = dim
       .withColumn("_salt", explode(sequence(lit(0), lit(factor - 1))))
@@ -92,11 +111,17 @@ object Skew {
     // > n·perMille/1000 — no miss possible iff perMille·(counters+1) ≥ 1000
     require(perMille.toLong * (counters + 1) >= 1000L,
       s"counters=$counters too small for perMille=$perMille: sketch could miss true heavy hitters")
-    val sketch = df.select(
+    // NULL keys (and keys that don't cast to long) are excluded: the
+    // typed Aggregator's primitive-Long encoder rejects nulls outright,
+    // and a SQL NULL never equi-joins anyway — a null-heavy table is the
+    // dim-side "unknown member" problem, detected by a plain
+    // count(key IS NULL), not by key-frequency sketching
+    val keyed = df.select(col(key).cast("long").as("_ck")).filter(col("_ck").isNotNull)
+    val sketch = keyed.select(
       org.apache.spark.sql.functions.udaf(new MisraGriesAggregator(counters))
-        .apply(col(key).cast("long")).as("s"))
+        .apply(col("_ck")).as("s"))
     val candidates = sketch.select(explode(map_keys(col("s._1"))).as("_ck"), col("s._2").as("_n"))
-    df.select(col(key).cast("long").as("_ck"))
+    keyed
       .join(broadcast(candidates), Seq("_ck"))
       .groupBy(col("_ck"), col("_n"))
       .agg(count(lit(1)).as("n_rows"))
@@ -110,8 +135,10 @@ object Skew {
     * so this is only worth it when a single key overwhelms even one
     * reducer partition — i.e. the salt spreads ONE key over `factor`
     * reducers. */
-  def saltedCount(df: DataFrame, key: String, factor: Int): DataFrame =
+  def saltedCount(df: DataFrame, key: String, factor: Int): DataFrame = {
+    require(factor > 0, s"salt factor must be positive, got $factor")
     df.withColumn("_salt", salt(df, factor))
       .groupBy(col(key), col("_salt")).agg(count(lit(1)).as("_partial"))
       .groupBy(col(key)).agg(sum(col("_partial")).cast("long").as("n"))
+  }
 }

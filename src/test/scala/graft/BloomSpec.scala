@@ -35,4 +35,21 @@ class BloomSpec extends AnyFunSuite with SparkTestBase {
       .select("row_id").as[Long].collect().sorted.toSeq
     assert(got == expect)
   }
+
+  test("bloomSemiJoin with mixed integral key types: no false negatives") {
+    // xxhash64 hashes int and long DIFFERENTLY for the same value — the
+    // op must widen both sides before hashing, or the prefilter drops
+    // nearly every true match
+    val large = (0L until 2000L).map(i => (i, i % 97L)).toDF("row_id", "fk") // fk: BIGINT
+    val small = Seq(3, 11, 42, 96).toDF("pk") // pk: INT
+    val got = graft.ops.Bloom.bloomSemiJoin(large, small, "fk", "pk", numWords, k)
+      .count()
+    val expect = large.filter(col("fk").isin(3, 11, 42, 96)).count()
+    assert(got == expect && expect > 0)
+    // non-coercible mix refuses instead of silently false-negativing
+    val bad = Seq("3", "11").toDF("pk")
+    intercept[IllegalArgumentException] {
+      graft.ops.Bloom.bloomSemiJoin(large, bad, "fk", "pk", numWords, k)
+    }
+  }
 }

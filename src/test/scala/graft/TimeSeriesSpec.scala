@@ -35,6 +35,20 @@ class TimeSeriesSpec extends AnyFunSuite with SparkTestBase {
     assert(got(6L).isEmpty, "fill must not cross keys")
   }
 
+  test("joinAsOf: colliding left columns get the documented left_ prefix") {
+    // feed an as-of OUTPUT shape back in: left already has asof_event_id
+    val left = Seq((10L, 1L, ts("2024-01-01 00:05:00"), 77L))
+      .toDF("pid", "user_id", "ts", "asof_event_id")
+    val right = Seq((5L, 1L, ts("2024-01-01 00:01:00")))
+      .toDF("event_id", "user_id", "ts")
+    val out = graft.ops.AsOf.joinAsOf(left, right, "user_id", "ts", "ts", leftId = "pid")
+    // exactly one column of each name — no ambiguous duplicates
+    assert(out.columns.count(_ == "asof_event_id") == 1)
+    assert(out.columns.contains("left_asof_event_id"))
+    val row = out.select("pid", "left_asof_event_id", "asof_event_id").collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((10L, 77L, 5L)))
+  }
+
   test("forwardFill: same-timestamp tie resolved by the tie-break column") {
     val t = ts("2024-01-01 00:00:00")
     val df = Seq(
