@@ -251,6 +251,18 @@ object SparkEntry {
         .orderBy("content_hash")
     }),
 
+    // X1 — incremental ingestion dedup: batch N (doc_id >= 250)
+    // compacts to one row per digest, then anti-joins the digest store
+    // accumulated from prior batches (doc_id < 250) — what an append-
+    // only corpus runs on every new crawl drop.
+    "x1_dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val seen = docs.filter(col("doc_id") < 250)
+        .select(Dedup.contentHash(col("text")).as("content_hash")).distinct()
+      Dedup.dedupAgainstSeen(docs.filter(col("doc_id") >= 250), seen, "text", "doc_id")
+        .orderBy("content_hash")
+    }),
+
     // X1 — deterministic dropDuplicates: first doc per (lang, source).
     "x1_dedup_first_per_key" -> ((s, dir) => {
       Dedup.firstPerKey(Tables.documents(s, dir), Seq("lang", "source"), Seq("doc_id"))
@@ -267,6 +279,31 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("k")).cast("long").as("sum_k"))
         .orderBy("event_type")
+    }),
+
+    // Map-typed columns end-to-end: per-user event-type counts built
+    // into a real MapType (map_from_entries), reduced with a map-HOF
+    // (aggregate over map_values), pruned with map_filter, fanned back
+    // out with explode(map). The oracle is the equivalent relational
+    // form — proving the map algebra preserves relational semantics.
+    "map_hof_type_mix" -> ((s, dir) => {
+      val counts = Tables.events(s, dir)
+        .filter(col("user_id") < 100)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      counts.groupBy(col("user_id"))
+        .agg(map_from_entries(
+          array_sort(collect_list(struct(col("event_type"), col("n")))))
+          .as("type_counts"))
+        .withColumn("total_n",
+          aggregate(map_values(col("type_counts")), lit(0L), (a, v) => a + v))
+        .withColumn("frequent",
+          map_filter(col("type_counts"), (_, v) => v >= lit(5L)))
+        .select(col("user_id"), col("total_n"),
+          explode(col("frequent")).as(Seq("event_type", "n")))
+        .withColumn("share_pct",
+          round(col("n").cast("double") * lit(100) / col("total_n").cast("double"), 6))
+        .orderBy("user_id", "event_type")
     }),
 
     // TPC-H Q5-style 6-table join: dims broadcast, fact joins stay
@@ -677,6 +714,81 @@ object SparkEntry {
         .orderBy("s_suppkey")
     }),
 
+    // TPC-H Q2 shape: min-cost supplier per part. The testdata carries
+    // no partsupp table, so lineitem is the part↔supplier bridge and
+    // min(l_extendedprice) stands in for min(ps_supplycost) — the plan
+    // shape is the real thing: filtered dims broadcast into the fact,
+    // a per-part min re-joined by EXACT equality (min of doubles is a
+    // selection, not a sum — cross-engine safe), distinct winners,
+    // global top-k via TakeOrderedAndProject.
+    "sql_q2_min_cost_supplier" -> ((s, dir) => {
+      val sup = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val p = Tables.part(s, dir)
+        .filter(col("p_size") <= 15 && col("p_type") === "PROMO")
+        .select(col("p_partkey"), col("p_name"))
+      val offers = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      val minCost = offers.groupBy(col("p_partkey").as("_pk"))
+        .agg(min(col("l_extendedprice")).as("_min_cost"))
+      offers
+        .join(minCost,
+          col("p_partkey") === col("_pk") && col("l_extendedprice") === col("_min_cost"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_name"))
+        .distinct()
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q11 shape: parts whose inventory value from one nation's
+    // suppliers clears a threshold derived from the whole group set —
+    // group-by + HAVING against a scalar subquery. The threshold is
+    // relative to the MAX part value (within 4× of the best) rather
+    // than Q11's fixed fraction of the total: a fixed fraction of a
+    // total spread over ever-more parts empties out as the corpus
+    // grows, while a max-relative cut stays selective AND non-empty at
+    // every scale. The comparison cross-multiplies EXACT decimals — no
+    // decimal division whose scale rules differ between engines. The
+    // scalar is a one-row broadcast; the fact is scanned once.
+    "sql_q11_important_parts" -> ((s, dir) => {
+      val sup = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir).filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val byPart = Tables.lineitem(s, dir)
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey").as("p_partkey"))
+        .agg(sum(dec(col("l_extendedprice"))).as("_value"))
+      val top = byPart.agg(max(col("_value")).as("_max_value"))
+      byPart.crossJoin(broadcast(top))
+        .filter(col("_value") * lit(4) > col("_max_value"))
+        .select(col("p_partkey"), col("_value").cast("double").as("part_value"))
+        .orderBy(col("part_value").desc, col("p_partkey"))
+    }),
+
+    // TPC-H Q12 shape: late-shipment priority matrix. No l_shipmode /
+    // commitdate in the testdata, so linestatus plays the mode and
+    // "late" = shipped >60 days after the order date; the shape is
+    // intact — join + date-window filter + CASE'd conditional counts.
+    "sql_q12_late_priority" -> ((s, dir) => {
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("l_linestatus"))
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("l_linestatus")
+    }),
+
     // As-of join: for each purchase, the user's latest preceding click.
     "asof_click_attribution" -> ((s, dir) => {
       val ev = Tables.events(s, dir).select("event_id", "user_id", "event_type", "ts")
@@ -764,6 +876,28 @@ object SparkEntry {
           sum(dec(col("value"))).cast("double").as("sum_v"),
           min(col("event_id")).cast("long").as("min_id"),
           max(col("event_id")).cast("long").as("max_id"))
+        .orderBy("event_type")
+    }),
+
+    // Schema evolution at the storage layer: two parquet batches with
+    // different schemas (v2 adds event_type) union under a mergeSchema
+    // read — v1 rows surface NULL in the added column, no rewrite of
+    // old data. The everyday reality of a long-lived 100 TB corpus:
+    // columns arrive mid-life and historical files stay immutable. The
+    // oracle recomputes the same rollup from the unsplit source table.
+    "schema_evolution_merge" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_evo").toString
+      val ev = Tables.events(s, dir)
+      ev.filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .write.mode("overwrite").parquet(s"$tmp/v1")
+      ev.filter(col("event_id") % 2 === 1)
+        .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+        .write.mode("overwrite").parquet(s"$tmp/v2")
+      s.read.option("mergeSchema", "true").parquet(s"$tmp/v1", s"$tmp/v2")
+        .groupBy(coalesce(col("event_type"), lit("_pre_schema_")).as("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast("double").as("sum_v"))
         .orderBy("event_type")
     }),
 
@@ -1513,6 +1647,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // X1 — weight-biased fixed-size sample (priority sampling): longer
+    // documents proportionally likelier; the draw comes from the row's
+    // own id so the sample is retry-/partitioning-invariant and the
+    // DuckDB oracle reproduces it exactly (no libm in the priority).
+    "x1_weighted_sample" -> ((s, dir) => {
+      graft.ops.Sampling.weightedPriority(Tables.documents(s, dir), "doc_id",
+          col("n_chars").cast("double"), k = 100, seed = 7L)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          round(col("_priority"), 9).as("priority"))
+        .orderBy("priority", "doc_id")
+    }),
+
     // X4 — Levenshtein fuzzy matching within blocking buckets (record-
     // linkage on short fields; blocking keys bound the pair scan the way
     // LSH bands do for long text).
@@ -1595,6 +1741,22 @@ object SparkEntry {
       graft.ops.TimeSeries.forwardFill(ev, "user_id", "ts", "value", "event_id")
         .select(col("event_id"), col("user_id"), col("value"),
           round(col("value_filled"), 6).as("value_filled"))
+        .orderBy("event_id")
+    }),
+
+    // Time series — linear interpolation: the same masked gaps as the
+    // LOCF query, repaired by time-proportional blending between the
+    // neighboring observations instead of carry-forward (edge gaps
+    // stay NULL). Pure IEEE arithmetic on epoch-micros, so the oracle
+    // comparison is exact before the presentation rounding.
+    "ts_interpolate" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("user_id") < 50)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("event_type") === "click", lit(null).cast("double"))
+            .otherwise(col("value")).as("value"))
+      graft.ops.TimeSeries.interpolateLinear(ev, "user_id", "ts", "value", "event_id")
+        .select(col("event_id"), col("user_id"), col("value"),
+          round(col("value_interp"), 6).as("value_interp"))
         .orderBy("event_id")
     }),
 
@@ -1933,12 +2095,34 @@ object SparkEntry {
         | count(*) AS n_dupes
         |FROM documents GROUP BY sha256(text) ORDER BY content_hash""".stripMargin,
 
+    "x1_dedup_incremental" ->
+      """WITH seen AS (
+        |  SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id < 250),
+        |batch AS (
+        |  SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id,
+        |         count(*) AS n_dupes
+        |  FROM documents WHERE doc_id >= 250 GROUP BY 1)
+        |SELECT content_hash, keep_id, n_dupes FROM batch
+        |WHERE content_hash NOT IN (SELECT h FROM seen)
+        |ORDER BY content_hash""".stripMargin,
+
     "x1_dedup_first_per_key" ->
       """SELECT lang, source, doc_id FROM (
         |  SELECT lang, source, doc_id,
         |         ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
         |  FROM documents) t
         |WHERE rn = 1 ORDER BY lang, source""".stripMargin,
+
+    "map_hof_type_mix" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS n
+        |  FROM events WHERE user_id < 100 GROUP BY 1, 2),
+        |t AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS total_n FROM c GROUP BY 1)
+        |SELECT c.user_id, t.total_n, c.event_type, c.n,
+        |  round(CAST(c.n AS DOUBLE) * 100 / CAST(t.total_n AS DOUBLE), 6) AS share_pct
+        |FROM c JOIN t ON c.user_id = t.user_id
+        |WHERE c.n >= 5
+        |ORDER BY c.user_id, c.event_type""".stripMargin,
 
     "x6_json_filter_agg" ->
       """SELECT event_type, count(*) AS n,
@@ -2247,12 +2431,64 @@ object SparkEntry {
         |WHERE total_rev = (SELECT max(total_rev) FROM revenue)
         |ORDER BY s_suppkey""".stripMargin,
 
+    "sql_q2_min_cost_supplier" ->
+      """WITH offers AS (
+        |  SELECT l_partkey AS p_partkey, p_name, l_extendedprice,
+        |         s_acctbal, s_name, n_name
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA' AND p_size <= 15 AND p_type = 'PROMO')
+        |SELECT DISTINCT o.s_acctbal, o.s_name, o.n_name, o.p_partkey, o.p_name
+        |FROM offers o
+        |JOIN (SELECT p_partkey, min(l_extendedprice) AS min_cost
+        |      FROM offers GROUP BY p_partkey) m
+        |  ON o.p_partkey = m.p_partkey AND o.l_extendedprice = m.min_cost
+        |ORDER BY o.s_acctbal DESC, o.n_name, o.s_name, o.p_partkey
+        |LIMIT 100""".stripMargin,
+
+    "sql_q11_important_parts" ->
+      """WITH by_part AS (
+        |  SELECT l_partkey AS p_partkey,
+        |         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS value_dec
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_3'
+        |  GROUP BY l_partkey)
+        |SELECT p_partkey, CAST(value_dec AS DOUBLE) AS part_value
+        |FROM by_part
+        |WHERE value_dec * 4 > (SELECT max(value_dec) FROM by_part)
+        |ORDER BY part_value DESC, p_partkey""".stripMargin,
+
+    "sql_q12_late_priority" ->
+      """SELECT l_linestatus,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |          THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
     "x1_stratified_sample_hash" ->
       """SELECT doc_id, lang FROM documents
         |WHERE ((doc_id % 1000003 + 42) * 2654435761) % 2147483647 % 1000000 <
         |  CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
         |            WHEN 'fr' THEN 250000 WHEN 'es' THEN 250000 ELSE 0 END
         |ORDER BY doc_id""".stripMargin,
+
+    "x1_weighted_sample" ->
+      """SELECT doc_id, lang, n_chars, round(pr, 9) AS priority FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    (CAST(((doc_id % 1000003 + 7) * 2654435761) % 2147483647 % 1000000 + 1
+        |          AS DOUBLE) / 1000000.0) / CAST(n_chars AS DOUBLE) AS pr
+        |  FROM documents ORDER BY pr, doc_id LIMIT 100) t
+        |ORDER BY priority, doc_id""".stripMargin,
 
     "x4_fuzzy_match" ->
       """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
@@ -2431,6 +2667,13 @@ object SparkEntry {
         | CAST(max(event_id) AS BIGINT) AS max_id
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    "schema_evolution_merge" ->
+      """SELECT CASE WHEN event_id % 2 = 0 THEN '_pre_schema_' ELSE event_type END
+        |         AS event_type,
+        | count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q7_volume_shipping" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         | CAST(year(l_shipdate) AS BIGINT) AS l_year,
@@ -2605,6 +2848,32 @@ object SparkEntry {
         |    PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value_filled
         |FROM ev ORDER BY event_id""".stripMargin,
+
+    "ts_interpolate" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN event_type = 'click' THEN NULL ELSE value END AS value
+        |  FROM events WHERE user_id < 50),
+        |f AS (
+        |  SELECT event_id, user_id, value, epoch_us(ts) AS t,
+        |    last_value(value IGNORE NULLS) OVER w_back AS pv,
+        |    last_value(CASE WHEN value IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS)
+        |      OVER w_back AS pt,
+        |    first_value(value IGNORE NULLS) OVER w_fwd AS nv,
+        |    first_value(CASE WHEN value IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS)
+        |      OVER w_fwd AS nt
+        |  FROM ev
+        |  WINDOW
+        |    w_back AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    w_fwd AS (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_id, user_id, value,
+        |  round(CASE WHEN value IS NOT NULL THEN value
+        |             WHEN pt = nt THEN pv
+        |             ELSE pv + (nv - pv) * (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+        |        END, 6) AS value_interp
+        |FROM f ORDER BY event_id""".stripMargin,
 
     "window_sliding_batch" ->
       """SELECT ws AS window_start, event_type, count(*) AS n,

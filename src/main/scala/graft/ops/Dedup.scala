@@ -40,6 +40,23 @@ object Dedup {
     df.groupBy(contentHash(col(text)).as("content_hash"))
       .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_dupes"))
 
+  /** X1 — incremental ingestion dedup: from a new `batch`, keep one row
+    * per content digest (min id, as `exactByContent`) that is NOT
+    * already present in `seenHashes` — the running digest store an
+    * append-only corpus maintains across ingestion runs, so batch N
+    * never re-admits what batches 1..N-1 shipped.
+    *
+    * Shape at 100 TB: the batch compacts FIRST (hash-agg to one row
+    * per digest — map-side combine shrinks it before any join), then
+    * left-anti joins the store on the 64-byte digest. Both sides
+    * shuffle on the digest only; history is never rescanned beyond
+    * its digest column, and nothing is ever collected. `seenHashes`
+    * must be a single `content_hash` column. */
+  def dedupAgainstSeen(batch: DataFrame, seenHashes: DataFrame,
+      text: String, id: String): DataFrame =
+    exactByContent(batch, text, id)
+      .join(seenHashes, Seq("content_hash"), "left_anti")
+
   // ---------------------------------------------------------------------
   // MinHash + LSH (X3)
   // ---------------------------------------------------------------------

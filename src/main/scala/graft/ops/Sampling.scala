@@ -87,4 +87,32 @@ object Sampling {
       .withColumn("copy_idx", explode(sequence(lit(0L), col("_copies") - 1)))
       .drop("_copies")
   }
+
+  /** Weight-biased fixed-size sample via priority sampling (Duffield,
+    * Lund & Thorup, JACM 54(6) 2007): each row draws a uniform u from
+    * its OWN key (the same Knuth multiplicative hash as
+    * `stratifiedByHash`) and gets priority u/weight; the sample is the
+    * k smallest priorities, so heavier rows win proportionally more
+    * often. Classic exponential-key A-ES (u^(1/w)) ranks identically
+    * but needs pow/log — libm calls whose last-bit behavior varies
+    * across engines and would break cross-engine reproducibility; the
+    * priority form is one IEEE division, bit-identical everywhere.
+    *
+    * Deterministic under retries and repartitioning (the draw depends
+    * only on the row), and the top-k plans as TakeOrderedAndProject:
+    * per-partition bounded heaps, the driver merges P·k candidate
+    * rows — no global sort exists at any scale. Adds `_priority`. */
+  def weightedPriority(df: DataFrame, key: String,
+      weight: org.apache.spark.sql.Column, k: Int, seed: Long,
+      basis: Long = 1000000L): DataFrame = {
+    val seedMod = ((seed % 1000003L) + 1000003L) % 1000003L
+    val draw = pmod((pmod(col(key), lit(1000003L)) + lit(seedMod))
+      * lit(2654435761L), lit(2147483647L)) % lit(basis)
+    // u in (0, 1] — zero excluded so zero-weight-free priorities stay
+    // finite; weight must be strictly positive
+    val u = (draw + lit(1L)).cast("double") / lit(basis.toDouble)
+    df.withColumn("_priority", u / weight)
+      .orderBy(col("_priority").asc, col(key).asc)
+      .limit(k)
+  }
 }

@@ -93,4 +93,45 @@ object TimeSeries {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn(s"${value}_filled", last(col(value), ignoreNulls = true).over(w))
   }
+
+  /** Linear interpolation: replace each NULL in `value` with the
+    * time-proportional blend of the nearest non-null observations on
+    * either side within the key's ordered history —
+    * `prev + (next−prev)·(t−t_prev)/(t_next−t_prev)`. The companion to
+    * `forwardFill` when the series is a sampled continuous signal
+    * rather than a stepwise state. Edge NULLs (no observation on one
+    * side) stay NULL by definition.
+    *
+    * Two keyed windows over the same (key, ts, tieBreak) sort — one
+    * backward `last(ignoreNulls)`, one forward `first(ignoreNulls)` —
+    * so the physical plan sorts each key partition ONCE and runs both
+    * frames over it; no shuffle beyond the window's keyed exchange,
+    * scaling with per-key history length, never corpus size. The
+    * observation timestamps ride in the same frames as the values
+    * (null exactly when the value is null), so each pair is picked
+    * from one row. Pure IEEE double arithmetic on epoch-micros —
+    * no libm — so the result is bit-reproducible across engines. */
+  def interpolateLinear(df: DataFrame, key: String, ts: String, value: String,
+      tieBreak: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy(col(key)).orderBy(col(ts).asc, col(tieBreak).asc)
+    val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsTs = when(col(value).isNotNull, unix_micros(col(ts)))
+    val prevV = last(col(value), ignoreNulls = true).over(back)
+    val prevT = last(obsTs, ignoreNulls = true).over(back)
+    val nextV = first(col(value), ignoreNulls = true).over(fwd)
+    val nextT = first(obsTs, ignoreNulls = true).over(fwd)
+    val t = unix_micros(col(ts))
+    val interp = when(col(value).isNotNull, col(value))
+      // degenerate frame: observations on both sides share one
+      // timestamp (possible when ts ties carry both null and non-null
+      // rows) — 0/0 would be NaN with engine-dependent printing; take
+      // the backward neighbor, consistent with forwardFill
+      .when(prevT === nextT, prevV)
+      .otherwise(
+        prevV + (nextV - prevV)
+          * ((t - prevT).cast("double") / (nextT - prevT).cast("double")))
+    df.withColumn(s"${value}_interp", interp)
+  }
 }

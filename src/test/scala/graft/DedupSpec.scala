@@ -26,6 +26,23 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(dupRow.getLong(1) == 1L) // keep_id = min(doc_id)
   }
 
+  test("X1 dedupAgainstSeen: drops known digests, compacts within the batch, idempotent") {
+    val seenDocs = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val seen = seenDocs.select(Dedup.contentHash(col("text")).as("content_hash")).distinct()
+    val batch = Seq(
+      (10L, "alpha"), // already in the store -> dropped
+      (11L, "gamma"), (12L, "gamma"), // in-batch dup -> one row, keep_id=11
+      (13L, "delta")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupAgainstSeen(batch, seen, "text", "doc_id")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out == Map(11L -> 2L, 13L -> 1L))
+    // feeding the admitted digests back into the store admits nothing new
+    val grown = seen.unionByName(
+      Dedup.dedupAgainstSeen(batch, seen, "text", "doc_id").select("content_hash"))
+    assert(Dedup.dedupAgainstSeen(batch, grown, "text", "doc_id").count() == 0L)
+  }
+
   test("X1 firstPerKey keeps exactly the lowest-ordered row per key") {
     val df = Seq(("a", 3L), ("a", 1L), ("b", 2L)).toDF("k", "id")
     val out = Dedup.firstPerKey(df, Seq("k"), Seq("id")).collect()

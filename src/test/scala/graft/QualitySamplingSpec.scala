@@ -57,6 +57,30 @@ class QualitySamplingSpec extends AnyFunSuite with SparkTestBase {
     assert(a != c, "different seeds must draw different samples")
   }
 
+  test("weightedPriority: weight bias, exact size, repartition-invariance, seed sensitivity") {
+    import spark.implicits._
+    val n = 20000
+    // half the rows weigh 9x the other half
+    val df = (0 until n).map(i => (i.toLong, if (i % 2 == 0) 9.0 else 1.0))
+      .toDF("id", "w")
+    val k = 2000
+    val picked = graft.ops.Sampling.weightedPriority(df, "id", col("w"), k, seed = 7L)
+    val rows = picked.select("id").as[Long].collect()
+    assert(rows.length == k, "fixed-size sample")
+    // priority sampling inclusion ~ proportional to weight: the heavy
+    // class should take ~90% of the sample; allow a generous band
+    val heavy = rows.count(_ % 2 == 0).toDouble / k
+    assert(heavy > 0.8 && heavy < 0.97, s"heavy-class share $heavy not weight-biased")
+    // draw depends only on the row -> kept set survives repartitioning
+    val again = graft.ops.Sampling.weightedPriority(df.repartition(13), "id", col("w"), k, seed = 7L)
+      .select("id").as[Long].collect()
+    assert(rows.sorted.toSeq == again.sorted.toSeq, "must be partitioning-invariant")
+    // and the seed matters
+    val other = graft.ops.Sampling.weightedPriority(df, "id", col("w"), k, seed = 8L)
+      .select("id").as[Long].collect()
+    assert(rows.sorted.toSeq != other.sorted.toSeq, "different seeds, different samples")
+  }
+
   test("stratified sample is deterministic for a fixed seed") {
     import spark.implicits._
     val df = (0 until 5000).map(i => (i.toLong, "en")).toDF("id", "lang")

@@ -35,6 +35,50 @@ class TimeSeriesSpec extends AnyFunSuite with SparkTestBase {
     assert(got(6L).isEmpty, "fill must not cross keys")
   }
 
+  test("interpolateLinear: time-proportional blend, edges stay null, keys isolated") {
+    val df = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:00"), Option.empty[Double]), // leading edge -> null
+      (2L, 1L, ts("2024-01-01 00:01:00"), Some(10.0)),
+      (3L, 1L, ts("2024-01-01 00:02:00"), Option.empty[Double]), // 1/3 of the way 10->40
+      (4L, 1L, ts("2024-01-01 00:03:00"), Option.empty[Double]), // 2/3 of the way
+      (5L, 1L, ts("2024-01-01 00:04:00"), Some(40.0)),
+      (6L, 1L, ts("2024-01-01 00:06:00"), Option.empty[Double]), // trailing edge -> null
+      (7L, 2L, ts("2024-01-01 00:02:30"), Option.empty[Double]) // other key: no bleed
+    ).toDF("event_id", "user_id", "ts", "value")
+    val got = TimeSeries.interpolateLinear(df, "user_id", "ts", "value", "event_id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(got(1L).isEmpty, "no observation before the gap")
+    assert(got(2L).contains(10.0), "observed rows pass through")
+    assert(got(3L).contains(20.0))
+    assert(got(4L).contains(30.0))
+    assert(got(5L).contains(40.0))
+    assert(got(6L).isEmpty, "no observation after the gap")
+    assert(got(7L).isEmpty, "interpolation must not cross keys")
+  }
+
+  test("interpolateLinear: non-uniform spacing weights by time, not row position") {
+    val df = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:00"), Some(0.0)),
+      (2L, 1L, ts("2024-01-01 00:00:10"), Option.empty[Double]), // 10/60 of 0->60
+      (3L, 1L, ts("2024-01-01 00:01:00"), Some(60.0))
+    ).toDF("event_id", "user_id", "ts", "value")
+    val got = TimeSeries.interpolateLinear(df, "user_id", "ts", "value", "event_id")
+      .filter(col("event_id") === 2L).select("value_interp").head().getDouble(0)
+    assert(got === 10.0)
+  }
+
+  test("interpolateLinear: same-timestamp observation pair degenerates to backward neighbor") {
+    val df = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:00"), Some(5.0)),
+      (2L, 1L, ts("2024-01-01 00:00:00"), Option.empty[Double]),
+      (3L, 1L, ts("2024-01-01 00:00:00"), Some(9.0))
+    ).toDF("event_id", "user_id", "ts", "value")
+    val got = TimeSeries.interpolateLinear(df, "user_id", "ts", "value", "event_id")
+      .filter(col("event_id") === 2L).select("value_interp").head().getDouble(0)
+    assert(got === 5.0, "0/0 frame must not produce NaN")
+  }
+
   test("joinAsOf: colliding left columns get the documented left_ prefix") {
     // feed an as-of OUTPUT shape back in: left already has asof_event_id
     val left = Seq((10L, 1L, ts("2024-01-01 00:05:00"), 77L))
