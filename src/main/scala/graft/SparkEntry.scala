@@ -281,6 +281,19 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // X6v — Spark 4 VARIANT path: parse_json to a real VariantType
+    // column, typed extraction via variant_get (vs the string-walking
+    // get_json_object twin above) — the open-schema column type a
+    // semi-structured 100 TB corpus stores once and shreds on read.
+    "x6_variant_typed" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("k", variant_get(parse_json(col("props")), "$.k", "long"))
+        .filter(col("k") % 7 === 0)
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).cast("long").as("sum_k"))
+        .orderBy("k_mod")
+    }),
+
     // Map-typed columns end-to-end: per-user event-type counts built
     // into a real MapType (map_from_entries), reduced with a map-HOF
     // (aggregate over map_values), pruned with map_filter, fanned back
@@ -940,6 +953,24 @@ object SparkEntry {
           |  AND EXISTS (SELECT 1 FROM lineitem_v
           |              WHERE l_orderkey = o_orderkey AND l_quantity > 30)
           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }),
+
+    // SQL surface: NOT IN three-valued logic. A NULL in the subquery
+    // list makes NOT IN unknowable for every non-matching row — the
+    // poisoned count MUST be 0, while the null-filtered form is the
+    // real anti-join. The classic silent-wrong-answer trap an engine
+    // must reproduce exactly, not "fix".
+    "sql_notin_3vl" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT
+          | (SELECT count(*) FROM customer_v
+          |  WHERE c_custkey NOT IN (SELECT nullif(o_custkey, 7) FROM orders_v))
+          |   AS cnt_null_poisoned,
+          | (SELECT count(*) FROM customer_v
+          |  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders_v WHERE o_custkey <> 7))
+          |   AS cnt_clean""".stripMargin)
     }),
 
     // Pivot: per-user-bucket event-type count matrix.
@@ -1659,6 +1690,16 @@ object SparkEntry {
         .orderBy("priority", "doc_id")
     }),
 
+    // X1 — exactly-k-per-group inspection sample: 10 docs per lang,
+    // drawn by the rows' own key hash (deterministic, engine-portable,
+    // keyed window ⇒ cost scales with group size).
+    "x1_per_group_sample" -> ((s, dir) => {
+      graft.ops.Sampling.perGroupSample(Tables.documents(s, dir),
+          "lang", "doc_id", k = 10, seed = 11L)
+        .select(col("lang"), col("doc_id"))
+        .orderBy("lang", "doc_id")
+    }),
+
     // X4 — Levenshtein fuzzy matching within blocking buckets (record-
     // linkage on short fields; blocking keys bound the pair scan the way
     // LSH bands do for long text).
@@ -1956,6 +1997,22 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // W7 — snapshot diff (reconciliation audit): two deterministic
+    // mutations of the events table (drops on each side, a value
+    // rewrite on one) classified added/removed/changed/unchanged by a
+    // null-safe full-outer compare; the gate checks the class census.
+    "w7_snapshot_diff" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"), col("user_id"))
+      val prev = ev.filter(col("event_id") % 10 < 9)
+      val next = ev.filter(col("event_id") % 10 > 0)
+        .withColumn("value",
+          when(col("event_id") % 3 === 0, col("value") * 2).otherwise(col("value")))
+      Merge.snapshotDiff(prev, next, Seq("event_id"))
+        .groupBy(col("change")).agg(count(lit(1)).as("n"))
+        .orderBy("change")
+    }),
+
     // X1e exact — all-pairs cosine near-dup over a bounded subset: the
     // oracle-able exact form next to the bucketed (recall<1) scale path.
     "x1_embedding_neardup_exact" -> ((s, dir) => {
@@ -2112,6 +2169,48 @@ object SparkEntry {
         |         ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
         |  FROM documents) t
         |WHERE rn = 1 ORDER BY lang, source""".stripMargin,
+
+    "w7_snapshot_diff" ->
+      """WITH ev AS (SELECT event_id, event_type, value, user_id FROM events),
+        |prev AS (SELECT * FROM ev WHERE event_id % 10 < 9),
+        |next AS (SELECT event_id, event_type,
+        |           CASE WHEN event_id % 3 = 0 THEN value * 2 ELSE value END AS value,
+        |           user_id
+        |         FROM ev WHERE event_id % 10 > 0)
+        |SELECT change, count(*) AS n FROM (
+        |  SELECT CASE WHEN p.event_id IS NULL THEN 'added'
+        |              WHEN x.event_id IS NULL THEN 'removed'
+        |              WHEN p.event_type IS NOT DISTINCT FROM x.event_type
+        |               AND p.value IS NOT DISTINCT FROM x.value
+        |               AND p.user_id IS NOT DISTINCT FROM x.user_id THEN 'unchanged'
+        |              ELSE 'changed' END AS change
+        |  FROM prev p FULL OUTER JOIN next x ON p.event_id = x.event_id) t
+        |GROUP BY change ORDER BY change""".stripMargin,
+
+    "sql_notin_3vl" ->
+      """SELECT
+        | (SELECT count(*) FROM customer
+        |  WHERE c_custkey NOT IN (SELECT nullif(o_custkey, 7) FROM orders))
+        |   AS cnt_null_poisoned,
+        | (SELECT count(*) FROM customer
+        |  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey <> 7))
+        |   AS cnt_clean""".stripMargin,
+
+    "x6_variant_typed" ->
+      """SELECT k % 10 AS k_mod, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events) t
+        |WHERE k % 7 = 0
+        |GROUP BY k % 10 ORDER BY k_mod""".stripMargin,
+
+    "x1_per_group_sample" ->
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY ((doc_id % 1000003 + 11) * 2654435761) % 2147483647 % 1000000,
+        |               doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 10 ORDER BY lang, doc_id""".stripMargin,
 
     "map_hof_type_mix" ->
       """WITH c AS (

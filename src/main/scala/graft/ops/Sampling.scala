@@ -115,4 +115,22 @@ object Sampling {
       .orderBy(col("_priority").asc, col(key).asc)
       .limit(k)
   }
+
+  /** Exactly-k-per-group sample ("show me k examples per source"):
+    * rank rows within each group by the same key-derived hash draw as
+    * `stratifiedByHash` and keep the k smallest — uniform-ish within
+    * the group, deterministic under retries/repartitioning, and
+    * reproducible in any engine with mod arithmetic. Keyed window:
+    * each partition sorts only its own group's rows, so cost scales
+    * with group size, never corpus size; groups smaller than k pass
+    * through whole. */
+  def perGroupSample(df: DataFrame, group: String, key: String, k: Int,
+      seed: Long, basis: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seedMod = ((seed % 1000003L) + 1000003L) % 1000003L
+    val draw = pmod((pmod(col(key), lit(1000003L)) + lit(seedMod))
+      * lit(2654435761L), lit(2147483647L)) % lit(basis)
+    val w = Window.partitionBy(col(group)).orderBy(draw.asc, col(key).asc)
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k).drop("_rn")
+  }
 }

@@ -96,4 +96,33 @@ class MergeSpec extends AnyFunSuite with SparkTestBase {
     assert(wm == am)
     assert(wm((1L, "a")) == 102L) // tie on ts=20 resolved to larger event_id
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged; nulls compare null-safe") {
+    val prev = Seq(
+      (1L, Some("a"), Some(1.0)), // unchanged
+      (2L, Some("b"), Some(2.0)), // changed value
+      (3L, Option.empty[String], Some(3.0)), // null attr, unchanged (null-safe)
+      (4L, Some("d"), Some(4.0)), // removed
+      (5L, Some("e"), Option.empty[Double]) // null -> value = changed
+    ).toDF("id", "name", "v")
+    val next = Seq(
+      (1L, Some("a"), Some(1.0)),
+      (2L, Some("b"), Some(9.0)),
+      (3L, Option.empty[String], Some(3.0)),
+      (5L, Some("e"), Some(5.0)),
+      (6L, Some("f"), Some(6.0)) // added
+    ).toDF("id", "name", "v")
+    val got = Merge.snapshotDiff(prev, next, Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "unchanged",
+      4L -> "removed", 5L -> "changed", 6L -> "added"))
+  }
+
+  test("snapshotDiff ignores columns only one side has (schema evolution)") {
+    import org.apache.spark.sql.functions._
+    val prev = Seq((1L, "a")).toDF("id", "name")
+    val next = Seq((1L, "a")).toDF("id", "name").withColumn("extra", lit(99))
+    val got = Merge.snapshotDiff(prev, next, Seq("id")).select("change").head().getString(0)
+    assert(got == "unchanged", "uncomparable column must not force 'changed'")
+  }
 }

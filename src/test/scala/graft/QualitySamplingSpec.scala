@@ -81,6 +81,19 @@ class QualitySamplingSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.sorted.toSeq != other.sorted.toSeq, "different seeds, different samples")
   }
 
+  test("perGroupSample: exactly k per big group, small groups whole, partitioning-invariant") {
+    import spark.implicits._
+    val df = ((0 until 1000).map(i => (i.toLong, "big")) ++
+      (1000 until 1003).map(i => (i.toLong, "tiny"))).toDF("id", "g")
+    val got = graft.ops.Sampling.perGroupSample(df, "g", "id", k = 10, seed = 11L)
+    val byG = got.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(byG == Map("big" -> 10L, "tiny" -> 3L))
+    val a = got.select("id").as[Long].collect().sorted.toSeq
+    val b = graft.ops.Sampling.perGroupSample(df.repartition(7), "g", "id", k = 10, seed = 11L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a == b, "sample must be partitioning-invariant")
+  }
+
   test("stratified sample is deterministic for a fixed seed") {
     import spark.implicits._
     val df = (0 until 5000).map(i => (i.toLong, "en")).toDF("id", "lang")
