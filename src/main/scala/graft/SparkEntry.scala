@@ -729,11 +729,14 @@ object SparkEntry {
 
     // TPC-H Q2 shape: min-cost supplier per part. The testdata carries
     // no partsupp table, so lineitem is the part↔supplier bridge and
-    // min(l_extendedprice) stands in for min(ps_supplycost) — the plan
-    // shape is the real thing: filtered dims broadcast into the fact,
-    // a per-part min re-joined by EXACT equality (min of doubles is a
-    // selection, not a sum — cross-engine safe), distinct winners,
-    // global top-k via TakeOrderedAndProject.
+    // min(l_extendedprice) stands in for min(ps_supplycost). Q2's
+    // correlated-min subquery is expressed as a keyed window min +
+    // filter instead of the textbook aggregate-and-join-back: same
+    // rows (min of doubles is a selection, not a sum — the equality
+    // is cross-engine exact), but ONE fact scan and one shuffle on
+    // p_partkey, where the join-back form scans the fact twice (Spark
+    // has no cross-branch CSE) and sort-merge-joins the copies.
+    // Filtered dims broadcast; global top-k is TakeOrderedAndProject.
     "sql_q2_min_cost_supplier" -> ((s, dir) => {
       val sup = Tables.supplier(s, dir)
         .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
@@ -747,11 +750,10 @@ object SparkEntry {
         .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
         .join(broadcast(p), col("l_partkey") === col("p_partkey"))
         .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-      val minCost = offers.groupBy(col("p_partkey").as("_pk"))
-        .agg(min(col("l_extendedprice")).as("_min_cost"))
+      val perPart = Window.partitionBy(col("p_partkey"))
       offers
-        .join(minCost,
-          col("p_partkey") === col("_pk") && col("l_extendedprice") === col("_min_cost"))
+        .withColumn("_min_cost", min(col("l_extendedprice")).over(perPart))
+        .filter(col("l_extendedprice") === col("_min_cost"))
         .select(col("s_acctbal"), col("s_name"), col("n_name"),
           col("p_partkey"), col("p_name"))
         .distinct()
@@ -768,7 +770,9 @@ object SparkEntry {
     // grows, while a max-relative cut stays selective AND non-empty at
     // every scale. The comparison cross-multiplies EXACT decimals — no
     // decimal division whose scale rules differ between engines. The
-    // scalar is a one-row broadcast; the fact is scanned once.
+    // scalar is a one-row broadcast; its branch re-scans the fact
+    // (Spark has no cross-branch CSE) — two parallel pruned scans, the
+    // deliberate trade over a single-reducer global window at scale.
     "sql_q11_important_parts" -> ((s, dir) => {
       val sup = Tables.supplier(s, dir)
         .join(broadcast(Tables.nation(s, dir).filter(col("n_name") === "NATION_3")),
