@@ -281,6 +281,32 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Nested data round-trip: order lines collected into a real
+    // array<struct> column (sort_array makes the nesting order
+    // canonical), then consumed by higher-order functions — filter on
+    // a struct field, aggregate over the survivors — and reduced back
+    // to scalars. The shape document stores use for line items /
+    // spans / token ranges; the oracle is the flat relational form.
+    "nested_lines_hof" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 100 === 0)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(
+          struct(col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))))
+          .as("lines"))
+        .select(col("l_orderkey"),
+          size(col("lines")).as("n_lines"),
+          size(filter(col("lines"), x => x("l_quantity") > 30))
+            .as("n_heavy"),
+          // money summed as integer cents inside the HOF: double
+          // addition is order-sensitive and the oracle sums in its own
+          // order — integer cents are exact under any order
+          aggregate(filter(col("lines"), x => x("l_quantity") > 30),
+            lit(0L), (acc, x) => acc + round(x("l_extendedprice") * 100).cast("long"))
+            .as("heavy_cents"))
+        .orderBy("l_orderkey")
+    }),
+
     // X6v — Spark 4 VARIANT path: parse_json to a real VariantType
     // column, typed extraction via variant_get (vs the string-walking
     // get_json_object twin above) — the open-schema column type a
@@ -2199,6 +2225,15 @@ object SparkEntry {
         | (SELECT count(*) FROM customer
         |  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey <> 7))
         |   AS cnt_clean""".stripMargin,
+
+    "nested_lines_hof" ->
+      """SELECT l_orderkey, CAST(count(*) AS INT) AS n_lines,
+        | CAST(sum(CASE WHEN l_quantity > 30 THEN 1 ELSE 0 END) AS INT) AS n_heavy,
+        | CAST(sum(CASE WHEN l_quantity > 30
+        |          THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+        |          ELSE 0 END) AS BIGINT) AS heavy_cents
+        |FROM lineitem WHERE l_orderkey % 100 = 0
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
 
     "x6_variant_typed" ->
       """SELECT k % 10 AS k_mod, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k

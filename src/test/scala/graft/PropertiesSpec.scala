@@ -171,6 +171,44 @@ object PropertiesSpec extends Properties("graft") {
       chunks.forall(_._2.size <= size) && rebuilt.toSeq == toks
     }
 
+  property("interpolateLinear: observations pass through, fills bounded by neighbors, edges null") =
+    forAll(Gen.listOfN(10, for {
+      gap <- Gen.choose(1L, 100L)
+      v <- Gen.option(Gen.choose(-100.0, 100.0))
+    } yield (gap, v))) { rows =>
+      import spark.implicits._
+      // strictly increasing timestamps: the neighbor the property picks
+      // below must be exactly the op's (ties are covered by the unit test)
+      val withTs = rows.scanLeft((0L, Option.empty[Double])) {
+        case ((t, _), (gap, v)) => (t + gap, v)
+      }.drop(1)
+      val df = withTs.zipWithIndex.map { case ((t, v), i) =>
+        (i.toLong, 1L, new java.sql.Timestamp(t * 1000), v)
+      }.toDF("event_id", "user_id", "ts", "value")
+      val out = graft.ops.TimeSeries
+        .interpolateLinear(df, "user_id", "ts", "value", "event_id")
+        .orderBy("ts", "event_id")
+        .collect()
+        .map(r => (r.getTimestamp(2).getTime, Option(r.get(3)).map(_.asInstanceOf[Double]),
+          Option(r.get(4)).map(_.asInstanceOf[Double])))
+      val obs = out.filter(_._2.isDefined)
+      out.forall { case (t, v, interp) =>
+        v match {
+          case Some(x) => interp.contains(x) // observed rows unchanged
+          case None =>
+            val before = obs.filter(_._1 <= t).map(_._2.get)
+            val after = obs.filter(_._1 >= t).map(_._2.get)
+            if (before.isEmpty || after.isEmpty) interp.isEmpty // edge gap
+            else {
+              // bounded by SOME neighboring pair (1e-9 for float slack)
+              val lo = math.min(before.last, after.head) - 1e-9
+              val hi = math.max(before.last, after.head) + 1e-9
+              interp.exists(x => x >= lo && x <= hi)
+            }
+        }
+      }
+    }
+
   property("toLongCoerce total under ANSI: parses clean ints, nulls garbage") =
     forAll(Gen.listOfN(8, Gen.oneOf(
       Gen.choose(-1000000L, 1000000L).map(_.toString),
