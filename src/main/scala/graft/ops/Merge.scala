@@ -153,14 +153,22 @@ object Merge {
     * ignored). Both sides shuffle once on the key — at 100 TB this is
     * the minimum possible data motion for a row-level diff; nothing is
     * collected. Output: key columns plus `change`, with the old/new
-    * values carried as structs for downstream inspection. */
+    * values carried as structs for downstream inspection.
+    *
+    * NULL key values follow join semantics: they never match across
+    * sides, so such rows classify as removed+added, not changed —
+    * diff keys should be non-null (as any merge key should). */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String]): DataFrame = {
     val common = oldDf.columns.toSet.intersect(newDf.columns.toSet)
       .diff(keys.toSet).toSeq.sorted
+    // keys-only snapshots: no comparable columns, but the struct must
+    // still exist (non-null ⇔ side present) for the added/removed
+    // classes — carry a presence marker instead of an empty struct
+    val payload = if (common.isEmpty) Seq(lit(true).as("_present")) else common.map(col)
     val o = oldDf.select(keys.map(col) :+
-      struct(common.map(col): _*).as("_old"): _*)
+      struct(payload: _*).as("_old"): _*)
     val n = newDf.select(keys.map(col) :+
-      struct(common.map(col): _*).as("_new"): _*)
+      struct(payload: _*).as("_new"): _*)
     val same = common.map(c => col(s"_old.$c") <=> col(s"_new.$c"))
       .reduceOption(_ && _).getOrElse(lit(true))
     o.join(n, keys, "full_outer")

@@ -125,4 +125,12 @@ class MergeSpec extends AnyFunSuite with SparkTestBase {
     val got = Merge.snapshotDiff(prev, next, Seq("id")).select("change").head().getString(0)
     assert(got == "unchanged", "uncomparable column must not force 'changed'")
   }
+
+  test("snapshotDiff on keys-only snapshots: membership diff, no empty-struct crash") {
+    val prev = Seq(Tuple1(1L), Tuple1(2L)).toDF("id")
+    val next = Seq(Tuple1(2L), Tuple1(3L)).toDF("id")
+    val got = Merge.snapshotDiff(prev, next, Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged", 3L -> "added"))
+  }
 }
