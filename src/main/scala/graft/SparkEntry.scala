@@ -1720,6 +1720,19 @@ object SparkEntry {
         .orderBy("priority", "doc_id")
     }),
 
+    // X1 — deterministic train/val/test split: labels from the row's
+    // own key hash vs cumulative integer thresholds — appends can
+    // never flip an existing row's split (randomSplit can't promise
+    // that). Gate checks the (split, lang) census plus an id-sum
+    // membership checksum.
+    "x1_train_split" -> ((s, dir) => {
+      graft.ops.Sampling.hashSplit(Tables.documents(s, dir), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 5L)
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).cast("long").as("id_sum"))
+        .orderBy("split", "lang")
+    }),
+
     // X1 — exactly-k-per-group inspection sample: 10 docs per lang,
     // drawn by the rows' own key hash (deterministic, engine-portable,
     // keyed window ⇒ cost scales with group size).
@@ -2241,6 +2254,15 @@ object SparkEntry {
         |      FROM events) t
         |WHERE k % 7 = 0
         |GROUP BY k % 10 ORDER BY k_mod""".stripMargin,
+
+    "x1_train_split" ->
+      """SELECT CASE WHEN d < 800000 THEN 'train'
+        |            WHEN d < 900000 THEN 'val' ELSE 'test' END AS split,
+        | lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM (SELECT doc_id, lang,
+        |        ((doc_id % 1000003 + 5) * 2654435761) % 2147483647 % 1000000 AS d
+        |      FROM documents) t
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "x1_per_group_sample" ->
       """SELECT lang, doc_id FROM (

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Stratified sampling — a first-class training-data-pipeline op (down-
@@ -114,6 +114,31 @@ object Sampling {
     df.withColumn("_priority", u / weight)
       .orderBy(col("_priority").asc, col(key).asc)
       .limit(k)
+  }
+
+  /** Deterministic train/val/test split: each row's split label comes
+    * from its OWN key hash against cumulative integer thresholds —
+    * exact boundaries (no float compares), invariant under
+    * retries/repartitioning/appends (a row keeps its split forever, so
+    * later corpus additions can never leak val rows into train), and
+    * reproducible in any engine with mod arithmetic. `randomSplit`
+    * guarantees none of this: its per-partition RNG reshuffles labels
+    * whenever partitioning changes. Fractions must sum to 1 (±1e-9);
+    * the last split absorbs integer-rounding remainder. Adds `split`. */
+  def hashSplit(df: DataFrame, key: String, splits: Seq[(String, Double)],
+      seed: Long, basis: Long = 1000000L): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val seedMod = ((seed % 1000003L) + 1000003L) % 1000003L
+    val draw = pmod((pmod(col(key), lit(1000003L)) + lit(seedMod))
+      * lit(2654435761L), lit(2147483647L)) % lit(basis)
+    val cuts = splits.init.scanLeft(0L) { case (acc, (_, f)) =>
+      acc + math.round(f * basis)
+    }.tail
+    val label = splits.init.zip(cuts).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), cut), rest) => when(draw < cut, name).otherwise(rest)
+    }
+    df.withColumn("split", label)
   }
 
   /** Exactly-k-per-group sample ("show me k examples per source"):

@@ -94,6 +94,30 @@ class QualitySamplingSpec extends AnyFunSuite with SparkTestBase {
     assert(a == b, "sample must be partitioning-invariant")
   }
 
+  test("hashSplit: exhaustive+disjoint, fractions hit, appends never flip a label") {
+    import spark.implicits._
+    val n = 20000
+    val df = (0 until n).map(_.toLong).toDF("id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val labeled = graft.ops.Sampling.hashSplit(df, "id", splits, seed = 5L)
+    val counts = labeled.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"), "every row gets exactly one label")
+    assert(counts.values.sum == n)
+    for ((name, frac) <- splits) {
+      val tol = 5 * math.sqrt(n * frac * (1 - frac))
+      assert(math.abs(counts(name).toDouble - n * frac) <= tol, s"$name off-fraction")
+    }
+    // the property randomSplit lacks: a row's label is a pure function
+    // of its key, so labels assigned within a subset match the full set
+    val subset = graft.ops.Sampling.hashSplit(df.filter($"id" < 1000), "id", splits, seed = 5L)
+      .as[(Long, String)].collect().toMap
+    val full = labeled.filter($"id" < 1000).as[(Long, String)].collect().toMap
+    assert(subset == full, "appending data must never reassign existing rows")
+    intercept[IllegalArgumentException] {
+      graft.ops.Sampling.hashSplit(df, "id", Seq("a" -> 0.5, "b" -> 0.4), seed = 1L)
+    }
+  }
+
   test("stratified sample is deterministic for a fixed seed") {
     import spark.implicits._
     val df = (0 until 5000).map(i => (i.toLong, "en")).toDF("id", "lang")
