@@ -40,4 +40,26 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("RANGE BETWEEN") || p.contains("specifiedwindowframe(RangeFrame"))
     assert(!p.contains("ROWS BETWEEN"))
   }
+
+  test("q2: ONE fact scan (window min, not join-back), dims broadcast, top-k pushed") {
+    val p = plan("sql_q2_min_cost_supplier")
+    // exactly one scan NODE per table (formatted explain prints each
+    // node in tree + detail): lineitem, part, supplier, nation, region —
+    // the join-back form would scan the whole stack twice = 10 nodes
+    val scanIds = "\\((\\d+)\\) Scan parquet".r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(scanIds.size == 5, p.linesIterator.take(25).mkString("\n"))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("SortMergeJoin"), "the correlated min must not self-join the fact")
+  }
+
+  test("weighted sample: bounded top-k (TakeOrderedAndProject), never a global sort") {
+    val p = plan("x1_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("interpolation: both directional frames share ONE Window sort") {
+    val p = plan("ts_interpolate")
+    assert("\\(\\d+\\) Window".r.findAllIn(p).size == 1,
+      "backward+forward frames must plan into a single Window node")
+  }
 }
