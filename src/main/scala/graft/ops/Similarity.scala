@@ -159,6 +159,12 @@ object Similarity {
     var cents: Seq[(Long, Seq[Float])] =
       chosen.toSeq.zipWithIndex.map { case (v, i) => (i.toLong, v) }
     val scale = 1000000L
+    // cache the (id, vec) projection for the loop: Lloyd's re-reads the
+    // corpus every iteration, and without this each round re-scans the
+    // source. Safe to release before returning — the result frame is
+    // built purely from the driver-side centroids, so no returned plan
+    // depends on the cached blocks.
+    if (iters > 1) base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     for (_ <- 0 until iters) {
       val centsDf = broadcast(cents.toDF("cent_id", "cent_vec")
         .select(col("cent_id"), col("cent_vec").cast("array<float>").as("cent_vec"))
@@ -182,6 +188,7 @@ object Similarity {
         }
       cents = cents.map { case (cid, old) => (cid, sums.getOrElse(cid, old)) }
     }
+    if (iters > 1) base.unpersist(blocking = false)
     cents.toDF("cent_id", "cent_vec")
       .select(col("cent_id"), col("cent_vec").cast("array<float>").as("cent_vec"))
       .withColumn("cent_n", normSq(col("cent_vec")))
