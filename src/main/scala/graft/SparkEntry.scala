@@ -1513,20 +1513,42 @@ object SparkEntry {
     // stage counts are the funnel. Each stage is one hash agg + one
     // broadcast of the (shrinking) per-user frontier — the fact table
     // is scanned per stage but never self-joined row-to-row.
+    // Funnel in ONE pass: per-user events (3 relevant types only)
+    // collected time-sorted, then a native `aggregate` fold walks the
+    // history carrying (t_view, t_click, t_purchase) — first view,
+    // first click strictly after it, first purchase strictly after
+    // that. One scan + one shuffle on user_id; per-user state bounded
+    // by that user's own event count (the sessionize bound). The
+    // join-per-stage form this replaced broadcast a USER-CARDINALITY
+    // frontier per stage — unboundable at corpus scale — and scanned
+    // the fact once per stage besides.
     "events_funnel_stages" -> ((s, dir) => {
-      val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
-      def firstAfter(etype: String, frontier: DataFrame, tcol: String): DataFrame =
-        ev.filter(col("event_type") === etype)
-          .join(broadcast(frontier), Seq("user_id"))
-          .filter(col("ts") > col(tcol))
-          .groupBy(col("user_id")).agg(min(col("ts")).as(s"t_$etype"))
-      val v = ev.filter(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
-      val c = firstAfter("click", v, "t_view")
-      val p = firstAfter("purchase", c, "t_click")
-      v.agg(count(lit(1)).as("n")).select(lit("step1_view").as("stage"), col("n"))
-        .unionAll(c.agg(count(lit(1)).as("n")).select(lit("step2_click").as("stage"), col("n")))
-        .unionAll(p.agg(count(lit(1)).as("n")).select(lit("step3_purchase").as("stage"), col("n")))
+      val stages = Seq("view", "click", "purchase")
+      val nullTs = lit(null).cast("timestamp")
+      val folded = Tables.events(s, dir)
+        .filter(col("event_type").isin(stages: _*))
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .groupBy(col("user_id"))
+        .agg(array_sort(collect_list(struct(col("ts"), col("event_type")))).as("_evs"))
+        .select(col("user_id"), aggregate(col("_evs"),
+          struct(nullTs.as("tv"), nullTs.as("tc"), nullTs.as("tp")),
+          (acc, e) => struct(
+            when(acc("tv").isNull && e("event_type") === "view", e("ts"))
+              .otherwise(acc("tv")).as("tv"),
+            when(acc("tc").isNull && acc("tv").isNotNull &&
+              e("event_type") === "click" && e("ts") > acc("tv"), e("ts"))
+              .otherwise(acc("tc")).as("tc"),
+            when(acc("tp").isNull && acc("tc").isNotNull &&
+              e("event_type") === "purchase" && e("ts") > acc("tc"), e("ts"))
+              .otherwise(acc("tp")).as("tp"))).as("s"))
+      folded.agg(
+          count(col("s.tv")).as("n_view"),
+          count(col("s.tc")).as("n_click"),
+          count(col("s.tp")).as("n_purchase"))
+        .select(explode(map(
+          lit("step1_view"), col("n_view"),
+          lit("step2_click"), col("n_click"),
+          lit("step3_purchase"), col("n_purchase"))).as(Seq("stage", "n")))
         .orderBy("stage")
     }),
 
