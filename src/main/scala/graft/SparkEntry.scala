@@ -1561,7 +1561,10 @@ object SparkEntry {
       val cohort = ev.groupBy(col("user_id"))
         .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
       val active = ev.select(col("user_id"), date_trunc("week", col("ts")).as("wk")).distinct()
-      active.join(broadcast(cohort), Seq("user_id"))
+      // NO broadcast hint: cohort is one row per USER — row-scale, not a
+      // dimension. Both sides key on user_id and shuffle once; AQE still
+      // picks broadcast when the actual size is small.
+      active.join(cohort, Seq("user_id"))
         .withColumn("week_offset",
           ((unix_timestamp(col("wk")) - unix_timestamp(col("cohort_week"))) / 604800L).cast("long"))
         .groupBy(col("cohort_week"), col("week_offset"))
@@ -1915,7 +1918,8 @@ object SparkEntry {
       val out = graft.streaming.Streams.sessionizeWithTimeout(s, dir)
       val lastTs = Tables.events(s, dir).groupBy("user_id")
         .agg(max(unix_micros(col("ts"))).as("_max_us"))
-      out.join(broadcast(lastTs), "user_id")
+      // user-cardinality frame — no broadcast hint (AQE decides by size)
+      out.join(lastTs, "user_id")
         .filter(col("session_end_us") - lit(1800000000L) =!= col("_max_us"))
         .select("user_id", "session_start_us", "session_end_us", "n_events")
         .orderBy("user_id", "session_start_us")

@@ -33,7 +33,10 @@ object DataQuality {
       wide.columns.flatMap(c => Seq(lit(c), col(c))): _*)).as(Seq("check_name", "n")))
     fk match {
       case Some((fkCol, dim, dimKey)) =>
-        val orphans = df.join(broadcast(dim.select(col(dimKey))),
+        // no broadcast hint: the FK target can be entity-scale (users,
+        // documents) — let AQE pick broadcast only when it's actually
+        // small; the anti-join otherwise shuffles both sides on the key
+        val orphans = df.join(dim.select(col(dimKey)),
             col(fkCol) === col(dimKey), "left_anti")
           .agg(count(lit(1)).as("n"))
           .select(lit(s"orphan_$fkCol").as("check_name"), col("n"))
