@@ -1902,6 +1902,13 @@ object SparkEntry {
     "stream_join_clickview" -> ((s, dir) =>
       graft.streaming.Streams.clickViewJoin(s, dir)),
 
+    // Streaming — stream-stream LEFT OUTER interval join: unmatched
+    // clicks emit null view_ids only on state expiry (watermark-
+    // driven); output restricted to clicks the final watermark fully
+    // decided, so the batch oracle's cut is identical.
+    "stream_join_left_outer" -> ((s, dir) =>
+      graft.streaming.Streams.clickViewLeftJoin(s, dir)),
+
     // Streaming — stream-STATIC dimension-enrichment join (stateless;
     // static side broadcast per micro-batch).
     "stream_static_enrich" -> ((s, dir) =>
@@ -3470,6 +3477,24 @@ object SparkEntry {
         | AND v.ts >= c.ts - INTERVAL 1 HOUR AND v.ts <= c.ts
         |WHERE c.event_type = 'click' AND v.event_type = 'view'
         |  AND c.user_id < 200
+        |ORDER BY click_id, view_id""".stripMargin,
+
+    "stream_join_left_outer" ->
+      """WITH ev AS (SELECT * FROM events WHERE user_id < 200),
+        |clicks AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+        |           FROM ev WHERE event_type = 'click'),
+        |views AS (SELECT event_id AS view_id, user_id AS vu, ts AS view_ts
+        |          FROM ev WHERE event_type = 'view'),
+        |cut AS (SELECT least(
+        |    (SELECT max(epoch_us(ts)) FROM ev WHERE event_type = 'click'),
+        |    (SELECT max(epoch_us(ts)) FROM ev WHERE event_type = 'view'))
+        |    - 3660000000 AS t)
+        |SELECT c.click_id, c.user_id, v.view_id
+        |FROM clicks c LEFT JOIN views v
+        |  ON c.user_id = v.vu
+        | AND v.view_ts >= c.click_ts - INTERVAL 1 HOUR
+        | AND v.view_ts <= c.click_ts
+        |WHERE epoch_us(c.click_ts) < (SELECT t FROM cut)
         |ORDER BY click_id, view_id""".stripMargin,
 
     "w5_scd2_history" ->

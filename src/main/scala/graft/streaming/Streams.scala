@@ -409,6 +409,53 @@ object Streams {
     spark.table(name).orderBy("click_id", "view_id")
   }
 
+  /** Stream-stream LEFT OUTER interval join — the semantics inner joins
+    * don't exercise: an unmatched left row emits (with nulls) only when
+    * the watermark proves no future match can arrive, i.e. its state
+    * expires. Determinism at the drain's end: rows whose expiry needs a
+    * watermark beyond the final one stay in state and never emit, so
+    * the output is restricted to clicks strictly older than the final
+    * global watermark (min of both streams' max event time − delay)
+    * minus a safety margin — for those, matched and null-extended rows
+    * alike are fully decided. The batch oracle applies the same cut. */
+  def clickViewLeftJoin(spark: SparkSession, sfDir: String, maxUser: Long = 200L): DataFrame = {
+    val name = s"stream_ljoin_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val ev = eventsStream(spark, sfDir).filter(col("user_id") < maxUser)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("_vu"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val joined = clicks.join(views,
+      col("user_id") === col("_vu") &&
+        col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+        col("view_ts") <= col("click_ts"),
+      "left_outer")
+      .select(col("click_id"), col("user_id"), col("click_ts"), col("view_id"))
+    withStatePartitions(spark, 8) {
+      val q = joined.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // final global watermark = min over inputs of (max event ts − 1h);
+    // keep only clicks a further minute older so boundary rows (whose
+    // expiry is exactly at the watermark) can't flap the gate
+    val evB = graft.io.Tables.events(spark, sfDir).filter(col("user_id") < maxUser)
+    val cut = evB.agg((least(
+      max(when(col("event_type") === "click", unix_micros(col("ts")))),
+      max(when(col("event_type") === "view", unix_micros(col("ts")))))
+      - 3660000000L).as("_cut"))
+    spark.table(name)
+      .join(broadcast(cut), unix_micros(col("click_ts")) < col("_cut"))
+      .select(col("click_id"), col("user_id"), col("view_id"))
+      .orderBy("click_id", "view_id")
+  }
+
   /** Streaming exact dedup (X1 in stream form): at-least-once sources
     * re-deliver, so the first stateful op of a production ingest is
     * dropDuplicatesWithinWatermark on the event key — state expires with
