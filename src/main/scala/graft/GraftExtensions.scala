@@ -4,11 +4,12 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.expr.{DeletionNeighborhoodHashes, DotProductFloat, DotProductInt, SignProjectionBucket, SimHash64, WordShingleHashes}
+import graft.expr.{DeletionNeighborhoodHashes, DotProductFloat, DotProductFloatWide, DotProductInt, SignProjectionBucket, SimHash64, WordShingleHashes}
 
 /** SQL surface for the custom expressions: `word_shingle_hashes(text, k,
   * distinct)`, `dot_product_f(a, b)`, `dot_product_i(a, b)`,
-  * `sign_projection_bucket(v, planes)`, `simhash64(text)`.
+  * `dot_product_fw(a, b)`, `sign_projection_bucket(v, planes)`,
+  * `simhash64(text)`.
   *
   * Two registration paths:
   *  - cluster/spark-submit: `--conf spark.sql.extensions=graft.GraftExtensions`
@@ -44,6 +45,9 @@ object GraftExtensions {
     ("dot_product_i",
       new ExpressionInfo(classOf[DotProductInt].getName, "dot_product_i"),
       (args: Seq[Expression]) => DotProductInt(args.head, args(1))),
+    ("dot_product_fw",
+      new ExpressionInfo(classOf[DotProductFloatWide].getName, "dot_product_fw"),
+      (args: Seq[Expression]) => DotProductFloatWide(args.head, args(1))),
     ("sign_projection_bucket",
       new ExpressionInfo(classOf[SignProjectionBucket].getName, "sign_projection_bucket"),
       (args: Seq[Expression]) => SignProjectionBucket(args.head, intArg(args(1), "planes"))),

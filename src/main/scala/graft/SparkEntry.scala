@@ -1411,21 +1411,28 @@ object SparkEntry {
     // Semantic (embedding-space) benchmark decontamination — the
     // cosine twin of x3_decontaminate's n-gram overlap: corpus vectors
     // whose max cosine against the broadcast eval set crosses the
-    // contamination threshold. Double-cast HOF arithmetic keeps the
-    // dot/norm bit-identical to DuckDB's list_transform/list_sum form
-    // (the array_hof_norms contract); the corpus is scanned once and
-    // never shuffled — eval rides as a broadcast.
+    // contamination threshold. The codegen'd wide-mul kernel
+    // (dot_product_fw: double-cast before multiply, sequential double
+    // sum) is bit-identical to DuckDB's list_transform/list_sum form;
+    // the corpus is scanned once and never shuffled — eval rides as a
+    // broadcast.
     "x3_decontaminate_embed" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val evalSet = e.filter(col("vec_id") % 40 === 0).select(col("embedding").as("_ev"))
-      val corpus = e.filter(col("vec_id") % 40 =!= 0).select(col("vec_id"), col("embedding"))
-      def sumSq(c: Column) = aggregate(
-        transform(c, v => v.cast("double") * v.cast("double")), lit(0.0), (a, v) => a + v)
-      val dot = aggregate(
-        zip_with(col("embedding"), col("_ev"), (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (a, v) => a + v)
+      // Norms are per ROW, so compute them once on each side BEFORE the
+      // pair join — the naive per-pair form repeats each side's O(dim)
+      // norm |otherSide| times. dot_product_fw widens each float to
+      // double BEFORE the multiply, the exact arithmetic of both the HOF
+      // form and DuckDB's list_transform CAST·* — and self-application
+      // is the squared L2 norm under the same contract, so the whole
+      // cosine is one codegen'd kernel per pair plus a multiply.
+      val norm = sqrt(graft.expr.DotProductFloatWide(col("embedding"), col("embedding")))
+      val evalSet = e.filter(col("vec_id") % 40 === 0)
+        .select(col("embedding").as("_ev"), norm.as("_ne"))
+      val corpus = e.filter(col("vec_id") % 40 =!= 0)
+        .select(col("vec_id"), col("embedding"), norm.as("_nc"))
+      val dot = graft.expr.DotProductFloatWide(col("embedding"), col("_ev"))
       corpus.crossJoin(broadcast(evalSet))
-        .withColumn("_c", dot / (sqrt(sumSq(col("embedding"))) * sqrt(sumSq(col("_ev")))))
+        .withColumn("_c", dot / (col("_nc") * col("_ne")))
         .groupBy(col("vec_id")).agg(max(col("_c")).as("max_cos"))
         .filter(col("max_cos") >= 0.35)
         .select(col("vec_id"), round(col("max_cos"), 5).as("max_cos"))

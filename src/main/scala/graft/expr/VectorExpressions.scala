@@ -74,6 +74,39 @@ object DotProductInt {
     ColumnBridge.toColumn(DotProductInt(ColumnBridge.toExpr(a), ColumnBridge.toExpr(b)))
 }
 
+/** Widening (double-multiply) float dot product: each element is cast to
+  * DOUBLE *before* the multiply, accumulation sequential in DOUBLE — the
+  * exact arithmetic of the HOF form
+  * `aggregate(zip_with(a, b, (x,y) -> CAST(x AS DOUBLE)*CAST(y AS DOUBLE)), 0D, +)`
+  * and of DuckDB's `list_sum(list_transform(list_zip(a,b), CAST·*))`.
+  * Distinct from [[DotProductFloat]], whose products round to FLOAT
+  * first; the two differ in low-order bits, so an oracle written against
+  * double-mul arithmetic must use THIS kernel. Self-application
+  * `dot_fw(v, v)` is the squared L2 norm under the same contract. */
+case class DotProductFloatWide(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = DoubleType
+
+  override def inputTypes: Seq[org.apache.spark.sql.graft.TypeBridge.AbstractType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernel.dotFW(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.VectorKernel.dotFW($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductFloatWide =
+    copy(left = l, right = r)
+
+  override def prettyName: String = "dot_product_fw"
+}
+
+object DotProductFloatWide {
+  def apply(a: Column, b: Column): Column =
+    ColumnBridge.toColumn(DotProductFloatWide(ColumnBridge.toExpr(a), ColumnBridge.toExpr(b)))
+}
+
 /** Sign-random-projection LSH bucket id: bit p = sign of ⟨v, h_p⟩ where
   * hyperplane components are derived from xxhash64(p, dim) mapped to
   * [-1, 1) — deterministic, data-independent, no RNG state shipped. */
@@ -106,6 +139,20 @@ object VectorKernel {
     var i = 0
     while (i < n) {
       acc += a.getFloat(i) * b.getFloat(i) // Float*Float, widened on add
+      i += 1
+    }
+    acc
+  }
+
+  /** Double-multiply / sequential-double-sum dot product (the
+    * [[DotProductFloatWide]] contract — elements widened BEFORE the
+    * multiply, so products never round to FLOAT). */
+  def dotFW(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
       i += 1
     }
     acc

@@ -45,18 +45,21 @@ object Streams {
     dst.toString
   }
 
-  /** Runs `f` with `spark.sql.shuffle.partitions` set to `n`, restoring
-    * the previous value after. Streaming state partitioning is bound into
-    * the checkpoint from this conf at first start — and unlike batch
-    * shuffles, AQE never coalesces it — so each stateful query should
-    * size it to its expected STATE volume (here: event types / users /
-    * windows, i.e. tiny), not inherit the batch scan width. At real scale
-    * this is the knob that decides state-store count per micro-batch. */
-  private def withStatePartitions[A](spark: SparkSession, n: Int)(f: => A): A = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try f finally spark.conf.set(key, prev)
+  /** A per-query CHILD session (shared SparkContext, isolated SQL conf)
+    * with `spark.sql.shuffle.partitions` = `n`. Streaming state
+    * partitioning is bound into the checkpoint from this conf at first
+    * start — and unlike batch shuffles, AQE never coalesces it — so each
+    * stateful query should size it to its expected STATE volume (here:
+    * event types / users / windows, i.e. tiny), not inherit the batch
+    * scan width. At real scale this is the knob that decides state-store
+    * count per micro-batch. Session isolation (not set-and-restore on
+    * the caller's session) so a concurrent batch query on the shared
+    * session never observes the narrowed width — the conf-mutation race
+    * a framework-level op must not create. */
+  private def stateSession(spark: SparkSession, n: Int): SparkSession = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", n.toString)
+    ss
   }
 
   /** Tumbling-window aggregation (1h) over the event stream, drained with
@@ -65,22 +68,21 @@ object Streams {
     * state stays bounded by (windows × event types). Decimal sum for
     * cross-engine exactness. */
   def tumblingHourlyAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = stateSession(spark, 8)
     val name = s"stream_tumbling_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val agg = eventsStream(spark, sfDir)
+    val agg = eventsStream(ss, sfDir)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_v"))
-    withStatePartitions(spark, 8) {
-      val q = agg.writeStream
-        .format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    spark.table(name).orderBy("window_start", "event_type")
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ss.table(name).orderBy("window_start", "event_type")
   }
 
   /** Stream-static join: each micro-batch of the event stream enriches
@@ -92,24 +94,23 @@ object Streams {
     * broadcast-able dim or a bucketed table; a mutable dim is the CDC
     * path ([[incrementalLoad]] + re-read per batch), not this. */
   def staticEnrichAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = stateSession(spark, 8)
     val name = s"stream_enrich_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val dim = graft.io.Tables.customer(spark, sfDir)
+    val dim = graft.io.Tables.customer(ss, sfDir)
       .select(col("c_custkey"), col("c_mktsegment"))
-    val agg = eventsStream(spark, sfDir)
+    val agg = eventsStream(ss, sfDir)
       .join(broadcast(dim), col("user_id") === col("c_custkey"))
       .groupBy(col("c_mktsegment"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
-    withStatePartitions(spark, 8) {
-      val q = agg.writeStream
-        .format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    spark.table(name).orderBy("c_mktsegment", "event_type")
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ss.table(name).orderBy("c_mktsegment", "event_type")
   }
 
   /** W3 — the reference's end-to-end incremental sync (`cron → extract →
@@ -149,10 +150,11 @@ object Streams {
     * compacted to the final state per key after the AvailableNow drain
     * (each micro-batch emits a state snapshot; the last one wins). */
   def statefulUserState(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
-    import spark.implicits._
+    val ss = stateSession(spark, 8)
+    import ss.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val name = s"stream_state_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val typed = eventsStream(spark, sfDir)
+    val typed = eventsStream(ss, sfDir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
         unix_micros(col("ts")).as("ts_us"))
       .as[EventRow]
@@ -174,16 +176,14 @@ object Streams {
           state.update(next)
           next
       }
-    withStatePartitions(spark, 8) {
-      val q = updated.toDF()
-        .writeStream.format("memory").queryName(name)
-        .outputMode(OutputMode.Update())
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
+    val q = updated.toDF()
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
     // compact update-mode emissions: last snapshot per user
-    graft.ops.Merge.latestByKeyAgg(spark.table(name),
+    graft.ops.Merge.latestByKeyAgg(ss.table(name),
         Seq("user_id"), Seq("n_events"))
       .select(col("user_id"), col("last_event_id"), col("n_events"))
       .orderBy("user_id")
@@ -218,22 +218,21 @@ object Streams {
     * production-correct behavior for an unbounded stream. */
   def sessionizeWithTimeout(spark: SparkSession, sfDir: String,
       gapMinutes: Int = 30): DataFrame = {
-    import spark.implicits._
+    val ss = stateSession(spark, 8)
+    import ss.implicits._
     val name = s"stream_tosess_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val typed = eventsStream(spark, sfDir)
+    val typed = eventsStream(ss, sfDir)
       .withWatermark("ts", "10 minutes")
       .select(col("event_id"), col("user_id"), col("ts"))
       .as[SessEvent]
     val sessions = sessionStream(typed, gapMinutes.toLong * 60 * 1000 * 1000)
-    withStatePartitions(spark, 8) {
-      val q = sessions.toDF().writeStream
-        .format("memory").queryName(name)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    spark.table(name).orderBy("user_id", "session_start_us")
+    val q = sessions.toDF().writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ss.table(name).orderBy("user_id", "session_start_us")
   }
 
   /** The core timeout sessionizer: a streaming `Dataset[EventRow]` (must
@@ -316,36 +315,29 @@ object Streams {
   /** Drain the events stream through the TypeCountProcessor and return
     * the final per-(user, event_type) counts. */
   def typeCountsTws(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
+    val ss = stateSession(spark, 8)
+    import ss.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     val name = s"stream_tws_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+    // RocksDB only on the child session — the caller's session keeps its
+    // provider, no set-and-restore needed
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val typed = eventsStream(spark, sfDir)
-        .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
-          unix_micros(col("ts")).as("ts_us"))
-        .as[EventRow]
-      val out = typed.groupByKey(_.user_id)
-        .transformWithState(new TypeCountProcessor,
-          TimeMode.None(), OutputMode.Update())
-      withStatePartitions(spark, 8) {
-        val q = out.toDF().writeStream
-          .format("memory").queryName(name)
-          .outputMode("update")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-    } finally {
-      prevProvider match {
-        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
-    }
+    val typed = eventsStream(ss, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[EventRow]
+    val out = typed.groupByKey(_.user_id)
+      .transformWithState(new TypeCountProcessor,
+        TimeMode.None(), OutputMode.Update())
+    val q = out.toDF().writeStream
+      .format("memory").queryName(name)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
     // count is monotone per (user, type): latest emission == max n
-    graft.ops.Merge.latestByKeyAgg(spark.table(name),
+    graft.ops.Merge.latestByKeyAgg(ss.table(name),
         Seq("user_id", "event_type"), Seq("n"))
       .select(col("user_id"), col("event_type"), col("n"))
       .orderBy("user_id", "event_type")
@@ -355,23 +347,22 @@ object Streams {
     * windows are the stateful-streaming op the events table exists to
     * exercise (SURVEY §2.3). Same AvailableNow drain. */
   def sessionizeByGap(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = stateSession(spark, 8)
     val name = s"stream_sessions_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val agg = eventsStream(spark, sfDir)
+    val agg = eventsStream(ss, sfDir)
       .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"), col("sum_v"))
-    withStatePartitions(spark, 8) {
-      val q = agg.writeStream
-        .format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    spark.table(name).orderBy("user_id", "session_start")
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ss.table(name).orderBy("user_id", "session_start")
   }
 
   /** Stream-stream interval join (SURVEY §2.3 streaming row): click
@@ -384,8 +375,9 @@ object Streams {
     * `user_id < maxUser` keeps the gate's output bounded; the operator
     * itself is unbounded. */
   def clickViewJoin(spark: SparkSession, sfDir: String, maxUser: Long = 200L): DataFrame = {
+    val ss = stateSession(spark, 8)
     val name = s"stream_join_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val ev = eventsStream(spark, sfDir).filter(col("user_id") < maxUser)
+    val ev = eventsStream(ss, sfDir).filter(col("user_id") < maxUser)
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
       .withWatermark("click_ts", "1 hour")
@@ -397,16 +389,14 @@ object Streams {
         col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
         col("view_ts") <= col("click_ts"))
       .select(col("click_id"), col("view_id"), col("user_id"))
-    withStatePartitions(spark, 8) {
-      val q = joined.writeStream
-        .format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    spark.table(name).orderBy("click_id", "view_id")
+    val q = joined.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ss.table(name).orderBy("click_id", "view_id")
   }
 
   /** Stream-stream LEFT OUTER interval join — the semantics inner joins
@@ -419,8 +409,9 @@ object Streams {
     * minus a safety margin — for those, matched and null-extended rows
     * alike are fully decided. The batch oracle applies the same cut. */
   def clickViewLeftJoin(spark: SparkSession, sfDir: String, maxUser: Long = 200L): DataFrame = {
+    val ss = stateSession(spark, 8)
     val name = s"stream_ljoin_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val ev = eventsStream(spark, sfDir).filter(col("user_id") < maxUser)
+    val ev = eventsStream(ss, sfDir).filter(col("user_id") < maxUser)
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
       .withWatermark("click_ts", "1 hour")
@@ -433,24 +424,22 @@ object Streams {
         col("view_ts") <= col("click_ts"),
       "left_outer")
       .select(col("click_id"), col("user_id"), col("click_ts"), col("view_id"))
-    withStatePartitions(spark, 8) {
-      val q = joined.writeStream
-        .format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
+    val q = joined.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
     // final global watermark = min over inputs of (max event ts − 1h);
     // keep only clicks a further minute older so boundary rows (whose
     // expiry is exactly at the watermark) can't flap the gate
-    val evB = graft.io.Tables.events(spark, sfDir).filter(col("user_id") < maxUser)
+    val evB = graft.io.Tables.events(ss, sfDir).filter(col("user_id") < maxUser)
     val cut = evB.agg((least(
       max(when(col("event_type") === "click", unix_micros(col("ts")))),
       max(when(col("event_type") === "view", unix_micros(col("ts")))))
       - 3660000000L).as("_cut"))
-    spark.table(name)
+    ss.table(name)
       .join(broadcast(cut), unix_micros(col("click_ts")) < col("_cut"))
       .select(col("click_id"), col("user_id"), col("view_id"))
       .orderBy("click_id", "view_id")
@@ -463,21 +452,20 @@ object Streams {
     * after dedup are the observable (and the oracle: the fixture's
     * event_id is unique, so counts equal the batch GROUP BY). */
   def dedupCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = stateSession(spark, 8)
     val name = s"stream_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val agg = eventsStream(spark, sfDir)
+    val agg = eventsStream(ss, sfDir)
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"))
-    withStatePartitions(spark, 8) {
-      val q = agg.writeStream
-        .format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    spark.table(name).orderBy("event_type")
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ss.table(name).orderBy("event_type")
   }
 }

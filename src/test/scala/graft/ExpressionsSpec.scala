@@ -21,6 +21,30 @@ class ExpressionsSpec extends AnyFunSuite with SparkTestBase {
     rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1))) // exact, not approx
   }
 
+  test("DotProductFloatWide == double-cast HOF bit-for-bit; self-dot == sum of squares") {
+    val df = Seq(
+      (Array(1.5f, -2.25f, 3.125f), Array(0.5f, 4.0f, -1.0f)),
+      // values whose float-product rounds differently than double-product,
+      // so this test FAILS if dotFW regresses to float-multiply
+      (Array(0.1f, 0.2f, 0.3f), Array(0.7f, 0.11f, 0.13f))
+    ).toDF("a", "b")
+    val rows = df.select(
+      graft.expr.DotProductFloatWide(col("a"), col("b")).as("kernel"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v).as("hof"),
+      graft.expr.DotProductFloatWide(col("a"), col("a")).as("selfdot"),
+      aggregate(transform(col("a"), v => v.cast("double") * v.cast("double")),
+        lit(0.0), (acc, v) => acc + v).as("sumsq"),
+      graft.expr.DotProductFloat(col("a"), col("b")).as("narrow")).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1)) // exact, not approx
+      assert(r.getDouble(2) == r.getDouble(3))
+    }
+    // the second row's narrow (float-mul) kernel differs in low bits —
+    // proves wide and narrow are genuinely distinct contracts
+    assert(rows(1).getDouble(0) != rows(1).getDouble(4))
+  }
+
   test("SignProjectionBucket is deterministic and spreads vectors") {
     val df = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.5f)),
@@ -46,9 +70,12 @@ class ExpressionsSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getLong(2) >= 0 && r.getLong(2) < 16)
     val r2 = spark.sql(
       """SELECT dot_product_i(array(1, -2, 3), array(4, 5, 6)) AS di,
-        |       deletion_neighborhood_hashes('abc', 2) AS dn
+        |       deletion_neighborhood_hashes('abc', 2) AS dn,
+        |       dot_product_fw(array(cast(1.0 as float), cast(2.0 as float)),
+        |                      array(cast(3.0 as float), cast(4.0 as float))) AS dw
         |""".stripMargin).collect().head
     assert(r2.getLong(0) == 4L - 10L + 18L)
+    assert(r2.getDouble(2) == 11.0)
     // 'abc' ≤2-deletions: abc, ab, ac, bc, a, b, c → 7 distinct variants
     assert(r2.getSeq[Long](1).length == 7)
     // type misuse fails at ANALYSIS, not with garbage results
