@@ -1358,20 +1358,21 @@ object SparkEntry {
     }),
 
     // Capstone composition — the corpus-to-training-shards pipeline in
-    // one dataflow: quality gate → exact content dedup (keep min id) →
-    // token-budget shard assignment (distributed prefix sum) → shard
-    // summary. Every stage is an op gated elsewhere; this gates their
-    // COMPOSITION against one SQL oracle.
+    // one dataflow: quality gate → exact content dedup keeping the
+    // surviving row (hash-agg min_by — no join-back, so the corpus and
+    // its per-row analysis are computed in ONE scan) → token-budget
+    // shard assignment (distributed prefix sum) → shard summary. Every
+    // stage is an op gated elsewhere; this gates their COMPOSITION
+    // against one SQL oracle.
     "pipeline_corpus_to_shards" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       val nt = TextAnalysis.tokenCount(col("text"))
       val nc = length(col("text")).cast("long")
       val stops = TextAnalysis.wordOccurrences(lower(col("text")), TextAnalysis.englishStopwords)
-      val gated = d.filter(TextAnalysis.qualityGate(nt, nc, stops))
-      val keep = Dedup.exactByContent(gated, "text", "doc_id")
-        .select(col("keep_id").as("doc_id"))
-      val weighted = gated.join(keep, Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("w"))
+      val weighted = Dedup.survivorsByContent(
+        d.filter(TextAnalysis.qualityGate(nt, nc, stops))
+          .select(col("doc_id"), col("text"), nt.as("w")),
+        "text", "doc_id", Seq("w"))
       graft.ops.Packing.assignShards(weighted, "doc_id", "w", 2000L)
         .groupBy(col("shard"))
         .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("total_tokens"))
@@ -1892,6 +1893,12 @@ object SparkEntry {
     "stream_tumbling_agg" -> ((s, dir) =>
       graft.streaming.Streams.tumblingHourlyAgg(s, dir)),
 
+    // Streaming — 2h/1h hopping windows: every event in exactly two
+    // overlapping windows (oracle replicates each event to its two
+    // covering window starts).
+    "stream_hopping_agg" -> ((s, dir) =>
+      graft.streaming.Streams.hoppingTwoHourAgg(s, dir)),
+
     // Streaming — 30-min-gap session windows per user.
     "stream_sessionize" -> ((s, dir) =>
       graft.streaming.Streams.sessionizeByGap(s, dir)),
@@ -1995,6 +2002,33 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       Tables.writeJsonl(src, s"$tmp/events_jsonl")
       val back = Tables.readJsonl(s, s"$tmp/events_jsonl")
+      val target = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType)))
+      Coerce.toSchema(back, target)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast("double").as("sum_v"),
+          min(col("event_id")).cast("long").as("min_id"),
+          max(col("event_id")).cast("long").as("max_id"))
+        .orderBy("event_type")
+    }),
+
+    // XML round-trip (S10x): same write→infer→coerce→aggregate contract
+    // as the CSV/JSONL boundaries, through Spark 4's BUILT-IN XML
+    // datasource (no external spark-xml package). Equality with the
+    // direct-aggregation oracle proves no value is lost or re-typed
+    // through XML serialization. XML is the EXPENSIVE interchange (StAX
+    // row-at-a-time writer + parse-and-infer reader, ~5× CSV here), so
+    // the gate rides a deterministic 10% slice — scale-proportional,
+    // same fidelity contract; full-table round-trips stay with CSV/JSONL.
+    "xml_roundtrip_load" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_xml").toString
+      val src = Tables.events(s, dir)
+        .filter(col("event_id") % 10 === 0)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      Tables.writeXml(src, s"$tmp/events_xml")
+      val back = Tables.readXml(s, s"$tmp/events_xml")
       val target = StructType(Seq(
         StructField("event_id", LongType), StructField("user_id", LongType),
         StructField("event_type", StringType), StructField("value", DoubleType)))
@@ -2782,6 +2816,17 @@ object SparkEntry {
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // Hopping windows, relationally: a 2h-long window sliding by 1h
+    // (epoch-aligned, like Spark's) covers an event iff the window
+    // start is date_trunc('hour', ts) or one hour before it — so each
+    // event replicates to k ∈ {0, 1} and the rest is a plain GROUP BY.
+    "stream_hopping_agg" ->
+      """SELECT date_trunc('hour', ts) - k * INTERVAL 1 HOUR AS window_start,
+        | event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM events CROSS JOIN (VALUES (0), (1)) AS hops(k)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "stream_sessionize" ->
       """WITH o AS (
         |  SELECT user_id, ts, value,
@@ -3548,6 +3593,14 @@ object SparkEntry {
         | CAST(min(event_id) AS BIGINT) AS min_id,
         | CAST(max(event_id) AS BIGINT) AS max_id
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "xml_roundtrip_load" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+        | CAST(min(event_id) AS BIGINT) AS min_id,
+        | CAST(max(event_id) AS BIGINT) AS max_id
+        |FROM events WHERE event_id % 10 = 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // UNION ALL form (portable across engines; DuckDB UNPIVOT would
     // also work).

@@ -68,4 +68,16 @@ object Tables {
     df.write.mode("overwrite").json(path)
   def readJsonl(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
+
+  /** XML sink/source — Spark 4's built-in XML datasource (spark-xml was
+    * merged into spark-sql in 4.0). One row element per record under a
+    * root element; read infers schema from the elements like CSV/JSONL,
+    * so the same infer-then-coerce split applies. XML is NOT splittable
+    * per record the way JSONL is — at scale prefer many medium files
+    * (the sink's natural per-partition layout) over one giant document. */
+  def writeXml(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").format("xml")
+      .option("rootTag", "rows").option("rowTag", "row").save(path)
+  def readXml(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("xml").option("rowTag", "row").load(path)
 }

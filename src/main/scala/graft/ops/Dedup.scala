@@ -40,6 +40,22 @@ object Dedup {
     df.groupBy(contentHash(col(text)).as("content_hash"))
       .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_dupes"))
 
+  /** X1 — exact content dedup that keeps the surviving ROW (min id per
+    * digest) with `carry` columns riding along, via one hash-agg
+    * `min_by`: one scan + one shuffle of (digest, id, carry…). The
+    * join-back form ([[exactByContent]] then semi-join on the keep ids)
+    * re-scans the corpus a second time — at corpus scale the scan (and
+    * whatever per-row analysis feeds it) dominates, so a pipeline that
+    * needs the survivors THEMSELVES should use this form and never
+    * rescan. min_by on a unique id is deterministic. */
+  def survivorsByContent(df: DataFrame, text: String, id: String,
+      carry: Seq[String]): DataFrame = {
+    val out = id +: carry
+    df.groupBy(contentHash(col(text)).as("content_hash"))
+      .agg(min_by(struct(out.map(col): _*), col(id)).as("_s"))
+      .select(out.map(c => col(s"_s.$c").as(c)): _*)
+  }
+
   /** X1 — incremental ingestion dedup: from a new `batch`, keep one row
     * per content digest (min id, as `exactByContent`) that is NOT
     * already present in `seenHashes` — the running digest store an

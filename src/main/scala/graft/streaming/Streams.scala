@@ -85,6 +85,32 @@ object Streams {
     ss.table(name).orderBy("window_start", "event_type")
   }
 
+  /** Hopping (sliding) window aggregation — 2-hour windows advancing
+    * every hour, so each event lands in exactly TWO overlapping windows.
+    * Completes the streaming window matrix next to tumbling
+    * ([[tumblingHourlyAgg]]) and session ([[sessionizeByGap]]) windows.
+    * State is (open windows × event types): the overlap factor
+    * (len/slide) multiplies state and output, not input reads — the
+    * stream is consumed once and Spark expands each row to its covering
+    * windows internally. */
+  def hoppingTwoHourAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = stateSession(spark, 8)
+    val name = s"stream_hopping_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val agg = eventsStream(ss, sfDir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_v"))
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ss.table(name).orderBy("window_start", "event_type")
+  }
+
   /** Stream-static join: each micro-batch of the event stream enriches
     * against a STATIC dimension (customer) — the standard streaming
     * dimension-lookup pattern. Unlike a stream-stream join this is

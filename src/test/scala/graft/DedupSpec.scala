@@ -26,6 +26,20 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(dupRow.getLong(1) == 1L) // keep_id = min(doc_id)
   }
 
+  test("X1 survivorsByContent == exactByContent + join-back, carry columns intact") {
+    val withW = docs.withColumn("w", org.apache.spark.sql.functions.length($"text").cast("long"))
+    val got = Dedup.survivorsByContent(withW, "text", "doc_id", Seq("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // reference: the two-pass form this op replaces
+    val keep = Dedup.exactByContent(withW, "text", "doc_id")
+      .select($"keep_id".as("doc_id"))
+    val ref = withW.join(keep, Seq("doc_id"), "left_semi")
+      .select($"doc_id", $"w")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == ref)
+    assert(got.map(_._1) == Set(1L, 2L, 3L)) // 4 deduped into 1 (min id)
+  }
+
   test("X1 dedupAgainstSeen: drops known digests, compacts within the batch, idempotent") {
     val seenDocs = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
     val seen = seenDocs.select(Dedup.contentHash(col("text")).as("content_hash")).distinct()
