@@ -62,4 +62,31 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert("\\(\\d+\\) Window".r.findAllIn(p).size == 1,
       "backward+forward frames must plan into a single Window node")
   }
+
+  test("decontaminate_embed: codegen'd kernel, no interpreted HOF cosine in the pair loop") {
+    val p = plan("x3_decontaminate_embed")
+    assert(p.contains("dot_product_fw"), "pair scoring must use the compiled kernel")
+    // the replaced per-pair HOF form (zip_with + aggregate lambdas) is
+    // CodegenFallback — its reappearance is the 6× regression
+    assert(!p.contains("zip_with") && !p.contains("aggregate("),
+      "interpreted HOF lambdas must not return to the pair loop")
+    assert(p.contains("BroadcastNestedLoopJoin"), "eval set must ride as a broadcast")
+  }
+
+  test("survivorsByContent: ONE corpus scan + digest hash agg, no join-back") {
+    // the corpus-to-shards pipeline's dedup stage (the packing stage
+    // localCheckpoints its input, so the pipeline's FINAL plan can't
+    // witness this — assert on the op directly)
+    import org.apache.spark.sql.functions._
+    val d = graft.io.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("w"))
+    val p = graft.ops.Dedup.survivorsByContent(d, "text", "doc_id", Seq("w"))
+      .queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"must be single-scan, saw $scans scans")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "exact dedup must be the min_by hash agg, not a join-back")
+    assert(p.contains("min_by"), "survivor choice must be the min_by aggregate")
+  }
 }
