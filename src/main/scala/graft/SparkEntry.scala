@@ -27,6 +27,33 @@ object SparkEntry {
   /** Money-safe decimal cast: exact arithmetic, same rule in the oracle. */
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
+  /** Shared S10-family round-trip gate: write events (optionally sliced)
+    * through a format boundary, read back, infer-then-coerce when the
+    * format doesn't carry its schema (CSV/JSONL/XML; ORC does), then
+    * aggregate. Equality with the direct-aggregation oracle proves no
+    * value is lost or re-typed through serialization. */
+  private def eventsRoundTrip(s: SparkSession, dir: String, tag: String,
+      write: (DataFrame, String) => Unit, read: String => DataFrame,
+      coerce: Boolean, slice: Option[Column] = None): DataFrame = {
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+    val base = Tables.events(s, dir)
+    val src = slice.fold(base)(c => base.filter(c))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    write(src, s"$tmp/events_$tag")
+    val back = read(s"$tmp/events_$tag")
+    val target = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    (if (coerce) Coerce.toSchema(back, target) else back)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("sum_v"),
+        min(col("event_id")).cast("long").as("min_id"),
+        max(col("event_id")).cast("long").as("max_id"))
+      .orderBy("event_type")
+  }
+
   private val propsSchema = StructType(Seq(StructField("k", LongType)))
 
   /** Flagship: the reference's full W1+W2 chain re-expressed on `events`
@@ -903,24 +930,9 @@ object SparkEntry {
     // schema coercion → aggregate. The CSV hop is the reference's stage
     // boundary; the oracle reads the original parquet, proving the
     // round-trip is lossless under the coercion pipeline.
-    "csv_roundtrip_load" -> ((s, dir) => {
-      import org.apache.spark.sql.types._
-      val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
-      val src = Tables.events(s, dir)
-        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-      Tables.writeCsv(src, s"$tmp/events_csv")
-      val back = Tables.readCsv(s, s"$tmp/events_csv")
-      val target = StructType(Seq(
-        StructField("event_id", LongType), StructField("user_id", LongType),
-        StructField("event_type", StringType), StructField("value", DoubleType)))
-      Coerce.toSchema(back, target)
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum(dec(col("value"))).cast("double").as("sum_v"),
-          min(col("event_id")).cast("long").as("min_id"),
-          max(col("event_id")).cast("long").as("max_id"))
-        .orderBy("event_type")
-    }),
+    "csv_roundtrip_load" -> ((s, dir) =>
+      eventsRoundTrip(s, dir, "csv", Tables.writeCsv,
+        p => Tables.readCsv(s, p), coerce = true)),
 
     // Schema evolution at the storage layer: two parquet batches with
     // different schemas (v2 adds event_type) union under a mergeSchema
@@ -1980,39 +1992,15 @@ object SparkEntry {
 
     // S10 variant — ORC round-trip: columnar sink/source with the schema
     // riding in the file (no infer+coerce hop needed).
-    "orc_roundtrip_load" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
-      val src = Tables.events(s, dir)
-        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-      Tables.writeOrc(src, s"$tmp/events_orc")
-      Tables.readOrc(s, s"$tmp/events_orc")
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum(dec(col("value"))).cast("double").as("sum_v"),
-          min(col("event_id")).cast("long").as("min_id"),
-          max(col("event_id")).cast("long").as("max_id"))
-        .orderBy("event_type")
-    }),
+    "orc_roundtrip_load" -> ((s, dir) =>
+      eventsRoundTrip(s, dir, "orc", Tables.writeOrc,
+        p => Tables.readOrc(s, p), coerce = false)),
 
     // S10 variant — JSON-lines round-trip through schema inference +
     // coercion (same read-infer-then-coerce split as the CSV hop).
-    "json_roundtrip_load" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
-      val src = Tables.events(s, dir)
-        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-      Tables.writeJsonl(src, s"$tmp/events_jsonl")
-      val back = Tables.readJsonl(s, s"$tmp/events_jsonl")
-      val target = StructType(Seq(
-        StructField("event_id", LongType), StructField("user_id", LongType),
-        StructField("event_type", StringType), StructField("value", DoubleType)))
-      Coerce.toSchema(back, target)
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum(dec(col("value"))).cast("double").as("sum_v"),
-          min(col("event_id")).cast("long").as("min_id"),
-          max(col("event_id")).cast("long").as("max_id"))
-        .orderBy("event_type")
-    }),
+    "json_roundtrip_load" -> ((s, dir) =>
+      eventsRoundTrip(s, dir, "jsonl", Tables.writeJsonl,
+        p => Tables.readJsonl(s, p), coerce = true)),
 
     // XML round-trip (S10x): same write→infer→coerce→aggregate contract
     // as the CSV/JSONL boundaries, through Spark 4's BUILT-IN XML
@@ -2022,24 +2010,10 @@ object SparkEntry {
     // row-at-a-time writer + parse-and-infer reader, ~5× CSV here), so
     // the gate rides a deterministic 10% slice — scale-proportional,
     // same fidelity contract; full-table round-trips stay with CSV/JSONL.
-    "xml_roundtrip_load" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_xml").toString
-      val src = Tables.events(s, dir)
-        .filter(col("event_id") % 10 === 0)
-        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-      Tables.writeXml(src, s"$tmp/events_xml")
-      val back = Tables.readXml(s, s"$tmp/events_xml")
-      val target = StructType(Seq(
-        StructField("event_id", LongType), StructField("user_id", LongType),
-        StructField("event_type", StringType), StructField("value", DoubleType)))
-      Coerce.toSchema(back, target)
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum(dec(col("value"))).cast("double").as("sum_v"),
-          min(col("event_id")).cast("long").as("min_id"),
-          max(col("event_id")).cast("long").as("max_id"))
-        .orderBy("event_type")
-    }),
+    "xml_roundtrip_load" -> ((s, dir) =>
+      eventsRoundTrip(s, dir, "xml", Tables.writeXml,
+        p => Tables.readXml(s, p), coerce = true,
+        slice = Some(col("event_id") % 10 === 0))),
 
     // Unpivot / melt — wide→long (the inverse of pivot; pandas melt):
     // per-row measure columns become (measure, val) pairs. Narrow

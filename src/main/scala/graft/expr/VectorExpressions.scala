@@ -146,9 +146,15 @@ object VectorKernel {
 
   /** Double-multiply / sequential-double-sum dot product (the
     * [[DotProductFloatWide]] contract — elements widened BEFORE the
-    * multiply, so products never round to FLOAT). */
+    * multiply, so products never round to FLOAT). Dimension mismatch
+    * throws (like [[dotI]]): a truncated embedding scored on its prefix
+    * would silently cross similarity thresholds, and the engines this
+    * kernel claims bit-parity with don't even agree on mismatch
+    * (zip_with null-pads to NULL; DuckDB list_sum skips NULLs). */
   def dotFW(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    require(b.numElements() == n,
+      s"dot_product_fw dimension mismatch: $n vs ${b.numElements()}")
     var acc = 0.0
     var i = 0
     while (i < n) {

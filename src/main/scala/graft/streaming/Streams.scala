@@ -62,6 +62,29 @@ object Streams {
     ss
   }
 
+  /** Drain a streaming frame (built on the child session) into a memory
+    * sink with `Trigger.AvailableNow`, then hand the drained table back
+    * BOUND TO THE CALLER'S SESSION. The re-bind matters: post-drain
+    * batch work (compaction, joins, ordering) and anything the caller
+    * composes on the returned frame must plan at the caller's batch
+    * shuffle width, not inherit the child's state-sized width — the
+    * same unbounded-cardinality narrowing this module exists to avoid.
+    * (The memory sink itself is the gate harness's observable; a
+    * production drain would land in a parquet/table sink instead.) */
+  private def drainToTable(spark: SparkSession, ss: SparkSession,
+      df: DataFrame, prefix: String, mode: String): DataFrame = {
+    val name = s"${prefix}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val drained = ss.table(name)
+    spark.createDataFrame(drained.rdd, drained.schema)
+  }
+
   /** Tumbling-window aggregation (1h) over the event stream, drained with
     * AvailableNow into a memory sink and returned as a batch DataFrame.
     * Complete output mode: the drain is a single availability window, so
@@ -69,20 +92,13 @@ object Streams {
     * cross-engine exactness. */
   def tumblingHourlyAgg(spark: SparkSession, sfDir: String): DataFrame = {
     val ss = stateSession(spark, 8)
-    val name = s"stream_tumbling_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val agg = eventsStream(ss, sfDir)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_v"))
-    val q = agg.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    ss.table(name).orderBy("window_start", "event_type")
+    drainToTable(spark, ss, agg, "stream_tumbling", "complete")
+      .orderBy("window_start", "event_type")
   }
 
   /** Hopping (sliding) window aggregation — 2-hour windows advancing
@@ -95,20 +111,13 @@ object Streams {
     * windows internally. */
   def hoppingTwoHourAgg(spark: SparkSession, sfDir: String): DataFrame = {
     val ss = stateSession(spark, 8)
-    val name = s"stream_hopping_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val agg = eventsStream(ss, sfDir)
       .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_v"))
-    val q = agg.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    ss.table(name).orderBy("window_start", "event_type")
+    drainToTable(spark, ss, agg, "stream_hopping", "complete")
+      .orderBy("window_start", "event_type")
   }
 
   /** Stream-static join: each micro-batch of the event stream enriches
@@ -121,7 +130,6 @@ object Streams {
     * path ([[incrementalLoad]] + re-read per batch), not this. */
   def staticEnrichAgg(spark: SparkSession, sfDir: String): DataFrame = {
     val ss = stateSession(spark, 8)
-    val name = s"stream_enrich_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val dim = graft.io.Tables.customer(ss, sfDir)
       .select(col("c_custkey"), col("c_mktsegment"))
     val agg = eventsStream(ss, sfDir)
@@ -129,14 +137,8 @@ object Streams {
       .groupBy(col("c_mktsegment"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
-    val q = agg.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    ss.table(name).orderBy("c_mktsegment", "event_type")
+    drainToTable(spark, ss, agg, "stream_enrich", "complete")
+      .orderBy("c_mktsegment", "event_type")
   }
 
   /** W3 — the reference's end-to-end incremental sync (`cron → extract →
@@ -179,7 +181,6 @@ object Streams {
     val ss = stateSession(spark, 8)
     import ss.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val name = s"stream_state_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val typed = eventsStream(ss, sfDir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
         unix_micros(col("ts")).as("ts_us"))
@@ -202,15 +203,10 @@ object Streams {
           state.update(next)
           next
       }
-    val q = updated.toDF()
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Update())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    // compact update-mode emissions: last snapshot per user
-    graft.ops.Merge.latestByKeyAgg(ss.table(name),
-        Seq("user_id"), Seq("n_events"))
+    val drained = drainToTable(spark, ss, updated.toDF(), "stream_state", "update")
+    // compact update-mode emissions: last snapshot per user — batch
+    // work over user cardinality, planned at the CALLER's width
+    graft.ops.Merge.latestByKeyAgg(drained, Seq("user_id"), Seq("n_events"))
       .select(col("user_id"), col("last_event_id"), col("n_events"))
       .orderBy("user_id")
   }
@@ -246,19 +242,13 @@ object Streams {
       gapMinutes: Int = 30): DataFrame = {
     val ss = stateSession(spark, 8)
     import ss.implicits._
-    val name = s"stream_tosess_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val typed = eventsStream(ss, sfDir)
       .withWatermark("ts", "10 minutes")
       .select(col("event_id"), col("user_id"), col("ts"))
       .as[SessEvent]
     val sessions = sessionStream(typed, gapMinutes.toLong * 60 * 1000 * 1000)
-    val q = sessions.toDF().writeStream
-      .format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    ss.table(name).orderBy("user_id", "session_start_us")
+    drainToTable(spark, ss, sessions.toDF(), "stream_tosess", "append")
+      .orderBy("user_id", "session_start_us")
   }
 
   /** The core timeout sessionizer: a streaming `Dataset[EventRow]` (must
@@ -344,7 +334,6 @@ object Streams {
     val ss = stateSession(spark, 8)
     import ss.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
-    val name = s"stream_tws_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     // RocksDB only on the child session — the caller's session keeps its
     // provider, no set-and-restore needed
     ss.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -356,14 +345,10 @@ object Streams {
     val out = typed.groupByKey(_.user_id)
       .transformWithState(new TypeCountProcessor,
         TimeMode.None(), OutputMode.Update())
-    val q = out.toDF().writeStream
-      .format("memory").queryName(name)
-      .outputMode("update")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    // count is monotone per (user, type): latest emission == max n
-    graft.ops.Merge.latestByKeyAgg(ss.table(name),
+    val drained = drainToTable(spark, ss, out.toDF(), "stream_tws", "update")
+    // count is monotone per (user, type): latest emission == max n —
+    // caller-width batch compaction over user cardinality
+    graft.ops.Merge.latestByKeyAgg(drained,
         Seq("user_id", "event_type"), Seq("n"))
       .select(col("user_id"), col("event_type"), col("n"))
       .orderBy("user_id", "event_type")
@@ -374,21 +359,14 @@ object Streams {
     * exercise (SURVEY §2.3). Same AvailableNow drain. */
   def sessionizeByGap(spark: SparkSession, sfDir: String): DataFrame = {
     val ss = stateSession(spark, 8)
-    val name = s"stream_sessions_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val agg = eventsStream(ss, sfDir)
       .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"), col("sum_v"))
-    val q = agg.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    ss.table(name).orderBy("user_id", "session_start")
+    drainToTable(spark, ss, agg, "stream_sessions", "complete")
+      .orderBy("user_id", "session_start")
   }
 
   /** Stream-stream interval join (SURVEY §2.3 streaming row): click
@@ -402,7 +380,6 @@ object Streams {
     * itself is unbounded. */
   def clickViewJoin(spark: SparkSession, sfDir: String, maxUser: Long = 200L): DataFrame = {
     val ss = stateSession(spark, 8)
-    val name = s"stream_join_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val ev = eventsStream(ss, sfDir).filter(col("user_id") < maxUser)
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
@@ -415,14 +392,8 @@ object Streams {
         col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
         col("view_ts") <= col("click_ts"))
       .select(col("click_id"), col("view_id"), col("user_id"))
-    val q = joined.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    ss.table(name).orderBy("click_id", "view_id")
+    drainToTable(spark, ss, joined, "stream_join", "append")
+      .orderBy("click_id", "view_id")
   }
 
   /** Stream-stream LEFT OUTER interval join — the semantics inner joins
@@ -436,7 +407,6 @@ object Streams {
     * alike are fully decided. The batch oracle applies the same cut. */
   def clickViewLeftJoin(spark: SparkSession, sfDir: String, maxUser: Long = 200L): DataFrame = {
     val ss = stateSession(spark, 8)
-    val name = s"stream_ljoin_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val ev = eventsStream(ss, sfDir).filter(col("user_id") < maxUser)
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
@@ -450,22 +420,17 @@ object Streams {
         col("view_ts") <= col("click_ts"),
       "left_outer")
       .select(col("click_id"), col("user_id"), col("click_ts"), col("view_id"))
-    val q = joined.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val drained = drainToTable(spark, ss, joined, "stream_ljoin", "append")
     // final global watermark = min over inputs of (max event ts − 1h);
     // keep only clicks a further minute older so boundary rows (whose
-    // expiry is exactly at the watermark) can't flap the gate
-    val evB = graft.io.Tables.events(ss, sfDir).filter(col("user_id") < maxUser)
+    // expiry is exactly at the watermark) can't flap the gate. Batch
+    // post-processing — built on the CALLER's session/width.
+    val evB = graft.io.Tables.events(spark, sfDir).filter(col("user_id") < maxUser)
     val cut = evB.agg((least(
       max(when(col("event_type") === "click", unix_micros(col("ts")))),
       max(when(col("event_type") === "view", unix_micros(col("ts")))))
       - 3660000000L).as("_cut"))
-    ss.table(name)
+    drained
       .join(broadcast(cut), unix_micros(col("click_ts")) < col("_cut"))
       .select(col("click_id"), col("user_id"), col("view_id"))
       .orderBy("click_id", "view_id")
@@ -479,19 +444,12 @@ object Streams {
     * event_id is unique, so counts equal the batch GROUP BY). */
   def dedupCounts(spark: SparkSession, sfDir: String): DataFrame = {
     val ss = stateSession(spark, 8)
-    val name = s"stream_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val agg = eventsStream(ss, sfDir)
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"))
-    val q = agg.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    ss.table(name).orderBy("event_type")
+    drainToTable(spark, ss, agg, "stream_dedup", "complete")
+      .orderBy("event_type")
   }
 }

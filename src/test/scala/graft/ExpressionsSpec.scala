@@ -43,6 +43,12 @@ class ExpressionsSpec extends AnyFunSuite with SparkTestBase {
     // the second row's narrow (float-mul) kernel differs in low bits —
     // proves wide and narrow are genuinely distinct contracts
     assert(rows(1).getDouble(0) != rows(1).getDouble(4))
+    // dimension mismatch fails loudly (dotI's stance) instead of
+    // silently scoring the common prefix
+    val mismatch = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    assertThrows[Exception] {
+      mismatch.select(graft.expr.DotProductFloatWide(col("a"), col("b"))).collect()
+    }
   }
 
   test("SignProjectionBucket is deterministic and spreads vectors") {
