@@ -74,6 +74,14 @@ object R4Probe {
       graft.ops.Dedup.dedupAgainstSeen(docs.filter(col("doc_id") % 2 === 1), seen,
         "text", "doc_id")
     }
+    time("survivorsByContent (one-scan min_by dedup)") {
+      // ~50% duplicate content (type+rounded value collide across copies)
+      val docs = big.select(col("event_id").as("doc_id"),
+        concat_ws(" ", col("event_type"),
+          round(col("value"), 0).cast("string")).as("text"),
+        col("value"))
+      graft.ops.Dedup.survivorsByContent(docs, "text", "doc_id", Seq("value"))
+    }
     spark.stop()
   }
 }
