@@ -1778,6 +1778,19 @@ object SparkEntry {
         .orderBy("split", "lang")
     }),
 
+    // X1 — deterministic corpus shuffle (reproducible training ORDER):
+    // distributed orderBy on the row's own key draw — same order on any
+    // cluster/partitioning/engine. The gate takes the first 200 rows of
+    // the shuffled order WITH their sort keys: equality of that set
+    // proves the order prefix, not just membership.
+    "x1_corpus_shuffle" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      graft.ops.Sampling.deterministicShuffle(d, "doc_id", seed = 13L)
+        .limit(200)
+        .select(col("doc_id"), col("lang"),
+          graft.ops.Sampling.keyDraw(col("doc_id"), seed = 13L).as("sort_key"))
+    }),
+
     // X1 — exactly-k-per-group inspection sample: 10 docs per lang,
     // drawn by the rows' own key hash (deterministic, engine-portable,
     // keyed window ⇒ cost scales with group size).
@@ -2311,6 +2324,12 @@ object SparkEntry {
         |        ((doc_id % 1000003 + 5) * 2654435761) % 2147483647 % 1000000 AS d
         |      FROM documents) t
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "x1_corpus_shuffle" ->
+      """SELECT doc_id, lang,
+        | ((doc_id % 1000003 + 13) * 2654435761) % 2147483647 % 1000000 AS sort_key
+        |FROM documents
+        |ORDER BY sort_key, doc_id LIMIT 200""".stripMargin,
 
     "x1_per_group_sample" ->
       """SELECT lang, doc_id FROM (

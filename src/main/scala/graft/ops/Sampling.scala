@@ -11,6 +11,22 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** The engine-portable key draw every deterministic op here shares:
+    * Knuth multiplicative hash on the key, bounded before the multiply
+    * (`key mod 1000003`, a prime) so the product never overflows Long
+    * for any 64-bit id; the seed is added BEFORE the multiplier (after
+    * would only shift every draw by a constant); reduce mod a Mersenne
+    * prime, then mod `basis`. Depends only on the row's own key ⇒
+    * invariant under retries, repartitioning, AQE re-plans and appends,
+    * and reproducible in any engine with mod arithmetic (the oracles
+    * run the same formula in DuckDB). Not cryptographic — fine for
+    * mixture/order control, not for adversarially-chosen ids. */
+  def keyDraw(key: Column, seed: Long, basis: Long = 1000000L): Column = {
+    val seedMod = ((seed % 1000003L) + 1000003L) % 1000003L
+    pmod((pmod(key, lit(1000003L)) + lit(seedMod))
+      * lit(2654435761L), lit(2147483647L)) % lit(basis)
+  }
+
   /** Per-stratum Bernoulli sample: each row kept independently with its
     * stratum's fraction — one scan, no shuffle, no per-key state; the
     * seed makes it reproducible across retries within one Spark build
@@ -43,8 +59,7 @@ object Sampling {
   def stratifiedByHash(df: DataFrame, strata: String, key: String,
       fractions: Map[String, Double], seed: Long,
       basis: Long = 1000000L): DataFrame = {
-    val draw = pmod((pmod(col(key), lit(1000003L)) + lit(((seed % 1000003L) + 1000003L) % 1000003L))
-      * lit(2654435761L), lit(2147483647L)) % lit(basis)
+    val draw = keyDraw(col(key), seed, basis)
     val threshold = fractions.foldLeft(lit(0L)) { case (acc, (k, f)) =>
       when(col(strata) === k, lit(math.round(f * basis))).otherwise(acc)
     }
@@ -105,9 +120,7 @@ object Sampling {
   def weightedPriority(df: DataFrame, key: String,
       weight: org.apache.spark.sql.Column, k: Int, seed: Long,
       basis: Long = 1000000L): DataFrame = {
-    val seedMod = ((seed % 1000003L) + 1000003L) % 1000003L
-    val draw = pmod((pmod(col(key), lit(1000003L)) + lit(seedMod))
-      * lit(2654435761L), lit(2147483647L)) % lit(basis)
+    val draw = keyDraw(col(key), seed, basis)
     // u in (0, 1] — zero excluded so zero-weight-free priorities stay
     // finite; weight must be strictly positive
     val u = (draw + lit(1L)).cast("double") / lit(basis.toDouble)
@@ -129,9 +142,7 @@ object Sampling {
       seed: Long, basis: Long = 1000000L): DataFrame = {
     require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
-    val seedMod = ((seed % 1000003L) + 1000003L) % 1000003L
-    val draw = pmod((pmod(col(key), lit(1000003L)) + lit(seedMod))
-      * lit(2654435761L), lit(2147483647L)) % lit(basis)
+    val draw = keyDraw(col(key), seed, basis)
     val cuts = splits.init.scanLeft(0L) { case (acc, (_, f)) =>
       acc + math.round(f * basis)
     }.tail
@@ -152,10 +163,25 @@ object Sampling {
   def perGroupSample(df: DataFrame, group: String, key: String, k: Int,
       seed: Long, basis: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val seedMod = ((seed % 1000003L) + 1000003L) % 1000003L
-    val draw = pmod((pmod(col(key), lit(1000003L)) + lit(seedMod))
-      * lit(2654435761L), lit(2147483647L)) % lit(basis)
+    val draw = keyDraw(col(key), seed, basis)
     val w = Window.partitionBy(col(group)).orderBy(draw.asc, col(key).asc)
     df.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k).drop("_rn")
   }
+
+  /** Deterministic corpus shuffle — reproducible TRAINING ORDER: sort by
+    * the row's own [[keyDraw]] (key tie-break, so the order is total and
+    * never partition-dependent). The property randomSplit-style RNG
+    * shuffles can't give: the same seed reproduces the same order on any
+    * cluster, any partitioning, any retry — and in any engine, so the
+    * order itself is oracle-checkable. Different seeds give uncorrelated
+    * orders (the seed rides inside the multiplicative hash).
+    *
+    * Plans as a sampled RANGE exchange + per-partition sort (Spark's
+    * distributed orderBy) — no single-reducer global sort at any scale;
+    * writing the result partition-by-partition yields shuffled training
+    * shards whose concatenation is the shuffled corpus. Adds nothing:
+    * the draw stays internal to the sort. */
+  def deterministicShuffle(df: DataFrame, key: String, seed: Long,
+      basis: Long = 1000000L): DataFrame =
+    df.orderBy(keyDraw(col(key), seed, basis).asc, col(key).asc)
 }

@@ -118,6 +118,24 @@ class QualitySamplingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("deterministicShuffle: total reproducible order, seed-sensitive, append-stable") {
+    import spark.implicits._
+    val df = (0 until 5000).map(_.toLong).toDF("id")
+    def order(frame: org.apache.spark.sql.DataFrame, seed: Long): Seq[Long] =
+      graft.ops.Sampling.deterministicShuffle(frame, "id", seed)
+        .as[Long].collect().toSeq
+    val a = order(df, 13L)
+    assert(a == order(df, 13L), "same seed must reproduce the exact order")
+    assert(a.sorted == (0L until 5000L), "shuffle is a permutation")
+    assert(a != order(df, 14L), "different seed must give a different order")
+    assert(a != a.sorted, "the shuffled order is not the key order")
+    // append stability: new rows interleave, but existing rows keep
+    // their RELATIVE order (their draws don't change)
+    val appended = order((0 until 6000).map(_.toLong).toDF("id"), 13L)
+    assert(appended.filter(_ < 5000L) == a,
+      "appending rows must not perturb the relative order of existing rows")
+  }
+
   test("stratified sample is deterministic for a fixed seed") {
     import spark.implicits._
     val df = (0 until 5000).map(i => (i.toLong, "en")).toDF("id", "lang")
