@@ -20,7 +20,12 @@ object Sampling {
     * invariant under retries, repartitioning, AQE re-plans and appends,
     * and reproducible in any engine with mod arithmetic (the oracles
     * run the same formula in DuckDB). Not cryptographic — fine for
-    * mixture/order control, not for adversarially-chosen ids. */
+    * mixture/order control, not for adversarially-chosen ids.
+    *
+    * NULL keys yield NULL draws, and the consumers diverge on them:
+    * filter-style ops (stratifiedByHash) DROP such rows, hashSplit's
+    * CASE routes them all to the LAST split, orderBy sorts them first.
+    * A sampling key must be a non-null stable id — validate upstream. */
   def keyDraw(key: Column, seed: Long, basis: Long = 1000000L): Column = {
     val seedMod = ((seed % 1000003L) + 1000003L) % 1000003L
     pmod((pmod(key, lit(1000003L)) + lit(seedMod))

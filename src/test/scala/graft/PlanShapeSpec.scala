@@ -73,6 +73,20 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("BroadcastNestedLoopJoin"), "eval set must ride as a broadcast")
   }
 
+  test("deterministicShuffle: sampled range exchange; its top-k gate a bounded TakeOrdered") {
+    import org.apache.spark.sql.functions.col
+    // the op: distributed sort = range partitioning, never a single reducer
+    val op = graft.ops.Sampling.deterministicShuffle(
+      graft.io.Tables.documents(spark, sfDir).select(col("doc_id")), "doc_id", 13L)
+      .queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(op.contains("rangepartitioning"), "shuffle order must be a range exchange")
+    // the gate query (order prefix via limit) collapses to a bounded top-k
+    val gate = plan("x1_corpus_shuffle")
+    assert(gate.contains("TakeOrderedAndProject"),
+      "orderBy+limit must plan as bounded top-k, not a full sort")
+  }
+
   test("survivorsByContent: ONE corpus scan + digest hash agg, no join-back") {
     // the corpus-to-shards pipeline's dedup stage (the packing stage
     // localCheckpoints its input, so the pipeline's FINAL plan can't
