@@ -1683,6 +1683,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // X3d, broadcast-free form: HALF the corpus as the probe — a probe
+    // side no one should force-broadcast. Same overlap semantics, join
+    // strategy left to the optimizer (shuffle semi-join at scale).
+    "x3_decontaminate_join" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Dedup.decontaminationOverlapJoin(d, "doc_id", "text",
+          d.filter(col("doc_id") % 2 === 0), "text", k = 5)
+        .orderBy("doc_id")
+    }),
+
     // X4 — Gopher-style repetition stats (integer ingredients of the
     // top-word-fraction / duplicate-bigram-fraction quality rules).
     "x4_repetition_stats" -> ((s, dir) => {
@@ -2973,6 +2983,21 @@ object SparkEntry {
         |  CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
         |    - n_tokens) / 5000.0) AS BIGINT) AS shard
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "x3_decontaminate_join" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) >= 5 THEN
+        |      list_distinct(list_transform(generate_series(1, len(w) - 4),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))
+        |    ELSE [array_to_string(w, ' ')] END AS s
+        |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+        |        FROM documents) t),
+        |cs AS (SELECT doc_id, unnest(s) AS h FROM sh),
+        |ps AS (SELECT DISTINCT unnest(s) AS h FROM sh WHERE doc_id % 2 = 0)
+        |SELECT c.doc_id, count(*) AS n_overlap
+        |FROM cs c JOIN ps USING (h)
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
 
     "x3_decontaminate" ->
       """WITH sh AS (

@@ -353,6 +353,28 @@ object Dedup {
       .agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** Broadcast-free decontamination — the shape when the PROBE side is
+    * NOT tiny (a consortium of eval suites, or screening one corpus
+    * against another): identical semantics to [[decontaminationOverlap]]
+    * but with no forced broadcast — both sides' shingle hashes meet in
+    * whatever join the optimizer picks for their actual sizes. With AQE
+    * that still becomes a broadcast when the probe turns out small, and
+    * a shuffle semi-join on the 8-byte hash when it doesn't — the one
+    * case the broadcast-hinted form cannot survive (a forced broadcast
+    * of an unbounded probe OOMs the executors). Shuffle payloads are
+    * (hash) and (hash, id) only; texts never move. */
+  def decontaminationOverlapJoin(corpus: DataFrame, id: String, text: String,
+      probe: DataFrame, probeText: String, k: Int = 5): DataFrame = {
+    val corpusShingles = corpus.select(col(id),
+      explode(graft.expr.WordShingleHashes(col(text), k, distinct = true)).as("_h"))
+    val probeShingles = probe
+      .select(explode(graft.expr.WordShingleHashes(col(probeText), k, distinct = true)).as("_h"))
+      .distinct()
+    corpusShingles.join(probeShingles, Seq("_h"), "left_semi")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+
   /** Full near-dup dedup: from candidate pairs, keep one doc per
     * component (the min id) plus every singleton. Returns the surviving
     * id set as a one-column frame. */

@@ -23,6 +23,20 @@ class PipelineHygieneSpec extends AnyFunSuite with SparkTestBase {
     assert(!got.contains(2L))
   }
 
+  test("broadcast-free decontamination == broadcast form on identical inputs") {
+    import spark.implicits._
+    val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+    val probe = docs.filter(col("doc_id") % 3 === 0)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().toMap
+    val bcast = asMap(graft.ops.Dedup
+      .decontaminationOverlap(docs, "doc_id", "text", probe, "text", k = 5))
+    val joined = asMap(graft.ops.Dedup
+      .decontaminationOverlapJoin(docs, "doc_id", "text", probe, "text", k = 5))
+    assert(bcast == joined, "the two join strategies must agree exactly")
+    assert(bcast.nonEmpty)
+  }
+
   test("repetition stats: planted repetition is counted exactly") {
     import spark.implicits._
     val df = Seq(
