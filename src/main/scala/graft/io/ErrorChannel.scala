@@ -37,3 +37,46 @@ object ErrorChannel {
     q
   }
 }
+
+/** The STREAMING half of the S9 notification surface: a
+  * `StreamingQueryListener` forwarding per-micro-batch progress (rows
+  * read, batch duration) and terminations — including failures, the
+  * streaming analog of the reference's SNS publish — to a pluggable
+  * sink. Where [[ErrorChannel]] observes batch ACTIONS, this observes
+  * long-running QUERIES: at scale it is the hook that feeds lag/
+  * throughput dashboards and dead-letter alerting without touching the
+  * query itself. */
+class StreamMetrics(notify: StreamMetrics.Event => Unit)
+    extends org.apache.spark.sql.streaming.StreamingQueryListener {
+  import org.apache.spark.sql.streaming.StreamingQueryListener._
+
+  override def onQueryStarted(e: QueryStartedEvent): Unit =
+    notify(StreamMetrics.Event("started", e.name, 0L, 0L, None))
+
+  override def onQueryProgress(e: QueryProgressEvent): Unit =
+    notify(StreamMetrics.Event("progress", e.progress.name,
+      e.progress.numInputRows, e.progress.batchDuration, None))
+
+  override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+    notify(StreamMetrics.Event("terminated", null, 0L, 0L, e.exception))
+}
+
+object StreamMetrics {
+  /** One observed lifecycle event. `rows`/`batchMs` are zero except for
+    * progress events; `error` is set only for failed terminations. */
+  final case class Event(kind: String, queryName: String,
+      rows: Long, batchMs: Long, error: Option[String])
+
+  /** Attach a recording listener; returns the event queue. Callers that
+    * attach per-drain should `remove` after ([[detach]]) — listeners
+    * are session-global. */
+  def attach(spark: SparkSession): (StreamMetrics, ConcurrentLinkedQueue[Event]) = {
+    val q = new ConcurrentLinkedQueue[Event]()
+    val l = new StreamMetrics(e => { q.add(e); () })
+    spark.streams.addListener(l)
+    (l, q)
+  }
+
+  def detach(spark: SparkSession, l: StreamMetrics): Unit =
+    spark.streams.removeListener(l)
+}

@@ -62,6 +62,30 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(!out3.contains("2024-01-01 13:00:00.0")) // still open
   }
 
+  test("StreamMetrics listener observes start, per-batch rows, and clean termination") {
+    val dir = Files.createTempDirectory("graft_smetrics").toString
+    Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "k")
+      .coalesce(1).write.parquet(s"$dir/in")
+    val (listener, events) = graft.io.StreamMetrics.attach(spark)
+    try {
+      val q = spark.readStream.schema("id long, k string").parquet(s"$dir/in")
+        .groupBy("k").count()
+        .writeStream.format("memory").queryName("smetrics_gate")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // listener delivery is async — wait for the terminal event
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (!events.toArray.exists(_.asInstanceOf[graft.io.StreamMetrics.Event].kind == "terminated")
+          && System.nanoTime() < deadline) Thread.sleep(50)
+      val evs = events.toArray.map(_.asInstanceOf[graft.io.StreamMetrics.Event]).toSeq
+      assert(evs.exists(_.kind == "started"))
+      assert(evs.filter(_.kind == "progress").map(_.rows).sum == 3L,
+        "progress events must account for every input row")
+      val term = evs.filter(_.kind == "terminated")
+      assert(term.nonEmpty && term.forall(_.error.isEmpty), "clean termination, no error")
+    } finally graft.io.StreamMetrics.detach(spark, listener)
+  }
+
   test("timeout sessionizer: watermark closes idle sessions; events close overrun sessions") {
     import graft.streaming.Streams
     import graft.streaming.Streams.SessEvent
