@@ -1301,6 +1301,43 @@ object SparkEntry {
           |ORDER BY s_name""".stripMargin)
     }),
 
+    // Recursive CTE (Spark 4 WITH RECURSIVE): ancestry over a synthetic
+    // tree on dense customer keys (parent = k div 10, roots = keys 0-9)
+    // — every customer reached top-down, per-depth census with id/root
+    // sums as the membership checksum. Spark executes the recursion as
+    // iterated distributed joins against the previous step's frontier
+    // (depth ≤ log10(keyspace), each step one equi-join); only UNION ALL
+    // recursion is supported on this runtime, so the recursive member
+    // must be acyclic BY CONSTRUCTION: key 0 is its own div-10 parent,
+    // and without the `>= 10` guard both engines re-derive it forever
+    // (Spark stops at RECURSION_LEVEL_LIMIT; DuckDB just spins).
+    "sql_recursive_tree" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("customer_rt")
+      s.sql(
+        """WITH RECURSIVE chain AS (
+          |  SELECT c_custkey AS k, c_custkey AS root, 0 AS depth
+          |  FROM customer_rt WHERE c_custkey <= 9
+          |  UNION ALL
+          |  SELECT c.c_custkey, chain.root, chain.depth + 1
+          |  FROM customer_rt c JOIN chain ON c.c_custkey DIV 10 = chain.k
+          |  WHERE c.c_custkey >= 10
+          |)
+          |SELECT depth, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+          |  CAST(sum(root) AS BIGINT) AS sum_root
+          |FROM chain GROUP BY depth ORDER BY depth""".stripMargin)
+    }),
+
+    // listagg WITHIN GROUP (Spark 4 / ANSI 2023 ordered string agg):
+    // deterministic because the per-group order is total.
+    "sql_listagg_nations" -> ((s, dir) => {
+      Tables.nation(s, dir).createOrReplaceTempView("nation_la")
+      Tables.region(s, dir).createOrReplaceTempView("region_la")
+      s.sql(
+        """SELECT r_name, listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations
+          |FROM nation_la JOIN region_la ON n_regionkey = r_regionkey
+          |GROUP BY r_name ORDER BY r_name""".stripMargin)
+    }),
+
     // Correlated LATERAL subquery with ORDER BY + LIMIT — per-nation
     // top-2 customers. The lateral decorrelates to a window-style
     // group-limit, not per-row subquery execution.
@@ -1693,6 +1730,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // X3x — cross-document duplicated spans (exact-substring dedup
+    // census): every 5-token span shared by ≥2 distinct docs, reported
+    // per doc as duplicated-span count + covered-token union. Runs the
+    // production hash-keyed path (8-byte shuffle keys); the oracle
+    // groups exact strings, so equality also witnesses collision-free
+    // hashing on the fixture.
+    "x3_span_dedup" -> ((s, dir) => {
+      Dedup.duplicatedSpans(Tables.documents(s, dir), "doc_id", "text", n = 5)
+        .orderBy("doc_id")
+    }),
+
     // X4 — Gopher-style repetition stats (integer ingredients of the
     // top-word-fraction / duplicate-bigram-fraction quality rules).
     "x4_repetition_stats" -> ((s, dir) => {
@@ -1957,6 +2005,13 @@ object SparkEntry {
     // decided, so the batch oracle's cut is identical.
     "stream_join_left_outer" -> ((s, dir) =>
       graft.streaming.Streams.clickViewLeftJoin(s, dir)),
+
+    // Streaming — stream-stream FULL OUTER interval join: expired
+    // unmatched rows from BOTH sides emit null-extended; two-threshold
+    // watermark cut (views expire an hour later than clicks) applied
+    // identically in the batch oracle.
+    "stream_join_full_outer" -> ((s, dir) =>
+      graft.streaming.Streams.clickViewFullJoin(s, dir)),
 
     // Streaming — stream-STATIC dimension-enrichment join (stateless;
     // static side broadcast per micro-batch).
@@ -3014,6 +3069,28 @@ object SparkEntry {
         |FROM cs c JOIN ps USING (h)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "x3_span_dedup" ->
+      """WITH b AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, pos, array_to_string(w[pos+1:pos+5], ' ') AS span
+        |  FROM (SELECT doc_id, w, unnest(range(0, len(w) - 4)) AS pos
+        |        FROM b WHERE len(w) >= 5)),
+        |dk AS (SELECT span FROM s GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
+        |agg AS (
+        |  SELECT doc_id, count(DISTINCT pos) AS n_dup_spans,
+        |         count(DISTINCT t) AS dup_tokens
+        |  FROM (SELECT dp.doc_id, dp.pos, unnest(range(dp.pos, dp.pos + 5)) AS t
+        |        FROM (SELECT s.doc_id, s.pos FROM s JOIN dk USING (span)) dp)
+        |  GROUP BY doc_id)
+        |SELECT b.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        |  CAST(CASE WHEN len(w) >= 5 THEN len(w) - 4 ELSE 0 END AS BIGINT) AS n_spans,
+        |  coalesce(a.n_dup_spans, 0) AS n_dup_spans,
+        |  coalesce(a.dup_tokens, 0) AS dup_tokens
+        |FROM b LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     "x4_repetition_stats" ->
       """WITH toks AS (
         |  SELECT doc_id,
@@ -3270,6 +3347,24 @@ object SparkEntry {
         |    WHERE n_regionkey IN
         |        (SELECT r_regionkey FROM region WHERE r_name = 'ASIA'))
         |ORDER BY s_name""".stripMargin,
+
+    "sql_recursive_tree" ->
+      """WITH RECURSIVE chain AS (
+        |  SELECT c_custkey AS k, c_custkey AS root, 0 AS depth
+        |  FROM customer WHERE c_custkey <= 9
+        |  UNION ALL
+        |  SELECT c.c_custkey, chain.root, chain.depth + 1
+        |  FROM customer c JOIN chain ON c.c_custkey // 10 = chain.k
+        |  WHERE c.c_custkey >= 10
+        |)
+        |SELECT depth, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+        |  CAST(sum(root) AS BIGINT) AS sum_root
+        |FROM chain GROUP BY depth ORDER BY depth""".stripMargin,
+
+    "sql_listagg_nations" ->
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
 
     "sql_lateral_topn" ->
       """SELECT n_name, c.c_custkey, c.c_acctbal
@@ -3565,6 +3660,27 @@ object SparkEntry {
         | AND v.view_ts >= c.click_ts - INTERVAL 1 HOUR
         | AND v.view_ts <= c.click_ts
         |WHERE epoch_us(c.click_ts) < (SELECT t FROM cut)
+        |ORDER BY click_id, view_id""".stripMargin,
+
+    "stream_join_full_outer" ->
+      """WITH ev AS (SELECT * FROM events WHERE user_id < 200),
+        |clicks AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+        |           FROM ev WHERE event_type = 'click'),
+        |views AS (SELECT event_id AS view_id, user_id AS vu, ts AS view_ts
+        |          FROM ev WHERE event_type = 'view'),
+        |wm AS (SELECT least(
+        |    (SELECT max(epoch_us(ts)) FROM ev WHERE event_type = 'click'),
+        |    (SELECT max(epoch_us(ts)) FROM ev WHERE event_type = 'view'))
+        |    - 3600000000 AS t)
+        |SELECT c.click_id, coalesce(c.user_id, v.vu) AS user_id, v.view_id
+        |FROM clicks c FULL OUTER JOIN views v
+        |  ON c.user_id = v.vu
+        | AND v.view_ts >= c.click_ts - INTERVAL 1 HOUR
+        | AND v.view_ts <= c.click_ts
+        |WHERE (c.click_ts IS NULL
+        |       OR epoch_us(c.click_ts) < (SELECT t FROM wm) - 60000000)
+        |  AND (v.view_ts IS NULL
+        |       OR epoch_us(v.view_ts) < (SELECT t FROM wm) - 3660000000)
         |ORDER BY click_id, view_id""".stripMargin,
 
     "w5_scd2_history" ->

@@ -375,6 +375,69 @@ object Dedup {
       .agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** X3x — cross-document duplicated-span detection: the distributed
+    * form of the exact-substring dedup pass of Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499, the suffix-array ExactSubstr dedup) re-expressed
+    * as relational algebra. An n-token span occurring in ≥ `minDocs`
+    * DISTINCT documents is "duplicated"; each document reports how many
+    * of its spans are duplicated and how many of its token positions
+    * any duplicated span covers — the budget a span-scrubbing pass
+    * would cut, without mutating the corpus.
+    *
+    * Shape at scale: span generation is narrow (sequence + slice per
+    * row — no shuffle, skew bounded by the longest document). The wide
+    * ops are (1) one groupBy counting distinct docs per span and (2)
+    * the join of span positions against the duplicated-key set, both
+    * keyed on the span. With `keyByHash` (the default and the gated
+    * path) that key is `xxhash64(span)` — 8 bytes however wide the
+    * span — so the two shuffles carry (hash) and (hash, id, pos) only
+    * and the span STRING never leaves its generating row, exactly the
+    * decontamination trade: a 2^-64 collision can merge two distinct
+    * spans (overcount). `keyByHash = false` shuffles exact strings
+    * (DedupSpec asserts both forms agree on the fixture; the oracle
+    * groups DuckDB-side on exact strings, so the gate also proves the
+    * hash path collision-free on real data).
+    *
+    * Coverage is the union of covered positions — overlapping duplicated
+    * spans never double-count a token. Documents shorter than n tokens
+    * have no spans and report zeros. Tokenization is single-space split
+    * with empties dropped (engine-portable; [[wordShingles]]' \s+ split
+    * is equivalent on the fixture corpus). */
+  def duplicatedSpans(df: DataFrame, id: String, text: String, n: Int,
+      minDocs: Int = 2, keyByHash: Boolean = true): DataFrame = {
+    require(n >= 1, s"span width must be >= 1, got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val base = df.select(col(id),
+      filter(split(col(text), " "), t => t =!= lit("")).as("_w"))
+      .withColumn("_nt", size(col("_w")))
+    // span start positions, 0-based; docs with < n tokens yield none
+    // (explode drops the NULL array)
+    val spans = base
+      .select(col(id), col("_w"),
+        explode(when(col("_nt") >= n, sequence(lit(0), col("_nt") - n))).as("_pos"))
+      .withColumn("_span", concat_ws(" ", slice(col("_w"), col("_pos") + 1, lit(n))))
+      .select(col(id), col("_pos"),
+        (if (keyByHash) xxhash64(col("_span")) else col("_span")).as("_k"))
+    val dupKeys = spans.groupBy(col("_k"))
+      .agg(countDistinct(col(id)).as("_docs"))
+      .filter(col("_docs") >= minDocs)
+      .select(col("_k"))
+    // no broadcast hint: the duplicated-key set scales with corpus
+    // redundancy (unbounded at 100 TB); AQE broadcasts when it's small
+    val dupAgg = spans.join(dupKeys, Seq("_k"), "left_semi")
+      .select(col(id), col("_pos"), explode(sequence(col("_pos"), col("_pos") + (n - 1))).as("_t"))
+      .groupBy(col(id))
+      .agg(countDistinct(col("_pos")).as("n_dup_spans"),
+        countDistinct(col("_t")).as("dup_tokens"))
+    base.select(col(id), col("_nt").cast("long").as("n_tokens"),
+        when(col("_nt") >= n, (col("_nt") - n + 1).cast("long")).otherwise(0L).as("n_spans"))
+      .join(dupAgg, Seq(id), "left")
+      .select(col(id), col("n_tokens"), col("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+  }
+
   /** Full near-dup dedup: from candidate pairs, keep one doc per
     * component (the min id) plus every singleton. Returns the surviving
     * id set as a one-column frame. */

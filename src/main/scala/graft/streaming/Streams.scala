@@ -436,6 +436,50 @@ object Streams {
       .orderBy("click_id", "view_id")
   }
 
+  /** Stream-stream FULL OUTER interval join — completes the join-mode
+    * matrix (inner emits matches only; left outer adds expired unmatched
+    * clicks; full outer adds expired unmatched VIEWS as well). The two
+    * sides have different expiry horizons: an unmatched click is decided
+    * once the watermark passes click_ts (its candidate views all have
+    * view_ts ≤ click_ts), but a view can match clicks up to an hour
+    * AFTER it, so its state lives until the watermark passes
+    * view_ts + 1h. The determinism cut is therefore two-threshold —
+    * clicks strictly older than wm − margin, views strictly older than
+    * wm − 1h − margin (wm = min of both streams' max event time − 1h,
+    * margin 60 s against boundary-expiry flap) — applied identically to
+    * matched rows (both sides must clear their cut) in the drained
+    * stream and the batch oracle. */
+  def clickViewFullJoin(spark: SparkSession, sfDir: String, maxUser: Long = 200L): DataFrame = {
+    val ss = stateSession(spark, 8)
+    val ev = eventsStream(ss, sfDir).filter(col("user_id") < maxUser)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("_cu"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("_vu"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val joined = clicks.join(views,
+      col("_cu") === col("_vu") &&
+        col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+        col("view_ts") <= col("click_ts"),
+      "full_outer")
+      .select(col("click_id"), col("_cu"), col("click_ts"),
+        col("view_id"), col("_vu"), col("view_ts"))
+    val drained = drainToTable(spark, ss, joined, "stream_fjoin", "append")
+    // batch post-processing on the CALLER's session/width
+    val evB = graft.io.Tables.events(spark, sfDir).filter(col("user_id") < maxUser)
+    val wm = evB.agg((least(
+      max(when(col("event_type") === "click", unix_micros(col("ts")))),
+      max(when(col("event_type") === "view", unix_micros(col("ts")))))
+      - 3600000000L).as("_wm"))
+    drained
+      .join(broadcast(wm),
+        (col("click_ts").isNull || unix_micros(col("click_ts")) < col("_wm") - 60000000L) &&
+          (col("view_ts").isNull || unix_micros(col("view_ts")) < col("_wm") - 3660000000L))
+      .select(col("click_id"), coalesce(col("_cu"), col("_vu")).as("user_id"), col("view_id"))
+      .orderBy("click_id", "view_id")
+  }
+
   /** Streaming exact dedup (X1 in stream form): at-least-once sources
     * re-deliver, so the first stateful op of a production ingest is
     * dropDuplicatesWithinWatermark on the event key — state expires with

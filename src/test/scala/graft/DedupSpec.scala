@@ -221,4 +221,40 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       (1L, 3L) -> 2L)) // corp → co; (2,3) is dist 3 ⇒ over maxDist, dropped
     assert(!got.keys.exists { case (a, b) => a >= b }, "pairs must be ordered a<b")
   }
+
+  test("X3x duplicatedSpans: cross-doc spans, coverage union, short docs zero") {
+    // doc 2's two spans are BOTH duplicated (pos 0 shared with doc 1,
+    // pos 1 with doc 5) and overlap on tokens 1..4 — coverage is the
+    // UNION (6 tokens), not 2×5. doc 3 repeats a span only WITHIN
+    // itself (minDocs counts distinct docs ⇒ not duplicated). doc 4 is
+    // too short for any span.
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e f"),
+      (3L, "q r s t u x q r s t u"),
+      (4L, "a b c"),
+      (5L, "b c d e f")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(docs, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == Map(
+      1L -> (5L, 1L, 1L, 5L),   // its one span is doc 2's prefix
+      2L -> (6L, 2L, 2L, 6L),   // overlapping dup spans ⇒ union coverage
+      3L -> (11L, 7L, 0L, 0L),  // within-doc repeat only ⇒ zero
+      4L -> (3L, 0L, 0L, 0L),   // shorter than n ⇒ no spans
+      5L -> (5L, 1L, 1L, 5L)))  // its one span is doc 2's suffix
+  }
+
+  test("X3x duplicatedSpans: hash-keyed path == exact-string path") {
+    val d = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7"), (2L, "x w1 w2 w3 w4 w5"),
+      (3L, "w3 w4 w5 w6 w7"), (4L, "unrelated tokens only here now")
+    ).toDF("doc_id", "text")
+    val h = Dedup.duplicatedSpans(d, "doc_id", "text", 5, keyByHash = true)
+      .orderBy("doc_id").collect().toSeq
+    val s = Dedup.duplicatedSpans(d, "doc_id", "text", 5, keyByHash = false)
+      .orderBy("doc_id").collect().toSeq
+    assert(h == s)
+  }
 }
