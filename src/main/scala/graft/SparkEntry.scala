@@ -173,6 +173,23 @@ object SparkEntry {
       a.except(b).orderBy("custkey")
     }),
 
+    // Bag (multiset) set ops — EXCEPT ALL keeps max(0, cA−cB) copies per
+    // key, INTERSECT ALL min(cA, cB): the variants the distinct forms
+    // above can't express (e.g. "how many MORE orders in 1997 than
+    // 1998 per customer"). Compacted by a GROUP BY so the gate compares
+    // multiplicities, not an unordered bag.
+    "set_bag_ops_customers" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val a = o.filter(year(col("o_orderdate")) === 1997).select(col("o_custkey"))
+      val b = o.filter(year(col("o_orderdate")) === 1998).select(col("o_custkey"))
+      val ex = a.exceptAll(b).groupBy("o_custkey").agg(count(lit(1)).as("n"))
+        .withColumn("op", lit("except"))
+      val in = a.intersectAll(b).groupBy("o_custkey").agg(count(lit(1)).as("n"))
+        .withColumn("op", lit("intersect"))
+      ex.unionByName(in).select(col("op"), col("o_custkey"), col("n"))
+        .orderBy("op", "o_custkey")
+    }),
+
     // ----------------------------------------------------------------
     // Reference parity ops (SURVEY §2.2) demonstrated on harness tables
     // ----------------------------------------------------------------
@@ -2257,6 +2274,16 @@ object SparkEntry {
         |EXCEPT
         |SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) >= 2000
         |ORDER BY custkey""".stripMargin,
+
+    "set_bag_ops_customers" ->
+      """WITH a AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997),
+        |b AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998),
+        |e AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b),
+        |i AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+        |SELECT 'except' AS op, o_custkey, count(*) AS n FROM e GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'intersect' AS op, o_custkey, count(*) AS n FROM i GROUP BY 1, 2
+        |ORDER BY op, o_custkey""".stripMargin,
 
     "p2_flatten_json" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

@@ -403,7 +403,13 @@ object Dedup {
     * spans never double-count a token. Documents shorter than n tokens
     * have no spans and report zeros. Tokenization is single-space split
     * with empties dropped (engine-portable; [[wordShingles]]' \s+ split
-    * is equivalent on the fixture corpus). */
+    * is equivalent on the fixture corpus).
+    *
+    * Deliberate plan trade (pinned in PlanShapeSpec): the narrow span
+    * generator is evaluated once per branch of the dup-key join (scan
+    * count 3) instead of persisting a corpus-sized span table — at
+    * 100 TB re-running a codegen'd per-row kernel is cheaper than
+    * pinning ~tokens× the corpus in the block store. */
   def duplicatedSpans(df: DataFrame, id: String, text: String, n: Int,
       minDocs: Int = 2, keyByHash: Boolean = true): DataFrame = {
     require(n >= 1, s"span width must be >= 1, got $n")

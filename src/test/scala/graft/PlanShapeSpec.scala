@@ -103,4 +103,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       "exact dedup must be the min_by hash agg, not a join-back")
     assert(p.contains("min_by"), "survivor choice must be the min_by aggregate")
   }
+
+  test("span dedup: hash aggs only (no Window), narrow span gen evaluated per branch") {
+    val p = plan("x3_span_dedup")
+    // corpus-order-free: every wide op is a hash aggregate or a hash
+    // join; a Window/global sort over the span stream would be the
+    // regression (the final presentation Sort rides the tiny output)
+    assert(!p.contains("Window"), "span pipeline must not sort the span stream")
+    assert(p.contains("HashAggregate"))
+    // the deliberate trade: the narrow span generator is evaluated in
+    // both branches of the dup-key join (3 scan nodes: base stats +
+    // probe side + dup-key agg) rather than materializing a
+    // corpus-sized span table; a 4th scan would mean a lost branch
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans == 3, s"expected 3 evaluations of the narrow generator, saw $scans")
+  }
 }
