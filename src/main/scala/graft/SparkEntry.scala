@@ -1301,7 +1301,7 @@ object SparkEntry {
       Tables.nation(s, dir).createOrReplaceTempView("nation_vs")
       Tables.region(s, dir).createOrReplaceTempView("region_vs")
       s.sql(
-        """SELECT s_name, s_acctbal
+        """SELECT s_name, CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents
           |FROM supplier_vs
           |WHERE s_suppkey IN (
           |    SELECT l_suppkey FROM lineitem_vs
@@ -1362,7 +1362,8 @@ object SparkEntry {
       Tables.nation(s, dir).createOrReplaceTempView("nation_lt")
       Tables.customer(s, dir).createOrReplaceTempView("customer_lt")
       s.sql(
-        """SELECT n_name, c.c_custkey, c.c_acctbal
+        """SELECT n_name, c.c_custkey,
+          |  CAST(round(c.c_acctbal * 100) AS BIGINT) AS acctbal_cents
           |FROM nation_lt, LATERAL (
           |  SELECT c_custkey, c_acctbal
           |  FROM customer_lt
@@ -1755,6 +1756,18 @@ object SparkEntry {
     // hashing on the fixture.
     "x3_span_dedup" -> ((s, dir) => {
       Dedup.duplicatedSpans(Tables.documents(s, dir), "doc_id", "text", n = 5)
+        .orderBy("doc_id")
+    }),
+
+    // X3x mutation form — the cleaned corpus itself: cross-doc
+    // duplicated 5-token spans removed, canonical (min-doc) copy kept.
+    // The scrub must see the WHOLE corpus; the gate stays bounded by
+    // reporting md5(clean_text) instead of the text — md5 equality IS
+    // exact text equality, so fidelity is not weakened.
+    "x3_span_scrub" -> ((s, dir) => {
+      Dedup.scrubDuplicatedSpans(Tables.documents(s, dir), "doc_id", "text", n = 5)
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+          md5(col("clean_text")).as("clean_md5"))
         .orderBy("doc_id")
     }),
 
@@ -3118,6 +3131,39 @@ object SparkEntry {
         |FROM b LEFT JOIN agg a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
+    "x3_span_scrub" ->
+      """WITH b AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, pos, array_to_string(w[pos+1:pos+5], ' ') AS span
+        |  FROM (SELECT doc_id, w, unnest(range(0, len(w) - 4)) AS pos
+        |        FROM b WHERE len(w) >= 5)),
+        |own AS (
+        |  SELECT span, min(doc_id) AS owner FROM s
+        |  GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
+        |rm AS (
+        |  SELECT doc_id, t FROM (
+        |    SELECT dp.doc_id, unnest(range(dp.pos, dp.pos + 5)) AS t
+        |    FROM (SELECT s.doc_id, s.pos FROM s JOIN own USING (span)
+        |          WHERE s.doc_id <> own.owner) dp)
+        |  GROUP BY doc_id, t),
+        |tok AS (
+        |  SELECT doc_id, t, w[t + 1] AS tok
+        |  FROM (SELECT doc_id, w, unnest(range(0, len(w))) AS t FROM b)),
+        |kept AS (
+        |  SELECT tok.doc_id, count(*) AS nkept,
+        |         string_agg(tok.tok, ' ' ORDER BY tok.t) AS clean_text
+        |  FROM tok
+        |  WHERE NOT EXISTS (SELECT 1 FROM rm
+        |                    WHERE rm.doc_id = tok.doc_id AND rm.t = tok.t)
+        |  GROUP BY tok.doc_id)
+        |SELECT b.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        |  CAST(len(w) - coalesce(kept.nkept, 0) AS BIGINT) AS n_removed,
+        |  md5(coalesce(kept.clean_text, '')) AS clean_md5
+        |FROM b LEFT JOIN kept USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
+
     "x4_repetition_stats" ->
       """WITH toks AS (
         |  SELECT doc_id,
@@ -3359,7 +3405,7 @@ object SparkEntry {
         |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
 
     "sql_q20_volume_suppliers" ->
-      """SELECT s_name, s_acctbal
+      """SELECT s_name, CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents
         |FROM supplier
         |WHERE s_suppkey IN (
         |    SELECT l_suppkey FROM lineitem
@@ -3394,7 +3440,8 @@ object SparkEntry {
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
 
     "sql_lateral_topn" ->
-      """SELECT n_name, c.c_custkey, c.c_acctbal
+      """SELECT n_name, c.c_custkey,
+        |  CAST(round(c.c_acctbal * 100) AS BIGINT) AS acctbal_cents
         |FROM nation, LATERAL (
         |  SELECT c_custkey, c_acctbal
         |  FROM customer

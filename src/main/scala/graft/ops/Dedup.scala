@@ -444,6 +444,64 @@ object Dedup {
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
   }
 
+  /** X3x — the MUTATION form of [[duplicatedSpans]]: rewrite the corpus
+    * with cross-document duplicated spans removed, keeping one canonical
+    * copy. Per duplicated span the OWNER is the min doc id containing
+    * it; a token is cut iff some duplicated span covers it whose owner
+    * is another document (so the canonical copy survives, all echoes
+    * are scrubbed — the all-but-one-occurrence rule of Lee et al. 2022,
+    * resolved deterministically at token granularity when overlapping
+    * spans disagree: any non-owned cover removes). Documents emerge as
+    * (id, n_tokens, n_removed, clean_text), clean_text preserving the
+    * original relative token order; a fully-scrubbed doc yields '' (the
+    * caller decides whether to drop empties — that is a filter, not
+    * this op's policy).
+    *
+    * Scale shape: the census phases are [[duplicatedSpans]]' (narrow
+    * span gen, hash-keyed wide ops). The scrub adds what a mutation
+    * inherently costs: one (id, position)-keyed anti-join of the token
+    * stream against the removal set and one groupBy(id) to reassemble —
+    * shuffles carry (id, pos, token) triples, skew bounded by the
+    * longest document, reassembly via sorted-struct collect (never a
+    * corpus-wide sort). */
+  def scrubDuplicatedSpans(df: DataFrame, id: String, text: String, n: Int,
+      minDocs: Int = 2, keyByHash: Boolean = true): DataFrame = {
+    require(n >= 1, s"span width must be >= 1, got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val base = df.select(col(id),
+      filter(split(col(text), " "), t => t =!= lit("")).as("_w"))
+      .withColumn("_nt", size(col("_w")))
+    val spans = base
+      .select(col(id), col("_w"),
+        explode(when(col("_nt") >= n, sequence(lit(0), col("_nt") - n))).as("_pos"))
+      .withColumn("_span", concat_ws(" ", slice(col("_w"), col("_pos") + 1, lit(n))))
+      .select(col(id), col("_pos"),
+        (if (keyByHash) xxhash64(col("_span")) else col("_span")).as("_k"))
+    // duplicated spans with their canonical owner
+    val dupOwners = spans.groupBy(col("_k"))
+      .agg(countDistinct(col(id)).as("_docs"), min(col(id)).as("_owner"))
+      .filter(col("_docs") >= minDocs)
+      .select(col("_k"), col("_owner"))
+    // tokens to cut: covered by a duplicated span someone else owns
+    val removals = spans.join(dupOwners, Seq("_k"))
+      .filter(col(id) =!= col("_owner"))
+      .select(col(id), explode(sequence(col("_pos"), col("_pos") + (n - 1))).as("_t"))
+      .distinct()
+    val tokens = base
+      .select(col(id), posexplode(col("_w")).as(Seq("_t", "_tok")))
+    val kept = tokens.join(removals, Seq(id, "_t"), "left_anti")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("_nkept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("_t"), col("_tok")))),
+            x => x.getField("_tok"))).as("clean_text"))
+    base.select(col(id), col("_nt").cast("long").as("n_tokens"))
+      .join(kept, Seq(id), "left")
+      .select(col(id), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("_nkept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Full near-dup dedup: from candidate pairs, keep one doc per
     * component (the min id) plus every singleton. Returns the surviving
     * id set as a one-column frame. */

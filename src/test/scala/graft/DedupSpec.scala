@@ -257,4 +257,57 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .orderBy("doc_id").collect().toSeq
     assert(h == s)
   }
+
+  test("X3x scrubDuplicatedSpans: canonical copy survives, echoes cut, order kept") {
+    // "a b c d e" lives in docs 1, 2, 5 ⇒ owner 1 keeps it; doc 2 loses
+    // tokens 0-4 but keeps its trailing "f"; doc 5 is scrubbed to ''.
+    // doc 3's repeat is within-doc only ⇒ untouched; doc 4 is shorter
+    // than n ⇒ untouched.
+    val docsS = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e f"),
+      (3L, "q r s t u x q r s t u"),
+      (4L, "a b c"),
+      (5L, "a b c d e")
+    ).toDF("doc_id", "text")
+    val got = Dedup.scrubDuplicatedSpans(docsS, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got == Map(
+      1L -> (5L, 0L, "a b c d e"),
+      2L -> (6L, 5L, "f"),
+      3L -> (11L, 0L, "q r s t u x q r s t u"),
+      4L -> (3L, 0L, "a b c"),
+      5L -> (5L, 5L, "")))
+  }
+
+  test("X3x scrubDuplicatedSpans: overlapping spans with different owners") {
+    // doc 3 carries doc 1's span (pos 0) and doc 2's span (pos 1),
+    // overlapping on tokens 1-4: owned by OTHERS at every cover ⇒ all
+    // six tokens cut. Docs 1 and 2 each own their span ⇒ untouched.
+    val d = Seq(
+      (1L, "a b c d e"),
+      (2L, "b c d e f"),
+      (3L, "a b c d e f")
+    ).toDF("doc_id", "text")
+    val got = Dedup.scrubDuplicatedSpans(d, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got == Map(
+      1L -> (5L, 0L, "a b c d e"),
+      2L -> (5L, 0L, "b c d e f"),
+      3L -> (6L, 6L, "")))
+  }
+
+  test("X3x scrubDuplicatedSpans: hash-keyed path == exact-string path") {
+    val d = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7"), (2L, "x w1 w2 w3 w4 w5"),
+      (3L, "w3 w4 w5 w6 w7"), (4L, "unrelated tokens only here now")
+    ).toDF("doc_id", "text")
+    val h = Dedup.scrubDuplicatedSpans(d, "doc_id", "text", 5, keyByHash = true)
+      .orderBy("doc_id").collect().toSeq
+    val s = Dedup.scrubDuplicatedSpans(d, "doc_id", "text", 5, keyByHash = false)
+      .orderBy("doc_id").collect().toSeq
+    assert(h == s)
+  }
 }
