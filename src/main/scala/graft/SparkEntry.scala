@@ -1728,6 +1728,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Sequence packing (concat-and-chunk): the corpus token stream laid
+    // end-to-end in doc_id order and cut into 256-token training
+    // sequences, docs crossing boundaries — one row per doc×sequence
+    // slice. Same one-corpus-shuffle prefix sum as pack_shards; the
+    // slice fan-out is narrow. The oracle runs the global-window form.
+    "pack_sequences" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      graft.ops.Packing.packSequences(d, "doc_id", "n_tokens", 256L)
+        .select(col("doc_id"), col("n_tokens"), col("seq_id"),
+          col("tok_start"), col("tok_len"), col("seq_off"))
+        .orderBy("doc_id", "seq_id")
+    }),
+
     // X3 — benchmark decontamination: corpus docs sharing ≥1 distinct
     // 5-shingle with the probe set (every 20th doc stands in for an eval
     // set). Probe is broadcast; the corpus never shuffles.
@@ -3078,6 +3092,27 @@ object SparkEntry {
         |  CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
         |    - n_tokens) / 5000.0) AS BIGINT) AS shard
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cum
+        |  FROM d),
+        |e AS (
+        |  SELECT doc_id, n_tokens, cum - n_tokens AS start, cum,
+        |    unnest(range((cum - n_tokens) // 256, (cum - 1) // 256 + 1)) AS seq_id
+        |  FROM c WHERE n_tokens > 0)
+        |SELECT doc_id, n_tokens, seq_id,
+        |  greatest(seq_id * 256 - start, 0) AS tok_start,
+        |  least((seq_id + 1) * 256 - start, n_tokens)
+        |    - greatest(seq_id * 256 - start, 0) AS tok_len,
+        |  greatest(start - seq_id * 256, 0) AS seq_off
+        |FROM e ORDER BY doc_id, seq_id""".stripMargin,
 
     "x3_decontaminate_join" ->
       """WITH sh AS (

@@ -90,4 +90,43 @@ object Packing {
       }
     }(Encoders.row(outSchema))
   }
+
+  /** Sequence packing (concat-and-chunk): lay the corpus's token stream
+    * end-to-end in `key` order and cut it into fixed `contextLen`
+    * training sequences, documents crossing sequence boundaries — the
+    * standard no-padding packing used for LLM pretraining batches.
+    *
+    * Output: one row per (document × covering sequence) with
+    *   - `seq_id`    sequence index in the global stream,
+    *   - `tok_start` first token of the slice, 0-based WITHIN the doc,
+    *   - `tok_len`   slice length,
+    *   - `seq_off`   where the slice starts WITHIN the sequence,
+    * so `sum(tok_len)` per doc is the doc's token count, and per seq_id
+    * it is exactly `contextLen` (except the final partial sequence).
+    * Zero/NULL-weight docs contribute no tokens and emit no rows.
+    *
+    * Scale shape: one corpus shuffle total — the [[assignShards]] range
+    * exchange that materializes the global prefix sum; everything after
+    * (boundary arithmetic + the per-doc explode over covered sequences)
+    * is narrow, and the fan-out per doc is ceil(w/contextLen)+1 rows, so
+    * skew is bounded by the longest document, never the corpus. */
+  def packSequences(df: DataFrame, key: String, weight: String,
+      contextLen: Long, numPartitions: Int = 0): DataFrame = {
+    require(contextLen > 0, s"context length must be positive, got $contextLen")
+    val withCum = assignShards(df, key, weight, contextLen, numPartitions)
+    // exact long arithmetic throughout (`div`, never `/`): a 100 TB
+    // corpus's token stream can flirt with double's 2^53 integer ceiling
+    val start = col("cum_w") - col(weight) // global offset of the doc's first token
+    withCum
+      .filter(col(weight) > 0)
+      .withColumn("_start", start)
+      .withColumn("seq_id",
+        explode(sequence(expr(s"_start div ${contextLen}L"),
+          expr(s"(cum_w - 1L) div ${contextLen}L"))))
+      .withColumn("tok_start", greatest(col("seq_id") * contextLen - col("_start"), lit(0L)))
+      .withColumn("tok_len",
+        least((col("seq_id") + 1) * contextLen - col("_start"), col(weight)) - col("tok_start"))
+      .withColumn("seq_off", greatest(col("_start") - col("seq_id") * contextLen, lit(0L)))
+      .drop("cum_w", "shard", "_start")
+  }
 }

@@ -36,4 +36,51 @@ class PackingSpec extends AnyFunSuite with SparkTestBase {
     val bad = out.filter(col("shard") =!= floor((col("cum_w") - col("w")) / lit(100L))).count()
     assert(bad == 0L)
   }
+
+  /** Brute-force single-threaded packing: concatenate in key order, cut
+    * every C tokens, report each doc×sequence slice. */
+  private def packNaive(ws: Seq[(Long, Long)], c: Long): Seq[(Long, Long, Long, Long, Long)] = {
+    var cum = 0L
+    ws.sortBy(_._1).flatMap { case (k, w) =>
+      val start = cum
+      cum += w
+      if (w <= 0) Seq.empty
+      else (start / c to (cum - 1) / c).map { s =>
+        val tokStart = math.max(s * c - start, 0L)
+        val tokLen = math.min((s + 1) * c - start, w) - tokStart
+        val seqOff = math.max(start - s * c, 0L)
+        (k, s, tokStart, tokLen, seqOff)
+      }
+    }
+  }
+
+  test("packSequences == brute-force concat-and-chunk, incl. boundary/zero/long docs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    // mix: zero-weight docs, exact-boundary weights, docs >> contextLen
+    val ws = (1 to 300).map { i =>
+      val w = rng.nextInt(6) match {
+        case 0 => 0L
+        case 1 => 8L        // == contextLen
+        case 2 => 37L       // spans many sequences
+        case _ => (rng.nextInt(10) + 1).toLong
+      }
+      (i.toLong, w)
+    }
+    val expect = packNaive(ws, 8L)
+    for (parts <- Seq(1, 4)) {
+      val got = graft.ops.Packing.packSequences(ws.toDF("k", "w"), "k", "w", 8L,
+          numPartitions = parts)
+        .select("k", "seq_id", "tok_start", "tok_len", "seq_off")
+        .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+      assert(got == expect, s"mismatch at numPartitions=$parts")
+    }
+    // structural invariants: every sequence except the last is exactly full,
+    // and every doc's slices cover it exactly once
+    val bySeq = expect.groupBy(_._2).view.mapValues(_.map(_._4).sum)
+    val lastSeq = expect.map(_._2).max
+    assert(bySeq.filter(_._1 != lastSeq).values.forall(_ == 8L))
+    val byDoc = expect.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    ws.filter(_._2 > 0).foreach { case (k, w) => assert(byDoc(k) == w) }
+  }
 }
