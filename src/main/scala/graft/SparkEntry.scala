@@ -1728,6 +1728,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // X4m — linear model scoring (fasttext-style classifier APPLY): the
+    // model is a (term, weight) table — here derived deterministically
+    // from corpus term ranks so the gate is engine-exact (integer-valued
+    // decimals; a real model's floats would load the same way) — and the
+    // op is the distributed apply: explode → broadcast join → one hash
+    // agg to doc grain. Weights are DECIMAL by contract: double sums
+    // would flap with partial-agg merge order at scale.
+    "x4_model_score" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir)
+      val freq = d.select(explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+        .filter(length(col("term")) >= 4)
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+      // vocabulary-sized global rank (terms, not corpus rows)
+      val model = freq
+        .withColumn("rk", row_number().over(Window.orderBy(col("cnt").desc, col("term").asc)))
+        .filter(col("rk") <= 40)
+        .select(col("term"),
+          ((lit(1000L) - col("rk")).cast("decimal(18,6)")
+            * lit(new java.math.BigDecimal("0.001"))).cast("decimal(18,6)").as("weight"))
+      TextAnalysis.linearScore(d, "doc_id", "text", model)
+        .orderBy("doc_id")
+    }),
+
     // Sequence packing (concat-and-chunk): the corpus token stream laid
     // end-to-end in doc_id order and cut into 256-token training
     // sequences, docs crossing boundaries — one row per doc×sequence
@@ -3092,6 +3116,31 @@ object SparkEntry {
         |  CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
         |    - n_tokens) / 5000.0) AS BIGINT) AS shard
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "x4_model_score" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  FROM documents),
+        |f AS (
+        |  SELECT term, count(*) AS cnt FROM w WHERE len(term) >= 4
+        |  GROUP BY term),
+        |m AS (
+        |  SELECT term,
+        |    CAST(CAST(1000 - row_number() OVER (ORDER BY cnt DESC, term)
+        |        AS DECIMAL(18,6)) * CAST(0.001 AS DECIMAL(7,6))
+        |      AS DECIMAL(18,6)) AS weight
+        |  FROM f
+        |  QUALIFY row_number() OVER (ORDER BY cnt DESC, term) <= 40),
+        |t AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  FROM documents),
+        |h AS (
+        |  SELECT t.doc_id, count(*) AS n_hits, sum(m.weight) AS s
+        |  FROM t JOIN m USING (term) GROUP BY t.doc_id)
+        |SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  CAST(coalesce(h.s, 0) AS DECIMAL(28,6)) AS score
+        |FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "pack_sequences" ->
       """WITH d AS (

@@ -198,4 +198,35 @@ object TextAnalysis {
         size(col("_c")).cast("long").as("n_tokens"),
         concat_ws(" ", col("_c")).as("chunk_text"))
   }
+
+  /** X4m — linear model scoring (the apply step of a fasttext-style
+    * quality classifier): score(doc) = bias + Σ_terms count(term)·w(term)
+    * against a `(term, weight)` model table. The MODEL is the caller's —
+    * trained elsewhere, loaded as a table; this op is the distributed
+    * apply: tokenize → explode → broadcast hash join on term → one hash
+    * agg back to doc grain (map-side partial sums). The corpus never
+    * shuffles more than (id, partial-sum) pairs; the model rides the
+    * broadcast (classifier vocabularies are ~10⁵–10⁶ terms — trivially
+    * broadcastable next to a 100 TB corpus).
+    *
+    * Determinism contract: weights must be DECIMAL (the gate uses
+    * decimal(18,6)) — summing double weights would make the result
+    * depend on partial-agg merge order at scale. Docs matching no model
+    * term score exactly `bias`. Output: (id, n_hits, score). */
+  def linearScore(df: org.apache.spark.sql.DataFrame, id: String, text: String,
+      model: org.apache.spark.sql.DataFrame, term: String = "term",
+      weight: String = "weight",
+      bias: java.math.BigDecimal = java.math.BigDecimal.ZERO)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(id), explode(tokens(lower(col(text)))).as("_t"))
+    val hits = toks.join(
+        broadcast(model.select(col(term).as("_t"),
+          col(weight).cast("decimal(18,6)").as("_w"))), Seq("_t"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_hits"), sum(col("_w")).as("_s"))
+    df.select(col(id)).join(hits, Seq(id), "left")
+      .select(col(id), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("_s"), lit(java.math.BigDecimal.ZERO).cast("decimal(18,6)"))
+          + lit(bias)).cast("decimal(28,6)").as("score"))
+  }
 }

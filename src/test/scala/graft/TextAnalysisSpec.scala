@@ -98,4 +98,21 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     val c1 = out((1L, 1L))._2.split(" ").toSeq
     assert(c0.takeRight(1) == c1.take(1))
   }
+
+  test("linearScore: count-weighted sum, bias-only on zero hits, case-folded") {
+    val docs = Seq(
+      (1L, "Good good stuff"),        // good×2 (case-folded) + stuff×1
+      (2L, "nothing matches here"),   // no model terms → bias only
+      (3L, "stuff")                   // stuff×1
+    ).toDF("doc_id", "text")
+    val model = Seq(("good", "0.500000"), ("stuff", "-0.250000"))
+      .toDF("term", "weight")
+      .select(col("term"), col("weight").cast("decimal(18,6)").as("weight"))
+    val got = TextAnalysis.linearScore(docs, "doc_id", "text", model,
+        bias = new java.math.BigDecimal("0.100000"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDecimal(2).toPlainString))).toMap
+    assert(got(1L) == ((3L, "0.850000")))  // 2·0.5 − 0.25 + 0.1
+    assert(got(2L) == ((0L, "0.100000")))
+    assert(got(3L) == ((1L, "-0.150000")))
+  }
 }
