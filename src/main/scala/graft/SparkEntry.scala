@@ -1728,6 +1728,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Greedy token-budget selection: fill a 10k-token training budget
+    // with the highest-stopword-density (quality proxy) docs first —
+    // hard ceiling, the first budget-crossing doc is cut. The order is
+    // total (score desc, doc_id); the Spark plan is the two-phase
+    // prefix sum over that order, never a single-partition window.
+    "pack_budget_select" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val scored = d.select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.wordOccurrences(lower(col("text")),
+            TextAnalysis.englishStopwords).as("stop_cnt"))
+        .withColumn("score", expr("(stop_cnt * 1000) div greatest(n_tokens, 1)"))
+      graft.ops.Packing.selectByTokenBudget(scored,
+          Seq(col("score").desc, col("doc_id").asc), "n_tokens", 10000L)
+        .select(col("doc_id"), col("n_tokens"), col("score"), col("cum_w"))
+        .orderBy("doc_id")
+    }),
+
     // X4m — linear model scoring (fasttext-style classifier APPLY): the
     // model is a (term, weight) table — here derived deterministically
     // from corpus term ranks so the gate is engine-exact (integer-valued
@@ -3116,6 +3134,27 @@ object SparkEntry {
         |  CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
         |    - n_tokens) / 5000.0) AS BIGINT) AS shard
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "pack_budget_select" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      w -> w IN ('the','a','an','and','or','of','to','in','is','it',
+        |                 'that','for','on','with','as','at','by','from'))) AS BIGINT) AS stop_cnt
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n_tokens, stop_cnt,
+        |    (stop_cnt * 1000) // greatest(n_tokens, 1) AS score
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, n_tokens, score,
+        |    CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_w
+        |  FROM s)
+        |SELECT doc_id, n_tokens, score, cum_w
+        |FROM c WHERE cum_w <= 10000
+        |ORDER BY doc_id""".stripMargin,
 
     "x4_model_score" ->
       """WITH w AS (

@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.TaskContext
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -40,8 +40,18 @@ object Packing {
     * where it STARTS, so every shard's content begins within budget.
     * `weight` must be non-negative; one output row per input row. */
   def assignShards(df: DataFrame, key: String, weight: String, budget: Long,
-      numPartitions: Int = 0): DataFrame = {
+      numPartitions: Int = 0): DataFrame =
+    assignShardsOrdered(df, Seq(col(key)), weight, budget, numPartitions)
+
+  /** [[assignShards]] generalized to an arbitrary total order (pass
+    * sort-ordered columns, e.g. `Seq(col("score").desc, col("id"))`) —
+    * the order MUST be total (tie-break with a unique id) or the prefix
+    * sum itself is ill-defined. Range partition indices ascend with the
+    * given order, so the offset table stays partition-id ordered. */
+  def assignShardsOrdered(df: DataFrame, order: Seq[Column], weight: String,
+      budget: Long, numPartitions: Int = 0): DataFrame = {
     require(budget > 0, s"shard budget must be positive, got $budget")
+    require(order.nonEmpty, "need at least one ordering column")
     val spark = df.sparkSession
     val parts = if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
@@ -59,8 +69,8 @@ object Packing {
     // blocks are instead reclaimed by the ContextCleaner once the
     // returned frame is dropped. Trade (as with Dedup.clusterPairs):
     // local checkpoints don't survive executor loss.
-    val ranged = normalized.repartitionByRange(parts, col(key))
-      .sortWithinPartitions(col(key))
+    val ranged = normalized.repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
       .localCheckpoint(true)
     // Phase 1+2: per-partition totals -> driver prefix sum. Range
     // partition indices ascend with the key range, so offset order is
@@ -90,6 +100,28 @@ object Packing {
       }
     }(Encoders.row(outSchema))
   }
+
+  /** Greedy token-budget selection — the corpus-curation step "fill an
+    * N-token training budget with the best documents first": order the
+    * corpus by `order` (a TOTAL order — tie-break with a unique id;
+    * best first) and keep the maximal prefix whose token total never
+    * exceeds `budget`. A document is kept iff its inclusive running sum
+    * `cum_w` ≤ budget, so the budget is a hard ceiling (the first
+    * crossing doc and everything after it are cut; a leading doc larger
+    * than the whole budget means an EMPTY selection — by contract, not
+    * a bug). Returns the surviving rows with `cum_w` (callers wanting
+    * "overflow-by-one" fill instead: keep `cum_w - weight < budget`).
+    *
+    * Scale shape: exactly [[assignShardsOrdered]] — one range exchange
+    * on the order key, per-partition totals to the driver (P rows), a
+    * narrow seeded fold — then a narrow filter. The 100 TB trap this
+    * avoids: a global `sum() OVER (ORDER BY score)` window, which plans
+    * as a single-partition sort. */
+  def selectByTokenBudget(df: DataFrame, order: Seq[Column], weight: String,
+      budget: Long, numPartitions: Int = 0): DataFrame =
+    assignShardsOrdered(df, order, weight, budget, numPartitions)
+      .filter(col("cum_w") <= budget)
+      .drop("shard")
 
   /** Sequence packing (concat-and-chunk): lay the corpus's token stream
     * end-to-end in `key` order and cut it into fixed `contextLen`

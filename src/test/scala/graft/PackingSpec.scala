@@ -83,4 +83,27 @@ class PackingSpec extends AnyFunSuite with SparkTestBase {
     val byDoc = expect.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
     ws.filter(_._2 > 0).foreach { case (k, w) => assert(byDoc(k) == w) }
   }
+
+  test("selectByTokenBudget: maximal best-first prefix, hard ceiling, desc order") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    val df = (1 to 400)
+      .map(i => (i.toLong, rng.nextInt(50).toLong, (rng.nextInt(30) + 1).toLong))
+      .toDF("id", "score", "w")
+    // naive single-threaded greedy PREFIX in (score desc, id) order: the
+    // running sum crosses the budget once and everything after is out
+    // (later small docs that would refit are NOT taken — prefix, not
+    // knapsack)
+    val rows = df.as[(Long, Long, Long)].collect().sortBy { case (id, sc, _) => (-sc, id) }
+    var cum = 0L
+    val expectPrefix = rows.map { case (id, _, w) => cum += w; id -> cum }
+      .takeWhile(_._2 <= 3000L).toMap
+    for (parts <- Seq(1, 5)) {
+      val got = graft.ops.Packing.selectByTokenBudget(df,
+          Seq(col("score").desc, col("id").asc), "w", 3000L, numPartitions = parts)
+        .select("id", "cum_w").as[(Long, Long)].collect().toMap
+      assert(got == expectPrefix, s"mismatch at numPartitions=$parts")
+      assert(got.values.max <= 3000L)
+    }
+  }
 }
