@@ -1728,6 +1728,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Deterministic weighted source interleaving (training-order
+    // mixing): stride scheduling on exact decimal ranks — a source with
+    // inv_w 0.5 appears twice as often as one with 1.0. Per-source rank
+    // comes from the distributed groupwise prefix rank, never a
+    // per-source single-reducer window. First 100 mixed positions gated.
+    "mix_interleave" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      val inv = d.select(col("source")).distinct()
+        .withColumn("inv_w", expr(
+          """CAST(CASE CAST(substring(source, 4) AS INT) % 3
+            |  WHEN 0 THEN 1.0 WHEN 1 THEN 0.5 ELSE 0.25 END AS DECIMAL(7,6))""".stripMargin))
+      graft.ops.Mixing.interleaveBySource(d, "source", Seq(col("doc_id")), inv)
+        .orderBy(col("mix_pos"), col("source"), col("grp_rank"))
+        .limit(100)
+        .select(col("doc_id"), col("source"), col("grp_rank"), col("mix_pos"))
+    }),
+
     // Greedy token-budget selection: fill a 10k-token training budget
     // with the highest-stopword-density (quality proxy) docs first —
     // hard ceiling, the first budget-crossing doc is cut. The order is
@@ -3134,6 +3151,21 @@ object SparkEntry {
         |  CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
         |    - n_tokens) / 5000.0) AS BIGINT) AS shard
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "mix_interleave" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS grp_rank
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, source, grp_rank,
+        |    CAST(CAST(grp_rank AS DECIMAL(28,6)) *
+        |      CAST(CASE CAST(substring(source, 4) AS INT) % 3
+        |           WHEN 0 THEN 1.0 WHEN 1 THEN 0.5 ELSE 0.25 END AS DECIMAL(7,6))
+        |      AS DECIMAL(28,6)) AS mix_pos
+        |  FROM r)
+        |SELECT doc_id, source, grp_rank, mix_pos
+        |FROM m ORDER BY mix_pos, source, grp_rank LIMIT 100""".stripMargin,
 
     "pack_budget_select" ->
       """WITH t AS (

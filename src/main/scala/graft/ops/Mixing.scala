@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+/** Deterministic multi-source corpus mixing — the training-order step
+  * that weaves documents from several sources into one stream at
+  * configured rates (stride scheduling: a source with twice the weight
+  * appears twice as often). Everything is exact arithmetic on ranks, so
+  * the mixed order is reproducible on any cluster, partitioning, or
+  * engine.
+  */
+object Mixing {
+
+  /** Per-group rank (1-based, dense in the given TOTAL `order`) WITHOUT
+    * a per-group single reducer: `row_number() OVER (PARTITION BY group
+    * ORDER BY ...)` puts each group's entire extent in ONE task — dead
+    * at 100 TB where one source can be most of the corpus. This is the
+    * groupwise form of the two-phase prefix sum instead:
+    *
+    *   1. range-partition + sort by `order` (partition index order ==
+    *      row order);
+    *   2. per-(partition, group) counts to the driver — P × G rows,
+    *      invariant of row count (mixing sources are dozens, not
+    *      millions; for millions of groups use a keyed window and
+    *      accept the shuffle);
+    *   3. per-partition fold seeded with each group's offset.
+    *
+    * Adds `grp_rank`; one output row per input row. */
+  def groupwiseRank(df: DataFrame, group: String, order: Seq[Column],
+      numPartitions: Int = 0): DataFrame = {
+    require(order.nonEmpty, "need at least one ordering column")
+    val spark = df.sparkSession
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // localCheckpoint: phases 2 and 3 must see the SAME sampled range
+    // boundaries (see Packing.assignShards for the full rationale)
+    val ranged = df.repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+      .localCheckpoint(true)
+    val counts = ranged
+      .select(spark_partition_id().as("_pid"), col(group))
+      .groupBy(col("_pid"), col(group))
+      .agg(count(lit(1)).as("_c"))
+      .collect() // P × G rows only
+    // offset of group g in partition p = total of g in partitions < p
+    val byGroup = counts.groupBy(_.get(1))
+    val offsets: Map[(Int, Any), Long] = byGroup.iterator.flatMap {
+      case (g, rows) =>
+        var acc = 0L
+        rows.sortBy(_.getInt(0)).map { r =>
+          val o = ((r.getInt(0), g), acc)
+          acc += r.getLong(2)
+          o
+        }
+    }.toMap
+    val offsetsB = spark.sparkContext.broadcast(offsets)
+    val gIdx = ranged.schema.fieldIndex(group)
+    val outSchema = ranged.schema.add("grp_rank", LongType)
+    ranged.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      val seen = scala.collection.mutable.HashMap.empty[Any, Long]
+      it.map { r =>
+        val g = r.get(gIdx)
+        val rank = seen.getOrElse(g, offsetsB.value.getOrElse((pid, g), 0L)) + 1L
+        seen(g) = rank
+        Row.fromSeq(r.toSeq :+ rank)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Weighted source interleaving by stride scheduling: item `rank` of a
+    * source with inverse weight `inv_w` sits at virtual position
+    * `mix_pos = rank · inv_w`; sorting by (mix_pos, source, rank) yields
+    * the mixed stream — a source with inv_w 0.5 appears twice per unit,
+    * one with 1.0 once. `invWeights` is a small (source, inv_w) table,
+    * broadcast; inv_w must be DECIMAL (exact products — double strides
+    * would tie-break on ulps and the mixed ORDER is the contract here).
+    * Sources missing from the table are dropped (mixture weight zero).
+    *
+    * Adds `grp_rank` (via [[groupwiseRank]] — no per-source single
+    * reducer) and `mix_pos`; the caller sorts/limits as needed (a
+    * training pipeline feeds the sort straight into sequence packing's
+    * range exchange). */
+  def interleaveBySource(df: DataFrame, source: String, order: Seq[Column],
+      invWeights: DataFrame, invCol: String = "inv_w",
+      numPartitions: Int = 0): DataFrame = {
+    val ranked = groupwiseRank(df, source, order, numPartitions)
+    ranked.join(
+        broadcast(invWeights.select(col(source),
+          col(invCol).cast(DecimalType(18, 6)).as("_iw"))), Seq(source))
+      .withColumn("mix_pos",
+        (col("grp_rank").cast(DecimalType(28, 6)) * col("_iw"))
+          .cast(DecimalType(28, 6)))
+      .drop("_iw")
+  }
+}
