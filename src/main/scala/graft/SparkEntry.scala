@@ -1872,6 +1872,24 @@ object SparkEntry {
         .orderBy("doc_id", "rk")
     }),
 
+    // Data quality — per-type z-score outlier census on event values,
+    // verdicts from the cross-multiplied integer form on cents (no
+    // double mean/variance: merge order and engine cannot flip a flag).
+    "dq_outliers_zscore" -> ((s, dir) => {
+      graft.ops.DataQuality.outliersZScore(
+          Tables.events(s, dir), "event_type", col("value"), z = 2)
+        .orderBy("event_type")
+    }),
+
+    // X4 — BM25 top terms: tf·idf's retrieval-grade sibling (saturating
+    // tf, doc-length normalization); same integer-until-the-formula +
+    // rank-over-rounded-score determinism contract.
+    "x4_bm25_top_terms" -> ((s, dir) => {
+      TextAnalysis.bm25TopTerms(
+          Tables.documents(s, dir).filter(col("doc_id") < 50), "doc_id", "text", 3)
+        .orderBy("doc_id", "rk")
+    }),
+
     // X2 — per-label centroid sums in exact fixed point (1e-6 floor →
     // long): associative integer sums are partition-order- and engine-
     // independent; this is the IVF centroid training step done honestly.
@@ -3351,6 +3369,48 @@ object SparkEntry {
         |     '\+?[0-9][0-9() -]{7,}[0-9]', '<PHONE>', 'g'),
         |   '[0-9]{6,}', '<ID>', 'g') AS clean_text
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+
+    "dq_outliers_zscore" ->
+      """WITH b AS (
+        |  SELECT event_type, CAST(round(value * 100) AS HUGEINT) AS vc
+        |  FROM events),
+        |st AS (
+        |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(vc) AS s, sum(vc * vc) AS ss
+        |  FROM b GROUP BY event_type),
+        |f AS (
+        |  SELECT b.event_type, vc,
+        |    (vc * n - s) * (vc * n - s) > 4 * (n * ss - s * s) AS isout
+        |  FROM b JOIN st USING (event_type))
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN isout THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  CAST(coalesce(sum(CASE WHEN isout THEN vc END), 0) AS BIGINT) AS outlier_cents
+        |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "x4_bm25_top_terms" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  FROM documents WHERE doc_id < 50),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM words
+        |  WHERE length(term) >= 4 GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents WHERE doc_id < 50),
+        |a AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term AS term, tf, df, dl,
+        |    round(ln(CAST(n_docs AS DOUBLE) / df) * (tf * (1.2 + 1.0)) /
+        |      (tf + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl)), 6) AS bm25
+        |  FROM tf JOIN dl USING (doc_id) JOIN df ON tf.term = df.term
+        |  CROSS JOIN n CROSS JOIN a),
+        |ranked AS (
+        |  SELECT doc_id, term, tf, df, dl, bm25,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY bm25 DESC, term ASC) AS BIGINT) AS rk
+        |  FROM scored)
+        |SELECT doc_id, term, tf, df, dl, bm25, rk FROM ranked
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
 
     "x4_tfidf_top_terms" ->
       """WITH words AS (

@@ -73,4 +73,39 @@ object DataQuality {
         coalesce(col("n_cur"), lit(0L)).as("n_cur"),
         round((p - q) * log((p + eps) / (q + eps)), 6).as("psi"))
   }
+
+  /** Per-group z-score outlier census with EXACT arithmetic: a value is
+    * an outlier iff (v − mean)² > z²·var (population variance), but
+    * evaluated in the cross-multiplied integer form
+    *
+    *   (v_c·n − s)² > z² · (n·ss − s²)
+    *
+    * on value CENTS (v_c = round(100·v), s = Σv_c, ss = Σv_c²) — no
+    * double mean or variance ever materializes, so the verdict cannot
+    * flap with partial-agg merge order, partitioning, or engine. The
+    * decimal(38,0) headroom holds to ~1e12 rows × ~1e5-cent values per
+    * group ((v_c·n)² ≲ 1e34); beyond that, pre-aggregate or bucket.
+    *
+    * Plan: one hash agg for (n, s, ss) per group, joined back (group
+    * cardinality is usually tiny — the optimizer broadcasts), a narrow
+    * flag, and a census agg — two group-keyed shuffles total. Returns
+    * (group, n, n_outliers, outlier_cents). */
+  def outliersZScore(df: DataFrame, group: String,
+      value: org.apache.spark.sql.Column, z: Int = 3): DataFrame = {
+    require(z > 0, s"z must be positive, got $z")
+    val base = df.select(col(group), round(value * 100).cast("decimal(38,0)").as("_vc"))
+    val stats = base.groupBy(col(group)).agg(
+      count(lit(1)).cast("decimal(38,0)").as("_n"),
+      sum(col("_vc")).as("_s"),
+      sum(col("_vc") * col("_vc")).as("_ss"))
+    val dev = col("_vc") * col("_n") - col("_s")
+    val flagged = base.join(stats, Seq(group))
+      .withColumn("_isout",
+        dev * dev > lit(z.toLong * z) * (col("_n") * col("_ss") - col("_s") * col("_s")))
+    flagged.groupBy(col(group)).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("_isout"), 1L).otherwise(0L)).as("n_outliers"),
+      coalesce(sum(when(col("_isout"), col("_vc"))), lit(0L).cast("decimal(38,0)"))
+        .cast("long").as("outlier_cents"))
+  }
 }

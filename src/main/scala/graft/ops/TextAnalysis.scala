@@ -162,6 +162,39 @@ object TextAnalysis {
       .select(col(id), col("term"), col("tf"), col("df"), col("tfidf"), col("rk"))
   }
 
+  /** BM25 top terms per document — tf·idf's retrieval-grade sibling
+    * with saturating tf and document-length normalization:
+    * `idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`. Same plan
+    * skeleton as [[tfidfTopTerms]] (three hash aggs + per-doc top-k
+    * window; tf/df/dl/N stay integer until the one double formula), and
+    * the same determinism contract: rank over the 6-dp ROUNDED score
+    * with a term tiebreak so a last-ulp `ln` difference between engines
+    * can't reorder. avgdl is a one-row broadcast (sum/count of integer
+    * doc lengths — an exactly-rounded IEEE divide both engines agree
+    * on), never a re-scan. */
+  def bm25TopTerms(df: org.apache.spark.sql.DataFrame, id: String, text: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75, minTokenLen: Int = 4)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = df.select(col(id), explode(tokens(lower(col(text)))).as("term"))
+      .filter(length(col("term")) >= minTokenLen)
+    val tf = words.groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col(id)).agg(sum(col("tf")).as("dl"))
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("_n_docs"))
+    val avg = dl.agg((sum(col("dl")).cast("double") / count(lit(1))).as("_avgdl"))
+    val scored = tf.join(dl, id).join(docFreq, "term")
+      .crossJoin(broadcast(nDocs)).crossJoin(broadcast(avg))
+      .withColumn("bm25", round(
+        log(col("_n_docs").cast("double") / col("df")) *
+          (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("_avgdl"))), 6))
+    val w = Window.partitionBy(col(id)).orderBy(col("bm25").desc, col("term").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col(id), col("term"), col("tf"), col("df"), col("dl"), col("bm25"), col("rk"))
+  }
+
   /** Chunk documents into fixed-token windows with overlap — the
     * context-window prep step of a training pipeline (a 100k-token doc
     * becomes ⌈100k/stride⌉ rows of ≤`chunkSize` tokens each, stride =

@@ -247,4 +247,30 @@ class QualitySamplingSpec extends AnyFunSuite with SparkTestBase {
     assert(out("c").getDouble(3) > 0.5)     // vanished mass drives PSI up
     assert(out.values.map(_.getDouble(3)).sum > 0.0)
   }
+
+  test("outliersZScore == exact BigInt reference; spike flags, uniform group clean") {
+    import spark.implicits._
+    val rng = new scala.util.Random(41)
+    val data = (1 to 300).map(i => ("g" + (i % 3), rng.nextInt(1000) / 100.0)) ++
+      Seq(("g0", 5000.0), ("g1", -4000.0)) // planted spikes
+    val df = data.toDF("g", "v")
+    // exact reference: same cross-multiplied form in BigInt
+    val byG = data.groupBy(_._1)
+    val expect = byG.map { case (g, rows) =>
+      val cents = rows.map { case (_, v) => BigInt(math.round(v * 100)) }
+      val (n, s) = (BigInt(cents.size), cents.sum)
+      val ss = cents.map(c => c * c).sum
+      val outs = cents.filter(c => (c * n - s).pow(2) > 4 * (n * ss - s * s))
+      g -> ((cents.size.toLong, outs.size.toLong, outs.sum.toLong))
+    }
+    val got = graft.ops.DataQuality.outliersZScore(df, "g", col("v"), z = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expect)
+    // the spikes are among the flags
+    assert(got("g0")._2 >= 1L && got("g1")._2 >= 1L)
+    // a constant group flags nothing (variance 0, strict >)
+    val const = (1 to 50).map(i => ("c", 7.25)).toDF("g", "v")
+    val cg = graft.ops.DataQuality.outliersZScore(const, "g", col("v")).collect().head
+    assert(cg.getLong(2) == 0L)
+  }
 }

@@ -115,4 +115,24 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(got(2L) == ((0L, "0.100000")))
     assert(got(3L) == ((1L, "-0.150000")))
   }
+
+  test("bm25TopTerms: rare beats common at equal tf; long docs are damped") {
+    val docs = Seq(
+      (1L, "rare common filler1 words words"),
+      (2L, "common filler2 other other tokens"),
+      (3L, "common filler3 more tokens here")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopTerms(docs, "doc_id", "text", 10, minTokenLen = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(5)).toMap
+    // 'rare' (df=1) must outscore 'common' (df=3) in doc 1 at tf=1 each
+    assert(out((1L, "rare")) > out((1L, "common")))
+    // same term, same tf: the doc with more terms scores lower (length norm)
+    // third doc without 'target' keeps idf > 0 (df < N)
+    val short = Seq((1L, "target pad1a pad2a"),
+      (2L, "target pad1b pad2b pad3b pad4b pad5b"),
+      (3L, "unrelated padding words")).toDF("doc_id", "text")
+    val o2 = TextAnalysis.bm25TopTerms(short, "doc_id", "text", 10)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(5)).toMap
+    assert(o2((1L, "target")) > o2((2L, "target")))
+  }
 }
