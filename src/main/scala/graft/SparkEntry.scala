@@ -1872,6 +1872,20 @@ object SparkEntry {
         .orderBy("doc_id", "rk")
     }),
 
+    // Distributed ntile/percent_rank/cume_dist — the SCALE form of
+    // window_ntile_deciles' documented quantile-bucket path: global rank
+    // from the weight-1 two-phase prefix sum (one range exchange), ANSI
+    // NTILE reproduced in integer arithmetic from (rank, n) — the
+    // single-reducer global Window never exists.
+    "window_ntile_distributed" -> ((s, dir) => {
+      graft.ops.Packing.ntileOrdered(
+          Tables.customer(s, dir).select(col("c_custkey"), col("c_acctbal")),
+          Seq(col("c_acctbal").desc, col("c_custkey").asc), 10)
+        .select(col("c_custkey"), col("rank"), col("bucket"),
+          col("pct_rank"), col("cume_dist"))
+        .orderBy("c_custkey")
+    }),
+
     // Data quality — per-type z-score outlier census on event values,
     // verdicts from the cross-multiplied integer form on cents (no
     // double mean/variance: merge order and engine cannot flip a flag).
@@ -3369,6 +3383,16 @@ object SparkEntry {
         |     '\+?[0-9][0-9() -]{7,}[0-9]', '<PHONE>', 'g'),
         |   '[0-9]{6,}', '<ID>', 'g') AS clean_text
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+
+    "window_ntile_distributed" ->
+      """SELECT c_custkey,
+        |  CAST(row_number() OVER w AS BIGINT) AS rank,
+        |  CAST(ntile(10) OVER w AS BIGINT) AS bucket,
+        |  round(percent_rank() OVER w, 9) AS pct_rank,
+        |  round(cume_dist() OVER w, 9) AS cume_dist
+        |FROM customer
+        |WINDOW w AS (ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
 
     "dq_outliers_zscore" ->
       """WITH b AS (

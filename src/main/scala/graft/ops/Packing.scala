@@ -101,6 +101,41 @@ object Packing {
     }(Encoders.row(outSchema))
   }
 
+  /** Distributed global ranking functions — `ntile` / `percent_rank` /
+    * `cume_dist` over a TOTAL order without the single-partition sort a
+    * global `Window.orderBy` plans: the rank is the weight-1 case of the
+    * two-phase prefix sum (`cum_w` of 1s == row rank in the order), and
+    * the bucket/percentile arithmetic is per-row from (rank, n).
+    *
+    * `bucket` reproduces ANSI NTILE exactly: with q = n div k and
+    * r = n mod k, the first r buckets carry q+1 rows — integer
+    * arithmetic, no doubles. `pct_rank` = (rank−1)/(n−1) and
+    * `cume_dist` = rank/n are single exactly-rounded IEEE divides both
+    * engines agree on (rounded to 9 dp for the hash gate; NULL
+    * pct_rank→0.0 when n == 1, matching SQL). n rides a one-row
+    * broadcast — never a second scan. */
+  def ntileOrdered(df: DataFrame, order: Seq[Column], k: Int,
+      numPartitions: Int = 0): DataFrame = {
+    require(k > 0, s"ntile bucket count must be positive, got $k")
+    val ranked = assignShardsOrdered(df.withColumn("_one", lit(1L)), order, "_one",
+        budget = Long.MaxValue, numPartitions)
+      .drop("_one", "shard")
+      .withColumnRenamed("cum_w", "rank")
+    val n = ranked.agg(count(lit(1)).as("_n"))
+    val i = col("rank") - 1L
+    val q = expr(s"_n div ${k}L")
+    val r = col("_n") % k
+    ranked.crossJoin(broadcast(n))
+      .withColumn("bucket",
+        when(i < r * (q + 1L), expr(s"(rank - 1L) div (_n div ${k}L + 1L)") + 1L)
+          .otherwise(r + expr(s"((rank - 1L) - (_n % ${k}L) * (_n div ${k}L + 1L)) div (_n div ${k}L)") + 1L))
+      .withColumn("pct_rank",
+        when(col("_n") === 1L, lit(0.0))
+          .otherwise(round(i.cast("double") / (col("_n") - 1L), 9)))
+      .withColumn("cume_dist", round(col("rank").cast("double") / col("_n"), 9))
+      .drop("_n")
+  }
+
   /** Greedy token-budget selection — the corpus-curation step "fill an
     * N-token training budget with the best documents first": order the
     * corpus by `order` (a TOTAL order — tie-break with a unique id;

@@ -84,6 +84,29 @@ class PackingSpec extends AnyFunSuite with SparkTestBase {
     ws.filter(_._2 > 0).foreach { case (k, w) => assert(byDoc(k) == w) }
   }
 
+  test("ntileOrdered == window ntile/percent_rank/cume_dist, ties broken, n<k, across partitions") {
+    import spark.implicits._
+    val rng = new scala.util.Random(17)
+    // heavy ties in the score column — the id tiebreak makes the order total
+    val df = (1 to 257).map(i => (i.toLong, rng.nextInt(9).toLong)).toDF("id", "score")
+    val w = Window.orderBy(col("score").desc, col("id").asc)
+    for (k <- Seq(10, 3, 300)) { // 300 > n exercises the q=0 branch
+      val expect = df.select(col("id"),
+          row_number().over(w).cast("long").as("rank"),
+          ntile(k).over(w).cast("long").as("bucket"),
+          round(percent_rank().over(w), 9).as("pr"),
+          round(cume_dist().over(w), 9).as("cd"))
+        .as[(Long, Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+      for (parts <- Seq(1, 4)) {
+        val got = graft.ops.Packing.ntileOrdered(df,
+            Seq(col("score").desc, col("id").asc), k, numPartitions = parts)
+          .select(col("id"), col("rank"), col("bucket"), col("pct_rank"), col("cume_dist"))
+          .as[(Long, Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+        assert(got == expect, s"mismatch at k=$k parts=$parts")
+      }
+    }
+  }
+
   test("selectByTokenBudget: maximal best-first prefix, hard ceiling, desc order") {
     import spark.implicits._
     val rng = new scala.util.Random(23)
