@@ -1872,6 +1872,31 @@ object SparkEntry {
         .orderBy("doc_id", "rk")
     }),
 
+    // X4v — BPE tokenizer training, distributed shape. The census query
+    // is the fully-oracled round-1 step: adjacent char-pair counts
+    // weighted by word frequency over the word census (the ONE
+    // corpus-scale op — every later training round runs at vocabulary
+    // scale). Top 20 by (count desc, pair asc).
+    "x4_bpe_pair_census" -> ((s, dir) => {
+      val vocab = TextAnalysis.wordVocab(Tables.documents(s, dir), "text")
+        .select(split(col("word"), "").as("sym"), col("cnt"))
+      TextAnalysis.bpePairCensus(vocab)
+        .orderBy(col("n").desc, col("a").asc, col("b").asc)
+        .limit(20)
+    }),
+
+    // X4v — the iterative trainer: 5 merge rounds on sf docs. The merge
+    // pass (leftmost-greedy array fold) has no faithful SQL twin — a
+    // string replace() resumes AFTER each replacement and misses merges
+    // sharing a boundary — so this is a rows-only gate; the spec pins
+    // the canonical reference example and round-1 == census argmax.
+    "x4_bpe_merges" -> ((s, dir) => {
+      val m = TextAnalysis.trainBpeMerges(
+        Tables.documents(s, dir).filter(col("doc_id") < 200), "text", 5)
+      import s.implicits._
+      m.toDF("merge_rank", "a", "b", "n")
+    }),
+
     // Distributed ntile/percent_rank/cume_dist — the SCALE form of
     // window_ntile_deciles' documented quantile-bucket path: global rank
     // from the weight-1 two-phase prefix sum (one range exchange), ANSI
@@ -3383,6 +3408,19 @@ object SparkEntry {
         |     '\+?[0-9][0-9() -]{7,}[0-9]', '<PHONE>', 'g'),
         |   '[0-9]{6,}', '<ID>', 'g') AS clean_text
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+
+    "x4_bpe_pair_census" ->
+      """WITH w AS (
+        |  SELECT word, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+        |    FROM documents)
+        |  WHERE word <> '' GROUP BY word),
+        |p AS (
+        |  SELECT substr(word, i, 1) AS a, substr(word, i + 1, 1) AS b, cnt
+        |  FROM w, unnest(range(1, len(word))) t(i)
+        |  WHERE len(word) >= 2)
+        |SELECT a, b, CAST(sum(cnt) AS BIGINT) AS n
+        |FROM p GROUP BY a, b ORDER BY n DESC, a, b LIMIT 20""".stripMargin,
 
     "window_ntile_distributed" ->
       """SELECT c_custkey,

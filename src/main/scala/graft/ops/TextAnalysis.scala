@@ -195,6 +195,96 @@ object TextAnalysis {
       .select(col(id), col("term"), col("tf"), col("df"), col("dl"), col("bm25"), col("rk"))
   }
 
+  /** X4v — BPE tokenizer training, the distributed shape. The corpus is
+    * touched ONCE (word census: explode + one hash agg); every training
+    * round after that runs at VOCABULARY scale — distinct words × their
+    * counts — which is what makes iterative BPE tractable over 100 TB:
+    * the loop's frames are ~1e6-1e7 rows regardless of corpus size.
+    * [[bpePairCensus]] counts adjacent symbol pairs weighted by word
+    * frequency (pairs never cross word boundaries); [[bpeMergePair]]
+    * applies one merge as the standard leftmost-greedy scan, expressed
+    * as an `aggregate` HOF fold over each word's symbol array —
+    * interpreted, but only ever over vocab-scale rows. */
+  def wordVocab(df: org.apache.spark.sql.DataFrame, text: String)
+      : org.apache.spark.sql.DataFrame =
+    df.select(explode(tokens(lower(col(text)))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+
+  /** Adjacent-pair census over a (sym: array<string>, cnt) vocabulary:
+    * one row per distinct pair with its frequency-weighted count. Pairs
+    * are (a, b) columns — never concatenated, so ("ab","c") and
+    * ("a","bc") stay distinct. */
+  def bpePairCensus(vocab: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    vocab
+      .filter(size(col("sym")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("sym")) - 2),
+        i => struct(element_at(col("sym"), i + 1).as("a"),
+          element_at(col("sym"), i + 2).as("b")))).as("_p"), col("cnt"))
+      .groupBy(col("_p.a").as("a"), col("_p.b").as("b"))
+      .agg(sum(col("cnt")).as("n"))
+
+  /** One BPE merge pass (leftmost-greedy, non-overlapping — "aaa" under
+    * (a,a) becomes [aa, a]): the carry-fold over the symbol array. The
+    * empty string is the no-carry sentinel (symbols are never empty by
+    * construction). */
+  def bpeMergePair(vocab: org.apache.spark.sql.DataFrame, a: String, b: String)
+      : org.apache.spark.sql.DataFrame = {
+    require(a.nonEmpty && b.nonEmpty, "merge symbols must be non-empty")
+    val merged = aggregate(
+      col("sym"),
+      struct(array().cast("array<string>").as("arr"), lit("").as("carry")),
+      (acc, s) =>
+        when(acc.getField("carry") === a && s === b,
+          struct(concat(acc.getField("arr"), array(lit(a + b))).as("arr"),
+            lit("").as("carry")))
+        .otherwise(struct(
+          when(acc.getField("carry") === "", acc.getField("arr"))
+            .otherwise(concat(acc.getField("arr"), array(acc.getField("carry"))))
+            .as("arr"),
+          s.as("carry"))),
+      acc =>
+        when(acc.getField("carry") === "", acc.getField("arr"))
+          .otherwise(concat(acc.getField("arr"), array(acc.getField("carry")))))
+    vocab.withColumn("sym", merged)
+  }
+
+  /** Train `nMerges` BPE merges: word census (the one corpus-scale op),
+    * char-split, then per round census → argmax (count desc, (a,b) asc
+    * tiebreak — deterministic) → merge. The driver sees ONE row per
+    * round; the loop frames are vocab-scale and re-persisted per round
+    * (previous round freed). Returns the merge table
+    * (merge_rank, a, b, n). */
+  def trainBpeMerges(df: org.apache.spark.sql.DataFrame, text: String,
+      nMerges: Int): Seq[(Int, String, String, Long)] = {
+    import org.apache.spark.storage.StorageLevel
+    var vocab = wordVocab(df, text)
+      .select(split(col("word"), "").as("sym"), col("cnt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    vocab.count()
+    val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    var r = 0
+    var done = false
+    while (r < nMerges && !done) {
+      val top = bpePairCensus(vocab)
+        .orderBy(col("n").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r + 1, a, b, n))
+        val next = bpeMergePair(vocab, a, b).persist(StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        vocab.unpersist()
+        vocab = next
+        r += 1
+      }
+    }
+    vocab.unpersist()
+    merges.toList
+  }
+
   /** Chunk documents into fixed-token windows with overlap — the
     * context-window prep step of a training pipeline (a 100k-token doc
     * becomes ⌈100k/stride⌉ rows of ≤`chunkSize` tokens each, stride =

@@ -18,7 +18,12 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkTestBase {
     // approx sketch values are impl-defined (HLL++/GK); bounds unit-tested
     "sketch_approx_events",
     // seeded RNG draw is engine-defined; fractions unit-tested
-    "x1_stratified_sample")
+    "x1_stratified_sample",
+    // iterative BPE merge pass has no faithful SQL twin (replace()
+    // resumes after each replacement and misses boundary-sharing
+    // merges); round-1 argmax == the fully-oracled census, and the
+    // canonical reference example is pinned in TextAnalysisSpec
+    "x4_bpe_merges")
 
   test("every query has an oracle or a documented exemption") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- noOracleAllowed

@@ -135,4 +135,32 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(5)).toMap
     assert(o2((1L, "target")) > o2((2L, "target")))
   }
+
+  test("BPE: canonical merges on the Sennrich-style corpus; greedy merge pass") {
+    // low×5 lower×2 newest×6 widest×3 → merges: (e,s,9) then (es,t,9)
+    // then (l,o,7) — the textbook sequence, ties broken (a,b)-ascending
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val docs = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val merges = TextAnalysis.trainBpeMerges(docs, "text", 3)
+    assert(merges == Seq((1, "e", "s", 9L), (2, "es", "t", 9L), (3, "l", "o", 7L)))
+    // round-1 argmax must equal the fully-oracled census's top row
+    val vocab = TextAnalysis.wordVocab(docs, "text")
+      .select(split(col("word"), "").as("sym"), col("cnt"))
+    val top = TextAnalysis.bpePairCensus(vocab)
+      .orderBy(col("n").desc, col("a").asc, col("b").asc).limit(1)
+      .collect().head
+    assert((top.getString(0), top.getString(1), top.getLong(2)) == (("e", "s", 9L)))
+    // leftmost-greedy non-overlap: "aaa" under (a,a) → [aa, a]
+    val g = TextAnalysis.bpeMergePair(
+        Seq((Seq("a", "a", "a"), 1L)).toDF("sym", "cnt"), "a", "a")
+      .collect().head.getSeq[String](0)
+    assert(g == Seq("aa", "a"))
+    // merged symbols stay atomic: [x, ab] under (a,b) is untouched
+    val h = TextAnalysis.bpeMergePair(
+        Seq((Seq("x", "ab"), 1L)).toDF("sym", "cnt"), "a", "b")
+      .collect().head.getSeq[String](0)
+    assert(h == Seq("x", "ab"))
+  }
 }
