@@ -118,4 +118,21 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
     assert(scans == 3, s"expected 3 evaluations of the narrow generator, saw $scans")
   }
+
+  test("model score: the model rides a broadcast join, corpus never sort-merges") {
+    val p = plan("x4_model_score")
+    assert(p.contains("BroadcastHashJoin"), "model join must broadcast")
+    // the corpus side of the apply must not be shuffled for the join;
+    // the only acceptable SMJ would be none at all
+    assert(!p.contains("SortMergeJoin"), "corpus must not shuffle to meet the model")
+  }
+
+  test("distributed ntile: no Window operator exists anywhere in the plan") {
+    // the entire point of the op: the single-reducer global Window the
+    // naive form plans is absent — rank came from the prefix sum (behind
+    // the checkpoint) and n rides a broadcast join
+    val p = plan("window_ntile_distributed")
+    assert(!p.contains("Window"), "scale path must not contain a Window operator")
+    assert(p.contains("Broadcast"), "n must arrive via a one-row broadcast")
+  }
 }
