@@ -1872,6 +1872,31 @@ object SparkEntry {
         .orderBy("doc_id", "rk")
     }),
 
+    // X6 — malformed-record salvage (PERMISSIVE ingestion): from_json
+    // with a corrupt-record column — bad records land whole in the
+    // channel with all data fields NULL, good records parse, and the
+    // batch never fails (the production alternative to FAILFAST's
+    // all-or-nothing and DROPMALFORMED's silent loss). Every 7th row's
+    // JSON is deliberately truncated; both engines build the identical
+    // strings so corruption is data, not chance.
+    "x6_json_salvage" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val d = Tables.documents(s, dir)
+      val good = concat(lit("{\"id\": "), col("doc_id"),
+        lit(", \"lang\": \""), col("lang"), lit("\"}"))
+      val bad = concat(lit("{\"id\": "), col("doc_id"),
+        lit(", \"lang\": \""), col("lang")) // unterminated — malformed
+      val schema = StructType(Seq(StructField("id", LongType),
+        StructField("lang", StringType), StructField("_bad", StringType)))
+      d.select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, bad).otherwise(good).as("raw"))
+        .withColumn("p", from_json(col("raw"), schema,
+          Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_bad")))
+        .select(col("doc_id"), col("p.id").as("parsed_id"),
+          col("p.lang").as("parsed_lang"), col("p._bad").isNotNull.as("is_corrupt"))
+        .orderBy("doc_id")
+    }),
+
     // X4v — BPE tokenizer training, distributed shape. The census query
     // is the fully-oracled round-1 step: adjacent char-pair counts
     // weighted by word frequency over the word census (the ONE
@@ -3408,6 +3433,21 @@ object SparkEntry {
         |     '\+?[0-9][0-9() -]{7,}[0-9]', '<PHONE>', 'g'),
         |   '[0-9]{6,}', '<ID>', 'g') AS clean_text
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+
+    "x6_json_salvage" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN '{"id": ' || doc_id || ', "lang": "' || lang
+        |      ELSE '{"id": ' || doc_id || ', "lang": "' || lang || '"}' END AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN json_valid(raw)
+        |    THEN CAST(json_extract(raw, '$.id') AS BIGINT) END AS parsed_id,
+        |  CASE WHEN json_valid(raw)
+        |    THEN json_extract_string(raw, '$.lang') END AS parsed_lang,
+        |  NOT json_valid(raw) AS is_corrupt
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "x4_bpe_pair_census" ->
       """WITH w AS (
