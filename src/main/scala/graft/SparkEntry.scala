@@ -1872,6 +1872,37 @@ object SparkEntry {
         .orderBy("doc_id", "rk")
     }),
 
+    // Equi-depth histogram without a global sort: decile boundaries of
+    // order totals from the distributed ntile (prefix-sum rank), then a
+    // per-bucket census — the profiling shape for partition/range design
+    // at scale. Cents keep the gate integer-exact.
+    "agg_equidepth_hist" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      graft.ops.Packing.ntileOrdered(o,
+          Seq(col("cents").asc, col("o_orderkey").asc), 10)
+        .groupBy("bucket").agg(count(lit(1)).as("n"),
+          min("cents").as("lo"), max("cents").as("hi"))
+        .orderBy("bucket")
+    }),
+
+    // Deterministic MODE per group: most frequent order priority per
+    // status, ties broken toward the smallest value — min_by over the
+    // (-count, value) struct, one extra hash agg over the count table
+    // (never a sort). Spark's own mode() is tie-nondeterministic; this
+    // is the engine-portable form.
+    "agg_mode_priority" -> ((s, dir) => {
+      val counts = Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+      counts.groupBy(col("o_orderstatus"))
+        .agg(min_by(col("o_orderpriority"),
+            struct((-col("cnt")).as("a"), col("o_orderpriority").as("b")))
+          .as("mode_priority"),
+          max(col("cnt")).as("mode_n"))
+        .orderBy("o_orderstatus")
+    }),
+
     // X6 — malformed-record salvage (PERMISSIVE ingestion): from_json
     // with a corrupt-record column — bad records land whole in the
     // channel with all data fields NULL, good records parse, and the
@@ -3433,6 +3464,29 @@ object SparkEntry {
         |     '\+?[0-9][0-9() -]{7,}[0-9]', '<PHONE>', 'g'),
         |   '[0-9]{6,}', '<ID>', 'g') AS clean_text
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+
+    "agg_equidepth_hist" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |b AS (
+        |  SELECT cents,
+        |    CAST(ntile(10) OVER (ORDER BY cents, o_orderkey) AS BIGINT) AS bucket
+        |  FROM t)
+        |SELECT bucket, count(*) AS n, min(cents) AS lo, max(cents) AS hi
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "agg_mode_priority" ->
+      """WITH c AS (
+        |  SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (
+        |  SELECT o_orderstatus, o_orderpriority, cnt,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY cnt DESC, o_orderpriority) AS rk
+        |  FROM c)
+        |SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS mode_n
+        |FROM r WHERE rk = 1 ORDER BY o_orderstatus""".stripMargin,
 
     "x6_json_salvage" ->
       """WITH r AS (
