@@ -92,6 +92,45 @@ object ScaleProbe {
         graft.ops.Dedup.editDistancePairsDeletes(shortFields, "doc_id", "name",
           Seq("lang"), maxDist = 2).count()
       }
+      time("span_scrub") {
+        graft.ops.Dedup.scrubDuplicatedSpans(docs, "doc_id", "text", n = 5).count()
+      }
+      time("pack_sequences") {
+        graft.ops.Packing.packSequences(
+          docs.select(col("doc_id"),
+            graft.ops.TextAnalysis.tokenCount(col("text")).as("w")),
+          "doc_id", "w", 256L).count()
+      }
+      time("budget_select") {
+        val scored = docs.select(col("doc_id"),
+            graft.ops.TextAnalysis.tokenCount(col("text")).as("w"))
+          .withColumn("score", col("w") % 97)
+        graft.ops.Packing.selectByTokenBudget(scored,
+          Seq(col("score").desc, col("doc_id").asc), "w", n * 30L).count()
+      }
+      time("mix_interleave") {
+        val inv = docs.select(col("lang")).distinct()
+          .withColumn("inv_w", lit(new java.math.BigDecimal("0.500000")))
+        graft.ops.Mixing.interleaveBySource(
+          docs.select(col("doc_id"), col("lang")), "lang",
+          Seq(col("doc_id")), inv).count()
+      }
+      time("ntile_distributed") {
+        graft.ops.Packing.ntileOrdered(
+          docs.select(col("doc_id"), xxhash64(col("text")).as("h")),
+          Seq(col("h").asc, col("doc_id").asc), 100).count()
+      }
+      time("bpe_merges_3") {
+        graft.ops.TextAnalysis.trainBpeMerges(docs, "text", 3).size.toLong
+      }
+      time("model_score") {
+        val model = docs
+          .select(explode(graft.ops.TextAnalysis.tokens(lower(col("text")))).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("term").asc).limit(100)
+          .select(col("term"), (col("cnt") % 10).cast("decimal(18,6)").as("weight"))
+        graft.ops.TextAnalysis.linearScore(docs, "doc_id", "text", model).count()
+      }
       time("cluster_survivors") {
         val a = docs.select(col("doc_id").as("id_a"),
           graft.expr.WordShingleHashes(col("text"), 3, distinct = true).as("_sa"))
