@@ -1928,6 +1928,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // X4 — regex pretokenization census (the BPE-ish tokenizer's first
+    // stage): per-doc pretoken count + per-class (letters/digits/punct)
+    // counts; the pattern subset behaves identically under Java regex
+    // and RE2 so the gate is engine-exact.
+    "x4_pretokenize" -> ((s, dir) => {
+      val t = lower(col("text"))
+      Tables.documents(s, dir).select(col("doc_id"),
+          size(TextAnalysis.pretokenize(col("text"))).cast("long").as("n_pretokens"),
+          size(regexp_extract_all(t, lit("[a-z]+"), lit(0))).cast("long").as("n_alpha"),
+          size(regexp_extract_all(t, lit("[0-9]+"), lit(0))).cast("long").as("n_num"),
+          size(regexp_extract_all(t, lit("[^a-z0-9 ]+"), lit(0))).cast("long").as("n_other"))
+        .orderBy("doc_id")
+    }),
+
     // X4v — BPE tokenizer training, distributed shape. The census query
     // is the fully-oracled round-1 step: adjacent char-pair counts
     // weighted by word frequency over the word census (the ONE
@@ -3502,6 +3516,14 @@ object SparkEntry {
         |    THEN json_extract_string(raw, '$.lang') END AS parsed_lang,
         |  NOT json_valid(raw) AS is_corrupt
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "x4_pretokenize" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]+')) AS BIGINT) AS n_pretokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_alpha,
+        |  CAST(len(regexp_extract_all(lower(text), '[0-9]+')) AS BIGINT) AS n_num,
+        |  CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]+')) AS BIGINT) AS n_other
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "x4_bpe_pair_census" ->
       """WITH w AS (

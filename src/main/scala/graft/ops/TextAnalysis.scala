@@ -195,6 +195,17 @@ object TextAnalysis {
       .select(col(id), col("term"), col("tf"), col("df"), col("dl"), col("bm25"), col("rk"))
   }
 
+  /** GPT-2-style regex pretokenization, the engine-portable subset:
+    * letter runs, digit runs, and punctuation runs (the full GPT-2
+    * pattern's contraction/unicode classes need lookarounds that RE2
+    * engines reject — this subset behaves identically under Java regex
+    * and RE2, which is what makes it oracle-able AND portable). The
+    * per-class counts are the tokenizer-budget accounting inputs. */
+  val pretokenPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]+"
+
+  def pretokenize(text: Column): Column =
+    regexp_extract_all(lower(text), lit(pretokenPattern), lit(0))
+
   /** X4v — BPE tokenizer training, the distributed shape. The corpus is
     * touched ONCE (word census: explode + one hash agg); every training
     * round after that runs at VOCABULARY scale — distinct words × their
