@@ -1585,10 +1585,7 @@ object SparkEntry {
 
     // Funnel analysis over the event stream: first view → first click
     // AFTER that view → first purchase AFTER that click, per user;
-    // stage counts are the funnel. Each stage is one hash agg + one
-    // broadcast of the (shrinking) per-user frontier — the fact table
-    // is scanned per stage but never self-joined row-to-row.
-    // Funnel in ONE pass: per-user events (3 relevant types only)
+    // stage counts are the funnel. Funnel in ONE pass: per-user events (3 relevant types only)
     // collected time-sorted, then a native `aggregate` fold walks the
     // history carrying (t_view, t_click, t_purchase) — first view,
     // first click strictly after it, first purchase strictly after
@@ -3289,7 +3286,7 @@ object SparkEntry {
         |    CAST(CAST(grp_rank AS DECIMAL(28,6)) *
         |      CAST(CASE CAST(substring(source, 4) AS INT) % 3
         |           WHEN 0 THEN 1.0 WHEN 1 THEN 0.5 ELSE 0.25 END AS DECIMAL(7,6))
-        |      AS DECIMAL(28,6)) AS mix_pos
+        |      AS DECIMAL(18,6)) AS mix_pos
         |  FROM r)
         |SELECT doc_id, source, grp_rank, mix_pos
         |FROM m ORDER BY mix_pos, source, grp_rank LIMIT 100""".stripMargin,
@@ -3336,7 +3333,7 @@ object SparkEntry {
         |  SELECT t.doc_id, count(*) AS n_hits, sum(m.weight) AS s
         |  FROM t JOIN m USING (term) GROUP BY t.doc_id)
         |SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
-        |  CAST(coalesce(h.s, 0) AS DECIMAL(28,6)) AS score
+        |  CAST(coalesce(h.s, 0) AS DECIMAL(18,6)) AS score
         |FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 

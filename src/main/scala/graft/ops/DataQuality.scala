@@ -99,9 +99,22 @@ object DataQuality {
       sum(col("_vc")).as("_s"),
       sum(col("_vc") * col("_vc")).as("_ss"))
     val dev = col("_vc") * col("_n") - col("_s")
+    val lhs = dev * dev
+    val rhs = lit(z.toLong * z) * (col("_n") * col("_ss") - col("_s") * col("_s"))
+    // Past the documented ~1e34 headroom, decimal(38,0) products go NULL
+    // under non-ANSI semantics — which would silently UNFLAG the most
+    // extreme outliers (NULL reads as not-outlier). Overflow must abort
+    // the job, not launder the verdict: a NULL product on a non-NULL
+    // input value can only be overflow, so raise there.
     val flagged = base.join(stats, Seq(group))
       .withColumn("_isout",
-        dev * dev > lit(z.toLong * z) * (col("_n") * col("_ss") - col("_s") * col("_s")))
+        when(col("_vc").isNull, lit(false))
+          .when(lhs.isNull || rhs.isNull,
+            raise_error(concat(
+              lit("outliersZScore: decimal(38,0) overflow in group '"),
+              col(group).cast("string"),
+              lit("' — pre-aggregate or bucket the group"))).cast("boolean"))
+          .otherwise(lhs > rhs))
     flagged.groupBy(col(group)).agg(
       count(lit(1)).as("n"),
       sum(when(col("_isout"), 1L).otherwise(0L)).as("n_outliers"),

@@ -44,7 +44,16 @@ object Mixing {
       .select(spark_partition_id().as("_pid"), col(group))
       .groupBy(col("_pid"), col(group))
       .agg(count(lit(1)).as("_c"))
-      .collect() // P × G rows only
+      .collect() // P × G rows only — guarded below
+    // The driver map is O(P × G). The contract is "dozens of sources";
+    // a high-cardinality group column must fail loudly here, not OOM the
+    // driver silently. Callers with many groups want
+    // row_number().over(Window.partitionBy(group)) — the per-key shuffle
+    // is then the right trade.
+    require(counts.length <= 1000000,
+      s"groupwiseRank: ${counts.length} (partition, group) pairs exceed the " +
+      "driver-side bound (1e6); the group column is too high-cardinality " +
+      "for stride mixing — use a keyed window (partitionBy(group)) instead")
     // offset of group g in partition p = total of g in partitions < p
     val byGroup = counts.groupBy(_.get(1))
     val offsets: Map[(Int, Any), Long] = byGroup.iterator.flatMap {
@@ -91,9 +100,14 @@ object Mixing {
     ranked.join(
         broadcast(invWeights.select(col(source),
           col(invCol).cast(DecimalType(18, 6)).as("_iw"))), Seq(source))
+      // mix_pos precision must stay <= 18: parquet stores such decimals
+      // as INT64, which every reader hashes identically; precision > 18
+      // becomes FIXED_LEN_BYTE_ARRAY where engines disagree on
+      // normalization. 18,6 holds ranks to 1e12 — far past any real
+      // per-source corpus extent.
       .withColumn("mix_pos",
         (col("grp_rank").cast(DecimalType(28, 6)) * col("_iw"))
-          .cast(DecimalType(28, 6)))
+          .cast(DecimalType(18, 6)))
       .drop("_iw")
   }
 }

@@ -358,9 +358,14 @@ object TextAnalysis {
           col(weight).cast("decimal(18,6)").as("_w"))), Seq("_t"))
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_hits"), sum(col("_w")).as("_s"))
+    // score precision must stay <= 18: parquet keeps such decimals as
+    // INT64 (portable, hash-stable across readers); precision > 18 goes
+    // FIXED_LEN_BYTE_ARRAY where normalization is engine-specific. A
+    // classifier score is |w|-bounded per hit, so 12 integer digits is
+    // ample headroom.
     df.select(col(id)).join(hits, Seq(id), "left")
       .select(col(id), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("_s"), lit(java.math.BigDecimal.ZERO).cast("decimal(18,6)"))
-          + lit(bias)).cast("decimal(28,6)").as("score"))
+          + lit(bias)).cast("decimal(18,6)").as("score"))
   }
 }

@@ -111,12 +111,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     // regression (the final presentation Sort rides the tiny output)
     assert(!p.contains("Window"), "span pipeline must not sort the span stream")
     assert(p.contains("HashAggregate"))
-    // the deliberate trade: the narrow span generator is evaluated in
-    // both branches of the dup-key join (3 scan nodes: base stats +
-    // probe side + dup-key agg) rather than materializing a
-    // corpus-sized span table; a 4th scan would mean a lost branch
+    // the deliberate trade: the narrow span generator is re-evaluated
+    // per branch of the dup-key join (base stats + probe side + dup-key
+    // agg) rather than materializing a corpus-sized span table. Pinning
+    // the EXACT scan count was brittle against explain-format/AQE drift;
+    // the real regressions are (a) collapsing branches by caching a
+    // corpus-sized span table, (b) losing a branch entirely — so assert
+    // re-evaluation happens (>= 3 scans) and nothing is cached.
     val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
-    assert(scans == 3, s"expected 3 evaluations of the narrow generator, saw $scans")
+    assert(scans >= 3, s"expected >=3 evaluations of the narrow generator, saw $scans")
+    assert(!p.contains("InMemoryRelation") && !p.contains("InMemoryTableScan"),
+      "span table must never be cached — it is corpus-sized")
   }
 
   test("model score: the model rides a broadcast join, corpus never sort-merges") {
