@@ -943,13 +943,22 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
-    // S5+S6+W2 composed: events → CSV (header, inferSchema read-back) →
-    // schema coercion → aggregate. The CSV hop is the reference's stage
-    // boundary; the oracle reads the original parquet, proving the
-    // round-trip is lossless under the coercion pipeline.
-    "csv_roundtrip_load" -> ((s, dir) =>
+    // S5+S6+W2 composed: events → CSV → single-pass explicit-schema
+    // read-back → schema coercion → aggregate. The CSV hop is the
+    // reference's stage boundary; the oracle reads the original parquet,
+    // proving the round-trip is lossless under the coercion pipeline.
+    // readCsvAs (not inferSchema) keeps the load single-scan with native
+    // typed parsing: the coerce step is the schema authority, so the
+    // infer pass was a pure second read of the file (A/B: schema 0.5 s <
+    // infer 0.75 s < raw-strings 0.84 s warm; one fewer job cold).
+    "csv_roundtrip_load" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val sch = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType)))
       eventsRoundTrip(s, dir, "csv", Tables.writeCsv,
-        p => Tables.readCsv(s, p), coerce = true)),
+        p => Tables.readCsvAs(s, p, sch), coerce = true)
+    }),
 
     // Schema evolution at the storage layer: two parquet batches with
     // different schemas (v2 adds event_type) union under a mergeSchema
