@@ -439,9 +439,14 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
-    // X2 scale path — int8-scored ANN with float rerank (proxy-score
-    // ranking can reorder near-ties ⇒ rows-only; recall floor vs exact
-    // asserted in SimilaritySpec).
+    // X2 scale path — int8-scored ANN with float rerank. Hash-gated
+    // against the EXACT top-k oracle: the k·rerank proxy shortlist keeps
+    // the true top-k whenever the int8 score error (≤ scale/2 per
+    // component) is smaller than the k-th/shortlist-edge gap — which the
+    // fixture satisfies at every SF (verified bit-equal to
+    // x2_topk_cosine at .001/.01/.1), so the full pipeline equals brute
+    // force and inherits its SQL twin. A margin collapse would flip the
+    // gate red — that is the gate working.
     "x2_ann_quantized" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val q = e.filter(col("vec_id") % 100 === 0)
@@ -449,13 +454,22 @@ object SparkEntry {
         .orderBy("qid", "rk")
     }),
 
-    // X2 scale path — LSH-bucketed ANN top-k (recall<1 ⇒ no SQL oracle;
-    // driver records rows-only).
+    // X2 scale path — LSH-bucketed ANN, hash-gated through the verdict
+    // table (Similarity.annVerdict): the neighbor list itself has no SQL
+    // twin, but its correctness properties do. Recall floor is 1% of the
+    // exact pairs: the fixture's embeddings are RANDOM vectors, so a
+    // 6-plane bucket holds a true neighbor only at the ~k/64 collision
+    // rate — low recall here is the geometry of the fixture, not the
+    // index (a clustered corpus concentrates buckets); the floor pins
+    // "the bucket path finds real neighbors at all" plus the exact
+    // re-rank and rank-shape contracts, which are recall-independent.
     "x2_ann_lsh" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val q = e.filter(col("vec_id") % 100 === 0)
-      Similarity.lshBucketTopK(q, e, "vec_id", "embedding", 5, planes = 6)
-        .orderBy("qid", "rk")
+      val ann = Similarity.lshBucketTopK(q, e, "vec_id", "embedding", 5, planes = 6)
+      Similarity.annVerdict(q, e, "vec_id", "embedding", 5, ann,
+          minOverlapPct = 1)
+        .orderBy("qid")
     }),
 
     // X3 — MinHash+LSH near-dup candidates w/ exact-Jaccard verify
@@ -1093,27 +1107,35 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
-    // X2 scale path — IVF ANN (inverted lists; recall<1 ⇒ rows-only).
+    // X2 scale path — IVF ANN, hash-gated through the verdict table.
+    // 3-of-16 probes on random vectors lands a steady ~44% of the exact
+    // pairs at every SF (measured .001/.01/.1); floor 30% leaves noise
+    // margin while still catching a probe-path or list-assignment break.
     "x2_ann_ivf" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val q = e.filter(col("vec_id") % 100 === 0)
-      graft.ops.Similarity.ivfTopK(q, e, "vec_id", "embedding", 5,
-          nCentroids = 16, nprobe = 3)
-        .orderBy("qid", "rk")
+      val ann = graft.ops.Similarity.ivfTopK(q, e, "vec_id", "embedding", 5,
+        nCentroids = 16, nprobe = 3)
+      Similarity.annVerdict(q, e, "vec_id", "embedding", 5, ann,
+          minOverlapPct = 30)
+        .orderBy("qid")
     }),
 
     // IVF with TRAINED centroids (distributed deterministic k-means)
     // instead of the stub quantizer — the production IVF pipeline:
-    // train on the corpus, assign lists, probe. Rows-only gate; recall
-    // floors vs exact top-k are asserted in SimilaritySpec.
+    // train on the corpus, assign lists, probe.
     "x2_ann_ivf_kmeans" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val q = e.filter(col("vec_id") % 100 === 0)
       val cents = graft.ops.Similarity.trainKMeans(e, "vec_id", "embedding",
         k = 16, iters = 3)
-      graft.ops.Similarity.ivfTopKWith(q, e, "vec_id", "embedding", 5,
-          cents, nprobe = 3)
-        .orderBy("qid", "rk")
+      val ann = graft.ops.Similarity.ivfTopKWith(q, e, "vec_id", "embedding", 5,
+        cents, nprobe = 3)
+      // hash-gated like x2_ann_ivf; trained centroids hold the same
+      // ~44-48% measured recall band, floor 30%
+      Similarity.annVerdict(q, e, "vec_id", "embedding", 5, ann,
+          minOverlapPct = 30)
+        .orderBy("qid")
     }),
 
     // Grouping sets: explicit lattice (status totals, priority totals,
@@ -1961,11 +1983,15 @@ object SparkEntry {
         .limit(20)
     }),
 
-    // X4v — the iterative trainer: 5 merge rounds on sf docs. The merge
-    // pass (leftmost-greedy array fold) has no faithful SQL twin — a
-    // string replace() resumes AFTER each replacement and misses merges
-    // sharing a boundary — so this is a rows-only gate; the spec pins
-    // the canonical reference example and round-1 == census argmax.
+    // X4v — the iterative trainer: 5 merge rounds on sf docs, fully
+    // hash-gated. The SQL twin encodes each word's symbol sequence as a
+    // DOUBLE-space-joined string with single-space ends (' a  b  c '):
+    // every symbol owns its flanking delimiters, so a plain replace()
+    // of ' a  b ' → ' ab ' IS the leftmost-greedy non-overlapping merge
+    // — including self-overlap runs ('aaa' under (a,a) → [aa, a]) that
+    // a single-space join gets wrong because adjacent matches would
+    // share one space. That closes the former rows-only exemption: all
+    // 5 rounds (census → argmax → apply) oracle exactly.
     "x4_bpe_merges" -> ((s, dir) => {
       val m = TextAnalysis.trainBpeMerges(
         Tables.documents(s, dir).filter(col("doc_id") < 200), "text", 5)
@@ -3543,6 +3569,102 @@ object SparkEntry {
         |  WHERE len(word) >= 2)
         |SELECT a, b, CAST(sum(cnt) AS BIGINT) AS n
         |FROM p GROUP BY a, b ORDER BY n DESC, a, b LIMIT 20""".stripMargin,
+
+    // Full 5-round BPE twin. Symbol sequences ride as double-space-
+    // joined strings (' a  b  c '): each symbol owns its delimiters, so
+    // replace(' a  b ' → ' ab ') is exactly the leftmost-greedy merge
+    // (self-overlap runs included — see the query comment). Each round:
+    // pair census from the split sequence, argmax by (n desc, pair asc),
+    // apply via replace; vocab is distinct-word scale throughout.
+    "x4_bpe_merges" ->
+      """WITH w AS (
+        |  SELECT word, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+        |    FROM documents WHERE doc_id < 200)
+        |  WHERE word <> '' GROUP BY word),
+        |v1 AS (SELECT ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS s, cnt FROM w),
+        |c1 AS (SELECT l[i] AS a, l[i+1] AS b, sum(cnt) AS n
+        |  FROM (SELECT string_split(trim(s), '  ') AS l, cnt FROM v1),
+        |       unnest(range(1, len(l))) t(i) GROUP BY a, b),
+        |m1 AS (SELECT a, b, n FROM c1 ORDER BY n DESC, a, b LIMIT 1),
+        |v2 AS (SELECT replace(s,
+        |    ' ' || (SELECT a FROM m1) || '  ' || (SELECT b FROM m1) || ' ',
+        |    ' ' || (SELECT a FROM m1) || (SELECT b FROM m1) || ' ') AS s, cnt FROM v1),
+        |c2 AS (SELECT l[i] AS a, l[i+1] AS b, sum(cnt) AS n
+        |  FROM (SELECT string_split(trim(s), '  ') AS l, cnt FROM v2),
+        |       unnest(range(1, len(l))) t(i) GROUP BY a, b),
+        |m2 AS (SELECT a, b, n FROM c2 ORDER BY n DESC, a, b LIMIT 1),
+        |v3 AS (SELECT replace(s,
+        |    ' ' || (SELECT a FROM m2) || '  ' || (SELECT b FROM m2) || ' ',
+        |    ' ' || (SELECT a FROM m2) || (SELECT b FROM m2) || ' ') AS s, cnt FROM v2),
+        |c3 AS (SELECT l[i] AS a, l[i+1] AS b, sum(cnt) AS n
+        |  FROM (SELECT string_split(trim(s), '  ') AS l, cnt FROM v3),
+        |       unnest(range(1, len(l))) t(i) GROUP BY a, b),
+        |m3 AS (SELECT a, b, n FROM c3 ORDER BY n DESC, a, b LIMIT 1),
+        |v4 AS (SELECT replace(s,
+        |    ' ' || (SELECT a FROM m3) || '  ' || (SELECT b FROM m3) || ' ',
+        |    ' ' || (SELECT a FROM m3) || (SELECT b FROM m3) || ' ') AS s, cnt FROM v3),
+        |c4 AS (SELECT l[i] AS a, l[i+1] AS b, sum(cnt) AS n
+        |  FROM (SELECT string_split(trim(s), '  ') AS l, cnt FROM v4),
+        |       unnest(range(1, len(l))) t(i) GROUP BY a, b),
+        |m4 AS (SELECT a, b, n FROM c4 ORDER BY n DESC, a, b LIMIT 1),
+        |v5 AS (SELECT replace(s,
+        |    ' ' || (SELECT a FROM m4) || '  ' || (SELECT b FROM m4) || ' ',
+        |    ' ' || (SELECT a FROM m4) || (SELECT b FROM m4) || ' ') AS s, cnt FROM v4),
+        |c5 AS (SELECT l[i] AS a, l[i+1] AS b, sum(cnt) AS n
+        |  FROM (SELECT string_split(trim(s), '  ') AS l, cnt FROM v5),
+        |       unnest(range(1, len(l))) t(i) GROUP BY a, b),
+        |m5 AS (SELECT a, b, n FROM c5 ORDER BY n DESC, a, b LIMIT 1)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS INTEGER) AS merge_rank, a, b, CAST(n AS BIGINT) AS n FROM m1
+        |  UNION ALL SELECT CAST(2 AS INTEGER), a, b, CAST(n AS BIGINT) FROM m2
+        |  UNION ALL SELECT CAST(3 AS INTEGER), a, b, CAST(n AS BIGINT) FROM m3
+        |  UNION ALL SELECT CAST(4 AS INTEGER), a, b, CAST(n AS BIGINT) FROM m4
+        |  UNION ALL SELECT CAST(5 AS INTEGER), a, b, CAST(n AS BIGINT) FROM m5)
+        |ORDER BY merge_rank""".stripMargin,
+
+    // The quantized ANN equals exact brute force whenever the int8
+    // proxy margin holds (it does at every SF — verified bit-equal), so
+    // it inherits the exact top-k twin verbatim.
+    "x2_ann_quantized" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding,
+        |    list_sum(list_transform(generate_series(1, len(embedding)),
+        |      i -> embedding[i] * embedding[i])) AS nrm
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    list_sum(list_transform(generate_series(1, len(q.embedding)),
+        |      i -> q.embedding[i] * c.embedding[i]))
+        |      / (sqrt(q.nrm) * sqrt(c.nrm)) AS sim
+        |  FROM v q, v c
+        |  WHERE q.vec_id % 100 = 0 AND q.vec_id != c.vec_id),
+        |r AS (
+        |  SELECT qid, cid, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rk
+        |  FROM p)
+        |SELECT qid, cid, round(sim, 6) AS sim, rk FROM r
+        |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+    // ANN verdict gates: the oracle pins the fixed expectation — every
+    // correctness property true for every query id. The Spark side
+    // computes each verdict honestly (in-query exact top-k comparison,
+    // independent sim recompute), so an index regression flips a
+    // hash-gated boolean. See Similarity.annVerdict.
+    "x2_ann_lsh" ->
+      """SELECT vec_id AS qid, true AS returned_le_k, true AS rk_dense,
+        |  true AS sims_exact, true AS recall_floor_met
+        |FROM embeddings WHERE vec_id % 100 = 0 ORDER BY qid""".stripMargin,
+
+    "x2_ann_ivf" ->
+      """SELECT vec_id AS qid, true AS returned_le_k, true AS rk_dense,
+        |  true AS sims_exact, true AS recall_floor_met
+        |FROM embeddings WHERE vec_id % 100 = 0 ORDER BY qid""".stripMargin,
+
+    "x2_ann_ivf_kmeans" ->
+      """SELECT vec_id AS qid, true AS returned_le_k, true AS rk_dense,
+        |  true AS sims_exact, true AS recall_floor_met
+        |FROM embeddings WHERE vec_id % 100 = 0 ORDER BY qid""".stripMargin,
 
     "window_ntile_distributed" ->
       """SELECT c_custkey,

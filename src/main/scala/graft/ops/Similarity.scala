@@ -360,4 +360,68 @@ object Similarity {
     df.select(col(id), quantScale(col(vec)).as("scale"), col(vec).as("_v"))
       .withColumn("q", quantArray(col("_v"), col("scale")))
       .select(col(id), col("scale"), col("q"))
+
+  /** Driver-gateable ANN verdict: turns a recall-bounded ANN result into
+    * a hash-matchable table. An approximate index's neighbor LIST has no
+    * SQL twin (which candidates an LSH bucket or IVF probe surfaces
+    * depends on the index internals), but its CORRECTNESS PROPERTIES are
+    * engine-independent booleans, so the gate emits those per query:
+    *
+    *   - `returned_le_k`  — at most k neighbors came back;
+    *   - `rk_dense`       — ranks are exactly 1..n, no gaps or dupes;
+    *   - `sims_exact`     — every emitted similarity equals the cosine
+    *     recomputed in-gate from the raw vectors (the index really did
+    *     re-rank with true scores, not proxies);
+    *   - `recall_floor_met` — the total overlap with the in-gate exact
+    *     top-k (brute force, [[topKBruteForce]]) clears
+    *     `minOverlapPct`% of the exact pair count (one global verdict,
+    *     replicated per row — per-query floors are meaningless on a
+    *     random-vector fixture where per-query recall is legitimately 0).
+    *
+    * The oracle side is the fixed expectation — every verdict true for
+    * every query id — so a recall collapse, a rank bug, or a proxy-score
+    * leak flips a hash-gated row. Every query id appears even when the
+    * index returned nothing for it (left joins from the query roster).
+    *
+    * Scale: the exact-top-k comparison is gate-only machinery over the
+    * QUERY set (|Q| × corpus, same cost class as the ANN op's own
+    * candidate generation at gate scale); production callers run the ANN
+    * op directly and sample-audit recall with this on a query subset. */
+  def annVerdict(queries: DataFrame, corpus: DataFrame, id: String,
+      vec: String, k: Int, ann: DataFrame, minOverlapPct: Int): DataFrame = {
+    require(minOverlapPct >= 0 && minOverlapPct <= 100,
+      s"minOverlapPct must be a percentage, got $minOverlapPct")
+    val roster = queries.select(col(id).as("qid"))
+    val exact = topKBruteForce(queries, corpus, id, vec, k)
+      .select(col("qid"), col("cid"))
+    // per-query structural checks over the ann rows
+    val shape = ann.groupBy(col("qid")).agg(
+      count(lit(1)).as("_n_ret"),
+      max(col("rk")).as("_max_rk"),
+      count_distinct(col("rk")).as("_n_rk"))
+    // emitted sims vs independent recompute from the raw vectors
+    val qv = queries.select(col(id).as("qid"), col(vec).as("_qe"))
+    val cv = corpus.select(col(id).as("cid"), col(vec).as("_ce"))
+    val simOk = ann.select(col("qid"), col("cid"), col("sim"))
+      .join(cv, Seq("cid")).join(broadcast(qv), Seq("qid"))
+      .groupBy(col("qid"))
+      .agg(bool_and(col("sim") === round(cosine(col("_qe"), col("_ce")), 6))
+        .as("_sims_ok"))
+    // one global recall verdict vs the exact pair count (ceil division)
+    val totals = exact.join(ann.select(col("qid"), col("cid")),
+        Seq("qid", "cid"), "left_semi")
+      .agg(count(lit(1)).as("_ov"))
+      .crossJoin(exact.agg(count(lit(1)).as("_nx")))
+      .select((col("_ov") * 100 >= col("_nx") * minOverlapPct).as("_recall_ok"))
+    roster
+      .join(shape, Seq("qid"), "left")
+      .join(simOk, Seq("qid"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("qid"),
+        coalesce(col("_n_ret") <= k, lit(true)).as("returned_le_k"),
+        coalesce(col("_max_rk") === col("_n_ret") &&
+          col("_n_rk") === col("_n_ret"), lit(true)).as("rk_dense"),
+        coalesce(col("_sims_ok"), lit(true)).as("sims_exact"),
+        col("_recall_ok").as("recall_floor_met"))
+  }
 }

@@ -11,19 +11,18 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkTestBase {
 
   // Ops whose results are sketch/recall-dependent and deliberately have
   // no SQL oracle (SURVEY §5.1) — keep this list justified and short.
+  // (The ANN family and the BPE merge loop left this list in round 5:
+  // ANN queries gate through Similarity.annVerdict — hash-matched
+  // property verdicts vs the in-query exact top-k — quantized ANN
+  // inherits the exact twin outright, and the BPE loop oracles via the
+  // double-space replace() encoding of leftmost-greedy.)
   private val noOracleAllowed = Set(
-    "x2_ann_lsh", "x2_ann_ivf", "x2_ann_ivf_kmeans", "x2_ann_quantized",
     "x3_minhash_neardup", "x3_simhash_neardup",
     "x1_embedding_neardup",
     // approx sketch values are impl-defined (HLL++/GK); bounds unit-tested
     "sketch_approx_events",
     // seeded RNG draw is engine-defined; fractions unit-tested
-    "x1_stratified_sample",
-    // iterative BPE merge pass has no faithful SQL twin (replace()
-    // resumes after each replacement and misses boundary-sharing
-    // merges); round-1 argmax == the fully-oracled census, and the
-    // canonical reference example is pinned in TextAnalysisSpec
-    "x4_bpe_merges")
+    "x1_stratified_sample")
 
   test("every query has an oracle or a documented exemption") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- noOracleAllowed
