@@ -35,11 +35,11 @@ object Mixing {
     val spark = df.sparkSession
     val parts = if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    // localCheckpoint: phases 2 and 3 must see the SAME sampled range
-    // boundaries (see Packing.assignShards for the full rationale)
-    val ranged = df.repartitionByRange(parts, order: _*)
-      .sortWithinPartitions(order: _*)
-      .localCheckpoint(true)
+    // eager checkpoint: phases 2 and 3 must see the SAME sampled range
+    // boundaries (see Packing.assignShards for the full rationale;
+    // local vs reliable per Packing.ReliableCheckpointKey)
+    val ranged = Packing.pinExchange(df.repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*))
     val counts = ranged
       .select(spark_partition_id().as("_pid"), col(group))
       .groupBy(col("_pid"), col(group))

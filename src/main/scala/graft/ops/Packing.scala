@@ -35,6 +35,33 @@ import org.apache.spark.sql.types.LongType
   */
 object Packing {
 
+  /** Conf key for the prefix-sum family's exchange pinning.
+    * `false` (default): `localCheckpoint` — blocks live on executors;
+    * fastest, but a lost executor kills the lineage mid-schedule (fine
+    * single-JVM, acceptable for restartable batch).
+    * `true`: reliable `checkpoint` to `sparkContext.setCheckpointDir`
+    * (HDFS/object store on a real cluster — REQUIRED when enabling) —
+    * the 2–3-job schedule survives executor loss at the price of one
+    * write+read of the ranged corpus. Same results either way
+    * (`PackingSpec` proves identity); the phases still see one frozen
+    * range partitioning, which is the correctness requirement. */
+  val ReliableCheckpointKey = "spark.graft.prefixSum.reliableCheckpoint"
+
+  /** Pin a range exchange so later jobs see the SAME physical
+    * partitioning (boundaries come from sampling — re-evaluating could
+    * draw different ones). Shared by the whole prefix-sum family
+    * ([[assignShardsOrdered]], [[Mixing.groupwiseRank]]). */
+  private[ops] def pinExchange(df: DataFrame): DataFrame = {
+    val reliable = df.sparkSession.conf
+      .getOption(ReliableCheckpointKey).exists(_.toBoolean)
+    if (reliable) {
+      require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        s"$ReliableCheckpointKey=true needs sparkContext.setCheckpointDir " +
+        "(a fault-tolerant path: HDFS/S3/ABFS on a cluster)")
+      df.checkpoint(true)
+    } else df.localCheckpoint(true)
+  }
+
   /** Adds `cum_w` (inclusive running sum of `weight` in `key` order) and
     * `shard` = (cum_w - w) / budget — i.e. a document lands in the shard
     * where it STARTS, so every shard's content begins within budget.
@@ -59,19 +86,18 @@ object Packing {
     // positional getLong cannot tolerate nulls, and silently dropping
     // the rows would change the output contract (one row per input row)
     val normalized = df.withColumn(weight, coalesce(col(weight).cast("long"), lit(0L)))
-    // localCheckpoint (eager), not persist: phases 1 and 3 are separate
-    // jobs and both must see the SAME physical partitioning (range
-    // boundaries come from sampling — re-evaluating the exchange per
-    // job could draw different boundaries AND double the shuffle).
-    // A persist() would pin the corpus-sized cache in the CacheManager
-    // until someone calls unpersist, which this API cannot do for the
-    // caller (the returned plan still reads the cache); checkpoint
-    // blocks are instead reclaimed by the ContextCleaner once the
-    // returned frame is dropped. Trade (as with Dedup.clusterPairs):
-    // local checkpoints don't survive executor loss.
-    val ranged = normalized.repartitionByRange(parts, order: _*)
-      .sortWithinPartitions(order: _*)
-      .localCheckpoint(true)
+    // Eager checkpoint, not persist: phases 1 and 3 are separate jobs
+    // and both must see the SAME physical partitioning (range boundaries
+    // come from sampling — re-evaluating the exchange per job could draw
+    // different boundaries AND double the shuffle). A persist() would
+    // pin the corpus-sized cache in the CacheManager until someone calls
+    // unpersist, which this API cannot do for the caller (the returned
+    // plan still reads the cache); checkpoint blocks are instead
+    // reclaimed by the ContextCleaner once the returned frame is
+    // dropped. Local vs reliable is the caller's durability choice —
+    // see [[ReliableCheckpointKey]].
+    val ranged = pinExchange(normalized.repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*))
     // Phase 1+2: per-partition totals -> driver prefix sum. Range
     // partition indices ascend with the key range, so offset order is
     // partition-id order. Only P (pid, sum) rows ever reach the driver.

@@ -28,6 +28,52 @@ class PackingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("reliable-checkpoint flag without a checkpoint dir fails loudly") {
+    // MUST run before the identity test below, which sets the shared
+    // SparkContext's checkpoint dir for the rest of the suite.
+    val s2 = spark.newSession()
+    s2.conf.set(graft.ops.Packing.ReliableCheckpointKey, "true")
+    val df = { import s2.implicits._
+      (1 to 10).map(i => (i.toLong, 1L)).toDF("k", "w") }
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      val e = intercept[IllegalArgumentException] {
+        graft.ops.Packing.assignShards(df, "k", "w", 100L, numPartitions = 2)
+      }
+      assert(e.getMessage.contains("setCheckpointDir"))
+    }
+    s2.conf.set(graft.ops.Packing.ReliableCheckpointKey, "false")
+  }
+
+  test("reliable-checkpoint flag: identical results, blocks land in the checkpoint dir") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val df = (1 to 400).map(i => (i.toLong, (rng.nextInt(30) + 1).toLong)).toDF("k", "w")
+    val default = graft.ops.Packing.assignShards(df, "k", "w", 100L, numPartitions = 4)
+      .select("k", "cum_w", "shard").as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckptDir)
+    spark.conf.set(graft.ops.Packing.ReliableCheckpointKey, "true")
+    try {
+      val reliable = graft.ops.Packing.assignShards(df, "k", "w", 100L, numPartitions = 4)
+        .select("k", "cum_w", "shard").as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(reliable == default, "reliable checkpoint changed prefix-sum results")
+      // the pin really went through the fault-tolerant path
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(files > 0, "no checkpoint blocks written to the reliable dir")
+      // groupwiseRank rides the same pin — prove the family, not one member
+      val g = (1 to 300).map(i => (i.toLong, s"s${i % 3}")).toDF("id", "src")
+      val ranks = graft.ops.Mixing.groupwiseRank(g, "src", Seq(col("id")), numPartitions = 4)
+        .select("id", "grp_rank").as[(Long, Long)].collect().sortBy(_._1).toSeq
+      spark.conf.set(graft.ops.Packing.ReliableCheckpointKey, "false")
+      val ranksLocal = graft.ops.Mixing.groupwiseRank(g, "src", Seq(col("id")), numPartitions = 4)
+        .select("id", "grp_rank").as[(Long, Long)].collect().sortBy(_._1).toSeq
+      assert(ranks == ranksLocal, "reliable checkpoint changed groupwise ranks")
+    } finally {
+      spark.conf.set(graft.ops.Packing.ReliableCheckpointKey, "false")
+    }
+  }
+
   test("every shard starts within budget (first doc offset < budget boundary)") {
     import spark.implicits._
     val df = (1 to 200).map(i => (i.toLong, 37L)).toDF("k", "w")
