@@ -38,9 +38,22 @@ object JdbcUpsert {
     * JDBC batch, one transaction per partition. `connect` must be
     * serializable (e.g. a case object / lambda capturing only strings). */
   def write(df: DataFrame, table: String, keys: Seq[String],
+      connect: () => Connection, batchSize: Int = 500): Unit =
+    writeWith(df, upsertStatement(table, df.columns.toSeq, keys), connect, batchSize)
+
+  /** The writer loop behind [[write]], statement supplied by the caller
+    * — the seam that lets other dialects (Derby/MySQL have no
+    * `ON CONFLICT`) reuse the distributed machinery, and lets the spec
+    * drive the REAL `foreachPartition` path end-to-end against embedded
+    * Derby. Per partition: one connection, one transaction, `batchSize`
+    * rows per `executeBatch`; any failure rolls the whole partition back
+    * (all-or-nothing per partition + an idempotent statement ⇒ retries
+    * are safe). The statement's `?` placeholders bind `df`'s columns in
+    * order. */
+  def writeWith(df: DataFrame, sql: String,
       connect: () => Connection, batchSize: Int = 500): Unit = {
-    val cols = df.columns.toSeq
-    val sql = upsertStatement(table, cols, keys)
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    val width = df.columns.length
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.nonEmpty) {
         val conn = connect()
@@ -49,7 +62,7 @@ object JdbcUpsert {
           val st = conn.prepareStatement(sql)
           var n = 0
           rows.foreach { r =>
-            bindRow(st, r, cols.length)
+            bindRow(st, r, width)
             st.addBatch()
             n += 1
             if (n % batchSize == 0) st.executeBatch()
