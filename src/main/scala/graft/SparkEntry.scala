@@ -1999,6 +1999,28 @@ object SparkEntry {
       m.toDF("merge_rank", "a", "b", "n")
     }),
 
+    // X4v composed — the census the GPT-2 pipeline actually trains on:
+    // pretokenize (letter/digit/punct runs) feeds the vocabulary, so
+    // punctuation stops gluing to words before BPE ever sees a pair.
+    "x4_bpe_pretoken_census" -> ((s, dir) => {
+      val vocab = TextAnalysis.pretokenVocab(Tables.documents(s, dir), "text")
+        .select(split(col("word"), "").as("sym"), col("cnt"))
+      TextAnalysis.bpePairCensus(vocab)
+        .orderBy(col("n").desc, col("a").asc, col("b").asc)
+        .limit(20)
+    }),
+
+    // X4v composed — full 5-round training over the PRETOKEN vocabulary
+    // (trainBpeMergesPretokenized): the real tokenizer-training shape,
+    // merges can never cross a pretoken boundary. Same 5-round SQL twin,
+    // different vocabulary CTE.
+    "x4_bpe_merges_pretoken" -> ((s, dir) => {
+      val m = TextAnalysis.trainBpeMergesPretokenized(
+        Tables.documents(s, dir).filter(col("doc_id") < 200), "text", 5)
+      import s.implicits._
+      m.toDF("merge_rank", "a", "b", "n")
+    }),
+
     // Distributed ntile/percent_rank/cume_dist — the SCALE form of
     // window_ntile_deciles' documented quantile-bucket path: global rank
     // from the weight-1 two-phase prefix sum (one range exchange), ANSI
@@ -2453,6 +2475,39 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     })
   )
+
+  /** DuckDB twin of the 5-round BPE trainer over any (word, cnt)
+    * vocabulary CTE. Symbol sequences ride as double-space-joined
+    * strings with single-space ends (' a  b  c '): each symbol owns its
+    * flanking delimiters, so a plain replace() of ' a  b ' → ' ab ' IS
+    * the leftmost-greedy non-overlapping merge — self-overlap runs
+    * ('aaa' under (a,a) → [aa, a]) included, which a single-space join
+    * gets wrong because adjacent matches would share one space. Each
+    * round: adjacent-pair census from the split sequence, argmax by
+    * (n desc, pair asc), apply via replace. */
+  private def bpeMergesOracle(vocabSql: String): String = {
+    val rounds = (1 to 5).map { r =>
+      val apply = if (r == 1) "" else
+        s"""v$r AS (SELECT replace(s,
+           |    ' ' || (SELECT a FROM m${r - 1}) || '  ' || (SELECT b FROM m${r - 1}) || ' ',
+           |    ' ' || (SELECT a FROM m${r - 1}) || (SELECT b FROM m${r - 1}) || ' ') AS s, cnt FROM v${r - 1}),
+           |""".stripMargin
+      apply +
+        s"""c$r AS (SELECT l[i] AS a, l[i+1] AS b, sum(cnt) AS n
+           |  FROM (SELECT string_split(trim(s), '  ') AS l, cnt FROM v$r),
+           |       unnest(range(1, len(l))) t(i) GROUP BY a, b),
+           |m$r AS (SELECT a, b, n FROM c$r ORDER BY n DESC, a, b LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to 5).map(r =>
+        s"SELECT CAST($r AS INTEGER) AS merge_rank, a, b, CAST(n AS BIGINT) AS n FROM m$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH w AS ($vocabSql),
+       |v1 AS (SELECT ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS s, cnt FROM w),
+       |$rounds
+       |SELECT * FROM (
+       |  $out)
+       |ORDER BY merge_rank""".stripMargin
+  }
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops → driver
@@ -3570,58 +3625,35 @@ object SparkEntry {
         |SELECT a, b, CAST(sum(cnt) AS BIGINT) AS n
         |FROM p GROUP BY a, b ORDER BY n DESC, a, b LIMIT 20""".stripMargin,
 
-    // Full 5-round BPE twin. Symbol sequences ride as double-space-
-    // joined strings (' a  b  c '): each symbol owns its delimiters, so
-    // replace(' a  b ' → ' ab ') is exactly the leftmost-greedy merge
-    // (self-overlap runs included — see the query comment). Each round:
-    // pair census from the split sequence, argmax by (n desc, pair asc),
-    // apply via replace; vocab is distinct-word scale throughout.
-    "x4_bpe_merges" ->
-      """WITH w AS (
-        |  SELECT word, count(*) AS cnt FROM (
+    // Full 5-round BPE twin over the whitespace-word vocabulary; see
+    // bpeMergesOracle for the double-space replace() encoding.
+    "x4_bpe_merges" -> bpeMergesOracle(
+      """SELECT word, count(*) AS cnt FROM (
         |    SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
         |    FROM documents WHERE doc_id < 200)
+        |  WHERE word <> '' GROUP BY word""".stripMargin),
+
+    // Same 5-round twin over the PRETOKEN vocabulary (the GPT-2 shape).
+    "x4_bpe_merges_pretoken" -> bpeMergesOracle(
+      """SELECT word, count(*) AS cnt FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]+')) AS word
+        |    FROM documents WHERE doc_id < 200)
+        |  WHERE word <> '' GROUP BY word""".stripMargin),
+
+    // Pair census over the pretoken vocabulary — the census the real
+    // tokenizer pipeline trains on.
+    "x4_bpe_pretoken_census" ->
+      """WITH w AS (
+        |  SELECT word, count(*) AS cnt FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]+')) AS word
+        |    FROM documents)
         |  WHERE word <> '' GROUP BY word),
-        |v1 AS (SELECT ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS s, cnt FROM w),
-        |c1 AS (SELECT l[i] AS a, l[i+1] AS b, sum(cnt) AS n
-        |  FROM (SELECT string_split(trim(s), '  ') AS l, cnt FROM v1),
-        |       unnest(range(1, len(l))) t(i) GROUP BY a, b),
-        |m1 AS (SELECT a, b, n FROM c1 ORDER BY n DESC, a, b LIMIT 1),
-        |v2 AS (SELECT replace(s,
-        |    ' ' || (SELECT a FROM m1) || '  ' || (SELECT b FROM m1) || ' ',
-        |    ' ' || (SELECT a FROM m1) || (SELECT b FROM m1) || ' ') AS s, cnt FROM v1),
-        |c2 AS (SELECT l[i] AS a, l[i+1] AS b, sum(cnt) AS n
-        |  FROM (SELECT string_split(trim(s), '  ') AS l, cnt FROM v2),
-        |       unnest(range(1, len(l))) t(i) GROUP BY a, b),
-        |m2 AS (SELECT a, b, n FROM c2 ORDER BY n DESC, a, b LIMIT 1),
-        |v3 AS (SELECT replace(s,
-        |    ' ' || (SELECT a FROM m2) || '  ' || (SELECT b FROM m2) || ' ',
-        |    ' ' || (SELECT a FROM m2) || (SELECT b FROM m2) || ' ') AS s, cnt FROM v2),
-        |c3 AS (SELECT l[i] AS a, l[i+1] AS b, sum(cnt) AS n
-        |  FROM (SELECT string_split(trim(s), '  ') AS l, cnt FROM v3),
-        |       unnest(range(1, len(l))) t(i) GROUP BY a, b),
-        |m3 AS (SELECT a, b, n FROM c3 ORDER BY n DESC, a, b LIMIT 1),
-        |v4 AS (SELECT replace(s,
-        |    ' ' || (SELECT a FROM m3) || '  ' || (SELECT b FROM m3) || ' ',
-        |    ' ' || (SELECT a FROM m3) || (SELECT b FROM m3) || ' ') AS s, cnt FROM v3),
-        |c4 AS (SELECT l[i] AS a, l[i+1] AS b, sum(cnt) AS n
-        |  FROM (SELECT string_split(trim(s), '  ') AS l, cnt FROM v4),
-        |       unnest(range(1, len(l))) t(i) GROUP BY a, b),
-        |m4 AS (SELECT a, b, n FROM c4 ORDER BY n DESC, a, b LIMIT 1),
-        |v5 AS (SELECT replace(s,
-        |    ' ' || (SELECT a FROM m4) || '  ' || (SELECT b FROM m4) || ' ',
-        |    ' ' || (SELECT a FROM m4) || (SELECT b FROM m4) || ' ') AS s, cnt FROM v4),
-        |c5 AS (SELECT l[i] AS a, l[i+1] AS b, sum(cnt) AS n
-        |  FROM (SELECT string_split(trim(s), '  ') AS l, cnt FROM v5),
-        |       unnest(range(1, len(l))) t(i) GROUP BY a, b),
-        |m5 AS (SELECT a, b, n FROM c5 ORDER BY n DESC, a, b LIMIT 1)
-        |SELECT * FROM (
-        |  SELECT CAST(1 AS INTEGER) AS merge_rank, a, b, CAST(n AS BIGINT) AS n FROM m1
-        |  UNION ALL SELECT CAST(2 AS INTEGER), a, b, CAST(n AS BIGINT) FROM m2
-        |  UNION ALL SELECT CAST(3 AS INTEGER), a, b, CAST(n AS BIGINT) FROM m3
-        |  UNION ALL SELECT CAST(4 AS INTEGER), a, b, CAST(n AS BIGINT) FROM m4
-        |  UNION ALL SELECT CAST(5 AS INTEGER), a, b, CAST(n AS BIGINT) FROM m5)
-        |ORDER BY merge_rank""".stripMargin,
+        |p AS (
+        |  SELECT substr(word, i, 1) AS a, substr(word, i + 1, 1) AS b, cnt
+        |  FROM w, unnest(range(1, len(word))) t(i)
+        |  WHERE len(word) >= 2)
+        |SELECT a, b, CAST(sum(cnt) AS BIGINT) AS n
+        |FROM p GROUP BY a, b ORDER BY n DESC, a, b LIMIT 20""".stripMargin,
 
     // The quantized ANN equals exact brute force whenever the int8
     // proxy margin holds (it does at every SF — verified bit-equal), so

@@ -222,6 +222,18 @@ object TextAnalysis {
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
 
+  /** The GPT-2-shaped census: [[pretokenize]] feeds the vocabulary, so
+    * BPE trains over letter/digit/punctuation runs instead of raw
+    * whitespace words — punctuation stops gluing to words ("end." no
+    * longer competes with "end"), which is the whole point of the
+    * pretokenizer stage. Same distributed shape as [[wordVocab]]: one
+    * corpus scan, one hash agg, vocab-scale output. */
+  def pretokenVocab(df: org.apache.spark.sql.DataFrame, text: String)
+      : org.apache.spark.sql.DataFrame =
+    df.select(explode(pretokenize(col(text))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+
   /** Adjacent-pair census over a (sym: array<string>, cnt) vocabulary:
     * one row per distinct pair with its frequency-weighted count. Pairs
     * are (a, b) columns — never concatenated, so ("ab","c") and
@@ -268,9 +280,22 @@ object TextAnalysis {
     * (previous round freed). Returns the merge table
     * (merge_rank, a, b, n). */
   def trainBpeMerges(df: org.apache.spark.sql.DataFrame, text: String,
+      nMerges: Int): Seq[(Int, String, String, Long)] =
+    trainBpeMergesOn(wordVocab(df, text), nMerges)
+
+  /** [[trainBpeMerges]] composed with [[pretokenize]] — the real GPT-2
+    * pipeline: regex pretokens feed the census, merges never cross a
+    * pretoken boundary (the un-pretokenized form lets "d." merge across
+    * what should be two tokens). */
+  def trainBpeMergesPretokenized(df: org.apache.spark.sql.DataFrame,
+      text: String, nMerges: Int): Seq[(Int, String, String, Long)] =
+    trainBpeMergesOn(pretokenVocab(df, text), nMerges)
+
+  /** The trainer loop over any prepared (word, cnt) vocabulary. */
+  def trainBpeMergesOn(wordCensus: org.apache.spark.sql.DataFrame,
       nMerges: Int): Seq[(Int, String, String, Long)] = {
     import org.apache.spark.storage.StorageLevel
-    var vocab = wordVocab(df, text)
+    var vocab = wordCensus
       .select(split(col("word"), "").as("sym"), col("cnt"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     vocab.count()

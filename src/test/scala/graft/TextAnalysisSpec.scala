@@ -163,4 +163,29 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
       .collect().head.getSeq[String](0)
     assert(h == Seq("x", "ab"))
   }
+
+  test("pretokenized BPE: punctuation splits off, merges never cross the boundary") {
+    // raw whitespace words keep 'end.' as one census word, so the word
+    // trainer can merge 'd' with '.'; the pretokenizer separates the
+    // classes first — the real GPT-2 pipeline shape
+    val docs = Seq.tabulate(8)(i => (i.toLong, "the end. the end. the end."))
+      .toDF("doc_id", "text")
+    val pv = graft.ops.TextAnalysis.pretokenVocab(docs, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pv == Map("the" -> 24L, "end" -> 24L, "." -> 24L))
+    val merges = graft.ops.TextAnalysis.trainBpeMergesPretokenized(docs, "text", 4)
+    // every merged symbol stays single-class: no alpha+punct pair exists
+    // in any round because no pretoken mixes the classes
+    merges.foreach { case (_, a, b, _) =>
+      val joined = a + b
+      assert(joined.forall(_.isLetter) || joined.forall(!_.isLetter),
+        s"merge ($a,$b) crossed a pretoken class boundary")
+    }
+    // the word-vocab trainer on the same corpus CAN produce the cross-
+    // class merge (d + .) once (e,n,d) merges complete — the contrast
+    // that makes the pretokenizer stage meaningful
+    val wordMerges = graft.ops.TextAnalysis.trainBpeMerges(docs, "text", 4)
+    assert(wordMerges.exists { case (_, a, b, _) =>
+      (a + b).exists(_.isLetter) && (a + b).exists(!_.isLetter) })
+  }
 }
