@@ -22,6 +22,19 @@ object Bench {
       io.Tables.lineitem, io.Tables.orders, io.Tables.customer,
       io.Tables.events, io.Tables.documents, io.Tables.embeddings)
       .foreach(load => load(spark, sfDir).count())
+    // Noise control: a fixed CPU-only workload (no IO, no SF dependence,
+    // no shuffle) timed once after warm-up and once after the sweep. Its
+    // true cost is constant, so the pair measures the ENVIRONMENT — box
+    // contention, JIT state, GC pressure — and round-over-round query
+    // deltas smaller than the control's own drift are noise, not
+    // regressions (this box has shown ~40% whole-suite swings).
+    def control(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 50000000L, 1L, cpus.toInt)
+        .selectExpr("sum(id % 7) AS s").collect(): Unit
+      (System.nanoTime() - t0) / 1e9
+    }
+    val ctrlStart = control()
     // Deterministic order (Map iteration order is hash-driven), and a
     // cache clear per query: several operators persist intermediates
     // (signatures, cluster edges); across 70+ queries those pile up and
@@ -46,15 +59,18 @@ object Bench {
       System.gc()
       name -> elapsed
     }
+    val ctrlEnd = control()
     def r3(v: Double): String = "%.3f".format(v)
     val total = results.map(_._2).sum
+    val controlField =
+      s""""control":{"start":${r3(ctrlStart)},"end":${r3(ctrlEnd)}},"""
     val errorsField =
       if (failed.isEmpty) "" else s""""errors":[${failed.map("\"" + _ + "\"").mkString(",")}],"""
     // Full per-query dump (all queries, 3 decimals) for humans/the judge.
     val fullJson = results.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString(
-        s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{""",
+        s"""{"metric":"total","value":${r3(total)},"unit":"sec",$controlField"queries":{""",
         ",", s"""},"sf":"$sfDir"}""")
     try {
       val w = new java.io.PrintWriter("BENCH_FULL.json")
@@ -67,7 +83,7 @@ object Bench {
     // slowest queries first — the informative ones — up to a hard char
     // budget, plus how many short-runtime entries were elided
     // (full detail always in BENCH_FULL.json).
-    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec",$errorsField"queries":{"""
+    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec",$controlField$errorsField"queries":{"""
     def tailPart(omitted: Int) = s"""},"omitted":$omitted,"sf":"$sfDir"}"""
     val maxLine = 1800
     val byTime = results.sortBy(-_._2)
