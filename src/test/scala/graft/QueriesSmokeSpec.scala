@@ -9,23 +9,16 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkTestBase {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  // Ops whose results are sketch/recall-dependent and deliberately have
-  // no SQL oracle (SURVEY §5.1) — keep this list justified and short.
-  // (The ANN family and the BPE merge loop left this list in round 5:
-  // ANN queries gate through Similarity.annVerdict — hash-matched
-  // property verdicts vs the in-query exact top-k — quantized ANN
-  // inherits the exact twin outright, and the BPE loop oracles via the
-  // double-space replace() encoding of leftmost-greedy.)
-  private val noOracleAllowed = Set(
-    "x3_minhash_neardup", "x3_simhash_neardup",
-    "x1_embedding_neardup",
-    // approx sketch values are impl-defined (HLL++/GK); bounds unit-tested
-    "sketch_approx_events",
-    // seeded RNG draw is engine-defined; fractions unit-tested
-    "x1_stratified_sample")
-
-  test("every query has an oracle or a documented exemption") {
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- noOracleAllowed
+  // The no-oracle exemption list is EMPTY as of round 5: the last five
+  // rows-only queries (minhash/simhash/embedding near-dup, approx
+  // sketches, seeded stratified sample) now gate through verdict rows —
+  // real data columns (doc/vec/stratum/user counts, exact-truth pair
+  // counts the oracle recomputes with the same SQL) plus pinned TRUE
+  // booleans for the engine-defined parts (recall floors, sketch error
+  // contracts, binomial fraction bounds, rerun determinism). Every
+  // registered query is hash-matched against DuckDB.
+  test("every query has an oracle — the exemption list is empty") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries missing oracle SQL: $missing")
     val stale = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(stale.isEmpty, s"oracle SQL without query: $stale")
