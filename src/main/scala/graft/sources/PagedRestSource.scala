@@ -21,25 +21,42 @@ import org.apache.spark.unsafe.types.UTF8String
   * `_filter` string — and filters on `page` prune whole page-range
   * partitions at planning time, so pruned pages are never fetched.
   *
-  * The HTTP layer is a clearly-marked STUB (zero-egress container): the
-  * default [[PageFetcher]] synthesizes deterministic user pages. The
-  * planning surface — TableProvider, page-range partitions, pruning,
-  * per-partition readers — is the real, load-bearing part; a production
-  * fetcher swaps in without touching any of it.
+  * Two fetch modes share the whole planning surface:
+  *
+  *  - **Live HTTP** (`url` option set): [[HttpRestClient]] performs the
+  *    reference's authenticated fetch for real — token POST, Bearer GET
+  *    with limit/offset paging, `_filter` forwarding, envelope decode —
+  *    with tokens cached per executor JVM. When `pages` isn't pinned,
+  *    the source probes the envelope's `totalItems` once at planning
+  *    time to derive the page count. Driven end-to-end against an
+  *    embedded HTTP server in `PagedRestHttpSpec`.
+  *  - **Stub** (no `url`; zero-egress default): [[StubPageFetcher]]
+  *    synthesizes deterministic user pages with the same shape.
   *
   * Usage: `spark.read.format("graft.sources.PagedRestSource")
-  *   .option("pages", 8).option("pageSize", 250).load()`
+  *   .option("pages", 8).option("pageSize", 250).load()` — plus
+  *   `.option("url", …).option("username", …).option("password", …)
+  *   .option("privateKey", …)` for live mode.
   */
 class PagedRestSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     PagedRestSource.schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
+      properties: util.Map[String, String]): Table = {
+    val http = Option(properties.get("url")).map { u =>
+      RestAuthConfig(u,
+        Option(properties.get("username")).getOrElse(""),
+        Option(properties.get("password")).getOrElse(""),
+        Option(properties.get("privateKey")).getOrElse(""))
+    }
     new PagedRestTable(
-      pages = Option(properties.get("pages")).map(_.toInt).getOrElse(4),
+      pages = Option(properties.get("pages")).map(_.toInt).getOrElse(
+        if (http.isDefined) -1 else 4), // -1 → probe totalItems at planning
       pageSize = Option(properties.get("pageSize")).map(_.toInt).getOrElse(100),
-      pagesPerPartition = Option(properties.get("pagesPerPartition")).map(_.toInt).getOrElse(1))
+      pagesPerPartition = Option(properties.get("pagesPerPartition")).map(_.toInt).getOrElse(1),
+      http = http)
+  }
 }
 
 object PagedRestSource {
@@ -67,7 +84,8 @@ object StubPageFetcher extends PageFetcher {
     }
 }
 
-class PagedRestTable(pages: Int, pageSize: Int, pagesPerPartition: Int)
+class PagedRestTable(pages: Int, pageSize: Int, pagesPerPartition: Int,
+    http: Option[RestAuthConfig] = None)
     extends Table with SupportsRead {
   override def name(): String = s"paged_rest(pages=$pages)"
   override def schema(): StructType = PagedRestSource.schema
@@ -75,10 +93,11 @@ class PagedRestTable(pages: Int, pageSize: Int, pagesPerPartition: Int)
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PagedRestScanBuilder(pages, pageSize, pagesPerPartition)
+    new PagedRestScanBuilder(pages, pageSize, pagesPerPartition, http)
 }
 
-class PagedRestScanBuilder(pages: Int, pageSize: Int, pagesPerPartition: Int)
+class PagedRestScanBuilder(pages: Int, pageSize: Int, pagesPerPartition: Int,
+    http: Option[RestAuthConfig] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   import org.apache.spark.sql.sources._
@@ -114,15 +133,34 @@ class PagedRestScanBuilder(pages: Int, pageSize: Int, pagesPerPartition: Int)
       s"PagedRestScan PushedFilters: [${pushed.mkString(", ")}], " +
         s"ReadSchema: ${required.simpleString}"
 
-    override def planInputPartitions(): Array[InputPartition] = {
-      val (lo, hi) = PagedRestFilters.pageBounds(pushed, pages)
+    // computed once and reused — Spark calls planInputPartitions more
+    // than once per query (supportsColumnar + execution), and in live
+    // mode each planning pass would otherwise re-probe the server
+    private lazy val plannedPartitions: Array[InputPartition] = {
+      // pages == -1 (live mode, page count unknown): probe the
+      // envelope's totalItems ONCE, driver-side, at planning time —
+      // this is how the page count exists before any task runs.
+      val effectivePages =
+        if (pages >= 0) pages
+        else {
+          val cfg = http.getOrElse(throw new IllegalStateException(
+            "pages unset and no url to probe"))
+          val total = new HttpRestClient(cfg)
+            .probeTotalItems(PagedRestFilters.serverFilter(pushed))
+          if (total < 0) throw new RuntimeException(
+            s"${cfg.baseUrl}/users envelope has no totalItems; set the 'pages' option")
+          ((total + pageSize - 1) / pageSize).toInt
+        }
+      val (lo, hi) = PagedRestFilters.pageBounds(pushed, effectivePages)
       (lo until hi by pagesPerPartition).map { start =>
         PageRangePartition(start, math.min(start + pagesPerPartition, hi)): InputPartition
       }.toArray
     }
 
+    override def planInputPartitions(): Array[InputPartition] = plannedPartitions
+
     override def createReaderFactory(): PartitionReaderFactory =
-      new PagedRestReaderFactory(pageSize, required, pushed)
+      new PagedRestReaderFactory(pageSize, required, pushed, http)
   }
 }
 
@@ -143,6 +181,17 @@ object PagedRestFilters {
     case In(a, _) => fields(a)
     case _ => false
   }
+
+  /** Server-side `_filter` expression for an accepted department
+    * equality — the exact syntax the reference sends
+    * (`src/lms_to_s3_lambda.py:197-199`:
+    * `"_filter": "departmentId eq guid'department_id'"`). Only this
+    * shape forwards; everything else is evaluated client-side and
+    * re-checked by Spark's residual filters regardless. */
+  def serverFilter(pushed: Array[Filter]): Option[String] =
+    pushed.collectFirst {
+      case EqualTo("department_id", v) => s"departmentId eq guid'$v'"
+    }
 
   /** [lo, hi) page range implied by pushed filters on `page`. */
   def pageBounds(pushed: Array[Filter], pages: Int): (Int, Int) = {
@@ -190,13 +239,27 @@ object PagedRestFilters {
 case class PageRangePartition(startPage: Int, endPage: Int) extends InputPartition
 
 class PagedRestReaderFactory(pageSize: Int, required: StructType,
-    pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+    http: Option[RestAuthConfig] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[PageRangePartition]
     new PartitionReader[InternalRow] {
+      // Executor-side page pull: live HTTP (authenticated GET per page,
+      // offset = page * pageSize, accepted filters forwarded via
+      // `_filter`) or the zero-egress stub. Both feed the same
+      // client-side filter eval + projection below.
+      private val fetchPage: Int => Iterator[(Long, String, String, Int)] =
+        http match {
+          case Some(cfg) =>
+            val client = new HttpRestClient(cfg)
+            val sf = PagedRestFilters.serverFilter(pushed)
+            pg => client.fetchPage(pageSize, pg * pageSize, sf)._1.iterator
+              .map(u => (u.id, u.firstName, u.departmentId, u.activeStatus))
+          case None => pg => StubPageFetcher.fetch(pg, pageSize)
+        }
       private val it = (p.startPage until p.endPage).iterator
-        .flatMap(pg => StubPageFetcher.fetch(pg, pageSize).map(r => (pg, r)))
+        .flatMap(pg => fetchPage(pg).map(r => (pg, r)))
         .filter { case (pg, (id, name, dept, status)) =>
           pushed.forall(PagedRestFilters.eval(_, id, name, dept, status, pg)) }
       private var current: InternalRow = _
