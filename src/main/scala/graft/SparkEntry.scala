@@ -2105,6 +2105,28 @@ object SparkEntry {
       m.toDF("merge_rank", "a", "b", "n")
     }),
 
+    // X4v apply — ENCODE with the trained tokenizer: per-doc token
+    // counts under the 5 merges just trained on the same subset. The
+    // oracle re-trains the merges in SQL (same 5-round replace() chain
+    // as x4_bpe_merges), applies them to every distinct word, and joins
+    // back to doc grain — so a drift in EITHER the trainer or the
+    // encoder flips the hash.
+    "x4_bpe_encode" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 200)
+      val m = TextAnalysis.trainBpeMerges(d, "text", 5).map(t => (t._2, t._3))
+      TextAnalysis.bpeEncodeCounts(d, "doc_id", "text", m).orderBy("doc_id")
+    }),
+
+    // X4v apply, GPT-2 shape — encode over pretokens with merges
+    // trained over the pretoken vocabulary.
+    "x4_bpe_encode_pretoken" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 200)
+      val m = TextAnalysis.trainBpeMergesPretokenized(d, "text", 5)
+        .map(t => (t._2, t._3))
+      TextAnalysis.bpeEncodeCounts(d, "doc_id", "text", m, pretoken = true)
+        .orderBy("doc_id")
+    }),
+
     // Distributed ntile/percent_rank/cume_dist — the SCALE form of
     // window_ntile_deciles' documented quantile-bucket path: global rank
     // from the weight-1 two-phase prefix sum (one range exchange), ANSI
@@ -2630,6 +2652,44 @@ object SparkEntry {
        |SELECT * FROM (
        |  $out)
        |ORDER BY merge_rank""".stripMargin
+  }
+
+  /** SQL twin of train-then-ENCODE: the 5-round merge chain of
+    * [[bpeMergesOracle]] carrying each word's identity through the
+    * replace() applications, a final apply of merge 5 (the trainer's
+    * loop applies each chosen merge, so the encoder's state includes
+    * it), then per-doc occurrence-weighted symbol counts.
+    * `occSql` emits one (doc_id, word) row per token occurrence.
+    * The merge/vocab CTEs are MATERIALIZED: inlined, DuckDB re-derives
+    * the whole merge chain per joined row and the query never finishes
+    * (0.09 s materialized vs >2 min inlined at sf0.001). */
+  private def bpeEncodeOracle(occSql: String): String = {
+    val rounds = (1 to 5).map { r =>
+      val apply = if (r == 1) "" else
+        s"""v$r AS MATERIALIZED (SELECT word, replace(s,
+           |    ' ' || (SELECT a FROM m${r - 1}) || '  ' || (SELECT b FROM m${r - 1}) || ' ',
+           |    ' ' || (SELECT a FROM m${r - 1}) || (SELECT b FROM m${r - 1}) || ' ') AS s, cnt FROM v${r - 1}),
+           |""".stripMargin
+      apply +
+        s"""c$r AS (SELECT l[i] AS a, l[i+1] AS b, sum(cnt) AS n
+           |  FROM (SELECT string_split(trim(s), '  ') AS l, cnt FROM v$r),
+           |       unnest(range(1, len(l))) t(i) GROUP BY a, b),
+           |m$r AS MATERIALIZED (SELECT a, b, n FROM c$r ORDER BY n DESC, a, b LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH occ AS MATERIALIZED ($occSql),
+       |w AS (SELECT word, count(*) AS cnt FROM occ WHERE word <> '' GROUP BY word),
+       |v1 AS MATERIALIZED (SELECT word, ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS s, cnt FROM w),
+       |$rounds,
+       |vf AS MATERIALIZED (SELECT word, replace(s,
+       |    ' ' || (SELECT a FROM m5) || '  ' || (SELECT b FROM m5) || ' ',
+       |    ' ' || (SELECT a FROM m5) || (SELECT b FROM m5) || ' ') AS s FROM v5),
+       |enc AS (SELECT word, len(string_split(trim(s), '  ')) AS ns FROM vf),
+       |dw AS (SELECT doc_id, word, count(*) AS c FROM occ
+       |       WHERE word <> '' GROUP BY doc_id, word)
+       |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+       |  CAST(sum(c * ns) AS BIGINT) AS n_bpe_tokens
+       |FROM dw JOIN enc USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -3762,6 +3822,16 @@ object SparkEntry {
         |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]+')) AS word
         |    FROM documents WHERE doc_id < 200)
         |  WHERE word <> '' GROUP BY word""".stripMargin),
+
+    // Train-then-encode twins: merges re-derived in SQL, applied to
+    // every distinct word, joined back to doc grain.
+    "x4_bpe_encode" -> bpeEncodeOracle(
+      """SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS word
+        |    FROM documents WHERE doc_id < 200""".stripMargin),
+
+    "x4_bpe_encode_pretoken" -> bpeEncodeOracle(
+      """SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]+')) AS word
+        |    FROM documents WHERE doc_id < 200""".stripMargin),
 
     // Pair census over the pretoken vocabulary — the census the real
     // tokenizer pipeline trains on.

@@ -248,19 +248,19 @@ object TextAnalysis {
       .groupBy(col("_p.a").as("a"), col("_p.b").as("b"))
       .agg(sum(col("cnt")).as("n"))
 
-  /** One BPE merge pass (leftmost-greedy, non-overlapping — "aaa" under
-    * (a,a) becomes [aa, a]): the carry-fold over the symbol array. The
-    * empty string is the no-carry sentinel (symbols are never empty by
-    * construction). */
-  def bpeMergePair(vocab: org.apache.spark.sql.DataFrame, a: String, b: String)
-      : org.apache.spark.sql.DataFrame = {
-    require(a.nonEmpty && b.nonEmpty, "merge symbols must be non-empty")
-    val merged = aggregate(
-      col("sym"),
+  /** One leftmost-greedy non-overlapping merge pass over a symbol array
+    * ("aaa" under (a,a) becomes [aa, a]): the carry-fold, with the merge
+    * pair as COLUMNS so it can sit inside an outer lambda
+    * ([[bpeApplyMerges]]) as well as under literals ([[bpeMergePair]]).
+    * The empty string is the no-carry sentinel (symbols are never empty
+    * by construction). */
+  private def mergeOncePass(sym: Column, a: Column, b: Column): Column =
+    aggregate(
+      sym,
       struct(array().cast("array<string>").as("arr"), lit("").as("carry")),
       (acc, s) =>
         when(acc.getField("carry") === a && s === b,
-          struct(concat(acc.getField("arr"), array(lit(a + b))).as("arr"),
+          struct(concat(acc.getField("arr"), array(concat(a, b))).as("arr"),
             lit("").as("carry")))
         .otherwise(struct(
           when(acc.getField("carry") === "", acc.getField("arr"))
@@ -270,7 +270,55 @@ object TextAnalysis {
       acc =>
         when(acc.getField("carry") === "", acc.getField("arr"))
           .otherwise(concat(acc.getField("arr"), array(acc.getField("carry")))))
-    vocab.withColumn("sym", merged)
+
+  /** One BPE merge pass for a literal pair — the trainer-loop form. */
+  def bpeMergePair(vocab: org.apache.spark.sql.DataFrame, a: String, b: String)
+      : org.apache.spark.sql.DataFrame = {
+    require(a.nonEmpty && b.nonEmpty, "merge symbols must be non-empty")
+    vocab.withColumn("sym", mergeOncePass(col("sym"), lit(a), lit(b)))
+  }
+
+  /** ENCODE with a trained tokenizer: apply a whole merge table to a
+    * symbol array — merges ride as DATA (array<struct<a,b>> in rank
+    * order, each applied leftmost-greedy), so the plan is one nested
+    * fold of O(1) size regardless of merge count, where folding
+    * [[bpeMergePair]] calls would grow the plan linearly in merges.
+    * Sequential rank-order application is exactly the trainer's own
+    * semantics (the loop in [[trainBpeMergesOn]] applies each chosen
+    * merge before counting the next census), so encode(train(corpus))
+    * reproduces the trainer's final vocabulary state. */
+  def bpeApplyMerges(sym: Column, merges: Column): Column =
+    aggregate(merges, sym,
+      (syms, m) => mergeOncePass(syms, m.getField("a"), m.getField("b")))
+
+  /** Per-document token counts under a TRAINED tokenizer — the apply
+    * step that turns "we trained BPE" into real token budgets (the
+    * whitespace/len-4 estimates elsewhere in X4 are heuristics; this is
+    * the tokenizer's own count). Scale shape: the corpus pays one word
+    * census (explode + hash agg); encoding runs once per DISTINCT word
+    * (vocabulary scale — the interpreted nested fold never touches
+    * corpus-cardinality rows) and joins back on the word. Emits
+    * (id, n_words, n_bpe_tokens).
+    *
+    * `pretoken = true` tokenizes with [[pretokenize]] (the GPT-2
+    * pipeline shape — pair with [[trainBpeMergesPretokenized]]);
+    * otherwise whitespace words (pair with [[trainBpeMerges]]). */
+  def bpeEncodeCounts(df: org.apache.spark.sql.DataFrame, id: String,
+      text: String, merges: Seq[(String, String)], pretoken: Boolean = false)
+      : org.apache.spark.sql.DataFrame = {
+    val words = df.select(col(id),
+        explode(if (pretoken) pretokenize(col(text))
+          else tokens(lower(col(text)))).as("word"))
+      .filter(col("word") =!= "")
+    val perDoc = words.groupBy(col(id), col("word")).agg(count(lit(1)).as("_c"))
+    val mergesLit = typedLit(merges).cast("array<struct<a:string,b:string>>")
+    val enc = perDoc.select(col("word")).distinct()
+      .select(col("word"),
+        size(bpeApplyMerges(split(col("word"), ""), mergesLit)).as("_ns"))
+    perDoc.join(enc, "word")
+      .groupBy(col(id))
+      .agg(sum(col("_c")).as("n_words"),
+        sum(col("_c") * col("_ns")).as("n_bpe_tokens"))
   }
 
   /** Train `nMerges` BPE merges: word census (the one corpus-scale op),

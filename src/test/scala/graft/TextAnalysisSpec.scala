@@ -188,4 +188,53 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(wordMerges.exists { case (_, a, b, _) =>
       (a + b).exists(_.isLetter) && (a + b).exists(!_.isLetter) })
   }
+
+  test("BPE encode: merges-as-data fold == sequential literal passes; greedy holds") {
+    // apply in rank order: l o w e r →(l,o)→(lo,w)→(e,r)→ [low, er]
+    val sym = Seq((Seq("l", "o", "w", "e", "r"), 1L)).toDF("sym", "cnt")
+    val merges = Seq(("l", "o"), ("lo", "w"), ("e", "r"))
+    val enc = sym.select(TextAnalysis.bpeApplyMerges(col("sym"),
+        typedLit(merges).cast("array<struct<a:string,b:string>>")).as("e"))
+      .collect().head.getSeq[String](0)
+    assert(enc == Seq("low", "er"))
+    // the data-form must equal folding literal bpeMergePair passes
+    val viaLiteral = merges.foldLeft(sym) { case (v, (a, b)) =>
+      TextAnalysis.bpeMergePair(v, a, b) }
+      .collect().head.getSeq[String](0)
+    assert(enc == viaLiteral)
+    // greedy non-overlap survives the data form: aaaa → [aa, aa], aaa → [aa, a]
+    val aa = Seq((Seq("a", "a", "a", "a"), 1L), (Seq("a", "a", "a"), 1L))
+      .toDF("sym", "cnt")
+      .select(TextAnalysis.bpeApplyMerges(col("sym"),
+        typedLit(Seq(("a", "a"))).cast("array<struct<a:string,b:string>>")).as("e"))
+      .collect().map(_.getSeq[String](0)).toSeq
+    assert(aa.contains(Seq("aa", "aa")) && aa.contains(Seq("aa", "a")))
+    // empty merge table: encode is the char split
+    val none = sym.select(TextAnalysis.bpeApplyMerges(col("sym"),
+        typedLit(Seq.empty[(String, String)])
+          .cast("array<struct<a:string,b:string>>")).as("e"))
+      .collect().head.getSeq[String](0)
+    assert(none == Seq("l", "o", "w", "e", "r"))
+  }
+
+  test("BPE encode counts: occurrence-weighted doc totals under trained merges") {
+    val docs = Seq(
+      (1L, "low low lower"),   // low×2, lower×1
+      (2L, "newest widest")).toDF("doc_id", "text")
+    // merges chosen by hand: (l,o) and (lo,w) — low → [low] (1 tok),
+    // lower → [low,e,r] (3), newest → 6 chars, widest → 6
+    val m = Seq(("l", "o"), ("lo", "w"))
+    val got = TextAnalysis.bpeEncodeCounts(docs, "doc_id", "text", m)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((3L, 2L * 1 + 1 * 3)))
+    assert(got(2L) == ((2L, 12L)))
+    // pretoken mode tokenizes through the regex classes: "end." is two
+    // pretokens (3 + 1 chars with no merges), one whitespace word
+    val p = Seq((1L, "end.")).toDF("doc_id", "text")
+    val gotP = TextAnalysis.bpeEncodeCounts(p, "doc_id", "text", Nil, pretoken = true)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val gotW = TextAnalysis.bpeEncodeCounts(p, "doc_id", "text", Nil)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(gotP(1L) == ((2L, 4L)) && gotW(1L) == ((1L, 4L)))
+  }
 }
