@@ -2117,6 +2117,18 @@ object SparkEntry {
       TextAnalysis.bpeEncodeCounts(d, "doc_id", "text", m).orderBy("doc_id")
     }),
 
+    // X4 — CCNet-style LM quality signal: per-doc negative log-
+    // likelihood under a unigram LM trained on the English slice (the
+    // "does this look like the reference corpus" filter). Fixed-point
+    // micros: one ln per DISTINCT vocab word, floor(x·1e6+0.5) (half-up
+    // on negatives is engine-defined; floor is not), then pure BIGINT
+    // aggregation — partial-agg merge order cannot move the hash.
+    "x4_lm_nll" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val lm = TextAnalysis.unigramLm(docs.filter(col("lang") === "en"), "text")
+      TextAnalysis.unigramNll(docs, "doc_id", "text", lm).orderBy("doc_id")
+    }),
+
     // X4v apply, GPT-2 shape — encode over pretokens with merges
     // trained over the pretoken vocabulary.
     "x4_bpe_encode_pretoken" -> ((s, dir) => {
@@ -3832,6 +3844,32 @@ object SparkEntry {
     "x4_bpe_encode_pretoken" -> bpeEncodeOracle(
       """SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]+')) AS word
         |    FROM documents WHERE doc_id < 200""".stripMargin),
+
+    // Unigram-LM NLL twin: same add-one-smoothed ln in fixed-point
+    // micros (floor(x*1e6 + 0.5) — identical expression shape so the
+    // one double op is IEEE-identical), BIGINT sums thereafter.
+    "x4_lm_nll" ->
+      """WITH rw AS MATERIALIZED (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+        |  FROM documents WHERE lang = 'en'),
+        |c AS MATERIALIZED (
+        |  SELECT word, count(*) AS c FROM rw WHERE word <> '' GROUP BY word),
+        |t AS MATERIALIZED (SELECT sum(c) AS n, count(*) AS v FROM c),
+        |lm AS MATERIALIZED (
+        |  SELECT word,
+        |    CAST(floor(ln((c + 1.0) / CAST(n + v AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS lp
+        |  FROM c, t),
+        |oov AS MATERIALIZED (
+        |  SELECT CAST(floor(ln((0 + 1.0) / CAST(n + v AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS lp
+        |  FROM t),
+        |dw AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS word
+        |  FROM documents)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(-sum(coalesce(lm.lp, (SELECT lp FROM oov))) AS BIGINT) AS nll_micro
+        |FROM dw LEFT JOIN lm USING (word)
+        |WHERE dw.word <> ''
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Pair census over the pretoken vocabulary — the census the real
     // tokenizer pipeline trains on.

@@ -369,6 +369,59 @@ object TextAnalysis {
     merges.toList
   }
 
+  /** Train a unigram language model from a reference corpus: one hash
+    * agg for word counts, one for the (N, V) totals, add-one smoothing,
+    * and log-probabilities in FIXED-POINT micros —
+    * `lp_micro = floor(ln((c+1)/(N+V))·1e6 + 0.5)` — so everything
+    * downstream aggregates in exact BIGINT. One `ln` per DISTINCT word
+    * is the only floating-point op in the whole family; `floor(x+0.5)`
+    * rather than round() because half-up rounding of negatives is
+    * engine-defined while floor is not. Emits (word, lp_micro) plus the
+    * model's OOV row under [[UnigramLm.OovWord]] (`lp = ln(1/(N+V))`,
+    * the unseen-word mass). Vocabulary-scale output — broadcast it. */
+  def unigramLm(ref: org.apache.spark.sql.DataFrame, text: String)
+      : org.apache.spark.sql.DataFrame = {
+    val words = ref.select(explode(tokens(lower(col(text)))).as("word"))
+      .filter(col("word") =!= "")
+    val counts = words.groupBy(col("word")).agg(count(lit(1)).as("_c"))
+    val totals = counts.agg(sum(col("_c")).as("_n"), count(lit(1)).as("_v"))
+    def lpMicro(c: Column, n: Column, v: Column): Column =
+      floor(log((c + lit(1.0)) / (n + v).cast("double")) * 1e6 + lit(0.5))
+        .cast("long")
+    counts.crossJoin(broadcast(totals))
+      .select(col("word"), lpMicro(col("_c"), col("_n"), col("_v")).as("lp_micro"))
+      .unionAll(totals.select(lit(UnigramLm.OovWord).as("word"),
+        lpMicro(lit(0L), col("_n"), col("_v")).as("lp_micro")))
+  }
+
+  /** CCNet-style LM quality signal: per-document negative log-likelihood
+    * under a [[unigramLm]] — the "does this look like the reference
+    * corpus" filter (low NLL ≈ reference-like, high ≈ noise; CCNet
+    * buckets a crawl by exactly this number scored against a Wikipedia
+    * LM). Scale shape: corpus explodes to (id, word), broadcast-joins
+    * the vocabulary-sized model, and aggregates (count × lp_micro)
+    * products in BIGINT — no double ever sums across rows, so partial-
+    * agg merge order cannot move the hash at any scale. OOV words take
+    * the model's unseen-word mass. Emits (id, n_tokens,
+    * nll_micro = −Σ lp_micro): perplexity = exp(nll_micro / 1e6 / n),
+    * left to the caller as the one inexact step. */
+  def unigramNll(df: org.apache.spark.sql.DataFrame, id: String,
+      text: String, lm: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val oov = lm.filter(col("word") === UnigramLm.OovWord)
+      .select(col("lp_micro").as("_oov"))
+    val words = df.select(col(id),
+        explode(tokens(lower(col(text)))).as("word"))
+      .filter(col("word") =!= "")
+    words
+      .join(broadcast(lm.filter(col("word") =!= UnigramLm.OovWord)),
+        Seq("word"), "left")
+      .crossJoin(broadcast(oov))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_tokens"),
+        (-sum(coalesce(col("lp_micro"), col("_oov")))).as("nll_micro"))
+  }
+
   /** Chunk documents into fixed-token windows with overlap — the
     * context-window prep step of a training pipeline (a 100k-token doc
     * becomes ⌈100k/stride⌉ rows of ≤`chunkSize` tokens each, stride =
@@ -441,4 +494,10 @@ object TextAnalysis {
         (coalesce(col("_s"), lit(java.math.BigDecimal.ZERO).cast("decimal(18,6)"))
           + lit(bias)).cast("decimal(18,6)").as("score"))
   }
+}
+
+object UnigramLm {
+  /** Reserved OOV row key in a [[TextAnalysis.unigramLm]] model —
+    * contains a space, so no tokenized word can collide with it. */
+  val OovWord = "<unk >"
 }

@@ -237,4 +237,23 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(gotP(1L) == ((2L, 4L)) && gotW(1L) == ((1L, 4L)))
   }
+
+  test("unigram LM NLL: hand-checked micros, OOV mass, reference-likeness ordering") {
+    // reference: "the cat" ×2 → counts the=2 cat=2, N=4 V=2
+    val ref = Seq((1L, "the cat"), (2L, "the cat")).toDF("doc_id", "text")
+    val lm = TextAnalysis.unigramLm(ref, "text")
+    val got = lm.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def micro(p: Double) = math.floor(math.log(p) * 1e6 + 0.5).toLong
+    assert(got("the") == micro(3.0 / 6) && got("cat") == micro(3.0 / 6))
+    assert(got(graft.ops.UnigramLm.OovWord) == micro(1.0 / 6))
+    // scoring: "the the" = 2·lp(the); "dog dog dog" = 3·lp(oov) — exact
+    val docs = Seq((10L, "the the"), (11L, "dog dog dog")).toDF("doc_id", "text")
+    val nll = TextAnalysis.unigramNll(docs, "doc_id", "text", lm)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(nll(10L) == ((2L, -2 * micro(3.0 / 6))))
+    assert(nll(11L) == ((3L, -3 * micro(1.0 / 6))))
+    // the filter property the op exists for: per-token NLL of reference-
+    // like text is lower than OOV noise
+    assert(nll(10L)._2.toDouble / 2 < nll(11L)._2.toDouble / 3)
+  }
 }
