@@ -123,6 +123,16 @@ object ScaleProbe {
       time("bpe_merges_3") {
         graft.ops.TextAnalysis.trainBpeMerges(docs, "text", 3).size.toLong
       }
+      time("bpe_encode") {
+        val m = graft.ops.TextAnalysis.trainBpeMerges(
+          docs.filter(col("doc_id") % 97 === 0), "text", 3).map(t => (t._2, t._3))
+        graft.ops.TextAnalysis.bpeEncodeCounts(docs, "doc_id", "text", m).count()
+      }
+      time("lm_nll") {
+        val lm = graft.ops.TextAnalysis.unigramLm(
+          docs.filter(col("lang") === "en"), "text")
+        graft.ops.TextAnalysis.unigramNll(docs, "doc_id", "text", lm).count()
+      }
       time("model_score") {
         val model = docs
           .select(explode(graft.ops.TextAnalysis.tokens(lower(col("text")))).as("term"))
