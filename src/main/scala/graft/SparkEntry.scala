@@ -687,6 +687,62 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // X5 — REAL image decode: formula-generated P5 PGM payloads (pixel
+    // (i) = (id·31 + i·7) mod 256, dims from id) decoded by the
+    // library-free byte parser. The oracle recomputes every statistic
+    // from the generating formula, so the gate proves the full round
+    // trip — header walk, dimension parse, raster scan — not just
+    // plumbing. Planted data, same pattern as the json_salvage gate.
+    "x5_decode_pgm" -> ((s, dir) => {
+      import s.implicits._
+      val recs = Tables.documents(s, dir).filter(col("doc_id") < 500)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = (4 + id % 13).toInt; val h = (3 + id % 7).toInt
+          Multimodal.MediaRecord(id,
+            Multimodal.encodePgm(w, h, 255, i => ((id * 31 + i * 7) % 256).toInt),
+            "image/x-pgm", "xx")
+        }
+      Multimodal.decodePgmStats(recs).toDF().orderBy("doc_id")
+    }),
+
+    // X5 — REAL audio decode: RIFF/WAVE 16-bit PCM payloads (sample(i)
+    // = ((id·13 + i·5) mod 65536) − 32768) through the chunk-walking
+    // parser; duration/Σ|s|/peak all exact integers.
+    "x5_decode_wav" -> ((s, dir) => {
+      import s.implicits._
+      val recs = Tables.documents(s, dir).filter(col("doc_id") < 500)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val n = (50 + id % 100).toInt
+          Multimodal.MediaRecord(id,
+            Multimodal.encodeWav((8000 * (1 + id % 3)).toInt,
+              i => (((id * 13 + i * 5) % 65536) - 32768).toInt, n),
+            "audio/wav", "xx")
+        }
+      Multimodal.decodeWavStats(recs).toDF().orderBy("doc_id")
+    }),
+
+    // X5 — REAL nearest-neighbor resize: the same generated PGMs
+    // resized to (1 + w/2, 1 + h/2), then DECODED AGAIN (the resize
+    // output is itself a valid PGM) — the oracle recomputes the NN
+    // source-index mapping (y·h0/h1, x·w0/w1 integer div) from the
+    // formula, so a half-pixel offset bug or a transposed axis flips
+    // the hash.
+    "x5_resize_pgm" -> ((s, dir) => {
+      import s.implicits._
+      val recs = Tables.documents(s, dir).filter(col("doc_id") < 500)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = (4 + id % 13).toInt; val h = (3 + id % 7).toInt
+          val src = Multimodal.encodePgm(w, h, 255,
+            i => ((id * 31 + i * 7) % 256).toInt)
+          Multimodal.MediaRecord(id,
+            Multimodal.resizePgm(src, 1 + w / 2, 1 + h / 2), "image/x-pgm", "xx")
+        }
+      Multimodal.decodePgmStats(recs).toDF().orderBy("doc_id")
+    }),
+
     // Running totals + lag over an ordered per-customer window.
     "window_running_total" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -3110,6 +3166,60 @@ object SparkEntry {
       s"""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         | 'text/plain' AS fmt, CAST(${ops.Multimodal.stubFeatureDim} AS BIGINT) AS feat_dim
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Real-decoder twins: every statistic recomputed from the payload-
+    // generating formula, so the byte parser's full round trip is what
+    // the hash certifies.
+    "x5_decode_pgm" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    CAST(4 + doc_id % 13 AS INTEGER) AS width,
+        |    CAST(3 + doc_id % 7 AS INTEGER) AS height,
+        |    list_transform(generate_series(0,
+        |        (4 + doc_id % 13) * (3 + doc_id % 7) - 1),
+        |      i -> (doc_id * 31 + i * 7) % 256) AS px
+        |  FROM documents WHERE doc_id < 500)
+        |SELECT doc_id, width, height, CAST(255 AS INTEGER) AS maxval,
+        |  CAST(len(px) AS BIGINT) AS n_pixels,
+        |  CAST(list_sum(px) AS BIGINT) AS px_sum,
+        |  CAST(list_min(px) AS INTEGER) AS px_min,
+        |  CAST(list_max(px) AS INTEGER) AS px_max
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "x5_decode_wav" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    CAST(8000 * (1 + doc_id % 3) AS INTEGER) AS sample_rate,
+        |    list_transform(generate_series(0, 49 + doc_id % 100),
+        |      i -> abs((doc_id * 13 + i * 5) % 65536 - 32768)) AS sa
+        |  FROM documents WHERE doc_id < 500)
+        |SELECT doc_id, sample_rate,
+        |  CAST(len(sa) AS BIGINT) AS n_samples,
+        |  CAST(len(sa) * 1000000 // sample_rate AS BIGINT) AS duration_micros,
+        |  CAST(list_sum(sa) AS BIGINT) AS sum_abs,
+        |  CAST(list_max(sa) AS INTEGER) AS peak
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "x5_resize_pgm" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    4 + doc_id % 13 AS w0, 3 + doc_id % 7 AS h0,
+        |    1 + (4 + doc_id % 13) // 2 AS w1, 1 + (3 + doc_id % 7) // 2 AS h1
+        |  FROM documents WHERE doc_id < 500),
+        |p AS (
+        |  SELECT doc_id, w1, h1,
+        |    list_transform(generate_series(0, w1 * h1 - 1),
+        |      i -> (doc_id * 31 +
+        |            (((i // w1) * h0 // h1) * w0 + ((i % w1) * w0 // w1)) * 7)
+        |           % 256) AS px
+        |  FROM g)
+        |SELECT doc_id, CAST(w1 AS INTEGER) AS width, CAST(h1 AS INTEGER) AS height,
+        |  CAST(255 AS INTEGER) AS maxval,
+        |  CAST(len(px) AS BIGINT) AS n_pixels,
+        |  CAST(list_sum(px) AS BIGINT) AS px_sum,
+        |  CAST(list_min(px) AS INTEGER) AS px_min,
+        |  CAST(list_max(px) AS INTEGER) AS px_max
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     "x5_frame_sample" ->
       """WITH d AS (

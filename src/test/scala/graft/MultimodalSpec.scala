@@ -51,4 +51,47 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     // frames of 3 bytes: abc, def, ghi, j — keep every 2nd: abc, ghi
     assert(frames == Seq("abc", "ghi"))
   }
+
+  test("PGM decode: round trip, netpbm comment headers, truncation error") {
+    // 3×2, pixels 10..15: stats by hand
+    val p = encodePgm(3, 2, 255, i => 10 + i)
+    val st = decodePgm(7L, p)
+    assert(st == PgmStats(7L, 3, 2, 255, 6L, 75L, 10, 15))
+    // a header with # comment lines (the formula gate never emits them)
+    val commented = ("P5\n# made by hand\n3 2\n# maxval next\n255\n"
+      .getBytes("US-ASCII") ++ p.drop(p.length - 6))
+    assert(decodePgm(8L, commented) == st.copy(doc_id = 8L))
+    // truncated raster fails loudly, not with garbage stats
+    val e = intercept[IllegalArgumentException](decodePgm(9L, p.dropRight(1)))
+    assert(e.getMessage.contains("truncated"))
+    // non-PGM magic rejected
+    intercept[IllegalArgumentException](decodePgm(9L, "JFIF".getBytes))
+  }
+
+  test("PGM resize: NN mapping by hand; identity resize preserves the raster") {
+    // 4×2 source, pixel(i) = i: resize to 2×1 samples (0·4/2 + 0, 0·4/2 + 2) = px 0, 2
+    val src = encodePgm(4, 2, 255, i => i)
+    val half = decodePgm(1L, resizePgm(src, 2, 1))
+    assert(half.width == 2 && half.height == 1 && half.px_sum == 0L + 2L)
+    // identity resize: bit-equal payload (NN at same dims maps i -> i)
+    assert(java.util.Arrays.equals(resizePgm(src, 4, 2), src))
+    // upscale 4×2 → 8×2: each source pixel sampled twice per row
+    val up = decodePgm(1L, resizePgm(src, 8, 2))
+    assert(up.n_pixels == 16L && up.px_sum == 2L * (0 until 8).sum)
+  }
+
+  test("WAV decode: hand stats, unknown chunk skipped, non-PCM rejected") {
+    // samples −3, 4, −5: Σ|s| = 12, peak 5; rate 8000 → 3 samples = 375 µs
+    val w = encodeWav(8000, Seq(-3, 4, -5)(_), 3)
+    assert(decodeWav(1L, w) == WavStats(1L, 8000, 3L, 375L, 12L, 5))
+    // an extra chunk between fmt and data must be skipped, not parsed
+    val (head, data) = w.splitAt(36)
+    val extra = head ++ "LIST".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII") ++ data
+    assert(decodeWav(2L, extra) == WavStats(2L, 8000, 3L, 375L, 12L, 5))
+    // compressed (non-PCM audioFormat) rejected loudly
+    val nonPcm = w.clone(); nonPcm(20) = 2 // audioFormat field
+    val e = intercept[IllegalArgumentException](decodeWav(3L, nonPcm))
+    assert(e.getMessage.contains("not PCM"))
+  }
 }
