@@ -140,4 +140,24 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("Window"), "scale path must not contain a Window operator")
     assert(p.contains("Broadcast"), "n must arrive via a one-row broadcast")
   }
+
+  test("LM NLL: the model rides broadcasts, the corpus never sort-merges") {
+    // the exploded corpus joins a vocabulary-sized LM: both the model
+    // join and the OOV row must broadcast — an SMJ means the corpus
+    // shuffled to meet the model, the exact regression the op forbids
+    val p = plan("x4_lm_nll")
+    assert(p.contains("BroadcastHashJoin"), "LM join must broadcast")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("Broadcast"),
+      "the one-row OOV mass must ride a broadcast")
+    assert(!p.contains("SortMergeJoin"), "corpus must not shuffle to meet the model")
+  }
+
+  test("BPE encode: vocabulary-scale encoding broadcasts back to doc grain") {
+    // per-doc word counts join the encoded DISTINCT-word table; the
+    // encoded side is vocabulary-sized and must broadcast — if the
+    // doc-grain side shuffles to meet it, encode stops scaling
+    val p = plan("x4_bpe_encode")
+    assert(p.contains("BroadcastHashJoin"), "encoded-vocab join must broadcast")
+    assert(!p.contains("SortMergeJoin"), "doc grain must not shuffle to meet the vocab")
+  }
 }
