@@ -2218,6 +2218,15 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // X45 robust twin — MAD outlier census: |v − median| > k·MAD on
+    // integer cents, so every median is an integer or exact .5 and the
+    // verdict arithmetic is IEEE-exact in both engines.
+    "dq_outliers_mad" -> ((s, dir) => {
+      graft.ops.DataQuality.outliersMad(
+          Tables.events(s, dir), "event_type", col("value"), k = 2)
+        .orderBy("event_type")
+    }),
+
     // X4 — BM25 top terms: tf·idf's retrieval-grade sibling (saturating
     // tf, doc-length normalization); same integer-until-the-formula +
     // rank-over-rounded-score determinism contract.
@@ -4065,6 +4074,22 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN isout THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
         |  CAST(coalesce(sum(CASE WHEN isout THEN vc END), 0) AS BIGINT) AS outlier_cents
         |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "dq_outliers_mad" ->
+      """WITH b AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events),
+        |md AS (SELECT event_type, median(vc) AS med FROM b GROUP BY event_type),
+        |d AS (
+        |  SELECT b.event_type, med, abs(CAST(vc AS DOUBLE) - med) AS dd
+        |  FROM b JOIN md USING (event_type)),
+        |m2 AS (SELECT event_type, median(dd) AS mad FROM d GROUP BY event_type)
+        |SELECT d.event_type, count(*) AS n,
+        |  CAST(max(med) AS DOUBLE) AS median_cents,
+        |  CAST(max(mad) AS DOUBLE) AS mad_cents,
+        |  CAST(sum(CASE WHEN dd > 2 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM d JOIN m2 USING (event_type)
+        |GROUP BY d.event_type ORDER BY event_type""".stripMargin,
 
     "x4_bm25_top_terms" ->
       """WITH words AS (

@@ -121,4 +121,35 @@ object DataQuality {
       coalesce(sum(when(col("_isout"), col("_vc"))), lit(0L).cast("decimal(38,0)"))
         .cast("long").as("outlier_cents"))
   }
+
+  /** Robust outlier census per group: flag iff |v − median| > k·MAD —
+    * the median-absolute-deviation rule, immune to the outliers
+    * themselves inflating the spread (a single 1e9 spike moves a mean/
+    * stddev gate's threshold but not this one's). Exactness contract:
+    * values go to integer cents, so every median is an integer or an
+    * exact .5 (IEEE-exact), |v − m| and k·MAD stay exact in double, and
+    * the comparison cannot flap with merge order or engine.
+    *
+    * Scale contract: exact grouped medians are sort-based with O(group)
+    * per-key state — right for DIMENSION-cardinality groups (event
+    * types, regions; the same contract as groupwiseRank's driver map).
+    * For corpus-cardinality groups use the prefix-sum ntile path
+    * (`Packing.ntileOrdered`) to rank once and derive both medians. */
+  def outliersMad(df: DataFrame, group: String,
+      value: org.apache.spark.sql.Column, k: Int = 3): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val base = df.select(col(group), round(value * 100).cast("long").as("_vc"))
+    val med = base.groupBy(col(group)).agg(median(col("_vc")).as("_med"))
+    val dev = base.join(broadcast(med), Seq(group))
+      .withColumn("_d", abs(col("_vc").cast("double") - col("_med")))
+    val mad = dev.groupBy(col(group)).agg(median(col("_d")).as("_mad"))
+    dev.join(broadcast(mad), Seq(group))
+      .withColumn("_isout", when(col("_d").isNull, lit(false))
+        .otherwise(col("_d") > lit(k.toDouble) * col("_mad")))
+      .groupBy(col(group)).agg(
+        count(lit(1)).as("n"),
+        max(col("_med")).as("median_cents"),
+        max(col("_mad")).as("mad_cents"),
+        sum(when(col("_isout"), 1L).otherwise(0L)).as("n_outliers"))
+  }
 }

@@ -273,4 +273,47 @@ class QualitySamplingSpec extends AnyFunSuite with SparkTestBase {
     val cg = graft.ops.DataQuality.outliersZScore(const, "g", col("v")).collect().head
     assert(cg.getLong(2) == 0L)
   }
+
+  test("outliersMad == scala reference; threshold robust to the spike itself") {
+    import spark.implicits._
+    val rng = new scala.util.Random(43)
+    // g0: tight cluster + moderate outliers + one extreme spike; the
+    // spike inflates a stddev gate's threshold past the moderates but
+    // cannot move the median/MAD. g1/g2: uniform noise.
+    val data = (1 to 300).map(i => ("g" + (1 + i % 2), rng.nextInt(1000) / 100.0)) ++
+      (1 to 200).map(i => ("g0", 10.0 + (i % 11 - 5) / 10.0)) ++
+      Seq.fill(5)(("g0", 50.0)) ++ Seq(("g0", 100000.0))
+    val df = data.toDF("g", "v")
+    // exact reference: medians over sorted cents (integer or exact .5)
+    def medOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.size
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+    }
+    val expect = data.groupBy(_._1).map { case (g, rows) =>
+      val cents = rows.map { case (_, v) => math.round(v * 100).toDouble }
+      val m = medOf(cents)
+      val dd = cents.map(c => math.abs(c - m))
+      val mad = medOf(dd)
+      g -> ((cents.size.toLong, m, mad, dd.count(_ > 2 * mad).toLong))
+    }
+    val got = graft.ops.DataQuality.outliersMad(df, "g", col("v"), k = 2)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(got == expect)
+    assert(got("g0")._4 >= 1L) // the spike is flagged
+    // robustness — the property MAD exists for: the spike does NOT
+    // inflate its own group's threshold (median/MAD barely move), where
+    // the z=2 stddev gate's threshold balloons and flags ONLY the spike
+    val zs = graft.ops.DataQuality.outliersZScore(df, "g", col("v"), z = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got("g0")._4 > zs("g0"),
+      s"MAD should flag tail values the spike-inflated z-gate misses " +
+        s"(mad=${got("g0")._4}, z=${zs("g0")})")
+    // constant group: MAD 0, strict > flags nothing
+    val cg = graft.ops.DataQuality.outliersMad(
+        (1 to 50).map(_ => ("c", 7.25)).toDF("g", "v"), "g", col("v"))
+      .collect().head
+    assert(cg.getDouble(3) == 0.0 && cg.getLong(4) == 0L)
+  }
 }
