@@ -2695,6 +2695,90 @@ object SparkEntry {
           Tables.embeddings(s, dir).filter(col("vec_id") < 400),
           "vec_id", "embedding", minCosine = 0.25)
         .orderBy("id_a", "id_b")
+    }),
+
+    // Iterative graph computation — distributed PageRank in exact
+    // BIGINT micros over a formula-planted doc graph: every doc links
+    // to (id·31+7) mod N and (id·17+3) mod N, the oracle regenerates
+    // the identical edge list, so the hash certifies FIVE full rounds
+    // of the iterated join-aggregate (the Pregel shape — edge table
+    // degree-joined once and persisted, only node-cardinality rank
+    // frames move per round). See ops/Graph.scala for the contract.
+    "graph_pagerank" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val cnt = docs.agg(count(lit(1)).as("n_nodes"))
+      val edges = docs.crossJoin(broadcast(cnt)).select(
+        col("doc_id").as("src"),
+        explode(array(expr("(doc_id * 31 + 7) % n_nodes"),
+          expr("(doc_id * 17 + 3) % n_nodes"))).as("dst"))
+      graft.ops.Graph.pagerank(edges, "src", "dst", docs, "doc_id", iters = 5)
+        .orderBy("node")
+    }),
+
+    // X4 composed — CCNet-style perplexity bucketing: per-language
+    // head/middle/tail terciles of the per-token LM score (the bucket
+    // CCNet keeps/drops/inspects by). Mean NLL per token is an integer
+    // floor-div of micros (exact both engines); the tercile comes from
+    // the GROUPED distributed ntile (Packing.ntileGrouped — groupwise
+    // prefix rank + integer ANSI-NTILE arithmetic, never a per-lang
+    // single-reducer window). Census output at (lang, bucket) grain.
+    "x4_ccnet_buckets" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val lm = TextAnalysis.unigramLm(docs.filter(col("lang") === "en"), "text")
+      val scored = TextAnalysis.unigramNll(docs, "doc_id", "text", lm)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .withColumn("mpt", expr("nll_micro div n_tokens"))
+      graft.ops.Packing.ntileGrouped(scored, "lang",
+          Seq(col("mpt").asc, col("doc_id").asc), 3)
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tok_total"),
+          min("mpt").as("mpt_min"), max("mpt").as("mpt_max"))
+        .orderBy("lang", "bucket")
+    }),
+
+    // X4 composed — DSIR-style importance weights (Xie et al.):
+    // log-likelihood ratio of each doc under a TARGET LM (trained on
+    // the English slice) vs a BACKGROUND LM (trained on the full
+    // corpus), in exact micros: w = nll_bg − nll_tgt, positive iff the
+    // doc looks more target-like than corpus-average. Two broadcast LM
+    // joins, one corpus scan each, pure BIGINT — the selection signal
+    // for importance resampling. `kept` = top-target-like flag (w > 0).
+    "x4_dsir_weights" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tgt = TextAnalysis.unigramLm(docs.filter(col("lang") === "en"), "text")
+      val bg = TextAnalysis.unigramLm(docs, "text")
+      val nt = TextAnalysis.unigramNll(docs, "doc_id", "text", tgt)
+        .select(col("doc_id"), col("nll_micro").as("nll_tgt"))
+      val nb = TextAnalysis.unigramNll(docs, "doc_id", "text", bg)
+        .select(col("doc_id"), col("n_tokens"), col("nll_micro").as("nll_bg"))
+      nb.join(nt, "doc_id")
+        .select(col("doc_id"), col("n_tokens"),
+          (col("nll_bg") - col("nll_tgt")).as("w_micro"),
+          (col("nll_bg") - col("nll_tgt") > 0L).as("kept"))
+        .orderBy("doc_id")
+    }),
+
+    // Incremental materialized-view maintenance — the contract that
+    // makes 100 TB rollups appendable: state(base) ⊎ state(delta) ==
+    // state(base ∪ delta) for the reaggregable components. The corpus
+    // splits on o_orderkey parity (every group has rows in BOTH halves,
+    // so the merge is real, not a disjoint union); each half builds its
+    // partial state independently and Reagg.mergeToCoarser folds them
+    // at the same grain. The oracle recomputes from the FULL table in
+    // one pass — hash equality IS the maintenance-identity proof.
+    "mv_incremental_merge" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val keys = Seq("o_orderpriority")
+      val bucket = year(col("o_orderdate")).cast("long")
+      val st = Reagg.partials(o.filter(col("o_orderkey") % 2 === 0), keys,
+          bucket, col("o_totalprice"))
+        .unionByName(Reagg.partials(o.filter(col("o_orderkey") % 2 === 1),
+          keys, bucket, col("o_totalprice")))
+      Reagg.mergeToCoarser(st, keys, col("bucket"))
+        .select(col("bucket"), col("o_orderpriority"), col("n"),
+          col("total").cast("double").as("total"), col("mn"), col("mx"),
+          round(col("total").cast("double") / col("n"), 6).as("avg_v"))
+        .orderBy("bucket", "o_orderpriority")
     })
   )
 
@@ -4849,6 +4933,118 @@ object SparkEntry {
       """SELECT lang, count(*) AS n_total,
         |  TRUE AS frac_ok, TRUE AS rerun_deterministic
         |FROM documents WHERE lang IN ('de', 'en', 'es', 'fr')
-        |GROUP BY lang ORDER BY lang""".stripMargin
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "graph_pagerank" -> pagerankOracle(5),
+
+    // Per-lang NLL terciles: the lm/nll CTEs are the x4_lm_nll twin
+    // (lmCtes — identical ln expression shape, so the one double op is
+    // IEEE-identical); mean-per-token is BIGINT floor-div; NTILE(3) is
+    // ANSI in both engines given the total (mpt, doc_id) order.
+    "x4_ccnet_buckets" ->
+      s"""WITH ${lmCtes("", " WHERE lang = 'en'")},
+         |dw AS (
+         |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word
+         |  FROM documents),
+         |nll AS MATERIALIZED (
+         |  SELECT doc_id, count(*) AS n_tokens,
+         |    CAST(-sum(coalesce(lm.lp, (SELECT lp FROM oov))) AS BIGINT) AS nll_micro
+         |  FROM dw LEFT JOIN lm USING (word)
+         |  WHERE dw.word <> '' GROUP BY doc_id),
+         |sc AS (
+         |  SELECT d.lang, nll.doc_id, nll.n_tokens, nll.nll_micro // nll.n_tokens AS mpt
+         |  FROM nll JOIN documents d USING (doc_id)),
+         |bk AS (
+         |  SELECT lang, n_tokens, mpt,
+         |    NTILE(3) OVER (PARTITION BY lang ORDER BY mpt, doc_id) AS bucket
+         |  FROM sc)
+         |SELECT lang, CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS tok_total,
+         |  min(mpt) AS mpt_min, max(mpt) AS mpt_max
+         |FROM bk GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
+
+    // Two independent LM pipelines (t_ = target/en, b_ = background/
+    // full corpus) over one shared token stream; w = nll_bg − nll_tgt
+    // in pure BIGINT.
+    "x4_dsir_weights" ->
+      s"""WITH ${lmCtes("t_", " WHERE lang = 'en'")},
+         |${lmCtes("b_", "")},
+         |dw AS MATERIALIZED (
+         |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word
+         |  FROM documents),
+         |dwf AS (SELECT doc_id, word FROM dw WHERE word <> ''),
+         |nt AS (
+         |  SELECT doc_id,
+         |    CAST(-sum(coalesce(t_lm.lp, (SELECT lp FROM t_oov))) AS BIGINT) AS nll_tgt
+         |  FROM dwf LEFT JOIN t_lm USING (word) GROUP BY doc_id),
+         |nb AS (
+         |  SELECT doc_id, count(*) AS n_tokens,
+         |    CAST(-sum(coalesce(b_lm.lp, (SELECT lp FROM b_oov))) AS BIGINT) AS nll_bg
+         |  FROM dwf LEFT JOIN b_lm USING (word) GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, nll_bg - nll_tgt AS w_micro,
+         |  (nll_bg - nll_tgt) > 0 AS kept
+         |FROM nb JOIN nt USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // Full-table recompute in one pass — hash equality against the
+    // Spark side's base⊎delta partial-state merge IS the incremental-
+    // maintenance identity proof.
+    "mv_incremental_merge" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS bucket, o_orderpriority,
+        |  count(o_totalprice) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  min(o_totalprice) AS mn, max(o_totalprice) AS mx,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(o_totalprice), 6) AS avg_v
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
+
+  /** DuckDB twin of [[graft.ops.Graph.pagerank]] over the planted doc
+    * graph: `iters` chained MATERIALIZED rank CTEs, each one LEFT JOIN
+    * of the node universe against the per-dst contribution sum —
+    * BIGINT micros with `//` floor-div (identical to Spark's `div` on
+    * non-negative operands). */
+  private def pagerankOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { r =>
+      s"""r$r AS MATERIALIZED (
+         |  SELECT alln.node, CAST(150000 + coalesce(m.s, 0) AS BIGINT) AS r
+         |  FROM alln LEFT JOIN (
+         |    SELECT ed.dst AS node, sum((85 * p.r) // (100 * ed.deg)) AS s
+         |    FROM ed JOIN r${r - 1} p ON ed.src = p.node GROUP BY ed.dst) m
+         |  USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS (SELECT count(*) AS n_nodes FROM documents),
+       |e AS MATERIALIZED (
+       |  SELECT doc_id AS src, (doc_id * 31 + 7) % n_nodes AS dst
+       |  FROM documents, nn
+       |  UNION ALL
+       |  SELECT doc_id, (doc_id * 17 + 3) % n_nodes FROM documents, nn),
+       |ed AS MATERIALIZED (
+       |  SELECT e.src, e.dst, d.deg
+       |  FROM e JOIN (SELECT src, count(*) AS deg FROM e GROUP BY src) d
+       |  USING (src)),
+       |alln AS MATERIALIZED (SELECT doc_id AS node FROM documents),
+       |r0 AS (SELECT doc_id AS node, CAST(1000000 AS BIGINT) AS r FROM documents),
+       |$rounds
+       |SELECT node, r AS rank_micro FROM r$iters ORDER BY node""".stripMargin
+  }
+
+  /** The x4_lm_nll twin's LM-training CTE chain, name-prefixed so two
+    * models (target/background) can coexist in one query. The ln
+    * expression shape must stay EXACTLY the Spark side's
+    * ([[graft.ops.TextAnalysis.unigramLm]]) — the single double op is
+    * then IEEE-identical across engines. */
+  private def lmCtes(p: String, whereSql: String): String =
+    s"""${p}rw AS MATERIALIZED (
+       |  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+       |  FROM documents$whereSql),
+       |${p}c AS MATERIALIZED (
+       |  SELECT word, count(*) AS c FROM ${p}rw WHERE word <> '' GROUP BY word),
+       |${p}t AS MATERIALIZED (SELECT sum(c) AS n, count(*) AS v FROM ${p}c),
+       |${p}lm AS MATERIALIZED (
+       |  SELECT word,
+       |    CAST(floor(ln((c + 1.0) / CAST(n + v AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS lp
+       |  FROM ${p}c, ${p}t),
+       |${p}oov AS MATERIALIZED (
+       |  SELECT CAST(floor(ln((0 + 1.0) / CAST(n + v AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS lp
+       |  FROM ${p}t)""".stripMargin
 }

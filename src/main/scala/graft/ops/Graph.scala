@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph computation — the Pregel-shaped workload class
+  * (PageRank here; the near-dup clustering in [[Dedup]] is the other
+  * resident: pointer-jumping connected components). The reference has
+  * no graph surface at all (`/root/reference/src/` is a two-Lambda
+  * row-wise ETL); this exists because a training-data engine needs the
+  * iterated join-aggregate shape — link-graph quality signals, citation
+  * ranks, crawl-frontier scoring all reduce to it.
+  *
+  * == Scale shape (the part that must survive 100 TB) ==
+  * Per iteration exactly two wide ops, both keyed and partial-agg
+  * friendly:
+  *   1. `edges ⋈ ranks` on `src` — the edge table is joined AGAINST
+  *      each round, so it is degree-joined once, persisted, and its
+  *      hash partitioning on `src` is reused every round (the cached
+  *      `InMemoryRelation` keeps `HashPartitioning(src)`, so only the
+  *      |V|-row rank frame shuffles to meet it — never the |E|-row
+  *      edge table again).
+  *   2. `groupBy(dst).sum` — the message shuffle. Map-side partial
+  *      aggregation compacts per-partition messages to ≤|V| rows
+  *      before the wire, which is what makes a 100 TB edge list
+  *      tractable: the shuffle carries node-cardinality partials, not
+  *      edge-cardinality messages.
+  * The rank frame is re-pinned each round via the prefix-sum family's
+  * [[Packing.pinExchange]] (same `spark.graft.prefixSum.reliableCheckpoint`
+  * escape hatch), so lineage stays O(1) across rounds instead of
+  * growing a 2-wide-ops-per-iteration plan tree, and a mid-schedule
+  * re-evaluation can never observe a different shuffle. Driver state:
+  * nothing — no collect anywhere; convergence is fixed-round by
+  * contract (callers wanting a delta-based stop should census
+  * `abs(r-r_prev)` themselves, one extra keyed join).
+  *
+  * == Exactness (why the gate can hash-match DuckDB) ==
+  * Ranks are BIGINT micros end-to-end. Init 1 000 000 per node; each
+  * round `r'(v) = 150 000 + Σ_{u→v} floor(85·r(u) / (100·outdeg(u)))`
+  * — damping 0.85 and teleport 0.15 expressed as integer ratios, the
+  * one division a floor-div of non-negative BIGINTs (identical in
+  * Spark's `div` and DuckDB's `//`). No double ever exists, so
+  * partial-agg merge order, partitioning, and engine cannot move a
+  * rank by even a micro. Headroom: Σ ranks ≤ |V|·1e6 and 85·r(u) ≤
+  * 85·|V|·1e6 — overflow needs |V| ≳ 1e11 nodes in ONE graph; the
+  * docstring contract caps support at 1e10 nodes.
+  *
+  * == Semantics choices (documented, deterministic) ==
+  * - Dangling nodes (outdeg 0) contribute nothing: their mass is
+  *   DROPPED, not redistributed — the variant with no global
+  *   all-nodes broadcast term, hence no extra shuffle. Consequence:
+  *   Σ ranks is not conserved; ranks remain a valid relative ordering
+  *   (the common search-engine simplification).
+  * - The node universe is an explicit frame, not inferred from edges,
+  *   so isolated nodes exist and hold the teleport floor 150 000 after
+  *   any round ≥ 1 (inferring nodes from edges silently drops them).
+  * - Self-loops and parallel edges are honored as given (a parallel
+  *   edge doubles that neighbor's contribution) — dedup upstream if
+  *   that is not the intent.
+  */
+object Graph {
+
+  /** PageRank in exact BIGINT micros. `nodes` is the node universe
+    * (one row per node id); `edges` the directed edge list. Returns
+    * `(node, rank_micro)` after exactly `iters` rounds (iters = 0
+    * returns the uniform init). Contract: ids non-negative longs,
+    * |V| ≤ 1e10 (integer headroom, see object doc). */
+  def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
+      nodes: DataFrame, nodeCol: String, iters: Int): DataFrame = {
+    require(iters >= 0 && iters <= 1000, s"iters must be in [0,1000], got $iters")
+    val e = edges.select(
+      col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+    val n = nodes.select(col(nodeCol).cast("long").as("node"))
+
+    // Degree-join once; persist so every round reuses the hash(src)
+    // partitioning instead of re-shuffling the edge table.
+    val ed = e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .persist()
+
+    var ranks = n.select(col("node"), lit(1000000L).as("r"))
+    for (_ <- 1 to iters) {
+      ranks = Packing.pinExchange(round(ed, ranks, n))
+    }
+    ed.unpersist()
+    ranks.select(col("node"), col("r").as("rank_micro"))
+  }
+
+  /** One PageRank round: message join + per-dst partial-agg sum + node-
+    * universe restore. Exposed for plan-shape assertions — the contract
+    * is "two wide ops, edge side served from cache, no broadcast of
+    * anything node-cardinality, no cartesian". */
+  private[graft] def round(ed: DataFrame, ranks: DataFrame,
+      n: DataFrame): DataFrame = {
+    val inMass = ed.join(ranks, col("src") === col("node"))
+      .select(col("dst"), expr("(85 * r) div (100 * deg)").as("c"))
+      .groupBy("dst").agg(sum("c").as("in_mass"))
+    n.join(inMass, col("node") === col("dst"), "left")
+      .select(col("node"),
+        (lit(150000L) + coalesce(col("in_mass"), lit(0L))).as("r"))
+  }
+}

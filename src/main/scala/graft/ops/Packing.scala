@@ -162,6 +162,31 @@ object Packing {
       .drop("_n")
   }
 
+  /** Per-GROUP ANSI NTILE without a per-group single reducer — the
+    * scale form of `ntile(k) OVER (PARTITION BY group ORDER BY ...)`
+    * when one group can be most of the corpus (a `Window.partitionBy`
+    * puts each group's entire extent in ONE task). Rank-within-group
+    * comes from [[Mixing.groupwiseRank]] (groupwise two-phase prefix
+    * sum — ONE range exchange, P×G driver rows, so the same
+    * "dozens-of-groups" contract applies); per-group sizes ride a
+    * broadcast join; the bucket is the same exact integer (rank, n)
+    * arithmetic as [[ntileOrdered]]. Adds `grp_rank` and `bucket`;
+    * `order` must be total WITHIN each group (tie-break with a unique
+    * id). */
+  def ntileGrouped(df: DataFrame, group: String, order: Seq[Column], k: Int,
+      numPartitions: Int = 0): DataFrame = {
+    require(k > 0, s"ntile bucket count must be positive, got $k")
+    val ranked = Mixing.groupwiseRank(df, group, order, numPartitions)
+    val ns = ranked.groupBy(col(group)).agg(count(lit(1)).as("_n"))
+    ranked.join(broadcast(ns), Seq(group))
+      .withColumn("bucket",
+        when(col("grp_rank") - 1L < (col("_n") % k) * (expr(s"_n div ${k}L") + 1L),
+          expr(s"(grp_rank - 1L) div (_n div ${k}L + 1L)") + 1L)
+          .otherwise((col("_n") % k) +
+            expr(s"((grp_rank - 1L) - (_n % ${k}L) * (_n div ${k}L + 1L)) div (_n div ${k}L)") + 1L))
+      .drop("_n")
+  }
+
   /** Greedy token-budget selection — the corpus-curation step "fill an
     * N-token training budget with the best documents first": order the
     * corpus by `order` (a TOTAL order — tie-break with a unique id;

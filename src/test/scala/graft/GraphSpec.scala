@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphSpec extends AnyFunSuite with SparkTestBase {
+
+  /** Driver-side reference: the exact integer recurrence, plain maps. */
+  private def refPagerank(nodes: Seq[Long], edges: Seq[(Long, Long)],
+      iters: Int): Map[Long, Long] = {
+    val outdeg = edges.groupBy(_._1).map { case (s, es) => (s, es.size.toLong) }
+    var r = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val in = scala.collection.mutable.HashMap.empty[Long, Long]
+      edges.foreach { case (s, d) =>
+        in(d) = in.getOrElse(d, 0L) + (85L * r(s)) / (100L * outdeg(s))
+      }
+      r = nodes.map(v => v -> (150000L + in.getOrElse(v, 0L))).toMap
+    }
+    r
+  }
+
+  private def run(nodes: Seq[Long], edges: Seq[(Long, Long)], iters: Int,
+      parts: Int = 4): Map[Long, Long] = {
+    import spark.implicits._
+    val e = edges.toDF("s", "d").repartition(parts)
+    val n = nodes.toDF("v").repartition(parts)
+    graft.ops.Graph.pagerank(e, "s", "d", n, "v", iters)
+      .as[(Long, Long)].collect().toMap
+  }
+
+  // cycle 0→1→2→0 with an extra 0→2, node 3 isolated, node 4 dangling
+  // (in-edge from 1, no out-edges)
+  private val nodes = Seq(0L, 1L, 2L, 3L, 4L)
+  private val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L), (1L, 4L))
+
+  test("pagerank == BigInt-free integer reference on a hand graph, iters 0..3") {
+    for (it <- 0 to 3)
+      assert(run(nodes, edges, it) == refPagerank(nodes, edges, it),
+        s"mismatch at iters=$it")
+  }
+
+  test("isolated node holds exactly the teleport floor; dangling mass is dropped") {
+    val r = run(nodes, edges, 2)
+    assert(r(3L) == 150000L)
+    // node 4 absorbs but never emits: total mass strictly decreases
+    assert(r.values.sum < nodes.size * 1000000L)
+  }
+
+  test("parallel edge doubles the neighbor's contribution") {
+    // single edge vs doubled edge out of a source with only that target
+    val r1 = run(Seq(0L, 1L), Seq((0L, 1L)), 1)
+    val r2 = run(Seq(0L, 1L), Seq((0L, 1L), (0L, 1L)), 1)
+    // outdeg 1: contrib 850000; outdeg 2: 2 × 425000 — same total here,
+    // but against a competing target the doubling shows:
+    val r3 = run(Seq(0L, 1L, 2L), Seq((0L, 1L), (0L, 1L), (0L, 2L)), 1)
+    assert(r1(1L) == 150000L + 850000L)
+    assert(r2(1L) == 150000L + 2L * 425000L)
+    assert(r3(1L) == 150000L + 2L * (85L * 1000000L / 300L)
+      && r3(2L) == 150000L + 85L * 1000000L / 300L)
+  }
+
+  test("partition-count invariance on a pseudo-random graph") {
+    val rng = new scala.util.Random(47)
+    val ns = (0L until 60L).toSeq
+    val es = Seq.fill(180)((rng.nextInt(60).toLong, rng.nextInt(60).toLong))
+    val expect = refPagerank(ns, es, 3)
+    for (p <- Seq(1, 3, 8))
+      assert(run(ns, es, 3, parts = p) == expect, s"mismatch at parts=$p")
+  }
+
+  test("iters=0 returns the uniform init for every node") {
+    assert(run(nodes, edges, 0).values.toSet == Set(1000000L))
+  }
+}

@@ -175,4 +175,23 @@ class PackingSpec extends AnyFunSuite with SparkTestBase {
       assert(got.values.max <= 3000L)
     }
   }
+
+  test("ntileGrouped == per-group window ntile, ties broken, group with n<k, across partitions") {
+    import spark.implicits._
+    val rng = new scala.util.Random(83)
+    // group "tiny" has 2 rows < k=4 (the ANSI n<k branch); others ~100
+    val df = ((1 to 300).map(i => (i.toLong, s"g${rng.nextInt(3)}", rng.nextInt(20).toLong)) ++
+      Seq((1001L, "tiny", 5L), (1002L, "tiny", 3L)))
+      .toDF("id", "g", "v")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v"), col("id"))
+    val expect = df.withColumn("bucket", ntile(4).over(w).cast("long"))
+      .select("id", "bucket").as[(Long, Long)].collect().toMap
+    for (parts <- Seq(1, 4, 9)) {
+      val got = graft.ops.Packing.ntileGrouped(df, "g",
+          Seq(col("v").asc, col("id").asc), 4, numPartitions = parts)
+        .select("id", "bucket").as[(Long, Long)].collect().toMap
+      assert(got == expect, s"mismatch at numPartitions=$parts")
+    }
+  }
 }

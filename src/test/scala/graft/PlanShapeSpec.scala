@@ -160,4 +160,32 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), "encoded-vocab join must broadcast")
     assert(!p.contains("SortMergeJoin"), "doc grain must not shuffle to meet the vocab")
   }
+
+  test("pagerank round: edge table served from cache, never re-shuffled; no cartesian") {
+    // The iterated-join contract at 100 TB: the |E|-row degree-joined
+    // edge table shuffles ONCE (at persist build), every round's plan
+    // reads it back hash(src)-partitioned from cache — only the |V|-row
+    // rank/node frames exchange. Broadcast is disabled so the tiny test
+    // graph plans like a big one.
+    val s = spark
+    import s.implicits._
+    val prior = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import org.apache.spark.sql.functions._
+      val e = (0L until 200L).map(i => (i, (i * 31 + 7) % 200)).toDF("src", "dst")
+      val ed = e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src").persist()
+      ed.count() // materialize the cache, as pagerank's loop observes it
+      val ranks = (0L until 200L).toDF("node").select(col("node"), lit(1000000L).as("r"))
+      val n = (0L until 200L).toDF("node")
+      val p = graft.ops.Graph.round(ed, ranks, n).queryExecution
+        .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      ed.unpersist()
+      assert(p.contains("InMemoryTableScan"), "edge side must come from cache")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+      assert(!p.contains("Exchange hashpartitioning(src"),
+        "cached hash(src) partitioning must be reused — the edge table may not re-shuffle:\n" +
+          p.linesIterator.take(30).mkString("\n"))
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
 }

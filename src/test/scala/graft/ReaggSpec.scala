@@ -75,4 +75,26 @@ class ReaggSpec extends AnyFunSuite with SparkTestBase {
     val naive = daily.agg(sum(col("exact_day"))).collect()(0).getLong(0).toDouble
     assert(naive > exact * 1.5)
   }
+
+  test("incremental maintenance identity: state(base) ⊎ state(delta) == state(full), any split") {
+    // the mv_incremental_merge gate's contract as a property: for
+    // pseudo-random facts and three different split predicates, building
+    // partial states on the halves and merging equals one full-pass state
+    val rng = new scala.util.Random(59)
+    val all = (1 to 500)
+      .map(i => (i.toLong, s"k${rng.nextInt(4)}", rng.nextInt(10).toLong,
+        BigDecimal(rng.nextInt(100000)) / 100))
+      .toDF("id", "k", "b", "v")
+      .select(col("id"), col("k"), col("b"), col("v").cast("decimal(18,2)").as("v"))
+    val full = graft.ops.Reagg.mergeToCoarser(
+        graft.ops.Reagg.partials(all, Seq("k"), col("b"), col("v")), Seq("k"), col("bucket"))
+      .orderBy("bucket", "k").collect().toSeq
+    for (m <- Seq(2L, 3L, 7L)) {
+      val st = graft.ops.Reagg.partials(all.filter(col("id") % m === 0), Seq("k"), col("b"), col("v"))
+        .unionByName(graft.ops.Reagg.partials(all.filter(col("id") % m =!= 0), Seq("k"), col("b"), col("v")))
+      val merged = graft.ops.Reagg.mergeToCoarser(st, Seq("k"), col("bucket"))
+        .orderBy("bucket", "k").collect().toSeq
+      assert(merged == full, s"split id % $m broke the maintenance identity")
+    }
+  }
 }
