@@ -23,17 +23,25 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
-  /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark's vectorized reader rejects. Read nanos as long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and convert to a micros
-    * timestamp with integral division (nanos ≈ 1.7e18 would lose
-    * precision through a double). */
+  /** The events fixture's `ts` physical type has varied across harness
+    * data generations — parquet TIMESTAMP(NANOS) (which Spark's
+    * vectorized reader rejects) in one, naive TIMESTAMP(MICROS)
+    * (`isAdjustedToUTC=false`, which Spark 4 infers as TIMESTAMP_NTZ)
+    * in another. Normalize every incarnation to a session-local micros
+    * TIMESTAMP so downstream `unix_micros`/watermark code sees ONE
+    * type: nanos-as-long divides integrally (nanos ≈ 1.7e18 would lose
+    * precision through a double); NTZ casts to LTZ, value-preserving
+    * because every graft session pins spark.sql.session.timeZone=UTC
+    * and the fixture's wall times mean UTC. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(spark, sfDir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

@@ -14,24 +14,38 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  /** The events fixture schema as the file stream sees it (ts arrives as
-    * nanos — parquet TIMESTAMP(NANOS) read under nanosAsLong). */
-  private val eventsNanosSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  private def eventsSchemaWithTs(tsType: org.apache.spark.sql.types.DataType) =
+    StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", tsType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
 
   /** Streaming source over the events parquet (file source, AvailableNow
     * drain). Spark's file stream wants a landing *directory* (the
     * production shape: receivers append files, the stream drains them),
-    * so the fixture file is staged into a per-sf temp dir once. */
+    * so the fixture file is staged into a per-sf temp dir.
+    *
+    * The fixture's `ts` physical type has varied across harness data
+    * generations (TIMESTAMP(NANOS) in one, naive TIMESTAMP(MICROS) —
+    * Spark-inferred TIMESTAMP_NTZ — in another); a file stream needs the
+    * schema up front, so probe the footer with a batch read and build
+    * the matching schema, normalizing to session-local micros TIMESTAMP
+    * exactly like [[graft.io.Tables.events]]. Feeding the nanos-as-long
+    * schema to a micros file would silently divide micros to millis and
+    * collapse every event toward 1970 — the probe makes the fixture
+    * generation an input, not an assumption. */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val landing = stageLandingDir(sfDir)
-    spark.readStream
-      .schema(eventsNanosSchema)
-      .parquet(landing)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val physical = spark.read.parquet(landing).schema("ts").dataType
+    val stream = spark.readStream.schema(eventsSchemaWithTs(physical)).parquet(landing)
+    physical match {
+      case LongType => // nanos read as long: integral division, no double
+        stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        stream.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => stream
+    }
   }
 
   private def stageLandingDir(sfDir: String): String = {
@@ -41,7 +55,13 @@ object Streams {
       s"graft_events_landing_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}")
     Files.createDirectories(dst)
     val tgt = dst.resolve("events.parquet")
-    if (!Files.exists(tgt)) Files.copy(src, tgt, StandardCopyOption.REPLACE_EXISTING)
+    // re-copy when the fixture is newer or a different size — a stale
+    // landing copy from a previous data generation must never feed the
+    // stream while batch reads see the fresh fixture
+    val stale = !Files.exists(tgt) ||
+      Files.getLastModifiedTime(tgt).compareTo(Files.getLastModifiedTime(src)) < 0 ||
+      Files.size(tgt) != Files.size(src)
+    if (stale) Files.copy(src, tgt, StandardCopyOption.REPLACE_EXISTING)
     dst.toString
   }
 
