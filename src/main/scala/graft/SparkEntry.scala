@@ -610,6 +610,44 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Eval — exact ROC-AUC of the stopword count as a predictor of the
+    // composite quality gate (Mann–Whitney rank-sum over the score-
+    // frequency table; no corpus-cardinality ordered pass — see
+    // ops/Eval.scala). Label and score are deliberately related-but-
+    // not-identical (the gate ANDs two more conditions), so the AUC
+    // lands in the informative middle — the fixture's lang/source
+    // labels are independent of the text, which would pin any
+    // text-feature AUC at a meaningless 0.5.
+    "x4_eval_auc" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val nt = TextAnalysis.tokenCount(col("text"))
+      val nc = length(col("text")).cast("long")
+      val stops = TextAnalysis.wordOccurrences(lower(col("text")), TextAnalysis.englishStopwords)
+      graft.ops.Eval.rocAuc(d, TextAnalysis.qualityGate(nt, nc, stops), stops)
+    }),
+
+    // Eval — exact precision/recall sweep over every threshold the
+    // stopword score can express (one row per distinct score).
+    "x4_eval_pr_curve" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val nt = TextAnalysis.tokenCount(col("text"))
+      val nc = length(col("text")).cast("long")
+      val stops = TextAnalysis.wordOccurrences(lower(col("text")), TextAnalysis.englishStopwords)
+      graft.ops.Eval.prCurve(d, TextAnalysis.qualityGate(nt, nc, stops), stops)
+        .orderBy("score")
+    }),
+
+    // Eval — calibration (reliability) bins for the same score/label.
+    "x4_eval_calibration" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val nt = TextAnalysis.tokenCount(col("text"))
+      val nc = length(col("text")).cast("long")
+      val stops = TextAnalysis.wordOccurrences(lower(col("text")), TextAnalysis.englishStopwords)
+      graft.ops.Eval.calibrationBins(d, TextAnalysis.qualityGate(nt, nc, stops), stops,
+        binWidth = 2L, nBins = 12)
+        .orderBy("bin")
+    }),
+
     // X4 — context-window chunking: 64-token windows, 16-token overlap
     // (training-sequence prep; narrow explode, no shuffle).
     "x4_chunk_tokens" -> ((s, dir) => {
@@ -3219,6 +3257,73 @@ object SparkEntry {
         |   AND (n_chars / greatest(n_tokens, 1)) BETWEEN 1 AND 15
         |   AND n_stopwords * 50 >= n_tokens) AS is_quality
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "x4_eval_auc" ->
+      """WITH t0 AS (
+        |  SELECT CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      w -> w IN ('the','a','an','and','or','of','to','in','is','it',
+        |                 'that','for','on','with','as','at','by','from'))) AS BIGINT) AS s
+        |  FROM documents),
+        |t AS (SELECT s, CASE WHEN n_tokens BETWEEN 5 AND 100000
+        |        AND (n_chars / greatest(n_tokens, 1)) BETWEEN 1 AND 15
+        |        AND s * 50 >= n_tokens THEN 1 ELSE 0 END AS y FROM t0),
+        |g AS (SELECT s, count(*) AS n, sum(y) AS p FROM t GROUP BY s),
+        |r AS (SELECT s, n, p,
+        |        coalesce(sum(n) OVER (ORDER BY s ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+        |      FROM g),
+        |a AS (SELECT sum(p) AS n_pos, sum(n - p) AS n_neg,
+        |             sum(p * (2*c + n + 1)) AS r2p FROM r)
+        |SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    CAST(((r2p - n_pos*(n_pos+1)) * 1000000) // (2*n_pos*n_neg) AS BIGINT)
+        |  END AS auc_micros
+        |FROM a""".stripMargin,
+
+    "x4_eval_pr_curve" ->
+      """WITH t0 AS (
+        |  SELECT CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      w -> w IN ('the','a','an','and','or','of','to','in','is','it',
+        |                 'that','for','on','with','as','at','by','from'))) AS BIGINT) AS s
+        |  FROM documents),
+        |t AS (SELECT s, CASE WHEN n_tokens BETWEEN 5 AND 100000
+        |        AND (n_chars / greatest(n_tokens, 1)) BETWEEN 1 AND 15
+        |        AND s * 50 >= n_tokens THEN 1 ELSE 0 END AS y FROM t0),
+        |g AS (SELECT s, count(*) AS n, sum(y) AS p FROM t GROUP BY s),
+        |r AS (SELECT s,
+        |        sum(p) OVER (ORDER BY s DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+        |        sum(n - p) OVER (ORDER BY s DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+        |        sum(p) OVER () AS totp
+        |      FROM g)
+        |SELECT CAST(s AS BIGINT) AS score, CAST(tp AS BIGINT) AS tp,
+        |  CAST(fp AS BIGINT) AS fp, CAST(totp - tp AS BIGINT) AS fn,
+        |  CAST((tp * 1000000) // (tp + fp) AS BIGINT) AS prec_micros,
+        |  CASE WHEN totp > 0 THEN CAST((tp * 1000000) // totp AS BIGINT) END AS rec_micros
+        |FROM r ORDER BY score""".stripMargin,
+
+    "x4_eval_calibration" ->
+      """WITH t0 AS (
+        |  SELECT CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      w -> w IN ('the','a','an','and','or','of','to','in','is','it',
+        |                 'that','for','on','with','as','at','by','from'))) AS BIGINT) AS s
+        |  FROM documents),
+        |t AS (SELECT s, CASE WHEN n_tokens BETWEEN 5 AND 100000
+        |        AND (n_chars / greatest(n_tokens, 1)) BETWEEN 1 AND 15
+        |        AND s * 50 >= n_tokens THEN 1 ELSE 0 END AS y FROM t0),
+        |b AS (SELECT least(greatest(s // 2, 0), 11) AS bin, y, s FROM t)
+        |SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n,
+        |  CAST(sum(y) AS BIGINT) AS n_pos, CAST(sum(s) AS BIGINT) AS sum_score,
+        |  CAST((sum(y) * 1000000) // count(*) AS BIGINT) AS pos_rate_micros,
+        |  CAST(sum(s) // count(*) AS BIGINT) AS mean_score_floor
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
 
     "x4_langid" ->
       """WITH s AS (

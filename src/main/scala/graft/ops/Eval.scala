@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classifier/filter evaluation over corpus-scale scored data (EXT —
+  * model-eval family). A training-data pipeline lives and dies by its
+  * quality filters (Gopher gates, CCNet perplexity buckets, linear
+  * classifiers — see [[TextAnalysis]]): before a filter is allowed to
+  * drop half the corpus, its score column has to be EVALUATED against
+  * labels, at the corpus scale where the labels live. These operators
+  * compute the standard evaluation artifacts — ROC-AUC, the
+  * precision/recall curve, calibration (reliability) bins — exactly,
+  * in integer arithmetic, with no corpus-cardinality ordered pass.
+  *
+  * Scale design shared by all three:
+  *  - ONE hash aggregation groups the corpus by (score) or (bin) —
+  *    map-side partial agg folds rows before the shuffle, so the
+  *    exchange carries at most |distinct scores| rows per partition;
+  *  - every ordered/window pass runs at DISTINCT-SCORE cardinality
+  *    (the score-frequency table), never at corpus cardinality — the
+  *    rank-sum identity in [[rocAuc]] is what buys this;
+  *  - every emitted column is a BIGINT (counts and floor-micros
+  *    fractions): partial-agg merge order cannot move a hash, and no
+  *    precision>18 decimal ever reaches parquet (the INT64/FIXED_LEN
+  *    portability line documented at the mix_interleave gate).
+  *
+  * Integer-score contract: scores must be integral (LongType). Real
+  * models emit doubles — quantize with a documented scale first
+  * (e.g. `floor(p * 1e6)`); grouping raw doubles would make tie
+  * structure engine-dependent and the shuffle key non-portable.
+  */
+object Eval {
+
+  private val Big = "decimal(38,0)"
+
+  /** Exact floor-micros fraction `floor(num·1e6 / den)` as BIGINT.
+    * Operands go through DECIMAL(38,0) and SQL `div` (integral
+    * division — floor for the non-negative numerators used here):
+    * long `/` in Spark returns DOUBLE, which silently loses exactness
+    * past 2^53, and an evaluation metric must not wobble at scale. */
+  private def microsDiv(num: Column, den: Column): Column =
+    call_function("div", num.cast(Big) * 1000000L, den.cast(Big)).cast("long")
+
+  /** Exact ROC-AUC via the Mann–Whitney rank-sum identity:
+    *
+    *   AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺ n⁻)
+    *
+    * where R⁺ is the sum of the positives' ranks under ascending score
+    * with ties taking the AVERAGE rank. A tied group of n_s rows
+    * following c_s smaller rows spans ranks c_s+1 … c_s+n_s, so each
+    * member's average rank is c_s + (n_s+1)/2 — which means R⁺ needs
+    * only the per-score counts (n_s, p_s) and the running count c_s:
+    * the whole statistic computes from the score-frequency table. To
+    * stay in integers, everything is doubled: 2R⁺ = Σ_s p_s(2c_s+n_s+1)
+    * and
+    *
+    *   auc_num = 2R⁺ − n⁺(n⁺+1),  auc_den = 2 n⁺ n⁻,  AUC = num/den
+    *
+    * exactly. Output is ONE row: n_pos, n_neg (BIGINT) and auc_micros
+    * = floor(num·1e6/den) (BIGINT; floor not round — half-up rounding
+    * of engine-side decimals is convention-dependent, floor is not).
+    * Empty classes (n⁺=0 or n⁻=0) yield NULL auc_micros rather than a
+    * misleading 0 or 1.
+    *
+    * The window over the score-frequency table is a single-partition
+    * sort at |distinct scores| cardinality — for integer heuristic
+    * scores that is hundreds of rows at any corpus size; a caller with
+    * genuinely corpus-cardinality distinct scores should quantize
+    * (the integer-score contract above) or route the running count
+    * through the [[Packing]] prefix-sum machinery. Internal products
+    * run in DECIMAL(38,0): n⁺n⁻ overflows BIGINT past ~3e9 rows, and
+    * silent wraparound is not an acceptable failure mode for an
+    * evaluation metric. */
+  def rocAuc(df: DataFrame, label: Column, score: Column): DataFrame = {
+    val g = df
+      .select(when(label, 1L).otherwise(0L).as("_y"), score.cast("long").as("_s"))
+      .groupBy(col("_s"))
+      .agg(count(lit(1)).as("_n"), sum(col("_y")).as("_p"))
+    val w = Window.orderBy(col("_s").asc).rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("_c", coalesce(sum(col("_n")).over(w), lit(0L)))
+      .agg(
+        sum(col("_p")).as("n_pos"),
+        sum(col("_n") - col("_p")).as("n_neg"),
+        sum((col("_p").cast(Big) * (col("_c") * 2 + col("_n") + 1).cast(Big))).as("_r2p"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          microsDiv(
+            col("_r2p").cast(Big) - col("n_pos").cast(Big) * (col("n_pos") + 1).cast(Big),
+            col("n_pos").cast(Big) * col("n_neg").cast(Big) * 2))
+          .as("auc_micros"))
+  }
+
+  /** Exact precision/recall curve: one row per DISTINCT score s with
+    * the confusion counts of the classifier "predict positive iff
+    * score ≥ s" — tp, fp, fn (BIGINT) plus floor-micros precision and
+    * recall. The descending cumulative sums run over the score-
+    * frequency table (same cardinality argument as [[rocAuc]]); the
+    * corpus is touched once. The sweep covers every operating point
+    * the score can express — the artifact a filter-tuning pass
+    * actually reads to pick its threshold. */
+  def prCurve(df: DataFrame, label: Column, score: Column): DataFrame = {
+    val g = df
+      .select(when(label, 1L).otherwise(0L).as("_y"), score.cast("long").as("_s"))
+      .groupBy(col("_s"))
+      .agg(count(lit(1)).as("_n"), sum(col("_y")).as("_p"))
+    val wDesc = Window.orderBy(col("_s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    g.withColumn("tp", sum(col("_p")).over(wDesc))
+      .withColumn("fp", sum(col("_n") - col("_p")).over(wDesc))
+      .withColumn("fn", sum(col("_p")).over(wAll) - col("tp"))
+      .select(col("_s").as("score"), col("tp"), col("fp"), col("fn"),
+        microsDiv(col("tp"), col("tp") + col("fp")).as("prec_micros"),
+        when(col("tp") + col("fn") > 0, microsDiv(col("tp"), col("tp") + col("fn")))
+          .as("rec_micros"))
+  }
+
+  /** Calibration (reliability-diagram) bins: scores bucketed into
+    * fixed-width integer bins, each bin reporting how often the label
+    * actually fired — the artifact that says whether a high score
+    * MEANS anything. One hash agg at bin cardinality; n, n_pos,
+    * sum_score are exact BIGINTs; pos_rate_micros and mean_score_floor
+    * derive by integral division, so every cell is engine-portable.
+    * Bins clamp to [0, nBins-1]: scores past the nominal range land in
+    * the edge bins rather than inventing unbounded new groups. */
+  def calibrationBins(df: DataFrame, label: Column, score: Column,
+      binWidth: Long, nBins: Int): DataFrame = {
+    require(binWidth > 0 && nBins > 0, "binWidth and nBins must be positive")
+    val s = score.cast("long")
+    val bin = least(greatest(call_function("div", s, lit(binWidth)), lit(0L)),
+      lit(nBins - 1L))
+    df.select(bin.as("bin"), when(label, 1L).otherwise(0L).as("_y"), s.as("_s"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("_y")).as("n_pos"), sum(col("_s")).as("sum_score"))
+      .select(col("bin"), col("n"), col("n_pos"), col("sum_score"),
+        microsDiv(col("n_pos"), col("n")).as("pos_rate_micros"),
+        call_function("div", col("sum_score"), col("n")).as("mean_score_floor"))
+  }
+}

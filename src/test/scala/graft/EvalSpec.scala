@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ops.Eval: the classifier-evaluation family. Hand-computed AUC
+  * including tie handling (the average-rank identity is the part a
+  * subtle bug would corrupt silently), degenerate single-class inputs,
+  * PR-curve confusion-count arithmetic at every threshold, and
+  * calibration-bin clamping. */
+class EvalSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  // (label, score): scores 1,2,2,3 with labels 0,0,1,1.
+  // Ascending ranks: 1→1; the two 2s tie at avg rank 2.5; 3→4.
+  // R+ = 2.5 + 4 = 6.5, n+=2, n-=2
+  // AUC = (6.5 - 2*3/2) / (2*2) = 3.5/4 = 0.875
+  test("rocAuc: hand-computed with ties") {
+    val df = Seq((false, 1L), (false, 2L), (true, 2L), (true, 3L))
+      .toDF("y", "s")
+    val r = graft.ops.Eval.rocAuc(df, col("y"), col("s")).collect()(0)
+    assert(r.getLong(0) == 2 && r.getLong(1) == 2)
+    assert(r.getLong(2) == 875000L)
+  }
+
+  test("rocAuc: perfect separation = 1.0, reversed = 0.0, all-tied = 0.5") {
+    val perfect = Seq((false, 1L), (false, 2L), (true, 3L), (true, 4L)).toDF("y", "s")
+    assert(graft.ops.Eval.rocAuc(perfect, col("y"), col("s"))
+      .collect()(0).getLong(2) == 1000000L)
+    val reversed = Seq((true, 1L), (true, 2L), (false, 3L), (false, 4L)).toDF("y", "s")
+    assert(graft.ops.Eval.rocAuc(reversed, col("y"), col("s"))
+      .collect()(0).getLong(2) == 0L)
+    val tied = Seq((true, 7L), (false, 7L), (true, 7L), (false, 7L)).toDF("y", "s")
+    assert(graft.ops.Eval.rocAuc(tied, col("y"), col("s"))
+      .collect()(0).getLong(2) == 500000L)
+  }
+
+  test("rocAuc: single-class input yields NULL auc, not a fake 0/1") {
+    val allPos = Seq((true, 1L), (true, 2L)).toDF("y", "s")
+    val r = graft.ops.Eval.rocAuc(allPos, col("y"), col("s")).collect()(0)
+    assert(r.getLong(0) == 2 && r.getLong(1) == 0 && r.isNullAt(2))
+  }
+
+  test("prCurve: confusion counts at every distinct threshold") {
+    // scores desc: 3(+), 2(+), 2(-), 1(-)
+    val df = Seq((false, 1L), (false, 2L), (true, 2L), (true, 3L)).toDF("y", "s")
+    val rows = graft.ops.Eval.prCurve(df, col("y"), col("s"))
+      .orderBy(col("score").desc).collect()
+    // threshold ≥3: tp=1 fp=0 fn=1 ; ≥2: tp=2 fp=1 fn=0 ; ≥1: tp=2 fp=2 fn=0
+    val expect = Seq((3L, 1L, 0L, 1L, 1000000L, 500000L),
+      (2L, 2L, 1L, 0L, 666666L, 1000000L),
+      (1L, 2L, 2L, 0L, 500000L, 1000000L))
+    assert(rows.length == 3)
+    rows.zip(expect).foreach { case (r, (s, tp, fp, fn, pm, rm)) =>
+      assert(r.getLong(0) == s && r.getLong(1) == tp && r.getLong(2) == fp
+        && r.getLong(3) == fn, s"threshold $s counts")
+      assert(r.getLong(4) == pm && r.getLong(5) == rm, s"threshold $s micros")
+    }
+  }
+
+  test("calibrationBins: clamping, exact counts, floor rates") {
+    // width 10, 3 bins: scores −5 → bin 0, 35 and 99 → bin 2 (clamped)
+    val df = Seq((true, -5L), (false, 4L), (true, 15L), (false, 35L), (true, 99L))
+      .toDF("y", "s")
+    val rows = graft.ops.Eval.calibrationBins(df, col("y"), col("s"), 10L, 3)
+      .orderBy("bin").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    val bin0 = rows(0) // scores −5, 4: n=2, pos=1, sum=−1
+    assert(bin0.getLong(1) == 2 && bin0.getLong(2) == 1 && bin0.getLong(3) == -1)
+    assert(bin0.getLong(4) == 500000L)
+    val bin2 = rows(2) // scores 35, 99: n=2, pos=1, sum=134, mean floor 67
+    assert(bin2.getLong(1) == 2 && bin2.getLong(2) == 1 && bin2.getLong(3) == 134)
+    assert(bin2.getLong(5) == 67L)
+  }
+
+  test("rocAuc is partition-order invariant (hash stability at scale)") {
+    val base = (1 to 400).map(i => (i % 3 == 0, (i * 7 % 50).toLong))
+    val a = graft.ops.Eval.rocAuc(base.toDF("y", "s").repartition(1), col("y"), col("s")).collect()(0)
+    val b = graft.ops.Eval.rocAuc(base.reverse.toDF("y", "s").repartition(13), col("y"), col("s")).collect()(0)
+    assert(a.getLong(2) == b.getLong(2) && a.getLong(0) == b.getLong(0))
+  }
+}
