@@ -561,6 +561,19 @@ object SparkEntry {
         .orderBy("id_a")
     }),
 
+    // X3 scale path — EXACT threshold-Jaccard self-join via AllPairs
+    // prefix filtering (lossless, unlike LSH): candidates only from
+    // shared PREFIX shingles under the global df-ascending order, then
+    // one exact intersection per candidate. The oracle is the plain
+    // inverted-index exact join — prefix filtering must return exactly
+    // the same pairs, so any lost pair (a broken prefix bound) or
+    // phantom pair flips the hash.
+    "x3_prefix_filter_join" -> ((s, dir) => {
+      Dedup.prefixFilterJoin(Tables.documents(s, dir), "doc_id", "text",
+          k = 3, thresholdPct = 50)
+        .orderBy("id_a", "id_b")
+    }),
+
     // X3 — full near-dup dedup: pairs → connected components → one
     // survivor per component. Pairs restricted to adjacent ids so the
     // oracle can express components (runs) without recursion; the Spark
@@ -3202,6 +3215,30 @@ object SparkEntry {
         |    / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jaccard
         |FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id
         |ORDER BY id_a""".stripMargin,
+
+    "x3_prefix_filter_join" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) >= 3 THEN
+        |      list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |    ELSE [array_to_string(w, ' ')] END AS s
+        |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+        |        FROM documents) t),
+        |tok AS (SELECT doc_id, unnest(s) AS tk FROM sh),
+        |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+        |cand AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+        |         FROM tok a JOIN tok b ON a.tk = b.tk AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2),
+        |j AS (SELECT ia AS id_a, ib AS id_b, CAST(inter AS BIGINT) AS n_inter,
+        |        CAST(sa.n + sb.n - inter AS BIGINT) AS n_union
+        |      FROM cand
+        |      JOIN sz sa ON sa.doc_id = ia
+        |      JOIN sz sb ON sb.doc_id = ib)
+        |SELECT id_a, id_b, n_inter, n_union,
+        |  CAST((n_inter * 1000000) // n_union AS BIGINT) AS jaccard_micros
+        |FROM j WHERE n_inter * 100 >= n_union * 50
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "x3_cluster_survivors" ->
       """WITH sh AS (
