@@ -661,6 +661,29 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    // ML — one-pass OLS TRAINING via exact integer sufficient
+    // statistics + in-query Cramer solve (ops/Regress.scala): fit
+    // extendedprice-cents ~ quantity + discount-bps on one corpus
+    // scan. b1 recovers ~unit-price·100, b2 hovers near 0 (the fixture
+    // prices don't depend on discount) — and may land NEGATIVE, which
+    // is exactly the floor-vs-truncate division edge the floorMicros
+    // helper exists for.
+    "ml_ols_fit" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      graft.ops.Regress.olsFit2(li,
+        round(col("l_extendedprice") * 100),
+        col("l_quantity"),
+        round(col("l_discount") * 100))
+    }),
+
+    // ML — the one-regressor form (2×2 normal equations).
+    "ml_ols_simple" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      graft.ops.Regress.olsFit1(li,
+        round(col("l_extendedprice") * 100),
+        col("l_quantity"))
+    }),
+
     // X4 — context-window chunking: 64-token windows, 16-token overlap
     // (training-sequence prep; narrow explode, no shuffle).
     "x4_chunk_tokens" -> ((s, dir) => {
@@ -3361,6 +3384,45 @@ object SparkEntry {
         |  CAST((sum(y) * 1000000) // count(*) AS BIGINT) AS pos_rate_micros,
         |  CAST(sum(s) // count(*) AS BIGINT) AS mean_score_floor
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // HUGEINT sums keep every Cramer term exact (ceiling 1.7e38, same
+    // envelope as Spark's decimal(38,0) internals); `//` floors like
+    // the Spark side's sign-adjusted div.
+    "ml_ols_fit" ->
+      """WITH b AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+        |    CAST(l_quantity AS BIGINT) AS x1,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS x2
+        |  FROM lineitem),
+        |s AS (SELECT count(*) AS n, sum(x1) AS s1, sum(x2) AS s2,
+        |        sum(x1*x1) AS s11, sum(x2*x2) AS s22, sum(x1*x2) AS s12,
+        |        sum(y) AS sy, sum(x1*y) AS s1y, sum(x2*y) AS s2y
+        |      FROM b),
+        |d AS (SELECT n,
+        |        n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2) AS det,
+        |        sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y) AS b0n,
+        |        n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2) AS b1n,
+        |        n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2) AS b2n
+        |      FROM s)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CASE WHEN det != 0 THEN CAST((b0n * 1000000) // det AS BIGINT) END AS b0_micros,
+        |  CASE WHEN det != 0 THEN CAST((b1n * 1000000) // det AS BIGINT) END AS b1_micros,
+        |  CASE WHEN det != 0 THEN CAST((b2n * 1000000) // det AS BIGINT) END AS b2_micros
+        |FROM d""".stripMargin,
+
+    "ml_ols_simple" ->
+      """WITH b AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+        |    CAST(l_quantity AS BIGINT) AS x
+        |  FROM lineitem),
+        |s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |        sum(x*x) AS sxx, sum(x*y) AS sxy FROM b),
+        |d AS (SELECT n, n*sxx - sx*sx AS den, n*sxy - sx*sy AS num, sx, sy FROM s)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CASE WHEN den != 0 THEN
+        |    CAST(((sy*den - num*sx) * 1000000) // (n*den) AS BIGINT) END AS b0_micros,
+        |  CASE WHEN den != 0 THEN CAST((num * 1000000) // den AS BIGINT) END AS b1_micros
+        |FROM d""".stripMargin,
 
     "x4_langid" ->
       """WITH s AS (

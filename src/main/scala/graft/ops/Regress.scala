@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** In-engine model TRAINING via sufficient statistics (EXT — the
+  * learn-from-the-corpus counterpart of [[TextAnalysis.linearScore]]'s
+  * apply step). An OLS linear fit needs only the moment sums
+  * (n, Σx, Σx², Σxy, …): ONE corpus scan folding into one hash-agg
+  * row, then a closed-form solve — the canonical shape for fitting at
+  * 100 TB, where anything iterative pays a scan per step. The solve is
+  * Cramer's rule on the 3×3 normal equations, evaluated as integer
+  * polynomial expressions IN THE QUERY (no driver math, no float):
+  * with integer-quantized inputs every determinant is an exact
+  * integer, so the fitted coefficients are exact rationals num/det and
+  * the emitted trunc-micros are engine-portable by construction.
+  *
+  * Integer-input contract: y, x1, x2 must be integral (quantize with a
+  * documented scale — cents, basis points — before calling; same
+  * contract as [[Eval]]). Internals run in DECIMAL(38,0): with
+  * per-row magnitudes y ≤ Y, x ≤ X, the worst Cramer term is
+  * ~n³·X⁴·Y, so the ~1e38 ceiling holds to roughly n·X^(4/3)·Y^(1/3)
+  * ≈ 1e9 rows at cents/quantity scales; past it, products overflow to
+  * NULL under non-ANSI semantics and — same discipline as
+  * `outliersZScore` — a NULL determinant on non-degenerate input
+  * ABORTS via raise_error rather than silently emitting a null fit.
+  */
+object Regress {
+
+  private val Big = "decimal(38,0)"
+
+  /** Exact trunc(num·1e6/den) for SIGNED num: SQL `div` truncates
+    * toward zero, and so does DuckDB's `//` (verified: −7//2 = −3) —
+    * so plain integral division is already the portable choice for
+    * signed coefficients; a floor-adjusted variant would disagree by
+    * one micro on every negative fit. */
+  private def truncMicros(num: Column, den: Column): Column =
+    call_function("div", num.cast(Big) * 1000000L, den.cast(Big)).cast("long")
+
+  /** OLS fit of y ~ b0 + b1·x1 + b2·x2. Output: ONE row —
+    * n (BIGINT) and b0/b1/b2 as exact trunc-micros (BIGINT; NULL when
+    * the design matrix is singular, e.g. a constant x column). */
+  def olsFit2(df: DataFrame, y: Column, x1: Column, x2: Column): DataFrame = {
+    val base = df.select(y.cast("long").as("_y"),
+      x1.cast("long").as("_x1"), x2.cast("long").as("_x2"))
+    val s = base.agg(
+      count(lit(1)).as("n"),
+      sum(col("_x1").cast(Big)).as("s1"),
+      sum(col("_x2").cast(Big)).as("s2"),
+      sum((col("_x1").cast(Big) * col("_x1"))).as("s11"),
+      sum((col("_x2").cast(Big) * col("_x2"))).as("s22"),
+      sum((col("_x1").cast(Big) * col("_x2"))).as("s12"),
+      sum(col("_y").cast(Big)).as("sy"),
+      sum((col("_x1").cast(Big) * col("_y"))).as("s1y"),
+      sum((col("_x2").cast(Big) * col("_y"))).as("s2y"))
+    // det3 of [[a,b,c],[d,e,f],[g,h,i]] — expression-level Cramer
+    def det3(a: Column, b: Column, c: Column, d: Column, e: Column,
+        f: Column, g: Column, h: Column, i: Column): Column =
+      a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+    val n = col("n").cast(Big)
+    val (s1, s2, s11, s22, s12) = (col("s1"), col("s2"), col("s11"), col("s22"), col("s12"))
+    val (sy, s1y, s2y) = (col("sy"), col("s1y"), col("s2y"))
+    val det = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
+    val b0n = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22)
+    val b1n = det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22)
+    val b2n = det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y)
+    val guarded = when(col("n") > 0 && det.isNull,
+      raise_error(lit("olsFit2: decimal(38,0) overflow in normal-equation " +
+        "determinant — rescale the inputs or pre-aggregate")).cast(Big))
+      .otherwise(det)
+    s.select(col("n"),
+      when(guarded =!= 0, truncMicros(b0n, guarded)).as("b0_micros"),
+      when(guarded =!= 0, truncMicros(b1n, guarded)).as("b1_micros"),
+      when(guarded =!= 0, truncMicros(b2n, guarded)).as("b2_micros"))
+  }
+
+  /** Simple (one-regressor) OLS — same contract, 2×2 system:
+    * b1 = (n·Sxy − Sx·Sy) / (n·Sxx − Sx²), b0 = (Sy − b1·Sx)/n, both
+    * emitted as exact trunc-micros of the shared-denominator rationals
+    * (b0's exact form is (Sy·den − num·Sx)/(n·den)). */
+  def olsFit1(df: DataFrame, y: Column, x: Column): DataFrame = {
+    val base = df.select(y.cast("long").as("_y"), x.cast("long").as("_x"))
+    val s = base.agg(
+      count(lit(1)).as("n"),
+      sum(col("_x").cast(Big)).as("sx"),
+      sum(col("_y").cast(Big)).as("sy"),
+      sum((col("_x").cast(Big) * col("_x"))).as("sxx"),
+      sum((col("_x").cast(Big) * col("_y"))).as("sxy"))
+    val n = col("n").cast(Big)
+    val den = n * col("sxx") - col("sx") * col("sx")
+    val num = n * col("sxy") - col("sx") * col("sy")
+    val guarded = when(col("n") > 0 && den.isNull,
+      raise_error(lit("olsFit1: decimal(38,0) overflow — rescale the inputs"))
+        .cast(Big)).otherwise(den)
+    s.select(col("n"),
+      when(guarded =!= 0, truncMicros(col("sy") * guarded - num * col("sx"), n * guarded))
+        .as("b0_micros"),
+      when(guarded =!= 0, truncMicros(num, guarded)).as("b1_micros"))
+  }
+}
