@@ -2319,6 +2319,23 @@ object SparkEntry {
         .orderBy("label", "pos")
     }),
 
+    // X1/X2 — SemDeDup semantic deduplication: coarse-cluster against
+    // deterministic centroids (every 50th vector), then drop any
+    // vector whose cluster holds a smaller-id vector with cosine ≥
+    // 0.35 (threshold probed: the fixture's random vectors peak at
+    // ~0.51, with dozens of pairs above 0.35 at every SF — no planted
+    // near-identical pairs exist, so a "realistic" 0.9+ threshold
+    // would gate nothing). The oracle replays assignment (argmax via
+    // ROW_NUMBER on the identical IEEE double), the within-cluster
+    // pair scan, and the drop rule — so a drifted assignment,
+    // threshold, or tie-break flips corpus-grain rows.
+    "x1_semdedup" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      graft.ops.Similarity.semDedup(e, "vec_id", "embedding",
+          e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", 0.35)
+        .orderBy("vec_id")
+    }),
+
     // Sketches — approx_count_distinct (HLL++) and approx_percentile,
     // hash-gated through per-type verdict rows: the sketch VALUES are
     // impl-defined, but their error CONTRACTS are engine-independent
@@ -4433,6 +4450,36 @@ object SparkEntry {
         |             unnest(generate_series(1, len(embedding))) AS i
         |      FROM embeddings) u
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "x1_semdedup" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding,
+        |    list_sum(list_transform(generate_series(1, len(embedding)),
+        |      i -> embedding[i] * embedding[i])) AS nrm
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn
+        |      FROM v WHERE vec_id % 50 = 0),
+        |sim AS (
+        |  SELECT v.vec_id, c.cid,
+        |    list_sum(list_transform(generate_series(1, len(v.embedding)),
+        |      i -> v.embedding[i] * c.ce[i])) / (sqrt(v.nrm) * sqrt(c.cn)) AS s
+        |  FROM v, c),
+        |asg AS (
+        |  SELECT vec_id, cid AS cluster_id FROM (
+        |    SELECT vec_id, cid,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rk
+        |    FROM sim) WHERE rk = 1),
+        |dr AS (
+        |  SELECT DISTINCT b.vec_id AS dropped
+        |  FROM asg a JOIN asg b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+        |  JOIN v va ON va.vec_id = a.vec_id
+        |  JOIN v vb ON vb.vec_id = b.vec_id
+        |  WHERE list_sum(list_transform(generate_series(1, len(va.embedding)),
+        |          i -> va.embedding[i] * vb.embedding[i]))
+        |        / (sqrt(va.nrm) * sqrt(vb.nrm)) >= 0.35)
+        |SELECT a.vec_id, a.cluster_id, (d.dropped IS NULL) AS is_kept
+        |FROM asg a LEFT JOIN dr d ON a.vec_id = d.dropped
+        |ORDER BY a.vec_id""".stripMargin,
 
     "dq_audit_orders" ->
       """SELECT 'row_count' AS check_name, count(*) AS n FROM orders

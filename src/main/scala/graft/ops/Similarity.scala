@@ -194,6 +194,55 @@ object Similarity {
       .withColumn("cent_n", normSq(col("cent_vec")))
   }
 
+  /** X1/X2 composition — SemDeDup-style SEMANTIC deduplication
+    * (cluster the embedding space coarsely, then drop near-duplicates
+    * WITHIN each cluster — Abbas et al. 2023's recipe, re-expressed
+    * for Spark's shuffle model): the quadratic pair search that is
+    * unpayable corpus-wide becomes |cluster|² per cluster, and the
+    * cluster size is a DESIGN PARAMETER (choose k ≈ n/target so the
+    * per-cluster work is bounded — the shuffle on cluster_id is the
+    * only corpus movement, and its skew bound is exactly that target).
+    *
+    * Assignment is [[trainKMeans]]'s exact shape: broadcast the k
+    * centroids, argmax cosine per vector via one hash aggregate
+    * (map-side combine, no window), ties to the smaller centroid id.
+    * Drop rule, deterministic: a vector is dropped iff some SMALLER-id
+    * vector in its cluster has cosine ≥ simThreshold (the paper keeps
+    * the closest-to-centroid representative; smallest-id is the
+    * engine's canonical reproducible tie-break, same convention as the
+    * exact-dedup survivors). Cross-cluster near-dups are out of scope
+    * by construction — that recall loss is SemDeDup's documented
+    * trade, bounded by cluster granularity.
+    *
+    * Output: (id, cluster_id, is_kept) at corpus grain — composes
+    * directly with a semi-join to materialize survivors. */
+  def semDedup(corpus: DataFrame, id: String, vec: String,
+      centroids: DataFrame, cid: String, cvec: String,
+      simThreshold: Double): DataFrame = {
+    val c = broadcast(centroids
+      .select(col(cid).as("_cid"), col(cvec).as("_cv"))
+      .withColumn("_cn", normSq(col("_cv"))))
+    val assigned = corpus
+      .select(col(id).as("_id"), col(vec).as("_v"), normSq(col(vec)).as("_vn"))
+      .join(c, expr("true")) // broadcast: k rows per vector, folded by the agg below
+      .withColumn("_sim", cosineWithNorms(dot(col("_v"), col("_cv")), col("_vn"), col("_cn")))
+      .groupBy(col("_id"))
+      .agg(max_by(col("_cid"), struct(col("_sim"), -col("_cid"))).as("cluster_id"),
+        first(col("_v")).as("_v"), first(col("_vn")).as("_vn"))
+    val a = assigned.select(col("cluster_id"), col("_id").as("_ia"),
+      col("_v").as("_va"), col("_vn").as("_na"))
+    val b = assigned.select(col("cluster_id"), col("_id").as("_ib"),
+      col("_v").as("_vb"), col("_vn").as("_nb"))
+    val dropped = a.join(b, Seq("cluster_id"))
+      .filter(col("_ia") < col("_ib") &&
+        cosineWithNorms(dot(col("_va"), col("_vb")), col("_na"), col("_nb")) >= simThreshold)
+      .select(col("_ib").as("_id")).distinct()
+    assigned
+      .join(dropped.withColumn("_drop", lit(true)), Seq("_id"), "left")
+      .select(col("_id").as(id), col("cluster_id"),
+        col("_drop").isNull.as("is_kept"))
+  }
+
   /** [[ivfTopK]] with caller-supplied centroids (e.g. [[trainKMeans]]
     * output): (cent_id, cent_vec, cent_n). */
   def ivfTopKWith(queries: DataFrame, corpus: DataFrame, id: String, vec: String,

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ops.Similarity.semDedup: planted geometry — within-cluster near-dups
+  * must drop (keeping the smallest id), cross-cluster near-dups must
+  * SURVIVE (the documented granularity trade), and the verdict must not
+  * depend on partitioning. */
+class SemDedupSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  // two orthogonal cluster directions in 4-d
+  private val e1 = Seq(1f, 0f, 0f, 0f)
+  private val e2 = Seq(0f, 1f, 0f, 0f)
+
+  private def mix(a: Seq[Float], b: Seq[Float], t: Float): Seq[Float] =
+    a.zip(b).map { case (x, y) => x * (1 - t) + y * t }
+
+  test("within-cluster near-dups drop (smallest id kept); distinct directions survive") {
+    val vecs = Seq(
+      (10L, e1),                    // cluster e1 — survivor (smallest id)
+      (11L, mix(e1, e2, 0.05f)),    // ~e1, cos≈0.999 → dropped
+      (12L, mix(e1, e2, 0.08f)),    // ~e1 → dropped
+      (20L, e2),                    // cluster e2 — survivor
+      (21L, mix(e2, e1, 0.06f)),    // ~e2 → dropped
+      (30L, Seq(0f, 0f, 1f, 0f))    // assigned somewhere, similar to nothing → kept
+    ).toDF("vid", "emb")
+    val cents = Seq((0L, e1), (1L, e2)).toDF("cid", "cemb")
+    val r = graft.ops.Similarity.semDedup(vecs, "vid", "emb", cents, "cid", "cemb", 0.95)
+      .orderBy("vid").collect()
+    val kept = r.filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    assert(kept == Set(10L, 20L, 30L), s"kept $kept")
+    // assignment sanity: the e1-ish vectors landed in centroid 0
+    val byId = r.map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(byId(10L) == 0L && byId(11L) == 0L && byId(12L) == 0L)
+    assert(byId(20L) == 1L && byId(21L) == 1L)
+  }
+
+  test("cross-cluster near-dups are NOT dropped — the granularity trade, pinned") {
+    // two nearly identical vectors placed on opposite sides of the
+    // decision boundary between e1 and e2: same direction, different
+    // clusters, so semDedup must keep both (a global exact pass —
+    // exactNearDupPairs — is the op that would catch them).
+    val vecs = Seq(
+      (1L, mix(e1, e2, 0.49f)),  // argmax → e1 side
+      (2L, mix(e1, e2, 0.51f))   // argmax → e2 side; cos(1,2) ≈ 0.999
+    ).toDF("vid", "emb")
+    val cents = Seq((0L, e1), (1L, e2)).toDF("cid", "cemb")
+    val r = graft.ops.Similarity.semDedup(vecs, "vid", "emb", cents, "cid", "cemb", 0.9)
+      .orderBy("vid").collect()
+    assert(r.map(_.getLong(1)).toSeq == Seq(0L, 1L), "boundary split as planted")
+    assert(r.forall(_.getBoolean(2)), "both kept despite near-identity")
+  }
+
+  test("verdicts are partition-order invariant") {
+    val vecs = (1 to 120).map { i =>
+      val t = (i % 7).toFloat / 10f
+      (i.toLong, mix(e1, e2, t))
+    }
+    val cents = Seq((0L, e1), (1L, e2)).toDF("cid", "cemb")
+    val r1 = graft.ops.Similarity.semDedup(vecs.toDF("vid", "emb").repartition(1),
+      "vid", "emb", cents, "cid", "cemb", 0.98).orderBy("vid").collect().toSeq
+    val r2 = graft.ops.Similarity.semDedup(vecs.reverse.toDF("vid", "emb").repartition(13),
+      "vid", "emb", cents, "cid", "cemb", 0.98).orderBy("vid").collect().toSeq
+    assert(r1 == r2)
+  }
+}
