@@ -661,6 +661,31 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    // Eval — chi-square feature selection: which length≥4 terms
+    // separate quality docs from the rest (presence-based 2×2
+    // contingency per term, exact rational χ² as trunc-micros).
+    "x4_eval_chi2_terms" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val nt = TextAnalysis.tokenCount(col("text"))
+      val nc = length(col("text")).cast("long")
+      val stops = TextAnalysis.wordOccurrences(lower(col("text")), TextAnalysis.englishStopwords)
+      graft.ops.Eval.chiSquareTerms(d,
+          TextAnalysis.qualityGate(nt, nc, stops),
+          filter(TextAnalysis.tokens(lower(col("text"))), t => length(t) >= 4),
+          minDf = 20L)
+        .orderBy("term")
+    }),
+
+    // X4 — PMI collocation mining: adjacent-word pairs that co-occur
+    // beyond chance, ranked by the exact association ratio (the inside
+    // of the PMI log — monotone, so rankings agree without computing a
+    // cross-engine transcendental).
+    "x4_pmi_bigrams" -> ((s, dir) => {
+      graft.ops.TextAnalysis.pmiBigrams(Tables.documents(s, dir), "text",
+          minCount = 10L)
+        .orderBy("w1", "w2")
+    }),
+
     // ML — one-pass OLS TRAINING via exact integer sufficient
     // statistics + in-query Cramer solve (ops/Regress.scala): fit
     // extendedprice-cents ~ quantity + discount-bps on one corpus
@@ -3402,9 +3427,65 @@ object SparkEntry {
         |  CAST(sum(s) // count(*) AS BIGINT) AS mean_score_floor
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
 
+    "x4_eval_chi2_terms" ->
+      """WITH t0 AS (
+        |  SELECT CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      w -> w IN ('the','a','an','and','or','of','to','in','is','it',
+        |                 'that','for','on','with','as','at','by','from'))) AS BIGINT) AS st,
+        |    list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+        |      w -> length(w) >= 4)) AS ts
+        |  FROM documents),
+        |docs AS (SELECT CASE WHEN n_tokens BETWEEN 5 AND 100000
+        |           AND (n_chars / greatest(n_tokens, 1)) BETWEEN 1 AND 15
+        |           AND st * 50 >= n_tokens THEN 1 ELSE 0 END AS y, ts FROM t0),
+        |tot AS (SELECT count(*) AS n, sum(y) AS np FROM docs),
+        |pt AS (SELECT tk AS term, count(*) AS term_df, sum(y) AS term_pos
+        |       FROM (SELECT y, unnest(ts) AS tk FROM docs)
+        |       GROUP BY 1 HAVING count(*) >= 20),
+        |f AS (SELECT term, term_df, term_pos,
+        |        CAST(term_pos AS HUGEINT) AS a,
+        |        CAST(term_df - term_pos AS HUGEINT) AS b,
+        |        CAST(np - term_pos AS HUGEINT) AS c,
+        |        CAST((n - np) - (term_df - term_pos) AS HUGEINT) AS d,
+        |        CAST(n AS HUGEINT) AS n
+        |      FROM pt, tot)
+        |SELECT term, CAST(term_df AS BIGINT) AS term_df,
+        |  CAST(term_pos AS BIGINT) AS term_pos,
+        |  CASE WHEN (a+b)*(c+d)*(a+c)*(b+d) = 0 THEN NULL
+        |    ELSE CAST((n*(a*d - b*c)*(a*d - b*c)*1000000)
+        |              // ((a+b)*(c+d)*(a+c)*(b+d)) AS BIGINT)
+        |  END AS chi2_micros
+        |FROM f ORDER BY term""".stripMargin,
+
+    "x4_pmi_bigrams" ->
+      """WITH w AS (
+        |  SELECT string_split_regex(lower(text), '\s+') AS ws FROM documents),
+        |uw AS (SELECT tk FROM (SELECT unnest(ws) AS tk FROM w) WHERE length(tk) >= 1),
+        |uni AS (SELECT tk AS wd, count(*) AS c FROM uw GROUP BY 1),
+        |tt AS (SELECT count(*) AS t FROM uw),
+        |bg0 AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+        |    i -> {'w1': ws[i], 'w2': ws[i+1]})) AS b
+        |  FROM w WHERE len(ws) >= 2),
+        |bg AS (SELECT b.w1 AS w1, b.w2 AS w2 FROM bg0
+        |       WHERE length(b.w1) >= 1 AND length(b.w2) >= 1),
+        |bt AS (SELECT count(*) AS bt FROM bg),
+        |big AS (SELECT w1, w2, count(*) AS c_xy FROM bg GROUP BY 1, 2
+        |        HAVING count(*) >= 10)
+        |SELECT w1, w2, CAST(c_xy AS BIGINT) AS c_xy,
+        |  CAST(u1.c AS BIGINT) AS c_x, CAST(u2.c AS BIGINT) AS c_y,
+        |  CAST((CAST(c_xy AS HUGEINT) * t * t * 1000000)
+        |       // (CAST(bt AS HUGEINT) * u1.c * u2.c) AS BIGINT) AS pmi_ratio_micros
+        |FROM big
+        |JOIN uni u1 ON u1.wd = big.w1
+        |JOIN uni u2 ON u2.wd = big.w2, tt, bt
+        |ORDER BY w1, w2""".stripMargin,
+
     // HUGEINT sums keep every Cramer term exact (ceiling 1.7e38, same
-    // envelope as Spark's decimal(38,0) internals); `//` floors like
-    // the Spark side's sign-adjusted div.
+    // envelope as Spark's decimal(38,0) internals); `//` truncates like
+    // the Spark side's div.
     "ml_ols_fit" ->
       """WITH b AS (
         |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS y,

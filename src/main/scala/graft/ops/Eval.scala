@@ -117,6 +117,53 @@ object Eval {
           .as("rec_micros"))
   }
 
+  /** Chi-square feature selection: for every term (distinct-per-doc,
+    * so presence not frequency), the 2×2 contingency against a boolean
+    * doc label and the exact χ² statistic
+    *
+    *   χ² = n·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d))
+    *
+    * where a/b = labeled/unlabeled docs containing the term and c/d
+    * the complements. The ranking a classifier-feature pass reads —
+    * which vocabulary actually separates the classes.
+    *
+    * Scale shape: explode distinct terms → ONE hash agg keyed by term
+    * (vocabulary-scale output); the corpus-level (n, n_pos) ride in as
+    * a broadcast single row. Emits the raw contingency (a, df=a+b) as
+    * BIGINT — exact at ANY corpus size — plus chi2_micros, whose
+    * DECIMAL(38,0) numerator n·(ad−bc)²·1e6 caps the exact path at
+    * ~1e6 docs per evaluation; past that, the counts stay exact and
+    * overflow ABORTS (raise_error), the caller re-derives χ² from the
+    * emitted contingency at whatever precision it wants. `minDf`
+    * bounds the output to terms with evidence. */
+  def chiSquareTerms(df: DataFrame, label: Column, terms: Column,
+      minDf: Long = 1L): DataFrame = {
+    val base = df.select(when(label, 1L).otherwise(0L).as("_y"),
+      array_distinct(terms).as("_ts"))
+    val tot = base.agg(count(lit(1)).as("_n"), sum(col("_y")).as("_np"))
+    val perTerm = base
+      .select(col("_y"), explode(col("_ts")).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("term_df"), sum(col("_y")).as("term_pos"))
+      .filter(col("term_df") >= minDf)
+    val j = perTerm.join(broadcast(tot), expr("true"))
+    val (a, b) = (col("term_pos").cast(Big), (col("term_df") - col("term_pos")).cast(Big))
+    val (c, d) = (col("_np").cast(Big) - a, (col("_n") - col("_np")).cast(Big) - b)
+    val diff = a * d - b * c
+    val num = col("_n").cast(Big) * diff * diff
+    val den = (a + b) * (c + d) * (a + c) * (b + d)
+    val quotient = microsDiv(num, den)
+    // overflow at ANY stage (num, its ×1e6 scaling, den) surfaces as a
+    // NULL quotient on a non-degenerate denominator — abort, don't emit
+    val chi = when(den === 0, lit(null).cast("long"))
+      .when(quotient.isNull,
+        raise_error(lit("chiSquareTerms: decimal(38,0) overflow — corpus too " +
+          "large for the exact chi2 path; derive from the emitted contingency"))
+          .cast("long"))
+      .otherwise(quotient)
+    j.select(col("term"), col("term_df"), col("term_pos"), chi.as("chi2_micros"))
+  }
+
   /** Calibration (reliability-diagram) bins: scores bucketed into
     * fixed-width integer bins, each bin reporting how often the label
     * actually fired — the artifact that says whether a high score

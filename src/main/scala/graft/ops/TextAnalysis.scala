@@ -162,6 +162,54 @@ object TextAnalysis {
       .select(col(id), col("term"), col("tf"), col("df"), col("tfidf"), col("rk"))
   }
 
+  /** PMI collocation mining: adjacent word pairs whose co-occurrence
+    * beats chance — the classic corpus-linguistics detector for fixed
+    * phrases ("new york"-style units a tokenizer or phrase-table pass
+    * wants as single symbols). PMI = log of the association ratio
+    *
+    *   ratio = (c_xy / B) / ((c_x / T)·(c_y / T)) = c_xy·T² / (B·c_x·c_y)
+    *
+    * with c_xy the bigram count (B total bigrams), c_x unigram counts
+    * (T total tokens). The log is monotone, so the RANKING needs only
+    * the ratio — emitted as exact trunc-micros (c_xy·T²·1e6 stays
+    * inside DECIMAL(38,0) to ~3e9 tokens; past that the exact counts
+    * are still the output and callers derive the ratio downstream).
+    * All counts are exact BIGINTs from two hash aggs (bigram-keyed and
+    * unigram-keyed) over one corpus scan each; the unigram table joins
+    * back at bigram grain twice (vocabulary-scale joins, broadcast or
+    * shuffle as the optimizer sizes them). `minCount` is the standard
+    * evidence floor (rare pairs have unstable PMI). */
+  def pmiBigrams(df: org.apache.spark.sql.DataFrame, text: String,
+      minCount: Long = 5L, minTokenLen: Int = 1): org.apache.spark.sql.DataFrame = {
+    val toks = tokens(lower(col(text)))
+    val words = df.select(explode(toks).as("w"))
+      .filter(length(col("w")) >= minTokenLen)
+    val uni = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val totT = words.agg(count(lit(1)).as("_t"))
+    val bigrams = df
+      .select(when(size(toks) >= 2,
+        zip_with(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+          (x, y) => struct(x.as("w1"), y.as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>")).as("_bs"))
+      .select(explode(col("_bs")).as("_b"))
+      .select(col("_b.w1").as("w1"), col("_b.w2").as("w2"))
+      .filter(length(col("w1")) >= minTokenLen && length(col("w2")) >= minTokenLen)
+    val big = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    val totB = bigrams.agg(count(lit(1)).as("_bt"))
+    val Big = "decimal(38,0)"
+    big
+      .join(uni.select(col("w").as("w1"), col("c").as("c_x")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_y")), "w2")
+      .join(broadcast(totT), expr("true"))
+      .join(broadcast(totB), expr("true"))
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+        call_function("div",
+          col("c_xy").cast(Big) * col("_t").cast(Big) * col("_t").cast(Big) * 1000000L,
+          col("_bt").cast(Big) * col("c_x").cast(Big) * col("c_y").cast(Big))
+          .cast("long").as("pmi_ratio_micros"))
+  }
+
   /** BM25 top terms per document — tf·idf's retrieval-grade sibling
     * with saturating tf and document-length normalization:
     * `idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`. Same plan

@@ -79,4 +79,28 @@ class EvalSpec extends AnyFunSuite with SparkTestBase {
     val b = graft.ops.Eval.rocAuc(base.reverse.toDF("y", "s").repartition(13), col("y"), col("s")).collect()(0)
     assert(a.getLong(2) == b.getLong(2) && a.getLong(0) == b.getLong(0))
   }
+
+  test("chiSquareTerms: hand-computed 2x2 (perfect association chi2 = n)") {
+    // 4 docs: "apple" in exactly the 2 positives -> a=2 b=0 c=0 d=2
+    // chi2 = 4*(2*2-0)^2 / (2*2*2*2) = 64/16 = 4.0
+    val df = Seq((true, "apple pie"), (true, "apple tart"),
+      (false, "banana bread"), (false, "banana split")).toDF("y", "txt")
+    val r = graft.ops.Eval.chiSquareTerms(df, col("y"),
+      split(col("txt"), " "), minDf = 1L).orderBy("term").collect()
+    val apple = r.find(_.getString(0) == "apple").get
+    assert(apple.getLong(1) == 2 && apple.getLong(2) == 2)
+    assert(apple.getLong(3) == 4000000L)
+    // "pie" appears once in a positive: a=1 b=0 c=1 d=2
+    // chi2 = 4*(1*2-0*1)^2/(1*3*2*2) = 16/12 = 1.333333
+    val pie = r.find(_.getString(0) == "pie").get
+    assert(pie.getLong(3) == 1333333L)
+  }
+
+  test("chiSquareTerms: a term in every doc is degenerate -> NULL chi2") {
+    val df = Seq((true, "common a"), (false, "common b")).toDF("y", "txt")
+    val r = graft.ops.Eval.chiSquareTerms(df, col("y"),
+      split(col("txt"), " "), minDf = 1L).collect()
+    val c = r.find(_.getString(0) == "common").get
+    assert(c.isNullAt(3))
+  }
 }

@@ -256,4 +256,30 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     // like text is lower than OOV noise
     assert(nll(10L)._2.toDouble / 2 < nll(11L)._2.toDouble / 3)
   }
+
+  test("pmiBigrams: hand-computed ratio on a tiny corpus") {
+    // "x y x y x": T=5 tokens, bigrams (x,y),(y,x),(x,y),(y,x) -> B=4
+    // c_xy(x,y)=2, c_x=3, c_y=2: ratio = 2*25/(4*3*2) = 50/24 = 2.083333
+    val df = Seq(Tuple1("x y x y x")).toDF("text")
+    val r = graft.ops.TextAnalysis.pmiBigrams(df, "text", minCount = 1L)
+      .orderBy("w1", "w2").collect()
+    assert(r.length == 2)
+    val xy = r.find(x => x.getString(0) == "x" && x.getString(1) == "y").get
+    assert(xy.getLong(2) == 2 && xy.getLong(3) == 3 && xy.getLong(4) == 2)
+    assert(xy.getLong(5) == 2083333L)
+    val yx = r.find(x => x.getString(0) == "y" && x.getString(1) == "x").get
+    assert(yx.getLong(5) == 2083333L)
+  }
+
+  test("pmiBigrams: fixed phrase scores far above independent pair; minCount floors") {
+    // "new york" always adjacent; "the" is everywhere so ("of","the")-style
+    // pairs score near 1.0 ratio
+    val docs = (1 to 20).map(i => s"new york trip $i the a the b the c")
+    val df = docs.map(Tuple1(_)).toDF("text")
+    val r = graft.ops.TextAnalysis.pmiBigrams(df, "text", minCount = 5L).collect()
+    val ny = r.find(x => x.getString(0) == "new" && x.getString(1) == "york").get
+    // singleton-count words in a fixed phrase: ratio ~ T^2/(B*c_x*c_y) >> 1e6 micros
+    assert(ny.getLong(5) > 5000000L, s"new york ratio ${ny.getLong(5)}")
+    assert(!r.exists(x => x.getString(1) == "1"), "minCount=5 drops the unique-suffix pairs")
+  }
 }
