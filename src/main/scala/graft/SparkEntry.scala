@@ -661,6 +661,21 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    // Layout — 2-D Hilbert index over bucketed (user, value): the
+    // Morton curve's better-locality sibling (consecutive codes are
+    // grid-adjacent — LayoutSpec proves it and shows Z-order jumping).
+    // The oracle replays the 8-level reflect-and-swap bit walk as a
+    // recursive CTE, so any drift in the rotation logic flips rows.
+    "layout_hilbert_values" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.ops.Layout.hilbertIndexed2(
+          ev.select(col("event_id"),
+            (col("user_id") % 256).as("hx"),
+            (floor(col("value")).cast("long") % 256).as("hy")),
+          col("hx"), col("hy"), "h", bits = 8)
+        .orderBy("event_id")
+    }),
+
     // Eval — chi-square feature selection: which length≥4 terms
     // separate quality docs from the rest (presence-based 2×2
     // contingency per term, exact rational χ² as trunc-micros).
@@ -3426,6 +3441,30 @@ object SparkEntry {
         |  CAST((sum(y) * 1000000) // count(*) AS BIGINT) AS pos_rate_micros,
         |  CAST(sum(s) // count(*) AS BIGINT) AS mean_score_floor
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "layout_hilbert_values" ->
+      """WITH RECURSIVE it AS (
+        |  SELECT event_id,
+        |    CAST(user_id % 256 AS BIGINT) AS hx,
+        |    CAST(CAST(floor(value) AS BIGINT) % 256 AS BIGINT) AS hy,
+        |    CAST(user_id % 256 AS BIGINT) AS x,
+        |    CAST(CAST(floor(value) AS BIGINT) % 256 AS BIGINT) AS y,
+        |    CAST(0 AS BIGINT) AS d, CAST(128 AS BIGINT) AS s
+        |  FROM events
+        |  UNION ALL
+        |  SELECT event_id, hx, hy,
+        |    CASE WHEN (y & s) = 0 THEN
+        |      CASE WHEN (x & s) != 0 THEN s - 1 - y ELSE y END
+        |    ELSE x END AS x,
+        |    CASE WHEN (y & s) = 0 THEN
+        |      CASE WHEN (x & s) != 0 THEN s - 1 - x ELSE x END
+        |    ELSE y END AS y,
+        |    d + s * s * xor(3 * (CASE WHEN (x & s) != 0 THEN 1 ELSE 0 END),
+        |                    (CASE WHEN (y & s) != 0 THEN 1 ELSE 0 END)) AS d,
+        |    s // 2 AS s
+        |  FROM it WHERE s > 0)
+        |SELECT event_id, hx, hy, d AS h FROM it WHERE s = 0
+        |ORDER BY event_id""".stripMargin,
 
     "x4_eval_chi2_terms" ->
       """WITH t0 AS (

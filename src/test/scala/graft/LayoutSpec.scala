@@ -89,4 +89,60 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
     // z-order: only files whose box meets y<16 — most are pruned
     assert(zTouched <= zTotal / 2)
   }
+
+  private def refHilbert(x0: Long, y0: Long, bits: Int): Long = {
+    var x = x0; var y = y0; var d = 0L
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  test("hilbertIndexed2 matches the bit-loop reference (boundaries + pseudorandom)") {
+    val edge = Seq(0L, 1L, 255L, 256L, 65535L)
+    val rnd = (1 to 150).map(i => math.abs(i * 2654435761L) % 65536L)
+    val pts = (edge ++ rnd).zip((edge ++ rnd).reverse).zipWithIndex
+      .map { case ((x, y), i) => (i.toLong, x, y) }
+    val df = pts.toDF("id", "x", "y")
+    val got = graft.ops.Layout.hilbertIndexed2(df, col("x"), col("y"), "h", bits = 16)
+      .orderBy("id").collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    pts.foreach { case (i, x, y) =>
+      assert(got(i) == refHilbert(x, y, 16), s"($x,$y)")
+    }
+  }
+
+  test("hilbert is a bijection on the 8x8 grid AND consecutive codes are grid-adjacent") {
+    // the property that makes Hilbert better than Morton for layout:
+    // walking the curve never jumps — every consecutive pair of codes
+    // is one grid step apart (Z-order violates this at every
+    // power-of-two boundary)
+    val pts = for (x <- 0L until 8L; y <- 0L until 8L) yield (x, y)
+    val df = pts.toDF("x", "y")
+    val rows = graft.ops.Layout.hilbertIndexed2(df, col("x"), col("y"), "h", bits = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._3).toSet == (0L until 64L).toSet, "bijective onto 0..63")
+    val walk = rows.sortBy(_._3)
+    walk.sliding(2).foreach { case Array((x1, y1, d1), (x2, y2, _)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"jump at d=$d1: ($x1,$y1)->($x2,$y2)")
+    }
+    // contrast: the Z-curve DOES jump (documents why this op exists)
+    val zWalk = pts.map { case (x, y) => (x, y) }
+      .sortBy { case (x, y) =>
+        // inline 3-bit morton
+        (0 until 3).map(b => (((x >> b) & 1) << (2 * b)) | (((y >> b) & 1) << (2 * b + 1))).sum
+      }
+    val zJumps = zWalk.sliding(2).count { case Seq((x1, y1), (x2, y2)) =>
+      math.abs(x1 - x2) + math.abs(y1 - y2) > 1
+    }
+    assert(zJumps > 0, "morton walk should jump somewhere on 8x8")
+  }
 }

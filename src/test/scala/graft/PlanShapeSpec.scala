@@ -188,4 +188,54 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
           p.linesIterator.take(30).mkString("\n"))
     } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
+
+  test("AUC / PR curve: no corpus-cardinality Window — ordered passes at score grain only") {
+    // the rank-sum identity's whole point: the only Window sits ABOVE the
+    // score-frequency hash agg (grouped rows), so the corpus meets one
+    // hash agg and nothing ordered
+    for (q <- Seq("x4_eval_auc", "x4_eval_pr_curve")) {
+      val pl = plan(q)
+      // look at the TREE section only (parent-first): the subtree below
+      // the Window must aggregate before it scans — i.e. the Window's
+      // input is the score-frequency table, never the raw corpus
+      val tree = pl.substring(0, pl.indexOf("\n\n") match {
+        case -1 => pl.length; case i => i
+      })
+      val winIdx = tree.indexOf("Window")
+      assert(winIdx >= 0, s"$q: expected the score-grain Window")
+      val below = tree.substring(winIdx)
+      val agg = below.indexOf("HashAggregate")
+      val scan = below.indexOf("Scan parquet")
+      assert(agg >= 0 && scan > agg,
+        s"$q: Window consumes the raw corpus (agg=$agg scan=$scan)\n$tree")
+    }
+  }
+
+  test("semDedup: centroids broadcast to the corpus; cluster self-join is the only wide pair stage") {
+    val pl = plan("x1_semdedup")
+    assert(pl.contains("BroadcastNestedLoopJoin") || pl.contains("BroadcastExchange"),
+      "centroid fan-out must be a broadcast, not a shuffle")
+    assert(!pl.contains("CartesianProduct"), "no cartesian anywhere")
+  }
+
+  test("prefix filter join: no cartesian, no Window; candidate work is hash-keyed") {
+    val pl = plan("x3_prefix_filter_join")
+    assert(!pl.contains("CartesianProduct"))
+    assert(!pl.contains(") Window"), "no ordered pass anywhere in AllPairs")
+  }
+
+  test("OLS fit: single corpus scan folding into one partial+final agg pair") {
+    val pl = plan("ml_ols_fit")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(pl).size == 1,
+      "sufficient stats must be one pass")
+    assert(!pl.contains("Exchange hashpartitioning"),
+      "a 1-row global agg needs only the single-partition exchange")
+  }
+
+  test("chi2 terms: corpus totals ride a broadcast, term census is one hash-keyed agg") {
+    val pl = plan("x4_eval_chi2_terms")
+    assert(pl.contains("BroadcastNestedLoopJoin") || pl.contains("BroadcastExchange"))
+    assert(!pl.contains("CartesianProduct"))
+    assert(!pl.contains("SortMergeJoin"), "vocabulary × one-row must never sort-merge")
+  }
 }
