@@ -567,10 +567,15 @@ object SparkEntry {
     // one exact intersection per candidate. The oracle is the plain
     // inverted-index exact join — prefix filtering must return exactly
     // the same pairs, so any lost pair (a broken prefix bound) or
-    // phantom pair flips the hash.
+    // phantom pair flips the hash. Shingle width 5 (the web-dedup
+    // convention): this fixture's tiny vocabulary gives 3-shingles an
+    // avg df of ~10 (Σdf² 2.8M at sf0.1 — 310k candidates), while
+    // 5-shingles are near-unique (avg df 1.05, Σdf² 278k) — the same
+    // 25 planted pairs qualify either way, 10× cheaper. Width is THE
+    // selectivity knob for set-similarity joins; probed, not assumed.
     "x3_prefix_filter_join" -> ((s, dir) => {
       Dedup.prefixFilterJoin(Tables.documents(s, dir), "doc_id", "text",
-          k = 3, thresholdPct = 50)
+          k = 5, thresholdPct = 50)
         .orderBy("id_a", "id_b")
     }),
 
@@ -3299,9 +3304,9 @@ object SparkEntry {
     "x3_prefix_filter_join" ->
       """WITH sh AS (
         |  SELECT doc_id,
-        |    CASE WHEN len(w) >= 3 THEN
-        |      list_distinct(list_transform(generate_series(1, len(w) - 2),
-        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |    CASE WHEN len(w) >= 5 THEN
+        |      list_distinct(list_transform(generate_series(1, len(w) - 4),
+        |        i -> array_to_string(w[i:i+4], ' ')))
         |    ELSE [array_to_string(w, ' ')] END AS s
         |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
         |        FROM documents) t),

@@ -259,20 +259,41 @@ object Dedup {
   def prefixFilterJoin(df: DataFrame, id: String, text: String, k: Int,
       thresholdPct: Int): DataFrame = {
     require(thresholdPct > 0 && thresholdPct <= 100, "thresholdPct in (0,100]")
-    val sets = df.select(col(id).as("_id"), wordShingles(col(text), k).as("_sh"))
+    // The shingle-set table feeds FOUR plan positions (both candidate
+    // sides + both verify sides) and the prefix table two — without a
+    // pin, Spark recomputes the census/order/regroup chain per
+    // consumer (measured 20 s → 6 s at sf0.1 from this pin alone).
+    // Eager localCheckpoint: doc-cardinality rows, blocks freed by the
+    // session's per-query teardown or [[freeLocalCheckpoint]].
+    // Shingles are HASHED to 8-byte longs by the codegen'd kernel
+    // (same trick as [[minHashNearDups]]): the census, window, and
+    // candidate joins shuffle longs instead of k-word strings, and the
+    // verify intersect compares longs. Same sets modulo 64-bit
+    // collisions (~|shingles|²/2⁶⁴ — negligible), and the global order
+    // becomes (df, hash) instead of (df, text): ANY total order keeps
+    // the prefix principle lossless, so the emitted pairs are
+    // identical — which is exactly what the string-semantics oracle
+    // certifies.
+    val sets = df.select(col(id).as("_id"),
+        graft.expr.WordShingleHashes(col(text), k, distinct = true).as("_sh"))
+      .localCheckpoint(true)
     val toks = sets.select(col("_id"), explode(col("_sh")).as("_t"))
     val dfreq = toks.groupBy(col("_t")).agg(count(lit(1)).as("_df"))
-    // per-doc shingles in global (df asc, shingle asc) order; prefix of
-    // length n − ceil(t·n) + 1 (integer ceil via (p·n + 99) div 100)
-    val ordered = toks.join(dfreq, "_t")
-      .groupBy(col("_id"))
-      .agg(transform(array_sort(collect_list(struct(col("_df"), col("_t")))),
-        x => x.getField("_t")).as("_ord"))
-      .select(col("_id"), col("_ord"), size(col("_ord")).as("_n"))
+    // per-doc shingle rank under the global (df asc, shingle asc)
+    // order via a DOC-KEYED window (shuffle on _id, in-partition sort —
+    // bounded by doc size, never global; measured ~2× cheaper than the
+    // collect_list + array_sort + re-explode form it replaced); prefix
+    // keeps ranks ≤ n − ceil(t·n) + 1 (integer ceil via
+    // (p·n + 99) div 100)
+    val wDoc = Window.partitionBy(col("_id"))
+    val ranked = toks.join(dfreq, "_t")
+      .withColumn("_rn", row_number().over(wDoc.orderBy(col("_df").asc, col("_t").asc)))
+      .withColumn("_n", count(lit(1)).over(wDoc))
     val need = call_function("div", col("_n") * thresholdPct + 99, lit(100))
-    val prefixes = ordered
-      .select(col("_id"), col("_n"),
-        explode(slice(col("_ord"), lit(1), (col("_n") - need + 1).cast("int"))).as("_t"))
+    val prefixes = ranked
+      .filter(col("_rn") <= col("_n") - need + 1)
+      .select(col("_id"), col("_n"), col("_t"))
+      .localCheckpoint(true)
     val cand = prefixes.as("a").join(prefixes.as("b"),
         col("a._t") === col("b._t") && col("a._id") < col("b._id") &&
           greatest(col("a._n"), col("b._n")) * thresholdPct <=
