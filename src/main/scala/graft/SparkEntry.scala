@@ -729,6 +729,36 @@ object SparkEntry {
         col("l_quantity"))
     }),
 
+    // ML — per-group fits: one hash agg at group cardinality, one scan
+    // for every segment's own trend line.
+    "ml_ols_by_group" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      graft.ops.Regress.olsFit1Grouped(li, "l_returnflag",
+          round(col("l_extendedprice") * 100),
+          col("l_quantity"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Time series — OHLC downsample per (user, hour): open/close via
+    // min_by/max_by over (ts, event_id) — deterministic under ties, no
+    // window sort; high/low are raw values so doubles pass bit-exact.
+    "ts_ohlc_hourly" -> ((s, dir) => {
+      graft.ops.TimeSeries.ohlcResample(Tables.events(s, dir),
+          "user_id", "ts", "value", "event_id", "hour")
+        .orderBy("user_id", "bucket")
+    }),
+
+    // DQ — portable bucketed table checksum (integer-arithmetic
+    // fingerprints, no engine hash): the sink-verification primitive —
+    // both ends of a replication/upsert compute B small rows and diff.
+    "dq_checksum_orders" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      graft.ops.DataQuality.checksumBuckets(o,
+          Seq(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice") * 100)),
+          buckets = 16)
+        .orderBy("bucket")
+    }),
+
     // X4 — context-window chunking: 64-token windows, 16-token overlap
     // (training-sequence prep; narrow explode, no shuffle).
     "x4_chunk_tokens" -> ((s, dir) => {
@@ -3565,6 +3595,55 @@ object SparkEntry {
         |    CAST(((sy*den - num*sx) * 1000000) // (n*den) AS BIGINT) END AS b0_micros,
         |  CASE WHEN den != 0 THEN CAST((num * 1000000) // den AS BIGINT) END AS b1_micros
         |FROM d""".stripMargin,
+
+    "ml_ols_by_group" ->
+      """WITH b AS (
+        |  SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+        |    CAST(l_quantity AS BIGINT) AS x
+        |  FROM lineitem),
+        |s AS (SELECT l_returnflag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |        sum(x*x) AS sxx, sum(x*y) AS sxy FROM b GROUP BY 1),
+        |d AS (SELECT l_returnflag, n, n*sxx - sx*sx AS den, n*sxy - sx*sy AS num,
+        |        sx, sy FROM s)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN den != 0 THEN
+        |    CAST(((sy*den - num*sx) * 1000000) // (n*den) AS BIGINT) END AS b0_micros,
+        |  CASE WHEN den != 0 THEN CAST((num * 1000000) // den AS BIGINT) END AS b1_micros
+        |FROM d ORDER BY l_returnflag""".stripMargin,
+
+    "ts_ohlc_hourly" ->
+      """WITH r AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS bucket, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |      ORDER BY ts ASC, event_id ASC) AS rno,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |      ORDER BY ts DESC, event_id DESC) AS rnc
+        |  FROM events),
+        |oc AS (SELECT user_id, bucket,
+        |         max(CASE WHEN rno = 1 THEN value END) AS open,
+        |         max(value) AS high, min(value) AS low,
+        |         max(CASE WHEN rnc = 1 THEN value END) AS close,
+        |         count(*) AS n
+        |       FROM r GROUP BY 1, 2)
+        |SELECT user_id, CAST(bucket AS TIMESTAMP) AS bucket, open, high, low,
+        |  close, CAST(n AS BIGINT) AS n
+        |FROM oc ORDER BY user_id, bucket""".stripMargin,
+
+    // multipliers: m0=1000003, m_{i+1}=(m_i*31+17) mod 1e9+7 — the same
+    // chain checksumBuckets derives; fp reduces every term mod p before
+    // summing, exactly as the Spark side does
+    "dq_checksum_orders" ->
+      """WITH f AS (
+        |  SELECT (( (o_orderkey % 1000000007) * 1000003 % 1000000007
+        |          + (o_custkey % 1000000007) * 31000110 % 1000000007
+        |          + (CAST(round(o_totalprice * 100) AS BIGINT) % 1000000007)
+        |            * 961003427 % 1000000007
+        |          ) % 1000000007) AS fp
+        |  FROM orders)
+        |SELECT CAST(fp % 16 AS BIGINT) AS bucket, count(*) AS n,
+        |  CAST(sum(CAST(fp AS HUGEINT)) % 1000000007 AS BIGINT) AS s1,
+        |  CAST(sum(CAST(fp AS HUGEINT) * fp) % 1000000007 AS BIGINT) AS s2
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "x4_langid" ->
       """WITH s AS (

@@ -152,4 +152,49 @@ object DataQuality {
         max(col("_mad")).as("mad_cents"),
         sum(when(col("_isout"), 1L).otherwise(0L)).as("n_outliers"))
   }
+
+  private val ChecksumMod = 1000000007L // 1e9+7, the classic prime
+
+  /** Order-independent bucketed TABLE CHECKSUM — verify a sink matches
+    * its source (post-upsert JDBC vs the frame that fed it, replicas,
+    * a re-run) WITHOUT moving either table: both sides compute B
+    * small rows and compare. Per row, a fingerprint
+    *
+    *   fp = (Σ_i col_i · m_i) mod p   (distinct odd multipliers m_i,
+    *                                   p = 1e9+7)
+    *
+    * then per bucket (= fp mod B): row count, Σfp mod p, Σfp² mod p.
+    * Sums of commutative values — partition/merge order free — and a
+    * changed, dropped, or duplicated row moves (n, s1, s2) in its
+    * bucket with collision probability ~1/p per bucket pair. The
+    * second moment catches compensating edits that keep Σfp fixed.
+    *
+    * PORTABLE by construction: integer arithmetic only, no engine hash
+    * function — the same formula runs in SQL on Postgres/DuckDB/
+    * anything, which is the entire point (a Spark-only hash cannot
+    * checksum the JDBC side). Contract: `cols` must be integral
+    * Columns (cast timestamps via unix_micros, decimals via scaled
+    * longs, strings via length/codepoints — caller's documented
+    * choice); NULL contributes 0 to the weighted sum but flips the
+    * dedicated null-position term (i+1)·p₀ so NULL ≠ 0. Internals in
+    * DECIMAL(38,0); Σfp ≤ n·1e9 holds to ~1e28 rows. */
+  def checksumBuckets(df: DataFrame, cols: Seq[org.apache.spark.sql.Column],
+      buckets: Int): DataFrame = {
+    require(cols.nonEmpty && buckets > 0, "need ≥1 column and ≥1 bucket")
+    val big = "decimal(38,0)"
+    val mults = Iterator.iterate(1000003L)(m => (m * 31 + 17) % ChecksumMod)
+      .take(cols.size).toSeq
+    val weighted = cols.zip(mults).zipWithIndex.map { case ((c, m), i) =>
+      val v = c.cast("long")
+      val term = (pmod(v, lit(ChecksumMod)).cast(big) * m) % ChecksumMod
+      when(v.isNull, lit((i + 1) * 999983L % ChecksumMod).cast(big)).otherwise(term)
+    }
+    val fp = pmod(weighted.reduce(_ + _) % ChecksumMod, lit(ChecksumMod).cast(big))
+      .cast("long")
+    df.select(fp.as("_fp"))
+      .groupBy(pmod(col("_fp"), lit(buckets.toLong)).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("_fp").cast(big)) % ChecksumMod).cast("long").as("s1"),
+        (sum((col("_fp").cast(big) * col("_fp"))) % ChecksumMod).cast("long").as("s2"))
+  }
 }

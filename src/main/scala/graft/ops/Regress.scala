@@ -74,6 +74,34 @@ object Regress {
       when(guarded =!= 0, truncMicros(b2n, guarded)).as("b2_micros"))
   }
 
+  /** Per-GROUP simple OLS — [[olsFit1]]'s sums keyed by a group column:
+    * one hash aggregation at group cardinality instead of one row, so
+    * fitting a separate trend per segment/tenant/source costs exactly
+    * one corpus scan regardless of group count (the grouped twin of the
+    * outliersZScore/MAD census shape). Same integer contract and
+    * trunc-micros output; singular groups (constant x within the
+    * group) yield NULL coefficients for that group only. */
+  def olsFit1Grouped(df: DataFrame, group: String, y: Column, x: Column): DataFrame = {
+    val base = df.select(col(group), y.cast("long").as("_y"), x.cast("long").as("_x"))
+    val s = base.groupBy(col(group)).agg(
+      count(lit(1)).as("n"),
+      sum(col("_x").cast(Big)).as("sx"),
+      sum(col("_y").cast(Big)).as("sy"),
+      sum((col("_x").cast(Big) * col("_x"))).as("sxx"),
+      sum((col("_x").cast(Big) * col("_y"))).as("sxy"))
+    val n = col("n").cast(Big)
+    val den = n * col("sxx") - col("sx") * col("sx")
+    val num = n * col("sxy") - col("sx") * col("sy")
+    val guarded = when(col("n") > 0 && den.isNull,
+      raise_error(concat(lit("olsFit1Grouped: decimal(38,0) overflow in group '"),
+        col(group).cast("string"), lit("' — rescale the inputs"))).cast(Big))
+      .otherwise(den)
+    s.select(col(group), col("n"),
+      when(guarded =!= 0, truncMicros(col("sy") * guarded - num * col("sx"), n * guarded))
+        .as("b0_micros"),
+      when(guarded =!= 0, truncMicros(num, guarded)).as("b1_micros"))
+  }
+
   /** Simple (one-regressor) OLS — same contract, 2×2 system:
     * b1 = (n·Sxy − Sx·Sy) / (n·Sxx − Sx²), b0 = (Sy − b1·Sx)/n, both
     * emitted as exact trunc-micros of the shared-denominator rationals

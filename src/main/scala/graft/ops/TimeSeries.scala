@@ -33,6 +33,28 @@ object TimeSeries {
       .select(col(key), col("day"), coalesce(col("_n"), lit(0L)).as("n"))
   }
 
+  /** OHLC resample — the finance-canonical downsample (open/high/low/
+    * close per key per time bucket), which is also the right lossy
+    * compaction for ANY metric stream (first/last preserve direction,
+    * min/max preserve envelope). ONE hash aggregate keyed by
+    * (key, bucket): open/close are `min_by`/`max_by` over the
+    * (ts, tiebreak-id) struct — deterministic under same-timestamp
+    * events because the unique id breaks the tie, no window sort
+    * anywhere. High/low/open/close are VALUES (no arithmetic), so
+    * doubles pass through bit-exact on any engine. */
+  def ohlcResample(df: DataFrame, key: String, ts: String, value: String,
+      tieId: String, unit: String): DataFrame = {
+    val bucket = date_trunc(unit, col(ts))
+    val ord = struct(col(ts), col(tieId))
+    df.groupBy(col(key), bucket.as("bucket"))
+      .agg(
+        min_by(col(value), ord).as("open"),
+        max(col(value)).as("high"),
+        min(col(value)).as("low"),
+        max_by(col(value), ord).as("close"),
+        count(lit(1)).as("n"))
+  }
+
   /** Sliding-window aggregation in batch mode, via the same `window()`
     * expression Structured Streaming plans — each row replicates into
     * duration/slide windows map-side, then a plain hash aggregate runs.

@@ -316,4 +316,33 @@ class QualitySamplingSpec extends AnyFunSuite with SparkTestBase {
       .collect().head
     assert(cg.getDouble(3) == 0.0 && cg.getLong(4) == 0L)
   }
+
+  test("checksumBuckets: any single-row edit, drop, or duplicate moves its bucket") {
+    import spark.implicits._
+    val base = (1L to 300L).map(i => (i, i * 13 % 97, i * 7 % 1000)).toDF("a", "b", "c")
+    def sums(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.DataQuality.checksumBuckets(df, Seq(col("a"), col("b"), col("c")), 8)
+        .orderBy("bucket").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val ref = sums(base)
+    // identical content, different order/partitioning → identical checksum
+    val shuffled = (1L to 300L).reverse.map(i => (i, i * 13 % 97, i * 7 % 1000))
+      .toDF("a", "b", "c").repartition(11)
+    assert(sums(shuffled) == ref, "order/partition independence")
+    // one cell changed
+    val edited = base.withColumn("c", when(col("a") === 123L, col("c") + 1).otherwise(col("c")))
+    assert(sums(edited) != ref, "a one-cell edit must move the checksum")
+    // one row dropped
+    assert(sums(base.filter(col("a") =!= 200L)) != ref, "a dropped row must move it")
+    // one row duplicated (s1/s2 catch it even though fp set is equal)
+    assert(sums(base.union(base.filter(col("a") === 7L))) != ref, "a duplicated row must move it")
+  }
+
+  test("checksumBuckets: NULL is not zero") {
+    import spark.implicits._
+    val withNull = Seq((Some(1L), 5L), (None, 5L)).toDF("a", "b")
+    val withZero = Seq((Some(1L), 5L), (Some(0L), 5L)).toDF("a", "b")
+    val r1 = graft.ops.DataQuality.checksumBuckets(withNull, Seq(col("a"), col("b")), 1).collect()(0)
+    val r2 = graft.ops.DataQuality.checksumBuckets(withZero, Seq(col("a"), col("b")), 1).collect()(0)
+    assert(r1.getLong(2) != r2.getLong(2), "NULL fingerprint must differ from 0")
+  }
 }

@@ -58,4 +58,16 @@ class RegressSpec extends AnyFunSuite with SparkTestBase {
     assert(a.getLong(1) == b.getLong(1) && a.getLong(2) == b.getLong(2)
       && a.getLong(3) == b.getLong(3))
   }
+
+  test("olsFit1Grouped recovers per-group planted slopes; singular group NULLs alone") {
+    val ga = (1L to 10L).map(x => ("a", x, 5 * x + 2))        // slope 5, intercept 2
+    val gb = (1L to 10L).map(x => ("b", x, -3 * x + 40))      // slope −3, intercept 40
+    val gc = (1L to 5L).map(_ => ("c", 7L, 9L))               // constant x → singular
+    val df = (ga ++ gb ++ gc).toDF("g", "x", "y")
+    val r = graft.ops.Regress.olsFit1Grouped(df, "g", col("y"), col("x"))
+      .orderBy("g").collect()
+    assert(r(0).getLong(2) == 2000000L && r(0).getLong(3) == 5000000L)
+    assert(r(1).getLong(2) == 40000000L && r(1).getLong(3) == -3000000L)
+    assert(r(2).isNullAt(2) && r(2).isNullAt(3))
+  }
 }

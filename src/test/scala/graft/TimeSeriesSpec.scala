@@ -106,4 +106,24 @@ class TimeSeriesSpec extends AnyFunSuite with SparkTestBase {
     assert(got(2L) == 1.0)
     assert(got(3L) == 3.0)
   }
+
+  test("ohlcResample: open/close by (ts, id) with same-timestamp ties broken by id") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val rows = Seq(
+      (1L, ts(5), 30.0, 100L),  // first by time → open
+      (1L, ts(10), 99.0, 101L), // high
+      (1L, ts(50), 7.0, 102L),  // low
+      (1L, ts(59), 40.0, 103L), // tie on ts with 104 — id 103 < 104
+      (1L, ts(59), 41.0, 104L)  // → close is 41.0 (max_by picks larger (ts,id))
+    )
+    val df = rows.toDF("k", "t", "v", "eid")
+    val r = graft.ops.TimeSeries.ohlcResample(df, "k", "t", "v", "eid", "hour")
+      .collect()(0)
+    assert(r.getDouble(2) == 30.0, "open")
+    assert(r.getDouble(3) == 99.0, "high")
+    assert(r.getDouble(4) == 7.0, "low")
+    assert(r.getDouble(5) == 41.0, "close ties to larger event id")
+    assert(r.getLong(6) == 5)
+  }
 }
