@@ -151,6 +151,35 @@ object ScaleProbe {
           .select(col("id_a"), col("id_b"))
         graft.ops.Dedup.survivorsAfterNearDedup(docs, "doc_id", pairs).count()
       }
+      time("prefix_filter_join") {
+        graft.ops.Dedup.prefixFilterJoin(docs, "doc_id", "text",
+          k = 5, thresholdPct = 50).count()
+      }
+      time("eval_auc") {
+        val nt = graft.ops.TextAnalysis.tokenCount(col("text"))
+        val stops = graft.ops.TextAnalysis.wordOccurrences(lower(col("text")),
+          graft.ops.TextAnalysis.englishStopwords)
+        graft.ops.Eval.rocAuc(docs,
+          graft.ops.TextAnalysis.qualityGate(nt, length(col("text")).cast("long"), stops),
+          stops).count()
+      }
+      time("chi2_terms") {
+        val nt = graft.ops.TextAnalysis.tokenCount(col("text"))
+        val stops = graft.ops.TextAnalysis.wordOccurrences(lower(col("text")),
+          graft.ops.TextAnalysis.englishStopwords)
+        graft.ops.Eval.chiSquareTerms(docs,
+          graft.ops.TextAnalysis.qualityGate(nt, length(col("text")).cast("long"), stops),
+          filter(graft.ops.TextAnalysis.tokens(lower(col("text"))), t => length(t) >= 4),
+          minDf = 20L).count()
+      }
+      time("pmi_bigrams") {
+        graft.ops.TextAnalysis.pmiBigrams(docs, "text", minCount = 10L).count()
+      }
+      time("ols_fit") {
+        graft.ops.Regress.olsFit1(docs,
+          length(col("text")).cast("long"),
+          graft.ops.TextAnalysis.tokenCount(col("text"))).count()
+      }
       docs.unpersist()
     }
     spark.stop()
