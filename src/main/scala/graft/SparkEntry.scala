@@ -2394,6 +2394,17 @@ object SparkEntry {
         .orderBy("label", "pos")
     }),
 
+    // X2 — sparse random projection (Achlioptas JL): 64-d embeddings
+    // to 8 components via the deterministic {+1,0,−1} formula matrix;
+    // narrow per-row folds, no shuffle anywhere. The oracle replays
+    // the identical fold, certifying the sign formula and the
+    // sequential summation order.
+    "x2_random_projection" -> ((s, dir) => {
+      graft.ops.Similarity.sparseRandomProjection(
+          Tables.embeddings(s, dir), "vec_id", "embedding", outDim = 8)
+        .orderBy("vec_id", "pos")
+    }),
+
     // X1/X2 — SemDeDup semantic deduplication: coarse-cluster against
     // deterministic centroids (every 50th vector), then drop any
     // vector whose cluster holds a smaller-id vector with cosine ≥
@@ -4654,6 +4665,19 @@ object SparkEntry {
         |             unnest(generate_series(1, len(embedding))) AS i
         |      FROM embeddings) u
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "x2_random_projection" ->
+      """WITH p AS (SELECT unnest(generate_series(0, 7)) AS pos),
+        |c AS (
+        |  SELECT e.vec_id, p.pos,
+        |    list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) *
+        |        (CASE ((i - 1) * 7 + p.pos * 13) % 6
+        |           WHEN 0 THEN 1.0 WHEN 1 THEN -1.0 ELSE 0.0 END))) AS comp
+        |  FROM embeddings e, p)
+        |SELECT vec_id, CAST(pos AS BIGINT) AS pos,
+        |  round(coalesce(comp, 0.0), 6) AS comp
+        |FROM c ORDER BY vec_id, pos""".stripMargin,
 
     "x1_semdedup" ->
       """WITH v AS (

@@ -194,6 +194,45 @@ object Similarity {
       .withColumn("cent_n", normSq(col("cent_vec")))
   }
 
+  /** X2 preprocessing — sparse random projection (Achlioptas'
+    * database-friendly Johnson–Lindenstrauss form): project d-dim
+    * embeddings to `outDim` with entries drawn {+1, 0, −1} at
+    * probabilities {1/6, 2/3, 1/6} — pairwise distances are preserved
+    * in expectation at 1/3 the multiplies of a dense Gaussian R. The
+    * entry "draw" is a DETERMINISTIC formula ((i·7 + j·13) mod 6 →
+    * +1/−1/0), so any engine reproduces the matrix exactly — no RNG
+    * state to ship to 1000 executors, and the oracle can replay the
+    * projection in SQL (production would swap in a hash-derived sign
+    * without changing the shape).
+    *
+    * Scale shape: pure per-row compute — each output component is one
+    * sequential fold over the input array (`aggregate` HOF), so the
+    * operator is NARROW: no shuffle, no join, trivially parallel, the
+    * ideal 100 TB operator. Interpreted-lambda cost is outDim·d per
+    * row; a codegen'd kernel (the DotProductFloat pattern) is the
+    * drop-in upgrade if this ever dominates a profile.
+    *
+    * Output long-form (id, pos ∈ [0, outDim), comp) with comp the raw
+    * double fold — callers scale by √(3/outDim) when they need the
+    * isometry constant (kept out so the gate compares pure sums). */
+  def sparseRandomProjection(df: DataFrame, id: String, vec: String,
+      outDim: Int): DataFrame = {
+    require(outDim >= 1, "outDim must be positive")
+    val comps = (0 until outDim).map { j =>
+      val comp = aggregate(
+        sequence(lit(1), size(col(vec))), lit(0.0),
+        (acc, i) => {
+          val r = ((i - 1) * 7 + j * 13) % 6
+          acc + element_at(col(vec), i).cast("double") *
+            when(r === 0, 1.0).when(r === 1, -1.0).otherwise(0.0)
+        })
+      struct(lit(j.toLong).as("pos"), comp.as("comp"))
+    }
+    df.select(col(id), explode(array(comps: _*)).as("_pc"))
+      .select(col(id), col("_pc.pos").as("pos"),
+        round(col("_pc.comp"), 6).as("comp"))
+  }
+
   /** X1/X2 composition — SemDeDup-style SEMANTIC deduplication
     * (cluster the embedding space coarsely, then drop near-duplicates
     * WITHIN each cluster — Abbas et al. 2023's recipe, re-expressed
