@@ -748,6 +748,15 @@ object SparkEntry {
         .orderBy("user_id", "bucket")
     }),
 
+    // DQ — Benford first-digit audit over order totals in cents: the
+    // classic anomaly screen; digit from the integer's string head
+    // (exact, no float log), expectations pinned as integer ppm.
+    "dq_benford_totals" -> ((s, dir) => {
+      graft.ops.DataQuality.benfordAudit(Tables.orders(s, dir),
+          round(col("o_totalprice") * 100))
+        .orderBy("digit")
+    }),
+
     // DQ — portable bucketed table checksum (integer-arithmetic
     // fingerprints, no engine hash): the sink-verification primitive —
     // both ends of a replication/upsert compute B small rows and diff.
@@ -3639,6 +3648,24 @@ object SparkEntry {
         |SELECT user_id, CAST(bucket AS TIMESTAMP) AS bucket, open, high, low,
         |  close, CAST(n AS BIGINT) AS n
         |FROM oc ORDER BY user_id, bucket""".stripMargin,
+
+    "dq_benford_totals" ->
+      """WITH v AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders
+        |  WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0),
+        |cnt AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit,
+        |          count(*) AS n_d FROM v GROUP BY 1),
+        |exp AS (SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+        |          (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+        |          (9, 45757)) AS t(digit, exp_ppm)),
+        |tot AS (SELECT sum(n_d) AS n FROM cnt)
+        |SELECT CAST(exp.digit AS BIGINT) AS digit,
+        |  CAST(coalesce(n_d, 0) AS BIGINT) AS n_d,
+        |  CAST((coalesce(n_d, 0) * 1000000) // n AS BIGINT) AS obs_ppm,
+        |  CAST(exp_ppm AS BIGINT) AS exp_ppm,
+        |  CAST((coalesce(n_d, 0) * 1000000) // n - exp_ppm AS BIGINT) AS dev_ppm
+        |FROM exp LEFT JOIN cnt ON exp.digit = cnt.digit, tot
+        |ORDER BY digit""".stripMargin,
 
     // multipliers: m0=1000003, m_{i+1}=(m_i*31+17) mod 1e9+7 — the same
     // chain checksumBuckets derives; fp reduces every term mod p before

@@ -153,6 +153,48 @@ object DataQuality {
         sum(when(col("_isout"), 1L).otherwise(0L)).as("n_outliers"))
   }
 
+  /** Benford first-digit expectations, parts-per-million:
+    * round(1e6·log₁₀(1 + 1/d)) — pinned as integer literals so both
+    * engines compare against the SAME constants (no cross-engine
+    * transcendental). */
+  val benfordPpm: Seq[(Int, Long)] = Seq(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  /** Benford's-law audit — the classic fraud/anomaly screen for
+    * naturally-spread magnitude data (amounts, populations, file
+    * sizes): the leading digit's frequency should track
+    * log₁₀(1 + 1/d). One hash agg at NINE-row output cardinality; the
+    * first digit comes from the integer value's STRING head — exact
+    * and portable, where a log₁₀/power formulation would hand the
+    * verdict to float rounding at bucket boundaries. Emits per digit:
+    * observed count, observed ppm (trunc), expected ppm, and the
+    * signed deviation — the reviewer's table. Non-positive values are
+    * excluded (they have no Benford digit) but counted in `n_total` is
+    * the caller's concern: `values` contract is positive integers
+    * (cents, counts). */
+  def benfordAudit(df: DataFrame, value: org.apache.spark.sql.Column): DataFrame = {
+    val v = value.cast("long")
+    val digit = substring(v.cast("string"), 1, 1).cast("int")
+    val counts = df.filter(v > 0)
+      .groupBy(digit.as("digit"))
+      .agg(count(lit(1)).as("n_d"))
+    val expected = counts.sparkSession
+      .createDataFrame(benfordPpm.map(p => (p._1, p._2)))
+      .toDF("digit", "exp_ppm")
+    val tot = counts.agg(sum(col("n_d")).as("_n"))
+    expected
+      .join(counts, Seq("digit"), "left")
+      .join(broadcast(tot), expr("true"))
+      .select(col("digit").cast("long").as("digit"),
+        coalesce(col("n_d"), lit(0L)).as("n_d"),
+        call_function("div", coalesce(col("n_d"), lit(0L)) * 1000000L, col("_n"))
+          .as("obs_ppm"),
+        col("exp_ppm"),
+        (call_function("div", coalesce(col("n_d"), lit(0L)) * 1000000L, col("_n"))
+          - col("exp_ppm")).as("dev_ppm"))
+  }
+
   private val ChecksumMod = 1000000007L // 1e9+7, the classic prime
 
   /** Order-independent bucketed TABLE CHECKSUM — verify a sink matches

@@ -345,4 +345,26 @@ class QualitySamplingSpec extends AnyFunSuite with SparkTestBase {
     val r2 = graft.ops.DataQuality.checksumBuckets(withZero, Seq(col("a"), col("b")), 1).collect()(0)
     assert(r1.getLong(2) != r2.getLong(2), "NULL fingerprint must differ from 0")
   }
+
+  test("benfordAudit: geometric data tracks the law, uniform-magnitude data screams") {
+    import spark.implicits._
+    // geometric series 1.5^k spans magnitudes evenly in log space —
+    // near-Benford; all-5xxx values put ~1e6 ppm on digit 5
+    val geo = (0 until 400).map(k => math.pow(1.5, k % 50).toLong + 1).toDF("v")
+    val g = graft.ops.DataQuality.benfordAudit(geo, col("v")).orderBy("digit").collect()
+    assert(g.length == 9 && g.map(_.getLong(0)).toSeq == (1L to 9L))
+    val d1 = g(0)
+    assert(math.abs(d1.getLong(2) - 301030L) < 120000L,
+      s"digit-1 share ${d1.getLong(2)} ppm too far from Benford")
+    val uni = (5000L until 5400L).toDF("v")
+    val u = graft.ops.DataQuality.benfordAudit(uni, col("v")).orderBy("digit").collect()
+    assert(u(4).getLong(2) == 1000000L, "all mass on digit 5")
+    assert(u(0).getLong(1) == 0L && u(0).getLong(2) == 0L, "digit 1 absent but row present")
+    // boundary digits
+    val edges = Seq(1L, 9L, 10L, 99L, 100L, -7L, 0L).toDF("v")
+    val e = graft.ops.DataQuality.benfordAudit(edges, col("v")).orderBy("digit").collect()
+    assert(e.map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 3L, 2L -> 0L, 3L -> 0L, 4L -> 0L, 5L -> 0L, 6L -> 0L, 7L -> 0L,
+          8L -> 0L, 9L -> 2L), "non-positive excluded; 10/100 lead with 1")
+  }
 }
