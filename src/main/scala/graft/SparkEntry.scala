@@ -2403,6 +2403,25 @@ object SparkEntry {
         .orderBy("label", "pos")
     }),
 
+    // X2 scale path — PROJECTED ANN: shortlist in JL-projected 8-d
+    // (outDim multiplies per pair instead of 64), exact re-rank of the
+    // 4k shortlist in full dimension. Verdict-gated like the LSH path:
+    // the fixture's RANDOM vectors are the adversarial case for an 8-d
+    // projection (near-equal distances, little order preserved —
+    // measured 9–24% recall across SFs/factors; clustered real data
+    // concentrates), so the floor pins "the projected shortlist finds
+    // true neighbors at all" plus the exact-sims and rank-shape
+    // contracts, which are recall-independent.
+    "x2_ann_projected" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") % 100 === 0)
+      val ann = Similarity.projectedTopK(q, e, "vec_id", "embedding", 5,
+        outDim = 8, shortlistFactor = 4)
+      Similarity.annVerdict(q, e, "vec_id", "embedding", 5, ann,
+          minOverlapPct = 5)
+        .orderBy("qid")
+    }),
+
     // X2 — sparse random projection (Achlioptas JL): 64-d embeddings
     // to 8 components via the deterministic {+1,0,−1} formula matrix;
     // narrow per-row folds, no shuffle anywhere. The oracle replays
@@ -4692,6 +4711,11 @@ object SparkEntry {
         |             unnest(generate_series(1, len(embedding))) AS i
         |      FROM embeddings) u
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "x2_ann_projected" ->
+      """SELECT vec_id AS qid, true AS returned_le_k, true AS rk_dense,
+        |  true AS sims_exact, true AS recall_floor_met
+        |FROM embeddings WHERE vec_id % 100 = 0 ORDER BY qid""".stripMargin,
 
     "x2_random_projection" ->
       """WITH p AS (SELECT unnest(generate_series(0, 7)) AS pos),

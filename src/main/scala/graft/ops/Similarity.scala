@@ -215,23 +215,67 @@ object Similarity {
     * Output long-form (id, pos ∈ [0, outDim), comp) with comp the raw
     * double fold — callers scale by √(3/outDim) when they need the
     * isometry constant (kept out so the gate compares pure sums). */
+  /** The projection fold as an array column (component j = Σᵢ
+    * sign(i,j)·v[i]) — the composable form [[sparseRandomProjection]]
+    * and [[projectedTopK]] share. */
+  def projectArray(vec: Column, outDim: Int): Column = {
+    val comps = (0 until outDim).map { j =>
+      aggregate(
+        sequence(lit(1), size(vec)), lit(0.0),
+        (acc, i) => {
+          val r = ((i - 1) * 7 + j * 13) % 6
+          acc + element_at(vec, i).cast("double") *
+            when(r === 0, 1.0).when(r === 1, -1.0).otherwise(0.0)
+        })
+    }
+    array(comps: _*)
+  }
+
   def sparseRandomProjection(df: DataFrame, id: String, vec: String,
       outDim: Int): DataFrame = {
     require(outDim >= 1, "outDim must be positive")
-    val comps = (0 until outDim).map { j =>
-      val comp = aggregate(
-        sequence(lit(1), size(col(vec))), lit(0.0),
-        (acc, i) => {
-          val r = ((i - 1) * 7 + j * 13) % 6
-          acc + element_at(col(vec), i).cast("double") *
-            when(r === 0, 1.0).when(r === 1, -1.0).otherwise(0.0)
-        })
-      struct(lit(j.toLong).as("pos"), comp.as("comp"))
-    }
-    df.select(col(id), explode(array(comps: _*)).as("_pc"))
-      .select(col(id), col("_pc.pos").as("pos"),
-        round(col("_pc.comp"), 6).as("comp"))
+    df.select(col(id), posexplode(projectArray(col(vec), outDim)).as(Seq("pos", "_c")))
+      .select(col(id), col("pos").cast("long").as("pos"),
+        round(col("_c"), 6).as("comp"))
   }
+
+  /** X2 scale path — PROJECTED ANN: shortlist in the outDim-projected
+    * space (cheap dot products: outDim multiplies per pair instead of
+    * d), then exact cosine re-rank of the shortlist in full dimension.
+    * The JL projection preserves distances in expectation, so the
+    * true top-k concentrate in the projected shortlist at
+    * shortlistFactor·k; recall < 1 by construction (the documented
+    * trade, tunable via outDim and the factor). Same distributed
+    * shape as [[topKBruteForce]] — queries broadcast, corpus never
+    * shuffles, per-query rank limits pushed (WindowGroupLimit). */
+  def projectedTopK(queries: DataFrame, corpus: DataFrame, id: String, vec: String,
+      k: Int, outDim: Int = 8, shortlistFactor: Int = 4): DataFrame = {
+    val proj = (d: DataFrame, n: String) => d.select(col(id).as(n), col(vec),
+      projectArray(col(vec), outDim).as("_p"))
+    val q = proj(queries, "qid").select(col("qid"), col(vec).as("_qe"),
+      normSq(col(vec)).as("_nq"), col("_p").as("_qp"), normSqD(col("_p")).as("_nqp"))
+    val c = proj(corpus, "cid").select(col("cid"), col(vec).as("_ce"),
+      normSq(col(vec)).as("_nc"), col("_p").as("_cp"), normSqD(col("_p")).as("_ncp"))
+    val short = c.join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("_ps", cosineWithNorms(dotD(col("_qp"), col("_cp")), col("_nqp"), col("_ncp")))
+    val w1 = Window.partitionBy(col("qid")).orderBy(col("_ps").desc, col("cid").asc)
+    val shortlist = short.withColumn("_srk", row_number().over(w1))
+      .filter(col("_srk") <= k * shortlistFactor)
+    val w2 = Window.partitionBy(col("qid")).orderBy(col("_sim").desc, col("cid").asc)
+    shortlist
+      .withColumn("_sim", cosineWithNorms(dot(col("_qe"), col("_ce")), col("_nq"), col("_nc")))
+      .withColumn("rk", row_number().over(w2).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("cid"), round(col("_sim"), 6).as("sim"), col("rk"))
+  }
+
+  /** Double-array dot product / norm² via the sequential fold (the
+    * projected vectors are array<double>, not array<float>, so the
+    * float kernel doesn't apply). */
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(sequence(lit(1), size(a)), lit(0.0),
+      (acc, i) => acc + element_at(a, i) * element_at(b, i))
+  private def normSqD(a: Column): Column = dotD(a, a)
 
   /** X1/X2 composition — SemDeDup-style SEMANTIC deduplication
     * (cluster the embedding space coarsely, then drop near-duplicates
