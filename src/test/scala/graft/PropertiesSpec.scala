@@ -222,4 +222,42 @@ object PropertiesSpec extends Properties("graft") {
         else expected.contains(r.getLong(0))
       }
     }
+
+  // AllPairs prefix filtering is claimed LOSSLESS for any corpus and
+  // any threshold — the property that matters is exact-set equality
+  // with brute force on corpora the generator deliberately salts with
+  // duplicates and shared phrases (a uniform-random corpus would have
+  // no qualifying pairs and prove nothing).
+  private val phraseGen: Gen[String] = for {
+    base <- Gen.choose(0, 4)
+    len <- Gen.choose(3, 9)
+  } yield (0 until len).map(i => s"w${(base * 7 + i * 3) % 13}").mkString(" ")
+
+  private val corpusGen: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(6, 16)
+    texts <- Gen.listOfN(n, for {
+      a <- phraseGen
+      dup <- Gen.oneOf(true, false, false)
+      tail <- Gen.choose(0, 99)
+    } yield if (dup) a else s"$a extra$tail")
+  } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  property("prefixFilterJoin == brute force for random salted corpora and thresholds") =
+    forAll(corpusGen, Gen.oneOf(30, 50, 70, 100)) { (docs, pct) =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val df = docs.toDF("id", "txt")
+      val sets = df.select(col("id").as("_i"),
+        graft.expr.WordShingleHashes(col("txt"), 3, distinct = true).as("_s"))
+      val brute = sets.as("a").join(sets.as("b"), col("a._i") < col("b._i"))
+        .select(col("a._i").as("id_a"), col("b._i").as("id_b"),
+          size(array_intersect(col("a._s"), col("b._s"))).cast("long").as("ni"),
+          (size(col("a._s")) + size(col("b._s"))
+            - size(array_intersect(col("a._s"), col("b._s")))).cast("long").as("nu"))
+        .filter(col("ni") * 100 >= col("nu") * pct)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val fast = Dedup.prefixFilterJoin(df, "id", "txt", 3, pct)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      Prop(fast == brute) :| s"pct=$pct fast=${fast.size} brute=${brute.size}"
+    }
 }
