@@ -1753,6 +1753,16 @@ object SparkEntry {
         .orderBy("user_id", "session_start")
     }),
 
+    // Engine-NATIVE sessionization (session_window in batch GROUP BY)
+    // — must agree with batch_sessionize's gaps-and-islands form, and
+    // both share the same DuckDB twin: three sessionizer forms, one
+    // truth.
+    "batch_session_window" -> ((s, dir) => {
+      graft.ops.TimeSeries.sessionWindowAgg(
+          Tables.events(s, dir), "user_id", "ts", "value", gapMinutes = 30)
+        .orderBy("user_id", "session_start")
+    }),
+
     // Capstone composition — the corpus-to-training-shards pipeline in
     // one dataflow: quality gate → exact content dedup keeping the
     // surviving row (hash-agg min_by — no join-back, so the corpus and
@@ -5000,6 +5010,24 @@ object SparkEntry {
         |FROM t JOIN p ON t.user_id = p.user_id AND p.p_ts = t.next_purchase_ts
         |GROUP BY 1, 2, 3, 4
         |ORDER BY t.signup_id""".stripMargin,
+
+    "batch_session_window" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
 
     "batch_sessionize" ->
       """WITH o AS (

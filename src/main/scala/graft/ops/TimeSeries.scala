@@ -33,6 +33,27 @@ object TimeSeries {
       .select(col(key), col("day"), coalesce(col("_n"), lit(0L)).as("n"))
   }
 
+  /** ENGINE-NATIVE sessionization: `session_window` in a batch
+    * aggregation — the third form beside the gaps-and-islands
+    * [[sessionize]] (lag + running sum) and the streaming
+    * `flatMapGroupsWithState` sessionizer, and the one where Catalyst
+    * owns the merge logic (sort-based session aggregation per key;
+    * windows merge while events arrive within `gap`, end = last event
+    * + gap, end-exclusive — an event at exactly last+gap opens a new
+    * session, the same `>= gap` boundary the other two forms use).
+    * Exposing all three matters: the native form is the least code and
+    * plans the best, the islands form composes into arbitrary SQL, the
+    * stateful form handles streaming timeouts — an engine user needs
+    * to know they agree, and the shared oracle proves it. */
+  def sessionWindowAgg(df: DataFrame, key: String, ts: String, value: String,
+      gapMinutes: Int): DataFrame = {
+    df.groupBy(col(key), session_window(col(ts), s"$gapMinutes minutes").as("_sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(value).cast("decimal(18,2)")).cast("double").as("sum_v"))
+      .select(col(key), col("_sw.start").as("session_start"),
+        col("_sw.end").as("session_end"), col("n_events"), col("sum_v"))
+  }
+
   /** OHLC resample — the finance-canonical downsample (open/high/low/
     * close per key per time bucket), which is also the right lossy
     * compaction for ANY metric stream (first/last preserve direction,
