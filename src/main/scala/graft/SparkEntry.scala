@@ -768,6 +768,37 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // DQ — the checksum primitive IN ACTION: diff the orders table
+    // against a deterministically tampered copy (order 7's total bumped
+    // one cent). The corrupted row's bucket(s) must flag — one or two
+    // red (the new fingerprint may land in a different bucket, moving a
+    // count), the rest green, at every SF. This is the replication-
+    // verification round trip: both sides' checksums meet on the bucket
+    // key and compare (n, s1, s2).
+    "dq_checksum_diff" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val cols = (d: org.apache.spark.sql.DataFrame) =>
+        Seq(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice") * 100))
+      val tampered = o.withColumn("o_totalprice",
+        when(col("o_orderkey") === 7, col("o_totalprice") + 0.01)
+          .otherwise(col("o_totalprice")))
+      val a = graft.ops.DataQuality.checksumBuckets(o, cols(o), buckets = 16)
+        .select(col("bucket"), col("n").as("n_src"), col("s1").as("s1_src"),
+          col("s2").as("s2_src"))
+      val b = graft.ops.DataQuality.checksumBuckets(tampered, cols(tampered), buckets = 16)
+        .select(col("bucket"), col("n").as("n_dst"), col("s1").as("s1_dst"),
+          col("s2").as("s2_dst"))
+      a.join(b, Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+          coalesce(col("n_src"), lit(0L)).as("n_src"),
+          coalesce(col("n_dst"), lit(0L)).as("n_dst"),
+          (coalesce(col("n_src"), lit(-1L)) === coalesce(col("n_dst"), lit(-2L)) &&
+            coalesce(col("s1_src"), lit(-1L)) === coalesce(col("s1_dst"), lit(-2L)) &&
+            coalesce(col("s2_src"), lit(-1L)) === coalesce(col("s2_dst"), lit(-2L)))
+            .as("bucket_matches"))
+        .orderBy("bucket")
+    }),
+
     // X4 — context-window chunking: 64-token windows, 16-token overlap
     // (training-sequence prep; narrow explode, no shuffle).
     "x4_chunk_tokens" -> ((s, dir) => {
@@ -3695,6 +3726,39 @@ object SparkEntry {
         |  CAST((coalesce(n_d, 0) * 1000000) // n - exp_ppm AS BIGINT) AS dev_ppm
         |FROM exp LEFT JOIN cnt ON exp.digit = cnt.digit, tot
         |ORDER BY digit""".stripMargin,
+
+    "dq_checksum_diff" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS k, o_custkey AS c,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS t FROM orders),
+        |dst AS (
+        |  SELECT o_orderkey AS k, o_custkey AS c,
+        |    CAST(round((CASE WHEN o_orderkey = 7 THEN o_totalprice + 0.01
+        |                     ELSE o_totalprice END) * 100) AS BIGINT) AS t
+        |  FROM orders),
+        |fs AS (SELECT (( (k % 1000000007) * 1000003 % 1000000007
+        |             + (c % 1000000007) * 31000110 % 1000000007
+        |             + (t % 1000000007) * 961003427 % 1000000007
+        |             ) % 1000000007) AS fp FROM src),
+        |fd AS (SELECT (( (k % 1000000007) * 1000003 % 1000000007
+        |             + (c % 1000000007) * 31000110 % 1000000007
+        |             + (t % 1000000007) * 961003427 % 1000000007
+        |             ) % 1000000007) AS fp FROM dst),
+        |cs AS (SELECT CAST(fp % 16 AS BIGINT) AS bucket, count(*) AS n,
+        |         CAST(sum(CAST(fp AS HUGEINT)) % 1000000007 AS BIGINT) AS s1,
+        |         CAST(sum(CAST(fp AS HUGEINT) * fp) % 1000000007 AS BIGINT) AS s2
+        |       FROM fs GROUP BY 1),
+        |cd AS (SELECT CAST(fp % 16 AS BIGINT) AS bucket, count(*) AS n,
+        |         CAST(sum(CAST(fp AS HUGEINT)) % 1000000007 AS BIGINT) AS s1,
+        |         CAST(sum(CAST(fp AS HUGEINT) * fp) % 1000000007 AS BIGINT) AS s2
+        |       FROM fd GROUP BY 1)
+        |SELECT coalesce(cs.bucket, cd.bucket) AS bucket,
+        |  coalesce(cs.n, 0) AS n_src, coalesce(cd.n, 0) AS n_dst,
+        |  (coalesce(cs.n, -1) = coalesce(cd.n, -2)
+        |   AND coalesce(cs.s1, -1) = coalesce(cd.s1, -2)
+        |   AND coalesce(cs.s2, -1) = coalesce(cd.s2, -2)) AS bucket_matches
+        |FROM cs FULL OUTER JOIN cd ON cs.bucket = cd.bucket
+        |ORDER BY bucket""".stripMargin,
 
     // multipliers: m0=1000003, m_{i+1}=(m_i*31+17) mod 1e9+7 — the same
     // chain checksumBuckets derives; fp reduces every term mod p before
