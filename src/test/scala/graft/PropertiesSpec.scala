@@ -260,4 +260,35 @@ object PropertiesSpec extends Properties("graft") {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
       Prop(fast == brute) :| s"pct=$pct fast=${fast.size} brute=${brute.size}"
     }
+
+  // The Mann–Whitney rank-sum identity vs the DEFINITION: AUC is the
+  // probability a random positive outranks a random negative (ties ½).
+  // The grouped rank-sum must equal the O(n²) pair count exactly, in
+  // integer micros, for every random labeled sample — this is the
+  // cross-check that the tie-averaging arithmetic is right, not just
+  // self-consistent.
+  private val scoredGen: Gen[List[(Boolean, Long)]] = for {
+    n <- Gen.choose(4, 60)
+    rows <- Gen.listOfN(n, for {
+      y <- Gen.oneOf(true, false)
+      s <- Gen.choose(0L, 12L) // small range forces heavy ties
+    } yield (y, s))
+  } yield rows
+
+  property("rocAuc rank-sum == pairwise-comparison definition (ties = 1/2)") =
+    forAll(scoredGen) { rows =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val r = graft.ops.Eval.rocAuc(rows.toDF("y", "s"), col("y"), col("s")).collect()(0)
+      val pos = rows.filter(_._1).map(_._2)
+      val neg = rows.filterNot(_._1).map(_._2)
+      if (pos.isEmpty || neg.isEmpty) Prop(r.isNullAt(2))
+      else {
+        val favorable2 = (for (p <- pos; q <- neg) yield
+          if (p > q) 2L else if (p == q) 1L else 0L).sum
+        val expect = (BigInt(favorable2) * 1000000 /
+          (BigInt(pos.size) * neg.size * 2)).toLong
+        Prop(r.getLong(2) == expect) :| s"got ${r.getLong(2)} want $expect"
+      }
+    }
 }
