@@ -2788,6 +2788,25 @@ object SparkEntry {
         .orderBy("user_id", "session_start_us")
     }),
 
+    // Streaming — engine-NATIVE session_window aggregation (append +
+    // watermark): the zero-custom-code sessionizer beside the
+    // flatMapGroupsWithState timeout form. Gate keeps sessions BOTH
+    // cuts agree are closed: not the user's final session, and ending
+    // clear of the terminal 40-minute watermark band (10-min delay +
+    // 30-min gap) where emission depends on micro-batch boundaries.
+    "stream_session_window" -> ((s, dir) => {
+      val out = graft.streaming.Streams.sessionWindowStream(s, dir)
+      val ev = Tables.events(s, dir)
+      val lastTs = ev.groupBy("user_id")
+        .agg(max(unix_micros(col("ts"))).as("_max_us"))
+      val globalCut = ev.agg((max(unix_micros(col("ts"))) - 2400000000L).as("_cut"))
+      out.join(lastTs, "user_id").crossJoin(broadcast(globalCut))
+        .filter(col("session_end_us") - lit(1800000000L) =!= col("_max_us") &&
+          col("session_end_us") <= col("_cut"))
+        .select("user_id", "session_start_us", "session_end_us", "n_events")
+        .orderBy("user_id", "session_start_us")
+    }),
+
     // Streaming — transformWithState (Spark 4 arbitrary-state API):
     // per-(user, event type) running counts in a per-key MapState on
     // RocksDB; final counts equal the batch GROUP BY.
@@ -4187,6 +4206,32 @@ object SparkEntry {
     "stream_tws_type_counts" ->
       """SELECT user_id, event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "stream_session_window" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o),
+        |g AS (
+        |  SELECT user_id, min(ts_us) AS session_start_us,
+        |    max(ts_us) + 1800000000 AS session_end_us,
+        |    count(*) AS n_events, max(ts_us) AS last_us
+        |  FROM s GROUP BY user_id, sid),
+        |m AS (SELECT user_id, max(epoch_us(CAST(ts AS TIMESTAMP))) AS max_us
+        |      FROM events GROUP BY user_id),
+        |gm AS (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) - 2400000000 AS cut
+        |       FROM events)
+        |SELECT g.user_id, g.session_start_us, g.session_end_us, g.n_events
+        |FROM g JOIN m ON g.user_id = m.user_id, gm
+        |WHERE g.last_us <> m.max_us AND g.session_end_us <= gm.cut
+        |ORDER BY g.user_id, g.session_start_us""".stripMargin,
 
     "stream_session_timeout" ->
       """WITH o AS (

@@ -258,6 +258,32 @@ object Streams {
     * are force-emitted by the last batch's timeout sweep only if the
     * watermark passed them — so this demo emits CLOSED sessions, the
     * production-correct behavior for an unbounded stream. */
+  /** ENGINE-NATIVE streaming sessionization: `session_window` in a
+    * watermarked streaming aggregation (append mode) — the stateful
+    * sibling of [[graft.ops.TimeSeries.sessionWindowAgg]] and the
+    * zero-custom-code alternative to [[sessionizeWithTimeout]]'s
+    * flatMapGroupsWithState machinery. Emission is watermark-driven: a
+    * session row appears once its end (last event + gap) falls behind
+    * the watermark, so at AvailableNow drain end the NOT-yet-closed
+    * tail sessions are simply absent — the gate applies the same
+    * deterministic cuts on both engines (drop each user's final
+    * session AND anything ending inside the terminal watermark band)
+    * rather than guessing micro-batch boundaries. */
+  def sessionWindowStream(spark: SparkSession, sfDir: String,
+      gapMinutes: Int = 30): DataFrame = {
+    val ss = stateSession(spark, 8)
+    val agg = eventsStream(ss, sfDir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("_sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("_sw.start")).as("session_start_us"),
+        unix_micros(col("_sw.end")).as("session_end_us"),
+        col("n_events"))
+    drainToTable(spark, ss, agg, "stream_swin", "append")
+  }
+
   def sessionizeWithTimeout(spark: SparkSession, sfDir: String,
       gapMinutes: Int = 30): DataFrame = {
     val ss = stateSession(spark, 8)
