@@ -696,6 +696,24 @@ object SparkEntry {
         .orderBy("term")
     }),
 
+    // X4 — filter-cascade attrition census: the quality gate DECOMPOSED
+    // into ordered rules, each stage charged with the docs it killed
+    // among earlier survivors (the per-rule report a curation pipeline
+    // publishes; last stage's n_out = survivors).
+    "x4_filter_attrition" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val nt = TextAnalysis.tokenCount(col("text"))
+      val nc = length(col("text")).cast("long")
+      val stops = TextAnalysis.wordOccurrences(lower(col("text")), TextAnalysis.englishStopwords)
+      graft.ops.TextAnalysis.filterAttrition(d, Seq(
+          "min_tokens" -> (nt >= 5),
+          "max_tokens" -> (nt <= 100000),
+          "chars_per_token" -> (nc / greatest(nt, lit(1L))).between(1, 15),
+          "stopword_ratio" -> (stops * 50 >= nt),
+          "lang_known" -> (TextAnalysis.languageId(col("text")) =!= "unknown")))
+        .orderBy("stage")
+    }),
+
     // X4 — PMI collocation mining: adjacent-word pairs that co-occur
     // beyond chance, ranked by the exact association ratio (the inside
     // of the PMI log — monotone, so rankings agree without computing a
@@ -1785,9 +1803,11 @@ object SparkEntry {
     }),
 
     // Engine-NATIVE sessionization (session_window in batch GROUP BY)
-    // — must agree with batch_sessionize's gaps-and-islands form, and
-    // both share the same DuckDB twin: three sessionizer forms, one
-    // truth.
+    // — shares batch_sessionize's gaps-and-islands twin. The two forms
+    // differ ONLY at an exact diff == gap boundary (native merges,
+    // islands splits — measured, pinned in TimeSeriesSpec); the
+    // fixture's microsecond timestamps never land there, so the shared
+    // hash certifies agreement on every boundary this data has.
     "batch_session_window" -> ((s, dir) => {
       graft.ops.TimeSeries.sessionWindowAgg(
           Tables.events(s, dir), "user_id", "ts", "value", gapMinutes = 30)
@@ -3631,6 +3651,47 @@ object SparkEntry {
         |              // ((a+b)*(c+d)*(a+c)*(b+d)) AS BIGINT)
         |  END AS chi2_micros
         |FROM f ORDER BY term""".stripMargin,
+
+    "x4_filter_attrition" ->
+      """WITH t AS (
+        |  SELECT CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS nt,
+        |    CAST(length(text) AS BIGINT) AS nc,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      w -> w IN ('the','a','an','and','or','of','to','in','is','it',
+        |                 'that','for','on','with','as','at','by','from'))) AS BIGINT) AS st,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      w -> w IN ('the','and','of','to','is','in','that','it'))) AS s_en,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      w -> w IN ('der','die','das','und','ist','nicht','ein','zu'))) AS s_de,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      w -> w IN ('le','la','et','les','des','est','un','une'))) AS s_fr,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      w -> w IN ('el','los','las','es','un','una','que','y'))) AS s_es
+        |  FROM documents),
+        |ff AS (
+        |  SELECT CASE
+        |    WHEN NOT (nt >= 5) THEN 0
+        |    WHEN NOT (nt <= 100000) THEN 1
+        |    WHEN NOT ((nc / greatest(nt, 1)) BETWEEN 1 AND 15) THEN 2
+        |    WHEN NOT (st * 50 >= nt) THEN 3
+        |    WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 4
+        |    ELSE -1 END AS ff
+        |  FROM t),
+        |cnt AS (SELECT ff, count(*) AS n FROM ff GROUP BY 1),
+        |stages AS (SELECT * FROM (VALUES (0, 'min_tokens'), (1, 'max_tokens'),
+        |  (2, 'chars_per_token'), (3, 'stopword_ratio'), (4, 'lang_known'))
+        |  AS v(stage, rule)),
+        |j AS (SELECT stage, rule, coalesce(n, 0) AS n_killed
+        |      FROM stages LEFT JOIN cnt ON stage = ff),
+        |tot AS (SELECT count(*) AS t FROM t)
+        |SELECT CAST(stage AS BIGINT) AS stage, rule,
+        |  CAST(t - coalesce(sum(n_killed) OVER (ORDER BY stage
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_in,
+        |  CAST(n_killed AS BIGINT) AS n_killed,
+        |  CAST(t - coalesce(sum(n_killed) OVER (ORDER BY stage
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) - n_killed
+        |    AS BIGINT) AS n_out
+        |FROM j, tot ORDER BY stage""".stripMargin,
 
     "x4_pmi_bigrams" ->
       """WITH w AS (

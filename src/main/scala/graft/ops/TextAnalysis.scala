@@ -162,6 +162,45 @@ object TextAnalysis {
       .select(col(id), col("term"), col("tf"), col("df"), col("tfidf"), col("rk"))
   }
 
+  /** Filter-cascade ATTRITION census — the report every data-curation
+    * pipeline publishes: rules applied in order, each stage charged
+    * with the docs it killed among those surviving every earlier rule
+    * (so the numbers sum: n_total = Σ killed + survivors, and stage
+    * order matters exactly like it does in the real pipeline). ONE
+    * corpus scan: the first-failing-rule index is a CASE chain per
+    * row, then a hash agg at RULE cardinality. The last stage's
+    * `n_out` IS the survivor count. */
+  def filterAttrition(df: org.apache.spark.sql.DataFrame,
+      rules: Seq[(String, Column)]): org.apache.spark.sql.DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    // foldRight builds when(!r0, 0).otherwise(when(!r1, 1)…) —
+    // evaluation order IS application order, first failure wins; a
+    // NULL rule verdict counts as a failure (filters must be total)
+    val firstFail = rules.zipWithIndex.foldRight(lit(-1)) {
+      case (((_, cond), i), elseCol) =>
+        when(!coalesce(cond, lit(false)), lit(i)).otherwise(elseCol)
+    }
+    val counts = df.select(firstFail.as("_ff"))
+      .groupBy(col("_ff")).agg(count(lit(1)).as("_n"))
+    val spark = df.sparkSession
+    val stages = spark.createDataFrame(
+      rules.zipWithIndex.map { case ((name, _), i) => (i, name) })
+      .toDF("stage", "rule")
+    val joined = stages.join(counts, col("stage") === col("_ff"), "left")
+      .select(col("stage").cast("long").as("stage"), col("rule"),
+        coalesce(col("_n"), lit(0L)).as("n_killed"))
+    // n_in per stage = total − killed by earlier stages (window over a
+    // RULE-cardinality frame — never corpus rows)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("stage"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    joined
+      .withColumn("_before", coalesce(sum(col("n_killed")).over(w), lit(0L)))
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("_tot"))))
+      .select(col("stage"), col("rule"),
+        (col("_tot") - col("_before")).as("n_in"), col("n_killed"),
+        (col("_tot") - col("_before") - col("n_killed")).as("n_out"))
+  }
+
   /** PMI collocation mining: adjacent word pairs whose co-occurrence
     * beats chance — the classic corpus-linguistics detector for fixed
     * phrases ("new york"-style units a tokenizer or phrase-table pass

@@ -37,14 +37,19 @@ object TimeSeries {
     * aggregation — the third form beside the gaps-and-islands
     * [[sessionize]] (lag + running sum) and the streaming
     * `flatMapGroupsWithState` sessionizer, and the one where Catalyst
-    * owns the merge logic (sort-based session aggregation per key;
-    * windows merge while events arrive within `gap`, end = last event
-    * + gap, end-exclusive — an event at exactly last+gap opens a new
-    * session, the same `>= gap` boundary the other two forms use).
-    * Exposing all three matters: the native form is the least code and
-    * plans the best, the islands form composes into arbitrary SQL, the
-    * stateful form handles streaming timeouts — an engine user needs
-    * to know they agree, and the shared oracle proves it. */
+    * owns the merge logic (sort-based session aggregation per key,
+    * end = last event + gap).
+    *
+    * BOUNDARY CONVENTION — measured, not assumed: Spark's
+    * `session_window` MERGES an event arriving at exactly
+    * `last + gap` (diff ≤ gap extends the session), while
+    * [[sessionize]] and the streaming timeout form SPLIT there
+    * (diff ≥ gap opens a new session — the convention the reference
+    * oracles pin). The two agree on every stream with no exact-gap
+    * inter-event difference; `TimeSeriesSpec` pins the divergence on
+    * the one stream where they don't, and the equality property in
+    * `PropertiesSpec` proves agreement away from the boundary. An
+    * engine user switching forms needs exactly this sentence. */
   def sessionWindowAgg(df: DataFrame, key: String, ts: String, value: String,
       gapMinutes: Int): DataFrame = {
     df.groupBy(col(key), session_window(col(ts), s"$gapMinutes minutes").as("_sw"))

@@ -291,4 +291,47 @@ object PropertiesSpec extends Properties("graft") {
         Prop(r.getLong(2) == expect) :| s"got ${r.getLong(2)} want $expect"
       }
     }
+
+  // Three sessionizer forms, one truth: the engine-native
+  // session_window aggregation must equal the gaps-and-islands form on
+  // arbitrary event streams (the gate proves it on the fixture; this
+  // proves it on adversarial ones — bursts, exact-gap boundaries,
+  // single events).
+  private val eventsGen: Gen[List[(Long, Long)]] = for {
+    nUsers <- Gen.choose(1, 4)
+    events <- Gen.listOfN(24, for {
+      u <- Gen.choose(1L, nUsers.toLong)
+      // all offsets are multiples of 7, so every inter-event diff is
+      // too — and 30 is not, so the diff == gap boundary (where the
+      // native form merges but the islands form splits — the documented
+      // convention difference, pinned in TimeSeriesSpec) can never
+      // arise; equality must hold everywhere else
+      m <- Gen.choose(0L, 45L).map(_ * 7L)
+    } yield (u, m)).map(_.distinct)
+  } yield events
+
+  property("session_window == gaps-and-islands on adversarial streams") =
+    forAll(eventsGen) { evs0 =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val evs = evs0.zipWithIndex.map { case ((u, m), i) =>
+        (u, java.sql.Timestamp.valueOf(java.time.LocalDateTime
+          .of(2024, 1, 1, 0, 0).plusMinutes(m)), 1.0, i.toLong)
+      }
+      if (evs.isEmpty) Prop(true)
+      else {
+        val df = evs.toDF("user_id", "ts", "value", "event_id")
+        val native = graft.ops.TimeSeries.sessionWindowAgg(df, "user_id", "ts", "value", 30)
+          .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+          .orderBy("user_id", "session_start").collect().toSeq
+        val islands = graft.ops.TimeSeries.sessionize(df, "user_id", "ts", 1800L, Seq("event_id"))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(min(col("ts")).as("session_start"),
+            (max(col("ts")) + expr("INTERVAL 30 MINUTE")).as("session_end"),
+            count(lit(1)).as("n_events"))
+          .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+          .orderBy("user_id", "session_start").collect().toSeq
+        Prop(native == islands) :| s"native=${native.size} islands=${islands.size}"
+      }
+    }
 }

@@ -126,4 +126,22 @@ class TimeSeriesSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getDouble(5) == 41.0, "close ties to larger event id")
     assert(r.getLong(6) == 5)
   }
+
+  test("sessionWindowAgg vs sessionize: the exact-gap boundary convention difference, pinned") {
+    import java.sql.Timestamp
+    def ts(m: Long) = Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusMinutes(m).toString.replace("T", " ") + ":00")
+    // events at 0 and exactly 30 min (= the gap): measured engine
+    // behavior is MERGE (diff <= gap extends), while the islands form
+    // splits at diff >= gap — the one stream where the forms disagree
+    val df = Seq((1L, ts(0), 1.0, 1L), (1L, ts(30), 1.0, 2L))
+      .toDF("user_id", "ts", "value", "event_id")
+    val native = graft.ops.TimeSeries.sessionWindowAgg(df, "user_id", "ts", "value", 30)
+      .collect()
+    assert(native.length == 1 && native(0).getLong(3) == 2,
+      "session_window merges the exact-boundary event")
+    val islands = graft.ops.TimeSeries.sessionize(df, "user_id", "ts", 1800L, Seq("event_id"))
+      .select("session_id").distinct().count()
+    assert(islands == 2, "gaps-and-islands splits at diff >= gap")
+  }
 }
