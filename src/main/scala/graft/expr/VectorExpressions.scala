@@ -207,4 +207,59 @@ object VectorKernel {
     }
     bucket
   }
+
+  /** Achlioptas sparse-projection fold (the
+    * [[graft.ops.Similarity.projectArray]] contract): component j =
+    * Σᵢ sign(i,j)·v[i] with sign from ((i·7 + j·13) mod 6 → +1/−1/0),
+    * elements widened to DOUBLE, accumulation strictly sequential in i.
+    * Skipping the sign-0 terms is IEEE-identical to the HOF's
+    * `acc + v·0.0` (adding ±0.0 never changes a running double that
+    * ascends from +0.0), so kernel output is bit-equal to the
+    * interpreted form AND the oracle's list_sum — asserted in
+    * `SemDedupSpec` and certified by the unchanged gate hash. */
+  def projectSparse(v: ArrayData, outDim: Int): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Double](outDim)
+    var j = 0
+    while (j < outDim) {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val r = (i * 7 + j * 13) % 6
+        if (r == 0) acc += v.getFloat(i).toDouble
+        else if (r == 1) acc -= v.getFloat(i).toDouble
+        i += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Codegen'd Achlioptas sparse projection: array<float> → array<double>
+  * of `outDim` components in ONE pass over the input (the HOF form runs
+  * outDim interpreted folds per row). */
+case class SparseProjectF(child: Expression, outDim: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def inputTypes: Seq[org.apache.spark.sql.graft.TypeBridge.AbstractType] =
+    Seq(ArrayType(FloatType))
+
+  override protected def nullSafeEval(a: Any): Any =
+    VectorKernel.projectSparse(a.asInstanceOf[ArrayData], outDim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.expr.VectorKernel.projectSparse($a, $outDim)")
+
+  override protected def withNewChildInternal(newChild: Expression): SparseProjectF =
+    copy(child = newChild)
+
+  override def prettyName: String = "sparse_project_f"
+}
+
+object SparseProjectF {
+  def apply(v: Column, outDim: Int): Column =
+    ColumnBridge.toColumn(SparseProjectF(ColumnBridge.toExpr(v), outDim))
 }

@@ -217,8 +217,17 @@ object Similarity {
     * isometry constant (kept out so the gate compares pure sums). */
   /** The projection fold as an array column (component j = Σᵢ
     * sign(i,j)·v[i]) — the composable form [[sparseRandomProjection]]
-    * and [[projectedTopK]] share. */
-  def projectArray(vec: Column, outDim: Int): Column = {
+    * and [[projectedTopK]] share. Codegen'd kernel: one pass over the
+    * input per row for all outDim components, vs outDim interpreted
+    * HOF folds ([[projectArrayHof]] — kept as the bit-equality
+    * reference the spec asserts against). */
+  def projectArray(vec: Column, outDim: Int): Column =
+    graft.expr.SparseProjectF(vec, outDim)
+
+  /** The interpreted HOF twin of [[projectArray]] — the expression
+    * shape the DuckDB oracle mirrors; kernel bit-equality is asserted
+    * in `SemDedupSpec`. */
+  private[graft] def projectArrayHof(vec: Column, outDim: Int): Column = {
     val comps = (0 until outDim).map { j =>
       aggregate(
         sequence(lit(1), size(vec)), lit(0.0),

@@ -116,4 +116,25 @@ class SemDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(ratios.forall(r => r > 0.05 && r < 6.0),
       s"some pair's distance collapsed/exploded: ${ratios.min} .. ${ratios.max}")
   }
+
+  test("SparseProjectF kernel is bit-equal to the interpreted HOF fold") {
+    val vecs = (0 until 30).map { v =>
+      (v.toLong, (0 until 48).map { i =>
+        var h = v * 2654435761L + i * 0x9E3779B97F4A7C15L
+        h ^= h >>> 33
+        ((h % 997 + 997) % 997).toFloat / 100f - 5f
+      })
+    }
+    val df = vecs.toDF("vid", "emb")
+    val both = df.select(col("vid"),
+        graft.ops.Similarity.projectArray(col("emb"), 8).as("k"),
+        graft.ops.Similarity.projectArrayHof(col("emb"), 8).as("h"))
+      .collect()
+    both.foreach { r =>
+      val k = r.getSeq[Double](1)
+      val h = r.getSeq[Double](2)
+      assert(k.size == 8 && k == h,
+        s"vec ${r.getLong(0)}: kernel and HOF diverge\n$k\n$h")
+    }
+  }
 }
