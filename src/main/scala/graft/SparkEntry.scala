@@ -795,15 +795,16 @@ object SparkEntry {
     // key and compare (n, s1, s2).
     "dq_checksum_diff" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
-      val cols = (d: org.apache.spark.sql.DataFrame) =>
-        Seq(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice") * 100))
+      // unresolved Columns — they bind against whichever frame applies them
+      val cols = Seq(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100))
       val tampered = o.withColumn("o_totalprice",
         when(col("o_orderkey") === 7, col("o_totalprice") + 0.01)
           .otherwise(col("o_totalprice")))
-      val a = graft.ops.DataQuality.checksumBuckets(o, cols(o), buckets = 16)
+      val a = graft.ops.DataQuality.checksumBuckets(o, cols, buckets = 16)
         .select(col("bucket"), col("n").as("n_src"), col("s1").as("s1_src"),
           col("s2").as("s2_src"))
-      val b = graft.ops.DataQuality.checksumBuckets(tampered, cols(tampered), buckets = 16)
+      val b = graft.ops.DataQuality.checksumBuckets(tampered, cols, buckets = 16)
         .select(col("bucket"), col("n").as("n_dst"), col("s1").as("s1_dst"),
           col("s2").as("s2_dst"))
       a.join(b, Seq("bucket"), "full_outer")
@@ -2127,9 +2128,9 @@ object SparkEntry {
           """CAST(CASE CAST(substring(source, 4) AS INT) % 3
             |  WHEN 0 THEN 1.0 WHEN 1 THEN 0.5 ELSE 0.25 END AS DECIMAL(7,6))""".stripMargin))
       graft.ops.Mixing.interleaveBySource(d, "source", Seq(col("doc_id")), inv)
-        .orderBy(col("mix_pos"), col("source"), col("grp_rank"))
+        .orderBy(col("mix_pos_micro"), col("source"), col("grp_rank"))
         .limit(100)
-        .select(col("doc_id"), col("source"), col("grp_rank"), col("mix_pos"))
+        .select(col("doc_id"), col("source"), col("grp_rank"), col("mix_pos_micro"))
     }),
 
     // Greedy token-budget selection: fill a 10k-token training budget
@@ -2155,8 +2156,9 @@ object SparkEntry {
     // from corpus term ranks so the gate is engine-exact (integer-valued
     // decimals; a real model's floats would load the same way) — and the
     // op is the distributed apply: explode → broadcast join → one hash
-    // agg to doc grain. Weights are DECIMAL by contract: double sums
-    // would flap with partial-agg merge order at scale.
+    // agg to doc grain. Weights are quantized to BIGINT micros by
+    // contract: double sums would flap with partial-agg merge order at
+    // scale, and DECIMAL outputs hash engine-dependently in parquet.
     "x4_model_score" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val d = Tables.documents(s, dir)
@@ -4433,13 +4435,12 @@ object SparkEntry {
         |  FROM documents),
         |m AS (
         |  SELECT doc_id, source, grp_rank,
-        |    CAST(CAST(grp_rank AS DECIMAL(28,6)) *
-        |      CAST(CASE CAST(substring(source, 4) AS INT) % 3
-        |           WHEN 0 THEN 1.0 WHEN 1 THEN 0.5 ELSE 0.25 END AS DECIMAL(7,6))
-        |      AS DECIMAL(18,6)) AS mix_pos
+        |    CAST(grp_rank * (CASE CAST(substring(source, 4) AS INT) % 3
+        |           WHEN 0 THEN 1000000 WHEN 1 THEN 500000 ELSE 250000 END)
+        |      AS BIGINT) AS mix_pos_micro
         |  FROM r)
-        |SELECT doc_id, source, grp_rank, mix_pos
-        |FROM m ORDER BY mix_pos, source, grp_rank LIMIT 100""".stripMargin,
+        |SELECT doc_id, source, grp_rank, mix_pos_micro
+        |FROM m ORDER BY mix_pos_micro, source, grp_rank LIMIT 100""".stripMargin,
 
     "pack_budget_select" ->
       """WITH t AS (
@@ -4471,19 +4472,18 @@ object SparkEntry {
         |  GROUP BY term),
         |m AS (
         |  SELECT term,
-        |    CAST(CAST(1000 - row_number() OVER (ORDER BY cnt DESC, term)
-        |        AS DECIMAL(18,6)) * CAST(0.001 AS DECIMAL(7,6))
-        |      AS DECIMAL(18,6)) AS weight
+        |    CAST((1000 - row_number() OVER (ORDER BY cnt DESC, term)) * 1000
+        |      AS BIGINT) AS weight_micro
         |  FROM f
         |  QUALIFY row_number() OVER (ORDER BY cnt DESC, term) <= 40),
         |t AS (
         |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
         |  FROM documents),
         |h AS (
-        |  SELECT t.doc_id, count(*) AS n_hits, sum(m.weight) AS s
+        |  SELECT t.doc_id, count(*) AS n_hits, sum(m.weight_micro) AS s
         |  FROM t JOIN m USING (term) GROUP BY t.doc_id)
         |SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
-        |  CAST(coalesce(h.s, 0) AS DECIMAL(18,6)) AS score
+        |  CAST(coalesce(h.s, 0) AS BIGINT) AS score_micro
         |FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 

@@ -170,9 +170,9 @@ object DataQuality {
     * verdict to float rounding at bucket boundaries. Emits per digit:
     * observed count, observed ppm (trunc), expected ppm, and the
     * signed deviation — the reviewer's table. Non-positive values are
-    * excluded (they have no Benford digit) but counted in `n_total` is
-    * the caller's concern: `values` contract is positive integers
-    * (cents, counts). */
+    * silently excluded (they have no Benford digit); a caller that
+    * wants an excluded-row count must compute it separately. The value
+    * contract is positive integers (cents, counts). */
   def benfordAudit(df: DataFrame, value: org.apache.spark.sql.Column): DataFrame = {
     val v = value.cast("long")
     val digit = substring(v.cast("string"), 1, 1).cast("int")

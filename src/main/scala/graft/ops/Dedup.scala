@@ -255,6 +255,12 @@ object Dedup {
     * Output: (id_a, id_b, n_inter, n_union, jaccard_micros) for every
     * pair with Jaccard ≥ thresholdPct/100 — integer cells only
     * (floor-micros via integral div), engine-portable.
+    *
+    * Resource note: the result plan pins two doc-cardinality frames
+    * via eager `localCheckpoint` (see below). In a long-lived session
+    * that invokes this repeatedly, call `freeLocalCheckpoint(result)`
+    * once the result is consumed, or the pinned blocks accumulate in
+    * the block store until session teardown.
     */
   def prefixFilterJoin(df: DataFrame, id: String, text: String, k: Int,
       thresholdPct: Int): DataFrame = {

@@ -82,15 +82,20 @@ object Mixing {
 
   /** Weighted source interleaving by stride scheduling: item `rank` of a
     * source with inverse weight `inv_w` sits at virtual position
-    * `mix_pos = rank · inv_w`; sorting by (mix_pos, source, rank) yields
+    * `rank · inv_w`, carried as `mix_pos_micro = rank · inv_w · 10⁶` in
+    * BIGINT micro-units; sorting by (mix_pos_micro, source, rank) yields
     * the mixed stream — a source with inv_w 0.5 appears twice per unit,
     * one with 1.0 once. `invWeights` is a small (source, inv_w) table,
-    * broadcast; inv_w must be DECIMAL (exact products — double strides
-    * would tie-break on ulps and the mixed ORDER is the contract here).
-    * Sources missing from the table are dropped (mixture weight zero).
+    * broadcast; inv_w is quantized to micros before the product, so the
+    * stride arithmetic is pure integer (exact — double strides would
+    * tie-break on ulps and the mixed ORDER is the contract here; decimal
+    * outputs hash engine-dependently in parquet, hence micros). A
+    * micro-grained inv_w resolves ranks to ~9·10¹² before Long overflow,
+    * far past any per-source corpus extent. Sources missing from the
+    * table are dropped (mixture weight zero).
     *
     * Adds `grp_rank` (via [[groupwiseRank]] — no per-source single
-    * reducer) and `mix_pos`; the caller sorts/limits as needed (a
+    * reducer) and `mix_pos_micro`; the caller sorts/limits as needed (a
     * training pipeline feeds the sort straight into sequence packing's
     * range exchange). */
   def interleaveBySource(df: DataFrame, source: String, order: Seq[Column],
@@ -99,15 +104,9 @@ object Mixing {
     val ranked = groupwiseRank(df, source, order, numPartitions)
     ranked.join(
         broadcast(invWeights.select(col(source),
-          col(invCol).cast(DecimalType(18, 6)).as("_iw"))), Seq(source))
-      // mix_pos precision must stay <= 18: parquet stores such decimals
-      // as INT64, which every reader hashes identically; precision > 18
-      // becomes FIXED_LEN_BYTE_ARRAY where engines disagree on
-      // normalization. 18,6 holds ranks to 1e12 — far past any real
-      // per-source corpus extent.
-      .withColumn("mix_pos",
-        (col("grp_rank").cast(DecimalType(28, 6)) * col("_iw"))
-          .cast(DecimalType(18, 6)))
-      .drop("_iw")
+          (col(invCol).cast(DecimalType(18, 6)) * lit(1000000L))
+            .cast(LongType).as("_iw_micro"))), Seq(source))
+      .withColumn("mix_pos_micro", col("grp_rank") * col("_iw_micro"))
+      .drop("_iw_micro")
   }
 }

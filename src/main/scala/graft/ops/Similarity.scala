@@ -266,7 +266,14 @@ object Similarity {
     val c = proj(corpus, "cid").select(col("cid"), col(vec).as("_ce"),
       normSq(col(vec)).as("_nc"), col("_p").as("_cp"), normSqD(col("_p")).as("_ncp"))
     val short = c.join(broadcast(q), col("qid") =!= col("cid"))
-      .withColumn("_ps", cosineWithNorms(dotD(col("_qp"), col("_cp")), col("_nqp"), col("_ncp")))
+      // An all-zero projection (possible for a vector orthogonal to every
+      // sparse projection row) makes the proxy cosine 0/0 = NaN, and
+      // Spark sorts NaN LARGEST — such a row would hijack rank 1 of every
+      // shortlist. Pin degenerate projections to -2 (below any cosine) so
+      // they sort last instead.
+      .withColumn("_ps", when(col("_nqp") > 0 && col("_ncp") > 0,
+        cosineWithNorms(dotD(col("_qp"), col("_cp")), col("_nqp"), col("_ncp")))
+        .otherwise(lit(-2.0)))
     val w1 = Window.partitionBy(col("qid")).orderBy(col("_ps").desc, col("cid").asc)
     val shortlist = short.withColumn("_srk", row_number().over(w1))
       .filter(col("_srk") <= k * shortlistFactor)

@@ -556,30 +556,30 @@ object TextAnalysis {
     * broadcast (classifier vocabularies are ~10⁵–10⁶ terms — trivially
     * broadcastable next to a 100 TB corpus).
     *
-    * Determinism contract: weights must be DECIMAL (the gate uses
-    * decimal(18,6)) — summing double weights would make the result
-    * depend on partial-agg merge order at scale. Docs matching no model
-    * term score exactly `bias`. Output: (id, n_hits, score). */
+    * Determinism contract: weights are quantized to micro-units
+    * (w · 10⁶ as BIGINT, exact for ≤6-fractional-digit weights — a real
+    * classifier's float weights load the same way after rounding) and
+    * summed as integers — double sums would depend on partial-agg merge
+    * order at scale, and decimal outputs hash engine-dependently in
+    * parquet. Long overflow needs |score| > 9·10¹² units — unreachable
+    * for a |w|-bounded per-hit classifier. Docs matching no model term
+    * score exactly `bias`. Output: (id, n_hits, score_micro). */
   def linearScore(df: org.apache.spark.sql.DataFrame, id: String, text: String,
       model: org.apache.spark.sql.DataFrame, term: String = "term",
       weight: String = "weight",
       bias: java.math.BigDecimal = java.math.BigDecimal.ZERO)
       : org.apache.spark.sql.DataFrame = {
+    val biasMicro = bias.movePointRight(6).longValueExact()
     val toks = df.select(col(id), explode(tokens(lower(col(text)))).as("_t"))
     val hits = toks.join(
         broadcast(model.select(col(term).as("_t"),
-          col(weight).cast("decimal(18,6)").as("_w"))), Seq("_t"))
+          (col(weight).cast("decimal(18,6)") * lit(1000000L))
+            .cast("long").as("_w"))), Seq("_t"))
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_hits"), sum(col("_w")).as("_s"))
-    // score precision must stay <= 18: parquet keeps such decimals as
-    // INT64 (portable, hash-stable across readers); precision > 18 goes
-    // FIXED_LEN_BYTE_ARRAY where normalization is engine-specific. A
-    // classifier score is |w|-bounded per hit, so 12 integer digits is
-    // ample headroom.
     df.select(col(id)).join(hits, Seq(id), "left")
       .select(col(id), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        (coalesce(col("_s"), lit(java.math.BigDecimal.ZERO).cast("decimal(18,6)"))
-          + lit(bias)).cast("decimal(18,6)").as("score"))
+        (coalesce(col("_s"), lit(0L)) + lit(biasMicro)).as("score_micro"))
   }
 }
 

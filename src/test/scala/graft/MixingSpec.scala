@@ -31,7 +31,7 @@ class MixingSpec extends AnyFunSuite with SparkTestBase {
       (11 to 18).map(i => (i.toLong, "b"))).toDF("id", "src")
     val inv = Seq(("a", "1.0"), ("b", "0.5")).toDF("src", "inv_w")
     val got = graft.ops.Mixing.interleaveBySource(docs, "src", Seq(col("id")), inv)
-      .orderBy(col("mix_pos"), col("src"), col("grp_rank"))
+      .orderBy(col("mix_pos_micro"), col("src"), col("grp_rank"))
       .select("src", "grp_rank").as[(String, Long)].collect().toSeq
     // positions: b1@0.5, a1@1.0, b2@1.0 (tie → a first), b3@1.5, a2@2.0,
     // b4@2.0, b5@2.5, a3@3.0, b6@3.0, b7@3.5, a4@4.0, b8@4.0

@@ -26,7 +26,20 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkTestBase {
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"query $name runs and returns rows on sf0.001") {
-      assert(fn(spark, sfDir).count() > 0, s"$name returned 0 rows")
+      val df = fn(spark, sfDir)
+      // Portability contract: no DECIMAL-typed output columns, ever. The
+      // driver's hash normalization disagrees with DuckDB's on DECIMAL
+      // parquet cells regardless of precision or physical encoding
+      // (r4/r5: the board's only two DECIMAL outputs were its only two
+      // hash failures while cell-level comparison passed). Exact
+      // fractional gates must emit BIGINT micro-units on both sides.
+      val decimalCols = df.schema.fields.collect {
+        case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] => f.name
+      }
+      assert(decimalCols.isEmpty,
+        s"$name emits DECIMAL columns ${decimalCols.mkString(",")} — " +
+          "emit BIGINT micros instead (see driver-hash-decimal-outputs)")
+      assert(df.count() > 0, s"$name returned 0 rows")
     }
   }
 

@@ -110,10 +110,10 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
       .select(col("term"), col("weight").cast("decimal(18,6)").as("weight"))
     val got = TextAnalysis.linearScore(docs, "doc_id", "text", model,
         bias = new java.math.BigDecimal("0.100000"))
-      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDecimal(2).toPlainString))).toMap
-    assert(got(1L) == ((3L, "0.850000")))  // 2·0.5 − 0.25 + 0.1
-    assert(got(2L) == ((0L, "0.100000")))
-    assert(got(3L) == ((1L, "-0.150000")))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((3L, 850000L)))  // 2·0.5 − 0.25 + 0.1, in micros
+    assert(got(2L) == ((0L, 100000L)))
+    assert(got(3L) == ((1L, -150000L)))
   }
 
   test("bm25TopTerms: rare beats common at equal tf; long docs are damped") {
