@@ -951,6 +951,33 @@ object SparkEntry {
       Multimodal.decodePgmStats(recs).toDF().orderBy("doc_id")
     }),
 
+    // X5 — REAL COMPRESSED-codec decode: GIF89a with genuine LZW
+    // entropy coding (variable-width codes packed LSB-first across
+    // 255-byte sub-blocks, dictionary growth, late-change width bumps).
+    // Raster formula (i/7 + id) mod 16 gives run-length structure, so
+    // the gate also asserts the code stream is genuinely SMALLER than
+    // the raster (lzw_saves_bytes, pinned TRUE in the oracle) — proof
+    // the compression path ran, not a passthrough. The oracle recomputes
+    // every pixel statistic from the generating formula: a one-bit slip
+    // anywhere in the encoder or decoder scrambles the raster and flips
+    // the hash.
+    "x5_decode_gif" -> ((s, dir) => {
+      import s.implicits._
+      val recs = Tables.documents(s, dir).filter(col("doc_id") < 500)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = (10 + id % 20).toInt; val h = (8 + id % 9).toInt
+          Multimodal.MediaRecord(id,
+            Multimodal.encodeGif(w, h, 4, i => ((i / 7 + id) % 16).toInt),
+            "image/gif", "xx")
+        }
+      Multimodal.decodeGifStats(recs).toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("n_colors"),
+          col("n_pixels"), col("idx_sum"), col("idx_min"), col("idx_max"),
+          (col("n_code_bytes") < col("n_pixels")).as("lzw_saves_bytes"))
+        .orderBy("doc_id")
+    }),
+
     // Running totals + lag over an ordered per-customer window.
     "window_running_total" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -3951,6 +3978,23 @@ object SparkEntry {
         |  CAST(list_min(px) AS INTEGER) AS px_min,
         |  CAST(list_max(px) AS INTEGER) AS px_max
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    "x5_decode_gif" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    CAST(10 + doc_id % 20 AS INTEGER) AS width,
+        |    CAST(8 + doc_id % 9 AS INTEGER) AS height,
+        |    list_transform(generate_series(0,
+        |        (10 + doc_id % 20) * (8 + doc_id % 9) - 1),
+        |      i -> (i // 7 + doc_id) % 16) AS px
+        |  FROM documents WHERE doc_id < 500)
+        |SELECT doc_id, width, height, CAST(16 AS INTEGER) AS n_colors,
+        |  CAST(len(px) AS BIGINT) AS n_pixels,
+        |  CAST(list_sum(px) AS BIGINT) AS idx_sum,
+        |  CAST(list_min(px) AS INTEGER) AS idx_min,
+        |  CAST(list_max(px) AS INTEGER) AS idx_max,
+        |  TRUE AS lzw_saves_bytes
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     "x5_frame_sample" ->
       """WITH d AS (

@@ -94,4 +94,50 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     val e = intercept[IllegalArgumentException](decodeWav(3L, nonPcm))
     assert(e.getMessage.contains("not PCM"))
   }
+
+  test("GIF decode: hand-assembled LZW byte vector (decoder pinned independently of the encoder)") {
+    // 3×1 image, pixels [1,1,2], 4-color palette, min code size 2:
+    // codes CLEAR(4) 1 1 2 EOI(5) at 3 bits LSB-first = bytes 4C 54.
+    // Hand-packed so a shared encoder/decoder bug cannot cancel out.
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val handmade =
+      "GIF89a".getBytes("US-ASCII") ++
+      b(3, 0, 1, 0, 0x91, 0, 0) ++                 // LSD: 3×1, GCT 4 entries
+      b(0, 0, 0, 0x55, 0x55, 0x55, 0xAA, 0xAA, 0xAA, 0xFF, 0xFF, 0xFF) ++
+      b(0x2C, 0, 0, 0, 0, 3, 0, 1, 0, 0) ++        // image descriptor
+      b(2) ++                                      // LZW min code size
+      b(2, 0x4C, 0x54) ++                          // one 2-byte sub-block
+      b(0, 0x3B)                                   // terminator, trailer
+    val f = decodeGifFrame(1L, handmade)
+    assert(f.width == 3 && f.height == 1 && f.nColors == 4)
+    assert(f.raster.toSeq == Seq(1, 1, 2))
+    // the encoder must produce these exact bytes from the same raster —
+    // pinning BOTH directions to the spec's bit layout
+    assert(java.util.Arrays.equals(encodeGif(3, 1, 2, Seq(1, 1, 2)(_)), handmade))
+    // an extension block (e.g. graphic control) before the image
+    // descriptor must be skipped, not parsed as raster
+    val withExt =
+      handmade.take(25) ++ b(0x21, 0xF9, 4, 0, 0, 0, 0, 0) ++ handmade.drop(25)
+    assert(decodeGifFrame(2L, withExt).raster.toSeq == Seq(1, 1, 2))
+  }
+
+  test("GIF round trip: random rasters survive encode→decode bit-exactly, incl. the 12-bit dictionary cap") {
+    val rng = new scala.util.Random(77)
+    // small repetitive raster (dictionary stays narrow) …
+    val small = Array.fill(500)(rng.nextInt(4))
+    val smallGif = encodeGif(50, 10, 2, small(_))
+    assert(decodeGifFrame(1L, smallGif).raster.toSeq == small.toSeq)
+    // … and a large NOISE raster at 8 bpp: 40k random bytes push the
+    // dictionary past 4096 entries, forcing the mid-stream CLEAR +
+    // width reset path on both sides
+    val noise = Array.fill(200 * 200)(rng.nextInt(256))
+    val noiseGif = encodeGif(200, 200, 8, noise(_))
+    assert(decodeGifFrame(2L, noiseGif).raster.toSeq == noise.toSeq)
+    // run-length data must genuinely compress; noise must not explode
+    val runs = Array.tabulate(10000)(i => (i / 50) % 16)
+    val runsGif = encodeGif(100, 100, 4, runs(_))
+    assert(decodeGif(3L, runsGif).n_code_bytes < 10000L / 3)
+    // non-GIF payload rejected loudly
+    intercept[IllegalArgumentException](decodeGifFrame(9L, "JFIF".getBytes))
+  }
 }
