@@ -37,7 +37,7 @@ object Streams {
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val landing = stageLandingDir(sfDir)
-    val physical = spark.read.parquet(landing).schema("ts").dataType
+    val physical = probedTsType(spark, landing)
     val stream = spark.readStream.schema(eventsSchemaWithTs(physical)).parquet(landing)
     physical match {
       case LongType => // nanos read as long: integral division, no double
@@ -48,10 +48,24 @@ object Streams {
     }
   }
 
+  /** Harness scratch root: tmpfs when the host has one (`/dev/shm`) —
+    * streaming offset/commit WALs, state checkpoints, and the staged
+    * landing file are all small, short-lived, and fsync-heavy, exactly
+    * what a memory filesystem is for; a disk-backed java.io.tmpdir pays
+    * real fsync latency per micro-batch. Falls back to tmpdir when no
+    * tmpfs exists. (Production clusters point checkpoints at durable
+    * storage instead — this root backs only the local drain harness.) */
+  private lazy val scratchRoot: String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+      shm.toString
+    else sys.props("java.io.tmpdir")
+  }
+
   private def stageLandingDir(sfDir: String): String = {
     import java.nio.file._
     val src = Paths.get(sfDir, "events.parquet")
-    val dst = Paths.get(sys.props("java.io.tmpdir"),
+    val dst = Paths.get(scratchRoot,
       s"graft_events_landing_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}")
     Files.createDirectories(dst)
     val tgt = dst.resolve("events.parquet")
@@ -63,6 +77,20 @@ object Streams {
       Files.size(tgt) != Files.size(src)
     if (stale) Files.copy(src, tgt, StandardCopyOption.REPLACE_EXISTING)
     dst.toString
+  }
+
+  /** The footer-probe result per landing file, cached by (path, size,
+    * mtime) so the 12-query stream family pays ONE probe per fixture
+    * generation instead of one per eventsStream call (join queries call
+    * twice). The mtime/size key makes a regenerated fixture a cache
+    * MISS — the probe stays an input, never an assumption. */
+  private val probeCache = new java.util.concurrent.ConcurrentHashMap[String, DataType]()
+  private def probedTsType(spark: SparkSession, landing: String): DataType = {
+    import java.nio.file._
+    val f = Paths.get(landing, "events.parquet")
+    val key = s"$landing|${Files.size(f)}|${Files.getLastModifiedTime(f).toMillis}"
+    probeCache.computeIfAbsent(key,
+      _ => spark.read.parquet(landing).schema("ts").dataType)
   }
 
   /** A per-query CHILD session (shared SparkContext, isolated SQL conf)
@@ -94,15 +122,30 @@ object Streams {
   private def drainToTable(spark: SparkSession, ss: SparkSession,
       df: DataFrame, prefix: String, mode: String): DataFrame = {
     val name = s"${prefix}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    // checkpoint on the tmpfs scratch root (offset/commit WALs + state
+    // files fsync per micro-batch — on tmpfs that's memory speed),
+    // deleted after the drain like a temp checkpoint would be
+    val ckpt = java.nio.file.Paths.get(scratchRoot, s"graft_ckpt_$name")
     val q = df.writeStream
       .format("memory")
       .queryName(name)
+      .option("checkpointLocation", ckpt.toString)
       .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     val drained = ss.table(name)
-    spark.createDataFrame(drained.rdd, drained.schema)
+    val out = spark.createDataFrame(drained.rdd, drained.schema)
+    deleteRecursively(ckpt)
+    out
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file._
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+    }
   }
 
   /** Tumbling-window aggregation (1h) over the event stream, drained with
@@ -111,7 +154,7 @@ object Streams {
     * state stays bounded by (windows × event types). Decimal sum for
     * cross-engine exactness. */
   def tumblingHourlyAgg(spark: SparkSession, sfDir: String): DataFrame = {
-    val ss = stateSession(spark, 8)
+    val ss = stateSession(spark, 4)
     val agg = eventsStream(ss, sfDir)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -130,7 +173,7 @@ object Streams {
     * stream is consumed once and Spark expands each row to its covering
     * windows internally. */
   def hoppingTwoHourAgg(spark: SparkSession, sfDir: String): DataFrame = {
-    val ss = stateSession(spark, 8)
+    val ss = stateSession(spark, 4)
     val agg = eventsStream(ss, sfDir)
       .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -149,7 +192,7 @@ object Streams {
     * broadcast-able dim or a bucketed table; a mutable dim is the CDC
     * path ([[incrementalLoad]] + re-read per batch), not this. */
   def staticEnrichAgg(spark: SparkSession, sfDir: String): DataFrame = {
-    val ss = stateSession(spark, 8)
+    val ss = stateSession(spark, 4)
     val dim = graft.io.Tables.customer(ss, sfDir)
       .select(col("c_custkey"), col("c_mktsegment"))
     val agg = eventsStream(ss, sfDir)
@@ -198,7 +241,7 @@ object Streams {
     * compacted to the final state per key after the AvailableNow drain
     * (each micro-batch emits a state snapshot; the last one wins). */
   def statefulUserState(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
-    val ss = stateSession(spark, 8)
+    val ss = stateSession(spark, 4)
     import ss.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val typed = eventsStream(ss, sfDir)
@@ -271,7 +314,7 @@ object Streams {
     * rather than guessing micro-batch boundaries. */
   def sessionWindowStream(spark: SparkSession, sfDir: String,
       gapMinutes: Int = 30): DataFrame = {
-    val ss = stateSession(spark, 8)
+    val ss = stateSession(spark, 4)
     val agg = eventsStream(ss, sfDir)
       .withWatermark("ts", "10 minutes")
       .groupBy(col("user_id"),
@@ -286,7 +329,7 @@ object Streams {
 
   def sessionizeWithTimeout(spark: SparkSession, sfDir: String,
       gapMinutes: Int = 30): DataFrame = {
-    val ss = stateSession(spark, 8)
+    val ss = stateSession(spark, 4)
     import ss.implicits._
     val typed = eventsStream(ss, sfDir)
       .withWatermark("ts", "10 minutes")
@@ -377,7 +420,7 @@ object Streams {
   /** Drain the events stream through the TypeCountProcessor and return
     * the final per-(user, event_type) counts. */
   def typeCountsTws(spark: SparkSession, sfDir: String): DataFrame = {
-    val ss = stateSession(spark, 8)
+    val ss = stateSession(spark, 4)
     import ss.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     // RocksDB only on the child session — the caller's session keeps its
@@ -404,7 +447,7 @@ object Streams {
     * windows are the stateful-streaming op the events table exists to
     * exercise (SURVEY §2.3). Same AvailableNow drain. */
   def sessionizeByGap(spark: SparkSession, sfDir: String): DataFrame = {
-    val ss = stateSession(spark, 8)
+    val ss = stateSession(spark, 4)
     val agg = eventsStream(ss, sfDir)
       .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
@@ -425,7 +468,7 @@ object Streams {
     * `user_id < maxUser` keeps the gate's output bounded; the operator
     * itself is unbounded. */
   def clickViewJoin(spark: SparkSession, sfDir: String, maxUser: Long = 200L): DataFrame = {
-    val ss = stateSession(spark, 8)
+    val ss = stateSession(spark, 4)
     val ev = eventsStream(ss, sfDir).filter(col("user_id") < maxUser)
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
@@ -452,7 +495,7 @@ object Streams {
     * minus a safety margin — for those, matched and null-extended rows
     * alike are fully decided. The batch oracle applies the same cut. */
   def clickViewLeftJoin(spark: SparkSession, sfDir: String, maxUser: Long = 200L): DataFrame = {
-    val ss = stateSession(spark, 8)
+    val ss = stateSession(spark, 4)
     val ev = eventsStream(ss, sfDir).filter(col("user_id") < maxUser)
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
@@ -496,7 +539,7 @@ object Streams {
     * matched rows (both sides must clear their cut) in the drained
     * stream and the batch oracle. */
   def clickViewFullJoin(spark: SparkSession, sfDir: String, maxUser: Long = 200L): DataFrame = {
-    val ss = stateSession(spark, 8)
+    val ss = stateSession(spark, 4)
     val ev = eventsStream(ss, sfDir).filter(col("user_id") < maxUser)
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id").as("_cu"), col("ts").as("click_ts"))
@@ -533,7 +576,7 @@ object Streams {
     * after dedup are the observable (and the oracle: the fixture's
     * event_id is unique, so counts equal the batch GROUP BY). */
   def dedupCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    val ss = stateSession(spark, 8)
+    val ss = stateSession(spark, 4)
     val agg = eventsStream(ss, sfDir)
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
