@@ -2387,6 +2387,28 @@ object SparkEntry {
       m.toDF("merge_rank", "a", "b", "n")
     }),
 
+    // X4v adversarial — the LOOP-CHAINING case the natural fixture never
+    // hits (its 5 argmaxes are all single-char pairs, so rounds are
+    // independent): a constructed corpus where round 3 merges round 1's
+    // OUTPUT ((xy, z) — a multi-char symbol on the left), round 4 merges
+    // TWO round-2 outputs ((aa, aa)), and round 2 itself is the
+    // self-overlap run ('aaaa' under (a,a) → [aa, aa] — leftmost-greedy
+    // non-overlap drops the middle adjacency). Counts are engineered so
+    // the argmax order forces the chain: (x,y)=160, (a,a)=90, (xy,z)=60,
+    // (aa,aa)=30, (p,q)=20. The oracle replays the same 5 rounds in SQL
+    // over the same constructed vocabulary — certifying the trainer's
+    // round-over-round state, not five independent censuses.
+    "x4_bpe_merges_chained" -> ((s, dir) => {
+      val corpus = Tables.documents(s, dir).filter(col("doc_id") < 210)
+        .select(when(col("doc_id") < 100, lit("xy"))
+          .when(col("doc_id") < 160, lit("xyz"))
+          .when(col("doc_id") < 190, lit("aaaa"))
+          .otherwise(lit("pq")).as("text"))
+      val m = TextAnalysis.trainBpeMerges(corpus, "text", 5)
+      import s.implicits._
+      m.toDF("merge_rank", "a", "b", "n")
+    }),
+
     // X4v composed — the census the GPT-2 pipeline actually trains on:
     // pretokenize (letter/digit/punct runs) feeds the vocabulary, so
     // punctuation stops gluing to words before BPE ever sees a pair.
@@ -4736,6 +4758,18 @@ object SparkEntry {
         |    SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
         |    FROM documents WHERE doc_id < 200)
         |  WHERE word <> '' GROUP BY word""".stripMargin),
+
+    // The loop-chaining adversarial twin: same 5-round replay over the
+    // CONSTRUCTED vocabulary whose argmax order forces merges of merged
+    // symbols (rounds 3 and 4 consume rounds 1 and 2's outputs).
+    "x4_bpe_merges_chained" -> bpeMergesOracle(
+      """SELECT word, count(*) AS cnt FROM (
+        |    SELECT CASE WHEN doc_id < 100 THEN 'xy'
+        |                WHEN doc_id < 160 THEN 'xyz'
+        |                WHEN doc_id < 190 THEN 'aaaa'
+        |                ELSE 'pq' END AS word
+        |    FROM documents WHERE doc_id < 210)
+        |  GROUP BY word""".stripMargin),
 
     // Same 5-round twin over the PRETOKEN vocabulary (the GPT-2 shape).
     "x4_bpe_merges_pretoken" -> bpeMergesOracle(

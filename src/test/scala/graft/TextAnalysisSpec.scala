@@ -164,6 +164,22 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(h == Seq("x", "ab"))
   }
 
+  test("BPE loop chaining: rounds 3/4 consume rounds 1/2's outputs (the case the natural fixture never hits)") {
+    // engineered counts force the argmax chain: (x,y)=160 → (a,a)=90
+    // (self-overlap: 'aaaa' has 3 adjacencies but merges to [aa,aa]) →
+    // (xy,z)=60 (left side is round 1's OUTPUT) → (aa,aa)=30 (both
+    // sides are round 2's outputs) → (p,q)=20
+    val words = Seq.fill(100)("xy") ++ Seq.fill(60)("xyz") ++
+      Seq.fill(30)("aaaa") ++ Seq.fill(20)("pq")
+    val docs = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val merges = TextAnalysis.trainBpeMerges(docs, "text", 5)
+    assert(merges == Seq((1, "x", "y", 160L), (2, "a", "a", 90L),
+      (3, "xy", "z", 60L), (4, "aa", "aa", 30L), (5, "p", "q", 20L)))
+    // a 6th round has no pairs left — the trainer stops, not crashes
+    assert(TextAnalysis.trainBpeMerges(docs, "text", 6) == merges)
+  }
+
   test("pretokenized BPE: punctuation splits off, merges never cross the boundary") {
     // raw whitespace words keep 'end.' as one census word, so the word
     // trainer can merge 'd' with '.'; the pretokenizer separates the
