@@ -2783,6 +2783,20 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Time series — exact-integer EWMA over per-user inter-arrival gaps
+    // with lull flagging (cadence anomaly screen): the leaky integrator
+    // e = (gap + 7e)/8 in truncating BIGINT micros, seeded with the
+    // first gap, flag when a gap exceeds 4x the smoothed state BEFORE
+    // the update. One hash agg + per-key sorted fold, no windows; the
+    // oracle replays the recurrence as a recursive CTE (depth = the
+    // deepest user's event count, ~90 at every SF).
+    "ts_ewma_gaps" -> ((s, dir) => {
+      graft.ops.TimeSeries.ewmaGaps(
+          Tables.events(s, dir).filter(col("user_id") < 40),
+          "user_id", "ts", "event_id", kDenom = 8, burstFactor = 4)
+        .orderBy("user_id", "event_id")
+    }),
+
     // Time series — sliding-window agg in batch mode (2h window, 1h
     // slide): each row replicates into 2 windows map-side, then a plain
     // hash aggregate; the exact expression Structured Streaming plans.
@@ -5078,6 +5092,27 @@ object SparkEntry {
         |             ELSE pv + (nv - pv) * (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
         |        END, 6) AS value_interp
         |FROM f ORDER BY event_id""".stripMargin,
+
+    "ts_ewma_gaps" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE user_id < 40),
+        |r AS (
+        |  SELECT b.user_id, b.event_id, b.t, b.rn,
+        |    b.t - a.t AS gap_micros, b.t - a.t AS ewma_micros,
+        |    FALSE AS is_lull
+        |  FROM e a JOIN e b ON a.user_id = b.user_id AND a.rn = 1 AND b.rn = 2
+        |  UNION ALL
+        |  SELECT n.user_id, n.event_id, n.t, n.rn,
+        |    n.t - r.t,
+        |    (n.t - r.t + 7 * r.ewma_micros) // 8,
+        |    n.t - r.t > 4 * r.ewma_micros
+        |  FROM r JOIN e n ON n.user_id = r.user_id AND n.rn = r.rn + 1)
+        |SELECT user_id, event_id,
+        |  CAST(gap_micros AS BIGINT) AS gap_micros,
+        |  CAST(ewma_micros AS BIGINT) AS ewma_micros, is_lull
+        |FROM r ORDER BY user_id, event_id""".stripMargin,
 
     "window_sliding_batch" ->
       """SELECT ws AS window_start, event_type, count(*) AS n,

@@ -133,6 +133,63 @@ object TimeSeries {
     * (no prior observation) stay NULL by definition. The tie-break
     * column makes the fill deterministic when one timestamp carries
     * both a null and a non-null row. */
+  /** Exact-integer EWMA over per-key inter-arrival gaps, with burst/lull
+    * flagging — the cadence-anomaly screen an event-pipeline health
+    * check runs ("this source went quiet", "this device is flooding").
+    *
+    * Integer-only by design: gaps are BIGINT micros, and the smoother is
+    * the leaky integrator `e_i = (gap_i + (k−1)·e_{i−1}) div k` (α=1/k,
+    * truncating div — documented; for non-negative gaps trunc == floor),
+    * seeded `e_1 = gap_1`. No doubles anywhere, so the result is
+    * engine-exact at any partial-agg order and oracles cell-for-cell —
+    * the same reason the micros convention exists everywhere else in
+    * this repo. `is_lull` flags `gap_i > burstFactor · e_{i−1}` (the
+    * smoothed state BEFORE the update — an anomaly is judged against
+    * history, not against itself); the first gap is never flagged.
+    *
+    * Scale shape: ONE hash agg (collect per key) + a per-key sorted
+    * fold + explode — no windows, no self-joins; per-key memory is the
+    * key's own event count (entity-bounded, the same contract as the
+    * funnel fold). Keys with a single event emit nothing (no gap
+    * exists). Ordering inside a key is (ts, id) — deterministic under
+    * timestamp ties. Emits (key, id, gap_micros, ewma_micros, is_lull),
+    * one row per event from each key's second onward. */
+  def ewmaGaps(df: DataFrame, key: String, ts: String, id: String,
+      kDenom: Int = 8, burstFactor: Int = 4): DataFrame = {
+    require(kDenom >= 2 && burstFactor >= 1, "kDenom >= 2, burstFactor >= 1")
+    val sorted = array_sort(collect_list(struct(
+      unix_micros(col(ts)).as("t"), col(id).as("id"))))
+    val folded = df.groupBy(col(key))
+      .agg(sorted.as("_ev"))
+      .filter(size(col("_ev")) >= 2)
+      .select(col(key), aggregate(
+        slice(col("_ev"), lit(2), size(col("_ev")) - 1),
+        struct(
+          element_at(col("_ev"), 1).getField("t").as("prev_t"),
+          lit(-1L).as("e"),
+          array().cast(
+            "array<struct<id:long,gap:long,ewma:long,lull:boolean>>").as("out")),
+        (acc, x) => {
+          val gap = x.getField("t") - acc.getField("prev_t")
+          val first = acc.getField("e") < 0
+          val flag = !first && gap > lit(burstFactor.toLong) * acc.getField("e")
+          val e = when(first, gap).otherwise(
+            call_function("div",
+              gap + lit(kDenom - 1L) * acc.getField("e"), lit(kDenom.toLong)))
+          struct(
+            x.getField("t").as("prev_t"),
+            e.as("e"),
+            concat(acc.getField("out"), array(struct(
+              x.getField("id").as("id"), gap.as("gap"),
+              e.as("ewma"), flag.as("lull")))).as("out"))
+        },
+        acc => acc.getField("out")).as("_out"))
+    folded.select(col(key), explode(col("_out")).as("_r"))
+      .select(col(key), col("_r.id").as(id),
+        col("_r.gap").as("gap_micros"), col("_r.ewma").as("ewma_micros"),
+        col("_r.lull").as("is_lull"))
+  }
+
   def forwardFill(df: DataFrame, key: String, ts: String, value: String,
       tieBreak: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -144,4 +144,32 @@ class TimeSeriesSpec extends AnyFunSuite with SparkTestBase {
       .select("session_id").distinct().count()
     assert(islands == 2, "gaps-and-islands splits at diff >= gap")
   }
+
+  test("ewmaGaps: hand-computed leaky-integrator recurrence, strict flag boundary, single-event key silent") {
+    def ts(us: Long) = new Timestamp(us / 1000) // micros → Timestamp(ms)
+    // key 1 at t = 0, 10ms, 20ms, 61ms, 63ms (gaps 10k/10k/41k/2k µs):
+    //   e1 = 10000 (seed, never flagged)
+    //   gap 10000:  10000 > 4·10000? no;  e = (10000+7·10000)/8 = 10000
+    //   gap 41000:  41000 > 4·10000 = 40000? YES (strict >);
+    //               e = (41000+70000)/8 = 13875
+    //   gap  2000:  2000 > 4·13875? no;   e = (2000+7·13875)/8 = 12390 (trunc)
+    val rows = Seq((1L, ts(0), 1L), (1L, ts(10000), 2L), (1L, ts(20000), 3L),
+      (1L, ts(61000), 4L), (1L, ts(63000), 5L),
+      (9L, ts(500), 99L)) // single event → no gap → no output
+      .toDF("user_id", "ts", "event_id")
+    val got = TimeSeries.ewmaGaps(rows, "user_id", "ts", "event_id")
+      .orderBy("event_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      (2L, 10000L, 10000L, false),
+      (3L, 10000L, 10000L, false),
+      (4L, 41000L, 13875L, true),
+      (5L, 2000L, 12390L, false)))
+    // exactly-4x gap is NOT flagged (strict >): 0,10ms,50ms → gap 40000
+    val boundary = Seq((1L, ts(0), 1L), (1L, ts(10000), 2L), (1L, ts(50000), 3L))
+      .toDF("user_id", "ts", "event_id")
+    val b = TimeSeries.ewmaGaps(boundary, "user_id", "ts", "event_id")
+      .filter(col("event_id") === 3L).collect().head
+    assert(b.getLong(2) == 40000L && !b.getBoolean(4))
+  }
 }
