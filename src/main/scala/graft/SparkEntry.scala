@@ -978,6 +978,55 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // X5 — second COMPRESSED codec, this one DEFLATE-based: PNG, with
+    // the chunk walk + CRC verification and all five scanline filters
+    // (None/Sub/Up/Average/Paeth) implemented in ops/Multimodal and the
+    // entropy coding through the JDK's zlib. The encoder cycles the
+    // filter type per row, so every filter path is load-bearing in this
+    // gate; the 8-bit formula raster has run structure, and
+    // deflate_saves_bytes (pinned TRUE) proves compression genuinely
+    // ran. One wrong predictor anywhere scrambles every later row's
+    // reconstruction and flips the hash.
+    "x5_decode_png" -> ((s, dir) => {
+      import s.implicits._
+      val recs = Tables.documents(s, dir).filter(col("doc_id") < 500)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = (24 + id % 21).toInt; val h = (16 + id % 9).toInt
+          Multimodal.MediaRecord(id,
+            Multimodal.encodePng(w, h, i => ((i / 7 + id) % 256).toInt),
+            "image/png", "xx")
+        }
+      Multimodal.decodePngStats(recs).toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("bit_depth"),
+          col("n_pixels"), col("px_sum"), col("px_min"), col("px_max"),
+          (col("n_idat_bytes") < col("n_pixels")).as("deflate_saves_bytes"))
+        .orderBy("doc_id")
+    }),
+
+    // X5 — GZIP ingest round trip (RFC 1952, the wrapper 100 TB text
+    // corpora actually arrive in): compress each doc's bytes, run the
+    // batched gunzip boundary, and certify the round trip against the
+    // UNCOMPRESSED truth the oracle computes directly (octet length +
+    // md5 of the original text). compresses_or_short pins that every
+    // doc ≥ 200 bytes genuinely shrinks — the fixture's shortest docs
+    // (~50 B) sit under gzip's ~20 B header+trailer floor, so a blanket
+    // "always smaller" pin would be dishonest, and was red until scoped.
+    "x5_gunzip_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val raw = text.getBytes("UTF-8")
+          val gz = Multimodal.gzipCompress(raw)
+          val back = Multimodal.gunzip(gz)
+          (id, back, gz.length < back.length || back.length < 200)
+        }.toDF("doc_id", "raw", "compresses_or_short")
+        .select(col("doc_id"), length(col("raw")).cast("long").as("n_bytes"),
+          md5(col("raw")).as("content_md5"), col("compresses_or_short"))
+        .orderBy("doc_id")
+    }),
+
     // Running totals + lag over an ordered per-customer window.
     "window_running_total" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -2260,6 +2309,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // X3x — line-level boilerplate removal (the CCNet/RefinedWeb
+    // pre-dedup pass): lines recurring across ≥5 distinct docs of the
+    // same SOURCE are dropped from every doc, no canonical copy. The
+    // fixture corpus has no newlines, so the lined text is constructed
+    // by formula in BOTH engines — a per-source header in every doc, a
+    // promo line in every third, two body substrings, and a footer
+    // keyed doc_id%7 whose per-source recurrence crosses the threshold
+    // only at sf0.1 (~36 docs/source) and stays below it at the small
+    // SFs (~3.5) — the oracle replays the census, so the gate
+    // exercises the threshold from BOTH sides across SFs.
+    "x3_boilerplate_scrub" -> ((s, dir) => {
+      val lined = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        concat_ws("\n",
+          concat(lit("hdr "), col("source")),
+          substring(col("text"), 1, 60),
+          when(col("doc_id") % 3 === 0, concat(lit("promo "), col("source"))),
+          substring(col("text"), 61, 60),
+          concat(lit("foot "), (col("doc_id") % 7).cast("string"))).as("text"))
+      Dedup.boilerplateScrub(lined, "doc_id", "text", "source", minDocs = 5)
+        .select(col("doc_id"), col("source"), col("n_lines"), col("n_removed"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
     // X4 — Gopher-style repetition stats (integer ingredients of the
     // top-word-fraction / duplicate-bigram-fraction quality rules).
     "x4_repetition_stats" -> ((s, dir) => {
@@ -2504,6 +2577,38 @@ object SparkEntry {
       TextAnalysis.bm25TopTerms(
           Tables.documents(s, dir).filter(col("doc_id") < 50), "doc_id", "text", 3)
         .orderBy("doc_id", "rk")
+    }),
+
+    // X4 — the retrieval index UNDER BM25, built as data: per-term
+    // df/cf plus top-8 impact-ordered postings ("doc:tf doc:tf …", tf
+    // desc then doc id). The per-term rollup runs through the bounded
+    // top-k Aggregator (O(k) buffer, map-side partials), so a stopword
+    // term never collects its full posting list anywhere — the oracle's
+    // window-form replay certifies the aggregator's ordering and
+    // tie-breaks cell-for-cell.
+    "x4_inverted_index" -> ((s, dir) => {
+      TextAnalysis.invertedIndex(Tables.documents(s, dir), "doc_id", "text",
+          minDf = 5, maxPostings = 8)
+        .orderBy("term")
+    }),
+
+    // X4 — URL parsing to the domain-quota grain (per-domain doc and
+    // host counts, the keys crawl curation caps on). URLs are planted
+    // by formula; Spark REALLY parses them (native parse_url +
+    // regexp_extract registered-domain heuristic) while the oracle
+    // computes host/domain straight from the formula — a parser bug
+    // anywhere shows as a count shift.
+    "x4_url_domains" -> ((s, dir) => {
+      val urls = Tables.documents(s, dir).select(col("doc_id"),
+        concat(lit("https://w"), (col("doc_id") % 37).cast("string"),
+          lit(".example"), (col("doc_id") % 3).cast("string"),
+          lit(".com/p/"), col("doc_id").cast("string"),
+          lit("?ref="), col("source")).as("url"))
+      urls.select(col("doc_id"), TextAnalysis.urlHost(col("url")).as("host"))
+        .withColumn("domain", TextAnalysis.registeredDomain(col("host")))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"), countDistinct(col("host")).as("n_hosts"))
+        .orderBy("domain")
     }),
 
     // X2 — per-label centroid sums in exact fixed point (1e-6 floor →
@@ -2797,6 +2902,22 @@ object SparkEntry {
         .orderBy("user_id", "event_id")
     }),
 
+    // Holt linear-trend smoothing (the EWMA family + a trend state) on
+    // per-user value series in BIGINT micros. The trend state goes
+    // negative on decaying series, so the division sign convention is
+    // part of the contract: both engines TRUNCATE toward zero (Spark
+    // div == DuckDB //, measured on negatives). The oracle is a
+    // recursive-CTE replay of both recurrences, so the hash certifies
+    // every level/trend/forecast cell across ~90 chained steps per key.
+    "ts_holt_trend" -> ((s, dir) => {
+      graft.ops.TimeSeries.holtTrend(
+          Tables.events(s, dir).filter(col("user_id") < 40),
+          "user_id", "ts", "event_id",
+          expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)"),
+          kLevel = 4, kTrend = 8)
+        .orderBy("user_id", "event_id")
+    }),
+
     // Time series — sliding-window agg in batch mode (2h window, 1h
     // slide): each row replicates into 2 windows map-side, then a plain
     // hash aggregate; the exact expression Structured Streaming plans.
@@ -2974,6 +3095,45 @@ object SparkEntry {
         .orderBy("o_custkey")
     }),
 
+    // Count-Min sketch (ops/Sketch): ONE capped hash agg builds the
+    // 4×1024-cell summary, then every live event_type plus three absent
+    // probes is point-estimated. The oracle recomputes exact counts;
+    // est_ge_true is the provable one-sided CMS guarantee, and
+    // est_eq_true is measured-then-pinned for THIS key set (5 live keys
+    // spread over 1024 columns × 4 independent hash rows — verified
+    // collision-free at all three SFs before pinning; the spec owns the
+    // forced-collision behavior).
+    "sketch_countmin" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val sk = graft.ops.Sketch.countMin(ev, "event_type", depth = 4, width = 1024)
+      val probes = ev.select(col("event_type").as("key")).distinct()
+        .unionByName(Seq("ghost_a", "ghost_b", "ghost_c").toDF("key"))
+      val truth = ev.groupBy(col("event_type").as("key")).agg(count(lit(1)).as("_n"))
+      graft.ops.Sketch.cmsEstimate(sk, probes, "key", depth = 4, width = 1024)
+        .join(truth, Seq("key"), "left")
+        .select(col("key"), coalesce(col("_n"), lit(0L)).as("n_true"),
+          (col("est") >= coalesce(col("_n"), lit(0L))).as("est_ge_true"),
+          (col("est") === coalesce(col("_n"), lit(0L))).as("est_eq_true"))
+        .orderBy("key")
+    }),
+
+    // Spark's native HLL++ sketch (approx_count_distinct — THE way to
+    // count distincts at 100 TB, where exact count-distinct shuffles
+    // every key) verdict-gated against the exact count: the oracle
+    // recomputes n_exact, and est_within_10pct (default rsd 5%) is
+    // measured at all three SFs before pinning. The exact distinct here
+    // is the verdict harness, not the recommended plan.
+    "sketch_hll_distinct" -> ((s, dir) => {
+      Tables.events(s, dir).groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"),
+          approx_count_distinct(col("user_id")).as("_est"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("_est") - col("n_exact")) * 10 <= col("n_exact"))
+            .as("est_within_10pct"))
+        .orderBy("event_type")
+    }),
+
     // Storage layout — bucketed co-located join: both sides written
     // bucketed+sorted on the join key, so the sort-merge join (and the
     // downstream agg on the same key) run with NO shuffle exchange — the
@@ -3062,6 +3222,27 @@ object SparkEntry {
         explode(array(expr("(doc_id * 31 + 7) % n_nodes"),
           expr("(doc_id * 17 + 3) % n_nodes"))).as("dst"))
       graft.ops.Graph.pagerank(edges, "src", "dst", docs, "doc_id", iters = 5)
+        .orderBy("node")
+    }),
+
+    // Exact triangle census (degree-oriented "forward" algorithm) over
+    // a planted graph: ring + 2-chord makes every {i, i+1, i+2} a
+    // triangle by construction, and a multiplicative hash chord adds
+    // irregular cross-links. The oracle regenerates the identical edge
+    // list and counts canonical a<b<c corner triples, so the hash
+    // certifies canonicalization (self-loops, both directions, dup
+    // edges), the orientation's total order, the wedge join, and the
+    // closing semi-join in one number per node.
+    "graph_triangles" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val cnt = docs.agg(count(lit(1)).as("n_nodes"))
+      val edges = docs.crossJoin(broadcast(cnt)).select(
+        col("doc_id").as("src"),
+        explode(array(
+          expr("(doc_id + 1) % n_nodes"),
+          expr("(doc_id + 2) % n_nodes"),
+          expr("(doc_id * 31 + 7) % n_nodes"))).as("dst"))
+      graft.ops.Graph.triangleCounts(edges, "src", "dst", docs, "doc_id")
         .orderBy("node")
     }),
 
@@ -4032,6 +4213,28 @@ object SparkEntry {
         |  TRUE AS lzw_saves_bytes
         |FROM g ORDER BY doc_id""".stripMargin,
 
+    "x5_decode_png" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    CAST(24 + doc_id % 21 AS INTEGER) AS width,
+        |    CAST(16 + doc_id % 9 AS INTEGER) AS height,
+        |    list_transform(generate_series(0,
+        |        (24 + doc_id % 21) * (16 + doc_id % 9) - 1),
+        |      i -> (i // 7 + doc_id) % 256) AS px
+        |  FROM documents WHERE doc_id < 500)
+        |SELECT doc_id, width, height, CAST(8 AS INTEGER) AS bit_depth,
+        |  CAST(len(px) AS BIGINT) AS n_pixels,
+        |  CAST(list_sum(px) AS BIGINT) AS px_sum,
+        |  CAST(list_min(px) AS INTEGER) AS px_min,
+        |  CAST(list_max(px) AS INTEGER) AS px_max,
+        |  TRUE AS deflate_saves_bytes
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "x5_gunzip_roundtrip" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_md5, TRUE AS compresses_or_short
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "x5_frame_sample" ->
       """WITH d AS (
         |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n,
@@ -4673,6 +4876,39 @@ object SparkEntry {
         |FROM b LEFT JOIN kept USING (doc_id)
         |ORDER BY b.doc_id""".stripMargin,
 
+    "x3_boilerplate_scrub" ->
+      """WITH lined AS MATERIALIZED (
+        |  SELECT doc_id, source,
+        |    concat_ws(chr(10),
+        |      'hdr ' || source,
+        |      substr(text, 1, 60),
+        |      CASE WHEN doc_id % 3 = 0 THEN 'promo ' || source END,
+        |      substr(text, 61, 60),
+        |      'foot ' || CAST(doc_id % 7 AS VARCHAR)) AS text
+        |  FROM documents),
+        |l AS MATERIALIZED (
+        |  SELECT doc_id, source, pos, ls[pos + 1] AS line
+        |  FROM (SELECT doc_id, source, ls, unnest(range(0, len(ls))) AS pos
+        |        FROM (SELECT doc_id, source,
+        |                string_split(text, chr(10)) AS ls FROM lined))),
+        |boiler AS (
+        |  SELECT source, line FROM l GROUP BY source, line
+        |  HAVING count(DISTINCT doc_id) >= 5),
+        |kept AS (
+        |  SELECT l.doc_id, count(*) AS nkept,
+        |         string_agg(l.line, chr(10) ORDER BY l.pos) AS clean_text
+        |  FROM l
+        |  WHERE NOT EXISTS (SELECT 1 FROM boiler b
+        |                    WHERE b.source = l.source AND b.line = l.line)
+        |  GROUP BY l.doc_id)
+        |SELECT lined.doc_id, lined.source,
+        |  CAST(len(string_split(lined.text, chr(10))) AS BIGINT) AS n_lines,
+        |  CAST(len(string_split(lined.text, chr(10)))
+        |       - coalesce(kept.nkept, 0) AS BIGINT) AS n_removed,
+        |  md5(coalesce(kept.clean_text, '')) AS clean_md5
+        |FROM lined LEFT JOIN kept USING (doc_id)
+        |ORDER BY lined.doc_id""".stripMargin,
+
     "x4_repetition_stats" ->
       """WITH toks AS (
         |  SELECT doc_id,
@@ -4954,6 +5190,43 @@ object SparkEntry {
         |SELECT doc_id, term, tf, df, dl, bm25, rk FROM ranked
         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
 
+    // Window-form replay of the bounded-top-k aggregator path: same
+    // impact order (tf desc, doc id asc), same pruning cut.
+    "x4_inverted_index" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS MATERIALIZED (
+        |  SELECT term, doc_id, count(*) AS tf FROM tok
+        |  WHERE term <> '' GROUP BY 1, 2),
+        |top AS (
+        |  SELECT term, doc_id, tf FROM tf
+        |  QUALIFY row_number() OVER (PARTITION BY term
+        |                             ORDER BY tf DESC, doc_id) <= 8),
+        |post AS (
+        |  SELECT term, string_agg(doc_id || ':' || tf, ' '
+        |                          ORDER BY tf DESC, doc_id) AS postings
+        |  FROM top GROUP BY term),
+        |stats AS (
+        |  SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+        |  FROM tf GROUP BY term)
+        |SELECT s.term, CAST(s.df AS BIGINT) AS df, s.cf, p.postings
+        |FROM stats s JOIN post p USING (term)
+        |WHERE s.df >= 5 ORDER BY s.term""".stripMargin,
+
+    // The oracle computes host/domain straight from the URL-planting
+    // formula — Spark's parse_url must agree or counts shift.
+    "x4_url_domains" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'w' || CAST(doc_id % 37 AS VARCHAR) || '.example' ||
+        |      CAST(doc_id % 3 AS VARCHAR) || '.com' AS host,
+        |    'example' || CAST(doc_id % 3 AS VARCHAR) || '.com' AS domain
+        |  FROM documents)
+        |SELECT domain, count(*) AS n_docs,
+        |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+        |FROM u GROUP BY domain ORDER BY domain""".stripMargin,
+
     "x4_tfidf_top_terms" ->
       """WITH words AS (
         |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
@@ -5113,6 +5386,31 @@ object SparkEntry {
         |  CAST(gap_micros AS BIGINT) AS gap_micros,
         |  CAST(ewma_micros AS BIGINT) AS ewma_micros, is_lull
         |FROM r ORDER BY user_id, event_id""".stripMargin,
+
+    // Recursive replay of BOTH Holt recurrences; DuckDB's `//`
+    // truncates toward zero on every sign (measured: -7 // 2 = -3),
+    // exactly like Spark's `div` — the negative-trend cells certify it.
+    "ts_holt_trend" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS x,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE user_id < 40),
+        |r AS (
+        |  SELECT user_id, event_id, x, rn,
+        |    x AS l, CAST(0 AS BIGINT) AS b, CAST(NULL AS BIGINT) AS f
+        |  FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.user_id, n.event_id, n.x, n.rn,
+        |    (n.x + 3 * (r.l + r.b)) // 4,
+        |    (((n.x + 3 * (r.l + r.b)) // 4 - r.l) + 7 * r.b) // 8,
+        |    r.l + r.b
+        |  FROM r JOIN e n ON n.user_id = r.user_id AND n.rn = r.rn + 1)
+        |SELECT user_id, event_id, x AS value_micro,
+        |  CAST(f AS BIGINT) AS forecast_micro,
+        |  CAST(l AS BIGINT) AS level_micro,
+        |  CAST(b AS BIGINT) AS trend_micro
+        |FROM r WHERE rn >= 2 ORDER BY user_id, event_id""".stripMargin,
 
     "window_sliding_batch" ->
       """SELECT ws AS window_start, event_type, count(*) AS n,
@@ -5680,6 +5978,28 @@ object SparkEntry {
         |HAVING count(*) * 1000 > (SELECT count(*) FROM orders) * 1
         |ORDER BY o_custkey""".stripMargin,
 
+    // Verdict-row gate (sketch estimates are not SQL-expressible): the
+    // oracle recomputes every exact count; est_ge_true is the provable
+    // one-sided CMS guarantee, est_eq_true measured-then-pinned for
+    // this collision-free key set (see the query comment).
+    "sketch_countmin" ->
+      """WITH t AS (
+        |  SELECT event_type AS key, count(*) AS n_true
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT key, n_true FROM t
+        |  UNION ALL SELECT 'ghost_a', 0
+        |  UNION ALL SELECT 'ghost_b', 0
+        |  UNION ALL SELECT 'ghost_c', 0)
+        |SELECT key, CAST(n_true AS BIGINT) AS n_true,
+        |  TRUE AS est_ge_true, TRUE AS est_eq_true
+        |FROM p ORDER BY key""".stripMargin,
+
+    "sketch_hll_distinct" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |  TRUE AS est_within_10pct
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Same semantics as the plain join — the bucketing is pure layout.
     "storage_bucketed_join" ->
       """SELECT o_orderstatus, count(*) AS n_lines,
@@ -5777,6 +6097,31 @@ object SparkEntry {
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "graph_pagerank" -> pagerankOracle(5),
+
+    "graph_triangles" ->
+      """WITH nn AS (SELECT count(*) AS n_nodes FROM documents),
+        |raw AS (
+        |  SELECT doc_id AS s, (doc_id + 1) % n_nodes AS d FROM documents, nn
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id + 2) % n_nodes FROM documents, nn
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 31 + 7) % n_nodes FROM documents, nn),
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+        |  FROM raw WHERE s <> d),
+        |tri AS MATERIALIZED (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1
+        |  JOIN e e2 ON e1.b = e2.a
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |corners AS (
+        |  SELECT x AS node FROM tri
+        |  UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri),
+        |c AS (SELECT node, count(*) AS t FROM corners GROUP BY node)
+        |SELECT d.doc_id AS node, CAST(coalesce(c.t, 0) AS BIGINT) AS n_triangles
+        |FROM documents d LEFT JOIN c ON c.node = d.doc_id
+        |ORDER BY node""".stripMargin,
 
     // Per-lang NLL terciles: the lm/nll CTEs are the x4_lm_nll twin
     // (lmCtes — identical ln expression shape, so the one double op is

@@ -605,6 +605,56 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** X3x — line-level boilerplate removal, the CCNet/RefinedWeb pass
+    * that runs BEFORE document-level dedup: a line recurring across
+    * ≥ `minDocs` distinct documents of the same `group` (site / source /
+    * domain — nav menus, cookie banners, footers) is dropped from EVERY
+    * document. Unlike [[scrubDuplicatedSpans]] no canonical copy
+    * survives: recurring boilerplate is template noise, not content
+    * someone wrote once (the deliberate semantic difference between the
+    * two mutation ops).
+    *
+    * Lines are the exact '\n'-separated segments; matching is
+    * whole-line and grouped — the same footer on two different sites is
+    * NOT boilerplate unless each site independently crosses the
+    * threshold, which is what keeps a 100 TB census shardable by
+    * (group, line) without a corpus-global hot key.
+    *
+    * Scale shape: the census shuffles (group, xxhash64(line)) pairs —
+    * line text never moves for counting (hash-keyed like the span
+    * census; the astronomically-unlikely 64-bit collision merges two
+    * lines' counts). One left-anti join of the line stream against the
+    * boilerplate key set, then a groupBy(id) sorted-struct reassembly;
+    * skew is bounded by the longest document, and the only wide ops are
+    * the census agg, the anti-join, and the reassembly. Output:
+    * (id, group, n_lines, n_removed, clean_text) with original line
+    * order preserved; an all-boilerplate document yields ''. */
+  def boilerplateScrub(df: DataFrame, id: String, text: String,
+      group: String, minDocs: Int): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = df.select(col(id), col(group),
+        posexplode(split(col(text), "\n")).as(Seq("_pos", "_line")))
+      .withColumn("_k", xxhash64(col("_line")))
+    val boiler = lines.groupBy(col(group), col("_k"))
+      .agg(countDistinct(col(id)).as("_docs"))
+      .filter(col("_docs") >= minDocs)
+      .select(col(group), col("_k"))
+    // no broadcast hint: per-group boilerplate cardinality is unbounded
+    // at corpus scale; AQE broadcasts when the census comes out small
+    val kept = lines.join(boiler, Seq(group, "_k"), "left_anti")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("_nkept"),
+        concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("_pos"), col("_line")))),
+            x => x.getField("_line"))).as("clean_text"))
+    df.select(col(id), col(group),
+        size(split(col(text), "\n")).cast("long").as("n_lines"))
+      .join(kept, Seq(id), "left")
+      .select(col(id), col(group), col("n_lines"),
+        (col("n_lines") - coalesce(col("_nkept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Full near-dup dedup: from candidate pairs, keep one doc per
     * component (the min id) plus every singleton. Returns the surviving
     * id set as a one-column frame. */

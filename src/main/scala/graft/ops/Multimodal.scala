@@ -12,8 +12,10 @@ import org.apache.spark.sql.types._
   * (P5 grayscale images) and [[Multimodal.decodeWav]] (RIFF 16-bit PCM
   * audio) parse bytes with no codec library, and
   * [[Multimodal.resizePgm]] is a true nearest-neighbor pixel resize —
-  * and for one genuinely COMPRESSED format: [[Multimodal.decodeGif]]
-  * implements GIF89a's LZW entropy coding (both directions) pure-JVM.
+  * and for two genuinely COMPRESSED formats: [[Multimodal.decodeGif]]
+  * implements GIF89a's LZW entropy coding (both directions) pure-JVM,
+  * and [[Multimodal.decodePng]] implements PNG — chunk/CRC walk and all
+  * five scanline filters here, DEFLATE via the JDK's `java.util.zip`.
   * Transform-coded formats (JPEG/MP3/H.264) need codec libraries the
   * container lacks, so their kernel remains a clearly marked
   * deterministic STUB; either
@@ -470,6 +472,231 @@ object Multimodal {
   def decodeGifStats(records: Dataset[MediaRecord]): Dataset[GifStats] = {
     import records.sparkSession.implicits._
     records.mapPartitions(it => it.map(r => decodeGif(r.doc_id, r.payload)))
+  }
+
+  // -------------------------------------------------------------------
+  // PNG (8-bit grayscale) — the second genuinely COMPRESSED codec, and
+  // the first DEFLATE-based one: entropy coding rides java.util.zip's
+  // Inflater/Deflater (part of the JDK, not an external codec library),
+  // while everything PNG-specific — chunk walk with CRC verification,
+  // IHDR parse, scanline filter reconstruction including the Paeth
+  // predictor — is implemented here byte-for-byte per RFC 2083. The
+  // encoder twin CYCLES the filter type per row (None/Sub/Up/Average/
+  // Paeth), so a round trip exercises every filter path on any image
+  // taller than four rows. Scope boundary: 8-bit grayscale (color type
+  // 0), non-interlaced — other layouts fail loudly at the IHDR, they do
+  // not decode as garbage.
+  // -------------------------------------------------------------------
+
+  /** Decoded PNG statistics (gate-facing; integer-only). */
+  case class PngStats(doc_id: Long, width: Int, height: Int, bit_depth: Int,
+      n_pixels: Long, px_sum: Long, px_min: Int, px_max: Int, n_idat_bytes: Long)
+
+  private val PngSig: Array[Byte] =
+    Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  private def pngCrc(bytes: Array[Byte], off: Int, len: Int): Int = {
+    val c = new java.util.zip.CRC32
+    c.update(bytes, off, len)
+    c.getValue.toInt
+  }
+
+  /** Paeth predictor (RFC 2083 §6.6): nearest of left/above/upper-left
+    * to the linear prediction a + b − c, ties broken a, then b. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Build an 8-bit grayscale non-interlaced PNG payload. Fixture-side
+    * twin of [[decodePng]] and the writer a real grayscale pipeline
+    * would use; per-row filters cycle `row % 5` (see object note). */
+  def encodePng(width: Int, height: Int, pixel: Int => Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"png: bad dims ${width}x$height")
+    val raw = new Array[Byte]((width + 1) * height)
+    var r = 0
+    while (r < height) {
+      val f = r % 5
+      val base = r * (width + 1)
+      raw(base) = f.toByte
+      var x = 0
+      while (x < width) {
+        val cur = pixel(r * width + x) & 0xFF
+        val left = if (x > 0) pixel(r * width + x - 1) & 0xFF else 0
+        val above = if (r > 0) pixel((r - 1) * width + x) & 0xFF else 0
+        val ul = if (x > 0 && r > 0) pixel((r - 1) * width + x - 1) & 0xFF else 0
+        val filtered = f match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - above
+          case 3 => cur - ((left + above) >> 1) // floor((a+b)/2), non-negative
+          case _ => cur - paeth(left, above, ul)
+        }
+        raw(base + 1 + x) = (filtered & 0xFF).toByte
+        x += 1
+      }
+      r += 1
+    }
+    // zlib-wrapped DEFLATE of the filtered scanline stream
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val zout = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](4096)
+    while (!defl.finished()) { val n = defl.deflate(tmp); zout.write(tmp, 0, n) }
+    defl.end()
+
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSig)
+    def be32(v: Int): Array[Byte] =
+      Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      out.write(be32(data.length))
+      val td = typ.getBytes("US-ASCII") ++ data
+      out.write(td)
+      out.write(be32(pngCrc(td, 0, td.length)))
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte)  // bit depth
+      .put(0.toByte)  // color type: grayscale
+      .put(0.toByte).put(0.toByte).put(0.toByte) // compression/filter/interlace
+    chunk("IHDR", ihdr.array())
+    chunk("IDAT", zout.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Decode an 8-bit grayscale PNG: signature + chunk walk (CRC of every
+    * chunk verified — corruption fails loudly, never decodes as noise),
+    * multi-IDAT concatenation, zlib inflate, per-row unfilter. Returns
+    * (width, height, raster row-major 0..255, compressed IDAT bytes). */
+  def decodePngRaster(payload: Array[Byte]): (Int, Int, Array[Int], Int) = {
+    require(payload.length >= 8, "png: truncated signature")
+    var i = 0
+    while (i < 8) { require(payload(i) == PngSig(i), "png: bad signature"); i += 1 }
+    def be32(p: Int): Int = ((payload(p) & 0xFF) << 24) | ((payload(p + 1) & 0xFF) << 16) |
+      ((payload(p + 2) & 0xFF) << 8) | (payload(p + 3) & 0xFF)
+    var pos = 8
+    var width = -1; var height = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done) {
+      require(pos + 8 <= payload.length, "png: truncated chunk header")
+      val len = be32(pos)
+      val typ = new String(payload, pos + 4, 4, "US-ASCII")
+      require(len >= 0 && pos + 8 + len + 4 <= payload.length, s"png: truncated $typ chunk")
+      require(pngCrc(payload, pos + 4, len + 4) == be32(pos + 8 + len), s"png: bad CRC in $typ")
+      typ match {
+        case "IHDR" =>
+          width = be32(pos + 8); height = be32(pos + 12)
+          val depth = payload(pos + 16) & 0xFF
+          val color = payload(pos + 17) & 0xFF
+          val interlace = payload(pos + 20) & 0xFF
+          require(depth == 8 && color == 0,
+            s"png: only 8-bit grayscale supported (depth=$depth colorType=$color)")
+          require(interlace == 0, "png: Adam7 interlace not supported")
+        case "IDAT" => idat.write(payload, pos + 8, len)
+        case "IEND" => done = true
+        case _      => () // ancillary chunks (tEXt, pHYs, …) skipped
+      }
+      pos += 8 + len + 4
+    }
+    require(width > 0 && height > 0, "png: missing or empty IHDR")
+    val comp = idat.toByteArray
+    val raw = new Array[Byte]((width + 1) * height)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(comp)
+    var off = 0
+    while (off < raw.length) {
+      val n = inf.inflate(raw, off, raw.length - off)
+      require(n > 0, "png: truncated or corrupt DEFLATE stream")
+      off += n
+    }
+    inf.end()
+    val px = new Array[Int](width * height)
+    var r = 0
+    while (r < height) {
+      val base = r * (width + 1)
+      val f = raw(base) & 0xFF
+      var x = 0
+      while (x < width) {
+        val v = raw(base + 1 + x) & 0xFF
+        val left = if (x > 0) px(r * width + x - 1) else 0
+        val above = if (r > 0) px((r - 1) * width + x) else 0
+        val ul = if (x > 0 && r > 0) px((r - 1) * width + x - 1) else 0
+        val recon = f match {
+          case 0 => v
+          case 1 => v + left
+          case 2 => v + above
+          case 3 => v + ((left + above) >> 1)
+          case 4 => v + paeth(left, above, ul)
+          case other => throw new IllegalArgumentException(
+            s"png: bad filter type $other in row $r")
+        }
+        px(r * width + x) = recon & 0xFF
+        x += 1
+      }
+      r += 1
+    }
+    (width, height, px, comp.length)
+  }
+
+  /** Raster statistics of a decoded PNG — the gate-facing form. */
+  def decodePng(docId: Long, payload: Array[Byte]): PngStats = {
+    val (w, h, px, nIdat) = decodePngRaster(payload)
+    var sum = 0L; var mn = Int.MaxValue; var mx = -1
+    var i = 0
+    while (i < px.length) {
+      val v = px(i); sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+      i += 1
+    }
+    val empty = px.isEmpty
+    PngStats(docId, w, h, 8, px.length.toLong, sum,
+      if (empty) 0 else mn, if (empty) 0 else mx, nIdat.toLong)
+  }
+
+  /** Batched decode of a PNG payload column — same mapPartitions shape. */
+  def decodePngStats(records: Dataset[MediaRecord]): Dataset[PngStats] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(it => it.map(r => decodePng(r.doc_id, r.payload)))
+  }
+
+  // -------------------------------------------------------------------
+  // GZIP (RFC 1952) — the wrapper 100 TB text corpora actually arrive
+  // in (Common Crawl WET/WARC ships gzip'd). Members via the JDK's
+  // java.util.zip streams; the op surface is the batched mapPartitions
+  // payload transform, same shape as the image decoders.
+  // -------------------------------------------------------------------
+
+  /** Compress a payload as a single gzip member. */
+  def gzipCompress(payload: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(payload); g.close()
+    bos.toByteArray
+  }
+
+  /** Decompress a gzip payload (multi-member streams handled by the
+    * JDK reader; a corrupt/truncated stream throws — never yields
+    * silent partial text). */
+  def gunzip(payload: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val out = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    var n = in.read(tmp)
+    while (n > 0) { out.write(tmp, 0, n); n = in.read(tmp) }
+    in.close()
+    out.toByteArray
+  }
+
+  /** Batched decompression of a gzip payload column — the ingest-side
+    * boundary for compressed text shards. */
+  def gunzipPayloads(records: Dataset[MediaRecord]): Dataset[MediaRecord] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(it =>
+      it.map(r => MediaRecord(r.doc_id, gunzip(r.payload), r.fmt, r.lang)))
   }
 
   /** Frame-sampling analog: cut the payload into `frameBytes`-sized

@@ -581,6 +581,53 @@ object TextAnalysis {
       .select(col(id), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("_s"), lit(0L)) + lit(biasMicro)).as("score_micro"))
   }
+
+  /** URL host extraction via Spark's native `parse_url` — the key
+    * domain-level quota and filtering policies group on. */
+  def urlHost(url: Column): Column = parse_url(url, lit("HOST"))
+
+  /** Registered domain = last two dot-labels of a host. The proper
+    * public-suffix-list treatment (co.uk etc.) is a lookup-table join
+    * against the PSL, not an expression — documented boundary; this is
+    * the two-label heuristic most quick pipelines start with. */
+  def registeredDomain(host: Column): Column =
+    regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+
+  /** Inverted index with impact-ordered static pruning — the retrieval
+    * structure under [[bm25TopTerms]]-style scoring, built as data: one
+    * row per term with document frequency, collection frequency, and
+    * the top-`maxPostings` postings by (tf desc, doc id asc), formatted
+    * `"doc:tf doc:tf …"` in that impact order (the layout
+    * impact-ordered indexes ship so scoring can stop early).
+    *
+    * Scale shape: tf census is one (term, doc) hash agg; the per-term
+    * rollup is ONE hash agg combining count/sum with the bounded
+    * [[TopK.topK]] aggregator — its O(maxPostings) buffer partial-
+    * aggregates map-side, so a stopword term with a billion postings
+    * ships ≤ maxPostings rows per map partition instead of collecting
+    * the full posting list anywhere (the hot-key reason a
+    * collect_list/sort_array reassembly would die at 100 TB). tf rides
+    * the aggregator's double score slot — exact for any tf < 2⁵³.
+    * `minDf` prunes the hapax tail (most of the vocabulary, as in any
+    * real index build). */
+  def invertedIndex(df: org.apache.spark.sql.DataFrame, id: String,
+      text: String, minDf: Int, maxPostings: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(minDf >= 1, s"minDf must be >= 1, got $minDf")
+    require(maxPostings >= 1, s"maxPostings must be >= 1, got $maxPostings")
+    val tf = df.select(col(id).as("_doc"),
+        explode(tokens(lower(col(text)))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term"), col("_doc")).agg(count(lit(1)).as("_tf"))
+    tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("_tf")).as("cf"),
+        TopK.topK(maxPostings)(col("_tf").cast("double"), col("_doc")).as("_top"))
+      .filter(col("df") >= minDf)
+      .select(col("term"), col("df"), col("cf"),
+        concat_ws(" ", transform(col("_top"),
+          x => concat(x.getField("_2").cast("string"), lit(":"),
+            x.getField("_1").cast("long").cast("string")))).as("postings"))
+  }
 }
 
 object UnigramLm {

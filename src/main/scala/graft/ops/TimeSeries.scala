@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Time-series operators over event logs.
@@ -188,6 +188,65 @@ object TimeSeries {
       .select(col(key), col("_r.id").as(id),
         col("_r.gap").as("gap_micros"), col("_r.ewma").as("ewma_micros"),
         col("_r.lull").as("is_lull"))
+  }
+
+  /** Holt's linear-trend (double exponential) smoothing over each key's
+    * value series — the [[ewmaGaps]] recurrence upgraded with a trend
+    * state, so ramping series forecast ahead instead of lagging:
+    *
+    *   forecast f = ℓ' + b'                        (BEFORE the update)
+    *   level  ℓ = ⌊(x + (ka−1)·(ℓ'+b')) / ka⌋     (α = 1/ka)
+    *   trend  b = ⌊((ℓ−ℓ') + (kb−1)·b') / kb⌋     (β = 1/kb)
+    *
+    * in BIGINT micros end-to-end. The trend state goes NEGATIVE on
+    * decaying series, so the division SIGN CONVENTION is part of the
+    * contract: both recurrences TRUNCATE toward zero — Spark's `div`
+    * and DuckDB's `//` agree on that for every sign (measured: `-7 //
+    * 2 = -3` in DuckDB, not floor's -4), so the gate hashes without a
+    * floor/trunc shim on either side. Init: ℓ = first value, b = 0
+    * (documented; callers wanting b₀ = x₂−x₁ can seed upstream).
+    *
+    * Same plan shape as [[ewmaGaps]]: one hash agg, per-key sorted
+    * fold, explode — per-key memory bounded by the key's own event
+    * count, no windows. One row per event from the SECOND onward:
+    * (key, id, value_micro, forecast_micro, level_micro, trend_micro);
+    * `forecast_micro` is the one-step-ahead prediction made before
+    * observing the row, so residuals judge the model against history,
+    * never against the point itself. */
+  def holtTrend(df: DataFrame, key: String, ts: String, id: String,
+      valueMicro: Column, kLevel: Int = 4, kTrend: Int = 8): DataFrame = {
+    require(kLevel >= 2 && kTrend >= 2,
+      s"kLevel/kTrend must be >= 2, got $kLevel/$kTrend")
+    def fdiv(a: Column, k: Int): Column =
+      call_function("div", a, lit(k.toLong))
+    val sorted = array_sort(collect_list(struct(
+      unix_micros(col(ts)).as("t"), col(id).as("id"), valueMicro.as("x"))))
+    val folded = df.groupBy(col(key))
+      .agg(sorted.as("_ev"))
+      .filter(size(col("_ev")) >= 2)
+      .select(col(key), aggregate(
+        slice(col("_ev"), lit(2), size(col("_ev")) - 1),
+        struct(
+          element_at(col("_ev"), 1).getField("x").as("l"),
+          lit(0L).as("b"),
+          array().cast(
+            "array<struct<id:long,x:long,f:long,l:long,b:long>>").as("out")),
+        (acc, ev) => {
+          val f = acc.getField("l") + acc.getField("b")
+          val x = ev.getField("x")
+          val lNew = fdiv(x + lit(kLevel - 1L) * f, kLevel)
+          val bNew = fdiv((lNew - acc.getField("l")) +
+            lit(kTrend - 1L) * acc.getField("b"), kTrend)
+          struct(lNew.as("l"), bNew.as("b"),
+            concat(acc.getField("out"), array(struct(
+              ev.getField("id").as("id"), x.as("x"), f.as("f"),
+              lNew.as("l"), bNew.as("b")))).as("out"))
+        },
+        acc => acc.getField("out")).as("_out"))
+    folded.select(col(key), explode(col("_out")).as("_r"))
+      .select(col(key), col("_r.id").as(id),
+        col("_r.x").as("value_micro"), col("_r.f").as("forecast_micro"),
+        col("_r.l").as("level_micro"), col("_r.b").as("trend_micro"))
   }
 
   def forwardFill(df: DataFrame, key: String, ts: String, value: String,

@@ -299,6 +299,34 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       3L -> (6L, 6L, "")))
   }
 
+  test("X3x boilerplateScrub: per-group threshold, order preserved, all-boilerplate doc empties") {
+    val d = Seq(
+      // siteA: 'NAV' tops all three docs (boilerplate at minDocs=3);
+      // 'foot' is in only two (kept); bodies unique
+      (1L, "siteA", "NAV\nbody one\nfoot"),
+      (2L, "siteA", "NAV\nbody two\nfoot"),
+      (3L, "siteA", "NAV\nbody three"),
+      // siteB: same literal 'NAV' line but only two docs — grouped
+      // census means it survives on siteB
+      (4L, "siteB", "NAV\nother body"),
+      (5L, "siteB", "NAV\nanother body"),
+      // siteA doc that is ONLY the boilerplate line
+      (6L, "siteA", "NAV")
+    ).toDF("doc_id", "site", "text")
+    val got = Dedup.boilerplateScrub(d, "doc_id", "text", "site", minDocs = 3)
+      .orderBy("doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(got == Map(
+      1L -> (3L, 1L, "body one\nfoot"),
+      2L -> (3L, 1L, "body two\nfoot"),
+      3L -> (2L, 1L, "body three"),
+      4L -> (2L, 0L, "NAV\nother body"),
+      5L -> (2L, 0L, "NAV\nanother body"),
+      6L -> (1L, 1L, "")))
+    // NAV appears in 4 siteA docs ≥ 3, removed there; 2 siteB docs < 3, kept
+  }
+
   test("X3x scrubDuplicatedSpans: hash-keyed path == exact-string path") {
     val d = Seq(
       (1L, "w1 w2 w3 w4 w5 w6 w7"), (2L, "x w1 w2 w3 w4 w5"),

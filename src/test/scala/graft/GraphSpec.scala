@@ -72,4 +72,61 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
   test("iters=0 returns the uniform init for every node") {
     assert(run(nodes, edges, 0).values.toSet == Set(1000000L))
   }
+
+  /** Driver-side triangle reference: brute force over canonical node
+    * triples of the simple undirected graph. */
+  private def refTriangles(nodes: Seq[Long],
+      edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val e = edges.collect { case (a, b) if a != b =>
+      (math.min(a, b), math.max(a, b)) }.toSet
+    val counts = scala.collection.mutable.HashMap.empty[Long, Long]
+        .withDefaultValue(0L)
+    val vs = nodes.sorted
+    for {
+      i <- vs.indices; j <- (i + 1) until vs.size; k <- (j + 1) until vs.size
+      if e((vs(i), vs(j))) && e((vs(i), vs(k))) && e((vs(j), vs(k)))
+    } { counts(vs(i)) += 1; counts(vs(j)) += 1; counts(vs(k)) += 1 }
+    nodes.map(v => v -> counts(v)).toMap
+  }
+
+  private def runTriangles(nodes: Seq[Long], edges: Seq[(Long, Long)],
+      parts: Int = 4): Map[Long, Long] = {
+    import spark.implicits._
+    val e = edges.toDF("s", "d").repartition(parts)
+    val n = nodes.toDF("v").repartition(parts)
+    graft.ops.Graph.triangleCounts(e, "s", "d", n, "v")
+      .as[(Long, Long)].collect().toMap
+  }
+
+  test("triangleCounts: hand graph — K4 plus a pendant, messy encoding") {
+    // K4 on {0,1,2,3}: 4 triangles, each node in C(3,2)=3 of them.
+    // Node 4 pendant (edge to 0 only): 0 triangles. Node 5 isolated.
+    // Encoding noise the canonicalization must absorb: both directions,
+    // duplicates, and a self-loop.
+    val k4 = for (i <- 0L to 3L; j <- 0L to 3L if i < j) yield (i, j)
+    val messy = k4 ++ k4.map(_.swap) ++ Seq((0L, 1L), (2L, 2L), (4L, 0L))
+    val got = runTriangles(Seq(0L, 1L, 2L, 3L, 4L, 5L), messy)
+    assert(got == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 0L, 5L -> 0L))
+  }
+
+  test("triangleCounts == brute force on pseudo-random graphs, any partitioning") {
+    val rng = new scala.util.Random(101)
+    val ns = (0L until 40L).toSeq
+    val es = Seq.fill(220)((rng.nextInt(40).toLong, rng.nextInt(40).toLong))
+    val expect = refTriangles(ns, es)
+    assert(expect.values.sum > 0, "fixture must actually contain triangles")
+    for (p <- Seq(1, 3, 8))
+      assert(runTriangles(ns, es, parts = p) == expect, s"mismatch at parts=$p")
+  }
+
+  test("triangleCounts: skewed star + rim — degree orientation bounds wedges, counts stay exact") {
+    // hub 0 connected to every rim node; rim is a cycle 1..12 —
+    // triangles are exactly (0, i, i+1): 12 of them. The hub has degree
+    // 12 but orientation points every hub edge AWAY from low-degree rim
+    // nodes toward the hub, so no wedge explosion at the hub.
+    val rim = (1L to 12L)
+    val es = rim.map(i => (0L, i)) ++ rim.map(i => (i, if (i == 12L) 1L else i + 1L))
+    val got = runTriangles(0L +: rim, es)
+    assert(got(0L) == 12L && rim.forall(i => got(i) == 2L))
+  }
 }

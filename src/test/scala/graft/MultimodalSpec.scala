@@ -121,6 +121,115 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(decodeGifFrame(2L, withExt).raster.toSeq == Seq(1, 1, 2))
   }
 
+  test("PNG decode: hand-assembled stored-DEFLATE vector pins every filter type independently of the encoder") {
+    // 3×5 grayscale image, one row per filter type. Filtered bytes are
+    // hand-computed (Paeth predictions worked out in the comments of the
+    // raster below); the zlib stream is a STORED block (BTYPE=00), so
+    // the decoder's inflate+unfilter path is pinned with no Deflater in
+    // the loop.
+    val expected = Seq(
+      10, 20, 30, // row0 None
+      5, 15, 25, // row1 Sub:    filtered 5,10,10
+      6, 18, 26, // row2 Up:      filtered 1,3,1
+      8, 20, 30, // row3 Average: filtered 5,7,7
+      12, 22, 32) // row4 Paeth:  filtered 4,2,2 (predictor = above each time)
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val raw = b(0, 10, 20, 30, 1, 5, 10, 10, 2, 1, 3, 1, 3, 5, 7, 7, 4, 4, 2, 2)
+    val adler = { val a = new java.util.zip.Adler32; a.update(raw); a.getValue }
+    val idat = b(0x78, 0x01, 0x01, 20, 0, 0xEB, 0xFF) ++ raw ++
+      b(((adler >> 24) & 0xFF).toInt, ((adler >> 16) & 0xFF).toInt,
+        ((adler >> 8) & 0xFF).toInt, (adler & 0xFF).toInt)
+    def be32(v: Long): Array[Byte] = b(((v >> 24) & 0xFF).toInt,
+      ((v >> 16) & 0xFF).toInt, ((v >> 8) & 0xFF).toInt, (v & 0xFF).toInt)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val td = typ.getBytes("US-ASCII") ++ data
+      val c = new java.util.zip.CRC32; c.update(td)
+      be32(data.length.toLong) ++ td ++ be32(c.getValue)
+    }
+    val sig = b(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+    val ihdr = be32(3) ++ be32(5) ++ b(8, 0, 0, 0, 0)
+    val handmade = sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", idat) ++
+      chunk("IEND", Array.emptyByteArray)
+    val (w, h, px, nIdat) = decodePngRaster(handmade)
+    assert(w == 3 && h == 5 && nIdat == idat.length)
+    assert(px.toSeq == expected)
+    // stats form
+    assert(decodePng(4L, handmade) ==
+      PngStats(4L, 3, 5, 8, 15L, expected.sum.toLong, 5, 32, idat.length.toLong))
+    // an ancillary chunk between IHDR and IDAT must be skipped
+    val withText = sig ++ chunk("IHDR", ihdr) ++
+      chunk("tEXt", "k v".getBytes("US-ASCII")) ++ chunk("IDAT", idat) ++
+      chunk("IEND", Array.emptyByteArray)
+    assert(decodePngRaster(withText)._3.toSeq == expected)
+    // IDAT split across two chunks must concatenate
+    val (i1, i2) = idat.splitAt(9)
+    val split = sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", i1) ++
+      chunk("IDAT", i2) ++ chunk("IEND", Array.emptyByteArray)
+    assert(decodePngRaster(split)._3.toSeq == expected)
+    // corrupted IDAT byte → CRC failure, loud, never garbage pixels
+    val bad = handmade.clone()
+    val idatDataOff = sig.length + (12 + 13) + 8 + 3
+    bad(idatDataOff) = (bad(idatDataOff) ^ 0x40).toByte
+    val e = intercept[IllegalArgumentException](decodePngRaster(bad))
+    assert(e.getMessage.contains("CRC"))
+    // bad signature / truncation rejected
+    intercept[IllegalArgumentException](decodePngRaster("JFIF1234".getBytes))
+    intercept[IllegalArgumentException](decodePngRaster(handmade.dropRight(6)))
+    // unsupported layout (color type 2 = RGB) fails at the IHDR, loudly
+    val rgbIhdr = be32(3) ++ be32(5) ++ b(8, 2, 0, 0, 0)
+    val rgb = sig ++ chunk("IHDR", rgbIhdr) ++ chunk("IDAT", idat) ++
+      chunk("IEND", Array.emptyByteArray)
+    val e2 = intercept[IllegalArgumentException](decodePngRaster(rgb))
+    assert(e2.getMessage.contains("grayscale"))
+  }
+
+  test("PNG round trip + cross-check against the JDK's ImageIO codec, both directions") {
+    val rng = new scala.util.Random(177)
+    // noise and structured rasters, heights ≥ 5 so the cycling encoder
+    // exercises every filter; plus 1×1 and single-row edge shapes
+    for ((w, h) <- Seq((23, 9), (64, 64), (1, 1), (7, 1), (1, 7))) {
+      val px = Array.fill(w * h)(rng.nextInt(256))
+      val enc = encodePng(w, h, px(_))
+      val (dw, dh, dec, _) = decodePngRaster(enc)
+      assert(dw == w && dh == h && dec.toSeq == px.toSeq, s"round trip ${w}x$h")
+      // independent reference decoder: javax.imageio must read our bytes
+      // to the same pixels
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(enc))
+      assert(img.getWidth == w && img.getHeight == h)
+      val viaJdk = for (y <- 0 until h; x <- 0 until w)
+        yield img.getRaster.getSample(x, y, 0)
+      assert(viaJdk == px.toSeq, s"ImageIO disagrees on ${w}x$h")
+    }
+    // …and our decoder must read the JDK ENCODER's output (independent
+    // writer: filters/zlib stream chosen by ImageIO, not by us)
+    val w = 31; val h = 17
+    val px = Array.tabulate(w * h)(i => (i * 7 + i / w * 3) % 256)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) img.getRaster.setSample(x, y, 0, px(y * w + x))
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", baos))
+    val (dw, dh, dec, _) = decodePngRaster(baos.toByteArray)
+    assert(dw == w && dh == h && dec.toSeq == px.toSeq)
+    // run-structured data must genuinely compress through DEFLATE
+    val runs = Array.tabulate(100 * 100)(i => (i / 50) % 16)
+    assert(decodePng(1L, encodePng(100, 100, runs(_))).n_idat_bytes < 10000L / 3)
+  }
+
+  test("GZIP: round trip bit-exact, genuine compression, corrupt stream fails loudly") {
+    val rng = new scala.util.Random(7)
+    val text = Array.fill(5000)(('a' + rng.nextInt(4)).toByte)
+    val gz = gzipCompress(text)
+    assert(java.util.Arrays.equals(gunzip(gz), text))
+    assert(gz.length < text.length, "4-letter text must compress")
+    // incompressible noise round-trips too (stored blocks)
+    val noise = Array.fill(2048)(rng.nextInt(256).toByte)
+    assert(java.util.Arrays.equals(gunzip(gzipCompress(noise)), noise))
+    assert(gunzip(gzipCompress(Array.emptyByteArray)).isEmpty)
+    // non-gzip and truncated payloads throw, never return partial text
+    intercept[java.io.IOException](gunzip(text))
+    intercept[java.io.IOException](gunzip(gz.take(4)))
+  }
+
   test("GIF round trip: random rasters survive encode→decode bit-exactly, incl. the 12-bit dictionary cap") {
     val rng = new scala.util.Random(77)
     // small repetitive raster (dictionary stays narrow) …

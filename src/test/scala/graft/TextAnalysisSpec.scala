@@ -298,4 +298,25 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(ny.getLong(5) > 5000000L, s"new york ratio ${ny.getLong(5)}")
     assert(!r.exists(x => x.getString(1) == "1"), "minCount=5 drops the unique-suffix pairs")
   }
+
+  test("invertedIndex: df/cf, impact order with doc-id tie-break, pruning caps, minDf floor") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "apple banana banana banana"),
+      (3L, "apple cherry"),
+      (4L, "Apple") // case folds into 'apple'
+    ).toDF("doc_id", "text")
+    val idx = graft.ops.TextAnalysis.invertedIndex(docs, "doc_id", "text",
+        minDf = 2, maxPostings = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // apple: df=4 > maxPostings=3 — pruned to top-3 by (tf desc, id asc):
+    // doc1 tf2, then tf-1 tie broken by id: doc2, doc3 (doc4 cut)
+    assert(idx("apple") == (4L, 5L, "1:2 2:1 3:1"))
+    // banana: impact order puts doc2 (tf 3) before doc1 (tf 1)
+    assert(idx("banana") == (2L, 4L, "2:3 1:1"))
+    // cherry: df=1 < minDf — pruned from the index entirely
+    assert(!idx.contains("cherry"))
+  }
 }

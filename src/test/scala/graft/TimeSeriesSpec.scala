@@ -172,4 +172,42 @@ class TimeSeriesSpec extends AnyFunSuite with SparkTestBase {
       .filter(col("event_id") === 3L).collect().head
     assert(b.getLong(2) == 40000L && !b.getBoolean(4))
   }
+
+  /** Driver-side Holt reference — Scala `/` truncates toward zero,
+    * the sign convention the op promises (== Spark div == DuckDB //). */
+  private def refHolt(xs: Seq[Long], ka: Int, kb: Int): Seq[(Long, Long, Long)] = {
+    var l = xs.head; var b = 0L
+    xs.tail.map { x =>
+      val f = l + b
+      val lNew = (x + (ka - 1) * f) / ka
+      val bNew = ((lNew - l) + (kb - 1) * b) / kb
+      l = lNew; b = bNew
+      (f, lNew, bNew)
+    }
+  }
+
+  test("holtTrend: trunc-div reference on ramping AND decaying (negative-trend) series") {
+    def ts(us: Long) = new Timestamp(us / 1000)
+    // key 1 ramps (positive trend), key 2 decays steeply (trend goes
+    // negative — the sign where trunc-div and floor-div diverge)
+    val ramp = Seq(100L, 200L, 310L, 450L, 600L)
+    val decay = Seq(1000L, 700L, 350L, 100L, 5L)
+    val rows =
+      ramp.zipWithIndex.map { case (x, i) => (1L, ts(i * 1000L), i.toLong, x) } ++
+      decay.zipWithIndex.map { case (x, i) => (2L, ts(i * 1000L), 10L + i, x) }
+    val df = rows.toDF("user_id", "ts", "event_id", "v")
+    val got = TimeSeries.holtTrend(df, "user_id", "ts", "event_id", col("v"))
+      .orderBy("user_id", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val want = refHolt(ramp, 4, 8).map { case (f, l, b) => (1L, f, l, b) } ++
+      refHolt(decay, 4, 8).map { case (f, l, b) => (2L, f, l, b) }
+    assert(got.toSeq == want)
+    // decay really drives the trend negative — the test is vacuous otherwise
+    assert(want.exists { case (k, _, _, b) => k == 2L && b < 0L })
+    // single-event keys emit nothing
+    val single = TimeSeries.holtTrend(
+      Seq((9L, ts(0), 1L, 5L)).toDF("user_id", "ts", "event_id", "v"),
+      "user_id", "ts", "event_id", col("v"))
+    assert(single.count() == 0)
+  }
 }
