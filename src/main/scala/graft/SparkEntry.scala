@@ -2592,6 +2592,19 @@ object SparkEntry {
         .orderBy("term")
     }),
 
+    // X4 — bigram LM NLL (Laplace smoothing): the unigram CCNet signal
+    // upgraded to conditional probabilities, so word ORDER moves the
+    // score. Model trained on even doc_ids, scored on the held-out odd
+    // half; the oracle replays the pair/prefix censuses, V, the
+    // three-way Laplace backoff CASE, and the shared-shape ln micros —
+    // integer sums, so partial-agg order cannot move the hash.
+    "x4_bigram_nll" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.bigramNll(docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", docs.filter(col("doc_id") % 2 === 0))
+        .orderBy("doc_id")
+    }),
+
     // X4 — URL parsing to the domain-quota grain (per-domain doc and
     // host counts, the keys crawl curation caps on). URLs are planted
     // by formula; Spark REALLY parses them (native parse_url +
@@ -3115,6 +3128,35 @@ object SparkEntry {
         .select(col("key"), coalesce(col("_n"), lit(0L)).as("n_true"),
           (col("est") >= coalesce(col("_n"), lit(0L))).as("est_ge_true"),
           (col("est") === coalesce(col("_n"), lit(0L))).as("est_eq_true"))
+        .orderBy("key")
+    }),
+
+    // Count-Min built INCREMENTALLY from the event STREAM, then
+    // certified two ways: per-key estimates against the oracle's exact
+    // counts (same verdict rows as sketch_countmin), and
+    // stream_matches_batch — a full-outer cell-for-cell comparison of
+    // the streamed sketch against the batch-built one riding the same
+    // result (null-safe equality; any cell drift flips every row's
+    // pinned TRUE). Linearity is what makes sketches incremental; this
+    // gate proves the engine's streaming path preserves it.
+    "stream_countmin" -> ((s, dir) => {
+      import s.implicits._
+      val sk = graft.streaming.Streams.countMinStream(s, dir, depth = 4, width = 1024)
+      val ev = Tables.events(s, dir)
+      val batchSk = graft.ops.Sketch.countMin(ev, "event_type", depth = 4, width = 1024)
+      val agreement = sk
+        .join(batchSk.withColumnRenamed("cnt", "cnt_b"), Seq("r", "c"), "full")
+        .agg(sum(when(col("cnt") <=> col("cnt_b"), lit(0L)).otherwise(lit(1L)))
+          .as("_mm"))
+      val probes = ev.select(col("event_type").as("key")).distinct()
+        .unionByName(Seq("ghost_a", "ghost_b", "ghost_c").toDF("key"))
+      val truth = ev.groupBy(col("event_type").as("key")).agg(count(lit(1)).as("_n"))
+      graft.ops.Sketch.cmsEstimate(sk, probes, "key", depth = 4, width = 1024)
+        .join(truth, Seq("key"), "left")
+        .crossJoin(broadcast(agreement))
+        .select(col("key"), coalesce(col("_n"), lit(0L)).as("n_true"),
+          (col("est") === coalesce(col("_n"), lit(0L))).as("est_eq_true"),
+          (col("_mm") === 0L).as("stream_matches_batch"))
         .orderBy("key")
     }),
 
@@ -5214,6 +5256,50 @@ object SparkEntry {
         |FROM stats s JOIN post p USING (term)
         |WHERE s.df >= 5 ORDER BY s.term""".stripMargin,
 
+    "x4_bigram_nll" ->
+      """WITH sc AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                x -> x <> '') AS w
+        |  FROM documents),
+        |st AS MATERIALIZED (
+        |  SELECT doc_id, w[pos + 1] AS w1, w[pos + 2] AS w2
+        |  FROM (SELECT doc_id, w, unnest(range(0, len(w) - 1)) AS pos
+        |        FROM sc WHERE len(w) >= 2)),
+        |pc AS MATERIALIZED (
+        |  SELECT w1, w2, count(*) AS cxy FROM st
+        |  WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        |px AS MATERIALIZED (
+        |  SELECT w1, count(*) AS cx FROM st
+        |  WHERE doc_id % 2 = 0 GROUP BY 1),
+        |vv AS (SELECT count(DISTINCT u.uw) AS v FROM (
+        |  SELECT unnest(w) AS uw FROM sc WHERE doc_id % 2 = 0) u),
+        |scored AS (
+        |  SELECT s.doc_id,
+        |    CASE
+        |      WHEN pc.cxy IS NOT NULL THEN
+        |        CAST(floor(ln((pc.cxy + 1.0) / CAST(px.cx + v AS DOUBLE))
+        |             * 1000000 + 0.5) AS BIGINT)
+        |      WHEN px.cx IS NOT NULL THEN
+        |        CAST(floor(ln(1.0 / CAST(px.cx + v AS DOUBLE))
+        |             * 1000000 + 0.5) AS BIGINT)
+        |      ELSE CAST(floor(ln(1.0 / CAST(v AS DOUBLE))
+        |             * 1000000 + 0.5) AS BIGINT)
+        |    END AS lp
+        |  FROM st s
+        |  LEFT JOIN pc ON s.w1 = pc.w1 AND s.w2 = pc.w2
+        |  LEFT JOIN px ON s.w1 = px.w1
+        |  CROSS JOIN vv
+        |  WHERE s.doc_id % 2 = 1),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_bigrams, -sum(lp) AS nll_micro
+        |  FROM scored GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(coalesce(a.nll_micro, 0) AS BIGINT) AS nll_micro
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id""".stripMargin,
+
     // The oracle computes host/domain straight from the URL-planting
     // formula — Spark's parse_url must agree or counts shift.
     "x4_url_domains" ->
@@ -5999,6 +6085,19 @@ object SparkEntry {
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
         |  TRUE AS est_within_10pct
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "stream_countmin" ->
+      """WITH t AS (
+        |  SELECT event_type AS key, count(*) AS n_true
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT key, n_true FROM t
+        |  UNION ALL SELECT 'ghost_a', 0
+        |  UNION ALL SELECT 'ghost_b', 0
+        |  UNION ALL SELECT 'ghost_c', 0)
+        |SELECT key, CAST(n_true AS BIGINT) AS n_true,
+        |  TRUE AS est_eq_true, TRUE AS stream_matches_batch
+        |FROM p ORDER BY key""".stripMargin,
 
     // Same semantics as the plain join — the bucketing is pure layout.
     "storage_bucketed_join" ->

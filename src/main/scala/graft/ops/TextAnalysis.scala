@@ -582,6 +582,67 @@ object TextAnalysis {
         (coalesce(col("_s"), lit(0L)) + lit(biasMicro)).as("score_micro"))
   }
 
+  /** Bigram language model NLL with Laplace smoothing — the next rung
+    * of the [[unigramLm]] ladder: P(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁·)+V),
+    * so word ORDER now matters ("the cat sat" and "sat the cat" score
+    * identically under the unigram model, differently here). Backoff
+    * is Laplace all the way down: unseen pair with seen prefix →
+    * 1/(c(w₁·)+V); unseen prefix → 1/V.
+    *
+    * Exactness: the single transcendental (ln of the smoothed ratio,
+    * then ×10⁶ floor to BIGINT micros) is computed with the SAME
+    * expression shape the DuckDB twin uses, so the one double op is
+    * IEEE-identical and everything that sums is integer — the
+    * [[unigramNll]] contract extended to conditional probabilities.
+    *
+    * Scale shape: reference and scored corpora explode to token
+    * streams once; the bigram stream is a per-doc lead() window (keyed
+    * sort, skew bounded by the longest doc); the pair model joins by
+    * (w₁,w₂) with no broadcast hint — a real bigram table is
+    * vocabulary², far past broadcast range, and AQE broadcasts when a
+    * small fixture model permits. Per-doc sums are BIGINT.
+    * Emits (id, n_bigrams, nll_micro); docs with <2 tokens score 0. */
+  def bigramNll(df: org.apache.spark.sql.DataFrame, id: String, text: String,
+      ref: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def bigrams(src: org.apache.spark.sql.DataFrame, idc: String)
+        : org.apache.spark.sql.DataFrame = {
+      val toks = src.select(col(idc).as("_id"),
+        posexplode(filter(tokens(lower(col(text))), t => t =!= lit("")))
+          .as(Seq("_pos", "_w")))
+      val w = Window.partitionBy(col("_id")).orderBy(col("_pos"))
+      toks.select(col("_id"), col("_w").as("_w1"),
+          lead(col("_w"), 1).over(w).as("_w2"))
+        .filter(col("_w2").isNotNull)
+    }
+    val refBg = bigrams(ref, id)
+    val pairC = refBg.groupBy(col("_w1"), col("_w2"))
+      .agg(count(lit(1)).as("_cxy"))
+    val prefC = refBg.groupBy(col("_w1")).agg(count(lit(1)).as("_cx"))
+    val vocab = ref.select(
+        explode(filter(tokens(lower(col(text))), t => t =!= lit(""))).as("_w"))
+      .agg(countDistinct(col("_w")).as("_v"))
+    // the one double op, shape-shared with the oracle
+    def lpMicro(num: Column, den: Column): Column =
+      floor(log(num / den.cast("double")) * 1e6 + lit(0.5)).cast("long")
+    val scored = bigrams(df, id)
+      .join(pairC, Seq("_w1", "_w2"), "left")
+      .join(prefC, Seq("_w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("_id"),
+        when(col("_cxy").isNotNull,
+            lpMicro(col("_cxy") + lit(1.0), col("_cx") + col("_v")))
+          .when(col("_cx").isNotNull,
+            lpMicro(lit(1.0), col("_cx") + col("_v")))
+          .otherwise(lpMicro(lit(1.0), col("_v"))).as("_lp"))
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_bigrams"), (-sum(col("_lp"))).as("nll_micro"))
+    df.select(col(id)).join(scored, col(id) === col("_id"), "left")
+      .select(col(id), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nll_micro"), lit(0L)).as("nll_micro"))
+  }
+
   /** URL host extraction via Spark's native `parse_url` — the key
     * domain-level quota and filtering policies group on. */
   def urlHost(url: Column): Column = parse_url(url, lit("HOST"))

@@ -585,4 +585,25 @@ object Streams {
     drainToTable(spark, ss, agg, "stream_dedup", "complete")
       .orderBy("event_type")
   }
+
+  /** Count-Min sketch built INCREMENTALLY from the event stream — the
+    * sketch's cell-wise linearity ([[graft.ops.Sketch.cmsMerge]]) is
+    * exactly what makes it streamable: each micro-batch's cell updates
+    * merge into the running sums, so the drained sketch must equal the
+    * batch-built one cell-for-cell regardless of how the file source
+    * split the batches. State is ≤ depth·width cells — bounded forever,
+    * no watermark needed; the same d-row explode + hash as the batch
+    * builder, so hash-family drift between the two paths is impossible
+    * by construction (shared expression shape). */
+  def countMinStream(spark: SparkSession, sfDir: String, depth: Int,
+      width: Int): DataFrame = {
+    val ss = stateSession(spark, 4)
+    val cells = eventsStream(ss, sfDir)
+      .select(col("event_type").as("_k"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .select(col("r"),
+        pmod(xxhash64(col("_k"), col("r")), lit(width.toLong)).as("c"))
+      .groupBy("r", "c").agg(count(lit(1)).as("cnt"))
+    drainToTable(spark, ss, cells, "stream_cms", "complete")
+  }
 }

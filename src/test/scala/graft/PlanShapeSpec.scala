@@ -238,4 +238,43 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(!pl.contains("CartesianProduct"))
     assert(!pl.contains("SortMergeJoin"), "vocabulary × one-row must never sort-merge")
   }
+
+  test("triangles: keyed joins only — no cartesian, no Window, no corpus-global sort") {
+    val pl = plan("graph_triangles")
+    assert(!pl.contains("CartesianProduct"), "wedge/closing joins must be keyed")
+    assert(!pl.contains(") Window"), "no ordered pass in the triangle census")
+  }
+
+  test("inverted index: bounded top-k aggregator, never a per-term Window or sort") {
+    val pl = plan("x4_inverted_index")
+    // the postings rollup runs through the typed Aggregator →
+    // ObjectHashAggregate, with map-side partials; a Window here would
+    // mean the posting lists sort somewhere
+    assert(pl.contains("ObjectHashAggregate"), "udaf rollup must plan as ObjectHashAggregate")
+    assert(!pl.contains(") Window"), "no per-term window/sort in the index build")
+  }
+
+  test("boilerplate scrub: census + anti-join + reassembly are all hash-keyed, no Window") {
+    val pl = plan("x3_boilerplate_scrub")
+    assert(!pl.contains(") Window"))
+    assert(!pl.contains("CartesianProduct"))
+  }
+
+  test("countmin: build is one partial+final hash agg; estimates never sort-merge the sketch") {
+    val pl = plan("sketch_countmin")
+    assert(!pl.contains(") Window") && !pl.contains("CartesianProduct"))
+    assert(!pl.contains("SortMergeJoin"),
+      "a <= d*w-cell sketch joined to a handful of probes must broadcast")
+  }
+
+  test("bigram NLL: only per-doc keyed windows (lead), pair model join hash-keyed, no cartesian") {
+    val pl = plan("x4_bigram_nll")
+    assert(!pl.contains("CartesianProduct"))
+    // the lead() windows are keyed by doc — a global (empty-partition)
+    // window would read "Window [" with no partition spec; assert every
+    // window line carries a partition key
+    val windowLines = pl.linesIterator.filter(_.contains("windowspecdefinition(")).toSeq
+    assert(windowLines.nonEmpty && windowLines.forall(_.contains("_id#")),
+      "every window must partition by the doc id")
+  }
 }

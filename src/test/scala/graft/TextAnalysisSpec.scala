@@ -299,6 +299,31 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(!r.exists(x => x.getString(1) == "1"), "minCount=5 drops the unique-suffix pairs")
   }
 
+  test("bigramNll: hand-computed Laplace backoff (pair / seen-prefix / unseen-prefix), order sensitivity") {
+    val s = spark; import s.implicits._
+    val ref = Seq((0L, "a b a b c")).toDF("doc_id", "text")
+    // ref bigrams: (a,b)×2 (b,a)×1 (b,c)×1 → cx: a=2, b=2; V = |{a,b,c}| = 3
+    def lp(num: Double, den: Long): Long =
+      math.floor(math.log(num / den.toDouble) * 1e6 + 0.5).toLong
+    val score = Seq((1L, "a b c z"), (3L, "z"), (5L, "b a c a")).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.bigramNll(score, "doc_id", "text", ref)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // doc 1: (a,b)=ln(3/5), (b,c)=ln(2/5), (c,z)=unseen prefix → ln(1/3)
+    val d1 = -(lp(3.0, 5) + lp(2.0, 5) + lp(1.0, 3))
+    // doc 5: (b,a)=ln(2/5), (a,c)=seen prefix a → ln(1/5), (c,a)=ln(1/3)
+    val d5 = -(lp(2.0, 5) + lp(1.0, 5) + lp(1.0, 3))
+    assert(got == Seq((1L, 3L, d1), (3L, 0L, 0L), (5L, 3L, d5)))
+    // order sensitivity: same bag as "a b" scored differently reversed
+    val fwd = graft.ops.TextAnalysis.bigramNll(
+      Seq((1L, "a b")).toDF("doc_id", "text"), "doc_id", "text", ref)
+      .collect().head.getLong(2)
+    val rev = graft.ops.TextAnalysis.bigramNll(
+      Seq((1L, "b a")).toDF("doc_id", "text"), "doc_id", "text", ref)
+      .collect().head.getLong(2)
+    assert(fwd == -lp(3.0, 5) && rev == -lp(2.0, 5) && fwd != rev)
+  }
+
   test("invertedIndex: df/cf, impact order with doc-id tie-break, pruning caps, minDf floor") {
     val s = spark; import s.implicits._
     val docs = Seq(
