@@ -2592,6 +2592,25 @@ object SparkEntry {
         .orderBy("term")
     }),
 
+    // X4 — per-language top terms through the STRING bounded top-k
+    // aggregator (count desc, term asc — O(k) buffer, map-side
+    // partials, so one giant language can't collect its vocabulary
+    // anywhere); the oracle's QUALIFY-window replay certifies ordering
+    // and the lexical tie-break.
+    "x4_top_terms_per_lang" -> ((s, dir) => {
+      val tf = Tables.documents(s, dir)
+        .select(col("lang"),
+          explode(filter(TextAnalysis.tokens(lower(col("text"))),
+            t => t =!= lit(""))).as("term"))
+        .groupBy("lang", "term").agg(count(lit(1)).as("c"))
+      tf.groupBy("lang")
+        .agg(graft.ops.TopK.topKByCount(5)(col("c"), col("term")).as("_t"))
+        .select(col("lang"), posexplode(col("_t")).as(Seq("_i", "e")))
+        .select(col("lang"), (col("_i") + 1).cast("long").as("rk"),
+          col("e._2").as("term"), col("e._1").as("n"))
+        .orderBy("lang", "rk")
+    }),
+
     // X4 — bigram LM NLL (Laplace smoothing): the unigram CCNet signal
     // upgraded to conditional probabilities, so word ORDER moves the
     // score. Model trained on even doc_ids, scored on the held-out odd
@@ -3285,6 +3304,46 @@ object SparkEntry {
           expr("(doc_id + 2) % n_nodes"),
           expr("(doc_id * 31 + 7) % n_nodes"))).as("dst"))
       graft.ops.Graph.triangleCounts(edges, "src", "dst", docs, "doc_id")
+        .orderBy("node")
+    }),
+
+    // Local clustering coefficient — triangles over wedges as exact
+    // trunc-micros on the same planted graph (spam rings score high,
+    // hubs low); degree<2 nodes are 0 by documented convention.
+    "graph_clustering_coeff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val cnt = docs.agg(count(lit(1)).as("n_nodes"))
+      val edges = docs.crossJoin(broadcast(cnt)).select(
+        col("doc_id").as("src"),
+        explode(array(
+          expr("(doc_id + 1) % n_nodes"),
+          expr("(doc_id + 2) % n_nodes"),
+          expr("(doc_id * 31 + 7) % n_nodes"))).as("dst"))
+      graft.ops.Graph.clusteringCoeff(edges, "src", "dst", docs, "doc_id")
+        .orderBy("node")
+    }),
+
+    // Bounded-round k-core peeling (k=5, 3 rounds). The planted graph
+    // differs from the triangle gate's deliberately: the ×31 chord is
+    // a BIJECTION (gcd(31, N)=1 ⇒ degree exactly 6 everywhere — k-core
+    // peeling is vacuous, measured before this formula was chosen), so
+    // the ring carries a ×2 chord instead, whose in-degree is 0 or 2 —
+    // at every SF the peel cascades through all three rounds (2 / 5 /
+    // 6 nodes at sf0.01) and leaves real survivors. The oracle replays
+    // every round as chained CTEs — a node peeled one round early or
+    // late anywhere flips the hash, including the orphaned-node case
+    // (a node whose last edge vanished peels NEXT round, not never).
+    "graph_kcore" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val cnt = docs.agg(count(lit(1)).as("n_nodes"))
+      val edges = docs.crossJoin(broadcast(cnt)).select(
+        col("doc_id").as("src"),
+        explode(array(
+          expr("(doc_id + 1) % n_nodes"),
+          expr("(doc_id + 2) % n_nodes"),
+          expr("(doc_id * 2 + 1) % n_nodes"))).as("dst"))
+      graft.ops.Graph.kCorePeel(edges, "src", "dst", docs, "doc_id",
+          k = 5, rounds = 3)
         .orderBy("node")
     }),
 
@@ -5256,6 +5315,23 @@ object SparkEntry {
         |FROM stats s JOIN post p USING (term)
         |WHERE s.df >= 5 ORDER BY s.term""".stripMargin,
 
+    // QUALIFY-window replay of the string bounded-top-k path: same
+    // (count desc, term asc) order, same lexical tie-break.
+    "x4_top_terms_per_lang" ->
+      """WITH tok AS (
+        |  SELECT lang, unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT lang, term, count(*) AS c FROM tok
+        |  WHERE term <> '' GROUP BY 1, 2),
+        |r AS (
+        |  SELECT lang, term, c,
+        |    row_number() OVER (PARTITION BY lang
+        |                       ORDER BY c DESC, term ASC) AS rk
+        |  FROM tf)
+        |SELECT lang, CAST(rk AS BIGINT) AS rk, term, CAST(c AS BIGINT) AS n
+        |FROM r WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
+
     "x4_bigram_nll" ->
       """WITH sc AS MATERIALIZED (
         |  SELECT doc_id,
@@ -6220,6 +6296,95 @@ object SparkEntry {
         |c AS (SELECT node, count(*) AS t FROM corners GROUP BY node)
         |SELECT d.doc_id AS node, CAST(coalesce(c.t, 0) AS BIGINT) AS n_triangles
         |FROM documents d LEFT JOIN c ON c.node = d.doc_id
+        |ORDER BY node""".stripMargin,
+
+    "graph_clustering_coeff" ->
+      """WITH nn AS (SELECT count(*) AS n_nodes FROM documents),
+        |raw AS (
+        |  SELECT doc_id AS s, (doc_id + 1) % n_nodes AS d FROM documents, nn
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id + 2) % n_nodes FROM documents, nn
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 31 + 7) % n_nodes FROM documents, nn),
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+        |  FROM raw WHERE s <> d),
+        |tri AS MATERIALIZED (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1
+        |  JOIN e e2 ON e1.b = e2.a
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |corners AS (
+        |  SELECT x AS node FROM tri
+        |  UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri),
+        |c AS (SELECT node, count(*) AS t FROM corners GROUP BY node),
+        |dg AS (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        |  GROUP BY node)
+        |SELECT d.doc_id AS node,
+        |  CAST(coalesce(dg.deg, 0) AS BIGINT) AS deg,
+        |  CAST(coalesce(c.t, 0) AS BIGINT) AS n_triangles,
+        |  CAST(CASE WHEN coalesce(dg.deg, 0) >= 2
+        |    THEN (2 * coalesce(c.t, 0) * 1000000) // (dg.deg * (dg.deg - 1))
+        |    ELSE 0 END AS BIGINT) AS lcc_micro
+        |FROM documents d
+        |LEFT JOIN c ON c.node = d.doc_id
+        |LEFT JOIN dg ON dg.node = d.doc_id
+        |ORDER BY node""".stripMargin,
+
+    "graph_kcore" ->
+      """WITH nn AS (SELECT count(*) AS n_nodes FROM documents),
+        |raw AS (
+        |  SELECT doc_id AS s, (doc_id + 1) % n_nodes AS d FROM documents, nn
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id + 2) % n_nodes FROM documents, nn
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 2 + 1) % n_nodes FROM documents, nn),
+        |e0 AS MATERIALIZED (
+        |  SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+        |  FROM raw WHERE s <> d),
+        |d1 AS (SELECT node, count(*) AS deg FROM (
+        |    SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1),
+        |w1 AS MATERIALIZED (
+        |  SELECT doc_id AS node FROM documents
+        |  EXCEPT SELECT node FROM d1 WHERE deg >= 5),
+        |e1 AS MATERIALIZED (
+        |  SELECT a, b FROM e0
+        |  WHERE a NOT IN (SELECT node FROM w1)
+        |    AND b NOT IN (SELECT node FROM w1)),
+        |d2 AS (SELECT node, count(*) AS deg FROM (
+        |    SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1) GROUP BY 1),
+        |w2 AS MATERIALIZED (
+        |  SELECT doc_id AS node FROM documents
+        |  EXCEPT SELECT node FROM w1
+        |  EXCEPT SELECT node FROM d2 WHERE deg >= 5),
+        |e2 AS MATERIALIZED (
+        |  SELECT a, b FROM e1
+        |  WHERE a NOT IN (SELECT node FROM w2)
+        |    AND b NOT IN (SELECT node FROM w2)),
+        |d3 AS (SELECT node, count(*) AS deg FROM (
+        |    SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2) GROUP BY 1),
+        |w3 AS MATERIALIZED (
+        |  SELECT doc_id AS node FROM documents
+        |  EXCEPT SELECT node FROM w1
+        |  EXCEPT SELECT node FROM w2
+        |  EXCEPT SELECT node FROM d3 WHERE deg >= 5),
+        |e3 AS MATERIALIZED (
+        |  SELECT a, b FROM e2
+        |  WHERE a NOT IN (SELECT node FROM w3)
+        |    AND b NOT IN (SELECT node FROM w3)),
+        |d4 AS (SELECT node, count(*) AS deg FROM (
+        |    SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3) GROUP BY 1)
+        |SELECT d.doc_id AS node,
+        |  CAST(CASE
+        |    WHEN d.doc_id IN (SELECT node FROM w1) THEN 1
+        |    WHEN d.doc_id IN (SELECT node FROM w2) THEN 2
+        |    WHEN d.doc_id IN (SELECT node FROM w3) THEN 3
+        |    ELSE 0 END AS BIGINT) AS round_removed,
+        |  CAST(coalesce(d4.deg, 0) AS BIGINT) AS final_deg
+        |FROM documents d LEFT JOIN d4 ON d4.node = d.doc_id
         |ORDER BY node""".stripMargin,
 
     // Per-lang NLL terciles: the lm/nll CTEs are the x4_lm_nll twin

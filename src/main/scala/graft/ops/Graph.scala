@@ -162,6 +162,91 @@ object Graph {
       .select(col("node"), coalesce(col("t"), lit(0L)).as("n_triangles"))
   }
 
+  /** Local clustering coefficient per node — triangles over wedges,
+    * `lcc = 2T / (d(d−1))`, the standard "how clique-like is this
+    * node's neighborhood" signal (spam rings score high, crawl hubs
+    * low). Composes [[triangleCounts]] with a degree census over the
+    * same canonical simple graph; the ratio is emitted as exact
+    * trunc-micros (`2T·10⁶ div d(d−1)`, non-negative operands — same
+    * in DuckDB's `//`), so no double ever exists. Nodes of degree < 2
+    * have no wedges: lcc_micro is 0 by convention (documented; NULL
+    * would poison downstream averages silently). Returns
+    * (node, deg, n_triangles, lcc_micro). */
+  def clusteringCoeff(edges: DataFrame, srcCol: String, dstCol: String,
+      nodes: DataFrame, nodeCol: String): DataFrame = {
+    val canon = edges.select(
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = canon.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    triangleCounts(edges, srcCol, dstCol, nodes, nodeCol)
+      .join(deg, Seq("node"), "left")
+      .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"),
+        col("n_triangles"),
+        when(coalesce(col("deg"), lit(0L)) >= 2,
+          expr("(2 * n_triangles * 1000000) div (deg * (deg - 1))"))
+          .otherwise(lit(0L)).as("lcc_micro"))
+  }
+
+  /** Bounded-round k-core peeling: `rounds` iterations of "drop every
+    * node whose CURRENT degree < k, with all its edges". After enough
+    * rounds this converges to the k-core (the maximal subgraph of
+    * min-degree ≥ k); with a fixed round budget it is the k-core's
+    * upper approximation, and the per-node output says exactly which
+    * round — `round_removed` (0 = survived all rounds) plus the
+    * surviving subgraph degree `final_deg` (0 for peeled nodes) — so a
+    * caller can both test membership and see convergence (no node
+    * peeled in the last round ⇒ converged; the gate's fixture
+    * converges, checked by the oracle replay itself).
+    *
+    * Scale shape: per round one degree census (hash agg at node
+    * cardinality) and two anti-joins of the edge table against the
+    * just-peeled node set (NOT the full removed set — only this
+    * round's delta, so the anti-join's small side stays the frontier);
+    * the shrinking edge table is re-pinned per round
+    * ([[Packing.pinExchange]]) to keep lineage O(1), same discipline
+    * as [[pagerank]]. Driver state: nothing. */
+  def kCorePeel(edges: DataFrame, srcCol: String, dstCol: String,
+      nodes: DataFrame, nodeCol: String, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1 && rounds <= 100, s"rounds must be in [1,100], got $rounds")
+    val n = nodes.select(col(nodeCol).cast("long").as("node"))
+    var live = Packing.pinExchange(edges.select(
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct())
+    // removed-set accumulator: (node, round_removed); node-cardinality
+    var removed = n.limit(0).select(col("node"), lit(0L).as("round_removed"))
+    for (r <- 1 to rounds) {
+      val deg = live.select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      // this round's frontier = not-yet-removed nodes lacking a ≥k
+      // degree — which uniformly catches under-k nodes, isolated
+      // nodes, AND nodes orphaned when a prior round took their last
+      // edge (those have NO degree row, so a deg<k filter alone would
+      // silently leave them "alive" forever)
+      val frontier = n
+        .join(removed.select(col("node")), Seq("node"), "left_anti")
+        .join(deg.filter(col("deg") >= k).select(col("node")),
+          Seq("node"), "left_anti")
+      val f = Packing.pinExchange(frontier.select(col("node")))
+      removed = Packing.pinExchange(
+        removed.unionByName(f.select(col("node"), lit(r.toLong).as("round_removed"))))
+      live = Packing.pinExchange(live
+        .join(f.select(col("node").as("a")), Seq("a"), "left_anti")
+        .join(f.select(col("node").as("b")), Seq("b"), "left_anti"))
+    }
+    val finalDeg = live.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("final_deg"))
+    n.join(removed, Seq("node"), "left")
+      .join(finalDeg, Seq("node"), "left")
+      .select(col("node"), coalesce(col("round_removed"), lit(0L)).as("round_removed"),
+        coalesce(col("final_deg"), lit(0L)).as("final_deg"))
+  }
+
   /** One PageRank round: message join + per-dst partial-agg sum + node-
     * universe restore. Exposed for plan-shape assertions — the contract
     * is "two wide ops, edge side served from cache, no broadcast of

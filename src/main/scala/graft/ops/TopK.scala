@@ -42,9 +42,43 @@ class TopKAggregator(k: Int)
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
 }
 
+/** [[TopKAggregator]]'s sibling for STRING-identified items ranked by an
+  * integer count — (count desc, id asc) ordering, the shape of "top
+  * terms per group". Same O(k) buffer / map-side partial contract. */
+class TopKStringAggregator(k: Int)
+    extends Aggregator[(Long, String), Seq[(Long, String)], Seq[(Long, String)]] {
+
+  private def ord(t: (Long, String)): (Long, String) = (-t._1, t._2)
+  private implicit val o: Ordering[(Long, String)] =
+    Ordering.Tuple2(Ordering.Long, Ordering.String)
+
+  override def zero: Seq[(Long, String)] = Vector.empty
+
+  override def reduce(buf: Seq[(Long, String)], x: (Long, String)): Seq[(Long, String)] =
+    if (buf.size < k) (buf :+ x).sortBy(ord)
+    else if (o.lt(ord(x), ord(buf.last))) (buf.init :+ x).sortBy(ord)
+    else buf
+
+  override def merge(a: Seq[(Long, String)], b: Seq[(Long, String)]): Seq[(Long, String)] =
+    (a ++ b).sortBy(ord).take(k)
+
+  override def finish(buf: Seq[(Long, String)]): Seq[(Long, String)] = buf
+
+  override def bufferEncoder: Encoder[Seq[(Long, String)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, String)]]()
+
+  override def outputEncoder: Encoder[Seq[(Long, String)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, String)]]()
+}
+
 object TopK {
   /** Untyped-column form usable in `df.groupBy(...).agg(...)`:
     * `top_k(score, id)` → array<struct<_1: double, _2: bigint>>. */
   def topK(k: Int)(score: Column, id: Column): Column =
     udaf(new TopKAggregator(k)).apply(score, id)
+
+  /** String-id variant ranked by count desc, id asc:
+    * → array<struct<_1: bigint, _2: string>>. */
+  def topKByCount(k: Int)(count: Column, id: Column): Column =
+    udaf(new TopKStringAggregator(k)).apply(count, id)
 }

@@ -119,6 +119,65 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
       assert(runTriangles(ns, es, parts = p) == expect, s"mismatch at parts=$p")
   }
 
+  test("clusteringCoeff: K4+pendant by hand — exact trunc-micros, degree<2 convention") {
+    import spark.implicits._
+    val k4 = for (i <- 0L to 3L; j <- 0L to 3L if i < j) yield (i, j)
+    val es = k4 ++ Seq((0L, 4L))
+    val got = graft.ops.Graph.clusteringCoeff(
+        es.toDF("s", "d"), "s", "d", (0L to 5L).toDF("v"), "v")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // node 0: deg 4 (K4 + pendant), T=3 → 6e6/12 = 500000
+    assert(got(0L) == (4L, 3L, 500000L))
+    // nodes 1..3: deg 3, T=3 → 6e6/6 = 1000000 (fully clustered)
+    (1L to 3L).foreach(i => assert(got(i) == (3L, 3L, 1000000L)))
+    // pendant: deg 1 → no wedges → 0 by convention; isolated → all zero
+    assert(got(4L) == (1L, 0L, 0L) && got(5L) == (0L, 0L, 0L))
+  }
+
+  /** Driver-side peel reference. */
+  private def refKCore(nodes: Seq[Long], edges: Seq[(Long, Long)], k: Int,
+      rounds: Int): Map[Long, (Long, Long)] = {
+    var live = edges.collect { case (a, b) if a != b =>
+      (math.min(a, b), math.max(a, b)) }.distinct
+    val removedAt = scala.collection.mutable.HashMap.empty[Long, Long]
+    for (r <- 1 to rounds) {
+      val deg = live.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+        .map { case (n, xs) => (n, xs.size) }
+      val frontier = nodes.filter(n =>
+        !removedAt.contains(n) && deg.getOrElse(n, 0) < k).toSet
+      frontier.foreach(n => removedAt(n) = r.toLong)
+      live = live.filter(e => !frontier(e._1) && !frontier(e._2))
+    }
+    val finalDeg = live.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .map { case (n, xs) => (n, xs.size.toLong) }
+    nodes.map(n => n -> (removedAt.getOrElse(n, 0L), finalDeg.getOrElse(n, 0L))).toMap
+  }
+
+  test("kCorePeel: cascade peeling, orphaned-hub catch, reference equality on random graphs") {
+    import spark.implicits._
+    def run(ns: Seq[Long], es: Seq[(Long, Long)], k: Int, rounds: Int) =
+      graft.ops.Graph.kCorePeel(es.toDF("s", "d"), "s", "d", ns.toDF("v"), "v", k, rounds)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // K4 with pendant chain 0-4-5: k=2 peels 5 (round 1) then 4 (round 2)
+    val k4 = for (i <- 0L to 3L; j <- 0L to 3L if i < j) yield (i, j)
+    val chain = k4 ++ Seq((0L, 4L), (4L, 5L))
+    val got = run(0L to 5L, chain, k = 2, rounds = 4)
+    assert(got(5L) == (1L, 0L) && got(4L) == (2L, 0L))
+    (0L to 3L).foreach(i => assert(got(i) == (0L, 3L)))
+    // star: leaves peel round 1; the ORPHANED hub (all edges gone, no
+    // degree row) must peel round 2, not survive silently
+    val star = (1L to 5L).map(i => (0L, i))
+    val s = run(0L to 5L, star, k = 2, rounds = 3)
+    assert((1L to 5L).forall(i => s(i) == (1L, 0L)), s.toString)
+    assert(s(0L) == (2L, 0L), s"orphaned hub must peel in round 2: ${s(0L)}")
+    // random graphs == driver reference across k
+    val rng = new scala.util.Random(7)
+    val ns = (0L until 30L).toSeq
+    val es = Seq.fill(120)((rng.nextInt(30).toLong, rng.nextInt(30).toLong))
+    for (k <- Seq(2, 4, 6))
+      assert(run(ns, es, k, 5) == refKCore(ns, es, k, 5), s"k=$k")
+  }
+
   test("triangleCounts: skewed star + rim — degree orientation bounds wedges, counts stay exact") {
     // hub 0 connected to every rim node; rim is a cycle 1..12 —
     // triangles are exactly (0, i, i+1): 12 of them. The hub has degree

@@ -38,4 +38,20 @@ class TopKSpec extends AnyFunSuite with SparkTestBase {
       .select(col("top")).as[Seq[(Double, Long)]].collect().head
     assert(out == Seq((0.7, 8L), (0.1, 9L)))
   }
+
+  test("string TopK == window (count desc, term asc), ties broken lexically, partition-invariant") {
+    val rows = Seq(("g1", 5L, "zeta"), ("g1", 5L, "alpha"), ("g1", 9L, "mid"),
+      ("g1", 1L, "low"), ("g2", 2L, "only"))
+    for (parts <- Seq(1, 4)) {
+      val df = rows.toDF("g", "c", "w").repartition(parts)
+      val viaAgg = df.groupBy(col("g"))
+        .agg(TopK.topKByCount(2)(col("c"), col("w")).as("top"))
+        .select(col("g"), explode(col("top")).as("t"))
+        .select(col("g"), col("t._1").as("c"), col("t._2").as("w"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      // tie at 5: 'alpha' beats 'zeta' lexically
+      assert(viaAgg == Set(("g1", 9L, "mid"), ("g1", 5L, "alpha"), ("g2", 2L, "only")),
+        s"parts=$parts")
+    }
+  }
 }
