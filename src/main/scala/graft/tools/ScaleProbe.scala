@@ -180,6 +180,50 @@ object ScaleProbe {
           length(col("text")).cast("long"),
           graft.ops.TextAnalysis.tokenCount(col("text"))).count()
       }
+      time("boilerplate_scrub") {
+        val lined = docs.select(col("doc_id"), col("lang"),
+          concat_ws("\n", concat(lit("hdr "), col("lang")),
+            substring(col("text"), 1, 60),
+            substring(col("text"), 61, 60)).as("text"))
+        graft.ops.Dedup.boilerplateScrub(lined, "doc_id", "text", "lang", 5).count()
+      }
+      time("inverted_index") {
+        graft.ops.TextAnalysis.invertedIndex(docs, "doc_id", "text", 5, 8).count()
+      }
+      time("bigram_nll") {
+        graft.ops.TextAnalysis.bigramNll(docs, "doc_id", "text",
+          docs.filter(col("doc_id") % 2 === 0)).count()
+      }
+      time("countmin") {
+        val sk = graft.ops.Sketch.countMin(docs.select(col("lang")), "lang", 4, 1024)
+        graft.ops.Sketch.cmsEstimate(sk,
+          docs.select(col("lang")).distinct(), "lang", 4, 1024).count()
+      }
+      lazy val nodeU = docs.select(col("doc_id"))
+      lazy val nodeCnt = nodeU.agg(count(lit(1)).as("n_nodes"))
+      def plantedEdges(third: String) =
+        nodeU.crossJoin(broadcast(nodeCnt)).select(
+          col("doc_id").as("src"),
+          explode(array(expr("(doc_id + 1) % n_nodes"),
+            expr("(doc_id + 2) % n_nodes"), expr(third))).as("dst"))
+      time("triangles") {
+        graft.ops.Graph.triangleCounts(
+          plantedEdges("(doc_id * 31 + 7) % n_nodes"), "src", "dst",
+          nodeU, "doc_id").count()
+      }
+      time("kcore") {
+        graft.ops.Graph.kCorePeel(
+          plantedEdges("(doc_id * 2 + 1) % n_nodes"), "src", "dst",
+          nodeU, "doc_id", k = 5, rounds = 3).count()
+      }
+      time("holt_trend") {
+        graft.ops.TimeSeries.holtTrend(
+          docs.select((col("doc_id") % 997L).as("k"),
+            timestamp_micros(col("doc_id") * 1000L).as("ts"),
+            col("doc_id").as("id"),
+            length(col("text")).cast("long").as("v")),
+          "k", "ts", "id", col("v") * lit(1000000L)).count()
+      }
       docs.unpersist()
     }
     spark.stop()
