@@ -1783,6 +1783,25 @@ object SparkEntry {
     // must be acyclic BY CONSTRUCTION: key 0 is its own div-10 parent,
     // and without the `>= 10` guard both engines re-derive it forever
     // (Spark stops at RECURSION_LEVEL_LIMIT; DuckDB just spins).
+    // ANSI LATERAL correlated subquery — the "top-N per outer row"
+    // form; Catalyst decorrelates the ranked correlated subquery into
+    // a keyed window + join instead of rescanning orders per customer.
+    // Raw doubles ride through untouched (no aggregation), so the hash
+    // is engine-stable without a DECIMAL cast.
+    "sql_lateral_topn" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("customer_lj")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_lj")
+      s.sql(
+        """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+          |FROM customer_lj c,
+          |LATERAL (
+          |  SELECT o_orderkey, o_totalprice
+          |  FROM orders_lj o WHERE o.o_custkey = c.c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) t
+          |WHERE c.c_custkey <= 200
+          |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
+    }),
+
     "sql_recursive_tree" -> ((s, dir) => {
       Tables.customer(s, dir).createOrReplaceTempView("customer_rt")
       s.sql(
@@ -3321,6 +3340,26 @@ object SparkEntry {
           expr("(doc_id * 31 + 7) % n_nodes"))).as("dst"))
       graft.ops.Graph.clusteringCoeff(edges, "src", "dst", docs, "doc_id")
         .orderBy("node")
+    }),
+
+    // Common-neighbors + Adamic–Adar link prediction over the planted
+    // graph: per-neighbor contributions quantized to micros BEFORE the
+    // sum (integer totals — partial-agg-order-proof), hub cap inactive
+    // here (max degree 6) but part of the op contract. The oracle
+    // replays the full wedge census with the identical ln shape;
+    // already_linked distinguishes triangle closure from genuine
+    // candidates.
+    "graph_adamic_adar" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val cnt = docs.agg(count(lit(1)).as("n_nodes"))
+      val edges = docs.crossJoin(broadcast(cnt)).select(
+        col("doc_id").as("src"),
+        explode(array(
+          expr("(doc_id + 1) % n_nodes"),
+          expr("(doc_id + 2) % n_nodes"),
+          expr("(doc_id * 31 + 7) % n_nodes"))).as("dst"))
+      graft.ops.Graph.adamicAdar(edges, "src", "dst", minCommon = 2)
+        .orderBy("v", "w")
     }),
 
     // Bounded-round k-core peeling (k=5, 3 rounds). The planted graph
@@ -5707,6 +5746,18 @@ object SparkEntry {
         |        (SELECT r_regionkey FROM region WHERE r_name = 'ASIA'))
         |ORDER BY s_name""".stripMargin,
 
+    // Window-form replay (DuckDB also speaks LATERAL, but the window
+    // form is the independent phrasing — agreement certifies the
+    // decorrelation, not a shared code path).
+    "sql_lateral_topn" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders WHERE o_custkey <= 200)
+        |WHERE rk <= 2
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+
     "sql_recursive_tree" ->
       """WITH RECURSIVE chain AS (
         |  SELECT c_custkey AS k, c_custkey AS root, 0 AS depth
@@ -6333,6 +6384,38 @@ object SparkEntry {
         |LEFT JOIN c ON c.node = d.doc_id
         |LEFT JOIN dg ON dg.node = d.doc_id
         |ORDER BY node""".stripMargin,
+
+    "graph_adamic_adar" ->
+      """WITH nn AS (SELECT count(*) AS n_nodes FROM documents),
+        |raw AS (
+        |  SELECT doc_id AS s, (doc_id + 1) % n_nodes AS d FROM documents, nn
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id + 2) % n_nodes FROM documents, nn
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 31 + 7) % n_nodes FROM documents, nn),
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+        |  FROM raw WHERE s <> d),
+        |dg AS (
+        |  SELECT u, count(*) AS deg FROM (
+        |    SELECT a AS u FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+        |nb AS MATERIALIZED (
+        |  SELECT n.u, n.x,
+        |    CAST(floor(1000000.0 / ln(CAST(dg.deg AS DOUBLE)) + 0.5)
+        |         AS BIGINT) AS aa1
+        |  FROM (SELECT a AS u, b AS x FROM e
+        |        UNION ALL SELECT b, a FROM e) n
+        |  JOIN dg ON dg.u = n.u WHERE dg.deg BETWEEN 2 AND 1000),
+        |p AS (
+        |  SELECT n1.x AS v, n2.x AS w, count(*) AS common_n,
+        |         sum(n1.aa1) AS aa_micro
+        |  FROM nb n1 JOIN nb n2 ON n1.u = n2.u AND n1.x < n2.x
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT p.v, p.w, CAST(common_n AS BIGINT) AS common_n,
+        |  CAST(aa_micro AS BIGINT) AS aa_micro,
+        |  (e2.a IS NOT NULL) AS already_linked
+        |FROM p LEFT JOIN e e2 ON e2.a = p.v AND e2.b = p.w
+        |ORDER BY v, w""".stripMargin,
 
     "graph_kcore" ->
       """WITH nn AS (SELECT count(*) AS n_nodes FROM documents),

@@ -190,6 +190,60 @@ object Graph {
           .otherwise(lit(0L)).as("lcc_micro"))
   }
 
+  /** Common-neighbors + Adamic–Adar link prediction: for every node
+    * pair sharing ≥ `minCommon` neighbors, the count and the AA score
+    * Σ_{u ∈ N(v)∩N(w)} 1/ln(deg(u)) — the classic "who should be
+    * linked" signal (rare shared neighbors weigh more than hubs).
+    * Contributions are quantized per neighbor —
+    * `floor(10⁶/ln(deg) + 0.5)` — and SUMMED AS INTEGERS, so the
+    * score is partial-agg-order-proof and oracles cell-for-cell; the
+    * ln is the one double op, shape-shared with the oracle. deg(u) ≥ 2
+    * for any wedge center, so ln is never 0.
+    *
+    * Scale note — this is NOT the triangle join: a common-neighbor
+    * CENSUS needs every wedge, not just ≺-minimal ones, so the
+    * fan-out is inherently Σ deg(u)² and degree orientation cannot
+    * save it. The standard mitigation is what real link-prediction
+    * pipelines do and `maxDegree` implements: drop hub centers above
+    * the cap before the wedge self-join (their AA contribution is the
+    * smallest anyway — 1/ln(deg) vanishes exactly where the fan-out
+    * explodes), bounding the join at |V|·cap². Returns
+    * (v, w, common_n, aa_micro, already_linked) with (v, w) id-ordered
+    * canonical; `already_linked` distinguishes triangle closure from
+    * genuine link candidates without forcing a policy here. */
+  def adamicAdar(edges: DataFrame, srcCol: String, dstCol: String,
+      minCommon: Int = 2, maxDegree: Int = 1000): DataFrame = {
+    require(minCommon >= 1, s"minCommon must be >= 1, got $minCommon")
+    require(maxDegree >= 2, s"maxDegree must be >= 2, got $maxDegree")
+    val canon = edges.select(
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = canon.select(explode(array(col("a"), col("b"))).as("u"))
+      .groupBy("u").agg(count(lit(1)).as("deg"))
+    // deg ≥ 2: a degree-1 node cannot center a wedge, and its ln(1)=0
+    // would divide-by-zero eagerly here (ANSI) before the self-join
+    // could exclude it
+    val nb = canon.select(col("a").as("u"), col("b").as("x"))
+      .unionByName(canon.select(col("b").as("u"), col("a").as("x")))
+      .join(deg.filter(col("deg") >= 2 && col("deg") <= maxDegree), Seq("u"))
+      .withColumn("aa1",
+        floor(lit(1000000.0) / log(col("deg").cast("double")) + lit(0.5))
+          .cast("long"))
+    val pairs = nb.select(col("u"), col("x").as("v"), col("aa1"))
+      .join(nb.select(col("u"), col("x").as("w")), Seq("u"))
+      .filter(col("v") < col("w"))
+      .groupBy(col("v"), col("w"))
+      .agg(count(lit(1)).as("common_n"), sum(col("aa1")).as("aa_micro"))
+      .filter(col("common_n") >= minCommon)
+    pairs
+      .join(canon.select(col("a").as("v"), col("b").as("w"),
+          lit(true).as("_l")), Seq("v", "w"), "left")
+      .select(col("v"), col("w"), col("common_n"), col("aa_micro"),
+        coalesce(col("_l"), lit(false)).as("already_linked"))
+  }
+
   /** Bounded-round k-core peeling: `rounds` iterations of "drop every
     * node whose CURRENT degree < k, with all its edges". After enough
     * rounds this converges to the k-core (the maximal subgraph of

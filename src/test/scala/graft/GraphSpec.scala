@@ -178,6 +178,52 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
       assert(run(ns, es, k, 5) == refKCore(ns, es, k, 5), s"k=$k")
   }
 
+  /** Driver-side AA reference (full wedge census, no cap). */
+  private def refAA(edges: Seq[(Long, Long)], minCommon: Int,
+      maxDegree: Int): Map[(Long, Long), (Long, Long, Boolean)] = {
+    val e = edges.collect { case (a, b) if a != b =>
+      (math.min(a, b), math.max(a, b)) }.toSet
+    val nbr = e.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (u, xs) => (u, xs.map(_._2).toSet) }
+    def f(d: Int): Long = math.floor(1000000.0 / math.log(d.toDouble) + 0.5).toLong
+    val centers = nbr.filter { case (_, xs) => xs.size <= maxDegree }
+    val acc = scala.collection.mutable.HashMap.empty[(Long, Long), (Long, Long)]
+    for ((u, xs) <- centers; v <- xs; w <- xs if v < w) {
+      val k = (v, w)
+      val (cn, aa) = acc.getOrElse(k, (0L, 0L))
+      acc(k) = (cn + 1, aa + f(xs.size))
+    }
+    acc.filter(_._2._1 >= minCommon)
+      .map { case (k, (cn, aa)) => (k, (cn, aa, e(k))) }.toMap
+  }
+
+  test("adamicAdar: hand pairs on K4+pendant; reference equality; hub cap drops wedges") {
+    import spark.implicits._
+    def run(es: Seq[(Long, Long)], minCommon: Int, maxDeg: Int) =
+      graft.ops.Graph.adamicAdar(es.toDF("s", "d"), "s", "d", minCommon, maxDeg)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    val k4 = for (i <- 0L to 3L; j <- 0L to 3L if i < j) yield (i, j)
+    val es = k4 ++ Seq((0L, 4L))
+    val got = run(es, 2, 1000)
+    def f(d: Int): Long = math.floor(1000000.0 / math.log(d.toDouble) + 0.5).toLong
+    // pair (1,2): common {0 (deg 4), 3 (deg 3)}, linked
+    assert(got((1L, 2L)) == (2L, f(4) + f(3), true))
+    // (1,4) has only common {0} → filtered at minCommon=2
+    assert(!got.contains((1L, 4L)))
+    assert(got == refAA(es, 2, 1000))
+    // random graph, incl. UNLINKED candidate pairs surfacing
+    val rng = new scala.util.Random(31)
+    val res = Seq.fill(150)((rng.nextInt(30).toLong, rng.nextInt(30).toLong))
+    val gr = run(res, 2, 1000)
+    assert(gr == refAA(res, 2, 1000) && gr.exists(!_._2._3),
+      "must surface unlinked candidates")
+    // degree cap: star hub (deg 5) excluded at maxDegree=4 — leaf
+    // pairs lose their only common neighbor
+    val star = (1L to 5L).map(i => (0L, i))
+    assert(run(star, 1, 4).isEmpty && run(star, 1, 1000).size == 10)
+  }
+
   test("triangleCounts: skewed star + rim — degree orientation bounds wedges, counts stay exact") {
     // hub 0 connected to every rim node; rim is a cycle 1..12 —
     // triangles are exactly (0, i, i+1): 12 of them. The hub has degree
