@@ -1852,6 +1852,41 @@ object SparkEntry {
     // facts. The oracle aggregates raw events directly at month grain —
     // equality proves the partials are correctly reaggregable (and that
     // avg is derived from merged sum÷count, never avg-of-avgs).
+    // Market-basket pair lift at brand grain (which brands co-occur in
+    // an order beyond what popularity predicts) — exact integer lift
+    // micros, Apriori minSupport floor, hub-style basket cap. Brand
+    // grain keeps supports meaningful at every SF where raw-part pairs
+    // would be near-singletons.
+    "agg_basket_lift" -> ((s, dir) => {
+      val baskets = Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("bk"), col("p_brand").as("it"))
+      graft.ops.Reagg.basketLift(baskets, "bk", "it", minSupport = 5)
+        .orderBy("a", "b")
+    }),
+
+    // Rolling 7-day distinct users (the WAU curve) — the one rolling
+    // metric a window frame cannot express (distinct doesn't decompose
+    // over frames): daily-grain dedup, ×7 narrow window-end expansion,
+    // one keyed distinct count. Ramp-out tail windows included by
+    // documented contract.
+    "events_rolling_wau" -> ((s, dir) => {
+      graft.ops.Reagg.rollingDistinct(Tables.events(s, dir), "ts", "user_id",
+          days = 7)
+        .orderBy("window_end")
+    }),
+
+    // ABC / Pareto classification of customers by revenue: cumulative
+    // share through the distributed prefix-sum (range exchange + O(P)
+    // driver rows — never a single-reducer window), class verdicts as
+    // exact integer cross-multiplications on cents; the oracle's
+    // window-form replay certifies the cut boundaries inclusively.
+    "agg_abc_customers" -> ((s, dir) => {
+      graft.ops.Reagg.abcClasses(Tables.orders(s, dir), "o_custkey",
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .orderBy("o_custkey")
+    }),
+
     "agg_reaggregate_monthly" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val daily = Reagg.partials(ev, Seq("event_type"), to_date(col("ts")), col("value"))
@@ -6033,6 +6068,55 @@ object SparkEntry {
         |  (x | (x << 1)) & 6148914691236517205 AS x, (y | (y << 1)) & 6148914691236517205 AS y FROM c4)
         |SELECT l_orderkey, l_linenumber, x | (y << 1) AS zval
         |FROM c5 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "agg_basket_lift" ->
+      """WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS bk, p_brand AS it
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |sz AS (SELECT bk FROM li GROUP BY bk HAVING count(*) <= 1000),
+        |s AS MATERIALIZED (SELECT li.bk, li.it FROM li JOIN sz USING (bk)),
+        |nb AS (SELECT count(DISTINCT bk) AS n FROM s),
+        |ic AS (SELECT it, count(*) AS c FROM s GROUP BY 1),
+        |p AS (
+        |  SELECT s1.it AS a, s2.it AS b, count(*) AS pair_n
+        |  FROM s s1 JOIN s s2 ON s1.bk = s2.bk AND s1.it < s2.it
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT p.a, p.b, CAST(pair_n AS BIGINT) AS pair_n,
+        |  CAST((pair_n * n * 1000000) // (ca.c * cb.c) AS BIGINT) AS lift_micro
+        |FROM p
+        |JOIN ic ca ON ca.it = p.a
+        |JOIN ic cb ON cb.it = p.b
+        |CROSS JOIN nb
+        |ORDER BY a, b""".stripMargin,
+
+    "events_rolling_wau" ->
+      """WITH daily AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+        |ex AS (
+        |  SELECT CAST(unnest(generate_series(CAST(d AS TIMESTAMP),
+        |      CAST(d AS TIMESTAMP) + INTERVAL 6 DAY, INTERVAL 1 DAY))
+        |    AS DATE) AS window_end, user_id
+        |  FROM daily)
+        |SELECT window_end, CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+        |FROM ex GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "agg_abc_customers" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |         AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT sum(v) AS tt FROM per),
+        |r AS (
+        |  SELECT o_custkey, v,
+        |    sum(v) OVER (ORDER BY v DESC, o_custkey
+        |                 ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM per)
+        |SELECT o_custkey, v AS value, CAST(cum AS BIGINT) AS cum_value,
+        |  CASE WHEN cum * 100 <= tt * 80 THEN 'A'
+        |       WHEN cum * 100 <= tt * 95 THEN 'B'
+        |       ELSE 'C' END AS abc_class
+        |FROM r, t ORDER BY o_custkey""".stripMargin,
 
     "agg_reaggregate_monthly" ->
       """SELECT CAST(date_trunc('month', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS month_start,

@@ -48,4 +48,95 @@ object Reagg {
       .withColumn("avg_v",
         (col("total") / col("n")).cast("decimal(18,6)"))
   }
+
+  /** Market-basket pair lift — which items co-occur MORE than their
+    * popularities predict: `lift(a,b) = P(a,b) / (P(a)·P(b)) =
+    * c_ab·N / (c_a·c_b)` over basket-presence counts, emitted as exact
+    * trunc-micros (every factor is a BIGINT count, the one division is
+    * `div` — no double ever exists). `minSupport` floors the pair
+    * count (the Apriori pruning every basket miner applies);
+    * `maxBasket` caps pathological baskets BEFORE the pair self-join —
+    * the fan-out is per-basket |items|², so one degenerate
+    * 10⁶-item basket is 10¹² pairs, and capping is the standard
+    * mitigation (the [[Graph.adamicAdar]] hub-cap discipline).
+    * Headroom: `pair_n·N·10⁶` needs N ≲ 3×10⁶ baskets at the
+    * worst-case pair_n == N; real pair supports are far below N —
+    * route through DECIMAL(38,0) if your basket count and your top
+    * pair support multiply past ~9·10¹⁸.
+    *
+    * Returns (a, b, pair_n, lift_micro), pair id-ordered canonical;
+    * lift_micro > 10⁶ means positively associated. */
+  def basketLift(df: DataFrame, basket: String, item: String,
+      minSupport: Long = 2, maxBasket: Int = 1000): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    require(maxBasket >= 2, s"maxBasket must be >= 2, got $maxBasket")
+    val items = df.select(col(basket).as("_b"), col(item).as("_i")).distinct()
+    val sized = items.join(
+      items.groupBy("_b").agg(count(lit(1)).as("_bn"))
+        .filter(col("_bn") <= maxBasket).select(col("_b")), Seq("_b"))
+    // all census terms over the SAME capped basket universe, or the
+    // probabilities stop being probabilities
+    val n = sized.select(col("_b")).distinct().agg(count(lit(1)).as("_n"))
+    val itemC = sized.groupBy(col("_i")).agg(count(lit(1)).as("_c"))
+    sized.select(col("_b"), col("_i").as("a"))
+      .join(sized.select(col("_b"), col("_i").as("b")), Seq("_b"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("pair_n"))
+      .filter(col("pair_n") >= minSupport)
+      .join(itemC.select(col("_i").as("a"), col("_c").as("_ca")), Seq("a"))
+      .join(itemC.select(col("_i").as("b"), col("_c").as("_cb")), Seq("b"))
+      .crossJoin(broadcast(n))
+      .select(col("a"), col("b"), col("pair_n"),
+        expr("(pair_n * _n * 1000000) div (_ca * _cb)").as("lift_micro"))
+  }
+
+  /** Rolling N-day distinct entities — the DAU→WAU/MAU family, the
+    * one rolling metric a plain window CANNOT express (distinct does
+    * not decompose over frames). Shape: dedup to (day, key) grain
+    * first (the corpus-size reducer), then each day-key credits the N
+    * window-ends covering it — a NARROW ×N expansion — and one
+    * (window_end)-keyed distinct count finishes. Never a row-range
+    * window, never a per-key sort; cost is N× the DAILY-grain table,
+    * not N× the raw events.
+    *
+    * Emits every window_end any activity covers — including the
+    * ramp-out tail past the last active day (those windows genuinely
+    * contain the trailing users; callers wanting only fully-formed
+    * windows filter `window_end <= max(day)`). */
+  def rollingDistinct(df: DataFrame, ts: String, key: String,
+      days: Int): DataFrame = {
+    require(days >= 1 && days <= 366, s"days must be in [1,366], got $days")
+    df.select(to_date(col(ts)).as("_d"), col(key).as("_k")).distinct()
+      .select(explode(sequence(col("_d"), date_add(col("_d"), days - 1)))
+        .as("window_end"), col("_k"))
+      .groupBy("window_end")
+      .agg(countDistinct(col("_k")).as("n_active"))
+  }
+
+  /** ABC / Pareto classification: rank keys by total value desc, then
+    * class A = keys whose INCLUSIVE cumulative share stays ≤ cut₁
+    * (default 80%), B up to cut₂ (95%), C the tail — the "20% of
+    * customers carry 80% of revenue" census. The cumulative sum runs
+    * through the distributed prefix-sum family
+    * ([[Packing.assignShardsOrdered]] — one range exchange, O(P)
+    * driver rows), NEVER a corpus-wide single-reducer window; class
+    * verdicts are exact integer cross-multiplications
+    * (`cum·100 ≤ total·cut`) on the caller's integer value units.
+    * A boundary-straddling key (its cum crosses the cut) lands in the
+    * NEXT class — documented, and exactly what the inclusive-≤ rule
+    * says. Returns per-key rows (key, value, cum_value, abc_class). */
+  def abcClasses(df: DataFrame, key: String, value: Column,
+      cut1Pct: Int = 80, cut2Pct: Int = 95): DataFrame = {
+    require(cut1Pct >= 1 && cut1Pct < cut2Pct && cut2Pct < 100,
+      s"need 1 <= cut1 < cut2 < 100, got $cut1Pct/$cut2Pct")
+    val per = df.groupBy(col(key)).agg(sum(value).as("_v"))
+    val ranked = Packing.assignShardsOrdered(per,
+      Seq(col("_v").desc, col(key).asc), "_v", budget = Long.MaxValue)
+    val total = per.agg(sum(col("_v")).as("_t"))
+    ranked.crossJoin(broadcast(total))
+      .select(col(key), col("_v").as("value"), col("cum_w").as("cum_value"),
+        when(col("cum_w") * 100 <= col("_t") * cut1Pct, lit("A"))
+          .when(col("cum_w") * 100 <= col("_t") * cut2Pct, lit("B"))
+          .otherwise(lit("C")).as("abc_class"))
+  }
 }

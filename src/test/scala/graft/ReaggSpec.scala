@@ -97,4 +97,50 @@ class ReaggSpec extends AnyFunSuite with SparkTestBase {
       assert(merged == full, s"split id % $m broke the maintenance identity")
     }
   }
+
+  test("basketLift: hand lift, minSupport floor, basket cap recomputes the universe") {
+    val rows = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "z"), (4L, "y"), (1L, "x") /* dup presence */)
+      .toDF("bk", "it")
+    val got = graft.ops.Reagg.basketLift(rows, "bk", "it", minSupport = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // N=4 baskets, c_x=3, c_y=3; (x,y) in baskets 1,2 → 2·4·1e6/9
+    assert(got == Map(("x", "y") -> (2L, 888888L)))
+    // cap at 2 items: add basket 5 with 3 items — it must vanish AND
+    // the census must shrink to the capped universe
+    val withBig = rows.unionByName(Seq((5L, "x"), (5L, "y"), (5L, "q"))
+      .toDF("bk", "it"))
+    val capped = graft.ops.Reagg.basketLift(withBig, "bk", "it",
+        minSupport = 2, maxBasket = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(capped == Map(("x", "y") -> (2L, 888888L)),
+      "capped basket must not contribute pairs or counts")
+  }
+
+  test("rollingDistinct: hand 2-day windows incl. ramp-out tail") {
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-0$d 10:00:00")
+    val ev = Seq((ts(1), 10L), (ts(1), 11L), (ts(2), 10L), (ts(4), 12L),
+      (ts(1), 10L)).toDF("ts", "user_id")
+    val got = graft.ops.Reagg.rollingDistinct(ev, "ts", "user_id", days = 2)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    // window_end=d counts users active in {d-1, d}
+    assert(got == Map(
+      "2024-01-01" -> 2L, // {10,11}
+      "2024-01-02" -> 2L, // day1 ∪ day2 = {10,11}
+      "2024-01-03" -> 1L, // only day2 {10}
+      "2024-01-04" -> 1L, // {12}
+      "2024-01-05" -> 1L)) // ramp-out of day 4
+  }
+
+  test("abcClasses: inclusive-≤ boundaries land exactly on the cuts") {
+    val per = Seq((1L, 50L), (2L, 30L), (3L, 15L), (4L, 5L)).toDF("k", "v")
+    val got = graft.ops.Reagg.abcClasses(per, "k", col("v"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    // total 100; cum 50→A, 80→A (80·100 == 100·80, inclusive), 95→B
+    // (== cut2 exactly), 100→C
+    assert(got == Map(1L -> (50L, "A"), 2L -> (80L, "A"),
+      3L -> (95L, "B"), 4L -> (100L, "C")))
+  }
 }
