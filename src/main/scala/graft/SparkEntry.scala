@@ -1783,6 +1783,51 @@ object SparkEntry {
     // must be acyclic BY CONSTRUCTION: key 0 is its own div-10 parent,
     // and without the `>= 10` guard both engines re-derive it forever
     // (Spark stops at RECURSION_LEVEL_LIMIT; DuckDB just spins).
+    // Integer-division SIGN semantics pinned as data: Spark's DIV and
+    // DuckDB's // both truncate toward zero, and % follows the
+    // dividend's sign — the convention every exact-integer op in this
+    // repo leans on (Holt's negative trends found it the hard way);
+    // pmod's always-non-negative form is the floor-mod twin. A future
+    // engine/version flipping any of these breaks this gate first.
+    "sql_intdiv_semantics" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_idv")
+      s.sql(
+        """SELECT l_orderkey, l_linenumber,
+          |  CAST(l_quantity AS BIGINT) - 25 AS x,
+          |  (CAST(l_quantity AS BIGINT) - 25) DIV 7 AS x_div,
+          |  (CAST(l_quantity AS BIGINT) - 25) % 7 AS x_mod,
+          |  pmod(CAST(l_quantity AS BIGINT) - 25, 7) AS x_pmod
+          |FROM lineitem_idv WHERE l_orderkey <= 200
+          |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    }),
+
+    // Fixed-width text interchange — the mainframe/enterprise flat-file
+    // format beside CSV/JSONL/XML: write events as zero-padded
+    // fixed-offset lines (money as integer cents — fixed width and
+    // float formatting don't mix), read back by column offsets, and
+    // prove nothing was lost against the oracle's DIRECT aggregation
+    // of the source table.
+    "fixedwidth_roundtrip_load" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_fw").toString
+      val ev = Tables.events(s, dir)
+      val line = concat(
+        lpad(col("event_id").cast("string"), 12, "0"),
+        lpad(col("user_id").cast("string"), 10, "0"),
+        rpad(col("event_type"), 10, " "),
+        lpad(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .cast("string"), 12, "0"))
+      ev.select(line.as("value")).write.mode("overwrite").text(tmp)
+      s.read.text(tmp).select(
+          expr("CAST(substring(value, 1, 12) AS BIGINT)").as("event_id"),
+          expr("CAST(substring(value, 13, 10) AS BIGINT)").as("user_id"),
+          expr("rtrim(substring(value, 23, 10))").as("event_type"),
+          expr("CAST(substring(value, 33, 12) AS BIGINT)").as("value_cents"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("cents"),
+          countDistinct(col("user_id")).as("users"))
+        .orderBy("event_type")
+    }),
+
     // ANSI LATERAL correlated subquery — the "top-N per outer row"
     // form; Catalyst decorrelates the ranked correlated subquery into
     // a keyed window + join instead of rescanning orders per customer.
@@ -5780,6 +5825,24 @@ object SparkEntry {
         |    WHERE n_regionkey IN
         |        (SELECT r_regionkey FROM region WHERE r_name = 'ASIA'))
         |ORDER BY s_name""".stripMargin,
+
+    "sql_intdiv_semantics" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(l_quantity AS BIGINT) - 25 AS x,
+        |  (CAST(l_quantity AS BIGINT) - 25) // 7 AS x_div,
+        |  (CAST(l_quantity AS BIGINT) - 25) % 7 AS x_mod,
+        |  ((CAST(l_quantity AS BIGINT) - 25) % 7 + 7) % 7 AS x_pmod
+        |FROM lineitem WHERE l_orderkey <= 200
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // Direct aggregation of the SOURCE table — hash equality proves
+    // the fixed-width round trip lost nothing.
+    "fixedwidth_roundtrip_load" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |       AS BIGINT) AS cents,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Window-form replay (DuckDB also speaks LATERAL, but the window
     // form is the independent phrasing — agreement certifies the
