@@ -4,12 +4,13 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.expr.{DeletionNeighborhoodHashes, DotProductFloat, DotProductFloatWide, DotProductInt, SignProjectionBucket, SimHash64, WordShingleHashes}
+import graft.expr.{DeletionNeighborhoodHashes, DotProductFloat, DotProductFloatWide, DotProductInt, SignProjectionBucket, SimHash64, UnicodeNormalize, WordShingleHashes}
 
 /** SQL surface for the custom expressions: `word_shingle_hashes(text, k,
   * distinct)`, `dot_product_f(a, b)`, `dot_product_i(a, b)`,
   * `dot_product_fw(a, b)`, `sign_projection_bucket(v, planes)`,
-  * `simhash64(text)`.
+  * `simhash64(text)`, `deletion_neighborhood_hashes(text, maxDist)`,
+  * `unicode_normalize(text, 'NFC'|'NFD'|'NFKC'|'NFKD')`.
   *
   * Two registration paths:
   *  - cluster/spark-submit: `--conf spark.sql.extensions=graft.GraftExtensions`
@@ -58,7 +59,14 @@ object GraftExtensions {
       new ExpressionInfo(classOf[DeletionNeighborhoodHashes].getName,
         "deletion_neighborhood_hashes"),
       (args: Seq[Expression]) =>
-        DeletionNeighborhoodHashes(args.head, intArg(args(1), "maxDist")))
+        DeletionNeighborhoodHashes(args.head, intArg(args(1), "maxDist"))),
+    ("unicode_normalize",
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
+      (args: Seq[Expression]) => UnicodeNormalize(args.head, args(1) match {
+        case Literal(v, _) if v != null => v.toString
+        case other => throw new IllegalArgumentException(
+          s"form must be a string literal, got $other")
+      }))
   )
 
   /** Register on an already-built session (test/REPL path). */

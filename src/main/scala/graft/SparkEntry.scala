@@ -2723,6 +2723,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // X4 — Unicode normalization through the codegen'd kernel: the
+    // same visible text arrives composed and decomposed from the web,
+    // and every hash-keyed op (dedup, shingles, BPE vocab) silently
+    // splits on it unless normalized first. The fixture text gets a
+    // decomposed+compatibility prefix planted by formula; the oracle
+    // does NOT call a normalizer — it constructs the EXPECTED NFC and
+    // NFKC strings from the Unicode standard's mappings directly, so
+    // Spark-side kernel agreement is certified against independent
+    // truth, not a second library.
+    "x4_unicode_normalize" -> ((s, dir) => {
+      val raw = concat(lit("café Å ①⑵ ﬁn "),
+        substring(col("text"), 1, 40))
+      Tables.documents(s, dir).select(col("doc_id"), raw.as("t"))
+        .select(col("doc_id"),
+          length(col("t")).cast("long").as("len_raw"),
+          length(graft.expr.UnicodeNormalize(col("t"), "NFC")).cast("long")
+            .as("len_nfc"),
+          md5(graft.expr.UnicodeNormalize(col("t"), "NFC")).as("nfc_md5"),
+          length(graft.expr.UnicodeNormalize(col("t"), "NFKC")).cast("long")
+            .as("len_nfkc"),
+          md5(graft.expr.UnicodeNormalize(col("t"), "NFKC")).as("nfkc_md5"))
+        .orderBy("doc_id")
+    }),
+
     // X4 — URL parsing to the domain-quota grain (per-domain doc and
     // host counts, the keys crawl curation caps on). URLs are planted
     // by formula; Spark REALLY parses them (native parse_url +
@@ -5494,6 +5518,27 @@ object SparkEntry {
         |  CAST(coalesce(a.nll_micro, 0) AS BIGINT) AS nll_micro
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id""".stripMargin,
+
+    // Expected strings constructed from the Unicode standard's own
+    // mappings (U+0065 U+0301 → U+00E9, U+2460 → '1', U+FB01 → 'fi',
+    // …) — no normalizer runs on the oracle side.
+    "x4_unicode_normalize" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    'cafe' || chr(769) || ' A' || chr(778) || ' ' || chr(9312) ||
+        |      chr(9333) || ' ' || chr(64257) || 'n ' || substr(text, 1, 40) AS raw,
+        |    'caf' || chr(233) || ' ' || chr(197) || ' ' || chr(9312) ||
+        |      chr(9333) || ' ' || chr(64257) || 'n ' || substr(text, 1, 40) AS nfc,
+        |    'caf' || chr(233) || ' ' || chr(197) ||
+        |      ' 1(2) fin ' || substr(text, 1, 40) AS nfkc
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(raw) AS BIGINT) AS len_raw,
+        |  CAST(length(nfc) AS BIGINT) AS len_nfc,
+        |  md5(nfc) AS nfc_md5,
+        |  CAST(length(nfkc) AS BIGINT) AS len_nfkc,
+        |  md5(nfkc) AS nfkc_md5
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     // The oracle computes host/domain straight from the URL-planting
     // formula — Spark's parse_url must agree or counts shift.

@@ -122,4 +122,41 @@ class ExpressionsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(0).getSeq[Long](0).length == 1)
     assert(out(1).isNullAt(0))
   }
+
+  test("UnicodeNormalize: NFC composes, NFKC compatibility-folds, idempotent, SQL surface, null") {
+    // e + combining acute (U+0301) -> U+00E9; A + combining ring
+    // (U+030A) -> U+00C5; NFKC additionally folds circled-one U+2460
+    // -> "1", parenthesized-two U+2475 -> "(2)", fi-ligature U+FB01
+    // -> "fi"
+    val decomposed = "cafe\u0301 A\u030A \u2460\u2475 \uFB01n"
+    val df = Seq(Some(decomposed), Some("plain ascii"), None).toDF("t")
+    val out = df.select(
+      graft.expr.UnicodeNormalize(col("t"), "NFC").as("nfc"),
+      graft.expr.UnicodeNormalize(col("t"), "NFKC").as("nfkc")).collect()
+    assert(out(0).getString(0) == "caf\u00E9 \u00C5 \u2460\u2475 \uFB01n")
+    assert(out(0).getString(1) == "caf\u00E9 \u00C5 1(2) fin")
+    // ASCII short-circuits unchanged; null propagates
+    assert(out(1).getString(0) == "plain ascii" && out(1).getString(1) == "plain ascii")
+    assert(out(2).isNullAt(0) && out(2).isNullAt(1))
+    // idempotence + agreement with the JDK reference on mixed probes
+    val probe = Seq("e\u0301\u0301x", "\uFF21\uFF22c", "no\u0308el", "")
+      .map(Some(_)).toDF("t")
+    val got = probe.select(col("t"),
+      graft.expr.UnicodeNormalize(col("t"), "NFKC").as("n1"),
+      graft.expr.UnicodeNormalize(
+        graft.expr.UnicodeNormalize(col("t"), "NFKC"), "NFKC").as("n2")).collect()
+    got.foreach { r =>
+      val want = java.text.Normalizer.normalize(r.getString(0),
+        java.text.Normalizer.Form.NFKC)
+      assert(r.getString(1) == want && r.getString(2) == want)
+    }
+    // registered SQL surface
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT unicode_normalize('cafe\u0301', 'NFC')").collect().head.getString(0)
+    assert(viaSql == "caf\u00E9")
+    // bad form rejected loudly at the Column API
+    intercept[IllegalArgumentException](
+      graft.expr.UnicodeNormalize(col("t"), "NFX"))
+  }
 }
