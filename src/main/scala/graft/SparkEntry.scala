@@ -2432,6 +2432,52 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The COMPOSED curation pipeline — what an actual corpus build
+    // runs, end to end in one lazy plan: lined construction →
+    // boilerplate scrub (per-source line census) → quality floor
+    // (≥20 tokens of CLEAN text) → global exact content dedup (min
+    // doc id survives, its source credited) → per-source attrition
+    // census with surviving token mass. Every stage is an op gated
+    // individually elsewhere; this gate certifies their COMPOSITION —
+    // stage boundaries (empty scrubbed docs, quality on post-scrub
+    // text, dedup after quality) are where pipelines really break.
+    "pipeline_curation_census" -> ((s, dir) => {
+      // every 25th doc gets a CONSTANT body, so the dedup stage has
+      // real work: after the scrub removes the per-doc promo/foot
+      // lines (or where their digits collide below the threshold),
+      // those docs' clean texts coincide and all but the min id drop
+      val dupBody = "alpha beta gamma delta epsilon zeta eta theta iota " +
+        "kappa lambda mu nu xi omicron pi rho sigma tau upsilon phi chi"
+      val body = when(col("doc_id") % 25 === 0, lit(dupBody))
+        .otherwise(col("text"))
+      val lined = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        concat_ws("\n",
+          concat(lit("hdr "), col("source")),
+          substring(body, 1, 60),
+          when(col("doc_id") % 3 === 0, concat(lit("promo "), col("source"))),
+          substring(body, 61, 60),
+          concat(lit("foot "), (col("doc_id") % 7).cast("string"))).as("text"))
+      val clean = Dedup.boilerplateScrub(lined, "doc_id", "text", "source",
+        minDocs = 5)
+      val scored = clean.select(col("doc_id"), col("source"), col("clean_text"),
+        size(filter(split(col("clean_text"), "\\s+"), t => t =!= lit("")))
+          .cast("long").as("n_tok"))
+      val quality = scored.filter(col("n_tok") >= 20)
+      val unique = quality.groupBy(col("clean_text"))
+        .agg(min(struct(col("doc_id"), col("source"), col("n_tok"))).as("k"))
+        .select(col("k.source").as("source"), col("k.n_tok").as("n_tok"))
+      val raw = lined.groupBy("source").agg(count(lit(1)).as("n_raw"))
+      val q = quality.groupBy("source").agg(count(lit(1)).as("n_quality"))
+      val u = unique.groupBy("source").agg(count(lit(1)).as("n_unique"),
+        sum(col("n_tok")).as("tokens_unique"))
+      raw.join(q, Seq("source"), "left").join(u, Seq("source"), "left")
+        .select(col("source"), col("n_raw"),
+          coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+          coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+          coalesce(col("tokens_unique"), lit(0L)).as("tokens_unique"))
+        .orderBy("source")
+    }),
+
     // X4 — Gopher-style repetition stats (integer ingredients of the
     // top-word-fraction / duplicate-bigram-fraction quality rules).
     "x4_repetition_stats" -> ((s, dir) => {
@@ -5518,6 +5564,61 @@ object SparkEntry {
         |  CAST(coalesce(a.nll_micro, 0) AS BIGINT) AS nll_micro
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id""".stripMargin,
+
+    // Full-pipeline replay: the boilerplate CTEs (same as
+    // x3_boilerplate_scrub) feed quality, global dedup, and the
+    // per-source census — one SQL chain per pipeline stage.
+    "pipeline_curation_census" ->
+      """WITH src AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 25 = 0 THEN
+        |      'alpha beta gamma delta epsilon zeta eta theta iota ' ||
+        |      'kappa lambda mu nu xi omicron pi rho sigma tau upsilon phi chi'
+        |    ELSE text END AS body
+        |  FROM documents),
+        |lined AS MATERIALIZED (
+        |  SELECT doc_id, source,
+        |    concat_ws(chr(10),
+        |      'hdr ' || source,
+        |      substr(body, 1, 60),
+        |      CASE WHEN doc_id % 3 = 0 THEN 'promo ' || source END,
+        |      substr(body, 61, 60),
+        |      'foot ' || CAST(doc_id % 7 AS VARCHAR)) AS text
+        |  FROM src),
+        |l AS MATERIALIZED (
+        |  SELECT doc_id, source, pos, ls[pos + 1] AS line
+        |  FROM (SELECT doc_id, source, ls, unnest(range(0, len(ls))) AS pos
+        |        FROM (SELECT doc_id, source,
+        |                string_split(text, chr(10)) AS ls FROM lined))),
+        |boiler AS (
+        |  SELECT source, line FROM l GROUP BY source, line
+        |  HAVING count(DISTINCT doc_id) >= 5),
+        |kept AS (
+        |  SELECT l.doc_id, string_agg(l.line, chr(10) ORDER BY l.pos) AS clean_text
+        |  FROM l
+        |  WHERE NOT EXISTS (SELECT 1 FROM boiler b
+        |                    WHERE b.source = l.source AND b.line = l.line)
+        |  GROUP BY l.doc_id),
+        |tk AS MATERIALIZED (
+        |  SELECT lined.doc_id, lined.source,
+        |    coalesce(kept.clean_text, '') AS clean_text,
+        |    CAST(len(list_filter(string_split_regex(
+        |        coalesce(kept.clean_text, ''), '\s+'), x -> x <> ''))
+        |      AS BIGINT) AS n_tok
+        |  FROM lined LEFT JOIN kept USING (doc_id)),
+        |q AS MATERIALIZED (SELECT * FROM tk WHERE n_tok >= 20),
+        |u AS (SELECT clean_text, min(doc_id) AS doc_id FROM q GROUP BY 1),
+        |uq AS (SELECT q.source, q.n_tok FROM q JOIN u ON q.doc_id = u.doc_id),
+        |r AS (SELECT source, count(*) AS n_raw FROM lined GROUP BY 1),
+        |qq AS (SELECT source, count(*) AS n_quality FROM q GROUP BY 1),
+        |uu AS (SELECT source, count(*) AS n_unique,
+        |         sum(n_tok) AS tokens_unique FROM uq GROUP BY 1)
+        |SELECT r.source, CAST(n_raw AS BIGINT) AS n_raw,
+        |  CAST(coalesce(n_quality, 0) AS BIGINT) AS n_quality,
+        |  CAST(coalesce(n_unique, 0) AS BIGINT) AS n_unique,
+        |  CAST(coalesce(tokens_unique, 0) AS BIGINT) AS tokens_unique
+        |FROM r LEFT JOIN qq USING (source) LEFT JOIN uu USING (source)
+        |ORDER BY source""".stripMargin,
 
     // Expected strings constructed from the Unicode standard's own
     // mappings (U+0065 U+0301 → U+00E9, U+2460 → '1', U+FB01 → 'fi',
