@@ -2673,6 +2673,41 @@ object SparkEntry {
       TextAnalysis.unigramNll(docs, "doc_id", "text", lm).orderBy("doc_id")
     }),
 
+    // Multinomial Naive Bayes (ops.NaiveBayes) — train on even docs
+    // (label = lang), emit the full per-doc × per-class log-likelihood
+    // matrix for a fixed held-out slice. Every cell is BIGINT micros
+    // (ln per distinct class-word, floored, then integer sums), so the
+    // oracle replays train + score end-to-end and hash-matches
+    // cell-for-cell — the classifier itself is certified, not just its
+    // argmax.
+    "x4_nb_scores" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val model = graft.ops.NaiveBayes.train(
+        docs.filter(col("doc_id") % 2 === 0), "lang", "text")
+      graft.ops.NaiveBayes.score(
+          docs.filter(col("doc_id") % 2 === 1 && col("doc_id") < 400),
+          "doc_id", "text", model)
+        .orderBy("doc_id", "label")
+    }),
+
+    // NB argmax + confusion census over ALL held-out docs: predicted
+    // class per doc (integer-exact comparison, ties to lowest label),
+    // crossed with true lang. sum_ll_micro pins the winning scores
+    // through the census, so a wrong-but-same-count argmax cannot
+    // slip through.
+    "x4_nb_confusion" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val model = graft.ops.NaiveBayes.train(
+        docs.filter(col("doc_id") % 2 === 0), "lang", "text")
+      val scored = graft.ops.NaiveBayes.score(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", model)
+      graft.ops.NaiveBayes.classify(scored, "doc_id")
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy(col("lang").as("true_lang"), col("pred_label"))
+        .agg(count(lit(1)).as("n"), sum(col("best_ll_micro")).as("sum_ll_micro"))
+        .orderBy("true_lang", "pred_label")
+    }),
+
     // X4v apply, GPT-2 shape — encode over pretokens with merges
     // trained over the pretoken vocabulary.
     "x4_bpe_encode_pretoken" -> ((s, dir) => {
@@ -3362,6 +3397,77 @@ object SparkEntry {
           (abs(col("_est") - col("n_exact")) * 10 <= col("n_exact"))
             .as("est_within_10pct"))
         .orderBy("event_type")
+    }),
+
+    // KMV distinct sketch (Sketch.kmv) — per-quarter distinct-part
+    // census through the k-minimum-values sketch: exact BIGINT truth
+    // beside pinned estimator-quality booleans. Set sizes cross the
+    // k=256 boundary across SFs (119 parts/qtr at sf0.001 → ~14k at
+    // sf0.1), so the exact-when-small branch AND the (k-1)/u_k order-
+    // statistic estimator are both load-bearing: at small SF the sketch
+    // IS the distinct set (est must equal truth exactly — pinned), at
+    // large SF the 20% bound (~3σ at k=256) must hold. One O(k)-buffer
+    // hash agg; the distinct domain never shuffles.
+    "sketch_kmv_distinct" -> ((s, dir) => {
+      val k = 256
+      val li = Tables.lineitem(s, dir).select(
+        concat(year(col("l_shipdate")), lit("-Q"), quarter(col("l_shipdate")))
+          .as("qtr"),
+        col("l_partkey"))
+      val sk = graft.ops.Sketch.kmv(li, "qtr", col("l_partkey"), k)
+        .withColumn("_est", graft.ops.Sketch.kmvEstimate(col("kh"), k))
+      val exact = li.groupBy("qtr")
+        .agg(countDistinct(col("l_partkey")).as("n_exact"))
+      exact.join(sk, Seq("qtr"))
+        .select(col("qtr"), col("n_exact"),
+          when(size(col("kh")) < k, col("_est") === col("n_exact").cast("double"))
+            .otherwise(abs(col("_est") - col("n_exact")) * 5 <= col("n_exact"))
+            .as("est_ok"),
+          (size(col("kh")) === least(lit(k), col("n_exact").cast("int")))
+            .as("sketch_size_sound"))
+        .orderBy("qtr")
+    }),
+
+    // KMV set algebra (Sketch.kmvSetOps) — the operation neither CMS
+    // nor HLL supports: Jaccard / intersection / union estimates
+    // between per-year Q1 vs Q3 part sets computed from the two O(k)
+    // sketches ALONE (merge-dedup-trim is exactly the union's sketch).
+    // Exact truth columns (n_a/n_b/n_inter/n_union/j_exact_micro) ride
+    // beside the estimator verdicts so the oracle recomputes the whole
+    // set-overlap census independently; ~65%-of-universe quarterly sets
+    // put true J near 0.5 — the regime where a broken estimator can't
+    // hide at either end of [0,1].
+    "sketch_kmv_jaccard" -> ((s, dir) => {
+      val k = 256
+      val base = Tables.lineitem(s, dir)
+        .filter(quarter(col("l_shipdate")).isin(1, 3))
+        .select(year(col("l_shipdate")).cast("long").as("yr"),
+          quarter(col("l_shipdate")).as("q"), col("l_partkey"))
+      def side(q: Int, as: String) = graft.ops.Sketch.kmv(
+        base.filter(col("q") === q), "yr", col("l_partkey"), k)
+        .withColumnRenamed("kh", as)
+      val est = graft.ops.Sketch.kmvSetOps(
+        side(1, "kh_a").join(side(3, "kh_b"), Seq("yr")), "kh_a", "kh_b", k)
+      val exact = base
+        .groupBy(col("yr"), col("l_partkey"))
+        .agg(max(when(col("q") === 1, 1L).otherwise(0L)).as("ina"),
+          max(when(col("q") === 3, 1L).otherwise(0L)).as("inb"))
+        .groupBy(col("yr"))
+        .agg(sum(col("ina")).as("n_a"), sum(col("inb")).as("n_b"),
+          sum(col("ina") * col("inb")).as("n_inter"),
+          count(lit(1)).as("n_union"))
+      exact.join(est, Seq("yr"))
+        .withColumn("j_exact_micro",
+          expr("CAST((1000000 * n_inter) DIV n_union AS BIGINT)"))
+        .select(col("yr"), col("n_a"), col("n_b"), col("n_inter"),
+          col("n_union"), col("j_exact_micro"),
+          (abs(col("j_est") - col("n_inter").cast("double") /
+            col("n_union").cast("double")) <= lit(0.12)).as("j_est_ok"),
+          (abs(col("inter_est") - col("n_inter")) * 4 <=
+            col("n_inter").cast("double")).as("inter_est_ok"),
+          (size(col("_comb")) === least(lit(k), col("n_union").cast("int")))
+            .as("union_sketch_sound"))
+        .orderBy("yr")
     }),
 
     // Storage layout — bucketed co-located join: both sides written
@@ -5354,6 +5460,94 @@ object SparkEntry {
         |WHERE dw.word <> ''
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // NB train + score replayed end-to-end: per-class counts → global
+    // V → smoothed lp micros → per-doc per-class integer sums. The ln
+    // expression shapes mirror the Spark side exactly.
+    "x4_nb_scores" ->
+      """WITH w AS MATERIALIZED (
+        |  SELECT lang, unnest(string_split_regex(lower(text), '\s+')) AS word
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |c AS MATERIALIZED (
+        |  SELECT lang, word, count(*) AS c FROM w WHERE word <> ''
+        |  GROUP BY 1, 2),
+        |n AS MATERIALIZED (SELECT lang, sum(c) AS n FROM c GROUP BY 1),
+        |v AS MATERIALIZED (SELECT count(DISTINCT word) AS v FROM c),
+        |lm AS MATERIALIZED (
+        |  SELECT c.lang, c.word,
+        |    CAST(floor(ln((c.c + 1.0) / CAST(n.n + v.v AS DOUBLE)) * 1000000
+        |      + 0.5) AS BIGINT) AS lp
+        |  FROM c JOIN n USING (lang), v),
+        |oov AS MATERIALIZED (
+        |  SELECT n.lang,
+        |    CAST(floor(ln((0 + 1.0) / CAST(n.n + v.v AS DOUBLE)) * 1000000
+        |      + 0.5) AS BIGINT) AS lp
+        |  FROM n, v),
+        |d AS (SELECT lang, count(*) AS d FROM documents WHERE doc_id % 2 = 0
+        |  GROUP BY 1),
+        |pri AS MATERIALIZED (
+        |  SELECT lang, CAST(floor(ln(CAST(d.d AS DOUBLE) / dt.dt) * 1000000
+        |    + 0.5) AS BIGINT) AS prior
+        |  FROM d, (SELECT sum(d) AS dt FROM d) dt),
+        |dw AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS word
+        |  FROM documents WHERE doc_id % 2 = 1 AND doc_id < 400)
+        |SELECT dw.doc_id, pri.lang AS label, count(*) AS n_tokens,
+        |  CAST(pri.prior + sum(coalesce(lm.lp, oov.lp)) AS BIGINT) AS ll_micro
+        |FROM dw
+        |JOIN pri ON TRUE
+        |JOIN oov ON oov.lang = pri.lang
+        |LEFT JOIN lm ON lm.word = dw.word AND lm.lang = pri.lang
+        |WHERE dw.word <> ''
+        |GROUP BY dw.doc_id, pri.lang, pri.prior
+        |ORDER BY doc_id, label""".stripMargin,
+
+    "x4_nb_confusion" ->
+      """WITH w AS MATERIALIZED (
+        |  SELECT lang, unnest(string_split_regex(lower(text), '\s+')) AS word
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |c AS MATERIALIZED (
+        |  SELECT lang, word, count(*) AS c FROM w WHERE word <> ''
+        |  GROUP BY 1, 2),
+        |n AS MATERIALIZED (SELECT lang, sum(c) AS n FROM c GROUP BY 1),
+        |v AS MATERIALIZED (SELECT count(DISTINCT word) AS v FROM c),
+        |lm AS MATERIALIZED (
+        |  SELECT c.lang, c.word,
+        |    CAST(floor(ln((c.c + 1.0) / CAST(n.n + v.v AS DOUBLE)) * 1000000
+        |      + 0.5) AS BIGINT) AS lp
+        |  FROM c JOIN n USING (lang), v),
+        |oov AS MATERIALIZED (
+        |  SELECT n.lang,
+        |    CAST(floor(ln((0 + 1.0) / CAST(n.n + v.v AS DOUBLE)) * 1000000
+        |      + 0.5) AS BIGINT) AS lp
+        |  FROM n, v),
+        |d AS (SELECT lang, count(*) AS d FROM documents WHERE doc_id % 2 = 0
+        |  GROUP BY 1),
+        |pri AS MATERIALIZED (
+        |  SELECT lang, CAST(floor(ln(CAST(d.d AS DOUBLE) / dt.dt) * 1000000
+        |    + 0.5) AS BIGINT) AS prior
+        |  FROM d, (SELECT sum(d) AS dt FROM d) dt),
+        |dw AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS word
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |sc AS MATERIALIZED (
+        |  SELECT dw.doc_id, pri.lang AS label,
+        |    pri.prior + sum(coalesce(lm.lp, oov.lp)) AS ll
+        |  FROM dw
+        |  JOIN pri ON TRUE
+        |  JOIN oov ON oov.lang = pri.lang
+        |  LEFT JOIN lm ON lm.word = dw.word AND lm.lang = pri.lang
+        |  WHERE dw.word <> ''
+        |  GROUP BY dw.doc_id, pri.lang, pri.prior),
+        |best AS (SELECT doc_id, max(ll) AS b FROM sc GROUP BY 1),
+        |pred AS (
+        |  SELECT sc.doc_id, min(sc.label) AS pred_label, max(sc.ll) AS best_ll
+        |  FROM sc JOIN best ON sc.doc_id = best.doc_id AND sc.ll = best.b
+        |  GROUP BY 1)
+        |SELECT doc.lang AS true_lang, pred.pred_label, count(*) AS n,
+        |  CAST(sum(pred.best_ll) AS BIGINT) AS sum_ll_micro
+        |FROM pred JOIN documents doc USING (doc_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // Pair census over the pretoken vocabulary — the census the real
     // tokenizer pipeline trains on.
     "x4_bpe_pretoken_census" ->
@@ -6505,6 +6699,33 @@ object SparkEntry {
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
         |  TRUE AS est_within_10pct
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Estimator-quality booleans pinned TRUE; the exact census is the
+    // oracle's own recomputation.
+    "sketch_kmv_distinct" ->
+      """SELECT CAST(year(l_shipdate) AS VARCHAR) || '-Q' ||
+        |    CAST(quarter(l_shipdate) AS VARCHAR) AS qtr,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+        |  TRUE AS est_ok, TRUE AS sketch_size_sound
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "sketch_kmv_jaccard" ->
+      """WITH b AS (
+        |  SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
+        |    quarter(l_shipdate) AS q, l_partkey
+        |  FROM lineitem WHERE quarter(l_shipdate) IN (1, 3)),
+        |m AS (
+        |  SELECT yr, l_partkey,
+        |    max(CASE WHEN q = 1 THEN 1 ELSE 0 END) AS ina,
+        |    max(CASE WHEN q = 3 THEN 1 ELSE 0 END) AS inb
+        |  FROM b GROUP BY 1, 2)
+        |SELECT yr, CAST(sum(ina) AS BIGINT) AS n_a,
+        |  CAST(sum(inb) AS BIGINT) AS n_b,
+        |  CAST(sum(ina * inb) AS BIGINT) AS n_inter,
+        |  CAST(count(*) AS BIGINT) AS n_union,
+        |  CAST((1000000 * sum(ina * inb)) // count(*) AS BIGINT) AS j_exact_micro,
+        |  TRUE AS j_est_ok, TRUE AS inter_est_ok, TRUE AS union_sketch_sound
+        |FROM m GROUP BY yr ORDER BY yr""".stripMargin,
 
     "stream_countmin" ->
       """WITH t AS (

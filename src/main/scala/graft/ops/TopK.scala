@@ -71,11 +71,49 @@ class TopKStringAggregator(k: Int)
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, String)]]()
 }
 
+/** Bounded min-k of DISTINCT longs — the KMV sketch buffer ([[Sketch]]):
+  * keeps the k smallest distinct hash values seen, O(k) state, map-side
+  * partials. Distinctness lives IN the buffer (binary-search insert), so
+  * a key occurring a billion times costs the same as once — the property
+  * that makes KMV a one-pass sketch rather than a distinct-then-limit
+  * (which would shuffle the full distinct domain). Output: sorted asc. */
+class MinKDistinctLongAggregator(k: Int)
+    extends Aggregator[Long, Seq[Long], Seq[Long]] {
+
+  override def zero: Seq[Long] = Vector.empty
+
+  override def reduce(buf: Seq[Long], h: Long): Seq[Long] = {
+    val i = buf.search(h)(Ordering.Long)
+    i match {
+      case scala.collection.Searching.Found(_) => buf
+      case scala.collection.Searching.InsertionPoint(p) =>
+        if (buf.size < k) (buf.take(p) :+ h) ++ buf.drop(p)
+        else if (p < k) ((buf.take(p) :+ h) ++ buf.drop(p)).init
+        else buf
+    }
+  }
+
+  override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+    (a ++ b).distinct.sorted.take(k)
+
+  override def finish(buf: Seq[Long]): Seq[Long] = buf
+
+  override def bufferEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+
+  override def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+}
+
 object TopK {
   /** Untyped-column form usable in `df.groupBy(...).agg(...)`:
     * `top_k(score, id)` → array<struct<_1: double, _2: bigint>>. */
   def topK(k: Int)(score: Column, id: Column): Column =
     udaf(new TopKAggregator(k)).apply(score, id)
+
+  /** KMV buffer: k smallest distinct longs, sorted asc → array<bigint>. */
+  def minKDistinctLong(k: Int)(hash: Column): Column =
+    udaf(new MinKDistinctLongAggregator(k)).apply(hash)
 
   /** String-id variant ranked by count desc, id asc:
     * → array<struct<_1: bigint, _2: string>>. */

@@ -64,4 +64,78 @@ class SketchSpec extends AnyFunSuite with SparkTestBase {
     val n = Sketch.countMin(data.toDF("k"), "k", 4, 32).count()
     assert(n <= 4L * 32L)
   }
+
+  // ---------------------------------------------------------------- KMV
+
+  /** Reference KMV: k smallest distinct xxhash64 values, via the full
+    * distinct set (the thing the aggregator must equal without ever
+    * materializing it). */
+  private def refKmv(df: org.apache.spark.sql.DataFrame, group: String,
+      elem: String, k: Int): Map[String, Seq[Long]] =
+    df.select(col(group), xxhash64(col(elem)).as("h")).distinct()
+      .as[(String, Long)].collect().groupBy(_._1)
+      .map { case (g, xs) => (g, xs.map(_._2).distinct.sorted.take(k).toSeq) }
+
+  test("kmv equals the k smallest distinct hashes, partition-invariant, dups free") {
+    val rng = new scala.util.Random(7)
+    // heavy duplication: 3000 rows over ~120 distinct elems in 2 groups
+    val rows = Seq.fill(3000)((if (rng.nextBoolean()) "g1" else "g2",
+      s"e${rng.nextInt(120)}"))
+    val df = rows.toDF("g", "e")
+    val expect = refKmv(df, "g", "e", 32)
+    for (parts <- Seq(1, 7)) {
+      val got = Sketch.kmv(df.repartition(parts), "g", col("e"), 32)
+        .as[(String, Seq[Long])].collect().toMap
+      assert(got == expect)
+      got.values.foreach(v => assert(v == v.distinct.sorted && v.size <= 32))
+    }
+  }
+
+  test("kmv mergeability: kmv(A ∪ B) == kmvMerge(kmv(A) ++ kmv(B)) exactly") {
+    val a = (0 until 400).map(i => ("g", s"a$i"))
+    val b = (200 until 700).map(i => ("g", if (i < 400) s"a$i" else s"b$i"))
+    val whole = Sketch.kmv((a ++ b).toDF("g", "e"), "g", col("e"), 64)
+      .as[(String, Seq[Long])].collect().toMap
+    val merged = Sketch.kmvMerge(
+      Sketch.kmv(a.toDF("g", "e"), "g", col("e"), 64)
+        .unionByName(Sketch.kmv(b.toDF("g", "e"), "g", col("e"), 64)),
+      "g", 64).as[(String, Seq[Long])].collect().toMap
+    assert(whole == merged && whole("g").size == 64)
+  }
+
+  test("kmv estimate: exact below k, within 3/sqrt(k) relative above") {
+    val small = (0 until 40).map(i => ("s", s"x$i")).toDF("g", "e")
+    val exactEst = Sketch.kmv(small, "g", col("e"), 256)
+      .select(Sketch.kmvEstimate(col("kh"), 256)).as[Double].head()
+    assert(exactEst == 40.0)
+    val big = (0 until 20000).map(i => ("b", s"y$i")).toDF("g", "e")
+    val est = Sketch.kmv(big, "g", col("e"), 256)
+      .select(Sketch.kmvEstimate(col("kh"), 256)).as[Double].head()
+    assert(math.abs(est - 20000.0) / 20000.0 <= 3.0 / math.sqrt(256.0),
+      s"est=$est")
+  }
+
+  test("kmv set ops: J/∩/∪ estimates near truth on planted 50% overlap") {
+    // A = 0..5999, B = 3000..8999 → |∩|=3000, |∪|=9000, J=1/3
+    val a = (0 until 6000).map(i => ("p", s"e$i")).toDF("g", "e")
+    val b = (3000 until 9000).map(i => ("p", s"e$i")).toDF("g", "e")
+    val pairs = Sketch.kmv(a, "g", col("e"), 256).withColumnRenamed("kh", "ka")
+      .join(Sketch.kmv(b, "g", col("e"), 256).withColumnRenamed("kh", "kb"), "g")
+    val r = Sketch.kmvSetOps(pairs, "ka", "kb", 256)
+      .select(col("j_est"), col("union_est"), col("inter_est"))
+      .as[(Double, Double, Double)].head()
+    assert(math.abs(r._1 - 1.0 / 3.0) <= 0.1, s"j_est=${r._1}")
+    assert(math.abs(r._2 - 9000.0) / 9000.0 <= 0.2, s"union_est=${r._2}")
+    assert(math.abs(r._3 - 3000.0) / 3000.0 <= 0.3, s"inter_est=${r._3}")
+  }
+
+  test("kmv set ops: disjoint sets estimate J = 0 exactly") {
+    val a = (0 until 3000).map(i => ("p", s"L$i")).toDF("g", "e")
+    val b = (0 until 3000).map(i => ("p", s"R$i")).toDF("g", "e")
+    val pairs = Sketch.kmv(a, "g", col("e"), 128).withColumnRenamed("kh", "ka")
+      .join(Sketch.kmv(b, "g", col("e"), 128).withColumnRenamed("kh", "kb"), "g")
+    val r = Sketch.kmvSetOps(pairs, "ka", "kb", 128)
+      .select(col("j_est"), col("inter_est")).as[(Double, Double)].head()
+    assert(r._1 == 0.0 && r._2 == 0.0)
+  }
 }
