@@ -2190,6 +2190,30 @@ object SparkEntry {
         .orderBy("stage")
     }),
 
+    // Sequential-pattern analysis (ops.SeqPattern) — each user's full
+    // history folded to a time-ordered symbol string (one char per
+    // event, total order via the (ts, event_id) tie-break), then
+    // pattern questions asked as exact string arithmetic: adjacent-
+    // motif counts by literal replace-length (no regex dialect surface
+    // at all), ordered-subsequence reachability (s.*c.*p — the funnel
+    // generalized to any motif), first-occurrence positions. One
+    // shuffle on user_id; every per-user cell hash-matches the
+    // oracle's string_agg replay.
+    "events_seq_patterns" -> ((s, dir) => {
+      val seqs = graft.ops.SeqPattern.sequenceStrings(
+        Tables.events(s, dir).select(col("user_id"), col("ts"),
+          col("event_id"), substring(col("event_type"), 1, 1).as("sym")),
+        "user_id", Seq(col("ts"), col("event_id")), col("sym"))
+      seqs.select(col("user_id"),
+          length(col("seq")).cast("long").as("seq_len"),
+          graft.ops.SeqPattern.motifCount(col("seq"), "cp").as("n_cp_adjacent"),
+          graft.ops.SeqPattern.motifCount(col("seq"), "vv").as("n_vv_runs"),
+          graft.ops.SeqPattern.containsSubsequence(col("seq"), "scp")
+            .as("has_s_c_p"),
+          instr(col("seq"), "p").cast("long").as("first_p_pos"))
+        .orderBy("user_id")
+    }),
+
     // Cohort retention: users grouped by first-activity week; for each
     // (cohort week, week offset) the count of distinct active users.
     // Week arithmetic stays in epoch seconds of week-truncated
@@ -6405,6 +6429,22 @@ object SparkEntry {
         |UNION ALL SELECT 'step2_click', count(*) FROM c
         |UNION ALL SELECT 'step3_purchase', count(*) FROM p
         |ORDER BY stage""".stripMargin,
+
+    // Ordered string_agg replays the fold; motif counts replay as the
+    // same literal replace-length arithmetic.
+    "events_seq_patterns" ->
+      """WITH sq AS (
+        |  SELECT user_id,
+        |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, CAST(length(seq) AS BIGINT) AS seq_len,
+        |  CAST((length(seq) - length(replace(seq, 'cp', ''))) // 2 AS BIGINT)
+        |    AS n_cp_adjacent,
+        |  CAST((length(seq) - length(replace(seq, 'vv', ''))) // 2 AS BIGINT)
+        |    AS n_vv_runs,
+        |  regexp_matches(seq, 's.*c.*p') AS has_s_c_p,
+        |  CAST(strpos(seq, 'p') AS BIGINT) AS first_p_pos
+        |FROM sq ORDER BY user_id""".stripMargin,
 
     "events_cohort_retention" ->
       """WITH f AS (
