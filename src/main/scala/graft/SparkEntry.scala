@@ -1932,6 +1932,22 @@ object SparkEntry {
         .orderBy("o_custkey")
     }),
 
+    // RFM segmentation (Reagg.rfmSegments) — recency/frequency/monetary
+    // quintile scores per customer, each from the distributed-ntile
+    // prefix-sum family (three range exchanges at CUSTOMER grain; the
+    // fact table aggregates once; no global Window). All three measures
+    // are exact integers (timestamp, count, cents), orders are total
+    // with the custkey tie-break, so the ANSI-NTILE window replay
+    // matches cell-for-cell including the segment code.
+    "agg_rfm_segments" -> ((s, dir) => {
+      graft.ops.Reagg.rfmSegments(
+          Tables.orders(s, dir).select(col("o_custkey"), col("o_orderdate"),
+            expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+              .as("cents")),
+          "o_custkey", "o_orderdate", col("cents"))
+        .orderBy("o_custkey")
+    }),
+
     "agg_reaggregate_monthly" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val daily = Reagg.partials(ev, Seq("event_type"), to_date(col("ts")), col("value"))
@@ -6560,6 +6576,26 @@ object SparkEntry {
         |       WHEN cum * 100 <= tt * 95 THEN 'B'
         |       ELSE 'C' END AS abc_class
         |FROM r, t ORDER BY o_custkey""".stripMargin,
+
+    "agg_rfm_segments" ->
+      """WITH base AS (
+        |  SELECT o_custkey, max(CAST(o_orderdate AS TIMESTAMP)) AS last_date,
+        |    count(*) AS frequency,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |         AS BIGINT) AS monetary_cents
+        |  FROM orders GROUP BY 1),
+        |s AS (
+        |  SELECT o_custkey,
+        |    ntile(5) OVER (ORDER BY last_date DESC, o_custkey) AS r,
+        |    ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+        |    ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey) AS m
+        |  FROM base)
+        |SELECT base.o_custkey, base.last_date, base.frequency,
+        |  base.monetary_cents,
+        |  CAST(s.r AS BIGINT) AS r_score, CAST(s.f AS BIGINT) AS f_score,
+        |  CAST(s.m AS BIGINT) AS m_score,
+        |  CAST(s.r * 100 + s.f * 10 + s.m AS BIGINT) AS rfm_code
+        |FROM base JOIN s USING (o_custkey) ORDER BY o_custkey""".stripMargin,
 
     "agg_reaggregate_monthly" ->
       """SELECT CAST(date_trunc('month', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS month_start,

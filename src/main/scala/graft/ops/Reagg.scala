@@ -139,4 +139,42 @@ object Reagg {
           .when(col("cum_w") * 100 <= col("_t") * cut2Pct, lit("B"))
           .otherwise(lit("C")).as("abc_class"))
   }
+
+  /** RFM segmentation — the classic marketing-analytics composite:
+    * score every entity by Recency (latest activity), Frequency
+    * (transaction count), and Monetary (total spend, integer cents)
+    * quantile, then code the three scores into one segment label.
+    * Score 1 = BEST quintile (most recent / most frequent / highest
+    * spend) — the bucket-1-first convention of the underlying ntile.
+    *
+    * Scale shape: the fact table aggregates ONCE to entity grain (one
+    * hash agg); each of the three scores is a [[Packing.ntileOrdered]]
+    * pass over that entity-grain frame — three range exchanges + three
+    * key joins at ENTITY cardinality, never fact cardinality, and no
+    * global Window anywhere. Every order is total ((measure, key)
+    * tie-break), so segment assignment is deterministic under any
+    * partitioning; all three measures are exact integers (days /
+    * counts / cents), so ANSI-NTILE integer arithmetic replays
+    * cell-for-cell in any engine.
+    *
+    * Output: (key, last_date, frequency, monetary_cents, r_score,
+    * f_score, m_score, rfm_code = r·100 + f·10 + m). */
+  def rfmSegments(df: DataFrame, key: String, dateCol: String,
+      amountCents: Column, k: Int = 5, numPartitions: Int = 0): DataFrame = {
+    require(k >= 2 && k <= 10, s"k must be in [2,10], got $k")
+    val base = df.groupBy(col(key)).agg(
+      max(col(dateCol)).as("last_date"),
+      count(lit(1)).as("frequency"),
+      sum(amountCents).as("monetary_cents"))
+    def score(order: Seq[Column], name: String) =
+      Packing.ntileOrdered(base, order, k, numPartitions)
+        .select(col(key), col("bucket").as(name))
+    base
+      .join(score(Seq(col("last_date").desc, col(key).asc), "r_score"), Seq(key))
+      .join(score(Seq(col("frequency").desc, col(key).asc), "f_score"), Seq(key))
+      .join(score(Seq(col("monetary_cents").desc, col(key).asc), "m_score"),
+        Seq(key))
+      .withColumn("rfm_code",
+        col("r_score") * 100L + col("f_score") * 10L + col("m_score"))
+  }
 }

@@ -143,4 +143,26 @@ class ReaggSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Map(1L -> (50L, "A"), 2L -> (80L, "A"),
       3L -> (95L, "B"), 4L -> (100L, "C")))
   }
+
+  test("rfmSegments: score 1 = best on every axis, code composes, partition-invariant") {
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-0$d 00:00:00")
+    // 4 customers, k=2 halves: cust 4 newest+most+biggest → 1/1/1;
+    // cust 1 oldest single cheap order → 2/2/2
+    val tx = Seq(
+      (1L, ts(1), 100L),
+      (2L, ts(2), 300L), (2L, ts(3), 300L),
+      (3L, ts(5), 400L), (3L, ts(4), 500L), (3L, ts(4), 100L),
+      (4L, ts(7), 900L), (4L, ts(6), 900L), (4L, ts(8), 900L))
+    for (parts <- Seq(1, 5)) {
+      val got = graft.ops.Reagg.rfmSegments(
+          tx.toDF("k", "d", "cents").repartition(parts), "k", "d",
+          col("cents"), k = 2)
+        .select(col("k"), col("r_score"), col("f_score"), col("m_score"),
+          col("rfm_code"))
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(got == Set(
+        (4L, 1L, 1L, 1L, 111L), (3L, 1L, 1L, 1L, 111L),
+        (2L, 2L, 2L, 2L, 222L), (1L, 2L, 2L, 2L, 222L)))
+    }
+  }
 }
