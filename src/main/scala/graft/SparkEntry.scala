@@ -3194,6 +3194,27 @@ object SparkEntry {
         .orderBy("user_id", "event_id")
     }),
 
+    // Seasonal decomposition (TimeSeries.seasonalDecompose) — per-type
+    // daily revenue split into trend + day-of-week seasonal + residual,
+    // all exact trunc-micros (centered 7-day MA keeps its ×7 scaling
+    // until one DIV; detrended values are pure integers; phase is
+    // day_num % 7, immune to dayofweek-numbering differences). The
+    // daily series is calendar-bounded per key, so the per-key range
+    // window is safe at any corpus scale; edge days pin NULL
+    // trend/residual. The oracle replays the whole pipeline through
+    // window frames.
+    "ts_seasonal_decompose" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+            .cast("long").as("day_num"))
+        .agg(sum(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .as("v_cents"))
+      graft.ops.TimeSeries.seasonalDecompose(daily, "event_type",
+          "day_num", "v_cents")
+        .orderBy("event_type", "day_num")
+    }),
+
     // Time series — sliding-window agg in batch mode (2h window, 1h
     // slide): each row replicates into 2 windows map-side, then a plain
     // hash aggregate; the exact expression Structured Streaming plans.
@@ -6047,6 +6068,43 @@ object SparkEntry {
         |  CAST(gap_micros AS BIGINT) AS gap_micros,
         |  CAST(ewma_micros AS BIGINT) AS ewma_micros, is_lull
         |FROM r ORDER BY user_id, event_id""".stripMargin,
+
+    // Window-frame replay of the centered MA + per-phase seasonal
+    // means; `//` and `div` share trunc-toward-zero (negative detrended
+    // sums exercise it).
+    "ts_seasonal_decompose" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+        |      AS day_num,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |         AS BIGINT) AS v_cents
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT *,
+        |    sum(v_cents) OVER (PARTITION BY event_type ORDER BY day_num
+        |      RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS t7,
+        |    count(v_cents) OVER (PARTITION BY event_type ORDER BY day_num
+        |      RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7
+        |  FROM daily),
+        |tr AS (
+        |  SELECT *,
+        |    CASE WHEN n7 = 7 THEN (1000000 * t7) // 7 END AS trend_micro,
+        |    CASE WHEN n7 = 7 THEN 7 * v_cents - t7 END AS det7,
+        |    day_num % 7 AS phase
+        |  FROM w),
+        |se AS (
+        |  SELECT event_type, phase,
+        |    CAST((1000000 * sum(det7)) // (7 * count(det7)) AS BIGINT)
+        |      AS seasonal_micro
+        |  FROM tr WHERE det7 IS NOT NULL GROUP BY 1, 2)
+        |SELECT tr.event_type, tr.day_num, tr.v_cents,
+        |  CAST(tr.trend_micro AS BIGINT) AS trend_micro, se.seasonal_micro,
+        |  CAST(1000000 * tr.v_cents - tr.trend_micro - se.seasonal_micro
+        |       AS BIGINT) AS resid_micro
+        |FROM tr LEFT JOIN se ON tr.event_type = se.event_type
+        |  AND tr.phase = se.phase
+        |ORDER BY 1, 2""".stripMargin,
 
     // Recursive replay of BOTH Holt recurrences; DuckDB's `//`
     // truncates toward zero on every sign (measured: -7 // 2 = -3),

@@ -298,4 +298,58 @@ object TimeSeries {
           * ((t - prevT).cast("double") / (nextT - prevT).cast("double")))
     df.withColumn(s"${value}_interp", interp)
   }
+
+  /** Classical additive seasonal decomposition of per-key DAILY series:
+    * value = trend + seasonal + residual, with trend the centered
+    * `period`-point moving average and the seasonal index the per-
+    * phase mean of the detrended series — the moving-average
+    * decomposition STL approximates, exact-integer throughout.
+    *
+    * Exactness: the trend over an ODD period keeps its ×period scaling
+    * until ONE trunc-division to micros; detrended values are the pure
+    * integers `period·v − Σwindow v`; the seasonal index divides once
+    * more ((1e6·Σdet) div (period·n)) — trunc-toward-zero on both
+    * engines (the pinned `sql_intdiv_semantics` convention), so every
+    * cell replays cell-for-cell. Phase is `day_num % period` — pure
+    * integer arithmetic, immune to the engines' dayofweek-numbering
+    * disagreements. Edge days (incomplete centered window) emit NULL
+    * trend/residual by contract.
+    *
+    * Scale shape: input is a DAILY series, so per-key extent is
+    * CALENDAR-bounded (10 years = 3.7k rows per key no matter how many
+    * raw events aggregated into it) — the per-key range-frame window
+    * is safe at any corpus size; the seasonal index is one hash agg at
+    * (key, phase) grain joined back broadcast. Aggregate facts to
+    * daily grain BEFORE calling (one hash agg, the only fact-scale
+    * work).
+    *
+    * Input: (key, dayNum: epoch-day LONG, value: integer units).
+    * Output adds trend_micro, seasonal_micro, resid_micro
+    * (= 1e6·v − trend − seasonal). */
+  def seasonalDecompose(daily: DataFrame, key: String, dayNum: String,
+      value: String, period: Int = 7): DataFrame = {
+    require(period >= 3 && period % 2 == 1,
+      s"period must be odd and >= 3 (centered window), got $period")
+    val half = period / 2
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col(dayNum))
+      .rangeBetween(-half, half)
+    val tr = daily
+      .withColumn("_t", sum(col(value)).over(w))
+      .withColumn("_n", count(col(value)).over(w))
+      .withColumn("trend_micro",
+        when(col("_n") === period, expr(s"(1000000L * _t) div ${period}L")))
+      .withColumn("_det",
+        when(col("_n") === period, lit(period.toLong) * col(value) - col("_t")))
+      .withColumn("_phase", col(dayNum) % period)
+    val se = tr.filter(col("_det").isNotNull)
+      .groupBy(col(key), col("_phase"))
+      .agg(expr(s"(1000000L * sum(_det)) div (${period}L * count(_det))")
+        .as("seasonal_micro"))
+    tr.join(broadcast(se), Seq(key, "_phase"), "left")
+      .select(col(key), col(dayNum), col(value),
+        col("trend_micro"), col("seasonal_micro"),
+        (lit(1000000L) * col(value) - col("trend_micro") -
+          col("seasonal_micro")).as("resid_micro"))
+  }
 }

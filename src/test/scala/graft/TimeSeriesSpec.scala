@@ -210,4 +210,41 @@ class TimeSeriesSpec extends AnyFunSuite with SparkTestBase {
       "user_id", "ts", "event_id", col("v"))
     assert(single.count() == 0)
   }
+
+  test("seasonalDecompose: reference decomposition, NULL edges, trunc on negatives") {
+    // pure additive construction: v(d) = 100·d (linear trend) + phase
+    // bump s(d%3) ∈ {+30, 0, -30}; period 3 ⇒ centered MA of a linear
+    // series recovers it exactly where the window is full
+    val bump = Map(0L -> 30L, 1L -> 0L, 2L -> -30L)
+    val days = (0L until 12L)
+    val daily = days.map(d => ("k", d, 100L * d + bump(d % 3)))
+      .toDF("key", "day_num", "v")
+    val got = TimeSeries.seasonalDecompose(daily, "key", "day_num", "v",
+        period = 3)
+      .orderBy("day_num")
+      .collect()
+      .map(r => (r.getLong(1), Option(r.get(3)).map(_.asInstanceOf[Long]),
+        r.getLong(4), Option(r.get(5)).map(_.asInstanceOf[Long])))
+    // reference: trend(d) = avg(v(d-1..d+1)) = 100·d exactly (bumps sum
+    // to 0 over any full period window); det = 3v - 3·trend = 3·bump;
+    // seasonal = (1e6·Σ3bump) div (3·n) = 1e6·bump exactly
+    got.foreach { case (d, tr, se, re) =>
+      assert(se == bump(d % 3) * 1000000L, s"seasonal at $d")
+      if (d == 0 || d == 11) assert(tr.isEmpty && re.isEmpty, s"edge $d")
+      else {
+        assert(tr.contains(100L * d * 1000000L), s"trend at $d: $tr")
+        assert(re.contains(0L), s"residual at $d: $re")
+      }
+    }
+    // trunc-toward-zero on a NEGATIVE seasonal numerator: single key,
+    // det sums to -1 over 1 obs → (1e6·-1) div 3 = -333333 (not -333334)
+    val tiny = Seq(("t", 0L, 0L), ("t", 1L, 1L), ("t", 2L, 0L),
+      ("t", 3L, 1L)).toDF("key", "day_num", "v")
+    val se1 = TimeSeries.seasonalDecompose(tiny, "key", "day_num", "v", 3)
+      .filter(col("day_num") === 2L).select(col("seasonal_micro"))
+      .as[Long].head()
+    // day1: window {0,1,0} t=1, det=3·1-1=2; day2: window {1,0,1} t=2,
+    // det=-2; phase of day2 = 2 → seasonal = (1e6·-2) div (3·1)
+    assert(se1 == -666666L)
+  }
 }
