@@ -56,6 +56,44 @@ object SparkEntry {
 
   private val propsSchema = StructType(Seq(StructField("k", LongType)))
 
+  /** Shared fixture for the `link_*` gates: customers (custkey < 2000)
+    * against a deterministic dirty twin, nation-blocked, F-S scored.
+    * Dirt formula (replayed verbatim by the oracles): name typo'd at
+    * custkey % 4 == 0 ('Custmer' + tail, lev 1), suffixed ' J' at % 4
+    * == 2 (lev 2), replaced wholesale at % 4 == 3; balance shifted by
+    * custkey % 300 − 150 cents (crosses the ±100 band both ways);
+    * segment wiped to UNKNOWN at % 7 == 0. */
+  private def linkageScored(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).filter(col("c_custkey") < 2000)
+    val cents = expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    val left = c.select(col("c_custkey").as("l_id"), col("c_name").as("l_name"),
+      col("c_nationkey").as("block_nation"), cents.as("l_cents"),
+      col("c_mktsegment").as("l_seg"))
+    val dirty = c.select(col("c_custkey").as("r_id"),
+      when(col("c_custkey") % 4 === 0,
+          concat(lit("Custmer"), substring(col("c_name"), 9, 1000)))
+        .when(col("c_custkey") % 4 === 2, concat(col("c_name"), lit(" J")))
+        .when(col("c_custkey") % 4 === 3,
+          concat(lit("Client-"), col("c_custkey").cast("string")))
+        .otherwise(col("c_name")).as("r_name"),
+      col("c_nationkey").as("block_nation"),
+      (cents + col("c_custkey") % 300 - 150).as("r_cents"),
+      when(col("c_custkey") % 7 === 0, lit("UNKNOWN"))
+        .otherwise(col("c_mktsegment")).as("r_seg"))
+    val pairs = graft.ops.Linkage.blockedPairs(left, dirty,
+      Seq("block_nation"), maxBlock = 1000)
+    val nameW = when(col("l_name") === col("r_name"), 4000000L)
+      .when(levenshtein(col("l_name"), col("r_name")) <= 2, 2500000L)
+      .otherwise(-1000000L)
+    val segW = when(col("l_seg") === col("r_seg"), 500000L).otherwise(-500000L)
+    val balW = when(abs(col("l_cents") - col("r_cents")) <= 100, 1500000L)
+      .otherwise(-1500000L)
+    graft.ops.Linkage.scoreAndClassify(pairs, Seq(nameW, segW, balW),
+        linkAt = 4000000L, possibleAt = 1000000L)
+      .withColumn("name_w", nameW).withColumn("seg_w", segW)
+      .withColumn("bal_w", balW)
+  }
+
   /** Flagship: the reference's full W1+W2 chain re-expressed on `events`
     * (SURVEY §7.2.1) — JSON parse (X6) → flatten (P2) → rename (P3) →
     * schema coercion (P5-P11) → LWW latest-per-key dedup (W4) → project.
@@ -3063,6 +3101,34 @@ object SparkEntry {
         .orderBy("lang", "doc_id")
     }),
 
+    // Fellegi-Sunter record linkage (ops.Linkage) — clean customers vs
+    // a formula-built dirty twin (typo'd / suffixed / replaced names by
+    // custkey % 4, shifted balances by custkey % 300, segment wiped at
+    // % 7): nation-blocked candidates (never all-pairs; 1000-row block
+    // cap idle at these SFs — sf1+ would need a finer key), three
+    // integer-micro field comparators (exact/levenshtein≤2/far name,
+    // segment equality, ±100-cent balance band), exact BIGINT score
+    // sum, two-threshold decision. Per-pair gate keeps the plausible
+    // set (score ≥ possible) — noise pairs whose names collide at
+    // lev ≤ 2 ('…123' vs '…124') land here too, the realistic
+    // weak-name-evidence case, all replayed by the oracle.
+    "link_blocked_pairs" -> ((s, dir) => {
+      linkageScored(s, dir).filter(col("score_micro") >= 1000000L)
+        .select(col("l_id"), col("r_id"), col("name_w"), col("seg_w"),
+          col("bal_w"), col("score_micro"), col("decision"))
+        .orderBy("l_id", "r_id")
+    }),
+
+    // Decision census over the FULL candidate set (noise negatives
+    // included) with summed scores — the volume view of the same
+    // linkage run.
+    "link_decision_census" -> ((s, dir) => {
+      linkageScored(s, dir)
+        .groupBy(col("decision"))
+        .agg(count(lit(1)).as("n"), sum(col("score_micro")).as("sum_score_micro"))
+        .orderBy("decision")
+    }),
+
     // X4 — Levenshtein fuzzy matching within blocking buckets (record-
     // linkage on short fields; blocking keys bound the pair scan the way
     // LSH bands do for long text).
@@ -4884,6 +4950,78 @@ object SparkEntry {
         |          AS DOUBLE) / 1000000.0) / CAST(n_chars AS DOUBLE) AS pr
         |  FROM documents ORDER BY pr, doc_id LIMIT 100) t
         |ORDER BY priority, doc_id""".stripMargin,
+
+    // Dirty-twin construction + blocking + scoring replayed verbatim;
+    // DuckDB levenshtein is the same unit-cost edit distance as
+    // Spark's.
+    "link_blocked_pairs" ->
+      """WITH l AS (
+        |  SELECT c_custkey AS l_id, c_name AS l_name, c_nationkey AS bn,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS l_cents,
+        |    c_mktsegment AS l_seg
+        |  FROM customer WHERE c_custkey < 2000),
+        |r AS (
+        |  SELECT c_custkey AS r_id,
+        |    CASE WHEN c_custkey % 4 = 0 THEN 'Custmer' || substr(c_name, 9)
+        |         WHEN c_custkey % 4 = 2 THEN c_name || ' J'
+        |         WHEN c_custkey % 4 = 3 THEN 'Client-' || CAST(c_custkey AS VARCHAR)
+        |         ELSE c_name END AS r_name,
+        |    c_nationkey AS bn,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      + c_custkey % 300 - 150 AS r_cents,
+        |    CASE WHEN c_custkey % 7 = 0 THEN 'UNKNOWN'
+        |         ELSE c_mktsegment END AS r_seg
+        |  FROM customer WHERE c_custkey < 2000),
+        |sc AS (
+        |  SELECT l_id, r_id,
+        |    CASE WHEN l_name = r_name THEN 4000000
+        |         WHEN levenshtein(l_name, r_name) <= 2 THEN 2500000
+        |         ELSE -1000000 END AS name_w,
+        |    CASE WHEN l_seg = r_seg THEN 500000 ELSE -500000 END AS seg_w,
+        |    CASE WHEN abs(l_cents - r_cents) <= 100 THEN 1500000
+        |         ELSE -1500000 END AS bal_w
+        |  FROM l JOIN r USING (bn))
+        |SELECT l_id, r_id, CAST(name_w AS BIGINT) AS name_w,
+        |  CAST(seg_w AS BIGINT) AS seg_w, CAST(bal_w AS BIGINT) AS bal_w,
+        |  CAST(name_w + seg_w + bal_w AS BIGINT) AS score_micro,
+        |  CASE WHEN name_w + seg_w + bal_w >= 4000000 THEN 'link'
+        |       WHEN name_w + seg_w + bal_w >= 1000000 THEN 'possible'
+        |       ELSE 'nonlink' END AS decision
+        |FROM sc WHERE name_w + seg_w + bal_w >= 1000000
+        |ORDER BY l_id, r_id""".stripMargin,
+
+    "link_decision_census" ->
+      """WITH l AS (
+        |  SELECT c_custkey AS l_id, c_name AS l_name, c_nationkey AS bn,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS l_cents,
+        |    c_mktsegment AS l_seg
+        |  FROM customer WHERE c_custkey < 2000),
+        |r AS (
+        |  SELECT c_custkey AS r_id,
+        |    CASE WHEN c_custkey % 4 = 0 THEN 'Custmer' || substr(c_name, 9)
+        |         WHEN c_custkey % 4 = 2 THEN c_name || ' J'
+        |         WHEN c_custkey % 4 = 3 THEN 'Client-' || CAST(c_custkey AS VARCHAR)
+        |         ELSE c_name END AS r_name,
+        |    c_nationkey AS bn,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      + c_custkey % 300 - 150 AS r_cents,
+        |    CASE WHEN c_custkey % 7 = 0 THEN 'UNKNOWN'
+        |         ELSE c_mktsegment END AS r_seg
+        |  FROM customer WHERE c_custkey < 2000),
+        |sc AS (
+        |  SELECT
+        |    CASE WHEN l_name = r_name THEN 4000000
+        |         WHEN levenshtein(l_name, r_name) <= 2 THEN 2500000
+        |         ELSE -1000000 END
+        |    + CASE WHEN l_seg = r_seg THEN 500000 ELSE -500000 END
+        |    + CASE WHEN abs(l_cents - r_cents) <= 100 THEN 1500000
+        |           ELSE -1500000 END AS score
+        |  FROM l JOIN r USING (bn))
+        |SELECT CASE WHEN score >= 4000000 THEN 'link'
+        |            WHEN score >= 1000000 THEN 'possible'
+        |            ELSE 'nonlink' END AS decision,
+        |  count(*) AS n, CAST(sum(score) AS BIGINT) AS sum_score_micro
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "x4_fuzzy_match" ->
       """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
