@@ -1484,6 +1484,22 @@ object SparkEntry {
         .orderBy("col_name")
     }),
 
+    // MCV histogram (Profiling.mostCommonValues) — the selectivity half
+    // of ANALYZE-style optimizer stats: per-column top-k value
+    // frequencies via value-grain hash agg + O(k) bounded top-k (no
+    // per-column sort; each branch scans only its own column). Nulls
+    // planted by formula (event_type='error' → NULL) prove the
+    // histogram excludes them; uniform user_id counts force deep
+    // count-ties resolved by the pinned string-asc tie-break.
+    "profile_mcv" -> ((s, dir) => {
+      val src = Tables.events(s, dir).select(
+        when(col("event_type") === "error", lit(null).cast("string"))
+          .otherwise(col("event_type")).as("etype"),
+        col("user_id"))
+      graft.ops.Profiling.mostCommonValues(src, Seq("etype", "user_id"), k = 4)
+        .orderBy("col_name", "rank")
+    }),
+
     // SQL surface: TPC-H Q4-shape EXISTS subquery through spark.sql —
     // the engine's second entry path next to the DataFrame API.
     "sql_q4_priority" -> ((s, dir) => {
@@ -2242,6 +2258,32 @@ object SparkEntry {
           lit("step2_click"), col("n_click"),
           lit("step3_purchase"), col("n_purchase"))).as(Seq("stage", "n")))
         .orderBy("stage")
+    }),
+
+    // Connected components as a first-class graph op — the pointer-
+    // jumping min-label propagation (Dedup.clusterPairs: O(log L)
+    // rounds even on chain graphs, edges cached pre-partitioned on the
+    // join key, convergence witnessed by a one-row label-sum aggregate)
+    // run on a planted chain+bridge graph: decade chains (k→k+1 except
+    // at k%10==9) merged sparsely by +100 bridges at k%97==0. The
+    // oracle computes components INDEPENDENTLY via a recursive-CTE
+    // reachability closure and min(root) — a different algorithm
+    // entirely, so agreement certifies the fixpoint, not the
+    // implementation.
+    "graph_connected_components" -> ((s, dir) => {
+      val nodes = Tables.customer(s, dir).select(col("c_custkey").as("k"))
+        .filter(col("k") < 3000)
+      val e1 = nodes.filter(col("k") % 10 =!= 9)
+        .select(col("k").as("id_a"), (col("k") + 1).as("id_b"))
+      val e2 = nodes.filter(col("k") % 97 === 0)
+        .select(col("k").as("id_a"), (col("k") + 100).as("id_b"))
+      val edges = e1.unionByName(e2)
+        .join(nodes.withColumnRenamed("k", "id_b"), Seq("id_b"), "left_semi")
+      val cc = graft.ops.Dedup.clusterPairs(edges)
+      val sizes = cc.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+      cc.join(sizes, Seq("cluster"))
+        .select(col("id"), col("cluster"), col("cluster_size"))
+        .orderBy("id")
     }),
 
     // Sequential-pattern analysis (ops.SeqPattern) — each user's full
@@ -5198,6 +5240,29 @@ object SparkEntry {
         |WHERE g.last_us <> m.max_us
         |ORDER BY g.user_id, g.session_start_us""".stripMargin,
 
+    // Window-rank replay of the bounded top-k; ties break on the
+    // string-rendered value both sides.
+    "profile_mcv" ->
+      """WITH src AS (
+        |  SELECT nullif(event_type, 'error') AS etype, user_id FROM events),
+        |g1 AS (
+        |  SELECT etype AS v, count(*) AS cnt FROM src
+        |  WHERE etype IS NOT NULL GROUP BY 1),
+        |m1 AS (
+        |  SELECT 'etype' AS col_name,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, v) AS BIGINT) AS rank,
+        |    CAST(v AS VARCHAR) AS value_str, CAST(cnt AS BIGINT) AS cnt
+        |  FROM g1 QUALIFY rank <= 4),
+        |g2 AS (SELECT user_id AS v, count(*) AS cnt FROM src GROUP BY 1),
+        |m2 AS (
+        |  SELECT 'user_id' AS col_name,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, CAST(v AS VARCHAR))
+        |         AS BIGINT) AS rank,
+        |    CAST(v AS VARCHAR) AS value_str, CAST(cnt AS BIGINT) AS cnt
+        |  FROM g2 QUALIFY rank <= 4)
+        |SELECT * FROM m1 UNION ALL SELECT * FROM m2
+        |ORDER BY col_name, rank""".stripMargin,
+
     "profile_events" ->
       """SELECT 'event_id' AS col_name, count(*) AS n_rows,
         |  CAST(count(*) - count(event_id) AS BIGINT) AS n_null,
@@ -6641,6 +6706,28 @@ object SparkEntry {
         |UNION ALL SELECT 'step2_click', count(*) FROM c
         |UNION ALL SELECT 'step3_purchase', count(*) FROM p
         |ORDER BY stage""".stripMargin,
+
+    // Independent algorithm: undirected reachability closure (recursive
+    // CTE, UNION-deduped) then min(root) per node — the component
+    // minimum reached by a different route than pointer jumping.
+    "graph_connected_components" ->
+      """WITH RECURSIVE nodes AS (
+        |  SELECT c_custkey AS k FROM customer WHERE c_custkey < 3000),
+        |e AS (
+        |  SELECT src, dst FROM (
+        |    SELECT k AS src, k + 1 AS dst FROM nodes WHERE k % 10 <> 9
+        |    UNION ALL
+        |    SELECT k AS src, k + 100 AS dst FROM nodes WHERE k % 97 = 0) t
+        |  WHERE dst IN (SELECT k FROM nodes)),
+        |ue AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        |reach AS (
+        |  SELECT src AS id, src AS root FROM ue
+        |  UNION
+        |  SELECT ue.dst AS id, r.root FROM reach r JOIN ue ON ue.src = r.id),
+        |cc AS (SELECT id, min(root) AS cluster FROM reach GROUP BY id),
+        |sz AS (SELECT cluster, count(*) AS cluster_size FROM cc GROUP BY 1)
+        |SELECT cc.id, cc.cluster, sz.cluster_size
+        |FROM cc JOIN sz USING (cluster) ORDER BY id""".stripMargin,
 
     // Ordered string_agg replays the fold; motif counts replay as the
     // same literal replace-length arithmetic.

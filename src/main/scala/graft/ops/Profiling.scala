@@ -32,4 +32,35 @@ object Profiling {
     }
     one.select(explode(array(stacked: _*)).as("_s")).select(col("_s.*"))
   }
+
+  /** Most-common-values histogram — the other half of ANALYZE-style
+    * optimizer statistics ([[summarize]] gives n/nulls/ndv/range; a
+    * cost model also wants the top-k value frequencies to estimate
+    * selectivity on skewed columns). Per column: one VALUE-grain hash
+    * agg (map-side partials — the shuffle carries at most one row per
+    * distinct value per map partition) feeding the O(k)-buffer bounded
+    * top-k aggregator, so no per-column sort and no full value ranking
+    * ever materializes. Each column's branch scans ONLY that column
+    * (parquet pruning) — the ANALYZE access pattern.
+    *
+    * Values are string-rendered AFTER the native-type aggregation
+    * (numeric grouping, numeric counts; only the output unifies as
+    * string), ranked (count desc, value_str asc) — deterministic under
+    * ties. NULLs are excluded from the histogram; [[summarize]] carries
+    * the null count. Output: (col_name, rank, value_str, cnt). */
+  def mostCommonValues(df: DataFrame, cols: Seq[String], k: Int = 5)
+      : DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    require(k >= 1 && k <= 1000, s"k must be in [1,1000], got $k")
+    cols.map { c =>
+      df.filter(col(c).isNotNull)
+        .groupBy(col(c).as("_v")).agg(count(lit(1)).as("_cnt"))
+        .agg(TopK.topKByCount(k)(col("_cnt"), col("_v").cast("string"))
+          .as("_m"))
+        .select(lit(c).as("col_name"),
+          posexplode(col("_m")).as(Seq("_i", "_e")))
+        .select(col("col_name"), (col("_i") + 1).cast("long").as("rank"),
+          col("_e._2").as("value_str"), col("_e._1").as("cnt"))
+    }.reduce(_.unionByName(_))
+  }
 }
