@@ -785,6 +785,21 @@ object SparkEntry {
         col("l_quantity"))
     }),
 
+    // ML — Spearman rank correlation (Regress.spearman) between a
+    // user's event count and spend, exact half-rank integers (average
+    // tie ranks as rank2 = 2b+c+1) through value-grain prefix sums —
+    // the row-level rank window never exists. num/d1/d2 and the
+    // Σrank2 = n(n+1) invariants are exact BIGINTs the oracle
+    // recomputes; r_micro is the one shared-shape double chain.
+    "ml_spearman_rank" -> ((s, dir) => {
+      val u = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("x"),
+          sum(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .as("y"))
+      graft.ops.Regress.spearman(u, "x", "y")
+    }),
+
     // ML — per-group fits: one hash agg at group cardinality, one scan
     // for every segment's own trend line.
     "ml_ols_by_group" -> ((s, dir) => {
@@ -2870,6 +2885,26 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Winsorization (DataQuality.winsorize) — clamp event cents into
+    // the exact [5,95] percentile-disc band: thresholds from a VALUE-
+    // grain prefix sum (one hash agg + range exchange over distinct
+    // values — the row-level percentile sort never exists), pure
+    // integer 100·cum ≥ p·n comparisons, one-row broadcast clamp. The
+    // per-type census pins threshold values, clip counts on both
+    // sides, and the exact winsorized sum.
+    "dq_winsorize" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_type"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      graft.ops.DataQuality.winsorize(ev, "cents", 5, 95)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("clip_dir") === -1L, 1L).otherwise(0L)).as("n_lo"),
+          sum(when(col("clip_dir") === 1L, 1L).otherwise(0L)).as("n_hi"),
+          sum(col("cents_w")).as("sum_w_cents"),
+          min(col("lo")).as("lo_cents"), min(col("hi")).as("hi_cents"))
+        .orderBy("event_type")
+    }),
+
     // X4 — BM25 top terms: tf·idf's retrieval-grade sibling (saturating
     // tf, doc-length normalization); same integer-until-the-formula +
     // rank-over-rounded-score determinism contract.
@@ -4528,6 +4563,37 @@ object SparkEntry {
         |JOIN uni u2 ON u2.wd = big.w2, tt, bt
         |ORDER BY w1, w2""".stripMargin,
 
+    // Same half-rank construction (2·below + ties + 1) via an ordered
+    // cumulative sum; the final double chain shares the Spark shape
+    // term for term.
+    "ml_spearman_rank" ->
+      """WITH u AS (
+        |  SELECT user_id, count(*) AS x,
+        |    sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS y
+        |  FROM events GROUP BY 1),
+        |gx AS (SELECT x AS v, count(*) AS cnt FROM u GROUP BY 1),
+        |rx AS (SELECT v, 2 * (sum(cnt) OVER (ORDER BY v) - cnt) + cnt + 1 AS ra
+        |       FROM gx),
+        |gy AS (SELECT y AS v, count(*) AS cnt FROM u GROUP BY 1),
+        |ry AS (SELECT v, 2 * (sum(cnt) OVER (ORDER BY v) - cnt) + cnt + 1 AS rb
+        |       FROM gy),
+        |j AS (SELECT ra, rb FROM u
+        |      JOIN rx ON u.x = rx.v JOIN ry ON u.y = ry.v),
+        |s AS (SELECT count(*) AS n, sum(ra) AS sa, sum(rb) AS sb,
+        |      sum(ra * rb) AS sab, sum(ra * ra) AS saa, sum(rb * rb) AS sbb
+        |      FROM j)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(sa AS BIGINT) AS sum_rank2_x,
+        |  CAST(sb AS BIGINT) AS sum_rank2_y,
+        |  CAST(n * sab - sa * sb AS BIGINT) AS num,
+        |  CAST(n * saa - sa * sa AS BIGINT) AS d1,
+        |  CAST(n * sbb - sb * sb AS BIGINT) AS d2,
+        |  CASE WHEN n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0 THEN
+        |    CAST(floor(1000000.0 * CAST(n * sab - sa * sb AS DOUBLE) /
+        |      sqrt(CAST(n * saa - sa * sa AS DOUBLE) *
+        |           CAST(n * sbb - sb * sb AS DOUBLE))) AS BIGINT)
+        |  END AS r_micro
+        |FROM s""".stripMargin,
+
     // HUGEINT sums keep every Cramer term exact (ceiling 1.7e38, same
     // envelope as Spark's decimal(38,0) internals); `//` truncates like
     // the Spark side's div.
@@ -5879,6 +5945,28 @@ object SparkEntry {
         |FROM customer
         |WINDOW w AS (ORDER BY c_acctbal DESC, c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+
+    // percentile-disc thresholds replayed as the same integer
+    // 100*cum >= p*n rule over the ordered value grain.
+    "dq_winsorize" ->
+      """WITH v AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events),
+        |n AS (SELECT count(*) AS n FROM v),
+        |g AS (SELECT c, count(*) AS cnt FROM v GROUP BY 1),
+        |r AS (SELECT c, sum(cnt) OVER (ORDER BY c) AS cum FROM g),
+        |thr AS (
+        |  SELECT
+        |    (SELECT min(c) FROM r, n WHERE cum * 100 >= n * 5) AS lo,
+        |    (SELECT min(c) FROM r, n WHERE cum * 100 >= n * 95) AS hi)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN c < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+        |  CAST(sum(CASE WHEN c > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+        |  CAST(sum(CASE WHEN c < lo THEN lo WHEN c > hi THEN hi ELSE c END)
+        |       AS BIGINT) AS sum_w_cents,
+        |  min(lo) AS lo_cents, min(hi) AS hi_cents
+        |FROM v, thr GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "dq_outliers_zscore" ->
       """WITH b AS (

@@ -239,4 +239,50 @@ object DataQuality {
         (sum(col("_fp").cast(big)) % ChecksumMod).cast("long").as("s1"),
         (sum((col("_fp").cast(big) * col("_fp"))) % ChecksumMod).cast("long").as("s2"))
   }
+
+  /** Exact percentile thresholds by the DISC rule — the smallest value
+    * whose cumulative count reaches p% of n (`100·cum ≥ p·n`, pure
+    * integer comparison, no interpolation and no doubles) — computed at
+    * VALUE grain: one hash agg to (value, count), a range-exchange
+    * prefix sum over the distinct values ([[Packing.assignShardsOrdered]]
+    * — no global Window), and a one-row min-filter per threshold. The
+    * row-level sort that `percentile_disc` would plan never exists; the
+    * ranked frame is DISTINCT-VALUE cardinality, not row cardinality.
+    * Returns a one-row frame (lo, hi). */
+  def percentileDiscThresholds(df: DataFrame,
+      value: org.apache.spark.sql.Column, pLowPct: Int, pHighPct: Int)
+      : DataFrame = {
+    require(pLowPct >= 0 && pLowPct <= pHighPct && pHighPct <= 100,
+      s"need 0 <= pLow <= pHigh <= 100, got $pLowPct/$pHighPct")
+    val grain = df.select(value.as("_v")).filter(col("_v").isNotNull)
+      .groupBy(col("_v")).agg(count(lit(1)).as("_cnt"))
+    val ranked = Packing.assignShardsOrdered(grain, Seq(col("_v").asc),
+      "_cnt", budget = Long.MaxValue)
+    val n = grain.agg(sum(col("_cnt")).as("_n"))
+    ranked.crossJoin(broadcast(n))
+      .agg(
+        min(when(col("cum_w") * 100 >= col("_n") * pLowPct, col("_v"))).as("lo"),
+        min(when(col("cum_w") * 100 >= col("_n") * pHighPct, col("_v"))).as("hi"))
+  }
+
+  /** Winsorization: clamp `value` into its own exact [pLow, pHigh]
+    * percentile-disc band — the robust-stats preprocessing that tames
+    * heavy tails before moment-based work (a mean over winsorized cents
+    * is skew-proof; the raw mean is one fat-finger order away from
+    * garbage). Thresholds ride a one-row broadcast; the clamp is a
+    * per-row expression. Adds `<value>_w` (clamped) and `clip_dir`
+    * (-1 below / 0 inside / 1 above). Integer values in, integer
+    * values out — exact in any engine. */
+  def winsorize(df: DataFrame, value: String, pLowPct: Int, pHighPct: Int)
+      : DataFrame = {
+    val thr = percentileDiscThresholds(df, col(value), pLowPct, pHighPct)
+    df.crossJoin(broadcast(thr))
+      .withColumn(s"${value}_w",
+        when(col(value) < col("lo"), col("lo"))
+          .when(col(value) > col("hi"), col("hi"))
+          .otherwise(col(value)))
+      .withColumn("clip_dir",
+        when(col(value) < col("lo"), lit(-1L))
+          .when(col(value) > col("hi"), lit(1L)).otherwise(lit(0L)))
+  }
 }

@@ -125,4 +125,58 @@ object Regress {
         .as("b0_micros"),
       when(guarded =!= 0, truncMicros(num, guarded)).as("b1_micros"))
   }
+
+  /** Spearman rank correlation of two INTEGER columns — the robust
+    * (monotone-invariant) sibling of Pearson `corr`, with standard
+    * AVERAGE tie ranks. Exactness: average ranks are ½-quantized, so
+    * everything runs in HALF-RANK units — for a value with `b` rows
+    * strictly below it and `c` ties, rank2 = 2b + c + 1, an exact
+    * integer — and every moment sum is DECIMAL(38,0). The one inexact
+    * step is the final `1e6·num/√(d1·d2)` (num, d1, d2 are exact
+    * integers both engines agree on; the double conversion, multiply,
+    * sqrt, divide, floor chain has one IEEE-defined result). NULL when
+    * either margin is constant (d=0 — correlation undefined).
+    *
+    * Scale shape: two VALUE-grain prefix sums (one hash agg + one
+    * range exchange each — the row-level rank window never exists),
+    * two value joins back, one moment hash-agg row. The rank-sum
+    * invariant Σrank2 = n(n+1) per axis is emitted so the oracle
+    * cross-checks the ranking itself, not just the final ratio.
+    *
+    * Output: one row (n, sum_rank2_x, sum_rank2_y, num, d1, d2
+    * [BIGINT — caller keeps n within ~1e6 for half-rank moment sums to
+    * fit; past that, emit the decimals directly], r_micro). */
+  def spearman(df: DataFrame, x: String, y: String): DataFrame = {
+    def rank2(colName: String, out: String): DataFrame = {
+      val grain = df.groupBy(col(colName).as("_v"))
+        .agg(count(lit(1)).as("_cnt"))
+      Packing.assignShardsOrdered(grain, Seq(col("_v").asc), "_cnt",
+          budget = Long.MaxValue)
+        .select(col("_v").as(colName),
+          (lit(2L) * (col("cum_w") - col("_cnt")) + col("_cnt") + 1L).as(out))
+    }
+    val j = df.select(col(x), col(y))
+      .join(rank2(x, "_ra"), Seq(x)).join(rank2(y, "_rb"), Seq(y))
+    val s = j.agg(count(lit(1)).cast(Big).as("n"),
+      sum(col("_ra")).as("sum_rank2_x"), sum(col("_rb")).as("sum_rank2_y"),
+      sum(col("_ra").cast(Big) * col("_rb")).as("_sab"),
+      sum(col("_ra").cast(Big) * col("_ra")).as("_saa"),
+      sum(col("_rb").cast(Big) * col("_rb")).as("_sbb"))
+    val num = col("n") * col("_sab") -
+      col("sum_rank2_x").cast(Big) * col("sum_rank2_y")
+    val d1 = col("n") * col("_saa") -
+      col("sum_rank2_x").cast(Big) * col("sum_rank2_x")
+    val d2 = col("n") * col("_sbb") -
+      col("sum_rank2_y").cast(Big) * col("sum_rank2_y")
+    s.select(col("n").cast("long").as("n"),
+        col("sum_rank2_x").cast("long").as("sum_rank2_x"),
+        col("sum_rank2_y").cast("long").as("sum_rank2_y"),
+        num.cast("long").as("num"), d1.cast("long").as("d1"),
+        d2.cast("long").as("d2"))
+      .withColumn("r_micro",
+        when(col("d1") > 0L && col("d2") > 0L,
+          floor(lit(1000000.0) * col("num").cast("double") /
+            sqrt(col("d1").cast("double") * col("d2").cast("double")))
+            .cast("long")))
+  }
 }

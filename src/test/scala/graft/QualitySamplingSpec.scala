@@ -367,4 +367,29 @@ class QualitySamplingSpec extends AnyFunSuite with SparkTestBase {
       Map(1L -> 3L, 2L -> 0L, 3L -> 0L, 4L -> 0L, 5L -> 0L, 6L -> 0L, 7L -> 0L,
           8L -> 0L, 9L -> 2L), "non-positive excluded; 10/100 lead with 1")
   }
+
+  test("percentileDiscThresholds: disc rule hits exact boundaries; winsorize clamps") {
+    import spark.implicits._
+    // 10 values 1..10: p=20 → cum·100 ≥ n·20 first at value 2 (cum 2·100
+    // = 200 == 10·20 exactly — inclusive); p=90 → value 9; p=100 → max
+    val df = (1L to 10L).toDF("v")
+    val thr = graft.ops.DataQuality.percentileDiscThresholds(df, col("v"), 20, 90)
+      .as[(Long, Long)].head()
+    assert(thr == ((2L, 9L)))
+    val full = graft.ops.DataQuality.percentileDiscThresholds(df, col("v"), 0, 100)
+      .as[(Long, Long)].head()
+    assert(full == ((1L, 10L)), "p=0 → min (cum≥0 always), p=100 → max")
+    // duplicated mass: {1,1,1,1,9} p=50 lands on 1 (cum 4·100 ≥ 5·50)
+    val dup = Seq(1L, 1L, 1L, 1L, 9L).toDF("v")
+    val t2 = graft.ops.DataQuality.percentileDiscThresholds(dup, col("v"), 50, 50)
+      .as[(Long, Long)].head()
+    assert(t2 == ((1L, 1L)))
+    // clamp + clip_dir
+    val w = graft.ops.DataQuality.winsorize(df, "v", 20, 90)
+      .select(col("v"), col("v_w"), col("clip_dir"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(w.contains((1L, 2L, -1L)) && w.contains((10L, 9L, 1L)) &&
+      w.contains((5L, 5L, 0L)))
+    assert(w.count(_._3 == 0L) == 8)
+  }
 }

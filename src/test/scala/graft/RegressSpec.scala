@@ -70,4 +70,40 @@ class RegressSpec extends AnyFunSuite with SparkTestBase {
     assert(r(1).getLong(2) == 40000000L && r(1).getLong(3) == -3000000L)
     assert(r(2).isNullAt(2) && r(2).isNullAt(3))
   }
+
+  private def spearmanRow(rows: Seq[(Long, Long)]): org.apache.spark.sql.Row = {
+    import spark.implicits._
+    graft.ops.Regress.spearman(rows.toDF("x", "y"), "x", "y").head()
+  }
+
+  test("spearman: ±1 on monotone data (any monotone transform), exact rank invariant") {
+    // y = x² is nonlinear but monotone → Spearman exactly 1
+    val up = spearmanRow((1L to 9L).map(x => (x, x * x)))
+    assert(up.getLong(6) == 1000000L && up.getLong(0) == 9L)
+    // Σrank2 = n(n+1) on both axes
+    assert(up.getLong(1) == 9L * 10L && up.getLong(2) == 9L * 10L)
+    val down = spearmanRow((1L to 9L).map(x => (x, -3L * x)))
+    assert(down.getLong(6) == -1000000L)
+  }
+
+  test("spearman: average tie ranks (half-rank integers), hand case") {
+    // x = [1,2,2,3] → avg ranks 1, 2.5, 2.5, 4 → rank2 2,5,5,8;
+    // y ties identically → r = 1 exactly even through the tie mass
+    val r = spearmanRow(Seq((1L, 10L), (2L, 20L), (2L, 20L), (3L, 30L)))
+    assert(r.getLong(1) == 20L && r.getLong(6) == 1000000L)
+    // hand-check the tie-corrected moments: rank2 = [2,5,5,8] →
+    // d1 = n·Σa²−(Σa)² = 4·118−400 = 72
+    assert(r.getLong(4) == 72L && r.getLong(5) == 72L)
+  }
+
+  test("spearman: NULL on a constant margin; partition-invariant") {
+    import spark.implicits._
+    val const = spearmanRow(Seq((5L, 1L), (5L, 2L), (5L, 3L)))
+    assert(const.isNullAt(6) && const.getLong(4) == 0L)
+    val rng = new scala.util.Random(13)
+    val data = Seq.fill(200)((rng.nextInt(20).toLong, rng.nextInt(500).toLong))
+    val a = graft.ops.Regress.spearman(data.toDF("x", "y").repartition(1), "x", "y").head()
+    val b = graft.ops.Regress.spearman(data.toDF("x", "y").repartition(7), "x", "y").head()
+    assert(a == b)
+  }
 }
