@@ -2885,6 +2885,17 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Categorical diversity (Eval.categoricalDiversity) — per-user
+    // Shannon entropy + Gini impurity of the event-type mix: Gini an
+    // exact integer rational, entropy quantized per (group, category)
+    // term BEFORE the integer sum (partial-agg-order-proof), both
+    // replayed by the oracle at every user.
+    "agg_entropy_gini" -> ((s, dir) => {
+      graft.ops.Eval.categoricalDiversity(Tables.events(s, dir),
+          "user_id", "event_type")
+        .orderBy("user_id")
+    }),
+
     // Winsorization (DataQuality.winsorize) — clamp event cents into
     // the exact [5,95] percentile-disc band: thresholds from a VALUE-
     // grain prefix sum (one hash agg + range exchange over distinct
@@ -3194,6 +3205,24 @@ object SparkEntry {
         .select(col("l_id"), col("r_id"), col("name_w"), col("seg_w"),
           col("bal_w"), col("score_micro"), col("decision"))
         .orderBy("l_id", "r_id")
+    }),
+
+    // Sorted-neighborhood candidates (Linkage.sortedNeighborhood) —
+    // the multi-pass-SNM complement to blocking: global rank by
+    // (balance cents, custkey) through the weight-1 prefix sum (no
+    // row_number window — that's a single reducer at scale), then the
+    // band self-join that materializes each ≤w-apart pair exactly
+    // once. The oracle replays with an actual window row_number and
+    // a rank-theta join; equality certifies the distributed rank AND
+    // the exactly-once pairing.
+    "link_sorted_neighborhood" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).filter(col("c_custkey") < 500)
+        .select(col("c_custkey").as("id"),
+          expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("cents"))
+      graft.ops.Linkage.sortedNeighborhood(c,
+          Seq(col("cents").asc, col("id").asc), "id", w = 3)
+        .orderBy("rank_a", "rank_b")
     }),
 
     // Decision census over the FULL candidate set (noise negatives
@@ -5098,6 +5127,17 @@ object SparkEntry {
         |FROM sc WHERE name_w + seg_w + bal_w >= 1000000
         |ORDER BY l_id, r_id""".stripMargin,
 
+    "link_sorted_neighborhood" ->
+      """WITH c AS (
+        |  SELECT c_custkey AS id,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM customer WHERE c_custkey < 500),
+        |r AS (SELECT id, row_number() OVER (ORDER BY cents, id) AS rk FROM c)
+        |SELECT a.id AS id_a, b.id AS id_b, CAST(a.rk AS BIGINT) AS rank_a,
+        |  CAST(b.rk AS BIGINT) AS rank_b
+        |FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk <= 3
+        |ORDER BY rank_a, rank_b""".stripMargin,
+
     "link_decision_census" ->
       """WITH l AS (
         |  SELECT c_custkey AS l_id, c_name AS l_name, c_nationkey AS bn,
@@ -5945,6 +5985,27 @@ object SparkEntry {
         |FROM customer
         |WINDOW w AS (ORDER BY c_acctbal DESC, c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+
+    // Per-term quantize-then-sum replay; Gini as the same exact
+    // integer rational.
+    "agg_entropy_gini" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT user_id, sum(c) AS n, count(*) AS n_cats, sum(c * c) AS ss
+        |  FROM c GROUP BY 1),
+        |j AS (
+        |  SELECT c.user_id,
+        |    CAST(floor(-1000000.0 * (CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+        |      * ln(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))) AS BIGINT) AS term,
+        |    t.n, t.n_cats, t.ss
+        |  FROM c JOIN t USING (user_id))
+        |SELECT user_id, CAST(min(n) AS BIGINT) AS n,
+        |  CAST(min(n_cats) AS BIGINT) AS n_cats,
+        |  CAST(sum(term) AS BIGINT) AS entropy_micro,
+        |  CAST(((min(n) * min(n) - min(ss)) * 1000000) // (min(n) * min(n))
+        |       AS BIGINT) AS gini_micro
+        |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // percentile-disc thresholds replayed as the same integer
     // 100*cum >= p*n rule over the ordered value grain.

@@ -185,4 +185,45 @@ object Eval {
         microsDiv(col("n_pos"), col("n")).as("pos_rate_micros"),
         call_function("div", col("sum_score"), col("n")).as("mean_score_floor"))
   }
+
+  /** Per-group categorical diversity — Shannon entropy and Gini
+    * impurity of the category distribution within each group, the
+    * feature-selection / dataset-balance statistics (a source whose
+    * language entropy collapsed is a curation bug; a split whose Gini
+    * stays high hasn't separated anything).
+    *
+    * Exactness: Gini is an exact rational — 1e6·(n²−Σc²) div n², pure
+    * integers (DECIMAL(38,0) internally, so n² never overflows).
+    * Entropy has one transcendental per (group, category): each term
+    * −1e6·(c/n)·ln(c/n) is floored to micros BEFORE the per-group
+    * integer sum (the PMI/Adamic-Adar quantize-then-sum discipline —
+    * summing raw doubles would be partial-agg-order-dependent), with
+    * the division/multiplication shape shared with the oracle.
+    * Single-category groups emit exactly 0 for both.
+    *
+    * Scale shape: one (group, category) hash agg, one group-grain
+    * rollup, one key join at category-grain — map-side partials
+    * everywhere, no windows. Output: (group, n, n_cats,
+    * entropy_micro, gini_micro). */
+  def categoricalDiversity(df: DataFrame, group: String, category: String)
+      : DataFrame = {
+    val big = "decimal(38,0)"
+    val counts = df.groupBy(col(group), col(category))
+      .agg(count(lit(1)).as("_c"))
+    val totals = counts.groupBy(col(group))
+      .agg(sum(col("_c")).as("_n"), count(lit(1)).as("n_cats"),
+        sum(col("_c").cast(big) * col("_c")).as("_ss"))
+    val p = col("_c").cast("double") / col("_n").cast("double")
+    counts.join(totals, Seq(group))
+      .withColumn("_term",
+        floor(lit(-1000000.0) * p * log(p)).cast("long"))
+      .groupBy(col(group))
+      .agg(min(col("_n")).as("n"), min(col("n_cats")).as("n_cats"),
+        sum(col("_term")).as("entropy_micro"),
+        call_function("div",
+          (min(col("_n")).cast(big) * min(col("_n")) - min(col("_ss"))) *
+            1000000L,
+          min(col("_n")).cast(big) * min(col("_n"))).cast("long")
+          .as("gini_micro"))
+  }
 }

@@ -46,6 +46,44 @@ object Linkage {
     capped(a).join(capped(b), blockCols)
   }
 
+  /** Sorted-neighborhood candidate generation (Hernández & Stolfo
+    * 1995) — the complement to [[blockedPairs]]: rank all records by a
+    * discriminating sort key and pair every record with its ≤ `w`
+    * nearest neighbors in that order. Where blocking loses matches
+    * that disagree on the block key, sorted-neighborhood loses matches
+    * that sort far apart — production linkage runs BOTH and unions the
+    * candidate sets (multi-pass SNM).
+    *
+    * Scale shape: the global rank is the weight-1 two-phase prefix sum
+    * (one range exchange — the row-number window that a naive SNM
+    * plans is a single reducer at scale); neighbor pairing is a self-
+    * join on `band = (rank−1) div w` with the right side duplicated
+    * into its predecessor band, so each candidate pair materializes
+    * EXACTLY once (proved in spec) and the fan-out is ≤ 2 rows per
+    * record, output ≤ n·w pairs by construction.
+    *
+    * `order` must be total (tie-break with the id). Output:
+    * (id_a, id_b, rank_a, rank_b) with rank_a < rank_b ≤ rank_a + w;
+    * join attributes back by id for scoring. */
+  def sortedNeighborhood(df: DataFrame, order: Seq[Column], id: String,
+      w: Int): DataFrame = {
+    require(w >= 1 && w <= 1000, s"window must be in [1,1000], got $w")
+    val ranked = Packing.assignShardsOrdered(
+        df.withColumn("_one", lit(1L)), order, "_one", budget = Long.MaxValue)
+      .select(col(id), col("cum_w").as("_rank"),
+        expr(s"(cum_w - 1L) div ${w}L").as("_band"))
+    val left = ranked.select(col(id).as("id_a"), col("_rank").as("rank_a"),
+      col("_band"))
+    val right0 = ranked.select(col(id).as("id_b"), col("_rank").as("rank_b"),
+      col("_band"))
+    val right = right0.unionByName(
+      right0.withColumn("_band", col("_band") - 1L))
+    left.join(right, Seq("_band"))
+      .filter(col("rank_b") > col("rank_a") &&
+        col("rank_b") - col("rank_a") <= w)
+      .select(col("id_a"), col("id_b"), col("rank_a"), col("rank_b"))
+  }
+
   /** Sum per-field agreement weights (each an integer-micro Column —
     * e.g. `when(lev <= 2, 2500000L).otherwise(-1000000L)`) into
     * `score_micro` and classify: `decision` = link (≥ `linkAt`) /

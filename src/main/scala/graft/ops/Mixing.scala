@@ -1,6 +1,5 @@
 package graft.ops
 
-import org.apache.spark.TaskContext
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, LongType}
@@ -68,8 +67,12 @@ object Mixing {
     val offsetsB = spark.sparkContext.broadcast(offsets)
     val gIdx = ranged.schema.fieldIndex(group)
     val outSchema = ranged.schema.add("grp_rank", LongType)
-    ranged.mapPartitions { it =>
-      val pid = TaskContext.getPartitionId()
+    // mapPartitionsWithIndex, not TaskContext.getPartitionId(): the
+    // task id is renumbered when the caller unions the result with
+    // itself in one narrow stage — the RDD partition index is the one
+    // the offset table was built against (same fix as
+    // Packing.assignShardsOrdered; see the comment there).
+    val out = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
       val seen = scala.collection.mutable.HashMap.empty[Any, Long]
       it.map { r =>
         val g = r.get(gIdx)
@@ -77,7 +80,8 @@ object Mixing {
         seen(g) = rank
         Row.fromSeq(r.toSeq :+ rank)
       }
-    }(Encoders.row(outSchema))
+    }
+    spark.createDataFrame(out, outSchema)
   }
 
   /** Weighted source interleaving by stride scheduling: item `rank` of a

@@ -1,6 +1,5 @@
 package graft.ops
 
-import org.apache.spark.TaskContext
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -117,14 +116,22 @@ object Packing {
     // Phase 3: partition-local fold, seeded with the partition's offset.
     val wIdx = ranged.schema.fieldIndex(weight)
     val outSchema = ranged.schema.add("cum_w", LongType).add("shard", LongType)
-    ranged.mapPartitions { it =>
-      var acc = offsetsB.value(TaskContext.getPartitionId())
+    // mapPartitionsWithIndex, NOT TaskContext.getPartitionId(): the
+    // latter is the STAGE-task id, which is renumbered when a caller
+    // unions the returned frame with itself in one narrow stage (branch
+    // 2's tasks run as P..2P−1 and would seed the wrong — or
+    // out-of-bounds — offset; sortedNeighborhood's band join does
+    // exactly this). The RDD partition index survives union/narrow
+    // fusion by construction.
+    val out = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = offsetsB.value(pid)
       it.map { r =>
         val w = r.getLong(wIdx)
         acc += w
         Row.fromSeq(r.toSeq :+ acc :+ (acc - w) / budget)
       }
-    }(Encoders.row(outSchema))
+    }
+    spark.createDataFrame(out, outSchema)
   }
 
   /** Distributed global ranking functions — `ntile` / `percent_rank` /

@@ -103,4 +103,28 @@ class EvalSpec extends AnyFunSuite with SparkTestBase {
     val c = r.find(_.getString(0) == "common").get
     assert(c.isNullAt(3))
   }
+
+  test("categoricalDiversity: exact Gini rationals, quantized entropy, degenerate group") {
+    import spark.implicits._
+    def term(c: Long, n: Long): Long = {
+      val p = c.toDouble / n.toDouble
+      math.floor(-1000000.0 * p * math.log(p)).toLong
+    }
+    val rows = Seq.fill(2)("g1" -> "a") ++ Seq.fill(2)("g1" -> "b") ++
+      Seq.fill(2)("g1" -> "c") ++ Seq.fill(2)("g1" -> "d") ++ // uniform k=4
+      Seq.fill(3)("g2" -> "a") ++ Seq("g2" -> "b") ++         // skewed 3:1
+      Seq.fill(5)("g3" -> "only")                             // single category
+    val got = graft.ops.Eval.categoricalDiversity(
+        rows.toDF("g", "cat").repartition(5), "g", "cat")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    // g1: gini = 1e6·(64−4·4) div 64 = 750000 exact; entropy = 4 equal terms
+    assert(got("g1") == ((8L, 4L, 4 * term(2, 8), 750000L)))
+    // uniform entropy ≈ ln(4)·1e6, off by < k micros from per-term floors
+    assert(math.abs(got("g1")._3 - (math.log(4.0) * 1e6).round) < 4)
+    // g2: gini = 1e6·(16−10) div 16 = 375000 exact
+    assert(got("g2") == ((4L, 2L, term(3, 4) + term(1, 4), 375000L)))
+    // g3: single category ⇒ both exactly zero
+    assert(got("g3") == ((5L, 1L, 0L, 0L)))
+  }
 }

@@ -35,6 +35,35 @@ class LinkageSpec extends AnyFunSuite with SparkTestBase {
       (3L, -2000000L, "nonlink")))
   }
 
+  test("sortedNeighborhood: every ≤w-apart pair exactly once, == brute force") {
+    val rng = new scala.util.Random(17)
+    val rows = (0L until 120L).map(i => (i, rng.nextInt(40).toLong))
+    val df = rows.toDF("id", "v").repartition(7)
+    val got = Linkage.sortedNeighborhood(df,
+        Seq(col("v").asc, col("id").asc), "id", w = 4)
+      .select(col("id_a"), col("id_b"), col("rank_a"), col("rank_b"))
+      .as[(Long, Long, Long, Long)].collect()
+    // brute force over the explicitly sorted order
+    val sorted = rows.sortBy { case (id, v) => (v, id) }.map(_._1)
+    val ref = (for {
+      i <- sorted.indices; j <- (i + 1) until math.min(i + 5, sorted.size)
+    } yield (sorted(i), sorted(j), i + 1L, j + 1L)).toSet
+    assert(got.length == got.toSet.size, "a pair materialized twice")
+    assert(got.toSet == ref)
+  }
+
+  test("prefix-sum union safety: result unioned with itself keeps correct ranks") {
+    // regression for the TaskContext.getPartitionId() bug: a narrow
+    // self-union renumbers stage tasks P..2P−1; ranks must not shift
+    val df = (1L to 50L).toDF("id").repartition(5)
+    val ranked = graft.ops.Packing.assignShardsOrdered(
+      df.withColumn("_one", lit(1L)), Seq(col("id").asc), "_one",
+      budget = Long.MaxValue)
+    val unioned = ranked.unionByName(ranked)
+      .select(col("id"), col("cum_w")).as[(Long, Long)].collect()
+    assert(unioned.length == 100 && unioned.forall { case (id, r) => r == id })
+  }
+
   test("guards: empty comparator list and inverted thresholds reject loudly") {
     val df = Seq((1L, 1L)).toDF("a", "b")
     intercept[IllegalArgumentException] {
