@@ -1901,8 +1901,11 @@ object SparkEntry {
     // form; Catalyst decorrelates the ranked correlated subquery into
     // a keyed window + join instead of rescanning orders per customer.
     // Raw doubles ride through untouched (no aggregation), so the hash
-    // is engine-stable without a DECIMAL cast.
-    "sql_lateral_topn" -> ((s, dir) => {
+    // is engine-stable without a DECIMAL cast. (The nation-grain
+    // sibling under the name sql_lateral_topn silently SHADOWED this
+    // map entry for a round — same Map key twice, last one wins; the
+    // QueriesSmokeSpec duplicate-key guard now pins the whole class.)
+    "sql_lateral_topn_orders" -> ((s, dir) => {
       Tables.customer(s, dir).createOrReplaceTempView("customer_lj")
       Tables.orders(s, dir).createOrReplaceTempView("orders_lj")
       s.sql(
@@ -6637,7 +6640,7 @@ object SparkEntry {
     // Window-form replay (DuckDB also speaks LATERAL, but the window
     // form is the independent phrasing — agreement certifies the
     // decorrelation, not a shared code path).
-    "sql_lateral_topn" ->
+    "sql_lateral_topn_orders" ->
       """SELECT c_custkey, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
         |    row_number() OVER (PARTITION BY o_custkey

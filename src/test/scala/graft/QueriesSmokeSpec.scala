@@ -24,6 +24,23 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkTestBase {
     assert(stale.isEmpty, s"oracle SQL without query: $stale")
   }
 
+  // A Scala Map literal DEDUPS duplicate keys silently (last wins) —
+  // two queries registered under one name means one of them, and its
+  // oracle, never runs anywhere (found live: two sql_lateral_topn
+  // entries shadowed each other for a round). The Map can't show this
+  // after the fact, so scan the source registration sites.
+  test("no duplicate registration names in the source (Map keys dedup silently)") {
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/SparkEntry.scala")))
+    def dups(re: scala.util.matching.Regex): Seq[String] =
+      re.findAllMatchIn(src).map(_.group(1)).toSeq
+        .groupBy(identity).collect { case (k, v) if v.size > 1 => k }.toSeq
+    val qDups = dups("\"(\\w+)\" -> \\(\\(s, dir".r)
+    assert(qDups.isEmpty, s"duplicate query registrations: $qDups")
+    val oDups = dups("\"(\\w+)\" ->\\s*\n?\\s*\"\"\"".r)
+    assert(oDups.isEmpty, s"duplicate oracle registrations: $oDups")
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"query $name runs and returns rows on sf0.001") {
       val df = fn(spark, sfDir)
