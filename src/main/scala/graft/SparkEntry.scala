@@ -2328,6 +2328,21 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // First-order Markov transition matrix over per-user event streams:
+    // adjacent (from, to) state pairs in (ts, event_id) total order,
+    // counts + row-conditional P(to|from) as exact trunc-micros. The
+    // lead window is USER-keyed (never an unpartitioned sort); the
+    // matrix is |states|² at most. Oracle replays the same lead window
+    // in DuckDB — a cross-user bleed (one user's last event pairing
+    // with the next user's first) would flip counts immediately.
+    "events_markov_transitions" -> ((s, dir) => {
+      graft.ops.SeqPattern.markovTransitions(
+          Tables.events(s, dir).select(col("user_id"), col("ts"),
+            col("event_id"), col("event_type")),
+          "user_id", Seq(col("ts"), col("event_id")), col("event_type"))
+        .orderBy("from_state", "to_state")
+    }),
+
     // Cohort retention: users grouped by first-activity week; for each
     // (cohort week, week offset) the count of distinct active users.
     // Week arithmetic stays in epoch seconds of week-truncated
@@ -3875,6 +3890,26 @@ object SparkEntry {
           expr("(doc_id * 2 + 1) % n_nodes"))).as("dst"))
       graft.ops.Graph.kCorePeel(edges, "src", "dst", docs, "doc_id",
           k = 5, rounds = 3)
+        .orderBy("node")
+    }),
+
+    // Bounded-round multi-source BFS — hop distance from the seed set
+    // {doc_id % 97 == 0} over the SPARSE planted graph (only the ×31
+    // functional chord: undirected mean degree 2, so distances spread
+    // across the full round budget and the -1 unreached branch is
+    // exercised at every SF, unlike the dense triangle fixture whose
+    // expander diameter collapses BFS to 2 hops). The oracle replays
+    // the expansion as a recursive CTE with min(dist) — a node reached
+    // one round early/late, a missed seed, or a leak past the round
+    // budget each flip the hash.
+    "graph_bfs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val cnt = docs.agg(count(lit(1)).as("n_nodes"))
+      val edges = docs.crossJoin(broadcast(cnt)).select(
+        col("doc_id").as("src"), expr("(doc_id * 31 + 7) % n_nodes").as("dst"))
+      val seeds = docs.filter(col("doc_id") % 97 === 0)
+      graft.ops.Graph.bfsLayers(edges, "src", "dst", docs, "doc_id",
+          seeds, "doc_id", maxRounds = 4)
         .orderBy("node")
     }),
 
@@ -6897,6 +6932,24 @@ object SparkEntry {
         |  CAST(strpos(seq, 'p') AS BIGINT) AS first_p_pos
         |FROM sq ORDER BY user_id""".stripMargin,
 
+    // Same lead window (user-keyed, (ts, event_id) total order); the
+    // conditional probability replays as the identical BIGINT
+    // trunc-div over the row total.
+    "events_markov_transitions" ->
+      """WITH pairs AS (
+        |  SELECT event_type AS from_state,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS to_state
+        |  FROM events),
+        |c AS (
+        |  SELECT from_state, to_state, count(*) AS n FROM pairs
+        |  WHERE to_state IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_state, sum(n) AS row_total FROM c GROUP BY 1)
+        |SELECT c.from_state, c.to_state, c.n,
+        |  (c.n * 1000000) // t.row_total AS p_micro
+        |FROM c JOIN t USING (from_state)
+        |ORDER BY from_state, to_state""".stripMargin,
+
     "events_cohort_retention" ->
       """WITH f AS (
         |  SELECT user_id,
@@ -7493,6 +7546,28 @@ object SparkEntry {
         |    ELSE 0 END AS BIGINT) AS round_removed,
         |  CAST(coalesce(d4.deg, 0) AS BIGINT) AS final_deg
         |FROM documents d LEFT JOIN d4 ON d4.node = d.doc_id
+        |ORDER BY node""".stripMargin,
+
+    // Recursive-CTE BFS replay: frontier expansion as UNION-deduped
+    // (node, dist) reachability bounded by the round budget, then
+    // min(dist) per node; unreached nodes pin -1 via the left join.
+    "graph_bfs" ->
+      """WITH RECURSIVE nn AS (SELECT count(*) AS n_nodes FROM documents),
+        |raw AS (
+        |  SELECT doc_id AS s, (doc_id * 31 + 7) % n_nodes AS d
+        |  FROM documents, nn),
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+        |  FROM raw WHERE s <> d),
+        |adj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+        |r AS (
+        |  SELECT doc_id AS node, 0 AS dist FROM documents WHERE doc_id % 97 = 0
+        |  UNION
+        |  SELECT adj.v AS node, r.dist + 1 AS dist
+        |  FROM r JOIN adj ON adj.u = r.node WHERE r.dist < 4),
+        |m AS (SELECT node, min(dist) AS dist FROM r GROUP BY node)
+        |SELECT d.doc_id AS node, CAST(coalesce(m.dist, -1) AS BIGINT) AS dist
+        |FROM documents d LEFT JOIN m ON m.node = d.doc_id
         |ORDER BY node""".stripMargin,
 
     // Per-lang NLL terciles: the lm/nll CTEs are the x4_lm_nll twin

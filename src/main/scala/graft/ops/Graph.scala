@@ -301,6 +301,60 @@ object Graph {
         coalesce(col("final_deg"), lit(0L)).as("final_deg"))
   }
 
+  /** Bounded-round multi-source BFS: hop distance from a seed SET over
+    * the undirected simple graph — the reachability primitive under
+    * crawl-depth audits, contamination blast-radius ("everything within
+    * k hops of a flagged doc"), and social-distance features. Returns
+    * `(node, dist)` for every node in `nodes`: 0 for seeds, the MINIMUM
+    * hop count for nodes reached within `maxRounds`, and -1 (not NULL —
+    * a join-shaped downstream would silently drop NULLs) for nodes not
+    * reached. Seeds not present in `nodes` are ignored; a node both
+    * seeded and reachable reports 0 (seed status wins by construction —
+    * the round-0 frontier claims it first).
+    *
+    * == Scale shape ==
+    * Classic frontier expansion, the Pregel BFS: per round one keyed
+    * join (frontier ⋈ adjacency — the frontier side is whatever the
+    * graph's expansion makes it, so no broadcast hint: AQE may pick one
+    * when a round's frontier is genuinely small), one `distinct` at
+    * candidate cardinality, and one anti-join against the visited set.
+    * Visited and frontier are re-pinned per round
+    * ([[Packing.pinExchange]]) so lineage stays O(1) across rounds —
+    * the [[pagerank]] discipline. Driver state: nothing. Total work is
+    * O(Σ_r |frontier_r ⋈ adj|) = O(m) over all rounds on a connected
+    * sweep — each undirected edge is crossed at most twice. */
+  def bfsLayers(edges: DataFrame, srcCol: String, dstCol: String,
+      nodes: DataFrame, nodeCol: String, seeds: DataFrame, seedCol: String,
+      maxRounds: Int): DataFrame = {
+    require(maxRounds >= 0 && maxRounds <= 1000,
+      s"maxRounds must be in [0,1000], got $maxRounds")
+    val n = nodes.select(col(nodeCol).cast("long").as("node"))
+    val canon = edges.select(
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    // adjacency, both directions — BFS walks the undirected graph
+    val adj = Packing.pinExchange(
+      canon.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(canon.select(col("b").as("u"), col("a").as("v"))))
+    var frontier = Packing.pinExchange(
+      n.join(seeds.select(col(seedCol).cast("long").as("node")).distinct(),
+        Seq("node"), "left_semi"))
+    var visited = Packing.pinExchange(
+      frontier.select(col("node"), lit(0L).as("dist")))
+    for (r <- 1 to maxRounds) {
+      val next = adj.join(frontier.select(col("node").as("u")), Seq("u"))
+        .select(col("v").as("node")).distinct()
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+      frontier = Packing.pinExchange(next)
+      visited = Packing.pinExchange(visited.unionByName(
+        frontier.select(col("node"), lit(r.toLong).as("dist"))))
+    }
+    n.join(visited, Seq("node"), "left")
+      .select(col("node"), coalesce(col("dist"), lit(-1L)).as("dist"))
+  }
+
   /** One PageRank round: message join + per-dst partial-agg sum + node-
     * universe restore. Exposed for plan-shape assertions — the contract
     * is "two wide ops, edge side served from cache, no broadcast of

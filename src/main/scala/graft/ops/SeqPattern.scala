@@ -59,4 +59,41 @@ object SeqPattern {
     seq.rlike(subseq.map(c => java.util.regex.Pattern.quote(c.toString))
       .mkString(".*"))
   }
+
+  /** First-order Markov transition matrix over per-key event streams:
+    * for every observed `(from_state, to_state)` adjacent pair (in
+    * per-key `(orderCols)` order — pass a unique tie-break column last
+    * for a total order), the count and the row-conditional probability
+    * P(to | from) as exact trunc-micros (`n·10⁶ div row_total` — both
+    * engines truncate toward zero on non-negative BIGINTs). The matrix
+    * is the empirical behavior model behind next-action prediction,
+    * anomaly scoring (improbable transitions), and absorbing-state
+    * funnel analysis; rows sum to ≤ 10⁶ with the deficit being pure
+    * truncation dust (≤ #cols−1 micros — a documented property, not an
+    * error).
+    *
+    * == Scale shape ==
+    * One window keyed BY THE STREAM KEY (`lead` over
+    * partitionBy(key) — never an unpartitioned sort), then one hash
+    * aggregation at state-pair cardinality (|states|² rows at most, a
+    * broadcastable frame for any real event taxonomy) and a
+    * state-cardinality row-total join back. Each key's LAST event has
+    * no successor and contributes no pair — per-key streams never
+    * bleed into each other (pinned in spec). */
+  def markovTransitions(df: DataFrame, key: String, orderCols: Seq[Column],
+      state: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(key)).orderBy(orderCols: _*)
+    val pairs = df
+      .select(col(key), state.as("from_state"),
+        lead(state, 1).over(w).as("to_state"))
+      .filter(col("to_state").isNotNull)
+      .groupBy(col("from_state"), col("to_state"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_state"))
+      .agg(sum(col("n")).as("row_total"))
+    pairs.join(totals, Seq("from_state"))
+      .select(col("from_state"), col("to_state"), col("n"),
+        expr("(n * 1000000) div row_total").as("p_micro"))
+  }
 }

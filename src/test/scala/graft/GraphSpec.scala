@@ -234,4 +234,35 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     val got = runTriangles(0L +: rim, es)
     assert(got(0L) == 12L && rim.forall(i => got(i) == 2L))
   }
+
+  private def runBfs(nodes: Seq[Long], edges: Seq[(Long, Long)],
+      seeds: Seq[Long], rounds: Int, parts: Int = 4): Map[Long, Long] = {
+    import spark.implicits._
+    graft.ops.Graph.bfsLayers(
+        edges.toDF("s", "d").repartition(parts), "s", "d",
+        nodes.toDF("v").repartition(parts), "v",
+        seeds.toDF("x"), "x", rounds)
+      .as[(Long, Long)].collect().toMap
+  }
+
+  test("bfsLayers: path graph — exact hop distances, round budget truncates, -1 unreached") {
+    // path 0-1-2-3-4-5, isolated 9; seed {0}
+    val nodes = Seq(0L, 1L, 2L, 3L, 4L, 5L, 9L)
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(runBfs(nodes, edges, Seq(0L), 5) ==
+      Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L, 9L -> -1L))
+    // budget 2: nodes past hop 2 stay unreached
+    assert(runBfs(nodes, edges, Seq(0L), 2) ==
+      Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> -1L, 4L -> -1L, 5L -> -1L, 9L -> -1L))
+  }
+
+  test("bfsLayers: multi-source min distance, undirected walk, seed outside nodes ignored") {
+    val nodes = Seq(0L, 1L, 2L, 3L, 4L)
+    // directed edge encodings must be walked both ways: 4→3 reaches 3→4
+    val edges = Seq((0L, 1L), (1L, 2L), (4L, 3L))
+    val got = runBfs(nodes, edges, Seq(0L, 4L, 77L), 3)
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 0L))
+    // partition invariance
+    assert(runBfs(nodes, edges, Seq(0L, 4L, 77L), 3, parts = 1) == got)
+  }
 }
