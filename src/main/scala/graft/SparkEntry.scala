@@ -3405,6 +3405,29 @@ object SparkEntry {
         .orderBy("event_type", "day_num")
     }),
 
+    // Two-sided CUSUM changepoint detection over per-priority WEEKLY
+    // revenue (345 weeks per key — calendar-bounded series). Exact
+    // integer recurrences s± = max(0, s±' ± (x − target) − kappa) in
+    // cents, strict-> alarm, alarming side resets (changePOINTS,
+    // plural); per-key target/slack/threshold are derived from the
+    // series' own trunc-mean and joined in as columns. The oracle
+    // replays the fold as a recursive CTE — a missed reset, an
+    // off-by-one week, or an inclusive-vs-strict alarm flips the hash.
+    "ts_cusum_changepoints" -> ((s, dir) => {
+      val weekly = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"),
+          expr("datediff(to_date(o_orderdate), DATE'1970-01-01') div 7")
+            .cast("long").as("week_num"))
+        .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .as("rev_cents"))
+      val stats = weekly.groupBy("o_orderpriority")
+        .agg(expr("sum(rev_cents) div count(1)").as("mu"))
+      graft.ops.TimeSeries.cusum(weekly.join(stats, "o_orderpriority"),
+          "o_orderpriority", "week_num", col("rev_cents"),
+          col("mu"), expr("mu div 20"), expr("mu div 2"))
+        .orderBy("o_orderpriority", "week_num")
+    }),
+
     // Time series — sliding-window agg in batch mode (2h window, 1h
     // slide): each row replicates into 2 windows map-side, then a plain
     // hash aggregate; the exact expression Structured Streaming plans.
@@ -6520,6 +6543,36 @@ object SparkEntry {
         |  CAST(l AS BIGINT) AS level_micro,
         |  CAST(b AS BIGINT) AS trend_micro
         |FROM r WHERE rn >= 2 ORDER BY user_id, event_id""".stripMargin,
+
+    // Recursive-CTE replay of the CUSUM fold: emitted s± are
+    // post-update PRE-reset; the carried state applies the reset.
+    "ts_cusum_changepoints" ->
+      """WITH RECURSIVE wk AS (
+        |  SELECT o_orderpriority AS k,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) // 7
+        |      AS BIGINT) AS week_num,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS x
+        |  FROM orders GROUP BY 1, 2),
+        |st AS (SELECT k, sum(x) // count(*) AS mu FROM wk GROUP BY 1),
+        |e AS (
+        |  SELECT wk.k, week_num, x, mu, mu // 20 AS kp, mu // 2 AS h,
+        |    row_number() OVER (PARTITION BY wk.k ORDER BY week_num) AS rn
+        |  FROM wk JOIN st USING (k)),
+        |r AS (
+        |  SELECT k, week_num, x, mu, kp, h, rn,
+        |    greatest(0, x - mu - kp) AS sp, greatest(0, mu - kp - x) AS sn
+        |  FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.k, n.week_num, n.x, n.mu, n.kp, n.h, n.rn,
+        |    greatest(0, (CASE WHEN r.sp > r.h THEN 0 ELSE r.sp END)
+        |      + n.x - n.mu - n.kp),
+        |    greatest(0, (CASE WHEN r.sn > r.h THEN 0 ELSE r.sn END)
+        |      + n.mu - n.kp - n.x)
+        |  FROM r JOIN e n ON n.k = r.k AND n.rn = r.rn + 1)
+        |SELECT k AS o_orderpriority, week_num, x,
+        |  CAST(sp AS BIGINT) AS s_pos, CAST(sn AS BIGINT) AS s_neg,
+        |  sp > h AS alarm_up, sn > h AS alarm_down
+        |FROM r ORDER BY o_orderpriority, week_num""".stripMargin,
 
     "window_sliding_batch" ->
       """SELECT ws AS window_start, event_type, count(*) AS n,

@@ -249,6 +249,68 @@ object TimeSeries {
         col("_r.l").as("level_micro"), col("_r.b").as("trend_micro"))
   }
 
+  /** Two-sided CUSUM changepoint detection (Page 1954) — the
+    * sequential drift detector behind data-quality regression alarms
+    * ("this source's volume shifted") and model-drift monitors. Per
+    * key, over the `(ord)`-ordered series of BIGINT values, the
+    * classic recurrences in exact integers:
+    *
+    *   s⁺ = max(0, s⁺' + x − target − kappa)   (upward drift)
+    *   s⁻ = max(0, s⁻' + target − kappa − x)   (downward drift)
+    *
+    * with an alarm when the just-updated statistic EXCEEDS `h`
+    * (strict >), and — because the goal is changePOINTS, plural — the
+    * alarming side RESETS to 0 for the next row (the standard restart
+    * convention; without it one level shift saturates the statistic
+    * and masks every later shift). Emitted `s_pos`/`s_neg` are the
+    * post-update, PRE-reset values, so the alarm row shows the
+    * crossing magnitude. `target`/`kappa`/`h` are caller-supplied
+    * COLUMNS (per-key calibration is a join upstream, not this op's
+    * business); everything is BIGINT, so the fold is
+    * partial-agg-order-proof and replays cell-for-cell in a recursive
+    * CTE. State init s⁺ = s⁻ = 0: the first row is judged against
+    * `target` like any other.
+    *
+    * Scale shape: one hash agg + per-key sorted fold + explode — the
+    * [[ewmaGaps]]/[[holtTrend]] contract; per-key memory bounded by
+    * that key's own series length (calendar-bounded for dated grains),
+    * no windows, no driver state. Returns one row per input row:
+    * (key, ord, x, s_pos, s_neg, alarm_up, alarm_down). */
+  def cusum(df: DataFrame, key: String, ord: String, x: Column,
+      target: Column, kappa: Column, h: Column): DataFrame = {
+    val sorted = array_sort(collect_list(struct(
+      col(ord).cast("long").as("o"), x.cast("long").as("x"))))
+    val folded = df
+      .groupBy(col(key), target.cast("long").as("_mu"),
+        kappa.cast("long").as("_k"), h.cast("long").as("_h"))
+      .agg(sorted.as("_ev"))
+      .select(col(key), aggregate(
+        col("_ev"),
+        struct(lit(0L).as("sp"), lit(0L).as("sn"),
+          array().cast(
+            "array<struct<o:long,x:long,sp:long,sn:long,au:boolean,ad:boolean>>")
+            .as("out")),
+        (acc, ev) => {
+          val sp = greatest(lit(0L),
+            acc.getField("sp") + ev.getField("x") - col("_mu") - col("_k"))
+          val sn = greatest(lit(0L),
+            acc.getField("sn") + col("_mu") - col("_k") - ev.getField("x"))
+          val au = sp > col("_h")
+          val ad = sn > col("_h")
+          struct(
+            when(au, lit(0L)).otherwise(sp).as("sp"),
+            when(ad, lit(0L)).otherwise(sn).as("sn"),
+            concat(acc.getField("out"), array(struct(
+              ev.getField("o").as("o"), ev.getField("x").as("x"),
+              sp.as("sp"), sn.as("sn"), au.as("au"), ad.as("ad")))).as("out"))
+        },
+        acc => acc.getField("out")).as("_out"))
+    folded.select(col(key), explode(col("_out")).as("_r"))
+      .select(col(key), col("_r.o").as(ord), col("_r.x").as("x"),
+        col("_r.sp").as("s_pos"), col("_r.sn").as("s_neg"),
+        col("_r.au").as("alarm_up"), col("_r.ad").as("alarm_down"))
+  }
+
   def forwardFill(df: DataFrame, key: String, ts: String, value: String,
       tieBreak: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -247,4 +247,42 @@ class TimeSeriesSpec extends AnyFunSuite with SparkTestBase {
     // det=-2; phase of day2 = 2 → seasonal = (1e6·-2) div (3·1)
     assert(se1 == -666666L)
   }
+
+  test("cusum: hand-pinned recurrence — strict alarm boundary, reset, two-sided") {
+    // target 100, kappa 10, h 50. Series drives s_pos to EXACTLY h
+    // (no alarm — strict >), past h (alarm + reset), then a plunge
+    // trips the downward side.
+    // x:    150  110  160   20   20
+    // s+:    40   40   90    0    0   (90 > 50 → alarm_up, reset)
+    // s-:     0    0    0   70   70   (70 > 50 both times: alarm_down,
+    //                                  reset, re-trip from 0)
+    val rows = Seq(("k", 1L, 150L), ("k", 2L, 110L), ("k", 3L, 160L),
+      ("k", 4L, 20L), ("k", 5L, 20L)).toDF("key", "o", "x")
+      .withColumn("mu", lit(100L)).withColumn("kp", lit(10L))
+      .withColumn("h", lit(50L))
+    for (parts <- Seq(1, 3)) {
+      val got = TimeSeries.cusum(rows.repartition(parts.toInt), "key", "o",
+          col("x"), col("mu"), col("kp"), col("h"))
+        .orderBy("o")
+        .select("o", "s_pos", "s_neg", "alarm_up", "alarm_down")
+        .as[(Long, Long, Long, Boolean, Boolean)].collect().toSeq
+      assert(got == Seq(
+        (1L, 40L, 0L, false, false),
+        (2L, 40L, 0L, false, false),   // s+ = 40+110-110 = 40
+        (3L, 90L, 0L, true, false),    // crosses h, resets to 0
+        (4L, 0L, 70L, false, true),    // s+ restarts at 0; s- trips
+        (5L, 0L, 70L, false, true)))   // s- reset then trips again
+      }
+  }
+
+  test("cusum: value exactly at h does not alarm (strict >)") {
+    // single step to s_pos == h exactly
+    val rows = Seq(("k", 1L, 160L)).toDF("key", "o", "x")
+      .withColumn("mu", lit(100L)).withColumn("kp", lit(10L))
+      .withColumn("h", lit(50L))
+    val got = TimeSeries.cusum(rows, "key", "o", col("x"),
+        col("mu"), col("kp"), col("h"))
+      .select("s_pos", "alarm_up").as[(Long, Boolean)].head()
+    assert(got == ((50L, false)))
+  }
 }
