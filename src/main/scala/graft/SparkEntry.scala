@@ -2405,6 +2405,32 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // Zone-map data skipping — the min/max footer-stats + prune
+    // decision every lakehouse reader runs, certified END TO END on
+    // two layouts of the SAME rows: insertion order (files by
+    // o_orderkey block — each file spans the whole date range, nothing
+    // prunes) vs date-clustered (files by 30-day bucket — a 6-month
+    // range predicate prunes ~93% of files). The contrast IS the
+    // lesson: skipping effectiveness is a property of layout, not of
+    // stats (the z-order/Hilbert ops exist to manufacture it). Stats
+    // are one hash agg at file grain — O(files) metadata, the frame a
+    // planner broadcasts to prune a 100 TB scan.
+    "storage_zonemap_pruning" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"),
+        expr("datediff(to_date(o_orderdate), DATE'1970-01-01')")
+          .cast("long").as("day"))
+      def layoutStats(tag: String, fid: org.apache.spark.sql.Column) =
+        Layout.pruneRange(Layout.zoneMap(o, fid, col("day")),
+            expr("datediff(DATE'1998-01-01', DATE'1970-01-01')"),
+            expr("datediff(DATE'1998-06-30', DATE'1970-01-01')"))
+          .withColumn("layout", lit(tag))
+      layoutStats("insertion", expr("o_orderkey div 100"))
+        .unionByName(layoutStats("date_clustered", expr("day div 30")))
+        .select("layout", "file_id", "f_min", "f_max", "n_rows",
+          "n_nulls", "pruned")
+        .orderBy("layout", "file_id")
+    }),
+
     // Cartesian product (tiny×tiny only — a guarded operator, never the
     // scale path): unordered region pairs.
     "cross_join_region_pairs" -> ((s, dir) => {
@@ -3626,6 +3652,43 @@ object SparkEntry {
           (col("est") >= coalesce(col("_n"), lit(0L))).as("est_ge_true"),
           (col("est") === coalesce(col("_n"), lit(0L))).as("est_eq_true"))
         .orderBy("key")
+    }),
+
+    // AMS tug-of-war F2 sketch: per-event-type second moment of the
+    // user_id frequency vector — self-join size / skew mass — from a
+    // 5×256 signed-counter sketch. Verdict rows: f2_exact is real data
+    // the oracle recomputes (Σ count²); est_in_30pct pins the median-
+    // of-rows estimator's accuracy on this corpus; merge_exact pins
+    // SIGNED linearity — the sketch of the full stream equals the
+    // cell-wise SUM of two half-stream sketches exactly (the property
+    // Count-Min's min-estimate lacks), certified by a full-outer
+    // null-safe cell compare riding the same result row.
+    "sketch_ams_f2" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), col("user_id"), col("event_id"))
+      val sk = graft.ops.Sketch.amsSketch(ev, "user_id", depth = 5,
+        width = 256, groupCols = Seq("event_type"))
+      val est = graft.ops.Sketch.amsF2Estimate(sk, depth = 5,
+        groupCols = Seq("event_type"))
+      val exact = ev.groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("_n"))
+        .groupBy("event_type").agg(sum(col("_n") * col("_n")).as("f2_exact"))
+      val half = (p: Int) => graft.ops.Sketch.amsSketch(
+        ev.filter(pmod(col("event_id"), lit(2)) === p), "user_id",
+        depth = 5, width = 256, groupCols = Seq("event_type"))
+      val merged = half(0).unionByName(half(1))
+        .groupBy("event_type", "r", "c").agg(sum("cell").as("mcell"))
+      val mergeOk = sk.withColumnRenamed("cell", "fcell")
+        .join(merged, Seq("event_type", "r", "c"), "full")
+        .groupBy("event_type")
+        .agg(expr("every(coalesce(fcell, 0L) = coalesce(mcell, 0L))")
+          .as("merge_exact"))
+      exact.join(est, Seq("event_type")).join(mergeOk, Seq("event_type"))
+        .select(col("event_type"), col("f2_exact"),
+          (abs(col("f2_est") - col("f2_exact")) * 100 <=
+            col("f2_exact") * 30).as("est_in_30pct"),
+          col("merge_exact"))
+        .orderBy("event_type")
     }),
 
     // Count-Min built INCREMENTALLY from the event STREAM, then
@@ -7311,6 +7374,41 @@ object SparkEntry {
         |SELECT key, CAST(n_true AS BIGINT) AS n_true,
         |  TRUE AS est_ge_true, TRUE AS est_eq_true
         |FROM p ORDER BY key""".stripMargin,
+
+    "sketch_ams_f2" ->
+      """WITH c AS (
+        |  SELECT event_type, user_id, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(sum(n * n) AS BIGINT) AS f2_exact,
+        |  TRUE AS est_in_30pct, TRUE AS merge_exact
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Pure metadata replay: the same two file assignments, min/max
+    // stats at file grain, and the identical prune inequality.
+    "storage_zonemap_pruning" ->
+      """WITH o AS (
+        |  SELECT o_orderkey,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS BIGINT) AS day
+        |  FROM orders),
+        |b AS (
+        |  SELECT CAST(date_diff('day', DATE '1970-01-01', DATE '1998-01-01')
+        |           AS BIGINT) AS lo,
+        |         CAST(date_diff('day', DATE '1970-01-01', DATE '1998-06-30')
+        |           AS BIGINT) AS hi),
+        |s AS (
+        |  SELECT 'insertion' AS layout, o_orderkey // 100 AS file_id,
+        |    min(day) AS f_min, max(day) AS f_max, count(*) AS n_rows,
+        |    count(*) FILTER (WHERE day IS NULL) AS n_nulls
+        |  FROM o GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'date_clustered', day // 30,
+        |    min(day), max(day), count(*),
+        |    count(*) FILTER (WHERE day IS NULL)
+        |  FROM o GROUP BY 2)
+        |SELECT layout, file_id, f_min, f_max, n_rows, n_nulls,
+        |  (n_nulls = n_rows OR f_max < lo OR f_min > hi) AS pruned
+        |FROM s, b ORDER BY layout, file_id""".stripMargin,
 
     "sketch_hll_distinct" ->
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,

@@ -128,4 +128,33 @@ object Layout {
       .sortWithinPartitions("_h")
       .drop("_h")
   }
+
+  /** Zone-map (min/max footer) statistics per file: the ANALYZE-style
+    * summary every data-skipping reader consumes — parquet row-group
+    * stats, Iceberg/Delta manifest column bounds, ORC stripe footers
+    * all carry exactly this. One hash aggregation at FILE grain, so
+    * the stats frame is O(files) however large the table: the frame a
+    * planner broadcasts to prune a 100 TB scan down to the files that
+    * can possibly match. `n_nulls` rides along because a NULL-only
+    * file has NULL min/max and is prunable for any range predicate
+    * but NOT for `IS NULL` — the distinction a naive min/max-only
+    * zone map gets wrong. Returns (file_id, f_min, f_max, n_rows,
+    * n_nulls). */
+  def zoneMap(df: DataFrame, fileId: Column, value: Column): DataFrame =
+    df.select(fileId.cast("long").as("file_id"), value.as("_v"))
+      .groupBy("file_id")
+      .agg(min(col("_v")).as("f_min"), max(col("_v")).as("f_max"),
+        count(lit(1)).as("n_rows"),
+        sum(when(col("_v").isNull, 1L).otherwise(0L)).as("n_nulls"))
+
+  /** Range-predicate pruning decision over a [[zoneMap]] frame: a file
+    * is skippable for `value BETWEEN lo AND hi` iff its range cannot
+    * intersect — `f_max < lo OR f_min > hi` — or it holds no non-null
+    * values at all (NULL never satisfies a range predicate). The
+    * decision is per-file metadata arithmetic: zero data touched,
+    * which is the entire point. Adds `pruned` to the stats frame. */
+  def pruneRange(zoneStats: DataFrame, lo: Column, hi: Column): DataFrame =
+    zoneStats.withColumn("pruned",
+      col("n_nulls") === col("n_rows") ||
+        col("f_max") < lo || col("f_min") > hi)
 }

@@ -141,4 +141,61 @@ object Sketch {
       .groupBy(col(key))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
+
+  // ------------------------------------------------------------------
+  // AMS / tug-of-war F2 sketch (Alon, Matias & Szegedy 1996, bucketed
+  // "fast AMS" form = the Count-Sketch of Charikar et al. 2002).
+  // Count-Min answers point frequencies; F2 = Σ_k count(k)² is the
+  // SECOND MOMENT — self-join size, repeated-key skew, collision mass —
+  // and the quantity a planner wants BEFORE running the join that F2
+  // predicts. The sketch is d rows × w buckets of SIGNED counter sums:
+  // cell(r, c) = Σ_{k: h_r(k)=c} ε_r(k)·count(k) with ε ∈ {−1, +1};
+  // per-row estimate Σ_c cell² is an unbiased F2 estimator with
+  // variance 2·F2²/w, and the MEDIAN over d rows concentrates it.
+  //
+  // Same contracts as Count-Min: one capped hash aggregation (≤ d·w
+  // cells, partial-aggregated map-side), deterministic xxhash rows —
+  // bucket from seed r, SIGN from the xxhash bit 1 of an offset seed
+  // stream (r + 64; independent of the bucket bits) — so sketches are
+  // cell-identical across clusters/layouts, and cell-wise ADDITION
+  // merges batch sketches exactly (signed linearity, the property
+  // Count-Min's min-estimate lacks — proven in spec).
+  // ------------------------------------------------------------------
+
+  /** Build the d×w signed AMS sketch over `key` within each group of
+    * `groupCols` (empty = one global sketch), weighting rows by
+    * `weight`. Returns touched cells only: (groupCols..., r, c, cell).
+    */
+  def amsSketch(df: DataFrame, key: String, depth: Int, width: Int,
+      groupCols: Seq[String] = Nil, weight: Column = lit(1L)): DataFrame = {
+    checkDims(depth, width)
+    val gc = groupCols.map(col)
+    df.select(gc :+ col(key).as("_k") :+ weight.cast("long").as("_w"): _*)
+      .select(gc :+ col("_k") :+ col("_w") :+
+        explode(sequence(lit(0), lit(depth - 1))).as("r"): _*)
+      .select(gc :+ col("r") :+
+        pmod(xxhash64(col("_k"), col("r")), lit(width.toLong)).as("c") :+
+        (col("_w") * (lit(1L) - lit(2L) *
+          pmod(xxhash64(col("_k"), col("r") + lit(64)), lit(2L)))).as("_s"): _*)
+      .groupBy(((groupCols :+ "r") :+ "c").map(col): _*)
+      .agg(sum(col("_s")).as("cell"))
+  }
+
+  /** Median-of-rows F2 estimate from an [[amsSketch]] frame: per
+    * (group, r) the row estimate Σ_c cell², then the lower median over
+    * the d rows — all BIGINT, so the estimate is deterministic and
+    * engine-portable. Rows whose every key cancelled still exist as
+    * estimate 0 only if some cell was touched; callers keep d odd for
+    * a true middle element. Returns (groupCols..., f2_est). */
+  def amsF2Estimate(sketch: DataFrame, depth: Int,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    require(depth >= 1 && depth % 2 == 1, s"depth must be odd, got $depth")
+    val gc = groupCols.map(col)
+    sketch
+      .groupBy((groupCols :+ "r").map(col): _*)
+      .agg(sum(col("cell") * col("cell")).as("_est"))
+      .groupBy(gc: _*)
+      .agg(element_at(array_sort(collect_list(col("_est"))),
+        (depth + 1) / 2).as("f2_est"))
+  }
 }

@@ -145,4 +145,27 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(zJumps > 0, "morton walk should jump somewhere on 8x8")
   }
+
+  test("zoneMap + pruneRange: boundary inclusivity, NULL-only files, nulls in stats") {
+    import spark.implicits._
+    // file 0: values 5..9 (f_max == lo boundary); file 1: 20..24 (left
+    // of nothing — inside range); file 2: 40..44 (right of hi);
+    // file 3: all NULL; file 4: NULL mixed with in-range 21
+    val rows: Seq[(Long, Option[Long])] =
+      (5L to 9L).map(v => (0L, Some(v))) ++
+      (20L to 24L).map(v => (1L, Some(v))) ++
+      (40L to 44L).map(v => (2L, Some(v))) ++
+      Seq((3L, None), (3L, None), (4L, None), (4L, Some(21L)))
+    val stats = graft.ops.Layout.pruneRange(
+      graft.ops.Layout.zoneMap(rows.toDF("f", "v"), col("f"), col("v")),
+      lit(9L), lit(30L))
+    val got = stats.select("file_id", "n_rows", "n_nulls", "pruned")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(got(0L) == ((5L, 0L, false)), "f_max == lo must NOT prune (BETWEEN is inclusive)")
+    assert(got(1L) == ((5L, 0L, false)))
+    assert(got(2L) == ((5L, 0L, true)), "fully right of hi prunes")
+    assert(got(3L) == ((2L, 2L, true)), "NULL-only file prunes for any range")
+    assert(got(4L) == ((2L, 1L, false)), "mixed file with an in-range value must scan")
+  }
 }

@@ -138,4 +138,44 @@ class SketchSpec extends AnyFunSuite with SparkTestBase {
       .select(col("j_est"), col("inter_est")).as[(Double, Double)].head()
     assert(r._1 == 0.0 && r._2 == 0.0)
   }
+
+  test("amsSketch: partition-invariant cells; signed linearity under cell-wise sum") {
+    val rng = new scala.util.Random(7)
+    val data = Seq.tabulate(3000)(i => (s"k${rng.nextInt(80)}", i.toLong))
+    val df = data.toDF("k", "i")
+    val full = Sketch.amsSketch(df.repartition(7), "k", 5, 64)
+      .select(col("r"), col("c"), col("cell"))
+      .as[(Int, Long, Long)].collect().map(t => ((t._1, t._2), t._3)).toMap
+    val full1 = Sketch.amsSketch(df.repartition(1), "k", 5, 64)
+      .select(col("r"), col("c"), col("cell"))
+      .as[(Int, Long, Long)].collect().map(t => ((t._1, t._2), t._3)).toMap
+    assert(full == full1, "cells must be partition-invariant")
+    // linearity: sketch(A) + sketch(B) == sketch(A ∪ B), cell-wise —
+    // signed counters ADD (Count-Min's min-estimate has no analog)
+    val a = Sketch.amsSketch(df.filter(col("i") % 2 === 0), "k", 5, 64)
+      .select(col("r"), col("c"), col("cell"))
+      .as[(Int, Long, Long)].collect().map(t => ((t._1, t._2), t._3)).toMap
+    val b = Sketch.amsSketch(df.filter(col("i") % 2 === 1), "k", 5, 64)
+      .select(col("r"), col("c"), col("cell"))
+      .as[(Int, Long, Long)].collect().map(t => ((t._1, t._2), t._3)).toMap
+    val merged = (a.keySet ++ b.keySet).map(k =>
+      k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+    assert(merged.filter(_._2 != 0L) == full.filter(_._2 != 0L))
+  }
+
+  test("amsF2Estimate: within 30% of exact F2 on a fixed skewed stream; even depth rejected") {
+    // zipf-ish: key j appears ~1000/j times — heavy skew is where F2
+    // matters (self-join size dominated by the head)
+    val data = (1 to 40).flatMap(j => Seq.fill(1000 / j)(s"k$j"))
+    val exact = data.groupBy(identity).map { case (_, v) =>
+      v.size.toLong * v.size }.sum
+    val est = Sketch.amsF2Estimate(
+        Sketch.amsSketch(data.toDF("k"), "k", 5, 256), 5)
+      .as[Long].head()
+    assert(math.abs(est - exact) * 100 <= exact * 30,
+      s"est $est vs exact $exact")
+    intercept[IllegalArgumentException] {
+      Sketch.amsF2Estimate(Sketch.amsSketch(data.toDF("k"), "k", 4, 64), 4)
+    }
+  }
 }
