@@ -704,6 +704,28 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    // A/B significance: pooled two-proportion z-test decided by EXACT
+    // cross-multiplied integer inequality (DECIMAL(38,0) internal,
+    // HUGEINT oracle-side — `significant` is a REAL data column both
+    // engines derive from the same integers, not a pinned verdict).
+    // Two planted experiments per event_type: cohort = user parity;
+    // 'planted_bias' success (user_id%4==0) is cohort-determined
+    // (A≈50%, B=0% → reject), 'value_neutral' success (value>50) is
+    // cohort-independent (null at α=0.05) — both decision branches
+    // populated at every SF.
+    "ab_test_proportions" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), col("user_id"), col("value"))
+      def run(tag: String, success: org.apache.spark.sql.Column) =
+        graft.ops.Eval.twoProportionTest(
+          ev.withColumn("experiment", lit(tag)),
+          Seq("experiment", "event_type"),
+          pmod(col("user_id"), lit(2)) === 0, success)
+      run("planted_bias", pmod(col("user_id"), lit(4)) === 0)
+        .unionByName(run("value_neutral", col("value") > 50.0))
+        .orderBy("experiment", "event_type")
+    }),
+
     // Layout — 2-D Hilbert index over bucketed (user, value): the
     // Morton curve's better-locality sibling (consecutive codes are
     // grid-adjacent — LayoutSpec proves it and shows Z-order jumping).
@@ -3568,6 +3590,24 @@ object SparkEntry {
         .orderBy("user_id", "valid_from")
     }),
 
+    // Time travel over the SCD2 history: every user's state AS OF a
+    // mid-corpus instant, half-open [valid_from, valid_to) semantics —
+    // at most one row per key by interval tiling, no dedup needed; a
+    // pure filter (the lakehouse form prunes on valid_from zone maps).
+    // Users first seen after the instant are absent. The oracle
+    // replays the history build AND the same interval predicate.
+    "w5_scd2_asof" -> ((s, dir) => {
+      val ev = Dedup.firstPerKey(
+        Tables.events(s, dir)
+          .filter(col("user_id") < 40)
+          .select(col("user_id"), col("ts"), col("event_type"), col("event_id")),
+        Seq("user_id", "ts"), Seq("event_id"))
+      Merge.scd2AsOf(
+          Merge.scd2History(ev.drop("event_id"), "user_id", "event_type", "ts"),
+          lit("2024-01-15 12:00:00").cast("timestamp"))
+        .orderBy("user_id")
+    }),
+
     // Skew — salted join must equal the plain join (the oracle runs the
     // plain form): lineitem fact salted, orders dim exploded ×8.
     "skew_salted_join" -> ((s, dir) => {
@@ -4594,6 +4634,37 @@ object SparkEntry {
         |  CAST((sum(y) * 1000000) // count(*) AS BIGINT) AS pos_rate_micros,
         |  CAST(sum(s) // count(*) AS BIGINT) AS mean_score_floor
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // HUGEINT replay of the exact cross-multiplied z² inequality —
+    // `significant` is recomputed from the same integer counts, not
+    // pinned.
+    "ab_test_proportions" ->
+      """WITH base AS (
+        |  SELECT 'planted_bias' AS experiment, event_type,
+        |    (user_id % 2 = 0) AS a, (user_id % 4 = 0) AS s FROM events
+        |  UNION ALL
+        |  SELECT 'value_neutral', event_type,
+        |    (user_id % 2 = 0), (value > 50.0) FROM events),
+        |agg AS (
+        |  SELECT experiment, event_type,
+        |    count(*) FILTER (WHERE a) AS n_a,
+        |    count(*) FILTER (WHERE a AND s) AS x_a,
+        |    count(*) FILTER (WHERE NOT a) AS n_b,
+        |    count(*) FILTER (WHERE NOT a AND s) AS x_b
+        |  FROM base GROUP BY 1, 2),
+        |f AS (
+        |  SELECT *,
+        |    CAST(x_a AS HUGEINT) * n_b - CAST(x_b AS HUGEINT) * n_a AS diff,
+        |    CAST(n_a AS HUGEINT) + n_b AS n,
+        |    CAST(x_a AS HUGEINT) + x_b AS x
+        |  FROM agg)
+        |SELECT experiment, event_type, n_a, x_a, n_b, x_b,
+        |  (x_a * 1000000) // greatest(n_a, 1) AS p_a_micro,
+        |  (x_b * 1000000) // greatest(n_b, 1) AS p_b_micro,
+        |  (n_a > 0 AND n_b > 0 AND
+        |   1000000 * diff * diff * n >
+        |     3841459 * CAST(n_a AS HUGEINT) * n_b * x * (n - x)) AS significant
+        |FROM f ORDER BY experiment, event_type""".stripMargin,
 
     "layout_hilbert_values" ->
       """WITH RECURSIVE it AS (
@@ -7299,6 +7370,32 @@ object SparkEntry {
         |FROM cp
         |WINDOW w AS (PARTITION BY user_id ORDER BY valid_from)
         |ORDER BY user_id, valid_from""".stripMargin,
+
+    "w5_scd2_asof" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+        |  FROM events WHERE user_id < 40),
+        |d AS (SELECT user_id, ts, event_type FROM e WHERE rn = 1),
+        |c AS (
+        |  SELECT user_id, ts, event_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn2
+        |  FROM d),
+        |cp AS (
+        |  SELECT user_id, event_type, ts AS valid_from
+        |  FROM c WHERE rn2 = 1 OR prev <> event_type),
+        |h AS (
+        |  SELECT user_id, event_type, valid_from,
+        |    LEAD(valid_from) OVER w AS valid_to,
+        |    (LEAD(valid_from) OVER w IS NULL) AS is_current
+        |  FROM cp
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY valid_from))
+        |SELECT user_id, event_type, valid_from, valid_to, is_current
+        |FROM h
+        |WHERE valid_from <= TIMESTAMP '2024-01-15 12:00:00'
+        |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 12:00:00')
+        |ORDER BY user_id""".stripMargin,
 
     // The salted join's oracle is the PLAIN join — equality proves the
     // salting is semantics-preserving.

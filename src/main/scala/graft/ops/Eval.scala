@@ -226,4 +226,57 @@ object Eval {
           min(col("_n")).cast(big) * min(col("_n"))).cast("long")
           .as("gini_micro"))
   }
+
+  /** Two-proportion z-test (pooled), decided EXACTLY — the A/B
+    * significance call behind every filter-rollout experiment
+    * ("did the new quality gate change the purchase rate?"), computed
+    * with zero floating point: the rejection condition z² > z²crit is
+    * cross-multiplied into the integer inequality
+    *
+    *   10⁶ · (x₁n₂ − x₂n₁)² · (n₁+n₂)  >  z²crit_micro · n₁n₂ · x(n−x)
+    *
+    * (x = x₁+x₂, n = n₁+n₂), evaluated in DECIMAL(38,0) internally —
+    * worst case ~10³¹ at n = 10⁵ per cell, far under 38 digits; DuckDB
+    * replays it in HUGEINT. No decimal reaches the output: emitted
+    * columns are BIGINT counts, trunc-micro rates, and the boolean.
+    * A cohort with zero observations cannot be significant (pinned
+    * FALSE — the inequality would degenerate 0 > 0 and strictness
+    * already handles it, but the guard documents intent). Strict `>`
+    * means a statistic landing exactly ON the threshold does not
+    * reject — the conservative reading.
+    *
+    * `zCritMicro`: z²crit × 10⁶ — pass 3_841_459 for α = 0.05
+    * (χ²₁ 95% = 3.841459), 6_634_897 for α = 0.01.
+    *
+    * Scale shape: ONE hash aggregation at group grain (conditional
+    * counts fold map-side), then per-row integer arithmetic — no
+    * second pass, no window, no driver state. Output: (groupCols...,
+    * n_a, x_a, n_b, x_b, p_a_micro, p_b_micro, significant). */
+  def twoProportionTest(df: DataFrame, groupCols: Seq[String],
+      inCohortA: Column, success: Column,
+      zCritMicro: Long = 3841459L): DataFrame = {
+    require(zCritMicro > 0, s"zCritMicro must be positive, got $zCritMicro")
+    val big = "decimal(38,0)"
+    val gc = groupCols.map(col)
+    val agg = df
+      .select(gc :+ inCohortA.as("_a") :+ success.as("_s"): _*)
+      .groupBy(gc: _*)
+      .agg(
+        sum(when(col("_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("_a") && col("_s"), 1L).otherwise(0L)).as("x_a"),
+        sum(when(!col("_a"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(!col("_a") && col("_s"), 1L).otherwise(0L)).as("x_b"))
+    val d = (c: Column) => c.cast(big)
+    val diff = d(col("x_a")) * col("n_b") - d(col("x_b")) * col("n_a")
+    val n = d(col("n_a")) + col("n_b")
+    val x = d(col("x_a")) + col("x_b")
+    agg.select(
+      gc ++ Seq(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        expr("(x_a * 1000000) div greatest(n_a, 1)").as("p_a_micro"),
+        expr("(x_b * 1000000) div greatest(n_b, 1)").as("p_b_micro"),
+        (col("n_a") > 0 && col("n_b") > 0 &&
+          (lit(1000000L) * diff * diff * n >
+            lit(zCritMicro) * d(col("n_a")) * col("n_b") * x * (n - x)))
+          .as("significant")): _*)
+  }
 }

@@ -128,6 +128,22 @@ object Merge {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** Point-in-time ("time travel") read over an [[scd2History]] frame:
+    * the state of every key AS OF instant `at` — the query an SCD2
+    * table exists to answer (reproduce yesterday's features, audit
+    * what the pipeline believed when a decision was made). Interval
+    * semantics are half-open `[valid_from, valid_to)`: a version is
+    * live AT its own valid_from and dead AT its valid_to (the
+    * successor owns that instant), so consecutive intervals tile time
+    * with no gap and no double-membership — at most one row per key
+    * survives, by construction, with no window or dedup needed. Keys
+    * whose first version begins after `at` are simply absent. A pure
+    * filter: predicate-pushdown-friendly (at a real lakehouse this is
+    * the partition/zone-map prune on valid_from), zero shuffles. */
+  def scd2AsOf(history: DataFrame, at: Column): DataFrame =
+    history.filter(col("valid_from") <= at &&
+      (col("valid_to").isNull || col("valid_to") > at))
+
   /** Latest-row-per-key via `max_by` hash aggregation — same result as
     * [[latestByKey]] when (recency ++ tieBreak) totally orders rows per
     * key, but partial-aggregates map-side: the shuffle carries one row

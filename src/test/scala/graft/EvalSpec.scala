@@ -127,4 +127,43 @@ class EvalSpec extends AnyFunSuite with SparkTestBase {
     // g3: single category ⇒ both exactly zero
     assert(got("g3") == ((5L, 1L, 0L, 0L)))
   }
+
+  test("twoProportionTest: textbook decision both ways, empty cohort, rates") {
+    // Strong effect: 80/100 vs 40/100 → z² ≈ 32.9 >> 3.84 → reject.
+    // Null effect: 50/100 vs 52/100 → z² ≈ 0.08 → keep.
+    def rows(tag: String, xa: Int, xb: Int): Seq[(String, Boolean, Boolean)] =
+      (0 until 100).map(i => (tag, true, i < xa)) ++
+        (0 until 100).map(i => (tag, false, i < xb))
+    val df = (rows("strong", 80, 40) ++ rows("null", 50, 52))
+      .toDF("g", "a", "s")
+    val got = graft.ops.Eval.twoProportionTest(df, Seq("g"), col("a"), col("s"))
+      .select("g", "n_a", "x_a", "p_a_micro", "p_b_micro", "significant")
+      .as[(String, Long, Long, Long, Long, Boolean)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(got("strong") == (("strong", 100L, 80L, 800000L, 400000L, true)))
+    assert(got("null") == (("null", 100L, 50L, 500000L, 520000L, false)))
+    // one empty cohort can never be significant (and must not crash)
+    val solo = Seq(("g", true, true), ("g", true, false)).toDF("g", "a", "s")
+    val r = graft.ops.Eval.twoProportionTest(solo, Seq("g"), col("a"), col("s"))
+      .select("n_b", "significant").as[(Long, Boolean)].head()
+    assert(r == ((0L, false)))
+  }
+
+  test("twoProportionTest: statistic exactly ON the threshold keeps (strict >)") {
+    // Construct equality: with n1=n2=m, x1=x, x2=0: z² = x·2m/(... )
+    // Easier to certify strictness directly: zCritMicro set EXACTLY to
+    // the statistic's value → not significant; one micro below → flips.
+    // 10/20 vs 0/20: diff=10·20=200, n=40, x=10, n−x=30:
+    // z²·1e6 = 1e6·200²·40 / (20·20·10·30) = 1 600 000 000 000/120 000
+    // = 13 333 333.33… → with integer cross-multiply, LHS=1.6e12,
+    // RHS(c) = c·120000. c=13333333 → RHS=1.59999996e12 < LHS: reject.
+    // c=13333334 → RHS=1.60000008e12 > LHS: keep.
+    val df = ((0 until 20).map(i => (true, i < 10)) ++
+      (0 until 20).map(_ => (false, false))).map { case (a, s) => ("g", a, s) }
+      .toDF("g", "a", "s")
+    def sig(c: Long) = graft.ops.Eval
+      .twoProportionTest(df, Seq("g"), col("a"), col("s"), zCritMicro = c)
+      .select("significant").as[Boolean].head()
+    assert(sig(13333333L) && !sig(13333334L))
+  }
 }

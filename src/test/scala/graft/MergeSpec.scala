@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.lit
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.Merge
@@ -132,5 +133,28 @@ class MergeSpec extends AnyFunSuite with SparkTestBase {
     val got = Merge.snapshotDiff(prev, next, Seq("id"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "removed", 2L -> "unchanged", 3L -> "added"))
+  }
+
+  test("scd2AsOf: half-open intervals — successor owns its valid_from instant") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // key 1: A @10:00 → B @11:00 (current); key 2 first seen 12:00
+    val src = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "A"),
+      (1L, ts("2024-01-01 11:00:00"), "B"),
+      (2L, ts("2024-01-01 12:00:00"), "C")).toDF("k", "ts", "attr")
+    val hist = Merge.scd2History(src, "k", "attr", "ts")
+    def at(s: String): Map[Long, String] =
+      Merge.scd2AsOf(hist, lit(s).cast("timestamp"))
+        .select("k", "attr").as[(Long, String)].collect().toMap
+    // strictly inside the first interval
+    assert(at("2024-01-01 10:30:00") == Map(1L -> "A"))
+    // exactly AT the boundary: the new version owns the instant
+    assert(at("2024-01-01 11:00:00") == Map(1L -> "B"))
+    // exactly AT a key's first valid_from: the version is live
+    assert(at("2024-01-01 10:00:00") == Map(1L -> "A"))
+    // before any version of key 1: empty
+    assert(at("2024-01-01 09:59:59") == Map.empty[Long, String])
+    // after key 2 appears: one current row per key, no duplicates
+    assert(at("2024-01-01 12:00:00") == Map(1L -> "B", 2L -> "C"))
   }
 }
