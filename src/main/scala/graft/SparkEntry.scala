@@ -2453,6 +2453,33 @@ object SparkEntry {
         .orderBy("layout", "file_id")
     }),
 
+    // Spatial radius self-join via grid bucketing: all customer pairs
+    // within 20 000 fixed-point units on a formula-planted 1e6×1e6
+    // plane — 3×3 cell replication + hash join on cell id, candidate
+    // work density-bounded (never n²), positional de-dup (a pair
+    // survives only from the replica-a/home-b match with a<b). Exact
+    // squared-integer distance; the oracle replays as a band-predicate
+    // inequality join over the same planted coordinates.
+    "geo_radius_join" -> ((s, dir) => {
+      val pts = Tables.customer(s, dir).select(col("c_custkey"),
+        expr("(c_custkey * c_custkey * 7919 + c_custkey * 104729) % 1000000").as("px"),
+        expr("(c_custkey * c_custkey * 104729 + c_custkey * 7919) % 1000000").as("py"))
+      graft.ops.Geo.radiusJoin(pts, "c_custkey", col("px"), col("py"),
+          radius = 20000L)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Grid occupancy census over the same planted plane (100k cells →
+    // a 10×10 grid): the histogram that sizes the radius join's
+    // per-cell fan-out and drives hot-cell pre-split decisions.
+    "geo_cell_census" -> ((s, dir) => {
+      val pts = Tables.customer(s, dir).select(
+        expr("(c_custkey * c_custkey * 7919 + c_custkey * 104729) % 1000000").as("px"),
+        expr("(c_custkey * c_custkey * 104729 + c_custkey * 7919) % 1000000").as("py"))
+      graft.ops.Geo.cellCensus(pts, col("px"), col("py"), cellSize = 100000L)
+        .orderBy("cell_x", "cell_y")
+    }),
+
     // Cartesian product (tiny×tiny only — a guarded operator, never the
     // scale path): unordered region pairs.
     "cross_join_region_pairs" -> ((s, dir) => {
@@ -7506,6 +7533,33 @@ object SparkEntry {
         |SELECT layout, file_id, f_min, f_max, n_rows, n_nulls,
         |  (n_nulls = n_rows OR f_max < lo OR f_min > hi) AS pruned
         |FROM s, b ORDER BY layout, file_id""".stripMargin,
+
+    // Band-predicate inequality join (DuckDB IEJoin) over the same
+    // planted plane — an independent route to the identical pair set.
+    "geo_radius_join" ->
+      """WITH p AS (
+        |  SELECT c_custkey AS id,
+        |    (c_custkey * c_custkey * 7919 + c_custkey * 104729) % 1000000 AS x,
+        |    (c_custkey * c_custkey * 104729 + c_custkey * 7919) % 1000000 AS y
+        |  FROM customer)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        |    AS BIGINT) AS dist2
+        |FROM p a JOIN p b
+        |  ON a.id < b.id
+        | AND b.x BETWEEN a.x - 20000 AND a.x + 20000
+        | AND b.y BETWEEN a.y - 20000 AND a.y + 20000
+        |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        |  <= 400000000
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "geo_cell_census" ->
+      """SELECT ((c_custkey * c_custkey * 7919 + c_custkey * 104729) % 1000000)
+        |    // 100000 AS cell_x,
+        |  ((c_custkey * c_custkey * 104729 + c_custkey * 7919) % 1000000)
+        |    // 100000 AS cell_y,
+        |  count(*) AS n_points
+        |FROM customer GROUP BY 1, 2 ORDER BY cell_x, cell_y""".stripMargin,
 
     "sketch_hll_distinct" ->
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
