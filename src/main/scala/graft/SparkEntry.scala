@@ -653,6 +653,22 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // X4 — Flesch reading ease in exact trunc-micros: vowel-group
+    // syllables, terminator-run sentences, whitespace words; the
+    // 206.835/1.015/84.6 constants as integer ratios with BIGINT
+    // trunc-div on both engines. Negative scores on dense text are the
+    // scale working.
+    "x4_readability" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val w = TextAnalysis.tokenCount(col("text"))
+      val se = TextAnalysis.sentenceCount(col("text"))
+      val sy = TextAnalysis.syllableCount(col("text"))
+      d.select(col("doc_id"), w.as("n_words"), se.as("n_sentences"),
+          sy.as("n_syllables"),
+          TextAnalysis.fleschMicro(w, se, sy).as("flesch_micro"))
+        .orderBy("doc_id")
+    }),
+
     // X4 — per-document quality scoring (integer-exact heuristics).
     "x4_quality_score" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
@@ -3721,6 +3737,35 @@ object SparkEntry {
         .orderBy("key")
     }),
 
+    // Planner-stats composition: equi-join cardinality estimated from
+    // two Count-Min sketches ALONE (|A ⋈ B| = Σ_k f_A·f_B as the min
+    // cell-wise inner product) — |lineitem ⋈ lineitem('R')| on
+    // l_partkey without touching either table at estimate time.
+    // Verdict rows: exact_join_size is oracle-recomputed; the
+    // one-sided (est ≥ exact, collisions only add) and within-50%
+    // bounds are pinned — the 50% reflects w=65536 at sf0.1's
+    // 6e5-row-squared mass (expected excess ≈ N_A·N_B/w per row,
+    // measured ~30% before the min), documented rather than hidden.
+    "sketch_cm_join_size" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val a = li.select(col("l_partkey"))
+      val b = li.filter(col("l_returnflag") === "R").select(col("l_partkey"))
+      val (d, w) = (5, 65536)
+      val est = graft.ops.Sketch.cmsJoinSizeEstimate(
+        graft.ops.Sketch.countMin(a, "l_partkey", d, w),
+        graft.ops.Sketch.countMin(b, "l_partkey", d, w), d)
+      val exact = a.groupBy("l_partkey").agg(count(lit(1)).as("_na"))
+        .join(b.groupBy("l_partkey").agg(count(lit(1)).as("_nb")),
+          Seq("l_partkey"))
+        .agg(coalesce(sum(col("_na") * col("_nb")), lit(0L))
+          .as("exact_join_size"))
+      exact.crossJoin(est)
+        .select(col("exact_join_size"),
+          (col("join_size_est") >= col("exact_join_size")).as("est_ge_exact"),
+          (col("join_size_est") * 100 <= col("exact_join_size") * 150)
+            .as("est_within_50pct"))
+    }),
+
     // AMS tug-of-war F2 sketch: per-event-type second moment of the
     // user_id frequency vector — self-join size / skew mass — from a
     // 5×256 signed-counter sketch. Verdict rows: f2_exact is real data
@@ -4565,6 +4610,22 @@ object SparkEntry {
         | CAST(sum(list_sum(list_transform(string_split_regex(text, '\s+'),
         |   t -> greatest(1, CAST(ceil(length(t) / 4.0) AS BIGINT))))) AS BIGINT) AS sum_subwords
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "x4_readability" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_words,
+        |    CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+        |      AS BIGINT) AS n_sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  206835000
+        |    - (203 * n_words * 1000000) // (200 * n_sentences)
+        |    - (423 * n_syllables * 1000000) // (5 * greatest(1, n_words))
+        |    AS flesch_micro
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "x4_chunk_tokens" ->
       """WITH t AS (
@@ -7498,6 +7559,16 @@ object SparkEntry {
         |SELECT key, CAST(n_true AS BIGINT) AS n_true,
         |  TRUE AS est_ge_true, TRUE AS est_eq_true
         |FROM p ORDER BY key""".stripMargin,
+
+    "sketch_cm_join_size" ->
+      """WITH a AS (
+        |  SELECT l_partkey AS k, count(*) AS n FROM lineitem GROUP BY 1),
+        |b AS (
+        |  SELECT l_partkey AS k, count(*) AS n FROM lineitem
+        |  WHERE l_returnflag = 'R' GROUP BY 1)
+        |SELECT CAST(coalesce(sum(a.n * b.n), 0) AS BIGINT) AS exact_join_size,
+        |  TRUE AS est_ge_exact, TRUE AS est_within_50pct
+        |FROM a JOIN b USING (k)""".stripMargin,
 
     "sketch_ams_f2" ->
       """WITH c AS (

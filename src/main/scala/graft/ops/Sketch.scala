@@ -181,6 +181,30 @@ object Sketch {
       .agg(sum(col("_s")).as("cell"))
   }
 
+  /** Equi-join cardinality estimate from two Count-Min sketches of the
+    * SAME (depth, width): |A ⋈ₖ B| = Σ_k f_A(k)·f_B(k), estimated as
+    * min over rows of the cell-wise inner product Σ_c cellA·cellB —
+    * the planner question ("how big is this join going to be?")
+    * answered from two O(d·w) summaries without touching either table.
+    * One-sided like the point estimate: hash collisions only ADD mass,
+    * so est ≥ truth always, with expected excess ≤ N_A·N_B/w per row
+    * (Cormode & Muthukrishnan §4.2) and the min concentrating it. A
+    * sketch row with no overlapping touched cells contributes inner
+    * product 0 (the estimate is then exactly 0 — anchored on the full
+    * row range, not just present rows). Returns one row:
+    * (join_size_est). */
+  def cmsJoinSizeEstimate(skA: DataFrame, skB: DataFrame,
+      depth: Int): DataFrame = {
+    require(depth >= 1, s"depth must be >= 1, got $depth")
+    val ip = skA.select(col("r"), col("c"), col("cnt").as("_ca"))
+      .join(skB.select(col("r"), col("c"), col("cnt").as("_cb")),
+        Seq("r", "c"))
+      .groupBy("r").agg(sum(col("_ca") * col("_cb")).as("_ip"))
+    skA.sparkSession.range(depth).select(col("id").cast("int").as("r"))
+      .join(ip, Seq("r"), "left")
+      .agg(min(coalesce(col("_ip"), lit(0L))).as("join_size_est"))
+  }
+
   /** Median-of-rows F2 estimate from an [[amsSketch]] frame: per
     * (group, r) the row estimate Σ_c cell², then the lower median over
     * the d rows — all BIGINT, so the estimate is deterministic and

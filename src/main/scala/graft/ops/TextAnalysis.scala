@@ -30,6 +30,37 @@ object TextAnalysis {
   def punctCount(text: Column): Column =
     (length(text) - length(regexp_replace(text, "[.,!?;:]", ""))).cast("long")
 
+  /** Syllable-count heuristic: maximal `[aeiouy]+` runs in the
+    * lowercased text — the classic readability approximation (each
+    * vowel group ≈ one syllable; whitespace breaks runs, so the text-
+    * wide count equals the per-word sum with no word loop). Both
+    * engines count the same maximal-run semantics
+    * (`regexp_count` / `len(regexp_extract_all(...))`). */
+  def syllableCount(text: Column): Column =
+    regexp_count(lower(text), lit("[aeiouy]+")).cast("long")
+
+  /** Sentence-count heuristic: maximal terminator runs (`[.!?]+` — an
+    * ellipsis or "?!" ends ONE sentence), floored at 1 so unterminated
+    * fragments count as a sentence instead of zeroing a denominator. */
+  def sentenceCount(text: Column): Column =
+    greatest(lit(1L), regexp_count(text, lit("[.!?]+")).cast("long"))
+
+  /** Flesch reading ease in exact trunc-micros:
+    * `206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)`
+    * with the rationals as integer ratios (203/200, 423/5) and both
+    * divisions BIGINT trunc-div — no double ever exists, so scores are
+    * partial-agg-order-proof and engine-portable. Denominators are
+    * floored at 1 (empty-text guard); scores can legitimately go
+    * negative on dense run-on text — that is the scale working, not an
+    * error. */
+  def fleschMicro(nWords: Column, nSentences: Column,
+      nSyllables: Column): Column =
+    lit(206835000L) -
+      call_function("div", lit(203L) * nWords * 1000000L,
+        lit(200L) * greatest(lit(1L), nSentences)) -
+      call_function("div", lit(423L) * nSyllables * 1000000L,
+        lit(5L) * greatest(lit(1L), nWords))
+
   val englishStopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
     "that", "for", "on", "with", "as", "at", "by", "from")

@@ -163,6 +163,22 @@ class SketchSpec extends AnyFunSuite with SparkTestBase {
     assert(merged.filter(_._2 != 0L) == full.filter(_._2 != 0L))
   }
 
+  test("cmsJoinSizeEstimate: exact at ample width, 0 for disjoint keys, one-sided under collisions") {
+    val a = Seq("x", "x", "x", "y", "z").toDF("k")
+    val b = Seq("x", "y", "y", "w").toDF("k")
+    // exact inner product: x 3·1 + y 1·2 = 5
+    def est(bdf: org.apache.spark.sql.DataFrame, w: Int) =
+      Sketch.cmsJoinSizeEstimate(
+        Sketch.countMin(a, "k", 5, w), Sketch.countMin(bdf, "k", 5, w), 5)
+        .as[Long].head()
+    assert(est(b, 4096) == 5L, "ample width: no collisions, est exact")
+    val disjoint = Seq("p", "q").toDF("k")
+    assert(est(disjoint, 4096) == 0L,
+      "disjoint keys: inner product 0 (row anchoring, not missing-row min)")
+    // forced collisions (width 2): estimate may only move UP
+    assert(est(b, 2) >= 5L)
+  }
+
   test("amsF2Estimate: within 30% of exact F2 on a fixed skewed stream; even depth rejected") {
     // zipf-ish: key j appears ~1000/j times — heavy skew is where F2
     // matters (self-join size dominated by the head)

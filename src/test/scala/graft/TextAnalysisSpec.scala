@@ -344,4 +344,34 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     // cherry: df=1 < minDf — pruned from the index entirely
     assert(!idx.contains("cherry"))
   }
+
+  test("readability: syllable/sentence heuristics and Flesch micros, hand-computed") {
+    import spark.implicits._
+    // "The cat sat. It ran!" — 5 words; 2 sentences; vowel groups:
+    // e,a,a,i,a = 5 syllables.
+    // flesch = 206.835 − 1.015·(5/2) − 84.6·(5/5) = 206.835 − 2.5375 −
+    // 84.6 = 119.6975 → micros: 206835000 − (203·5·1e6)div(200·2)
+    // − (423·5·1e6)div(5·5) = 206835000 − 2537500 − 84600000
+    val df = Seq("The cat sat. It ran!").toDF("text")
+    val got = df.select(
+        graft.ops.TextAnalysis.tokenCount(col("text")).as("w"),
+        graft.ops.TextAnalysis.sentenceCount(col("text")).as("se"),
+        graft.ops.TextAnalysis.syllableCount(col("text")).as("sy"))
+      .select(col("w"), col("se"), col("sy"),
+        graft.ops.TextAnalysis.fleschMicro(col("w"), col("se"), col("sy"))
+          .as("f"))
+      .as[(Long, Long, Long, Long)].head()
+    assert(got == ((5L, 2L, 5L, 206835000L - 2537500L - 84600000L)))
+    // terminator RUNS count once ("?!" and "..." are one boundary);
+    // unterminated text floors at 1 sentence; 'y' counts as a vowel
+    val runs = Seq("Really?! Yes... maybe", "no terminator here")
+      .toDF("text")
+      .select(graft.ops.TextAnalysis.sentenceCount(col("text")).as("se"),
+        graft.ops.TextAnalysis.syllableCount(col("text")).as("sy"))
+      .as[(Long, Long)].collect().toSeq
+    // "Really?! Yes... maybe": runs "?!" and "..." → 2; vowel groups:
+    // ea,y | e | ay,e → 5
+    assert(runs.head == ((2L, 5L)))
+    assert(runs(1)._1 == 1L)
+  }
 }
