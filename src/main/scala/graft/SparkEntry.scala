@@ -455,6 +455,25 @@ object SparkEntry {
         .orderBy("qid", "rk")
     }),
 
+    // X2 composed — k-NN classification (label transfer): held-out
+    // queries (vec_id % 29 == 0) labeled by majority vote of their 5
+    // nearest train vectors; the cosine exists only to ORDER (rank
+    // agreement already certified by x2_topk_cosine on this data) and
+    // every emitted column is an integer. Vote tie-break: most votes,
+    // then smallest label — total and replayed identically.
+    "x2_knn_classify" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") % 29 === 0)
+      val c = e.filter(col("vec_id") % 29 =!= 0)
+      Similarity.knnClassify(q, c, "vec_id", "embedding", "label", k = 5)
+        .join(q.select(col("vec_id").as("qid"),
+          col("label").cast("long").as("true_label")), "qid")
+        .select(col("qid"), col("true_label"), col("pred_label"),
+          col("n_votes"),
+          (col("pred_label") === col("true_label")).as("is_correct"))
+        .orderBy("qid")
+    }),
+
     // X2 — int8 embedding quantization (the 4× ANN memory/IO reduction).
     // Gate: per-vector scale + quantized-value checksums + max
     // reconstruction error, all from floor-based arithmetic that is
@@ -4523,6 +4542,35 @@ object SparkEntry {
         |  FROM p)
         |SELECT qid, cid, round(sim, 6) AS sim, rk FROM r
         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+    "x2_knn_classify" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding, label,
+        |    list_sum(list_transform(generate_series(1, len(embedding)),
+        |      i -> embedding[i] * embedding[i])) AS nrm
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid, c.label AS lbl,
+        |    list_sum(list_transform(generate_series(1, len(q.embedding)),
+        |      i -> q.embedding[i] * c.embedding[i]))
+        |      / (sqrt(q.nrm) * sqrt(c.nrm)) AS sim
+        |  FROM v q, v c
+        |  WHERE q.vec_id % 29 = 0 AND c.vec_id % 29 != 0),
+        |r AS (
+        |  SELECT qid, lbl,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rk
+        |  FROM p),
+        |votes AS (
+        |  SELECT qid, lbl, count(*) AS n FROM r WHERE rk <= 5 GROUP BY 1, 2),
+        |w AS (
+        |  SELECT qid, lbl, n,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY n DESC, lbl ASC) AS rn
+        |  FROM votes)
+        |SELECT w.qid, CAST(e.label AS BIGINT) AS true_label,
+        |  CAST(w.lbl AS BIGINT) AS pred_label, w.n AS n_votes,
+        |  (w.lbl = e.label) AS is_correct
+        |FROM w JOIN embeddings e ON e.vec_id = w.qid
+        |WHERE w.rn = 1 ORDER BY qid""".stripMargin,
 
     "x2_quantize_int8" ->
       """WITH e AS (SELECT vec_id, unnest(embedding) AS v FROM embeddings),

@@ -57,6 +57,32 @@ object Similarity {
       .select(col("qid"), col("cid"), round(col("_sim"), 6).as("sim"), col("rk"))
   }
 
+  /** k-NN classification — majority label among the k nearest corpus
+    * vectors by cosine: the workhorse label-transfer / data-labeling
+    * step (propagate curated labels onto an unlabeled corpus, audit a
+    * classifier against neighborhood consensus). Composes a top-k
+    * retrieval with an integer vote, so ONLY integers leave the op:
+    * (qid, pred_label, n_votes) — the double cosine exists solely to
+    * ORDER candidates, never as output, which is what lets gates hash
+    * engine-to-engine. Vote tie-break is total and documented: most
+    * votes, then SMALLEST label (struct max_by on (votes, −label)).
+    * Retrieval is [[topKBruteForce]] here (exact, oracle-able); at
+    * corpus scale swap in [[lshBucketTopK]]/[[ivfTopK]] — the vote is
+    * retrieval-agnostic. */
+  def knnClassify(queries: DataFrame, corpus: DataFrame, id: String,
+      vec: String, label: String, k: Int): DataFrame = {
+    val nn = topKBruteForce(queries, corpus, id, vec, k)
+    val labels = corpus.select(col(id).as("cid"), col(label).as("_lbl"))
+    nn.join(labels, "cid")
+      .groupBy(col("qid"), col("_lbl"))
+      .agg(count(lit(1)).as("n_votes"))
+      .groupBy(col("qid"))
+      .agg(max_by(struct(col("_lbl").as("l"), col("n_votes").as("v")),
+        struct(col("n_votes"), (lit(0L) - col("_lbl")))).as("_w"))
+      .select(col("qid"), col("_w.l").cast("long").as("pred_label"),
+        col("_w.v").as("n_votes"))
+  }
+
   /** Sign-random-projection (SimHash-for-vectors) LSH bucket id: one bit
     * per hyperplane = sign of ⟨v, h_p⟩, hyperplanes derived
     * deterministically from xxhash64(plane, dim) — no RNG state to ship.

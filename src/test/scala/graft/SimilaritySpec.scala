@@ -180,4 +180,29 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(pairs.contains((0L, 1L)))
     assert(!pairs.contains((0L, 3L)))
   }
+
+  test("knnClassify: planted clusters classify correctly; vote tie → smaller label") {
+    import spark.implicits._
+    // two tight clusters on orthogonal axes; labels 7 (x-axis) and 3
+    // (y-axis). Queries q1 near x-cluster, q2 near y-cluster.
+    def v(x: Float, y: Float, z: Float) = Array(x, y, z)
+    val corpus = Seq(
+      (10L, v(1f, 0.01f, 0f), 7), (11L, v(1f, -0.01f, 0f), 7),
+      (12L, v(0.99f, 0.02f, 0f), 7),
+      (20L, v(0.01f, 1f, 0f), 3), (21L, v(-0.01f, 1f, 0f), 3),
+      (22L, v(0.02f, 0.99f, 0f), 3)).toDF("vec_id", "embedding", "label")
+    val queries = Seq(
+      (1L, v(1f, 0.05f, 0f), 0), (2L, v(0.05f, 1f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnClassify(queries, corpus, "vec_id", "embedding",
+        "label", k = 3)
+      .as[(Long, Long, Long)].collect()
+      .map { case (q, l, n) => (q, (l, n)) }.toMap
+    assert(got == Map(1L -> ((7L, 3L)), 2L -> ((3L, 3L))))
+    // k=6 → 3 votes each: tie broken toward the SMALLER label (3)
+    val tied = Similarity.knnClassify(queries, corpus, "vec_id", "embedding",
+        "label", k = 6)
+      .as[(Long, Long, Long)].collect()
+    assert(tied.forall { case (_, l, n) => l == 3L && n == 3L })
+  }
 }
