@@ -3670,6 +3670,27 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // Point-in-time dimension join — every event enriched with the
+    // SCD2 state its user was in AT that event's own timestamp (the
+    // effective-dated join every fact load runs). Equi-join on
+    // user_id with the interval predicate as residual condition: no
+    // inequality-join blowup, per-fact work bounded by that user's
+    // version count. Exactly one version matches per event by
+    // interval tiling.
+    "w5_scd2_pit_join" -> ((s, dir) => {
+      val ev0 = Tables.events(s, dir).filter(col("user_id") < 40)
+        .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+      val hist = Merge.scd2History(
+          Dedup.firstPerKey(ev0, Seq("user_id", "ts"), Seq("event_id"))
+            .drop("event_id"),
+          "user_id", "event_type", "ts")
+        .withColumnRenamed("event_type", "state")
+      Merge.pitJoin(ev0.select(col("event_id"), col("user_id"), col("ts")),
+          hist, "user_id", "ts")
+        .select("event_id", "user_id", "ts", "state", "valid_from", "valid_to")
+        .orderBy("event_id")
+    }),
+
     // Skew — salted join must equal the plain join (the oracle runs the
     // plain form): lineitem fact salted, orders dim exploded ×8.
     "skew_salted_join" -> ((s, dir) => {
@@ -7532,6 +7553,32 @@ object SparkEntry {
         |WHERE valid_from <= TIMESTAMP '2024-01-15 12:00:00'
         |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 12:00:00')
         |ORDER BY user_id""".stripMargin,
+
+    "w5_scd2_pit_join" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_type, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+        |  FROM events WHERE user_id < 40),
+        |d AS (SELECT user_id, ts, event_type FROM e WHERE rn = 1),
+        |c AS (
+        |  SELECT user_id, ts, event_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn2
+        |  FROM d),
+        |cp AS (
+        |  SELECT user_id, event_type AS state, ts AS valid_from
+        |  FROM c WHERE rn2 = 1 OR prev <> event_type),
+        |h AS (
+        |  SELECT user_id, state, valid_from,
+        |    LEAD(valid_from) OVER w AS valid_to
+        |  FROM cp
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY valid_from)),
+        |f AS (SELECT event_id, user_id, ts FROM events WHERE user_id < 40)
+        |SELECT f.event_id, f.user_id, f.ts, h.state, h.valid_from, h.valid_to
+        |FROM f LEFT JOIN h
+        |  ON h.user_id = f.user_id AND h.valid_from <= f.ts
+        | AND (h.valid_to IS NULL OR h.valid_to > f.ts)
+        |ORDER BY event_id""".stripMargin,
 
     // The salted join's oracle is the PLAIN join — equality proves the
     // salting is semantics-preserving.

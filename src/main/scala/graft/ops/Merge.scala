@@ -144,6 +144,37 @@ object Merge {
     history.filter(col("valid_from") <= at &&
       (col("valid_to").isNull || col("valid_to") > at))
 
+  /** Point-in-time dimension join: enrich each fact row with the SCD2
+    * version that was live AT the fact's own timestamp — the
+    * "effective-dated dimension" join every warehouse fact load runs
+    * (what plan was this user on WHEN they clicked, not today). Same
+    * half-open `[valid_from, valid_to)` contract as [[scd2AsOf]], so
+    * each fact matches AT MOST one version (left join: facts before
+    * the key's first version, or with no dimension key at all, keep
+    * a NULL enrichment rather than vanishing — fact-preserving by
+    * design).
+    *
+    * Scale shape: an EQUI-join on the dimension key carrying the
+    * interval predicate as a residual condition — Catalyst plans the
+    * hash/sort-merge exchange on `key` alone and evaluates the range
+    * filter on matched pairs, so there is no inequality-join blowup:
+    * per-fact work is that key's version count (bounded by change
+    * frequency, not corpus size). */
+  def pitJoin(facts: DataFrame, history: DataFrame, key: String,
+      factTs: String): DataFrame = {
+    val attrs = history.columns.toSeq
+      .filterNot(Set(key, "valid_from", "valid_to", "is_current"))
+    val h = history.select(
+      (col(key).as("_hk") +: col("valid_from") +: col("valid_to") +:
+        attrs.map(col)): _*)
+    facts.join(h,
+      facts(key) === col("_hk") &&
+        col("valid_from") <= facts(factTs) &&
+        (col("valid_to").isNull || col("valid_to") > facts(factTs)),
+      "left")
+      .drop("_hk")
+  }
+
   /** Latest-row-per-key via `max_by` hash aggregation — same result as
     * [[latestByKey]] when (recency ++ tieBreak) totally orders rows per
     * key, but partial-aggregates map-side: the shuffle carries one row

@@ -157,4 +157,25 @@ class MergeSpec extends AnyFunSuite with SparkTestBase {
     // after key 2 appears: one current row per key, no duplicates
     assert(at("2024-01-01 12:00:00") == Map(1L -> "B", 2L -> "C"))
   }
+
+  test("pitJoin: per-fact version lookup — boundary, pre-history NULL, unknown key NULL") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val hist = Merge.scd2History(Seq(
+        (1L, ts("2024-01-01 10:00:00"), "A"),
+        (1L, ts("2024-01-01 11:00:00"), "B")).toDF("k", "ts", "attr"),
+      "k", "attr", "ts").withColumnRenamed("attr", "state")
+    val facts = Seq(
+      (100L, 1L, ts("2024-01-01 10:30:00")), // inside v1
+      (101L, 1L, ts("2024-01-01 11:00:00")), // boundary → v2 owns it
+      (102L, 1L, ts("2024-01-01 09:00:00")), // before history → NULL
+      (103L, 9L, ts("2024-01-01 10:30:00"))  // unknown key → NULL
+    ).toDF("event_id", "k", "fts")
+    val got = Merge.pitJoin(facts, hist, "k", "fts")
+      .select("event_id", "state").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(100L -> Some("A"), 101L -> Some("B"),
+      102L -> None, 103L -> None))
+    // fact-preserving: exactly one output row per fact
+    assert(Merge.pitJoin(facts, hist, "k", "fts").count() == 4L)
+  }
 }
