@@ -739,6 +739,34 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    // Exact Pearson correlation census: r² in trunc-micros + covariance
+    // sign for four lineitem measure pairs (three natural near-zero
+    // ones plus a planted 3q+d linear combination that pins the high
+    // branch at r² ≈ 0.9955), from one-pass integer
+    // sufficient statistics in DECIMAL(38,0) / HUGEINT — no sqrt or
+    // double anywhere (r itself needs √; r² + sign carries the same
+    // decision information exactly). Quantities floor to integers,
+    // price to whole dollars, discount to basis points; the two-step
+    // trunc-div (÷larger variance first) is shape-shared with the
+    // oracle so the truncation composition cannot diverge.
+    "ml_pearson_r2" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(
+        expr("CAST(floor(l_quantity) AS BIGINT)").as("q"),
+        expr("CAST(floor(CAST(l_extendedprice AS DECIMAL(18,2))) AS BIGINT)")
+          .as("p"),
+        expr("CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("d"))
+        .withColumn("pl", expr("3 * q + d"))
+      def pair(tag: String, x: String, y: String) =
+        graft.ops.Regress.pearsonR2(li, col(x), col(y)).withColumn("pair", lit(tag))
+      pair("qty_price", "q", "p")
+        .unionByName(pair("qty_disc", "q", "d"))
+        .unionByName(pair("price_disc", "p", "d"))
+        .unionByName(pair("planted_linear", "q", "pl"))
+        .select("pair", "n", "r_sign", "r2_micro")
+        .orderBy("pair")
+    }),
+
     // A/B significance: pooled two-proportion z-test decided by EXACT
     // cross-multiplied integer inequality (DECIMAL(38,0) internal,
     // HUGEINT oracle-side — `significant` is a REAL data column both
@@ -4791,6 +4819,49 @@ object SparkEntry {
         |  CAST((sum(y) * 1000000) // count(*) AS BIGINT) AS pos_rate_micros,
         |  CAST(sum(s) // count(*) AS BIGINT) AS mean_score_floor
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "ml_pearson_r2" ->
+      """WITH li AS (
+        |  SELECT CAST(floor(l_quantity) AS BIGINT) AS q,
+        |    CAST(floor(CAST(l_extendedprice AS DECIMAL(18,2))) AS BIGINT) AS p,
+        |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS d
+        |  FROM lineitem),
+        |li2 AS (SELECT q, p, d, 3 * q + d AS pl FROM li),
+        |s AS (
+        |  SELECT 'qty_price' AS pair, count(*) AS n,
+        |    sum(CAST(q AS HUGEINT)) AS sx, sum(CAST(p AS HUGEINT)) AS sy,
+        |    sum(CAST(q AS HUGEINT) * q) AS sxx,
+        |    sum(CAST(p AS HUGEINT) * p) AS syy,
+        |    sum(CAST(q AS HUGEINT) * p) AS sxy
+        |  FROM li
+        |  UNION ALL
+        |  SELECT 'qty_disc', count(*), sum(CAST(q AS HUGEINT)),
+        |    sum(CAST(d AS HUGEINT)), sum(CAST(q AS HUGEINT) * q),
+        |    sum(CAST(d AS HUGEINT) * d), sum(CAST(q AS HUGEINT) * d)
+        |  FROM li
+        |  UNION ALL
+        |  SELECT 'price_disc', count(*), sum(CAST(p AS HUGEINT)),
+        |    sum(CAST(d AS HUGEINT)), sum(CAST(p AS HUGEINT) * p),
+        |    sum(CAST(d AS HUGEINT) * d), sum(CAST(p AS HUGEINT) * d)
+        |  FROM li
+        |  UNION ALL
+        |  SELECT 'planted_linear', count(*), sum(CAST(q AS HUGEINT)),
+        |    sum(CAST(pl AS HUGEINT)), sum(CAST(q AS HUGEINT) * q),
+        |    sum(CAST(pl AS HUGEINT) * pl), sum(CAST(q AS HUGEINT) * pl)
+        |  FROM li2),
+        |f AS (
+        |  SELECT pair, n,
+        |    CAST(n AS HUGEINT) * sxy - sx * sy AS num,
+        |    CAST(n AS HUGEINT) * sxx - sx * sx AS d1,
+        |    CAST(n AS HUGEINT) * syy - sy * sy AS d2
+        |  FROM s)
+        |SELECT pair, CAST(n AS BIGINT) AS n,
+        |  CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END
+        |    AS BIGINT) AS r_sign,
+        |  CAST(CASE WHEN d1 > 0 AND d2 > 0
+        |    THEN ((num * num // greatest(d1, d2)) * 1000000) // least(d1, d2)
+        |    ELSE 0 END AS BIGINT) AS r2_micro
+        |FROM f ORDER BY pair""".stripMargin,
 
     // HUGEINT replay of the exact cross-multiplied z² inequality —
     // `significant` is recomputed from the same integer counts, not

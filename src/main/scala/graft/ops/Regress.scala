@@ -179,4 +179,46 @@ object Regress {
             sqrt(col("d1").cast("double") * col("d2").cast("double")))
             .cast("long")))
   }
+
+  /** Pearson correlation decided EXACTLY: r² in trunc-micros plus the
+    * covariance sign, from one pass of integer sufficient statistics —
+    * no sqrt, no double, unlike r itself (whose square root is the one
+    * thing integers cannot express; r = sign·√(r²) is the caller's
+    * display step). Inputs must be integral (quantize upstream — the
+    * [[olsFit]] contract).
+    *
+    * `r²·10⁶ = 10⁶·num² / (d1·d2)` with num = nΣxy−ΣxΣy,
+    * d1 = nΣx²−(Σx)², d2 = nΣy²−(Σy)², computed in DECIMAL(38,0) as
+    * the two-step trunc-div `((num² div max(d1,d2))·10⁶) div
+    * min(d1,d2)` — dividing by the LARGER variance first keeps every
+    * intermediate under 38 digits (num² ≤ d1·d2 by Cauchy–Schwarz, so
+    * step one is ≤ the smaller variance), and the max/min choice makes
+    * the truncation composition engine-neutral (the oracle replays the
+    * same two steps in HUGEINT). Degenerate variance (a constant
+    * column) pins r² = 0 and sign 0. Output one row:
+    * (n, r_sign, r2_micro) — BIGINTs only. */
+  def pearsonR2(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val Big = "decimal(38,0)"
+    val s = df.select(x.cast("long").as("_x"), y.cast("long").as("_y"))
+      .agg(count(lit(1)).cast(Big).as("_n"),
+        sum(col("_x").cast(Big)).as("_sx"), sum(col("_y").cast(Big)).as("_sy"),
+        sum(col("_x").cast(Big) * col("_x")).as("_sxx"),
+        sum(col("_y").cast(Big) * col("_y")).as("_syy"),
+        sum(col("_x").cast(Big) * col("_y")).as("_sxy"))
+    val num = col("_n") * col("_sxy") - col("_sx") * col("_sy")
+    val d1 = col("_n") * col("_sxx") - col("_sx") * col("_sx")
+    val d2 = col("_n") * col("_syy") - col("_sy") * col("_sy")
+    s.select(col("_n").cast("long").as("n"),
+      when(num > 0, 1L).when(num < 0, -1L).otherwise(0L).as("r_sign"),
+      when(d1 > 0 && d2 > 0,
+        call_function("div",
+          // step 1 result ≤ min(d1, d2) (Cauchy–Schwarz) — the op's
+          // contract requires the SMALLER variance to fit BIGINT
+          // (quantize the finer-grained variable upstream); step 2's
+          // dividend re-enters decimal before the ×10⁶
+          call_function("div", num * num, greatest(d1, d2))
+            .cast(Big) * 1000000L,
+          least(d1, d2)))
+        .otherwise(lit(0L)).cast("long").as("r2_micro"))
+  }
 }

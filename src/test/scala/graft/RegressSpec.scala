@@ -106,4 +106,30 @@ class RegressSpec extends AnyFunSuite with SparkTestBase {
     val b = graft.ops.Regress.spearman(data.toDF("x", "y").repartition(7), "x", "y").head()
     assert(a == b)
   }
+
+  test("pearsonR2: exact endpoints and the documented two-step truncation") {
+    import spark.implicits._
+    def run(rows: Seq[(Long, Long)]) =
+      graft.ops.Regress.pearsonR2(rows.toDF("x", "y"), col("x"), col("y"))
+        .as[(Long, Long, Long)].head()
+    // perfect linear y = 2x: num² == d1·d2 exactly → r² = 1e6 EXACTLY
+    assert(run(Seq((1L, 2L), (2L, 4L), (3L, 6L))) == ((3L, 1L, 1000000L)))
+    // perfect anti-correlation: sign −1, r² still exactly 1e6
+    assert(run(Seq((1L, -2L), (2L, -4L), (3L, -6L))) == ((3L, -1L, 1000000L)))
+    // constant column: degenerate variance pins (sign 0, r² 0)
+    assert(run(Seq((1L, 5L), (2L, 5L), (3L, 5L))) == ((3L, 0L, 0L)))
+    // hand case x=[1,2,3], y=[1,2,4]: num=9, d1=6, d2=14 → two-step
+    // trunc: (81 div 14)·1e6 div 6 = 5e6 div 6 = 833333 (the DOCUMENTED
+    // composition — true r²≈0.9643e6; tiny-n truncation is the price
+    // of exactness and the oracle replays the identical steps)
+    assert(run(Seq((1L, 1L), (2L, 2L), (3L, 4L))) == ((3L, 1L, 833333L)))
+    // partition invariance on a random frame
+    val rng = new scala.util.Random(3)
+    val data = Seq.fill(500)((rng.nextInt(100).toLong, rng.nextInt(100).toLong))
+    val r1 = graft.ops.Regress.pearsonR2(
+      data.toDF("x", "y").repartition(1), col("x"), col("y")).head()
+    val r7 = graft.ops.Regress.pearsonR2(
+      data.toDF("x", "y").repartition(7), col("x"), col("y")).head()
+    assert(r1 == r7)
+  }
 }
