@@ -4179,6 +4179,22 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // Synchronous label propagation (3 rounds, deterministic smallest-
+    // label tie-break) over the same sparse chord graph — majority
+    // dynamics, not reachability: communities stay finer than the
+    // connected components. The oracle replays all three rounds as
+    // chained argmax CTEs; one wrong vote, tie, or isolated-node
+    // carry-over anywhere flips the hash.
+    "graph_label_prop" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val cnt = docs.agg(count(lit(1)).as("n_nodes"))
+      val edges = docs.crossJoin(broadcast(cnt)).select(
+        col("doc_id").as("src"), expr("(doc_id * 31 + 7) % n_nodes").as("dst"))
+      graft.ops.Graph.labelPropagation(edges, "src", "dst", docs, "doc_id",
+          rounds = 3)
+        .orderBy("node")
+    }),
+
     // X4 composed — CCNet-style perplexity bucketing: per-language
     // head/middle/tail terciles of the per-token LM score (the bucket
     // CCNet keeps/drops/inspects by). Mean NLL per token is an integer
@@ -8108,6 +8124,46 @@ object SparkEntry {
         |SELECT d.doc_id AS node, CAST(coalesce(m.dist, -1) AS BIGINT) AS dist
         |FROM documents d LEFT JOIN m ON m.node = d.doc_id
         |ORDER BY node""".stripMargin,
+
+    "graph_label_prop" ->
+      """WITH nn AS (SELECT count(*) AS n_nodes FROM documents),
+        |raw AS (
+        |  SELECT doc_id AS s, (doc_id * 31 + 7) % n_nodes AS d
+        |  FROM documents, nn),
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+        |  FROM raw WHERE s <> d),
+        |adj AS MATERIALIZED (
+        |  SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+        |l0 AS (SELECT doc_id AS node, doc_id AS lbl FROM documents),
+        |c1 AS (SELECT adj.v AS node, l.lbl, count(*) AS n
+        |  FROM adj JOIN l0 l ON l.node = adj.u GROUP BY 1, 2),
+        |w1 AS (SELECT node, lbl,
+        |  ROW_NUMBER() OVER (PARTITION BY node ORDER BY n DESC, lbl ASC) AS rn
+        |  FROM c1),
+        |l1 AS MATERIALIZED (
+        |  SELECT l0.node, coalesce(w.lbl, l0.lbl) AS lbl FROM l0
+        |  LEFT JOIN (SELECT node, lbl FROM w1 WHERE rn = 1) w
+        |    ON w.node = l0.node),
+        |c2 AS (SELECT adj.v AS node, l.lbl, count(*) AS n
+        |  FROM adj JOIN l1 l ON l.node = adj.u GROUP BY 1, 2),
+        |w2 AS (SELECT node, lbl,
+        |  ROW_NUMBER() OVER (PARTITION BY node ORDER BY n DESC, lbl ASC) AS rn
+        |  FROM c2),
+        |l2 AS MATERIALIZED (
+        |  SELECT l1.node, coalesce(w.lbl, l1.lbl) AS lbl FROM l1
+        |  LEFT JOIN (SELECT node, lbl FROM w2 WHERE rn = 1) w
+        |    ON w.node = l1.node),
+        |c3 AS (SELECT adj.v AS node, l.lbl, count(*) AS n
+        |  FROM adj JOIN l2 l ON l.node = adj.u GROUP BY 1, 2),
+        |w3 AS (SELECT node, lbl,
+        |  ROW_NUMBER() OVER (PARTITION BY node ORDER BY n DESC, lbl ASC) AS rn
+        |  FROM c3),
+        |l3 AS (
+        |  SELECT l2.node, coalesce(w.lbl, l2.lbl) AS lbl FROM l2
+        |  LEFT JOIN (SELECT node, lbl FROM w3 WHERE rn = 1) w
+        |    ON w.node = l2.node)
+        |SELECT node, lbl AS label FROM l3 ORDER BY node""".stripMargin,
 
     // Per-lang NLL terciles: the lm/nll CTEs are the x4_lm_nll twin
     // (lmCtes — identical ln expression shape, so the one double op is

@@ -355,6 +355,60 @@ object Graph {
       .select(col("node"), coalesce(col("dist"), lit(-1L)).as("dist"))
   }
 
+  /** Bounded-round synchronous label propagation (Raghavan et al.
+    * 2007) — community detection: every node starts as its own label
+    * and each round adopts the MOST FREQUENT label among its
+    * neighbors, ties broken toward the smallest label — a total,
+    * deterministic rule (the original algorithm's random tie-break is
+    * exactly what a reproducible pipeline cannot ship). Distinct from
+    * connected components: CC merges everything reachable; LPA's
+    * majority dynamics find internally-dense regions and can hold a
+    * boundary between two communities connected by a thin bridge.
+    * Isolated nodes (and any node with no neighbors after edge
+    * canonicalization) keep their current label.
+    *
+    * Synchronous update: all round-r labels derive from round-(r−1)
+    * labels. With the deterministic tie-break the fixed round budget
+    * gives a reproducible (if not globally converged) labeling; emit
+    * `rounds` high enough that the census stabilizes for your graph,
+    * or compare successive rounds yourself (one extra join).
+    *
+    * Scale shape per round: one keyed join (adjacency ⋈ labels — the
+    * [[pagerank]] message pattern: only the node-cardinality label
+    * frame moves to meet the cached adjacency partitioning), one hash
+    * agg at (node, label) grain with map-side partials, one max_by
+    * argmax agg at node grain, one node-universe restore join; labels
+    * re-pinned per round (O(1) lineage). No windows, no driver state.
+    * Returns (node, label). */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      nodes: DataFrame, nodeCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 0 && rounds <= 100,
+      s"rounds must be in [0,100], got $rounds")
+    val n = nodes.select(col(nodeCol).cast("long").as("node"))
+    val canon = edges.select(
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val adj = Packing.pinExchange(
+      canon.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(canon.select(col("b").as("u"), col("a").as("v"))))
+    var labels = Packing.pinExchange(n.select(col("node"), col("node").as("label")))
+    for (_ <- 1 to rounds) {
+      val votes = adj
+        .join(labels.select(col("node").as("u"), col("label")), Seq("u"))
+        .groupBy(col("v"), col("label"))
+        .agg(count(lit(1)).as("_n"))
+        .groupBy(col("v"))
+        .agg(max_by(col("label"), struct(col("_n"), (lit(0L) - col("label"))))
+          .as("_new"))
+      labels = Packing.pinExchange(labels
+        .join(votes, col("node") === col("v"), "left")
+        .select(col("node"), coalesce(col("_new"), col("label")).as("label")))
+    }
+    labels
+  }
+
   /** One PageRank round: message join + per-dst partial-agg sum + node-
     * universe restore. Exposed for plan-shape assertions — the contract
     * is "two wide ops, edge side served from cache, no broadcast of

@@ -256,6 +256,45 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
       Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> -1L, 4L -> -1L, 5L -> -1L, 9L -> -1L))
   }
 
+  private def runLpa(nodes: Seq[Long], edges: Seq[(Long, Long)],
+      rounds: Int, parts: Int = 4): Map[Long, Long] = {
+    import spark.implicits._
+    graft.ops.Graph.labelPropagation(
+        edges.toDF("s", "d").repartition(parts), "s", "d",
+        nodes.toDF("v").repartition(parts), "v", rounds)
+      .as[(Long, Long)].collect().toMap
+  }
+
+  test("labelPropagation: synchronous round semantics, smallest-label ties, isolated keep-own") {
+    // path 0-1-2, isolated 9. Round 1 (synchronous, from init labels):
+    // 0 sees {1}→1; 1 sees {0,2}, tie → smaller = 0; 2 sees {1}→1.
+    val nodes = Seq(0L, 1L, 2L, 9L)
+    val edges = Seq((0L, 1L), (1L, 2L))
+    assert(runLpa(nodes, edges, 1) ==
+      Map(0L -> 1L, 1L -> 0L, 2L -> 1L, 9L -> 9L))
+    // round 2 from (1, 0, 1): 0 sees {0}→0; 1 sees {1,1}→1; 2 sees {0}→0
+    assert(runLpa(nodes, edges, 2) ==
+      Map(0L -> 0L, 1L -> 1L, 2L -> 0L, 9L -> 9L))
+    // rounds = 0 is the identity labeling
+    assert(runLpa(nodes, edges, 0) == nodes.map(v => v -> v).toMap)
+  }
+
+  test("labelPropagation: dense community absorbs its pendant, bridge holds distinct communities") {
+    // K4 {0,1,2,3} + pendant 4-3, bridged to K4' {10,11,12,13} via 3-10
+    val k4a = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L))
+    val k4b = Seq((10L, 11L), (10L, 12L), (10L, 13L), (11L, 12L),
+      (11L, 13L), (12L, 13L))
+    val nodes = Seq(0L, 1L, 2L, 3L, 4L, 10L, 11L, 12L, 13L)
+    val got = runLpa(nodes, k4a ++ k4b ++ Seq((4L, 3L), (3L, 10L)), 4)
+    // both cliques collapse to label 0 / 10-side labels; crucially the
+    // two sides do NOT merge into one community (CC would)
+    val left = Set(0L, 1L, 2L, 3L, 4L).map(got)
+    val right = Set(10L, 11L, 12L, 13L).map(got)
+    assert(left.intersect(right).isEmpty,
+      s"bridge must not merge communities: $got")
+    assert(runLpa(nodes, k4a ++ k4b ++ Seq((4L, 3L), (3L, 10L)), 4, 1) == got)
+  }
+
   test("bfsLayers: multi-source min distance, undirected walk, seed outside nodes ignored") {
     val nodes = Seq(0L, 1L, 2L, 3L, 4L)
     // directed edge encodings must be walked both ways: 4→3 reaches 3→4
