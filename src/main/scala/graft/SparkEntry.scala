@@ -2516,6 +2516,29 @@ object SparkEntry {
         .orderBy("layout", "file_id")
     }),
 
+    // Column-encoding advisor — the compression half of ANALYZE: per
+    // synthetic file, PLAIN vs DICTIONARY vs RLE by exact integer cost
+    // model (bits = len(bin(distinct−1)), runs counted in the DECLARED
+    // physical order — encoding wins are a property of order, which is
+    // why the layout family exists). Two columns with opposite
+    // outcomes: 3-distinct l_returnflag dictionary-encodes ~8×
+    // smaller; high-cardinality l_suppkey stays plain/dict marginal.
+    "storage_encoding_advisor" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      def adv(tag: String, v: org.apache.spark.sql.Column, bytes: Int) =
+        Layout.encodingAdvisor(li, expr("l_orderkey div 1000"), v,
+            // (okey, lineno) is NOT unique in this fixture — appending
+            // the value itself makes run counts order-deterministic
+            // (rows tied on the full key are interchangeable)
+            Seq(col("l_orderkey"), col("l_linenumber"), v), bytes)
+          .withColumn("column_name", lit(tag))
+      adv("l_returnflag", col("l_returnflag"), 1)
+        .unionByName(adv("l_suppkey", col("l_suppkey"), 8))
+        .select("column_name", "file_id", "n_values", "n_distinct",
+          "n_runs", "est_plain", "est_dict", "est_rle", "best_encoding")
+        .orderBy("column_name", "file_id")
+    }),
+
     // Spatial radius self-join via grid bucketing: all customer pairs
     // within 20 000 fixed-point units on a formula-planted 1e6×1e6
     // plane — 3×3 cell replication + hash join on cell id, candidate
@@ -7786,6 +7809,47 @@ object SparkEntry {
         |SELECT layout, file_id, f_min, f_max, n_rows, n_nulls,
         |  (n_nulls = n_rows OR f_max < lo OR f_min > hi) AS pruned
         |FROM s, b ORDER BY layout, file_id""".stripMargin,
+
+    "storage_encoding_advisor" ->
+      """WITH r1 AS (
+        |  SELECT l_orderkey // 1000 AS file_id, l_returnflag AS v,
+        |    CASE WHEN lag(l_returnflag) OVER
+        |        (PARTITION BY l_orderkey // 1000
+        |         ORDER BY l_orderkey, l_linenumber, l_returnflag)
+        |      IS DISTINCT FROM l_returnflag THEN 1 ELSE 0 END AS chg
+        |  FROM lineitem),
+        |a1 AS (SELECT file_id, count(*) AS n, count(DISTINCT v) AS nd,
+        |  sum(chg) AS runs FROM r1 GROUP BY 1),
+        |r2 AS (
+        |  SELECT l_orderkey // 1000 AS file_id, l_suppkey AS v,
+        |    CASE WHEN lag(l_suppkey) OVER
+        |        (PARTITION BY l_orderkey // 1000
+        |         ORDER BY l_orderkey, l_linenumber, l_suppkey)
+        |      IS DISTINCT FROM l_suppkey THEN 1 ELSE 0 END AS chg
+        |  FROM lineitem),
+        |a2 AS (SELECT file_id, count(*) AS n, count(DISTINCT v) AS nd,
+        |  sum(chg) AS runs FROM r2 GROUP BY 1),
+        |u AS (
+        |  SELECT 'l_returnflag' AS column_name, file_id, n, nd, runs,
+        |    1 AS b FROM a1
+        |  UNION ALL
+        |  SELECT 'l_suppkey', file_id, n, nd, runs, 8 FROM a2),
+        |f AS (
+        |  SELECT column_name, file_id, n, nd, runs,
+        |    n * b AS est_plain,
+        |    nd * b + (n * (CASE WHEN nd <= 1 THEN 1
+        |      ELSE length(bin(nd - 1)) END) + 7) // 8 AS est_dict,
+        |    runs * (b + 4) AS est_rle
+        |  FROM u)
+        |SELECT column_name, file_id, n AS n_values, nd AS n_distinct,
+        |  CAST(runs AS BIGINT) AS n_runs,
+        |  CAST(est_plain AS BIGINT) AS est_plain,
+        |  CAST(est_dict AS BIGINT) AS est_dict,
+        |  CAST(est_rle AS BIGINT) AS est_rle,
+        |  CASE WHEN est_rle < est_dict AND est_rle < est_plain THEN 'rle'
+        |       WHEN est_dict < est_plain THEN 'dict'
+        |       ELSE 'plain' END AS best_encoding
+        |FROM f ORDER BY column_name, file_id""".stripMargin,
 
     // Band-predicate inequality join (DuckDB IEJoin) over the same
     // planted plane — an independent route to the identical pair set.

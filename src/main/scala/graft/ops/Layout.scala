@@ -157,4 +157,53 @@ object Layout {
     zoneStats.withColumn("pruned",
       col("n_nulls") === col("n_rows") ||
         col("f_max") < lo || col("f_min") > hi)
+
+  /** Column-encoding advisor — the compression half of ANALYZE: per
+    * file, would this column encode better PLAIN, DICTIONARY, or RLE?
+    * The decision every columnar writer (parquet, ORC) makes per
+    * chunk, surfaced as queryable stats so layout jobs can SORT to
+    * manufacture runs (the z-order lesson again: encoding wins are a
+    * property of ORDER, and `ord` is explicit here because RLE run
+    * counts are meaningless without a defined physical order).
+    *
+    * Exact integer cost model, same on both engines:
+    *   plain = n·B;  dict = distinct·B + ⌈n·bits/8⌉,
+    *   bits = len(bin(distinct−1));  rle = runs·(B+4).
+    * `best_encoding` picks the strict minimum with ties falling
+    * toward the simpler scheme (plain ≻ dict ≻ rle). One keyed window
+    * (lag per file — never global) + one file-grain agg; output is
+    * O(files). `ord` must order rows deterministically UP TO equal
+    * values — when no unique physical key exists, append the value
+    * column itself as the last ord entry (rows tied on the full key
+    * are interchangeable, so run counts stay well-defined). Returns
+    * (file_id, n_values, n_distinct, n_runs, est_plain, est_dict,
+    * est_rle, best_encoding). */
+  def encodingAdvisor(df: DataFrame, fileId: Column, value: Column,
+      ord: Seq[Column], plainBytes: Int): DataFrame = {
+    require(plainBytes >= 1, s"plainBytes must be >= 1, got $plainBytes")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("file_id")).orderBy(ord: _*)
+    val runs = df
+      .select((fileId.cast("long").as("file_id") +: value.as("_v") +: ord): _*)
+      .withColumn("_chg",
+        when(!(lag(col("_v"), 1).over(w) <=> col("_v")), 1L).otherwise(0L))
+    val b = lit(plainBytes.toLong)
+    runs.groupBy("file_id")
+      .agg(count(lit(1)).as("n_values"),
+        countDistinct(col("_v")).as("n_distinct"),
+        sum(col("_chg")).as("n_runs"))
+      .withColumn("_bits",
+        when(col("n_distinct") <= 1L, 1L)
+          .otherwise(length(bin(col("n_distinct") - 1L)).cast("long")))
+      .withColumn("est_plain", col("n_values") * b)
+      .withColumn("est_dict", col("n_distinct") * b +
+        expr("(n_values * _bits + 7) div 8"))
+      .withColumn("est_rle", col("n_runs") * (b + 4L))
+      .withColumn("best_encoding",
+        when(col("est_rle") < col("est_dict") &&
+             col("est_rle") < col("est_plain"), "rle")
+          .when(col("est_dict") < col("est_plain"), "dict")
+          .otherwise("plain"))
+      .drop("_bits")
+  }
 }

@@ -168,4 +168,37 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
     assert(got(3L) == ((2L, 2L, true)), "NULL-only file prunes for any range")
     assert(got(4L) == ((2L, 1L, false)), "mixed file with an in-range value must scan")
   }
+
+  test("encodingAdvisor: cost model by hand — rle/dict/plain each win somewhere") {
+    import spark.implicits._
+    // file 0: 100 values in 2 long runs (sorted) → rle wins
+    //   (runs = 2 → rle = 10; dict = 2 + ceil(100·1/8) = 15; plain 100)
+    // file 1: 100 values over 4 distinct, alternating → dict wins
+    //   (runs = 100 → rle = 500; dict = 4 + ceil(100·2/8) = 29; plain 100)
+    // file 2: 8 values all distinct → plain wins
+    //   (dict = 8 + ceil(8·3/8) = 11; rle = 8·5 = 40; plain 8)
+    val rows =
+      (0 until 50).map(i => (0L, "a", i)) ++
+      (0 until 50).map(i => (0L, "b", 50 + i)) ++
+      (0 until 100).map(i => (1L, s"v${i % 4}", i)) ++
+      (0 until 8).map(i => (2L, s"u$i", i))
+    val got = graft.ops.Layout.encodingAdvisor(
+        rows.toDF("f", "v", "pos"), col("f"), col("v"),
+        Seq(col("pos")), plainBytes = 1)
+      .select("file_id", "n_runs", "est_plain", "est_dict", "est_rle",
+        "best_encoding")
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(got(0L) == ((0L, 2L, 100L, 15L, 10L, "rle")))
+    assert(got(1L) == ((1L, 100L, 100L, 29L, 500L, "dict")))
+    assert(got(2L) == ((2L, 8L, 8L, 11L, 40L, "plain")))
+    // single-distinct file: bits floor at 1, runs = 1
+    val one = graft.ops.Layout.encodingAdvisor(
+        (0 until 16).map(i => (9L, "x", i)).toDF("f", "v", "pos"),
+        col("f"), col("v"), Seq(col("pos")), plainBytes = 1)
+      .select("n_distinct", "n_runs", "est_dict", "best_encoding")
+      .as[(Long, Long, Long, String)].head()
+    // dict = 1 + ceil(16·1/8) = 3 beats rle = 1·5 = 5 and plain = 16
+    assert(one == ((1L, 1L, 3L, "dict")))
+  }
 }
