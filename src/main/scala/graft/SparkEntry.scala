@@ -2516,6 +2516,45 @@ object SparkEntry {
         .orderBy("layout", "file_id")
     }),
 
+    // Deterministic negative sampling — contrastive-pair prep: for
+    // every customer, 3 parts they never bought, drawn from a
+    // quadratic-mix stream over (key, j) with overgeneration +
+    // anti-join (a draw colliding with a positive or repeating
+    // consumes overgen budget, not k). Reproducible on any
+    // cluster/engine — which is why it can be oracled at all;
+    // RNG-based negative samplers can't. (The customer×part matrix is
+    // sparse at every SF — a supplier-keyed first draft covered almost
+    // the whole catalog at sf0.001 and yielded 4 negatives total.)
+    "x1_negative_sample" -> ((s, dir) => {
+      val itemCount = Tables.part(s, dir).count()
+      val pos = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey"), col("l_partkey"))
+      graft.ops.Sampling.negativeSample(pos, "o_custkey", "l_partkey",
+          itemCount, k = 3)
+        .orderBy("o_custkey", "draw_rank")
+    }),
+
+    // Functional-dependency discovery census: does lhs → rhs hold, how
+    // many keys violate, worst image count — key detection and the
+    // cheapest denormalized-feed tripwire. Three planted dependencies:
+    // the true key FD holds, the two coarse ones fail with measured
+    // violation mass.
+    "dq_fd_census" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      def fd(tag: String, df: org.apache.spark.sql.DataFrame,
+          l: String, r: String) =
+        graft.ops.Profiling.fdCensus(df, l, r).withColumn("fd", lit(tag))
+      fd("orderkey_to_custkey", o, "o_orderkey", "o_custkey")
+        .unionByName(fd("custkey_to_priority", o, "o_custkey",
+          "o_orderpriority"))
+        .unionByName(fd("nation_to_segment", Tables.customer(s, dir),
+          "c_nationkey", "c_mktsegment"))
+        .select("fd", "n_keys", "n_violating_keys", "max_images", "fd_holds")
+        .orderBy("fd")
+    }),
+
     // Column-encoding advisor — the compression half of ANALYZE: per
     // synthetic file, PLAIN vs DICTIONARY vs RLE by exact integer cost
     // model (bits = len(bin(distinct−1)), runs counted in the DECLARED
@@ -7809,6 +7848,45 @@ object SparkEntry {
         |SELECT layout, file_id, f_min, f_max, n_rows, n_nulls,
         |  (n_nulls = n_rows OR f_max < lo OR f_min > hi) AS pruned
         |FROM s, b ORDER BY layout, file_id""".stripMargin,
+
+    "x1_negative_sample" ->
+      """WITH pos AS (
+        |  SELECT DISTINCT o_custkey AS k, l_partkey AS i
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |n AS (SELECT count(*) AS ic FROM part),
+        |ks AS (SELECT DISTINCT k FROM pos),
+        |cand AS (
+        |  SELECT ks.k, t.j,
+        |    (ks.k * ks.k * 7919 + t.j * t.j * 104729 + ks.k * t.j * 31 + t.j)
+        |      % n.ic AS i
+        |  FROM ks, n, generate_series(0, 11) AS t(j)),
+        |fresh AS (
+        |  SELECT c.k, c.i, min(c.j) AS j FROM cand c
+        |  LEFT JOIN pos p ON p.k = c.k AND p.i = c.i
+        |  WHERE p.k IS NULL GROUP BY 1, 2),
+        |r AS (
+        |  SELECT k, i,
+        |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY j, i) AS draw_rank
+        |  FROM fresh)
+        |SELECT k AS o_custkey, CAST(i AS BIGINT) AS l_partkey,
+        |  CAST(draw_rank AS BIGINT) AS draw_rank
+        |FROM r WHERE draw_rank <= 3 ORDER BY o_custkey, draw_rank""".stripMargin,
+
+    "dq_fd_census" ->
+      """WITH f AS (
+        |  SELECT 'orderkey_to_custkey' AS fd, o_orderkey AS l,
+        |    CAST(o_custkey AS VARCHAR) AS r FROM orders
+        |  UNION ALL
+        |  SELECT 'custkey_to_priority', o_custkey, o_orderpriority FROM orders
+        |  UNION ALL
+        |  SELECT 'nation_to_segment', c_nationkey, c_mktsegment FROM customer),
+        |g AS (SELECT fd, l, count(DISTINCT r) AS images FROM f GROUP BY 1, 2)
+        |SELECT fd, count(*) AS n_keys,
+        |  CAST(count(*) FILTER (WHERE images > 1) AS BIGINT)
+        |    AS n_violating_keys,
+        |  CAST(max(images) AS BIGINT) AS max_images,
+        |  (count(*) FILTER (WHERE images > 1) = 0) AS fd_holds
+        |FROM g GROUP BY fd ORDER BY fd""".stripMargin,
 
     "storage_encoding_advisor" ->
       """WITH r1 AS (

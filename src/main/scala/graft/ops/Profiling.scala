@@ -63,4 +63,25 @@ object Profiling {
           col("_e._2").as("value_str"), col("_e._1").as("cnt"))
     }.reduce(_.unionByName(_))
   }
+
+  /** Functional-dependency census — does `lhs → rhs` hold, and how
+    * badly does it fail? The dependency-discovery primitive behind key
+    * detection, normalization advice, and "this column is derivable —
+    * stop storing it" findings; also the cheapest data-quality tripwire
+    * for denormalized feeds (a customer key mapping to two nations is
+    * an upstream join bug, surfaced here as one violating key). Exact:
+    * one (lhs, rhs)-grain hash agg collapses duplicates, one lhs-grain
+    * rollup counts images — both map-side-partial friendly; NULL rhs
+    * values count as one image value (null-safe grouping), so a
+    * sometimes-null dependent violates. Returns one row:
+    * (n_keys, n_violating_keys, max_images, fd_holds). */
+  def fdCensus(df: DataFrame, lhs: String, rhs: String): DataFrame =
+    df.select(col(lhs).as("_l"), col(rhs).as("_r"))
+      .groupBy("_l", "_r").agg(count(lit(1)).as("_n"))
+      .groupBy("_l").agg(count(lit(1)).as("_images"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("_images") > 1L, 1L).otherwise(0L))
+          .as("n_violating_keys"),
+        max(col("_images")).as("max_images"))
+      .withColumn("fd_holds", col("n_violating_keys") === 0L)
 }

@@ -189,4 +189,47 @@ object Sampling {
   def deterministicShuffle(df: DataFrame, key: String, seed: Long,
       basis: Long = 1000000L): DataFrame =
     df.orderBy(keyDraw(col(key), seed, basis).asc, col(key).asc)
+
+  /** Deterministic negative sampling — the contrastive-pair prep step
+    * (recsys two-tower training, embedding hard-negative mining, link-
+    * prediction class balance): for every key holding positives, `k`
+    * items it did NOT interact with, drawn reproducibly. "Random"
+    * negatives come from a quadratic-mix formula over (key, j) — the
+    * same stream on any cluster, any retry, any engine — so the output
+    * is oracle-checkable and training runs are repeatable; the candidate
+    * stream OVERGENERATES (`overgen × k` draws) then anti-joins the
+    * positive set and keeps the first k survivors in draw order
+    * (collisions with positives or duplicate draws consume a slot from
+    * the overgen budget, not from k — the op emits FEWER than k only if
+    * the budget exhausts, which the `n_negatives` census downstream
+    * should watch; raise `overgen` for keys that touch most of the
+    * catalog).
+    *
+    * Scale shape: distinct-keys frame × overgen·k map-side explode
+    * (bounded fan-out, no shuffle amplification), one anti-join on
+    * (key, item) against the positive set, one keyed dedup agg, one
+    * KEY-partitioned rank window — never a global sort. Items live in
+    * `[itemBase, itemBase + itemCount)`. Returns (key, item, draw_rank
+    * ∈ [1..k]). */
+  def negativeSample(positives: DataFrame, key: String, item: String,
+      itemCount: Long, k: Int, itemBase: Long = 0L,
+      overgen: Int = 4): DataFrame = {
+    require(itemCount >= 1 && k >= 1 && overgen >= 2,
+      s"need itemCount >= 1, k >= 1, overgen >= 2; got $itemCount/$k/$overgen")
+    import org.apache.spark.sql.expressions.Window
+    val pos = positives.select(col(key).cast("long").as("_k"),
+      col(item).cast("long").as("_i")).distinct()
+    val cands = pos.select(col("_k")).distinct()
+      .withColumn("_j", explode(sequence(lit(0), lit(overgen * k - 1))))
+      .withColumn("_i",
+        pmod(col("_k") * col("_k") * 7919L + col("_j") * col("_j") * 104729L +
+          col("_k") * col("_j") * 31L + col("_j"), lit(itemCount)) +
+          lit(itemBase))
+    val fresh = cands.join(pos, Seq("_k", "_i"), "left_anti")
+      .groupBy(col("_k"), col("_i")).agg(min(col("_j")).as("_j"))
+    val w = Window.partitionBy(col("_k")).orderBy(col("_j").asc, col("_i").asc)
+    fresh.withColumn("draw_rank", row_number().over(w).cast("long"))
+      .filter(col("draw_rank") <= k)
+      .select(col("_k").as(key), col("_i").as(item), col("draw_rank"))
+  }
 }

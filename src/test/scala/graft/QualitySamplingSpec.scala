@@ -392,4 +392,42 @@ class QualitySamplingSpec extends AnyFunSuite with SparkTestBase {
       w.contains((5L, 5L, 0L)))
     assert(w.count(_._3 == 0L) == 8)
   }
+
+  test("negativeSample: never a positive, exactly k per key, deterministic, budget exhaustion honest") {
+    import spark.implicits._
+    val pos = Seq((1L, 3L), (1L, 7L), (2L, 0L), (2L, 1L), (2L, 2L))
+      .toDF("u", "it")
+    def run(k: Int, itemCount: Long, overgen: Int = 4) =
+      graft.ops.Sampling.negativeSample(pos, "u", "it", itemCount, k,
+          overgen = overgen)
+        .as[(Long, Long, Long)].collect().toSeq
+    val got = run(3, 100L)
+    val posSet = Set((1L, 3L), (1L, 7L), (2L, 0L), (2L, 1L), (2L, 2L))
+    assert(got.forall { case (u, it, _) => !posSet((u, it)) },
+      "a negative must never be a positive")
+    assert(got.groupBy(_._1).forall(_._2.map(_._3).sorted == Seq(1L, 2L, 3L)),
+      "exactly k ranked draws per key")
+    assert(got.forall { case (_, it, _) => it >= 0 && it < 100 })
+    // deterministic: second run identical
+    assert(run(3, 100L) == got)
+    // tiny catalog: key 2 holds 3 of 4 items — at most 1 negative
+    // exists; the op emits what's real, never a positive to fill k
+    val tight = run(3, 4L).filter(_._1 == 2L)
+    assert(tight.size <= 1 && tight.forall(t => t._2 == 3L))
+  }
+
+  test("fdCensus: holds / violated / null image counted") {
+    import spark.implicits._
+    val df = Seq((1L, Some("a")), (1L, Some("a")), (2L, Some("b")),
+      (3L, Some("c")), (3L, Some("d")), (3L, None)).toDF("l", "r")
+    val got = graft.ops.Profiling.fdCensus(df, "l", "r")
+      .as[(Long, Long, Long, Boolean)].head()
+    // key 3 has images {c, d, NULL} = 3 (NULL is an image value —
+    // a sometimes-null dependent violates); keys 1, 2 clean
+    assert(got == ((3L, 1L, 3L, false)))
+    val clean = graft.ops.Profiling.fdCensus(
+      Seq((1L, "x"), (2L, "y"), (2L, "y")).toDF("l", "r"), "l", "r")
+      .as[(Long, Long, Long, Boolean)].head()
+    assert(clean == ((2L, 0L, 1L, true)))
+  }
 }
