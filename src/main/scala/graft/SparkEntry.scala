@@ -3605,6 +3605,34 @@ object SparkEntry {
         .orderBy("event_type", "day_num")
     }),
 
+    // Weighted percentile-disc per language: the doc length at which
+    // half (and 90%) of the TOKEN MASS sits — the curation statistic
+    // when rows carry unequal weight. Exact integer rule 100·cumW ≥
+    // p·W over the value-grain cumulative weight; the window runs on
+    // the COLLAPSED (lang, n_chars) frame, never row grain.
+    "agg_weighted_median" -> ((s, dir) => {
+      graft.ops.DataQuality.weightedPercentiles(
+          Tables.documents(s, dir), "lang", col("n_chars"),
+          TextAnalysis.tokenCount(col("text")), Seq(50, 90))
+        .orderBy("lang")
+    }),
+
+    // Trailing 7-day variance NUMERATOR per priority — rolling-σ
+    // anomaly primitive with zero doubles: n·Σx²−(Σx)² as exact
+    // BIGINTs over a key-partitioned RANGE frame at daily grain
+    // (calendar-bounded — the seasonal-decompose safety argument).
+    "window_rolling_variance" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"),
+          expr("CAST(datediff(to_date(o_orderdate), DATE'1970-01-01') AS BIGINT)")
+            .as("day_num"))
+        .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .as("v_cents"))
+      graft.ops.TimeSeries.rollingMoments(daily, "o_orderpriority",
+          "day_num", "v_cents", windowDays = 7)
+        .orderBy("o_orderpriority", "day_num")
+    }),
+
     // Two-sided CUSUM changepoint detection over per-priority WEEKLY
     // revenue (345 weeks per key — calendar-bounded series). Exact
     // integer recurrences s± = max(0, s±' ± (x − target) − kappa) in
@@ -6983,6 +7011,44 @@ object SparkEntry {
         |  CAST(l AS BIGINT) AS level_micro,
         |  CAST(b AS BIGINT) AS trend_micro
         |FROM r WHERE rn >= 2 ORDER BY user_id, event_id""".stripMargin,
+
+    "agg_weighted_median" ->
+      """WITH g AS (
+        |  SELECT lang, n_chars AS v,
+        |    sum(CAST(len(string_split_regex(text, '\s+')) AS BIGINT)) AS gw
+        |  FROM documents GROUP BY 1, 2),
+        |c AS (
+        |  SELECT lang, v, gw,
+        |    sum(gw) OVER (PARTITION BY lang ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cumw
+        |  FROM g),
+        |t AS (SELECT lang, sum(gw) AS tw FROM g GROUP BY 1)
+        |SELECT c.lang, CAST(min(t.tw) AS BIGINT) AS total_weight,
+        |  min(CASE WHEN cumw * 100 >= tw * 50 THEN v END) AS p50_value,
+        |  min(CASE WHEN cumw * 100 >= tw * 90 THEN v END) AS p90_value
+        |FROM c JOIN t ON c.lang = t.lang
+        |GROUP BY c.lang ORDER BY c.lang""".stripMargin,
+
+    "window_rolling_variance" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS BIGINT) AS day_num,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS v_cents
+        |  FROM orders GROUP BY 1, 2),
+        |w AS (
+        |  SELECT o_orderpriority, day_num, v_cents,
+        |    count(v_cents) OVER fr AS n_w,
+        |    sum(v_cents) OVER fr AS sum_w,
+        |    sum(v_cents * v_cents) OVER fr AS ss
+        |  FROM daily
+        |  WINDOW fr AS (PARTITION BY o_orderpriority ORDER BY day_num
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT o_orderpriority, day_num, v_cents,
+        |  CAST(n_w AS BIGINT) AS n_w, CAST(sum_w AS BIGINT) AS sum_w,
+        |  CAST(n_w * ss - sum_w * sum_w AS BIGINT) AS var_num
+        |FROM w ORDER BY o_orderpriority, day_num""".stripMargin,
 
     // Recursive-CTE replay of the CUSUM fold: emitted s± are
     // post-update PRE-reset; the carried state applies the reset.

@@ -285,4 +285,38 @@ object DataQuality {
         when(col(value) < col("lo"), lit(-1L))
           .when(col(value) > col("hi"), lit(1L)).otherwise(lit(0L)))
   }
+
+  /** WEIGHTED percentile-disc per group — "the doc length at which
+    * half the TOKEN MASS sits", not half the documents: the statistic
+    * curation decisions actually need when rows carry unequal weight
+    * (tokens, bytes, revenue). Same exact integer rule as the unweighted
+    * [[percentileDiscThresholds]]: threshold = smallest v with
+    * `100·cumW ≥ p·W` over the VALUE-GRAIN cumulative weight.
+    *
+    * Scale shape: the heavy input collapses to (group, value) grain in
+    * one hash agg first; the cumulative window then runs partitioned
+    * BY GROUP over that collapsed frame — distinct-value cardinality
+    * per group, never row cardinality, so no single-reducer sort
+    * exists at any corpus size. NULL values and NULL/≤0 weights are
+    * excluded (documented). One output row per group:
+    * (group, total_weight, p<i>_value per requested percentile). */
+  def weightedPercentiles(df: DataFrame, group: String,
+      value: org.apache.spark.sql.Column,
+      weight: org.apache.spark.sql.Column, ps: Seq[Int]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 100),
+      s"percentiles must be in [0,100], got $ps")
+    import org.apache.spark.sql.expressions.Window
+    val grain = df.select(col(group), value.as("_v"),
+        weight.cast("long").as("_w"))
+      .filter(col("_v").isNotNull && col("_w").isNotNull && col("_w") > 0L)
+      .groupBy(col(group), col("_v")).agg(sum(col("_w")).as("_gw"))
+    val win = Window.partitionBy(col(group)).orderBy(col("_v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grain.withColumn("_cumw", sum(col("_gw")).over(win))
+      .join(grain.groupBy(col(group)).agg(sum(col("_gw")).as("_tw")), group)
+    cum.groupBy(col(group))
+      .agg(min(col("_tw")).as("total_weight"),
+        ps.map(p => min(when(col("_cumw") * 100 >= col("_tw") * p, col("_v")))
+          .as(s"p${p}_value")): _*)
+  }
 }

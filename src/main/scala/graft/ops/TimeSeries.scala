@@ -311,6 +311,33 @@ object TimeSeries {
         col("_r.au").as("alarm_up"), col("_r.ad").as("alarm_down"))
   }
 
+  /** Trailing-window moment census: over the last `windowDays` of a
+    * per-key daily series, exact integer sufficient statistics —
+    * count, sum, and the variance NUMERATOR `n·Σx² − (Σx)²` (variance
+    * itself is the rational num/n², and σ needs a √ integers cannot
+    * express — downstream alerting compares num·threshold² against
+    * n²·bound², cross-multiplied, the [[cusum]]/z-test discipline).
+    * The rolling-σ anomaly primitive without a single double.
+    *
+    * Scale shape: one RANGE-frame window PARTITIONED BY KEY over the
+    * daily-grain series (calendar-bounded per key — the
+    * seasonalDecompose safety argument); inputs must already be at
+    * daily grain. Returns the input plus (n_w, sum_w, var_num). */
+  def rollingMoments(daily: DataFrame, key: String, dayNum: String,
+      x: String, windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(key)).orderBy(col(dayNum).asc)
+      .rangeBetween(-(windowDays - 1).toLong, 0L)
+    daily
+      .withColumn("n_w", count(col(x)).over(w))
+      .withColumn("sum_w", sum(col(x)).over(w))
+      .withColumn("_ss", sum(col(x) * col(x)).over(w))
+      .withColumn("var_num",
+        col("n_w") * col("_ss") - col("sum_w") * col("sum_w"))
+      .drop("_ss")
+  }
+
   def forwardFill(df: DataFrame, key: String, ts: String, value: String,
       tieBreak: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

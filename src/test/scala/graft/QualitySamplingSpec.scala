@@ -416,6 +416,24 @@ class QualitySamplingSpec extends AnyFunSuite with SparkTestBase {
     assert(tight.size <= 1 && tight.forall(t => t._2 == 3L))
   }
 
+  test("weightedPercentiles: weight shifts the median; boundary-exact; bad weights excluded") {
+    import spark.implicits._
+    // values 1..4 with weight 1 each → p50 = 2 (cum 2·100 ≥ 4·50).
+    // Same values but value 4 carries weight 6 → total 9, p50 = 4
+    // (cum at 3 is 3·100 < 9·50; at 4 cum 9).
+    val flat = Seq(("g", 1L, 1L), ("g", 2L, 1L), ("g", 3L, 1L), ("g", 4L, 1L))
+    val skew = Seq(("g", 1L, 1L), ("g", 2L, 1L), ("g", 3L, 1L), ("g", 4L, 6L))
+    def p50(rows: Seq[(String, Long, Long)]) =
+      graft.ops.DataQuality.weightedPercentiles(
+          rows.toDF("g", "v", "w"), "g", col("v"), col("w"), Seq(50))
+        .select("total_weight", "p50_value").as[(Long, Long)].head()
+    assert(p50(flat) == ((4L, 2L)))
+    assert(p50(skew) == ((9L, 4L)))
+    // zero/negative/null weights are excluded from mass entirely
+    val dirty = Seq(("g", 1L, 5L), ("g", 9L, 0L), ("g", 8L, -3L))
+    assert(p50(dirty) == ((5L, 1L)))
+  }
+
   test("fdCensus: holds / violated / null image counted") {
     import spark.implicits._
     val df = Seq((1L, Some("a")), (1L, Some("a")), (2L, Some("b")),

@@ -275,6 +275,22 @@ class TimeSeriesSpec extends AnyFunSuite with SparkTestBase {
       }
   }
 
+  test("rollingMoments: hand variance numerator; RANGE frame skips gap days") {
+    // key k days 0,1,2 values 2,4,6 — at day 2 (window 3 wide):
+    // n=3, s=12, ss=56, var_num = 3·56−144 = 24.
+    // key g days 0 and 10 (gap > window): day 10 sees ONLY itself —
+    // a ROWS frame would wrongly include day 0.
+    val rows = Seq(("k", 0L, 2L), ("k", 1L, 4L), ("k", 2L, 6L),
+      ("g", 0L, 5L), ("g", 10L, 7L)).toDF("key", "day_num", "x")
+    val got = TimeSeries.rollingMoments(rows, "key", "day_num", "x", 3)
+      .select("key", "day_num", "n_w", "sum_w", "var_num")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4, t._5))).toMap
+    assert(got(("k", 2L)) == ((3L, 12L, 24L)))
+    assert(got(("k", 0L)) == ((1L, 2L, 0L)), "single obs: var_num 0")
+    assert(got(("g", 10L)) == ((1L, 7L, 0L)), "gap beyond window excluded")
+  }
+
   test("cusum: value exactly at h does not alarm (strict >)") {
     // single step to s_pos == h exactly
     val rows = Seq(("k", 1L, 160L)).toDF("key", "o", "x")
