@@ -2536,6 +2536,34 @@ object SparkEntry {
         .orderBy("o_custkey", "draw_rank")
     }),
 
+    // Missing-id detection WITHOUT a global sort: residues {0,1,2} mod
+    // 97 are filtered out of the orderkey sequence, so a 3-wide gap
+    // recurs every 97 keys; bucketSize=100 makes gaps cross bucket
+    // boundaries regularly, exercising BOTH the intra-bucket lead path
+    // and the bucket-stats boundary path. The oracle finds the same
+    // gaps by the naive global lead (fine at oracle scale — the whole
+    // point is that the engine side never does that).
+    "dq_sequence_gaps" -> ((s, dir) => {
+      graft.ops.DataQuality.sequenceGaps(
+          Tables.orders(s, dir).filter(col("o_orderkey") % 97 >= 3),
+          "o_orderkey", bucketSize = 100L)
+        .orderBy("gap_start")
+    }),
+
+    // Position-based (U-shaped) multi-touch attribution over per-user
+    // click journeys: 40/20/40 in exact trunc-micros, with the n=1
+    // (full credit) and n=2 (500k/500k — a U with no middle must not
+    // leak 200k) conventions pinned; middle truncation dust ≤ n−3
+    // micros documented. One user-keyed window pass.
+    "events_attribution_ushape" -> ((s, dir) => {
+      graft.ops.Reagg.positionAttribution(
+          Tables.events(s, dir).filter(col("event_type") === "click")
+            .select(col("user_id"), col("ts"), col("event_id")),
+          "user_id", Seq(col("ts").asc, col("event_id").asc))
+        .select("user_id", "event_id", "position", "n_touches", "credit_micro")
+        .orderBy("user_id", "position")
+    }),
+
     // Functional-dependency discovery census: does lhs → rhs hold, how
     // many keys violate, worst image count — key detection and the
     // cheapest denormalized-feed tripwire. Three planted dependencies:
@@ -7937,6 +7965,30 @@ object SparkEntry {
         |SELECT k AS o_custkey, CAST(i AS BIGINT) AS l_partkey,
         |  CAST(draw_rank AS BIGINT) AS draw_rank
         |FROM r WHERE draw_rank <= 3 ORDER BY o_custkey, draw_rank""".stripMargin,
+
+    "dq_sequence_gaps" ->
+      """WITH ks AS (
+        |  SELECT DISTINCT o_orderkey AS k FROM orders
+        |  WHERE o_orderkey % 97 >= 3),
+        |l AS (SELECT k, lead(k) OVER (ORDER BY k) AS nxt FROM ks)
+        |SELECT k + 1 AS gap_start, nxt - 1 AS gap_end,
+        |  nxt - 1 - k AS gap_len
+        |FROM l WHERE nxt > k + 1 ORDER BY gap_start""".stripMargin,
+
+    "events_attribution_ushape" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS position,
+        |    count(*) OVER (PARTITION BY user_id) AS n_touches
+        |  FROM events WHERE event_type = 'click')
+        |SELECT user_id, event_id, position,
+        |  CAST(n_touches AS BIGINT) AS n_touches,
+        |  CAST(CASE WHEN n_touches = 1 THEN 1000000
+        |    WHEN n_touches = 2 THEN 500000
+        |    WHEN position = 1 OR position = n_touches THEN 400000
+        |    ELSE 200000 // (n_touches - 2) END AS BIGINT) AS credit_micro
+        |FROM c ORDER BY user_id, position""".stripMargin,
 
     "dq_fd_census" ->
       """WITH f AS (

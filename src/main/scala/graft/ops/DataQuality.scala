@@ -319,4 +319,42 @@ object DataQuality {
         ps.map(p => min(when(col("_cumw") * 100 >= col("_tw") * p, col("_v")))
           .as(s"p${p}_value")): _*)
   }
+
+  /** Missing-id (sequence gap) detection over an integer key — "which
+    * invoice numbers never arrived" — WITHOUT a global sort: the naive
+    * form is `lead(k) OVER (ORDER BY k)`, a single reducer at any real
+    * scale. Here the keyspace buckets by `k div bucketSize`:
+    *   1. intra-bucket gaps from a BUCKET-partitioned lead (keyed
+    *      window, scales with the widest bucket only);
+    *   2. cross-boundary gaps from the bucket-grain (min, max) stats
+    *      frame — n/bucketSize rows of metadata, where the one ordered
+    *      window is the collapsed-frame pattern (zone-map scale, not
+    *      row scale). A bucket with no rows at all never appears in
+    *      the stats frame, so fully-missing buckets surface as one
+    *      boundary gap spanning them — no generate_series over the
+    *      keyspace ever materializes.
+    * Duplicates collapse first (a gap census is about PRESENCE).
+    * Returns (gap_start, gap_end, gap_len) for interior gaps only —
+    * before-first/after-last are unknowable without an external range
+    * contract. */
+  def sequenceGaps(df: DataFrame, key: String,
+      bucketSize: Long = 1000000L): DataFrame = {
+    require(bucketSize >= 2, s"bucketSize must be >= 2, got $bucketSize")
+    import org.apache.spark.sql.expressions.Window
+    val ks = df.select(col(key).cast("long").as("_k"))
+      .filter(col("_k").isNotNull).distinct()
+      .withColumn("_b", expr(s"_k div $bucketSize"))
+    val wIn = Window.partitionBy(col("_b")).orderBy(col("_k").asc)
+    val intra = ks.withColumn("_next", lead(col("_k"), 1).over(wIn))
+      .filter(col("_next") > col("_k") + 1L)
+      .select((col("_k") + 1L).as("gap_start"), (col("_next") - 1L).as("gap_end"))
+    val stats = ks.groupBy(col("_b"))
+      .agg(min(col("_k")).as("_min"), max(col("_k")).as("_max"))
+    val wB = Window.orderBy(col("_b").asc)
+    val boundary = stats.withColumn("_nextMin", lead(col("_min"), 1).over(wB))
+      .filter(col("_nextMin") > col("_max") + 1L)
+      .select((col("_max") + 1L).as("gap_start"), (col("_nextMin") - 1L).as("gap_end"))
+    intra.unionByName(boundary)
+      .withColumn("gap_len", col("gap_end") - col("gap_start") + 1L)
+  }
 }

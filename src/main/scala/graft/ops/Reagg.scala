@@ -177,4 +177,35 @@ object Reagg {
       .withColumn("rfm_code",
         col("r_score") * 100L + col("f_score") * 10L + col("m_score"))
   }
+
+  /** Position-based (U-shaped) attribution: split one unit of credit
+    * across a key's ordered touch sequence — 40% to the first touch,
+    * 40% to the last, the remaining 20% evenly over the middles — the
+    * standard multi-touch model between last-touch (all credit to the
+    * end) and linear (flat). Exact trunc-micros with the conventions
+    * pinned: a single touch takes the full 10⁶; exactly two touches
+    * split 500 000/500 000 (the U has no middle to give 20% to, and
+    * 400k+400k ≠ 10⁶ would silently leak credit); middles get
+    * `200 000 div (n−2)` each, the ≤(n−3)-micro truncation dust being
+    * documented rather than redistributed. Per-key credits therefore
+    * sum to 10⁶ exactly for n ≤ 3 and to ≥ 10⁶−(n−3) beyond.
+    *
+    * One KEY-partitioned window pass (row_number + count — never a
+    * global sort); `order` must include a unique tie-break. Returns
+    * (key, orderCols..., position ∈ [1..n], n_touches, credit_micro).
+    */
+  def positionAttribution(df: DataFrame, key: String,
+      order: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(key)).orderBy(order: _*)
+    val wAll = Window.partitionBy(col(key))
+    df.withColumn("position", row_number().over(w).cast("long"))
+      .withColumn("n_touches", count(lit(1)).over(wAll))
+      .withColumn("credit_micro",
+        when(col("n_touches") === 1L, 1000000L)
+          .when(col("n_touches") === 2L, 500000L)
+          .when(col("position") === 1L || col("position") === col("n_touches"),
+            400000L)
+          .otherwise(expr("200000 div (n_touches - 2)")))
+  }
 }

@@ -434,6 +434,24 @@ class QualitySamplingSpec extends AnyFunSuite with SparkTestBase {
     assert(p50(dirty) == ((5L, 1L)))
   }
 
+  test("sequenceGaps: intra-bucket, boundary-crossing, whole-bucket-missing, dups") {
+    import spark.implicits._
+    // bucketSize 10. present: 1..4, 7..9 (intra gap 5-6), 10..12
+    // (no gap at the 9→10 boundary), 28 (boundary gap 13-27 spans the
+    // ENTIRE missing bucket [20,29) partly), duplicates of 3.
+    val ks = (Seq(1L, 2L, 3L, 3L, 4L, 7L, 8L, 9L, 10L, 11L, 12L, 28L))
+      .toDF("k")
+    for (parts <- Seq(1, 4)) {
+      val got = graft.ops.DataQuality.sequenceGaps(
+          ks.repartition(parts), "k", bucketSize = 10L)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == Set((5L, 6L, 2L), (13L, 27L, 15L)))
+    }
+    // contiguous input: no gaps
+    assert(graft.ops.DataQuality.sequenceGaps(
+      (1L to 50L).toDF("k"), "k", 7L).count() == 0L)
+  }
+
   test("fdCensus: holds / violated / null image counted") {
     import spark.implicits._
     val df = Seq((1L, Some("a")), (1L, Some("a")), (2L, Some("b")),

@@ -165,4 +165,26 @@ class ReaggSpec extends AnyFunSuite with SparkTestBase {
         (2L, 2L, 2L, 2L, 222L), (1L, 2L, 2L, 2L, 222L)))
     }
   }
+  test("positionAttribution: U-shape conventions n=1/2/3/5, dust documented") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(s: Int) = new java.sql.Timestamp(ts0.getTime + s * 1000L)
+    // user 1: 5 touches; user 2: 1; user 3: 2; user 4: 3
+    val rows = (1 to 5).map(i => (1L, t(i), i.toLong)) ++
+      Seq((2L, t(1), 10L)) ++ Seq((3L, t(1), 20L), (3L, t(2), 21L)) ++
+      (1 to 3).map(i => (4L, t(i), 30L + i))
+    val got = graft.ops.Reagg.positionAttribution(
+        rows.toDF("u", "ts", "id"), "u",
+        Seq(col("ts").asc, col("id").asc))
+      .select("u", "position", "credit_micro")
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (u, xs) =>
+        u -> xs.sortBy(_._2).map(_._3).toSeq }
+    assert(got(1L) == Seq(400000L, 66666L, 66666L, 66666L, 400000L))
+    assert(got(2L) == Seq(1000000L))
+    assert(got(3L) == Seq(500000L, 500000L))
+    assert(got(4L) == Seq(400000L, 200000L, 400000L))
+    // credit conservation: exact for n <= 3; dust <= n-3 micros beyond
+    assert(got(1L).sum == 999998L && got(4L).sum == 1000000L)
+  }
 }
+
