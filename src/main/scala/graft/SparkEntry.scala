@@ -2536,6 +2536,34 @@ object SparkEntry {
         .orderBy("o_custkey", "draw_rank")
     }),
 
+    // k-anonymity / l-diversity release census over QI (nation,
+    // balance-bucket) with segment as the sensitive attribute: rows in
+    // sub-k groups are re-identifiable; sub-l groups leak by
+    // homogeneity even when large. Two grain-collapsing aggs, one
+    // census row.
+    "dq_k_anonymity" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).withColumn("bal_bucket",
+        expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) div 200000"))
+      graft.ops.DataQuality.kAnonymityCensus(c,
+        Seq("c_nationkey", "bal_bucket"), "c_mktsegment", k = 5, l = 3)
+    }),
+
+    // CDC net-effect compaction: a batch of I/U/D churn collapses to
+    // the minimal equivalent batch in ONE min_by/max_by hash agg —
+    // born-and-died keys vanish entirely (emitting their tombstones
+    // would undo the point). Ops derived from event types (signup=I,
+    // error=D, else U) over the (ts, event_id) total order.
+    "w6_cdc_compact" -> ((s, dir) => {
+      val cdc = Tables.events(s, dir).select(col("user_id"),
+        when(col("event_type") === "signup", "I")
+          .when(col("event_type") === "error", "D")
+          .otherwise("U").as("op"),
+        col("ts"), col("event_id"), col("event_type").as("payload"))
+      Merge.cdcCompact(cdc, "user_id", "op", "ts", "payload",
+          tieBreak = Seq("event_id"))
+        .orderBy("user_id")
+    }),
+
     // Missing-id detection WITHOUT a global sort: residues {0,1,2} mod
     // 97 are filtered out of the orderkey sequence, so a 3-wide gap
     // recurs every 97 keys; bucketSize=100 makes gaps cross bucket
@@ -7965,6 +7993,63 @@ object SparkEntry {
         |SELECT k AS o_custkey, CAST(i AS BIGINT) AS l_partkey,
         |  CAST(draw_rank AS BIGINT) AS draw_rank
         |FROM r WHERE draw_rank <= 3 ORDER BY o_custkey, draw_rank""".stripMargin,
+
+    "dq_k_anonymity" ->
+      """WITH b AS (
+        |  SELECT c_nationkey,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) // 200000
+        |      AS bal_bucket,
+        |    c_mktsegment
+        |  FROM customer),
+        |fine AS (
+        |  SELECT c_nationkey, bal_bucket, c_mktsegment, count(*) AS n
+        |  FROM b GROUP BY 1, 2, 3),
+        |g AS (
+        |  SELECT c_nationkey, bal_bucket, sum(n) AS sz, count(*) AS nsens
+        |  FROM fine GROUP BY 1, 2)
+        |SELECT CAST(sum(sz) AS BIGINT) AS n_rows,
+        |  count(*) AS n_groups,
+        |  CAST(min(sz) AS BIGINT) AS min_group_size,
+        |  CAST(count(*) FILTER (WHERE sz < 5) AS BIGINT) AS n_small_groups,
+        |  CAST(coalesce(sum(sz) FILTER (WHERE sz < 5), 0) AS BIGINT)
+        |    AS rows_at_risk,
+        |  CAST(count(*) FILTER (WHERE nsens < 3) AS BIGINT)
+        |    AS n_low_diversity_groups,
+        |  CAST(coalesce(sum(sz) FILTER (WHERE nsens < 3), 0) AS BIGINT)
+        |    AS rows_in_low_diversity
+        |FROM g""".stripMargin,
+
+    "w6_cdc_compact" ->
+      """WITH c AS (
+        |  SELECT user_id,
+        |    CASE WHEN event_type = 'signup' THEN 'I'
+        |         WHEN event_type = 'error' THEN 'D'
+        |         ELSE 'U' END AS op,
+        |    ts, event_id, event_type AS payload
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, op, payload,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS rn_a,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC,
+        |      event_id DESC) AS rn_d,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM c),
+        |fl AS (
+        |  SELECT a.user_id, a.op AS first_op, d.op AS last_op,
+        |    d.payload AS payload, a.n
+        |  FROM (SELECT * FROM r WHERE rn_a = 1) a
+        |  JOIN (SELECT * FROM r WHERE rn_d = 1) d ON a.user_id = d.user_id),
+        |net AS (
+        |  SELECT user_id,
+        |    CASE WHEN first_op = 'I' AND last_op = 'D' THEN NULL
+        |         WHEN first_op = 'I' THEN 'I'
+        |         WHEN last_op = 'D' THEN 'D'
+        |         ELSE 'U' END AS net_op,
+        |    payload, CAST(n AS BIGINT) AS n_events
+        |  FROM fl)
+        |SELECT user_id, net_op, payload, n_events
+        |FROM net WHERE net_op IS NOT NULL ORDER BY user_id""".stripMargin,
 
     "dq_sequence_gaps" ->
       """WITH ks AS (

@@ -357,4 +357,39 @@ object DataQuality {
     intra.unionByName(boundary)
       .withColumn("gap_len", col("gap_end") - col("gap_start") + 1L)
   }
+
+  /** k-anonymity / l-diversity census over quasi-identifier columns —
+    * the release-gate question for any dataset leaving its enclave:
+    * how many rows sit in a QI group smaller than k (re-identifiable
+    * by joining public attributes), and how many groups expose a
+    * sensitive attribute with fewer than l distinct values (homogeneity
+    * attack: group membership alone reveals the secret — a group can
+    * be large AND still leak). Two grain-collapsing hash aggs
+    * ((QI, sensitive) then QI), one census row out; map-side partials
+    * everywhere, no windows. NULL sensitive counts as a value (a
+    * group that is all-NULL is perfectly homogeneous — that IS the
+    * leak). Returns one row: (n_rows, n_groups, min_group_size,
+    * n_small_groups, rows_at_risk, n_low_diversity_groups,
+    * rows_in_low_diversity). */
+  def kAnonymityCensus(df: DataFrame, qiCols: Seq[String],
+      sensitive: String, k: Int, l: Int): DataFrame = {
+    require(qiCols.nonEmpty && k >= 2 && l >= 2,
+      s"need QI cols, k >= 2, l >= 2; got $qiCols/$k/$l")
+    val gs = qiCols.map(col)
+    val fine = df.groupBy(gs :+ col(sensitive): _*)
+      .agg(count(lit(1)).as("_n"))
+    val groups = fine.groupBy(gs: _*)
+      .agg(sum(col("_n")).as("_size"), count(lit(1)).as("_nsens"))
+    groups.agg(
+      sum(col("_size")).as("n_rows"),
+      count(lit(1)).as("n_groups"),
+      min(col("_size")).as("min_group_size"),
+      sum(when(col("_size") < k.toLong, 1L).otherwise(0L)).as("n_small_groups"),
+      sum(when(col("_size") < k.toLong, col("_size")).otherwise(0L))
+        .as("rows_at_risk"),
+      sum(when(col("_nsens") < l.toLong, 1L).otherwise(0L))
+        .as("n_low_diversity_groups"),
+      sum(when(col("_nsens") < l.toLong, col("_size")).otherwise(0L))
+        .as("rows_in_low_diversity"))
+  }
 }

@@ -175,6 +175,41 @@ object Merge {
       .drop("_hk")
   }
 
+  /** CDC net-effect compaction: collapse a batch of change events
+    * (I/U/D per key, time-ordered) to the MINIMAL equivalent batch —
+    * what a streaming sink does before writing so a key churned 10 000
+    * times lands as one row, and the step that makes CDC replay
+    * idempotent-ish at batch boundaries. Standard semantics (what
+    * Debezium/Delta batch-compaction does):
+    *
+    *   first=I, last=D  → nothing (born and died inside the batch)
+    *   first=I, last≠D  → net I carrying the LAST payload
+    *   first≠I, last=D  → net D
+    *   first≠I, last≠D  → net U carrying the LAST payload
+    *
+    * ONE hash aggregation per key — min_by/max_by over the total
+    * (ts ++ tieBreak) order with map-side partials; no window, no
+    * sort. Emits (key, net_op ∈ {I,U,D}, last payload column,
+    * n_events); keys that net to nothing are ABSENT (the compaction
+    * contract — emitting tombstones for them would undo the point). */
+  def cdcCompact(df: DataFrame, key: String, opCol: String, ts: String,
+      payload: String, tieBreak: Seq[String] = Nil): DataFrame = {
+    val ord = struct((col(ts) +: tieBreak.map(col)): _*)
+    df.groupBy(col(key))
+      .agg(
+        min_by(col(opCol), ord).as("_first"),
+        max_by(col(opCol), ord).as("_last"),
+        max_by(col(payload), ord).as(payload),
+        count(lit(1)).as("n_events"))
+      .withColumn("net_op",
+        when(col("_first") === "I" && col("_last") === "D", lit(null: String))
+          .when(col("_first") === "I", lit("I"))
+          .when(col("_last") === "D", lit("D"))
+          .otherwise(lit("U")))
+      .filter(col("net_op").isNotNull)
+      .select(col(key), col("net_op"), col(payload), col("n_events"))
+  }
+
   /** Latest-row-per-key via `max_by` hash aggregation — same result as
     * [[latestByKey]] when (recency ++ tieBreak) totally orders rows per
     * key, but partial-aggregates map-side: the shuffle carries one row

@@ -178,4 +178,28 @@ class MergeSpec extends AnyFunSuite with SparkTestBase {
     // fact-preserving: exactly one output row per fact
     assert(Merge.pitJoin(facts, hist, "k", "fts").count() == 4L)
   }
+
+  test("cdcCompact: all four net rules, last payload, born-and-died absent") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val t0 = ts("2024-01-01 10:00:00"); val t1 = ts("2024-01-01 11:00:00")
+    val t2 = ts("2024-01-01 12:00:00")
+    val cdc = Seq(
+      (1L, "I", t0, 1L, "a"), (1L, "U", t1, 2L, "b"),            // I..U → I(b)
+      (2L, "I", t0, 3L, "x"), (2L, "D", t1, 4L, "y"),            // I..D → gone
+      (3L, "U", t0, 5L, "p"), (3L, "D", t1, 6L, "q"),            // U..D → D
+      (4L, "U", t0, 7L, "m"), (4L, "U", t1, 8L, "n"),            // U..U → U(n)
+      (5L, "I", t0, 9L, "s"),                                    // lone I → I(s)
+      // same-ts churn: tie broken by event_id — last is op U id 11
+      (6L, "I", t2, 10L, "g"), (6L, "U", t2, 11L, "h"))
+      .toDF("k", "op", "ts", "eid", "payload")
+    val got = Merge.cdcCompact(cdc, "k", "op", "ts", "payload", Seq("eid"))
+      .select("k", "net_op", "payload", "n_events")
+      .as[(Long, String, String, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(got == Map(
+      1L -> (("I", "b", 2L)), 3L -> (("D", "q", 2L)),
+      4L -> (("U", "n", 2L)), 5L -> (("I", "s", 1L)),
+      6L -> (("I", "h", 2L))))
+    assert(!got.contains(2L), "born-and-died key must be absent")
+  }
 }

@@ -452,6 +452,24 @@ class QualitySamplingSpec extends AnyFunSuite with SparkTestBase {
       (1L to 50L).toDF("k"), "k", 7L).count() == 0L)
   }
 
+  test("kAnonymityCensus: sub-k risk, large-but-homogeneous leak, NULL sensitive") {
+    import spark.implicits._
+    // group A: 6 rows, 3 distinct sensitive → safe on both axes
+    // group B: 2 rows (< k=5) → at risk
+    // group C: 6 rows but ONE sensitive value → l-diversity leak
+    // group D: 5 rows all NULL sensitive → homogeneous (NULL is a value)
+    val rows =
+      Seq("s1", "s1", "s2", "s2", "s3", "s3").map(s => ("A", Option(s))) ++
+      Seq(("B", Option("s1")), ("B", Option("s2"))) ++
+      Seq.fill(6)(("C", Option("s9"))) ++
+      Seq.fill(5)(("D", Option.empty[String]))
+    val got = graft.ops.DataQuality.kAnonymityCensus(
+        rows.toDF("qi", "sens"), Seq("qi"), "sens", k = 5, l = 3)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    // (n_rows, n_groups, min_size, n_small, rows_at_risk, n_lowdiv, rows_lowdiv)
+    assert(got == ((19L, 4L, 2L, 1L, 2L, 3L, 13L)))
+  }
+
   test("fdCensus: holds / violated / null image counted") {
     import spark.implicits._
     val df = Seq((1L, Some("a")), (1L, Some("a")), (2L, Some("b")),
