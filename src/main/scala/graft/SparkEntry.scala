@@ -3661,6 +3661,25 @@ object SparkEntry {
         .orderBy("event_type", "day_num")
     }),
 
+    // Business-day SLA census: order→ship lag in BUSINESS days by
+    // closed-form integer weekday arithmetic (no calendar table, no
+    // engine dow() numbering surface — weekday-ness is (d+3) mod 7 ≤ 4
+    // on epoch days, prefix-counted via a 7-entry LUT), rolled up per
+    // order month.
+    "ts_business_day_lag" -> ((s, dir) => {
+      val j = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .select(year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          graft.ops.TimeSeries.businessDaysBetween(
+            expr("datediff(to_date(o_orderdate), DATE'1970-01-01')"),
+            expr("datediff(to_date(l_shipdate), DATE'1970-01-01')")).as("bd"))
+      j.groupBy("y", "m")
+        .agg(count(lit(1)).as("n"), sum(col("bd")).as("sum_bdays"),
+          min(col("bd")).as("min_bdays"), max(col("bd")).as("max_bdays"))
+        .orderBy("y", "m")
+    }),
+
     // Weighted percentile-disc per language: the doc length at which
     // half (and 90%) of the TOKEN MASS sits — the curation statistic
     // when rows carry unequal weight. Exact integer rule 100·cumW ≥
@@ -7067,6 +7086,23 @@ object SparkEntry {
         |  CAST(l AS BIGINT) AS level_micro,
         |  CAST(b AS BIGINT) AS trend_micro
         |FROM r WHERE rn >= 2 ORDER BY user_id, event_id""".stripMargin,
+
+    "ts_business_day_lag" ->
+      """WITH j AS (
+        |  SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS a,
+        |    date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS b
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |f AS (
+        |  SELECT y, m,
+        |    (5 * (b // 7) + [0,1,2,2,2,3,4][(b % 7) + 1])
+        |      - (5 * (a // 7) + [0,1,2,2,2,3,4][(a % 7) + 1]) AS bd
+        |  FROM j)
+        |SELECT CAST(y AS BIGINT) AS y, CAST(m AS BIGINT) AS m,
+        |  count(*) AS n, CAST(sum(bd) AS BIGINT) AS sum_bdays,
+        |  CAST(min(bd) AS BIGINT) AS min_bdays,
+        |  CAST(max(bd) AS BIGINT) AS max_bdays
+        |FROM f GROUP BY y, m ORDER BY y, m""".stripMargin,
 
     "agg_weighted_median" ->
       """WITH g AS (

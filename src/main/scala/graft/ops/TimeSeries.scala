@@ -338,6 +338,27 @@ object TimeSeries {
       .drop("_ss")
   }
 
+  /** Business days in `[startDay, endDay)` (epoch-day numbers, end
+    * exclusive) by closed-form integer arithmetic — no calendar table,
+    * no loop, no engine dow() function whose numbering convention
+    * could differ: weekday-ness of epoch day d is `(d+3) mod 7 ≤ 4`
+    * (day 0 = Thursday, Monday = 0), so the prefix count
+    * g(x) = 5·(x div 7) + lut[x mod 7] with lut = the cumulative
+    * weekday count of the Thu-led week (0,1,2,2,2,3,4), and the
+    * answer is g(end) − g(start). Pure codegen-friendly column
+    * expressions; negative inputs are out of contract (epoch-era
+    * dates only). The SLA arithmetic ("shipped in 3 business days?")
+    * every ops dashboard needs, exact on both engines. */
+  def businessDaysBetween(startDay: Column, endDay: Column): Column = {
+    def g(x: Column): Column = {
+      val lut = array(lit(0L), lit(1L), lit(2L), lit(2L), lit(2L),
+        lit(3L), lit(4L))
+      lit(5L) * call_function("div", x, lit(7L)) +
+        element_at(lut, (pmod(x, lit(7L)) + 1L).cast("int"))
+    }
+    g(endDay.cast("long")) - g(startDay.cast("long"))
+  }
+
   def forwardFill(df: DataFrame, key: String, ts: String, value: String,
       tieBreak: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -291,6 +291,28 @@ class TimeSeriesSpec extends AnyFunSuite with SparkTestBase {
     assert(got(("g", 10L)) == ((1L, 7L, 0L)), "gap beyond window excluded")
   }
 
+  test("businessDaysBetween: JDK-calendar reference over exhaustive windows") {
+    // independent truth: java.time weekday walk, vs the closed form,
+    // over every [a, b) with a in a two-week span and widths 0..21
+    val epoch = java.time.LocalDate.of(1970, 1, 1)
+    def ref(a: Long, b: Long): Long =
+      (a until b).count { d =>
+        val dow = epoch.plusDays(d).getDayOfWeek.getValue // Mon=1..Sun=7
+        dow <= 5
+      }.toLong
+    val cases = for (a <- 9800L to 9813L; w <- 0L to 21L) yield (a, a + w)
+    val got = cases.toDF("a", "b")
+      .select(col("a"), col("b"),
+        TimeSeries.businessDaysBetween(col("a"), col("b")).as("bd"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (a, b, bd) =>
+      assert(bd == ref(a, b), s"[$a, $b): got $bd want ${ref(a, b)}")
+    }
+    // anchor: 1970-01-01 (Thu) + [0, 7) = Thu Fri Sat Sun Mon Tue Wed
+    // → 5 business days; [0, 2) = Thu Fri → 2; [2, 4) = Sat Sun → 0
+    assert(ref(0L, 7L) == 5L && ref(0L, 2L) == 2L && ref(2L, 4L) == 0L)
+  }
+
   test("cusum: value exactly at h does not alarm (strict >)") {
     // single step to s_pos == h exactly
     val rows = Seq(("k", 1L, 160L)).toDF("key", "o", "x")
