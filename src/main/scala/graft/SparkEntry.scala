@@ -2536,6 +2536,27 @@ object SparkEntry {
         .orderBy("o_custkey", "draw_rank")
     }),
 
+    // Column-grain snapshot diff — the drill-down under the row-grain
+    // w7 diff: WHICH columns moved between snapshots. The twin is
+    // formula-mutated (name suffix at %4==1, balance shift at %3==0,
+    // segment WIPED TO NULL at %7==0 — the null-safe comparison must
+    // count value→NULL as change), so the oracle certifies the diff
+    // by recomputing expected counts from the mutation formula, never
+    // re-running a comparison.
+    "w7_column_diff" -> ((s, dir) => {
+      val cur = Tables.customer(s, dir)
+      val mutated = cur.select(col("c_custkey"),
+        when(col("c_custkey") % 4 === 1, concat(col("c_name"), lit("_X")))
+          .otherwise(col("c_name")).as("c_name"),
+        col("c_nationkey"),
+        when(col("c_custkey") % 3 === 0, col("c_acctbal") + 10.0)
+          .otherwise(col("c_acctbal")).as("c_acctbal"),
+        when(col("c_custkey") % 7 === 0, lit(null: String))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+      Merge.columnDiff(cur, mutated, Seq("c_custkey"))
+        .orderBy("column_name")
+    }),
+
     // k-anonymity / l-diversity release census over QI (nation,
     // balance-bucket) with segment as the sensitive attribute: rows in
     // sub-k groups are re-identifiable; sub-l groups leak by
@@ -8029,6 +8050,23 @@ object SparkEntry {
         |SELECT k AS o_custkey, CAST(i AS BIGINT) AS l_partkey,
         |  CAST(draw_rank AS BIGINT) AS draw_rank
         |FROM r WHERE draw_rank <= 3 ORDER BY o_custkey, draw_rank""".stripMargin,
+
+    // Expected change counts recomputed from the mutation formula —
+    // the diff is certified without the oracle running any comparison.
+    "w7_column_diff" ->
+      """WITH n AS (SELECT count(*) AS nc FROM customer)
+        |SELECT 'c_acctbal' AS column_name,
+        |  (SELECT count(*) FROM customer WHERE c_custkey % 3 = 0)
+        |    AS n_changed, nc AS n_compared FROM n
+        |UNION ALL
+        |SELECT 'c_mktsegment',
+        |  (SELECT count(*) FROM customer WHERE c_custkey % 7 = 0), nc FROM n
+        |UNION ALL
+        |SELECT 'c_name',
+        |  (SELECT count(*) FROM customer WHERE c_custkey % 4 = 1), nc FROM n
+        |UNION ALL
+        |SELECT 'c_nationkey', 0, nc FROM n
+        |ORDER BY column_name""".stripMargin,
 
     "dq_k_anonymity" ->
       """WITH b AS (

@@ -210,6 +210,37 @@ object Merge {
       .select(col(key), col("net_op"), col(payload), col("n_events"))
   }
 
+  /** Column-grain snapshot diff — the drill-down under
+    * [[snapshotDiff]]'s row verdicts: for keys present in BOTH
+    * snapshots, WHICH columns actually moved ("balances churned,
+    * segments didn't") — the report that turns "12 000 rows changed"
+    * into an actionable upstream diagnosis. One equi-join on the keys
+    * + one aggregate row of null-safe inequality counts (`IS DISTINCT
+    * FROM`, so NULL→value and value→NULL both count and NULL→NULL
+    * doesn't), exploded to long form driver-free. Compares the
+    * non-key columns SHARED by both snapshots (schema evolution adds/
+    * drops are [[snapshotDiff]]'s membership story, not a cell diff).
+    * Returns one row per compared column: (column_name, n_changed,
+    * n_compared). */
+  def columnDiff(prev: DataFrame, next: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val shared = prev.columns.toSeq
+      .filter(next.columns.contains).filterNot(keys.contains)
+    require(shared.nonEmpty, "no shared non-key columns to compare")
+    val p = prev.select((keys ++ shared).map(c => col(c).as(s"_p_$c")): _*)
+    val n = next.select((keys ++ shared).map(c => col(c).as(s"_n_$c")): _*)
+    val joined = p.join(n,
+      keys.map(k => col(s"_p_$k") === col(s"_n_$k")).reduce(_ && _))
+    val aggs = count(lit(1)).as("_n_compared") +:
+      shared.map(c => sum(when(!(col(s"_p_$c") <=> col(s"_n_$c")), 1L)
+        .otherwise(0L)).as(s"_chg_$c"))
+    val wide = joined.agg(aggs.head, aggs.tail: _*)
+    wide.select(explode(map(
+        shared.flatMap(c => Seq(lit(c), col(s"_chg_$c"))): _*))
+        .as(Seq("column_name", "n_changed")),
+      col("_n_compared").as("n_compared"))
+  }
+
   /** Latest-row-per-key via `max_by` hash aggregation — same result as
     * [[latestByKey]] when (recency ++ tieBreak) totally orders rows per
     * key, but partial-aggregates map-side: the shuffle carries one row

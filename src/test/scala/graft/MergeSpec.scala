@@ -179,6 +179,28 @@ class MergeSpec extends AnyFunSuite with SparkTestBase {
     assert(Merge.pitJoin(facts, hist, "k", "fts").count() == 4L)
   }
 
+  test("columnDiff: null-safe cell compare, shared-columns-only, membership ignored") {
+    val prev = Seq(
+      (1L, Option("a"), Option(10L)), (2L, Option("b"), Option(20L)),
+      (3L, Option.empty[String], Option(30L)), (9L, Option("z"), Option(90L)))
+      .toDF("k", "s", "v")
+    // key 1: s changed; key 2: v → NULL (change); key 3: NULL → NULL s
+    // (NOT a change) and v same; key 7 only in next, 9 only in prev —
+    // membership differences are snapshotDiff's story, excluded here
+    val next = Seq(
+      (1L, Option("A"), Option(10L)), (2L, Option("b"), Option.empty[Long]),
+      (3L, Option.empty[String], Option(30L)), (7L, Option("q"), Option(70L)))
+      .toDF("k", "s", "v")
+    val got = Merge.columnDiff(prev, next, Seq("k"))
+      .as[(String, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got == Map("s" -> ((1L, 3L)), "v" -> ((1L, 3L))))
+    // column present in only one snapshot is not compared
+    val withExtra = Merge.columnDiff(prev.withColumn("only_prev", lit(1)),
+      next, Seq("k")).select("column_name").as[String].collect().toSet
+    assert(withExtra == Set("s", "v"))
+  }
+
   test("cdcCompact: all four net rules, last payload, born-and-died absent") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val t0 = ts("2024-01-01 10:00:00"); val t1 = ts("2024-01-01 11:00:00")
