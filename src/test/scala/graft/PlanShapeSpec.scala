@@ -277,4 +277,68 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(windowLines.nonEmpty && windowLines.forall(_.contains("_id#")),
       "every window must partition by the doc id")
   }
+
+  test("geo radius join: hash join on cell keys — no cartesian, no broadcast NL pair join") {
+    val pl = plan("geo_radius_join")
+    assert(!pl.contains("CartesianProduct"), "grid join must never cross")
+    // the pair stage is an equi-join on (_cx, _cy); a BroadcastNestedLoop
+    // would mean the range predicate leaked into the join condition
+    assert(!pl.contains("BroadcastNestedLoopJoin"),
+      "pair stage must be a hash join on cell ids")
+  }
+
+  test("markov transitions / attribution / cusum: every window is stream-key-partitioned") {
+    for (q <- Seq("events_markov_transitions", "events_attribution_ushape",
+        "window_rolling_variance")) {
+      val pl = plan(q)
+      val windowLines = pl.linesIterator
+        .filter(_.contains("windowspecdefinition(")).toSeq
+      assert(windowLines.nonEmpty, s"$q: expected a window")
+      assert(windowLines.forall(l =>
+          l.contains("user_id#") || l.contains("o_orderpriority#")),
+        s"$q: unpartitioned window (single reducer) detected")
+    }
+  }
+
+  test("sequence gaps: the only ordered window at ROW grain is bucket-partitioned") {
+    val pl = plan("dq_sequence_gaps")
+    // two windows exist: the row-grain lead MUST carry the bucket key;
+    // the bucket-grain boundary window is metadata-scale by design
+    val windowLines = pl.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    assert(windowLines.exists(_.contains("_b#")),
+      "row-grain lead must partition by bucket")
+    assert(!pl.contains("CartesianProduct"))
+  }
+
+  test("bfs / label propagation: keyed joins only — no cartesian, no global window") {
+    for (q <- Seq("graph_bfs", "graph_label_prop")) {
+      val pl = plan(q)
+      assert(!pl.contains("CartesianProduct"), s"$q: cartesian")
+      assert(!pl.contains("windowspecdefinition("), s"$q: window in an iterative op")
+    }
+  }
+
+  test("negative sampling: bounded explode + anti-join, window keyed by the sample key") {
+    val pl = plan("x1_negative_sample")
+    assert(!pl.contains("CartesianProduct"))
+    val windowLines = pl.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    assert(windowLines.nonEmpty && windowLines.forall(_.contains("_k#")),
+      "rank window must partition by the sample key")
+  }
+
+  test("zone maps / encoding advisor / k-anonymity: pure hash-agg metadata plans") {
+    for (q <- Seq("storage_zonemap_pruning", "dq_k_anonymity")) {
+      val pl = plan(q)
+      assert(!pl.contains("CartesianProduct") &&
+        !pl.contains("windowspecdefinition("), s"$q: must be agg-only")
+    }
+    // encoding advisor: the one window is the per-file run counter
+    val pl = plan("storage_encoding_advisor")
+    val windowLines = pl.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    assert(windowLines.nonEmpty && windowLines.forall(_.contains("file_id#")),
+      "run counter must partition by file")
+  }
 }
