@@ -224,6 +224,52 @@ object ScaleProbe {
             length(col("text")).cast("long").as("v")),
           "k", "ts", "id", col("v") * lit(1000000L)).count()
       }
+      time("bfs_layers") {
+        val ids = docs.select(col("doc_id"))
+        val cnt = ids.agg(count(lit(1)).as("nn"))
+        val edges = ids.crossJoin(broadcast(cnt)).select(
+          col("doc_id").as("src"), expr("(doc_id * 31 + 7) % nn").as("dst"))
+        graft.ops.Graph.bfsLayers(edges, "src", "dst", ids, "doc_id",
+          ids.filter(col("doc_id") % 97 === 0), "doc_id", 4).count()
+      }
+      time("label_prop") {
+        val ids = docs.select(col("doc_id"))
+        val cnt = ids.agg(count(lit(1)).as("nn"))
+        val edges = ids.crossJoin(broadcast(cnt)).select(
+          col("doc_id").as("src"), expr("(doc_id * 31 + 7) % nn").as("dst"))
+        graft.ops.Graph.labelPropagation(edges, "src", "dst", ids,
+          "doc_id", 3).count()
+      }
+      time("geo_radius_join") {
+        // point count scales with the corpus; density (pairs/point)
+        // held constant by shrinking the radius with √f — the
+        // honest fixed-workload-per-point scaling a grid join promises
+        val pts = docs.select(col("doc_id"),
+          expr("(doc_id * doc_id * 7919 + doc_id * 104729) % 1000000").as("px"),
+          expr("(doc_id * doc_id * 104729 + doc_id * 7919) % 1000000").as("py"))
+        val r = math.max(1L, (20000L / math.sqrt(f.toDouble)).toLong)
+        graft.ops.Geo.radiusJoin(pts, "doc_id", col("px"), col("py"), r).count()
+      }
+      time("cusum") {
+        graft.ops.TimeSeries.cusum(
+          docs.select((col("doc_id") % 997L).as("k"),
+            expr("doc_id div 997").as("o"),
+            length(col("text")).cast("long").as("x"))
+            .withColumn("mu", lit(100L)).withColumn("kp", lit(10L))
+            .withColumn("h", lit(500L)),
+          "k", "o", col("x"), col("mu"), col("kp"), col("h")).count()
+      }
+      time("negative_sample") {
+        graft.ops.Sampling.negativeSample(
+          docs.select((col("doc_id") % 5000L).as("k"),
+            (col("doc_id") % 997L).as("it")),
+          "k", "it", itemCount = 997L, k = 3).count()
+      }
+      time("sequence_gaps") {
+        graft.ops.DataQuality.sequenceGaps(
+          docs.select(col("doc_id")).filter(col("doc_id") % 97 >= 3),
+          "doc_id", bucketSize = 1000L).count()
+      }
       docs.unpersist()
     }
     spark.stop()
