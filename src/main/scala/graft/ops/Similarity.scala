@@ -598,4 +598,136 @@ object Similarity {
         coalesce(col("_sims_ok"), lit(true)).as("sims_exact"),
         col("_recall_ok").as("recall_floor_met"))
   }
+
+  // ------------------------------------------------------------------
+  // Product quantization (Jégou, Douze & Schmid 2011) — the ANN family
+  // member whose win is MEMORY, not candidate pruning: a D-dim float
+  // vector compresses to m single-byte codes (here 64 floats → 4
+  // bytes, 64×), so a corpus that cannot hold its vectors in RAM can
+  // hold its codes, and the scan becomes additive table lookups (ADC)
+  // instead of float dot products. Codebooks train on a BOUNDED
+  // deterministic sample DRIVER-SIDE — exactly what FAISS does (PQ
+  // training never touches the full corpus; the sample bound IS the
+  // scale contract, O(sample·k·subdim) per Lloyd round, zero
+  // distributed training passes).
+  // ------------------------------------------------------------------
+
+  /** Driver-side L2 Lloyd per subspace on a deterministic sample:
+    * maximin init (first vector, then repeatedly the farthest), argmin
+    * assignment with ties to the smaller code, mean update, empty
+    * clusters keep their centroid. Pure sequential driver arithmetic —
+    * deterministic on any cluster. */
+  private def trainPqCodebooks(sample: Array[Seq[Float]], m: Int,
+      kCodes: Int, iters: Int): Array[Array[Array[Double]]] = {
+    val d = sample.head.length / m
+    Array.tabulate(m) { sub =>
+      val vs = sample.map(v => v.slice(sub * d, (sub + 1) * d).map(_.toDouble).toArray)
+      def l2(a: Array[Double], b: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { val df = a(i) - b(i); s += df * df; i += 1 }
+        s
+      }
+      // maximin init
+      val cents = scala.collection.mutable.ArrayBuffer(vs.head.clone())
+      val minD = Array.fill(vs.length)(Double.MaxValue)
+      while (cents.length < math.min(kCodes, vs.length)) {
+        var far = -1; var farD = -1.0
+        var i = 0
+        while (i < vs.length) {
+          minD(i) = math.min(minD(i), l2(vs(i), cents.last))
+          if (minD(i) > farD) { farD = minD(i); far = i }
+          i += 1
+        }
+        cents += vs(far).clone()
+        minD(far) = -1.0 // never re-picked
+      }
+      val k = cents.length
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(k)(new Array[Double](d))
+        val ns = new Array[Long](k)
+        vs.foreach { v =>
+          var best = 0; var bestD = l2(v, cents(0))
+          var c = 1
+          while (c < k) {
+            val dd = l2(v, cents(c))
+            if (dd < bestD) { bestD = dd; best = c } // strict: ties keep smaller
+            c += 1
+          }
+          var i = 0
+          while (i < d) { sums(best)(i) += v(i); i += 1 }
+          ns(best) += 1
+        }
+        for (c <- 0 until k if ns(c) > 0; i <- 0 until d)
+          cents(c)(i) = sums(c)(i) / ns(c)
+      }
+      cents.toArray
+    }
+  }
+
+  /** PQ ANN top-k: encode the corpus to m codes (one distributed pass —
+    * per subspace argmin against the broadcast codebook, ONE hash agg),
+    * score every candidate by ADC (the query's m×k lookup table joins
+    * the code table on (sub, code) — a broadcast hash join on byte-
+    * sized keys with map-side partial sums, the relational form of the
+    * PQ scan), shortlist `rerank·k` by approximate distance, then
+    * re-rank the shortlist with exact cosine on the raw floats — so
+    * emitted sims are EXACT and only the candidate ORDER is
+    * approximate, the [[quantizedTopK]] contract. Requires dim % m ==
+    * 0. Returns (qid, cid, sim, rk). */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, id: String, vec: String,
+      k: Int, m: Int = 4, kCodes: Int = 16, trainIters: Int = 5,
+      rerank: Int = 4, seed: Long = 42L, sampleSize: Int = 1024): DataFrame = {
+    require(k >= 1 && m >= 1 && kCodes >= 2 && rerank >= 1,
+      s"bad params k=$k m=$m kCodes=$kCodes rerank=$rerank")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sample: Array[Seq[Float]] = corpus
+      .orderBy(xxhash64(col(id), lit(seed)).asc, col(id).asc)
+      .limit(math.max(kCodes, sampleSize))
+      .select(col(vec)).as[Seq[Float]].collect()
+    require(sample.nonEmpty, "pqTopK: corpus is empty")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val d = dim / m
+    val cbs = trainPqCodebooks(sample, m, kCodes, trainIters)
+    val cbDf = broadcast(cbs.zipWithIndex.flatMap { case (cb, sub) =>
+      cb.zipWithIndex.map { case (cv, code) =>
+        (sub, code.toLong, cv.toSeq)
+      }
+    }.toSeq.toDF("sub", "code", "cvec"))
+    def subVecs(df: DataFrame, outId: String) = df.select(col(id).as(outId),
+      posexplode(array((0 until m).map(i =>
+        slice(col(vec), i * d + 1, d)): _*)).as(Seq("sub", "subvec")))
+    def l2c: Column = aggregate(
+      zip_with(col("subvec"), col("cvec"),
+        (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+      lit(0.0), (acc, x) => acc + x)
+    // corpus → codes: (cid, sub, code); argmin with ties to smaller code
+    val codes = subVecs(corpus, "cid").join(cbDf, Seq("sub"))
+      .groupBy(col("cid"), col("sub"))
+      .agg(min_by(col("code"), struct(l2c.as("d2"), col("code"))).as("code"))
+    // query ADC lookup tables: (qid, sub, code, d2c)
+    val lut = subVecs(queries, "qid").join(cbDf, Seq("sub"))
+      .select(col("qid"), col("sub"), col("code"), l2c.as("_d2c"))
+    val proxyW = Window.partitionBy(col("qid"))
+      .orderBy(col("_adc").asc, col("cid").asc)
+    val shortlist = codes.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("qid") =!= col("cid"))
+      .groupBy(col("qid"), col("cid"))
+      .agg(sum(col("_d2c")).as("_adc"))
+      .withColumn("_prk", row_number().over(proxyW))
+      .filter(col("_prk") <= k * rerank)
+      .select(col("qid"), col("cid"))
+    val qv = queries.select(col(id).as("qid"), col(vec).as("_qe"))
+    val cv = corpus.select(col(id).as("cid"), col(vec).as("_ce"))
+    val exactW = Window.partitionBy(col("qid"))
+      .orderBy(col("_sim").desc, col("cid").asc)
+    shortlist
+      .join(cv, Seq("cid"))
+      .join(broadcast(qv), Seq("qid"))
+      .withColumn("_sim", cosine(col("_qe"), col("_ce")))
+      .withColumn("rk", row_number().over(exactW).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("cid"), round(col("_sim"), 6).as("sim"), col("rk"))
+  }
 }

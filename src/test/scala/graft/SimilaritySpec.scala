@@ -181,6 +181,43 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(!pairs.contains((0L, 3L)))
   }
 
+  test("pqTopK: exact on a clustered corpus, deterministic, bad dims rejected") {
+    import spark.implicits._
+    // 8-dim vectors in 4 tight clusters along distinct axes — with
+    // kCodes=4 per 4-dim subspace the codebooks can represent every
+    // cluster exactly, so ADC ranks the true neighbors first and the
+    // exact rerank must return the SAME top-k as brute force. Cluster
+    // size (8) stays BELOW the shortlist width (rerank·k = 24): ADC
+    // collapses a whole cluster to one code, so its internal ordering
+    // is cid-arbitrary and only a fully-shortlisted cluster guarantees
+    // the true top-k survives to the rerank.
+    val rng = new scala.util.Random(11)
+    def jitter(base: Array[Float]): Array[Float] =
+      base.map(v => v + (rng.nextFloat() - 0.5f) * 0.01f)
+    val axes = Seq(
+      Array(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f, 0f, 1f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f, 0f, 0f, 1f, 0f), Array(0f, 0f, 0f, 1f, 0f, 0f, 0f, 1f))
+    val corpus = (0 until 32).map(i => (i.toLong, jitter(axes(i % 4))))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 8)
+    val pq = Similarity.pqTopK(queries, corpus, "vec_id", "embedding",
+        k = 3, m = 2, kCodes = 4, trainIters = 5, rerank = 8)
+      .select("qid", "cid", "rk").as[(Long, Long, Long)].collect().toSet
+    val exact = Similarity.topKBruteForce(queries, corpus, "vec_id",
+        "embedding", 3)
+      .select("qid", "cid", "rk").as[(Long, Long, Long)].collect().toSet
+    assert(pq == exact, "clustered corpus: PQ must recover the exact top-k")
+    // determinism: re-run identical
+    val pq2 = Similarity.pqTopK(queries, corpus, "vec_id", "embedding",
+        k = 3, m = 2, kCodes = 4, trainIters = 5, rerank = 8)
+      .select("qid", "cid", "rk").as[(Long, Long, Long)].collect().toSet
+    assert(pq2 == pq)
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopK(queries, corpus, "vec_id", "embedding", 3, m = 3)
+        .collect()
+    }
+  }
+
   test("knnClassify: planted clusters classify correctly; vote tie → smaller label") {
     import spark.implicits._
     // two tight clusters on orthogonal axes; labels 7 (x-axis) and 3
