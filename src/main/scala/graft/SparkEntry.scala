@@ -1060,6 +1060,85 @@ object SparkEntry {
     // from the generating formula, so the gate proves the full round
     // trip — header walk, dimension parse, raster scan — not just
     // plumbing. Planted data, same pattern as the json_salvage gate.
+    // Image perceptual hashing — the LAION-style image-dedup key:
+    // 8×8 average hash of formula-generated PGMs. The fixture plants
+    // near-dup groups of 4 (shared base raster per doc_id div 4, one
+    // +40 and one −40 pixel perturbation per id, BOTH in the first 8
+    // pixels and sum-balanced so the mean — and therefore every
+    // unperturbed bit — is IDENTICAL across the group: differences
+    // are confined to bits 0..7 by construction). The oracle
+    // recomputes all 64 bits from the formula.
+    "x5_image_phash" -> ((s, dir) => {
+      import s.implicits._
+      val recs = Tables.documents(s, dir).filter(col("doc_id") < 500)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val g = id / 4
+          Multimodal.MediaRecord(id, Multimodal.encodePgm(8, 8, 255, { k =>
+            val b = 60 + ((g * 31 + k * 7) % 136).toInt
+            b + (if (k == (id % 4)) 40 else 0) -
+              (if (k == 4 + (id % 4)) 40 else 0)
+          }), "image/x-pgm", "xx")
+        }
+      Multimodal.averageHashes(recs).toDF()
+        .select("doc_id", "hash_lo", "hash_hi", "n_ones")
+        .orderBy("doc_id")
+    }),
+
+    // Banded Hamming near-dup over the hashes above: candidates must
+    // agree EXACTLY on bits 16..63 (a hash join on the band keys — the
+    // SimHash band trick; never all-pairs), then Hamming over the low
+    // half decides. The fixture's groups agree on the bands by
+    // construction, so every in-group pair is recovered.
+    "x5_phash_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val recs = Tables.documents(s, dir).filter(col("doc_id") < 500)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val g = id / 4
+          Multimodal.MediaRecord(id, Multimodal.encodePgm(8, 8, 255, { k =>
+            val b = 60 + ((g * 31 + k * 7) % 136).toInt
+            b + (if (k == (id % 4)) 40 else 0) -
+              (if (k == 4 + (id % 4)) 40 else 0)
+          }), "image/x-pgm", "xx")
+        }
+      val hashes = Multimodal.averageHashes(recs).toDF()
+      val a = hashes.select(col("doc_id").as("id_a"),
+        col("hash_lo").as("_la"), col("hash_hi").as("_ha"))
+      val b = hashes.select(col("doc_id").as("id_b"),
+        col("hash_lo").as("_lb"), col("hash_hi").as("_hb"))
+      a.join(b, col("id_a") < col("id_b") && col("_ha") === col("_hb") &&
+          shiftrightunsigned(col("_la"), 16) ===
+            shiftrightunsigned(col("_lb"), 16))
+        .select(col("id_a"), col("id_b"),
+          (bit_count(col("_la").bitwiseXOR(col("_lb"))) +
+            bit_count(col("_ha").bitwiseXOR(col("_hb"))))
+            .cast("long").as("hamming"))
+        .filter(col("hamming") <= 6)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Audio frame analysis — per-frame mean-square energy + silence
+    // flag over formula-generated 16-bit WAV clips whose gain gates
+    // every third 100-sample frame down 50× (planted silence); the
+    // oracle replays samples, frames, trunc-div energy, and the
+    // strict-< silence decision from the formula.
+    "x5_audio_energy" -> ((s, dir) => {
+      import s.implicits._
+      val recs = Tables.documents(s, dir).filter(col("doc_id") < 300)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val n = (1000 + (id % 5) * 100).toInt
+          Multimodal.MediaRecord(id, Multimodal.encodeWav(8000, { i =>
+            val base = ((id * 7 + i * 17) % 2001 - 1000).toInt
+            val gain = if ((i / 100) % 3 == 0) 1 else 50
+            base * gain / 50
+          }, n), "audio/wav", "xx")
+        }
+      Multimodal.frameEnergies(recs, frameSize = 100, silenceThreshold = 10000L)
+        .toDF().orderBy("doc_id", "frame_id")
+    }),
+
     "x5_decode_pgm" -> ((s, dir) => {
       import s.implicits._
       val recs = Tables.documents(s, dir).filter(col("doc_id") < 500)
@@ -5451,6 +5530,66 @@ object SparkEntry {
     // Real-decoder twins: every statistic recomputed from the payload-
     // generating formula, so the byte parser's full round trip is what
     // the hash certifies.
+    "x5_image_phash" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, t.k,
+        |    60 + ((d.doc_id // 4 * 31 + t.k * 7) % 136)
+        |      + (CASE WHEN t.k = d.doc_id % 4 THEN 40 ELSE 0 END)
+        |      - (CASE WHEN t.k = 4 + d.doc_id % 4 THEN 40 ELSE 0 END) AS p
+        |  FROM documents d, generate_series(0, 63) AS t(k)
+        |  WHERE d.doc_id < 500),
+        |m AS (SELECT doc_id, sum(p) // 64 AS mean FROM px GROUP BY 1)
+        |SELECT px.doc_id,
+        |  CAST(coalesce(sum(CASE WHEN p > mean AND k < 32
+        |    THEN (1::BIGINT << k) ELSE 0 END), 0) AS BIGINT) AS hash_lo,
+        |  CAST(coalesce(sum(CASE WHEN p > mean AND k >= 32
+        |    THEN (1::BIGINT << (k - 32)) ELSE 0 END), 0) AS BIGINT) AS hash_hi,
+        |  CAST(count(*) FILTER (WHERE p > mean) AS BIGINT) AS n_ones
+        |FROM px JOIN m USING (doc_id)
+        |GROUP BY px.doc_id ORDER BY doc_id""".stripMargin,
+
+    "x5_phash_neardup" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, t.k,
+        |    60 + ((d.doc_id // 4 * 31 + t.k * 7) % 136)
+        |      + (CASE WHEN t.k = d.doc_id % 4 THEN 40 ELSE 0 END)
+        |      - (CASE WHEN t.k = 4 + d.doc_id % 4 THEN 40 ELSE 0 END) AS p
+        |  FROM documents d, generate_series(0, 63) AS t(k)
+        |  WHERE d.doc_id < 500),
+        |m AS (SELECT doc_id, sum(p) // 64 AS mean FROM px GROUP BY 1),
+        |bits AS (
+        |  SELECT px.doc_id,
+        |    CAST(coalesce(sum(CASE WHEN p > mean AND k < 32
+        |      THEN (1::BIGINT << k) ELSE 0 END), 0) AS BIGINT) AS lo,
+        |    CAST(coalesce(sum(CASE WHEN p > mean AND k >= 32
+        |      THEN (1::BIGINT << (k - 32)) ELSE 0 END), 0) AS BIGINT) AS hi
+        |  FROM px JOIN m USING (doc_id) GROUP BY px.doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+        |      AS BIGINT) AS hamming
+        |  FROM bits a JOIN bits b
+        |    ON a.doc_id < b.doc_id AND a.hi = b.hi
+        |   AND a.lo // 65536 = b.lo // 65536)
+        |SELECT id_a, id_b, hamming FROM pairs
+        |WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin,
+
+    "x5_audio_energy" ->
+      """WITH d AS (
+        |  SELECT doc_id, 1000 + (doc_id % 5) * 100 AS n FROM documents
+        |  WHERE doc_id < 300),
+        |s AS (
+        |  SELECT doc_id, t.i // 100 AS frame_id,
+        |    ((doc_id * 7 + t.i * 17) % 2001 - 1000) *
+        |      (CASE WHEN (t.i // 100) % 3 = 0 THEN 1 ELSE 50 END) // 50 AS v
+        |  FROM d, generate_series(0, 1399) AS t(i) WHERE t.i < n)
+        |SELECT doc_id, CAST(frame_id AS BIGINT) AS frame_id,
+        |  count(*) AS n_samples,
+        |  CAST(sum(v * v) // count(*) AS BIGINT) AS energy_ms,
+        |  (sum(v * v) // count(*) < 10000) AS is_silence
+        |FROM s GROUP BY doc_id, frame_id
+        |ORDER BY doc_id, frame_id""".stripMargin,
+
     "x5_decode_pgm" ->
       """WITH g AS (
         |  SELECT doc_id,

@@ -709,4 +709,106 @@ object Multimodal {
       filter(sequence(lit(0), greatest(nFrames - 1, lit(0))), i => i % stride === 0),
       i => call_function("substring", payload, i * frameBytes + 1, lit(frameBytes)))
   }
+
+  // -------------------------------------------------------------------
+  // Image perceptual hashing (average hash) — the image-dedup primitive
+  // web-scale corpora actually use (LAION-style pipelines dedup by
+  // pHash + Hamming, not by byte digest: re-encoded/resized copies
+  // share a perceptual hash and nothing else). 64 bits per image, so a
+  // billion-image corpus dedups through the SimHash machinery: band
+  // buckets on hash halves, Hamming within buckets — never all-pairs.
+  // -------------------------------------------------------------------
+
+  /** 8×8 average hash of a P5 PGM: NN-downsample to 8×8 (the
+    * [[resizePgm]] mapping), mean over the 64 samples (integer trunc),
+    * bit k set iff pixel k > mean (STRICT — a flat image hashes to all
+    * zeros, ties never set bits). Emitted as two 32-bit halves in
+    * BIGINTs (`hash_hi` = bits 32–63) so no sign bit ever appears and
+    * band-bucketing on a half is a plain equality. */
+  case class ImageHash(doc_id: Long, hash_lo: Long, hash_hi: Long,
+      n_ones: Long)
+
+  def averageHashPgm(docId: Long, payload: Array[Byte]): ImageHash = {
+    val (w0, h0, _, off) = parsePgmHeader(payload, docId)
+    val px = new Array[Long](64)
+    var k = 0
+    var sum = 0L
+    while (k < 64) {
+      val (x, y) = (k % 8, k / 8)
+      px(k) = payload(off + (y.toLong * h0 / 8).toInt * w0 +
+        (x.toLong * w0 / 8).toInt) & 0xFF
+      sum += px(k); k += 1
+    }
+    val mean = sum / 64
+    var (lo, hi, ones) = (0L, 0L, 0L)
+    k = 0
+    while (k < 64) {
+      if (px(k) > mean) {
+        if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+        ones += 1
+      }
+      k += 1
+    }
+    ImageHash(docId, lo, hi, ones)
+  }
+
+  def averageHashes(records: Dataset[MediaRecord]): Dataset[ImageHash] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(it => it.map(r => averageHashPgm(r.doc_id, r.payload)))
+  }
+
+  // -------------------------------------------------------------------
+  // Audio frame analysis — silence detection / energy profiling, the
+  // first pass of every speech-data pipeline (VAD gating, clip
+  // trimming, loudness bucketing). Integer mean-square energy per
+  // frame: σ needs a sqrt, mean-square doesn't, and the silence
+  // decision is a threshold compare either way.
+  // -------------------------------------------------------------------
+
+  case class AudioFrame(doc_id: Long, frame_id: Long, n_samples: Long,
+      energy_ms: Long, is_silence: Boolean)
+
+  /** Per-frame mean-square energy over a decoded 16-bit mono WAV:
+    * frames of `frameSize` samples (last frame ragged), energy =
+    * Σs² div n (exact BIGINT — max 32767² ≈ 1.07e9 per sample, ~1e13
+    * per 10k-frame: no overflow until ~8e5-sample frames), silence iff
+    * energy < threshold (strict — exactly-at-threshold is sound). */
+  def frameEnergy(docId: Long, payload: Array[Byte], frameSize: Int,
+      silenceThreshold: Long): Seq[AudioFrame] = {
+    val stats = decodeWav(docId, payload)
+    val buf = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // data chunk offset: re-walk chunks like decodeWav does
+    var pos = 12
+    var dataOff = -1; var dataLen = 0
+    while (dataOff < 0 && pos + 8 <= payload.length) {
+      val id = new String(payload, pos, 4, "US-ASCII")
+      val len = buf.getInt(pos + 4)
+      if (id == "data") { dataOff = pos + 8; dataLen = len }
+      else pos += 8 + len + (len & 1)
+    }
+    require(dataOff >= 0, s"frameEnergy: no data chunk in doc $docId")
+    val n = stats.n_samples.toInt
+    (0 until (n + frameSize - 1) / frameSize).map { f =>
+      val from = f * frameSize
+      val until = math.min(from + frameSize, n)
+      var ss = 0L
+      var i = from
+      while (i < until) {
+        val s = buf.getShort(dataOff + 2 * i).toLong
+        ss += s * s; i += 1
+      }
+      val cnt = (until - from).toLong
+      val ms = ss / cnt
+      AudioFrame(docId, f.toLong, cnt, ms, ms < silenceThreshold)
+    }
+  }
+
+  def frameEnergies(records: Dataset[MediaRecord], frameSize: Int,
+      silenceThreshold: Long): Dataset[AudioFrame] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(it =>
+      it.flatMap(r => frameEnergy(r.doc_id, r.payload, frameSize,
+        silenceThreshold)))
+  }
 }

@@ -249,4 +249,36 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     // non-GIF payload rejected loudly
     intercept[IllegalArgumentException](decodeGifFrame(9L, "JFIF".getBytes))
   }
+
+  test("averageHashPgm: hand bits on a half/half image, flat image all-zero, resize path") {
+    import graft.ops.Multimodal._
+    // 8×8, top 4 rows = 200, bottom 4 rows = 100: mean = 150 → bits
+    // 0..31 set (top half), 32..63 clear; n_ones = 32
+    val half = encodePgm(8, 8, 255, i => if (i < 32) 200 else 100)
+    val h = averageHashPgm(1L, half)
+    assert(h == ImageHash(1L, 0xFFFFFFFFL, 0L, 32L))
+    // flat image: p > mean never true (STRICT) → all zeros
+    assert(averageHashPgm(2L, encodePgm(8, 8, 255, _ => 77)) ==
+      ImageHash(2L, 0L, 0L, 0L))
+    // non-8×8 input goes through the NN mapping: a 16×16 blowup of the
+    // same half/half pattern must hash identically
+    val big = encodePgm(16, 16, 255, i => if (i / 16 < 8) 200 else 100)
+    assert(averageHashPgm(3L, big).hash_lo == 0xFFFFFFFFL &&
+      averageHashPgm(3L, big).hash_hi == 0L)
+  }
+
+  test("frameEnergy: exact per-frame mean-square, ragged tail, strict threshold") {
+    import graft.ops.Multimodal._
+    // 250 samples: frames of 100, 100, 50. Frame 0 all ±100 (ms =
+    // 10000 — exactly AT the threshold: NOT silence, strict <);
+    // frame 1 all 3 (ms = 9); frame 2 ragged, all 1000 (ms = 1e6)
+    val wav = encodeWav(8000, i =>
+      if (i < 100) { if (i % 2 == 0) 100 else -100 }
+      else if (i < 200) 3 else 1000, 250)
+    val fs = frameEnergy(7L, wav, 100, 10000L)
+    assert(fs == Seq(
+      AudioFrame(7L, 0L, 100L, 10000L, false),
+      AudioFrame(7L, 1L, 100L, 9L, true),
+      AudioFrame(7L, 2L, 50L, 1000000L, false)))
+  }
 }
