@@ -8201,7 +8201,8 @@ object SparkEntry {
         |ks AS (SELECT DISTINCT k FROM pos),
         |cand AS (
         |  SELECT ks.k, t.j,
-        |    (ks.k * ks.k * 7919 + t.j * t.j * 104729 + ks.k * t.j * 31 + t.j)
+        |    ((ks.k % 4194304) * (ks.k % 4194304) * 7919
+        |      + t.j * t.j * 104729 + (ks.k % 4194304) * t.j * 31 + t.j)
         |      % n.ic AS i
         |  FROM ks, n, generate_series(0, 11) AS t(j)),
         |fresh AS (

@@ -219,11 +219,17 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     val pos = positives.select(col(key).cast("long").as("_k"),
       col(item).cast("long").as("_i")).distinct()
+    // the key enters the mix pre-reduced mod 2²² so k²·7919 can never
+    // overflow a Long (ANSI Spark would abort the job on a raw 1e9-scale
+    // id); two keys aliasing mod 2²² merely share a candidate STREAM —
+    // each still anti-joins its own positives, so correctness is
+    // untouched and the draw stays deterministic
+    val kMix = pmod(col("_k"), lit(4194304L))
     val cands = pos.select(col("_k")).distinct()
       .withColumn("_j", explode(sequence(lit(0), lit(overgen * k - 1))))
       .withColumn("_i",
-        pmod(col("_k") * col("_k") * 7919L + col("_j") * col("_j") * 104729L +
-          col("_k") * col("_j") * 31L + col("_j"), lit(itemCount)) +
+        pmod(kMix * kMix * 7919L + col("_j") * col("_j") * 104729L +
+          kMix * col("_j") * 31L + col("_j"), lit(itemCount)) +
           lit(itemBase))
     val fresh = cands.join(pos, Seq("_k", "_i"), "left_anti")
       .groupBy(col("_k"), col("_i")).agg(min(col("_j")).as("_j"))
