@@ -4465,6 +4465,25 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // Bounded-round multi-source WEIGHTED shortest paths (synchronous
+    // Bellman–Ford, reached-only state — no NULL algebra) over the
+    // sparse chord graph with per-edge weights 1 + (a+b) % 7; seeds
+    // doc_id % 97 == 0, 6 rounds. The oracle replays every round as a
+    // chained union-min CTE — a relaxation applied a round early or
+    // late anywhere flips the hash.
+    "graph_shortest_paths" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val cnt = docs.agg(count(lit(1)).as("n_nodes"))
+      val base = docs.crossJoin(broadcast(cnt)).select(
+        col("doc_id").as("a"), expr("(doc_id * 31 + 7) % n_nodes").as("b"))
+        .withColumn("w", expr("1 + (a + b) % 7"))
+      val edges = base.select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .unionByName(base.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      graft.ops.Graph.shortestPaths(edges, "src", "dst", "w", docs, "doc_id",
+          docs.filter(col("doc_id") % 97 === 0), "doc_id", rounds = 6)
+        .orderBy("node")
+    }),
+
     // Synchronous label propagation (3 rounds, deterministic smallest-
     // label tie-break) over the same sparse chord graph — majority
     // dynamics, not reachability: communities stay finer than the
@@ -8708,6 +8727,45 @@ object SparkEntry {
         |m AS (SELECT node, min(dist) AS dist FROM r GROUP BY node)
         |SELECT d.doc_id AS node, CAST(coalesce(m.dist, -1) AS BIGINT) AS dist
         |FROM documents d LEFT JOIN m ON m.node = d.doc_id
+        |ORDER BY node""".stripMargin,
+
+    "graph_shortest_paths" ->
+      """WITH nn AS (SELECT count(*) AS n_nodes FROM documents),
+        |base AS (
+        |  SELECT doc_id AS a, (doc_id * 31 + 7) % n_nodes AS b
+        |  FROM documents, nn),
+        |adj AS MATERIALIZED (
+        |  SELECT a AS u, b AS v, 1 + (a + b) % 7 AS w FROM base
+        |  UNION ALL
+        |  SELECT b, a, 1 + (a + b) % 7 FROM base),
+        |d0 AS (SELECT doc_id AS node, CAST(0 AS BIGINT) AS d
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |d1 AS MATERIALIZED (SELECT node, min(d) AS d FROM (
+        |  SELECT * FROM d0 UNION ALL
+        |  SELECT e.v, p.d + e.w FROM adj e JOIN d0 p ON p.node = e.u)
+        |  GROUP BY node),
+        |d2 AS MATERIALIZED (SELECT node, min(d) AS d FROM (
+        |  SELECT * FROM d1 UNION ALL
+        |  SELECT e.v, p.d + e.w FROM adj e JOIN d1 p ON p.node = e.u)
+        |  GROUP BY node),
+        |d3 AS MATERIALIZED (SELECT node, min(d) AS d FROM (
+        |  SELECT * FROM d2 UNION ALL
+        |  SELECT e.v, p.d + e.w FROM adj e JOIN d2 p ON p.node = e.u)
+        |  GROUP BY node),
+        |d4 AS MATERIALIZED (SELECT node, min(d) AS d FROM (
+        |  SELECT * FROM d3 UNION ALL
+        |  SELECT e.v, p.d + e.w FROM adj e JOIN d3 p ON p.node = e.u)
+        |  GROUP BY node),
+        |d5 AS MATERIALIZED (SELECT node, min(d) AS d FROM (
+        |  SELECT * FROM d4 UNION ALL
+        |  SELECT e.v, p.d + e.w FROM adj e JOIN d4 p ON p.node = e.u)
+        |  GROUP BY node),
+        |d6 AS (SELECT node, min(d) AS d FROM (
+        |  SELECT * FROM d5 UNION ALL
+        |  SELECT e.v, p.d + e.w FROM adj e JOIN d5 p ON p.node = e.u)
+        |  GROUP BY node)
+        |SELECT doc.doc_id AS node, CAST(coalesce(d6.d, -1) AS BIGINT) AS dist
+        |FROM documents doc LEFT JOIN d6 ON d6.node = doc.doc_id
         |ORDER BY node""".stripMargin,
 
     "graph_label_prop" ->

@@ -409,6 +409,51 @@ object Graph {
     labels
   }
 
+  /** Bounded-round multi-source shortest paths (synchronous
+    * Bellman–Ford) — [[bfsLayers]]'s weighted sibling: minimum total
+    * edge WEIGHT from a seed set, for cost-distance features
+    * ("latency to nearest replica", "hops × quality to a trusted
+    * source"). Weights are non-negative BIGINTs by contract (negative
+    * weights would need the full |V|−1 rounds AND a negative-cycle
+    * check; this op's fixed budget is the scale contract).
+    *
+    * State is the REACHED-ONLY frame (node, dist): per round the
+    * messages `dist(u) + w` join the edge table, union the previous
+    * frame, and one min-aggregate keeps the best — no NULL algebra
+    * anywhere, relaxation and first-reach are the same code path.
+    * With rounds ≥ the (weighted) diameter this IS the exact
+    * shortest-path table; under-budgeted rounds give upper bounds on
+    * frontier nodes (documented — same convention as [[bfsLayers]]'
+    * budget truncation). Unreached nodes report -1.
+    *
+    * Scale shape per round: one keyed join (edges ⋈ dist — the
+    * pagerank message pattern), one union, one min hash-agg with
+    * map-side partials; dist re-pinned per round (O(1) lineage).
+    * Directed edges as given — pass both directions for an undirected
+    * walk. */
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, nodes: DataFrame, nodeCol: String,
+      seeds: DataFrame, seedCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 0 && rounds <= 1000,
+      s"rounds must be in [0,1000], got $rounds")
+    val n = nodes.select(col(nodeCol).cast("long").as("node"))
+    val e = Packing.pinExchange(edges.select(
+      col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"),
+      col(weightCol).cast("long").as("w")))
+    var dist = Packing.pinExchange(
+      n.join(seeds.select(col(seedCol).cast("long").as("node")).distinct(),
+          Seq("node"), "left_semi")
+        .select(col("node"), lit(0L).as("d")))
+    for (_ <- 1 to rounds) {
+      val msgs = e.join(dist.select(col("node").as("u"), col("d")), Seq("u"))
+        .select(col("v").as("node"), (col("d") + col("w")).as("d"))
+      dist = Packing.pinExchange(
+        dist.unionByName(msgs).groupBy("node").agg(min(col("d")).as("d")))
+    }
+    n.join(dist, Seq("node"), "left")
+      .select(col("node"), coalesce(col("d"), lit(-1L)).as("dist"))
+  }
+
   /** One PageRank round: message join + per-dst partial-agg sum + node-
     * universe restore. Exposed for plan-shape assertions — the contract
     * is "two wide ops, edge side served from cache, no broadcast of

@@ -295,6 +295,42 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(runLpa(nodes, k4a ++ k4b ++ Seq((4L, 3L), (3L, 10L)), 4, 1) == got)
   }
 
+  private def runSssp(nodes: Seq[Long], edges: Seq[(Long, Long, Long)],
+      seeds: Seq[Long], rounds: Int, parts: Int = 4): Map[Long, Long] = {
+    import spark.implicits._
+    graft.ops.Graph.shortestPaths(
+        edges.toDF("s", "d", "w").repartition(parts), "s", "d", "w",
+        nodes.toDF("v").repartition(parts), "v",
+        seeds.toDF("x"), "x", rounds)
+      .as[(Long, Long)].collect().toMap
+  }
+
+  test("shortestPaths: cheap long path beats expensive direct edge (the non-BFS case)") {
+    // 0→9 direct costs 100; 0→1→2→9 costs 3·1 = 3. BFS would say 1 hop;
+    // weighted SSSP must say 3 — and needs 3 rounds to find it.
+    val nodes = Seq(0L, 1L, 2L, 9L)
+    val edges = Seq((0L, 9L, 100L), (0L, 1L, 1L), (1L, 2L, 1L), (2L, 9L, 1L))
+    assert(runSssp(nodes, edges, Seq(0L), 5) ==
+      Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 9L -> 3L))
+    // round budget 1: only the direct relaxations exist — 9 reads 100
+    // (an upper bound, per the documented truncation convention)
+    assert(runSssp(nodes, edges, Seq(0L), 1) ==
+      Map(0L -> 0L, 1L -> 1L, 2L -> -1L, 9L -> 100L))
+    // round 2: 2 reached (cost 2), 9 still via direct edge
+    assert(runSssp(nodes, edges, Seq(0L), 2)(9L) == 100L)
+    assert(runSssp(nodes, edges, Seq(0L), 3)(9L) == 3L)
+  }
+
+  test("shortestPaths: multi-source takes the nearest seed; unreached -1; directed") {
+    val nodes = Seq(0L, 1L, 2L, 3L, 7L)
+    // directed chain 0→1→2; seed 3 connects to 2 more cheaply than 0's
+    // path; 7 isolated; edge INTO 0 only — 0 unreachable from seed 3
+    val edges = Seq((0L, 1L, 5L), (1L, 2L, 5L), (3L, 2L, 1L))
+    val got = runSssp(nodes, edges, Seq(0L, 3L), 4)
+    assert(got == Map(0L -> 0L, 1L -> 5L, 2L -> 1L, 3L -> 0L, 7L -> -1L))
+    assert(runSssp(nodes, edges, Seq(0L, 3L), 4, parts = 1) == got)
+  }
+
   test("bfsLayers: multi-source min distance, undirected walk, seed outside nodes ignored") {
     val nodes = Seq(0L, 1L, 2L, 3L, 4L)
     // directed edge encodings must be walked both ways: 4→3 reaches 3→4
