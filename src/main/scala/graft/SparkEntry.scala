@@ -4465,6 +4465,28 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // Temporal reachability — earliest arrival along TIME-RESPECTING
+    // paths (each hop's contact time ≥ arrival at its source): the
+    // contagion/influence question plain reachability answers wrongly
+    // when a downstream contact happened before the upstream one.
+    // Contact times by formula ((a·13) % 1000, same both directions);
+    // seeds doc_id % 97 == 0 exposed at t=0; 6 rounds, chained
+    // union-min CTE replay.
+    "graph_temporal_reach" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val cnt = docs.agg(count(lit(1)).as("n_nodes"))
+      val base = docs.crossJoin(broadcast(cnt)).select(
+        col("doc_id").as("a"), expr("(doc_id * 31 + 7) % n_nodes").as("b"))
+        .withColumn("t", expr("(a * 13) % 1000"))
+      val edges = base.select(col("a").as("src"), col("b").as("dst"), col("t"))
+        .unionByName(base.select(col("b").as("src"), col("a").as("dst"), col("t")))
+      graft.ops.Graph.temporalReachability(edges, "src", "dst", "t",
+          docs, "doc_id",
+          docs.filter(col("doc_id") % 97 === 0).withColumn("t0", lit(0L)),
+          "doc_id", "t0", rounds = 6)
+        .orderBy("node")
+    }),
+
     // Bounded-round multi-source WEIGHTED shortest paths (synchronous
     // Bellman–Ford, reached-only state — no NULL algebra) over the
     // sparse chord graph with per-edge weights 1 + (a+b) % 7; seeds
@@ -8727,6 +8749,46 @@ object SparkEntry {
         |m AS (SELECT node, min(dist) AS dist FROM r GROUP BY node)
         |SELECT d.doc_id AS node, CAST(coalesce(m.dist, -1) AS BIGINT) AS dist
         |FROM documents d LEFT JOIN m ON m.node = d.doc_id
+        |ORDER BY node""".stripMargin,
+
+    "graph_temporal_reach" ->
+      """WITH nn AS (SELECT count(*) AS n_nodes FROM documents),
+        |base AS (
+        |  SELECT doc_id AS a, (doc_id * 31 + 7) % n_nodes AS b,
+        |    (doc_id * 13) % 1000 AS t
+        |  FROM documents, nn),
+        |adj AS MATERIALIZED (
+        |  SELECT a AS u, b AS v, t FROM base
+        |  UNION ALL SELECT b, a, t FROM base),
+        |a0 AS (SELECT doc_id AS node, CAST(0 AS BIGINT) AS ar
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |a1 AS MATERIALIZED (SELECT node, min(ar) AS ar FROM (
+        |  SELECT * FROM a0 UNION ALL
+        |  SELECT e.v, e.t FROM adj e JOIN a0 p ON p.node = e.u AND e.t >= p.ar)
+        |  GROUP BY node),
+        |a2 AS MATERIALIZED (SELECT node, min(ar) AS ar FROM (
+        |  SELECT * FROM a1 UNION ALL
+        |  SELECT e.v, e.t FROM adj e JOIN a1 p ON p.node = e.u AND e.t >= p.ar)
+        |  GROUP BY node),
+        |a3 AS MATERIALIZED (SELECT node, min(ar) AS ar FROM (
+        |  SELECT * FROM a2 UNION ALL
+        |  SELECT e.v, e.t FROM adj e JOIN a2 p ON p.node = e.u AND e.t >= p.ar)
+        |  GROUP BY node),
+        |a4 AS MATERIALIZED (SELECT node, min(ar) AS ar FROM (
+        |  SELECT * FROM a3 UNION ALL
+        |  SELECT e.v, e.t FROM adj e JOIN a3 p ON p.node = e.u AND e.t >= p.ar)
+        |  GROUP BY node),
+        |a5 AS MATERIALIZED (SELECT node, min(ar) AS ar FROM (
+        |  SELECT * FROM a4 UNION ALL
+        |  SELECT e.v, e.t FROM adj e JOIN a4 p ON p.node = e.u AND e.t >= p.ar)
+        |  GROUP BY node),
+        |a6 AS (SELECT node, min(ar) AS ar FROM (
+        |  SELECT * FROM a5 UNION ALL
+        |  SELECT e.v, e.t FROM adj e JOIN a5 p ON p.node = e.u AND e.t >= p.ar)
+        |  GROUP BY node)
+        |SELECT doc.doc_id AS node,
+        |  CAST(coalesce(a6.ar, -1) AS BIGINT) AS earliest_arrival
+        |FROM documents doc LEFT JOIN a6 ON a6.node = doc.doc_id
         |ORDER BY node""".stripMargin,
 
     "graph_shortest_paths" ->

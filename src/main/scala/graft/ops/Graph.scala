@@ -454,6 +454,49 @@ object Graph {
       .select(col("node"), coalesce(col("d"), lit(-1L)).as("dist"))
   }
 
+  /** Bounded-round TEMPORAL reachability: earliest arrival from a seed
+    * set along TIME-RESPECTING paths — each hop's edge timestamp must
+    * be ≥ the arrival time at its source (non-decreasing along the
+    * path, the standard temporal-graph semantics). This is what plain
+    * reachability gets WRONG on interaction data: a structural path
+    * u→v→w where the v→w contact happened BEFORE u→v cannot carry
+    * influence/contagion/information, and this op refuses it. Seeds
+    * carry their own start times (exposure instants).
+    *
+    * Same reached-only state machine as [[shortestPaths]] with arrival
+    * = the edge's own timestamp instead of an additive cost: per round
+    * the state joins the edge table on the source, the `edge_ts ≥
+    * arrival` filter enforces time order, and a min hash-agg keeps
+    * the earliest arrival per node. Non-decreasing (≥, not >) by
+    * documented convention: two contacts at the same instant chain.
+    * Unreached nodes report -1; a seed's arrival is its start time.
+    * Scale shape identical to [[shortestPaths]]. */
+  def temporalReachability(edges: DataFrame, srcCol: String, dstCol: String,
+      tsCol: String, nodes: DataFrame, nodeCol: String,
+      seeds: DataFrame, seedCol: String, startCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 0 && rounds <= 1000,
+      s"rounds must be in [0,1000], got $rounds")
+    val n = nodes.select(col(nodeCol).cast("long").as("node"))
+    val e = Packing.pinExchange(edges.select(
+      col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"),
+      col(tsCol).cast("long").as("t")))
+    var arr = Packing.pinExchange(
+      seeds.select(col(seedCol).cast("long").as("node"),
+          col(startCol).cast("long").as("a"))
+        .groupBy("node").agg(min(col("a")).as("a"))
+        .join(n, Seq("node"), "left_semi"))
+    for (_ <- 1 to rounds) {
+      val msgs = e.join(arr.select(col("node").as("u"), col("a")), Seq("u"))
+        .filter(col("t") >= col("a"))
+        .select(col("v").as("node"), col("t").as("a"))
+      arr = Packing.pinExchange(
+        arr.unionByName(msgs).groupBy("node").agg(min(col("a")).as("a")))
+    }
+    n.join(arr, Seq("node"), "left")
+      .select(col("node"), coalesce(col("a"), lit(-1L)).as("earliest_arrival"))
+  }
+
   /** One PageRank round: message join + per-dst partial-agg sum + node-
     * universe restore. Exposed for plan-shape assertions — the contract
     * is "two wide ops, edge side served from cache, no broadcast of

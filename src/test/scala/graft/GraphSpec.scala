@@ -331,6 +331,41 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(runSssp(nodes, edges, Seq(0L, 3L), 4, parts = 1) == got)
   }
 
+  private def runTemporal(nodes: Seq[Long], edges: Seq[(Long, Long, Long)],
+      seeds: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    import spark.implicits._
+    graft.ops.Graph.temporalReachability(
+        edges.toDF("s", "d", "t"), "s", "d", "t",
+        nodes.toDF("v"), "v",
+        seeds.toDF("x", "t0"), "x", "t0", rounds)
+      .as[(Long, Long)].collect().toMap
+  }
+
+  test("temporalReachability: time order blocks a structural path; same-instant chains") {
+    val nodes = Seq(0L, 1L, 2L, 3L)
+    // 0→1 at t=10, but 1→2 happened at t=5 (BEFORE the arrival): 2 is
+    // structurally reachable yet temporally NOT. 1→3 at t=10 (same
+    // instant as arrival): chains under the ≥ convention.
+    val edges = Seq((0L, 1L, 10L), (1L, 2L, 5L), (1L, 3L, 10L))
+    assert(runTemporal(nodes, edges, Seq((0L, 0L)), 4) ==
+      Map(0L -> 0L, 1L -> 10L, 2L -> -1L, 3L -> 10L))
+    // a seed exposed AFTER its outgoing contact spreads nothing
+    assert(runTemporal(nodes, edges, Seq((0L, 11L)), 4) ==
+      Map(0L -> 11L, 1L -> -1L, 2L -> -1L, 3L -> -1L))
+  }
+
+  test("temporalReachability: earliest arrival dominates — a later path never wins") {
+    val nodes = Seq(0L, 5L, 1L, 2L)
+    // two routes to 2: via 5 arriving t=20, via 1 arriving t=7; and the
+    // t=7 arrival unlocks a follow-on edge at t=8 that the t=20 one
+    // would miss — min-arrival state must carry it
+    val edges = Seq((0L, 5L, 3L), (5L, 2L, 20L), (0L, 1L, 2L), (1L, 2L, 7L),
+      (2L, 5L, 8L))
+    val got = runTemporal(nodes, edges, Seq((0L, 0L)), 5)
+    assert(got(2L) == 7L)
+    assert(got(5L) == 3L, "direct t=3 beats the round-about t=8 re-entry")
+  }
+
   test("bfsLayers: multi-source min distance, undirected walk, seed outside nodes ignored") {
     val nodes = Seq(0L, 1L, 2L, 3L, 4L)
     // directed edge encodings must be walked both ways: 4→3 reaches 3→4
