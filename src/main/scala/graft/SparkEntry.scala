@@ -3285,6 +3285,20 @@ object SparkEntry {
     // exact integer rational, entropy quantized per (group, category)
     // term BEFORE the integer sum (partial-agg-order-proof), both
     // replayed by the oracle at every user.
+    // Per-document CHARACTER entropy — the gibberish/boilerplate signal
+    // (natural prose sits in a narrow band; base64 blobs score high,
+    // "aaaa…" scores ~0): pure composition of the existing diversity
+    // op over exploded characters, exact floored-term integers
+    // end-to-end. Rows per doc bounded by the alphabet (~100), so the
+    // census grain is corpus-linear.
+    "x4_char_entropy" -> ((s, dir) => {
+      graft.ops.Eval.categoricalDiversity(
+          Tables.documents(s, dir).select(col("doc_id"),
+            explode(split(col("text"), "")).as("ch")),
+          "doc_id", "ch")
+        .orderBy("doc_id")
+    }),
+
     "agg_entropy_gini" -> ((s, dir) => {
       graft.ops.Eval.categoricalDiversity(Tables.events(s, dir),
           "user_id", "event_type")
@@ -6819,6 +6833,27 @@ object SparkEntry {
 
     // Per-term quantize-then-sum replay; Gini as the same exact
     // integer rational.
+    "x4_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '')) AS c
+        |  FROM documents),
+        |c AS (SELECT doc_id, c AS cat, count(*) AS c FROM ch GROUP BY 1, 2),
+        |t AS (
+        |  SELECT doc_id, sum(c) AS n, count(*) AS n_cats, sum(c * c) AS ss
+        |  FROM c GROUP BY 1),
+        |j AS (
+        |  SELECT c.doc_id,
+        |    CAST(floor(-1000000.0 * (CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+        |      * ln(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))) AS BIGINT) AS term,
+        |    t.n, t.n_cats, t.ss
+        |  FROM c JOIN t USING (doc_id))
+        |SELECT doc_id, CAST(min(n) AS BIGINT) AS n,
+        |  CAST(min(n_cats) AS BIGINT) AS n_cats,
+        |  CAST(sum(term) AS BIGINT) AS entropy_micro,
+        |  CAST(((min(n) * min(n) - min(ss)) * 1000000) // (min(n) * min(n))
+        |       AS BIGINT) AS gini_micro
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "agg_entropy_gini" ->
       """WITH c AS (
         |  SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2),
