@@ -2433,6 +2433,76 @@ object SparkEntry {
     // join-per-stage form this replaced broadcast a USER-CARDINALITY
     // frontier per stage — unboundable at corpus scale — and scanned
     // the fact once per stage besides.
+    // Time-CONSTRAINED funnel: each stage must land within 1 DAY of
+    // the previous one — the form real conversion funnels use (an
+    // unconstrained funnel credits a purchase three weeks after the
+    // click; a 1-hour window on this sparse fixture converted nobody,
+    // measured). Same one-pass sorted fold as the unconstrained gate;
+    // greedy-first semantics make the min-based SQL replay exact
+    // (first qualifying event in time order IS the min qualifying
+    // timestamp).
+    "events_funnel_windowed" -> ((s, dir) => {
+      val stages = Seq("view", "click", "purchase")
+      val nullTs = lit(null).cast("timestamp")
+      val hour = expr("INTERVAL 1 DAY")
+      val folded = Tables.events(s, dir)
+        .filter(col("event_type").isin(stages: _*))
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .groupBy(col("user_id"))
+        .agg(array_sort(collect_list(struct(col("ts"), col("event_type")))).as("_evs"))
+        .select(col("user_id"), aggregate(col("_evs"),
+          struct(nullTs.as("tv"), nullTs.as("tc"), nullTs.as("tp")),
+          (acc, e) => struct(
+            when(acc("tv").isNull && e("event_type") === "view", e("ts"))
+              .otherwise(acc("tv")).as("tv"),
+            when(acc("tc").isNull && acc("tv").isNotNull &&
+              e("event_type") === "click" && e("ts") > acc("tv") &&
+              e("ts") <= acc("tv") + hour, e("ts"))
+              .otherwise(acc("tc")).as("tc"),
+            when(acc("tp").isNull && acc("tc").isNotNull &&
+              e("event_type") === "purchase" && e("ts") > acc("tc") &&
+              e("ts") <= acc("tc") + hour, e("ts"))
+              .otherwise(acc("tp")).as("tp"))).as("s"))
+      folded.agg(
+          count(col("s.tv")).as("n_view"),
+          count(col("s.tc")).as("n_click"),
+          count(col("s.tp")).as("n_purchase"))
+        .select(explode(map(
+          lit("step1_view"), col("n_view"),
+          lit("step2_click"), col("n_click"),
+          lit("step3_purchase"), col("n_purchase"))).as(Seq("stage", "n")))
+        .orderBy("stage")
+    }),
+
+    // Survival/hazard census over PURCHASE tenure (purchase spans
+    // spread 0–30 days on this fixture where all-event spans collapse
+    // to the full month): per tenure-span day,
+    // users still at risk (observed that long) vs users whose LAST
+    // activity fell on that day, hazard = churn·1e6 div at_risk —
+    // the discrete-time table under every retention curve. Censoring
+    // simplification documented: last observed event = churn (all
+    // users share the observation window). Span grain is calendar-
+    // bounded (~31 rows), so the one cumulative window runs on the
+    // collapsed frame.
+    "events_survival_hazard" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val spans = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          expr("CAST(datediff(to_date(ts), DATE'1970-01-01') AS BIGINT)")
+            .as("day"))
+        .groupBy("user_id")
+        .agg((max(col("day")) - min(col("day"))).as("span"))
+        .groupBy("span").agg(count(lit(1)).as("n_churned"))
+      val w = Window.orderBy(col("span").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spans.withColumn("n_at_risk", sum(col("n_churned")).over(w))
+        .withColumn("hazard_micro",
+          expr("(n_churned * 1000000) div n_at_risk"))
+        .select("span", "n_at_risk", "n_churned", "hazard_micro")
+        .orderBy("span")
+    }),
+
     "events_funnel_stages" -> ((s, dir) => {
       val stages = Seq("view", "click", "purchase")
       val nullTs = lit(null).cast("timestamp")
@@ -7789,6 +7859,46 @@ object SparkEntry {
         |  AND l.ts <= r.ts + INTERVAL 30 MINUTE
         |  AND r.ts <= l.ts + INTERVAL 30 MINUTE
         |ORDER BY click_id, view_id""".stripMargin,
+
+    "events_funnel_windowed" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS tv FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS tc FROM events e
+        |  JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.tv
+        |    AND e.ts <= v.tv + INTERVAL 1 DAY GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS tp FROM events e
+        |  JOIN c ON c.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.tc
+        |    AND e.ts <= c.tc + INTERVAL 1 DAY GROUP BY 1)
+        |SELECT stage, n FROM (
+        |  SELECT 'step1_view' AS stage, (SELECT count(*) FROM v) AS n
+        |  UNION ALL
+        |  SELECT 'step2_click', (SELECT count(*) FROM c)
+        |  UNION ALL
+        |  SELECT 'step3_purchase', (SELECT count(*) FROM p))
+        |ORDER BY stage""".stripMargin,
+
+    "events_survival_hazard" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    max(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+        |      - min(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+        |      AS span
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |sp AS (SELECT span, count(*) AS n_churned FROM u GROUP BY 1),
+        |r AS (
+        |  SELECT span, n_churned,
+        |    sum(n_churned) OVER (ORDER BY span DESC
+        |      ROWS UNBOUNDED PRECEDING) AS n_at_risk
+        |  FROM sp)
+        |SELECT CAST(span AS BIGINT) AS span,
+        |  CAST(n_at_risk AS BIGINT) AS n_at_risk, n_churned,
+        |  CAST((n_churned * 1000000) // n_at_risk AS BIGINT) AS hazard_micro
+        |FROM r ORDER BY span""".stripMargin,
 
     "events_funnel_stages" ->
       """WITH v AS (
