@@ -908,6 +908,48 @@ object SparkEntry {
 
     // ML — per-group fits: one hash agg at group cardinality, one scan
     // for every segment's own trend line.
+    // Model-debug drill-down under the grouped OLS: the 3 worst
+    // residuals per group, computed from the SAME truncated
+    // coefficients both engines emit (so the residual is exactly
+    // y·10⁶ − (b0 + b1·x) in micros — no independent fit, no float).
+    // A keyed window with a total tie order; emitted-column ties are
+    // interchangeable rows.
+    "ml_ols_residuals" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, dir)
+      val coef = graft.ops.Regress.olsFit1Grouped(li, "l_returnflag",
+        round(col("l_extendedprice") * 100), col("l_quantity"))
+      val base = li.select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("y_cents"),
+        col("l_quantity").cast("long").as("x_qty"))
+      val r = base.join(broadcast(coef), "l_returnflag")
+        .withColumn("resid_micro", col("y_cents") * 1000000L -
+          (col("b0_micros") + col("b1_micros") * col("x_qty")))
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(abs(col("resid_micro")).desc, col("resid_micro").asc,
+          col("y_cents").asc, col("x_qty").asc)
+      r.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select("l_returnflag", "rk", "y_cents", "x_qty", "resid_micro")
+        .orderBy("l_returnflag", "rk")
+    }),
+
+    // Per-key join-amplification census — the exact drill-down under
+    // the Count-Min join-size ESTIMATE: which keys contribute the
+    // most |A ⋈ B| rows (n_left·n_right), top 10 by contribution.
+    // Two key-grain aggs + TakeOrderedAndProject — never a global
+    // sort.
+    "join_amplification_census" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val a = li.groupBy("l_partkey").agg(count(lit(1)).as("n_left"))
+      val b = li.filter(col("l_returnflag") === "R")
+        .groupBy("l_partkey").agg(count(lit(1)).as("n_right"))
+      a.join(b, "l_partkey")
+        .withColumn("contrib", col("n_left") * col("n_right"))
+        .orderBy(col("contrib").desc, col("l_partkey").asc)
+        .limit(10)
+    }),
+
     "ml_ols_by_group" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
       graft.ops.Regress.olsFit1Grouped(li, "l_returnflag",
@@ -5511,6 +5553,45 @@ object SparkEntry {
         |    CAST(((sy*den - num*sx) * 1000000) // (n*den) AS BIGINT) END AS b0_micros,
         |  CASE WHEN den != 0 THEN CAST((num * 1000000) // den AS BIGINT) END AS b1_micros
         |FROM d""".stripMargin,
+
+    "ml_ols_residuals" ->
+      """WITH b AS (
+        |  SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+        |    CAST(l_quantity AS BIGINT) AS x
+        |  FROM lineitem),
+        |s AS (SELECT l_returnflag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |        sum(x*x) AS sxx, sum(x*y) AS sxy FROM b GROUP BY 1),
+        |d AS (SELECT l_returnflag, n, n*sxx - sx*sx AS den, n*sxy - sx*sy AS num,
+        |        sx, sy FROM s),
+        |coef AS (
+        |  SELECT l_returnflag,
+        |    CAST(((sy*den - num*sx) * 1000000) // (n*den) AS BIGINT) AS b0,
+        |    CAST((num * 1000000) // den AS BIGINT) AS b1
+        |  FROM d WHERE den != 0),
+        |r AS (
+        |  SELECT b.l_returnflag, b.y AS y_cents, b.x AS x_qty,
+        |    b.y * 1000000 - (c.b0 + c.b1 * b.x) AS resid_micro
+        |  FROM b JOIN coef c ON c.l_returnflag = b.l_returnflag),
+        |k AS (
+        |  SELECT l_returnflag, y_cents, x_qty, resid_micro,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |      ORDER BY abs(resid_micro) DESC, resid_micro ASC,
+        |        y_cents ASC, x_qty ASC) AS rk
+        |  FROM r)
+        |SELECT l_returnflag, rk, y_cents, x_qty,
+        |  CAST(resid_micro AS BIGINT) AS resid_micro
+        |FROM k WHERE rk <= 3 ORDER BY l_returnflag, rk""".stripMargin,
+
+    "join_amplification_census" ->
+      """WITH a AS (
+        |  SELECT l_partkey, count(*) AS n_left FROM lineitem GROUP BY 1),
+        |b AS (
+        |  SELECT l_partkey, count(*) AS n_right FROM lineitem
+        |  WHERE l_returnflag = 'R' GROUP BY 1)
+        |SELECT a.l_partkey, a.n_left, b.n_right,
+        |  CAST(a.n_left * b.n_right AS BIGINT) AS contrib
+        |FROM a JOIN b ON a.l_partkey = b.l_partkey
+        |ORDER BY contrib DESC, a.l_partkey ASC LIMIT 10""".stripMargin,
 
     "ml_ols_by_group" ->
       """WITH b AS (
