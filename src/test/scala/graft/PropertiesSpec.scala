@@ -334,4 +334,89 @@ object PropertiesSpec extends Properties("graft") {
         Prop(native == islands) :| s"native=${native.size} islands=${islands.size}"
       }
     }
+
+  property("sequenceGaps: gaps are exactly the complement of the present set") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(0L, 200L)),
+        Gen.choose(2L, 40L)) { (ks, bucket) =>
+      import spark.implicits._
+      val gaps = graft.ops.DataQuality.sequenceGaps(
+          ks.toDF("k"), "k", bucketSize = bucket)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val present = ks.toSet
+      val (lo, hi) = (ks.min, ks.max)
+      val refMissing = (lo to hi).filterNot(present).toSet
+      val gapUnion = gaps.flatMap { case (a, b) => a to b }.toSet
+      val wellFormed = gaps.forall { case (a, b) =>
+        a <= b && a > lo && b < hi }
+      Prop(gapUnion == refMissing && wellFormed &&
+        gaps.flatMap { case (a, b) => a to b }.size == gapUnion.size) :|
+        s"gaps=$gaps missing=$refMissing"
+    }
+
+  property("businessDaysBetween is additive: g(a,c) == g(a,b) + g(b,c)") =
+    forAll(Gen.choose(0L, 20000L), Gen.choose(0L, 40L),
+        Gen.choose(0L, 40L)) { (a, w1, w2) =>
+      import spark.implicits._
+      val (b, c) = (a + w1, a + w1 + w2)
+      val got = Seq((a, b, c)).toDF("a", "b", "c")
+        .select(
+          graft.ops.TimeSeries.businessDaysBetween(col("a"), col("c")).as("ac"),
+          graft.ops.TimeSeries.businessDaysBetween(col("a"), col("b")).as("ab"),
+          graft.ops.TimeSeries.businessDaysBetween(col("b"), col("c")).as("bc"))
+        .as[(Long, Long, Long)].head()
+      Prop(got._1 == got._2 + got._3) :| s"$got"
+    }
+
+  property("markovTransitions: row probabilities sum within truncation dust of 1e6") =
+    forAll(Gen.nonEmptyListOf(for {
+      k <- Gen.choose(0L, 3L)
+      t <- Gen.choose(0L, 50L)
+      s <- Gen.oneOf("a", "b", "c")
+    } yield (k, t, s))) { rows0 =>
+      import spark.implicits._
+      // unique (k, t) per row for a total order: disambiguate by index
+      val rows = rows0.zipWithIndex.map { case ((k, t, s), i) =>
+        (k, t * 1000 + i, s) }
+      val out = graft.ops.SeqPattern.markovTransitions(
+          rows.toDF("k", "o", "s"), "k",
+          Seq(col("o")), col("s"))
+        .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+      val byFrom = out.groupBy(_._1)
+      Prop(byFrom.forall { case (_, xs) =>
+        val total = xs.map(_._3).sum
+        total <= 1000000L && total > 1000000L - xs.length
+      }) :| out.mkString(",")
+    }
+
+  property("cdcCompact: replaying net ops onto the pre-batch state == replaying the full batch") =
+    forAll(Gen.listOfN(14, for {
+      k <- Gen.choose(0L, 4L)
+      op <- Gen.oneOf("I", "U", "D")
+      p <- Gen.choose(0L, 99L)
+    } yield (k, op, p))) { evs0 =>
+      import spark.implicits._
+      if (evs0.isEmpty) Prop(true)
+      else {
+        val evs = evs0.zipWithIndex.map { case ((k, op, p), i) =>
+          (k, op, i.toLong, p.toString) }
+        // full replay: final state per key = last op != D ? last payload
+        val byKey = evs.groupBy(_._1)
+        val fullState = byKey.flatMap { case (k, xs) =>
+          val last = xs.maxBy(_._3)
+          if (last._2 == "D") None else Some(k -> last._4)
+        }
+        // net replay: apply compacted ops to keys-before-batch = ∅
+        val net = graft.ops.Merge.cdcCompact(
+            evs.toDF("k", "op", "ts", "p"), "k", "op", "ts", "p")
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        val netState = net.collect {
+          case (k, op, p) if op != "D" => k -> p }.toMap
+        // starting from empty, a net D must correspond to a key absent
+        // from fullState; net I/U carry the same final payload
+        Prop(netState == fullState &&
+          net.collect { case (k, "D", _) => k }
+            .forall(k => !fullState.contains(k))) :|
+          s"net=${net.toSeq} full=$fullState"
+      }
+    }
 }
