@@ -4291,6 +4291,32 @@ object SparkEntry {
     // result (null-safe equality; any cell drift flips every row's
     // pinned TRUE). Linearity is what makes sketches incremental; this
     // gate proves the engine's streaming path preserves it.
+    // Streamed AMS F2 — the signed-linearity twin of stream_countmin:
+    // the sketch built incrementally across micro-batches must be
+    // cell-identical to the batch build (full-outer null-safe cell
+    // compare riding the result row), and the F2 estimate from the
+    // STREAMED sketch must meet the batch gate's 30% bound against the
+    // oracle-recomputed exact F2 over user_id.
+    "stream_ams_f2" -> ((s, dir) => {
+      val sk = graft.streaming.Streams.amsStream(s, dir, depth = 5, width = 256)
+      val ev = Tables.events(s, dir)
+      val batchSk = graft.ops.Sketch.amsSketch(ev, "user_id",
+        depth = 5, width = 256)
+      val agreement = sk
+        .join(batchSk.withColumnRenamed("cell", "cell_b"), Seq("r", "c"), "full")
+        .agg(sum(when(coalesce(col("cell"), lit(0L)) <=>
+            coalesce(col("cell_b"), lit(0L)), lit(0L)).otherwise(lit(1L)))
+          .as("_mm"))
+      val est = graft.ops.Sketch.amsF2Estimate(sk, depth = 5)
+      val exact = ev.groupBy("user_id").agg(count(lit(1)).as("_n"))
+        .agg(sum(col("_n") * col("_n")).as("f2_exact"))
+      exact.crossJoin(est).crossJoin(broadcast(agreement))
+        .select(col("f2_exact"),
+          (abs(col("f2_est") - col("f2_exact")) * 100 <=
+            col("f2_exact") * 30).as("est_in_30pct"),
+          (col("_mm") === 0L).as("stream_matches_batch"))
+    }),
+
     "stream_countmin" -> ((s, dir) => {
       import s.implicits._
       val sk = graft.streaming.Streams.countMinStream(s, dir, depth = 4, width = 1024)
@@ -8697,6 +8723,13 @@ object SparkEntry {
         |  CAST((1000000 * sum(ina * inb)) // count(*) AS BIGINT) AS j_exact_micro,
         |  TRUE AS j_est_ok, TRUE AS inter_est_ok, TRUE AS union_sketch_sound
         |FROM m GROUP BY yr ORDER BY yr""".stripMargin,
+
+    "stream_ams_f2" ->
+      """WITH c AS (
+        |  SELECT user_id, count(*) AS n FROM events GROUP BY 1)
+        |SELECT CAST(sum(n * n) AS BIGINT) AS f2_exact,
+        |  TRUE AS est_in_30pct, TRUE AS stream_matches_batch
+        |FROM c""".stripMargin,
 
     "stream_countmin" ->
       """WITH t AS (

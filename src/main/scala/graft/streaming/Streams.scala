@@ -606,4 +606,27 @@ object Streams {
       .groupBy("r", "c").agg(count(lit(1)).as("cnt"))
     drainToTable(spark, ss, cells, "stream_cms", "complete")
   }
+
+  /** AMS F2 sketch built INCREMENTALLY from the event stream — like
+    * [[countMinStream]], possible only because the sketch is LINEAR:
+    * signed cell increments sum across micro-batches exactly, state is
+    * bounded at d·w cells with no watermark, and the finished sketch is
+    * cell-identical to the batch build whatever the batch cuts were
+    * (the gate certifies that full-outer, cell-for-cell). This is the
+    * production monitoring pattern: per-interval sketches roll up
+    * without re-reading the stream, and F2 (self-join size / skew
+    * mass) is queryable at any instant. */
+  def amsStream(spark: SparkSession, sfDir: String, depth: Int,
+      width: Int): DataFrame = {
+    val ss = stateSession(spark, 4)
+    val cells = eventsStream(ss, sfDir)
+      .select(col("user_id").as("_k"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .select(col("r"),
+        pmod(xxhash64(col("_k"), col("r")), lit(width.toLong)).as("c"),
+        (lit(1L) - lit(2L) *
+          pmod(xxhash64(col("_k"), col("r") + lit(64)), lit(2L))).as("_s"))
+      .groupBy("r", "c").agg(sum(col("_s")).as("cell"))
+    drainToTable(spark, ss, cells, "stream_ams", "complete")
+  }
 }
