@@ -3878,6 +3878,52 @@ object SparkEntry {
     // div == DuckDB //, measured on negatives). The oracle is a
     // recursive-CTE replay of both recurrences, so the hash certifies
     // every level/trend/forecast cell across ~90 chained steps per key.
+    // Forecast backtest — the eval family meeting time series: per-key
+    // MAE and worst error of Holt's ONE-STEP-AHEAD forecasts (each
+    // prediction was made before observing its row, so the residuals
+    // are honest out-of-sample errors, not fit residuals). Exact
+    // integers end to end: abs diffs of micros, trunc-div mean.
+    "ts_forecast_backtest" -> ((s, dir) => {
+      val fc = graft.ops.TimeSeries.holtTrend(
+        Tables.events(s, dir).filter(col("user_id") < 40),
+        "user_id", "ts", "event_id",
+        expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)"),
+        kLevel = 4, kTrend = 8)
+      fc.groupBy("user_id").agg(
+          count(lit(1)).as("n_forecasts"),
+          expr("sum(abs(value_micro - forecast_micro)) div count(1)")
+            .as("mae_micro"),
+          max(abs(col("value_micro") - col("forecast_micro")))
+            .as("worst_err_micro"))
+        .orderBy("user_id")
+    }),
+
+    // The corpus DATA CARD — the one-row summary an LLM data team
+    // publishes with a release: volume, language/source breadth, token
+    // mass, quality rate, exact-dup rate, mean length — every number
+    // exact and oracle-replayable, most from ONE aggregation pass.
+    "pipeline_data_card" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val nt = TextAnalysis.tokenCount(col("text"))
+      val stops = TextAnalysis.wordOccurrences(lower(col("text")),
+        TextAnalysis.englishStopwords)
+      d.select(col("lang"), col("source"), col("text"), nt.as("_nt"),
+          length(col("text")).cast("long").as("_nc"),
+          TextAnalysis.qualityGate(nt, length(col("text")).cast("long"),
+            stops).as("_q"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(col("_nt")).as("total_tokens"),
+          sum(col("_nc")).as("total_chars"),
+          sum(when(col("_q"), 1L).otherwise(0L)).as("n_quality"),
+          (count(lit(1)) - countDistinct(col("text"))).as("n_exact_dups"))
+        .withColumn("quality_rate_micro",
+          expr("(n_quality * 1000000) div n_docs"))
+        .withColumn("mean_tokens_micro",
+          expr("(total_tokens * 1000000) div n_docs"))
+    }),
+
     "ts_holt_trend" -> ((s, dir) => {
       graft.ops.TimeSeries.holtTrend(
           Tables.events(s, dir).filter(col("user_id") < 40),
@@ -7504,6 +7550,55 @@ object SparkEntry {
     // Recursive replay of BOTH Holt recurrences; DuckDB's `//`
     // truncates toward zero on every sign (measured: -7 // 2 = -3),
     // exactly like Spark's `div` — the negative-trend cells certify it.
+    "ts_forecast_backtest" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS x,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE user_id < 40),
+        |r AS (
+        |  SELECT user_id, event_id, x, rn,
+        |    x AS l, CAST(0 AS BIGINT) AS b, CAST(NULL AS BIGINT) AS f
+        |  FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.user_id, n.event_id, n.x, n.rn,
+        |    (n.x + 3 * (r.l + r.b)) // 4,
+        |    (((n.x + 3 * (r.l + r.b)) // 4 - r.l) + 7 * r.b) // 8,
+        |    r.l + r.b
+        |  FROM r JOIN e n ON n.user_id = r.user_id AND n.rn = r.rn + 1)
+        |SELECT user_id, count(*) AS n_forecasts,
+        |  CAST(sum(abs(x - f)) // count(*) AS BIGINT) AS mae_micro,
+        |  CAST(max(abs(x - f)) AS BIGINT) AS worst_err_micro
+        |FROM r WHERE rn >= 2
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "pipeline_data_card" ->
+      """WITH t AS (
+        |  SELECT lang, source, text,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS nt,
+        |    CAST(length(text) AS BIGINT) AS nc,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      w -> w IN ('the','a','an','and','or','of','to','in','is','it',
+        |                 'that','for','on','with','as','at','by','from')))
+        |      AS BIGINT) AS s
+        |  FROM documents),
+        |q AS (
+        |  SELECT *, CASE WHEN nt BETWEEN 5 AND 100000
+        |    AND (nc / greatest(nt, 1)) BETWEEN 1 AND 15
+        |    AND s * 50 >= nt THEN 1 ELSE 0 END AS isq FROM t)
+        |SELECT count(*) AS n_docs,
+        |  count(DISTINCT lang) AS n_langs,
+        |  count(DISTINCT source) AS n_sources,
+        |  CAST(sum(nt) AS BIGINT) AS total_tokens,
+        |  CAST(sum(nc) AS BIGINT) AS total_chars,
+        |  CAST(sum(isq) AS BIGINT) AS n_quality,
+        |  CAST(count(*) - count(DISTINCT text) AS BIGINT) AS n_exact_dups,
+        |  CAST((sum(isq) * 1000000) // count(*) AS BIGINT)
+        |    AS quality_rate_micro,
+        |  CAST((sum(nt) * 1000000) // count(*) AS BIGINT)
+        |    AS mean_tokens_micro
+        |FROM q""".stripMargin,
+
     "ts_holt_trend" ->
       """WITH RECURSIVE e AS (
         |  SELECT user_id, event_id,
