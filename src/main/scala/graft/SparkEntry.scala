@@ -112,6 +112,45 @@ object SparkEntry {
     Merge.latestByKey(coerced, Seq("user_id", "event_type"), Seq("ts"), Seq("event_id"))
   }
 
+  /** Shared fixture for the x5 perceptual-hash gates: 8×8 PGMs in
+    * near-dup groups of 4 (base raster per doc_id div 4; one +40 and
+    * one −40 pixel per id, both in the first 8 pixels and sum-balanced
+    * so the mean — hence every unperturbed bit — is identical across a
+    * group). Hash frame: (doc_id, hash_lo, hash_hi, n_ones). */
+  private def phashFixtureHashes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val recs = Tables.documents(s, dir).filter(col("doc_id") < 500)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val g = id / 4
+        Multimodal.MediaRecord(id, Multimodal.encodePgm(8, 8, 255, { k =>
+          val b = 60 + ((g * 31 + k * 7) % 136).toInt
+          b + (if (k == (id % 4)) 40 else 0) -
+            (if (k == 4 + (id % 4)) 40 else 0)
+        }), "image/x-pgm", "xx")
+      }
+    Multimodal.averageHashes(recs).toDF()
+  }
+
+  /** Banded Hamming near-dup pairs over [[phashFixtureHashes]]:
+    * candidates agree exactly on bits 16..63 (hash-join band keys),
+    * Hamming over the low half ≤ 6 decides. */
+  private def phashFixturePairs(s: SparkSession, dir: String): DataFrame = {
+    val hashes = phashFixtureHashes(s, dir)
+    val a = hashes.select(col("doc_id").as("id_a"),
+      col("hash_lo").as("_la"), col("hash_hi").as("_ha"))
+    val b = hashes.select(col("doc_id").as("id_b"),
+      col("hash_lo").as("_lb"), col("hash_hi").as("_hb"))
+    a.join(b, col("id_a") < col("id_b") && col("_ha") === col("_hb") &&
+        shiftrightunsigned(col("_la"), 16) ===
+          shiftrightunsigned(col("_lb"), 16))
+      .select(col("id_a"), col("id_b"),
+        (bit_count(col("_la").bitwiseXOR(col("_lb"))) +
+          bit_count(col("_ha").bitwiseXOR(col("_hb"))))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= 6)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -693,6 +732,24 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // X4 — novelty score: what fraction of a doc's distinct vocabulary
+    // appears in NO other document (global hapax words)? High novelty
+    // = unique content or gibberish; near-zero = boilerplate. Two
+    // vocabulary-grain censuses (distinct doc-word, then doc-frequency)
+    // + one join back — corpus-linear, no windows.
+    "x4_novelty_score" -> ((s, dir) => {
+      val words = Tables.documents(s, dir).select(col("doc_id"),
+        explode(array_distinct(split(lower(col("text")), "\\s+"))).as("w"))
+      val docFreq = words.groupBy("w").agg(count(lit(1)).as("_df"))
+      words.join(docFreq, "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_distinct_words"),
+          sum(when(col("_df") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+        .withColumn("novelty_micro",
+          expr("(n_hapax * 1000000) div n_distinct_words"))
+        .orderBy("doc_id")
+    }),
+
     // X4 — Flesch reading ease in exact trunc-micros: vowel-group
     // syllables, terminator-run sentences, whitespace words; the
     // 206.835/1.015/84.6 constants as integer ratios with BIGINT
@@ -1111,18 +1168,7 @@ object SparkEntry {
     // are confined to bits 0..7 by construction). The oracle
     // recomputes all 64 bits from the formula.
     "x5_image_phash" -> ((s, dir) => {
-      import s.implicits._
-      val recs = Tables.documents(s, dir).filter(col("doc_id") < 500)
-        .select(col("doc_id")).as[Long]
-        .map { id =>
-          val g = id / 4
-          Multimodal.MediaRecord(id, Multimodal.encodePgm(8, 8, 255, { k =>
-            val b = 60 + ((g * 31 + k * 7) % 136).toInt
-            b + (if (k == (id % 4)) 40 else 0) -
-              (if (k == 4 + (id % 4)) 40 else 0)
-          }), "image/x-pgm", "xx")
-        }
-      Multimodal.averageHashes(recs).toDF()
+      phashFixtureHashes(s, dir)
         .select("doc_id", "hash_lo", "hash_hi", "n_ones")
         .orderBy("doc_id")
     }),
@@ -1133,31 +1179,22 @@ object SparkEntry {
     // half decides. The fixture's groups agree on the bands by
     // construction, so every in-group pair is recovered.
     "x5_phash_neardup" -> ((s, dir) => {
-      import s.implicits._
-      val recs = Tables.documents(s, dir).filter(col("doc_id") < 500)
-        .select(col("doc_id")).as[Long]
-        .map { id =>
-          val g = id / 4
-          Multimodal.MediaRecord(id, Multimodal.encodePgm(8, 8, 255, { k =>
-            val b = 60 + ((g * 31 + k * 7) % 136).toInt
-            b + (if (k == (id % 4)) 40 else 0) -
-              (if (k == 4 + (id % 4)) 40 else 0)
-          }), "image/x-pgm", "xx")
-        }
-      val hashes = Multimodal.averageHashes(recs).toDF()
-      val a = hashes.select(col("doc_id").as("id_a"),
-        col("hash_lo").as("_la"), col("hash_hi").as("_ha"))
-      val b = hashes.select(col("doc_id").as("id_b"),
-        col("hash_lo").as("_lb"), col("hash_hi").as("_hb"))
-      a.join(b, col("id_a") < col("id_b") && col("_ha") === col("_hb") &&
-          shiftrightunsigned(col("_la"), 16) ===
-            shiftrightunsigned(col("_lb"), 16))
-        .select(col("id_a"), col("id_b"),
-          (bit_count(col("_la").bitwiseXOR(col("_lb"))) +
-            bit_count(col("_ha").bitwiseXOR(col("_hb"))))
-            .cast("long").as("hamming"))
-        .filter(col("hamming") <= 6)
-        .orderBy("id_a", "id_b")
+      phashFixturePairs(s, dir).orderBy("id_a", "id_b")
+    }),
+
+    // Image dedup END TO END: the phash near-dup pairs feed the
+    // pointer-jumping connected-components clusterer — hash → banded
+    // Hamming pairs → clusters with sizes, the full LAION-style image
+    // dedup chain in one lazy plan. Cluster id = min member id (the
+    // canonical survivor); only pair members appear.
+    "x5_phash_clusters" -> ((s, dir) => {
+      val cc = Dedup.clusterPairs(
+        phashFixturePairs(s, dir).select(col("id_a"), col("id_b")))
+      val sizes = cc.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("cluster_size"))
+      cc.join(sizes, Seq("cluster"))
+        .select(col("id"), col("cluster"), col("cluster_size"))
+        .orderBy("id")
     }),
 
     // Audio frame analysis — per-frame mean-square energy + silence
@@ -5249,6 +5286,19 @@ object SparkEntry {
         |   t -> greatest(1, CAST(ceil(length(t) / 4.0) AS BIGINT))))) AS BIGINT) AS sum_subwords
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
+    "x4_novelty_score" ->
+      """WITH w AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS w
+        |  FROM documents),
+        |df AS (SELECT w, count(*) AS dfreq FROM w GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_distinct_words,
+        |  CAST(count(*) FILTER (WHERE dfreq = 1) AS BIGINT) AS n_hapax,
+        |  CAST((count(*) FILTER (WHERE dfreq = 1) * 1000000) // count(*)
+        |    AS BIGINT) AS novelty_micro
+        |FROM w JOIN df USING (w)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "x4_readability" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -5851,6 +5901,41 @@ object SparkEntry {
         |   AND a.lo // 65536 = b.lo // 65536)
         |SELECT id_a, id_b, hamming FROM pairs
         |WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin,
+
+    // The neardup pair derivation + recursive-CTE connected components
+    // (UNION-deduped reachability, min(root) per node) + size census.
+    "x5_phash_clusters" ->
+      """WITH RECURSIVE px AS (
+        |  SELECT d.doc_id, t.k,
+        |    60 + ((d.doc_id // 4 * 31 + t.k * 7) % 136)
+        |      + (CASE WHEN t.k = d.doc_id % 4 THEN 40 ELSE 0 END)
+        |      - (CASE WHEN t.k = 4 + d.doc_id % 4 THEN 40 ELSE 0 END) AS p
+        |  FROM documents d, generate_series(0, 63) AS t(k)
+        |  WHERE d.doc_id < 500),
+        |m AS (SELECT doc_id, sum(p) // 64 AS mean FROM px GROUP BY 1),
+        |bits AS (
+        |  SELECT px.doc_id,
+        |    CAST(coalesce(sum(CASE WHEN p > mean AND k < 32
+        |      THEN (1::BIGINT << k) ELSE 0 END), 0) AS BIGINT) AS lo,
+        |    CAST(coalesce(sum(CASE WHEN p > mean AND k >= 32
+        |      THEN (1::BIGINT << (k - 32)) ELSE 0 END), 0) AS BIGINT) AS hi
+        |  FROM px JOIN m USING (doc_id) GROUP BY px.doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib
+        |  FROM bits a JOIN bits b
+        |    ON a.doc_id < b.doc_id AND a.hi = b.hi
+        |   AND a.lo // 65536 = b.lo // 65536
+        |  WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 6),
+        |ue AS (SELECT ia AS u, ib AS v FROM pairs
+        |       UNION SELECT ib, ia FROM pairs),
+        |reach AS (
+        |  SELECT u AS id, u AS root FROM ue
+        |  UNION
+        |  SELECT ue.v AS id, r.root FROM reach r JOIN ue ON ue.u = r.id),
+        |cc AS (SELECT id, min(root) AS cluster FROM reach GROUP BY id),
+        |sz AS (SELECT cluster, count(*) AS cluster_size FROM cc GROUP BY 1)
+        |SELECT cc.id, cc.cluster, sz.cluster_size
+        |FROM cc JOIN sz USING (cluster) ORDER BY id""".stripMargin,
 
     "x5_audio_energy" ->
       """WITH d AS (
