@@ -732,6 +732,38 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // X4 × graph — TextRank keyword ranking: PageRank over the word
+    // co-occurrence graph (adjacent candidate words after the standard
+    // TextRank filter — len ≥ 4, df ≥ 5 — with parallel edges kept, so
+    // co-occurrence FREQUENCY weights the walk exactly as the paper's
+    // weighted variant intends). Runs the keyed PageRank in exact
+    // BIGINT micros over STRING nodes; the oracle replays tokenize →
+    // filter → re-rank → adjacency → five full rank rounds.
+    "x4_textrank_terms" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, dir).filter(col("lang") === "en")
+        .select(col("doc_id"),
+          posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos", "w")))
+        .filter(length(col("w")) >= 4)
+      val vocab = toks.select("doc_id", "w").distinct()
+        .groupBy("w").agg(count(lit(1)).as("_df"))
+        .filter(col("_df") >= 5).select("w")
+      val sq = toks.join(vocab, "w")
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+        .select(col("doc_id"), col("rn"), col("w"))
+      val pairs = sq.join(
+          sq.select(col("doc_id"), (col("rn") - 1).as("rn"),
+            col("w").as("w2")),
+          Seq("doc_id", "rn"))
+        .select(col("w").as("src"), col("w2").as("dst"))
+      val edges = pairs.unionByName(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      graft.ops.Graph.pagerankKeyed(edges, "src", "dst", vocab, "w",
+          iters = 5)
+        .orderBy("node")
+    }),
+
     // X4 — novelty score: what fraction of a doc's distinct vocabulary
     // appears in NO other document (global hapax words)? High novelty
     // = unique content or gibberish; near-zero = boilerplate. Two
@@ -9022,6 +9054,8 @@ object SparkEntry {
 
     "graph_pagerank" -> pagerankOracle(5),
 
+    "x4_textrank_terms" -> textrankOracle(5),
+
     "graph_triangles" ->
       """WITH nn AS (SELECT count(*) AS n_nodes FROM documents),
         |raw AS (
@@ -9396,6 +9430,49 @@ object SparkEntry {
        |  USING (src)),
        |alln AS MATERIALIZED (SELECT doc_id AS node FROM documents),
        |r0 AS (SELECT doc_id AS node, CAST(1000000 AS BIGINT) AS r FROM documents),
+       |$rounds
+       |SELECT node, r AS rank_micro FROM r$iters ORDER BY node""".stripMargin
+  }
+
+  /** TextRank oracle: the [[pagerankOracle]] round body verbatim over
+    * the word co-occurrence graph (STRING node keys — the rounds SQL
+    * is type-agnostic). Tokenize → len≥4 filter → df≥5 vocab →
+    * within-doc re-rank → adjacency pairs both directions. */
+  private def textrankOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { r =>
+      s"""r$r AS MATERIALIZED (
+         |  SELECT alln.node, CAST(150000 + coalesce(m.s, 0) AS BIGINT) AS r
+         |  FROM alln LEFT JOIN (
+         |    SELECT ed.dst AS node, sum((85 * p.r) // (100 * ed.deg)) AS s
+         |    FROM ed JOIN r${r - 1} p ON ed.src = p.node GROUP BY ed.dst) m
+         |  USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH xs AS (
+       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS xs
+       |  FROM documents WHERE lang = 'en'),
+       |ix AS (
+       |  SELECT doc_id, xs, unnest(generate_series(1, len(xs))) AS i
+       |  FROM xs),
+       |tok AS MATERIALIZED (
+       |  SELECT doc_id, xs[i] AS w, i AS pos FROM ix
+       |  WHERE length(xs[i]) >= 4),
+       |df AS (SELECT w, count(DISTINCT doc_id) AS dfreq FROM tok GROUP BY 1),
+       |voc AS MATERIALIZED (SELECT w FROM df WHERE dfreq >= 5),
+       |sq AS MATERIALIZED (
+       |  SELECT t.doc_id, t.w,
+       |    ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY t.pos) AS rn
+       |  FROM tok t JOIN voc USING (w)),
+       |pr AS (
+       |  SELECT a.w AS src, b.w AS dst FROM sq a
+       |  JOIN sq b ON b.doc_id = a.doc_id AND b.rn = a.rn + 1),
+       |e AS MATERIALIZED (
+       |  SELECT src, dst FROM pr UNION ALL SELECT dst, src FROM pr),
+       |ed AS MATERIALIZED (
+       |  SELECT e.src, e.dst, d.deg
+       |  FROM e JOIN (SELECT src, count(*) AS deg FROM e GROUP BY src) d
+       |  USING (src)),
+       |alln AS MATERIALIZED (SELECT w AS node FROM voc),
+       |r0 AS (SELECT w AS node, CAST(1000000 AS BIGINT) AS r FROM voc),
        |$rounds
        |SELECT node, r AS rank_micro FROM r$iters ORDER BY node""".stripMargin
   }

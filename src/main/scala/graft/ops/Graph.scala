@@ -301,6 +301,27 @@ object Graph {
         coalesce(col("final_deg"), lit(0L)).as("final_deg"))
   }
 
+  /** [[pagerank]] over ARBITRARY node key types (strings — TextRank's
+    * word nodes — or composites): identical integer recurrence and
+    * per-round plan, minus the long cast. The key column's type is the
+    * caller's; everything else (persisted degree-joined edges, exact
+    * BIGINT micro ranks, dangling-mass and parallel-edge semantics)
+    * follows the [[pagerank]] contract verbatim. */
+  def pagerankKeyed(edges: DataFrame, srcCol: String, dstCol: String,
+      nodes: DataFrame, nodeCol: String, iters: Int): DataFrame = {
+    require(iters >= 0 && iters <= 1000, s"iters must be in [0,1000], got $iters")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val n = nodes.select(col(nodeCol).as("node"))
+    val ed = e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .persist()
+    var ranks = n.select(col("node"), lit(1000000L).as("r"))
+    for (_ <- 1 to iters) {
+      ranks = Packing.pinExchange(round(ed, ranks, n))
+    }
+    ed.unpersist()
+    ranks.select(col("node"), col("r").as("rank_micro"))
+  }
+
   /** Bounded-round multi-source BFS: hop distance from a seed SET over
     * the undirected simple graph — the reachability primitive under
     * crawl-depth audits, contamination blast-radius ("everything within
