@@ -270,6 +270,27 @@ object ScaleProbe {
           docs.select(col("doc_id")).filter(col("doc_id") % 97 >= 3),
           "doc_id", bucketSize = 1000L).count()
       }
+      time("textrank") {
+        import org.apache.spark.sql.expressions.Window
+        val toks = docs.filter(col("lang") === "en")
+          .select(col("doc_id"),
+            posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos", "w")))
+          .filter(length(col("w")) >= 4)
+        val vocab = toks.select("doc_id", "w").distinct()
+          .groupBy("w").agg(count(lit(1)).as("_df"))
+          .filter(col("_df") >= 5).select("w")
+        val sq = toks.join(vocab, "w")
+          .withColumn("rn",
+            row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+          .select(col("doc_id"), col("rn"), col("w"))
+        val pairs = sq.join(sq.select(col("doc_id"),
+            (col("rn") - 1).as("rn"), col("w").as("w2")), Seq("doc_id", "rn"))
+          .select(col("w").as("src"), col("w2").as("dst"))
+        graft.ops.Graph.pagerankKeyed(
+          pairs.unionByName(pairs.select(col("dst").as("src"),
+            col("src").as("dst"))),
+          "src", "dst", vocab, "w", iters = 5).count()
+      }
       docs.unpersist()
     }
     spark.stop()
