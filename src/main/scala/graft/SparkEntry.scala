@@ -669,6 +669,35 @@ object SparkEntry {
     }),
 
     // X3 verify kernel — exact word-3-shingle Jaccard on adjacent-id pairs.
+    // Containment (overlap coefficient) — the ASYMMETRIC near-dup
+    // signal Jaccard structurally misses: a doc fully embedded in a
+    // larger one scores containment 1.0 but Jaccard near zero.
+    // Exact integer micros (sizes + one trunc-div — no float surface
+    // at all). Two pair kinds: natural adjacent docs (low scores) and
+    // each doc vs its own 60%-word prefix, whose shingles are a
+    // strict subset of the full doc's — containment EXACTLY 10⁶ by
+    // construction, the branch a symmetric measure cannot reach.
+    "x3_containment" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val w = split(lower(col("text")), "\\s+")
+      val base = d.select(col("doc_id"), col("text"),
+        array_join(slice(w, lit(1),
+          greatest(lit(3), expr("(size(split(lower(text), '\\\\s+')) * 3) div 5")
+            .cast("int"))), " ").as("prefix_text"))
+      val full = base.select(col("doc_id"),
+        Dedup.wordShingles(lower(col("text")), 3).as("_sf"),
+        Dedup.wordShingles(lower(col("prefix_text")), 3).as("_sp"))
+      val adjacent = full.select(col("doc_id").as("id_a"), col("_sf").as("_sa"))
+        .join(full.select(col("doc_id").as("id_b"), col("_sf").as("_sb")),
+          col("id_a") + 1 === col("id_b"))
+        .select(lit("adjacent").as("kind"), col("id_a"), col("id_b"),
+          Dedup.containmentMicro(col("_sa"), col("_sb")).as("containment_micro"))
+      val prefix = full.select(lit("self_prefix").as("kind"),
+        col("doc_id").as("id_a"), col("doc_id").as("id_b"),
+        Dedup.containmentMicro(col("_sp"), col("_sf")).as("containment_micro"))
+      adjacent.unionByName(prefix).orderBy("kind", "id_a")
+    }),
+
     "x3_ngram_jaccard" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       val a = d.select(col("doc_id").as("id_a"), Dedup.wordShingles(lower(col("text")), 3).as("_sa"))
@@ -5252,6 +5281,41 @@ object SparkEntry {
         |FROM (SELECT l_orderkey, l_extendedprice FROM lineitem WHERE l_quantity > 45) l
         |RIGHT JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+
+    "x3_containment" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, w,
+        |    list_slice(w, 1, greatest(3, (len(w) * 3) // 5)) AS pw
+        |  FROM t),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) >= 3 THEN
+        |      list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |    ELSE [array_to_string(w, ' ')] END AS sf,
+        |    CASE WHEN len(pw) >= 3 THEN
+        |      list_distinct(list_transform(generate_series(1, len(pw) - 2),
+        |        i -> pw[i] || ' ' || pw[i+1] || ' ' || pw[i+2]))
+        |    ELSE [array_to_string(pw, ' ')] END AS sp
+        |  FROM p),
+        |adj AS (
+        |  SELECT 'adjacent' AS kind, a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CASE WHEN least(len(a.sf), len(b.sf)) <= 0 THEN 0
+        |      ELSE (len(list_intersect(a.sf, b.sf)) * 1000000)
+        |        // least(len(a.sf), len(b.sf)) END AS c
+        |  FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id),
+        |pre AS (
+        |  SELECT 'self_prefix' AS kind, doc_id AS id_a, doc_id AS id_b,
+        |    CASE WHEN least(len(sp), len(sf)) <= 0 THEN 0
+        |      ELSE (len(list_intersect(sp, sf)) * 1000000)
+        |        // least(len(sp), len(sf)) END AS c
+        |  FROM sh)
+        |SELECT kind, id_a, id_b, CAST(c AS BIGINT) AS containment_micro
+        |FROM (SELECT * FROM adj UNION ALL SELECT * FROM pre)
+        |ORDER BY kind, id_a""".stripMargin,
 
     "x3_ngram_jaccard" ->
       """WITH sh AS (

@@ -216,6 +216,22 @@ object Dedup {
     inter / (size(a).cast("double") + size(b).cast("double") - inter)
   }
 
+  /** Containment (overlap coefficient): |A∩B| / min(|A|, |B|) in exact
+    * trunc-micros — the ASYMMETRIC near-dup signal Jaccard
+    * structurally misses: a document fully embedded in a 10× larger
+    * one scores containment 1.0 but Jaccard ≤ 0.1, so quote-
+    * expansions, prefix-crawls, and wrapper pages survive a Jaccard
+    * gate and die here. Integer end-to-end (sizes are ints, one
+    * trunc-div) — unlike [[jaccard]]'s double, this hashes
+    * engine-to-engine with no float surface at all. Empty sets pin 0
+    * (min-size guard). */
+  def containmentMicro(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("long")
+    val mn = least(size(a), size(b)).cast("long")
+    when(mn <= 0L, lit(0L))
+      .otherwise(call_function("div", inter * 1000000L, mn))
+  }
+
   /** X3 scale path — EXACT threshold-Jaccard self-join via prefix
     * filtering (the AllPairs/PPJoin family, Bayardo et al. WWW'07 /
     * Xiao et al. ICDE'08 — published algorithms, re-derived here for
