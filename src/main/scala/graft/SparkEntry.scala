@@ -1382,6 +1382,114 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // X5 — TRANSFORM-coded codec: baseline JPEG (T.81) with real FDCT
+    // + Annex-K Huffman entropy coding both directions. Fixture rasters
+    // are constant per 8×8 block, so the DC-only spectrum with Q[0]=8
+    // reconstructs BIT-EXACTLY through the lossy pipeline (see
+    // ops/Multimodal section note) and the oracle replays every pixel
+    // statistic from the block formula; the DC diff chain crosses all
+    // blocks (a one-bit Huffman slip scrambles every later block), and
+    // every 5th doc adds restart markers so the RST path is gated too.
+    // dct_saves_bytes (pinned TRUE) proves entropy coding genuinely ran.
+    "x5_decode_jpeg" -> ((s, dir) => {
+      import s.implicits._
+      val recs = Tables.documents(s, dir).filter(col("doc_id") < 400)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = (8 * (2 + id % 3)).toInt; val h = (8 * (1 + id % 4)).toInt
+          Multimodal.MediaRecord(id,
+            Multimodal.encodeJpeg(w, h, { i =>
+              val bx = (i % w) / 8; val by = (i / w) / 8
+              ((id * 31 + bx * 7 + by * 13) % 256).toInt
+            }, Multimodal.uniformQuantTable(),
+              restartInterval = if (id % 5 == 0) 2 else 0),
+            "image/jpeg", "xx")
+        }
+      Multimodal.decodeJpegStats(recs).toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("n_pixels"),
+          col("px_sum"), col("px_min"), col("px_max"),
+          (col("n_entropy_bytes") < col("n_pixels")).as("dct_saves_bytes"))
+        .orderBy("doc_id")
+    }),
+
+    // X5 — re-encoded-copy image dedup ACROSS formats: the same
+    // block-constant raster shipped as a PGM (doc 2·id) and as a JPEG
+    // (doc 2·id+1), hashed through the SHARED averageHash raster
+    // kernel, paired on exact 64-bit hash equality (a hash join on the
+    // hash key — the scale path; never all-pairs), and clustered by
+    // the pointer-jumping connected-components op. Every twin pair
+    // must land in one cluster — the bit-exact JPEG decode is what
+    // makes a lossy-format copy FINDABLE by exact hash.
+    "x5_phash_jpeg" -> ((s, dir) => {
+      import s.implicits._
+      val hashes = Tables.documents(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val (w, h) = (16, 16)
+          def pix(i: Int): Int = {
+            val bx = (i % w) / 8; val by = (i / w) / 8
+            ((id * 37 + bx * 101 + by * 53) % 256).toInt
+          }
+          Seq(
+            Multimodal.averageHashPgm(2 * id,
+              Multimodal.encodePgm(w, h, 255, pix)),
+            Multimodal.averageHashJpeg(2 * id + 1,
+              Multimodal.encodeJpeg(w, h, pix)))
+        }.toDF()
+      val pairs = hashes.as("a").join(hashes.as("b"),
+          col("a.hash_lo") === col("b.hash_lo") &&
+          col("a.hash_hi") === col("b.hash_hi") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      val cc = Dedup.clusterPairs(pairs)
+      val sizes = cc.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("cluster_size"))
+      cc.join(sizes, Seq("cluster"))
+        .select(col("id"), col("cluster"), col("cluster_size"))
+        .orderBy("id")
+    }),
+
+    // X5 — image dedup across ALL FOUR decoded formats: one raster
+    // shipped as PGM (4·id), JPEG (4·id+1), PNG (4·id+2), and GIF
+    // (4·id+3, 8-bit grayscale ramp palette = identity map), each
+    // decoded by its own real codec, all hashed through the shared
+    // averageHash raster kernel — every quadruple must collapse to one
+    // cluster of 4. This is the re-encoded-copy scenario (the same
+    // image saved under different formats) that defeats byte-level
+    // dedup and is exactly what raster-level hashing exists for.
+    "x5_phash_formats" -> ((s, dir) => {
+      import s.implicits._
+      val hashes = Tables.documents(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val (w, h) = (16, 16)
+          def pix(i: Int): Int = {
+            val bx = (i % w) / 8; val by = (i / w) / 8
+            ((id * 59 + bx * 67 + by * 29) % 256).toInt
+          }
+          Seq(
+            Multimodal.averageHashPgm(4 * id,
+              Multimodal.encodePgm(w, h, 255, pix)),
+            Multimodal.averageHashJpeg(4 * id + 1,
+              Multimodal.encodeJpeg(w, h, pix)),
+            Multimodal.averageHashPng(4 * id + 2,
+              Multimodal.encodePng(w, h, pix)),
+            Multimodal.averageHashGif(4 * id + 3,
+              Multimodal.encodeGif(w, h, 8, pix)))
+        }.toDF()
+      val pairs = hashes.as("a").join(hashes.as("b"),
+          col("a.hash_lo") === col("b.hash_lo") &&
+          col("a.hash_hi") === col("b.hash_hi") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      val cc = Dedup.clusterPairs(pairs)
+      val sizes = cc.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("cluster_size"))
+      cc.join(sizes, Seq("cluster"))
+        .select(col("id"), col("cluster"), col("cluster_size"))
+        .orderBy("id")
+    }),
+
     // X5 — GZIP ingest round trip (RFC 1952, the wrapper 100 TB text
     // corpora actually arrive in): compress each doc's bytes, run the
     // batched gunzip boundary, and certify the round trip against the
@@ -2842,7 +2950,7 @@ object SparkEntry {
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey"), col("l_partkey"))
       graft.ops.Sampling.negativeSample(pos, "o_custkey", "l_partkey",
-          itemCount, k = 3)
+          itemCount, k = 3, itemBase = 1L)
         .orderBy("o_custkey", "draw_rank")
     }),
 
@@ -6134,6 +6242,88 @@ object SparkEntry {
         |  TRUE AS deflate_saves_bytes
         |FROM g ORDER BY doc_id""".stripMargin,
 
+    // Block-grain replay of the bit-exact JPEG round trip: one row per
+    // 8×8 block, pixel stats scale by 64. dct_saves_bytes pinned TRUE.
+    "x5_decode_jpeg" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    8 * (2 + doc_id % 3) AS w, 8 * (1 + doc_id % 4) AS h
+        |  FROM documents WHERE doc_id < 400),
+        |v AS (
+        |  SELECT d.doc_id, d.w, d.h,
+        |    (d.doc_id * 31 + gx.bx * 7 + gy.by * 13) % 256 AS val
+        |  FROM d
+        |  JOIN generate_series(0, 3) gx(bx) ON gx.bx < d.w // 8
+        |  JOIN generate_series(0, 3) gy(by) ON gy.by < d.h // 8)
+        |SELECT doc_id, CAST(min(w) AS INTEGER) AS width,
+        |  CAST(min(h) AS INTEGER) AS height,
+        |  CAST(min(w) * min(h) AS BIGINT) AS n_pixels,
+        |  CAST(64 * sum(val) AS BIGINT) AS px_sum,
+        |  CAST(min(val) AS INTEGER) AS px_min,
+        |  CAST(max(val) AS INTEGER) AS px_max,
+        |  TRUE AS dct_saves_bytes
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // averageHash replayed from the 16×16 twin raster formula (sample
+    // (x,y) → block (x/4, y/4) at these dims), then clusters = exact-
+    // hash groups (min id, group size) — identical to the connected
+    // components of the equality-pair graph the Spark side builds.
+    "x5_phash_jpeg" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 200),
+        |tw AS (
+        |  SELECT 2 * id + t.s AS doc_id, id
+        |  FROM ids, (VALUES (0), (1)) t(s)),
+        |samp AS (
+        |  SELECT tw.doc_id, g.k,
+        |    (tw.id * 37 + ((g.k % 8) // 4) * 101 + ((g.k // 8) // 4) * 53)
+        |      % 256 AS v
+        |  FROM tw, generate_series(0, 63) g(k)),
+        |m AS (SELECT doc_id, sum(v) // 64 AS mean FROM samp GROUP BY 1),
+        |hb AS (
+        |  SELECT s.doc_id,
+        |    CAST(sum(CASE WHEN s.v > m.mean AND s.k < 32
+        |      THEN (CAST(1 AS BIGINT) << s.k) ELSE 0 END) AS BIGINT)
+        |      AS hash_lo,
+        |    CAST(sum(CASE WHEN s.v > m.mean AND s.k >= 32
+        |      THEN (CAST(1 AS BIGINT) << (s.k - 32)) ELSE 0 END) AS BIGINT)
+        |      AS hash_hi
+        |  FROM samp s JOIN m USING (doc_id) GROUP BY 1)
+        |SELECT doc_id AS id,
+        |  CAST(min(doc_id) OVER (PARTITION BY hash_lo, hash_hi) AS BIGINT)
+        |    AS cluster,
+        |  CAST(count(*) OVER (PARTITION BY hash_lo, hash_hi) AS BIGINT)
+        |    AS cluster_size
+        |FROM hb ORDER BY id""".stripMargin,
+
+    // Four-format twin of the x5_phash_jpeg replay: same hash formula,
+    // 4 twins per source raster, clusters = exact-hash groups.
+    "x5_phash_formats" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 100),
+        |tw AS (
+        |  SELECT 4 * id + t.s AS doc_id, id
+        |  FROM ids, (VALUES (0), (1), (2), (3)) t(s)),
+        |samp AS (
+        |  SELECT tw.doc_id, g.k,
+        |    (tw.id * 59 + ((g.k % 8) // 4) * 67 + ((g.k // 8) // 4) * 29)
+        |      % 256 AS v
+        |  FROM tw, generate_series(0, 63) g(k)),
+        |m AS (SELECT doc_id, sum(v) // 64 AS mean FROM samp GROUP BY 1),
+        |hb AS (
+        |  SELECT s.doc_id,
+        |    CAST(sum(CASE WHEN s.v > m.mean AND s.k < 32
+        |      THEN (CAST(1 AS BIGINT) << s.k) ELSE 0 END) AS BIGINT)
+        |      AS hash_lo,
+        |    CAST(sum(CASE WHEN s.v > m.mean AND s.k >= 32
+        |      THEN (CAST(1 AS BIGINT) << (s.k - 32)) ELSE 0 END) AS BIGINT)
+        |      AS hash_hi
+        |  FROM samp s JOIN m USING (doc_id) GROUP BY 1)
+        |SELECT doc_id AS id,
+        |  CAST(min(doc_id) OVER (PARTITION BY hash_lo, hash_hi) AS BIGINT)
+        |    AS cluster,
+        |  CAST(count(*) OVER (PARTITION BY hash_lo, hash_hi) AS BIGINT)
+        |    AS cluster_size
+        |FROM hb ORDER BY id""".stripMargin,
+
     "x5_gunzip_roundtrip" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS content_md5, TRUE AS compresses_or_short
@@ -7852,7 +8042,7 @@ object SparkEntry {
         |  FROM daily
         |  WINDOW fr AS (PARTITION BY o_orderpriority ORDER BY day_num
         |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
-        |SELECT o_orderpriority, day_num, v_cents,
+        |SELECT o_orderpriority, day_num, CAST(v_cents AS BIGINT) AS v_cents,
         |  CAST(n_w AS BIGINT) AS n_w, CAST(sum_w AS BIGINT) AS sum_w,
         |  CAST(n_w * ss - sum_w * sum_w AS BIGINT) AS var_num
         |FROM w ORDER BY o_orderpriority, day_num""".stripMargin,
@@ -7882,7 +8072,7 @@ object SparkEntry {
         |    greatest(0, (CASE WHEN r.sn > r.h THEN 0 ELSE r.sn END)
         |      + n.mu - n.kp - n.x)
         |  FROM r JOIN e n ON n.k = r.k AND n.rn = r.rn + 1)
-        |SELECT k AS o_orderpriority, week_num, x,
+        |SELECT k AS o_orderpriority, week_num, CAST(x AS BIGINT) AS x,
         |  CAST(sp AS BIGINT) AS s_pos, CAST(sn AS BIGINT) AS s_neg,
         |  sp > h AS alarm_up, sn > h AS alarm_down
         |FROM r ORDER BY o_orderpriority, week_num""".stripMargin,
@@ -8352,7 +8542,7 @@ object SparkEntry {
         |  WHERE to_state IS NOT NULL GROUP BY 1, 2),
         |t AS (SELECT from_state, sum(n) AS row_total FROM c GROUP BY 1)
         |SELECT c.from_state, c.to_state, c.n,
-        |  (c.n * 1000000) // t.row_total AS p_micro
+        |  CAST((c.n * 1000000) // t.row_total AS BIGINT) AS p_micro
         |FROM c JOIN t USING (from_state)
         |ORDER BY from_state, to_state""".stripMargin,
 
@@ -8772,7 +8962,7 @@ object SparkEntry {
         |  SELECT ks.k, t.j,
         |    ((ks.k % 4194304) * (ks.k % 4194304) * 7919
         |      + t.j * t.j * 104729 + (ks.k % 4194304) * t.j * 31 + t.j)
-        |      % n.ic AS i
+        |      % n.ic + 1 AS i
         |  FROM ks, n, generate_series(0, 11) AS t(j)),
         |fresh AS (
         |  SELECT c.k, c.i, min(c.j) AS j FROM cand c

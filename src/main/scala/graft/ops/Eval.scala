@@ -270,13 +270,26 @@ object Eval {
     val diff = d(col("x_a")) * col("n_b") - d(col("x_b")) * col("n_a")
     val n = d(col("n_a")) + col("n_b")
     val x = d(col("x_a")) + col("x_b")
+    // LHS bounds the safe range: diff² ≤ (n_a·n_b)² ≤ n⁴/16, so
+    // 10⁶·diff²·n ≤ 10⁶·n⁵/16 — under DECIMAL(38,0) while n = n_a+n_b
+    // stays ≲ 4×10⁶ per group. Past that, non-ANSI Spark nulls the
+    // product silently; surface it as a job abort (the chiSquareTerms
+    // discipline) instead of a silently-NULL `significant`. DuckDB's
+    // HUGEINT replay errors loudly at the same scale, so the two
+    // engines agree on the failure mode too.
+    val lhs = lit(1000000L) * diff * diff * n
+    val rhs = lit(zCritMicro) * d(col("n_a")) * col("n_b") * x * (n - x)
+    val sig = when(col("n_a") === 0 || col("n_b") === 0, lit(false))
+      .when(lhs.isNull || rhs.isNull,
+        raise_error(lit("twoProportionTest: decimal(38,0) overflow — " +
+          "group exceeds the ~4e6-observation exact-path ceiling; " +
+          "pre-aggregate or subsample the cohort"))
+          .cast("boolean"))
+      .otherwise(lhs > rhs)
     agg.select(
       gc ++ Seq(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
         expr("(x_a * 1000000) div greatest(n_a, 1)").as("p_a_micro"),
         expr("(x_b * 1000000) div greatest(n_b, 1)").as("p_b_micro"),
-        (col("n_a") > 0 && col("n_b") > 0 &&
-          (lit(1000000L) * diff * diff * n >
-            lit(zCritMicro) * d(col("n_a")) * col("n_b") * x * (n - x)))
-          .as("significant")): _*)
+        sig.as("significant")): _*)
   }
 }

@@ -47,10 +47,11 @@ object Geo {
     val pts = df.select(col(id).cast("long").as("_id"),
       x.cast("long").as("_x"), y.cast("long").as("_y"))
     val r = lit(radius)
-    // home cell (floor-div handles negative coordinates via pmod-free
-    // floor semantics: use explicit floor-div expression)
+    // exact integer floor division (c − pmod is the largest multiple of
+    // radius ≤ c, also for negatives) — a double intermediate would
+    // round coordinates near 2^53 and misassign boundary cells
     def cellOf(c: Column): Column =
-      floor(c.cast("double") / radius.toDouble).cast("long")
+      call_function("div", c - pmod(c, lit(radius)), lit(radius))
     val home = pts
       .withColumn("_cx", cellOf(col("_x")))
       .withColumn("_cy", cellOf(col("_y")))
@@ -79,8 +80,9 @@ object Geo {
   def cellCensus(df: DataFrame, x: Column, y: Column,
       cellSize: Long): DataFrame = {
     require(cellSize >= 1, s"cellSize must be >= 1, got $cellSize")
+    // same exact floor-div as radiusJoin — no float surface
     def cellOf(c: Column): Column =
-      floor(c.cast("double") / cellSize.toDouble).cast("long")
+      call_function("div", c - pmod(c, lit(cellSize)), lit(cellSize))
     df.select(cellOf(x.cast("long")).as("cell_x"),
         cellOf(y.cast("long")).as("cell_y"))
       .groupBy("cell_x", "cell_y")

@@ -291,6 +291,29 @@ object ScaleProbe {
             col("src").as("dst"))),
           "src", "dst", vocab, "w", iters = 5).count()
       }
+      time("connected_components") {
+        // the gate's planted topology (chains of 10 + %97 long links)
+        // over the SCALED id range: component count grows with f while
+        // diameter stays fixed — pointer jumping's round count should
+        // hold flat and wall-clock should track data, not diameter
+        val nodes = docs.select(col("doc_id").as("k"))
+        val e1 = nodes.filter(col("k") % 10 =!= 9)
+          .select(col("k").as("id_a"), (col("k") + 1).as("id_b"))
+        val e2 = nodes.filter(col("k") % 97 === 0)
+          .select(col("k").as("id_a"), (col("k") + 100).as("id_b"))
+        val edges = e1.unionByName(e2)
+          .join(nodes.withColumnRenamed("k", "id_b"), Seq("id_b"), "left_semi")
+        graft.ops.Dedup.clusterPairs(edges).count()
+      }
+      time("basket_lift") {
+        // basket count scales with f at FIXED basket size (8 items,
+        // ≤50 distinct brands): the self-join fan-out is bounded per
+        // basket, so pair volume grows linearly with baskets
+        val baskets = docs.select(
+          (col("doc_id") / 8).cast("long").as("bk"),
+          pmod(xxhash64(col("text")), lit(50L)).as("it"))
+        graft.ops.Reagg.basketLift(baskets, "bk", "it", minSupport = 5).count()
+      }
       docs.unpersist()
     }
     spark.stop()

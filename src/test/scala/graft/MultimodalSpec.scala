@@ -281,4 +281,120 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       AudioFrame(7L, 1L, 100L, 9L, true),
       AudioFrame(7L, 2L, 50L, 1000000L, false)))
   }
+
+  test("JPEG: block-constant raster round-trips bit-exactly through " +
+      "the full FDCT/Huffman/IDCT chain") {
+    import graft.ops.Multimodal._
+    // 3×2 blocks of distinct constants — the DC diff chain crosses
+    // every block; one Huffman slip anywhere scrambles all later DCs
+    val (w, h) = (24, 16)
+    def blockVal(i: Int): Int = {
+      val (x, y) = (i % w, i / w)
+      ((x / 8) * 97 + (y / 8) * 41 + 13) % 256
+    }
+    val jpg = encodeJpeg(w, h, blockVal)
+    val (dw, dh, px, nEnt) = decodeJpegRaster(jpg)
+    assert(dw == w && dh == h)
+    assert(px.indices.forall(i => px(i) == blockVal(i)))
+    assert(nEnt > 0 && nEnt < w * h) // transform coding genuinely ran
+  }
+
+  test("JPEG: non-multiple-of-8 dims crop correctly and edge blocks " +
+      "stay exact under clamp padding") {
+    import graft.ops.Multimodal._
+    val (w, h) = (20, 11) // partial right and bottom blocks
+    def blockVal(i: Int): Int = ((i % w) / 8 * 50 + (i / w) / 8 * 30 + 5) % 256
+    val (dw, dh, px, _) = decodeJpegRaster(encodeJpeg(w, h, blockVal))
+    assert(dw == w && dh == h && px.length == w * h)
+    assert(px.indices.forall(i => px(i) == blockVal(i)))
+  }
+
+  test("JPEG: restart markers reset the DC predictor and decode " +
+      "identically") {
+    import graft.ops.Multimodal._
+    val (w, h) = (40, 24) // 5×3 = 15 MCUs → RSTs at 4, 8, 12
+    def blockVal(i: Int): Int = ((i % w) / 8 * 31 + (i / w) / 8 * 7) % 256
+    val plain = encodeJpeg(w, h, blockVal)
+    val rst = encodeJpeg(w, h, blockVal, restartInterval = 4)
+    assert(rst.length > plain.length) // DRI + RST markers present
+    val (_, _, px, _) = decodeJpegRaster(rst)
+    assert(px.indices.forall(i => px(i) == blockVal(i)))
+  }
+
+  test("JPEG: decoder agrees with the JDK ImageIO reference on a " +
+      "non-constant image (±1 IDCT tolerance)") {
+    import graft.ops.Multimodal._
+    val (w, h) = (37, 29)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    (0 until h).foreach(y => (0 until w).foreach { x =>
+      val v = (x * x * 7 + y * 13 + x * y) % 256
+      img.getRaster.setSample(x, y, 0, v)
+    })
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val bytes = bos.toByteArray
+    val (dw, dh, px, _) = decodeJpegRaster(bytes) // foreign encoder!
+    assert(dw == w && dh == h)
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    var maxDiff = 0
+    (0 until h).foreach(y => (0 until w).foreach { x =>
+      val d = math.abs(px(y * w + x) - ref.getRaster.getSample(x, y, 0))
+      maxDiff = math.max(maxDiff, d)
+    })
+    assert(maxDiff <= 1, s"IDCT disagreement: max pixel diff $maxDiff")
+  }
+
+  test("JPEG: progressive and multi-component frames fail loudly; " +
+      "stats and cross-format hash agree with the PGM twin") {
+    import graft.ops.Multimodal._
+    // SOF2 (progressive) rejected by name
+    def seg(m: Int, body: Array[Int]): Array[Byte] =
+      (Array(0xFF, m, (body.length + 2) >>> 8, (body.length + 2) & 0xFF)
+        ++ body).map(_.toByte)
+    val sof2 = Array(0xFF, 0xD8).map(_.toByte) ++
+      seg(0xC2, Array(8, 0, 8, 0, 8, 1, 1, 0x11, 0))
+    val e1 = intercept[IllegalArgumentException](decodeJpegRaster(sof2))
+    assert(e1.getMessage.contains("progressive"))
+    // 3-component (color) frame rejected by name
+    val sof3 = Array(0xFF, 0xD8).map(_.toByte) ++
+      seg(0xC0, Array(8, 0, 8, 0, 8, 3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1))
+    val e2 = intercept[IllegalArgumentException](decodeJpegRaster(sof3))
+    assert(e2.getMessage.contains("single-component"))
+    // stats form + cross-format dedup: JPEG and PGM twins of the same
+    // block-constant raster produce the same pixels, hence same hash
+    val (w, h) = (16, 16)
+    def blockVal(i: Int): Int = if ((i % w) / 8 == 0 && (i / w) / 8 == 0) 200 else 60
+    val st = decodeJpeg(5L, encodeJpeg(w, h, blockVal))
+    assert(st.width == 16 && st.height == 16 && st.n_pixels == 256L)
+    assert(st.px_min == 60 && st.px_max == 200)
+    assert(st.px_sum == 64L * 200 + 192L * 60)
+    val hj = averageHashJpeg(5L, encodeJpeg(w, h, blockVal))
+    val hp = averageHashPgm(5L, encodePgm(w, h, 255, blockVal))
+    assert(hj == hp)
+  }
+
+  test("cross-format averageHash: PGM/JPEG/PNG/GIF of one raster agree; " +
+      "color GIF palette rejected") {
+    import graft.ops.Multimodal._
+    val (w, h) = (16, 16)
+    def pix(i: Int): Int = {
+      val bx = (i % w) / 8; val by = (i / w) / 8
+      (40 + bx * 150 + by * 55) % 256
+    }
+    val hp = averageHashPgm(1L, encodePgm(w, h, 255, pix))
+    assert(averageHashJpeg(1L, encodeJpeg(w, h, pix)) == hp)
+    assert(averageHashPng(1L, encodePng(w, h, pix)) == hp)
+    // 8-bit GIF: the grayscale ramp palette is the identity map
+    assert(averageHashGif(1L, encodeGif(w, h, 8, pix)) == hp)
+    // sub-8-bit GIF still hashes (palette g = c·255/(n−1), achromatic)
+    val g4 = averageHashGif(2L, encodeGif(w, h, 4, i => pix(i) % 16))
+    assert(g4.doc_id == 2L)
+    // a color palette must fail loudly, not approximate luma
+    val gif = encodeGif(w, h, 4, i => pix(i) % 16)
+    gif(14) = 99.toByte // perturb G of palette entry 0 → chromatic
+    val e = intercept[IllegalArgumentException](averageHashGif(3L, gif))
+    assert(e.getMessage.contains("achromatic"))
+  }
 }

@@ -41,6 +41,18 @@ def canon(rows, cols):
     out.sort()
     return out
 
+def norm_type(t):
+    """Collapse diffs the driver's hash does NOT care about, keeping the
+    ones it does (HUGEINT vs BIGINT, DECIMAL vs DOUBLE, INT32 vs INT64)."""
+    t = t.upper()
+    if t == "TIMESTAMP WITH TIME ZONE":
+        return "TIMESTAMP"
+    return t
+
+def type_map(con, sql):
+    rows = con.execute(f"DESCRIBE {sql}").fetchall()
+    return {r[0]: norm_type(r[1]) for r in rows}
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
@@ -73,6 +85,19 @@ def main():
         if sorted(got_cols) != sorted(exp_cols):
             print(f"FAIL {name}: cols {sorted(got_cols)} != {sorted(exp_cols)}")
             n_fail += 1; continue
+        # Driver's hash is output-type-sensitive (r5 DECIMAL, r6 HUGEINT):
+        # assert the DuckDB-visible type of every oracle output column
+        # matches the Spark parquet physical type.
+        try:
+            gt = type_map(con, f"SELECT * FROM read_parquet({files!r})")
+            et = type_map(con, f"({oracle[name]})")
+            tdiff = [(c, gt.get(c), et.get(c)) for c in gt
+                     if gt.get(c) != et.get(c)]
+            if tdiff:
+                print(f"FAIL {name}: type mismatch (spark, oracle): {tdiff}")
+                n_fail += 1; continue
+        except Exception as e:
+            print(f"FAIL {name}: describe error: {e}"); n_fail += 1; continue
         if len(got_rows) != len(exp_rows):
             print(f"FAIL {name}: rows {len(got_rows)} != {len(exp_rows)}")
             n_fail += 1; continue
