@@ -1412,6 +1412,134 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // X5 — exact spectral anchors: the two DFT bins an integer engine
+    // CAN certify bit-for-bit (DC = Σs, Nyquist = alternating Σ) plus
+    // total power (Parseval's left side) — anchoring a spectral
+    // pipeline without the irrational twiddles a hash oracle cannot
+    // replay. Even sample counts by construction so the Nyquist bin is
+    // well-defined.
+    "x5_audio_spectral" -> ((s, dir) => {
+      import s.implicits._
+      val recs = Tables.documents(s, dir).filter(col("doc_id") < 400)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val n = (64 + (id % 5) * 16).toInt
+          Multimodal.MediaRecord(id, Multimodal.encodeWav(8000,
+            i => (((id * 13 + i * 5) % 4001) - 2000).toInt, n),
+            "audio/wav", "xx")
+        }
+      Multimodal.audioSpectrals(recs).toDF().orderBy("doc_id")
+    }),
+
+    // X5 — REAL sample-rate reduction (decimation ÷2, the 16→8 kHz
+    // speech step): the resampled payload is itself a valid WAV and is
+    // DECODED AGAIN by the gate (the resizePgm discipline) — the
+    // oracle recomputes every statistic from the stride-2 sample
+    // formula, so an off-by-one in the stride or a mis-sized header
+    // flips the hash.
+    "x5_wav_resample" -> ((s, dir) => {
+      import s.implicits._
+      val recs = Tables.documents(s, dir).filter(col("doc_id") < 400)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val n = (50 + id % 100).toInt
+          val src = Multimodal.encodeWav((8000 * (1 + id % 3)).toInt,
+            i => (((id * 13 + i * 5) % 65536) - 32768).toInt, n)
+          Multimodal.MediaRecord(id,
+            Multimodal.resampleWavDecimate(id, src, 2), "audio/wav", "xx")
+        }
+      Multimodal.decodeWavStats(recs).toDF().orderBy("doc_id")
+    }),
+
+    // X5 — ANIMATED GIF: the real "video" container of the family —
+    // every frame decoded through its own LZW code stream, with
+    // Graphic Control Extension timing (delay centiseconds) and
+    // sub-rectangle placement walked for real. The oracle replays
+    // every frame's geometry, delay, and per-frame pixel census from
+    // the generating formula — a mis-walked extension block or a
+    // frame-boundary LZW slip scrambles a specific frame's row.
+    "x5_gif_frames" -> ((s, dir) => {
+      import s.implicits._
+      val recs = Tables.documents(s, dir).filter(col("doc_id") < 300)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val nf = (2 + id % 4).toInt
+          val frames = (0 until nf).map { j =>
+            val (x0, y0, w, h) =
+              if (j == 0) (0, 0, 24, 16)
+              else ((j % 3) * 4, (j % 2) * 4, 8 + 4 * (j % 2), 8)
+            (x0, y0, w, h, 10 + 5 * j,
+              (i: Int) => ((id + j * 7 + i) % 16).toInt)
+          }
+          Multimodal.MediaRecord(id,
+            Multimodal.encodeGifAnimated(24, 16, 4, frames),
+            "image/gif", "xx")
+        }
+      Multimodal.gifFrameStats(recs).toDF().orderBy("doc_id", "frame_id")
+    }),
+
+    // X5 — PROGRESSIVE JPEG (SOF2): the decoder's multi-scan path —
+    // DC successive approximation (first scan ships dc>>1, a
+    // refinement scan ships the held-back bit) plus the spectral AC
+    // band — driver-gated on the same block-constant bit-exact
+    // fixtures as the baseline gate (the web's progressive JPEGs are
+    // what a real crawl corpus actually contains; the ImageIO
+    // cross-check in MultimodalSpec covers foreign scan scripts with
+    // AC refinement + EOB runs). Every 6th doc adds restart markers
+    // inside all three scans.
+    "x5_decode_jpeg_progressive" -> ((s, dir) => {
+      import s.implicits._
+      val recs = Tables.documents(s, dir).filter(col("doc_id") < 400)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = (8 * (2 + id % 3)).toInt; val h = (8 * (1 + id % 4)).toInt
+          Multimodal.MediaRecord(id,
+            Multimodal.encodeJpegProgressive(w, h, { i =>
+              val bx = (i % w) / 8; val by = (i / w) / 8
+              ((id * 47 + bx * 11 + by * 23) % 256).toInt
+            }, restartInterval = if (id % 6 == 0) 3 else 0),
+            "image/jpeg", "xx")
+        }
+      Multimodal.decodeJpegStats(recs).toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("n_pixels"),
+          col("px_sum"), col("px_min"), col("px_max"),
+          (col("n_entropy_bytes") < col("n_pixels")).as("dct_saves_bytes"))
+        .orderBy("doc_id")
+    }),
+
+    // X5 — COLOR JPEG: 3-component YCbCr baseline with 4:2:0 chroma
+    // subsampling, interleaved MCUs, and the Annex-K luma/chroma table
+    // pairs — the full color pipeline (RGB→YCbCr fixed point →
+    // subsample → FDCT/Huffman → decode → upsample → YCbCr→RGB fixed
+    // point) replayed EXACTLY by the oracle: fixtures are constant per
+    // 16×16 MCU, so every plane is DC-only and reconstructs
+    // bit-exactly, leaving only the documented ×2¹⁶ integer color
+    // transforms — which the SQL replays with the same floor rounding
+    // (offset trick: DuckDB // truncates, so (t + 2²⁴) // 2¹⁶ − 2⁸
+    // = arithmetic-shift floor). Every 7th doc adds restart markers.
+    "x5_decode_jpeg_color" -> ((s, dir) => {
+      import s.implicits._
+      val recs = Tables.documents(s, dir).filter(col("doc_id") < 300)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = (16 * (1 + id % 2)).toInt; val h = (16 * (1 + id % 3)).toInt
+          Multimodal.MediaRecord(id,
+            Multimodal.encodeJpegColor(w, h, { i =>
+              val mx = (i % w) / 16; val my = (i / w) / 16
+              val r = ((id * 19 + mx * 7 + my * 3) % 256).toInt
+              val g = ((id * 29 + mx * 13 + my * 5) % 256).toInt
+              val b = ((id * 41 + mx * 3 + my * 11) % 256).toInt
+              (r << 16) | (g << 8) | b
+            }, restartInterval = if (id % 7 == 0) 2 else 0),
+            "image/jpeg", "xx")
+        }
+      Multimodal.decodeJpegColorStats(recs).toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("n_pixels"),
+          col("r_sum"), col("g_sum"), col("b_sum"),
+          (col("n_entropy_bytes") < col("n_pixels")).as("dct_saves_bytes"))
+        .orderBy("doc_id")
+    }),
+
     // X5 — re-encoded-copy image dedup ACROSS formats: the same
     // block-constant raster shipped as a PGM (doc 2·id) and as a JPEG
     // (doc 2·id+1), hashed through the SHARED averageHash raster
@@ -6294,6 +6422,135 @@ object SparkEntry {
         |  CAST(count(*) OVER (PARTITION BY hash_lo, hash_hi) AS BIGINT)
         |    AS cluster_size
         |FROM hb ORDER BY id""".stripMargin,
+
+    // Sample-grain replay of the exact spectral anchors.
+    "x5_audio_spectral" ->
+      """WITH d AS (
+        |  SELECT doc_id, 64 + (doc_id % 5) * 16 AS n
+        |  FROM documents WHERE doc_id < 400),
+        |s AS (
+        |  SELECT doc_id, n, i.i,
+        |    (doc_id * 13 + i.i * 5) % 4001 - 2000 AS v
+        |  FROM d, generate_series(0, 127) i(i) WHERE i.i < n)
+        |SELECT doc_id, CAST(min(n) AS BIGINT) AS n_samples,
+        |  CAST(sum(v) AS BIGINT) AS dc_bin,
+        |  CAST(sum(CASE WHEN i % 2 = 0 THEN v ELSE -v END) AS BIGINT)
+        |    AS nyquist_bin,
+        |  CAST(sum(v * v) AS BIGINT) AS power
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // The x5_decode_wav replay at stride 2 over half the rate.
+    "x5_wav_resample" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    CAST(8000 * (1 + doc_id % 3) // 2 AS INTEGER) AS sample_rate,
+        |    list_transform(generate_series(0, (49 + doc_id % 100) // 2),
+        |      j -> abs((doc_id * 13 + j * 10) % 65536 - 32768)) AS sa
+        |  FROM documents WHERE doc_id < 400)
+        |SELECT doc_id, sample_rate,
+        |  CAST(len(sa) AS BIGINT) AS n_samples,
+        |  CAST(len(sa) * 1000000 // sample_rate AS BIGINT) AS duration_micros,
+        |  CAST(list_sum(sa) AS BIGINT) AS sum_abs,
+        |  CAST(list_max(sa) AS INTEGER) AS peak
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    // Frame-grain replay of the animation fixture: geometry and delay
+    // from the frame-index formula, pixel census from generate_series.
+    "x5_gif_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id, 2 + doc_id % 4 AS nf
+        |  FROM documents WHERE doc_id < 300),
+        |f AS (
+        |  SELECT doc_id, t.j FROM d, generate_series(0, 4) t(j)
+        |  WHERE t.j < nf),
+        |geo AS (
+        |  SELECT doc_id, j,
+        |    CASE WHEN j = 0 THEN 0 ELSE (j % 3) * 4 END AS x_off,
+        |    CASE WHEN j = 0 THEN 0 ELSE (j % 2) * 4 END AS y_off,
+        |    CASE WHEN j = 0 THEN 24 ELSE 8 + 4 * (j % 2) END AS w,
+        |    CASE WHEN j = 0 THEN 16 ELSE 8 END AS h,
+        |    10 + 5 * j AS delay
+        |  FROM f),
+        |px AS (
+        |  SELECT doc_id, j, x_off, y_off, w, h, delay,
+        |    (doc_id + j * 7 + i.i) % 16 AS v
+        |  FROM geo, generate_series(0, 383) i(i) WHERE i.i < w * h)
+        |SELECT doc_id, CAST(j AS INTEGER) AS frame_id,
+        |  CAST(min(x_off) AS INTEGER) AS x_off,
+        |  CAST(min(y_off) AS INTEGER) AS y_off,
+        |  CAST(min(w) AS INTEGER) AS width,
+        |  CAST(min(h) AS INTEGER) AS height,
+        |  CAST(min(delay) AS INTEGER) AS delay_cs,
+        |  CAST(min(w) * min(h) AS BIGINT) AS n_pixels,
+        |  CAST(sum(v) AS BIGINT) AS idx_sum,
+        |  CAST(min(v) AS INTEGER) AS idx_min,
+        |  CAST(max(v) AS INTEGER) AS idx_max
+        |FROM px GROUP BY doc_id, j ORDER BY doc_id, frame_id""".stripMargin,
+
+    // Same block-grain replay as the baseline JPEG gate, over the
+    // progressive fixture's formula.
+    "x5_decode_jpeg_progressive" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    8 * (2 + doc_id % 3) AS w, 8 * (1 + doc_id % 4) AS h
+        |  FROM documents WHERE doc_id < 400),
+        |v AS (
+        |  SELECT d.doc_id, d.w, d.h,
+        |    (d.doc_id * 47 + gx.bx * 11 + gy.by * 23) % 256 AS val
+        |  FROM d
+        |  JOIN generate_series(0, 3) gx(bx) ON gx.bx < d.w // 8
+        |  JOIN generate_series(0, 3) gy(by) ON gy.by < d.h // 8)
+        |SELECT doc_id, CAST(min(w) AS INTEGER) AS width,
+        |  CAST(min(h) AS INTEGER) AS height,
+        |  CAST(min(w) * min(h) AS BIGINT) AS n_pixels,
+        |  CAST(64 * sum(val) AS BIGINT) AS px_sum,
+        |  CAST(min(val) AS INTEGER) AS px_min,
+        |  CAST(max(val) AS INTEGER) AS px_max,
+        |  TRUE AS dct_saves_bytes
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // MCU-grain replay of the color pipeline: forward fixed-point
+    // YCbCr (gray-balanced rows), then the inverse with clamps; both
+    // use the truncating-// + 2²⁴ offset = arithmetic-shift floor.
+    "x5_decode_jpeg_color" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    16 * (1 + doc_id % 2) AS w, 16 * (1 + doc_id % 3) AS h
+        |  FROM documents WHERE doc_id < 300),
+        |m AS (
+        |  SELECT d.doc_id, d.w, d.h,
+        |    (d.doc_id * 19 + gx.mx * 7 + gy.my * 3) % 256 AS r,
+        |    (d.doc_id * 29 + gx.mx * 13 + gy.my * 5) % 256 AS g,
+        |    (d.doc_id * 41 + gx.mx * 3 + gy.my * 11) % 256 AS b
+        |  FROM d
+        |  JOIN generate_series(0, 1) gx(mx) ON gx.mx < d.w // 16
+        |  JOIN generate_series(0, 2) gy(my) ON gy.my < d.h // 16),
+        |yc AS (
+        |  SELECT doc_id, w, h,
+        |    (19595 * r + 38470 * g + 7471 * b + 32768) // 65536 AS y,
+        |    (-11059 * r - 21709 * g + 32768 * b + 32768 + 16777216)
+        |      // 65536 - 256 AS cbd,
+        |    (32768 * r - 27439 * g - 5329 * b + 32768 + 16777216)
+        |      // 65536 - 256 AS crd
+        |  FROM m),
+        |px AS (
+        |  SELECT doc_id, w, h,
+        |    least(255, greatest(0, y +
+        |      (91881 * crd + 32768 + 16777216) // 65536 - 256)) AS rr,
+        |    least(255, greatest(0, y -
+        |      ((22554 * cbd + 46802 * crd + 32768 + 16777216) // 65536
+        |        - 256))) AS gg,
+        |    least(255, greatest(0, y +
+        |      (116130 * cbd + 32768 + 16777216) // 65536 - 256)) AS bb
+        |  FROM yc)
+        |SELECT doc_id, CAST(min(w) AS INTEGER) AS width,
+        |  CAST(min(h) AS INTEGER) AS height,
+        |  CAST(min(w) * min(h) AS BIGINT) AS n_pixels,
+        |  CAST(256 * sum(rr) AS BIGINT) AS r_sum,
+        |  CAST(256 * sum(gg) AS BIGINT) AS g_sum,
+        |  CAST(256 * sum(bb) AS BIGINT) AS b_sum,
+        |  TRUE AS dct_saves_bytes
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Four-format twin of the x5_phash_jpeg replay: same hash formula,
     // 4 twins per source raster, clusters = exact-hash groups.

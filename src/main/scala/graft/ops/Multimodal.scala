@@ -17,10 +17,14 @@ import org.apache.spark.sql.types._
   * and [[Multimodal.decodePng]] implements PNG — chunk/CRC walk and all
   * five scanline filters here, DEFLATE via the JDK's `java.util.zip` —
   * and for one TRANSFORM-coded format: [[Multimodal.decodeJpegRaster]]
-  * is a real baseline-sequential JPEG decoder (Huffman entropy decode,
-  * dequantize, IDCT) for grayscale frames, with
-  * [[Multimodal.encodeJpeg]] its encoder twin. Remaining lossy formats
-  * (color JPEG/MP3/H.264) still go through the clearly marked
+  * / [[Multimodal.decodeJpegRgb]] are a real JPEG decoder — baseline
+  * sequential AND progressive (SOF2: spectral selection, successive
+  * approximation, EOB-run coding), grayscale AND 3-component YCbCr
+  * color with 4:2:0/4:4:4 chroma and fixed-point YCbCr→RGB — with
+  * [[Multimodal.encodeJpeg]] / [[Multimodal.encodeJpegColor]] /
+  * [[Multimodal.encodeJpegProgressive]] their encoder twins.
+  * Remaining lossy formats (MP3/H.264; arithmetic-coded or
+  * hierarchical JPEG) still go through the clearly marked
   * deterministic STUB; either
   * way everything Spark-side is real and load-bearing at scale: the
   * (payload binary, meta struct) schema, the `mapPartitions` batching
@@ -306,7 +310,17 @@ object Multimodal {
       out.write(g); out.write(g); out.write(g); c += 1
     }
     out.write(0x2C); le16(0); le16(0); le16(width); le16(height); out.write(0)
-    // --- LZW compress the index stream ---
+    lzwEncodeRaster(out, colorBits, width * height, pixel)
+    out.write(0x3B)
+    out.toByteArray
+  }
+
+  /** LZW-compress `n` palette indices and write min-code byte +
+    * 255-byte sub-blocks + terminator — the code-stream body shared by
+    * the still and animated writers. */
+  private def lzwEncodeRaster(out: java.io.ByteArrayOutputStream,
+      colorBits: Int, n: Int, pixel: Int => Int): Unit = {
+    val nColors = 1 << colorBits
     val minCode = colorBits
     val clear = 1 << minCode; val eoi = clear + 1
     out.write(minCode)
@@ -320,7 +334,6 @@ object Multimodal {
     val dict = new java.util.HashMap[Long, Integer]()
     var nextCode = eoi + 1
     emit(clear)
-    val n = width * height
     var prev = -1
     var i = 0
     while (i < n) {
@@ -355,7 +368,44 @@ object Multimodal {
       val len = math.min(255, bytes.length - off)
       out.write(len); out.write(bytes, off, len); off += len
     }
-    out.write(0); out.write(0x3B)
+    out.write(0)
+  }
+
+  /** One frame of an animated GIF: (left, top, width, height, delay in
+    * centiseconds, pixel fn over the frame's own w·h raster). */
+  type GifAnimSpec = (Int, Int, Int, Int, Int, Int => Int)
+
+  /** Encode an ANIMATED GIF89a: logical screen + grayscale-ramp GCT,
+    * then per frame a Graphic Control Extension (delay) + image
+    * descriptor (sub-rectangle placement) + LZW code stream. The
+    * "video" container of the X5 family — every decoder renders it. */
+  def encodeGifAnimated(screenW: Int, screenH: Int, colorBits: Int,
+      frames: Seq[GifAnimSpec]): Array[Byte] = {
+    require(colorBits >= 2 && colorBits <= 8, "GIF needs 2..8 bits/pixel")
+    require(frames.nonEmpty, "animated GIF needs at least one frame")
+    val nColors = 1 << colorBits
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    le16(screenW); le16(screenH)
+    out.write(0x80 | ((colorBits - 1) << 4) | (colorBits - 1))
+    out.write(0); out.write(0)
+    var c = 0
+    while (c < nColors) { // grayscale ramp palette
+      val g = c * 255 / (nColors - 1)
+      out.write(g); out.write(g); out.write(g); c += 1
+    }
+    frames.foreach { case (left, top, w, h, delayCs, pixel) =>
+      require(left >= 0 && top >= 0 && w > 0 && h > 0 &&
+        left + w <= screenW && top + h <= screenH,
+        s"frame rect ${left},${top} ${w}x$h outside ${screenW}x$screenH")
+      // Graphic Control Extension: no disposal, no transparency
+      out.write(0x21); out.write(0xF9); out.write(4)
+      out.write(0); le16(delayCs); out.write(0); out.write(0)
+      out.write(0x2C); le16(left); le16(top); le16(w); le16(h); out.write(0)
+      lzwEncodeRaster(out, colorBits, w * h, pixel)
+    }
+    out.write(0x3B)
     out.toByteArray
   }
 
@@ -365,12 +415,17 @@ object Multimodal {
   case class GifFrame(width: Int, height: Int, nColors: Int,
       raster: Array[Int], nCodeBytes: Long, palette: Array[Int])
 
-  /** Decode a GIF89a payload — real LZW decompression (variable-width
-    * codes LSB-first across sub-block boundaries, dictionary rebuild,
-    * the KwKwK case for a code defined by the very step reading it,
-    * CLEAR resets) — returning the raster of palette indices. Skips
-    * extension blocks; decodes the first image frame. */
-  def decodeGifFrame(docId: Long, payload: Array[Byte]): GifFrame = {
+  /** One decoded animation frame: geometry, GCE timing, raster of
+    * palette indices over the frame's own rectangle. */
+  case class GifAnimFrame(frame_id: Int, x_off: Int, y_off: Int,
+      width: Int, height: Int, delay_cs: Int, raster: Array[Int])
+
+  /** Decode EVERY frame of a (possibly animated) GIF: walks Graphic
+    * Control Extensions (capturing each frame's delay), image
+    * descriptors with sub-rectangle placement and optional local
+    * palettes, and each frame's own LZW code stream — the real
+    * "video frame extraction" under the X5 frame-sampling surface. */
+  def decodeGifFrames(docId: Long, payload: Array[Byte]): Seq[GifAnimFrame] = {
     require(payload.length > 13 &&
       new String(payload, 0, 6, "US-ASCII").startsWith("GIF"),
       s"not a GIF payload (doc $docId)")
@@ -378,20 +433,70 @@ object Multimodal {
     val packed = payload(10) & 0xFF
     val gctSize = if ((packed & 0x80) != 0) 1 << ((packed & 7) + 1) else 0
     var pos = 13 + 3 * gctSize
-    // skip extensions (0x21 introducer + label, then sub-blocks) until
-    // the image descriptor (0x2C)
-    while ((payload(pos) & 0xFF) == 0x21) {
-      pos += 2
-      while (payload(pos) != 0) pos += 1 + (payload(pos) & 0xFF)
-      pos += 1
+    val frames = Seq.newBuilder[GifAnimFrame]
+    var frameId = 0
+    var pendingDelay = 0
+    var done = false
+    while (!done) {
+      require(pos < payload.length, s"gif: truncated stream (doc $docId)")
+      (payload(pos) & 0xFF) match {
+        case 0x3B => done = true
+        case 0x21 => // extension: capture GCE delay, skip the rest
+          val label = payload(pos + 1) & 0xFF
+          if (label == 0xF9) pendingDelay = le16(pos + 4)
+          pos += 2
+          while (payload(pos) != 0) pos += 1 + (payload(pos) & 0xFF)
+          pos += 1
+        case 0x2C =>
+          val left = le16(pos + 1); val top = le16(pos + 3)
+          val w = le16(pos + 5); val h = le16(pos + 7)
+          val localPacked = payload(pos + 9) & 0xFF
+          val lctSize =
+            if ((localPacked & 0x80) != 0) 1 << ((localPacked & 7) + 1) else 0
+          val (raster, _, after) =
+            lzwDecodeRaster(payload, pos + 10 + 3 * lctSize, w, h, docId)
+          frames += GifAnimFrame(frameId, left, top, w, h, pendingDelay, raster)
+          frameId += 1; pendingDelay = 0
+          pos = after
+        case other => throw new IllegalArgumentException(
+          f"gif: unexpected block 0x$other%02X at $pos (doc $docId)")
+      }
     }
-    require((payload(pos) & 0xFF) == 0x2C, s"no image descriptor (doc $docId)")
-    val (w, h) = (le16(pos + 5), le16(pos + 7))
-    val localPacked = payload(pos + 9) & 0xFF
-    val lctSize = if ((localPacked & 0x80) != 0) 1 << ((localPacked & 7) + 1) else 0
-    val (palOff, palSize) =
-      if (lctSize > 0) (pos + 10, lctSize) else (13, gctSize)
-    pos += 10 + 3 * lctSize
+    frames.result()
+  }
+
+  /** Per-frame statistics of an animated GIF — the gate-facing form. */
+  case class GifFrameStats(doc_id: Long, frame_id: Int, x_off: Int,
+      y_off: Int, width: Int, height: Int, delay_cs: Int, n_pixels: Long,
+      idx_sum: Long, idx_min: Int, idx_max: Int)
+
+  def gifFrameStats(records: Dataset[MediaRecord]): Dataset[GifFrameStats] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(it => it.flatMap { r =>
+      decodeGifFrames(r.doc_id, r.payload).map { f =>
+        var s = 0L; var mn = Int.MaxValue; var mx = -1
+        var i = 0
+        while (i < f.raster.length) {
+          val v = f.raster(i); s += v
+          if (v < mn) mn = v; if (v > mx) mx = v
+          i += 1
+        }
+        GifFrameStats(r.doc_id, f.frame_id, f.x_off, f.y_off, f.width,
+          f.height, f.delay_cs, f.raster.length.toLong, s,
+          if (f.raster.isEmpty) 0 else mn, if (f.raster.isEmpty) 0 else mx)
+      }
+    })
+  }
+
+  /** LZW-decode one image's code stream (starting at the min-code-size
+    * byte): variable-width codes LSB-first across sub-block
+    * boundaries, dictionary rebuild, the KwKwK case for a code defined
+    * by the very step reading it, CLEAR resets. Returns (raster of
+    * `w·h` palette indices, code-stream bytes, position just past the
+    * sub-block terminator). */
+  private def lzwDecodeRaster(payload: Array[Byte], start: Int, w: Int,
+      h: Int, docId: Long): (Array[Int], Long, Int) = {
+    var pos = start
     val minCode = payload(pos) & 0xFF; pos += 1
     // concatenate sub-blocks into the code stream
     val code = new java.io.ByteArrayOutputStream()
@@ -401,6 +506,7 @@ object Multimodal {
       code.write(payload, pos + 1, blockLen); nCodeBytes += blockLen
       pos += 1 + blockLen; blockLen = payload(pos) & 0xFF
     }
+    pos += 1 // the zero terminator
     val cs = code.toByteArray
     val clear = 1 << minCode; val eoi = clear + 1
     // LZW decode: dict entries as (prefix code, appended index); emit
@@ -457,6 +563,35 @@ object Multimodal {
     }
     require(out == raster.length,
       s"decoded $out of ${raster.length} pixels (doc $docId)")
+    (raster, nCodeBytes, pos)
+  }
+
+  /** Decode a GIF89a payload via [[lzwDecodeRaster]] — returning the
+    * raster of palette indices. Skips extension blocks; decodes the
+    * first image frame. */
+  def decodeGifFrame(docId: Long, payload: Array[Byte]): GifFrame = {
+    require(payload.length > 13 &&
+      new String(payload, 0, 6, "US-ASCII").startsWith("GIF"),
+      s"not a GIF payload (doc $docId)")
+    def le16(p: Int): Int = (payload(p) & 0xFF) | ((payload(p + 1) & 0xFF) << 8)
+    val packed = payload(10) & 0xFF
+    val gctSize = if ((packed & 0x80) != 0) 1 << ((packed & 7) + 1) else 0
+    var pos = 13 + 3 * gctSize
+    // skip extensions (0x21 introducer + label, then sub-blocks) until
+    // the image descriptor (0x2C)
+    while ((payload(pos) & 0xFF) == 0x21) {
+      pos += 2
+      while (payload(pos) != 0) pos += 1 + (payload(pos) & 0xFF)
+      pos += 1
+    }
+    require((payload(pos) & 0xFF) == 0x2C, s"no image descriptor (doc $docId)")
+    val (w, h) = (le16(pos + 5), le16(pos + 7))
+    val localPacked = payload(pos + 9) & 0xFF
+    val lctSize = if ((localPacked & 0x80) != 0) 1 << ((localPacked & 7) + 1) else 0
+    val (palOff, palSize) =
+      if (lctSize > 0) (pos + 10, lctSize) else (13, gctSize)
+    pos += 10 + 3 * lctSize
+    val (raster, nCodeBytes, _) = lzwDecodeRaster(payload, pos, w, h, docId)
     val palette = Array.tabulate(palSize) { c =>
       ((payload(palOff + 3 * c) & 0xFF) << 16) |
         ((payload(palOff + 3 * c + 1) & 0xFF) << 8) |
@@ -799,17 +934,14 @@ object Multimodal {
   case class AudioFrame(doc_id: Long, frame_id: Long, n_samples: Long,
       energy_ms: Long, is_silence: Boolean)
 
-  /** Per-frame mean-square energy over a decoded 16-bit mono WAV:
-    * frames of `frameSize` samples (last frame ragged), energy =
-    * Σs² div n (exact BIGINT — max 32767² ≈ 1.07e9 per sample, ~1e13
-    * per 10k-frame: no overflow until ~8e5-sample frames), silence iff
-    * energy < threshold (strict — exactly-at-threshold is sound). */
-  def frameEnergy(docId: Long, payload: Array[Byte], frameSize: Int,
-      silenceThreshold: Long): Seq[AudioFrame] = {
+  /** Chunk-walk a RIFF/WAVE payload and return (little-endian buffer,
+    * data offset, sample count) with the data-chunk length validated
+    * against the header census — shared by the frame/spectral ops. */
+  private def wavDataWindow(docId: Long, payload: Array[Byte])
+      : (java.nio.ByteBuffer, Int, Int) = {
     val stats = decodeWav(docId, payload)
     val buf = java.nio.ByteBuffer.wrap(payload)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    // data chunk offset: re-walk chunks like decodeWav does
     var pos = 12
     var dataOff = -1; var dataLen = 0
     while (dataOff < 0 && pos + 8 <= payload.length) {
@@ -818,14 +950,67 @@ object Multimodal {
       if (id == "data") { dataOff = pos + 8; dataLen = len }
       else pos += 8 + len + (len & 1)
     }
-    require(dataOff >= 0, s"frameEnergy: no data chunk in doc $docId")
+    require(dataOff >= 0, s"wav: no data chunk in doc $docId")
     val n = stats.n_samples.toInt
-    // a data chunk shorter than its sample census would let getShort
-    // read into trailing-chunk bytes — fail cleanly instead
     require(2L * n <= dataLen && dataOff + 2L * n <= payload.length,
-      s"frameEnergy: data chunk of doc $docId holds ${dataLen / 2} " +
-        s"samples (${payload.length - dataOff} bytes available) but " +
-        s"header census says $n")
+      s"wav: data chunk of doc $docId holds ${dataLen / 2} samples " +
+        s"but header census says $n")
+    (buf, dataOff, n)
+  }
+
+  /** Exact spectral anchors of a 16-bit mono WAV — the two DFT bins an
+    * integer engine CAN certify bit-for-bit (k = 0 is Σsᵢ, k = N/2 is
+    * the alternating sum) plus total power Σsᵢ² (Parseval's left side),
+    * all BIGINT-exact. The full spectrum needs irrational twiddles
+    * (float — the thing an oracle cannot replay); these three anchor a
+    * spectral pipeline's correctness without it. */
+  case class AudioSpectral(doc_id: Long, n_samples: Long, dc_bin: Long,
+      nyquist_bin: Long, power: Long)
+
+  def audioSpectral(docId: Long, payload: Array[Byte]): AudioSpectral = {
+    val (buf, dataOff, n) = wavDataWindow(docId, payload)
+    var dc = 0L; var ny = 0L; var pw = 0L
+    var i = 0
+    while (i < n) {
+      val s = buf.getShort(dataOff + 2 * i).toLong
+      dc += s
+      ny += (if ((i & 1) == 0) s else -s)
+      pw += s * s
+      i += 1
+    }
+    AudioSpectral(docId, n.toLong, dc, ny, pw)
+  }
+
+  def audioSpectrals(records: Dataset[MediaRecord]): Dataset[AudioSpectral] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(it =>
+      it.map(r => audioSpectral(r.doc_id, r.payload)))
+  }
+
+  /** REAL sample-rate reduction by integer decimation: keep every
+    * `factor`-th sample and divide the declared rate — the 48→16 kHz /
+    * 16→8 kHz step of every speech pipeline (anti-alias filtering is
+    * the caller's upstream choice; plain decimation is the exact,
+    * oracle-replayable core). Output is a valid WAV, so it composes
+    * with [[decodeWav]] — the gate decodes its own output. */
+  def resampleWavDecimate(docId: Long, payload: Array[Byte],
+      factor: Int): Array[Byte] = {
+    require(factor >= 1, s"wav: decimation factor must be >= 1, got $factor")
+    val (buf, dataOff, n) = wavDataWindow(docId, payload)
+    val stats = decodeWav(docId, payload)
+    val outN = (n + factor - 1) / factor
+    encodeWav(stats.sample_rate / factor,
+      i => buf.getShort(dataOff + 2 * i * factor).toInt, outN)
+  }
+
+  /** Per-frame mean-square energy over a decoded 16-bit mono WAV:
+    * frames of `frameSize` samples (last frame ragged), energy =
+    * Σs² div n (exact BIGINT — max 32767² ≈ 1.07e9 per sample, ~1e13
+    * per 10k-frame: no overflow until ~8e5-sample frames), silence iff
+    * energy < threshold (strict — exactly-at-threshold is sound). */
+  def frameEnergy(docId: Long, payload: Array[Byte], frameSize: Int,
+      silenceThreshold: Long): Seq[AudioFrame] = {
+    val (buf, dataOff, n) = wavDataWindow(docId, payload)
     (0 until (n + frameSize - 1) / frameSize).map { f =>
       val from = f * frameSize
       val until = math.min(from + frameSize, n)
@@ -919,6 +1104,35 @@ object Multimodal {
     0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
     0xF9, 0xFA)
 
+  // T.81 Annex K.3 typical CHROMINANCE tables (public spec constants).
+  private val DcChrBits: Array[Int] =
+    Array(0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+  private val DcChrVals: Array[Int] = (0 to 11).toArray
+  private val AcChrBits: Array[Int] =
+    Array(0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+  private val AcChrVals: Array[Int] = Array(
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA)
+
   /** cos((2x+1)·u·π/16) — shared by FDCT and IDCT. */
   private val DctCos: Array[Array[Double]] = Array.tabulate(8, 8) {
     (x, u) => math.cos((2 * x + 1) * u * math.Pi / 16.0)
@@ -973,6 +1187,58 @@ object Multimodal {
     s
   }
 
+  /** FDCT + quantize + Huffman-encode one level-shifted 8×8 block;
+    * returns the new DC predictor (the quantized DC). Shared by the
+    * grayscale and color encoders. */
+  private def fdctEncodeBlock(f: Array[Array[Int]], quant: Array[Int],
+      dcEnc: Array[(Int, Int)], acEnc: Array[(Int, Int)], bw: BitWriter,
+      pred0: Int): Int = {
+    val coef = new Array[Int](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0.0
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) { s += f(y)(x) * DctCos(x)(u) * DctCos(y)(v); x += 1 }
+          y += 1
+        }
+        val cu = if (u == 0) InvSqrt2 else 1.0
+        val cv = if (v == 0) InvSqrt2 else 1.0
+        coef(v * 8 + u) = math.round(0.25 * cu * cv * s /
+          quant(v * 8 + u)).toInt
+        v += 1
+      }
+      u += 1
+    }
+    // DC diff
+    val diff = coef(0) - pred0
+    val s0 = bitCategory(diff)
+    val (c0, l0) = dcEnc(s0)
+    bw.put(c0, l0)
+    if (s0 > 0) bw.put(if (diff >= 0) diff else diff + (1 << s0) - 1, s0)
+    // AC run-length over zig-zag order
+    var run = 0
+    var k = 1
+    while (k < 64) {
+      val ac = coef(ZigZag(k))
+      if (ac == 0) run += 1
+      else {
+        while (run >= 16) { val (cz, lz) = acEnc(0xF0); bw.put(cz, lz); run -= 16 }
+        val s = bitCategory(ac)
+        val (c, l) = acEnc((run << 4) | s)
+        bw.put(c, l)
+        bw.put(if (ac >= 0) ac else ac + (1 << s) - 1, s)
+        run = 0
+      }
+      k += 1
+    }
+    if (run > 0) { val (ce, le) = acEnc(0x00); bw.put(ce, le) } // EOB
+    coef(0)
+  }
+
   /** Encode a baseline single-component (grayscale) JPEG: real FDCT +
     * quantization + Annex-K Huffman entropy coding. Edge blocks clamp-
     * replicate (the standard padding). Fixture-side twin of
@@ -1004,7 +1270,6 @@ object Multimodal {
     val dcEnc = buildHuffEncoder(DcLumBits, DcLumVals)
     val acEnc = buildHuffEncoder(AcLumBits, AcLumVals)
     var bw = new BitWriter(out)
-    val coef = new Array[Int](64)
     var pred = 0
     var mcu = 0
     var rstN = 0
@@ -1023,48 +1288,7 @@ object Multimodal {
           val sx = math.min(bx * 8 + x, width - 1)
           (pixel(sy * width + sx) & 0xFF) - 128
         }
-        var u = 0
-        while (u < 8) {
-          var v = 0
-          while (v < 8) {
-            var s = 0.0
-            var y = 0
-            while (y < 8) {
-              var x = 0
-              while (x < 8) { s += f(y)(x) * DctCos(x)(u) * DctCos(y)(v); x += 1 }
-              y += 1
-            }
-            val cu = if (u == 0) InvSqrt2 else 1.0
-            val cv = if (v == 0) InvSqrt2 else 1.0
-            coef(v * 8 + u) = math.round(0.25 * cu * cv * s /
-              quant(v * 8 + u)).toInt
-            v += 1
-          }
-          u += 1
-        }
-        // DC diff
-        val diff = coef(0) - pred; pred = coef(0)
-        val s0 = bitCategory(diff)
-        val (c0, l0) = dcEnc(s0)
-        bw.put(c0, l0)
-        if (s0 > 0) bw.put(if (diff >= 0) diff else diff + (1 << s0) - 1, s0)
-        // AC run-length over zig-zag order
-        var run = 0
-        var k = 1
-        while (k < 64) {
-          val ac = coef(ZigZag(k))
-          if (ac == 0) run += 1
-          else {
-            while (run >= 16) { val (cz, lz) = acEnc(0xF0); bw.put(cz, lz); run -= 16 }
-            val s = bitCategory(ac)
-            val (c, l) = acEnc((run << 4) | s)
-            bw.put(c, l)
-            bw.put(if (ac >= 0) ac else ac + (1 << s) - 1, s)
-            run = 0
-          }
-          k += 1
-        }
-        if (run > 0) { val (ce, le) = acEnc(0x00); bw.put(ce, le) } // EOB
+        pred = fdctEncodeBlock(f, quant, dcEnc, acEnc, bw, pred)
         mcu += 1
         bx += 1
       }
@@ -1072,6 +1296,248 @@ object Multimodal {
     }
     bw.flush()
     marker(0xD9) // EOI
+    out.toByteArray
+  }
+
+  /** Encode a baseline 3-component YCbCr JPEG from packed 0xRRGGBB
+    * pixels: fixed-point RGB→YCbCr (the forward twin of
+    * [[decodeJpegRgb]]'s constants — gray input yields exactly
+    * Cb=Cr=128), box-average chroma subsampling (`subsample` 1 =
+    * 4:4:4, 2 = 4:2:0), interleaved MCU encode with the Annex-K
+    * luminance/chrominance table pairs. */
+  def encodeJpegColor(width: Int, height: Int, rgb: Int => Int,
+      subsample: Int = 2,
+      quantLuma: Array[Int] = uniformQuantTable(),
+      quantChroma: Array[Int] = uniformQuantTable(),
+      restartInterval: Int = 0): Array[Byte] = {
+    require(width > 0 && height > 0, s"jpeg: bad dims ${width}x$height")
+    require(subsample == 1 || subsample == 2,
+      s"jpeg: subsample must be 1 (4:4:4) or 2 (4:2:0), got $subsample")
+    require(quantLuma.length == 64 && quantChroma.length == 64 &&
+      (quantLuma ++ quantChroma).forall(q => q >= 1 && q <= 255),
+      "jpeg: quant tables must be 64 entries in [1, 255]")
+    require(restartInterval >= 0 && restartInterval <= 0xFFFF,
+      s"jpeg: bad restart interval $restartInterval")
+    // full-resolution YCbCr planes
+    val n = width * height
+    val yP = new Array[Int](n); val cbP = new Array[Int](n)
+    val crP = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val p = rgb(i)
+      val r = (p >> 16) & 0xFF; val g = (p >> 8) & 0xFF; val b = p & 0xFF
+      yP(i) = clamp8((FixYR * r + FixYG * g + FixYB * b + 32768) >> 16)
+      cbP(i) = clamp8(128 + ((FixCbR * r + FixCbG * g + FixCbB * b + 32768) >> 16))
+      crP(i) = clamp8(128 + ((FixCrR * r + FixCrG * g + FixCrB * b + 32768) >> 16))
+      i += 1
+    }
+    // box-average chroma subsample (rounded; exact on flat regions)
+    val cw = (width + subsample - 1) / subsample
+    val ch = (height + subsample - 1) / subsample
+    def sub(plane: Array[Int]): Array[Int] =
+      if (subsample == 1) plane
+      else Array.tabulate(cw * ch) { j =>
+        val cx = j % cw; val cy = j / cw
+        var s = 0; var cnt = 0
+        var dy = 0
+        while (dy < subsample) {
+          var dx = 0
+          while (dx < subsample) {
+            val x = cx * subsample + dx; val y = cy * subsample + dy
+            if (x < width && y < height) { s += plane(y * width + x); cnt += 1 }
+            dx += 1
+          }
+          dy += 1
+        }
+        (s + cnt / 2) / cnt
+      }
+    val cbS = sub(cbP); val crS = sub(crP)
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xFF); out.write(m) }
+    def seg(m: Int, body: Array[Int]): Unit = {
+      marker(m); val len = body.length + 2
+      out.write(len >>> 8); out.write(len & 0xFF); body.foreach(out.write)
+    }
+    marker(0xD8) // SOI
+    seg(0xDB, Array(0x00) ++ ZigZag.map(quantLuma)
+      ++ Array(0x01) ++ ZigZag.map(quantChroma)) // both tables, one DQT
+    val ssHV = (subsample << 4) | subsample
+    seg(0xC0, Array(8, height >>> 8, height & 0xFF, width >>> 8,
+      width & 0xFF, 3, 1, ssHV, 0, 2, 0x11, 1, 3, 0x11, 1)) // SOF0 YCbCr
+    seg(0xC4, Array(0x00) ++ DcLumBits ++ DcLumVals)
+    seg(0xC4, Array(0x10) ++ AcLumBits ++ AcLumVals)
+    seg(0xC4, Array(0x01) ++ DcChrBits ++ DcChrVals)
+    seg(0xC4, Array(0x11) ++ AcChrBits ++ AcChrVals)
+    if (restartInterval > 0)
+      seg(0xDD, Array(restartInterval >>> 8, restartInterval & 0xFF))
+    seg(0xDA, Array(3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0)) // SOS
+    val dcL = buildHuffEncoder(DcLumBits, DcLumVals)
+    val acL = buildHuffEncoder(AcLumBits, AcLumVals)
+    val dcC = buildHuffEncoder(DcChrBits, DcChrVals)
+    val acC = buildHuffEncoder(AcChrBits, AcChrVals)
+    def blockFrom(plane: Array[Int], pw: Int, ph: Int, x0: Int, y0: Int) =
+      Array.tabulate(8, 8) { (y, x) =>
+        plane(math.min(y0 + y, ph - 1) * pw + math.min(x0 + x, pw - 1)) - 128
+      }
+    var bw = new BitWriter(out)
+    val mcusX = (width + 8 * subsample - 1) / (8 * subsample)
+    val mcusY = (height + 8 * subsample - 1) / (8 * subsample)
+    var predY = 0; var predCb = 0; var predCr = 0
+    var mcu = 0; var rstN = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bw.flush(); marker(0xD0 + rstN)
+          rstN = (rstN + 1) % 8
+          predY = 0; predCb = 0; predCr = 0
+          bw = new BitWriter(out)
+        }
+        var v = 0
+        while (v < subsample) {
+          var h = 0
+          while (h < subsample) {
+            predY = fdctEncodeBlock(
+              blockFrom(yP, width, height,
+                (mx * subsample + h) * 8, (my * subsample + v) * 8),
+              quantLuma, dcL, acL, bw, predY)
+            h += 1
+          }
+          v += 1
+        }
+        predCb = fdctEncodeBlock(blockFrom(cbS, cw, ch, mx * 8, my * 8),
+          quantChroma, dcC, acC, bw, predCb)
+        predCr = fdctEncodeBlock(blockFrom(crS, cw, ch, mx * 8, my * 8),
+          quantChroma, dcC, acC, bw, predCr)
+        mcu += 1
+        mx += 1
+      }
+      my += 1
+    }
+    bw.flush()
+    marker(0xD9) // EOI
+    out.toByteArray
+  }
+
+  /** Encode a PROGRESSIVE (SOF2) grayscale JPEG with a three-scan
+    * script: DC first with successive approximation (Al=1), DC
+    * refinement (Ah=1), then the full AC band (spectral selection
+    * 1..63, EOB-per-block coding). Fixture-side twin of the decoder's
+    * progressive path; block-constant input reconstructs bit-exactly
+    * for the same DC-only reason as [[encodeJpeg]]. */
+  def encodeJpegProgressive(width: Int, height: Int, pixel: Int => Int,
+      quant: Array[Int] = uniformQuantTable(),
+      restartInterval: Int = 0): Array[Byte] = {
+    require(width > 0 && height > 0, s"jpeg: bad dims ${width}x$height")
+    require(quant.length == 64 && quant.forall(q => q >= 1 && q <= 255),
+      "jpeg: quant table must be 64 entries in [1, 255]")
+    require(restartInterval >= 0 && restartInterval <= 0xFFFF,
+      s"jpeg: bad restart interval $restartInterval")
+    // quantize every block up front (scans revisit them)
+    val nBx = (width + 7) / 8; val nBy = (height + 7) / 8
+    val blocks = Array.tabulate(nBx * nBy) { bi =>
+      val bx = bi % nBx; val by = bi / nBx
+      val f = Array.tabulate(8, 8) { (y, x) =>
+        val sy = math.min(by * 8 + y, height - 1)
+        val sx = math.min(bx * 8 + x, width - 1)
+        (pixel(sy * width + sx) & 0xFF) - 128
+      }
+      val coef = new Array[Int](64)
+      var u = 0
+      while (u < 8) {
+        var v = 0
+        while (v < 8) {
+          var s = 0.0
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) { s += f(y)(x) * DctCos(x)(u) * DctCos(y)(v); x += 1 }
+            y += 1
+          }
+          val cu = if (u == 0) InvSqrt2 else 1.0
+          val cv = if (v == 0) InvSqrt2 else 1.0
+          coef(v * 8 + u) = math.round(0.25 * cu * cv * s /
+            quant(v * 8 + u)).toInt
+          v += 1
+        }
+        u += 1
+      }
+      coef
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xFF); out.write(m) }
+    def seg(m: Int, body: Array[Int]): Unit = {
+      marker(m); val len = body.length + 2
+      out.write(len >>> 8); out.write(len & 0xFF); body.foreach(out.write)
+    }
+    marker(0xD8)
+    seg(0xDB, Array(0x00) ++ ZigZag.map(quant))
+    seg(0xC2, Array(8, height >>> 8, height & 0xFF, width >>> 8,
+      width & 0xFF, 1, 1, 0x11, 0)) // SOF2, 1 component
+    seg(0xC4, Array(0x00) ++ DcLumBits ++ DcLumVals)
+    seg(0xC4, Array(0x10) ++ AcLumBits ++ AcLumVals)
+    if (restartInterval > 0)
+      seg(0xDD, Array(restartInterval >>> 8, restartInterval & 0xFF))
+    val dcEnc = buildHuffEncoder(DcLumBits, DcLumVals)
+    val acEnc = buildHuffEncoder(AcLumBits, AcLumVals)
+    var pred = 0
+    def predReset(): Unit = pred = 0
+
+    /** Run one scan: header, then `body(bw, blockIndex)` per block with
+      * restart-marker interleaving. */
+    def scan(ss: Int, se: Int, ah: Int, al: Int,
+        body: (BitWriter, Int) => Unit): Unit = {
+      seg(0xDA, Array(1, 1, 0x00, ss, se, (ah << 4) | al))
+      var bw = new BitWriter(out)
+      var rstN = 0
+      var bi = 0
+      while (bi < blocks.length) {
+        if (restartInterval > 0 && bi > 0 && bi % restartInterval == 0) {
+          bw.flush(); marker(0xD0 + rstN)
+          rstN = (rstN + 1) % 8
+          bw = new BitWriter(out)
+          predReset()
+        }
+        body(bw, bi)
+        bi += 1
+      }
+      bw.flush()
+    }
+    // scan 1: DC first, point transform Al=1 (codes dc >> 1 diffs)
+    pred = 0
+    scan(0, 0, 0, 1, { (bw, bi) =>
+      val dc = blocks(bi)(0) >> 1
+      val diff = dc - pred; pred = dc
+      val s0 = bitCategory(diff)
+      val (c0, l0) = dcEnc(s0)
+      bw.put(c0, l0)
+      if (s0 > 0) bw.put(if (diff >= 0) diff else diff + (1 << s0) - 1, s0)
+    })
+    // scan 2: DC refinement — the held-back low bit, no Huffman coding
+    scan(0, 0, 1, 0, (bw, bi) => bw.put(blocks(bi)(0) & 1, 1))
+    // scan 3: the whole AC band, EOB per block (no EOB-run
+    // accumulation — the Annex-K table has no EOBn>0 symbols)
+    scan(1, 63, 0, 0, { (bw, bi) =>
+      val coef = blocks(bi)
+      var run = 0
+      var k = 1
+      while (k < 64) {
+        val ac = coef(ZigZag(k))
+        if (ac == 0) run += 1
+        else {
+          while (run >= 16) { val (cz, lz) = acEnc(0xF0); bw.put(cz, lz); run -= 16 }
+          val s = bitCategory(ac)
+          val (c, l) = acEnc((run << 4) | s)
+          bw.put(c, l)
+          bw.put(if (ac >= 0) ac else ac + (1 << s) - 1, s)
+          run = 0
+        }
+        k += 1
+      }
+      if (run > 0) { val (ce, le) = acEnc(0x00); bw.put(ce, le) } // EOB
+    })
+    marker(0xD9)
     out.toByteArray
   }
 
@@ -1147,13 +1613,85 @@ object Multimodal {
   private def extend(v: Int, s: Int): Int =
     if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
 
-  /** Decode a baseline sequential single-component JPEG: full marker
-    * walk (DQT 8/16-bit, multi-table DHT, DRI), Huffman entropy decode
-    * with RST handling, dequantize, de-zigzag, separable IDCT, level
-    * shift + clamp. Returns (width, height, raster row-major 0..255,
-    * entropy-coded scan bytes). Progressive (SOF2) and multi-component
-    * (color) frames fail loudly with a named error. */
-  def decodeJpegRaster(payload: Array[Byte]): (Int, Int, Array[Int], Int) = {
+  /** One decoded frame component: sampling factors, its padded plane
+    * (whole MCUs), and the plane's row stride. */
+  private final case class JpegPlane(h: Int, v: Int, planeW: Int,
+      planeH: Int, data: Array[Int])
+
+  /** Huffman-decode one full sequential block's QUANTIZED coefficients
+    * (natural order) into `coef`; returns the new DC predictor. */
+  private def decodeBlockCoefs(br: JpegBitReader, dcDec: HuffDecoder,
+      acDec: HuffDecoder, pred0: Int, coef: Array[Int]): Int = {
+    val s0 = dcDec.decode(br)
+    val pred = pred0 + extend(br.receive(s0), s0)
+    coef(0) = pred
+    var k = 1
+    while (k < 64) {
+      val rs = acDec.decode(br)
+      if (rs == 0x00) k = 64 // EOB
+      else if (rs == 0xF0) k += 16 // ZRL
+      else {
+        k += rs >> 4
+        require(k < 64, "jpeg: AC run past end of block")
+        coef(ZigZag(k)) = extend(br.receive(rs & 0x0F), rs & 0x0F)
+        k += 1
+      }
+    }
+    pred
+  }
+
+  /** Dequantize + separable IDCT + level shift + clamp one block of
+    * quantized coefficients into `out` (row-major 8×8, 0..255). */
+  private def idctBlock(qcoef: Array[Int], off: Int, quant: Array[Int],
+      out: Array[Int]): Unit = {
+    // separable IDCT: columns (over v) then rows (over u)
+    val tmp = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      var y = 0
+      while (y < 8) {
+        var s = 0.0
+        var v = 0
+        while (v < 8) {
+          val cv = if (v == 0) InvSqrt2 else 1.0
+          s += cv * qcoef(off + v * 8 + u) * quant(v * 8 + u) * DctCos(y)(v)
+          v += 1
+        }
+        tmp(y * 8 + u) = s; y += 1
+      }
+      u += 1
+    }
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var u2 = 0
+        while (u2 < 8) {
+          val cu = if (u2 == 0) InvSqrt2 else 1.0
+          s += cu * tmp(y * 8 + u2) * DctCos(x)(u2); u2 += 1
+        }
+        out(y * 8 + x) =
+          math.max(0, math.min(255, math.round(0.25 * s).toInt + 128))
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** General frame decode — baseline sequential (SOF0/1) AND
+    * progressive (SOF2, spectral selection + successive approximation
+    * + EOB-run coding): full marker walk (DQT 8/16-bit, multi-table
+    * DHT, DRI), any number of scans (interleaved DC / non-interleaved
+    * band scans), Huffman entropy decode with RST handling, then one
+    * dequantize+IDCT pass over the accumulated coefficients. 1 or 3
+    * components, sampling factors 1–2 (4:4:4 / 4:2:2 / 4:2:0).
+    * Returns (width, height, per-component planes padded to whole
+    * MCUs, coded bytes from first scan data to EOI). `allowColor =
+    * false` rejects multi-component frames at SOF parse (the grayscale
+    * API's contract). */
+  private def decodeJpegPlanes(payload: Array[Byte], allowColor: Boolean)
+      : (Int, Int, Array[JpegPlane], Int) = {
     require(payload.length >= 4 && (payload(0) & 0xFF) == 0xFF &&
       (payload(1) & 0xFF) == 0xD8, "jpeg: missing SOI")
     var pos = 2
@@ -1162,148 +1700,435 @@ object Multimodal {
     val quantTables = new Array[Array[Int]](4)
     val dcTables = new Array[HuffDecoder](4)
     val acTables = new Array[HuffDecoder](4)
-    var width = -1; var height = -1; var compQuant = -1
+    var width = -1; var height = -1
+    var progressive = false
     var restartInterval = 0
-    var scanStart = -1; var dcSel = -1; var acSel = -1
-    while (scanStart < 0) {
-      require(pos + 4 <= payload.length, "jpeg: truncated marker stream")
-      require(u8(pos) == 0xFF, f"jpeg: expected marker, got ${u8(pos)}%02X")
-      val m = u8(pos + 1)
-      require(m != 0xD9, "jpeg: EOI before SOS")
-      val len = u16(pos + 2)
-      val body = pos + 4
-      require(body + len - 2 <= payload.length, f"jpeg: truncated FF$m%02X segment")
-      m match {
-        case 0xDB => // DQT: one or more tables
-          var p = body
-          while (p < body + len - 2) {
-            val pq = u8(p) >> 4; val tq = u8(p) & 0x0F
-            require(pq <= 1 && tq <= 3, "jpeg: bad DQT header")
-            val t = new Array[Int](64)
-            var i = 0
-            while (i < 64) {
-              t(ZigZag(i)) = if (pq == 0) u8(p + 1 + i)
-                             else u16(p + 1 + 2 * i)
-              i += 1
-            }
-            quantTables(tq) = t
-            p += 1 + (if (pq == 0) 64 else 128)
-          }
-        case 0xC4 => // DHT: one or more tables
-          var p = body
-          while (p < body + len - 2) {
-            val tc = u8(p) >> 4; val th = u8(p) & 0x0F
-            require(tc <= 1 && th <= 3, "jpeg: bad DHT header")
-            val bits = Array.tabulate(16)(i => u8(p + 1 + i))
-            val n = bits.sum
-            val vals = Array.tabulate(n)(i => u8(p + 17 + i))
-            val dec = new HuffDecoder(bits, vals)
-            if (tc == 0) dcTables(th) = dec else acTables(th) = dec
-            p += 17 + n
-          }
-        case 0xC0 | 0xC1 => // baseline / extended sequential, Huffman
-          require(u8(body) == 8, "jpeg: only 8-bit precision supported")
-          height = u16(body + 1); width = u16(body + 3)
-          val nComp = u8(body + 5)
-          require(nComp == 1, s"jpeg: only single-component (grayscale) " +
-            s"frames supported, got $nComp components")
-          // sampling factors (body+7) are irrelevant in a single-
-          // component scan (always one 8×8 block per MCU) — ignored
-          compQuant = u8(body + 8)
-        case 0xC2 => throw new IllegalArgumentException(
-          "jpeg: progressive (SOF2) not supported — baseline only")
-        case 0xDD => restartInterval = u16(body)
-        case 0xDA => // SOS
-          require(u8(body) == 1, "jpeg: single-component scan required")
-          dcSel = u8(body + 2) >> 4; acSel = u8(body + 2) & 0x0F
-          scanStart = body + len - 2
-        case _ => () // APPn / COM / others skipped
+    var compId: Array[Int] = null; var compH: Array[Int] = null
+    var compV: Array[Int] = null; var compQ: Array[Int] = null
+    var nComp = 0; var hMax = 1; var vMax = 1
+    var mcusX = 0; var mcusY = 0
+    // per-component quantized-coefficient buffers over the MCU-padded
+    // block grid (progressive scans accumulate into these; the IDCT
+    // runs once at EOI)
+    var coefs: Array[Array[Int]] = null
+    var bpr: Array[Int] = null // blocks per row (padded grid)
+    var firstScanData = -1
+    var eoiPos = -1
+
+    def parseSof(body: Int, prog: Boolean): Unit = {
+      require(u8(body) == 8, "jpeg: only 8-bit precision supported")
+      progressive = prog
+      height = u16(body + 1); width = u16(body + 3)
+      nComp = u8(body + 5)
+      if (!allowColor)
+        require(nComp == 1, s"jpeg: only single-component (grayscale) " +
+          s"frames supported, got $nComp components")
+      require(nComp == 1 || nComp == 3,
+        s"jpeg: 1 (grayscale) or 3 (YCbCr) components supported, got $nComp")
+      compId = new Array[Int](nComp); compH = new Array[Int](nComp)
+      compV = new Array[Int](nComp); compQ = new Array[Int](nComp)
+      var c = 0
+      while (c < nComp) {
+        compId(c) = u8(body + 6 + 3 * c)
+        val hv = u8(body + 7 + 3 * c)
+        // a one-component frame is always effectively 1×1: every scan
+        // is non-interleaved (MCU = one block)
+        compH(c) = if (nComp == 1) 1 else hv >> 4
+        compV(c) = if (nComp == 1) 1 else hv & 0x0F
+        require(nComp == 1 || (compH(c) >= 1 && compH(c) <= 2 &&
+          compV(c) >= 1 && compV(c) <= 2),
+          s"jpeg: sampling factors 1-2 supported, got ${compH(c)}x${compV(c)}")
+        compQ(c) = u8(body + 8 + 3 * c)
+        c += 1
       }
-      pos += 2 + len
+      hMax = compH.max; vMax = compV.max
+      mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+      mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+      bpr = Array.tabulate(nComp)(c => mcusX * compH(c))
+      coefs = Array.tabulate(nComp)(c =>
+        new Array[Int](mcusX * compH(c) * mcusY * compV(c) * 64))
     }
-    require(width > 0 && height > 0, "jpeg: missing SOF before SOS")
-    val quant = quantTables(compQuant)
-    require(quant != null, s"jpeg: quant table $compQuant undefined")
-    val dcDec = dcTables(dcSel); val acDec = acTables(acSel)
-    require(dcDec != null && acDec != null,
-      s"jpeg: Huffman tables ($dcSel, $acSel) undefined")
-    val px = new Array[Int](width * height)
-    val wBlocks = (width + 7) / 8; val hBlocks = (height + 7) / 8
-    val br = new JpegBitReader(payload, scanStart)
-    val coef = new Array[Int](64)
-    val tmp = new Array[Double](64)
-    var pred = 0
-    var mcu = 0
-    var by = 0
-    while (by < hBlocks) {
-      var bx = 0
-      while (bx < wBlocks) {
-        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-          br.expectRestart(); pred = 0
+
+    /** Decode one scan's entropy data; returns the byte position of the
+      * marker that terminates it. */
+    def decodeScan(body: Int, dataStart: Int): Int = {
+      val ns = u8(body)
+      val scanComp = new Array[Int](ns)
+      val dcDec = new Array[HuffDecoder](ns)
+      val acDec = new Array[HuffDecoder](ns)
+      var sc = 0
+      while (sc < ns) {
+        val cs = u8(body + 1 + 2 * sc)
+        val ci = compId.indexOf(cs)
+        require(ci >= 0, s"jpeg: scan component $cs not in frame")
+        scanComp(sc) = ci
+        dcDec(sc) = dcTables(u8(body + 2 + 2 * sc) >> 4)
+        acDec(sc) = acTables(u8(body + 2 + 2 * sc) & 0x0F)
+        sc += 1
+      }
+      val ss = u8(body + 1 + 2 * ns); val se = u8(body + 2 + 2 * ns)
+      val ah = u8(body + 3 + 2 * ns) >> 4; val al = u8(body + 3 + 2 * ns) & 0x0F
+      if (!progressive)
+        require(ss == 0 && se == 63 && ah == 0 && al == 0 && ns == nComp,
+          "jpeg: sequential frame requires one full interleaved scan")
+      else {
+        require(ss <= se && se <= 63, s"jpeg: bad spectral band $ss..$se")
+        if (ss == 0) require(se == 0,
+          "jpeg: progressive DC and AC may not share a scan")
+        else require(ns == 1, "jpeg: progressive AC scans are single-component")
+      }
+      val needDc = ss == 0
+      val needAc = se > 0
+      var i = 0
+      while (i < ns) {
+        if (needDc && ah == 0)
+          require(dcDec(i) != null, "jpeg: DC table undefined")
+        if (needAc) require(acDec(i) != null, "jpeg: AC table undefined")
+        i += 1
+      }
+      val br = new JpegBitReader(payload, dataStart)
+      val preds = new Array[Int](ns)
+      var eobrun = 0
+
+      def acFirstBlock(buf: Array[Int], off: Int, ac: HuffDecoder): Unit = {
+        if (eobrun > 0) eobrun -= 1
+        else {
+          var k = ss
+          var done = false
+          while (k <= se && !done) {
+            val rs = ac.decode(br); val r = rs >> 4; val sN = rs & 0x0F
+            if (sN == 0) {
+              if (r == 15) k += 16 // ZRL
+              else {
+                eobrun = (1 << r) - 1 + (if (r > 0) br.receive(r) else 0)
+                done = true
+              }
+            } else {
+              k += r
+              require(k <= se, "jpeg: AC run past band end")
+              buf(off + ZigZag(k)) = extend(br.receive(sN), sN) << al
+              k += 1
+            }
+          }
         }
-        java.util.Arrays.fill(coef, 0)
-        val s0 = dcDec.decode(br)
-        pred += extend(br.receive(s0), s0)
-        coef(0) = pred * quant(0)
-        var k = 1
-        while (k < 64) {
-          val rs = acDec.decode(br)
-          if (rs == 0x00) k = 64 // EOB
-          else if (rs == 0xF0) k += 16 // ZRL
-          else {
-            k += rs >> 4
-            require(k < 64, "jpeg: AC run past end of block")
-            coef(ZigZag(k)) = extend(br.receive(rs & 0x0F), rs & 0x0F) *
-              quant(ZigZag(k))
+      }
+
+      def acRefineBlock(buf: Array[Int], off: Int, ac: HuffDecoder): Unit = {
+        val p1 = 1 << al; val m1 = -1 << al
+        var k = ss
+        if (eobrun == 0) {
+          var done = false
+          while (k <= se && !done) {
+            val rs = ac.decode(br); var r = rs >> 4; val sN = rs & 0x0F
+            var newVal = 0
+            if (sN == 0) {
+              if (r < 15) {
+                // NO −1 here: the current block is finished by the
+                // correction sweep below, which does the decrement —
+                // unlike AC-first, where the skip-whole-block check
+                // consumes the run and the −1 lands at decode time
+                eobrun = (1 << r) + (if (r > 0) br.receive(r) else 0)
+                done = true
+              } // r == 15: ZRL — fall through, skip 16 zero-history slots
+            } else {
+              require(sN == 1, "jpeg: refinement magnitude must be 1")
+              newVal = if (br.readBit() == 1) p1 else m1
+            }
+            if (!done) {
+              var placed = false
+              while (k <= se && !placed) {
+                val z = off + ZigZag(k)
+                if (buf(z) != 0) {
+                  // correction bit for an already-nonzero coefficient
+                  if (br.readBit() == 1 && (buf(z) & p1) == 0)
+                    buf(z) += (if (buf(z) >= 0) p1 else m1)
+                } else if (r == 0) {
+                  if (newVal != 0) buf(z) = newVal
+                  placed = true
+                } else r -= 1
+                k += 1
+              }
+            }
+          }
+        }
+        if (eobrun > 0) {
+          // EOB run covers this block: only correction bits remain
+          while (k <= se) {
+            val z = off + ZigZag(k)
+            if (buf(z) != 0) {
+              if (br.readBit() == 1 && (buf(z) & p1) == 0)
+                buf(z) += (if (buf(z) >= 0) p1 else m1)
+            }
             k += 1
           }
+          eobrun -= 1
         }
-        // separable IDCT: columns (over v) then rows (over u)
-        var u = 0
-        while (u < 8) {
+      }
+
+      def decodeOneProg(sc: Int, bx: Int, by: Int): Unit = {
+        val ci = scanComp(sc)
+        val buf = coefs(ci)
+        val off = (by * bpr(ci) + bx) * 64
+        if (ss == 0) {
+          if (ah == 0) { // DC first
+            val s0 = dcDec(sc).decode(br)
+            preds(sc) += extend(br.receive(s0), s0)
+            buf(off) = preds(sc) << al
+          } else { // DC refine
+            if (br.readBit() == 1) buf(off) |= (1 << al)
+          }
+        } else {
+          if (ah == 0) acFirstBlock(buf, off, acDec(sc))
+          else acRefineBlock(buf, off, acDec(sc))
+        }
+      }
+
+      val scratch = new Array[Int](64)
+      def decodeOneSeq(sc: Int, bx: Int, by: Int): Unit = {
+        val ci = scanComp(sc)
+        java.util.Arrays.fill(scratch, 0)
+        preds(sc) = decodeBlockCoefs(br, dcDec(sc), acDec(sc), preds(sc),
+          scratch)
+        System.arraycopy(scratch, 0, coefs(ci), (by * bpr(ci) + bx) * 64, 64)
+      }
+
+      def unit(sc: Int, bx: Int, by: Int): Unit =
+        if (!progressive) decodeOneSeq(sc, bx, by)
+        else decodeOneProg(sc, bx, by)
+
+      var unitCount = 0
+      def maybeRestart(): Unit =
+        if (restartInterval > 0 && unitCount > 0 &&
+            unitCount % restartInterval == 0) {
+          br.expectRestart()
+          java.util.Arrays.fill(preds, 0)
+          eobrun = 0
+        }
+
+      if (ns > 1) { // interleaved MCU order
+        var my = 0
+        while (my < mcusY) {
+          var mx = 0
+          while (mx < mcusX) {
+            maybeRestart()
+            var sc = 0
+            while (sc < ns) {
+              val ci = scanComp(sc)
+              var v = 0
+              while (v < compV(ci)) {
+                var h = 0
+                while (h < compH(ci)) {
+                  unit(sc, mx * compH(ci) + h, my * compV(ci) + v)
+                  h += 1
+                }
+                v += 1
+              }
+              sc += 1
+            }
+            unitCount += 1
+            mx += 1
+          }
+          my += 1
+        }
+      } else { // non-interleaved: the component's own (unpadded) grid
+        val ci = scanComp(0)
+        val compW = (width * compH(ci) + hMax - 1) / hMax
+        val compHt = (height * compV(ci) + vMax - 1) / vMax
+        val bw = (compW + 7) / 8; val bh = (compHt + 7) / 8
+        var by = 0
+        while (by < bh) {
+          var bx = 0
+          while (bx < bw) {
+            maybeRestart()
+            unit(0, bx, by)
+            unitCount += 1
+            bx += 1
+          }
+          by += 1
+        }
+      }
+      // find the terminating marker
+      if (br.atMarker >= 0) br.pos - 2
+      else {
+        var p = br.pos
+        var found = -1
+        while (found < 0) {
+          require(p + 1 < payload.length, "jpeg: no marker after scan")
+          val b0 = u8(p); val b1 = u8(p + 1)
+          if (b0 == 0xFF && b1 != 0x00 && !(b1 >= 0xD0 && b1 <= 0xD7))
+            found = p
+          else p += 1
+        }
+        found
+      }
+    }
+
+    var done = false
+    while (!done) {
+      require(pos + 2 <= payload.length, "jpeg: truncated marker stream")
+      require(u8(pos) == 0xFF, f"jpeg: expected marker, got ${u8(pos)}%02X")
+      val m = u8(pos + 1)
+      if (m == 0xD9) { eoiPos = pos; done = true }
+      else if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) pos += 2 // TEM/stray RST
+      else {
+        require(pos + 4 <= payload.length, "jpeg: truncated marker stream")
+        val len = u16(pos + 2)
+        val body = pos + 4
+        require(body + len - 2 <= payload.length,
+          f"jpeg: truncated FF$m%02X segment")
+        m match {
+          case 0xDB => // DQT: one or more tables
+            var p = body
+            while (p < body + len - 2) {
+              val pq = u8(p) >> 4; val tq = u8(p) & 0x0F
+              require(pq <= 1 && tq <= 3, "jpeg: bad DQT header")
+              val t = new Array[Int](64)
+              var i = 0
+              while (i < 64) {
+                t(ZigZag(i)) = if (pq == 0) u8(p + 1 + i)
+                               else u16(p + 1 + 2 * i)
+                i += 1
+              }
+              quantTables(tq) = t
+              p += 1 + (if (pq == 0) 64 else 128)
+            }
+            pos += 2 + len
+          case 0xC4 => // DHT: one or more tables
+            var p = body
+            while (p < body + len - 2) {
+              val tc = u8(p) >> 4; val th = u8(p) & 0x0F
+              require(tc <= 1 && th <= 3, "jpeg: bad DHT header")
+              val bits = Array.tabulate(16)(i => u8(p + 1 + i))
+              val n = bits.sum
+              val vals = Array.tabulate(n)(i => u8(p + 17 + i))
+              val dec = new HuffDecoder(bits, vals)
+              if (tc == 0) dcTables(th) = dec else acTables(th) = dec
+              p += 17 + n
+            }
+            pos += 2 + len
+          case 0xC0 | 0xC1 => parseSof(body, prog = false); pos += 2 + len
+          case 0xC2 => parseSof(body, prog = true); pos += 2 + len
+          case 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB | 0xCD |
+               0xCE | 0xCF => throw new IllegalArgumentException(
+            f"jpeg: SOF FF$m%02X (lossless/arithmetic/hierarchical) " +
+              "not supported")
+          case 0xDD => restartInterval = u16(body); pos += 2 + len
+          case 0xDA =>
+            require(compId != null, "jpeg: SOS before SOF")
+            val dataStart = body + len - 2
+            if (firstScanData < 0) firstScanData = dataStart
+            pos = decodeScan(body, dataStart)
+          case _ => pos += 2 + len // APPn / COM / others skipped
+        }
+      }
+    }
+    require(width > 0 && height > 0, "jpeg: missing SOF")
+    require(firstScanData >= 0, "jpeg: no scan before EOI")
+    // one dequantize + IDCT pass over the accumulated coefficients
+    val planes = Array.tabulate(nComp) { c =>
+      JpegPlane(compH(c), compV(c), mcusX * 8 * compH(c),
+        mcusY * 8 * compV(c),
+        new Array[Int](mcusX * 8 * compH(c) * mcusY * 8 * compV(c)))
+    }
+    val block = new Array[Int](64)
+    var c = 0
+    while (c < nComp) {
+      val q = quantTables(compQ(c))
+      require(q != null, s"jpeg: quant table ${compQ(c)} undefined")
+      val pl = planes(c)
+      val rows = mcusY * compV(c)
+      var by = 0
+      while (by < rows) {
+        var bx = 0
+        while (bx < bpr(c)) {
+          idctBlock(coefs(c), (by * bpr(c) + bx) * 64, q, block)
           var y = 0
           while (y < 8) {
-            var s = 0.0
-            var v = 0
-            while (v < 8) {
-              val cv = if (v == 0) InvSqrt2 else 1.0
-              s += cv * coef(v * 8 + u) * DctCos(y)(v); v += 1
-            }
-            tmp(y * 8 + u) = s; y += 1
+            System.arraycopy(block, y * 8, pl.data,
+              (by * 8 + y) * pl.planeW + bx * 8, 8)
+            y += 1
           }
-          u += 1
+          bx += 1
         }
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            var s = 0.0
-            var u2 = 0
-            while (u2 < 8) {
-              val cu = if (u2 == 0) InvSqrt2 else 1.0
-              s += cu * tmp(y * 8 + u2) * DctCos(x)(u2); u2 += 1
-            }
-            val v = math.round(0.25 * s).toInt + 128
-            val py = by * 8 + y; val pxx = bx * 8 + x
-            if (py < height && pxx < width)
-              px(py * width + pxx) = math.max(0, math.min(255, v))
-            x += 1
-          }
-          y += 1
-        }
-        mcu += 1
-        bx += 1
+        by += 1
       }
-      by += 1
+      c += 1
     }
-    // entropy byte count: scan start to the EOI/terminating marker
-    var end = br.pos
-    if (br.atMarker < 0) {
-      while (end + 1 < payload.length &&
-          !((payload(end) & 0xFF) == 0xFF && (payload(end + 1) & 0xFF) == 0xD9))
-        end += 1
-    } else end -= 2
-    (width, height, px, end - scanStart)
+    (width, height, planes, eoiPos - firstScanData)
+  }
+
+  /** Decode a baseline sequential single-component JPEG: full marker
+    * walk (DQT 8/16-bit, multi-table DHT, DRI), Huffman entropy decode
+    * with RST handling, dequantize, de-zigzag, separable IDCT, level
+    * shift + clamp. Returns (width, height, raster row-major 0..255,
+    * entropy-coded scan bytes). Progressive (SOF2) and multi-component
+    * (color) frames fail loudly with a named error — color goes
+    * through [[decodeJpegRgb]]. */
+  def decodeJpegRaster(payload: Array[Byte]): (Int, Int, Array[Int], Int) = {
+    val (w, h, planes, nEnt) = decodeJpegPlanes(payload, allowColor = false)
+    val pl = planes(0)
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      System.arraycopy(pl.data, y * pl.planeW, px, y * w, w)
+      y += 1
+    }
+    (w, h, px, nEnt)
+  }
+
+  // libjpeg-convention fixed-point color constants (×2¹⁶, public):
+  // R−Y = 1.402·Cr', B−Y = 1.772·Cb', G−Y = −0.344136·Cb' − 0.714136·Cr'
+  private val FixRCr = 91881; private val FixBCb = 116130
+  private val FixGCb = 22554; private val FixGCr = 46802
+  // forward: Y = .299R+.587G+.114B; Cb/Cr coefficient rows sum to 0 so
+  // gray input (r=g=b) yields EXACTLY Cb=Cr=128
+  private val FixYR = 19595; private val FixYG = 38470; private val FixYB = 7471
+  private val FixCbR = -11059; private val FixCbG = -21709; private val FixCbB = 32768
+  private val FixCrR = 32768; private val FixCrG = -27439; private val FixCrB = -5329
+
+  private def clamp8(v: Int): Int = math.max(0, math.min(255, v))
+
+  /** Decode a baseline JPEG to packed 0xRRGGBB pixels: grayscale
+    * frames replicate the luma; YCbCr frames upsample chroma by
+    * sample replication and convert with the ×2¹⁶ fixed-point
+    * constants above (arithmetic-shift floor — the documented,
+    * SQL-replayable rounding). */
+  def decodeJpegRgb(payload: Array[Byte]): (Int, Int, Array[Int], Int) = {
+    val (w, h, planes, nEnt) = decodeJpegPlanes(payload, allowColor = true)
+    val px = new Array[Int](w * h)
+    if (planes.length == 1) {
+      val pl = planes(0)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val g = pl.data(y * pl.planeW + x)
+          px(y * w + x) = (g << 16) | (g << 8) | g
+          x += 1
+        }
+        y += 1
+      }
+    } else {
+      val Array(py, pcb, pcr) = planes
+      val hMax = planes.map(_.h).max; val vMax = planes.map(_.v).max
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          def at(pl: JpegPlane): Int =
+            pl.data((y * pl.v / vMax) * pl.planeW + (x * pl.h / hMax))
+          val yy = at(py)
+          val cb = at(pcb) - 128; val cr = at(pcr) - 128
+          val r = clamp8(yy + ((FixRCr * cr + 32768) >> 16))
+          val g = clamp8(yy - ((FixGCb * cb + FixGCr * cr + 32768) >> 16))
+          val b = clamp8(yy + ((FixBCb * cb + 32768) >> 16))
+          px(y * w + x) = (r << 16) | (g << 8) | b
+          x += 1
+        }
+        y += 1
+      }
+    }
+    (w, h, px, nEnt)
   }
 
   /** Raster statistics of a decoded JPEG — the gate-facing form. */
@@ -1324,6 +2149,32 @@ object Multimodal {
   def decodeJpegStats(records: Dataset[MediaRecord]): Dataset[JpegStats] = {
     import records.sparkSession.implicits._
     records.mapPartitions(it => it.map(r => decodeJpeg(r.doc_id, r.payload)))
+  }
+
+  /** Decoded color-JPEG statistics: exact per-channel sums over the
+    * RGB raster. */
+  case class JpegColorStats(doc_id: Long, width: Int, height: Int,
+      n_pixels: Long, r_sum: Long, g_sum: Long, b_sum: Long,
+      n_entropy_bytes: Long)
+
+  def decodeJpegColor(docId: Long, payload: Array[Byte]): JpegColorStats = {
+    val (w, h, px, nEnt) = decodeJpegRgb(payload)
+    var rs = 0L; var gs = 0L; var bs = 0L
+    var i = 0
+    while (i < px.length) {
+      rs += (px(i) >> 16) & 0xFF; gs += (px(i) >> 8) & 0xFF
+      bs += px(i) & 0xFF
+      i += 1
+    }
+    JpegColorStats(docId, w, h, px.length.toLong, rs, gs, bs, nEnt.toLong)
+  }
+
+  /** Batched color decode — same mapPartitions shape. */
+  def decodeJpegColorStats(records: Dataset[MediaRecord])
+      : Dataset[JpegColorStats] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(it =>
+      it.map(r => decodeJpegColor(r.doc_id, r.payload)))
   }
 
   /** Average-hash of a decoded raster — the format-independent kernel

@@ -346,17 +346,17 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(maxDiff <= 1, s"IDCT disagreement: max pixel diff $maxDiff")
   }
 
-  test("JPEG: progressive and multi-component frames fail loudly; " +
+  test("JPEG: unsupported SOFs and multi-component frames fail loudly; " +
       "stats and cross-format hash agree with the PGM twin") {
     import graft.ops.Multimodal._
-    // SOF2 (progressive) rejected by name
+    // SOF3 (lossless) rejected by name
     def seg(m: Int, body: Array[Int]): Array[Byte] =
       (Array(0xFF, m, (body.length + 2) >>> 8, (body.length + 2) & 0xFF)
         ++ body).map(_.toByte)
-    val sof2 = Array(0xFF, 0xD8).map(_.toByte) ++
-      seg(0xC2, Array(8, 0, 8, 0, 8, 1, 1, 0x11, 0))
-    val e1 = intercept[IllegalArgumentException](decodeJpegRaster(sof2))
-    assert(e1.getMessage.contains("progressive"))
+    val sof3l = Array(0xFF, 0xD8).map(_.toByte) ++
+      seg(0xC3, Array(8, 0, 8, 0, 8, 1, 1, 0x11, 0))
+    val e1 = intercept[IllegalArgumentException](decodeJpegRaster(sof3l))
+    assert(e1.getMessage.contains("not supported"))
     // 3-component (color) frame rejected by name
     val sof3 = Array(0xFF, 0xD8).map(_.toByte) ++
       seg(0xC0, Array(8, 0, 8, 0, 8, 3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1))
@@ -373,6 +373,233 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     val hj = averageHashJpeg(5L, encodeJpeg(w, h, blockVal))
     val hp = averageHashPgm(5L, encodePgm(w, h, 255, blockVal))
     assert(hj == hp)
+  }
+
+  test("progressive JPEG: three-scan SA script round-trips " +
+      "block-constant rasters bit-exactly, with and without restarts") {
+    import graft.ops.Multimodal._
+    val (w, h) = (24, 16)
+    def blockVal(i: Int): Int = {
+      val (x, y) = (i % w, i / w)
+      ((x / 8) * 97 + (y / 8) * 41 + 13) % 256
+    }
+    val prog = encodeJpegProgressive(w, h, blockVal)
+    val (dw, dh, px, nEnt) = decodeJpegRaster(prog)
+    assert(dw == w && dh == h && nEnt > 0)
+    assert(px.indices.forall(i => px(i) == blockVal(i)))
+    // the sequential encode of the same raster decodes identically
+    val (_, _, px2, _) = decodeJpegRaster(encodeJpeg(w, h, blockVal))
+    assert(px.sameElements(px2))
+    // restart markers inside every scan (DC first/refine + AC band)
+    val rst = encodeJpegProgressive(w, h, blockVal, restartInterval = 2)
+    assert(rst.length > prog.length)
+    val (_, _, px3, _) = decodeJpegRaster(rst)
+    assert(px3.sameElements(px2))
+    // non-multiple-of-8 dims through the progressive path
+    def bv2(i: Int): Int = ((i % 20) / 8 * 50 + (i / 20) / 8 * 30 + 5) % 256
+    val (pw, ph, px4, _) = decodeJpegRaster(encodeJpegProgressive(20, 11, bv2))
+    assert(pw == 20 && ph == 11)
+    assert(px4.indices.forall(i => px4(i) == bv2(i)))
+  }
+
+  test("progressive JPEG: decoder agrees with ImageIO's own progressive " +
+      "output (AC refinement + EOB runs from a foreign encoder)") {
+    import graft.ops.Multimodal._
+    import javax.imageio._
+    val (w, h) = (37, 29)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    (0 until h).foreach(y => (0 until w).foreach { x =>
+      img.getRaster.setSample(x, y, 0, (x * x * 7 + y * 13 + x * y) % 256)
+    })
+    val writer = ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new IIOImage(img, null, null), param)
+    ios.close(); writer.dispose()
+    val bytes = bos.toByteArray
+    // confirm the payload really is progressive (SOF2 present)
+    assert(bytes.sliding(2).exists(p =>
+      (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xC2))
+    val (dw, dh, px, _) = decodeJpegRaster(bytes)
+    assert(dw == w && dh == h)
+    val ref = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var maxDiff = 0
+    (0 until h).foreach(y => (0 until w).foreach { x =>
+      maxDiff = math.max(maxDiff,
+        math.abs(px(y * w + x) - ref.getRaster.getSample(x, y, 0)))
+    })
+    assert(maxDiff <= 1, s"progressive disagreement: max diff $maxDiff")
+    // and a COLOR progressive payload through the RGB path
+    val cimg = new java.awt.image.BufferedImage(32, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 32).foreach(y => (0 until 32).foreach { x =>
+      val mx = x / 16; val my = y / 16
+      cimg.setRGB(x, y, ((50 + mx * 120) << 16) | ((80 + my * 90) << 8) |
+        (210 - mx * 60 - my * 40))
+    })
+    val writer2 = ImageIO.getImageWritersByFormatName("jpg").next()
+    val param2 = writer2.getDefaultWriteParam
+    param2.setProgressiveMode(ImageWriteParam.MODE_DEFAULT)
+    val bos2 = new java.io.ByteArrayOutputStream()
+    val ios2 = ImageIO.createImageOutputStream(bos2)
+    writer2.setOutput(ios2)
+    writer2.write(null, new IIOImage(cimg, null, null), param2)
+    ios2.close(); writer2.dispose()
+    val cbytes = bos2.toByteArray
+    val (cw2, ch2, cpx, _) = decodeJpegRgb(cbytes)
+    assert(cw2 == 32 && ch2 == 32)
+    val cref = ImageIO.read(new java.io.ByteArrayInputStream(cbytes))
+    def nearEdge(t: Int): Boolean = (t % 16) < 2 || (t % 16) >= 14
+    var cMax = 0
+    (0 until 32).foreach(y => (0 until 32).foreach { x =>
+      if (!nearEdge(x) && !nearEdge(y)) {
+        val e = cref.getRGB(x, y); val g = cpx(y * 32 + x)
+        Seq(16, 8, 0).foreach { sh =>
+          cMax = math.max(cMax,
+            math.abs(((e >> sh) & 0xFF) - ((g >> sh) & 0xFF)))
+        }
+      }
+    })
+    assert(cMax <= 3, s"color progressive disagreement: max diff $cMax")
+  }
+
+  test("color JPEG: gray content through the 3-component 4:2:0 pipeline " +
+      "is bit-exact; colored MCUs round-trip within fixed-point tolerance") {
+    import graft.ops.Multimodal._
+    // per-MCU-constant GRAY (r=g=b): forward conversion yields exactly
+    // (Y=v, Cb=Cr=128), every block is DC-only, decode is bit-exact
+    val (w, h) = (32, 48) // 2×3 MCUs at 4:2:0
+    def grayVal(i: Int): Int = {
+      val mx = (i % w) / 16; val my = (i / w) / 16
+      (37 + mx * 81 + my * 57) % 256
+    }
+    val jpg = encodeJpegColor(w, h, i => {
+      val v = grayVal(i); (v << 16) | (v << 8) | v
+    })
+    val (dw, dh, px, nEnt) = decodeJpegRgb(jpg)
+    assert(dw == w && dh == h && nEnt > 0)
+    assert(px.indices.forall { i =>
+      val v = grayVal(i); px(i) == ((v << 16) | (v << 8) | v)
+    })
+    // per-MCU-constant COLOR: Y/Cb/Cr planes reconstruct exactly, so
+    // the only loss is the forward+inverse fixed-point color transform
+    // — bounded at ±2 per channel
+    def colorVal(i: Int): Int = {
+      val mx = (i % w) / 16; val my = (i / w) / 16
+      (((30 + mx * 90) % 256) << 16) | (((60 + my * 70) % 256) << 8) |
+        ((200 - mx * 40 - my * 30 + 512) % 256)
+    }
+    val cjpg = encodeJpegColor(w, h, colorVal, restartInterval = 2)
+    val (_, _, cpx, _) = decodeJpegRgb(cjpg)
+    cpx.indices.foreach { i =>
+      val e = colorVal(i); val g = cpx(i)
+      Seq(16, 8, 0).foreach { sh =>
+        val d = math.abs(((e >> sh) & 0xFF) - ((g >> sh) & 0xFF))
+        assert(d <= 2, s"pixel $i shift $sh: diff $d")
+      }
+    }
+    // 4:4:4 path decodes the same gray fixture exactly too
+    val j444 = encodeJpegColor(w, h, i => {
+      val v = grayVal(i); (v << 16) | (v << 8) | v
+    }, subsample = 1)
+    val (_, _, p444, _) = decodeJpegRgb(j444)
+    assert(p444.indices.forall { i =>
+      val v = grayVal(i); p444(i) == ((v << 16) | (v << 8) | v)
+    })
+    // grayscale JPEGs pass through decodeJpegRgb as replicated luma
+    val gj = encodeJpeg(16, 16, i => 99)
+    val (_, _, gp, _) = decodeJpegRgb(gj)
+    assert(gp.forall(_ == 0x636363))
+  }
+
+  test("color JPEG: decoder agrees with the JDK ImageIO reference on a " +
+      "foreign-encoded color image") {
+    import graft.ops.Multimodal._
+    val (w, h) = (32, 32) // whole MCUs, flat color per MCU
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach(y => (0 until w).foreach { x =>
+      val mx = x / 16; val my = y / 16
+      img.setRGB(x, y, ((50 + mx * 120) << 16) | ((80 + my * 90) << 8) |
+        (210 - mx * 60 - my * 40))
+    })
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val bytes = bos.toByteArray
+    val (dw, dh, px, _) = decodeJpegRgb(bytes)
+    assert(dw == w && dh == h)
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    // ImageIO's reader interpolates chroma across sample boundaries
+    // ("fancy upsampling") while this decoder replicates — a legal
+    // T.81 difference that only shows WHERE CHROMA CHANGES, so compare
+    // away from the planted 16-px color edges and require near-exact
+    // agreement there
+    def nearEdge(t: Int): Boolean = (t % 16) < 2 || (t % 16) >= 14
+    var maxDiff = 0
+    var compared = 0
+    (0 until h).foreach(y => (0 until w).foreach { x =>
+      if (!nearEdge(x) && !nearEdge(y)) {
+        compared += 1
+        val e = ref.getRGB(x, y); val g = px(y * w + x)
+        Seq(16, 8, 0).foreach { sh =>
+          maxDiff = math.max(maxDiff,
+            math.abs(((e >> sh) & 0xFF) - ((g >> sh) & 0xFF)))
+        }
+      }
+    })
+    assert(compared >= w * h / 2)
+    assert(maxDiff <= 3, s"color disagreement vs ImageIO: max diff $maxDiff")
+  }
+
+  test("audio: exact spectral anchors and decimation resample by hand") {
+    import graft.ops.Multimodal._
+    // 4 samples: 100, -50, 30, -80
+    val wav = encodeWav(8000, Seq(100, -50, 30, -80), 4)
+    val sp = audioSpectral(9L, wav)
+    assert(sp == AudioSpectral(9L, 4L, 0L, 260L,
+      100L * 100 + 50 * 50 + 30 * 30 + 80 * 80))
+    // decimate by 2: keeps samples 0 and 2 (100, 30), rate halves
+    val half = resampleWavDecimate(9L, wav, 2)
+    val st = decodeWav(9L, half)
+    assert(st.sample_rate == 4000 && st.n_samples == 2L)
+    assert(st.sum_abs == 130L && st.peak == 100)
+    // odd count: ceil keeps the ragged head sample
+    val wav5 = encodeWav(8000, Seq(1, 2, 3, 4, 5), 5)
+    assert(decodeWav(9L, resampleWavDecimate(9L, wav5, 2)).n_samples == 3L)
+    // factor 1 is the identity
+    assert(decodeWav(9L, resampleWavDecimate(9L, wav, 1)).sum_abs ==
+      decodeWav(9L, wav).sum_abs)
+  }
+
+  test("animated GIF: multi-frame decode recovers geometry, delays, and " +
+      "every frame's raster; still GIFs read as one delay-0 frame") {
+    import graft.ops.Multimodal._
+    // two frames: full-screen then an offset sub-rectangle
+    val f0 = (i: Int) => (i / 5) % 16
+    val f1 = (i: Int) => (i * 3 + 1) % 16
+    val anim = encodeGifAnimated(20, 12, 4, Seq(
+      (0, 0, 20, 12, 10, f0),
+      (4, 2, 8, 8, 25, f1)))
+    val frames = decodeGifFrames(1L, anim)
+    assert(frames.length == 2)
+    val a = frames(0)
+    assert((a.x_off, a.y_off, a.width, a.height, a.delay_cs) == (0, 0, 20, 12, 10))
+    assert(a.raster.indices.forall(i => a.raster(i) == f0(i)))
+    val bF = frames(1)
+    assert((bF.x_off, bF.y_off, bF.width, bF.height, bF.delay_cs) == (4, 2, 8, 8, 25))
+    assert(bF.raster.indices.forall(i => bF.raster(i) == f1(i)))
+    // a single-frame still (no GCE) is one frame with delay 0
+    val still = decodeGifFrames(2L, encodeGif(10, 8, 4, i => i % 16))
+    assert(still.length == 1 && still.head.delay_cs == 0)
+    assert(still.head.raster.indices.forall(i => still.head.raster(i) == i % 16))
+    // frame rect outside the logical screen is rejected at encode
+    intercept[IllegalArgumentException](
+      encodeGifAnimated(10, 10, 4, Seq((8, 8, 4, 4, 0, _ => 0))))
   }
 
   test("cross-format averageHash: PGM/JPEG/PNG/GIF of one raster agree; " +
