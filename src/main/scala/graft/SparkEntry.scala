@@ -3855,6 +3855,52 @@ object SparkEntry {
     // regexp_extract registered-domain heuristic) while the oracle
     // computes host/domain straight from the formula — a parser bug
     // anywhere shows as a count shift.
+    // X4 — URL canonicalization: the normalize-before-dedup step of a
+    // crawl pipeline (case, default ports, fragments, utm_* tracking
+    // params, query-param order). Four fixture URL shapes per doc; the
+    // oracle constructs the EXPECTED canonical string in closed form —
+    // an independent derivation, not a replay of the algorithm.
+    "x4_url_canonicalize" -> ((s, dir) => {
+      val k = (col("doc_id") % 20).cast("string")
+      val url = when(col("doc_id") % 4 === 0,
+          concat(lit("HTTP://WWW.Site"), k, lit(".COM:80/Path"),
+            (col("doc_id") % 7).cast("string"), lit("?utm_source=x&b=2&a="),
+            (col("doc_id") % 5).cast("string"), lit("#frag")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("https://Example"), k, lit(".Org:443")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("http://host"), k, lit(".net/a/b?z=1&y="),
+            (col("doc_id") % 3).cast("string"), lit("&utm_campaign=c")))
+        .otherwise(concat(lit("HTTPS://CDN"), k, lit(".io:8443/x?a=1#s")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.canonicalizeUrl(url).as("canon_url"))
+        .orderBy("doc_id")
+    }),
+
+    // X4 — mojibake repair (UTF-8-as-Latin-1, the ftfy fix): every doc
+    // is damaged for real (é → "Ã©" via a bytes round trip) and must
+    // repair EXACTLY back to the planted original, while the clean
+    // original passes through untouched — both certified by md5
+    // against the oracle's independently-built original.
+    "x4_fix_mojibake" -> ((s, dir) => {
+      import s.implicits._
+      val planted = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val original = text.replace("e", "é")
+          val moji = new String(original.getBytes("UTF-8"), "ISO-8859-1")
+          (id, original, moji)
+        }.toDF("doc_id", "_orig", "_moji")
+      planted.select(col("doc_id"),
+          md5(TextAnalysis.repairMojibake(col("_moji"))).as("repaired_md5"),
+          (TextAnalysis.repairMojibake(col("_moji")) === col("_orig"))
+            .as("repair_roundtrips"),
+          (TextAnalysis.repairMojibake(col("_orig")) === col("_orig"))
+            .as("clean_passthrough"))
+        .orderBy("doc_id")
+    }),
+
     "x4_url_domains" -> ((s, dir) => {
       val urls = Tables.documents(s, dir).select(col("doc_id"),
         concat(lit("https://w"), (col("doc_id") % 37).cast("string"),
@@ -4582,6 +4628,65 @@ object SparkEntry {
     // spread over 1024 columns × 4 independent hash rows — verified
     // collision-free at all three SFs before pinning; the spec owns the
     // forced-collision behavior).
+    // Spark's native approximate-percentile sketch (percentile_approx,
+    // the KLL-family summary — THE quantile path at 100 TB, where the
+    // exact form needs a value-grain prefix-sum pass) verdict-gated
+    // like HLL: estimates must be REAL data elements whose exact rank
+    // (recomputed) sits within the sketch's documented 1/accuracy rank
+    // error of the target. The estimates themselves are merge-order-
+    // dependent, so only the guarantees gate — never raw values.
+    "sketch_approx_percentile" -> ((s, dir) => {
+      val v = Tables.orders(s, dir).select(
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+      val ps = Seq(1, 5, 25, 50, 75, 95, 99)
+      val est = v.agg(
+        percentile_approx(col("cents"),
+          array(ps.map(p => lit(p / 100.0)): _*), lit(10000)).as("ests"),
+        count(lit(1)).as("n"))
+      val e = est.select(col("n"),
+          posexplode(col("ests")).as(Seq("i", "est")))
+        .withColumn("p", element_at(array(ps.map(lit): _*), col("i") + 1))
+      v.crossJoin(broadcast(e))
+        .groupBy(col("p"), col("n"), col("est"))
+        .agg(sum(when(col("cents") <= col("est"), 1L).otherwise(0L))
+            .as("_rank"),
+          sum(when(col("cents") === col("est"), 1L).otherwise(0L))
+            .as("_hits"))
+        .select(col("p"), col("n"),
+          (col("_hits") > 0L).as("est_is_member"),
+          (abs(col("_rank") * 10000L - col("p") * col("n") * 100L) <=
+            (col("n") + 10000L)).as("rank_within_eps"))
+        .orderBy("p")
+    }),
+
+    // Misra–Gries heavy hitters — the DETERMINISTIC frequent-items
+    // sketch (k=32 counters, n/33 error). Key domain is a planted
+    // skew: 30% of events collapse onto 7 hot keys, the rest spread
+    // over the user tail (offset past the hot range) — so true heavy
+    // hitters exist AND eviction churn is real. The verdict emits one
+    // row per TRUE heavy key (exact counts, oracle-replayed) and pins
+    // the two MG guarantees measured: every heavy key survived the
+    // sketch, and its estimate sits in [c − n/33, c]. The surviving
+    // sub-threshold counter SET is partition-layout-dependent by
+    // design, so only the guarantees gate — never raw counters.
+    "sketch_misra_gries" -> ((s, dir) => {
+      val keyed = Tables.events(s, dir).select(
+        when(pmod(col("user_id"), lit(10)) < 3, pmod(col("user_id"), lit(7)))
+          .otherwise(col("user_id") + 1000000L).as("k"))
+      val sk = graft.ops.Sketch.misraGries(keyed, col("k"), 32)
+      val exact = keyed.groupBy(col("k")).agg(count(lit(1)).as("n_true"))
+      val tot = keyed.agg(count(lit(1)).as("n"))
+      exact.crossJoin(broadcast(tot))
+        .filter(col("n_true") * 33 > col("n"))
+        .join(sk, col("k") === col("key"), "left")
+        .select(col("k"), col("n_true"),
+          col("est").isNotNull.as("present_in_sketch"),
+          (col("est").isNotNull && col("est") <= col("n_true") &&
+            (col("n_true") - col("est")) * 33 <= col("n")).as("est_in_bound"))
+        .orderBy("k")
+    }),
+
     "sketch_countmin" -> ((s, dir) => {
       import s.implicits._
       val ev = Tables.events(s, dir)
@@ -4695,6 +4800,50 @@ object SparkEntry {
           (abs(col("f2_est") - col("f2_exact")) * 100 <=
             col("f2_exact") * 30).as("est_in_30pct"),
           (col("_mm") === 0L).as("stream_matches_batch"))
+    }),
+
+    // STREAMING near-dup admission: new docs (doc_id % 5 == 0) arrive
+    // as a file-source stream, are LSH-banded per row (stateless), and
+    // join a precomputed static bucket index of the historical corpus
+    // (doc_id % 5 != 0) with exact-Jaccard verification — the dedup
+    // gate a live ingestion pipeline runs. Verdict: truth = exact
+    // all-pairs new×hist string-shingle Jaccard (recomputed by the
+    // oracle); emitted_all_true pins zero false admissions-blocks,
+    // recall_floor_met pins ≥70% of true collisions caught (the
+    // documented LSH trade at the b=8/r=4 S-curve).
+    "stream_minhash_neardup" -> ((s, dir) => {
+      val emitted = graft.streaming.Streams.streamMinhashNearDup(s, dir)
+        .select(col("new_id"), col("hist_id"), lit(1).as("_e"))
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 400)
+      val sh = d.select(col("doc_id"),
+        Dedup.wordShingles(lower(col("text")), 3).as("_s"))
+      val sz = sh.select(col("doc_id"), size(col("_s")).as("_n"))
+      val ex = sh.select(col("doc_id"), explode(col("_s")).as("_sh"))
+      val truth = ex.as("a").join(ex.as("b"),
+          col("a._sh") === col("b._sh") &&
+          col("a.doc_id") % 5 === 0 && col("b.doc_id") % 5 =!= 0)
+        .groupBy(col("a.doc_id").as("new_id"), col("b.doc_id").as("hist_id"))
+        .agg(count(lit(1)).as("_inter"))
+        .join(sz.select(col("doc_id").as("new_id"), col("_n").as("_na")),
+          Seq("new_id"))
+        .join(sz.select(col("doc_id").as("hist_id"), col("_n").as("_nb")),
+          Seq("hist_id"))
+        .filter(col("_inter").cast("double") /
+          (col("_na") + col("_nb") - col("_inter")).cast("double") >= 0.3)
+        .select(col("new_id"), col("hist_id"), lit(1).as("_t"))
+      val stats = truth.join(emitted, Seq("new_id", "hist_id"), "full_outer")
+        .agg(count(col("_t")).as("n_true_pairs"),
+          sum(when(col("_t").isNotNull && col("_e").isNotNull, 1L)
+            .otherwise(0L)).as("_hit"),
+          sum(when(col("_e").isNotNull && col("_t").isNull, 1L)
+            .otherwise(0L)).as("_fp"))
+      d.agg(sum(when(col("doc_id") % 5 === 0, 1L).otherwise(0L)).as("n_new"),
+          sum(when(col("doc_id") % 5 =!= 0, 1L).otherwise(0L)).as("n_hist"))
+        .crossJoin(stats)
+        .select(col("n_new"), col("n_hist"), col("n_true_pairs"),
+          (coalesce(col("_fp"), lit(0L)) === 0L).as("emitted_all_true"),
+          (coalesce(col("_hit"), lit(0L)) * 10 >= col("n_true_pairs") * 7)
+            .as("recall_floor_met"))
     }),
 
     "stream_countmin" -> ((s, dir) => {
@@ -7967,6 +8116,28 @@ object SparkEntry {
 
     // The oracle computes host/domain straight from the URL-planting
     // formula — Spark's parse_url must agree or counts shift.
+    // Closed-form expected canonical URLs — derived independently of
+    // the canonicalizer (lowercased scheme+host, default port dropped,
+    // 8443 kept, path defaulted to /, utm_* gone, params sorted).
+    "x4_url_canonicalize" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INTEGER)
+        |    WHEN 0 THEN 'http://www.site' || (doc_id % 20) ||
+        |      '.com/Path' || (doc_id % 7) || '?a=' || (doc_id % 5) || '&b=2'
+        |    WHEN 1 THEN 'https://example' || (doc_id % 20) || '.org/'
+        |    WHEN 2 THEN 'http://host' || (doc_id % 20) ||
+        |      '.net/a/b?y=' || (doc_id % 3) || '&z=1'
+        |    ELSE 'https://cdn' || (doc_id % 20) || '.io:8443/x?a=1'
+        |  END AS canon_url
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // The oracle builds the SAME planted original (replace e → é) and
+    // hashes it; booleans pinned after measuring.
+    "x4_fix_mojibake" ->
+      """SELECT doc_id, md5(replace(text, 'e', 'é')) AS repaired_md5,
+        |  TRUE AS repair_roundtrips, TRUE AS clean_passthrough
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "x4_url_domains" ->
       """WITH u AS (
         |  SELECT doc_id,
@@ -9147,6 +9318,28 @@ object SparkEntry {
         |HAVING count(*) * 1000 > (SELECT count(*) FROM orders) * 1
         |ORDER BY o_custkey""".stripMargin,
 
+    // Probe list + exact row count; both quantile-sketch guarantees
+    // measured then pinned.
+    "sketch_approx_percentile" ->
+      """WITH ps(p) AS (VALUES (1), (5), (25), (50), (75), (95), (99)),
+        |n AS (SELECT count(*) AS n FROM orders)
+        |SELECT CAST(p AS INTEGER) AS p, n.n AS n,
+        |  TRUE AS est_is_member, TRUE AS rank_within_eps
+        |FROM ps, n ORDER BY p""".stripMargin,
+
+    // Exact heavy-key replay over the planted-skew derivation; the two
+    // MG guarantees measured then pinned.
+    "sketch_misra_gries" ->
+      """WITH kx AS (
+        |  SELECT CASE WHEN user_id % 10 < 3 THEN user_id % 7
+        |              ELSE user_id + 1000000 END AS k
+        |  FROM events),
+        |c AS (SELECT k, count(*) AS n_true FROM kx GROUP BY 1),
+        |t AS (SELECT count(*) AS n FROM kx)
+        |SELECT k, CAST(n_true AS BIGINT) AS n_true,
+        |  TRUE AS present_in_sketch, TRUE AS est_in_bound
+        |FROM c, t WHERE n_true * 33 > n ORDER BY k""".stripMargin,
+
     // Verdict-row gate (sketch estimates are not SQL-expressible): the
     // oracle recomputes every exact count; est_ge_true is the provable
     // one-sided CMS guarantee, est_eq_true measured-then-pinned for
@@ -9534,6 +9727,30 @@ object SparkEntry {
       """SELECT count(*) AS n_docs, TRUE AS pairs_wellformed,
         |  TRUE AS hamming_verified, TRUE AS pair_floor_met
         |FROM documents""".stripMargin,
+
+    // The x3_minhash truth replay restricted to new×hist pairs (the
+    // streaming admission split), booleans pinned after measuring.
+    "stream_minhash_neardup" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) >= 3 THEN
+        |      list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |    ELSE [array_to_string(w, ' ')] END AS s
+        |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM d) t),
+        |tp AS (
+        |  SELECT count(*) AS n_true_pairs
+        |  FROM sh a JOIN sh b ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / (CAST(len(a.s) AS DOUBLE) + CAST(len(b.s) AS DOUBLE)
+        |         - CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)) >= 0.3)
+        |SELECT
+        |  (SELECT count(*) FROM d WHERE doc_id % 5 = 0) AS n_new,
+        |  (SELECT count(*) FROM d WHERE doc_id % 5 <> 0) AS n_hist,
+        |  CAST(n_true_pairs AS BIGINT) AS n_true_pairs,
+        |  TRUE AS emitted_all_true, TRUE AS recall_floor_met
+        |FROM tp""".stripMargin,
 
     "x1_embedding_neardup" ->
       """WITH v AS (

@@ -222,4 +222,18 @@ object Sketch {
       .agg(element_at(array_sort(collect_list(col("_est"))),
         (depth + 1) / 2).as("f2_est"))
   }
+
+  /** Misra–Gries frequent-items summary (see
+    * [[graft.ops.MisraGriesLongAggregator]]): ≤ k (key, est) counters
+    * with the n/(k+1) error guarantee — the DETERMINISTIC complement
+    * to Count-Min (no hash collisions, under- instead of
+    * over-estimates, and the candidate set comes out of the sketch
+    * itself instead of needing a probe list). Returns (key, est). */
+  def misraGries(df: DataFrame, key: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.select(key.cast("long").as("_k"))
+      .agg(graft.ops.TopK.misraGriesLong(k)(col("_k")).as("_mg"))
+      .select(explode(col("_mg")).as("_e"))
+      .select(col("_e._1").as("key"), col("_e._2").as("est"))
+  }
 }

@@ -685,6 +685,53 @@ object TextAnalysis {
   def registeredDomain(host: Column): Column =
     regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
 
+  /** URL canonicalization — the normalize-before-dedup step of every
+    * crawl pipeline (the same page arrives as `HTTP://Site.com:80/a?b=2&a=1#x`
+    * and `http://site.com/a?a=1&b=2`; byte-level dedup misses the
+    * equivalence, canonical-URL grouping doesn't): trim, strip the
+    * fragment, lowercase scheme+host, drop default ports (http:80 /
+    * https:443), default the empty path to `/`, drop `utm_*` tracking
+    * parameters, and SORT the remaining query parameters. Pure
+    * regexp/array string functions — no `parse_url`, so the oracle
+    * replays the identical derivation and the output hash-gates as
+    * data, not a verdict. */
+  def canonicalizeUrl(url: Column): Column = {
+    val u = regexp_replace(trim(url), "#.*$", "") // fragment off first
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostPort0 = lower(regexp_extract(rest, "^([^/?]*)", 1))
+    val hostPort = when(scheme === "http", regexp_replace(hostPort0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostPort0, ":443$", ""))
+      .otherwise(hostPort0)
+    val path0 = regexp_extract(rest, "^[^/?]*(/[^?]*)?", 1)
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val query = regexp_extract(u, "\\?([^#]*)", 1)
+    val params = array_sort(filter(split(query, "&"),
+      p => p =!= "" && !p.startsWith("utm_")))
+    val qstr = when(size(params) > 0,
+      concat(lit("?"), array_join(params, "&"))).otherwise(lit(""))
+    concat(scheme, lit("://"), hostPort, path, qstr)
+  }
+
+  /** Mojibake repair — the ftfy-style fix for the most common corpus
+    * encoding damage: UTF-8 bytes mis-decoded as Latin-1 ("é" shipped
+    * as "Ã©"). The repair re-encodes the text as Latin-1 (recovering
+    * the original bytes 1:1 — Latin-1 is exactly the first 256 code
+    * points) and re-decodes as UTF-8, applied ONLY when (a) the text
+    * carries the 0xC2/0xC3 lead-byte signature, (b) every char is in
+    * the Latin-1 range (so the re-encode is lossless), and (c) the
+    * candidate decodes cleanly (no U+FFFD replacement). Anything else
+    * passes through untouched — the repair can never corrupt clean
+    * text, only un-corrupt damaged text. Pure built-ins (encode /
+    * decode / rlike), whole-stage codegen. */
+  def repairMojibake(t: Column): Column = {
+    val candidate = decode(encode(t, "ISO-8859-1"), "UTF-8")
+    when(t.rlike("[\\u00C2\\u00C3][\\u0080-\\u00BF]") &&
+        t.rlike("^[\\u0000-\\u00FF]*$") &&
+        !candidate.contains("\uFFFD"),
+      candidate).otherwise(t)
+  }
+
   /** Inverted index with impact-ordered static pruning — the retrieval
     * structure under [[bm25TopTerms]]-style scoring, built as data: one
     * row per term with document frequency, collection frequency, and

@@ -105,11 +105,71 @@ class MinKDistinctLongAggregator(k: Int)
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
 }
 
+/** Misra–Gries heavy-hitters summary as a typed `Aggregator` — the
+  * DETERMINISTIC frequent-items sketch (no hashing, no RNG): at most
+  * `k` counters; a full buffer decrements every counter instead of
+  * inserting (the classic cancellation argument), and partials merge
+  * by summing then subtracting the (k+1)-th largest count (Agarwal et
+  * al.'s mergeable-summaries rule). Guarantees, independent of
+  * partitioning: every key with true count > n/(k+1) survives, and
+  * each surviving estimate is within [c − n/(k+1), c]. The surviving
+  * SET below the heavy threshold is partition-layout-dependent — so
+  * gates pin the guarantees, never the raw counter set.
+  *
+  * Buffer is O(k); partial aggregation is map-side like every sketch
+  * here — n/(k+1)-error frequency summaries at 100 TB without
+  * shuffling the key domain. */
+class MisraGriesLongAggregator(k: Int)
+    extends Aggregator[Long, Map[Long, Long], Seq[(Long, Long)]] {
+
+  override def zero: Map[Long, Long] = Map.empty
+
+  override def reduce(buf: Map[Long, Long], x: Long): Map[Long, Long] =
+    buf.get(x) match {
+      case Some(c) => buf.updated(x, c + 1)
+      case None if buf.size < k => buf.updated(x, 1L)
+      case None => // decrement-all; the incoming item cancels with it
+        buf.flatMap { case (key, c) =>
+          if (c > 1) Some(key -> (c - 1)) else None
+        }
+    }
+
+  override def merge(a: Map[Long, Long], b: Map[Long, Long]): Map[Long, Long] = {
+    val combined = b.foldLeft(a) { case (m, (key, c)) =>
+      m.updated(key, m.getOrElse(key, 0L) + c)
+    }
+    if (combined.size <= k) combined
+    else {
+      // subtract the (k+1)-th largest count from everything: at most k
+      // entries stay positive, and the subtraction composes the error
+      // bound exactly like reduce's decrement does
+      val d = combined.values.toSeq.sorted(Ordering.Long.reverse)(k)
+      combined.flatMap { case (key, c) =>
+        if (c - d > 0) Some(key -> (c - d)) else None
+      }
+    }
+  }
+
+  override def finish(buf: Map[Long, Long]): Seq[(Long, Long)] =
+    buf.toSeq.sortBy { case (key, c) => (-c, key) }
+
+  override def bufferEncoder: Encoder[Map[Long, Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[Long, Long]]()
+
+  override def outputEncoder: Encoder[Seq[(Long, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
+}
+
 object TopK {
   /** Untyped-column form usable in `df.groupBy(...).agg(...)`:
     * `top_k(score, id)` → array<struct<_1: double, _2: bigint>>. */
   def topK(k: Int)(score: Column, id: Column): Column =
     udaf(new TopKAggregator(k)).apply(score, id)
+
+  /** Misra–Gries buffer: ≤ k (key, estimate) counters, count desc /
+    * key asc → array<struct<_1: bigint, _2: bigint>>. */
+  def misraGriesLong(k: Int)(key: Column): Column =
+    udaf(new MisraGriesLongAggregator(k)).apply(key)
 
   /** KMV buffer: k smallest distinct longs, sorted asc → array<bigint>. */
   def minKDistinctLong(k: Int)(hash: Column): Column =

@@ -629,4 +629,103 @@ object Streams {
       .groupBy("r", "c").agg(sum(col("_s")).as("cell"))
     drainToTable(spark, ss, cells, "stream_ams", "complete")
   }
+
+  /** Streaming source over the documents parquet — same staged-landing
+    * file-source shape as [[eventsStream]]; the schema is probed from
+    * the fixture footer (no timestamp normalization needed here). */
+  def documentsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file._
+    val src = Paths.get(sfDir, "documents.parquet")
+    val dst = Paths.get(scratchRoot,
+      s"graft_docs_landing_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}")
+    Files.createDirectories(dst)
+    val tgt = dst.resolve("documents.parquet")
+    val stale = !Files.exists(tgt) ||
+      Files.getLastModifiedTime(tgt).compareTo(Files.getLastModifiedTime(src)) < 0 ||
+      Files.size(tgt) != Files.size(src)
+    if (stale) Files.copy(src, tgt, StandardCopyOption.REPLACE_EXISTING)
+    val schema = spark.read.parquet(dst.toString).schema
+    spark.readStream.schema(schema).parquet(dst.toString)
+  }
+
+  /** STREAMING near-dup admission — the dedup gate a live ingestion
+    * pipeline actually runs: each incoming micro-batch of NEW documents
+    * is LSH-banded PER ROW (shingle hashes → minhash signature via an
+    * array-aggregate fold → band explode: stateless, no shuffle, no
+    * watermark) and joined against a PRECOMPUTED static bucket index of
+    * the historical corpus, then exact-Jaccard verified against the
+    * carried historical shingle sets. Emits (new_id, hist_id, jaccard)
+    * for every admission-blocking collision.
+    *
+    * Scale shape: the stream side never aggregates — signature cost
+    * rides the ingest row; the static index is band-keyed (a plain hash
+    * join per micro-batch, broadcast when the history's band table is
+    * small, bucketed otherwise) and carries the shingle arrays so
+    * verification needs no second lookup. The static side uses the
+    * batch codegen signature path (explode + min-slot hash agg); the
+    * per-row HOF fold is reserved for the stream where per-element
+    * interpretation is bounded by micro-batch volume. Candidates may
+    * duplicate across bands in-flight — deduping in-stream would mean
+    * stateful `distinct`, so the drain dedups in batch (exactly-once
+    * admission verdicts without streaming state). */
+  def streamMinhashNearDup(spark: SparkSession, sfDir: String,
+      shingleK: Int = 3, bands: Int = 8, rows: Int = 4,
+      minJaccard: Double = 0.3, maxId: Long = 400L): DataFrame = {
+    import graft.ops.Dedup
+    val ss = stateSession(spark, 4)
+    val n = bands * rows
+    // ---- static historical index (batch, codegen agg signature) ----
+    val hist = graft.io.Tables.documents(ss, sfDir)
+      .filter(col("doc_id") < maxId && col("doc_id") % 5 =!= 0)
+    val hsh = hist.select(col("doc_id").as("hist_id"),
+        graft.expr.WordShingleHashes(col("text"), shingleK, distinct = true)
+          .as("_hsh"))
+      .withColumn("_hn", size(col("_hsh")))
+    val minAggs = (0 until n).map(i =>
+      min(Dedup.permutedHash(i, col("_h"))).as(s"_m$i"))
+    val hsig = hsh.select(col("hist_id"), explode(col("_hsh")).as("_h"))
+      .groupBy(col("hist_id"))
+      .agg(minAggs.head, minAggs.tail: _*)
+      .select(col("hist_id"),
+        array((0 until n).map(i => col(s"_m$i")): _*).as("_sig"))
+    val histIdx = hsig
+      .select(col("hist_id"),
+        explode(Dedup.lshBands(col("_sig"), bands, rows)).as("_b"))
+      .select(col("hist_id"), col("_b.band_id"), col("_b.band_hash"))
+      .join(hsh, Seq("hist_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    histIdx.count() // materialize once; re-read per micro-batch
+    // ---- stateless stream side ----
+    val incoming = documentsStream(ss, sfDir)
+      .filter(col("doc_id") < maxId && col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("new_id"),
+        graft.expr.WordShingleHashes(col("text"), shingleK, distinct = true)
+          .as("_nsh"))
+      .withColumn("_nn", size(col("_nsh")))
+    val sigCols = (0 until n).map(i =>
+      aggregate(col("_nsh"), lit(Long.MaxValue),
+        (acc, h) => least(acc, Dedup.permutedHash(i, h))).as(s"_s$i"))
+    val banded = incoming
+      .select(Seq(col("new_id"), col("_nsh"), col("_nn")) ++ sigCols: _*)
+      .select(col("new_id"), col("_nsh"), col("_nn"),
+        array((0 until n).map(i => col(s"_s$i")): _*).as("_sig"))
+      .select(col("new_id"), col("_nsh"), col("_nn"),
+        explode(Dedup.lshBands(col("_sig"), bands, rows)).as("_b"))
+      .select(col("new_id"), col("_nsh"), col("_nn"),
+        col("_b.band_id"), col("_b.band_hash"))
+    val cand = banded.join(histIdx, Seq("band_id", "band_hash"))
+      // size-ratio prune before any array work (J ≤ min/max sizes)
+      .filter(least(col("_nn"), col("_hn")).cast("double") >=
+        lit(minJaccard) * greatest(col("_nn"), col("_hn")))
+      .withColumn("_inter",
+        size(array_intersect(col("_nsh"), col("_hsh"))).cast("double"))
+      .withColumn("jaccard", col("_inter") /
+        (col("_nn").cast("double") + col("_hn") - col("_inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("new_id"), col("hist_id"), col("jaccard"))
+    val out = drainToTable(spark, ss, cand, "stream_minhash", "append")
+      .distinct() // band-duplicate candidates collapse in batch
+    histIdx.unpersist()
+    out
+  }
 }

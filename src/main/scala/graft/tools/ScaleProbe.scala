@@ -314,6 +314,31 @@ object ScaleProbe {
           pmod(xxhash64(col("text")), lit(50L)).as("it"))
         graft.ops.Reagg.basketLift(baskets, "bk", "it", minSupport = 5).count()
       }
+      time("codec_jpeg") {
+        // encode+decode per doc: the batched mapPartitions decode
+        // boundary at corpus scale — wall-clock should track docs/cores
+        import spark.implicits._
+        val st = graft.ops.Multimodal.decodeJpegStats(
+          docs.select(col("doc_id")).as[Long].map { id =>
+            val w = (8 * (2 + id % 6)).toInt; val h = (8 * (2 + id % 4)).toInt
+            graft.ops.Multimodal.MediaRecord(id,
+              graft.ops.Multimodal.encodeJpeg(w, h,
+                i => ((id * 31 + i * 7) % 256).toInt), "image/jpeg", "xx")
+          })
+        st.agg(sum(col("px_sum"))).head()
+        st.count()
+      }
+      time("codec_gif_anim") {
+        import spark.implicits._
+        graft.ops.Multimodal.gifFrameStats(
+          docs.select(col("doc_id")).as[Long].map { id =>
+            val frames = (0 until 4).map(j =>
+              (0, 0, 32, 24, 10, (i: Int) => ((id + j * 7 + i) % 16).toInt))
+            graft.ops.Multimodal.MediaRecord(id,
+              graft.ops.Multimodal.encodeGifAnimated(32, 24, 4, frames),
+              "image/gif", "xx")
+          }).count()
+      }
       docs.unpersist()
     }
     spark.stop()

@@ -194,4 +194,39 @@ class SketchSpec extends AnyFunSuite with SparkTestBase {
       Sketch.amsF2Estimate(Sketch.amsSketch(data.toDF("k"), "k", 4, 64), 4)
     }
   }
+
+  test("misra-gries: heavy keys always survive with in-bound estimates; " +
+      "ample k is exact; guarantees hold under repartitioning") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    // 1000 total: key 1 ×400, key 2 ×300, tail 100 distinct keys ×3
+    val rows = Seq.fill(400)(1L) ++ Seq.fill(300)(2L) ++
+      (10L until 110L).flatMap(k => Seq(k, k, k))
+    val df = rows.toDF("k")
+    val n = rows.size
+    def check(frame: org.apache.spark.sql.DataFrame, k: Int): Unit = {
+      val got = Sketch.misraGries(frame, col("k"), k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      // every key with c > n/(k+1) present, estimate within [c−n/(k+1), c]
+      exact.foreach { case (key, c) =>
+        if (c * (k + 1) > n) {
+          assert(got.contains(key), s"heavy key $key missing (k=$k)")
+        }
+      }
+      got.foreach { case (key, est) =>
+        val c = exact(key)
+        assert(est <= c && (c - est) * (k + 1) <= n,
+          s"estimate $est for $key out of [${c - n / (k + 1)}, $c]")
+      }
+    }
+    check(df, 4)
+    check(df.repartition(7), 4)   // merge path, different layout
+    check(df.repartition(1), 4)   // single-partition pure-reduce path
+    // ample k: every count exact
+    val all = Sketch.misraGries(df, col("k"), 200)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(all(1L) == 400L && all(2L) == 300L && all(10L) == 3L)
+    assert(all.size == 102)
+  }
 }

@@ -374,4 +374,37 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(runs.head == ((2L, 5L)))
     assert(runs(1)._1 == 1L)
   }
+
+  test("canonicalizeUrl: case, ports, fragment, utm, param order by hand") {
+    val s = spark; import s.implicits._
+    import graft.ops.TextAnalysis.canonicalizeUrl
+    def canon(u: String): String =
+      Seq(u).toDF("u").select(canonicalizeUrl(col("u"))).as[String].head()
+    assert(canon("HTTP://WWW.Site.COM:80/Path?utm_source=x&b=2&a=1#frag") ==
+      "http://www.site.com/Path?a=1&b=2")
+    assert(canon("https://Example.Org:443") == "https://example.org/")
+    assert(canon("https://cdn.io:8443/x?a=1#s") == "https://cdn.io:8443/x?a=1")
+    // :80 on https is NOT default — kept; empty query components drop
+    assert(canon("https://h.io:80/p?&&a=1") == "https://h.io:80/p?a=1")
+    // utm-only query collapses to no query at all
+    assert(canon("http://h.io/p?utm_a=1&utm_b=2") == "http://h.io/p")
+    assert(canon("  http://h.io  ") == "http://h.io/")
+  }
+
+  test("repairMojibake: un-corrupts UTF-8-as-Latin-1, never touches " +
+      "clean or non-Latin-1 text") {
+    val s = spark; import s.implicits._
+    import graft.ops.TextAnalysis.repairMojibake
+    def fix(t: String): String =
+      Seq(t).toDF("t").select(repairMojibake(col("t"))).as[String].head()
+    val original = "café déjà vu — naïve"
+    val moji = new String(original.getBytes("UTF-8"), "ISO-8859-1")
+    assert(moji != original && fix(moji) == original)
+    // clean text (even with accents) passes through untouched
+    assert(fix(original) == original)
+    assert(fix("plain ascii text") == "plain ascii text")
+    // text outside the Latin-1 range is never re-encoded (lossy guard)
+    val cjk = "Ã© 中文"
+    assert(fix(cjk) == cjk)
+  }
 }
