@@ -4370,14 +4370,20 @@ object SparkEntry {
     // BIGINTs over a key-partitioned RANGE frame at daily grain
     // (calendar-bounded — the seasonal-decompose safety argument).
     "window_rolling_variance" -> ((s, dir) => {
+      // WHOLE-DOLLAR grain (floored — Spark's decimal→long cast
+      // truncates but DuckDB's ROUNDS, so the floor is explicit on
+      // both sides): cents daily sums overflowed the BIGINT x² at
+      // sf0.1; dollars keep the exact numerator in range to ~sf30,
+      // past which rollingMoments aborts loudly by contract
       val daily = Tables.orders(s, dir)
         .groupBy(col("o_orderpriority"),
           expr("CAST(datediff(to_date(o_orderdate), DATE'1970-01-01') AS BIGINT)")
             .as("day_num"))
-        .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
-          .as("v_cents"))
+        .agg(sum(expr(
+          "CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,2))) AS BIGINT)"))
+          .as("v_dollars"))
       graft.ops.TimeSeries.rollingMoments(daily, "o_orderpriority",
-          "day_num", "v_cents", windowDays = 7)
+          "day_num", "v_dollars", windowDays = 7)
         .orderBy("o_orderpriority", "day_num")
     }),
 
@@ -8459,18 +8465,19 @@ object SparkEntry {
         |  SELECT o_orderpriority,
         |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
         |      AS BIGINT) AS day_num,
-        |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
-        |      AS v_cents
+        |    sum(CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,2))) AS BIGINT))
+        |      AS v_dollars
         |  FROM orders GROUP BY 1, 2),
         |w AS (
-        |  SELECT o_orderpriority, day_num, v_cents,
-        |    count(v_cents) OVER fr AS n_w,
-        |    sum(v_cents) OVER fr AS sum_w,
-        |    sum(v_cents * v_cents) OVER fr AS ss
+        |  SELECT o_orderpriority, day_num, v_dollars,
+        |    count(v_dollars) OVER fr AS n_w,
+        |    sum(v_dollars) OVER fr AS sum_w,
+        |    sum(v_dollars * v_dollars) OVER fr AS ss
         |  FROM daily
         |  WINDOW fr AS (PARTITION BY o_orderpriority ORDER BY day_num
         |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
-        |SELECT o_orderpriority, day_num, CAST(v_cents AS BIGINT) AS v_cents,
+        |SELECT o_orderpriority, day_num,
+        |  CAST(v_dollars AS BIGINT) AS v_dollars,
         |  CAST(n_w AS BIGINT) AS n_w, CAST(sum_w AS BIGINT) AS sum_w,
         |  CAST(n_w * ss - sum_w * sum_w AS BIGINT) AS var_num
         |FROM w ORDER BY o_orderpriority, day_num""".stripMargin,

@@ -327,15 +327,29 @@ object TimeSeries {
       x: String, windowDays: Int): DataFrame = {
     require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
     import org.apache.spark.sql.expressions.Window
+    val big = "decimal(38,0)"
     val w = Window.partitionBy(col(key)).orderBy(col(dayNum).asc)
       .rangeBetween(-(windowDays - 1).toLong, 0L)
+    // x² and the variance numerator run in DECIMAL(38,0): raw-Long x²
+    // overflows at |x| > ~3e9 (a daily cents sum at modest corpus
+    // scale reaches that — found by an sf0.1 sweep, where ANSI aborted
+    // the job). The OUTPUT stays BIGINT with a loud abort past Long
+    // range (the chiSquareTerms discipline) — quantize x coarser
+    // upstream when the numerator outgrows ~9e18.
+    val vn = (col("n_w") * col("_ss") -
+      col("sum_w").cast(big) * col("sum_w")).as("_vn")
     daily
       .withColumn("n_w", count(col(x)).over(w))
       .withColumn("sum_w", sum(col(x)).over(w))
-      .withColumn("_ss", sum(col(x) * col(x)).over(w))
+      .withColumn("_ss", sum(col(x).cast(big) * col(x)).over(w))
+      .withColumn("_vn", vn)
       .withColumn("var_num",
-        col("n_w") * col("_ss") - col("sum_w") * col("sum_w"))
-      .drop("_ss")
+        when(col("_vn").between(Long.MinValue, Long.MaxValue),
+          col("_vn").cast("long"))
+        .otherwise(raise_error(lit("rollingMoments: variance numerator " +
+          "exceeds BIGINT — quantize the series coarser upstream"))
+          .cast("long")))
+      .drop("_ss", "_vn")
   }
 
   /** Business days in `[startDay, endDay)` (epoch-day numbers, end

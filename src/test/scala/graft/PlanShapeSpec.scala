@@ -341,4 +341,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(windowLines.nonEmpty && windowLines.forall(_.contains("file_id#")),
       "run counter must partition by file")
   }
+
+  test("misra-gries: O(k) buffer partial-aggregates map-side (two-phase " +
+      "agg, no pre-shuffle of the key domain)") {
+    import org.apache.spark.sql.functions._
+    val df = graft.io.Tables.events(spark, sfDir)
+    val p = graft.ops.Sketch.misraGries(df, col("user_id"), 16)
+      .queryExecution.executedPlan.toString
+    // the typed Aggregator plans as ObjectHashAggregate with a partial
+    // mode before the exchange — the map-side-combine shape that keeps
+    // the shuffle at O(k) rows per map partition
+    assert(p.contains("ObjectHashAggregate"), "expected object hash agg")
+    assert(p.contains("partial_misragrieslongaggregator") ||
+      p.toLowerCase.contains("partial"), "partial aggregation must exist")
+  }
 }
