@@ -341,6 +341,17 @@ object ScaleProbe {
       }
       docs.unpersist()
     }
+    // streaming admission vs historical-corpus size (maxId sweep on the
+    // fixture — hist index and incoming batch both scale with it):
+    // per-batch cost should track index size, not explode
+    if (only.isEmpty || only("stream_admission")) {
+      Seq(400L, 2000L, 8000L).foreach { maxId =>
+        val t0 = System.nanoTime()
+        val n = graft.streaming.Streams.streamMinhashNearDup(
+          spark, dir, maxId = maxId).count()
+        println(f"[scale] maxId=$maxId%-6d stream_admission  ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($n pairs)")
+      }
+    }
     spark.stop()
   }
 }
