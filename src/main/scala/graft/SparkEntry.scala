@@ -4852,6 +4852,18 @@ object SparkEntry {
             .as("recall_floor_met"))
     }),
 
+    // X110b — INCREMENTAL streaming admission: the index GROWS inside
+    // foreachBatch, so a doc admitted in batch b blocks its near-dup in
+    // batch b+1. Candidate channel is the lossless prefix filter (an
+    // LSH miss would cascade through every later verdict), so the whole
+    // verdict sequence is exact-Jaccard-replayable: the oracle unrolls
+    // the four batch generations as chained CTEs. All-integer output.
+    "stream_minhash_incr" -> ((s, dir) => {
+      graft.streaming.Streams.streamMinhashIncr(s, dir,
+          shingleK = 3, thresholdPct = 50, maxId = 400L, nBatches = 4)
+        .orderBy("doc_id")
+    }),
+
     "stream_countmin" -> ((s, dir) => {
       import s.implicits._
       val sk = graft.streaming.Streams.countMinStream(s, dir, depth = 4, width = 1024)
@@ -9758,6 +9770,52 @@ object SparkEntry {
         |  CAST(n_true_pairs AS BIGINT) AS n_true_pairs,
         |  TRUE AS emitted_all_true, TRUE AS recall_floor_met
         |FROM tp""".stripMargin,
+
+    // Exact replay of batch-granular greedy admission: the four index
+    // generations unroll as chained CTEs (idx_{b+1} = idx_b + batch b's
+    // admitted docs), blockers at integer-Jaccard ≥ 50%.
+    "stream_minhash_incr" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) >= 3 THEN
+        |      list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |    ELSE [array_to_string(w, ' ')] END AS s
+        |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+        |        FROM documents WHERE doc_id < 400) t),
+        |hist AS (SELECT doc_id, s FROM d WHERE doc_id % 5 = 3),
+        |strm AS (SELECT doc_id, s, doc_id // 100 AS b FROM d WHERE doc_id % 5 <> 3),
+        |blk0 AS (SELECT x.doc_id, y.doc_id AS blocker FROM strm x JOIN hist y
+        |  ON x.b = 0 AND len(list_intersect(x.s, y.s)) * 100
+        |     >= (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) * 50),
+        |idx1 AS (SELECT doc_id, s FROM hist UNION ALL
+        |  SELECT doc_id, s FROM strm WHERE b = 0
+        |    AND doc_id NOT IN (SELECT doc_id FROM blk0)),
+        |blk1 AS (SELECT x.doc_id, y.doc_id AS blocker FROM strm x JOIN idx1 y
+        |  ON x.b = 1 AND len(list_intersect(x.s, y.s)) * 100
+        |     >= (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) * 50),
+        |idx2 AS (SELECT doc_id, s FROM idx1 UNION ALL
+        |  SELECT doc_id, s FROM strm WHERE b = 1
+        |    AND doc_id NOT IN (SELECT doc_id FROM blk1)),
+        |blk2 AS (SELECT x.doc_id, y.doc_id AS blocker FROM strm x JOIN idx2 y
+        |  ON x.b = 2 AND len(list_intersect(x.s, y.s)) * 100
+        |     >= (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) * 50),
+        |idx3 AS (SELECT doc_id, s FROM idx2 UNION ALL
+        |  SELECT doc_id, s FROM strm WHERE b = 2
+        |    AND doc_id NOT IN (SELECT doc_id FROM blk2)),
+        |blk3 AS (SELECT x.doc_id, y.doc_id AS blocker FROM strm x JOIN idx3 y
+        |  ON x.b = 3 AND len(list_intersect(x.s, y.s)) * 100
+        |     >= (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) * 50),
+        |blk AS (SELECT * FROM blk0 UNION ALL SELECT * FROM blk1
+        |  UNION ALL SELECT * FROM blk2 UNION ALL SELECT * FROM blk3),
+        |agg AS (SELECT doc_id, count(*) AS n_blockers, min(blocker) AS first_blocker
+        |  FROM blk GROUP BY doc_id)
+        |SELECT s.doc_id, CAST(s.b AS BIGINT) AS batch_id,
+        |  (a.doc_id IS NULL) AS admitted,
+        |  CAST(coalesce(a.n_blockers, 0) AS BIGINT) AS n_blockers,
+        |  a.first_blocker
+        |FROM strm s LEFT JOIN agg a USING (doc_id)
+        |ORDER BY s.doc_id""".stripMargin,
 
     "x1_embedding_neardup" ->
       """WITH v AS (

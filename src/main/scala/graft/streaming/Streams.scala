@@ -728,4 +728,176 @@ object Streams {
     histIdx.unpersist()
     out
   }
+
+  /** INCREMENTAL streaming near-dup admission — closes the loop the
+    * static gate ([[streamMinhashNearDup]]) leaves open: there the
+    * historical index is frozen, so two near-dup documents arriving in
+    * different micro-batches both pass. Here every ADMITTED document's
+    * (shingle set, prefix postings) is appended to the index inside
+    * `foreachBatch`, so a document admitted in micro-batch 1 BLOCKS its
+    * near-dup in micro-batch 2.
+    *
+    * Candidate channel: lossless prefix-filtered shingle postings (the
+    * AllPairs/PPJoin rule — see [[graft.ops.Dedup.prefixFilterJoin]]),
+    * not LSH bands. The choice is forced by the semantics: admission
+    * verdicts CASCADE (a missed block admits a doc that then blocks
+    * others), so a probabilistic candidate channel doesn't just lose
+    * recall on one pair — it rewrites every later verdict. With the
+    * lossless channel the whole run is deterministic and exactly
+    * replayable from Jaccard truth. Incremental mode uses the plain
+    * hash total order for prefixes (ANY total order is lossless; the
+    * df-ascending order the batch op prefers needs a global census the
+    * evolving corpus can't give without re-scanning).
+    *
+    * Index layout (the production shape, miniaturized): two append-only
+    * parquet tables on the scratch root —
+    *   `docs`     (doc_id, n, shingle hashes) — the verify side;
+    *   `postings` (prefix hash, doc_id, n)    — the candidate side,
+    * storing only the `n − ceil(t·n) + 1` smallest hashes per admitted
+    * doc, the prefix-filter bound. Every `compactEvery` logical batches
+    * both tables are compacted into a fresh generation and the old one
+    * dropped — the OPTIMIZE cadence a Delta/Iceberg-backed index would
+    * run, without which an append-per-batch index decays into a
+    * small-file scan bottleneck. At 100 TB: the index tables live in a
+    * transactional table format, the per-batch candidate join is
+    * hash-keyed on the posting hash (shuffle ∝ batch postings + matched
+    * index postings, never the whole index), and per-batch cost tracks
+    * the ADMITTED corpus, not the arrival count. When approximate
+    * recall is acceptable, the banded-signature index of the static
+    * gate is the sub-linear alternative; it cannot be the admission
+    * authority for exactly the cascade reason above.
+    *
+    * Micro-batch determinism: arrivals are staged as one file per
+    * logical batch (`doc_id div span`), drained with
+    * `maxFilesPerTrigger=1` in mtime order. Inside `foreachBatch` the
+    * rows are STILL regrouped by logical batch and processed in
+    * ascending order with an index append between groups, so the
+    * verdict sequence is identical even if the source coalesces files
+    * into one trigger. Admission is batch-granular: docs in the same
+    * logical batch never block each other (the index only grows
+    * between batches) — the contract the oracle replays.
+    *
+    * Returns one row per streamed doc:
+    * (doc_id, batch_id, admitted, n_blockers, first_blocker).
+    */
+  def streamMinhashIncr(spark: SparkSession, sfDir: String,
+      shingleK: Int = 3, thresholdPct: Int = 50, maxId: Long = 400L,
+      nBatches: Int = 4, compactEvery: Int = 2): DataFrame = {
+    import java.nio.file._
+    import graft.expr.WordShingleHashes
+    val ss = stateSession(spark, 4)
+    val span = maxId / nBatches
+    val runId = java.util.UUID.randomUUID().toString.replace("-", "")
+    val root = Paths.get(scratchRoot, s"graft_incr_$runId")
+    val resultsDir = root.resolve("results").toString
+    // generation-addressed index dirs; swapped on compaction
+    var gen = 0
+    def docsDir(g: Int) = root.resolve(s"docs_g$g").toString
+    def postDir(g: Int) = root.resolve(s"postings_g$g").toString
+
+    def shingled(df: DataFrame): DataFrame = df
+      .select(col("doc_id"),
+        WordShingleHashes(col("text"), shingleK, distinct = true).as("sh"))
+      .withColumn("n", size(col("sh")))
+    // prefix postings under the hash total order: smallest
+    // n − ceil(t·n) + 1 hashes of each set
+    def postings(df: DataFrame): DataFrame = df
+      .withColumn("_p",
+        col("n") - call_function("div", col("n") * thresholdPct + 99, lit(100)) + 1)
+      .select(col("doc_id"), col("n"),
+        explode(slice(array_sort(col("sh")), lit(1), col("_p"))).as("h"))
+
+    // ---- seed: the pre-existing historical corpus, indexed in batch ----
+    val hist = shingled(graft.io.Tables.documents(ss, sfDir)
+      .filter(col("doc_id") < maxId && col("doc_id") % 5 === 3))
+    hist.write.mode("overwrite").parquet(docsDir(0))
+    postings(hist).write.mode("overwrite").parquet(postDir(0))
+
+    // ---- stage arrivals: one parquet file per logical batch, strictly
+    // increasing mtime so the file source drains them in order ----
+    val landing = root.resolve("landing")
+    Files.createDirectories(landing)
+    val strm = graft.io.Tables.documents(ss, sfDir)
+      .filter(col("doc_id") < maxId && col("doc_id") % 5 =!= 3)
+      .select(col("doc_id"), col("text"))
+    (0 until nBatches).foreach { b =>
+      val stage = root.resolve(s"stage_$b")
+      strm.filter(call_function("div", col("doc_id"), lit(span)) === b)
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = Files.list(stage).filter(p =>
+        p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      val tgt = landing.resolve(f"batch$b%04d.parquet")
+      Files.move(part, tgt, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(tgt,
+        attribute.FileTime.fromMillis(1000000000000L + b * 60000L)): Unit
+    }
+
+    // ---- the drain: per logical batch, verdicts then index append ----
+    def processLogicalBatch(batch: DataFrame, b: Long): Unit = {
+      val inc = shingled(batch).localCheckpoint(true)
+      val idxPost = ss.read.parquet(postDir(gen))
+      val idxDocs = ss.read.parquet(docsDir(gen))
+      val cand = postings(inc)
+        .select(col("doc_id").as("new_id"), col("n").as("_na"), col("h"))
+        .join(idxPost.select(col("h"), col("doc_id").as("hist_id"),
+          col("n").as("_nb")), Seq("h"))
+        // size-ratio prune: J ≥ t ⟹ 100·min(|a|,|b|) ≥ t·max(|a|,|b|)
+        .filter(least(col("_na"), col("_nb")) * 100 >=
+          greatest(col("_na"), col("_nb")) * thresholdPct)
+        .select(col("new_id"), col("hist_id")).distinct()
+      val blockers = cand
+        .join(inc.select(col("doc_id").as("new_id"), col("sh").as("_sa"),
+          col("n").as("_na")), Seq("new_id"))
+        .join(idxDocs.select(col("doc_id").as("hist_id"), col("sh").as("_sb"),
+          col("n").as("_nb")), Seq("hist_id"))
+        .withColumn("_i", size(array_intersect(col("_sa"), col("_sb"))))
+        .filter(col("_i") * 100 >= (col("_na") + col("_nb") - col("_i")) * thresholdPct)
+        .groupBy(col("new_id"))
+        .agg(count(lit(1)).as("n_blockers"), min(col("hist_id")).as("first_blocker"))
+      val verdicts = inc.select(col("doc_id"))
+        .join(blockers.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), lit(b).as("batch_id"),
+          col("n_blockers").isNull.as("admitted"),
+          coalesce(col("n_blockers"), lit(0L)).as("n_blockers"),
+          col("first_blocker"))
+        .localCheckpoint(true)
+      verdicts.write.mode("append").parquet(resultsDir)
+      val admitted = inc.join(
+        verdicts.filter(col("admitted")).select(col("doc_id")), Seq("doc_id"))
+      admitted.write.mode("append").parquet(docsDir(gen))
+      postings(admitted).write.mode("append").parquet(postDir(gen))
+      if ((b + 1) % compactEvery == 0) {
+        // compaction: fold the accumulated appends into one generation
+        ss.read.parquet(docsDir(gen)).coalesce(1)
+          .write.mode("overwrite").parquet(docsDir(gen + 1))
+        ss.read.parquet(postDir(gen)).coalesce(1)
+          .write.mode("overwrite").parquet(postDir(gen + 1))
+        deleteRecursively(Paths.get(docsDir(gen)))
+        deleteRecursively(Paths.get(postDir(gen)))
+        gen += 1
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val q = ss.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(landing.toString)
+      .writeStream
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // regroup by LOGICAL batch: verdicts stay deterministic even if
+        // the source packs several staged files into one trigger
+        val bs = batch.select(call_function("div", col("doc_id"), lit(span))
+          .as("_b")).distinct().orderBy("_b").collect().map(_.getLong(0))
+        bs.foreach { b =>
+          processLogicalBatch(
+            batch.filter(call_function("div", col("doc_id"), lit(span)) === b), b)
+        }
+      }
+      .start()
+    q.awaitTermination()
+    val out = spark.read.parquet(resultsDir).localCheckpoint(true)
+    deleteRecursively(root)
+    out
+  }
 }

@@ -157,4 +157,37 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(ids == ids.sortBy(identity))
     assert(ids.head == 1L)
   }
+
+  test("incremental admission: batch-1 admits block batch-2 near-dups") {
+    // synthetic corpus, split contract of streamMinhashIncr:
+    // hist = doc_id % 5 == 3, stream = rest, batch = doc_id div 100
+    val dir = Files.createTempDirectory("graft_incr").toString
+    val docs = Seq(
+      3L -> "hist corpus sentinel text lives here",   // hist
+      0L -> "alpha beta gamma delta epsilon zeta",    // b0, admitted
+      100L -> "alpha beta gamma delta epsilon zeta",  // b1, blocked by 0
+      200L -> "alpha beta gamma delta epsilon zeta",  // b2, blocked by 0 ONLY (100 never indexed)
+      5L -> "hist corpus sentinel text lives here",   // b0, blocked by hist 3
+      10L -> "twin pair same batch survives intact",  // b0, admitted (same-batch
+      20L -> "twin pair same batch survives intact",  // b0, admitted  no blocking)
+      110L -> "twin pair same batch survives intact", // b1, blocked by BOTH 10 and 20
+      30L -> "completely unrelated singleton content" // b0, admitted
+    ).toDF("doc_id", "text")
+    docs.coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val out = graft.streaming.Streams
+      .streamMinhashIncr(spark, dir, thresholdPct = 50, maxId = 400L,
+        nBatches = 4, compactEvery = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    assert(out.size == 8) // every stream doc gets exactly one verdict
+    assert(out(0L) == ((0L, true, 0L, -1L)))
+    assert(out(100L) == ((1L, false, 1L, 0L)))   // cross-batch stream block
+    assert(out(200L) == ((2L, false, 1L, 0L)))   // rejected 100 never blocks
+    assert(out(5L) == ((0L, false, 1L, 3L)))     // hist seed blocks
+    assert(out(10L) == ((0L, true, 0L, -1L)))    // same-batch twins both
+    assert(out(20L) == ((0L, true, 0L, -1L)))    //   admitted
+    assert(out(110L) == ((1L, false, 2L, 10L)))  // both twins block later dup
+    assert(out(30L) == ((0L, true, 0L, -1L)))
+  }
 }
