@@ -4661,8 +4661,16 @@ object SparkEntry {
             .as("_hits"))
         .select(col("p"), col("n"),
           (col("_hits") > 0L).as("est_is_member"),
-          (abs(col("_rank") * 10000L - col("p") * col("n") * 100L) <=
-            (col("n") + 10000L)).as("rank_within_eps"))
+          // the rank contract holds for SOME rank inside the estimate's
+          // tie span [count(<est)+1, count(<=est)] — gate on interval
+          // overlap with target ± eps, not the single upper-rank point
+          // (a heavily tied value overshoots count(<=est) by the whole
+          // tie width even when the sketch met its guarantee)
+          (((col("_rank") - col("_hits") + 1L) * 10000L <=
+              col("p") * col("n") * 100L + col("n") + 10000L) &&
+            (col("_rank") * 10000L >=
+              col("p") * col("n") * 100L - col("n") - 10000L))
+            .as("rank_within_eps"))
         .orderBy("p")
     }),
 

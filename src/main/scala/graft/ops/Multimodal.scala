@@ -895,27 +895,15 @@ object Multimodal {
       n_ones: Long)
 
   def averageHashPgm(docId: Long, payload: Array[Byte]): ImageHash = {
+    // decode to a raster and delegate: the 64-bit contract lives in ONE
+    // kernel (averageHashRaster) for all four formats — a duplicated
+    // sampling loop here could drift and silently break cross-format
+    // pHash clustering
     val (w0, h0, _, off) = parsePgmHeader(payload, docId)
-    val px = new Array[Long](64)
-    var k = 0
-    var sum = 0L
-    while (k < 64) {
-      val (x, y) = (k % 8, k / 8)
-      px(k) = payload(off + (y.toLong * h0 / 8).toInt * w0 +
-        (x.toLong * w0 / 8).toInt) & 0xFF
-      sum += px(k); k += 1
-    }
-    val mean = sum / 64
-    var (lo, hi, ones) = (0L, 0L, 0L)
-    k = 0
-    while (k < 64) {
-      if (px(k) > mean) {
-        if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
-        ones += 1
-      }
-      k += 1
-    }
-    ImageHash(docId, lo, hi, ones)
+    val px = new Array[Int](w0 * h0)
+    var i = 0
+    while (i < px.length) { px(i) = payload(off + i) & 0xFF; i += 1 }
+    averageHashRaster(docId, w0, h0, px)
   }
 
   def averageHashes(records: Dataset[MediaRecord]): Dataset[ImageHash] = {
@@ -935,10 +923,12 @@ object Multimodal {
       energy_ms: Long, is_silence: Boolean)
 
   /** Chunk-walk a RIFF/WAVE payload and return (little-endian buffer,
-    * data offset, sample count) with the data-chunk length validated
-    * against the header census — shared by the frame/spectral ops. */
+    * data offset, sample count, header stats) with the data-chunk
+    * length validated against the header census — shared by the
+    * frame/spectral/resample ops (the stats ride along so no caller
+    * ever decodes the header a second time). */
   private def wavDataWindow(docId: Long, payload: Array[Byte])
-      : (java.nio.ByteBuffer, Int, Int) = {
+      : (java.nio.ByteBuffer, Int, Int, WavStats) = {
     val stats = decodeWav(docId, payload)
     val buf = java.nio.ByteBuffer.wrap(payload)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -955,7 +945,7 @@ object Multimodal {
     require(2L * n <= dataLen && dataOff + 2L * n <= payload.length,
       s"wav: data chunk of doc $docId holds ${dataLen / 2} samples " +
         s"but header census says $n")
-    (buf, dataOff, n)
+    (buf, dataOff, n, stats)
   }
 
   /** Exact spectral anchors of a 16-bit mono WAV — the two DFT bins an
@@ -968,7 +958,7 @@ object Multimodal {
       nyquist_bin: Long, power: Long)
 
   def audioSpectral(docId: Long, payload: Array[Byte]): AudioSpectral = {
-    val (buf, dataOff, n) = wavDataWindow(docId, payload)
+    val (buf, dataOff, n, _) = wavDataWindow(docId, payload)
     var dc = 0L; var ny = 0L; var pw = 0L
     var i = 0
     while (i < n) {
@@ -996,8 +986,14 @@ object Multimodal {
   def resampleWavDecimate(docId: Long, payload: Array[Byte],
       factor: Int): Array[Byte] = {
     require(factor >= 1, s"wav: decimation factor must be >= 1, got $factor")
-    val (buf, dataOff, n) = wavDataWindow(docId, payload)
-    val stats = decodeWav(docId, payload)
+    val (buf, dataOff, n, stats) = wavDataWindow(docId, payload)
+    // the declared output rate is rate/factor EXACTLY or the file lies:
+    // a non-dividing factor would silently floor the rate (8000/3 →
+    // 2666 declares the wrong duration) — fail loudly like the rest of
+    // the codec layer instead
+    require(stats.sample_rate % factor == 0,
+      s"wav: decimation factor $factor does not divide sample rate " +
+        s"${stats.sample_rate} of doc $docId")
     val outN = (n + factor - 1) / factor
     encodeWav(stats.sample_rate / factor,
       i => buf.getShort(dataOff + 2 * i * factor).toInt, outN)
@@ -1010,7 +1006,7 @@ object Multimodal {
     * energy < threshold (strict — exactly-at-threshold is sound). */
   def frameEnergy(docId: Long, payload: Array[Byte], frameSize: Int,
       silenceThreshold: Long): Seq[AudioFrame] = {
-    val (buf, dataOff, n) = wavDataWindow(docId, payload)
+    val (buf, dataOff, n, _) = wavDataWindow(docId, payload)
     (0 until (n + frameSize - 1) / frameSize).map { f =>
       val from = f * frameSize
       val until = math.min(from + frameSize, n)
@@ -1689,7 +1685,15 @@ object Multimodal {
     * Returns (width, height, per-component planes padded to whole
     * MCUs, coded bytes from first scan data to EOI). `allowColor =
     * false` rejects multi-component frames at SOF parse (the grayscale
-    * API's contract). */
+    * API's contract).
+    *
+    * Coverage restriction: a SEQUENTIAL (SOF0/1) frame must carry its
+    * components in ONE full interleaved scan (ss=0, se=63, all
+    * components) — the overwhelmingly common encoder output. Legal but
+    * rare per-component non-interleaved baseline scans are rejected
+    * loudly ("sequential frame requires one full interleaved scan");
+    * the non-interleaved grid walk exists only on the progressive
+    * path, where every mainstream encoder actually emits it. */
   private def decodeJpegPlanes(payload: Array[Byte], allowColor: Boolean)
       : (Int, Int, Array[JpegPlane], Int) = {
     require(payload.length >= 4 && (payload(0) & 0xFF) == 0xFF &&

@@ -55,6 +55,19 @@ object RelScaleProbe {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Untimed warm-up at the first factor: session init, codegen
+    // compiler, parquet footer reads, and the prefix-sum machinery all
+    // JIT here instead of inflating the first timed section (without
+    // this, the f=1 control read 3.7 s vs 0.13 s at f=10 — every f=1
+    // ratio was really measuring JVM warm-up).
+    locally {
+      val dir0 = s"$scratch/x${factors.head}"
+      materialize(spark, srcDir, dir0, factors.head)
+      probeQueries.filter(q => only.isEmpty || only(q)).foreach { q =>
+        graft.SparkEntry.queries(q)(spark, dir0).count(): Unit
+      }
+      spark.catalog.clearCache()
+    }
     factors.foreach { f =>
       val dir = s"$scratch/x$f"
       materialize(spark, srcDir, dir, f)
