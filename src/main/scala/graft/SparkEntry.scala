@@ -1618,6 +1618,71 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // X5 — LOSSY-TOLERANT image dedup: the same 64×64 raster encoded
+    // as JPEG at quant step 4 (visually lossless) and step 24 (visibly
+    // lossy), so the two decoded rasters DIFFER bitwise — the case
+    // exact-hash dedup (x5_phash_jpeg's averageHash equality) is blind
+    // to, certified per-pair by rasters_differ. The DCT pHash (resize
+    // to 32×32 → 2-D DCT-II → median-threshold the top-left 8×8 ACs)
+    // reads only low-frequency mass, which requantization barely moves:
+    // probed geometry is twin Hamming ≤ 2 vs cross-image ≥ 18, so the
+    // SimHash-style 4×16-bit band join (exact block match = candidate,
+    // never all-pairs) recovers every re-encoded twin and the Hamming ≤
+    // 8 verify rejects every cross pair, with ≥ 8 bits of margin on
+    // BOTH sides. Clusters via the pointer-jumping CC op: every twin
+    // pair must land in one cluster of exactly 2.
+    "x5_phash_requant" -> ((s, dir) => {
+      import s.implicits._
+      val hashes = Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val (w, h) = (64, 64)
+          def mix(a: Long): Long = {
+            var x = a * 0x9E3779B97F4A7C15L
+            x ^= x >>> 32; x *= 0xBF58476D1CE4E5B9L; x ^= x >>> 29; x
+          }
+          def pix(i: Int): Int = {
+            val bx = (i % w) / 8; val by = (i / w) / 8
+            math.floorMod(mix(id * 64 + by * 8 + bx), 256).toInt
+          }
+          val hq = Multimodal.encodeJpeg(w, h, pix,
+            Multimodal.uniformQuantTable(4))
+          val lq = Multimodal.encodeJpeg(w, h, pix,
+            Multimodal.uniformQuantTable(24))
+          val (_, _, ra, _) = Multimodal.decodeJpegRaster(hq)
+          val (_, _, rb, _) = Multimodal.decodeJpegRaster(lq)
+          val differ = !java.util.Arrays.equals(ra, rb)
+          def fp(p: Array[Byte], d: Long): (Long, Long, Boolean) = {
+            val hsh = Multimodal.dctHashJpeg(d, p)
+            (d, (hsh.hash_hi << 32) | (hsh.hash_lo & 0xFFFFFFFFL), differ)
+          }
+          Seq(fp(hq, 2 * id), fp(lq, 2 * id + 1))
+        }.toDF("doc_id", "fp", "rasters_differ")
+      val blocks = hashes.select(col("doc_id"), col("fp"),
+        explode(sequence(lit(0), lit(3))).as("block_id"))
+        .withColumn("block_val",
+          call_function("shiftright", col("fp"), col("block_id") * lit(16))
+            .bitwiseAND(lit(0xFFFFL)))
+      val pairs = blocks.as("a").join(blocks.as("b"),
+          col("a.block_id") === col("b.block_id") &&
+          col("a.block_val") === col("b.block_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
+        .distinct()
+        .filter(bit_count(col("fp_a").bitwiseXOR(col("fp_b"))) <= 8)
+        .select(col("id_a"), col("id_b"))
+      val cc = Dedup.clusterPairs(pairs)
+      val sizes = cc.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("cluster_size"))
+      cc.join(sizes, Seq("cluster"))
+        .join(hashes.select(col("doc_id").as("id"),
+          col("rasters_differ")), Seq("id"))
+        .select(col("id"), col("cluster"), col("cluster_size"),
+          col("rasters_differ"))
+        .orderBy("id")
+    }),
+
     // X5 — GZIP ingest round trip (RFC 1952, the wrapper 100 TB text
     // corpora actually arrive in): compress each doc's bytes, run the
     // batched gunzip boundary, and certify the round trip against the
@@ -6755,6 +6820,21 @@ object SparkEntry {
         |  CAST(count(*) OVER (PARTITION BY hash_lo, hash_hi) AS BIGINT)
         |    AS cluster_size
         |FROM hb ORDER BY id""".stripMargin,
+
+    // Structural replay: the DCT-pHash arithmetic is not SQL-
+    // expressible, but the expected CLUSTERING is fully determined by
+    // the fixture's id scheme — every (quality-4, quality-24) twin
+    // pair, and nothing else, must form one cluster of 2, and every
+    // twin's decoded rasters must genuinely differ (the lossy-copy
+    // scenario). Any hash-bit drift, band-recall miss, or cross-image
+    // collision deviates from this truth and reds the gate.
+    "x5_phash_requant" ->
+      """SELECT 2 * doc_id + t.s AS id,
+        |  CAST(2 * doc_id AS BIGINT) AS cluster,
+        |  CAST(2 AS BIGINT) AS cluster_size,
+        |  TRUE AS rasters_differ
+        |FROM documents, (VALUES (0), (1)) t(s)
+        |WHERE doc_id < 150 ORDER BY id""".stripMargin,
 
     "x5_gunzip_roundtrip" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

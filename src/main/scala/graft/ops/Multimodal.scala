@@ -2213,6 +2213,110 @@ object Multimodal {
     averageHashRaster(docId, w, h, px)
   }
 
+  /** cos((2x+1)·u·π/64) for the 32-point DCT the perceptual hash reads
+    * — the N=32 sibling of the codec's 8-point [[DctCos]] table. */
+  private val DctCos32: Array[Array[Double]] = Array.tabulate(32, 32) {
+    (x, u) => math.cos((2 * x + 1) * u * math.Pi / 64)
+  }
+
+  /** DCT perceptual hash of a decoded raster — the classic pHash, and
+    * the LOSSY-TOLERANT sibling of [[averageHashRaster]] (which only
+    * collides when the decoded raster is bit-identical). Pipeline:
+    * box-average the raster onto a 32×32 grid, 2-D DCT-II (the same
+    * transform family as the JPEG codec's FDCT, at N=32), keep the
+    * top-left 8×8 coefficient block (the low-frequency mass), and set
+    * bit k (k = 1..63) when coefficient k exceeds the MEDIAN of the 63
+    * AC coefficients; bit 0 (DC = overall brightness) is always 0, so
+    * the hash is brightness-offset-tolerant and exactly 31/32 ones by
+    * construction of the median split. Requantization noise (the same
+    * image saved at two JPEG qualities) perturbs pixels but barely
+    * moves low-frequency DCT mass, so re-encoded copies land within a
+    * small Hamming distance — the property the requant dedup gate
+    * certifies. Scale shape: one O(32²·8·2·32) kernel per image, no
+    * shuffle; pairing happens downstream on 16-bit band keys. */
+  def dctHashRaster(docId: Long, w: Int, h: Int, raster: Array[Int])
+      : ImageHash = {
+    require(w > 0 && h > 0 && raster.length >= w * h,
+      s"phash: bad raster ${w}x$h (${raster.length} px) of doc $docId")
+    // box-average onto 32×32: cell (gx, gy) averages the half-open
+    // pixel window [gx·w/32, (gx+1)·w/32) × [gy·h/32, (gy+1)·h/32)
+    // (windows clamp to ≥1 px, so small rasters sample-replicate)
+    val g = new Array[Double](32 * 32)
+    var gy = 0
+    while (gy < 32) {
+      val y0 = (gy.toLong * h / 32).toInt
+      val y1 = math.max(((gy + 1).toLong * h / 32).toInt, y0 + 1)
+      var gx = 0
+      while (gx < 32) {
+        val x0 = (gx.toLong * w / 32).toInt
+        val x1 = math.max(((gx + 1).toLong * w / 32).toInt, x0 + 1)
+        var s = 0L
+        var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          while (x < math.min(x1, w)) { s += raster(y * w + x); x += 1 }
+          y += 1
+        }
+        val n = (math.min(y1, h) - y0).toLong * (math.min(x1, w) - x0)
+        g(gy * 32 + gx) = s.toDouble / n
+        gx += 1
+      }
+      gy += 1
+    }
+    // separable DCT-II, only the u,v < 8 corner is ever read:
+    // rows first (32 rows × 8 frequencies), then columns (8×8)
+    val rows = new Array[Double](32 * 8)
+    var y = 0
+    while (y < 32) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var x = 0
+        while (x < 32) { s += g(y * 32 + x) * DctCos32(x)(u); x += 1 }
+        rows(y * 8 + u) = s
+        u += 1
+      }
+      y += 1
+    }
+    val coef = new Array[Double](64)
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var yy = 0
+        while (yy < 32) { s += rows(yy * 8 + u) * DctCos32(yy)(v); yy += 1 }
+        // snap float dust to exact 0 — analytically-zero coefficients
+        // (flat regions) otherwise land at ±1e-13 and the median split
+        // below would set ARBITRARY bits on a featureless image; real
+        // signal is O(10²⁺), so 1e-6 only catches the dust
+        coef(v * 8 + u) = if (math.abs(s) < 1e-6) 0.0 else s
+        u += 1
+      }
+      v += 1
+    }
+    // median of the 63 ACs (DC excluded: brightness invariance)
+    val acs = java.util.Arrays.copyOfRange(coef, 1, 64)
+    java.util.Arrays.sort(acs)
+    val median = (acs(30) + acs(31)) / 2
+    var (lo, hi, ones) = (0L, 0L, 0L)
+    var k = 1
+    while (k < 64) {
+      if (coef(k) > median) {
+        if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+        ones += 1
+      }
+      k += 1
+    }
+    ImageHash(docId, lo, hi, ones)
+  }
+
+  /** DCT-hash a JPEG payload via the shared raster kernel. */
+  def dctHashJpeg(docId: Long, payload: Array[Byte]): ImageHash = {
+    val (w, h, px, _) = decodeJpegRaster(payload)
+    dctHashRaster(docId, w, h, px)
+  }
+
   /** Average-hash a PNG payload via the shared raster kernel. */
   def averageHashPng(docId: Long, payload: Array[Byte]): ImageHash = {
     val (w, h, px, _) = decodePngRaster(payload)

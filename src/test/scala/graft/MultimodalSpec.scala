@@ -624,4 +624,47 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     val e = intercept[IllegalArgumentException](averageHashGif(3L, gif))
     assert(e.getMessage.contains("achromatic"))
   }
+
+  test("DCT pHash: brightness-offset invariant, requant twins within " +
+      "Hamming 2, distinct images far apart, flat-vs-structured split") {
+    import graft.ops.Multimodal._
+    val (w, h) = (64, 64)
+    def mix(a: Long): Long = {
+      var x = a * 0x9E3779B97F4A7C15L
+      x ^= x >>> 32; x *= 0xBF58476D1CE4E5B9L; x ^= x >>> 29; x
+    }
+    def pix(id: Long)(i: Int): Int = {
+      val bx = (i % w) / 8; val by = (i / w) / 8
+      math.floorMod(mix(id * 64 + by * 8 + bx), 256).toInt
+    }
+    def fp(hsh: ImageHash): Long =
+      (hsh.hash_hi << 32) | (hsh.hash_lo & 0xFFFFFFFFL)
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    // same image at quality 4 vs 24: decoded rasters DIFFER (lossy),
+    // hashes nearly agree — the property averageHash cannot provide
+    val hq = encodeJpeg(w, h, pix(7L), uniformQuantTable(4))
+    val lq = encodeJpeg(w, h, pix(7L), uniformQuantTable(24))
+    assert(!java.util.Arrays.equals(
+      decodeJpegRaster(hq)._3, decodeJpegRaster(lq)._3))
+    assert(ham(fp(dctHashJpeg(1L, hq)), fp(dctHashJpeg(2L, lq))) <= 2)
+    // distinct images stay far apart (probed floor is 18; assert > 8,
+    // the gate's verify threshold)
+    val other = dctHashJpeg(3L, encodeJpeg(w, h, pix(8L),
+      uniformQuantTable(4)))
+    assert(ham(fp(dctHashJpeg(1L, hq)), fp(other)) > 8)
+    // DC exclusion: a global brightness offset leaves the hash fixed
+    val base = dctHashRaster(4L, w, h,
+      Array.tabulate(w * h)(i => 60 + pix(9L)(i) / 2))
+    val brighter = dctHashRaster(5L, w, h,
+      Array.tabulate(w * h)(i => 90 + pix(9L)(i) / 2))
+    assert((base.hash_lo, base.hash_hi) ==
+      (brighter.hash_lo, brighter.hash_hi))
+    // flat image: no AC exceeds the (zero) median — all 63 bits clear
+    val flat = dctHashRaster(6L, 8, 8, Array.fill(64)(130))
+    assert(flat.hash_lo == 0L && flat.hash_hi == 0L && flat.n_ones == 0L)
+    // median split: elements 31..62 of the sorted 63 ACs sit above the
+    // (30,31)-midpoint median, so a distinct-valued spectrum sets
+    // exactly 32 bits — never more
+    assert(base.n_ones <= 32)
+  }
 }
