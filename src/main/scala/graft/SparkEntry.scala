@@ -1478,6 +1478,36 @@ object SparkEntry {
       Multimodal.gifFrameStats(recs).toDF().orderBy("doc_id", "frame_id")
     }),
 
+    // X5 — REAL VIDEO FRAME EXTRACTION: an MJPEG AVI per doc — RIFF
+    // chunk tree (hdrl/avih/strl/strh/strf, a JUNK chunk every muxer
+    // emits, movi with even-padded 00dc chunks, idx1) walked for real,
+    // every frame a standalone baseline JPEG through the in-house
+    // decoder, geometry/frame-count cross-validated against the
+    // headers. Fixture frames are 8×8-block-constant, so each decodes
+    // bit-exactly and the oracle replays every frame's pixel census
+    // from the generating formula — a mis-walked chunk boundary or a
+    // frame-order slip scrambles a specific frame's row.
+    "x5_avi_frames" -> ((s, dir) => {
+      import s.implicits._
+      val recs = Tables.documents(s, dir).filter(col("doc_id") < 300)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val nf = (2 + id % 3).toInt
+          val w = (8 * (2 + id % 2)).toInt
+          val h = 16
+          val frames = (0 until nf).map { j =>
+            Multimodal.encodeJpeg(w, h, { i =>
+              val bx = (i % w) / 8; val by = (i / w) / 8
+              ((id * 31 + j * 17 + bx * 13 + by * 7) % 256).toInt
+            })
+          }
+          Multimodal.MediaRecord(id,
+            Multimodal.encodeAvi(w, h, (33333 + (id % 5) * 1000).toInt,
+              frames), "video/avi", "xx")
+        }
+      Multimodal.aviFrameStats(recs).toDF().orderBy("doc_id", "frame_id")
+    }),
+
     // X5 — PROGRESSIVE JPEG (SOF2): the decoder's multi-scan path —
     // DC successive approximation (first scan ships dc>>1, a
     // refinement scan ships the held-back bit) plus the spectral AC
@@ -6726,6 +6756,33 @@ object SparkEntry {
         |  CAST(min(v) AS INTEGER) AS idx_min,
         |  CAST(max(v) AS INTEGER) AS idx_max
         |FROM px GROUP BY doc_id, j ORDER BY doc_id, frame_id""".stripMargin,
+
+    // Block-grain replay of the MJPEG fixture: per-frame geometry and
+    // timing from the id formulas, pixel census from the 8×8-block
+    // values (bit-exact decode, same argument as the JPEG gates).
+    "x5_avi_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id, 2 + doc_id % 3 AS nf,
+        |    8 * (2 + doc_id % 2) AS w, 16 AS h,
+        |    33333 + (doc_id % 5) * 1000 AS mpf
+        |  FROM documents WHERE doc_id < 300),
+        |f AS (
+        |  SELECT doc_id, w, h, mpf, t.j FROM d, generate_series(0, 4) t(j)
+        |  WHERE t.j < nf),
+        |b AS (
+        |  SELECT f.doc_id, f.j, f.w, f.h, f.mpf,
+        |    (f.doc_id * 31 + f.j * 17 + gx.x * 13 + gy.y * 7) % 256 AS v
+        |  FROM f, generate_series(0, 2) gx(x), generate_series(0, 1) gy(y)
+        |  WHERE gx.x < f.w // 8)
+        |SELECT doc_id, CAST(j AS INTEGER) AS frame_id,
+        |  CAST(min(w) AS INTEGER) AS width,
+        |  CAST(min(h) AS INTEGER) AS height,
+        |  CAST(min(mpf) AS BIGINT) AS frame_micros,
+        |  CAST(min(w) * min(h) AS BIGINT) AS n_pixels,
+        |  CAST(sum(v * 64) AS BIGINT) AS px_sum,
+        |  CAST(min(v) AS INTEGER) AS px_min,
+        |  CAST(max(v) AS INTEGER) AS px_max
+        |FROM b GROUP BY doc_id, j ORDER BY doc_id, frame_id""".stripMargin,
 
     // Same block-grain replay as the baseline JPEG gate, over the
     // progressive fixture's formula.

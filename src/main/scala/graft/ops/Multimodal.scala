@@ -488,6 +488,216 @@ object Multimodal {
     })
   }
 
+  // ---------------------------------------------------------------------
+  // AVI (RIFF) container + MJPEG video frames
+  // ---------------------------------------------------------------------
+
+  /** Encode an MJPEG AVI: the RIFF layout every `.avi` reader walks —
+    * `RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh strf)) JUNK
+    * LIST('movi' 00dc…) idx1)` — with each frame a STANDALONE baseline
+    * JPEG (MJPEG has no inter-frame prediction; that is what makes it
+    * the archival/capture format frame extraction actually meets).
+    * A JUNK chunk is emitted before `movi` (real muxers pad for 2k
+    * alignment) so the decoder's unknown-chunk skip is exercised by
+    * every fixture; odd-sized frames get the RIFF even-padding byte.
+    * `microsPerFrame` is the avih/strh timing (rate = 10⁶/µs). */
+  def encodeAvi(width: Int, height: Int, microsPerFrame: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(width > 0 && height > 0 && microsPerFrame > 0,
+      s"avi: bad geometry ${width}x$height @ $microsPerFrame us")
+    require(frames.nonEmpty, "avi: at least one frame")
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = { out.write(v & 0xFF); out.write((v >>> 8) & 0xFF)
+      out.write((v >>> 16) & 0xFF); out.write((v >>> 24) & 0xFF) }
+    def fourcc(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def chunk(id: String, body: Array[Byte]): Unit = {
+      fourcc(id); le32(body.length); out.write(body)
+      if ((body.length & 1) == 1) out.write(0) // RIFF even padding
+    }
+    def words(vs: Int*): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(4 * vs.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(b.putInt); b.array()
+    }
+    val maxFrame = frames.map(_.length).max
+    // avih: µs/frame, maxBytesPerSec, padding, flags(HASINDEX),
+    // totalFrames, initialFrames, streams=1, sugBufSize, w, h, rsvd×4
+    val avih = words(microsPerFrame,
+      (maxFrame.toLong * 1000000 / microsPerFrame).min(Int.MaxValue).toInt,
+      0, 0x10, frames.length, 0, 1, maxFrame, width, height, 0, 0, 0, 0)
+    // strh: 'vids'+'MJPG', flags, prio+lang, initFrames, scale=µs,
+    // rate=10⁶ (fps = rate/scale), start, length, bufSize, quality=-1,
+    // sampleSize=0 (per-frame chunks), rcFrame (two packed words)
+    val strh = {
+      val b = java.nio.ByteBuffer.allocate(56)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("vids".getBytes("US-ASCII")); b.put("MJPG".getBytes("US-ASCII"))
+      b.putInt(0); b.putInt(0); b.putInt(0)
+      b.putInt(microsPerFrame); b.putInt(1000000)
+      b.putInt(0); b.putInt(frames.length); b.putInt(maxFrame)
+      b.putInt(-1); b.putInt(0)
+      b.putShort(0); b.putShort(0)
+      b.putShort(width.toShort); b.putShort(height.toShort)
+      b.array()
+    }
+    // strf: BITMAPINFOHEADER with biCompression='MJPG'
+    val strf = {
+      val b = java.nio.ByteBuffer.allocate(40)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(40); b.putInt(width); b.putInt(height)
+      b.putShort(1); b.putShort(24)
+      b.put("MJPG".getBytes("US-ASCII"))
+      b.putInt(width * height * 3); b.putInt(0); b.putInt(0)
+      b.putInt(0); b.putInt(0)
+      b.array()
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write("LIST".getBytes("US-ASCII"))
+      val len = body.length + 4
+      o.write(words(len)); o.write(kind.getBytes("US-ASCII")); o.write(body)
+      o.toByteArray
+    }
+    def rawChunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(id.getBytes("US-ASCII")); o.write(words(body.length))
+      o.write(body)
+      if ((body.length & 1) == 1) o.write(0)
+      o.toByteArray
+    }
+    val strl = list("strl", rawChunk("strh", strh) ++ rawChunk("strf", strf))
+    val hdrl = list("hdrl", rawChunk("avih", avih) ++ strl)
+    val junk = rawChunk("JUNK", Array.fill[Byte](12)(0))
+    val moviBody = new java.io.ByteArrayOutputStream()
+    val offsets = Seq.newBuilder[(Int, Int)] // (offset from movi kind, size)
+    var moviPos = 4 // after the 'movi' kind fourcc
+    frames.foreach { f =>
+      offsets += ((moviPos, f.length))
+      val c = rawChunk("00dc", f)
+      moviBody.write(c); moviPos += c.length
+    }
+    val movi = list("movi", moviBody.toByteArray)
+    // idx1: one AVIOLDINDEX entry per frame (KEYFRAME flag 0x10;
+    // offsets relative to the movi kind fourcc, the common convention)
+    val idx1 = {
+      val o = new java.io.ByteArrayOutputStream()
+      offsets.result().foreach { case (off, size) =>
+        o.write("00dc".getBytes("US-ASCII")); o.write(words(0x10, off, size))
+      }
+      rawChunk("idx1", o.toByteArray)
+    }
+    val riffBody = hdrl ++ junk ++ movi ++ idx1
+    fourcc("RIFF"); le32(riffBody.length + 4); fourcc("AVI ")
+    out.write(riffBody)
+    out.toByteArray
+  }
+
+  /** One extracted video frame: index, presentation timing from the
+    * stream header, and the decoded grayscale raster. */
+  case class AviFrame(frame_id: Int, width: Int, height: Int,
+      frame_micros: Long, raster: Array[Int])
+
+  /** Decode every frame of an MJPEG AVI — REAL video frame extraction
+    * (the byte-stride `sampleFrames` surface's honest replacement for
+    * MJPEG payloads): walks the RIFF chunk tree (even-padded chunks,
+    * unknown/JUNK chunks skipped), cross-validates avih geometry and
+    * frame count against strh/strf and the movi census, requires the
+    * 'vids'/'MJPG' fourcc pair, and feeds each `##dc`/`##db` chunk
+    * through the in-house baseline JPEG decoder. Fails loudly on
+    * anything else — no silent approximation, same contract as the
+    * rest of the codec layer. */
+  def decodeAviFrames(docId: Long, payload: Array[Byte]): Seq[AviFrame] = {
+    require(payload.length >= 12, s"avi: truncated header (doc $docId)")
+    def cc(p: Int): String = new String(payload, p, 4, "US-ASCII")
+    def le32(p: Int): Int =
+      (payload(p) & 0xFF) | ((payload(p + 1) & 0xFF) << 8) |
+      ((payload(p + 2) & 0xFF) << 16) | ((payload(p + 3) & 0xFF) << 24)
+    require(cc(0) == "RIFF" && cc(8) == "AVI ",
+      s"avi: not a RIFF/AVI payload (doc $docId)")
+    val riffEnd = math.min(8L + le32(4), payload.length.toLong).toInt
+    var microsPerFrame = 0L
+    var declaredFrames = -1
+    var declaredW = -1; var declaredH = -1
+    var sawVidsMjpg = false
+    val frames = Seq.newBuilder[AviFrame]
+    var frameId = 0
+    // walk one LIST body [from, until); recurse into nested LISTs
+    def walk(from: Int, until: Int): Unit = {
+      var p = from
+      while (p + 8 <= until) {
+        val id = cc(p); val size = le32(p + 4)
+        require(size >= 0 && p + 8 + size <= until,
+          s"avi: chunk $id overruns its parent (doc $docId)")
+        id match {
+          case "LIST" =>
+            val kind = cc(p + 8)
+            if (kind == "hdrl" || kind == "strl" || kind == "movi")
+              walk(p + 12, p + 8 + size)
+            // other list kinds (INFO, odml…) are legal — skipped
+          case "avih" =>
+            microsPerFrame = le32(p + 8).toLong & 0xFFFFFFFFL
+            declaredFrames = le32(p + 8 + 16)
+            declaredW = le32(p + 8 + 32); declaredH = le32(p + 8 + 36)
+          case "strh" =>
+            val typ = cc(p + 8); val handler = cc(p + 12)
+            if (typ == "vids") {
+              require(handler == "MJPG",
+                s"avi: unsupported video codec '$handler' (doc $docId) — " +
+                  "only MJPG frames decode")
+              sawVidsMjpg = true
+            }
+          case "strf" =>
+            if (sawVidsMjpg && size >= 40 && frameId == 0) {
+              val comp = cc(p + 8 + 16)
+              require(comp == "MJPG",
+                s"avi: strf compression '$comp' contradicts MJPG (doc $docId)")
+            }
+          case dc if dc.substring(2) == "dc" || dc.substring(2) == "db" =>
+            require(sawVidsMjpg,
+              s"avi: frame chunk before a vids/MJPG strh (doc $docId)")
+            val body = java.util.Arrays.copyOfRange(payload, p + 8, p + 8 + size)
+            val (w, h, raster, _) = decodeJpegRaster(body)
+            require(declaredW <= 0 || (w == declaredW && h == declaredH),
+              s"avi: frame $frameId is ${w}x$h but avih declares " +
+                s"${declaredW}x$declaredH (doc $docId)")
+            frames += AviFrame(frameId, w, h, microsPerFrame, raster)
+            frameId += 1
+          case _ => // JUNK, idx1, INFO text chunks… — legal, skipped
+        }
+        p += 8 + size + (size & 1) // even padding
+      }
+    }
+    walk(12, riffEnd)
+    val out = frames.result()
+    require(declaredFrames < 0 || out.length == declaredFrames,
+      s"avi: movi holds ${out.length} frames but avih declares " +
+        s"$declaredFrames (doc $docId)")
+    out
+  }
+
+  /** Per-frame statistics of an MJPEG AVI — the gate-facing form. */
+  case class AviFrameStats(doc_id: Long, frame_id: Int, width: Int,
+      height: Int, frame_micros: Long, n_pixels: Long, px_sum: Long,
+      px_min: Int, px_max: Int)
+
+  def aviFrameStats(records: Dataset[MediaRecord]): Dataset[AviFrameStats] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(it => it.flatMap { r =>
+      decodeAviFrames(r.doc_id, r.payload).map { f =>
+        var s = 0L; var mn = Int.MaxValue; var mx = -1
+        var i = 0
+        while (i < f.raster.length) {
+          val v = f.raster(i); s += v
+          if (v < mn) mn = v; if (v > mx) mx = v
+          i += 1
+        }
+        AviFrameStats(r.doc_id, f.frame_id, f.width, f.height,
+          f.frame_micros, f.raster.length.toLong, s,
+          if (f.raster.isEmpty) 0 else mn, if (f.raster.isEmpty) 0 else mx)
+      }
+    })
+  }
+
   /** LZW-decode one image's code stream (starting at the min-code-size
     * byte): variable-width codes LSB-first across sub-block
     * boundaries, dictionary rebuild, the KwKwK case for a code defined

@@ -667,4 +667,50 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     // exactly 32 bits — never more
     assert(base.n_ones <= 32)
   }
+
+  test("AVI/MJPEG: frame extraction round-trips block-exact rasters, " +
+      "skips JUNK, validates codec and frame census") {
+    import graft.ops.Multimodal._
+    val (w, h) = (16, 16)
+    def frame(j: Int)(i: Int): Int = {
+      val bx = (i % w) / 8; val by = (i / w) / 8
+      (9 * j + bx * 50 + by * 120) % 256
+    }
+    val avi = encodeAvi(w, h, 40000,
+      (0 until 3).map(j => encodeJpeg(w, h, frame(j))))
+    val fs = decodeAviFrames(1L, avi)
+    assert(fs.map(_.frame_id) == Seq(0, 1, 2))
+    assert(fs.forall(f => f.width == w && f.height == h &&
+      f.frame_micros == 40000L))
+    // block-constant content decodes bit-exactly per frame
+    (0 until 3).foreach { j =>
+      assert(fs(j).raster.toSeq == (0 until w * h).map(frame(j)))
+    }
+    // odd-sized frame payloads ride the RIFF even-padding byte
+    val odd = encodeAvi(8, 8, 1000, Seq(encodeJpeg(8, 8, _ => 33)))
+    assert(decodeAviFrames(2L, odd).head.raster.forall(_ == 33))
+    // a non-MJPG vids handler fails loudly, not approximately
+    val bad = avi.clone()
+    val strhAt = {
+      var p = -1
+      for (i <- 0 until bad.length - 4
+           if p < 0 && new String(bad, i, 4, "US-ASCII") == "vids") p = i
+      p
+    }
+    bad(strhAt + 4) = 'H'.toByte; bad(strhAt + 5) = '2'.toByte
+    bad(strhAt + 6) = '6'.toByte; bad(strhAt + 7) = '4'.toByte
+    val e1 = intercept[IllegalArgumentException](decodeAviFrames(3L, bad))
+    assert(e1.getMessage.contains("unsupported video codec"))
+    // a frame-count lie in avih is caught against the movi census
+    val lie = avi.clone()
+    val avihAt = {
+      var p = -1
+      for (i <- 0 until lie.length - 4
+           if p < 0 && new String(lie, i, 4, "US-ASCII") == "avih") p = i
+      p
+    }
+    lie(avihAt + 8 + 16) = 9 // dwTotalFrames: 3 → 9
+    val e2 = intercept[IllegalArgumentException](decodeAviFrames(4L, lie))
+    assert(e2.getMessage.contains("declares"))
+  }
 }
