@@ -1451,6 +1451,69 @@ object SparkEntry {
       Multimodal.decodeWavStats(recs).toDF().orderBy("doc_id")
     }),
 
+    // X5 — MPEG-1 AUDIO HEADER CENSUS: the walk a corpus-intake
+    // duration/bitrate scan runs over .mp1/.mp2/.mp3 payloads — real
+    // 32-bit headers (sync/ID/layer/bitrate-index/sample-rate), the
+    // slot-formula frame lengths, back-to-back tiling validated.
+    // Fixture streams carry valid headers with zero bodies (a
+    // well-formed SILENT frame for Layers I/II; a header-only shell
+    // for Layer III, whose sample decode is the named stub the census
+    // never touches). Every header field and offset replays in SQL.
+    "x5_mpeg_frames" -> ((s, dir) => {
+      import s.implicits._
+      val recs = Tables.documents(s, dir).filter(col("doc_id") < 300)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val layer = (1 + id % 3).toInt
+          val kbps = layer match {
+            case 1 => Array(32, 64, 96, 128, 160, 192, 224, 256)((id % 8).toInt)
+            case 2 => Array(48, 56, 64, 80, 96, 112, 128, 160)((id % 8).toInt)
+            case _ => Array(40, 48, 56, 64, 80, 96, 112, 128)((id % 8).toInt)
+          }
+          Multimodal.MediaRecord(id,
+            graft.ops.MpegAudio.syntheticStream(layer, kbps,
+              (1 + id % 4).toInt), "audio/mpeg", "xx")
+        }
+      graft.ops.MpegAudio.mpegFrameCensus(recs)
+        .toDF("doc_id", "frame_id", "layer", "bitrate_kbps",
+          "sample_rate", "n_samples", "byte_off")
+        .orderBy("doc_id", "frame_id")
+    }),
+
+    // X5 — MPEG-1 LAYER I/II ROUND TRIP: two-tone PCM through the real
+    // subband codec both directions — ISO bitstream layout (Layer I
+    // uniform allocations; Layer II table-B.2a menus, scfsi, 3/5/9
+    // grouping), greedy amplitude-driven rate control, the 32-band
+    // polyphase filterbank (computed RRC prototype — see MpegAudio's
+    // module doc for the honest Table-C.3 boundary), 481-sample
+    // cascade delay trimmed. Frame/rate/sample census replays in SQL;
+    // reconstruction quality is verdict-gated (tonal fixtures measure
+    // 35-42 dB, gate floor 25 dB) — the same measured-then-pinned
+    // pattern as the ANN recall and sketch-error gates.
+    "x5_decode_mp2" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val layer = if (id % 5 == 0) 1 else 2
+          val kbps = if (layer == 1) Array(128, 192, 256, 384)((id % 4).toInt)
+            else Array(96, 128, 160, 192)((id % 4).toInt)
+          val n = 1152 * (2 + id % 3).toInt
+          val f1 = 200.0 + (id % 37) * 113.0
+          val f2 = 3000.0 + (id % 23) * 301.0
+          val pcm = Array.tabulate(n) { i =>
+            val v = 0.55 * math.sin(2 * math.Pi * f1 * i / 48000) +
+              0.3 * math.sin(2 * math.Pi * f2 * i / 48000)
+            math.round(v * 32767).toShort
+          }
+          graft.ops.MpegAudio.roundTripStats(id, pcm, layer, kbps, 25)
+        }.toDF()
+        .select(col("doc_id"), col("layer"), col("n_frames"),
+          col("bitrate_kbps"), col("sample_rate"), col("n_samples"),
+          col("snr_ok"))
+        .orderBy("doc_id")
+    }),
+
     // X5 — ANIMATED GIF: the real "video" container of the family —
     // every frame decoded through its own LZW code stream, with
     // Graphic Control Extension timing (delay centiseconds) and
@@ -6723,6 +6786,54 @@ object SparkEntry {
         |  CAST(list_sum(sa) AS BIGINT) AS sum_abs,
         |  CAST(list_max(sa) AS INTEGER) AS peak
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    // Header-grain replay of the MPEG census: every field and byte
+    // offset from the id formulas and the 48 kHz slot arithmetic
+    // (Layer I frame = kbps bytes, Layers II/III = 3·kbps bytes).
+    "x5_mpeg_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id, 1 + doc_id % 3 AS layer, 1 + doc_id % 4 AS nf
+        |  FROM documents WHERE doc_id < 300),
+        |k AS (
+        |  SELECT doc_id, layer, nf,
+        |    CASE WHEN layer = 1
+        |      THEN [32,64,96,128,160,192,224,256][CAST(doc_id % 8 AS INTEGER) + 1]
+        |    WHEN layer = 2
+        |      THEN [48,56,64,80,96,112,128,160][CAST(doc_id % 8 AS INTEGER) + 1]
+        |    ELSE [40,48,56,64,80,96,112,128][CAST(doc_id % 8 AS INTEGER) + 1]
+        |    END AS kbps
+        |  FROM d),
+        |f AS (
+        |  SELECT doc_id, layer, kbps, t.j FROM k, generate_series(0, 3) t(j)
+        |  WHERE t.j < nf)
+        |SELECT doc_id, CAST(j AS INTEGER) AS frame_id,
+        |  CAST(layer AS INTEGER) AS layer,
+        |  CAST(kbps AS INTEGER) AS bitrate_kbps,
+        |  CAST(48000 AS INTEGER) AS sample_rate,
+        |  CAST(CASE WHEN layer = 1 THEN 384 ELSE 1152 END AS INTEGER)
+        |    AS n_samples,
+        |  CAST(j * (CASE WHEN layer = 1 THEN kbps ELSE 3 * kbps END)
+        |    AS BIGINT) AS byte_off
+        |FROM f ORDER BY doc_id, frame_id""".stripMargin,
+
+    // Census replay of the Layer I/II round trip; reconstruction
+    // quality rides the verdict boolean (measured 35-42 dB on the
+    // tonal fixtures, pinned at >= 25 dB in-query).
+    "x5_decode_mp2" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 2 END AS INTEGER)
+        |    AS layer,
+        |  CAST((2 + doc_id % 3) *
+        |    (CASE WHEN doc_id % 5 = 0 THEN 3 ELSE 1 END) AS INTEGER)
+        |    AS n_frames,
+        |  CAST(CASE WHEN doc_id % 5 = 0
+        |    THEN [128,192,256,384][CAST(doc_id % 4 AS INTEGER) + 1]
+        |    ELSE [96,128,160,192][CAST(doc_id % 4 AS INTEGER) + 1]
+        |    END AS INTEGER) AS bitrate_kbps,
+        |  CAST(48000 AS INTEGER) AS sample_rate,
+        |  CAST(1152 * (2 + doc_id % 3) AS BIGINT) AS n_samples,
+        |  TRUE AS snr_ok
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
 
     // Frame-grain replay of the animation fixture: geometry and delay
     // from the frame-index formula, pixel census from generate_series.

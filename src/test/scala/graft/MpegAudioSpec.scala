@@ -1,0 +1,135 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.MpegAudio
+import graft.ops.MpegAudio._
+
+class MpegAudioSpec extends AnyFunSuite {
+
+  /** MSB-first packer for hand-built frames. */
+  private final class Packer {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var acc = 0; private var n = 0
+    def put(v: Int, bits: Int): this.type = {
+      var i = bits - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >>> i) & 1); n += 1
+        if (n == 8) { out.write(acc); acc = 0; n = 0 }
+        i -= 1
+      }
+      this
+    }
+    def toFrame(frameBytes: Int): Array[Byte] = {
+      while (n != 0) put(0, 1)
+      java.util.Arrays.copyOf(out.toByteArray, frameBytes)
+    }
+  }
+
+  /** Header for mono 48 kHz, protection absent. */
+  private def header(p: Packer, layer: Int, kbpsIdx: Int): Packer =
+    p.put(0xFFF, 12).put(1, 1).put(4 - layer, 2).put(1, 1)
+      .put(kbpsIdx, 4).put(1, 2).put(0, 2).put(3, 2).put(0, 6)
+
+  test("header parse + census: every layer/bitrate round-trips through " +
+      "syntheticStream; truncation and desync fail loudly") {
+    for ((layer, kbps) <- Seq((1, 96), (1, 448), (2, 56), (2, 384),
+        (3, 56), (3, 320))) {
+      val st = MpegAudio.syntheticStream(layer, kbps, 3)
+      val fs = MpegAudio.walkFrames(1L, st)
+      assert(fs.length == 3)
+      assert(fs.forall(f => f.layer == layer && f.bitrate_kbps == kbps &&
+        f.sample_rate == 48000))
+      assert(fs.map(_.byte_off) ==
+        Seq(0L, fs.head.frame_bytes.toLong, 2L * fs.head.frame_bytes))
+      assert(fs.head.n_samples == (if (layer == 1) 384 else 1152))
+      // a truncated tail frame is an error, not a silent partial census
+      val e = intercept[IllegalArgumentException](
+        MpegAudio.walkFrames(2L, st.dropRight(1)))
+      assert(e.getMessage.contains("overruns"))
+    }
+    // garbage after a valid frame = desync, loud
+    val ok = MpegAudio.syntheticStream(2, 64, 1)
+    val e2 = intercept[IllegalArgumentException](
+      MpegAudio.walkFrames(3L, ok ++ Array[Byte](0x12, 0x34, 0x56, 0x78)))
+    assert(e2.getMessage.contains("syncword"))
+  }
+
+  test("silent synthetic Layer I/II frames decode to exact zeros; " +
+      "Layer III is the named stub; stereo and alloc-15 rejected") {
+    for (layer <- 1 to 2) {
+      val pcm = MpegAudio.decodeMpegAudio(1L,
+        MpegAudio.syntheticStream(layer, if (layer == 1) 128 else 96, 2))
+      assert(pcm.length == (if (layer == 1) 768 else 2304))
+      assert(pcm.forall(_ == 0.0))
+    }
+    val l3 = intercept[IllegalArgumentException](
+      MpegAudio.decodeMpegAudio(2L, MpegAudio.syntheticStream(3, 64, 1)))
+    assert(l3.getMessage.contains("named stub"))
+    val stereo = MpegAudio.syntheticStream(2, 96, 1)
+    stereo(3) = 0x00 // mode 00 = stereo
+    val e = intercept[IllegalArgumentException](
+      MpegAudio.decodeMpegAudio(3L, stereo))
+    assert(e.getMessage.contains("mono"))
+    val badAlloc = MpegAudio.syntheticStream(1, 128, 1)
+    badAlloc(4) = 0xF0.toByte // first Layer I allocation nibble = 15
+    val e2 = intercept[IllegalArgumentException](
+      MpegAudio.decodeMpegAudio(4L, badAlloc))
+    assert(e2.getMessage.contains("forbidden alloc"))
+  }
+
+  test("Layer II scfsi patterns: hand-built frames with shared " +
+      "scalefactors decode bit-identically to their explicit twins") {
+    val kbpsIdx = 3 // 56 kbps → 168-byte frames
+    // one active subband (sb 0, alloc 1 → 3 levels, grouped 5-bit codes)
+    def frame(scfsi: Int, sfs: Seq[Int], codes: Seq[Int]): Array[Byte] = {
+      val p = header(new Packer, 2, kbpsIdx)
+      p.put(1, 4) // alloc sb0
+      (1 until 27).foreach(sb => p.put(0, if (sb < 11) 4 else if (sb < 23) 3 else 2))
+      p.put(scfsi, 2)
+      sfs.foreach(p.put(_, 6))
+      codes.foreach(p.put(_, 5))
+      p.toFrame(168)
+    }
+    val codes = (0 until 12).map(gr => (gr * 7) % 27) // arbitrary 3-level groups
+    // scfsi 2 (one sf for all parts) ≡ scfsi 0 with that sf three times
+    val a = MpegAudio.decodeMpegAudio(1L, frame(2, Seq(4), codes))
+    val b = MpegAudio.decodeMpegAudio(1L, frame(0, Seq(4, 4, 4), codes))
+    assert(a.toSeq == b.toSeq)
+    assert(a.exists(_ != 0.0)) // the path genuinely synthesizes signal
+    // scfsi 1 → (a, a, b); scfsi 3 → (a, b, b)
+    val c = MpegAudio.decodeMpegAudio(1L, frame(1, Seq(7, 13), codes))
+    val d = MpegAudio.decodeMpegAudio(1L, frame(0, Seq(7, 7, 13), codes))
+    assert(c.toSeq == d.toSeq)
+    val e = MpegAudio.decodeMpegAudio(1L, frame(3, Seq(7, 13), codes))
+    val f = MpegAudio.decodeMpegAudio(1L, frame(0, Seq(7, 13, 13), codes))
+    assert(e.toSeq == f.toSeq)
+    // a forbidden scalefactor index fails loudly
+    val g = intercept[IllegalArgumentException](
+      MpegAudio.decodeMpegAudio(1L, frame(0, Seq(63, 0, 0), codes)))
+    assert(g.getMessage.contains("forbidden scalefactor"))
+  }
+
+  test("round-trip SNR floors: tonal PCM through both layers at " +
+      "several bitrates stays above the gate's pinned floor") {
+    val n = 1152 * 4
+    def tone(f1: Double, a1: Double, f2: Double, a2: Double): Array[Short] =
+      Array.tabulate(n) { i =>
+        val v = a1 * math.sin(2 * math.Pi * f1 * i / 48000.0) +
+          a2 * math.sin(2 * math.Pi * f2 * i / 48000.0)
+        math.round(v * 32767).toShort
+      }
+    val pcm = tone(440, 0.55, 6100, 0.3)
+    for ((layer, kbps) <- Seq((1, 128), (1, 384), (2, 96), (2, 192))) {
+      val rt = MpegAudio.roundTripStats(1L, pcm, layer, kbps, 25)
+      assert(rt.snr_ok, s"L$layer@$kbps: snr ${rt.snr_db} dB below floor")
+      assert(rt.snr_db >= 30, s"L$layer@$kbps: snr ${rt.snr_db} dB")
+      assert(rt.n_frames == (if (layer == 1) 12 else 4))
+      assert(rt.n_samples == n.toLong)
+    }
+    // higher bitrate must not be worse by more than jitter
+    val lo = MpegAudio.roundTripStats(1L, pcm, 2, 96, 0).snr_db
+    val hi = MpegAudio.roundTripStats(1L, pcm, 2, 192, 0).snr_db
+    assert(hi >= lo - 1)
+  }
+}
