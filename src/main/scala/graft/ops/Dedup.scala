@@ -123,6 +123,15 @@ object Dedup {
     * are capped (`maxBucket`) to bound skew blowup (a degenerate bucket —
     * e.g. empty docs — would otherwise produce |bucket|² pairs); shuffle 2
     * dedups pairs; the verify join re-reads shingles by id. */
+  /** Candidate-density threshold (banding pairs per doc) above which
+    * AUTO mode turns the signature-estimate prefilter on. Sparse
+    * corpora (the common case: few true near-dups, banding candidates
+    * ≈ true pairs) keep the exact-verify-every-candidate path; dense
+    * regimes (boilerplate-heavy crawls — the ×50 probe's 9 GB
+    * verify-shuffle lesson in BENCH_NOTES) gate the array-carrying
+    * verify join behind the n-longs-per-doc signature estimate. */
+  val DensePairsPerDoc = 8.0
+
   def minHashNearDups(
       df: DataFrame,
       id: String,
@@ -132,7 +141,7 @@ object Dedup {
       rows: Int = 4,
       minJaccard: Double = 0.5,
       maxBucket: Int = 64,
-      estPrefilter: Double = 0.0): DataFrame = {
+      estPrefilter: Double = -1.0): DataFrame = {
     // Shingle HASH sets (array<bigint>) via the codegen'd kernel — the
     // shingle string never materializes (graft.expr.WordShingleHashes;
     // ~30× over the interpreted HOF form). Persisted because they feed
@@ -167,23 +176,47 @@ object Dedup {
       .select(col("id_a"), explode(col("_ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .distinct()
-    // Optional signature-estimate prefilter (estPrefilter > 0): the
-    // fraction of matching minhash slots is an unbiased estimate of
-    // Jaccard, and the signatures are n longs per doc vs ~|shingles|
-    // for the exact arrays — so banding's FALSE candidates are pruned
-    // on cheap payloads before the array-carrying verify join. This
-    // trades recall (a true pair with an unlucky signature can fall
-    // below the cutoff — set it 2-3σ below minJaccard, σ≈sqrt(J(1-J)/n))
-    // for verify cost; 0.0 disables it and verify stays exact on every
-    // banding candidate.
-    val pairs = if (estPrefilter <= 0.0) rawPairs else {
+    // Signature-estimate prefilter: the fraction of matching minhash
+    // slots is an unbiased estimate of Jaccard, and the signatures are
+    // n longs per doc vs ~|shingles| for the exact arrays — so
+    // banding's FALSE candidates are pruned on cheap payloads before
+    // the array-carrying verify join. estPrefilter > 0 pins the
+    // cutoff; 0.0 disables; < 0 (the default) is AUTO: one cheap
+    // action over the BOUNDED bucket table (≤ maxBucket ids per row)
+    // plus a count of the already-persisted shingle table measures
+    // candidate density, and only a dense regime (> DensePairsPerDoc)
+    // turns the prune on, at minJaccard − 3σ, σ = sqrt(J(1−J)/n) — a
+    // true pair at the threshold clears that margin with ≥ 99.8%
+    // probability per signature, and pairs above it essentially
+    // always, so sparse corpora (every driver gate) keep BIT-IDENTICAL
+    // output while boilerplate-heavy crawls bound the verify shuffle.
+    // (The eager stats actions mirror the k-means seeding pattern.)
+    val cutoff: Double =
+      if (estPrefilter >= 0.0) estPrefilter
+      else {
+        val bk = buckets.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cand = (bk.agg(sum(size(col("_ids")).cast("long") *
+            (size(col("_ids")) - 1)).as("c"))
+          .first() match {
+            case r if r.isNullAt(0) => 0L
+            case r => r.getLong(0)
+          }) / 2
+        val docs = math.max(1L, shingled.count())
+        if (cand.toDouble / docs <= DensePairsPerDoc) 0.0
+        else {
+          val sigma = math.sqrt(minJaccard * (1 - minJaccard) / n)
+          math.max(0.0, minJaccard - 3 * sigma)
+        }
+      }
+    val pairs = if (cutoff <= 0.0) rawPairs else {
       val sa = sig.select(col("_id").as("id_a"), col("_sig").as("_siga"))
       val sb = sig.select(col("_id").as("id_b"), col("_sig").as("_sigb"))
       rawPairs.join(sa, "id_a").join(sb, "id_b")
         .withColumn("_est",
           size(filter(zip_with(col("_siga"), col("_sigb"), (x, y) => x === y),
             m => m)).cast("double") / n)
-        .filter(col("_est") >= estPrefilter)
+        .filter(col("_est") >= cutoff)
         .select(col("id_a"), col("id_b"))
     }
     // verify with exact Jaccard on the shingle-hash sets (collision odds
