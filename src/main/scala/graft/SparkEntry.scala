@@ -1776,6 +1776,134 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // X5 — cross-format LOSSY dedup: the same raster shipped as PNG
+    // (4·id, lossless), JPEG at quant 24 (4·id+1 — decoded raster
+    // certified DIFFERENT from the PNG's), PGM (4·id+2) and GIF
+    // (4·id+3), all through the DCT pHash. The three lossless decodes
+    // are bit-identical → identical hashes; the lossy JPEG lands
+    // within the Hamming-8 verify of them — so the quad collapses to
+    // ONE cluster of 4. This is the real crawl scenario (one image
+    // saved as PNG on one site and recompressed as JPEG on another)
+    // that x5_phash_formats' exact-hash equality cannot cover.
+    "x5_phash_lossy_formats" -> ((s, dir) => {
+      import s.implicits._
+      val hashes = Tables.documents(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val (w, h) = (64, 64)
+          def mix(a: Long): Long = {
+            var x = a * 0x9E3779B97F4A7C15L
+            x ^= x >>> 32; x *= 0xBF58476D1CE4E5B9L; x ^= x >>> 29; x
+          }
+          def pix(i: Int): Int = {
+            val bx = (i % w) / 8; val by = (i / w) / 8
+            math.floorMod(mix(id * 64 + by * 8 + bx + 777), 256).toInt
+          }
+          val png = Multimodal.encodePng(w, h, pix)
+          val jpg = Multimodal.encodeJpeg(w, h, pix,
+            Multimodal.uniformQuantTable(24))
+          val differ = !java.util.Arrays.equals(
+            Multimodal.decodePngRaster(png)._3,
+            Multimodal.decodeJpegRaster(jpg)._3)
+          def fp(hsh: Multimodal.ImageHash): (Long, Long, Boolean) =
+            (hsh.doc_id, (hsh.hash_hi << 32) | (hsh.hash_lo & 0xFFFFFFFFL),
+              differ)
+          Seq(
+            fp(Multimodal.dctHashPng(4 * id, png)),
+            fp(Multimodal.dctHashJpeg(4 * id + 1, jpg)),
+            fp(Multimodal.dctHashPgm(4 * id + 2,
+              Multimodal.encodePgm(w, h, 255, pix))),
+            fp(Multimodal.dctHashGif(4 * id + 3,
+              Multimodal.encodeGif(w, h, 8, pix))))
+        }.toDF("doc_id", "fp", "jpeg_differs")
+      val blocks = hashes.select(col("doc_id"), col("fp"),
+        explode(sequence(lit(0), lit(3))).as("block_id"))
+        .withColumn("block_val",
+          call_function("shiftright", col("fp"), col("block_id") * lit(16))
+            .bitwiseAND(lit(0xFFFFL)))
+      val pairs = blocks.as("a").join(blocks.as("b"),
+          col("a.block_id") === col("b.block_id") &&
+          col("a.block_val") === col("b.block_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
+        .distinct()
+        .filter(bit_count(col("fp_a").bitwiseXOR(col("fp_b"))) <= 8)
+        .select(col("id_a"), col("id_b"))
+      val cc = Dedup.clusterPairs(pairs)
+      val sizes = cc.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("cluster_size"))
+      cc.join(sizes, Seq("cluster"))
+        .join(hashes.select(col("doc_id").as("id"), col("jpeg_differs")),
+          Seq("id"))
+        .select(col("id"), col("cluster"), col("cluster_size"),
+          col("jpeg_differs"))
+        .orderBy("id")
+    }),
+
+    // X5 — cross-quality VIDEO near-dup: the composite the codec layer
+    // exists for — the same 3-frame clip muxed as two MJPEG AVIs at
+    // JPEG quant 4 and quant 24 (every decoded frame differs bitwise
+    // between the twins), matched the way real video dedup works:
+    // per-FRAME DCT pHashes, frame-aligned band join (band keys are
+    // (frame_id, block, value) — never all-pairs, and frame k only
+    // meets frame k), Hamming-8 verify, then a video-level AND — a
+    // pair only forms when EVERY frame matches — before clustering.
+    "x5_video_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val nf = 3
+      val frames = Tables.documents(s, dir).filter(col("doc_id") < 120)
+        .select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val (w, h) = (64, 64)
+          def mix(a: Long): Long = {
+            var x = a * 0x9E3779B97F4A7C15L
+            x ^= x >>> 32; x *= 0xBF58476D1CE4E5B9L; x ^= x >>> 29; x
+          }
+          def pix(j: Int)(i: Int): Int = {
+            val bx = (i % w) / 8; val by = (i / w) / 8
+            math.floorMod(mix(id * 512 + j * 64 + by * 8 + bx), 256).toInt
+          }
+          def avi(step: Int): Array[Byte] = Multimodal.encodeAvi(w, h, 40000,
+            (0 until nf).map(j => Multimodal.encodeJpeg(w, h, pix(j),
+              Multimodal.uniformQuantTable(step))))
+          Seq((2 * id, avi(4)), (2 * id + 1, avi(24))).flatMap {
+            case (vid, payload) =>
+              Multimodal.decodeAviFrames(vid, payload).map { f =>
+                val hsh = Multimodal.dctHashRaster(vid, f.width, f.height,
+                  f.raster)
+                (vid, f.frame_id,
+                  (hsh.hash_hi << 32) | (hsh.hash_lo & 0xFFFFFFFFL))
+              }
+          }
+        }.toDF("vid", "frame_id", "fp")
+      val blocks = frames.select(col("vid"), col("frame_id"), col("fp"),
+        explode(sequence(lit(0), lit(3))).as("block_id"))
+        .withColumn("block_val",
+          call_function("shiftright", col("fp"), col("block_id") * lit(16))
+            .bitwiseAND(lit(0xFFFFL)))
+      val framePairs = blocks.as("a").join(blocks.as("b"),
+          col("a.frame_id") === col("b.frame_id") &&
+          col("a.block_id") === col("b.block_id") &&
+          col("a.block_val") === col("b.block_val") &&
+          col("a.vid") < col("b.vid"))
+        .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
+          col("a.frame_id").as("frame_id"),
+          col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
+        .distinct()
+        .filter(bit_count(col("fp_a").bitwiseXOR(col("fp_b"))) <= 8)
+      val videoPairs = framePairs.groupBy(col("id_a"), col("id_b"))
+        .agg(countDistinct(col("frame_id")).as("_nm"))
+        .filter(col("_nm") === nf) // EVERY frame must match
+        .select(col("id_a"), col("id_b"))
+      val cc = Dedup.clusterPairs(videoPairs)
+      val sizes = cc.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("cluster_size"))
+      cc.join(sizes, Seq("cluster"))
+        .select(col("id"), col("cluster"), col("cluster_size"))
+        .orderBy("id")
+    }),
+
     // X5 — GZIP ingest round trip (RFC 1952, the wrapper 100 TB text
     // corpora actually arrive in): compress each doc's bytes, run the
     // batched gunzip boundary, and certify the round trip against the
@@ -7003,6 +7131,25 @@ object SparkEntry {
         |  TRUE AS rasters_differ
         |FROM documents, (VALUES (0), (1)) t(s)
         |WHERE doc_id < 150 ORDER BY id""".stripMargin,
+
+    // Structural replays (same argument as x5_phash_requant): the
+    // expected clustering is fully determined by the fixture id
+    // scheme; any hash drift, band-recall miss, or cross collision
+    // deviates and reds the gate.
+    "x5_phash_lossy_formats" ->
+      """SELECT 4 * doc_id + t.s AS id,
+        |  CAST(4 * doc_id AS BIGINT) AS cluster,
+        |  CAST(4 AS BIGINT) AS cluster_size,
+        |  TRUE AS jpeg_differs
+        |FROM documents, (VALUES (0), (1), (2), (3)) t(s)
+        |WHERE doc_id < 100 ORDER BY id""".stripMargin,
+
+    "x5_video_neardup" ->
+      """SELECT 2 * doc_id + t.s AS id,
+        |  CAST(2 * doc_id AS BIGINT) AS cluster,
+        |  CAST(2 AS BIGINT) AS cluster_size
+        |FROM documents, (VALUES (0), (1)) t(s)
+        |WHERE doc_id < 120 ORDER BY id""".stripMargin,
 
     "x5_gunzip_roundtrip" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -2527,6 +2527,28 @@ object Multimodal {
     dctHashRaster(docId, w, h, px)
   }
 
+  /** DCT-hash a PNG payload via the shared raster kernel. */
+  def dctHashPng(docId: Long, payload: Array[Byte]): ImageHash = {
+    val (w, h, px, _) = decodePngRaster(payload)
+    dctHashRaster(docId, w, h, px)
+  }
+
+  /** DCT-hash a PGM payload via the shared raster kernel. */
+  def dctHashPgm(docId: Long, payload: Array[Byte]): ImageHash = {
+    val (w0, h0, _, off) = parsePgmHeader(payload, docId)
+    val px = new Array[Int](w0 * h0)
+    var i = 0
+    while (i < px.length) { px(i) = payload(off + i) & 0xFF; i += 1 }
+    dctHashRaster(docId, w0, h0, px)
+  }
+
+  /** DCT-hash a (grayscale-palette) GIF payload via the shared raster
+    * kernel. */
+  def dctHashGif(docId: Long, payload: Array[Byte]): ImageHash = {
+    val (w, h, px) = gifGrayRaster(docId, payload)
+    dctHashRaster(docId, w, h, px)
+  }
+
   /** Average-hash a PNG payload via the shared raster kernel. */
   def averageHashPng(docId: Long, payload: Array[Byte]): ImageHash = {
     val (w, h, px, _) = decodePngRaster(payload)

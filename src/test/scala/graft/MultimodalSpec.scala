@@ -713,4 +713,22 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     val e2 = intercept[IllegalArgumentException](decodeAviFrames(4L, lie))
     assert(e2.getMessage.contains("declares"))
   }
+
+  test("DCT pHash cross-format: lossless PNG/PGM/GIF decodes of one " +
+      "raster hash identically; a quant-24 JPEG of it lands within the " +
+      "verify radius") {
+    import graft.ops.Multimodal._
+    val (w, h) = (64, 64)
+    def pix(i: Int): Int = {
+      val bx = (i % w) / 8; val by = (i / w) / 8
+      (37 + bx * 29 + by * 111 + bx * by * 7) % 256
+    }
+    def fp(hsh: ImageHash): Long =
+      (hsh.hash_hi << 32) | (hsh.hash_lo & 0xFFFFFFFFL)
+    val hp = dctHashPng(1L, encodePng(w, h, pix))
+    assert(fp(dctHashPgm(2L, encodePgm(w, h, 255, pix))) == fp(hp))
+    assert(fp(dctHashGif(3L, encodeGif(w, h, 8, pix))) == fp(hp))
+    val hj = dctHashJpeg(4L, encodeJpeg(w, h, pix, uniformQuantTable(24)))
+    assert(java.lang.Long.bitCount(fp(hj) ^ fp(hp)) <= 8)
+  }
 }
