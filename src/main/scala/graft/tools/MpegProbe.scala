@@ -6,7 +6,37 @@ import graft.ops.MpegAudio
   * of the computed-prototype filterbank on band-limited test tones and
   * noise, across bitrates, to pick the gate's SNR floor. */
 object MpegProbe {
+  /** `runMain graft.tools.MpegProbe throughput [n]` — local[32]
+    * encode+decode round trips per second (the codec-throughput row
+    * convention of BENCH_NOTES), ×1/×5/×20 doc counts. */
+  private def throughput(nBase: Int): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]").config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    Seq(1, 5, 20).foreach { f =>
+      val n = nBase * f
+      val t0 = System.nanoTime()
+      val ok = spark.range(n.toLong).as[Long].mapPartitions(_.map { id =>
+        val pcm = Array.tabulate(2304) { i =>
+          (math.sin(2 * math.Pi * (300 + id % 50) * i / 48000.0) * 16000).toShort
+        }
+        val rt = graft.ops.MpegAudio.roundTripStats(id, pcm,
+          if (id % 2 == 0) 2 else 1, if (id % 2 == 0) 96 else 128, 20)
+        if (rt.snr_ok) 1L else 0L
+      }).reduce(_ + _)
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"[mpeg] throughput x$f%-2d: $n docs (2304 samples each) " +
+        f"in $wall%6.2f s = ${n / wall}%8.0f codecs/s  (snr_ok $ok/$n)")
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("throughput")) {
+      throughput(if (args.length > 1) args(1).toInt else 2000)
+      return
+    }
     val n = 1152 * 6
     def tone(freqs: Seq[(Double, Double)]): Array[Short] =
       Array.tabulate(n) { i =>
