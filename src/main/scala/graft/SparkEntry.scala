@@ -1904,6 +1904,66 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // X5 — cross-BITRATE audio dedup: the audio sibling of the image
+    // requant gate, completing lossy-tolerant near-dup across every
+    // modality. The same 4-tone clip encoded as Layer II at 96 and at
+    // 192 kbps (different bitstreams, different decoded samples),
+    // reduced per frame to the top-4 subband-energy band indices
+    // through the SAME polyphase filterbank the codec runs — band
+    // energies are what lossy audio coding preserves by design, and
+    // the fixture's 2:1 amplitude ladder keeps the top-4 ORDER stable
+    // under codec noise, so twins fingerprint IDENTICALLY per frame
+    // while different tone sets light different bands. Pairing is an
+    // exact join on (frame_id, fingerprint) — never all-pairs — with
+    // a clip-level every-frame-must-match AND before clustering.
+    // (All four tone bands sit BELOW table B.2a's sblimit of 27:
+    // Layer II never codes subbands 27-31, so a tone there is
+    // legitimately DROPPED by the codec and its rank slot collapses
+    // to noise — a first fixture draft learned this the hard way.)
+    "x5_audio_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val nf = 2
+      val fps = Tables.documents(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val bands = Array((1 + id % 7).toInt, (9 + id % 5).toInt,
+            (16 + id / 5 % 5).toInt, (23 + id / 25 % 4).toInt)
+          val amps = Array(0.5, 0.25, 0.12, 0.06)
+          val pcm = Array.tabulate(1152 * nf) { i =>
+            var v = 0.0
+            var b = 0
+            while (b < 4) {
+              v += amps(b) * math.sin(
+                2 * math.Pi * (bands(b) + 0.5) * 750.0 * i / 48000.0)
+              b += 1
+            }
+            math.round(v * 32767).toShort
+          }
+          Seq((2 * id, 96), (2 * id + 1, 192)).flatMap { case (aid, kbps) =>
+            val dec = graft.ops.MpegAudio.decodeMpegAudio(aid,
+              graft.ops.MpegAudio.encodeMp2(pcm, kbps))
+            graft.ops.MpegAudio.audioFingerprints(dec)
+              .map { case (f, fp) => (aid, f, fp) }
+          }
+        }.toDF("aid", "frame_id", "fp")
+      val framePairs = fps.as("a").join(fps.as("b"),
+          col("a.frame_id") === col("b.frame_id") &&
+          col("a.fp") === col("b.fp") &&
+          col("a.aid") < col("b.aid"))
+        .select(col("a.aid").as("id_a"), col("b.aid").as("id_b"),
+          col("a.frame_id").as("frame_id"))
+      val clipPairs = framePairs.groupBy(col("id_a"), col("id_b"))
+        .agg(countDistinct(col("frame_id")).as("_nm"))
+        .filter(col("_nm") === nf)
+        .select(col("id_a"), col("id_b"))
+      val cc = Dedup.clusterPairs(clipPairs)
+      val sizes = cc.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("cluster_size"))
+      cc.join(sizes, Seq("cluster"))
+        .select(col("id"), col("cluster"), col("cluster_size"))
+        .orderBy("id")
+    }),
+
     // X5 — GZIP ingest round trip (RFC 1952, the wrapper 100 TB text
     // corpora actually arrive in): compress each doc's bytes, run the
     // batched gunzip boundary, and certify the round trip against the
@@ -7150,6 +7210,13 @@ object SparkEntry {
         |  CAST(2 AS BIGINT) AS cluster_size
         |FROM documents, (VALUES (0), (1)) t(s)
         |WHERE doc_id < 120 ORDER BY id""".stripMargin,
+
+    "x5_audio_neardup" ->
+      """SELECT 2 * doc_id + t.s AS id,
+        |  CAST(2 * doc_id AS BIGINT) AS cluster,
+        |  CAST(2 AS BIGINT) AS cluster_size
+        |FROM documents, (VALUES (0), (1)) t(s)
+        |WHERE doc_id < 100 ORDER BY id""".stripMargin,
 
     "x5_gunzip_roundtrip" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -670,6 +670,58 @@ object MpegAudio {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Audio fingerprinting (cross-bitrate dedup)
+  // ------------------------------------------------------------------
+
+  /** Per-frame audio fingerprint: the 32 subband ENERGIES of one
+    * 1152-sample frame (36 analysis blocks through the same polyphase
+    * filterbank the codec runs), reduced to the top-4 energy band
+    * indices packed descending into a long — a coarse tonal
+    * "constellation" code. Band energies are what lossy coding
+    * preserves (that is the codec's whole design target), so the SAME
+    * audio decoded from different bitrates fingerprints identically as
+    * long as the dominant bands are amplitude-separated, while
+    * different content lights different bands — the audio sibling of
+    * the image DCT pHash. Ties break toward the lower band index. */
+  def frameFingerprint(pcm: Array[Double], frameStart: Int): Long = {
+    // pad the analysis FIFO with what precedes the frame (zeros before 0)
+    val x = new Array[Double](512 + 1152)
+    var i = 0
+    while (i < 512 + 1152) {
+      val src = frameStart + i - 512
+      x(i) = if (src >= 0 && src < pcm.length) pcm(src) else 0.0
+      i += 1
+    }
+    val energy = new Array[Double](32)
+    var t = 0
+    while (t < 36) {
+      val s = analyze(x, 512 + 32 * t + 31)
+      var k = 0
+      while (k < 32) { energy(k) += s(k) * s(k); k += 1 }
+      t += 1
+    }
+    var fp = 0L
+    val taken = new Array[Boolean](32)
+    var r = 0
+    while (r < 4) {
+      var best = -1; var bestE = -1.0
+      var k = 0
+      while (k < 32) {
+        if (!taken(k) && energy(k) > bestE) { bestE = energy(k); best = k }
+        k += 1
+      }
+      taken(best) = true
+      fp = (fp << 5) | best
+      r += 1
+    }
+    fp
+  }
+
+  /** All whole-frame fingerprints of a PCM buffer. */
+  def audioFingerprints(pcm: Array[Double]): Seq[(Int, Long)] =
+    (0 until pcm.length / 1152).map(f => (f, frameFingerprint(pcm, 1152 * f)))
+
   /** Fixture helper: a back-to-back stream of `nFrames` VALID headers
     * with zero bodies at 48 kHz. For Layers I/II a zero body is a
     * well-formed SILENT frame (every allocation code 0 → no

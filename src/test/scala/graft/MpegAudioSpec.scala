@@ -132,4 +132,39 @@ class MpegAudioSpec extends AnyFunSuite {
     val hi = MpegAudio.roundTripStats(1L, pcm, 2, 192, 0).snr_db
     assert(hi >= lo - 1)
   }
+
+  test("audio fingerprint: top-4 band ranks survive the 96-vs-192 kbps " +
+      "round trip, differ across tone sets, and stay inside sblimit") {
+    import graft.ops.MpegAudio
+    def clip(bands: Array[Int]): Array[Short] = {
+      val amps = Array(0.5, 0.25, 0.12, 0.06)
+      Array.tabulate(2304) { i =>
+        var v = 0.0
+        var b = 0
+        while (b < 4) {
+          v += amps(b) * math.sin(
+            2 * math.Pi * (bands(b) + 0.5) * 750.0 * i / 48000.0)
+          b += 1
+        }
+        math.round(v * 32767).toShort
+      }
+    }
+    val a = clip(Array(2, 9, 17, 25))
+    def fps(pcm: Array[Short], kbps: Int) =
+      MpegAudio.audioFingerprints(MpegAudio.decodeMpegAudio(1L,
+        MpegAudio.encodeMp2(pcm, kbps)))
+    assert(fps(a, 96) == fps(a, 192)) // cross-bitrate identical
+    // the fingerprint actually names the planted bands, best first
+    val fp = fps(a, 192).head._2
+    assert((0 until 4).map(r => (fp >> (5 * (3 - r))) & 31) ==
+      Seq(2, 9, 17, 25))
+    // a different tone set fingerprints differently
+    val b = clip(Array(3, 10, 18, 26))
+    assert(fps(b, 96).head._2 != fps(a, 96).head._2)
+    // a tone ABOVE table B.2a's sblimit (subband 27+) is dropped by
+    // the codec — the round trip must NOT preserve its rank slot
+    val hi = clip(Array(2, 9, 17, 28))
+    val hiFp = fps(hi, 192).head._2
+    assert((hiFp & 31) != 28)
+  }
 }
