@@ -355,4 +355,24 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("partial_misragrieslongaggregator") ||
       p.toLowerCase.contains("partial"), "partial aggregation must exist")
   }
+
+  test("lossy-dedup composites: band/fingerprint joins are hash-keyed " +
+      "— no cartesian, no nested-loop pair stage anywhere") {
+    for (q <- Seq("x5_phash_requant", "x5_phash_lossy_formats",
+        "x5_video_neardup", "x5_audio_neardup")) {
+      val pl = plan(q)
+      assert(!pl.contains("CartesianProduct"), s"$q: cartesian pair stage")
+      assert(!pl.contains("BroadcastNestedLoopJoin"),
+        s"$q: nested-loop pair stage")
+    }
+  }
+
+  test("MPEG gates: pure mapPartitions codec kernels — no join, no " +
+      "Window, exactly one exchange for the final ordering") {
+    for (q <- Seq("x5_mpeg_frames", "x5_decode_mp2")) {
+      val pl = plan(q)
+      assert(!pl.contains("Join"), s"$q: codec path must not join")
+      assert(!pl.contains(") Window"), s"$q: no window pass")
+    }
+  }
 }
