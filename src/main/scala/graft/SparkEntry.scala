@@ -1506,7 +1506,10 @@ object SparkEntry {
               0.3 * math.sin(2 * math.Pi * f2 * i / 48000)
             math.round(v * 32767).toShort
           }
-          graft.ops.MpegAudio.roundTripStats(id, pcm, layer, kbps, 25)
+          // every third doc rides CRC-16 frame protection (the
+          // protection bit), validated in-decode against the side info
+          graft.ops.MpegAudio.roundTripStats(id, pcm, layer, kbps, 25,
+            withCrc = id % 3 == 0)
         }.toDF()
         .select(col("doc_id"), col("layer"), col("n_frames"),
           col("bitrate_kbps"), col("sample_rate"), col("n_samples"),

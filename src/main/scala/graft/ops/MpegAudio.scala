@@ -145,6 +145,37 @@ object MpegAudio {
   }
 
   // ------------------------------------------------------------------
+  // CRC-16 frame protection (§2.4.3.1 / Annex A: poly x¹⁶+x¹⁵+x²+1,
+  // init 0xFFFF, MSB-first, covering header bits 16–31 plus the
+  // layer's side info — Layer I: the 4-bit allocations; Layer II:
+  // allocations + scfsi. Sample data is deliberately UNPROTECTED by
+  // the standard (an audio bit flip is inaudible; a side-info flip
+  // desyncs the whole frame).
+  // ------------------------------------------------------------------
+
+  private def crc16Update(crc0: Int, bytes: Array[Byte], fromBit: Long,
+      nBits: Int): Int = {
+    var crc = crc0
+    var i = 0L
+    while (i < nBits) {
+      val p = fromBit + i
+      val bit = (bytes((p >> 3).toInt) >> (7 - (p & 7).toInt)) & 1
+      val msb = (crc >> 15) & 1
+      crc = (crc << 1) & 0xFFFF
+      if ((msb ^ bit) == 1) crc ^= 0x8005
+      i += 1
+    }
+    crc
+  }
+
+  /** CRC of one frame at `off`: header bits 16–31, then `sideBits` of
+    * side info starting right after the 2-byte CRC word. */
+  private def frameCrc(payload: Array[Byte], off: Int, sideBits: Int): Int =
+    crc16Update(
+      crc16Update(0xFFFF, payload, (off + 2).toLong * 8, 16),
+      payload, (off + 6).toLong * 8, sideBits)
+
+  // ------------------------------------------------------------------
   // Quantization tables (closed forms)
   // ------------------------------------------------------------------
 
@@ -305,7 +336,8 @@ object MpegAudio {
     * transmitted — always legal); remaining bits are zero ancillary
     * data, as the spec allows. PCM length is truncated to whole
     * 1152-sample frames. */
-  def encodeMp2(pcm: Array[Short], bitrateKbps: Int): Array[Byte] = {
+  def encodeMp2(pcm: Array[Short], bitrateKbps: Int,
+      withCrc: Boolean = false): Array[Byte] = {
     require(Array(56, 64, 80, 96, 112, 128, 160, 192).contains(bitrateKbps),
       s"mp2: bitrate $bitrateKbps outside the B.2a mono regime")
     val nFrames = pcm.length / 1152
@@ -327,17 +359,18 @@ object MpegAudio {
         System.arraycopy(blk, 0, sub(t), 0, 32)
         t += 1
       }
-      out.write(encodeMp2Frame(sub, bitrateKbps, frameBytes))
+      out.write(encodeMp2Frame(sub, bitrateKbps, frameBytes, withCrc))
       f += 1
     }
     out.toByteArray
   }
 
-  private def writeHeader(bw: BitWriter, layer: Int, bitrateKbps: Int): Unit = {
+  private def writeHeader(bw: BitWriter, layer: Int, bitrateKbps: Int,
+      crcProtected: Boolean = false): Unit = {
     bw.put(0xFFF, 12) // sync
     bw.put(1, 1) // ID: MPEG-1
     bw.put(4 - layer, 2) // layer bits: I→11, II→10, III→01
-    bw.put(1, 1) // protection absent (no CRC)
+    bw.put(if (crcProtected) 0 else 1, 1) // protection (0 = CRC present)
     bw.put(BitrateKbps(layer).indexOf(bitrateKbps), 4)
     bw.put(1, 2) // sample rate index 1 = 48 kHz
     bw.put(0, 1) // padding (never needed at 48 kHz)
@@ -347,7 +380,7 @@ object MpegAudio {
   }
 
   private def encodeMp2Frame(sub: Array[Array[Double]], bitrateKbps: Int,
-      frameBytes: Int): Array[Byte] = {
+      frameBytes: Int, withCrc: Boolean): Array[Byte] = {
     // per-subband, per-third scalefactor indices and amplitudes
     val sfIdx = Array.ofDim[Int](SbLimit, 3)
     val maxAmp = new Array[Double](SbLimit)
@@ -371,7 +404,7 @@ object MpegAudio {
     }
     // greedy allocation: fixed costs first, then bump the subband with
     // the largest peak/levels ratio while its next step fits
-    val fixedBits = 32 + Nbal.sum
+    val fixedBits = 32 + (if (withCrc) 16 else 0) + Nbal.sum
     val budget = frameBytes * 8
     val alloc = new Array[Int](SbLimit) // menu indices
     def stepCost(sb2: Int): Int = {
@@ -409,8 +442,7 @@ object MpegAudio {
         used += stepCost(best); alloc(best) += 1; progress = true
       }
     }
-    val bw = new BitWriter
-    writeHeader(bw, 2, bitrateKbps)
+    val bw = new BitWriter // side info + samples (header prepended below)
     sb = 0
     while (sb < SbLimit) { bw.put(alloc(sb), Nbal(sb)); sb += 1 }
     sb = 0
@@ -448,10 +480,22 @@ object MpegAudio {
       }
       gr += 1
     }
-    require(bw.bitCount <= budget,
+    require(32 + (if (withCrc) 16 else 0) + bw.bitCount <= budget,
       s"mp2: frame overflow ${bw.bitCount} > $budget bits")
+    val head = new BitWriter
+    writeHeader(head, 2, bitrateKbps, withCrc)
+    val headBytes = head.toBytes
     val body = bw.toBytes
-    java.util.Arrays.copyOf(body, frameBytes) // zero ancillary tail
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(headBytes)
+    if (withCrc) {
+      val sideBits = Nbal.sum + 2 * alloc.count(_ > 0)
+      val crc = crc16Update(crc16Update(0xFFFF, headBytes, 16, 16),
+        body, 0, sideBits)
+      out.write(crc >> 8); out.write(crc & 0xFF)
+    }
+    out.write(body)
+    java.util.Arrays.copyOf(out.toByteArray, frameBytes) // zero ancillary tail
   }
 
   // ------------------------------------------------------------------
@@ -461,7 +505,8 @@ object MpegAudio {
   /** Encode 16-bit mono 48 kHz PCM as MPEG-1 Layer I (384-sample
     * frames, uniform 4-bit allocation codes 0..14 → 2..15-bit
     * quantizers, one scalefactor per active subband). */
-  def encodeMp1(pcm: Array[Short], bitrateKbps: Int): Array[Byte] = {
+  def encodeMp1(pcm: Array[Short], bitrateKbps: Int,
+      withCrc: Boolean = false): Array[Byte] = {
     require(BitrateKbps(1).indexOf(bitrateKbps) >= 1,
       s"mp1: bad bitrate $bitrateKbps")
     val nFrames = pcm.length / 384
@@ -480,14 +525,14 @@ object MpegAudio {
         System.arraycopy(blk, 0, sub(t), 0, 32)
         t += 1
       }
-      out.write(encodeMp1Frame(sub, bitrateKbps, frameBytes))
+      out.write(encodeMp1Frame(sub, bitrateKbps, frameBytes, withCrc))
       f += 1
     }
     out.toByteArray
   }
 
   private def encodeMp1Frame(sub: Array[Array[Double]], bitrateKbps: Int,
-      frameBytes: Int): Array[Byte] = {
+      frameBytes: Int, withCrc: Boolean): Array[Byte] = {
     val sfIdx = new Array[Int](32)
     val maxAmp = new Array[Double](32)
     var sb = 0
@@ -502,7 +547,7 @@ object MpegAudio {
     val budget = frameBytes * 8
     val alloc = new Array[Int](32) // 0 = silent, 1..14 → (alloc+1)-bit codes
     def cost(a: Int): Int = if (a == 0) 0 else 6 + 12 * (a + 1)
-    var used = 32 + 4 * 32
+    var used = 32 + (if (withCrc) 16 else 0) + 4 * 32
     var progress = true
     while (progress) {
       progress = false
@@ -524,8 +569,7 @@ object MpegAudio {
         alloc(best) += 1; progress = true
       }
     }
-    val bw = new BitWriter
-    writeHeader(bw, 1, bitrateKbps)
+    val bw = new BitWriter // side info + samples (header prepended below)
     sb = 0
     while (sb < 32) { bw.put(alloc(sb), 4); sb += 1 }
     sb = 0
@@ -543,9 +587,21 @@ object MpegAudio {
       }
       t += 1
     }
-    require(bw.bitCount <= budget,
+    require(32 + (if (withCrc) 16 else 0) + bw.bitCount <= budget,
       s"mp1: frame overflow ${bw.bitCount} > $budget bits")
-    java.util.Arrays.copyOf(bw.toBytes, frameBytes)
+    val head = new BitWriter
+    writeHeader(head, 1, bitrateKbps, withCrc)
+    val headBytes = head.toBytes
+    val body = bw.toBytes
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(headBytes)
+    if (withCrc) {
+      val crc = crc16Update(crc16Update(0xFFFF, headBytes, 16, 16),
+        body, 0, 4 * 32)
+      out.write(crc >> 8); out.write(crc & 0xFF)
+    }
+    out.write(body)
+    java.util.Arrays.copyOf(out.toByteArray, frameBytes)
   }
 
   // ------------------------------------------------------------------
@@ -565,14 +621,16 @@ object MpegAudio {
     frames.foreach { fi =>
       val h = parseHeader(payload, fi.byte_off.toInt, docId)
       require(h.mono, s"mpeg: only mono streams (doc $docId)")
-      require(!h.crcProtected, s"mpeg: CRC frames unsupported (doc $docId)")
-      val br = new BitReader(payload, fi.byte_off.toInt + 4)
-      if (h.layer == 1) decodeMp1Frame(br, acc, outBase, docId)
+      val off = fi.byte_off.toInt
+      val br = new BitReader(payload,
+        off + 4 + (if (h.crcProtected) 2 else 0))
+      if (h.layer == 1)
+        decodeMp1Frame(br, acc, outBase, docId, payload, off, h.crcProtected)
       else {
         require(h.sampleRate == Mp2Rate && h.bitrateKbps >= 56,
           s"mpeg: layer II outside the B.2a regime " +
             s"(${h.sampleRate} Hz @ ${h.bitrateKbps} kbps, doc $docId)")
-        decodeMp2Frame(br, acc, outBase, docId)
+        decodeMp2Frame(br, acc, outBase, docId, payload, off, h.crcProtected)
       }
       outBase += fi.n_samples
     }
@@ -580,9 +638,17 @@ object MpegAudio {
   }
 
   private def decodeMp1Frame(br: BitReader, acc: Array[Double],
-      outBase: Int, docId: Long): Unit = {
+      outBase: Int, docId: Long, payload: Array[Byte], frameOff: Int,
+      crcProtected: Boolean): Unit = {
     val alloc = Array.fill(32)(br.read(4))
     require(alloc.forall(_ != 15), s"mpeg: forbidden alloc 15 (doc $docId)")
+    if (crcProtected) {
+      val want = ((payload(frameOff + 4) & 0xFF) << 8) |
+        (payload(frameOff + 5) & 0xFF)
+      val got = frameCrc(payload, frameOff, 4 * 32)
+      require(got == want,
+        f"mpeg: layer I CRC mismatch $got%04x != $want%04x (doc $docId)")
+    }
     val sf = new Array[Double](32)
     var sb = 0
     while (sb < 32) {
@@ -610,10 +676,19 @@ object MpegAudio {
   }
 
   private def decodeMp2Frame(br: BitReader, acc: Array[Double],
-      outBase: Int, docId: Long): Unit = {
+      outBase: Int, docId: Long, payload: Array[Byte], frameOff: Int,
+      crcProtected: Boolean): Unit = {
     val alloc = Array.tabulate(SbLimit)(sb => br.read(Nbal(sb)))
     val scfsi = Array.tabulate(SbLimit)(sb =>
       if (alloc(sb) > 0) br.read(2) else 0)
+    if (crcProtected) {
+      val want = ((payload(frameOff + 4) & 0xFF) << 8) |
+        (payload(frameOff + 5) & 0xFF)
+      val got = frameCrc(payload, frameOff,
+        Nbal.sum + 2 * alloc.count(_ > 0))
+      require(got == want,
+        f"mpeg: layer II CRC mismatch $got%04x != $want%04x (doc $docId)")
+    }
     val sf = Array.ofDim[Double](SbLimit, 3)
     var sb = 0
     while (sb < SbLimit) {
@@ -771,9 +846,10 @@ object MpegAudio {
       snr_ok: Boolean)
 
   def roundTripStats(docId: Long, pcm: Array[Short], layer: Int,
-      bitrateKbps: Int, snrFloorDb: Int): MpegRoundTrip = {
-    val enc = if (layer == 1) encodeMp1(pcm, bitrateKbps)
-      else encodeMp2(pcm, bitrateKbps)
+      bitrateKbps: Int, snrFloorDb: Int,
+      withCrc: Boolean = false): MpegRoundTrip = {
+    val enc = if (layer == 1) encodeMp1(pcm, bitrateKbps, withCrc)
+      else encodeMp2(pcm, bitrateKbps, withCrc)
     val frames = walkFrames(docId, enc)
     val out = decodeMpegAudio(docId, enc)
     var sig = 0.0; var err = 0.0

@@ -167,4 +167,39 @@ class MpegAudioSpec extends AnyFunSuite {
     val hiFp = fps(hi, 192).head._2
     assert((hiFp & 31) != 28)
   }
+
+  test("CRC-16 protection: protected frames round-trip bit-identically " +
+      "to unprotected audio; a side-info flip fails loudly; a sample-" +
+      "data flip is (per the standard) NOT the CRC's job") {
+    import graft.ops.MpegAudio
+    val pcm = Array.tabulate(2304)(i =>
+      (math.sin(2 * math.Pi * 700 * i / 48000.0) * 15000).toShort)
+    for (layer <- 1 to 2) {
+      val kbps = if (layer == 1) 192 else 96
+      val plain = if (layer == 1) MpegAudio.encodeMp1(pcm, kbps)
+        else MpegAudio.encodeMp2(pcm, kbps)
+      val prot = if (layer == 1) MpegAudio.encodeMp1(pcm, kbps, withCrc = true)
+        else MpegAudio.encodeMp2(pcm, kbps, withCrc = true)
+      assert(prot.length == plain.length) // CRC rides the ancillary slack
+      // the 16-bit CRC word comes out of the allocation budget, so the
+      // bitstreams differ — but quality must be equivalent
+      val snrPlain = MpegAudio.roundTripStats(1L, pcm, layer, kbps, 0).snr_db
+      val snrProt = MpegAudio.roundTripStats(1L, pcm, layer, kbps, 0,
+        withCrc = true).snr_db
+      assert(snrProt >= snrPlain - 2, s"L$layer: $snrProt vs $snrPlain dB")
+      // flip one ALLOCATION bit (byte 6 = first side-info byte of a
+      // protected frame) → CRC mismatch, loud
+      val bad = prot.clone()
+      bad(6) = (bad(6) ^ 0x10).toByte
+      val e = intercept[IllegalArgumentException](
+        MpegAudio.decodeMpegAudio(2L, bad))
+      assert(e.getMessage.contains("CRC mismatch"))
+      // flip one bit deep in SAMPLE data → decodes fine (different
+      // audio): the standard protects side info only
+      val deep = prot.clone()
+      val frameLen = MpegAudio.walkFrames(3L, prot).head.frame_bytes
+      deep(frameLen - 3) = (deep(frameLen - 3) ^ 0x01).toByte
+      MpegAudio.decodeMpegAudio(3L, deep): Unit
+    }
+  }
 }
