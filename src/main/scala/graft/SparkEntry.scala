@@ -1665,12 +1665,7 @@ object SparkEntry {
           col("a.hash_hi") === col("b.hash_hi") &&
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      val cc = Dedup.clusterPairs(pairs)
-      val sizes = cc.groupBy(col("cluster"))
-        .agg(count(lit(1)).as("cluster_size"))
-      cc.join(sizes, Seq("cluster"))
-        .select(col("id"), col("cluster"), col("cluster_size"))
-        .orderBy("id")
+      Dedup.clusterWithSizes(pairs).orderBy("id")
     }),
 
     // X5 — image dedup across ALL FOUR decoded formats: one raster
@@ -1706,12 +1701,7 @@ object SparkEntry {
           col("a.hash_hi") === col("b.hash_hi") &&
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      val cc = Dedup.clusterPairs(pairs)
-      val sizes = cc.groupBy(col("cluster"))
-        .agg(count(lit(1)).as("cluster_size"))
-      cc.join(sizes, Seq("cluster"))
-        .select(col("id"), col("cluster"), col("cluster_size"))
-        .orderBy("id")
+      Dedup.clusterWithSizes(pairs).orderBy("id")
     }),
 
     // X5 — LOSSY-TOLERANT image dedup: the same 64×64 raster encoded
@@ -1754,24 +1744,8 @@ object SparkEntry {
           }
           Seq(fp(hq, 2 * id), fp(lq, 2 * id + 1))
         }.toDF("doc_id", "fp", "rasters_differ")
-      val blocks = hashes.select(col("doc_id"), col("fp"),
-        explode(sequence(lit(0), lit(3))).as("block_id"))
-        .withColumn("block_val",
-          call_function("shiftright", col("fp"), col("block_id") * lit(16))
-            .bitwiseAND(lit(0xFFFFL)))
-      val pairs = blocks.as("a").join(blocks.as("b"),
-          col("a.block_id") === col("b.block_id") &&
-          col("a.block_val") === col("b.block_val") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-          col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
-        .distinct()
-        .filter(bit_count(col("fp_a").bitwiseXOR(col("fp_b"))) <= 8)
-        .select(col("id_a"), col("id_b"))
-      val cc = Dedup.clusterPairs(pairs)
-      val sizes = cc.groupBy(col("cluster"))
-        .agg(count(lit(1)).as("cluster_size"))
-      cc.join(sizes, Seq("cluster"))
+      Dedup.clusterWithSizes(
+          Dedup.hammingPairs(hashes, "doc_id", "fp", maxHamming = 8))
         .join(hashes.select(col("doc_id").as("id"),
           col("rasters_differ")), Seq("id"))
         .select(col("id"), col("cluster"), col("cluster_size"),
@@ -1819,24 +1793,8 @@ object SparkEntry {
             fp(Multimodal.dctHashGif(4 * id + 3,
               Multimodal.encodeGif(w, h, 8, pix))))
         }.toDF("doc_id", "fp", "jpeg_differs")
-      val blocks = hashes.select(col("doc_id"), col("fp"),
-        explode(sequence(lit(0), lit(3))).as("block_id"))
-        .withColumn("block_val",
-          call_function("shiftright", col("fp"), col("block_id") * lit(16))
-            .bitwiseAND(lit(0xFFFFL)))
-      val pairs = blocks.as("a").join(blocks.as("b"),
-          col("a.block_id") === col("b.block_id") &&
-          col("a.block_val") === col("b.block_val") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-          col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
-        .distinct()
-        .filter(bit_count(col("fp_a").bitwiseXOR(col("fp_b"))) <= 8)
-        .select(col("id_a"), col("id_b"))
-      val cc = Dedup.clusterPairs(pairs)
-      val sizes = cc.groupBy(col("cluster"))
-        .agg(count(lit(1)).as("cluster_size"))
-      cc.join(sizes, Seq("cluster"))
+      Dedup.clusterWithSizes(
+          Dedup.hammingPairs(hashes, "doc_id", "fp", maxHamming = 8))
         .join(hashes.select(col("doc_id").as("id"), col("jpeg_differs")),
           Seq("id"))
         .select(col("id"), col("cluster"), col("cluster_size"),
@@ -1880,31 +1838,13 @@ object SparkEntry {
               }
           }
         }.toDF("vid", "frame_id", "fp")
-      val blocks = frames.select(col("vid"), col("frame_id"), col("fp"),
-        explode(sequence(lit(0), lit(3))).as("block_id"))
-        .withColumn("block_val",
-          call_function("shiftright", col("fp"), col("block_id") * lit(16))
-            .bitwiseAND(lit(0xFFFFL)))
-      val framePairs = blocks.as("a").join(blocks.as("b"),
-          col("a.frame_id") === col("b.frame_id") &&
-          col("a.block_id") === col("b.block_id") &&
-          col("a.block_val") === col("b.block_val") &&
-          col("a.vid") < col("b.vid"))
-        .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
-          col("a.frame_id").as("frame_id"),
-          col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
-        .distinct()
-        .filter(bit_count(col("fp_a").bitwiseXOR(col("fp_b"))) <= 8)
-      val videoPairs = framePairs.groupBy(col("id_a"), col("id_b"))
+      val videoPairs = Dedup.hammingPairs(frames, "vid", "fp",
+          maxHamming = 8, matchCols = Seq("frame_id"))
+        .groupBy(col("id_a"), col("id_b"))
         .agg(countDistinct(col("frame_id")).as("_nm"))
         .filter(col("_nm") === nf) // EVERY frame must match
         .select(col("id_a"), col("id_b"))
-      val cc = Dedup.clusterPairs(videoPairs)
-      val sizes = cc.groupBy(col("cluster"))
-        .agg(count(lit(1)).as("cluster_size"))
-      cc.join(sizes, Seq("cluster"))
-        .select(col("id"), col("cluster"), col("cluster_size"))
-        .orderBy("id")
+      Dedup.clusterWithSizes(videoPairs).orderBy("id")
     }),
 
     // X5 — cross-BITRATE audio dedup: the audio sibling of the image
@@ -1959,12 +1899,7 @@ object SparkEntry {
         .agg(countDistinct(col("frame_id")).as("_nm"))
         .filter(col("_nm") === nf)
         .select(col("id_a"), col("id_b"))
-      val cc = Dedup.clusterPairs(clipPairs)
-      val sizes = cc.groupBy(col("cluster"))
-        .agg(count(lit(1)).as("cluster_size"))
-      cc.join(sizes, Seq("cluster"))
-        .select(col("id"), col("cluster"), col("cluster_size"))
-        .orderBy("id")
+      Dedup.clusterWithSizes(clipPairs).orderBy("id")
     }),
 
     // X5 — GZIP ingest round trip (RFC 1952, the wrapper 100 TB text

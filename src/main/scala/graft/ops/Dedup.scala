@@ -240,6 +240,48 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Banded Hamming pairing over a 64-bit fingerprint column: SimHash-
+    * style 4×16-bit blocks as the candidate channel (exact block match
+    * — a hash join, never all-pairs; any pair within Hamming 3 is
+    * GUARANTEED a shared block by pigeonhole, and the perceptual-hash
+    * fixtures keep twins well inside that), verified by exact
+    * `bit_count(xor)` ≤ `maxHamming`. The shared pair stage under the
+    * DCT-pHash image/video dedup gates. `matchCols` adds alignment
+    * keys that must ALSO agree (e.g. frame_id, so video frame k only
+    * ever meets frame k) and ride the output. */
+  def hammingPairs(df: DataFrame, id: String, fp: String,
+      maxHamming: Int, matchCols: Seq[String] = Nil): DataFrame = {
+    val blocks = df.select((Seq(col(id).as("_hid"), col(fp).as("_hfp"),
+      explode(transform(sequence(lit(0), lit(3)), b =>
+        struct(b.as("block_id"),
+          call_function("shiftright", col(fp), b * lit(16))
+            .bitwiseAND(lit(0xFFFFL)).as("block_val")))).as("_b")) ++
+      matchCols.map(col)): _*)
+      .select((Seq(col("_hid"), col("_hfp"), col("_b.block_id"),
+        col("_b.block_val")) ++ matchCols.map(col)): _*)
+    val cond = (Seq("block_id", "block_val") ++ matchCols)
+      .map(c => col(s"a.$c") === col(s"b.$c"))
+      .reduce(_ && _) && col("a._hid") < col("b._hid")
+    blocks.as("a").join(blocks.as("b"), cond)
+      .select((Seq(col("a._hid").as("id_a"), col("b._hid").as("id_b"),
+        col("a._hfp").as("fp_a"), col("b._hfp").as("fp_b")) ++
+        matchCols.map(c => col(s"a.$c"))): _*)
+      .distinct()
+      .filter(bit_count(col("fp_a").bitwiseXOR(col("fp_b"))) <= maxHamming)
+      .select((Seq(col("id_a"), col("id_b")) ++ matchCols.map(col)): _*)
+  }
+
+  /** Pointer-jumping clusters with member counts — the common tail of
+    * every dedup-clustering gate: (id, cluster = min member id,
+    * cluster_size). */
+  def clusterWithSizes(pairs: DataFrame): DataFrame = {
+    val cc = clusterPairs(pairs)
+    val sizes = cc.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, Seq("cluster"))
+      .select(col("id"), col("cluster"), col("cluster_size"))
+  }
+
   /** Exact n-gram Jaccard between two shingle-set columns (the verify
     * kernel of X3, usable standalone for pair scoring). */
   def jaccard(a: Column, b: Column): Column = {
