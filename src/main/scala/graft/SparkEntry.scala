@@ -1470,13 +1470,17 @@ object SparkEntry {
             case 2 => Array(48, 56, 64, 80, 96, 112, 128, 160)((id % 8).toInt)
             case _ => Array(40, 48, 56, 64, 80, 96, 112, 128)((id % 8).toInt)
           }
+          // a third of the docs are 44.1 kHz, where the slot count
+          // does not divide and the walker's PADDING path runs for
+          // real (48/32 kHz divide evenly — padding never fires)
+          val fs = Array(48000, 44100, 32000)((id / 3 % 3).toInt)
           Multimodal.MediaRecord(id,
             graft.ops.MpegAudio.syntheticStream(layer, kbps,
-              (1 + id % 4).toInt), "audio/mpeg", "xx")
+              (1 + id % 4).toInt, fs), "audio/mpeg", "xx")
         }
       graft.ops.MpegAudio.mpegFrameCensus(recs)
         .toDF("doc_id", "frame_id", "layer", "bitrate_kbps",
-          "sample_rate", "n_samples", "byte_off")
+          "sample_rate", "n_samples", "frame_bytes", "byte_off")
         .orderBy("doc_id", "frame_id")
     }),
 
@@ -6918,10 +6922,12 @@ object SparkEntry {
     // (Layer I frame = kbps bytes, Layers II/III = 3·kbps bytes).
     "x5_mpeg_frames" ->
       """WITH d AS (
-        |  SELECT doc_id, 1 + doc_id % 3 AS layer, 1 + doc_id % 4 AS nf
+        |  SELECT doc_id, 1 + doc_id % 3 AS layer, 1 + doc_id % 4 AS nf,
+        |    [48000, 44100, 32000][CAST(doc_id // 3 % 3 AS INTEGER) + 1]
+        |      AS fs
         |  FROM documents WHERE doc_id < 300),
         |k AS (
-        |  SELECT doc_id, layer, nf,
+        |  SELECT doc_id, layer, nf, fs,
         |    CASE WHEN layer = 1
         |      THEN [32,64,96,128,160,192,224,256][CAST(doc_id % 8 AS INTEGER) + 1]
         |    WHEN layer = 2
@@ -6929,17 +6935,27 @@ object SparkEntry {
         |    ELSE [40,48,56,64,80,96,112,128][CAST(doc_id % 8 AS INTEGER) + 1]
         |    END AS kbps
         |  FROM d),
+        |u AS (
+        |  SELECT doc_id, layer, nf, fs, kbps,
+        |    (CASE WHEN layer = 1 THEN 12000 ELSE 144000 END * kbps) // fs
+        |      AS base,
+        |    (CASE WHEN layer = 1 THEN 12000 ELSE 144000 END * kbps) % fs
+        |      AS m
+        |  FROM k),
         |f AS (
-        |  SELECT doc_id, layer, kbps, t.j FROM k, generate_series(0, 3) t(j)
-        |  WHERE t.j < nf)
+        |  SELECT doc_id, layer, fs, kbps, base, m, t.j
+        |  FROM u, generate_series(0, 3) t(j) WHERE t.j < nf)
         |SELECT doc_id, CAST(j AS INTEGER) AS frame_id,
         |  CAST(layer AS INTEGER) AS layer,
         |  CAST(kbps AS INTEGER) AS bitrate_kbps,
-        |  CAST(48000 AS INTEGER) AS sample_rate,
+        |  CAST(fs AS INTEGER) AS sample_rate,
         |  CAST(CASE WHEN layer = 1 THEN 384 ELSE 1152 END AS INTEGER)
         |    AS n_samples,
-        |  CAST(j * (CASE WHEN layer = 1 THEN kbps ELSE 3 * kbps END)
-        |    AS BIGINT) AS byte_off
+        |  CAST((CASE WHEN layer = 1 THEN 4 ELSE 1 END) *
+        |    (base + ((j + 1) * m) // fs - (j * m) // fs) AS INTEGER)
+        |    AS frame_bytes,
+        |  CAST((CASE WHEN layer = 1 THEN 4 ELSE 1 END) *
+        |    (j * base + (j * m) // fs) AS BIGINT) AS byte_off
         |FROM f ORDER BY doc_id, frame_id""".stripMargin,
 
     // Census replay of the Layer I/II round trip; reconstruction

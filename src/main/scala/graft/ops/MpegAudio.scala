@@ -366,14 +366,15 @@ object MpegAudio {
   }
 
   private def writeHeader(bw: BitWriter, layer: Int, bitrateKbps: Int,
-      crcProtected: Boolean = false): Unit = {
+      crcProtected: Boolean = false, srIdx: Int = 1,
+      padding: Boolean = false): Unit = {
     bw.put(0xFFF, 12) // sync
     bw.put(1, 1) // ID: MPEG-1
     bw.put(4 - layer, 2) // layer bits: I→11, II→10, III→01
     bw.put(if (crcProtected) 0 else 1, 1) // protection (0 = CRC present)
     bw.put(BitrateKbps(layer).indexOf(bitrateKbps), 4)
-    bw.put(1, 2) // sample rate index 1 = 48 kHz
-    bw.put(0, 1) // padding (never needed at 48 kHz)
+    bw.put(srIdx, 2) // sample rate index (1 = 48 kHz, the codec rate)
+    bw.put(if (padding) 1 else 0, 1) // padding slot
     bw.put(0, 1) // private
     bw.put(3, 2) // mode: single channel
     bw.put(0, 2); bw.put(0, 1); bw.put(0, 1); bw.put(0, 2) // ext/copy/orig/emph
@@ -803,19 +804,35 @@ object MpegAudio {
     * scalefactors, no samples, ancillary zeros); for Layer III it is a
     * header-only shell — exactly what the census walker (which never
     * touches sample data) is specified over. */
-  def syntheticStream(layer: Int, bitrateKbps: Int, nFrames: Int)
-      : Array[Byte] = {
+  def syntheticStream(layer: Int, bitrateKbps: Int, nFrames: Int,
+      sampleRate: Int = Mp2Rate): Array[Byte] = {
     require(nFrames > 0, "mpeg: need at least one frame")
     val idx = BitrateKbps(layer).indexOf(bitrateKbps)
     require(idx >= 1, s"mpeg: bad layer-$layer bitrate $bitrateKbps")
-    val frameBytes =
-      if (layer == 1) (12 * bitrateKbps * 1000 / Mp2Rate) * 4
-      else 144 * bitrateKbps * 1000 / Mp2Rate
+    val srIdx = SampleRates.indexOf(sampleRate)
+    require(srIdx >= 0, s"mpeg: bad sample rate $sampleRate")
+    // CBR slot arithmetic with the standard fractional-remainder
+    // padding rule: when 144000·kbps (12000·kbps slots for Layer I)
+    // does not divide the sample rate, the accumulated remainder rolls
+    // a padding slot into exactly the frames that keep the long-run
+    // byte rate EXACT — pad_f = ⌊(f+1)m/fs⌋ − ⌊f·m/fs⌋. 48 kHz and
+    // the 32 kHz Layer II/III cases divide evenly (m = 0, no padding);
+    // 44.1 kHz pads for real, which is what exercises the walker's
+    // padding path.
+    val unit = (if (layer == 1) 12000 else 144000) * bitrateKbps
+    val base = unit / sampleRate
+    val m = unit % sampleRate
     val out = new java.io.ByteArrayOutputStream()
+    var rem = 0
     var f = 0
     while (f < nFrames) {
+      rem += m
+      val pad = rem >= sampleRate
+      if (pad) rem -= sampleRate
+      val units = base + (if (pad) 1 else 0)
+      val frameBytes = if (layer == 1) 4 * units else units
       val bw = new BitWriter
-      writeHeader(bw, layer, bitrateKbps)
+      writeHeader(bw, layer, bitrateKbps, crcProtected = false, srIdx, pad)
       out.write(java.util.Arrays.copyOf(bw.toBytes, frameBytes))
       f += 1
     }
@@ -829,11 +846,12 @@ object MpegAudio {
   import Multimodal.MediaRecord
 
   def mpegFrameCensus(records: Dataset[MediaRecord])
-      : Dataset[(Long, Int, Int, Int, Int, Int, Long)] = {
+      : Dataset[(Long, Int, Int, Int, Int, Int, Int, Long)] = {
     import records.sparkSession.implicits._
     records.mapPartitions(it => it.flatMap { r =>
       walkFrames(r.doc_id, r.payload).map(f => (r.doc_id, f.frame_id,
-        f.layer, f.bitrate_kbps, f.sample_rate, f.n_samples, f.byte_off))
+        f.layer, f.bitrate_kbps, f.sample_rate, f.n_samples,
+        f.frame_bytes, f.byte_off))
     })
   }
 

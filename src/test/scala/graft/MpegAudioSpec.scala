@@ -202,4 +202,28 @@ class MpegAudioSpec extends AnyFunSuite {
       MpegAudio.decodeMpegAudio(3L, deep): Unit
     }
   }
+
+  test("44.1 kHz padding: the fractional slot accumulator pads exactly " +
+      "the frames that keep the byte rate exact, and the walker " +
+      "recovers every boundary") {
+    import graft.ops.MpegAudio
+    // Layer II @ 128 kbps / 44.1 kHz: 144000·128/44100 = 417.96… —
+    // nearly every frame pads (m/fs ≈ 0.96)
+    val st = MpegAudio.syntheticStream(2, 128, 8, 44100)
+    val fs = MpegAudio.walkFrames(1L, st)
+    assert(fs.length == 8)
+    val unit = 144000 * 128
+    val (base, m) = (unit / 44100, unit % 44100)
+    fs.zipWithIndex.foreach { case (f, j) =>
+      val pad = ((j + 1).toLong * m) / 44100 - (j.toLong * m) / 44100
+      assert(f.frame_bytes == base + pad.toInt, s"frame $j")
+      assert(f.byte_off == j.toLong * base + (j.toLong * m) / 44100)
+    }
+    assert(fs.map(_.frame_bytes).distinct.size == 2) // both sizes occur
+    // Layer I pads a whole 4-byte SLOT, not a byte
+    val l1 = MpegAudio.walkFrames(2L,
+      MpegAudio.syntheticStream(1, 128, 8, 44100))
+    assert(l1.map(_.frame_bytes).distinct.sorted ==
+      Seq(4 * (12000 * 128 / 44100), 4 * (12000 * 128 / 44100 + 1)))
+  }
 }
