@@ -1906,6 +1906,49 @@ object SparkEntry {
       Dedup.clusterWithSizes(clipPairs).orderBy("id")
     }),
 
+    // X5 — MEDIA SNIFF + DISPATCH: the intake FRONT DOOR — a blob
+    // column with untrusted content types, classified by magic bytes
+    // (RIFF sub-typed by form fourcc; MPEG requires a full valid
+    // header so 0xFF runs don't misclassify) and routed through the
+    // matching real decoder into one unified census row. Unknown junk
+    // is COUNTED (units 0), not thrown — at intake the junk rate is a
+    // metric. Each doc cycles through all eight decodable types plus
+    // a garbage payload; every classification and unit count replays
+    // from the id scheme.
+    "x5_media_sniff" -> ((s, dir) => {
+      import s.implicits._
+      val recs = Tables.documents(s, dir).filter(col("doc_id") < 360)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val (w, h) = (16, 16)
+          def pix(i: Int): Int = {
+            val bx = (i % w) / 8; val by = (i / w) / 8
+            ((id * 43 + bx * 19 + by * 77) % 256).toInt
+          }
+          val payload = (id % 9).toInt match {
+            case 0 => Multimodal.encodePng(w, h, pix)
+            case 1 => Multimodal.encodeGif(w, h, 8, pix)
+            case 2 => Multimodal.encodeJpeg(w, h, pix)
+            case 3 => Multimodal.encodePgm(w, h, 255, pix)
+            case 4 => Multimodal.gzipCompress(
+              Array.fill[Byte]((100 + id % 50).toInt)('x'.toByte))
+            case 5 => Multimodal.encodeWav(8000,
+              i => ((id * 13 + i * 5) % 65536 - 32768).toInt,
+              (50 + id % 100).toInt)
+            case 6 => Multimodal.encodeAvi(w, h, 40000,
+              (0 until 2).map(j => Multimodal.encodeJpeg(w, h,
+                i => (pix(i) + j) % 256)))
+            case 7 => graft.ops.MpegAudio.syntheticStream(2, 96, 2)
+            case _ => Array[Byte](0x00, 0x42, 0x13, 0x37, 0x00, 0x7F)
+          }
+          Multimodal.MediaRecord(id, payload, "application/octet-stream",
+            "xx")
+        }
+      Multimodal.sniffStats(recs).toDF()
+        .select(col("doc_id"), col("media_type"), col("n_units"))
+        .orderBy("doc_id")
+    }),
+
     // X5 — GZIP ingest round trip (RFC 1952, the wrapper 100 TB text
     // corpora actually arrive in): compress each doc's bytes, run the
     // batched gunzip boundary, and certify the round trip against the
@@ -7171,6 +7214,23 @@ object SparkEntry {
         |  CAST(2 AS BIGINT) AS cluster_size
         |FROM documents, (VALUES (0), (1)) t(s)
         |WHERE doc_id < 100 ORDER BY id""".stripMargin,
+
+    // Unified intake-census replay: type tag and unit count straight
+    // from the id scheme (gzip units = original byte length, WAV =
+    // sample count, AVI = frames × pixels, MPEG = frames × 1152).
+    "x5_media_sniff" ->
+      """SELECT doc_id,
+        |  ['image/png','image/gif','image/jpeg','image/x-pgm',
+        |   'application/gzip','audio/wav','video/avi','audio/mpeg',
+        |   'unknown'][CAST(doc_id % 9 AS INTEGER) + 1] AS media_type,
+        |  CAST(CASE CAST(doc_id % 9 AS INTEGER)
+        |    WHEN 4 THEN 100 + doc_id % 50
+        |    WHEN 5 THEN 50 + doc_id % 100
+        |    WHEN 6 THEN 512
+        |    WHEN 7 THEN 2304
+        |    WHEN 8 THEN 0
+        |    ELSE 256 END AS BIGINT) AS n_units
+        |FROM documents WHERE doc_id < 360 ORDER BY doc_id""".stripMargin,
 
     "x5_gunzip_roundtrip" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

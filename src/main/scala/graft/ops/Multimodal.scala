@@ -2549,6 +2549,81 @@ object Multimodal {
     dctHashRaster(docId, w, h, px)
   }
 
+  // ---------------------------------------------------------------------
+  // Media-type sniffing + dispatch (corpus intake front door)
+  // ---------------------------------------------------------------------
+
+  /** Magic-byte media-type detection — the FIRST pass a multimodal
+    * intake runs over a blob column whose extensions/content-types are
+    * untrusted (they always are). Returns a stable type tag or
+    * "unknown"; never throws on short/garbage payloads. RIFF payloads
+    * are sub-typed by the form fourcc (WAVE/AVI ); MPEG audio requires
+    * a full valid MPEG-1 header, not just two sync bytes, so random
+    * 0xFF runs don't misclassify. */
+  def sniffMediaType(payload: Array[Byte]): String = {
+    def at(i: Int): Int = payload(i) & 0xFF
+    if (payload.length < 4) "unknown"
+    else if (at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' && at(3) == 'G')
+      "image/png"
+    else if (at(0) == 'G' && at(1) == 'I' && at(2) == 'F' && at(3) == '8')
+      "image/gif"
+    else if (at(0) == 0xFF && at(1) == 0xD8) "image/jpeg"
+    else if (at(0) == 'P' && at(1) == '5') "image/x-pgm"
+    else if (at(0) == 0x1F && at(1) == 0x8B) "application/gzip"
+    else if (payload.length >= 12 && at(0) == 'R' && at(1) == 'I' &&
+        at(2) == 'F' && at(3) == 'F') {
+      new String(payload, 8, 4, "US-ASCII") match {
+        case "WAVE" => "audio/wav"
+        case "AVI " => "video/avi"
+        case _ => "unknown"
+      }
+    } else if (at(0) == 0xFF && (at(1) & 0xE0) == 0xE0 &&
+        (try { MpegAudio.parseHeader(payload, 0, -1L); true }
+         catch { case _: IllegalArgumentException => false }))
+      "audio/mpeg"
+    else "unknown"
+  }
+
+  /** Sniff-and-dispatch: detect the type, route through the matching
+    * decoder, and return one UNIFIED census row per blob — media_type,
+    * payload size, and the type's natural unit count (pixels for
+    * stills, frames×pixels for video, samples for audio, bytes for
+    * gzip'd text). Unknown payloads are COUNTED, not thrown: at intake
+    * the junk rate is a metric, not an error. Decode FAILURES on a
+    * recognized type still throw — a payload that lies about being a
+    * PNG is corruption, not junk. */
+  case class MediaSniff(doc_id: Long, media_type: String, n_bytes: Long,
+      n_units: Long)
+
+  def sniffStats(records: Dataset[MediaRecord]): Dataset[MediaSniff] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(it => it.map { r =>
+      val t = sniffMediaType(r.payload)
+      val units: Long = t match {
+        case "image/png" =>
+          val (w, h, _, _) = decodePngRaster(r.payload); w.toLong * h
+        case "image/gif" =>
+          decodeGifFrames(r.doc_id, r.payload)
+            .map(f => f.width.toLong * f.height).sum
+        case "image/jpeg" =>
+          val (w, h, _, _) = decodeJpegRaster(r.payload); w.toLong * h
+        case "image/x-pgm" =>
+          val (w, h, _, _) = parsePgmHeader(r.payload, r.doc_id)
+          w.toLong * h
+        case "application/gzip" => gunzip(r.payload).length.toLong
+        case "audio/wav" => decodeWav(r.doc_id, r.payload).n_samples
+        case "video/avi" =>
+          decodeAviFrames(r.doc_id, r.payload)
+            .map(f => f.width.toLong * f.height).sum
+        case "audio/mpeg" =>
+          MpegAudio.walkFrames(r.doc_id, r.payload)
+            .map(_.n_samples.toLong).sum
+        case _ => 0L
+      }
+      MediaSniff(r.doc_id, t, r.payload.length.toLong, units)
+    })
+  }
+
   /** Average-hash a PNG payload via the shared raster kernel. */
   def averageHashPng(docId: Long, payload: Array[Byte]): ImageHash = {
     val (w, h, px, _) = decodePngRaster(payload)

@@ -731,4 +731,32 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     val hj = dctHashJpeg(4L, encodeJpeg(w, h, pix, uniformQuantTable(24)))
     assert(java.lang.Long.bitCount(fp(hj) ^ fp(hp)) <= 8)
   }
+
+  test("media sniff: magic bytes classify all eight types, RIFF is " +
+      "sub-typed, 0xFF garbage is NOT mpeg, short/junk payloads are " +
+      "unknown (never thrown)") {
+    import graft.ops.Multimodal._
+    val (w, h) = (16, 16)
+    def pix(i: Int): Int = (i * 7) % 256
+    assert(sniffMediaType(encodePng(w, h, pix)) == "image/png")
+    assert(sniffMediaType(encodeGif(w, h, 8, pix)) == "image/gif")
+    assert(sniffMediaType(encodeJpeg(w, h, pix)) == "image/jpeg")
+    assert(sniffMediaType(encodePgm(w, h, 255, pix)) == "image/x-pgm")
+    assert(sniffMediaType(gzipCompress("abc".getBytes)) ==
+      "application/gzip")
+    assert(sniffMediaType(encodeWav(8000, _ => 7, 40)) == "audio/wav")
+    assert(sniffMediaType(encodeAvi(w, h, 1000,
+      Seq(encodeJpeg(w, h, pix)))) == "video/avi")
+    assert(sniffMediaType(graft.ops.MpegAudio.syntheticStream(2, 96, 1)) ==
+      "audio/mpeg")
+    // two sync-looking bytes with an invalid rest must NOT be mpeg
+    // (0xFF 0xFF = reserved layer after the ID bits)
+    assert(sniffMediaType(Array[Byte](0xFF.toByte, 0xFF.toByte,
+      0xFF.toByte, 0xFF.toByte)) == "unknown")
+    // a RIFF of neither WAVE nor AVI form is unknown, not a guess
+    val riff = "RIFF\u0004\u0000\u0000\u0000ACON".getBytes("ISO-8859-1")
+    assert(sniffMediaType(riff) == "unknown")
+    assert(sniffMediaType(Array[Byte](1, 2)) == "unknown")
+    assert(sniffMediaType(Array.empty[Byte]) == "unknown")
+  }
 }
