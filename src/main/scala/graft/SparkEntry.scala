@@ -1616,13 +1616,18 @@ object SparkEntry {
     // bit-exactly, leaving only the documented ×2¹⁶ integer color
     // transforms — which the SQL replays with the same floor rounding
     // (offset trick: DuckDB // truncates, so (t + 2²⁴) // 2¹⁶ − 2⁸
-    // = arithmetic-shift floor). Every 7th doc adds restart markers.
+    // = arithmetic-shift floor). Every 7th doc adds restart markers;
+    // the id%5==1 stragglers ship as 4:4:4 with THREE single-component
+    // sequential scans — the legal non-interleaved baseline layout —
+    // decoding to the same values (blocks stay DC-constant), so the
+    // oracle is layout-blind while the walk is exercised for real.
     "x5_decode_jpeg_color" -> ((s, dir) => {
       import s.implicits._
       val recs = Tables.documents(s, dir).filter(col("doc_id") < 300)
         .select(col("doc_id")).as[Long]
         .map { id =>
           val w = (16 * (1 + id % 2)).toInt; val h = (16 * (1 + id % 3)).toInt
+          val nonInt = id % 5 == 1 && id % 7 != 0
           Multimodal.MediaRecord(id,
             Multimodal.encodeJpegColor(w, h, { i =>
               val mx = (i % w) / 16; val my = (i / w) / 16
@@ -1630,7 +1635,9 @@ object SparkEntry {
               val g = ((id * 29 + mx * 13 + my * 5) % 256).toInt
               val b = ((id * 41 + mx * 3 + my * 11) % 256).toInt
               (r << 16) | (g << 8) | b
-            }, restartInterval = if (id % 7 == 0) 2 else 0),
+            }, subsample = if (nonInt) 1 else 2,
+            restartInterval = if (id % 7 == 0) 2 else 0,
+            interleave = !nonInt),
             "image/jpeg", "xx")
         }
       Multimodal.decodeJpegColorStats(recs).toDF()

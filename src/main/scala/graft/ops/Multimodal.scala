@@ -1510,12 +1510,20 @@ object Multimodal {
     * [[decodeJpegRgb]]'s constants — gray input yields exactly
     * Cb=Cr=128), box-average chroma subsampling (`subsample` 1 =
     * 4:4:4, 2 = 4:2:0), interleaved MCU encode with the Annex-K
-    * luminance/chrominance table pairs. */
+    * luminance/chrominance table pairs. `interleave = false` (legal
+    * only at 4:4:4, no restart markers) emits THREE single-component
+    * sequential scans instead of one interleaved scan — the rare but
+    * legal T.81 baseline layout some encoders produce, kept as a
+    * fixture source for the decoder's non-interleaved sequential
+    * path. */
   def encodeJpegColor(width: Int, height: Int, rgb: Int => Int,
       subsample: Int = 2,
       quantLuma: Array[Int] = uniformQuantTable(),
       quantChroma: Array[Int] = uniformQuantTable(),
-      restartInterval: Int = 0): Array[Byte] = {
+      restartInterval: Int = 0,
+      interleave: Boolean = true): Array[Byte] = {
+    require(interleave || (subsample == 1 && restartInterval == 0),
+      "jpeg: non-interleaved encode supports 4:4:4 without restarts only")
     require(width > 0 && height > 0, s"jpeg: bad dims ${width}x$height")
     require(subsample == 1 || subsample == 2,
       s"jpeg: subsample must be 1 (4:4:4) or 2 (4:2:0), got $subsample")
@@ -1576,7 +1584,6 @@ object Multimodal {
     seg(0xC4, Array(0x11) ++ AcChrBits ++ AcChrVals)
     if (restartInterval > 0)
       seg(0xDD, Array(restartInterval >>> 8, restartInterval & 0xFF))
-    seg(0xDA, Array(3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0)) // SOS
     val dcL = buildHuffEncoder(DcLumBits, DcLumVals)
     val acL = buildHuffEncoder(AcLumBits, AcLumVals)
     val dcC = buildHuffEncoder(DcChrBits, DcChrVals)
@@ -1585,6 +1592,33 @@ object Multimodal {
       Array.tabulate(8, 8) { (y, x) =>
         plane(math.min(y0 + y, ph - 1) * pw + math.min(x0 + x, pw - 1)) - 128
       }
+    if (!interleave) {
+      // three sequential scans, one component each, own DC predictor
+      val bw8 = (width + 7) / 8; val bh8 = (height + 7) / 8
+      Seq((1, yP, quantLuma, dcL, acL, 0x00),
+          (2, cbS, quantChroma, dcC, acC, 0x11),
+          (3, crS, quantChroma, dcC, acC, 0x11)).foreach {
+        case (cid, plane, q, dc, ac, tsel) =>
+          seg(0xDA, Array(1, cid, tsel, 0, 63, 0))
+          val sbw = new BitWriter(out)
+          var pred = 0
+          var by = 0
+          while (by < bh8) {
+            var bx = 0
+            while (bx < bw8) {
+              pred = fdctEncodeBlock(
+                blockFrom(plane, width, height, bx * 8, by * 8),
+                q, dc, ac, sbw, pred)
+              bx += 1
+            }
+            by += 1
+          }
+          sbw.flush()
+      }
+      marker(0xD9) // EOI
+      return out.toByteArray
+    }
+    seg(0xDA, Array(3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0)) // SOS
     var bw = new BitWriter(out)
     val mcusX = (width + 8 * subsample - 1) / (8 * subsample)
     val mcusY = (height + 8 * subsample - 1) / (8 * subsample)
@@ -1897,13 +1931,12 @@ object Multimodal {
     * false` rejects multi-component frames at SOF parse (the grayscale
     * API's contract).
     *
-    * Coverage restriction: a SEQUENTIAL (SOF0/1) frame must carry its
-    * components in ONE full interleaved scan (ss=0, se=63, all
-    * components) — the overwhelmingly common encoder output. Legal but
-    * rare per-component non-interleaved baseline scans are rejected
-    * loudly ("sequential frame requires one full interleaved scan");
-    * the non-interleaved grid walk exists only on the progressive
-    * path, where every mainstream encoder actually emits it. */
+    * Sequential (SOF0/1) scan layouts: ONE full interleaved scan (the
+    * overwhelmingly common encoder output) or per-component
+    * SINGLE-COMPONENT scans (the rare but legal T.81 layout — each
+    * component once, full 0..63 band, walked on its own unpadded
+    * grid); a frame that ends with unscanned components, rescans one,
+    * or interleaves a strict subset fails loudly. */
   private def decodeJpegPlanes(payload: Array[Byte], allowColor: Boolean)
       : (Int, Int, Array[JpegPlane], Int) = {
     require(payload.length >= 4 && (payload(0) & 0xFF) == 0xFF &&
@@ -1925,6 +1958,7 @@ object Multimodal {
     // block grid (progressive scans accumulate into these; the IDCT
     // runs once at EOI)
     var coefs: Array[Array[Int]] = null
+    var compScanned: Array[Boolean] = null
     var bpr: Array[Int] = null // blocks per row (padded grid)
     var firstScanData = -1
     var eoiPos = -1
@@ -1961,6 +1995,7 @@ object Multimodal {
       bpr = Array.tabulate(nComp)(c => mcusX * compH(c))
       coefs = Array.tabulate(nComp)(c =>
         new Array[Int](mcusX * compH(c) * mcusY * compV(c) * 64))
+      compScanned = new Array[Boolean](nComp)
     }
 
     /** Decode one scan's entropy data; returns the byte position of the
@@ -1982,9 +2017,19 @@ object Multimodal {
       }
       val ss = u8(body + 1 + 2 * ns); val se = u8(body + 2 + 2 * ns)
       val ah = u8(body + 3 + 2 * ns) >> 4; val al = u8(body + 3 + 2 * ns) & 0x0F
-      if (!progressive)
-        require(ss == 0 && se == 63 && ah == 0 && al == 0 && ns == nComp,
-          "jpeg: sequential frame requires one full interleaved scan")
+      if (!progressive) {
+        require(ss == 0 && se == 63 && ah == 0 && al == 0,
+          "jpeg: baseline scan must cover the full 0..63 band unrefined")
+        require(ns == nComp || ns == 1,
+          "jpeg: sequential scans are full-interleave or single-component")
+        var i2 = 0
+        while (i2 < ns) {
+          require(!compScanned(scanComp(i2)),
+            s"jpeg: component ${scanComp(i2)} scanned twice")
+          compScanned(scanComp(i2)) = true
+          i2 += 1
+        }
+      }
       else {
         require(ss <= se && se <= 63, s"jpeg: bad spectral band $ss..$se")
         if (ss == 0) require(se == 0,
@@ -2238,6 +2283,9 @@ object Multimodal {
     }
     require(width > 0 && height > 0, "jpeg: missing SOF")
     require(firstScanData >= 0, "jpeg: no scan before EOI")
+    if (!progressive)
+      require(compScanned.forall(identity),
+        "jpeg: sequential frame ended with unscanned components")
     // one dequantize + IDCT pass over the accumulated coefficients
     val planes = Array.tabulate(nComp) { c =>
       JpegPlane(compH(c), compV(c), mcusX * 8 * compH(c),

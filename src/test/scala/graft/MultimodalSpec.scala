@@ -759,4 +759,40 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(sniffMediaType(Array[Byte](1, 2)) == "unknown")
     assert(sniffMediaType(Array.empty[Byte]) == "unknown")
   }
+
+  test("non-interleaved sequential JPEG: three single-component scans " +
+      "decode to the same planes as the interleaved twin; a frame " +
+      "ending with unscanned components fails loudly") {
+    import graft.ops.Multimodal._
+    val (w, h) = (20, 12) // non-multiple-of-8 dims exercise edge blocks
+    def rgb(i: Int): Int = {
+      val x = i % w; val y = i / w
+      val r = (x * 11 + y * 3) % 256; val g = (x * 5 + y * 17) % 256
+      val b = (x + y * 29) % 256
+      (r << 16) | (g << 8) | b
+    }
+    val inter = encodeJpegColor(w, h, rgb, subsample = 1)
+    val nonInt = encodeJpegColor(w, h, rgb, subsample = 1,
+      interleave = false)
+    assert(inter.toSeq != nonInt.toSeq) // genuinely different layouts
+    val (wi, hi, pi, _) = decodeJpegRgb(inter)
+    val (wn, hn, pn, _) = decodeJpegRgb(nonInt)
+    assert((wi, hi) == (wn, hn))
+    assert(pi.toSeq == pn.toSeq) // same coefficients → identical pixels
+    // chop the last scan off (keep SOI..second scan, append EOI):
+    // the frame ends with an unscanned component → loud
+    val lastSos = {
+      var p = -1
+      var i = 2
+      while (i < nonInt.length - 1) {
+        if ((nonInt(i) & 0xFF) == 0xFF && (nonInt(i + 1) & 0xFF) == 0xDA)
+          p = i
+        i += 1
+      }
+      p
+    }
+    val chopped = nonInt.take(lastSos) ++ Array[Byte](0xFF.toByte, 0xD9.toByte)
+    val e = intercept[IllegalArgumentException](decodeJpegRgb(chopped))
+    assert(e.getMessage.contains("unscanned"))
+  }
 }
