@@ -1932,7 +1932,7 @@ object SparkEntry {
             val bx = (i % w) / 8; val by = (i / w) / 8
             ((id * 43 + bx * 19 + by * 77) % 256).toInt
           }
-          val payload = (id % 9).toInt match {
+          val payload = (id % 10).toInt match {
             case 0 => Multimodal.encodePng(w, h, pix)
             case 1 => Multimodal.encodeGif(w, h, 8, pix)
             case 2 => Multimodal.encodeJpeg(w, h, pix)
@@ -1946,6 +1946,11 @@ object SparkEntry {
               (0 until 2).map(j => Multimodal.encodeJpeg(w, h,
                 i => (pix(i) + j) % 256)))
             case 7 => graft.ops.MpegAudio.syntheticStream(2, 96, 2)
+            case 8 => Multimodal.encodeZip(Seq(
+              (s"a$id.bin", Array.tabulate[Byte]((70 + id % 40).toInt)(
+                i => ((id + i) % 251).toByte), true),
+              (s"b$id.txt", Array.fill[Byte]((30 + id % 20).toInt)(
+                'y'.toByte), false)))
             case _ => Array[Byte](0x00, 0x42, 0x13, 0x37, 0x00, 0x7F)
           }
           Multimodal.MediaRecord(id, payload, "application/octet-stream",
@@ -1954,6 +1959,32 @@ object SparkEntry {
       Multimodal.sniffStats(recs).toDF()
         .select(col("doc_id"), col("media_type"), col("n_units"))
         .orderBy("doc_id")
+    }),
+
+    // X5 — ZIP ARCHIVE INGEST: the container wrapper multimodal dumps
+    // actually ship in, walked for real — EOCD scan, central
+    // directory, local-header cross-validation, stored AND deflated
+    // members, CRC-32 verified per member (loud on corruption, never
+    // silent garbage). Each doc's archive mixes stored/deflate
+    // members; the oracle independently rebuilds every member's text
+    // from the id formula and md5-matches the extracted bytes — the
+    // same content-digest discipline as the gunzip gate.
+    "x5_zip_entries" -> ((s, dir) => {
+      import s.implicits._
+      val recs = Tables.documents(s, dir).filter(col("doc_id") < 250)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val nm = (1 + id % 3).toInt
+          val members = (0 until nm).map { j =>
+            val len = (40 + (id + j * 11) % 60).toInt
+            val content = Array.tabulate[Byte](len)(i =>
+              (97 + (id + j * 5 + i * 7) % 26).toByte)
+            (s"m${j}_$id.txt", content, (id + j) % 2 == 0)
+          }
+          Multimodal.MediaRecord(id, Multimodal.encodeZip(members),
+            "application/zip", "xx")
+        }
+      Multimodal.zipStats(recs).toDF().orderBy("doc_id", "entry_id")
     }),
 
     // X5 — GZIP ingest round trip (RFC 1952, the wrapper 100 TB text
@@ -7229,15 +7260,43 @@ object SparkEntry {
       """SELECT doc_id,
         |  ['image/png','image/gif','image/jpeg','image/x-pgm',
         |   'application/gzip','audio/wav','video/avi','audio/mpeg',
-        |   'unknown'][CAST(doc_id % 9 AS INTEGER) + 1] AS media_type,
-        |  CAST(CASE CAST(doc_id % 9 AS INTEGER)
+        |   'application/zip','unknown'][CAST(doc_id % 10 AS INTEGER) + 1]
+        |    AS media_type,
+        |  CAST(CASE CAST(doc_id % 10 AS INTEGER)
         |    WHEN 4 THEN 100 + doc_id % 50
         |    WHEN 5 THEN 50 + doc_id % 100
         |    WHEN 6 THEN 512
         |    WHEN 7 THEN 2304
-        |    WHEN 8 THEN 0
+        |    WHEN 8 THEN 100 + doc_id % 40 + doc_id % 20
+        |    WHEN 9 THEN 0
         |    ELSE 256 END AS BIGINT) AS n_units
         |FROM documents WHERE doc_id < 360 ORDER BY doc_id""".stripMargin,
+
+    // Member-grain replay: names/methods/sizes from the id formulas,
+    // content digests from independently-rebuilt member text.
+    "x5_zip_entries" ->
+      """WITH d AS (
+        |  SELECT doc_id, 1 + doc_id % 3 AS nm
+        |  FROM documents WHERE doc_id < 250),
+        |e AS (
+        |  SELECT doc_id, t.j FROM d, generate_series(0, 2) t(j)
+        |  WHERE t.j < nm),
+        |c AS (
+        |  SELECT doc_id, j, 40 + (doc_id + j * 11) % 60 AS len FROM e),
+        |s AS (
+        |  SELECT c.doc_id, c.j, c.len,
+        |    string_agg(chr(CAST(97 + (c.doc_id + c.j * 5 + i.i * 7) % 26
+        |      AS INTEGER)), '' ORDER BY i.i) AS content
+        |  FROM c, generate_series(0, 99) i(i) WHERE i.i < c.len
+        |  GROUP BY c.doc_id, c.j, c.len)
+        |SELECT doc_id, CAST(j AS INTEGER) AS entry_id,
+        |  'm' || j || '_' || doc_id || '.txt' AS name,
+        |  CAST(CASE WHEN (doc_id + j) % 2 = 0 THEN 0 ELSE 8 END
+        |    AS INTEGER) AS method,
+        |  CAST(len AS BIGINT) AS n_uncompressed,
+        |  md5(content) AS content_md5,
+        |  TRUE AS crc_ok
+        |FROM s ORDER BY doc_id, entry_id""".stripMargin,
 
     "x5_gunzip_roundtrip" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

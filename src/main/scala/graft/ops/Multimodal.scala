@@ -1075,6 +1075,176 @@ object Multimodal {
       it.map(r => MediaRecord(r.doc_id, gunzip(r.payload), r.fmt, r.lang)))
   }
 
+  // -------------------------------------------------------------------
+  // ZIP (PKWARE APPNOTE) — the ARCHIVE wrapper multimodal corpora
+  // arrive in (image/audio dumps ship as .zip far more often than as
+  // loose files). The container walk — EOCD scan, central directory,
+  // local headers, CRC/size cross-validation — is implemented here;
+  // member DEFLATE rides the JDK's raw Inflater/Deflater, the same
+  // boundary the gzip section draws. Scope: method 0 (stored) and 8
+  // (deflate), no zip64/encryption/split archives — those fail loudly.
+  // -------------------------------------------------------------------
+
+  /** Build a ZIP archive from (name, content, store) members — the
+    * fixture-side twin of [[decodeZipEntries]] and the writer an
+    * archive-sharding pipeline would use. `store = true` keeps the
+    * member uncompressed (method 0), else raw DEFLATE (method 8). */
+  def encodeZip(members: Seq[(String, Array[Byte], Boolean)]): Array[Byte] = {
+    require(members.nonEmpty, "zip: at least one member")
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >>> 8) & 0xFF) }
+    def le32(v: Int): Unit = { le16(v & 0xFFFF); le16(v >>> 16) }
+    case class Cd(name: Array[Byte], method: Int, crc: Int, csize: Int,
+      usize: Int, off: Int)
+    val cds = Seq.newBuilder[Cd]
+    members.foreach { case (name, data, store) =>
+      val nameB = name.getBytes("UTF-8")
+      val c = new java.util.zip.CRC32
+      c.update(data)
+      val crc = c.getValue.toInt
+      val packed = if (store) data else {
+        val d = new java.util.zip.Deflater(
+          java.util.zip.Deflater.DEFAULT_COMPRESSION, true) // raw deflate
+        d.setInput(data); d.finish()
+        val bos = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](4096)
+        while (!d.finished()) { val n = d.deflate(tmp); bos.write(tmp, 0, n) }
+        d.end()
+        bos.toByteArray
+      }
+      val method = if (store) 0 else 8
+      val off = out.size()
+      le32(0x04034B50) // local file header
+      le16(20); le16(0); le16(method); le16(0); le16(0x21) // ver/flags/time/date
+      le32(crc); le32(packed.length); le32(data.length)
+      le16(nameB.length); le16(0)
+      out.write(nameB); out.write(packed)
+      cds += Cd(nameB, method, crc, packed.length, data.length, off)
+    }
+    val cdStart = out.size()
+    cds.result().foreach { cd =>
+      le32(0x02014B50) // central directory header
+      le16(20); le16(20); le16(0); le16(cd.method); le16(0); le16(0x21)
+      le32(cd.crc); le32(cd.csize); le32(cd.usize)
+      le16(cd.name.length); le16(0); le16(0) // name/extra/comment len
+      le16(0); le16(0); le32(0) // disk/int attrs/ext attrs
+      le32(cd.off)
+      out.write(cd.name)
+    }
+    val cdSize = out.size() - cdStart
+    le32(0x06054B50) // EOCD
+    le16(0); le16(0); le16(members.length); le16(members.length)
+    le32(cdSize); le32(cdStart); le16(0)
+    out.toByteArray
+  }
+
+  /** Walk a ZIP archive: locate the EOCD (scanning backward through a
+    * possible trailing comment), walk the central directory, and for
+    * each entry cross-validate the LOCAL header against it (a
+    * mismatched name or signature is corruption), extract (stored copy
+    * or raw-DEFLATE inflate), and verify the CRC-32 and both sizes —
+    * an archive member NEVER decodes as silent garbage. Returns
+    * (name, method, content) in central-directory order. */
+  def decodeZipEntries(docId: Long, payload: Array[Byte])
+      : Seq[(String, Int, Array[Byte])] = {
+    def u16(p: Int): Int = (payload(p) & 0xFF) | ((payload(p + 1) & 0xFF) << 8)
+    def u32(p: Int): Long = (u16(p) | (u16(p + 2).toLong << 16)) & 0xFFFFFFFFL
+    require(payload.length >= 22, s"zip: truncated archive (doc $docId)")
+    // EOCD: last occurrence of the signature within comment range
+    var eocd = -1
+    var p = payload.length - 22
+    val floor = math.max(0, payload.length - 22 - 0xFFFF)
+    while (eocd < 0 && p >= floor) {
+      if (u32(p) == 0x06054B50L &&
+          p + 22 + u16(p + 20) == payload.length) eocd = p
+      else p -= 1
+    }
+    require(eocd >= 0, s"zip: no end-of-central-directory record (doc $docId)")
+    val nEntries = u16(eocd + 10)
+    require(u16(eocd + 4) == 0 && u16(eocd + 6) == 0 &&
+      u16(eocd + 8) == nEntries,
+      s"zip: split/multi-disk archives unsupported (doc $docId)")
+    var cd = u32(eocd + 16).toInt
+    val outEntries = Seq.newBuilder[(String, Int, Array[Byte])]
+    var e = 0
+    while (e < nEntries) {
+      require(u32(cd) == 0x02014B50L,
+        s"zip: bad central-directory signature at entry $e (doc $docId)")
+      val method = u16(cd + 10)
+      val crc = u32(cd + 16)
+      val csize = u32(cd + 20).toInt
+      val usize = u32(cd + 24).toInt
+      val nameLen = u16(cd + 28); val extraLen = u16(cd + 30)
+      val cmtLen = u16(cd + 32)
+      val lho = u32(cd + 42).toInt
+      val name = new String(payload, cd + 46, nameLen, "UTF-8")
+      require(method == 0 || method == 8,
+        s"zip: compression method $method of '$name' unsupported " +
+          s"(doc $docId) — stored/deflate only")
+      // cross-validate the local header
+      require(u32(lho) == 0x04034B50L,
+        s"zip: bad local-header signature for '$name' (doc $docId)")
+      require((u16(lho + 6) & 0x08) == 0,
+        s"zip: streamed (data-descriptor) member '$name' unsupported " +
+          s"(doc $docId)")
+      val lName = new String(payload, lho + 30, u16(lho + 26), "UTF-8")
+      require(lName == name,
+        s"zip: local/central name mismatch '$lName' vs '$name' (doc $docId)")
+      val dataOff = lho + 30 + u16(lho + 26) + u16(lho + 28)
+      require(dataOff + csize <= payload.length,
+        s"zip: member '$name' overruns the archive (doc $docId)")
+      val content =
+        if (method == 0) {
+          require(csize == usize,
+            s"zip: stored member '$name' size mismatch (doc $docId)")
+          java.util.Arrays.copyOfRange(payload, dataOff, dataOff + csize)
+        } else {
+          val inf = new java.util.zip.Inflater(true) // raw deflate
+          inf.setInput(payload, dataOff, csize)
+          val buf = new Array[Byte](usize)
+          var got = 0
+          while (got < usize && !inf.finished()) {
+            val n = inf.inflate(buf, got, usize - got)
+            require(n > 0 || inf.finished(),
+              s"zip: truncated deflate stream in '$name' (doc $docId)")
+            got += n
+          }
+          inf.end()
+          require(got == usize,
+            s"zip: member '$name' inflated to $got of $usize bytes " +
+              s"(doc $docId)")
+          buf
+        }
+      val c = new java.util.zip.CRC32
+      c.update(content)
+      require(c.getValue == crc,
+        s"zip: CRC mismatch in member '$name' (doc $docId)")
+      outEntries += ((name, method, content))
+      cd += 46 + nameLen + extraLen + cmtLen
+      e += 1
+    }
+    outEntries.result()
+  }
+
+  /** Per-member census of a ZIP column — the gate-facing form.
+    * crc_ok is definitionally true for every returned row (decode
+    * fails loudly otherwise) — it records that the check RAN. */
+  case class ZipEntryStats(doc_id: Long, entry_id: Int, name: String,
+      method: Int, n_uncompressed: Long, content_md5: String,
+      crc_ok: Boolean)
+
+  def zipStats(records: Dataset[MediaRecord]): Dataset[ZipEntryStats] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(it => it.flatMap { r =>
+      decodeZipEntries(r.doc_id, r.payload).zipWithIndex.map {
+        case ((name, method, content), i) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          ZipEntryStats(r.doc_id, i, name, method, content.length.toLong,
+            md.digest(content).map(b => f"$b%02x").mkString, crc_ok = true)
+      }
+    })
+  }
+
   /** Frame-sampling analog: cut the payload into `frameBytes`-sized
     * frames and keep every `stride`-th one (as a real pipeline samples
     * video frames) — native substring arithmetic, no decode needed.
@@ -2616,6 +2786,8 @@ object Multimodal {
     else if (at(0) == 'G' && at(1) == 'I' && at(2) == 'F' && at(3) == '8')
       "image/gif"
     else if (at(0) == 0xFF && at(1) == 0xD8) "image/jpeg"
+    else if (at(0) == 'P' && at(1) == 'K' && at(2) == 0x03 && at(3) == 0x04)
+      "application/zip"
     else if (at(0) == 'P' && at(1) == '5') "image/x-pgm"
     else if (at(0) == 0x1F && at(1) == 0x8B) "application/gzip"
     else if (payload.length >= 12 && at(0) == 'R' && at(1) == 'I' &&
@@ -2659,6 +2831,8 @@ object Multimodal {
           val (w, h, _, _) = parsePgmHeader(r.payload, r.doc_id)
           w.toLong * h
         case "application/gzip" => gunzip(r.payload).length.toLong
+        case "application/zip" =>
+          decodeZipEntries(r.doc_id, r.payload).map(_._3.length.toLong).sum
         case "audio/wav" => decodeWav(r.doc_id, r.payload).n_samples
         case "video/avi" =>
           decodeAviFrames(r.doc_id, r.payload)

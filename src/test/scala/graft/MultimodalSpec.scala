@@ -795,4 +795,56 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     val e = intercept[IllegalArgumentException](decodeJpegRgb(chopped))
     assert(e.getMessage.contains("unscanned"))
   }
+
+  test("ZIP: stored+deflate round trip, EOCD behind a trailing comment, " +
+      "CRC/name/method corruption all loud") {
+    import graft.ops.Multimodal._
+    val a = Array.tabulate[Byte](300)(i => (i * 37 % 251).toByte)
+    val b = "the quick brown fox ".getBytes("UTF-8")
+    val zip = encodeZip(Seq(("x/a.bin", a, true), ("b.txt", b, false)))
+    val es = decodeZipEntries(1L, zip)
+    assert(es.map(e => (e._1, e._2)) == Seq(("x/a.bin", 0), ("b.txt", 8)))
+    assert(es(0)._3.toSeq == a.toSeq && es(1)._3.toSeq == b.toSeq)
+    // a trailing archive comment shifts the EOCD off the end; the
+    // backward scan must still find THE EOCD (comment-length sanity
+    // check rejects false signatures inside the comment)
+    val comment = "trailing comment bytes".getBytes("UTF-8")
+    val commented = zip.clone()
+    commented(zip.length - 2) = (comment.length & 0xFF).toByte
+    val withComment = commented ++ comment
+    assert(decodeZipEntries(2L, withComment).map(_._1) ==
+      Seq("x/a.bin", "b.txt"))
+    // flip a content byte of the STORED member → CRC mismatch
+    val bad = zip.clone()
+    bad(40) = (bad(40) ^ 0x01).toByte
+    val e1 = intercept[IllegalArgumentException](decodeZipEntries(3L, bad))
+    assert(e1.getMessage.contains("CRC mismatch"))
+    // corrupt the local header name → local/central mismatch
+    val badName = zip.clone()
+    badName(30) = 'Z'.toByte
+    val e2 = intercept[IllegalArgumentException](
+      decodeZipEntries(4L, badName))
+    assert(e2.getMessage.contains("name mismatch"))
+    // unsupported method in the central directory → named error
+    val badMethod = zip.clone()
+    val cdStart = {
+      var p = -1; var i = 0
+      while (i < badMethod.length - 4) {
+        if ((badMethod(i) & 0xFF) == 0x50 && (badMethod(i + 1) & 0xFF) == 0x4B
+            && (badMethod(i + 2) & 0xFF) == 0x01) p = if (p < 0) i else p
+        i += 1
+      }
+      p
+    }
+    badMethod(cdStart + 10) = 12 // bzip2
+    val e3 = intercept[IllegalArgumentException](
+      decodeZipEntries(5L, badMethod))
+    assert(e3.getMessage.contains("method 12"))
+    // no EOCD at all
+    val e4 = intercept[IllegalArgumentException](
+      decodeZipEntries(6L, zip.take(zip.length - 30)))
+    assert(e4.getMessage.contains("end-of-central-directory"))
+    // sniff integration
+    assert(sniffMediaType(zip) == "application/zip")
+  }
 }
