@@ -1987,6 +1987,30 @@ object SparkEntry {
       Multimodal.zipStats(recs).toDF().orderBy("doc_id", "entry_id")
     }),
 
+    // X5 — .TAR.GZ ARCHIVE INGEST: the composed path a corpus.tar.gz
+    // actually takes — gunzip, then a real POSIX-ustar walk (per-
+    // header checksum verified with the field counted as spaces,
+    // octal size parse, 512-block padding, terminating zero blocks
+    // required; links/devices fail loudly by typeflag). Same member
+    // digest discipline as the ZIP gate.
+    "x5_targz_entries" -> ((s, dir) => {
+      import s.implicits._
+      val recs = Tables.documents(s, dir).filter(col("doc_id") < 250)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val nm = (1 + id % 3).toInt
+          val members = (0 until nm).map { j =>
+            val len = (30 + (id + j * 13) % 50).toInt
+            (s"d$id/f$j.txt", Array.tabulate[Byte](len)(i =>
+              (97 + (id + j * 3 + i * 5) % 26).toByte))
+          }
+          Multimodal.MediaRecord(id,
+            Multimodal.gzipCompress(Multimodal.encodeTar(members)),
+            "application/gzip", "xx")
+        }
+      Multimodal.tarGzStats(recs).toDF().orderBy("doc_id", "entry_id")
+    }),
+
     // X5 — GZIP ingest round trip (RFC 1952, the wrapper 100 TB text
     // corpora actually arrive in): compress each doc's bytes, run the
     // batched gunzip boundary, and certify the round trip against the
@@ -7296,6 +7320,27 @@ object SparkEntry {
         |  CAST(len AS BIGINT) AS n_uncompressed,
         |  md5(content) AS content_md5,
         |  TRUE AS crc_ok
+        |FROM s ORDER BY doc_id, entry_id""".stripMargin,
+
+    "x5_targz_entries" ->
+      """WITH d AS (
+        |  SELECT doc_id, 1 + doc_id % 3 AS nm
+        |  FROM documents WHERE doc_id < 250),
+        |e AS (
+        |  SELECT doc_id, t.j FROM d, generate_series(0, 2) t(j)
+        |  WHERE t.j < nm),
+        |c AS (
+        |  SELECT doc_id, j, 30 + (doc_id + j * 13) % 50 AS len FROM e),
+        |s AS (
+        |  SELECT c.doc_id, c.j, c.len,
+        |    string_agg(chr(CAST(97 + (c.doc_id + c.j * 3 + i.i * 5) % 26
+        |      AS INTEGER)), '' ORDER BY i.i) AS content
+        |  FROM c, generate_series(0, 99) i(i) WHERE i.i < c.len
+        |  GROUP BY c.doc_id, c.j, c.len)
+        |SELECT doc_id, CAST(j AS INTEGER) AS entry_id,
+        |  'd' || doc_id || '/f' || j || '.txt' AS name,
+        |  CAST(len AS BIGINT) AS n_bytes,
+        |  md5(content) AS content_md5
         |FROM s ORDER BY doc_id, entry_id""".stripMargin,
 
     "x5_gunzip_roundtrip" ->

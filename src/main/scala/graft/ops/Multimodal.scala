@@ -1226,6 +1226,110 @@ object Multimodal {
     outEntries.result()
   }
 
+  // -------------------------------------------------------------------
+  // TAR (POSIX ustar) — the OTHER archive wrapper (.tar.gz corpora):
+  // 512-byte headers with octal fields and a checksum, content padded
+  // to block boundaries, two zero blocks at the end. Composes with
+  // [[gunzip]] for the .tar.gz ingest path.
+  // -------------------------------------------------------------------
+
+  /** Build a ustar archive from (name, content) members. */
+  def encodeTar(members: Seq[(String, Array[Byte])]): Array[Byte] = {
+    require(members.nonEmpty, "tar: at least one member")
+    val out = new java.io.ByteArrayOutputStream()
+    members.foreach { case (name, data) =>
+      val nameB = name.getBytes("UTF-8")
+      require(nameB.length <= 100, s"tar: name too long: $name")
+      val h = new Array[Byte](512)
+      System.arraycopy(nameB, 0, h, 0, nameB.length)
+      def octal(v: Long, off: Int, len: Int): Unit = {
+        val s2 = ("%0" + (len - 1) + "o").format(v)
+        System.arraycopy(s2.getBytes("US-ASCII"), 0, h, off, len - 1)
+      }
+      octal(420, 100, 8) // mode 0644
+      octal(0, 108, 8); octal(0, 116, 8) // uid/gid
+      octal(data.length.toLong, 124, 12)
+      octal(0, 136, 12) // mtime
+      h(156) = '0' // typeflag: regular file
+      System.arraycopy("ustar ".getBytes("ISO-8859-1"), 0, h, 257, 6)
+      h(263) = '0'; h(264) = '0' // version "00"
+      // checksum: header with the checksum field AS SPACES
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+      var sum = 0L
+      var i = 0
+      while (i < 512) { sum += h(i) & 0xFF; i += 1 }
+      // checksum field layout: SIX octal digits, NUL, space
+      System.arraycopy("%06o".format(sum).getBytes("US-ASCII"), 0, h, 148, 6)
+      h(154) = 0; h(155) = ' '
+      out.write(h)
+      out.write(data)
+      val pad = (512 - data.length % 512) % 512
+      out.write(new Array[Byte](pad))
+    }
+    out.write(new Array[Byte](1024)) // two terminating zero blocks
+    out.toByteArray
+  }
+
+  /** Walk a ustar archive: per-header checksum verified (the field
+    * counted as spaces, per POSIX), octal size parse, block-padded
+    * content, terminating zero blocks required. Regular files only;
+    * other typeflags are skipped (directories) or fail loudly
+    * (links/devices — a corpus archive should not contain them). */
+  def decodeTarEntries(docId: Long, payload: Array[Byte])
+      : Seq[(String, Array[Byte])] = {
+    val outEntries = Seq.newBuilder[(String, Array[Byte])]
+    var p = 0
+    def zeroBlock(off: Int): Boolean =
+      (off until off + 512).forall(i => payload(i) == 0)
+    var done = false
+    while (!done) {
+      require(p + 512 <= payload.length,
+        s"tar: truncated header at $p (doc $docId)")
+      if (zeroBlock(p)) {
+        require(p + 1024 <= payload.length && zeroBlock(p + 512),
+          s"tar: missing second terminator block (doc $docId)")
+        done = true
+      } else {
+        def octal(off: Int, len: Int): Long = {
+          var v = 0L; var i = off
+          while (i < off + len && payload(i) != 0 && payload(i) != ' ') {
+            val c = payload(i) - '0'
+            require(c >= 0 && c <= 7, s"tar: bad octal digit (doc $docId)")
+            v = v * 8 + c; i += 1
+          }
+          v
+        }
+        // verify checksum with the field blanked to spaces
+        val stored = octal(p + 148, 8)
+        var sum = 0L
+        var i = 0
+        while (i < 512) {
+          sum += (if (i >= 148 && i < 156) ' '.toInt
+            else payload(p + i) & 0xFF)
+          i += 1
+        }
+        require(sum == stored,
+          s"tar: header checksum mismatch at $p (doc $docId)")
+        val nameEnd = {
+          var e = p; while (e < p + 100 && payload(e) != 0) e += 1; e
+        }
+        val name = new String(payload, p, nameEnd - p, "UTF-8")
+        val size = octal(p + 124, 12)
+        val tf = payload(p + 156).toChar
+        require(tf == '0' || tf == 0.toChar || tf == '5',
+          s"tar: unsupported typeflag '$tf' for '$name' (doc $docId)")
+        val dataOff = p + 512
+        require(dataOff + size <= payload.length,
+          s"tar: member '$name' overruns the archive (doc $docId)")
+        if (tf != '5') // directories carry no content row
+          outEntries += ((name, java.util.Arrays.copyOfRange(
+            payload, dataOff, dataOff + size.toInt)))
+        p = dataOff + ((size + 511) / 512).toInt * 512
+      }
+    }
+    outEntries.result()
+  }
+
   /** Per-member census of a ZIP column — the gate-facing form.
     * crc_ok is definitionally true for every returned row (decode
     * fails loudly otherwise) — it records that the check RAN. */
@@ -1241,6 +1345,23 @@ object Multimodal {
           val md = java.security.MessageDigest.getInstance("MD5")
           ZipEntryStats(r.doc_id, i, name, method, content.length.toLong,
             md.digest(content).map(b => f"$b%02x").mkString, crc_ok = true)
+      }
+    })
+  }
+
+  /** Per-member census of a .tar.gz column: gunzip → ustar walk —
+    * the composed ingest path a `corpus.tar.gz` actually takes. */
+  case class TarEntryStats(doc_id: Long, entry_id: Int, name: String,
+    n_bytes: Long, content_md5: String)
+
+  def tarGzStats(records: Dataset[MediaRecord]): Dataset[TarEntryStats] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(it => it.flatMap { r =>
+      decodeTarEntries(r.doc_id, gunzip(r.payload)).zipWithIndex.map {
+        case ((name, content), i) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          TarEntryStats(r.doc_id, i, name, content.length.toLong,
+            md.digest(content).map(b => f"$b%02x").mkString)
       }
     })
   }

@@ -847,4 +847,40 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     // sniff integration
     assert(sniffMediaType(zip) == "application/zip")
   }
+
+  test("TAR: ustar round trip through gzip, block padding, checksum " +
+      "and typeflag guards") {
+    import graft.ops.Multimodal._
+    val a = Array.tabulate[Byte](700)(i => (i % 251).toByte) // 2 blocks
+    val b = Array.emptyByteArray // zero-length member is legal
+    val tar = encodeTar(Seq(("dir/a.bin", a), ("empty", b)))
+    assert(tar.length % 512 == 0)
+    val es = decodeTarEntries(1L, tar)
+    assert(es.map(_._1) == Seq("dir/a.bin", "empty"))
+    assert(es(0)._2.toSeq == a.toSeq && es(1)._2.isEmpty)
+    // the composed .tar.gz path
+    assert(decodeTarEntries(2L, gunzip(gzipCompress(tar)))
+      .map(_._1) == Seq("dir/a.bin", "empty"))
+    // flip a header byte → checksum mismatch, loud
+    val bad = tar.clone()
+    bad(100) = '7'.toByte // mode field
+    val e1 = intercept[IllegalArgumentException](decodeTarEntries(3L, bad))
+    assert(e1.getMessage.contains("checksum mismatch"))
+    // a symlink typeflag is rejected by name (checksum must still pass,
+    // so recompute it after the flag edit — field counted as spaces)
+    val link = tar.clone()
+    link(156) = '2'.toByte
+    java.util.Arrays.fill(link, 148, 156, ' '.toByte)
+    var sum = 0L
+    (0 until 512).foreach(i => sum += link(i) & 0xFF)
+    System.arraycopy("%06o".format(sum).getBytes("US-ASCII"), 0, link, 148, 6)
+    link(154) = 0; link(155) = ' '.toByte
+    val e2 = intercept[IllegalArgumentException](decodeTarEntries(4L, link))
+    assert(e2.getMessage.contains("typeflag"))
+    // chopping the terminator is loud
+    val e3 = intercept[IllegalArgumentException](
+      decodeTarEntries(5L, tar.take(tar.length - 1024)))
+    assert(e3.getMessage.contains("truncated header") ||
+      e3.getMessage.contains("terminator"))
+  }
 }
