@@ -2918,7 +2918,10 @@ object Multimodal {
         case "AVI " => "video/avi"
         case _ => "unknown"
       }
-    } else if (at(0) == 0xFF && (at(1) & 0xE0) == 0xE0 &&
+    } else if (payload.length >= 512 && at(257) == 'u' && at(258) == 's' &&
+        at(259) == 't' && at(260) == 'a' && at(261) == 'r')
+      "application/x-tar"
+    else if (at(0) == 0xFF && (at(1) & 0xE0) == 0xE0 &&
         (try { MpegAudio.parseHeader(payload, 0, -1L); true }
          catch { case _: IllegalArgumentException => false }))
       "audio/mpeg"
@@ -2954,6 +2957,8 @@ object Multimodal {
         case "application/gzip" => gunzip(r.payload).length.toLong
         case "application/zip" =>
           decodeZipEntries(r.doc_id, r.payload).map(_._3.length.toLong).sum
+        case "application/x-tar" =>
+          decodeTarEntries(r.doc_id, r.payload).map(_._2.length.toLong).sum
         case "audio/wav" => decodeWav(r.doc_id, r.payload).n_samples
         case "video/avi" =>
           decodeAviFrames(r.doc_id, r.payload)

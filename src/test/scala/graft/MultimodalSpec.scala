@@ -846,6 +846,7 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(e4.getMessage.contains("end-of-central-directory"))
     // sniff integration
     assert(sniffMediaType(zip) == "application/zip")
+    assert(sniffMediaType(encodeTar(Seq(("t", b)))) == "application/x-tar")
   }
 
   test("TAR: ustar round trip through gzip, block padding, checksum " +
