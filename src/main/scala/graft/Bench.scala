@@ -33,6 +33,21 @@ object Bench {
       graft.ops.Packing.ntileOrdered(
         spark.range(1000L).toDF("id"), Seq(col("id").asc), 10).count(): Unit
     }
+    // Full first-touch pre-pass (the tools/WarmBench protocol, promoted
+    // here after two rounds of sweep ghosts): run EVERY query once,
+    // untimed, before the timed sweep. Spot warm-ups above catch the
+    // big shared costs, but each query still pays its own first-run
+    // codegen + JIT on the timed pass — r7 billed ~5 s of that to
+    // x2_topk_cosine, r8 to ml_spearman_rank/pack_budget_select —
+    // so the timed sweep now measures steady-state only. Doubles bench
+    // wall-time; SPARK_GRAFT_WARM=0 skips for quick local iteration.
+    if (sys.env.getOrElse("SPARK_GRAFT_WARM", "1") != "0") {
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        spark.catalog.clearCache()
+      }
+      System.gc()
+    }
     // Noise control: a fixed CPU-only workload (no IO, no SF dependence,
     // no shuffle) timed once after warm-up and once after the sweep. Its
     // true cost is constant, so the pair measures the ENVIRONMENT — box

@@ -4958,11 +4958,41 @@ object SparkEntry {
 
     // Skew — salted join must equal the plain join (the oracle runs the
     // plain form): lineitem fact salted, orders dim exploded ×8.
+    // X15 — census-driven salted join. autoSaltedJoin sizes the salt
+    // from the Misra-Gries heavy-hitter census so the largest salted
+    // partition fits the per-task row budget; on THIS fixture (TPC-H
+    // orders: ≤ 7 lines each, no pathological key) the census finds no
+    // hot key and the op degrades to exactly a plain join — zero dim
+    // inflation, zero extra shuffle. The blanket fixed-factor form this
+    // replaced exploded the whole dim ×8 unconditionally, which is what
+    // spilled at the ×50 probe (BENCH_NOTES round-8). The salted path
+    // under REAL skew is exercised by skew_salted_auto below.
     "skew_salted_join" -> ((s, dir) => {
       val fact = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_extendedprice"))
       val dim = Tables.orders(s, dir)
         .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
-      graft.ops.Skew.saltedJoin(fact, dim, "l_orderkey", factor = 8)
+      graft.ops.Skew.autoSaltedJoin(fact, dim, "l_orderkey")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // X15 — the ENGAGED branch of autoSaltedJoin: ~30% of lineitem is
+    // remapped onto one existing orderkey (the planted "unknown member"
+    // pathology), the census detects it, and ONLY that key takes the
+    // salted path (factor = ceil(hot/target)) while the other 70% joins
+    // plain against the uninflated dim. Oracle is the unsalted SQL —
+    // inner equi-joins are partition-agnostic, so salting must be
+    // invisible in the output.
+    "skew_salted_auto" -> ((s, dir) => {
+      val dim = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus"))
+      val hotKey = dim.agg(min(col("k"))).first().getLong(0) // O(1) driver row
+      val fact = Tables.lineitem(s, dir)
+        .select(when(col("l_orderkey") % 10 < 3, lit(hotKey))
+          .otherwise(col("l_orderkey")).as("k"), col("l_extendedprice"))
+      graft.ops.Skew.autoSaltedJoin(fact, dim, "k", targetRowsPerTask = 2000L)
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_lines"),
           sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"))
@@ -9880,6 +9910,17 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n_lines,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // same remap as the Spark side; salting must be output-invisible
+    "skew_salted_auto" ->
+      """SELECT o_orderstatus, count(*) AS n_lines,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM (SELECT CASE WHEN l_orderkey % 10 < 3
+        |        THEN (SELECT min(o_orderkey) FROM orders)
+        |        ELSE l_orderkey END AS k, l_extendedprice
+        |      FROM lineitem) f
+        |JOIN orders ON f.k = o_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // Round-trip oracles read the ORIGINAL parquet — equality proves the

@@ -141,7 +141,7 @@ object Dedup {
       rows: Int = 4,
       minJaccard: Double = 0.5,
       maxBucket: Int = 64,
-      estPrefilter: Double = -1.0): DataFrame = {
+      estPrefilter: Double = 0.0): DataFrame = {
     // Shingle HASH sets (array<bigint>) via the codegen'd kernel — the
     // shingle string never materializes (graft.expr.WordShingleHashes;
     // ~30× over the interpreted HOF form). Persisted because they feed
@@ -180,16 +180,23 @@ object Dedup {
     // slots is an unbiased estimate of Jaccard, and the signatures are
     // n longs per doc vs ~|shingles| for the exact arrays — so
     // banding's FALSE candidates are pruned on cheap payloads before
-    // the array-carrying verify join. estPrefilter > 0 pins the
-    // cutoff; 0.0 disables; < 0 (the default) is AUTO: one cheap
-    // action over the BOUNDED bucket table (≤ maxBucket ids per row)
-    // plus a count of the already-persisted shingle table measures
-    // candidate density, and only a dense regime (> DensePairsPerDoc)
-    // turns the prune on, at minJaccard − 3σ, σ = sqrt(J(1−J)/n) — a
-    // true pair at the threshold clears that margin with ≥ 99.8%
-    // probability per signature, and pairs above it essentially
-    // always, so sparse corpora (every driver gate) keep BIT-IDENTICAL
-    // output while boilerplate-heavy crawls bound the verify shuffle.
+    // the array-carrying verify join. estPrefilter = 0.0 (the DEFAULT)
+    // disables the prune: every banding candidate gets the exact
+    // verify, so output is a deterministic function of the corpus —
+    // never of its density. estPrefilter > 0 pins the cutoff; < 0
+    // opts into AUTO: one cheap action over the BOUNDED bucket table
+    // (≤ maxBucket ids per row) plus a count of the already-persisted
+    // shingle table measures candidate density, and only a dense
+    // regime (> DensePairsPerDoc) turns the prune on, at minJaccard −
+    // 3σ, σ = sqrt(J(1−J)/n) — a true pair at the threshold clears
+    // that margin with ≥ 99.8% probability per signature, and pairs
+    // above it essentially always, so sparse corpora keep
+    // BIT-IDENTICAL output while boilerplate-heavy crawls bound the
+    // verify shuffle ~2.2× (the ×50 probe's 9 GB lesson, BENCH_NOTES).
+    // AUTO is opt-in rather than default because the prune makes
+    // recall at the exact threshold probabilistic (~0.1% of true
+    // pairs sitting exactly AT minJaccard can drop in dense regimes);
+    // when it engages, the cutoff is logged so runs stay observable.
     // (The eager stats actions mirror the k-means seeding pattern.)
     val cutoff: Double =
       if (estPrefilter >= 0.0) estPrefilter
@@ -206,7 +213,12 @@ object Dedup {
         if (cand.toDouble / docs <= DensePairsPerDoc) 0.0
         else {
           val sigma = math.sqrt(minJaccard * (1 - minJaccard) / n)
-          math.max(0.0, minJaccard - 3 * sigma)
+          val c = math.max(0.0, minJaccard - 3 * sigma)
+          org.slf4j.LoggerFactory.getLogger("graft.ops.Dedup").info(
+            s"minHashNearDups AUTO prefilter engaged: $cand candidates / " +
+              s"$docs docs (> $DensePairsPerDoc per doc); signature-estimate " +
+              s"cutoff = $c (minJaccard $minJaccard - 3 sigma)")
+          c
         }
       }
     val pairs = if (cutoff <= 0.0) rawPairs else {
@@ -241,21 +253,50 @@ object Dedup {
   }
 
   /** Banded Hamming pairing over a 64-bit fingerprint column: SimHash-
-    * style 4×16-bit blocks as the candidate channel (exact block match
-    * — a hash join, never all-pairs; any pair within Hamming 3 is
-    * GUARANTEED a shared block by pigeonhole, and the perceptual-hash
-    * fixtures keep twins well inside that), verified by exact
-    * `bit_count(xor)` ≤ `maxHamming`. The shared pair stage under the
-    * DCT-pHash image/video dedup gates. `matchCols` adds alignment
-    * keys that must ALSO agree (e.g. frame_id, so video frame k only
-    * ever meets frame k) and ride the output. */
+    * style disjoint-block exact match as the candidate channel (a hash
+    * join, never all-pairs), verified by exact `bit_count(xor)` ≤
+    * `maxHamming`. The shared pair stage under the DCT-pHash
+    * image/video dedup gates.
+    *
+    * RECALL CONTRACT — read before trusting `maxHamming`: by
+    * pigeonhole, exact match on one of `nBlocks` disjoint blocks
+    * GUARANTEES every pair within Hamming `nBlocks − 1` becomes a
+    * candidate. A `maxHamming` ABOVE that bound is verify SLACK: pairs
+    * at distance nBlocks..maxHamming are kept only when their
+    * differing bits happen to leave some block clean — opportunistic,
+    * not guaranteed (a pair with one flipped bit in every block is
+    * never paired). The default 4×16-bit split guarantees radius 3;
+    * callers needing guaranteed recall at radius r must pass
+    * `nBlocks = r + 1` and accept the trade — narrower blocks mean
+    * coarser buckets (2^(64/nBlocks) values) and a superlinearly
+    * larger candidate join, so wide-radius guarantees only scale on
+    * corpora whose fingerprints are near-uniform (DCT pHashes are).
+    * The image/video gates call with (nBlocks = 4, maxHamming = 8)
+    * deliberately: their fixtures plant twins within Hamming ≤ 2, and
+    * the slack band 4..8 is a best-effort bonus, not a promise.
+    *
+    * `matchCols` adds alignment keys that must ALSO agree (e.g.
+    * frame_id, so video frame k only ever meets frame k) and ride the
+    * output. */
   def hammingPairs(df: DataFrame, id: String, fp: String,
-      maxHamming: Int, matchCols: Seq[String] = Nil): DataFrame = {
+      maxHamming: Int, matchCols: Seq[String] = Nil,
+      nBlocks: Int = 4): DataFrame = {
+    require(nBlocks >= 1 && nBlocks <= 64,
+      s"hammingPairs: nBlocks must be in [1, 64], got $nBlocks")
+    require(maxHamming >= 0, s"hammingPairs: negative maxHamming $maxHamming")
+    // block boundaries computed driver-side: block b covers bit offsets
+    // [64·b/nBlocks, 64·(b+1)/nBlocks) — widths differ by at most one
+    // bit when nBlocks does not divide 64, union is always all 64 bits
+    val blockStructs = (0 until nBlocks).map { b =>
+      val off = (64 * b) / nBlocks
+      val w = (64 * (b + 1)) / nBlocks - off
+      val mask = if (w == 64) -1L else (1L << w) - 1L
+      struct(lit(b).as("block_id"),
+        call_function("shiftright", col(fp), lit(off))
+          .bitwiseAND(lit(mask)).as("block_val"))
+    }
     val blocks = df.select((Seq(col(id).as("_hid"), col(fp).as("_hfp"),
-      explode(transform(sequence(lit(0), lit(3)), b =>
-        struct(b.as("block_id"),
-          call_function("shiftright", col(fp), b * lit(16))
-            .bitwiseAND(lit(0xFFFFL)).as("block_val")))).as("_b")) ++
+      explode(array(blockStructs: _*)).as("_b")) ++
       matchCols.map(col)): _*)
       .select((Seq(col("_hid"), col("_hfp"), col("_b.block_id"),
         col("_b.block_val")) ++ matchCols.map(col)): _*)

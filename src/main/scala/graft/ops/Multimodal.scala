@@ -619,6 +619,13 @@ object Multimodal {
     var declaredFrames = -1
     var declaredW = -1; var declaredH = -1
     var sawVidsMjpg = false
+    // strh chunks appear in stream order; stream N's data chunks are
+    // tagged 'NNdc'/'NNdb' with NN the two-digit stream number. Track
+    // which ordinal the vids/MJPG stream is so a multi-stream AVI
+    // (e.g. video + audio, or two video streams) never interleaves
+    // OTHER streams' chunks into this stream's frame_id sequence.
+    var streamOrdinal = -1
+    var vidsStream = -1
     val frames = Seq.newBuilder[AviFrame]
     var frameId = 0
     // walk one LIST body [from, until); recurse into nested LISTs
@@ -639,12 +646,17 @@ object Multimodal {
             declaredFrames = le32(p + 8 + 16)
             declaredW = le32(p + 8 + 32); declaredH = le32(p + 8 + 36)
           case "strh" =>
+            streamOrdinal += 1
             val typ = cc(p + 8); val handler = cc(p + 12)
             if (typ == "vids") {
               require(handler == "MJPG",
                 s"avi: unsupported video codec '$handler' (doc $docId) — " +
                   "only MJPG frames decode")
+              require(vidsStream < 0,
+                s"avi: multiple vids streams (doc $docId) — " +
+                  "one video stream per file is the decode contract")
               sawVidsMjpg = true
+              vidsStream = streamOrdinal
             }
           case "strf" =>
             if (sawVidsMjpg && size >= 40 && frameId == 0) {
@@ -655,13 +667,21 @@ object Multimodal {
           case dc if dc.substring(2) == "dc" || dc.substring(2) == "db" =>
             require(sawVidsMjpg,
               s"avi: frame chunk before a vids/MJPG strh (doc $docId)")
-            val body = java.util.Arrays.copyOfRange(payload, p + 8, p + 8 + size)
-            val (w, h, raster, _) = decodeJpegRaster(body)
-            require(declaredW <= 0 || (w == declaredW && h == declaredH),
-              s"avi: frame $frameId is ${w}x$h but avih declares " +
-                s"${declaredW}x$declaredH (doc $docId)")
-            frames += AviFrame(frameId, w, h, microsPerFrame, raster)
-            frameId += 1
+            require(dc.charAt(0).isDigit && dc.charAt(1).isDigit,
+              s"avi: malformed stream number in chunk id '$dc' (doc $docId)")
+            val chunkStream = (dc.charAt(0) - '0') * 10 + (dc.charAt(1) - '0')
+            // only the vids/MJPG stream's chunks become frames — another
+            // stream's '##dc' (a second video, or compressed audio some
+            // muxers tag 'dc') must not enter this frame_id sequence
+            if (chunkStream == vidsStream) {
+              val body = java.util.Arrays.copyOfRange(payload, p + 8, p + 8 + size)
+              val (w, h, raster, _) = decodeJpegRaster(body)
+              require(declaredW <= 0 || (w == declaredW && h == declaredH),
+                s"avi: frame $frameId is ${w}x$h but avih declares " +
+                  s"${declaredW}x$declaredH (doc $docId)")
+              frames += AviFrame(frameId, w, h, microsPerFrame, raster)
+              frameId += 1
+            }
           case _ => // JUNK, idx1, INFO text chunks… — legal, skipped
         }
         p += 8 + size + (size & 1) // even padding
@@ -1251,7 +1271,11 @@ object Multimodal {
       octal(data.length.toLong, 124, 12)
       octal(0, 136, 12) // mtime
       h(156) = '0' // typeflag: regular file
-      System.arraycopy("ustar ".getBytes("ISO-8859-1"), 0, h, 257, 6)
+      // POSIX ustar magic: 'ustar' NUL at 257..262, version "00" at
+      // 263..264 (written byte-explicitly -- a raw NUL inside the
+      // string literal made tools treat this source file as binary)
+      System.arraycopy("ustar".getBytes("ISO-8859-1"), 0, h, 257, 5)
+      h(262) = 0
       h(263) = '0'; h(264) = '0' // version "00"
       // checksum: header with the checksum field AS SPACES
       java.util.Arrays.fill(h, 148, 156, ' '.toByte)

@@ -129,6 +129,53 @@ object Skew {
       .select(col("_ck").as(key), col("n_rows"))
   }
 
+  /** Census-driven salted join — the production form of [[saltedJoin]]
+    * that closes its two scale flaws: a FIXED factor (too small spills,
+    * too big inflates) and a WHOLE-dim explosion (×factor rows for
+    * every key, hot or not). One Misra-Gries pass (bounded state,
+    * O(counters) driver rows) finds the keys whose row count exceeds
+    * `targetRowsPerTask` — the per-task budget a single reducer
+    * partition should hold without spilling. Only those HOT keys take
+    * the salted path, with the factor sized from the census:
+    * `ceil(maxHotCount / targetRowsPerTask)` — so the largest salted
+    * partition fits the budget by construction. Everything else joins
+    * plain. No skew → exactly a plain join: zero inflation, zero
+    * extra shuffle, output identical either way (inner equi-join is
+    * partition-agnostic).
+    *
+    * Sizing at 100 TB: the sketch GUARANTEES detection of every key
+    * with count > n/(counters+1), so a complete no-miss guarantee at
+    * fact-row count n needs counters ≥ n/targetRowsPerTask. The 2048
+    * default covers n ≤ 2048·target (≈ 4 B rows at the 2 M default);
+    * beyond that, raise `counters` (driver state is one small map) —
+    * in practice pathological keys sit orders of magnitude above the
+    * bound and are caught regardless. Keys that cannot cast to long
+    * (and NULLs, which never equi-join) always take the plain path. */
+  def autoSaltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      targetRowsPerTask: Long = 2L << 20, maxFactor: Int = 256,
+      counters: Int = 2048): DataFrame = {
+    require(targetRowsPerTask > 0, "targetRowsPerTask must be positive")
+    // census: exact counts for the sketch's candidate superset; keep
+    // keys over the per-task budget (driver receives ≤ counters rows)
+    val hot = heavyHitters(fact, key, perMille = 1, counters = counters)
+      .filter(col("n_rows") > targetRowsPerTask)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    if (hot.isEmpty) fact.join(dim, Seq(key))
+    else {
+      val factor = math.min(maxFactor.toLong,
+        (hot.map(_._2).max + targetRowsPerTask - 1) / targetRowsPerTask).toInt
+      val hotKeys = hot.map(_._1)
+      val isHot = col(key).cast("long").isin(hotKeys.toIndexedSeq: _*)
+      val salted = saltedJoin(fact.filter(isHot), dim.filter(isHot),
+        key, math.max(2, factor))
+      // cold fact rows (incl. non-castable keys: isHot is null-safe
+      // false for them) join the UNINFLATED dim
+      salted.unionByName(fact.filter(!coalesce(isHot, lit(false)))
+        .join(dim, Seq(key))
+        .select(salted.columns.map(col).toIndexedSeq: _*))
+    }
+  }
+
   /** Two-phase (partial → final) aggregation for skewed group-by keys:
     * count/sum-like aggregates per (key, salt) first, then re-aggregate
     * per key. Spark's hash aggregate already partial-aggregates map-side,

@@ -786,6 +786,14 @@ object Streams {
     import java.nio.file._
     import graft.expr.WordShingleHashes
     val ss = stateSession(spark, 4)
+    // The logical-batch mapping (doc_id div span) only covers every id
+    // when span·nBatches == maxId; with a remainder, ids ≥ span·nBatches
+    // would map to batch nBatches, never be staged by the 0-until-
+    // nBatches loop, and silently get no verdict row — violating the
+    // one-row-per-streamed-doc contract. Fail loudly instead.
+    require(maxId % nBatches == 0,
+      s"streamMinhashIncr: maxId ($maxId) must be a multiple of nBatches " +
+        s"($nBatches) so every doc lands in exactly one staged batch")
     val span = maxId / nBatches
     val runId = java.util.UUID.randomUUID().toString.replace("-", "")
     val root = Paths.get(scratchRoot, s"graft_incr_$runId")

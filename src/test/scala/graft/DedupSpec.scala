@@ -338,4 +338,25 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .orderBy("doc_id").collect().toSeq
     assert(h == s)
   }
+
+  test("hammingPairs recall contract: nBlocks−1 guaranteed by pigeonhole; " +
+      "maxHamming beyond that is opportunistic verify slack") {
+    // Hamming-8 pair with two flipped bits in EVERY 16-bit block — the
+    // adversarial case the default 4-block channel documents it misses
+    val spread = Seq((1L, 0L), (2L, 0x0003000300030003L)).toDF("id", "fp")
+    assert(Dedup.hammingPairs(spread, "id", "fp", maxHamming = 8).count() == 0)
+    // nBlocks = maxHamming + 1 buys the guarantee: 8 flips cannot dirty
+    // all 9 blocks, so some block matches exactly
+    val hit = Dedup.hammingPairs(spread, "id", "fp", maxHamming = 8,
+      nBlocks = 9).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(hit == Seq((1L, 2L)))
+    // the default's stated radius-3 guarantee: 3 flips in one block
+    // leave three clean blocks
+    val close = Seq((1L, 0L), (2L, 7L)).toDF("id", "fp")
+    assert(Dedup.hammingPairs(close, "id", "fp", maxHamming = 3).count() == 1)
+    // and a pair past the verify radius never survives even as candidate
+    val far = Seq((1L, 0L), (2L, -1L)).toDF("id", "fp") // Hamming 64
+    assert(Dedup.hammingPairs(far, "id", "fp", maxHamming = 8,
+      nBlocks = 9).count() == 0)
+  }
 }

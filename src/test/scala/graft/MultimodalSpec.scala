@@ -714,6 +714,52 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(e2.getMessage.contains("declares"))
   }
 
+  test("AVI/MJPEG: a second stream's data chunks never enter the video " +
+      "frame sequence") {
+    import graft.ops.Multimodal._
+    val (w, h) = (16, 16)
+    def frame(j: Int)(i: Int): Int = (9 * j + 40 * ((i % w) / 8)) % 256
+    val avi = encodeAvi(w, h, 40000,
+      (0 until 3).map(j => encodeJpeg(w, h, frame(j))))
+    def le32(b: Array[Byte], p: Int): Int =
+      (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8) |
+      ((b(p + 2) & 0xFF) << 16) | ((b(p + 3) & 0xFF) << 24)
+    def wr32(b: Array[Byte], p: Int, v: Int): Unit = {
+      b(p) = v.toByte; b(p + 1) = (v >> 8).toByte
+      b(p + 2) = (v >> 16).toByte; b(p + 3) = (v >> 24).toByte
+    }
+    // splice a '01dc' chunk of NON-JPEG garbage (stream 1 — no strh of
+    // ours) at the end of the movi body, patching movi LIST + RIFF sizes
+    val moviKind = {
+      var p = -1
+      for (i <- 0 until avi.length - 4
+           if p < 0 && new String(avi, i, 4, "US-ASCII") == "movi") p = i
+      p
+    }
+    val listAt = moviKind - 8
+    val moviSize = le32(avi, listAt + 4)
+    val insertAt = listAt + 8 + moviSize
+    val garbage = Array.tabulate[Byte](10)(i => (37 * i + 5).toByte)
+    val chunk = "01dc".getBytes("US-ASCII") ++ {
+      val s = new Array[Byte](4); wr32(s, 0, garbage.length); s
+    } ++ garbage // 10 is even — no pad byte
+    val twoStream = new Array[Byte](avi.length + chunk.length)
+    System.arraycopy(avi, 0, twoStream, 0, insertAt)
+    System.arraycopy(chunk, 0, twoStream, insertAt, chunk.length)
+    System.arraycopy(avi, insertAt, twoStream, insertAt + chunk.length,
+      avi.length - insertAt)
+    wr32(twoStream, listAt + 4, moviSize + chunk.length)
+    wr32(twoStream, 4, le32(avi, 4) + chunk.length)
+    // before the stream-index filter this garbage hit the JPEG decoder;
+    // now only stream 0's chunks become frames, and the avih census
+    // (3 video frames) still agrees
+    val fs = decodeAviFrames(9L, twoStream)
+    assert(fs.map(_.frame_id) == Seq(0, 1, 2))
+    (0 until 3).foreach { j =>
+      assert(fs(j).raster.toSeq == (0 until w * h).map(frame(j)))
+    }
+  }
+
   test("DCT pHash cross-format: lossless PNG/PGM/GIF decodes of one " +
       "raster hash identically; a quant-24 JPEG of it lands within the " +
       "verify radius") {

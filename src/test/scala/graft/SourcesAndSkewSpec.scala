@@ -100,6 +100,26 @@ class SourcesAndSkewSpec extends AnyFunSuite with SparkTestBase {
     assert(salted == plain)
   }
 
+  test("autoSaltedJoin == plain join with and without engaged skew; " +
+      "census sizes the salt only when a key exceeds the task budget") {
+    // two hot keys over the 50-row budget, a long tail under it
+    val fact = (Seq.fill(300)(7L) ++ Seq.fill(120)(13L) ++
+      (100L until 400L)).zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }.toDF("key", "v")
+    val dim = ((Seq(7L, 13L) ++ (100L until 400L)).map(k => (k, s"d_$k")))
+      .toDF("key", "attr")
+    val plain = fact.join(dim, "key").select("key", "v", "attr")
+      .collect().map(_.toSeq).toSet
+    val auto = Skew.autoSaltedJoin(fact, dim, "key", targetRowsPerTask = 50L)
+      .select("key", "v", "attr").collect().map(_.toSeq).toSet
+    assert(auto == plain)
+    // no key over the budget → degenerates to the plain join, same rows
+    val calm = Skew.autoSaltedJoin(fact, dim, "key",
+      targetRowsPerTask = 100000L)
+      .select("key", "v", "attr").collect().map(_.toSeq).toSet
+    assert(calm == plain)
+  }
+
   test("saltedCount == plain count per key") {
     val df = Seq.fill(500)("hot").map(Tuple1(_)).toDF("key")
       .union(Seq("a", "b", "a").map(Tuple1(_)).toDF("key"))

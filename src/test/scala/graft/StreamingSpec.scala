@@ -190,4 +190,12 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(out(110L) == ((1L, false, 2L, 10L)))  // both twins block later dup
     assert(out(30L) == ((0L, true, 0L, -1L)))
   }
+
+  test("incremental admission refuses a maxId that does not divide into " +
+      "whole batches (trailing docs would silently get no verdict)") {
+    val e = intercept[IllegalArgumentException](
+      graft.streaming.Streams.streamMinhashIncr(spark, "/nonexistent",
+        maxId = 401L, nBatches = 4))
+    assert(e.getMessage.contains("multiple of nBatches"))
+  }
 }
