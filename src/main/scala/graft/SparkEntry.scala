@@ -4307,6 +4307,36 @@ object SparkEntry {
         .orderBy("domain")
     }),
 
+    // X4u — PSL-backed registered domains (the two-label heuristic's
+    // documented refinement): planted hosts cover every branch of the
+    // publicsuffix.org algorithm — plain second-level (example.com),
+    // ccTLD second-level (bbc.co.uk — the quota grain the heuristic
+    // gets wrong), a private-section suffix (github.io: each user IS a
+    // registered domain), the canonical wildcard (*.ck → x.foo.ck is
+    // registrable at foo.ck) and its exception (!www.ck → www.ck is a
+    // registered domain), a 3-label exception (city.kawasaki.jp), and
+    // a host that IS a public suffix (co.uk → no registered domain).
+    // Oracle replays the same rule table + matching algebra in SQL.
+    "x4_url_domains_psl" -> ((s, dir) => {
+      val hosts = Tables.documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit("shop"), (col("doc_id") % 5).cast("string"), lit(".example.com")))
+        .when(col("doc_id") % 7 === 1,
+          concat(lit("news"), (col("doc_id") % 5).cast("string"), lit(".bbc.co.uk")))
+        .when(col("doc_id") % 7 === 2,
+          concat(lit("u"), (col("doc_id") % 5).cast("string"), lit(".github.io")))
+        .when(col("doc_id") % 7 === 3, lit("www.ck"))
+        .when(col("doc_id") % 7 === 4,
+          concat(lit("x"), (col("doc_id") % 5).cast("string"), lit(".foo.ck")))
+        .when(col("doc_id") % 7 === 5, lit("portal.city.kawasaki.jp"))
+        .otherwise(lit("co.uk")).as("host"))
+      graft.ops.PublicSuffix.withRegisteredDomain(hosts, "host", "domain")
+        .withColumn("domain", coalesce(col("domain"), lit("(none)")))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"), countDistinct(col("host")).as("n_hosts"))
+        .orderBy("domain")
+    }),
+
     // X2 — per-label centroid sums in exact fixed point (1e-6 floor →
     // long): associative integer sums are partition-order- and engine-
     // independent; this is the IVF centroid training step done honestly.
@@ -8791,6 +8821,59 @@ object SparkEntry {
         |SELECT domain, count(*) AS n_docs,
         |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
         |FROM u GROUP BY domain ORDER BY domain""".stripMargin,
+
+    // Generic PSL matching replayed in SQL: candidates are trailing-
+    // label strings (exact + wildcard form), exception rules prevail
+    // via the +64 score band, else most labels, default suffix = last
+    // label. Rule VALUES list the builtin-subset rules reachable by
+    // the planted hosts (absent rules can never match, so equality is
+    // unaffected).
+    "x4_url_domains_psl" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 7 AS INT)
+        |      WHEN 0 THEN 'shop' || CAST(doc_id % 5 AS VARCHAR) || '.example.com'
+        |      WHEN 1 THEN 'news' || CAST(doc_id % 5 AS VARCHAR) || '.bbc.co.uk'
+        |      WHEN 2 THEN 'u' || CAST(doc_id % 5 AS VARCHAR) || '.github.io'
+        |      WHEN 3 THEN 'www.ck'
+        |      WHEN 4 THEN 'x' || CAST(doc_id % 5 AS VARCHAR) || '.foo.ck'
+        |      WHEN 5 THEN 'portal.city.kawasaki.jp'
+        |      ELSE 'co.uk' END AS host
+        |  FROM documents),
+        |lab AS (
+        |  SELECT host, string_split(host, '.') AS labs,
+        |    len(string_split(host, '.')) AS n
+        |  FROM (SELECT DISTINCT host FROM docs)),
+        |rules(key, typ, eff) AS (VALUES
+        |  ('com','n',1), ('uk','n',1), ('co.uk','n',2), ('io','n',1),
+        |  ('github.io','n',2), ('ck','n',1), ('*.ck','w',2),
+        |  ('www.ck','e',1), ('jp','n',1), ('*.kawasaki.jp','w',3),
+        |  ('city.kawasaki.jp','e',2)),
+        |cand AS (
+        |  SELECT l.host, l.n, t.k,
+        |    array_to_string(l.labs[l.n - t.k + 1 : l.n], '.') AS exact_form,
+        |    CASE WHEN t.k >= 2 THEN '*.' ||
+        |      array_to_string(l.labs[l.n - t.k + 2 : l.n], '.') END AS wild_form
+        |  FROM lab l CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS k) t
+        |  WHERE t.k <= l.n),
+        |m AS (
+        |  SELECT c.host,
+        |    max(CASE WHEN r.typ = 'e' THEN r.eff + 64 ELSE r.eff END) AS score
+        |  FROM cand c JOIN rules r
+        |    ON (r.typ IN ('n','e') AND r.key = c.exact_form)
+        |    OR (r.typ = 'w' AND r.key = c.wild_form)
+        |  GROUP BY c.host),
+        |res AS (
+        |  SELECT l.host,
+        |    CASE WHEN l.n > coalesce(m.score % 64, 1)
+        |      THEN array_to_string(
+        |        l.labs[l.n - coalesce(m.score % 64, 1) : l.n], '.')
+        |      ELSE '(none)' END AS domain
+        |  FROM lab l LEFT JOIN m ON l.host = m.host)
+        |SELECT domain, count(*) AS n_docs,
+        |  CAST(count(DISTINCT d.host) AS BIGINT) AS n_hosts
+        |FROM docs d JOIN res ON d.host = res.host
+        |GROUP BY domain ORDER BY domain""".stripMargin,
 
     "x4_tfidf_top_terms" ->
       """WITH words AS (

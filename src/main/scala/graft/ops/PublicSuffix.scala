@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Public-suffix-list registered-domain extraction — the refinement the
+  * two-label heuristic (`TextAnalysis.registeredDomain`) documents as
+  * its boundary: `shop.bbc.co.uk` must aggregate under `bbc.co.uk`,
+  * not `co.uk`, or domain-level quotas/filters run at the wrong grain.
+  *
+  * Implements the full publicsuffix.org matching algorithm:
+  *   - a rule matches when its labels equal the host's trailing labels,
+  *     with `*` matching exactly one label;
+  *   - if any EXCEPTION rule (`!www.ck`) matches, it prevails and the
+  *     public suffix is the rule minus its leftmost label;
+  *   - otherwise the matching rule with the MOST labels prevails;
+  *   - no match → the default rule `*` (public suffix = last label).
+  * Registered domain = public suffix + one more label; a host that IS
+  * a public suffix has none (null).
+  *
+  * Scale shape: rules are a broadcast table; hosts are deduplicated
+  * before matching (distinct hosts ≪ rows in any crawl), candidates
+  * are ≤ maxRuleLabels per host, and the verdict is one hash-agg max —
+  * no UDF, no driver loop over data. The rule table is DATA, not code:
+  * [[builtinRules]] is a small snapshot SUBSET of the real list (~9k
+  * rules at publicsuffix.org, updated continuously) covering the
+  * common ccTLD/second-level families plus the canonical wildcard and
+  * exception cases; production callers pass the full downloaded list
+  * to [[withRegisteredDomain]] via `rules`. */
+object PublicSuffix {
+
+  /** Snapshot subset of publicsuffix.org rules (same syntax: plain
+    * suffix, `*.` wildcard, `!` exception). Deliberately small — the
+    * algorithm is the deliverable; swap in the full list in prod. */
+  val builtinRules: Seq[String] = Seq(
+    // generic TLDs
+    "com", "org", "net", "edu", "gov", "mil", "int", "io", "co", "ai",
+    // UK second-level registrations
+    "uk", "co.uk", "org.uk", "ac.uk", "gov.uk", "nhs.uk", "*.sch.uk",
+    // other common ccTLD second-level families
+    "jp", "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "*.kawasaki.jp", "!city.kawasaki.jp",
+    "au", "com.au", "org.au", "net.au", "edu.au", "gov.au",
+    "nz", "co.nz", "org.nz", "net.nz",
+    "br", "com.br", "org.br", "net.br", "gov.br",
+    "in", "co.in", "org.in", "net.in", "gov.in",
+    "za", "co.za", "org.za", "net.za",
+    "cn", "com.cn", "org.cn", "net.cn", "gov.cn",
+    "kr", "co.kr", "or.kr", "mx", "com.mx", "org.mx",
+    "tr", "com.tr", "org.tr", "ar", "com.ar", "org.ar",
+    "sg", "com.sg", "ru", "com.ru", "de", "fr", "it", "nl", "es", "pl",
+    // the PSL's canonical wildcard + exception example
+    "ck", "*.ck", "!www.ck",
+    // private-section suffixes (user-content platforms)
+    "github.io", "gitlab.io", "blogspot.com", "netlify.app", "vercel.app")
+
+  /** Parse PSL-syntax rules to (matchKey, typ, effLabels):
+    * typ `n`ormal / `w`ildcard / `e`xception; effLabels = label count
+    * of the public suffix the rule denotes when it prevails. */
+  private[ops] def parseRules(rules: Seq[String]): Seq[(String, String, Int)] =
+    rules.map { r =>
+      val t = r.trim
+      require(t.nonEmpty && !t.contains("/") && !t.contains(" "),
+        s"publicsuffix: malformed rule '$r'")
+      if (t.startsWith("!")) {
+        val key = t.drop(1)
+        (key, "e", key.count(_ == '.')) // rule minus leftmost label
+      } else if (t.startsWith("*.")) {
+        (t, "w", t.count(_ == '.') + 1)
+      } else (t, "n", t.count(_ == '.') + 1)
+    }
+
+  /** Add `out` = PSL registered domain of `hostCol` (null when the host
+    * is itself a public suffix or empty). Matching runs once per
+    * DISTINCT host, then joins back — the shape that holds when the
+    * same domains appear billions of times. */
+  def withRegisteredDomain(df: DataFrame, hostCol: String, out: String,
+      rules: Seq[String] = builtinRules): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parsed = parseRules(rules)
+    val maxK = parsed.map(_._3).max + 1 // exception rules span eff+1 labels
+    val ruleDf = broadcast(parsed.toDF("_key", "_typ", "_eff"))
+
+    val hosts = df.select(col(hostCol).as("_host")).filter(col("_host").isNotNull)
+      .distinct()
+      .withColumn("_labs", split(col("_host"), "\\."))
+      .withColumn("_n", size(col("_labs")))
+    // candidate trailing-label strings, k = 1..min(n, maxK): the exact
+    // form (matches normal + exception rules) and, for k ≥ 2, the
+    // wildcard form with the leftmost label replaced by '*'
+    val cands = hosts
+      .select(col("_host"), col("_labs"), col("_n"),
+        explode(sequence(lit(1), least(col("_n"), lit(maxK)))).as("_k"))
+      .select(col("_host"), col("_k"),
+        explode(array(
+          struct(concat_ws(".", slice(col("_labs"), col("_n") - col("_k") + 1, col("_k")))
+            .as("_form"), lit("x").as("_kind")),
+          struct(when(col("_k") >= 2, concat(lit("*."),
+              concat_ws(".", slice(col("_labs"), col("_n") - col("_k") + 2, col("_k") - 1))))
+            .as("_form"), lit("w").as("_kind")))).as("_c"))
+      .select(col("_host"), col("_c._form").as("_form"), col("_c._kind").as("_kind"))
+      .filter(col("_form").isNotNull)
+    // exception rules prevail, then most labels: encode as one integer
+    // score (prio·64 + eff; eff ≤ 63 by construction of any sane list)
+    val matched = cands.join(ruleDf,
+        col("_form") === col("_key") &&
+          ((col("_kind") === "x" && col("_typ").isin("n", "e")) ||
+           (col("_kind") === "w" && col("_typ") === "w")))
+      .groupBy(col("_host"))
+      .agg(max(when(col("_typ") === "e", col("_eff") + 64)
+        .otherwise(col("_eff"))).as("_score"))
+    val resolved = hosts.join(matched, Seq("_host"), "left")
+      .withColumn("_psl", coalesce(pmod(col("_score"), lit(64)), lit(1)))
+      .withColumn(out, when(col("_n") > col("_psl"),
+        concat_ws(".", slice(col("_labs"), col("_n") - col("_psl"), col("_psl") + 1))))
+      .select(col("_host"), col(out))
+    df.join(resolved, df(hostCol) === resolved("_host"), "left")
+      .drop("_host")
+  }
+}

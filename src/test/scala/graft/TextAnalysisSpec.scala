@@ -407,4 +407,39 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     val cjk = "Ã© 中文"
     assert(fix(cjk) == cjk)
   }
+
+  test("PSL registered domain: exception > wildcard > longest match > " +
+      "default; public-suffix hosts have none") {
+    import graft.ops.PublicSuffix
+    val hosts = Seq(
+      "shop.example.com",          // plain 2nd-level
+      "a.shop.example.com",        // deeper subdomain, same domain
+      "news.bbc.co.uk",            // ccTLD 2nd-level (the quota grain)
+      "bbc.co.uk",                 // exactly suffix+1
+      "co.uk",                     // IS a public suffix -> null
+      "alice.github.io",           // private-section suffix
+      "www.ck",                    // exception to *.ck -> registrable
+      "x.foo.ck",                  // wildcard *.ck -> foo.ck is suffix
+      "deep.x.foo.ck",             // deeper under the wildcard
+      "portal.city.kawasaki.jp",   // 3-label exception
+      "pref.kawasaki.jp",          // wildcard *.kawasaki.jp: IS a suffix
+      "host.unknowntld",           // default rule: last label
+      "singlelabel"                // 1 label, is the (default) suffix
+    ).toDF("host")
+    val got = PublicSuffix.withRegisteredDomain(hosts, "host", "dom")
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got("shop.example.com") == Some("example.com"))
+    assert(got("a.shop.example.com") == Some("example.com"))
+    assert(got("news.bbc.co.uk") == Some("bbc.co.uk"))
+    assert(got("bbc.co.uk") == Some("bbc.co.uk"))
+    assert(got("co.uk").isEmpty)
+    assert(got("alice.github.io") == Some("alice.github.io"))
+    assert(got("www.ck") == Some("www.ck"))
+    assert(got("x.foo.ck") == Some("x.foo.ck"))
+    assert(got("deep.x.foo.ck") == Some("x.foo.ck"))
+    assert(got("portal.city.kawasaki.jp") == Some("city.kawasaki.jp"))
+    assert(got("pref.kawasaki.jp").isEmpty)
+    assert(got("host.unknowntld") == Some("host.unknowntld"))
+    assert(got("singlelabel").isEmpty)
+  }
 }
