@@ -580,12 +580,59 @@ object SparkEntry {
     // index (a clustered corpus concentrates buckets); the floor pins
     // "the bucket path finds real neighbors at all" plus the exact
     // re-rank and rank-shape contracts, which are recall-independent.
+    // planes=4 after the round-9 recall sweep (tools/AnnRecallProbe):
+    // on the RANDOM fixture — the adversarial case, iid vectors have no
+    // neighbor structure — planes=6 recall decays with corpus size
+    // (36/12/2 % at sf0.001/0.01/0.1) and would cross the floor at
+    // sf0.1; planes=4 measures 36/16/11 %, ≥2× the 5% floor at every
+    // SF. (Fewer planes = bigger buckets = more verify compute — the
+    // documented recall/cost dial; at 100 TB you'd multi-probe instead.)
+    // The realistic-geometry case is gated separately below
+    // (x2_ann_lsh_clustered) with a 60% floor.
     "x2_ann_lsh" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val q = e.filter(col("vec_id") % 100 === 0)
+      val ann = Similarity.lshBucketTopK(q, e, "vec_id", "embedding", 5, planes = 4)
+      Similarity.annVerdict(q, e, "vec_id", "embedding", 5, ann,
+          minOverlapPct = 5)
+        .orderBy("qid")
+    }),
+
+    // X2 — ANN on the CLUSTERED fixture (Similarity.clusteredVariant:
+    // every vector pulled 95% toward its id-block's center), the
+    // geometry real corpora have and the one ANN recall claims are
+    // meaningful on. Probe-measured tri-scale: LSH planes=6 → 84/92/80%
+    // (floor 60), IVF k-means nprobe=2 → 100/100/100% (floor 90),
+    // JL-projected slf=8 → 100/100/100% (floor 90).
+    "x2_ann_lsh_clustered" -> ((s, dir) => {
+      val e = Similarity.clusteredVariant(
+        Tables.embeddings(s, dir), "vec_id", "embedding", 25)
+      val q = e.filter(col("vec_id") % 100 === 0)
       val ann = Similarity.lshBucketTopK(q, e, "vec_id", "embedding", 5, planes = 6)
       Similarity.annVerdict(q, e, "vec_id", "embedding", 5, ann,
-          minOverlapPct = 1)
+          minOverlapPct = 60)
+        .orderBy("qid")
+    }),
+
+    "x2_ann_ivf_clustered" -> ((s, dir) => {
+      val e = Similarity.clusteredVariant(
+        Tables.embeddings(s, dir), "vec_id", "embedding", 25)
+      val q = e.filter(col("vec_id") % 100 === 0)
+      val cents = Similarity.trainKMeans(e, "vec_id", "embedding", k = 16, iters = 3)
+      val ann = Similarity.ivfTopKWith(q, e, "vec_id", "embedding", 5, cents, nprobe = 2)
+      Similarity.annVerdict(q, e, "vec_id", "embedding", 5, ann,
+          minOverlapPct = 90)
+        .orderBy("qid")
+    }),
+
+    "x2_ann_projected_clustered" -> ((s, dir) => {
+      val e = Similarity.clusteredVariant(
+        Tables.embeddings(s, dir), "vec_id", "embedding", 25)
+      val q = e.filter(col("vec_id") % 100 === 0)
+      val ann = Similarity.projectedTopK(q, e, "vec_id", "embedding", 5,
+        outDim = 8, shortlistFactor = 8)
+      Similarity.annVerdict(q, e, "vec_id", "embedding", 5, ann,
+          minOverlapPct = 90)
         .orderBy("qid")
     }),
 
@@ -2577,11 +2624,13 @@ object SparkEntry {
       val cents = graft.ops.Similarity.trainKMeans(e, "vec_id", "embedding",
         k = 16, iters = 3)
       val ann = graft.ops.Similarity.ivfTopKWith(q, e, "vec_id", "embedding", 5,
-        cents, nprobe = 3)
-      // hash-gated like x2_ann_ivf; trained centroids hold the same
-      // ~44-48% measured recall band, floor 30%
+        cents, nprobe = 6)
+      // nprobe 3 → 6 after the round-9 recall sweep: on the adversarial
+      // random fixture the measured band rose 48/40/48 → 76/64/73 %
+      // across SFs for 2× probe compute (6 of 16 lists), so the floor
+      // is pinned at 50%. The clustered fixture gates 90%+ separately.
       Similarity.annVerdict(q, e, "vec_id", "embedding", 5, ann,
-          minOverlapPct = 30)
+          minOverlapPct = 50)
         .orderBy("qid")
     }),
 
@@ -8475,6 +8524,21 @@ object SparkEntry {
     // independent sim recompute), so an index regression flips a
     // hash-gated boolean. See Similarity.annVerdict.
     "x2_ann_lsh" ->
+      """SELECT vec_id AS qid, true AS returned_le_k, true AS rk_dense,
+        |  true AS sims_exact, true AS recall_floor_met
+        |FROM embeddings WHERE vec_id % 100 = 0 ORDER BY qid""".stripMargin,
+
+    "x2_ann_lsh_clustered" ->
+      """SELECT vec_id AS qid, true AS returned_le_k, true AS rk_dense,
+        |  true AS sims_exact, true AS recall_floor_met
+        |FROM embeddings WHERE vec_id % 100 = 0 ORDER BY qid""".stripMargin,
+
+    "x2_ann_ivf_clustered" ->
+      """SELECT vec_id AS qid, true AS returned_le_k, true AS rk_dense,
+        |  true AS sims_exact, true AS recall_floor_met
+        |FROM embeddings WHERE vec_id % 100 = 0 ORDER BY qid""".stripMargin,
+
+    "x2_ann_projected_clustered" ->
       """SELECT vec_id AS qid, true AS returned_le_k, true AS rk_dense,
         |  true AS sims_exact, true AS recall_floor_met
         |FROM embeddings WHERE vec_id % 100 = 0 ORDER BY qid""".stripMargin,

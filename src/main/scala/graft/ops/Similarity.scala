@@ -561,6 +561,27 @@ object Similarity {
     * QUERY set (|Q| × corpus, same cost class as the ANN op's own
     * candidate generation at gate scale); production callers run the ANN
     * op directly and sample-audit recall with this on a query subset. */
+  /** Deterministic CLUSTERED variant of an embedding table — the
+    * realistic-geometry fixture for ANN recall gates (real corpora are
+    * clustered; the raw random fixture is the adversarial case where
+    * sign-LSH/JL recall is legitimately low). Each vector is pulled
+    * `pull` of the way toward the center of its id-block of `span`
+    * ids (the block's 0-mod-span member), so same-block vectors become
+    * genuine near neighbors (cosine ≈ 2·pull−pull² ≫ cross-block
+    * noise) while block centers stay as spread as the original data.
+    * Pure derivation — one broadcast join, zip_with blend, no RNG. */
+  def clusteredVariant(df: DataFrame, id: String, vec: String, span: Int,
+      pull: Double = 0.95): DataFrame = {
+    require(span > 0 && pull >= 0.0 && pull <= 1.0, "bad span/pull")
+    val blk = expr(s"$id div $span")
+    val centers = df.filter(pmod(col(id), lit(span)) === 0)
+      .select(blk.as("_blk"), col(vec).as("_cv"))
+    df.select(col(id), col(vec), blk.as("_blk"))
+      .join(broadcast(centers), Seq("_blk"))
+      .select(col(id), zip_with(col("_cv"), col(vec),
+        (c, x) => (lit(pull) * c + lit(1 - pull) * x).cast("float")).as(vec))
+  }
+
   def annVerdict(queries: DataFrame, corpus: DataFrame, id: String,
       vec: String, k: Int, ann: DataFrame, minOverlapPct: Int): DataFrame = {
     require(minOverlapPct >= 0 && minOverlapPct <= 100,
