@@ -1568,6 +1568,69 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // X5 — MPEG-1 Layer III decode in the reservoir-free regime (the
+    // last common-format stub closed; scope + honesty boundary in the
+    // MpegAudio Layer III section note). Streams are formula-planted
+    // spectra (lines in the big-values region through Huffman table 1
+    // for id%4==0 docs, count1 table B for the rest; per-granule
+    // global_gain; CRC-16 on id%3==0 docs). Two verdicts: the DIGITAL
+    // half (side info, CRC, scalefactor bits, Huffman, requantization)
+    // must recover every planted line BIT-EXACTLY (spectrum_exact);
+    // the SYNTHESIS half (alias butterflies, 36-pt IMDCT, overlap-add,
+    // frequency inversion, polyphase) must put each steady frame's
+    // top-energy analysis band on a planted subband (tones_ok) — the
+    // same measured-then-pinned pattern as the L1/L2 SNR gate.
+    "x5_decode_mp3" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val nFrames = (2 + id % 3).toInt
+          val nGr = 2 * nFrames
+          val bv = if (id % 4 == 0) 16 else 0
+          def bands(g: Int): Seq[Int] = {
+            val sb1 = 2 + ((id + g) % 20).toInt
+            val sb2 = 23 + ((3 * id + g) % 8).toInt
+            Seq(sb1, sb2) ++
+              (if (bv > 0) Seq(((id + 2 * g) % 32).toInt / 18) else Nil)
+          }
+          val granules = (0 until nGr).map { g =>
+            val spec = new Array[Int](576)
+            val sb1 = 2 + ((id + g) % 20).toInt
+            spec(18 * sb1 + 4 + ((id + g) % 9).toInt) = 1
+            val sb2 = 23 + ((3 * id + g) % 8).toInt
+            spec(18 * sb2 + 4 + (g % 9)) = -1
+            if (bv > 0)
+              spec(((id + 2 * g) % 32).toInt) = if ((id + g) % 2 == 0) 1 else -1
+            spec
+          }
+          val gains = (0 until nGr).map(g => 198 + ((id + g) % 24).toInt)
+          val kbps = Array(160, 192, 224, 256)((id % 4).toInt)
+          val enc = graft.ops.MpegAudio.encodeMp3(granules, gains, kbps,
+            bigValuesPairs = bv, withCrc = id % 3 == 0)
+          val frames = graft.ops.MpegAudio.walkFrames(id, enc)
+          val spectra = graft.ops.MpegAudio.mp3StreamSpectra(id, enc)
+          val specOk = spectra.length == nGr &&
+            spectra.zipWithIndex.forall { case (xr, g) =>
+              val gain = math.pow(2.0, (gains(g) - 210) / 4.0)
+              (0 until 576).forall(i =>
+                math.abs(xr(i) - granules(g)(i) * gain) < 1e-9)
+            }
+          val pcm = graft.ops.MpegAudio.decodeMpegAudio(id, enc)
+          // frame f of the delay-trimmed PCM mixes granules 2f−1..2f+2
+          val tonesOk = graft.ops.MpegAudio.audioFingerprints(pcm)
+            .drop(1).forall { case (f, fp) =>
+              val planted = (math.max(0, 2 * f - 1) to
+                math.min(nGr - 1, 2 * f + 2)).flatMap(bands).toSet
+              planted(((fp >> 15) & 31).toInt)
+            }
+          (id, frames.length, kbps, 48000, pcm.length.toLong, specOk, tonesOk)
+        }
+        .toDF("doc_id", "n_frames", "bitrate_kbps", "sample_rate",
+          "n_samples", "spectrum_exact", "tones_ok")
+        .orderBy("doc_id")
+    }),
+
     // X5 — ANIMATED GIF: the real "video" container of the family —
     // every frame decoded through its own LZW code stream, with
     // Graphic Control Extension timing (delay centiseconds) and
@@ -7171,6 +7234,18 @@ object SparkEntry {
         |  CAST((CASE WHEN layer = 1 THEN 4 ELSE 1 END) *
         |    (j * base + (j * m) // fs) AS BIGINT) AS byte_off
         |FROM f ORDER BY doc_id, frame_id""".stripMargin,
+
+    // Census replay of the Layer III fixture; the digital-stage
+    // bit-exactness and synthesis-stage tone verdicts ride booleans.
+    "x5_decode_mp3" ->
+      """SELECT doc_id,
+        |  CAST(2 + doc_id % 3 AS INTEGER) AS n_frames,
+        |  CAST([160,192,224,256][CAST(doc_id % 4 AS INTEGER) + 1]
+        |    AS INTEGER) AS bitrate_kbps,
+        |  CAST(48000 AS INTEGER) AS sample_rate,
+        |  CAST(1152 * (2 + doc_id % 3) AS BIGINT) AS n_samples,
+        |  TRUE AS spectrum_exact, TRUE AS tones_ok
+        |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,
 
     // Census replay of the Layer I/II round trip; reconstruction
     // quality rides the verdict boolean (measured 35-42 dB on the

@@ -72,6 +72,7 @@ object MpegAudio {
       v
     }
     def bytePos: Int = ((pos + 7) >>> 3).toInt
+    def bitPosition: Long = pos // for part2_3_length accounting (Layer III)
   }
 
   // ------------------------------------------------------------------
@@ -609,15 +610,16 @@ object MpegAudio {
   // Decode (Layers I and II)
   // ------------------------------------------------------------------
 
-  /** Decode a mono MPEG-1 Layer I/II stream to PCM doubles in [−1, 1]
-    * (pre-clamp). Layer II is supported in the table-B.2a regime the
-    * encoder emits (48 kHz); anything else fails loudly. */
+  /** Decode a mono MPEG-1 Layer I/II/III stream to PCM doubles in
+    * [−1, 1] (pre-clamp). Layer II is supported in the table-B.2a
+    * regime the encoder emits (48 kHz); Layer III in the reservoir-
+    * free long-block regime (see the Layer III section's scope note);
+    * anything else fails loudly. */
   def decodeMpegAudio(docId: Long, payload: Array[Byte]): Array[Double] = {
     val frames = walkFrames(docId, payload)
-    require(frames.forall(f => f.layer == 1 || f.layer == 2),
-      s"mpeg: Layer III sample decode is a named stub (doc $docId)")
     val total = frames.map(_.n_samples).sum
     val acc = new Array[Double](total + 1024)
+    val mp3State = new Mp3State
     var outBase = 0
     frames.foreach { fi =>
       val h = parseHeader(payload, fi.byte_off.toInt, docId)
@@ -627,12 +629,13 @@ object MpegAudio {
         off + 4 + (if (h.crcProtected) 2 else 0))
       if (h.layer == 1)
         decodeMp1Frame(br, acc, outBase, docId, payload, off, h.crcProtected)
-      else {
+      else if (h.layer == 2) {
         require(h.sampleRate == Mp2Rate && h.bitrateKbps >= 56,
           s"mpeg: layer II outside the B.2a regime " +
             s"(${h.sampleRate} Hz @ ${h.bitrateKbps} kbps, doc $docId)")
         decodeMp2Frame(br, acc, outBase, docId, payload, off, h.crcProtected)
-      }
+      } else
+        decodeMp3Frame(payload, off, h, mp3State, acc, outBase, docId)
       outBase += fi.n_samples
     }
     java.util.Arrays.copyOfRange(acc, CascadeDelay, CascadeDelay + total)
@@ -884,5 +887,360 @@ object MpegAudio {
     MpegRoundTrip(docId, layer, frames.length, bitrateKbps,
       frames.head.sample_rate, out.length.toLong, math.floor(snr).toInt,
       snr >= snrFloorDb)
+  }
+
+  // ------------------------------------------------------------------
+  // Layer III (mono, long blocks, reservoir-free regime)
+  //
+  // Scope — read before trusting this decoder on foreign files. What
+  // is REAL: the full side-info grammar (ISO 11172-3 §2.4.1.7 mono
+  // layout, CRC-16 over the 136 side-info bits), scalefactor bit
+  // consumption for every scalefac_compress index, Huffman decode of
+  // the big-values region (spec table 1) and the count1 region (spec
+  // count1 table B — the fixed 4-bit complement code), requantization
+  // |ix|^(4/3)·2^((global_gain−210)/4), alias-reduction butterflies,
+  // the 36-point IMDCT with the long sine window, per-subband
+  // overlap-add, frequency inversion, and the shared polyphase
+  // synthesis. What fails LOUDLY by name: bit-reservoir streams
+  // (main_data_begin > 0), window switching (short/mixed blocks),
+  // nonzero decoded scalefactors (application needs the per-rate sfb
+  // boundary tables), preflag, big-values Huffman tables 2–31 (only
+  // the two tables whose code assignments are reconstructible with
+  // certainty from the public spec are carried — same no-foreign-
+  // validator honesty boundary as the Layer I/II prototype filter and
+  // the Table C.3 note in the module doc), and count1 table A. The
+  // encoder is a spectral-domain FIXTURE GENERATOR (lines in {−1,0,1},
+  // amplitude via global_gain), not a rate-controlled production
+  // encoder — it exists so every decode path above is exercised by
+  // formula-replayable streams and round-trips bit-exactly.
+  // ------------------------------------------------------------------
+
+  /** scalefac_compress → (slen1, slen2), ISO table. slen1 covers sfb
+    * 0–10 (11 bands), slen2 sfb 11–20 (10 bands) for long blocks. */
+  private val Mp3Slen: Array[(Int, Int)] = Array(
+    (0, 0), (0, 1), (0, 2), (0, 3), (3, 0), (1, 1), (1, 2), (1, 3),
+    (2, 1), (2, 2), (2, 3), (3, 1), (3, 2), (3, 3), (4, 2), (4, 3))
+
+  /** Big-values Huffman table 1 (2×2, no linbits): (x,y) → (code,len).
+    * The only big-values table carried — see the scope note above. */
+  private val Mp3Table1: Map[(Int, Int), (Int, Int)] = Map(
+    (0, 0) -> (1, 1), (0, 1) -> (1, 3), (1, 0) -> (1, 2), (1, 1) -> (0, 3))
+
+  /** Alias-reduction coefficients ci (ISO 2.4.3.4.10.1);
+    * cs = 1/√(1+ci²), ca = ci/√(1+ci²). */
+  private val AliasCi = Array(-0.6, -0.535, -0.33, -0.185, -0.095,
+    -0.041, -0.0142, -0.0037)
+  private val AliasCs = AliasCi.map(c => 1.0 / math.sqrt(1 + c * c))
+  private val AliasCa = AliasCi.map(c => c / math.sqrt(1 + c * c))
+
+  /** 36-point IMDCT basis cos(π/72 · (2n+19)(2k+1)) times the long
+    * (block type 0) sine window sin(π/36 · (n+½)). */
+  private val Imdct36: Array[Array[Double]] = Array.tabulate(36, 18) {
+    (n, k) => math.cos(math.Pi / 72.0 * (2 * n + 19) * (2 * k + 1)) *
+      math.sin(math.Pi / 36.0 * (n + 0.5))
+  }
+
+  private case class Mp3Granule(part23: Int, bigValues: Int, globalGain: Int,
+      scalefacCompress: Int, tableSelect: Array[Int], count1TableB: Boolean)
+
+  private def readMp3SideInfo(br: BitReader, docId: Long): Array[Mp3Granule] = {
+    val mainDataBegin = br.read(9)
+    require(mainDataBegin == 0,
+      s"mpeg: layer III bit-reservoir stream (main_data_begin=$mainDataBegin) " +
+        s"is outside the reservoir-free regime this decoder supports (doc $docId)")
+    br.read(5) // private_bits (mono)
+    val scfsi = br.read(4)
+    require(scfsi == 0,
+      s"mpeg: layer III scfsi=$scfsi needs granule-shared scalefactors (doc $docId)")
+    Array.fill(2) {
+      val part23 = br.read(12)
+      val bigValues = br.read(9)
+      require(bigValues * 2 <= 576,
+        s"mpeg: layer III big_values $bigValues exceeds the spectrum (doc $docId)")
+      val globalGain = br.read(8)
+      val sfc = br.read(4)
+      val wsf = br.read(1)
+      require(wsf == 0,
+        s"mpeg: layer III window switching (short/mixed blocks) is a named " +
+          s"boundary of this decoder (doc $docId)")
+      val ts = Array.fill(3)(br.read(5))
+      br.read(4); br.read(3) // region0_count / region1_count (tables equal below)
+      val preflag = br.read(1)
+      require(preflag == 0,
+        s"mpeg: layer III preflag needs the pretab application path (doc $docId)")
+      br.read(1) // scalefac_scale — scales scalefactors, which must be zero
+      val c1t = br.read(1)
+      if (bigValues > 0) {
+        ts.foreach(t => require(t <= 1,
+          s"mpeg: layer III big-values Huffman table $t not carried (only the " +
+            s"spec-reconstructible tables 0 and 1 are; doc $docId)"))
+        require(ts.distinct.length == 1,
+          s"mpeg: layer III mixed region tables ${ts.mkString(",")} need the " +
+            s"per-rate sfb region boundaries (doc $docId)")
+      }
+      Mp3Granule(part23, bigValues, globalGain, sfc, ts, c1t == 1)
+    }
+  }
+
+  /** Decode one granule's main data to the requantized 576-line
+    * spectrum (pre-alias-reduction). Consumes exactly part2_3_length
+    * bits or fails loudly. */
+  private def decodeMp3GranuleSpectrum(br: BitReader, g: Mp3Granule,
+      docId: Long): Array[Double] = {
+    val start = br.bitPosition
+    // scalefactors: long-block layout, slen1 × 11 + slen2 × 10 bits
+    val (s1, s2) = Mp3Slen(g.scalefacCompress)
+    var i = 0
+    while (i < 21) {
+      val v = if (i < 11) br.read(s1) else br.read(s2)
+      require(v == 0,
+        s"mpeg: layer III nonzero scalefactor needs the per-rate sfb " +
+          s"boundary tables — named boundary (doc $docId)")
+      i += 1
+    }
+    val gain = math.pow(2.0, (g.globalGain - 210) / 4.0)
+    val xr = new Array[Double](576)
+    def requant(mag: Int, neg: Boolean): Double = {
+      val v = math.pow(mag.toDouble, 4.0 / 3.0) * gain
+      if (neg) -v else v
+    }
+    // big-values region: pairs through table 0 (all zero) or table 1
+    var line = 0
+    var p = 0
+    while (p < g.bigValues) {
+      if (g.tableSelect(0) == 1) {
+        // table 1 codes: 1→(0,0)  01→(1,0)  001→(0,1)  000→(1,1)
+        val (x, y) =
+          if (br.read(1) == 1) (0, 0)
+          else if (br.read(1) == 1) (1, 0)
+          else if (br.read(1) == 1) (0, 1) else (1, 1)
+        val xn = x > 0 && br.read(1) == 1
+        val yn = y > 0 && br.read(1) == 1
+        xr(line) = requant(x, xn); xr(line + 1) = requant(y, yn)
+      } // table 0: both lines zero, zero bits
+      line += 2; p += 1
+    }
+    // count1 region: 4-bit complement quadruples (table B) until the
+    // granule's bit budget is spent
+    while (br.bitPosition - start < g.part23 && line + 3 < 576) {
+      require(g.count1TableB,
+        s"mpeg: layer III count1 table A not carried — named boundary (doc $docId)")
+      val c = (~br.read(4)) & 0xF
+      var j = 0
+      while (j < 4) {
+        val mag = (c >> (3 - j)) & 1
+        xr(line + j) = if (mag == 0) 0.0 else requant(1, br.read(1) == 1)
+        j += 1
+      }
+      line += 4
+    }
+    require(br.bitPosition - start == g.part23,
+      s"mpeg: layer III part2_3_length mismatch — read ${br.bitPosition - start}" +
+        s" of ${g.part23} bits (doc $docId)")
+    xr
+  }
+
+  /** Per-stream Layer III synthesis state: each subband's 18-sample
+    * IMDCT overlap tail, carried across granules and frames. */
+  private final class Mp3State {
+    val tail: Array[Array[Double]] = Array.ofDim[Double](32, 18)
+  }
+
+  /** Alias reduction + IMDCT + overlap-add + frequency inversion +
+    * polyphase synthesis of one granule's spectrum. */
+  private def mp3SynthesizeGranule(xr: Array[Double], st: Mp3State,
+      acc: Array[Double], outBase: Int): Unit = {
+    // alias-reduction butterflies across each subband boundary
+    var sb = 1
+    while (sb < 32) {
+      var i = 0
+      while (i < 8) {
+        val lo = 18 * sb - 1 - i; val hi = 18 * sb + i
+        val a = xr(lo); val b = xr(hi)
+        xr(lo) = a * AliasCs(i) - b * AliasCa(i)
+        xr(hi) = b * AliasCs(i) + a * AliasCa(i)
+        i += 1
+      }
+      sb += 1
+    }
+    // per-subband 36-point IMDCT (windowed) with 18-sample overlap-add
+    val s = Array.ofDim[Double](18, 32) // [time][subband]
+    sb = 0
+    while (sb < 32) {
+      val out36 = new Array[Double](36)
+      var n = 0
+      while (n < 36) {
+        var a = 0.0; var k = 0
+        while (k < 18) { a += xr(18 * sb + k) * Imdct36(n)(k); k += 1 }
+        out36(n) = a; n += 1
+      }
+      var t = 0
+      while (t < 18) {
+        var v = st.tail(sb)(t) + out36(t)
+        // frequency inversion: odd time samples of odd subbands
+        if ((sb & 1) == 1 && (t & 1) == 1) v = -v
+        s(t)(sb) = v
+        st.tail(sb)(t) = out36(18 + t)
+        t += 1
+      }
+      sb += 1
+    }
+    var t = 0
+    while (t < 18) {
+      synthesizeBlock(s(t), acc, outBase + 32 * t, ChainGain)
+      t += 1
+    }
+  }
+
+  private def decodeMp3Frame(payload: Array[Byte], frameOff: Int,
+      h: FrameHeader, st: Mp3State, acc: Array[Double], outBase: Int,
+      docId: Long): Unit = {
+    require(h.mono, s"mpeg: only mono streams (doc $docId)")
+    val br = new BitReader(payload,
+      frameOff + 4 + (if (h.crcProtected) 2 else 0))
+    val grs = readMp3SideInfo(br, docId)
+    if (h.crcProtected) {
+      val want = ((payload(frameOff + 4) & 0xFF) << 8) |
+        (payload(frameOff + 5) & 0xFF)
+      val got = frameCrc(payload, frameOff, 136) // mono side info
+      require(got == want,
+        f"mpeg: layer III CRC mismatch $got%04x != $want%04x (doc $docId)")
+    }
+    // main data begins right after the side info (main_data_begin = 0)
+    var g = 0
+    while (g < 2) {
+      val xr = decodeMp3GranuleSpectrum(br, grs(g), docId)
+      mp3SynthesizeGranule(xr, st, acc, outBase + 576 * g)
+      g += 1
+    }
+  }
+
+  /** The requantized per-granule spectra of a Layer III stream — the
+    * digital half of the decode (side info, CRC, scalefactor bits,
+    * Huffman, requantization) without the synthesis chain. Exposed so
+    * gates/specs can check spectrum recovery EXACTLY against planted
+    * fixtures; returns granules in stream order. */
+  def mp3StreamSpectra(docId: Long,
+      payload: Array[Byte]): Seq[Array[Double]] = {
+    walkFrames(docId, payload).flatMap { fi =>
+      val off = fi.byte_off.toInt
+      val h = parseHeader(payload, off, docId)
+      require(h.layer == 3, s"mpeg: not a layer III frame (doc $docId)")
+      val br = new BitReader(payload, off + 4 + (if (h.crcProtected) 2 else 0))
+      val grs = readMp3SideInfo(br, docId)
+      grs.map(g => decodeMp3GranuleSpectrum(br, g, docId)).toSeq
+    }
+  }
+
+  /** Encode per-granule spectra (values in {−1, 0, 1}, 576 lines each,
+    * an even number of granules) as a reservoir-free mono MPEG-1
+    * Layer III stream at 48 kHz. The first `bigValuesPairs` pairs ride
+    * the big-values region through Huffman table 1; everything from
+    * line 2·bigValuesPairs to the last nonzero line rides the count1
+    * region through table B. Amplitude is per-granule `globalGains`
+    * (sample scale 2^((gg−210)/4)). */
+  def encodeMp3(granules: Seq[Array[Int]], globalGains: Seq[Int],
+      bitrateKbps: Int, bigValuesPairs: Int = 0,
+      withCrc: Boolean = false): Array[Byte] = {
+    require(granules.nonEmpty && granules.length % 2 == 0,
+      "mp3: an even number of granules (2 per frame)")
+    require(granules.length == globalGains.length, "mp3: one gain per granule")
+    require(bigValuesPairs >= 0 && bigValuesPairs * 2 <= 576, "mp3: bad big_values")
+    granules.foreach { g =>
+      require(g.length == 576 && g.forall(v => v >= -1 && v <= 1),
+        "mp3: granule must be 576 lines in {-1,0,1}")
+    }
+    globalGains.foreach(gg => require(gg >= 0 && gg < 256, "mp3: gain is 8 bits"))
+    val fs = Mp2Rate
+    val frameBytes = 144 * bitrateKbps * 1000 / fs
+    val out = new java.io.ByteArrayOutputStream()
+    // per-granule Huffman cost in bits (big-values table 1 + count1 B)
+    def granuleBits(g: Array[Int]): Int = {
+      var bits = 0
+      var p = 0
+      while (p < bigValuesPairs) {
+        val x = math.abs(g(2 * p)); val y = math.abs(g(2 * p + 1))
+        bits += Mp3Table1((x, y))._2 + (if (x > 0) 1 else 0) + (if (y > 0) 1 else 0)
+        p += 1
+      }
+      val last = g.lastIndexWhere(_ != 0)
+      var line = 2 * bigValuesPairs
+      while (line <= last) {
+        bits += 4
+        var j = 0
+        while (j < 4) { if (line + j < 576 && g(line + j) != 0) bits += 1; j += 1 }
+        line += 4
+      }
+      bits
+    }
+    (granules.grouped(2).toSeq zip globalGains.grouped(2).toSeq).foreach {
+      case (Seq(g0, g1), Seq(gg0, gg1)) =>
+        val p23 = Array(granuleBits(g0), granuleBits(g1))
+        require(p23.forall(_ < 4096), "mp3: part2_3_length overflows 12 bits")
+        val budget = (frameBytes - 4 - (if (withCrc) 2 else 0) - 17) * 8
+        require(p23.sum <= budget,
+          s"mp3: main data ${p23.sum} bits exceeds the $budget-bit frame budget " +
+            s"at $bitrateKbps kbps — raise the bitrate")
+        val bw = new BitWriter
+        // side info (136 bits, mono)
+        bw.put(0, 9); bw.put(0, 5); bw.put(0, 4) // main_data_begin/private/scfsi
+        Seq((g0, gg0, p23(0)), (g1, gg1, p23(1))).foreach { case (_, gg, p) =>
+          bw.put(p, 12)           // part2_3_length
+          bw.put(bigValuesPairs, 9)
+          bw.put(gg, 8)           // global_gain
+          bw.put(0, 4)            // scalefac_compress
+          bw.put(0, 1)            // window_switching_flag
+          val tbl = if (bigValuesPairs > 0) 1 else 0
+          bw.put(tbl, 5); bw.put(tbl, 5); bw.put(tbl, 5) // table_select
+          bw.put(0, 4); bw.put(0, 3) // region0/region1 (tables equal)
+          bw.put(0, 1); bw.put(0, 1) // preflag, scalefac_scale
+          bw.put(1, 1)            // count1table_select = B
+        }
+        // main data
+        Seq(g0, g1).foreach { g =>
+          var p = 0
+          while (p < bigValuesPairs) {
+            val xv = g(2 * p); val yv = g(2 * p + 1)
+            val (code, len) = Mp3Table1((math.abs(xv), math.abs(yv)))
+            bw.put(code, len)
+            if (xv != 0) bw.put(if (xv < 0) 1 else 0, 1)
+            if (yv != 0) bw.put(if (yv < 0) 1 else 0, 1)
+            p += 1
+          }
+          val last = g.lastIndexWhere(_ != 0)
+          var line = 2 * bigValuesPairs
+          while (line <= last) {
+            var c = 0
+            var j = 0
+            while (j < 4) {
+              if (line + j < 576 && g(line + j) != 0) c |= 1 << (3 - j)
+              j += 1
+            }
+            bw.put((~c) & 0xF, 4)
+            j = 0
+            while (j < 4) {
+              if (line + j < 576 && g(line + j) != 0)
+                bw.put(if (g(line + j) < 0) 1 else 0, 1)
+              j += 1
+            }
+            line += 4
+          }
+        }
+        val head = new BitWriter
+        writeHeader(head, 3, bitrateKbps, withCrc)
+        val headBytes = head.toBytes
+        val body = bw.toBytes
+        val frame = new java.io.ByteArrayOutputStream()
+        frame.write(headBytes)
+        if (withCrc) {
+          val crc = crc16Update(crc16Update(0xFFFF, headBytes, 16, 16),
+            body, 0, 136)
+          frame.write(crc >> 8); frame.write(crc & 0xFF)
+        }
+        frame.write(body)
+        out.write(java.util.Arrays.copyOf(frame.toByteArray, frameBytes))
+      case other => throw new IllegalStateException(s"mp3: $other")
+    }
+    out.toByteArray
   }
 }

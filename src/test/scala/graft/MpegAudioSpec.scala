@@ -55,17 +55,17 @@ class MpegAudioSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("syncword"))
   }
 
-  test("silent synthetic Layer I/II frames decode to exact zeros; " +
-      "Layer III is the named stub; stereo and alloc-15 rejected") {
-    for (layer <- 1 to 2) {
+  test("silent synthetic frames of all three layers decode to exact " +
+      "zeros; stereo and alloc-15 rejected") {
+    for (layer <- 1 to 3) {
       val pcm = MpegAudio.decodeMpegAudio(1L,
-        MpegAudio.syntheticStream(layer, if (layer == 1) 128 else 96, 2))
+        MpegAudio.syntheticStream(layer,
+          if (layer == 1) 128 else 96, 2))
       assert(pcm.length == (if (layer == 1) 768 else 2304))
+      // a zero body is a legal silent frame in every layer (L3: zero
+      // side info = reservoir-free, part2_3_length 0, empty spectrum)
       assert(pcm.forall(_ == 0.0))
     }
-    val l3 = intercept[IllegalArgumentException](
-      MpegAudio.decodeMpegAudio(2L, MpegAudio.syntheticStream(3, 64, 1)))
-    assert(l3.getMessage.contains("named stub"))
     val stereo = MpegAudio.syntheticStream(2, 96, 1)
     stereo(3) = 0x00 // mode 00 = stereo
     val e = intercept[IllegalArgumentException](
@@ -225,5 +225,86 @@ class MpegAudioSpec extends AnyFunSuite {
       MpegAudio.syntheticStream(1, 128, 8, 44100))
     assert(l1.map(_.frame_bytes).distinct.sorted ==
       Seq(4 * (12000 * 128 / 44100), 4 * (12000 * 128 / 44100 + 1)))
+  }
+
+  test("Layer III: planted spectra round-trip bit-exactly through the " +
+      "reservoir-free stream (side info, Huffman tables 0/1/B, CRC, " +
+      "requantization)") {
+    import graft.ops.MpegAudio
+    // 2 frames = 4 granules; lines in both the big-values and count1
+    // regions, mixed signs, per-granule gains
+    val granules = (0 until 4).map { g =>
+      val spec = new Array[Int](576)
+      spec(2 * g) = 1             // big-values region (pairs 0..15)
+      spec(2 * g + 1) = -1
+      spec(40 + 18 * g) = -1      // count1 region
+      spec(300 + 4 * g) = 1
+      spec(571) = 1               // near the top of the spectrum
+      spec
+    }
+    val gains = Seq(200, 210, 190, 226)
+    Seq(false, true).foreach { crc =>
+      val enc = MpegAudio.encodeMp3(granules, gains, 192,
+        bigValuesPairs = 16, withCrc = crc)
+      val frames = MpegAudio.walkFrames(7L, enc)
+      assert(frames.length == 2 && frames.forall(_.layer == 3))
+      val spectra = MpegAudio.mp3StreamSpectra(7L, enc)
+      assert(spectra.length == 4)
+      spectra.zipWithIndex.foreach { case (xr, g) =>
+        val gain = math.pow(2.0, (gains(g) - 210) / 4.0)
+        (0 until 576).foreach { i =>
+          val want = granules(g)(i) * gain
+          assert(math.abs(xr(i) - want) < 1e-12,
+            s"granule $g line $i: got ${xr(i)} want $want")
+        }
+      }
+      // full PCM chain runs and yields finite, nonzero output
+      val pcm = MpegAudio.decodeMpegAudio(7L, enc)
+      assert(pcm.length == 2304)
+      assert(pcm.forall(v => !v.isNaN && !v.isInfinite))
+      assert(pcm.exists(math.abs(_) > 1e-6))
+    }
+  }
+
+  test("Layer III: a planted single-subband tone dominates that " +
+      "subband's synthesis energy (alias/IMDCT/overlap/inversion chain)") {
+    import graft.ops.MpegAudio
+    // one tone per granule, mid-subband lines (away from the alias
+    // butterflies at subband boundaries), repeated over 4 frames so the
+    // overlap-add reaches steady state
+    Seq(3, 11, 26).foreach { sb =>
+      val spec = new Array[Int](576)
+      spec(18 * sb + 8) = 1
+      spec(18 * sb + 9) = -1
+      val granules = Seq.fill(8)(spec)
+      val enc = MpegAudio.encodeMp3(granules, Seq.fill(8)(214), 192)
+      val pcm = MpegAudio.decodeMpegAudio(8L, enc)
+      val fps = MpegAudio.audioFingerprints(pcm)
+      // skip frame 0 (filterbank + overlap warm-up); every later
+      // frame's TOP energy band must be the planted subband
+      fps.drop(1).foreach { case (f, fp) =>
+        val top = ((fp >> 15) & 31).toInt
+        assert(top == sb, s"frame $f: top band $top, planted $sb")
+      }
+    }
+  }
+
+  test("Layer III: out-of-regime streams fail loudly by name") {
+    import graft.ops.MpegAudio
+    val spec = new Array[Int](576); spec(100) = 1
+    val enc = MpegAudio.encodeMp3(Seq(spec, spec), Seq(210, 210), 192)
+    // corrupting main_data_begin (first 9 bits after the 4-byte header)
+    // must name the bit-reservoir boundary
+    val res = enc.clone(); res(4) = 0x80.toByte
+    val e1 = intercept[IllegalArgumentException](
+      MpegAudio.decodeMpegAudio(9L, res))
+    assert(e1.getMessage.contains("bit-reservoir"))
+    // window_switching bit of granule 0: side-info bit index
+    // 18 (mdb/priv/scfsi) + 33 (part23/bv/gain/sfc) = 51 after the
+    // 4-byte header -> byte 10, MSB-first bit 3 (mask 0x10)
+    val wsf = enc.clone(); wsf(10) = (wsf(10) | 0x10).toByte
+    val e2 = intercept[IllegalArgumentException](
+      MpegAudio.decodeMpegAudio(9L, wsf))
+    assert(e2.getMessage.contains("window switching"))
   }
 }
