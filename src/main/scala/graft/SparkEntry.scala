@@ -4285,6 +4285,47 @@ object SparkEntry {
         .orderBy("doc_id", "rk")
     }),
 
+    // X4 — BM25 RETRIEVAL: top-5 corpus docs per query, queries derived
+    // deterministically as each query-doc's top-3 tf terms (ties by
+    // term). The scale shape the index exists for: the query-term table
+    // broadcasts, the corpus shuffles only on term, and per-(query,doc)
+    // scores sum DECIMAL-quantized contributions so partial-agg order
+    // can't move the hash. Oracle replays tf/df/avgdl and the exact
+    // same quantize-then-sum.
+    "x4_bm25_retrieve" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val corpus = Tables.documents(s, dir).filter(col("doc_id") < 300)
+      val qwords = corpus.filter(col("doc_id") % 60 === 0)
+        .select(col("doc_id").as("qid"),
+          explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+        .filter(length(col("term")) >= 4)
+        .groupBy("qid", "term").agg(count(lit(1)).as("qtf"))
+      val qw = Window.partitionBy(col("qid"))
+        .orderBy(col("qtf").desc, col("term").asc)
+      val qterms = qwords.withColumn("qrk", row_number().over(qw))
+        .filter(col("qrk") <= 3).select("qid", "term")
+      TextAnalysis.bm25Retrieve(corpus, "doc_id", "text", qterms, 5)
+        .orderBy("qid", "rk")
+    }),
+
+    // ML — quality-classifier training as full-batch gradient descent
+    // in EXACT fixed point (Regress.logisticGdFixedPoint: algebraic
+    // fast-sigmoid link in micros, DECIMAL gradient sums, truncating
+    // division — every iteration replays bit-for-bit in the oracle's
+    // unrolled CTE chain). One hash aggregate per iteration, O(dim)
+    // driver rows: the shape that trains on 100 TB. Features: bias,
+    // order price in 10k$ units, order year offset; label = 'F' status.
+    "ml_logreg_gd" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      graft.ops.Regress.logisticGdFixedPoint(o,
+        Seq(lit(1L),
+          call_function("div", (col("o_totalprice") * 100).cast("long"),
+            lit(1000000L)),
+          (year(col("o_orderdate")) - 1995).cast("long")),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L),
+        iters = 3)
+    }),
+
     // X4 — the retrieval index UNDER BM25, built as data: per-term
     // df/cf plus top-8 impact-ordered postings ("doc:tf doc:tf …", tf
     // desc then doc id). The per-term rollup runs through the bounded
@@ -8739,6 +8780,85 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN dd > 2 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM d JOIN m2 USING (event_type)
         |GROUP BY d.event_type ORDER BY event_type""".stripMargin,
+
+    // Full replay of the retrieval pipeline: corpus tf/df/avgdl, the
+    // query-term derivation, DECIMAL-quantized contribution sums, and
+    // the (score desc, doc asc) ranking.
+    "x4_bm25_retrieve" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+        |words AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  FROM corpus),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM words
+        |       WHERE len(term) >= 4 GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |nd AS (SELECT count(*) AS n_docs FROM corpus),
+        |ad AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |qt AS (
+        |  SELECT qid, term FROM (
+        |    SELECT qid, term,
+        |      row_number() OVER (PARTITION BY qid
+        |        ORDER BY qtf DESC, term ASC) AS qrk
+        |    FROM (SELECT doc_id AS qid, term, count(*) AS qtf
+        |          FROM words WHERE doc_id % 60 = 0 AND len(term) >= 4
+        |          GROUP BY doc_id, term))
+        |  WHERE qrk <= 3),
+        |contrib AS (
+        |  SELECT qt.qid, tf.doc_id,
+        |    CAST(round(ln(CAST(n_docs AS DOUBLE) / df.df) * (tf.tf * 2.2) /
+        |      (tf.tf + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / avgdl)),
+        |      12) AS DECIMAL(28,12)) AS c
+        |  FROM tf JOIN qt ON tf.term = qt.term
+        |    JOIN dl ON tf.doc_id = dl.doc_id
+        |    JOIN df ON tf.term = df.term
+        |    CROSS JOIN nd CROSS JOIN ad),
+        |scored AS (SELECT qid, doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS score
+        |           FROM contrib GROUP BY qid, doc_id),
+        |ranked AS (SELECT qid, doc_id, score,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY score DESC, doc_id ASC) AS rk
+        |  FROM scored)
+        |SELECT qid, doc_id, score, CAST(rk AS BIGINT) AS rk
+        |FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+    // Bit-exact unrolled replay of the 3 fixed-point GD iterations:
+    // integer fast-sigmoid, HUGEINT gradient sums, // division (the
+    // truncation twin of Spark DIV, pinned by sql_intdiv_semantics).
+    "ml_logreg_gd" ->
+      """WITH base AS (
+        |  SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+        |    CAST(1 AS BIGINT) AS x0,
+        |    CAST(o_totalprice * 100 AS BIGINT) // 1000000 AS x1,
+        |    CAST(year(o_orderdate) - 1995 AS BIGINT) AS x2
+        |  FROM orders),
+        |nn AS (SELECT count(*) AS n FROM base),
+        |ga AS (SELECT sum((y*1000000 - 500000) * x0) AS g0,
+        |              sum((y*1000000 - 500000) * x1) AS g1,
+        |              sum((y*1000000 - 500000) * x2) AS g2 FROM base),
+        |wa AS (SELECT CAST(g0 // (n*2) AS BIGINT) AS w0,
+        |              CAST(g1 // (n*2) AS BIGINT) AS w1,
+        |              CAST(g2 // (n*2) AS BIGINT) AS w2 FROM ga, nn),
+        |rb AS (SELECT y, x0, x1, x2,
+        |    y*1000000 - (500000 + (z*500000) // (1000000 + abs(z))) AS r
+        |  FROM (SELECT y, x0, x1, x2, w0*x0 + w1*x1 + w2*x2 AS z
+        |        FROM base, wa)),
+        |gb AS (SELECT sum(r*x0) AS g0, sum(r*x1) AS g1, sum(r*x2) AS g2 FROM rb),
+        |wb AS (SELECT wa.w0 + CAST(gb.g0 // (n*2) AS BIGINT) AS w0,
+        |              wa.w1 + CAST(gb.g1 // (n*2) AS BIGINT) AS w1,
+        |              wa.w2 + CAST(gb.g2 // (n*2) AS BIGINT) AS w2
+        |       FROM gb, wa, nn),
+        |rc AS (SELECT y, x0, x1, x2,
+        |    y*1000000 - (500000 + (z*500000) // (1000000 + abs(z))) AS r
+        |  FROM (SELECT y, x0, x1, x2, w0*x0 + w1*x1 + w2*x2 AS z
+        |        FROM base, wb)),
+        |gc AS (SELECT sum(r*x0) AS g0, sum(r*x1) AS g1, sum(r*x2) AS g2 FROM rc),
+        |wc AS (SELECT wb.w0 + CAST(gc.g0 // (n*2) AS BIGINT) AS w0,
+        |              wb.w1 + CAST(gc.g1 // (n*2) AS BIGINT) AS w1,
+        |              wb.w2 + CAST(gc.g2 // (n*2) AS BIGINT) AS w2
+        |       FROM gc, wb, nn)
+        |SELECT n AS n_rows, w0 AS w0_micro, w1 AS w1_micro, w2 AS w2_micro
+        |FROM wc, nn""".stripMargin,
 
     "x4_bm25_top_terms" ->
       """WITH words AS (

@@ -221,4 +221,62 @@ object Regress {
           least(d1, d2)))
         .otherwise(lit(0L)).cast("long").as("r2_micro"))
   }
+
+  /** Full-batch gradient-descent LOGISTIC-FAMILY classifier training in
+    * EXACT fixed point — the quality-classifier training step of a
+    * curation pipeline, in the engine's integer-contract discipline so
+    * the oracle can replay every iteration bit-for-bit (no exp(), no
+    * float accumulation: partial-agg merge order cannot move a hash).
+    *
+    * Link: the algebraic fast sigmoid s(z) = ½ + z / (2·(1+|z|)),
+    * computed in micros as 500000 + z·500000 div (1000000 + |z|) — same
+    * S-shape and gradient sign structure as the exp logistic, exactly
+    * representable in integer arithmetic (the exp form differs only in
+    * tail sharpness and is NOT reproducible across engines bit-exactly).
+    *
+    * Shape per iteration: ONE hash aggregate over the data (map-side
+    * partials, DECIMAL(38,0) sums — no overflow at any corpus size),
+    * O(dim) driver rows for the weight update. `features` must be
+    * integer-valued columns (quantize upstream; include a lit(1) bias);
+    * `label` 0/1. Weights are micros; truncating division matches
+    * DuckDB `//` (pinned by sql_intdiv_semantics). Returns one row:
+    * (n_rows, w0_micro, …, w{d-1}_micro). */
+  def logisticGdFixedPoint(df: DataFrame, features: Seq[Column],
+      label: Column, iters: Int, lrNum: Long = 1L, lrDen: Long = 2L): DataFrame = {
+    require(features.nonEmpty && iters >= 0 && lrNum > 0 && lrDen > 0,
+      "logisticGd: need features, iters >= 0, positive learning rate")
+    val dim = features.length
+    val base = df.select((features.zipWithIndex.map { case (c, j) =>
+      c.cast("long").as(s"_x$j") } :+ label.cast("long").as("_y")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = base.count()
+    require(n > 0, "logisticGd: empty input")
+    val w = Array.fill(dim)(BigInt(0)) // micros
+    var it = 0
+    while (it < iters) {
+      val z = (0 until dim).map(j => lit(w(j).toLong) * col(s"_x$j"))
+        .reduce(_ + _) // micros (weights micros x unit-scale features)
+      val sMicro = lit(500000L) +
+        call_function("div", z * 500000L, lit(1000000L) + abs(z))
+      val r = col("_y") * 1000000L - sMicro // residual in micros
+      val grads = base.agg(
+        sum((r * col("_x0")).cast("decimal(38,0)")).as("_g0"),
+        (1 until dim).map(j =>
+          sum((r * col(s"_x$j")).cast("decimal(38,0)")).as(s"_g$j")): _*)
+        .head()
+      var j = 0
+      while (j < dim) {
+        val g = BigInt(grads.getDecimal(j).toBigInteger)
+        w(j) += (g * lrNum) / (BigInt(n) * lrDen) // BigInt / truncates: matches DIV
+        j += 1
+      }
+      it += 1
+    }
+    base.unpersist()
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((n, w.map(_.toLong).toSeq)).toDF("n_rows", "_w")
+      .select((col("n_rows") +: (0 until dim).map(j =>
+        element_at(col("_w"), j + 1).as(s"w${j}_micro"))): _*)
+  }
 }

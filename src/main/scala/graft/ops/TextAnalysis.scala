@@ -313,6 +313,42 @@ object TextAnalysis {
       .select(col(id), col("term"), col("tf"), col("df"), col("dl"), col("bm25"), col("rk"))
   }
 
+  /** X4 — BM25 RETRIEVAL (query → top-k documents), the query side of
+    * the index [[bm25TopTerms]] scores: `queryTerms` is a small
+    * (qid, term) table — broadcast, so the corpus shuffles only on
+    * term — and each (qid, doc) score is the sum of the matched
+    * terms' BM25 contributions. Determinism discipline: contributions
+    * are quantized to DECIMAL(28,12) BEFORE the sum (decimal addition
+    * is associative — partial-agg order can't move a hash), then the
+    * total rounds to 6 for output; rank ties break by doc id. */
+  def bm25Retrieve(corpus: org.apache.spark.sql.DataFrame, id: String,
+      text: String, queryTerms: org.apache.spark.sql.DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75, minTokenLen: Int = 4)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = corpus.select(col(id), explode(tokens(lower(col(text)))).as("term"))
+      .filter(length(col("term")) >= minTokenLen)
+    val tf = words.groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col(id)).agg(sum(col("tf")).as("dl"))
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = corpus.agg(count(lit(1)).as("_n_docs"))
+    val avg = dl.agg((sum(col("dl")).cast("double") / count(lit(1))).as("_avgdl"))
+    val contrib = tf.join(broadcast(queryTerms.select(col("qid"), col("term"))), "term")
+      .join(dl, id).join(docFreq, "term")
+      .crossJoin(broadcast(nDocs)).crossJoin(broadcast(avg))
+      .withColumn("_c", round(
+        log(col("_n_docs").cast("double") / col("df")) *
+          (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("_avgdl"))),
+        12).cast("decimal(28,12)"))
+    val scored = contrib.groupBy(col("qid"), col(id))
+      .agg(round(sum(col("_c")).cast("double"), 6).as("score"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col(id).asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col(id), col("score"), col("rk"))
+  }
+
   /** GPT-2-style regex pretokenization, the engine-portable subset:
     * letter runs, digit runs, and punctuation runs (the full GPT-2
     * pattern's contraction/unicode classes need lookarounds that RE2

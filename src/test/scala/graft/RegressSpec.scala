@@ -132,4 +132,34 @@ class RegressSpec extends AnyFunSuite with SparkTestBase {
       data.toDF("x", "y").repartition(7), col("x"), col("y")).head()
     assert(r1 == r7)
   }
+
+  test("logisticGdFixedPoint: integer GD matches an independent replay " +
+      "and learns the separating direction") {
+    val rows = (0 until 200).map { i =>
+      val x = (i % 21).toLong - 10           // feature in [-10, 10]
+      val y = if (x > 0) 1L else 0L          // perfectly separable on x
+      (x, y)
+    }
+    val df = rows.toDF("x", "y")
+    val got = graft.ops.Regress.logisticGdFixedPoint(df,
+        Seq(lit(1L), col("x")), col("y"), iters = 3)
+      .collect().head
+    // independent replay of the same arithmetic (plain Scala longs)
+    var w0 = 0L; var w1 = 0L
+    (0 until 3).foreach { _ =>
+      var g0 = 0L; var g1 = 0L
+      rows.foreach { case (x, y) =>
+        val z = w0 + w1 * x
+        val sm = 500000L + (z * 500000L) / (1000000L + math.abs(z))
+        val r = y * 1000000L - sm
+        g0 += r; g1 += r * x
+      }
+      w0 += g0 / (rows.length * 2L)
+      w1 += g1 / (rows.length * 2L)
+    }
+    assert(got.getLong(0) == rows.length)
+    assert(got.getLong(1) == w0, s"w0 ${got.getLong(1)} != $w0")
+    assert(got.getLong(2) == w1, s"w1 ${got.getLong(2)} != $w1")
+    assert(w1 > 0) // positive weight on the separating feature
+  }
 }

@@ -442,4 +442,23 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(got("host.unknowntld") == Some("host.unknowntld"))
     assert(got("singlelabel").isEmpty)
   }
+
+  test("bm25Retrieve: a distinctive query term retrieves its document " +
+      "at rank 1; scores are deterministic decimal sums") {
+    import graft.ops.TextAnalysis
+    val corpus = Seq(
+      (1L, "zebra zebra zebra grazing savanna grassland"),
+      (2L, "common words fill this document with nothing special"),
+      (3L, "another common document about words and things here"),
+      (4L, "grassland savanna with one zebra mention only")
+    ).toDF("doc_id", "text")
+    val qterms = Seq((100L, "zebra")).toDF("qid", "term")
+    val out = TextAnalysis.bm25Retrieve(corpus, "doc_id", "text", qterms, 3)
+      .orderBy("rk").collect()
+    // only docs containing the term score at all
+    assert(out.map(_.getLong(1)).toSet == Set(1L, 4L))
+    // tf saturation still ranks the 3x mention first
+    assert(out.head.getLong(1) == 1L && out.head.getLong(3) == 1L)
+    assert(out(0).getDouble(2) > out(1).getDouble(2))
+  }
 }
