@@ -3281,6 +3281,20 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // DQ — differentially-private count release (Laplace mechanism,
+    // epsilon = 0.5): the publish step for per-language corpus stats.
+    // Noise is a seeded inverse-CDF draw from the engine-portable
+    // multiplicative hash family (the sampling ops' pinned formula),
+    // so the oracle replays the identical mechanism — calibration,
+    // sign, and rounding all hash-gated.
+    "dq_dp_counts" -> ((s, dir) => {
+      graft.ops.DataQuality.dpNoisedCounts(Tables.documents(s, dir), "lang",
+          ascii(substring(col("lang"), 1, 1)) * 100 +
+            ascii(substring(col("lang"), 2, 1)),
+          epsilonMicro = 500000L)
+        .orderBy("lang")
+    }),
+
     // Interval-overlap join (two-sided): per-user click windows vs view
     // windows (each event ±30 min wide... here [ts, ts+30m]) that
     // overlap. Bucketized equi-join — NOT a theta join: candidates come
@@ -9838,6 +9852,25 @@ object SparkEntry {
         |        / (COALESCE(n_cur, 0) / tc + 1e-6)), 6) AS psi
         |FROM b FULL OUTER JOIN c ON b.lang = c.lang, t
         |ORDER BY lang""".stripMargin,
+
+    // identical seeded Laplace draw: portable multiplicative hash →
+    // u in (0,1) → inverse CDF at sensitivity 1 / epsilon 0.5
+    "dq_dp_counts" ->
+      """WITH c AS (
+        |  SELECT lang,
+        |    ascii(substring(lang, 1, 1)) * 100 +
+        |      ascii(substring(lang, 2, 1)) AS gk,
+        |    count(*) AS n_true
+        |  FROM documents GROUP BY 1, 2),
+        |n AS (
+        |  SELECT lang, n_true,
+        |    (CAST(((gk % 1000003 + 42) * 2654435761) % 2147483647 % 1000000
+        |       AS DOUBLE) + 0.5) / 1000000.0 AS u
+        |  FROM c)
+        |SELECT lang, n_true,
+        |  round(n_true + (-sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))
+        |    / 0.5), 6) AS n_noised
+        |FROM n ORDER BY lang""".stripMargin,
 
     "interval_overlap_clicks" ->
       """SELECT l.event_id AS click_id, r.event_id AS view_id

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Declarative data-quality audit — the engine-side generalization of the
@@ -391,5 +391,38 @@ object DataQuality {
         .as("n_low_diversity_groups"),
       sum(when(col("_nsens") < l.toLong, col("_size")).otherwise(0L))
         .as("rows_in_low_diversity"))
+  }
+
+  /** Differentially-private group counts via the Laplace mechanism —
+    * the release step a curation pipeline needs before publishing
+    * corpus statistics (per-source/language/domain counts are exactly
+    * the quasi-identifier censuses k-anonymity flags). Count queries
+    * have sensitivity 1, so noise ~ Laplace(1/epsilon) gives
+    * epsilon-DP. The noise is SEEDED and replayable: u = the group
+    * key's xxhash64 mapped to (0,1), noise = -(1/eps)·sign(u-½)·
+    * ln(1-2|u-½|) (inverse-CDF sampling) — deterministic across
+    * retries/engines, which is what makes the release auditable (a
+    * true production release would swap in a one-time secret seed;
+    * the MECHANISM and its calibration are what this op carries).
+    * Noised counts are rounded to 6 decimals; group keys with true
+    * count 0 are absent (this is the known "presence leaks" caveat of
+    * histogram DP — documented, not hidden). */
+  def dpNoisedCounts(df: DataFrame, group: String, groupKey: Column,
+      epsilonMicro: Long, seed: Long = 42L): DataFrame = {
+    require(epsilonMicro > 0, "dp: epsilon must be positive")
+    val eps = epsilonMicro.toDouble / 1e6
+    // groupKey must be an integer-valued function of the group column
+    // (the caller derives it) — noise seeding uses the engine-portable
+    // multiplicative hash family the sampling ops already pin, NOT
+    // xxhash64, so the oracle replays the identical draw
+    val counts = df.groupBy(col(group), groupKey.as("_gk"))
+      .agg(count(lit(1)).as("n_true"))
+    val h = ((col("_gk") % 1000003L + seed) * 2654435761L) % 2147483647L % 1000000L
+    val u = (h.cast("double") + lit(0.5)) / lit(1000000.0) // in (0,1)
+    val centered = u - lit(0.5)
+    val noise = -signum(centered) * log(lit(1.0) - lit(2.0) * abs(centered)) / lit(eps)
+    counts
+      .withColumn("n_noised", round(col("n_true") + noise, 6))
+      .select(col(group), col("n_true"), col("n_noised"))
   }
 }

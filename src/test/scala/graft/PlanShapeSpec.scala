@@ -375,4 +375,28 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       assert(!pl.contains(") Window"), s"$q: no window pass")
     }
   }
+
+  test("PSL registered domains: the rule table is BROADCAST and the " +
+      "host matching never goes cartesian") {
+    val pl = plan("x4_url_domains_psl")
+    assert(pl.contains("BroadcastHashJoin"), "rule/candidate join must broadcast")
+    assert(!pl.contains("CartesianProduct"), "no cartesian in PSL matching")
+  }
+
+  test("BM25 retrieval: the query-term table broadcasts; the corpus " +
+      "shuffles only on hash-keyed joins") {
+    val pl = plan("x4_bm25_retrieve")
+    assert(pl.contains("BroadcastHashJoin"), "query terms must broadcast")
+    assert(!pl.contains("CartesianProduct"), "no cartesian pair stage")
+    assert(!pl.contains("BroadcastNestedLoopJoin") ||
+      pl.contains("_n_docs"), // the two 1-row stat cross-joins are fine
+      "no data-sized nested loop")
+  }
+
+  test("x5_decode_mp3: pure mapPartitions codec kernel — no join, no " +
+      "window pass") {
+    val pl = plan("x5_decode_mp3")
+    assert(!pl.contains("Join"), "codec path must not join")
+    assert(!pl.contains(") Window"), "no window pass")
+  }
 }
