@@ -57,7 +57,7 @@ object PublicSuffix {
   /** Parse PSL-syntax rules to (matchKey, typ, effLabels):
     * typ `n`ormal / `w`ildcard / `e`xception; effLabels = label count
     * of the public suffix the rule denotes when it prevails. */
-  private[ops] def parseRules(rules: Seq[String]): Seq[(String, String, Int)] =
+  def parseRules(rules: Seq[String]): Seq[(String, String, Int)] =
     rules.map { r =>
       val t = r.trim
       require(t.nonEmpty && !t.contains("/") && !t.contains(" "),

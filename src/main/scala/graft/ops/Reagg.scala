@@ -208,4 +208,39 @@ object Reagg {
             400000L)
           .otherwise(expr("200000 div (n_touches - 2)")))
   }
+
+  /** Windowed conversion funnel as the RELATIONAL min-chain — the
+    * 100 TB form of the per-user fold the events_funnel_* gates verify
+    * (collect_list + an interpreted HOF aggregate: CodegenFallback,
+    * one struct allocation per event — the round-9 TS probe measured
+    * the fold 1.6-1.9 s warm at 5M events vs 0.44 s here, and its
+    * per-event garbage is what piled the old-gen debt that showed as
+    * 4-23 s before the probe isolated GC between queries). Stage i is
+    * one filtered min() aggregate joined user-keyed to stage i-1:
+    * t_0 = first stage-0 event; t_i = first stage-i event in
+    * (t_{i-1}, t_{i-1} + window]. "First qualifying event" IS the min,
+    * so verdicts are identical to the fold's. Returns one (stage, n)
+    * row per stage. */
+  def funnelMinChain(events: DataFrame, user: String, typeCol: String,
+      ts: String, stages: Seq[String], window: Column): DataFrame = {
+    require(stages.nonEmpty, "funnel: need at least one stage")
+    var prev: DataFrame = null
+    val frames = stages.zipWithIndex.map { case (st, i) =>
+      val f = events.filter(col(typeCol) === st)
+        .select(col(user), col(ts).as("_ts"))
+      val cur =
+        if (i == 0) f.groupBy(col(user)).agg(min(col("_ts")).as("_t"))
+        else f.join(prev.select(col(user), col("_t").as("_pt")), Seq(user))
+          .filter(col("_ts") > col("_pt") && col("_ts") <= col("_pt") + window)
+          .groupBy(col(user)).agg(min(col("_ts")).as("_t"))
+      // persisted: stage i+1 re-reads stage i, and the final counts
+      // re-read every stage — without this the chain recomputes
+      // superlinearly in stage count
+      val kept = cur.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      prev = kept
+      kept.agg(count(lit(1)).as("n"))
+        .select(lit(s"step${i + 1}_$st").as("stage"), col("n"))
+    }
+    frames.reduce(_ unionByName _)
+  }
 }

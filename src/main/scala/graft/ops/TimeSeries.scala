@@ -147,47 +147,83 @@ object TimeSeries {
     * smoothed state BEFORE the update — an anomaly is judged against
     * history, not against itself); the first gap is never flagged.
     *
-    * Scale shape: ONE hash agg (collect per key) + a per-key sorted
-    * fold + explode — no windows, no self-joins; per-key memory is the
-    * key's own event count (entity-bounded, the same contract as the
+    * Scale shape: hash-partition on the key + per-partition secondary
+    * sort + a plain JVM loop per key run ([[keyedSequential]]) — no
+    * windows, no self-joins, and no Catalyst array accumulator (the
+    * earlier fold's concat-per-element was O(h²) in history length;
+    * measured and replaced in round 9). Per-key memory is the key's
+    * own event count (entity-bounded, the same contract as the
     * funnel fold). Keys with a single event emit nothing (no gap
     * exists). Ordering inside a key is (ts, id) — deterministic under
     * timestamp ties. Emits (key, id, gap_micros, ewma_micros, is_lull),
     * one row per event from each key's second onward. */
+  /** Generic per-key SEQUENTIAL recurrence runner — the shared engine
+    * under [[ewmaGaps]]/[[holtTrend]]/[[cusum]]: hash-partition on the
+    * leading `keyFields` columns, secondary-sort each partition, and
+    * stream every key's contiguous run through `run` as a plain JVM
+    * loop. Replaces the Catalyst accumulate-into-array fold those ops
+    * shipped with: `concat(acc.out, array(row))` COPIES the whole
+    * accumulator per element — O(h²) per key, measured 13.6 s vs 0.4 s
+    * at ~3 k-event histories in the round-9 TS probe (tools/
+    * TsScaleProbe, history mode). Per-key memory is the key's own run
+    * (the same entity-bounded contract the fold had); a pathological
+    * single key is one task — the documented skew bound of any
+    * keyed-sequential computation. */
+  private def keyedSequential(df: DataFrame, keyFields: Int,
+      outSchema: org.apache.spark.sql.types.StructType)(
+      run: IndexedSeq[org.apache.spark.sql.Row] => Iterator[org.apache.spark.sql.Row])
+      : DataFrame = {
+    import org.apache.spark.sql.Row
+    val keyCols = df.columns.take(keyFields).map(col).toIndexedSeq
+    val sortCols = df.columns.map(col).toIndexedSeq
+    df.repartition(keyCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .mapPartitions { it =>
+        val base = it.buffered
+        new Iterator[Row] {
+          private var out: Iterator[Row] = Iterator.empty
+          private def sameKey(a: Row, b: Row): Boolean =
+            (0 until keyFields).forall(j => a.get(j) == b.get(j))
+          private def advance(): Unit =
+            while (!out.hasNext && base.hasNext) {
+              val head = base.head
+              val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+              while (base.hasNext && sameKey(base.head, head)) buf += base.next()
+              out = run(buf.toIndexedSeq)
+            }
+          def hasNext: Boolean = { advance(); out.hasNext }
+          def next(): Row = { advance(); out.next() }
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   def ewmaGaps(df: DataFrame, key: String, ts: String, id: String,
       kDenom: Int = 8, burstFactor: Int = 4): DataFrame = {
     require(kDenom >= 2 && burstFactor >= 1, "kDenom >= 2, burstFactor >= 1")
-    val sorted = array_sort(collect_list(struct(
-      unix_micros(col(ts)).as("t"), col(id).as("id"))))
-    val folded = df.groupBy(col(key))
-      .agg(sorted.as("_ev"))
-      .filter(size(col("_ev")) >= 2)
-      .select(col(key), aggregate(
-        slice(col("_ev"), lit(2), size(col("_ev")) - 1),
-        struct(
-          element_at(col("_ev"), 1).getField("t").as("prev_t"),
-          lit(-1L).as("e"),
-          array().cast(
-            "array<struct<id:long,gap:long,ewma:long,lull:boolean>>").as("out")),
-        (acc, x) => {
-          val gap = x.getField("t") - acc.getField("prev_t")
-          val first = acc.getField("e") < 0
-          val flag = !first && gap > lit(burstFactor.toLong) * acc.getField("e")
-          val e = when(first, gap).otherwise(
-            call_function("div",
-              gap + lit(kDenom - 1L) * acc.getField("e"), lit(kDenom.toLong)))
-          struct(
-            x.getField("t").as("prev_t"),
-            e.as("e"),
-            concat(acc.getField("out"), array(struct(
-              x.getField("id").as("id"), gap.as("gap"),
-              e.as("ewma"), flag.as("lull")))).as("out"))
-        },
-        acc => acc.getField("out")).as("_out"))
-    folded.select(col(key), explode(col("_out")).as("_r"))
-      .select(col(key), col("_r.id").as(id),
-        col("_r.gap").as("gap_micros"), col("_r.ewma").as("ewma_micros"),
-        col("_r.lull").as("is_lull"))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val pre = df.select(col(key), unix_micros(col(ts)).as("_t"),
+      col(id).cast("long").as("_id"))
+    val outSchema = StructType(Seq(pre.schema.head,
+      StructField(id, LongType), StructField("gap_micros", LongType),
+      StructField("ewma_micros", LongType), StructField("is_lull", BooleanType)))
+    keyedSequential(pre, 1, outSchema) { rows =>
+      if (rows.length < 2) Iterator.empty
+      else {
+        val k = rows.head.get(0)
+        var prevT = rows.head.getLong(1)
+        var e = -1L
+        rows.iterator.drop(1).map { r =>
+          val gap = r.getLong(1) - prevT
+          val first = e < 0
+          val flag = !first && gap > burstFactor.toLong * e
+          // trunc div == `div`; gaps and states are non-negative here
+          e = if (first) gap else (gap + (kDenom - 1L) * e) / kDenom
+          prevT = r.getLong(1)
+          Row(k, r.getLong(2), gap, e, flag)
+        }
+      }
+    }
   }
 
   /** Holt's linear-trend (double exponential) smoothing over each key's
@@ -206,9 +242,9 @@ object TimeSeries {
     * floor/trunc shim on either side. Init: ℓ = first value, b = 0
     * (documented; callers wanting b₀ = x₂−x₁ can seed upstream).
     *
-    * Same plan shape as [[ewmaGaps]]: one hash agg, per-key sorted
-    * fold, explode — per-key memory bounded by the key's own event
-    * count, no windows. One row per event from the SECOND onward:
+    * Same plan shape as [[ewmaGaps]] (keyedSequential: partition +
+    * secondary sort + JVM loop) — per-key memory bounded by the key's
+    * own event count, no windows. One row per event from the SECOND onward:
     * (key, id, value_micro, forecast_micro, level_micro, trend_micro);
     * `forecast_micro` is the one-step-ahead prediction made before
     * observing the row, so residuals judge the model against history,
@@ -217,36 +253,32 @@ object TimeSeries {
       valueMicro: Column, kLevel: Int = 4, kTrend: Int = 8): DataFrame = {
     require(kLevel >= 2 && kTrend >= 2,
       s"kLevel/kTrend must be >= 2, got $kLevel/$kTrend")
-    def fdiv(a: Column, k: Int): Column =
-      call_function("div", a, lit(k.toLong))
-    val sorted = array_sort(collect_list(struct(
-      unix_micros(col(ts)).as("t"), col(id).as("id"), valueMicro.as("x"))))
-    val folded = df.groupBy(col(key))
-      .agg(sorted.as("_ev"))
-      .filter(size(col("_ev")) >= 2)
-      .select(col(key), aggregate(
-        slice(col("_ev"), lit(2), size(col("_ev")) - 1),
-        struct(
-          element_at(col("_ev"), 1).getField("x").as("l"),
-          lit(0L).as("b"),
-          array().cast(
-            "array<struct<id:long,x:long,f:long,l:long,b:long>>").as("out")),
-        (acc, ev) => {
-          val f = acc.getField("l") + acc.getField("b")
-          val x = ev.getField("x")
-          val lNew = fdiv(x + lit(kLevel - 1L) * f, kLevel)
-          val bNew = fdiv((lNew - acc.getField("l")) +
-            lit(kTrend - 1L) * acc.getField("b"), kTrend)
-          struct(lNew.as("l"), bNew.as("b"),
-            concat(acc.getField("out"), array(struct(
-              ev.getField("id").as("id"), x.as("x"), f.as("f"),
-              lNew.as("l"), bNew.as("b")))).as("out"))
-        },
-        acc => acc.getField("out")).as("_out"))
-    folded.select(col(key), explode(col("_out")).as("_r"))
-      .select(col(key), col("_r.id").as(id),
-        col("_r.x").as("value_micro"), col("_r.f").as("forecast_micro"),
-        col("_r.l").as("level_micro"), col("_r.b").as("trend_micro"))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val pre = df.select(col(key), unix_micros(col(ts)).as("_t"),
+      col(id).cast("long").as("_id"), valueMicro.cast("long").as("_x"))
+    val outSchema = StructType(Seq(pre.schema.head,
+      StructField(id, LongType), StructField("value_micro", LongType),
+      StructField("forecast_micro", LongType), StructField("level_micro", LongType),
+      StructField("trend_micro", LongType)))
+    keyedSequential(pre, 1, outSchema) { rows =>
+      if (rows.length < 2) Iterator.empty
+      else {
+        val k = rows.head.get(0)
+        var l = rows.head.getLong(3)
+        var b = 0L
+        // Scala Long `/` truncates toward zero — the `div` contract the
+        // doc above pins (trend goes negative on decaying series)
+        rows.iterator.drop(1).map { r =>
+          val f = l + b
+          val x = r.getLong(3)
+          val lNew = (x + (kLevel - 1L) * f) / kLevel
+          val bNew = ((lNew - l) + (kTrend - 1L) * b) / kTrend
+          l = lNew; b = bNew
+          Row(k, r.getLong(2), x, f, lNew, bNew)
+        }
+      }
+    }
   }
 
   /** Two-sided CUSUM changepoint detection (Page 1954) — the
@@ -271,44 +303,42 @@ object TimeSeries {
     * CTE. State init s⁺ = s⁻ = 0: the first row is judged against
     * `target` like any other.
     *
-    * Scale shape: one hash agg + per-key sorted fold + explode — the
-    * [[ewmaGaps]]/[[holtTrend]] contract; per-key memory bounded by
-    * that key's own series length (calendar-bounded for dated grains),
-    * no windows, no driver state. Returns one row per input row:
+    * Scale shape: the [[ewmaGaps]]/[[holtTrend]] keyedSequential
+    * contract (partition + secondary sort + JVM loop); per-key memory
+    * bounded by that key's own series length (calendar-bounded for
+    * dated grains), no windows, no driver state. Returns one row per
+    * input row:
     * (key, ord, x, s_pos, s_neg, alarm_up, alarm_down). */
   def cusum(df: DataFrame, key: String, ord: String, x: Column,
       target: Column, kappa: Column, h: Column): DataFrame = {
-    val sorted = array_sort(collect_list(struct(
-      col(ord).cast("long").as("o"), x.cast("long").as("x"))))
-    val folded = df
-      .groupBy(col(key), target.cast("long").as("_mu"),
-        kappa.cast("long").as("_k"), h.cast("long").as("_h"))
-      .agg(sorted.as("_ev"))
-      .select(col(key), aggregate(
-        col("_ev"),
-        struct(lit(0L).as("sp"), lit(0L).as("sn"),
-          array().cast(
-            "array<struct<o:long,x:long,sp:long,sn:long,au:boolean,ad:boolean>>")
-            .as("out")),
-        (acc, ev) => {
-          val sp = greatest(lit(0L),
-            acc.getField("sp") + ev.getField("x") - col("_mu") - col("_k"))
-          val sn = greatest(lit(0L),
-            acc.getField("sn") + col("_mu") - col("_k") - ev.getField("x"))
-          val au = sp > col("_h")
-          val ad = sn > col("_h")
-          struct(
-            when(au, lit(0L)).otherwise(sp).as("sp"),
-            when(ad, lit(0L)).otherwise(sn).as("sn"),
-            concat(acc.getField("out"), array(struct(
-              ev.getField("o").as("o"), ev.getField("x").as("x"),
-              sp.as("sp"), sn.as("sn"), au.as("au"), ad.as("ad")))).as("out"))
-        },
-        acc => acc.getField("out")).as("_out"))
-    folded.select(col(key), explode(col("_out")).as("_r"))
-      .select(col(key), col("_r.o").as(ord), col("_r.x").as("x"),
-        col("_r.sp").as("s_pos"), col("_r.sn").as("s_neg"),
-        col("_r.au").as("alarm_up"), col("_r.ad").as("alarm_down"))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val pre = df.select(col(key), target.cast("long").as("_mu"),
+      kappa.cast("long").as("_k"), h.cast("long").as("_h"),
+      col(ord).cast("long").as("_o"), x.cast("long").as("_x"))
+    val outSchema = StructType(Seq(pre.schema.head,
+      StructField(ord, LongType), StructField("x", LongType),
+      StructField("s_pos", LongType), StructField("s_neg", LongType),
+      StructField("alarm_up", BooleanType), StructField("alarm_down", BooleanType)))
+    // run key = (key, mu, kappa, h): calibration columns are part of the
+    // series identity, exactly as the fold's groupBy made them
+    keyedSequential(pre, 4, outSchema) { rows =>
+      val k = rows.head.get(0)
+      val mu = rows.head.getLong(1)
+      val kap = rows.head.getLong(2)
+      val hh = rows.head.getLong(3)
+      var sp = 0L; var sn = 0L
+      rows.iterator.map { r =>
+        val xv = r.getLong(5)
+        val spNew = math.max(0L, sp + xv - mu - kap)
+        val snNew = math.max(0L, sn + mu - kap - xv)
+        val au = spNew > hh
+        val ad = snNew > hh
+        sp = if (au) 0L else spNew
+        sn = if (ad) 0L else snNew
+        Row(k, r.getLong(4), xv, spNew, snNew, au, ad)
+      }
+    }
   }
 
   /** Trailing-window moment census: over the last `windowDays` of a

@@ -102,6 +102,7 @@ object GraphScaleProbe {
           ((System.nanoTime() - t0) / 1e9, out)
         }
         spark.catalog.clearCache()
+        System.gc() // old-gen debt otherwise lands on later queries
         val roundsNote =
           if (p.rounds) f"  rounds=${graft.ops.Dedup.lastClusterRounds}%-3d" else ""
         println(f"[graphscale] f=$f%-3d ${p.name}%-14s cold ${runs(0)._1}%7.2f s  " +

@@ -419,4 +419,66 @@ object PropertiesSpec extends Properties("graft") {
           s"net=${net.toSeq} full=$fullState"
       }
     }
+
+  // --- round 9: PSL registered domains vs a direct reference replay ---
+
+  private val pslHost: Gen[String] = for {
+    n <- Gen.choose(1, 4)
+    labels <- Gen.listOfN(n, Gen.oneOf(
+      "www", "a", "bb", "shop", "city", "foo", "example", "bbc",
+      "github", "kawasaki", "sch", "co", "uk", "jp", "ck", "io", "com"))
+  } yield labels.mkString(".")
+
+  /** reference implementation: direct PSL matching over the builtin
+    * rules in plain Scala (no Spark) — the independent twin. */
+  private def pslReference(host: String): Option[String] = {
+    val labs = host.split("\\.").toList
+    val n = labs.length
+    val parsed = graft.ops.PublicSuffix.parseRules(
+      graft.ops.PublicSuffix.builtinRules)
+    val matches = for {
+      (key, typ, eff) <- parsed
+      kLabs = key.split("\\.").toList
+      k = kLabs.length
+      if k <= n
+      tail = labs.takeRight(k)
+      ok = typ match {
+        case "w" => kLabs.head == "*" && tail.tail == kLabs.tail
+        case _ => tail == kLabs
+      }
+      if ok
+    } yield (typ == "e", eff)
+    val psl =
+      if (matches.isEmpty) 1
+      else if (matches.exists(_._1)) matches.filter(_._1).map(_._2).max
+      else matches.map(_._2).max
+    if (n > psl) Some(labs.takeRight(psl + 1).mkString(".")) else None
+  }
+
+  property("PSL registered domain == direct reference replay") =
+    forAll(Gen.listOfN(8, pslHost)) { hosts =>
+      import spark.implicits._
+      val got = graft.ops.PublicSuffix.withRegisteredDomain(
+          hosts.distinct.toDF("host"), "host", "dom")
+        .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+      hosts.distinct.forall(h => got(h) == pslReference(h))
+    }
+
+  // --- round 9: hammingPairs pigeonhole recall guarantee ---
+
+  property("hammingPairs: every pair within nBlocks-1 is found; none past maxHamming") =
+    forAll(Gen.listOfN(6, Gen.choose(Long.MinValue, Long.MaxValue)),
+      Gen.choose(2, 9)) { (fps, nb) =>
+      import spark.implicits._
+      val rows = fps.distinct.zipWithIndex.map { case (f, i) => (i.toLong, f) }
+      val radius = nb - 1
+      val got = Dedup.hammingPairs(rows.toDF("id", "fp"), "id", "fp",
+          maxHamming = radius, nBlocks = nb)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        x <- rows; y <- rows if x._1 < y._1
+        if java.lang.Long.bitCount(x._2 ^ y._2) <= radius
+      } yield (x._1, y._1)).toSet
+      got == want
+    }
 }
