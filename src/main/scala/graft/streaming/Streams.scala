@@ -313,8 +313,8 @@ object Streams {
     * session AND anything ending inside the terminal watermark band)
     * rather than guessing micro-batch boundaries. */
   def sessionWindowStream(spark: SparkSession, sfDir: String,
-      gapMinutes: Int = 30): DataFrame = {
-    val ss = stateSession(spark, 4)
+      gapMinutes: Int = 30, statePartitions: Int = 4): DataFrame = {
+    val ss = stateSession(spark, statePartitions)
     val agg = eventsStream(ss, sfDir)
       .withWatermark("ts", "10 minutes")
       .groupBy(col("user_id"),
@@ -446,8 +446,14 @@ object Streams {
   /** Sessionization per user with a 30-minute inactivity gap — session
     * windows are the stateful-streaming op the events table exists to
     * exercise (SURVEY §2.3). Same AvailableNow drain. */
-  def sessionizeByGap(spark: SparkSession, sfDir: String): DataFrame = {
-    val ss = stateSession(spark, 4)
+  def sessionizeByGap(spark: SparkSession, sfDir: String,
+      statePartitions: Int = 4): DataFrame = {
+    // statePartitions sizes the state store to expected SESSION volume
+    // (the per-query width contract documented on stateSession): the
+    // default fits the driver fixture's 1.5k users; the round-9 stream
+    // probe measured 4 partitions going superlinear at 75k users / 4.8M
+    // events (70.9 s) where 32 partitions drain in 21.3 s
+    val ss = stateSession(spark, statePartitions)
     val agg = eventsStream(ss, sfDir)
       .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),

@@ -50,7 +50,7 @@ object TsScaleProbe {
     }
 
     def materialize(dir: String, f: Int): Unit = {
-      if (Files.exists(Paths.get(dir, "_GRAFT_OK"))) return
+      if (Files.exists(Paths.get(dir, "_GRAFT_OK2"))) return
       Files.createDirectories(Paths.get(dir))
       val ev = graft.io.Tables.events(spark, srcDir)
       val nEv = ev.agg(max(col("event_id"))).head().getLong(0) + 1
@@ -75,7 +75,17 @@ object TsScaleProbe {
             (col("ts") + expr(s"make_interval(0,0,0,0,0,0, rep * $spanSec)"))
               .as("ts"), col("props"))
         }
-      big.repartition(32).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      // SINGLE-FILE layout, exactly like the driver fixtures: the
+      // streaming harness stages `$dir/events.parquet` with Files.copy,
+      // which silently copies an empty shell for a directory layout
+      val stage = Paths.get(dir, "_stage")
+      big.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = Files.list(stage).filter(q =>
+        q.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(part, Paths.get(dir, "events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      Files.list(stage).forEach(q => Files.delete(q))
+      Files.delete(stage)
       Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "documents", "embeddings").foreach { t =>
         val link = Paths.get(dir, s"$t.parquet")
@@ -83,7 +93,7 @@ object TsScaleProbe {
         if (!Files.exists(link) && Files.exists(target))
           Files.createSymbolicLink(link, target): Unit
       }
-      Files.createFile(Paths.get(dir, "_GRAFT_OK")): Unit
+      Files.createFile(Paths.get(dir, "_GRAFT_OK2")): Unit
     }
 
     // warm-up at the smallest factor (same rationale as RelScaleProbe)

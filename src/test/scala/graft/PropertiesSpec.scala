@@ -481,4 +481,45 @@ object PropertiesSpec extends Properties("graft") {
       } yield (x._1, y._1)).toSet
       got == want
     }
+
+  // --- round 9: relational funnel twin == sequential reference ---
+
+  private val funnelEvents: Gen[List[(Long, String, Long)]] =
+    Gen.listOfN(40, for {
+      u <- Gen.choose(0L, 5L)
+      st <- Gen.oneOf("view", "click", "purchase", "noise")
+      t <- Gen.choose(0L, 200000L) // seconds; window is 1 day = 86400
+    } yield (u, st, t))
+
+  property("funnelMinChain == greedy sequential reference on random streams") =
+    forAll(funnelEvents) { evs =>
+      import spark.implicits._
+      val df = evs.zipWithIndex.map { case ((u, st, t), i) =>
+        (u, st, new java.sql.Timestamp(t * 1000), i.toLong)
+      }.toDF("user_id", "event_type", "ts", "event_id")
+      val got = graft.ops.Reagg.funnelMinChain(df, "user_id", "event_type",
+          "ts", Seq("view", "click", "purchase"),
+          org.apache.spark.sql.functions.expr("INTERVAL 1 DAY"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // reference: per user, first view; first click in (tv, tv+1d];
+      // first purchase in (tc, tc+1d] — plain Scala
+      val byUser = evs.groupBy(_._1)
+      val w = 86400L
+      var nv = 0L; var nc = 0L; var np = 0L
+      byUser.values.foreach { rows =>
+        val tv = rows.filter(_._2 == "view").map(_._3).minOption
+        tv.foreach { v =>
+          nv += 1
+          val tc = rows.filter(r => r._2 == "click" && r._3 > v && r._3 <= v + w)
+            .map(_._3).minOption
+          tc.foreach { c =>
+            nc += 1
+            val tp = rows.filter(r => r._2 == "purchase" && r._3 > c && r._3 <= c + w)
+              .map(_._3).minOption
+            tp.foreach(_ => np += 1)
+          }
+        }
+      }
+      got == Map("step1_view" -> nv, "step2_click" -> nc, "step3_purchase" -> np)
+    }
 }
