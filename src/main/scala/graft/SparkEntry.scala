@@ -625,6 +625,25 @@ object SparkEntry {
         .orderBy("qid")
     }),
 
+    // X2 — PERSISTED IVF: the index built once (k-means centroids +
+    // corpus as cent_id-PARTITIONED parquet lists), then probed from
+    // disk with partition pruning — only the nprobe probed lists are
+    // read (PlanShapeSpec pins the PartitionFilters). Same scoring
+    // algebra as the in-memory path, so the same floor holds; the
+    // persisted == in-memory equality is pinned in SimilaritySpec.
+    "x2_ann_ivf_persisted" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") % 100 === 0)
+      val cents = Similarity.trainKMeans(e, "vec_id", "embedding", k = 16, iters = 3)
+      val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+      Similarity.writeIvfIndex(e, "vec_id", "embedding", cents, path)
+      val ann = Similarity.ivfTopKPersisted(s, path, q, "vec_id", "embedding",
+        5, nprobe = 6)
+      Similarity.annVerdict(q, e, "vec_id", "embedding", 5, ann,
+          minOverlapPct = 50)
+        .orderBy("qid")
+    }),
+
     "x2_ann_projected_clustered" -> ((s, dir) => {
       val e = Similarity.clusteredVariant(
         Tables.embeddings(s, dir), "vec_id", "embedding", 25)
@@ -8682,6 +8701,11 @@ object SparkEntry {
         |FROM embeddings WHERE vec_id % 100 = 0 ORDER BY qid""".stripMargin,
 
     "x2_ann_projected_clustered" ->
+      """SELECT vec_id AS qid, true AS returned_le_k, true AS rk_dense,
+        |  true AS sims_exact, true AS recall_floor_met
+        |FROM embeddings WHERE vec_id % 100 = 0 ORDER BY qid""".stripMargin,
+
+    "x2_ann_ivf_persisted" ->
       """SELECT vec_id AS qid, true AS returned_le_k, true AS rk_dense,
         |  true AS sims_exact, true AS recall_floor_met
         |FROM embeddings WHERE vec_id % 100 = 0 ORDER BY qid""".stripMargin,

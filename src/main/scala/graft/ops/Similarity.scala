@@ -399,6 +399,65 @@ object Similarity {
     // one inverted list, so (qid, cid) surfaces at most once
   }
 
+  /** PERSISTED IVF index — the "build once, probe many" shape
+    * [[ivfTopKWith]] recomputes per call: centroids land as one small
+    * parquet and the corpus lands as inverted lists PARTITIONED BY
+    * cent_id, so a probe's `cent_id IN (...)` filter becomes parquet
+    * PARTITION PRUNING — only the nprobe probed lists are ever read
+    * from disk (pinned in PlanShapeSpec), which is the property that
+    * makes a disk-resident 100 TB index probeable. Vector norms are
+    * precomputed into the lists (probe pays one dot per candidate,
+    * nothing else). */
+  def writeIvfIndex(corpus: DataFrame, id: String, vec: String,
+      centroids: DataFrame, path: String): Unit = {
+    centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val cents = centroids
+    val scored = corpus.select(col(id).as("cid"), col(vec).as("_v"),
+        normSq(col(vec)).as("_n"))
+      .join(broadcast(cents), expr("true"))
+      .withColumn("_csim",
+        cosineWithNorms(dot(col("_v"), col("cent_vec")), col("_n"), col("cent_n")))
+    val w = Window.partitionBy(col("cid")).orderBy(col("_csim").desc, col("cent_id").asc)
+    scored.withColumn("_crk", row_number().over(w))
+      .filter(col("_crk") === 1)
+      .select(col("cid"), col("_v"), col("_n"), col("cent_id"))
+      .write.mode("overwrite").partitionBy("cent_id")
+      .parquet(s"$path/lists")
+  }
+
+  /** Probe a [[writeIvfIndex]] index: rank the (small, broadcast)
+    * centroid table per query, read ONLY the nprobe probed lists
+    * (partition pruning), exact-rerank. Identical scoring algebra to
+    * [[ivfTopKWith]] — same centroids + same nprobe give identical
+    * results, which the persisted-ANN gate pins. */
+  def ivfTopKPersisted(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, id: String, vec: String, k: Int, nprobe: Int): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val q = queries.select(col(id).as("qid"), col(vec).as("_qe"),
+        normSq(col(vec)).as("_nq"))
+      .join(broadcast(cents), expr("true"))
+      .withColumn("_csim",
+        cosineWithNorms(dot(col("_qe"), col("cent_vec")), col("_nq"), col("cent_n")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("_csim").desc, col("cent_id").asc)
+    val probes = q.withColumn("_crk", row_number().over(w))
+      .filter(col("_crk") <= nprobe)
+      .select(col("qid"), col("_qe"), col("_nq"), col("cent_id"))
+    // probed cell ids: O(queries · nprobe) driver rows — the filter that
+    // becomes a partition predicate on the lists scan
+    val probedCells = probes.select(col("cent_id")).distinct()
+      .collect().map(_.getLong(0))
+    val lists = spark.read.parquet(s"$path/lists")
+      .filter(col("cent_id").isin(probedCells.toIndexedSeq: _*))
+    val pairs = lists.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("_sim",
+        cosineWithNorms(dot(col("_qe"), col("_v")), col("_nq"), col("_n")))
+    val w2 = Window.partitionBy(col("qid")).orderBy(col("_sim").desc, col("cid").asc)
+    pairs.withColumn("rk", row_number().over(w2).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("cid"), round(col("_sim"), 6).as("sim"), col("rk"))
+  }
+
   /** Exact all-pairs cosine near-dup over a BOUNDED id set — the
     * oracle-able exact form of [[embeddingNearDups]] (which buckets
     * first and has recall < 1). O(n²) by construction: the guarded

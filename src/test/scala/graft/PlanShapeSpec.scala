@@ -399,4 +399,21 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(!pl.contains("Join"), "codec path must not join")
     assert(!pl.contains(") Window"), "no window pass")
   }
+
+  test("persisted IVF probe: the lists scan is PARTITION-PRUNED to the " +
+      "probed cells") {
+    import graft.ops.Similarity
+    import org.apache.spark.sql.functions._
+    val e = graft.io.Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") % 100 === 0)
+    val cents = Similarity.trainKMeans(e, "vec_id", "embedding", k = 8, iters = 2)
+    val path = java.nio.file.Files.createTempDirectory("ivfplan").toString
+    Similarity.writeIvfIndex(e, "vec_id", "embedding", cents, path)
+    val pl = Similarity.ivfTopKPersisted(spark, path, q, "vec_id", "embedding",
+        5, nprobe = 2)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(pl.contains("PartitionFilters") && pl.contains("cent_id"),
+      "probe must reach the lists scan as a partition predicate")
+  }
 }

@@ -242,4 +242,22 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Long, Long)].collect()
     assert(tied.forall { case (_, l, n) => l == 3L && n == 3L })
   }
+
+  test("persisted IVF index: probe from disk == in-memory ivfTopKWith " +
+      "row-for-row") {
+    import graft.ops.Similarity
+    import org.apache.spark.sql.functions._
+    val e = graft.io.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter(col("vec_id") % 100 === 0)
+    val cents = Similarity.trainKMeans(e, "vec_id", "embedding", k = 8, iters = 2)
+    val path = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    Similarity.writeIvfIndex(e, "vec_id", "embedding", cents, path)
+    val mem = Similarity.ivfTopKWith(q, e, "vec_id", "embedding", 5, cents, nprobe = 3)
+      .collect().map(_.toSeq).toSet
+    val disk = Similarity.ivfTopKPersisted(spark, path, q, "vec_id", "embedding",
+        5, nprobe = 3)
+      .collect().map(_.toSeq).toSet
+    assert(disk == mem)
+    assert(mem.nonEmpty)
+  }
 }
