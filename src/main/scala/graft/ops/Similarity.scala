@@ -417,10 +417,15 @@ object Similarity {
       .join(broadcast(cents), expr("true"))
       .withColumn("_csim",
         cosineWithNorms(dot(col("_v"), col("cent_vec")), col("_n"), col("cent_n")))
-    val w = Window.partitionBy(col("cid")).orderBy(col("_csim").desc, col("cent_id").asc)
-    scored.withColumn("_crk", row_number().over(w))
-      .filter(col("_crk") === 1)
-      .select(col("cid"), col("_v"), col("_n"), col("cent_id"))
+    // argmax via hash agg (map-side combine folds the k candidate rows
+    // per vector before any shuffle — the trainKMeans assignment
+    // discipline; a per-cid window sort here would re-sort the whole
+    // corpus ×k). Ties to the SMALLER centroid id, same as ivfTopKWith.
+    scored.groupBy(col("cid"))
+      .agg(max_by(struct(col("_v"), col("_n"), col("cent_id")),
+        struct(col("_csim"), (-col("cent_id")).as("_nid"))).as("_best"))
+      .select(col("cid"), col("_best._v").as("_v"),
+        col("_best._n").as("_n"), col("_best.cent_id").as("cent_id"))
       .write.mode("overwrite").partitionBy("cent_id")
       .parquet(s"$path/lists")
   }
