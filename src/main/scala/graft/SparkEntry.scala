@@ -764,6 +764,41 @@ object SparkEntry {
       adjacent.unionByName(prefix).orderBy("kind", "id_a")
     }),
 
+    // X3 — b-bit minwise signatures (one LONG per doc, 64× smaller
+    // than the full 64-slot signature): population-mean estimates of
+    // Jaccard from the packed bits vs the full signature vs exact
+    // shingle Jaccard, over a planted NEAR population (every doc vs
+    // its one-token-appended twin) and a FAR population (doc i vs
+    // i+150). Means ride exact integer micros (hash-replayable); the
+    // two estimator verdicts pin measured bands (BENCH_NOTES round 9).
+    "x3_bbit_minhash" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("text"))
+      val twins = base.select((col("doc_id") + 100000L).as("doc_id"),
+        concat(col("text"), lit(" trailing twin marker token")).as("text"))
+      val corpus = base.unionByName(twins)
+      val near = base.select(col("doc_id").as("id_a"),
+        (col("doc_id") + 100000L).as("id_b"))
+      val far = base.filter(col("doc_id") < 150)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 150L).as("id_b"))
+      val est = Dedup.bbitMinhashEstimate(corpus, "doc_id", "text",
+        near.unionByName(far))
+      est.withColumn("kind",
+          when(col("id_b") >= 100000L, "near").otherwise("far"))
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n_pairs"),
+          call_function("div", sum(col("jaccard_exact_micro")),
+            count(lit(1))).as("mean_exact_micro"),
+          call_function("div", sum(col("est_full_micro")),
+            count(lit(1))).as("_mf"),
+          call_function("div", sum(col("est_bbit_micro")),
+            count(lit(1))).as("_mb"))
+        .select(col("kind"), col("n_pairs"), col("mean_exact_micro"),
+          (abs(col("_mf") - col("mean_exact_micro")) <= 60000L).as("full_close"),
+          (abs(col("_mb") - col("mean_exact_micro")) <= 120000L).as("bbit_close"))
+        .orderBy("kind")
+    }),
+
     "x3_ngram_jaccard" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       val a = d.select(col("doc_id").as("id_a"), Dedup.wordShingles(lower(col("text")), 3).as("_sa"))
@@ -6379,6 +6414,41 @@ object SparkEntry {
         |SELECT kind, id_a, id_b, CAST(c AS BIGINT) AS containment_micro
         |FROM (SELECT * FROM adj UNION ALL SELECT * FROM pre)
         |ORDER BY kind, id_a""".stripMargin,
+
+    // replay of the pair populations and EXACT mean Jaccard (trunc-
+    // micros, per-pair div then mean div, matching the Spark side);
+    // the two estimator verdicts ride booleans (minhash draws are not
+    // SQL-replayable — same convention as the other minhash gates)
+    "x3_bbit_minhash" ->
+      """WITH base AS (
+        |  SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id < 300),
+        |all_docs AS (
+        |  SELECT doc_id, t FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 100000, t || ' trailing twin marker token' FROM base),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) >= 3 THEN
+        |      list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |    ELSE [array_to_string(w, ' ')] END AS s
+        |  FROM (SELECT doc_id, string_split_regex(t, '\s+') AS w
+        |        FROM all_docs) q),
+        |pairs AS (
+        |  SELECT doc_id AS id_a, doc_id + 100000 AS id_b, 'near' AS kind
+        |  FROM base
+        |  UNION ALL
+        |  SELECT doc_id, doc_id + 150, 'far' FROM base WHERE doc_id < 150),
+        |j AS (
+        |  SELECT p.kind,
+        |    (CAST(len(list_intersect(a.s, b.s)) AS BIGINT) * 1000000) //
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jx
+        |  FROM pairs p JOIN sh a ON a.doc_id = p.id_a
+        |    JOIN sh b ON b.doc_id = p.id_b)
+        |SELECT kind, count(*) AS n_pairs,
+        |  CAST(sum(jx) // count(*) AS BIGINT) AS mean_exact_micro,
+        |  TRUE AS full_close, TRUE AS bbit_close
+        |FROM j GROUP BY kind ORDER BY kind""".stripMargin,
 
     "x3_ngram_jaccard" ->
       """WITH sh AS (

@@ -312,6 +312,58 @@ object Dedup {
       .select((Seq(col("id_a"), col("id_b")) ++ matchCols.map(col)): _*)
   }
 
+  /** b-BIT MINWISE estimates (Li & König 2010) — the signature-
+    * compression end of the MinHash family: keep only the LOWEST BIT
+    * of each of 64 minhash slots, so a document's whole signature is
+    * ONE LONG (8 bytes vs 8·64 = 512 for the full signature — the
+    * storage ratio that decides whether a planet-scale dedup index
+    * fits in memory). For b=1 the bit-match probability is
+    * ½ + ½·J, so Ĵ_bbit = 2·(matchFrac − ½); the full-signature
+    * estimate Ĵ_full = matching-slot fraction rides along for
+    * comparison, as does exact shingle Jaccard. Per-pair variance at
+    * b=1 is ~4× the full estimate's — b-bit buys storage with more
+    * hashes, not a free lunch — which is why the gate pins MEANS over
+    * a pair population, not single pairs. All three estimates emitted
+    * in trunc-micros (integer div — engine-exact). `pairs` must be
+    * (id_a, id_b); the 64-slot family is fixed (one packed long). */
+  def bbitMinhashEstimate(df: DataFrame, id: String, text: String,
+      pairs: DataFrame, shingleK: Int = 3): DataFrame = {
+    val n = 64
+    val shingled = df.select(col(id).as("_id"),
+        graft.expr.WordShingleHashes(col(text), shingleK, distinct = true).as("_sh"))
+      .withColumn("_nsh", size(col("_sh")))
+    val hashes = shingled.select(col("_id"), explode(col("_sh")).as("_h"))
+    val minAggs = (0 until n).map(i => min(permutedHash(i, col("_h"))).as(s"_m$i"))
+    val sig = hashes.groupBy(col("_id"))
+      .agg(minAggs.head, minAggs.tail: _*)
+      .select(col("_id"),
+        array((0 until n).map(i => col(s"_m$i")): _*).as("_sig"),
+        // pack bit i = lowest bit of slot i into one long
+        (0 until n).map(i => (col(s"_m$i").bitwiseAND(lit(1L))) * lit(1L << i))
+          .reduce(_ + _).as("_bbit"))
+    val a = shingled.join(sig, "_id").select(col("_id").as("id_a"),
+      col("_sh").as("_sha"), col("_nsh").as("_na"),
+      col("_sig").as("_siga"), col("_bbit").as("_ba"))
+    val b = shingled.join(sig, "_id").select(col("_id").as("id_b"),
+      col("_sh").as("_shb"), col("_nsh").as("_nb"),
+      col("_sig").as("_sigb"), col("_bbit").as("_bb"))
+    pairs.join(a, "id_a").join(b, "id_b")
+      .withColumn("_inter", size(array_intersect(col("_sha"), col("_shb"))).cast("long"))
+      .withColumn("jaccard_exact_micro",
+        call_function("div", col("_inter") * 1000000L,
+          col("_na") + col("_nb") - col("_inter")))
+      .withColumn("_slots", size(filter(
+        zip_with(col("_siga"), col("_sigb"), (x, y) => x === y), m => m)).cast("long"))
+      .withColumn("est_full_micro",
+        call_function("div", col("_slots") * 1000000L, lit(n.toLong)))
+      .withColumn("_bits",
+        lit(n.toLong) - bit_count(col("_ba").bitwiseXOR(col("_bb"))))
+      .withColumn("est_bbit_micro",
+        call_function("div", col("_bits") * 2000000L, lit(n.toLong)) - 1000000L)
+      .select(col("id_a"), col("id_b"), col("jaccard_exact_micro"),
+        col("est_full_micro"), col("est_bbit_micro"))
+  }
+
   /** Pointer-jumping clusters with member counts — the common tail of
     * every dedup-clustering gate: (id, cluster = min member id,
     * cluster_size). */
