@@ -359,4 +359,24 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(Dedup.hammingPairs(far, "id", "fp", maxHamming = 8,
       nBlocks = 9).count() == 0)
   }
+
+  test("b-bit minwise: exact duplicates estimate 1.0 in every channel; " +
+      "disjoint docs sit near 0 in expectation") {
+    val d = Seq(
+      (1L, base), (2L, base),        // exact dup pair
+      (3L, other), (4L, other)       // another dup pair, disjoint from 1/2
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L), (1L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.bbitMinhashEstimate(d, "doc_id", "text", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // identical docs: identical signatures -> every estimator says 1.0
+    assert(out((1L, 2L)) == ((1000000L, 1000000L, 1000000L)))
+    assert(out((3L, 4L)) == ((1000000L, 1000000L, 1000000L)))
+    // disjoint docs: exact 0; estimators are unbiased draws around 0
+    // (b-bit per-pair sigma at 64 bits is 0.125 — allow 4 sigma)
+    val (jx, mf, mb) = out((1L, 3L))
+    assert(jx == 0L)
+    assert(math.abs(mf) <= 500000L && math.abs(mb) <= 500000L)
+  }
 }
