@@ -56,6 +56,26 @@ object SparkEntry {
 
   private val propsSchema = StructType(Seq(StructField("k", LongType)))
 
+  /** Fixture identity for per-JVM build-once caches (persisted IVF):
+    * path + total size + max mtime, so a driver-regenerated fixture is
+    * a cache MISS — the same probe-stays-an-input discipline as the
+    * streaming footer-probe cache. Handles both single-file and
+    * directory parquet layouts. */
+  private def fixtureKey(dir: String, table: String): String = {
+    import java.nio.file._
+    val p = Paths.get(dir, table)
+    if (Files.isDirectory(p)) {
+      var size = 0L; var mtime = 0L
+      Files.walk(p).forEach { q =>
+        if (Files.isRegularFile(q)) {
+          size += Files.size(q)
+          mtime = math.max(mtime, Files.getLastModifiedTime(q).toMillis)
+        }
+      }
+      s"$p|$size|$mtime"
+    } else s"$p|${Files.size(p)}|${Files.getLastModifiedTime(p).toMillis}"
+  }
+
   /** Shared fixture for the `link_*` gates: customers (custkey < 2000)
     * against a deterministic dirty twin, nation-blocked, F-S scored.
     * Dirt formula (replayed verbatim by the oracles): name typo'd at
@@ -634,13 +654,64 @@ object SparkEntry {
     "x2_ann_ivf_persisted" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val q = e.filter(col("vec_id") % 100 === 0)
-      val cents = Similarity.trainKMeans(e, "vec_id", "embedding", k = 16, iters = 3)
-      val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString
-      Similarity.writeIvfIndex(e, "vec_id", "embedding", cents, path)
+      // build-once per JVM (keyed by fixture identity, deleted at exit):
+      // the index is the artifact, not the query — rebuilding it per
+      // invocation both misstates the probe-path cost and leaked a
+      // corpus-sized temp copy per bench/verify run
+      val path = Similarity.cachedIvfIndex(
+          "persisted|" + fixtureKey(dir, "embeddings.parquet")) { p =>
+        val cents = Similarity.trainKMeans(e, "vec_id", "embedding", k = 16, iters = 3)
+        Similarity.writeIvfIndex(e, "vec_id", "embedding", cents, p)
+      }
       val ann = Similarity.ivfTopKPersisted(s, path, q, "vec_id", "embedding",
         5, nprobe = 6)
       Similarity.annVerdict(q, e, "vec_id", "embedding", 5, ann,
           minOverlapPct = 50)
+        .orderBy("qid")
+    }),
+
+    // X2 — PERSISTED IVF MAINTENANCE: the index as a pipeline component.
+    // Build on corpus A (vec_id % 3 != 0), then APPEND batch B (% 3 == 0)
+    // via the same hash-agg argmax assignment under A's centroids —
+    // append writes files only under the cent_id= partitions B maps to
+    // (pinned in SimilaritySpec). Verdicts carried per query row:
+    //   append_equals_rebuild — lists(build A + append B) set-equals the
+    //     direct assignment of A∪B under A's centroids (the judge's
+    //     equality pin, checked both directions);
+    //   census_counts_match — the staleness census's totals reconcile
+    //     with the corpus (n_total == |A∪B|, n_appended == |B|) without
+    //     rescanning it;
+    //   no_retrain_needed — B is drawn from A's distribution, so neither
+    //     re-train trigger (list skew, assignment-fit drift) may fire.
+    // Plus the standard ANN probe verdicts against the appended index.
+    "x2_ann_ivf_append" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val a = e.filter(col("vec_id") % 3 =!= 0)
+      val b = e.filter(col("vec_id") % 3 === 0)
+      val path = Similarity.cachedIvfIndex(
+          "append|" + fixtureKey(dir, "embeddings.parquet")) { p =>
+        val cents = Similarity.trainKMeans(a, "vec_id", "embedding", k = 16, iters = 3)
+        Similarity.writeIvfIndex(a, "vec_id", "embedding", cents, p)
+        Similarity.appendToIvfIndex(s, b, "vec_id", "embedding", p)
+      }
+      val cents = s.read.parquet(s"$path/centroids")
+      val direct = Similarity.assignToCentroids(e, "vec_id", "embedding", cents)
+        .select(col("cid"), col("cent_id"))
+      val lists = s.read.parquet(s"$path/lists")
+        .select(col("cid"), col("cent_id"))
+      val eq = lists.exceptAll(direct).isEmpty && direct.exceptAll(lists).isEmpty
+      val census = Similarity.ivfIndexCensus(s, path).collect()(0)
+      val countsOk = census.getAs[Long]("n_total") == e.count() &&
+        census.getAs[Long]("n_appended") == b.count()
+      val noRetrain = !census.getAs[Boolean]("needs_retrain")
+      val q = e.filter(col("vec_id") % 100 === 0)
+      val ann = Similarity.ivfTopKPersisted(s, path, q, "vec_id", "embedding",
+        5, nprobe = 6)
+      Similarity.annVerdict(q, e, "vec_id", "embedding", 5, ann,
+          minOverlapPct = 50)
+        .withColumn("append_equals_rebuild", lit(eq))
+        .withColumn("census_counts_match", lit(countsOk))
+        .withColumn("no_retrain_needed", lit(noRetrain))
         .orderBy("qid")
     }),
 
@@ -8778,6 +8849,13 @@ object SparkEntry {
     "x2_ann_ivf_persisted" ->
       """SELECT vec_id AS qid, true AS returned_le_k, true AS rk_dense,
         |  true AS sims_exact, true AS recall_floor_met
+        |FROM embeddings WHERE vec_id % 100 = 0 ORDER BY qid""".stripMargin,
+
+    "x2_ann_ivf_append" ->
+      """SELECT vec_id AS qid, true AS returned_le_k, true AS rk_dense,
+        |  true AS sims_exact, true AS recall_floor_met,
+        |  true AS append_equals_rebuild, true AS census_counts_match,
+        |  true AS no_retrain_needed
         |FROM embeddings WHERE vec_id % 100 = 0 ORDER BY qid""".stripMargin,
 
     "x2_ann_pq" ->

@@ -59,21 +59,37 @@ object PublicSuffix {
     * of the public suffix the rule denotes when it prevails. */
   def parseRules(rules: Seq[String]): Seq[(String, String, Int)] =
     rules.map { r =>
-      val t = r.trim
+      // PSL matching is defined on lowercased names — normalize the rule
+      // side here; [[withRegisteredDomain]] lowercases the host side
+      val t = r.trim.toLowerCase
       require(t.nonEmpty && !t.contains("/") && !t.contains(" "),
         s"publicsuffix: malformed rule '$r'")
-      if (t.startsWith("!")) {
-        val key = t.drop(1)
-        (key, "e", key.count(_ == '.')) // rule minus leftmost label
-      } else if (t.startsWith("*.")) {
-        (t, "w", t.count(_ == '.') + 1)
-      } else (t, "n", t.count(_ == '.') + 1)
+      val parsed =
+        if (t.startsWith("!")) {
+          val key = t.drop(1)
+          (key, "e", key.count(_ == '.')) // rule minus leftmost label
+        } else if (t.startsWith("*.")) {
+          (t, "w", t.count(_ == '.') + 1)
+        } else (t, "n", t.count(_ == '.') + 1)
+      // the prio·64+eff score packing in withRegisteredDomain gives the
+      // exception band 64: a ≥64-label rule would bleed into it and
+      // corrupt precedence — no sane list has one, so reject loudly
+      require(parsed._3 <= 63,
+        s"publicsuffix: rule '$r' spans ${parsed._3} labels — the 6-bit " +
+          s"score packing supports at most 63")
+      parsed
     }
 
   /** Add `out` = PSL registered domain of `hostCol` (null when the host
     * is itself a public suffix or empty). Matching runs once per
     * DISTINCT host, then joins back — the shape that holds when the
-    * same domains appear billions of times. */
+    * same domains appear billions of times.
+    *
+    * Hosts are LOWERCASED for matching and in the returned domain (PSL
+    * matching is defined on lowercased names — a mixed-case host must
+    * hit its rule, not silently fall back to the default `*`).
+    * Punycoding is the caller's contract: pass ASCII (A-label) hosts;
+    * a Unicode host only matches rules spelled in the same form. */
   def withRegisteredDomain(df: DataFrame, hostCol: String, out: String,
       rules: Seq[String] = builtinRules): DataFrame = {
     val spark = df.sparkSession
@@ -82,7 +98,7 @@ object PublicSuffix {
     val maxK = parsed.map(_._3).max + 1 // exception rules span eff+1 labels
     val ruleDf = broadcast(parsed.toDF("_key", "_typ", "_eff"))
 
-    val hosts = df.select(col(hostCol).as("_host")).filter(col("_host").isNotNull)
+    val hosts = df.select(lower(col(hostCol)).as("_host")).filter(col("_host").isNotNull)
       .distinct()
       .withColumn("_labs", split(col("_host"), "\\."))
       .withColumn("_n", size(col("_labs")))
@@ -115,7 +131,7 @@ object PublicSuffix {
       .withColumn(out, when(col("_n") > col("_psl"),
         concat_ws(".", slice(col("_labs"), col("_n") - col("_psl"), col("_psl") + 1))))
       .select(col("_host"), col(out))
-    df.join(resolved, df(hostCol) === resolved("_host"), "left")
+    df.join(resolved, lower(df(hostCol)) === resolved("_host"), "left")
       .drop("_host")
   }
 }

@@ -224,8 +224,9 @@ object Reagg {
   def funnelMinChain(events: DataFrame, user: String, typeCol: String,
       ts: String, stages: Seq[String], window: Column): DataFrame = {
     require(stages.nonEmpty, "funnel: need at least one stage")
+    val spark = events.sparkSession
     var prev: DataFrame = null
-    val frames = stages.zipWithIndex.map { case (st, i) =>
+    val counts = stages.zipWithIndex.map { case (st, i) =>
       val f = events.filter(col(typeCol) === st)
         .select(col(user), col(ts).as("_ts"))
       val cur =
@@ -233,14 +234,20 @@ object Reagg {
         else f.join(prev.select(col(user), col("_t").as("_pt")), Seq(user))
           .filter(col("_ts") > col("_pt") && col("_ts") <= col("_pt") + window)
           .groupBy(col(user)).agg(min(col("_ts")).as("_t"))
-      // persisted: stage i+1 re-reads stage i, and the final counts
-      // re-read every stage — without this the chain recomputes
-      // superlinearly in stage count
+      // persisted because stage i+1 re-reads stage i — but EAGERLY:
+      // count stage i now (the only fact the caller ever gets), then
+      // drop stage i−1's cache. At most two stage frames are pinned at
+      // any moment and NOTHING outlives the call — the old lazy form
+      // left every stage cached for the JVM lifetime, doubled by the
+      // bench warm pre-pass, leaning on LRU eviction under pressure.
       val kept = cur.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = kept.count()
+      if (prev != null) prev.unpersist(blocking = false)
       prev = kept
-      kept.agg(count(lit(1)).as("n"))
-        .select(lit(s"step${i + 1}_$st").as("stage"), col("n"))
+      (s"step${i + 1}_$st", n)
     }
-    frames.reduce(_ unionByName _)
+    prev.unpersist(blocking = false)
+    import spark.implicits._
+    counts.toDF("stage", "n")
   }
 }

@@ -408,26 +408,166 @@ object Similarity {
     * makes a disk-resident 100 TB index probeable. Vector norms are
     * precomputed into the lists (probe pays one dot per candidate,
     * nothing else). */
+  /** Assign each corpus vector to its nearest centroid — argmax cosine
+    * via hash agg (map-side combine folds the k candidate rows per
+    * vector before any shuffle — the trainKMeans assignment discipline;
+    * a per-cid window sort here would re-sort the whole corpus ×k).
+    * Ties to the SMALLER centroid id, same as ivfTopKWith. Returns
+    * (cid, _v, _n, cent_id, _sim_micro) — the winning cosine floored at
+    * 1e-6 into a long so per-list fit statistics sum EXACTLY (integer
+    * addition is associative; the census is engine-replayable).
+    * Zero-norm vectors (degenerate embeddings — an upstream-model-bug
+    * signature a 100 TB ingest WILL see) assign with fit 0 and tie to
+    * the smallest centroid id instead of dividing by zero; the census's
+    * fit trigger is what surfaces a batch full of them. */
+  def assignToCentroids(corpus: DataFrame, id: String, vec: String,
+      centroids: DataFrame): DataFrame =
+    corpus.select(col(id).as("cid"), col(vec).as("_v"),
+        normSq(col(vec)).as("_n"))
+      .join(broadcast(centroids), expr("true"))
+      .withColumn("_csim",
+        when(col("_n") === 0.0 || col("cent_n") === 0.0, lit(0.0))
+          .otherwise(
+            cosineWithNorms(dot(col("_v"), col("cent_vec")), col("_n"), col("cent_n"))))
+      .groupBy(col("cid"))
+      .agg(max_by(struct(col("_v"), col("_n"), col("cent_id"), col("_csim")),
+        struct(col("_csim"), (-col("cent_id")).as("_nid"))).as("_best"))
+      .select(col("cid"), col("_best._v").as("_v"),
+        col("_best._n").as("_n"), col("_best.cent_id").as("cent_id"),
+        floor(col("_best._csim") * 1000000L).cast("long").as("_sim_micro"))
+
   def writeIvfIndex(corpus: DataFrame, id: String, vec: String,
       centroids: DataFrame, path: String): Unit = {
     centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    val cents = centroids
-    val scored = corpus.select(col(id).as("cid"), col(vec).as("_v"),
-        normSq(col(vec)).as("_n"))
-      .join(broadcast(cents), expr("true"))
-      .withColumn("_csim",
-        cosineWithNorms(dot(col("_v"), col("cent_vec")), col("_n"), col("cent_n")))
-    // argmax via hash agg (map-side combine folds the k candidate rows
-    // per vector before any shuffle — the trainKMeans assignment
-    // discipline; a per-cid window sort here would re-sort the whole
-    // corpus ×k). Ties to the SMALLER centroid id, same as ivfTopKWith.
-    scored.groupBy(col("cid"))
-      .agg(max_by(struct(col("_v"), col("_n"), col("cent_id")),
-        struct(col("_csim"), (-col("cent_id")).as("_nid"))).as("_best"))
-      .select(col("cid"), col("_best._v").as("_v"),
-        col("_best._n").as("_n"), col("_best.cent_id").as("cent_id"))
+    val assigned = assignToCentroids(corpus, id, vec, centroids)
+    assigned
+      .select(col("cid"), col("_v"), col("_n"), col("cent_id"))
       .write.mode("overwrite").partitionBy("cent_id")
       .parquet(s"$path/lists")
+    // per-list fit statistics at BUILD time — the baseline the staleness
+    // census ([[ivfIndexCensus]]) compares appended batches against
+    assigned.groupBy(col("cent_id"))
+      .agg(count(lit(1)).as("n"), sum(col("_sim_micro")).as("sum_sim_micro"))
+      .withColumn("phase", lit("build"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** INCREMENTAL index maintenance — the path that makes the persisted
+    * index a pipeline component instead of a one-shot artifact: new
+    * vectors are assigned to the EXISTING centroids (same hash-agg
+    * argmax as the build — `build(A) + append(B)` produces exactly the
+    * lists of `build(A ∪ B)` under A's centroids, the equality the
+    * x2_ann_ivf_append gate pins) and APPENDED to the partitioned
+    * layout — parquet append writes files only under the cent_id=
+    * partitions the batch actually maps to; untouched lists' files are
+    * never rewritten (pinned in SimilaritySpec). Per-list fit stats for
+    * the batch land in the stats table (phase="append") so
+    * [[ivfIndexCensus]] can measure drift without rescanning the
+    * corpus. A 100 TB ingest loop is: append batches cheaply, run the
+    * census, re-train + rebuild only when it says so. */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      newVecs: DataFrame, id: String, vec: String, path: String): Unit = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val assigned = assignToCentroids(newVecs, id, vec, cents)
+    assigned
+      .select(col("cid"), col("_v"), col("_n"), col("cent_id"))
+      .write.mode("append").partitionBy("cent_id")
+      .parquet(s"$path/lists")
+    assigned.groupBy(col("cent_id"))
+      .agg(count(lit(1)).as("n"), sum(col("_sim_micro")).as("sum_sim_micro"))
+      .withColumn("phase", lit("append"))
+      .coalesce(1).write.mode("append").parquet(s"$path/stats")
+  }
+
+  /** STALENESS CENSUS over a persisted index's stats table — O(lists)
+    * rows read, the corpus itself is never rescanned. Two re-train
+    * triggers, both from first principles:
+    *   - LIST SKEW: max list size / mean list size (micros). Probe cost
+    *     is driven by the probed lists' sizes; when growth concentrates
+    *     (data distribution moved past the trained centroids), the hot
+    *     list's probe cost diverges from the k-means-balanced design.
+    *   - ASSIGNMENT-FIT DRIFT: mean assignment cosine of appended
+    *     vectors vs the build baseline (micros). Appends that fit the
+    *     old centroids WORSE than the build corpus did mean the
+    *     centroids no longer describe the data — recall decays even if
+    *     sizes stay balanced.
+    * `needs_retrain` = skew over `maxSkewMicro` OR fit drop over
+    * `maxFitDropMicro`. Thresholds are policy, not truth, and the fit
+    * baseline has a MEASURED bias to calibrate against: the build fit
+    * is IN-SAMPLE (the centroids were trained on the build corpus), so
+    * even an append drawn from the same distribution shows a positive
+    * generalization gap — 0.05–0.14 cosine on the random fixtures
+    * (IvfMaintProbe, tri-scale). The 0.20 default sits above that gap
+    * (same-distribution appends never fire) while a genuinely misfit
+    * batch (SimilaritySpec's negated-vector case: fit goes negative,
+    * drop ≈ 0.6) fires unambiguously. Callers with real corpora should
+    * re-calibrate from their own first same-distribution append. All
+    * arithmetic is exact integer micros — deterministic,
+    * engine-replayable, oracle-friendly. */
+  def ivfIndexCensus(spark: org.apache.spark.sql.SparkSession, path: String,
+      maxSkewMicro: Long = 4000000L,
+      maxFitDropMicro: Long = 200000L): DataFrame = {
+    val stats = spark.read.parquet(s"$path/stats")
+    val totals = stats.agg(
+      countDistinct(col("cent_id")).as("n_lists"),
+      sum(col("n")).as("n_total"),
+      sum(when(col("phase") === "append", col("n")).otherwise(0L))
+        .as("n_appended"),
+      sum(when(col("phase") === "build", col("sum_sim_micro")).otherwise(0L))
+        .as("_bsum"),
+      sum(when(col("phase") === "build", col("n")).otherwise(0L)).as("_bn"),
+      sum(when(col("phase") === "append", col("sum_sim_micro")).otherwise(0L))
+        .as("_asum"))
+    // per-list sizes roll build+append rows up per cent_id first — max
+    // over raw stat rows would miss a list fed by many small appends
+    val perList = stats.groupBy(col("cent_id")).agg(sum(col("n")).as("_ln"))
+      .agg(max(col("_ln")).as("max_list_n"), avg(col("_ln")).as("_avg"))
+    totals.join(perList, expr("true"))
+      .withColumn("skew_micro",
+        (col("max_list_n") * 1000000L / col("_avg")).cast("long"))
+      .withColumn("build_fit_micro", (col("_bsum") / col("_bn")).cast("long"))
+      .withColumn("append_fit_micro",
+        when(col("n_appended") > 0, (col("_asum") / col("n_appended")).cast("long")))
+      .withColumn("fit_drop_micro",
+        coalesce(col("build_fit_micro") - col("append_fit_micro"), lit(0L)))
+      .withColumn("needs_retrain",
+        col("skew_micro") > maxSkewMicro ||
+          col("fit_drop_micro") > maxFitDropMicro)
+      .select(col("n_lists"), col("n_total"), col("n_appended"),
+        col("max_list_n"), col("skew_micro"), col("build_fit_micro"),
+        col("append_fit_micro"), col("fit_drop_micro"), col("needs_retrain"))
+  }
+
+  /** Per-JVM build-once registry for scratch persisted indexes: the
+    * gate/bench/spec harnesses previously wrote a fresh corpus-sized
+    * index into a new temp dir on EVERY invocation and never deleted
+    * any of them (the bench warm pre-pass plus timed runs left several
+    * copies per sweep). Keyed by the caller's fixture identity (path +
+    * size + mtime, so a regenerated fixture is a cache MISS), built
+    * once per JVM, and every registered dir is recursively deleted at
+    * JVM exit. This is also the honest bench shape for a persisted
+    * index: build once untimed, probe many — a production pipeline
+    * never rebuilds per query. */
+  private val indexRegistry =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private lazy val indexCleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      indexRegistry.values.forEach { p =>
+        try {
+          java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(q => { try java.nio.file.Files.delete(q)
+              catch { case _: Exception => () } })
+        } catch { case _: Exception => () }
+      }
+    }))
+  def cachedIvfIndex(key: String)(build: String => Unit): String = {
+    indexCleanupHook
+    indexRegistry.computeIfAbsent(key, { _ =>
+      val p = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+      build(p)
+      p
+    })
   }
 
   /** Probe a [[writeIvfIndex]] index: rank the (small, broadcast)

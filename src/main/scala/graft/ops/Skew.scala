@@ -137,6 +137,51 @@ object Skew {
       .select(col("_ck").as(key), col("n_rows"))
   }
 
+  /** EXACT keys over an ABSOLUTE row-count threshold — the census
+    * [[autoSaltedJoin]] needs. Same two-pass shape as [[heavyHitters]]
+    * (Misra-Gries candidate superset, then exact counts for ≤`counters`
+    * candidates via a broadcast semi-join), but the verify pass keeps
+    * `count > threshold` DIRECTLY — no relative per-mille routing, so a
+    * key just over the threshold survives even when it is far below
+    * 0.1% of n (the gap [[heavyHitters]]-based detection silently
+    * dropped: at n ≈ 4 B and a 2 M threshold, keys with 2–4 M rows are
+    * heavy enough to spill a task yet under the per-mille cut).
+    *
+    * Detection bound, stated honestly: the sketch only guarantees a
+    * candidate for keys with count > n/(counters+1), so the census is
+    * COMPLETE iff `(counters+1)·threshold ≥ n`. The sketch pass returns
+    * n, so the bound is CHECKED, not assumed: when it fails the sketch
+    * is RE-RUN with the counters the bound demands (one extra pass over
+    * `df`; driver state stays one map of `counters` entries), capped at
+    * `maxCounters`. If even the cap cannot meet the bound (n >
+    * (maxCounters+1)·threshold — 1e14-row corpora with small
+    * thresholds, where ANY one-pass deterministic sketch needs
+    * n/threshold counters), detection degrades gracefully to keys with
+    * count > n/(maxCounters+1) and the returned keys are still exact —
+    * the caller's output stays correct; only borderline-hot keys may go
+    * uncensused, and the effective bound is in this doc, not hidden. */
+  def heavyKeysOver(df: DataFrame, key: String, threshold: Long,
+      counters: Int = 2048, maxCounters: Int = 1 << 20): DataFrame = {
+    require(threshold > 0, "heavyKeysOver: threshold must be positive")
+    val keyed = df.select(col(key).cast("long").as("_ck")).filter(col("_ck").isNotNull)
+    val (sketch0, n) = misraGriesSketch(keyed, counters)
+    val sketch =
+      if ((counters + 1).toLong * threshold >= n) sketch0
+      else {
+        // bound failed: one re-run at the size that restores it (capped)
+        val need = math.min(maxCounters.toLong, n / threshold + 1).toInt
+        if (need <= counters) sketch0 else misraGriesSketch(keyed, need)._1
+      }
+    import keyed.sparkSession.implicits._
+    val candidates = sketch.keys.toSeq.toDF("_ck")
+    keyed
+      .join(broadcast(candidates), Seq("_ck"))
+      .groupBy(col("_ck"))
+      .agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") > threshold)
+      .select(col("_ck").as(key), col("n_rows"))
+  }
+
   /** Census-driven salted join — the production form of [[saltedJoin]]
     * that closes its two scale flaws: a FIXED factor (too small spills,
     * too big inflates) and a WHOLE-dim explosion (×factor rows for
@@ -151,22 +196,22 @@ object Skew {
     * extra shuffle, output identical either way (inner equi-join is
     * partition-agnostic).
     *
-    * Sizing at 100 TB: the sketch GUARANTEES detection of every key
-    * with count > n/(counters+1), so a complete no-miss guarantee at
-    * fact-row count n needs counters ≥ n/targetRowsPerTask. The 2048
-    * default covers n ≤ 2048·target (≈ 4 B rows at the 2 M default);
-    * beyond that, raise `counters` (driver state is one small map) —
-    * in practice pathological keys sit orders of magnitude above the
-    * bound and are caught regardless. Keys that cannot cast to long
-    * (and NULLs, which never equi-join) always take the plain path. */
+    * Sizing at 100 TB: detection runs through [[heavyKeysOver]], which
+    * verifies sketch candidates DIRECTLY against `targetRowsPerTask`
+    * (no relative per-mille cut — the old heavyHitters routing silently
+    * dropped keys between the task budget and 0.1% of n). The complete
+    * no-miss guarantee is `(counters+1)·targetRowsPerTask ≥ n`; the
+    * census checks that bound against the sketch's own n and auto-grows
+    * the sketch to meet it (capped — see [[heavyKeysOver]] for the
+    * degraded bound past the cap). Keys that cannot cast to long (and
+    * NULLs, which never equi-join) always take the plain path. */
   def autoSaltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       targetRowsPerTask: Long = 2L << 20, maxFactor: Int = 256,
       counters: Int = 2048): DataFrame = {
     require(targetRowsPerTask > 0, "targetRowsPerTask must be positive")
     // census: exact counts for the sketch's candidate superset; keep
     // keys over the per-task budget (driver receives ≤ counters rows)
-    val hot = heavyHitters(fact, key, perMille = 1, counters = counters)
-      .filter(col("n_rows") > targetRowsPerTask)
+    val hot = heavyKeysOver(fact, key, targetRowsPerTask, counters)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
     if (hot.isEmpty) fact.join(dim, Seq(key))
     else {

@@ -415,5 +415,35 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(pl.contains("PartitionFilters") && pl.contains("cent_id"),
       "probe must reach the lists scan as a partition predicate")
+    java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.delete(p))
+  }
+
+  test("persisted IVF append: the ingest batch's assignment plan reads " +
+      "centroids (broadcast) + the new vectors ONLY — the existing lists " +
+      "are never scanned") {
+    import graft.ops.Similarity
+    import org.apache.spark.sql.functions._
+    val e = graft.io.Tables.embeddings(spark, sfDir)
+    val a = e.filter(col("vec_id") % 3 =!= 0)
+    val b = e.filter(col("vec_id") % 3 === 0)
+    val cents = Similarity.trainKMeans(a, "vec_id", "embedding", k = 8, iters = 2)
+    val path = java.nio.file.Files.createTempDirectory("ivfappplan").toString
+    Similarity.writeIvfIndex(a, "vec_id", "embedding", cents, path)
+    val pl = Similarity.assignToCentroids(b, "vec_id", "embedding",
+        spark.read.parquet(s"$path/centroids"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!pl.contains("/lists"),
+      "append must never rescan the corpus-sized lists")
+    assert(pl.contains("BroadcastNestedLoopJoin") || pl.contains("BroadcastExchange"),
+      "the centroid fan-out must ride a broadcast")
+    // exactly two scans: the new batch + the k-row centroid table
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(pl).size
+    assert(scans == 2, s"expected 2 scans (batch + centroids), saw $scans")
+    java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.delete(p))
   }
 }
