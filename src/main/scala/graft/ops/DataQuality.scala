@@ -398,27 +398,39 @@ object DataQuality {
     * corpus statistics (per-source/language/domain counts are exactly
     * the quasi-identifier censuses k-anonymity flags). Count queries
     * have sensitivity 1, so noise ~ Laplace(1/epsilon) gives
-    * epsilon-DP. The noise is SEEDED and replayable: u = the group
-    * key's xxhash64 mapped to (0,1), noise = -(1/eps)·sign(u-½)·
-    * ln(1-2|u-½|) (inverse-CDF sampling) — deterministic across
-    * retries/engines, which is what makes the release auditable (a
-    * true production release would swap in a one-time secret seed;
-    * the MECHANISM and its calibration are what this op carries).
+    * epsilon-DP: noise = -(1/eps)·sign(u-½)·ln(1-2|u-½|) (inverse-CDF
+    * sampling) from a uniform draw u ∈ (0,1).
+    *
+    * THE DRAW IS A SEAM (`uniform`), and the privacy claim lives or
+    * dies on it:
+    *   - the DEFAULT is a deterministic draw from the group key through
+    *     the engine-portable multiplicative hash family the sampling
+    *     ops pin (not xxhash64 — DuckDB lacks it). It exists ONLY to
+    *     make the gate/oracle replayable. A deterministic draw keyed on
+    *     the public group key provides ZERO privacy if the release is
+    *     ever repeated — even with a secret seed, re-releasing lets an
+    *     observer difference the (identical) noise out. It is a test
+    *     fixture, not a mechanism.
+    *   - a PRODUCTION release must pass fresh randomness drawn once per
+    *     release, e.g. `uniform = Some(_ => rand())` — never reused,
+    *     never derived from released values. The epsilon calibration is
+    *     identical either way; only the draw changes.
     * Noised counts are rounded to 6 decimals; group keys with true
     * count 0 are absent (this is the known "presence leaks" caveat of
     * histogram DP — documented, not hidden). */
   def dpNoisedCounts(df: DataFrame, group: String, groupKey: Column,
-      epsilonMicro: Long, seed: Long = 42L): DataFrame = {
+      epsilonMicro: Long, seed: Long = 42L,
+      uniform: Option[Column => Column] = None): DataFrame = {
     require(epsilonMicro > 0, "dp: epsilon must be positive")
     val eps = epsilonMicro.toDouble / 1e6
     // groupKey must be an integer-valued function of the group column
-    // (the caller derives it) — noise seeding uses the engine-portable
-    // multiplicative hash family the sampling ops already pin, NOT
-    // xxhash64, so the oracle replays the identical draw
+    // (the caller derives it)
     val counts = df.groupBy(col(group), groupKey.as("_gk"))
       .agg(count(lit(1)).as("n_true"))
-    val h = ((col("_gk") % 1000003L + seed) * 2654435761L) % 2147483647L % 1000000L
-    val u = (h.cast("double") + lit(0.5)) / lit(1000000.0) // in (0,1)
+    val u = uniform.map(f => f(col("_gk"))).getOrElse {
+      val h = ((col("_gk") % 1000003L + seed) * 2654435761L) % 2147483647L % 1000000L
+      (h.cast("double") + lit(0.5)) / lit(1000000.0) // in (0,1)
+    }
     val centered = u - lit(0.5)
     val noise = -signum(centered) * log(lit(1.0) - lit(2.0) * abs(centered)) / lit(eps)
     counts

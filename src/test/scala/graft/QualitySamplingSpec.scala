@@ -470,6 +470,34 @@ class QualitySamplingSpec extends AnyFunSuite with SparkTestBase {
     assert(got == ((19L, 4L, 2L, 1L, 2L, 3L, 13L)))
   }
 
+  test("dpNoisedCounts: the uniform draw is a pluggable seam — a custom " +
+      "draw changes ONLY the noise, with the same Laplace calibration") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (0 until 100).map(i => (i.toLong, if (i % 4 == 0) "a" else "b"))
+      .toDF("id", "g")
+    // u = 0.75 everywhere → noise = -ln(1 - 2·0.25)/eps = ln(2)/eps, a
+    // closed form the seam must reproduce exactly
+    val eps = 0.5
+    val got = graft.ops.DataQuality.dpNoisedCounts(df, "g",
+        when(col("g") === "a", 0L).otherwise(1L), epsilonMicro = 500000L,
+        uniform = Some(_ => lit(0.75)))
+      .orderBy("g").as[(String, Long, Double)].collect()
+    val want = math.log(2.0) / eps
+    assert(got.length == 2)
+    assert(got.map(_._2).toSeq == Seq(25L, 75L))
+    got.foreach { case (_, n, noised) =>
+      assert(math.abs(noised - (n + want)) < 1e-6, s"noised=$noised n=$n")
+    }
+    // the production draw (fresh randomness) keeps schema + calibration;
+    // determinism is deliberately absent there, so assert shape only
+    val fresh = graft.ops.DataQuality.dpNoisedCounts(df, "g",
+        when(col("g") === "a", 0L).otherwise(1L), epsilonMicro = 500000L,
+        uniform = Some(_ => rand(7L)))
+      .collect()
+    assert(fresh.length == 2)
+  }
+
   test("fdCensus: holds / violated / null image counted") {
     import spark.implicits._
     val df = Seq((1L, Some("a")), (1L, Some("a")), (2L, Some("b")),
