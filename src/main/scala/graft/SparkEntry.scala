@@ -1756,6 +1756,69 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // X5 — MPEG-1 Layer III BIT RESERVOIR (the r9 top missing item
+    // closed): the same planted-spectra fixtures packed DENSELY across
+    // frame regions via encodeMp3Reservoir, so every tail frame's
+    // main_data_begin back-pointer is nonzero (the census column the
+    // oracle replays: n_reservoir_frames = n_frames − 1) — the regime
+    // nearly all real-world MP3 encoders emit. The decoder tracks the
+    // reservoir FIFO exactly like a production decoder; spectrum_exact
+    // pins bit-exact recovery of every planted line THROUGH the
+    // reservoir, tones_ok pins the synthesis chain — and MpegAudioSpec
+    // additionally pins reservoir-vs-flat PCM equality (the reservoir
+    // is pure transport).
+    "x5_decode_mp3_reservoir" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val nFrames = (2 + id % 3).toInt
+          val nGr = 2 * nFrames
+          val bv = if (id % 4 == 0) 16 else 0
+          def bands(g: Int): Seq[Int] = {
+            val sb1 = 2 + ((id + g) % 20).toInt
+            val sb2 = 23 + ((3 * id + g) % 8).toInt
+            Seq(sb1, sb2) ++
+              (if (bv > 0) Seq(((id + 2 * g) % 32).toInt / 18) else Nil)
+          }
+          val granules = (0 until nGr).map { g =>
+            val spec = new Array[Int](576)
+            val sb1 = 2 + ((id + g) % 20).toInt
+            spec(18 * sb1 + 4 + ((id + g) % 9).toInt) = 1
+            val sb2 = 23 + ((3 * id + g) % 8).toInt
+            spec(18 * sb2 + 4 + (g % 9)) = -1
+            if (bv > 0)
+              spec(((id + 2 * g) % 32).toInt) = if ((id + g) % 2 == 0) 1 else -1
+            spec
+          }
+          val gains = (0 until nGr).map(g => 198 + ((id + g) % 24).toInt)
+          val kbps = Array(160, 192, 224, 256)((id % 4).toInt)
+          val enc = graft.ops.MpegAudio.encodeMp3Reservoir(granules, gains,
+            kbps, bigValuesPairs = bv, withCrc = id % 3 == 0)
+          val census = graft.ops.MpegAudio.mp3ReservoirCensus(id, enc)
+          val nRes = census.count(_._2 > 0)
+          val spectra = graft.ops.MpegAudio.mp3StreamSpectra(id, enc)
+          val specOk = spectra.length == nGr &&
+            spectra.zipWithIndex.forall { case (xr, g) =>
+              val gain = math.pow(2.0, (gains(g) - 210) / 4.0)
+              (0 until 576).forall(i =>
+                math.abs(xr(i) - granules(g)(i) * gain) < 1e-9)
+            }
+          val pcm = graft.ops.MpegAudio.decodeMpegAudio(id, enc)
+          val tonesOk = graft.ops.MpegAudio.audioFingerprints(pcm)
+            .drop(1).forall { case (f, fp) =>
+              val planted = (math.max(0, 2 * f - 1) to
+                math.min(nGr - 1, 2 * f + 2)).flatMap(bands).toSet
+              planted(((fp >> 15) & 31).toInt)
+            }
+          (id, census.length, nRes, kbps, 48000, pcm.length.toLong,
+            specOk, tonesOk)
+        }
+        .toDF("doc_id", "n_frames", "n_reservoir_frames", "bitrate_kbps",
+          "sample_rate", "n_samples", "spectrum_exact", "tones_ok")
+        .orderBy("doc_id")
+    }),
+
     // X5 — ANIMATED GIF: the real "video" container of the family —
     // every frame decoded through its own LZW code stream, with
     // Graphic Control Extension timing (delay centiseconds) and
@@ -7468,6 +7531,21 @@ object SparkEntry {
     "x5_decode_mp3" ->
       """SELECT doc_id,
         |  CAST(2 + doc_id % 3 AS INTEGER) AS n_frames,
+        |  CAST([160,192,224,256][CAST(doc_id % 4 AS INTEGER) + 1]
+        |    AS INTEGER) AS bitrate_kbps,
+        |  CAST(48000 AS INTEGER) AS sample_rate,
+        |  CAST(1152 * (2 + doc_id % 3) AS BIGINT) AS n_samples,
+        |  TRUE AS spectrum_exact, TRUE AS tones_ok
+        |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,
+
+    // Reservoir-stream replay: dense packing makes every tail frame's
+    // main_data_begin nonzero, so the reservoir census is a closed form
+    // of the frame count; decode verdicts ride booleans as in the flat
+    // gate.
+    "x5_decode_mp3_reservoir" ->
+      """SELECT doc_id,
+        |  CAST(2 + doc_id % 3 AS INTEGER) AS n_frames,
+        |  CAST(1 + doc_id % 3 AS INTEGER) AS n_reservoir_frames,
         |  CAST([160,192,224,256][CAST(doc_id % 4 AS INTEGER) + 1]
         |    AS INTEGER) AS bitrate_kbps,
         |  CAST(48000 AS INTEGER) AS sample_rate,

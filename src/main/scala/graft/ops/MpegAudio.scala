@@ -620,6 +620,7 @@ object MpegAudio {
     val total = frames.map(_.n_samples).sum
     val acc = new Array[Double](total + 1024)
     val mp3State = new Mp3State
+    val mp3Resv = new Mp3Reservoir
     var outBase = 0
     frames.foreach { fi =>
       val h = parseHeader(payload, fi.byte_off.toInt, docId)
@@ -635,7 +636,7 @@ object MpegAudio {
             s"(${h.sampleRate} Hz @ ${h.bitrateKbps} kbps, doc $docId)")
         decodeMp2Frame(br, acc, outBase, docId, payload, off, h.crcProtected)
       } else
-        decodeMp3Frame(payload, off, h, mp3State, acc, outBase, docId)
+        decodeMp3Frame(payload, off, h, mp3State, mp3Resv, acc, outBase, docId)
       outBase += fi.n_samples
     }
     java.util.Arrays.copyOfRange(acc, CascadeDelay, CascadeDelay + total)
@@ -890,29 +891,40 @@ object MpegAudio {
   }
 
   // ------------------------------------------------------------------
-  // Layer III (mono, long blocks, reservoir-free regime)
+  // Layer III (mono, long blocks)
   //
   // Scope — read before trusting this decoder on foreign files. What
   // is REAL: the full side-info grammar (ISO 11172-3 §2.4.1.7 mono
-  // layout, CRC-16 over the 136 side-info bits), scalefactor bit
-  // consumption for every scalefac_compress index, Huffman decode of
-  // the big-values region (spec table 1) and the count1 region (spec
-  // count1 table B — the fixed 4-bit complement code), requantization
-  // |ix|^(4/3)·2^((global_gain−210)/4), alias-reduction butterflies,
-  // the 36-point IMDCT with the long sine window, per-subband
-  // overlap-add, frequency inversion, and the shared polyphase
-  // synthesis. What fails LOUDLY by name: bit-reservoir streams
-  // (main_data_begin > 0), window switching (short/mixed blocks),
-  // nonzero decoded scalefactors (application needs the per-rate sfb
-  // boundary tables), preflag, big-values Huffman tables 2–31 (only
-  // the two tables whose code assignments are reconstructible with
-  // certainty from the public spec are carried — same no-foreign-
-  // validator honesty boundary as the Layer I/II prototype filter and
-  // the Table C.3 note in the module doc), and count1 table A. The
-  // encoder is a spectral-domain FIXTURE GENERATOR (lines in {−1,0,1},
-  // amplitude via global_gain), not a rate-controlled production
-  // encoder — it exists so every decode path above is exercised by
-  // formula-replayable streams and round-trips bit-exactly.
+  // layout, CRC-16 over the 136 side-info bits), THE BIT RESERVOIR
+  // (main_data_begin back-pointers into the concatenated main-data
+  // regions of preceding frames — §2.4.2.7 / §2.4.3.4.1; the decoder
+  // keeps an O(511 + frame) byte FIFO and positions each frame's
+  // granule read by the pointer, exactly like a production decoder;
+  // both encoder directions below emit and round-trip it),
+  // scalefactor bit consumption for every scalefac_compress index,
+  // Huffman decode of the big-values region (spec table 1) and the
+  // count1 region (spec count1 table B — the fixed 4-bit complement
+  // code), requantization |ix|^(4/3)·2^((global_gain−210)/4),
+  // alias-reduction butterflies, the 36-point IMDCT with the long
+  // sine window, per-subband overlap-add, frequency inversion, and
+  // the shared polyphase synthesis. What fails LOUDLY by name:
+  // window switching (short/mixed blocks), nonzero decoded
+  // scalefactors (application needs the per-rate sfb boundary
+  // tables), preflag, big-values Huffman tables 2–31 (only the two
+  // tables whose code assignments are reconstructible with certainty
+  // from the public spec are carried — same no-foreign-validator
+  // honesty boundary as the Layer I/II prototype filter and the
+  // Table C.3 note in the module doc), count1 table A, and a
+  // main_data_begin pointing before the stream start (a cut stream —
+  // reservoir underflow). The encoders are spectral-domain FIXTURE
+  // GENERATORS (lines in {−1,0,1}, amplitude via global_gain), not
+  // rate-controlled production encoders — they exist so every decode
+  // path above is exercised by formula-replayable streams and
+  // round-trips bit-exactly ([[encodeMp3]] packs main data frame-
+  // locally, main_data_begin = 0; [[encodeMp3Reservoir]] packs the
+  // main-data stream densely across frames so every tail frame
+  // carries a nonzero back-pointer, up to the 9-bit 511 cap with
+  // spec-legal stuffing past it).
   // ------------------------------------------------------------------
 
   /** scalefac_compress → (slen1, slen2), ISO table. slen1 covers sfb
@@ -943,16 +955,14 @@ object MpegAudio {
   private case class Mp3Granule(part23: Int, bigValues: Int, globalGain: Int,
       scalefacCompress: Int, tableSelect: Array[Int], count1TableB: Boolean)
 
-  private def readMp3SideInfo(br: BitReader, docId: Long): Array[Mp3Granule] = {
+  /** Parse the 17-byte mono side info → (main_data_begin, granules). */
+  private def readMp3SideInfo(br: BitReader, docId: Long): (Int, Array[Mp3Granule]) = {
     val mainDataBegin = br.read(9)
-    require(mainDataBegin == 0,
-      s"mpeg: layer III bit-reservoir stream (main_data_begin=$mainDataBegin) " +
-        s"is outside the reservoir-free regime this decoder supports (doc $docId)")
     br.read(5) // private_bits (mono)
     val scfsi = br.read(4)
     require(scfsi == 0,
       s"mpeg: layer III scfsi=$scfsi needs granule-shared scalefactors (doc $docId)")
-    Array.fill(2) {
+    val grs = Array.fill(2) {
       val part23 = br.read(12)
       val bigValues = br.read(9)
       require(bigValues * 2 <= 576,
@@ -980,6 +990,7 @@ object MpegAudio {
       }
       Mp3Granule(part23, bigValues, globalGain, sfc, ts, c1t == 1)
     }
+    (mainDataBegin, grs)
   }
 
   /** Decode one granule's main data to the requantized 576-line
@@ -1046,6 +1057,38 @@ object MpegAudio {
     val tail: Array[Array[Double]] = Array.ofDim[Double](32, 18)
   }
 
+  /** Layer III main-data RESERVOIR — the byte FIFO main_data_begin
+    * addresses into: the main-data regions of consecutive frames (frame
+    * bytes minus header/CRC/side info) form one logical stream, and a
+    * frame's granule data starts `main_data_begin` bytes BEFORE its own
+    * region (§2.4.2.7). The spec caps the back-pointer at 511 (9 bits),
+    * so the FIFO retains O(511 + one region) bytes regardless of stream
+    * length — a production decoder's memory bound, kept honestly here
+    * (the retained window is trimmed as frames advance). */
+  private final class Mp3Reservoir {
+    private var buf: Array[Byte] = Array.emptyByteArray
+    private var dropped: Long = 0L // bytes trimmed off the front
+    /** Logical length of the main-data stream seen so far. */
+    def length: Long = dropped + buf.length
+    def append(payload: Array[Byte], from: Int, until: Int): Unit = {
+      val merged = new Array[Byte](buf.length + (until - from))
+      System.arraycopy(buf, 0, merged, 0, buf.length)
+      System.arraycopy(payload, from, merged, buf.length, until - from)
+      buf = merged
+      // nothing older than 511 bytes before the NEXT region is
+      // addressable — keep a doubled window so trims amortize
+      val keep = 511 + (until - from) + 8
+      if (buf.length > 2 * keep) {
+        dropped += buf.length - keep
+        buf = java.util.Arrays.copyOfRange(buf, buf.length - keep, buf.length)
+      }
+    }
+    def readerAt(startByte: Long): BitReader = {
+      require(startByte >= dropped, "mpeg: internal reservoir trim error")
+      new BitReader(buf, (startByte - dropped).toInt)
+    }
+  }
+
   /** Alias reduction + IMDCT + overlap-add + frequency inversion +
     * polyphase synthesis of one granule's spectrum. */
   private def mp3SynthesizeGranule(xr: Array[Double], st: Mp3State,
@@ -1092,13 +1135,16 @@ object MpegAudio {
     }
   }
 
-  private def decodeMp3Frame(payload: Array[Byte], frameOff: Int,
-      h: FrameHeader, st: Mp3State, acc: Array[Double], outBase: Int,
-      docId: Long): Unit = {
+  /** Parse one Layer III frame's side info + CRC, feed its main-data
+    * region to the reservoir, and return a BitReader positioned at this
+    * frame's granule data (main_data_begin bytes before the region). */
+  private def mp3FrameMainData(payload: Array[Byte], frameOff: Int,
+      h: FrameHeader, resv: Mp3Reservoir, docId: Long):
+      (BitReader, Array[Mp3Granule]) = {
     require(h.mono, s"mpeg: only mono streams (doc $docId)")
-    val br = new BitReader(payload,
-      frameOff + 4 + (if (h.crcProtected) 2 else 0))
-    val grs = readMp3SideInfo(br, docId)
+    val crc2 = if (h.crcProtected) 2 else 0
+    val br = new BitReader(payload, frameOff + 4 + crc2)
+    val (mdb, grs) = readMp3SideInfo(br, docId)
     if (h.crcProtected) {
       val want = ((payload(frameOff + 4) & 0xFF) << 8) |
         (payload(frameOff + 5) & 0xFF)
@@ -1106,10 +1152,22 @@ object MpegAudio {
       require(got == want,
         f"mpeg: layer III CRC mismatch $got%04x != $want%04x (doc $docId)")
     }
-    // main data begins right after the side info (main_data_begin = 0)
+    val startByte = resv.length - mdb
+    require(startByte >= 0,
+      s"mpeg: layer III main_data_begin=$mdb points $mdb bytes before the " +
+        s"stream start — bit-reservoir underflow (cut stream or missing " +
+        s"prior frames) (doc $docId)")
+    resv.append(payload, frameOff + 4 + crc2 + 17, frameOff + h.frameBytes)
+    (resv.readerAt(startByte), grs)
+  }
+
+  private def decodeMp3Frame(payload: Array[Byte], frameOff: Int,
+      h: FrameHeader, st: Mp3State, resv: Mp3Reservoir, acc: Array[Double],
+      outBase: Int, docId: Long): Unit = {
+    val (mbr, grs) = mp3FrameMainData(payload, frameOff, h, resv, docId)
     var g = 0
     while (g < 2) {
-      val xr = decodeMp3GranuleSpectrum(br, grs(g), docId)
+      val xr = decodeMp3GranuleSpectrum(mbr, grs(g), docId)
       mp3SynthesizeGranule(xr, st, acc, outBase + 576 * g)
       g += 1
     }
@@ -1122,15 +1180,28 @@ object MpegAudio {
     * fixtures; returns granules in stream order. */
   def mp3StreamSpectra(docId: Long,
       payload: Array[Byte]): Seq[Array[Double]] = {
+    val resv = new Mp3Reservoir
     walkFrames(docId, payload).flatMap { fi =>
       val off = fi.byte_off.toInt
       val h = parseHeader(payload, off, docId)
       require(h.layer == 3, s"mpeg: not a layer III frame (doc $docId)")
-      val br = new BitReader(payload, off + 4 + (if (h.crcProtected) 2 else 0))
-      val grs = readMp3SideInfo(br, docId)
-      grs.map(g => decodeMp3GranuleSpectrum(br, g, docId)).toSeq
+      val (mbr, grs) = mp3FrameMainData(payload, off, h, resv, docId)
+      grs.map(g => decodeMp3GranuleSpectrum(mbr, g, docId)).toSeq
     }
   }
+
+  /** Per-frame main_data_begin census of a Layer III stream — a
+    * header + 9-bit side-info peek, no main-data decode: the cheap scan
+    * that measures what fraction of a corpus's MP3 frames actually use
+    * the bit reservoir (most real-world encoders do). */
+  def mp3ReservoirCensus(docId: Long, payload: Array[Byte]): Seq[(Int, Int)] =
+    walkFrames(docId, payload).map { fi =>
+      val off = fi.byte_off.toInt
+      val h = parseHeader(payload, off, docId)
+      require(h.layer == 3, s"mpeg: not a layer III frame (doc $docId)")
+      val br = new BitReader(payload, off + 4 + (if (h.crcProtected) 2 else 0))
+      (fi.frame_id, br.read(9))
+    }
 
   /** Encode per-granule spectra (values in {−1, 0, 1}, 576 lines each,
     * an even number of granules) as a reservoir-free mono MPEG-1
@@ -1139,9 +1210,8 @@ object MpegAudio {
     * line 2·bigValuesPairs to the last nonzero line rides the count1
     * region through table B. Amplitude is per-granule `globalGains`
     * (sample scale 2^((gg−210)/4)). */
-  def encodeMp3(granules: Seq[Array[Int]], globalGains: Seq[Int],
-      bitrateKbps: Int, bigValuesPairs: Int = 0,
-      withCrc: Boolean = false): Array[Byte] = {
+  private def mp3ValidateArgs(granules: Seq[Array[Int]],
+      globalGains: Seq[Int], bigValuesPairs: Int): Unit = {
     require(granules.nonEmpty && granules.length % 2 == 0,
       "mp3: an even number of granules (2 per frame)")
     require(granules.length == globalGains.length, "mp3: one gain per granule")
@@ -1151,95 +1221,191 @@ object MpegAudio {
         "mp3: granule must be 576 lines in {-1,0,1}")
     }
     globalGains.foreach(gg => require(gg >= 0 && gg < 256, "mp3: gain is 8 bits"))
+  }
+
+  /** Per-granule Huffman cost in bits (big-values table 1 + count1 B). */
+  private def mp3GranuleBits(g: Array[Int], bigValuesPairs: Int): Int = {
+    var bits = 0
+    var p = 0
+    while (p < bigValuesPairs) {
+      val x = math.abs(g(2 * p)); val y = math.abs(g(2 * p + 1))
+      bits += Mp3Table1((x, y))._2 + (if (x > 0) 1 else 0) + (if (y > 0) 1 else 0)
+      p += 1
+    }
+    val last = g.lastIndexWhere(_ != 0)
+    var line = 2 * bigValuesPairs
+    while (line <= last) {
+      bits += 4
+      var j = 0
+      while (j < 4) { if (line + j < 576 && g(line + j) != 0) bits += 1; j += 1 }
+      line += 4
+    }
+    bits
+  }
+
+  /** Side info (136 bits, mono): main_data_begin + the two granules'
+    * fixed-layout fields. */
+  private def mp3WriteSideInfo(bw: BitWriter, mainDataBegin: Int,
+      grs: Seq[(Int, Int)], bigValuesPairs: Int): Unit = {
+    bw.put(mainDataBegin, 9); bw.put(0, 5); bw.put(0, 4) // mdb/private/scfsi
+    grs.foreach { case (p23, gg) =>
+      bw.put(p23, 12)         // part2_3_length
+      bw.put(bigValuesPairs, 9)
+      bw.put(gg, 8)           // global_gain
+      bw.put(0, 4)            // scalefac_compress
+      bw.put(0, 1)            // window_switching_flag
+      val tbl = if (bigValuesPairs > 0) 1 else 0
+      bw.put(tbl, 5); bw.put(tbl, 5); bw.put(tbl, 5) // table_select
+      bw.put(0, 4); bw.put(0, 3) // region0/region1 (tables equal)
+      bw.put(0, 1); bw.put(0, 1) // preflag, scalefac_scale
+      bw.put(1, 1)            // count1table_select = B
+    }
+  }
+
+  /** One granule's Huffman-coded main data. */
+  private def mp3WriteGranuleData(bw: BitWriter, g: Array[Int],
+      bigValuesPairs: Int): Unit = {
+    var p = 0
+    while (p < bigValuesPairs) {
+      val xv = g(2 * p); val yv = g(2 * p + 1)
+      val (code, len) = Mp3Table1((math.abs(xv), math.abs(yv)))
+      bw.put(code, len)
+      if (xv != 0) bw.put(if (xv < 0) 1 else 0, 1)
+      if (yv != 0) bw.put(if (yv < 0) 1 else 0, 1)
+      p += 1
+    }
+    val last = g.lastIndexWhere(_ != 0)
+    var line = 2 * bigValuesPairs
+    while (line <= last) {
+      var c = 0
+      var j = 0
+      while (j < 4) {
+        if (line + j < 576 && g(line + j) != 0) c |= 1 << (3 - j)
+        j += 1
+      }
+      bw.put((~c) & 0xF, 4)
+      j = 0
+      while (j < 4) {
+        if (line + j < 576 && g(line + j) != 0)
+          bw.put(if (g(line + j) < 0) 1 else 0, 1)
+        j += 1
+      }
+      line += 4
+    }
+  }
+
+  /** Header + optional CRC-16 (over header bits 16–31 + the 136
+    * side-info bits) + side info + main-data block, padded to
+    * `frameBytes`. */
+  private def mp3AssembleFrame(bitrateKbps: Int, withCrc: Boolean,
+      sideBytes: Array[Byte], body: Array[Byte],
+      frameBytes: Int): Array[Byte] = {
+    val head = new BitWriter
+    writeHeader(head, 3, bitrateKbps, withCrc)
+    val headBytes = head.toBytes
+    val frame = new java.io.ByteArrayOutputStream()
+    frame.write(headBytes)
+    if (withCrc) {
+      val crc = crc16Update(crc16Update(0xFFFF, headBytes, 16, 16),
+        sideBytes, 0, 136)
+      frame.write(crc >> 8); frame.write(crc & 0xFF)
+    }
+    frame.write(sideBytes)
+    frame.write(body)
+    java.util.Arrays.copyOf(frame.toByteArray, frameBytes)
+  }
+
+  def encodeMp3(granules: Seq[Array[Int]], globalGains: Seq[Int],
+      bitrateKbps: Int, bigValuesPairs: Int = 0,
+      withCrc: Boolean = false): Array[Byte] = {
+    mp3ValidateArgs(granules, globalGains, bigValuesPairs)
     val fs = Mp2Rate
     val frameBytes = 144 * bitrateKbps * 1000 / fs
     val out = new java.io.ByteArrayOutputStream()
-    // per-granule Huffman cost in bits (big-values table 1 + count1 B)
-    def granuleBits(g: Array[Int]): Int = {
-      var bits = 0
-      var p = 0
-      while (p < bigValuesPairs) {
-        val x = math.abs(g(2 * p)); val y = math.abs(g(2 * p + 1))
-        bits += Mp3Table1((x, y))._2 + (if (x > 0) 1 else 0) + (if (y > 0) 1 else 0)
-        p += 1
-      }
-      val last = g.lastIndexWhere(_ != 0)
-      var line = 2 * bigValuesPairs
-      while (line <= last) {
-        bits += 4
-        var j = 0
-        while (j < 4) { if (line + j < 576 && g(line + j) != 0) bits += 1; j += 1 }
-        line += 4
-      }
-      bits
-    }
     (granules.grouped(2).toSeq zip globalGains.grouped(2).toSeq).foreach {
       case (Seq(g0, g1), Seq(gg0, gg1)) =>
-        val p23 = Array(granuleBits(g0), granuleBits(g1))
+        val p23 = Array(mp3GranuleBits(g0, bigValuesPairs),
+          mp3GranuleBits(g1, bigValuesPairs))
         require(p23.forall(_ < 4096), "mp3: part2_3_length overflows 12 bits")
         val budget = (frameBytes - 4 - (if (withCrc) 2 else 0) - 17) * 8
         require(p23.sum <= budget,
           s"mp3: main data ${p23.sum} bits exceeds the $budget-bit frame budget " +
             s"at $bitrateKbps kbps — raise the bitrate")
-        val bw = new BitWriter
-        // side info (136 bits, mono)
-        bw.put(0, 9); bw.put(0, 5); bw.put(0, 4) // main_data_begin/private/scfsi
-        Seq((g0, gg0, p23(0)), (g1, gg1, p23(1))).foreach { case (_, gg, p) =>
-          bw.put(p, 12)           // part2_3_length
-          bw.put(bigValuesPairs, 9)
-          bw.put(gg, 8)           // global_gain
-          bw.put(0, 4)            // scalefac_compress
-          bw.put(0, 1)            // window_switching_flag
-          val tbl = if (bigValuesPairs > 0) 1 else 0
-          bw.put(tbl, 5); bw.put(tbl, 5); bw.put(tbl, 5) // table_select
-          bw.put(0, 4); bw.put(0, 3) // region0/region1 (tables equal)
-          bw.put(0, 1); bw.put(0, 1) // preflag, scalefac_scale
-          bw.put(1, 1)            // count1table_select = B
-        }
-        // main data
-        Seq(g0, g1).foreach { g =>
-          var p = 0
-          while (p < bigValuesPairs) {
-            val xv = g(2 * p); val yv = g(2 * p + 1)
-            val (code, len) = Mp3Table1((math.abs(xv), math.abs(yv)))
-            bw.put(code, len)
-            if (xv != 0) bw.put(if (xv < 0) 1 else 0, 1)
-            if (yv != 0) bw.put(if (yv < 0) 1 else 0, 1)
-            p += 1
-          }
-          val last = g.lastIndexWhere(_ != 0)
-          var line = 2 * bigValuesPairs
-          while (line <= last) {
-            var c = 0
-            var j = 0
-            while (j < 4) {
-              if (line + j < 576 && g(line + j) != 0) c |= 1 << (3 - j)
-              j += 1
-            }
-            bw.put((~c) & 0xF, 4)
-            j = 0
-            while (j < 4) {
-              if (line + j < 576 && g(line + j) != 0)
-                bw.put(if (g(line + j) < 0) 1 else 0, 1)
-              j += 1
-            }
-            line += 4
-          }
-        }
-        val head = new BitWriter
-        writeHeader(head, 3, bitrateKbps, withCrc)
-        val headBytes = head.toBytes
-        val body = bw.toBytes
-        val frame = new java.io.ByteArrayOutputStream()
-        frame.write(headBytes)
-        if (withCrc) {
-          val crc = crc16Update(crc16Update(0xFFFF, headBytes, 16, 16),
-            body, 0, 136)
-          frame.write(crc >> 8); frame.write(crc & 0xFF)
-        }
-        frame.write(body)
-        out.write(java.util.Arrays.copyOf(frame.toByteArray, frameBytes))
+        val sw = new BitWriter
+        mp3WriteSideInfo(sw, 0, Seq((p23(0), gg0), (p23(1), gg1)), bigValuesPairs)
+        val dw = new BitWriter
+        mp3WriteGranuleData(dw, g0, bigValuesPairs)
+        mp3WriteGranuleData(dw, g1, bigValuesPairs)
+        out.write(mp3AssembleFrame(bitrateKbps, withCrc, sw.toBytes,
+          dw.toBytes, frameBytes))
       case other => throw new IllegalStateException(s"mp3: $other")
+    }
+    out.toByteArray
+  }
+
+  /** Encode per-granule spectra as a mono MPEG-1 Layer III stream that
+    * USES THE BIT RESERVOIR: the main-data stream is packed densely
+    * across frame regions (each frame's granule data starts right after
+    * the previous frame's, capped at the spec's 511-byte back-pointer
+    * with zero stuffing past the cap — §2.4.2.7's exact mechanism), so
+    * every frame after the first carries main_data_begin > 0 whenever
+    * its data is smaller than its region. Same spectral grammar as
+    * [[encodeMp3]]; decoding either stream yields identical granule
+    * spectra — the round-trip the reservoir gate pins. */
+  def encodeMp3Reservoir(granules: Seq[Array[Int]], globalGains: Seq[Int],
+      bitrateKbps: Int, bigValuesPairs: Int = 0,
+      withCrc: Boolean = false): Array[Byte] = {
+    mp3ValidateArgs(granules, globalGains, bigValuesPairs)
+    val fs = Mp2Rate
+    val frameBytes = 144 * bitrateKbps * 1000 / fs
+    val regionBytes = frameBytes - 4 - (if (withCrc) 2 else 0) - 17
+    require(regionBytes > 0, s"mp3: no main-data capacity at $bitrateKbps kbps")
+    val nFrames = granules.length / 2
+    // pass 1: per-frame granule data blocks + bit costs
+    val frames = (0 until nFrames).map { n =>
+      val (g0, g1) = (granules(2 * n), granules(2 * n + 1))
+      val p23 = Array(mp3GranuleBits(g0, bigValuesPairs),
+        mp3GranuleBits(g1, bigValuesPairs))
+      require(p23.forall(_ < 4096), "mp3: part2_3_length overflows 12 bits")
+      val dw = new BitWriter
+      mp3WriteGranuleData(dw, g0, bigValuesPairs)
+      mp3WriteGranuleData(dw, g1, bigValuesPairs)
+      (p23, dw.toBytes)
+    }
+    // pass 2: placement. S(n) = where frame n's data starts in the
+    // logical main-data stream; P(n) = n·regionBytes = where frame n's
+    // own region starts. main_data_begin(n) = P(n) − S(n) ∈ [0, 511].
+    val starts = new Array[Long](nFrames)
+    var cursor = 0L
+    for (n <- 0 until nFrames) {
+      val pN = n.toLong * regionBytes
+      require(cursor <= pN,
+        s"mp3: frame $n's data cannot start after its own region begins " +
+          s"(accumulated ${cursor} > capacity $pN) — raise the bitrate")
+      starts(n) = math.max(cursor, pN - 511)
+      require(starts(n) + frames(n)._2.length <= pN + regionBytes,
+        s"mp3: frame $n main data overruns its region window at " +
+          s"$bitrateKbps kbps — raise the bitrate")
+      cursor = starts(n) + frames(n)._2.length
+    }
+    // pass 3: lay the main-data stream into one buffer (gaps created by
+    // the 511 cap stay zero — spec-legal stuffing the decoder never
+    // addresses), then slice per-frame regions
+    val stream = new Array[Byte](nFrames * regionBytes)
+    for (n <- 0 until nFrames)
+      System.arraycopy(frames(n)._2, 0, stream, starts(n).toInt,
+        frames(n)._2.length)
+    val out = new java.io.ByteArrayOutputStream()
+    for (n <- 0 until nFrames) {
+      val pN = n * regionBytes
+      val mdb = (pN - starts(n)).toInt
+      val sw = new BitWriter
+      mp3WriteSideInfo(sw, mdb,
+        Seq((frames(n)._1(0), globalGains(2 * n)),
+          (frames(n)._1(1), globalGains(2 * n + 1))), bigValuesPairs)
+      val region = java.util.Arrays.copyOfRange(stream, pN, pN + regionBytes)
+      out.write(mp3AssembleFrame(bitrateKbps, withCrc, sw.toBytes,
+        region, frameBytes))
     }
     out.toByteArray
   }

@@ -62,35 +62,103 @@ object Streams {
     else sys.props("java.io.tmpdir")
   }
 
-  private def stageLandingDir(sfDir: String): String = {
+  /** Stage a fixture — a single parquet FILE or a DIRECTORY of part
+    * files — into the landing dir, mirroring the source's file set
+    * exactly: copy new/changed files (size+mtime staleness, so a stale
+    * landing copy from a previous data generation never feeds the
+    * stream), delete strays a previous generation or layout left.
+    * Multi-file matters at scale: a single-file landing caps the batch
+    * scan's parallelism at parquet row-group grain (the r9 watch item —
+    * BENCH_NOTES measured the OHLC drain 4.3 s single-file vs 0.8 s
+    * multi-file at f=50), and the production landing shape IS many
+    * receiver-appended files. */
+  private def stageLanding(sfDir: String, table: String): String = {
     import java.nio.file._
-    val src = Paths.get(sfDir, "events.parquet")
+    import scala.jdk.CollectionConverters._
+    val src = Paths.get(sfDir, s"$table.parquet")
     val dst = Paths.get(scratchRoot,
-      s"graft_events_landing_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}")
+      s"graft_${table}_landing_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}")
     Files.createDirectories(dst)
-    val tgt = dst.resolve("events.parquet")
-    // re-copy when the fixture is newer or a different size — a stale
-    // landing copy from a previous data generation must never feed the
-    // stream while batch reads see the fresh fixture
-    val stale = !Files.exists(tgt) ||
-      Files.getLastModifiedTime(tgt).compareTo(Files.getLastModifiedTime(src)) < 0 ||
-      Files.size(tgt) != Files.size(src)
-    if (stale) Files.copy(src, tgt, StandardCopyOption.REPLACE_EXISTING)
+    def copyIfStale(s: Path, t: Path): Unit = {
+      val stale = !Files.exists(t) ||
+        Files.getLastModifiedTime(t).compareTo(Files.getLastModifiedTime(s)) < 0 ||
+        Files.size(t) != Files.size(s)
+      if (stale) Files.copy(s, t, StandardCopyOption.REPLACE_EXISTING)
+    }
+    val keep: Set[String] =
+      if (Files.isDirectory(src)) {
+        val parts = Files.list(src).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+        parts.foreach(p => copyIfStale(p, dst.resolve(p.getFileName.toString)))
+        parts.map(_.getFileName.toString).toSet
+      } else {
+        copyIfStale(src, dst.resolve(s"$table.parquet"))
+        Set(s"$table.parquet")
+      }
+    Files.list(dst).iterator().asScala.toSeq
+      .filterNot(p => keep(p.getFileName.toString))
+      .foreach(Files.delete)
     dst.toString
   }
 
-  /** The footer-probe result per landing file, cached by (path, size,
-    * mtime) so the 12-query stream family pays ONE probe per fixture
-    * generation instead of one per eventsStream call (join queries call
-    * twice). The mtime/size key makes a regenerated fixture a cache
-    * MISS — the probe stays an input, never an assumption. */
-  private val probeCache = new java.util.concurrent.ConcurrentHashMap[String, DataType]()
-  private def probedTsType(spark: SparkSession, landing: String): DataType = {
+  private def stageLandingDir(sfDir: String): String =
+    stageLanding(sfDir, "events")
+
+  /** Landing-dir identity: every file's (name, size, mtime) — the cache
+    * key that makes a regenerated or re-laid-out fixture a MISS. */
+  private def landingKey(landing: String): String = {
     import java.nio.file._
-    val f = Paths.get(landing, "events.parquet")
-    val key = s"$landing|${Files.size(f)}|${Files.getLastModifiedTime(f).toMillis}"
-    probeCache.computeIfAbsent(key,
+    import scala.jdk.CollectionConverters._
+    val fs = Files.list(Paths.get(landing)).iterator().asScala.toSeq
+      .sortBy(_.getFileName.toString)
+    landing + "|" + fs.map(p => s"${p.getFileName}:${Files.size(p)}:" +
+      s"${Files.getLastModifiedTime(p).toMillis}").mkString(",")
+  }
+
+  /** The footer-probe result per landing file set, cached by the full
+    * (name, size, mtime) identity so the 12-query stream family pays
+    * ONE probe per fixture generation instead of one per eventsStream
+    * call (join queries call twice). The identity key makes a
+    * regenerated fixture a cache MISS — the probe stays an input, never
+    * an assumption. */
+  private val probeCache = new java.util.concurrent.ConcurrentHashMap[String, DataType]()
+  private def probedTsType(spark: SparkSession, landing: String): DataType =
+    probeCache.computeIfAbsent(landingKey(landing),
       _ => spark.read.parquet(landing).schema("ts").dataType)
+
+  /** AUTO-SIZED streaming state width — the autoSaltedJoin census
+    * discipline applied to state stores: one cheap batch census
+    * (approx_count_distinct over the key column) before the stream
+    * starts sizes the stateful query's shuffle width, instead of a
+    * pinned constant that is right at one corpus size and superlinear
+    * at another (the round-9 probe measured the pinned w=4 sessionizer
+    * at 70.9 s for 75k users / 4.8M events where w=32 drains in
+    * 21.3 s). width = next power of two ≥ distinctKeys /
+    * targetKeysPerPartition, clamped to [minP, maxP]; the 4096 default
+    * reproduces the probe's manual w=32 at 75k users AND the gates'
+    * w=4 at the 1.5k-user driver fixture. Cached per fixture generation
+    * so the stream family pays one census, not one per query. At real
+    * scale the same census runs over the landing prefix or recent
+    * history — the point is that state width derives from measured key
+    * volume, never a hand-pinned constant. */
+  private val widthCache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  def autoStatePartitions(spark: SparkSession, sfDir: String,
+      keyCol: String = "user_id", targetKeysPerPartition: Long = 4096L,
+      minP: Int = 4, maxP: Int = 256): Int = {
+    require(targetKeysPerPartition > 0 && minP > 0 && maxP >= minP,
+      "autoStatePartitions: bad bounds")
+    val landing = stageLandingDir(sfDir)
+    widthCache.computeIfAbsent(
+      s"${landingKey(landing)}|$keyCol|$targetKeysPerPartition|$minP|$maxP",
+      { _ =>
+        val d = graft.io.Tables.events(spark, sfDir)
+          .agg(approx_count_distinct(col(keyCol))).head().getLong(0)
+        val need = math.max(1L, (d + targetKeysPerPartition - 1) /
+          targetKeysPerPartition)
+        var p = 1
+        while (p < need && p < maxP) p <<= 1
+        math.min(maxP, math.max(minP, p))
+      }).intValue()
   }
 
   /** A per-query CHILD session (shared SparkContext, isolated SQL conf)
@@ -313,8 +381,11 @@ object Streams {
     * session AND anything ending inside the terminal watermark band)
     * rather than guessing micro-batch boundaries. */
   def sessionWindowStream(spark: SparkSession, sfDir: String,
-      gapMinutes: Int = 30, statePartitions: Int = 4): DataFrame = {
-    val ss = stateSession(spark, statePartitions)
+      gapMinutes: Int = 30, statePartitions: Int = 0): DataFrame = {
+    // 0 = AUTO: census-derived width (4 on the driver fixture, 32 at the
+    // 75k-user probe scale — matching the measured-best manual widths)
+    val ss = stateSession(spark, if (statePartitions > 0) statePartitions
+      else autoStatePartitions(spark, sfDir))
     val agg = eventsStream(ss, sfDir)
       .withWatermark("ts", "10 minutes")
       .groupBy(col("user_id"),
@@ -329,7 +400,7 @@ object Streams {
 
   def sessionizeWithTimeout(spark: SparkSession, sfDir: String,
       gapMinutes: Int = 30): DataFrame = {
-    val ss = stateSession(spark, 4)
+    val ss = stateSession(spark, autoStatePartitions(spark, sfDir))
     import ss.implicits._
     val typed = eventsStream(ss, sfDir)
       .withWatermark("ts", "10 minutes")
@@ -420,7 +491,7 @@ object Streams {
   /** Drain the events stream through the TypeCountProcessor and return
     * the final per-(user, event_type) counts. */
   def typeCountsTws(spark: SparkSession, sfDir: String): DataFrame = {
-    val ss = stateSession(spark, 4)
+    val ss = stateSession(spark, autoStatePartitions(spark, sfDir))
     import ss.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     // RocksDB only on the child session — the caller's session keeps its
@@ -447,13 +518,15 @@ object Streams {
     * windows are the stateful-streaming op the events table exists to
     * exercise (SURVEY §2.3). Same AvailableNow drain. */
   def sessionizeByGap(spark: SparkSession, sfDir: String,
-      statePartitions: Int = 4): DataFrame = {
+      statePartitions: Int = 0): DataFrame = {
     // statePartitions sizes the state store to expected SESSION volume
-    // (the per-query width contract documented on stateSession): the
-    // default fits the driver fixture's 1.5k users; the round-9 stream
-    // probe measured 4 partitions going superlinear at 75k users / 4.8M
-    // events (70.9 s) where 32 partitions drain in 21.3 s
-    val ss = stateSession(spark, statePartitions)
+    // (the per-query width contract documented on stateSession). 0 =
+    // AUTO: derived from the key census (autoStatePartitions) — the
+    // round-9 probe measured a pinned 4 going superlinear at 75k users
+    // / 4.8M events (70.9 s) where 32 partitions drain in 21.3 s; auto
+    // picks 4 on the driver fixture and 32 at the probe scale
+    val ss = stateSession(spark, if (statePartitions > 0) statePartitions
+      else autoStatePartitions(spark, sfDir))
     val agg = eventsStream(ss, sfDir)
       .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
@@ -640,18 +713,9 @@ object Streams {
     * file-source shape as [[eventsStream]]; the schema is probed from
     * the fixture footer (no timestamp normalization needed here). */
   def documentsStream(spark: SparkSession, sfDir: String): DataFrame = {
-    import java.nio.file._
-    val src = Paths.get(sfDir, "documents.parquet")
-    val dst = Paths.get(scratchRoot,
-      s"graft_docs_landing_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}")
-    Files.createDirectories(dst)
-    val tgt = dst.resolve("documents.parquet")
-    val stale = !Files.exists(tgt) ||
-      Files.getLastModifiedTime(tgt).compareTo(Files.getLastModifiedTime(src)) < 0 ||
-      Files.size(tgt) != Files.size(src)
-    if (stale) Files.copy(src, tgt, StandardCopyOption.REPLACE_EXISTING)
-    val schema = spark.read.parquet(dst.toString).schema
-    spark.readStream.schema(schema).parquet(dst.toString)
+    val dst = stageLanding(sfDir, "documents")
+    val schema = spark.read.parquet(dst).schema
+    spark.readStream.schema(schema).parquet(dst)
   }
 
   /** STREAMING near-dup admission — the dedup gate a live ingestion

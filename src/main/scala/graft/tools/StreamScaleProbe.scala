@@ -51,10 +51,9 @@ object StreamScaleProbe {
       probeQueries.foreach { q =>
         time(q)(graft.SparkEntry.queries(q)(spark, dir).count())
       }
-      // the sessionizers' state width is the documented per-query knob
-      // (stateSession doc): the gates pin 4 for the 1.5k-user fixture;
-      // at f× users the width must scale with STATE volume — measure
-      // the same drains wide
+      // the sessionizers' state width knob: manual wide vs the census-
+      // derived AUTO width (statePartitions = 0 → autoStatePartitions),
+      // which must reproduce the measured-best manual number
       val wide = math.min(32, 4 * f)
       time(s"stream_sessionize@w$wide")(
         graft.streaming.Streams.sessionizeByGap(spark, dir,
@@ -62,6 +61,11 @@ object StreamScaleProbe {
       time(s"stream_session_window@w$wide")(
         graft.streaming.Streams.sessionWindowStream(spark, dir,
           statePartitions = wide).count())
+      val auto = graft.streaming.Streams.autoStatePartitions(spark, dir)
+      time(s"stream_sessionize@auto$auto")(
+        graft.streaming.Streams.sessionizeByGap(spark, dir).count())
+      time(s"stream_session_window@auto$auto")(
+        graft.streaming.Streams.sessionWindowStream(spark, dir).count())
     }
     spark.stop()
   }

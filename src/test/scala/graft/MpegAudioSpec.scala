@@ -289,6 +289,67 @@ class MpegAudioSpec extends AnyFunSuite {
     }
   }
 
+  test("Layer III bit reservoir: densely-packed streams carry nonzero " +
+      "main_data_begin on every tail frame, round-trip granule spectra " +
+      "bit-exactly, and decode to the SAME PCM as the flat layout") {
+    import graft.ops.MpegAudio
+    // sparse granules at a high bitrate: data ≪ region, so the
+    // back-pointer climbs to the 511-byte spec cap with legal stuffing
+    val granules = (0 until 8).map { g =>
+      val spec = new Array[Int](576)
+      spec(18 * (2 + g % 20) + 4) = 1
+      spec(40 + 4 * g) = -1
+      spec
+    }
+    val gains = (0 until 8).map(g => 200 + g)
+    Seq(false, true).foreach { crc =>
+      val enc = MpegAudio.encodeMp3Reservoir(granules, gains, 224,
+        withCrc = crc)
+      val census = MpegAudio.mp3ReservoirCensus(31L, enc)
+      assert(census.length == 4)
+      assert(census.head._2 == 0, "first frame has no history to point into")
+      assert(census.tail.forall(_._2 > 0),
+        s"every tail frame must use the reservoir: $census")
+      assert(census.map(_._2).max <= 511)
+      val spectra = MpegAudio.mp3StreamSpectra(31L, enc)
+      assert(spectra.length == 8)
+      spectra.zipWithIndex.foreach { case (xr, g) =>
+        val gain = math.pow(2.0, (gains(g) - 210) / 4.0)
+        (0 until 576).foreach { i =>
+          assert(math.abs(xr(i) - granules(g)(i) * gain) < 1e-12,
+            s"granule $g line $i")
+        }
+      }
+      // the flat (main_data_begin = 0) layout of the SAME granules must
+      // decode to identical spectra and identical PCM — the reservoir is
+      // pure transport
+      val flat = MpegAudio.encodeMp3(granules, gains, 224, withCrc = crc)
+      assert(MpegAudio.mp3ReservoirCensus(31L, flat).forall(_._2 == 0))
+      MpegAudio.mp3StreamSpectra(31L, flat).zip(spectra).foreach {
+        case (a, b) => assert(a.sameElements(b))
+      }
+      val pcm = MpegAudio.decodeMpegAudio(31L, enc)
+      val pcmFlat = MpegAudio.decodeMpegAudio(31L, flat)
+      assert(pcm.length == 4 * 1152)
+      assert(pcm.exists(math.abs(_) > 1e-6))
+      assert(pcm.sameElements(pcmFlat))
+    }
+    // big-values region through the reservoir too
+    val enc2 = MpegAudio.encodeMp3Reservoir(granules, gains, 224,
+      bigValuesPairs = 16)
+    val s2 = MpegAudio.mp3StreamSpectra(32L, enc2)
+    assert(s2.length == 8)
+    // a reservoir stream CUT mid-history fails loudly: drop frame 0 and
+    // frame 1's back-pointer has nothing to point into
+    val frames = MpegAudio.walkFrames(31L,
+      MpegAudio.encodeMp3Reservoir(granules, gains, 224))
+    val cut = MpegAudio.encodeMp3Reservoir(granules, gains, 224)
+      .drop(frames(1).byte_off.toInt)
+    val e = intercept[IllegalArgumentException](
+      MpegAudio.decodeMpegAudio(33L, cut))
+    assert(e.getMessage.contains("reservoir underflow"))
+  }
+
   test("Layer III: out-of-regime streams fail loudly by name") {
     import graft.ops.MpegAudio
     val spec = new Array[Int](576); spec(100) = 1

@@ -393,11 +393,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       "no data-sized nested loop")
   }
 
-  test("x5_decode_mp3: pure mapPartitions codec kernel — no join, no " +
-      "window pass") {
-    val pl = plan("x5_decode_mp3")
-    assert(!pl.contains("Join"), "codec path must not join")
-    assert(!pl.contains(") Window"), "no window pass")
+  test("x5_decode_mp3 (flat + reservoir): pure mapPartitions codec " +
+      "kernels — no join, no window pass") {
+    for (q <- Seq("x5_decode_mp3", "x5_decode_mp3_reservoir")) {
+      val pl = plan(q)
+      assert(!pl.contains("Join"), s"$q: codec path must not join")
+      assert(!pl.contains(") Window"), s"$q: no window pass")
+    }
   }
 
   test("persisted IVF probe: the lists scan is PARTITION-PRUNED to the " +
