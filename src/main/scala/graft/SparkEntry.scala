@@ -66,12 +66,14 @@ object SparkEntry {
     val p = Paths.get(dir, table)
     if (Files.isDirectory(p)) {
       var size = 0L; var mtime = 0L
-      Files.walk(p).forEach { q =>
+      // close the java.nio stream (it holds a directory handle open)
+      val walk = Files.walk(p)
+      try walk.forEach { q =>
         if (Files.isRegularFile(q)) {
           size += Files.size(q)
           mtime = math.max(mtime, Files.getLastModifiedTime(q).toMillis)
         }
-      }
+      } finally walk.close()
       s"$p|$size|$mtime"
     } else s"$p|${Files.size(p)}|${Files.getLastModifiedTime(p).toMillis}"
   }
@@ -1816,6 +1818,153 @@ object SparkEntry {
         }
         .toDF("doc_id", "n_frames", "n_reservoir_frames", "bitrate_kbps",
           "sample_rate", "n_samples", "spectrum_exact", "tones_ok")
+        .orderBy("doc_id")
+    }),
+
+    // X5 — MPEG-1 Layer III JOINT STEREO (the r10 verdict's #2 ask —
+    // real-world MP3s are overwhelmingly joint stereo): the 32-byte
+    // 2-channel side-info layout, both channels' granule data read
+    // jointly from the ONE shared main-data/reservoir stream, and the
+    // MS matrix L=(M+S)/√2, R=(M−S)/√2 applied to the requantized
+    // spectra (§2.4.3.4.9.2). The corpus mixes MS joint stereo (even
+    // docs) with plain L/R stereo (odd docs) AND flat with reservoir
+    // transport (id%3==0) — the channel-mode census replays both mixes
+    // closed-form. spectrum_exact pins BIT-EXACT recovery of every
+    // planted line on BOTH channels AFTER the stereo matrix; tones_ok
+    // pins each channel's full synthesis chain on its planted band
+    // set. Intensity stereo stays a named boundary: the census SEES it
+    // (x5_mp3_reservoir_mix), the decoder refuses it by name
+    // (MpegAudioSpec).
+    "x5_decode_mp3_stereo" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val nFrames = (2 + id % 3).toInt
+          val nGr = 2 * nFrames
+          val ms = id % 2 == 0
+          val resv = id % 3 == 0
+          val bv = if (id % 4 == 0) 16 else 0
+          def sbA(g: Int) = 2 + ((id + g) % 10).toInt
+          def sbB(g: Int) = 13 + ((3 * id + g) % 10).toInt
+          def bvBands(g: Int): Seq[Int] =
+            if (bv > 0) Seq(((id + 2 * g) % 32).toInt / 18,
+              ((id + 2 * g + 7) % 32).toInt / 18) else Nil
+          val granules = (0 until nGr).map { g =>
+            val c0 = new Array[Int](576); val c1 = new Array[Int](576)
+            c0(18 * sbA(g) + 4 + ((id + g) % 9).toInt) = 1
+            c1(18 * sbB(g) + 4 + (g % 9)) = -1
+            if (bv > 0) {
+              c0(((id + 2 * g) % 32).toInt) = if ((id + g) % 2 == 0) 1 else -1
+              c1(((id + 2 * g + 7) % 32).toInt) = 1
+            }
+            (c0, c1)
+          }
+          val gains = (0 until nGr).map(g =>
+            (198 + ((id + g) % 24).toInt, 196 + ((2 * id + g) % 20).toInt))
+          val kbps = Array(192, 224, 256, 320)((id % 4).toInt)
+          val enc = graft.ops.MpegAudio.encodeMp3Stereo(granules, gains,
+            kbps, bigValuesPairs = bv, msStereo = ms, reservoir = resv,
+            withCrc = id % 3 == 1)
+          val census = graft.ops.MpegAudio.mp3ChannelModeCensus(id, enc)
+          val nMs = census.count(c => c._2 == 1 && (c._3 & 2) != 0)
+          val nRes = census.count(_._4 > 0)
+          val inv = 1.0 / math.sqrt(2.0)
+          val spectra = graft.ops.MpegAudio.mp3StreamSpectraStereo(id, enc)
+          val specOk = spectra.length == nGr &&
+            spectra.zipWithIndex.forall { case (xrs, g) =>
+              val g0 = math.pow(2.0, (gains(g)._1 - 210) / 4.0)
+              val g1 = math.pow(2.0, (gains(g)._2 - 210) / 4.0)
+              (0 until 576).forall { i =>
+                val m = granules(g)._1(i) * g0
+                val sv = granules(g)._2(i) * g1
+                val (wl, wr) =
+                  if (ms) ((m + sv) * inv, (m - sv) * inv) else (m, sv)
+                math.abs(xrs(0)(i) - wl) < 1e-9 &&
+                  math.abs(xrs(1)(i) - wr) < 1e-9
+              }
+            }
+          val chans = graft.ops.MpegAudio.decodeMpegAudioChannels(id, enc)
+          def bandsCh(chIdx: Int)(g: Int): Seq[Int] =
+            (if (ms) Seq(sbA(g), sbB(g))
+             else if (chIdx == 0) Seq(sbA(g)) else Seq(sbB(g))) ++ bvBands(g)
+          val tonesOk = (0 until 2).forall { chIdx =>
+            graft.ops.MpegAudio.audioFingerprints(chans(chIdx))
+              .drop(1).forall { case (f, fp) =>
+                val planted = (math.max(0, 2 * f - 1) to
+                  math.min(nGr - 1, 2 * f + 2)).flatMap(bandsCh(chIdx)).toSet
+                planted(((fp >> 15) & 31).toInt)
+              }
+          }
+          (id, nFrames, nMs, nRes, kbps, chans(0).length.toLong,
+            specOk, tonesOk)
+        }
+        .toDF("doc_id", "n_frames", "n_ms_frames", "n_reservoir_frames",
+          "bitrate_kbps", "n_samples", "spectrum_exact", "tones_ok")
+        .orderBy("doc_id")
+    }),
+
+    // X5 — reservoir census over a REAL-SHAPED corpus (the r10
+    // verdict's #8 ask): one corpus mixing flat mono (families 0/2),
+    // reservoir mono (1/3), and intensity-patched joint-stereo
+    // reservoir streams (4) — the "what fraction of a crawl can we
+    // decode" number the boundary carries. The header+9-bit census
+    // walks EVERY stream (including the intensity ones the decoder
+    // refuses — intake scans must see what they cannot decode);
+    // reservoir_ppm is exact integer micros of the per-doc reservoir
+    // fraction; `decodable` is the measured decode verdict, false
+    // exactly where the named intensity boundary fires.
+    "x5_mp3_reservoir_mix" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val fam = (id % 5).toInt
+          val nFrames = (2 + id % 4).toInt
+          val nGr = 2 * nFrames
+          val granules = (0 until nGr).map { g =>
+            val spec = new Array[Int](576)
+            spec(18 * (2 + ((id + g) % 20).toInt) + 3 + (g % 9)) = 1
+            spec(18 * (23 + ((id + 2 * g) % 8).toInt) + 4 + (g % 9)) = -1
+            spec
+          }
+          val gains = (0 until nGr).map(g => 200 + ((id + g) % 20).toInt)
+          val kbps = Array(160, 192, 224, 256)((id % 4).toInt)
+          val enc = fam match {
+            case 0 | 2 =>
+              graft.ops.MpegAudio.encodeMp3(granules, gains, kbps)
+            case 1 | 3 =>
+              graft.ops.MpegAudio.encodeMp3Reservoir(granules, gains, kbps)
+            case _ =>
+              val st = graft.ops.MpegAudio.encodeMp3Stereo(
+                (0 until nGr).map(g =>
+                  (granules(g), granules((g + 1) % nGr))),
+                (0 until nGr).map(g => (gains(g), gains((g + 1) % nGr))),
+                kbps, msStereo = true, reservoir = true)
+              // patch mode_extension 2 → 3 on every header: the
+              // intensity regime a crawl contains and this decoder
+              // refuses by name
+              val patched = st.clone()
+              graft.ops.MpegAudio.walkFrames(id, st).foreach(f =>
+                patched(f.byte_off.toInt + 3) =
+                  (patched(f.byte_off.toInt + 3) | 0x10).toByte)
+              patched
+          }
+          val census = graft.ops.MpegAudio.mp3ChannelModeCensus(id, enc)
+          val nRes = census.count(_._4 > 0)
+          val nIntensity = census.count(c => (c._3 & 1) != 0)
+          val decodable = try {
+            val chans = graft.ops.MpegAudio.decodeMpegAudioChannels(id, enc)
+            chans.forall(_.forall(v => !v.isNaN && !v.isInfinite))
+          } catch {
+            case e: IllegalArgumentException
+                if e.getMessage.contains("intensity") => false
+          }
+          (id, nFrames, nRes, 1000000L * nRes / nFrames, nIntensity,
+            decodable)
+        }
+        .toDF("doc_id", "n_frames", "n_reservoir_frames", "reservoir_ppm",
+          "n_intensity_frames", "decodable")
         .orderBy("doc_id")
     }),
 
@@ -7552,6 +7701,39 @@ object SparkEntry {
         |  CAST(1152 * (2 + doc_id % 3) AS BIGINT) AS n_samples,
         |  TRUE AS spectrum_exact, TRUE AS tones_ok
         |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,
+
+    // Joint-stereo replay: MS on even docs, reservoir transport on
+    // id%3==0 (then every tail back-pointer is nonzero → nFrames−1 = 1
+    // at id%3=0); decode verdicts ride booleans as in the mono gates.
+    "x5_decode_mp3_stereo" ->
+      """SELECT doc_id,
+        |  CAST(2 + doc_id % 3 AS INTEGER) AS n_frames,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 + doc_id % 3 ELSE 0 END
+        |    AS INTEGER) AS n_ms_frames,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INTEGER)
+        |    AS n_reservoir_frames,
+        |  CAST([192,224,256,320][CAST(doc_id % 4 AS INTEGER) + 1]
+        |    AS INTEGER) AS bitrate_kbps,
+        |  CAST(1152 * (2 + doc_id % 3) AS BIGINT) AS n_samples,
+        |  TRUE AS spectrum_exact, TRUE AS tones_ok
+        |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,
+
+    // Mixed-corpus reservoir census: families 1/3/4 (mod 5) pack
+    // densely → nFrames−1 reservoir frames; family 4 is
+    // intensity-patched stereo → counted by the census, refused by the
+    // decoder (decodable = false).
+    "x5_mp3_reservoir_mix" ->
+      """SELECT doc_id,
+        |  CAST(2 + doc_id % 4 AS INTEGER) AS n_frames,
+        |  CAST(CASE WHEN doc_id % 5 IN (1,3,4) THEN 1 + doc_id % 4
+        |    ELSE 0 END AS INTEGER) AS n_reservoir_frames,
+        |  CAST(CASE WHEN doc_id % 5 IN (1,3,4)
+        |    THEN 1000000 * (1 + doc_id % 4) // (2 + doc_id % 4)
+        |    ELSE 0 END AS BIGINT) AS reservoir_ppm,
+        |  CAST(CASE WHEN doc_id % 5 = 4 THEN 2 + doc_id % 4 ELSE 0 END
+        |    AS INTEGER) AS n_intensity_frames,
+        |  (doc_id % 5 <> 4) AS decodable
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
 
     // Census replay of the Layer I/II round trip; reconstruction
     // quality rides the verdict boolean (measured 35-42 dB on the

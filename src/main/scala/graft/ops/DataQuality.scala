@@ -414,7 +414,14 @@ object DataQuality {
     *   - a PRODUCTION release must pass fresh randomness drawn once per
     *     release, e.g. `uniform = Some(_ => rand())` — never reused,
     *     never derived from released values. The epsilon calibration is
-    *     identical either way; only the draw changes.
+    *     identical either way; only the draw changes. NOTE that
+    *     `rand()` is a PLAN-level expression: every evaluation of the
+    *     returned frame (a second action, a shuffle-retry recompute)
+    *     re-draws the noise, silently composing epsilon across
+    *     evaluations. Materialize the noised release EXACTLY ONCE —
+    *     write it to storage (or checkpoint/collect) immediately and
+    *     publish only the materialized rows — and account every
+    *     re-evaluation as a fresh epsilon spend.
     * Noised counts are rounded to 6 decimals; group keys with true
     * count 0 are absent (this is the known "presence leaks" caveat of
     * histogram DP — documented, not hidden). */

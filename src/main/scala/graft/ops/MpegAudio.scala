@@ -89,10 +89,13 @@ object MpegAudio {
   private val SampleRates = Array(44100, 48000, 32000)
 
   /** One parsed MPEG-1 audio frame header. `frameBytes` includes the
-    * header (the slot formulas of §2.4.3.1). */
+    * header (the slot formulas of §2.4.3.1). `mode` is the 2-bit
+    * channel mode (0 stereo, 1 joint stereo, 2 dual channel, 3 single);
+    * `modeExt` the 2-bit mode_extension (for Layer III joint stereo:
+    * bit 0 = intensity, bit 1 = MS — §2.4.2.3). */
   case class FrameHeader(layer: Int, bitrateKbps: Int, sampleRate: Int,
       padding: Boolean, crcProtected: Boolean, mono: Boolean,
-      frameBytes: Int, samplesPerFrame: Int)
+      frameBytes: Int, samplesPerFrame: Int, mode: Int = 3, modeExt: Int = 0)
 
   def parseHeader(payload: Array[Byte], off: Int, docId: Long): FrameHeader = {
     require(off + 4 <= payload.length, s"mpeg: truncated header (doc $docId)")
@@ -114,13 +117,14 @@ object MpegAudio {
     require(si < 3, s"mpeg: reserved sample rate (doc $docId)")
     val pad = ((b(2) >> 1) & 1) == 1
     val mode = (b(3) >> 6) & 3
+    val modeExt = (b(3) >> 4) & 3
     val kbps = BitrateKbps(layer)(bi)
     val fs = SampleRates(si)
     val bytes =
       if (layer == 1) (12 * kbps * 1000 / fs + (if (pad) 1 else 0)) * 4
       else 144 * kbps * 1000 / fs + (if (pad) 1 else 0)
     FrameHeader(layer, kbps, fs, pad, crc, mode == 3, bytes,
-      if (layer == 1) 384 else 1152)
+      if (layer == 1) 384 else 1152, mode, modeExt)
   }
 
   /** Header-level census of a back-to-back MPEG-1 audio stream (all
@@ -368,7 +372,7 @@ object MpegAudio {
 
   private def writeHeader(bw: BitWriter, layer: Int, bitrateKbps: Int,
       crcProtected: Boolean = false, srIdx: Int = 1,
-      padding: Boolean = false): Unit = {
+      padding: Boolean = false, mode: Int = 3, modeExt: Int = 0): Unit = {
     bw.put(0xFFF, 12) // sync
     bw.put(1, 1) // ID: MPEG-1
     bw.put(4 - layer, 2) // layer bits: I→11, II→10, III→01
@@ -377,8 +381,8 @@ object MpegAudio {
     bw.put(srIdx, 2) // sample rate index (1 = 48 kHz, the codec rate)
     bw.put(if (padding) 1 else 0, 1) // padding slot
     bw.put(0, 1) // private
-    bw.put(3, 2) // mode: single channel
-    bw.put(0, 2); bw.put(0, 1); bw.put(0, 1); bw.put(0, 2) // ext/copy/orig/emph
+    bw.put(mode, 2) // channel mode (3 = single channel)
+    bw.put(modeExt, 2); bw.put(0, 1); bw.put(0, 1); bw.put(0, 2) // ext/copy/orig/emph
   }
 
   private def encodeMp2Frame(sub: Array[Array[Double]], bitrateKbps: Int,
@@ -610,36 +614,66 @@ object MpegAudio {
   // Decode (Layers I and II)
   // ------------------------------------------------------------------
 
-  /** Decode a mono MPEG-1 Layer I/II/III stream to PCM doubles in
-    * [−1, 1] (pre-clamp). Layer II is supported in the table-B.2a
-    * regime the encoder emits (48 kHz); Layer III in the reservoir-
-    * free long-block regime (see the Layer III section's scope note);
-    * anything else fails loudly. */
-  def decodeMpegAudio(docId: Long, payload: Array[Byte]): Array[Double] = {
+  /** Decode an MPEG-1 audio stream to per-channel PCM doubles in
+    * [−1, 1] (pre-clamp); `n_samples` per channel. Mono Layers I/II/III
+    * as in [[decodeMpegAudio]]; STEREO is supported for Layer III —
+    * plain stereo / dual channel decode as independent channels, joint
+    * stereo in the MS regime applies the §2.4.3.4.9.2 matrix
+    * li=(mi+si)/√2, ri=(mi−si)/√2 to the requantized spectra (both
+    * channels' granule data read jointly from the one shared main-data
+    * / reservoir stream). What fails LOUDLY by name: intensity stereo
+    * (mode_extension bit 0 — needs the per-rate sfb boundary tables,
+    * the same named boundary as nonzero scalefactors), Layer I/II
+    * stereo (the subband codec here is the mono B.2a regime), and a
+    * mid-stream channel-count change. */
+  def decodeMpegAudioChannels(docId: Long,
+      payload: Array[Byte]): Array[Array[Double]] = {
     val frames = walkFrames(docId, payload)
     val total = frames.map(_.n_samples).sum
-    val acc = new Array[Double](total + 1024)
-    val mp3State = new Mp3State
+    val nch = if (parseHeader(payload, 0, docId).mono) 1 else 2
+    val accs = Array.fill(nch)(new Array[Double](total + 1024))
+    val mp3States = Array.fill(nch)(new Mp3State)
     val mp3Resv = new Mp3Reservoir
     var outBase = 0
     frames.foreach { fi =>
       val h = parseHeader(payload, fi.byte_off.toInt, docId)
-      require(h.mono, s"mpeg: only mono streams (doc $docId)")
+      require((if (h.mono) 1 else 2) == nch,
+        s"mpeg: mid-stream channel-count change (doc $docId)")
       val off = fi.byte_off.toInt
-      val br = new BitReader(payload,
-        off + 4 + (if (h.crcProtected) 2 else 0))
-      if (h.layer == 1)
-        decodeMp1Frame(br, acc, outBase, docId, payload, off, h.crcProtected)
-      else if (h.layer == 2) {
-        require(h.sampleRate == Mp2Rate && h.bitrateKbps >= 56,
-          s"mpeg: layer II outside the B.2a regime " +
-            s"(${h.sampleRate} Hz @ ${h.bitrateKbps} kbps, doc $docId)")
-        decodeMp2Frame(br, acc, outBase, docId, payload, off, h.crcProtected)
-      } else
-        decodeMp3Frame(payload, off, h, mp3State, mp3Resv, acc, outBase, docId)
+      if (h.layer == 3)
+        decodeMp3Frame(payload, off, h, mp3States, mp3Resv, accs, outBase, docId)
+      else {
+        require(h.mono,
+          s"mpeg: layer ${h.layer} stereo is a named boundary of this codec " +
+            s"(the subband pair is the mono regime; doc $docId)")
+        val br = new BitReader(payload,
+          off + 4 + (if (h.crcProtected) 2 else 0))
+        if (h.layer == 1)
+          decodeMp1Frame(br, accs(0), outBase, docId, payload, off, h.crcProtected)
+        else {
+          require(h.sampleRate == Mp2Rate && h.bitrateKbps >= 56,
+            s"mpeg: layer II outside the B.2a regime " +
+              s"(${h.sampleRate} Hz @ ${h.bitrateKbps} kbps, doc $docId)")
+          decodeMp2Frame(br, accs(0), outBase, docId, payload, off, h.crcProtected)
+        }
+      }
       outBase += fi.n_samples
     }
-    java.util.Arrays.copyOfRange(acc, CascadeDelay, CascadeDelay + total)
+    accs.map(acc =>
+      java.util.Arrays.copyOfRange(acc, CascadeDelay, CascadeDelay + total))
+  }
+
+  /** Decode a mono MPEG-1 Layer I/II/III stream to PCM doubles in
+    * [−1, 1] (pre-clamp). Layer II is supported in the table-B.2a
+    * regime the encoder emits (48 kHz); Layer III in the long-block
+    * regime (see the Layer III section's scope note); anything else —
+    * including stereo, which [[decodeMpegAudioChannels]] carries for
+    * Layer III — fails loudly. */
+  def decodeMpegAudio(docId: Long, payload: Array[Byte]): Array[Double] = {
+    require(parseHeader(payload, 0, docId).mono,
+      s"mpeg: decodeMpegAudio is the mono surface — use " +
+        s"decodeMpegAudioChannels for stereo (doc $docId)")
+    decodeMpegAudioChannels(docId, payload)(0)
   }
 
   private def decodeMp1Frame(br: BitReader, acc: Array[Double],
@@ -955,41 +989,51 @@ object MpegAudio {
   private case class Mp3Granule(part23: Int, bigValues: Int, globalGain: Int,
       scalefacCompress: Int, tableSelect: Array[Int], count1TableB: Boolean)
 
-  /** Parse the 17-byte mono side info → (main_data_begin, granules). */
-  private def readMp3SideInfo(br: BitReader, docId: Long): (Int, Array[Mp3Granule]) = {
-    val mainDataBegin = br.read(9)
-    br.read(5) // private_bits (mono)
-    val scfsi = br.read(4)
-    require(scfsi == 0,
-      s"mpeg: layer III scfsi=$scfsi needs granule-shared scalefactors (doc $docId)")
-    val grs = Array.fill(2) {
-      val part23 = br.read(12)
-      val bigValues = br.read(9)
-      require(bigValues * 2 <= 576,
-        s"mpeg: layer III big_values $bigValues exceeds the spectrum (doc $docId)")
-      val globalGain = br.read(8)
-      val sfc = br.read(4)
-      val wsf = br.read(1)
-      require(wsf == 0,
-        s"mpeg: layer III window switching (short/mixed blocks) is a named " +
-          s"boundary of this decoder (doc $docId)")
-      val ts = Array.fill(3)(br.read(5))
-      br.read(4); br.read(3) // region0_count / region1_count (tables equal below)
-      val preflag = br.read(1)
-      require(preflag == 0,
-        s"mpeg: layer III preflag needs the pretab application path (doc $docId)")
-      br.read(1) // scalefac_scale — scales scalefactors, which must be zero
-      val c1t = br.read(1)
-      if (bigValues > 0) {
-        ts.foreach(t => require(t <= 1,
-          s"mpeg: layer III big-values Huffman table $t not carried (only the " +
-            s"spec-reconstructible tables 0 and 1 are; doc $docId)"))
-        require(ts.distinct.length == 1,
-          s"mpeg: layer III mixed region tables ${ts.mkString(",")} need the " +
-            s"per-rate sfb region boundaries (doc $docId)")
-      }
-      Mp3Granule(part23, bigValues, globalGain, sfc, ts, c1t == 1)
+  /** One channel-granule's 59-bit side-info block (§2.4.1.7) — the
+    * shared grammar of the 17-byte mono and 32-byte stereo layouts. */
+  private def readMp3GranuleInfo(br: BitReader, docId: Long): Mp3Granule = {
+    val part23 = br.read(12)
+    val bigValues = br.read(9)
+    require(bigValues * 2 <= 576,
+      s"mpeg: layer III big_values $bigValues exceeds the spectrum (doc $docId)")
+    val globalGain = br.read(8)
+    val sfc = br.read(4)
+    val wsf = br.read(1)
+    require(wsf == 0,
+      s"mpeg: layer III window switching (short/mixed blocks) is a named " +
+        s"boundary of this decoder (doc $docId)")
+    val ts = Array.fill(3)(br.read(5))
+    br.read(4); br.read(3) // region0_count / region1_count (tables equal below)
+    val preflag = br.read(1)
+    require(preflag == 0,
+      s"mpeg: layer III preflag needs the pretab application path (doc $docId)")
+    br.read(1) // scalefac_scale — scales scalefactors, which must be zero
+    val c1t = br.read(1)
+    if (bigValues > 0) {
+      ts.foreach(t => require(t <= 1,
+        s"mpeg: layer III big-values Huffman table $t not carried (only the " +
+          s"spec-reconstructible tables 0 and 1 are; doc $docId)"))
+      require(ts.distinct.length == 1,
+        s"mpeg: layer III mixed region tables ${ts.mkString(",")} need the " +
+          s"per-rate sfb region boundaries (doc $docId)")
     }
+    Mp3Granule(part23, bigValues, globalGain, sfc, ts, c1t == 1)
+  }
+
+  /** Parse the side info (17 bytes mono / 32 bytes stereo, §2.4.1.7) →
+    * (main_data_begin, granules[granule][channel]). */
+  private def readMp3SideInfo(br: BitReader, nch: Int,
+      docId: Long): (Int, Array[Array[Mp3Granule]]) = {
+    val mainDataBegin = br.read(9)
+    br.read(if (nch == 1) 5 else 3) // private_bits
+    var ch = 0
+    while (ch < nch) {
+      val scfsi = br.read(4)
+      require(scfsi == 0,
+        s"mpeg: layer III scfsi=$scfsi needs granule-shared scalefactors (doc $docId)")
+      ch += 1
+    }
+    val grs = Array.fill(2)(Array.fill(nch)(readMp3GranuleInfo(br, docId)))
     (mainDataBegin, grs)
   }
 
@@ -1137,18 +1181,23 @@ object MpegAudio {
 
   /** Parse one Layer III frame's side info + CRC, feed its main-data
     * region to the reservoir, and return a BitReader positioned at this
-    * frame's granule data (main_data_begin bytes before the region). */
+    * frame's granule data (main_data_begin bytes before the region).
+    * Granules come back [granule][channel]. */
   private def mp3FrameMainData(payload: Array[Byte], frameOff: Int,
       h: FrameHeader, resv: Mp3Reservoir, docId: Long):
-      (BitReader, Array[Mp3Granule]) = {
-    require(h.mono, s"mpeg: only mono streams (doc $docId)")
+      (BitReader, Array[Array[Mp3Granule]]) = {
+    val nch = if (h.mono) 1 else 2
+    val sideBytes = if (nch == 1) 17 else 32
+    require(h.mode != 1 || (h.modeExt & 1) == 0,
+      s"mpeg: layer III intensity stereo needs the per-rate sfb boundary " +
+        s"tables — named boundary of this decoder (doc $docId)")
     val crc2 = if (h.crcProtected) 2 else 0
     val br = new BitReader(payload, frameOff + 4 + crc2)
-    val (mdb, grs) = readMp3SideInfo(br, docId)
+    val (mdb, grs) = readMp3SideInfo(br, nch, docId)
     if (h.crcProtected) {
       val want = ((payload(frameOff + 4) & 0xFF) << 8) |
         (payload(frameOff + 5) & 0xFF)
-      val got = frameCrc(payload, frameOff, 136) // mono side info
+      val got = frameCrc(payload, frameOff, sideBytes * 8)
       require(got == want,
         f"mpeg: layer III CRC mismatch $got%04x != $want%04x (doc $docId)")
     }
@@ -1157,24 +1206,51 @@ object MpegAudio {
       s"mpeg: layer III main_data_begin=$mdb points $mdb bytes before the " +
         s"stream start — bit-reservoir underflow (cut stream or missing " +
         s"prior frames) (doc $docId)")
-    resv.append(payload, frameOff + 4 + crc2 + 17, frameOff + h.frameBytes)
+    resv.append(payload, frameOff + 4 + crc2 + sideBytes,
+      frameOff + h.frameBytes)
     (resv.readerAt(startByte), grs)
   }
 
+  /** Joint-stereo post-processing of one granule's requantized channel
+    * spectra, in place. MS (mode 1, mode_extension bit 1):
+    * li = (mi+si)/√2, ri = (mi−si)/√2 — §2.4.3.4.9.2 (intensity is
+    * rejected earlier, at side-info parse). Plain stereo / dual channel
+    * pass through. */
+  private def mp3ApplyStereo(h: FrameHeader,
+      xrs: Array[Array[Double]]): Unit =
+    if (xrs.length == 2 && h.mode == 1 && (h.modeExt & 2) != 0) {
+      val inv = 1.0 / math.sqrt(2.0)
+      val m = xrs(0); val s = xrs(1)
+      var i = 0
+      while (i < 576) {
+        val mi = m(i); val si = s(i)
+        m(i) = (mi + si) * inv
+        s(i) = (mi - si) * inv
+        i += 1
+      }
+    }
+
   private def decodeMp3Frame(payload: Array[Byte], frameOff: Int,
-      h: FrameHeader, st: Mp3State, resv: Mp3Reservoir, acc: Array[Double],
-      outBase: Int, docId: Long): Unit = {
+      h: FrameHeader, sts: Array[Mp3State], resv: Mp3Reservoir,
+      accs: Array[Array[Double]], outBase: Int, docId: Long): Unit = {
     val (mbr, grs) = mp3FrameMainData(payload, frameOff, h, resv, docId)
+    val nch = grs(0).length
     var g = 0
     while (g < 2) {
-      val xr = decodeMp3GranuleSpectrum(mbr, grs(g), docId)
-      mp3SynthesizeGranule(xr, st, acc, outBase + 576 * g)
+      val xrs = Array.tabulate(nch)(ch =>
+        decodeMp3GranuleSpectrum(mbr, grs(g)(ch), docId))
+      mp3ApplyStereo(h, xrs)
+      var ch = 0
+      while (ch < nch) {
+        mp3SynthesizeGranule(xrs(ch), sts(ch), accs(ch), outBase + 576 * g)
+        ch += 1
+      }
       g += 1
     }
   }
 
-  /** The requantized per-granule spectra of a Layer III stream — the
-    * digital half of the decode (side info, CRC, scalefactor bits,
+  /** The requantized per-granule spectra of a mono Layer III stream —
+    * the digital half of the decode (side info, CRC, scalefactor bits,
     * Huffman, requantization) without the synthesis chain. Exposed so
     * gates/specs can check spectrum recovery EXACTLY against planted
     * fixtures; returns granules in stream order. */
@@ -1185,10 +1261,51 @@ object MpegAudio {
       val off = fi.byte_off.toInt
       val h = parseHeader(payload, off, docId)
       require(h.layer == 3, s"mpeg: not a layer III frame (doc $docId)")
+      require(h.mono, s"mpeg: mp3StreamSpectra is the mono surface — use " +
+        s"mp3StreamSpectraStereo (doc $docId)")
       val (mbr, grs) = mp3FrameMainData(payload, off, h, resv, docId)
-      grs.map(g => decodeMp3GranuleSpectrum(mbr, g, docId)).toSeq
+      grs.map(g => decodeMp3GranuleSpectrum(mbr, g(0), docId)).toSeq
     }
   }
+
+  /** Stereo twin of [[mp3StreamSpectra]]: per granule, the two
+    * channels' requantized spectra AFTER joint-stereo processing (so
+    * for MS streams these are the reconstructed L/R lines — what a
+    * fixture-exactness gate wants to pin). */
+  def mp3StreamSpectraStereo(docId: Long,
+      payload: Array[Byte]): Seq[Array[Array[Double]]] = {
+    val resv = new Mp3Reservoir
+    walkFrames(docId, payload).flatMap { fi =>
+      val off = fi.byte_off.toInt
+      val h = parseHeader(payload, off, docId)
+      require(h.layer == 3 && !h.mono,
+        s"mpeg: not a stereo layer III frame (doc $docId)")
+      val (mbr, grs) = mp3FrameMainData(payload, off, h, resv, docId)
+      grs.map { g =>
+        val xrs = Array.tabulate(2)(ch =>
+          decodeMp3GranuleSpectrum(mbr, g(ch), docId))
+        mp3ApplyStereo(h, xrs)
+        xrs
+      }.toSeq
+    }
+  }
+
+  /** Per-frame channel-mode census of a Layer III stream — a header +
+    * 9-bit side-info peek, no main-data decode: (frame_id, mode,
+    * mode_extension, main_data_begin). The corpus-intake scan that
+    * measures the channel-mode mix (mono / stereo / MS / intensity)
+    * and the reservoir fraction in one pass, BEFORE committing to a
+    * decode — intensity frames are visible here without tripping the
+    * decoder's named boundary. */
+  def mp3ChannelModeCensus(docId: Long,
+      payload: Array[Byte]): Seq[(Int, Int, Int, Int)] =
+    walkFrames(docId, payload).map { fi =>
+      val off = fi.byte_off.toInt
+      val h = parseHeader(payload, off, docId)
+      require(h.layer == 3, s"mpeg: not a layer III frame (doc $docId)")
+      val br = new BitReader(payload, off + 4 + (if (h.crcProtected) 2 else 0))
+      (fi.frame_id, h.mode, h.modeExt, br.read(9))
+    }
 
   /** Per-frame main_data_begin census of a Layer III stream — a
     * header + 9-bit side-info peek, no main-data decode: the cheap scan
@@ -1243,23 +1360,65 @@ object MpegAudio {
     bits
   }
 
+  /** One channel-granule's 59-bit side-info block (encoder twin of
+    * [[readMp3GranuleInfo]]). */
+  private def mp3WriteGranuleSide(bw: BitWriter, p23: Int, gg: Int,
+      bigValuesPairs: Int): Unit = {
+    bw.put(p23, 12)         // part2_3_length
+    bw.put(bigValuesPairs, 9)
+    bw.put(gg, 8)           // global_gain
+    bw.put(0, 4)            // scalefac_compress
+    bw.put(0, 1)            // window_switching_flag
+    val tbl = if (bigValuesPairs > 0) 1 else 0
+    bw.put(tbl, 5); bw.put(tbl, 5); bw.put(tbl, 5) // table_select
+    bw.put(0, 4); bw.put(0, 3) // region0/region1 (tables equal)
+    bw.put(0, 1); bw.put(0, 1) // preflag, scalefac_scale
+    bw.put(1, 1)            // count1table_select = B
+  }
+
   /** Side info (136 bits, mono): main_data_begin + the two granules'
     * fixed-layout fields. */
   private def mp3WriteSideInfo(bw: BitWriter, mainDataBegin: Int,
       grs: Seq[(Int, Int)], bigValuesPairs: Int): Unit = {
     bw.put(mainDataBegin, 9); bw.put(0, 5); bw.put(0, 4) // mdb/private/scfsi
     grs.foreach { case (p23, gg) =>
-      bw.put(p23, 12)         // part2_3_length
-      bw.put(bigValuesPairs, 9)
-      bw.put(gg, 8)           // global_gain
-      bw.put(0, 4)            // scalefac_compress
-      bw.put(0, 1)            // window_switching_flag
-      val tbl = if (bigValuesPairs > 0) 1 else 0
-      bw.put(tbl, 5); bw.put(tbl, 5); bw.put(tbl, 5) // table_select
-      bw.put(0, 4); bw.put(0, 3) // region0/region1 (tables equal)
-      bw.put(0, 1); bw.put(0, 1) // preflag, scalefac_scale
-      bw.put(1, 1)            // count1table_select = B
+      mp3WriteGranuleSide(bw, p23, gg, bigValuesPairs)
     }
+  }
+
+  /** Side info (256 bits, stereo §2.4.1.7): main_data_begin, 3 private
+    * bits, scfsi per channel, then [granule][channel] blocks. `grs` is
+    * [granule][channel] of (part2_3_length, global_gain). */
+  private def mp3WriteSideInfoStereo(bw: BitWriter, mainDataBegin: Int,
+      grs: Seq[Seq[(Int, Int)]], bigValuesPairs: Int): Unit = {
+    bw.put(mainDataBegin, 9); bw.put(0, 3) // mdb / private_bits
+    bw.put(0, 4); bw.put(0, 4)             // scfsi ch0 / ch1
+    grs.foreach(_.foreach { case (p23, gg) =>
+      mp3WriteGranuleSide(bw, p23, gg, bigValuesPairs)
+    })
+  }
+
+  /** Dense reservoir placement (§2.4.2.7): where frame n's main data
+    * starts in the logical main-data stream, given per-frame data
+    * lengths and the per-frame region capacity. S(n) = max(cursor,
+    * P(n) − 511) with P(n) = n·regionBytes, so main_data_begin =
+    * P(n) − S(n) ∈ [0, 511]; gaps forced by the 9-bit cap stay zero
+    * (spec-legal stuffing). */
+  private def reservoirStarts(lengths: Seq[Int],
+      regionBytes: Int): Array[Long] = {
+    val starts = new Array[Long](lengths.length)
+    var cursor = 0L
+    for (n <- lengths.indices) {
+      val pN = n.toLong * regionBytes
+      require(cursor <= pN,
+        s"mp3: frame $n's data cannot start after its own region begins " +
+          s"(accumulated ${cursor} > capacity $pN) — raise the bitrate")
+      starts(n) = math.max(cursor, pN - 511)
+      require(starts(n) + lengths(n) <= pN + regionBytes,
+        s"mp3: frame $n main data overruns its region window — raise the bitrate")
+      cursor = starts(n) + lengths(n)
+    }
+    starts
   }
 
   /** One granule's Huffman-coded main data. */
@@ -1294,20 +1453,20 @@ object MpegAudio {
     }
   }
 
-  /** Header + optional CRC-16 (over header bits 16–31 + the 136
-    * side-info bits) + side info + main-data block, padded to
-    * `frameBytes`. */
+  /** Header + optional CRC-16 (over header bits 16–31 + the side-info
+    * bits — 136 mono, 256 stereo) + side info + main-data block,
+    * padded to `frameBytes`. */
   private def mp3AssembleFrame(bitrateKbps: Int, withCrc: Boolean,
-      sideBytes: Array[Byte], body: Array[Byte],
-      frameBytes: Int): Array[Byte] = {
+      sideBytes: Array[Byte], body: Array[Byte], frameBytes: Int,
+      mode: Int = 3, modeExt: Int = 0): Array[Byte] = {
     val head = new BitWriter
-    writeHeader(head, 3, bitrateKbps, withCrc)
+    writeHeader(head, 3, bitrateKbps, withCrc, mode = mode, modeExt = modeExt)
     val headBytes = head.toBytes
     val frame = new java.io.ByteArrayOutputStream()
     frame.write(headBytes)
     if (withCrc) {
       val crc = crc16Update(crc16Update(0xFFFF, headBytes, 16, 16),
-        sideBytes, 0, 136)
+        sideBytes, 0, sideBytes.length * 8)
       frame.write(crc >> 8); frame.write(crc & 0xFF)
     }
     frame.write(sideBytes)
@@ -1372,22 +1531,8 @@ object MpegAudio {
       mp3WriteGranuleData(dw, g1, bigValuesPairs)
       (p23, dw.toBytes)
     }
-    // pass 2: placement. S(n) = where frame n's data starts in the
-    // logical main-data stream; P(n) = n·regionBytes = where frame n's
-    // own region starts. main_data_begin(n) = P(n) − S(n) ∈ [0, 511].
-    val starts = new Array[Long](nFrames)
-    var cursor = 0L
-    for (n <- 0 until nFrames) {
-      val pN = n.toLong * regionBytes
-      require(cursor <= pN,
-        s"mp3: frame $n's data cannot start after its own region begins " +
-          s"(accumulated ${cursor} > capacity $pN) — raise the bitrate")
-      starts(n) = math.max(cursor, pN - 511)
-      require(starts(n) + frames(n)._2.length <= pN + regionBytes,
-        s"mp3: frame $n main data overruns its region window at " +
-          s"$bitrateKbps kbps — raise the bitrate")
-      cursor = starts(n) + frames(n)._2.length
-    }
+    // pass 2: placement — see [[reservoirStarts]]
+    val starts = reservoirStarts(frames.map(_._2.length), regionBytes)
     // pass 3: lay the main-data stream into one buffer (gaps created by
     // the 511 cap stay zero — spec-legal stuffing the decoder never
     // addresses), then slice per-frame regions
@@ -1406,6 +1551,74 @@ object MpegAudio {
       val region = java.util.Arrays.copyOfRange(stream, pN, pN + regionBytes)
       out.write(mp3AssembleFrame(bitrateKbps, withCrc, sw.toBytes,
         region, frameBytes))
+    }
+    out.toByteArray
+  }
+
+  /** Encode per-granule STEREO spectra as an MPEG-1 Layer III stream at
+    * 48 kHz — the fixture generator for the stereo decode paths, same
+    * spectral grammar as [[encodeMp3]]. Each granule carries two
+    * channel spectra (lines in {−1,0,1}) and two global gains; the
+    * channels are written in the ISO [granule][channel] order into one
+    * shared main-data stream. With `msStereo` the header says joint
+    * stereo + MS mode_extension and the written spectra ARE the M/S
+    * channels (the decoder reconstructs L=(M+S)/√2, R=(M−S)/√2);
+    * without it the header says plain stereo and the channels pass
+    * through as L/R. `reservoir` packs the main-data stream densely
+    * across frames (same placement as [[encodeMp3Reservoir]]) so tail
+    * frames carry nonzero back-pointers; flat packing otherwise. */
+  def encodeMp3Stereo(granules: Seq[(Array[Int], Array[Int])],
+      globalGains: Seq[(Int, Int)], bitrateKbps: Int,
+      bigValuesPairs: Int = 0, msStereo: Boolean = true,
+      reservoir: Boolean = false, withCrc: Boolean = false): Array[Byte] = {
+    mp3ValidateArgs(granules.flatMap(g => Seq(g._1, g._2)),
+      globalGains.flatMap(g => Seq(g._1, g._2)), bigValuesPairs)
+    require(granules.length == globalGains.length, "mp3: one gain pair per granule")
+    val fs = Mp2Rate
+    val frameBytes = 144 * bitrateKbps * 1000 / fs
+    val regionBytes = frameBytes - 4 - (if (withCrc) 2 else 0) - 32
+    require(regionBytes > 0, s"mp3: no main-data capacity at $bitrateKbps kbps")
+    val nFrames = granules.length / 2
+    // pass 1: per-frame main-data blocks (gr0ch0, gr0ch1, gr1ch0,
+    // gr1ch1) + per-channel-granule bit costs
+    val frames = (0 until nFrames).map { n =>
+      val dw = new BitWriter
+      val p23 = Array.ofDim[Int](2, 2)
+      for (g <- 0 to 1; ch <- 0 to 1) {
+        val spec = if (ch == 0) granules(2 * n + g)._1 else granules(2 * n + g)._2
+        p23(g)(ch) = mp3GranuleBits(spec, bigValuesPairs)
+        require(p23(g)(ch) < 4096, "mp3: part2_3_length overflows 12 bits")
+        mp3WriteGranuleData(dw, spec, bigValuesPairs)
+      }
+      (p23, dw.toBytes)
+    }
+    frames.zipWithIndex.foreach { case ((_, data), n) =>
+      if (!reservoir) require(data.length <= regionBytes,
+        s"mp3: frame $n main data ${data.length} B exceeds the $regionBytes-B " +
+          s"region at $bitrateKbps kbps — raise the bitrate")
+    }
+    val starts =
+      if (reservoir) reservoirStarts(frames.map(_._2.length), regionBytes)
+      else Array.tabulate(nFrames)(n => n.toLong * regionBytes)
+    val stream = new Array[Byte](nFrames * regionBytes)
+    for (n <- 0 until nFrames)
+      System.arraycopy(frames(n)._2, 0, stream, starts(n).toInt,
+        frames(n)._2.length)
+    val (mode, modeExt) = if (msStereo) (1, 2) else (0, 0)
+    val out = new java.io.ByteArrayOutputStream()
+    for (n <- 0 until nFrames) {
+      val pN = n * regionBytes
+      val mdb = (pN - starts(n)).toInt
+      val sw = new BitWriter
+      mp3WriteSideInfoStereo(sw, mdb,
+        Seq(Seq((frames(n)._1(0)(0), globalGains(2 * n)._1),
+            (frames(n)._1(0)(1), globalGains(2 * n)._2)),
+          Seq((frames(n)._1(1)(0), globalGains(2 * n + 1)._1),
+            (frames(n)._1(1)(1), globalGains(2 * n + 1)._2))),
+        bigValuesPairs)
+      val region = java.util.Arrays.copyOfRange(stream, pN, pN + regionBytes)
+      out.write(mp3AssembleFrame(bitrateKbps, withCrc, sw.toBytes,
+        region, frameBytes, mode, modeExt))
     }
     out.toByteArray
   }

@@ -509,7 +509,6 @@ object Similarity {
       maxFitDropMicro: Long = 200000L): DataFrame = {
     val stats = spark.read.parquet(s"$path/stats")
     val totals = stats.agg(
-      countDistinct(col("cent_id")).as("n_lists"),
       sum(col("n")).as("n_total"),
       sum(when(col("phase") === "append", col("n")).otherwise(0L))
         .as("n_appended"),
@@ -519,9 +518,20 @@ object Similarity {
       sum(when(col("phase") === "append", col("sum_sim_micro")).otherwise(0L))
         .as("_asum"))
     // per-list sizes roll build+append rows up per cent_id first — max
-    // over raw stat rows would miss a list fed by many small appends
-    val perList = stats.groupBy(col("cent_id")).agg(sum(col("n")).as("_ln"))
-      .agg(max(col("_ln")).as("max_list_n"), avg(col("_ln")).as("_avg"))
+    // over raw stat rows would miss a list fed by many small appends.
+    // The rollup is LEFT-JOINED against the full centroid table (k
+    // rows) so EMPTY lists count as size 0 in the skew mean — a drifted
+    // corpus that empties many lists while concentrating growth would
+    // otherwise under-report skew (advisor-flagged); n_lists is
+    // therefore k, with n_empty_lists carried for observability.
+    val cents = spark.read.parquet(s"$path/centroids").select(col("cent_id"))
+    val perList = cents.join(
+        stats.groupBy(col("cent_id")).agg(sum(col("n")).as("_n0")),
+        Seq("cent_id"), "left")
+      .select(coalesce(col("_n0"), lit(0L)).as("_ln"))
+      .agg(count(lit(1)).as("n_lists"),
+        sum(when(col("_ln") === 0L, 1L).otherwise(0L)).as("n_empty_lists"),
+        max(col("_ln")).as("max_list_n"), avg(col("_ln")).as("_avg"))
     totals.join(perList, expr("true"))
       .withColumn("skew_micro",
         (col("max_list_n") * 1000000L / col("_avg")).cast("long"))
@@ -533,9 +543,47 @@ object Similarity {
       .withColumn("needs_retrain",
         col("skew_micro") > maxSkewMicro ||
           col("fit_drop_micro") > maxFitDropMicro)
-      .select(col("n_lists"), col("n_total"), col("n_appended"),
-        col("max_list_n"), col("skew_micro"), col("build_fit_micro"),
-        col("append_fit_micro"), col("fit_drop_micro"), col("needs_retrain"))
+      .select(col("n_lists"), col("n_empty_lists"), col("n_total"),
+        col("n_appended"), col("max_list_n"), col("skew_micro"),
+        col("build_fit_micro"), col("append_fit_micro"),
+        col("fit_drop_micro"), col("needs_retrain"))
+  }
+
+  /** RETRAIN ACTION — the consumer of [[ivfIndexCensus]]'s verdict,
+    * closing the maintain loop (append batches cheaply → census → when
+    * it fires, retrain): re-run the deterministic k-means over the
+    * index's OWN lists (the corpus exactly as the index holds it — the
+    * original source is never re-read, which a spec pins by retraining
+    * after the source is deleted; the sample bound keeps driver memory
+    * O(sampleSize)), rewrite the centroids, re-partition every list
+    * under the new assignment, and reset the stats table to a fresh
+    * phase="build" baseline so the census's fit/skew triggers measure
+    * drift against the RETRAINED geometry (n_appended returns to 0).
+    * The new layout is staged under `_retrain/` beside the live one and
+    * swapped in only after all three writes succeed — a failed retrain
+    * leaves the serving index untouched. census-fires → retrain →
+    * census-clears and the retrained-probe-equality are pinned by the
+    * x2_ann_ivf_retrain gate tri-scale. */
+  def retrainIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      k: Int, iters: Int, seed: Long = 42L, sampleSize: Int = 1024): Unit = {
+    val corpus = spark.read.parquet(s"$path/lists")
+      .select(col("cid"), col("_v"))
+    val cents = trainKMeans(corpus, "cid", "_v", k, iters, seed, sampleSize)
+    val stage = s"$path/_retrain"
+    writeIvfIndex(corpus, "cid", "_v", cents, stage)
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    def rmTree(p: Path): Unit = if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => Files.delete(q))
+      finally walk.close()
+    }
+    Seq("centroids", "lists", "stats").foreach { part =>
+      rmTree(Paths.get(path, part))
+      Files.move(Paths.get(stage, part), Paths.get(path, part),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+    rmTree(Paths.get(stage))
   }
 
   /** Per-JVM build-once registry for scratch persisted indexes: the
@@ -554,10 +602,11 @@ object Similarity {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       indexRegistry.values.forEach { p =>
         try {
-          java.nio.file.Files.walk(java.nio.file.Paths.get(p))
-            .sorted(java.util.Comparator.reverseOrder())
+          val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+          try walk.sorted(java.util.Comparator.reverseOrder())
             .forEach(q => { try java.nio.file.Files.delete(q)
               catch { case _: Exception => () } })
+          finally walk.close()
         } catch { case _: Exception => () }
       }
     }))

@@ -87,18 +87,36 @@ object Streams {
     }
     val keep: Set[String] =
       if (Files.isDirectory(src)) {
-        val parts = Files.list(src).iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+        val parts = listDir(src)
+          .filter(_.getFileName.toString.endsWith(".parquet"))
         parts.foreach(p => copyIfStale(p, dst.resolve(p.getFileName.toString)))
         parts.map(_.getFileName.toString).toSet
       } else {
         copyIfStale(src, dst.resolve(s"$table.parquet"))
         Set(s"$table.parquet")
       }
-    Files.list(dst).iterator().asScala.toSeq
-      .filterNot(p => keep(p.getFileName.toString))
-      .foreach(Files.delete)
+    // stray sweep must handle DIRECTORY strays too (an interrupted
+    // _stage dir from a previous generation would make Files.delete
+    // throw DirectoryNotEmptyException and wedge staging until a
+    // manual clean — advisor-flagged)
+    listDir(dst).filterNot(p => keep(p.getFileName.toString))
+      .foreach(deleteRecursive)
     dst.toString
+  }
+
+  /** `Files.list` with the returned stream CLOSED — it holds a
+    * directory handle open until closed (advisor-flagged leak). */
+  private def listDir(p: java.nio.file.Path): List[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.list(p)
+    try s.iterator().asScala.toList finally s.close()
+  }
+
+  private def deleteRecursive(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p,
+        java.nio.file.LinkOption.NOFOLLOW_LINKS))
+      listDir(p).foreach(deleteRecursive)
+    java.nio.file.Files.delete(p)
   }
 
   private def stageLandingDir(sfDir: String): String =
@@ -108,9 +126,7 @@ object Streams {
     * key that makes a regenerated or re-laid-out fixture a MISS. */
   private def landingKey(landing: String): String = {
     import java.nio.file._
-    import scala.jdk.CollectionConverters._
-    val fs = Files.list(Paths.get(landing)).iterator().asScala.toSeq
-      .sortBy(_.getFileName.toString)
+    val fs = listDir(Paths.get(landing)).sortBy(_.getFileName.toString)
     landing + "|" + fs.map(p => s"${p.getFileName}:${Files.size(p)}:" +
       s"${Files.getLastModifiedTime(p).toMillis}").mkString(",")
   }

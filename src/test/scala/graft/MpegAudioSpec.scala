@@ -350,6 +350,102 @@ class MpegAudioSpec extends AnyFunSuite {
     assert(e.getMessage.contains("reservoir underflow"))
   }
 
+  test("Layer III stereo: MS and plain-stereo planted spectra round-trip " +
+      "through flat and reservoir transport; the MS matrix reconstructs L/R") {
+    import graft.ops.MpegAudio
+    val nGr = 4
+    val granules = (0 until nGr).map { g =>
+      val m = new Array[Int](576); val s = new Array[Int](576)
+      m(18 * (3 + g) + 5) = 1
+      m(2 * g) = -1             // big-values region line (pairs 0..15)
+      s(18 * (14 + g) + 7) = -1
+      s(2 * g + 1) = 1
+      (m, s)
+    }
+    val gains = (0 until nGr).map(g => (200 + g, 206 - g))
+    for (ms <- Seq(true, false); resv <- Seq(true, false);
+        crc <- Seq(true, false)) {
+      val enc = MpegAudio.encodeMp3Stereo(granules, gains, 256,
+        bigValuesPairs = 16, msStereo = ms, reservoir = resv, withCrc = crc)
+      val census = MpegAudio.mp3ChannelModeCensus(21L, enc)
+      assert(census.length == 2)
+      assert(census.forall { case (_, mode, ext, _) =>
+        mode == (if (ms) 1 else 0) && ext == (if (ms) 2 else 0) })
+      if (resv) assert(census.tail.forall(_._4 > 0))
+      else assert(census.forall(_._4 == 0))
+      val spectra = MpegAudio.mp3StreamSpectraStereo(21L, enc)
+      assert(spectra.length == nGr)
+      val inv = 1.0 / math.sqrt(2.0)
+      spectra.zipWithIndex.foreach { case (xrs, g) =>
+        val g0 = math.pow(2.0, (gains(g)._1 - 210) / 4.0)
+        val g1 = math.pow(2.0, (gains(g)._2 - 210) / 4.0)
+        (0 until 576).foreach { i =>
+          val m = granules(g)._1(i) * g0
+          val sv = granules(g)._2(i) * g1
+          val (wl, wr) = if (ms) ((m + sv) * inv, (m - sv) * inv) else (m, sv)
+          assert(math.abs(xrs(0)(i) - wl) < 1e-12, s"gr $g L line $i (ms=$ms)")
+          assert(math.abs(xrs(1)(i) - wr) < 1e-12, s"gr $g R line $i (ms=$ms)")
+        }
+      }
+      val chans = MpegAudio.decodeMpegAudioChannels(21L, enc)
+      assert(chans.length == 2 && chans.forall(_.length == 2 * 1152))
+      assert(chans.forall(_.forall(v => !v.isNaN && !v.isInfinite)))
+      assert(chans.forall(_.exists(math.abs(_) > 1e-9)))
+    }
+  }
+
+  test("Layer III stereo: an M-only tone lands identically on both " +
+      "channels; an S-only tone lands anti-phase (the MS matrix in PCM)") {
+    import graft.ops.MpegAudio
+    val m = new Array[Int](576); m(18 * 7 + 8) = 1
+    val z = new Array[Int](576)
+    val encM = MpegAudio.encodeMp3Stereo(Seq.fill(8)((m, z)),
+      Seq.fill(8)((214, 214)), 256)
+    val cM = MpegAudio.decodeMpegAudioChannels(22L, encM)
+    cM(0).indices.foreach(i => assert(math.abs(cM(0)(i) - cM(1)(i)) < 1e-12))
+    assert(cM(0).exists(math.abs(_) > 1e-6))
+    val encS = MpegAudio.encodeMp3Stereo(Seq.fill(8)((z, m)),
+      Seq.fill(8)((214, 214)), 256)
+    val cS = MpegAudio.decodeMpegAudioChannels(23L, encS)
+    cS(0).indices.foreach(i => assert(math.abs(cS(0)(i) + cS(1)(i)) < 1e-12))
+    assert(cS(0).exists(math.abs(_) > 1e-6))
+  }
+
+  test("stereo boundaries fail loudly by name: intensity stereo, " +
+      "Layer II stereo, mid-stream channel change") {
+    import graft.ops.MpegAudio
+    val spec = new Array[Int](576); spec(40) = 1
+    val st = MpegAudio.encodeMp3Stereo(Seq((spec, spec), (spec, spec)),
+      Seq((210, 210), (210, 210)), 256)
+    // set mode_extension bit 0 (intensity) on every frame header
+    val frames = MpegAudio.walkFrames(24L, st)
+    val intens = st.clone()
+    frames.foreach(f => intens(f.byte_off.toInt + 3) =
+      (intens(f.byte_off.toInt + 3) | 0x10).toByte)
+    // the census SEES the mode without decoding (intake-scan path)
+    assert(MpegAudio.mp3ChannelModeCensus(24L, intens).forall(_._3 == 3))
+    val e1 = intercept[IllegalArgumentException](
+      MpegAudio.decodeMpegAudioChannels(24L, intens))
+    assert(e1.getMessage.contains("intensity"))
+    // Layer II stereo: patch a valid mono L2 stream's mode bits
+    val mp2 = MpegAudio.syntheticStream(2, 96, 3)
+    val mp2st = mp2.clone()
+    MpegAudio.walkFrames(25L, mp2).foreach(f =>
+      mp2st(f.byte_off.toInt + 3) = (mp2st(f.byte_off.toInt + 3) & 0x3F).toByte)
+    val e2 = intercept[IllegalArgumentException](
+      MpegAudio.decodeMpegAudioChannels(25L, mp2st))
+    assert(e2.getMessage.contains("named boundary"))
+    // mid-stream channel change: a mono stream concatenated with stereo
+    val mono = MpegAudio.encodeMp3(Seq(spec, spec), Seq(210, 210), 256)
+    val e3 = intercept[IllegalArgumentException](
+      MpegAudio.decodeMpegAudioChannels(26L, mono ++ st))
+    assert(e3.getMessage.contains("channel-count change"))
+    // and the mono entry point refuses stereo streams by name
+    val e4 = intercept[IllegalArgumentException](
+      MpegAudio.decodeMpegAudio(27L, st))
+    assert(e4.getMessage.contains("mono surface"))
+  }
+
   test("Layer III: out-of-regime streams fail loudly by name") {
     import graft.ops.MpegAudio
     val spec = new Array[Int](576); spec(100) = 1
