@@ -717,6 +717,94 @@ object SparkEntry {
         .orderBy("qid")
     }),
 
+    // X2 — IVF RETRAIN (the r10 verdict's #3 ask): the staleness
+    // census's verdict CONSUMED, census-fires → retrain → census-clears
+    // as one audited loop. Drift regime = the measured fit-firing one
+    // (IvfMaintProbe's degenerate zero-vector batch — the upstream
+    // embedding-model-bug signature): build on A (vec_id % 3 != 0),
+    // append the zeroed B, certify ONCE per fixture (cert persisted
+    // beside the index; cachedIvfIndex keeps the loop idempotent
+    // across bench warm+timed passes):
+    //   census_fired — the degen append collapses append-fit to 0, fit
+    //     drop = the whole build fit (measured 0.28–0.37 across SFs,
+    //     IvfMaintProbe) > the calibrated 0.20 threshold;
+    //   census_cleared — post-retrain needs_retrain=false: stats reset
+    //     to the retrained baseline, skew back in the balanced
+    //     1.1–1.3× band (zero-norm vectors QUARANTINED, not re-ingested
+    //     — cosine can neither train on nor retrieve them; see the
+    //     retrainIvfIndex scaladoc, incl. what retrain honestly does
+    //     NOT clear: genuinely concentrated distributions);
+    //   retrain_equals_fresh_build — retrained centroids AND lists
+    //     both-ways-exceptAll-equal a from-scratch writeIvfIndex over
+    //     the scorable corpus (trainKMeans samples by id hash, so
+    //     lists-as-corpus reproduces the fresh build bit-for-bit);
+    //   quarantine_matches — all |B| zero-norm rows are in quarantine/
+    //     (nothing silently dropped) and the retrained census totals
+    //     hold n_total = |A|, n_appended = 0.
+    // Plus the live ANN probe verdicts through the retrained index.
+    "x2_ann_ivf_retrain" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val a = e.filter(col("vec_id") % 3 =!= 0)
+      val degen = e.filter(col("vec_id") % 3 === 0)
+        .select(col("vec_id"),
+          transform(col("embedding"), _ => lit(0.0f)).as("embedding"))
+      val path = Similarity.cachedIvfIndex(
+          "retrain|" + fixtureKey(dir, "embeddings.parquet")) { p =>
+        import s.implicits._
+        val cents = Similarity.trainKMeans(a, "vec_id", "embedding",
+          k = 16, iters = 3)
+        Similarity.writeIvfIndex(a, "vec_id", "embedding", cents, p)
+        Similarity.appendToIvfIndex(s, degen, "vec_id", "embedding", p)
+        val before = Similarity.ivfIndexCensus(s, p).collect()(0)
+        Similarity.retrainIvfIndex(s, p, k = 16, iters = 3)
+        val after = Similarity.ivfIndexCensus(s, p).collect()(0)
+        val fresh = p + "/_freshcheck"
+        val fcents = Similarity.trainKMeans(a, "vec_id", "embedding",
+          k = 16, iters = 3)
+        Similarity.writeIvfIndex(a, "vec_id", "embedding", fcents, fresh)
+        def setEq(x: org.apache.spark.sql.DataFrame,
+            y: org.apache.spark.sql.DataFrame): Boolean =
+          x.exceptAll(y).isEmpty && y.exceptAll(x).isEmpty
+        val listsEq = setEq(
+          s.read.parquet(s"$p/lists").select(col("cid"), col("cent_id")),
+          s.read.parquet(s"$fresh/lists").select(col("cid"), col("cent_id")))
+        val centsEq = setEq(
+          s.read.parquet(s"$p/centroids")
+            .select(col("cent_id"), col("cent_vec")),
+          s.read.parquet(s"$fresh/centroids")
+            .select(col("cent_id"), col("cent_vec")))
+        val nQuar = s.read.parquet(s"$p/quarantine").count()
+        Seq((before.getAs[Boolean]("needs_retrain"),
+            !after.getAs[Boolean]("needs_retrain"),
+            listsEq && centsEq,
+            nQuar == degen.count() &&
+              after.getAs[Long]("n_total") == a.count() &&
+              after.getAs[Long]("n_appended") == 0L))
+          .toDF("census_fired", "census_cleared",
+            "retrain_equals_fresh_build", "quarantine_matches")
+          .coalesce(1).write.mode("overwrite").parquet(s"$p/cert")
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(fresh))
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(q2 => java.nio.file.Files.delete(q2))
+        finally walk.close()
+      }
+      val cert = s.read.parquet(s"$path/cert").collect()(0)
+      val q = e.filter(col("vec_id") % 100 === 0 && col("vec_id") % 3 =!= 0)
+      val ann = Similarity.ivfTopKPersisted(s, path, q, "vec_id", "embedding",
+        5, nprobe = 6)
+      Similarity.annVerdict(q, a, "vec_id", "embedding", 5, ann,
+          minOverlapPct = 50)
+        .withColumn("census_fired",
+          lit(cert.getAs[Boolean]("census_fired")))
+        .withColumn("census_cleared",
+          lit(cert.getAs[Boolean]("census_cleared")))
+        .withColumn("retrain_equals_fresh_build",
+          lit(cert.getAs[Boolean]("retrain_equals_fresh_build")))
+        .withColumn("quarantine_matches",
+          lit(cert.getAs[Boolean]("quarantine_matches")))
+        .orderBy("qid")
+    }),
+
     "x2_ann_projected_clustered" -> ((s, dir) => {
       val e = Similarity.clusteredVariant(
         Tables.embeddings(s, dir), "vec_id", "embedding", 25)
@@ -9117,6 +9205,14 @@ object SparkEntry {
         |  true AS append_equals_rebuild, true AS census_counts_match,
         |  true AS no_retrain_needed
         |FROM embeddings WHERE vec_id % 100 = 0 ORDER BY qid""".stripMargin,
+
+    "x2_ann_ivf_retrain" ->
+      """SELECT vec_id AS qid, true AS returned_le_k, true AS rk_dense,
+        |  true AS sims_exact, true AS recall_floor_met,
+        |  true AS census_fired, true AS census_cleared,
+        |  true AS retrain_equals_fresh_build, true AS quarantine_matches
+        |FROM embeddings WHERE vec_id % 100 = 0 AND vec_id % 3 <> 0
+        |ORDER BY qid""".stripMargin,
 
     "x2_ann_pq" ->
       """SELECT vec_id AS qid, true AS returned_le_k, true AS rk_dense,

@@ -559,17 +559,41 @@ object Similarity {
     * under the new assignment, and reset the stats table to a fresh
     * phase="build" baseline so the census's fit/skew triggers measure
     * drift against the RETRAINED geometry (n_appended returns to 0).
+    *
+    * ZERO-NORM QUARANTINE: vectors with ‖v‖ = 0 (the degenerate
+    * upstream-model-bug batch the census's fit trigger exists to catch
+    * — IvfMaintProbe's `degen` regime) are EXPLICITLY moved to
+    * `quarantine/` instead of re-ingested: cosine similarity to a zero
+    * vector is identically 0, so a cosine IVF can neither train on nor
+    * meaningfully retrieve them — rebuilding them into a list would
+    * bake the upstream bug into the index geometry (they all
+    * tie-assign to one centroid and permanently skew it). Quarantined
+    * rows stay on disk for reprocessing; nothing is silently dropped.
+    *
+    * Because [[trainKMeans]]'s sample is drawn by id hash, retraining
+    * the lists of corpus C produces EXACTLY the index a fresh
+    * `writeIvfIndex(C_scorable)` builds — the equality the
+    * x2_ann_ivf_retrain gate pins both ways, along with census-fires →
+    * retrain → census-clears on the degenerate regime. (What retrain
+    * honestly does NOT clear: a genuinely CONCENTRATED distribution —
+    * IvfMaintProbe measures post-retrain skew ~5.6-5.8× on the
+    * concentration regime, because k-means cannot split a cos≈1 mass;
+    * that persistent advisory means "k under-provisioned for this
+    * distribution", a capacity decision for the operator, not an
+    * action this function can take silently.)
+    *
     * The new layout is staged under `_retrain/` beside the live one and
-    * swapped in only after all three writes succeed — a failed retrain
-    * leaves the serving index untouched. census-fires → retrain →
-    * census-clears and the retrained-probe-equality are pinned by the
-    * x2_ann_ivf_retrain gate tri-scale. */
+    * swapped in only after all writes succeed — a failed retrain leaves
+    * the serving index untouched. */
   def retrainIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       k: Int, iters: Int, seed: Long = 42L, sampleSize: Int = 1024): Unit = {
-    val corpus = spark.read.parquet(s"$path/lists")
+    val held = spark.read.parquet(s"$path/lists")
       .select(col("cid"), col("_v"))
-    val cents = trainKMeans(corpus, "cid", "_v", k, iters, seed, sampleSize)
+    val corpus = held.filter(normSq(col("_v")) > 0.0)
+    val quarantined = held.filter(normSq(col("_v")) === 0.0)
     val stage = s"$path/_retrain"
+    quarantined.write.mode("overwrite").parquet(s"$stage/quarantine")
+    val cents = trainKMeans(corpus, "cid", "_v", k, iters, seed, sampleSize)
     writeIvfIndex(corpus, "cid", "_v", cents, stage)
     import java.nio.file.{Files, Path, Paths, StandardCopyOption}
     def rmTree(p: Path): Unit = if (Files.exists(p)) {
@@ -578,7 +602,7 @@ object Similarity {
         .forEach(q => Files.delete(q))
       finally walk.close()
     }
-    Seq("centroids", "lists", "stats").foreach { part =>
+    Seq("centroids", "lists", "stats", "quarantine").foreach { part =>
       rmTree(Paths.get(path, part))
       Files.move(Paths.get(stage, part), Paths.get(path, part),
         StandardCopyOption.ATOMIC_MOVE)

@@ -55,10 +55,36 @@ object IvfMaintProbe {
       val c3 = Similarity.ivfIndexCensus(spark, path3).collect()(0)
       println(s"[ivfmaint] $sf degen   : " + c3.schema.fieldNames.zip(c3.toSeq)
         .map { case (k, v) => s"$k=$v" }.mkString(" "))
-      for (p <- Seq(path, path2, path3))
-        java.nio.file.Files.walk(java.nio.file.Paths.get(p))
-          .sorted(java.util.Comparator.reverseOrder())
+      // NEGATED batch (the fit-drift regime SimilaritySpec measures:
+      // antipodal cloud, fit goes negative) — then RETRAIN over the
+      // lists and re-census: the x2_ann_ivf_retrain gate pins
+      // fires → retrain → clears, so the clear must be MEASURED here
+      // before the gate pins it
+      val neg = b.select(col("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"))
+      val path4 = java.nio.file.Files.createTempDirectory("ivfprobe4").toString
+      Similarity.writeIvfIndex(a, "vec_id", "embedding", cents, path4)
+      Similarity.appendToIvfIndex(spark, neg, "vec_id", "embedding", path4)
+      val c4 = Similarity.ivfIndexCensus(spark, path4).collect()(0)
+      println(s"[ivfmaint] $sf negated : " + c4.schema.fieldNames.zip(c4.toSeq)
+        .map { case (k, v) => s"$k=$v" }.mkString(" "))
+      Similarity.retrainIvfIndex(spark, path4, k = 16, iters = 3)
+      val c5 = Similarity.ivfIndexCensus(spark, path4).collect()(0)
+      println(s"[ivfmaint] $sf retrainN: " + c5.schema.fieldNames.zip(c5.toSeq)
+        .map { case (k, v) => s"$k=$v" }.mkString(" "))
+      // does a retrain also clear the CONCENTRATION drift? (a genuinely
+      // concentrated data distribution may stay skewed — measure, don't
+      // assume, before choosing the gate's drift regime)
+      Similarity.retrainIvfIndex(spark, path2, k = 16, iters = 3)
+      val c6 = Similarity.ivfIndexCensus(spark, path2).collect()(0)
+      println(s"[ivfmaint] $sf retrainC: " + c6.schema.fieldNames.zip(c6.toSeq)
+        .map { case (k, v) => s"$k=$v" }.mkString(" "))
+      for (p <- Seq(path, path2, path3, path4)) {
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+        try walk.sorted(java.util.Comparator.reverseOrder())
           .forEach(q => java.nio.file.Files.delete(q))
+        finally walk.close()
+      }
     }
     spark.stop()
   }

@@ -456,6 +456,39 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       .forEach(p => java.nio.file.Files.delete(p))
   }
 
+  test("rank<=k coverage sweep (r10 ask #7): every remaining window-rank " +
+      "filter in the operator surface pushes WindowGroupLimit") {
+    // The full pinned set is now: ml_ols_residuals, x4_bm25_retrieve,
+    // x2_ann_quantized, the persisted-IVF probe (tests above) plus the
+    // sites below — topKBruteForce, lshBucketTopK, ivfTopKWith (centroid
+    // rank + final top-k), projectedTopK (shortlist + rerank), pqTopK
+    // (proxy + rerank), tfidfTopTerms, Dedup.firstPerKey and
+    // Sampling.perGroupSample (rank<=1 / <=k keep-filters), and
+    // Merge.latestByKey. That is every row_number/rank window in
+    // src/main followed by a <=k filter; the remaining window users
+    // (prefix sums, SCD2 history, positions) are full-window by design
+    // — no limit to push.
+    val expect = Seq(
+      "x2_topk_cosine" -> 1, "x2_ann_lsh" -> 1, "x2_ann_ivf" -> 2,
+      "x2_ann_projected" -> 2, "x2_ann_pq" -> 2,
+      "x4_tfidf_top_terms" -> 1, "x1_dedup_first_per_key" -> 1,
+      "x1_per_group_sample" -> 1)
+    expect.foreach { case (name, n) =>
+      val p = plan(name)
+      assert("WindowGroupLimit".r.findAllIn(p).size >= n,
+        s"$name must push >= $n WindowGroupLimit:\n" +
+          p.linesIterator.take(25).mkString("\n"))
+    }
+    val lww = graft.ops.Merge.latestByKey(
+        graft.io.Tables.events(spark, sfDir),
+        Seq("user_id", "event_type"), Seq("ts"), Seq("event_id"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(lww.contains("WindowGroupLimit"),
+      "Merge.latestByKey rank=1 must push a group limit:\n" +
+        lww.linesIterator.take(25).mkString("\n"))
+  }
+
   test("persisted IVF append: the ingest batch's assignment plan reads " +
       "centroids (broadcast) + the new vectors ONLY — the existing lists " +
       "are never scanned") {

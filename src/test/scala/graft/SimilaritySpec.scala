@@ -356,4 +356,50 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       c3.getAs[Boolean]("needs_retrain"),
       s"degenerate batch must fire the fit trigger: $c3")
   }
+
+  test("IVF retrain: reads ONLY the index's own lists (works after the " +
+      "source corpus is deleted), quarantines zero-norm vectors instead " +
+      "of re-ingesting them, clears the census, and reproduces the " +
+      "fresh-build index exactly") {
+    val e = graft.io.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val a = e.filter(col("vec_id") % 3 =!= 0)
+    // the SOURCE is a scratch parquet copy we delete before retraining —
+    // the behavioral pin that retrain depends on lists/, not the corpus
+    val srcDir = java.nio.file.Files.createTempDirectory("ivfsrc").toString
+    a.write.mode("overwrite").parquet(srcDir)
+    val src = spark.read.parquet(srcDir)
+    val cents = Similarity.trainKMeans(src, "vec_id", "embedding", k = 16, iters = 2)
+    val path = java.nio.file.Files.createTempDirectory("ivfret").toString
+    Similarity.writeIvfIndex(src, "vec_id", "embedding", cents, path)
+    val degen = e.filter(col("vec_id") % 3 === 0)
+      .select(col("vec_id"),
+        transform(col("embedding"), _ => lit(0.0f)).as("embedding"))
+    Similarity.appendToIvfIndex(spark, degen, "vec_id", "embedding", path)
+    assert(Similarity.ivfIndexCensus(spark, path).collect()(0)
+      .getAs[Boolean]("needs_retrain"), "degen append must fire")
+    rmTree(srcDir) // source gone — retrain must not notice
+    Similarity.retrainIvfIndex(spark, path, k = 16, iters = 2)
+    val after = Similarity.ivfIndexCensus(spark, path).collect()(0)
+    assert(!after.getAs[Boolean]("needs_retrain"),
+      s"census must clear after retrain: $after")
+    assert(after.getAs[Long]("n_total") == a.count() &&
+      after.getAs[Long]("n_appended") == 0L, s"totals reset: $after")
+    // nothing silently dropped: the zero-norm batch is in quarantine/
+    val quar = spark.read.parquet(s"$path/quarantine")
+    assert(quar.count() == degen.count())
+    assert(quar.select(col("cid")).collect().map(_.getLong(0)).toSet ==
+      degen.select(col("vec_id")).collect().map(_.getLong(0)).toSet)
+    // retrain(lists) == fresh build over the scorable corpus, bit-for-bit
+    val fresh = java.nio.file.Files.createTempDirectory("ivffr").toString
+    val fcents = Similarity.trainKMeans(a, "vec_id", "embedding", k = 16, iters = 2)
+    Similarity.writeIvfIndex(a, "vec_id", "embedding", fcents, fresh)
+    def rows(p: String, cols: Seq[String]) =
+      spark.read.parquet(p).select(cols.map(col): _*)
+        .collect().map(_.toSeq).toSet
+    assert(rows(s"$path/centroids", Seq("cent_id", "cent_vec")) ==
+      rows(s"$fresh/centroids", Seq("cent_id", "cent_vec")))
+    assert(rows(s"$path/lists", Seq("cid", "cent_id")) ==
+      rows(s"$fresh/lists", Seq("cid", "cent_id")))
+    rmTree(path); rmTree(fresh)
+  }
 }
