@@ -969,6 +969,24 @@ object SparkEntry {
         .orderBy("id_a")
     }),
 
+    // X4 — BENCHMARK DECONTAMINATION (the GPT-3 appendix-C / PaLM
+    // n-gram-overlap scrub): docs with doc_id % 50 == 0 stand in for
+    // the eval suite; the training side is flagged against them by
+    // exact word-n-gram collision. n = 3 so the synthetic fixture
+    // genuinely collides (the published n is 13 — a parameter of the
+    // operator, not the algorithm). Posting-list join on the string
+    // form — fully SQL-replayable: per contaminated train doc, bench
+    // docs hit, total and max distinct shared n-grams, worst-offending
+    // bench doc (ties to the lower id). DedupSpec pins the scrub
+    // complement (survivors = train minus flagged).
+    "x4_decontaminate" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val bench = d.filter(col("doc_id") % 50 === 0)
+      val train = d.filter(col("doc_id") % 50 =!= 0 && col("doc_id") < 600)
+      Dedup.decontaminate(train, bench, "doc_id", "text", n = 3)
+        .orderBy("train_id")
+    }),
+
     // X3 scale path — EXACT threshold-Jaccard self-join via AllPairs
     // prefix filtering (lossless, unlike LSH): candidates only from
     // shared PREFIX shingles under the global df-ascending order, then
@@ -2053,6 +2071,57 @@ object SparkEntry {
         }
         .toDF("doc_id", "n_frames", "n_reservoir_frames", "reservoir_ppm",
           "n_intensity_frames", "decodable")
+        .orderBy("doc_id")
+    }),
+
+    // X5 — FLAC (fixed-predictor subset, public xiph/RFC 9639 format):
+    // the LOSSLESS member of the audio-codec family, which makes its
+    // gate the strongest codec oracle on the board — decode(encode(pcm))
+    // must equal the input BIT-FOR-BIT (no SNR floor), with CRC-8
+    // frame-header + CRC-16 frame + STREAMINFO-MD5 integrity all
+    // verified inside the decoder (decode THROWS on any violation, so
+    // `lossless` carries the whole contract). Corpus mixes mono with
+    // correlated stereo (side = L−R collapses to a CONSTANT subframe →
+    // a decorrelated mode must win) and independent stereo; census
+    // fields (channels, frames incl. the partial tail block, samples)
+    // replay closed-form. compressed_smaller pins that rice-coded
+    // fixed-predictor residuals beat raw PCM on every doc.
+    "x5_flac_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val n = 1024 * (2 + id % 3).toInt + (id % 5).toInt * 100
+          def wave(seed: Long, tone: Double): Array[Int] =
+            Array.tabulate(n) { i =>
+              val t = 8000.0 * math.sin(2 * math.Pi * tone * i / 48000.0)
+              val h = (i.toLong * 2654435761L + seed) % 2147483647L
+              math.max(-32768, math.min(32767, (t + h % 1200L - 600L).toInt))
+            }
+          val tone = 200.0 + (id % 20) * 50.0
+          val mono = id % 3 == 0
+          val correlated = !mono && id % 2 == 0
+          val chans: Array[Array[Int]] =
+            if (mono) Array(wave(id, tone))
+            else if (correlated) {
+              val l = wave(id, tone)
+              Array(l, l.map(v => math.max(-32768, math.min(32767, v + 3))))
+            } else Array(wave(id, tone), wave(id + 7, tone * 1.5))
+          val enc = graft.ops.Flac.encodeFlac(chans, 48000, blockSize = 1024)
+          val (frames, dec) = graft.ops.Flac.decodeFlac(id, enc)
+          val lossless = dec.length == chans.length &&
+            dec.zip(chans).forall { case (a, b) => a.sameElements(b) }
+          val modes = frames.map(_.channel_mode).toSet
+          val modesOk =
+            if (mono) modes == Set(0)
+            else if (correlated) modes.subsetOf(Set(8, 9, 10))
+            else modes.subsetOf(Set(1, 8, 9, 10))
+          val smaller = enc.length < 2 * chans.length * n
+          (id, chans.length, frames.length, n.toLong, lossless, modesOk,
+            smaller)
+        }
+        .toDF("doc_id", "n_channels", "n_frames", "n_samples", "lossless",
+          "modes_ok", "compressed_smaller")
         .orderBy("doc_id")
     }),
 
@@ -6836,6 +6905,37 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id
         |ORDER BY id_a""".stripMargin,
 
+    // Decontamination replay: same shingle idiom, posting join, window
+    // for the deterministic worst-offender tie-break.
+    "x4_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) >= 3 THEN
+        |      list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |    ELSE [array_to_string(w, ' ')] END AS s
+        |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+        |        FROM documents) t),
+        |ts AS (SELECT doc_id AS train_id, unnest(s) AS g FROM sh
+        |       WHERE doc_id % 50 <> 0 AND doc_id < 600),
+        |bs AS (SELECT doc_id AS bench_id, unnest(s) AS g FROM sh
+        |       WHERE doc_id % 50 = 0),
+        |pair AS (SELECT train_id, bench_id, count(*) AS nsh
+        |         FROM ts JOIN bs USING (g) GROUP BY 1, 2),
+        |agg AS (SELECT train_id, CAST(count(*) AS BIGINT) AS n_bench_docs,
+        |          CAST(sum(nsh) AS BIGINT) AS n_collisions,
+        |          CAST(max(nsh) AS BIGINT) AS max_shared_ngrams
+        |        FROM pair GROUP BY 1),
+        |worst AS (SELECT train_id, bench_id AS worst_bench_id FROM (
+        |            SELECT train_id, bench_id,
+        |              row_number() OVER (PARTITION BY train_id
+        |                ORDER BY nsh DESC, bench_id ASC) AS rk
+        |            FROM pair) WHERE rk = 1)
+        |SELECT a.train_id, a.n_bench_docs, a.n_collisions,
+        |  a.max_shared_ngrams, w.worst_bench_id
+        |FROM agg a JOIN worst w USING (train_id)
+        |ORDER BY train_id""".stripMargin,
+
     "x3_prefix_filter_join" ->
       """WITH sh AS (
         |  SELECT doc_id,
@@ -7804,6 +7904,20 @@ object SparkEntry {
         |    AS INTEGER) AS bitrate_kbps,
         |  CAST(1152 * (2 + doc_id % 3) AS BIGINT) AS n_samples,
         |  TRUE AS spectrum_exact, TRUE AS tones_ok
+        |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,
+
+    // FLAC census replay: frame count includes the partial tail block
+    // (ceil division); the lossless/mode/compression verdicts ride
+    // booleans (decode throws on any CRC/MD5/boundary violation).
+    "x5_flac_roundtrip" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END AS INTEGER)
+        |    AS n_channels,
+        |  CAST((1024 * (2 + doc_id % 3) + (doc_id % 5) * 100 + 1023)
+        |    // 1024 AS INTEGER) AS n_frames,
+        |  CAST(1024 * (2 + doc_id % 3) + (doc_id % 5) * 100 AS BIGINT)
+        |    AS n_samples,
+        |  TRUE AS lossless, TRUE AS modes_ok, TRUE AS compressed_smaller
         |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,
 
     // Mixed-corpus reservoir census: families 1/3/4 (mod 5) pack

@@ -77,6 +77,57 @@ object Dedup {
   // MinHash + LSH (X3)
   // ---------------------------------------------------------------------
 
+  /** BENCHMARK DECONTAMINATION — the published n-gram-overlap scrub
+    * (GPT-3 appendix C / PaLM style) as a pipeline operator: flag every
+    * TRAINING document sharing at least `minCollisions` distinct word
+    * n-grams with any document of a BENCHMARK/eval set. Eval
+    * contamination makes benchmark numbers lie, so the corpus is
+    * scrubbed against the eval suites BEFORE training, not audited
+    * after. One row per contaminated train doc: how many bench docs it
+    * collides with, the total and max per-pair distinct shared n-grams,
+    * and the worst-offending bench doc (ties broken toward the lower
+    * id — deterministic, oracle-replayable).
+    *
+    * Scale shape: both sides explode to (n-gram → id) postings and join
+    * on the n-gram — cost is Σ_gram df_train·df_bench, never
+    * |train|·|bench|; the benchmark side (eval suites — thousands of
+    * docs) is orders smaller than the corpus, so its posting list
+    * broadcasts and the corpus side streams map-side. At 100 TB the
+    * n-gram identity rides a 64-bit hash (collision ~n²/2⁶⁴ — the
+    * standard trade); this operator joins on the STRING form so the
+    * DuckDB oracle replays it verbatim — semantics identical, the hash
+    * only narrows the shuffle. The published n is 13; the gate runs a
+    * smaller n so the synthetic fixture actually collides. */
+  def decontaminate(train: DataFrame, bench: DataFrame, id: String,
+      text: String, n: Int, minCollisions: Long = 1L): DataFrame = {
+    def postings(df: DataFrame, outId: String) =
+      df.select(col(id).as(outId),
+        explode(wordShingles(col(text), n)).as("_g"))
+    val pair = postings(train, "train_id")
+      .join(postings(bench, "bench_id"), Seq("_g"))
+      .groupBy(col("train_id"), col("bench_id"))
+      // shingle arrays are distinct per doc, so one row per shared gram
+      .agg(count(lit(1)).as("_nsh"))
+      .filter(col("_nsh") >= minCollisions)
+    pair.groupBy(col("train_id"))
+      .agg(count(lit(1)).as("n_bench_docs"),
+        sum(col("_nsh")).as("n_collisions"),
+        max(col("_nsh")).as("max_shared_ngrams"),
+        max_by(col("bench_id"), struct(col("_nsh"), -col("bench_id")))
+          .as("worst_bench_id"))
+  }
+
+  /** The scrub itself: the training corpus with every
+    * [[decontaminate]]-flagged document REMOVED (left anti join on the
+    * flagged ids — the benchmark side never touches the surviving
+    * rows' bytes). */
+  def scrubContaminated(train: DataFrame, bench: DataFrame, id: String,
+      text: String, n: Int, minCollisions: Long = 1L): DataFrame =
+    train.join(
+      decontaminate(train, bench, id, text, n, minCollisions)
+        .select(col("train_id").as(id)),
+      Seq(id), "left_anti")
+
   /** Distinct word k-shingles of a text column: lower-cased, whitespace-
     * tokenized, k consecutive tokens joined by a single space. Native
     * higher-order functions only. */

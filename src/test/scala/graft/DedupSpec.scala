@@ -379,4 +379,42 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(jx == 0L)
     assert(math.abs(mf) <= 500000L && math.abs(mb) <= 500000L)
   }
+
+  test("decontaminate: flags exactly the train docs sharing >= " +
+      "minCollisions n-grams with the bench set; scrub keeps the " +
+      "complement; worst offender ties break to the lower bench id") {
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "pack my box with five dozen liquor jugs")
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      // shares "the quick brown", "quick brown fox" … with bench 100
+      (1L, "note the quick brown fox ran away"),
+      // shares one 3-gram with EACH bench doc
+      (2L, "pack my box and the lazy dog slept"),
+      // clean
+      (3L, "completely unrelated training content here"),
+      // shares with both; MORE grams with 101 → worst = 101
+      (4L, "pack my box with five dozen eggs over the lazy dog")
+    ).toDF("doc_id", "text")
+    val flagged = Dedup.decontaminate(train, bench, "doc_id", "text", n = 3)
+      .collect().map(r => r.getAs[Long]("train_id") ->
+        ((r.getAs[Long]("n_bench_docs"), r.getAs[Long]("n_collisions"),
+          r.getAs[Long]("worst_bench_id")))).toMap
+    assert(flagged.keySet == Set(1L, 2L, 4L), s"flagged: $flagged")
+    assert(flagged(1L)._1 == 1 && flagged(1L)._3 == 100L)
+    // doc 2: "pack my box" (101) + "the lazy dog" (100) — one gram
+    // each, tie on count → worst breaks to the LOWER bench id
+    assert(flagged(2L) == ((2L, 2L, 100L)), s"doc 2: ${flagged(2L)}")
+    assert(flagged(4L)._1 == 2 && flagged(4L)._3 == 101L)
+    // scrub = complement
+    val kept = Dedup.scrubContaminated(train, bench, "doc_id", "text", n = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L))
+    // a higher collision bar unflags the single-gram-per-bench doc 2
+    val strict = Dedup.decontaminate(train, bench, "doc_id", "text",
+        n = 3, minCollisions = 2L)
+      .collect().map(_.getAs[Long]("train_id")).toSet
+    assert(strict == Set(1L, 4L), s"strict: $strict")
+  }
 }
