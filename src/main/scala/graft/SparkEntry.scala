@@ -805,6 +805,56 @@ object SparkEntry {
         .orderBy("qid")
     }),
 
+    // X2 — IVF-PQ (the FAISS IVFADC composite): partition pruning AND
+    // byte-code compression in one probe. The persisted index gains
+    // codebooks + a cent_id-partitioned CODES table (m bytes/vector —
+    // the 64× memory win); a probe ranks centroids, reads only the
+    // nprobe probed code partitions (PlanShapeSpec pins the
+    // PartitionFilters), ADC-scores via the query's broadcast lookup
+    // table, and exact-reranks the shortlist against the probed lists'
+    // raw floats — sims exact, order approximate. Floor pinned from
+    // tools/AnnRecallProbe (m=8, kCodes=16, nprobe=6, rerank=16 on the
+    // adversarial RANDOM fixture): 72/64/60% across sf0.001/0.01/0.1 —
+    // 40 sits under the worst measurement; the clustered sibling below
+    // measures 100% at every SF.
+    "x2_ann_ivfpq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") % 100 === 0)
+      val path = Similarity.cachedIvfIndex(
+          "ivfpq|" + fixtureKey(dir, "embeddings.parquet")) { p =>
+        val cents = Similarity.trainKMeans(e, "vec_id", "embedding",
+          k = 16, iters = 3)
+        Similarity.writeIvfIndex(e, "vec_id", "embedding", cents, p)
+        Similarity.writeIvfPqCodes(s, p, m = 8, kCodes = 16)
+      }
+      val ann = Similarity.ivfPqTopKPersisted(s, path, q, "vec_id",
+        "embedding", 5, nprobe = 6, rerank = 16)
+      Similarity.annVerdict(q, e, "vec_id", "embedding", 5, ann,
+          minOverlapPct = 40)
+        .orderBy("qid")
+    }),
+
+    // Realistic-geometry sibling (clusteredVariant corpus): measured
+    // 100% recall at every SF (AnnRecallProbe), floored at 90 like the
+    // rest of the clustered family.
+    "x2_ann_ivfpq_clustered" -> ((s, dir) => {
+      val e = Similarity.clusteredVariant(
+        Tables.embeddings(s, dir), "vec_id", "embedding", 25)
+      val q = e.filter(col("vec_id") % 100 === 0)
+      val path = Similarity.cachedIvfIndex(
+          "ivfpqc|" + fixtureKey(dir, "embeddings.parquet")) { p =>
+        val cents = Similarity.trainKMeans(e, "vec_id", "embedding",
+          k = 16, iters = 3)
+        Similarity.writeIvfIndex(e, "vec_id", "embedding", cents, p)
+        Similarity.writeIvfPqCodes(s, p, m = 8, kCodes = 16)
+      }
+      val ann = Similarity.ivfPqTopKPersisted(s, path, q, "vec_id",
+        "embedding", 5, nprobe = 6, rerank = 16)
+      Similarity.annVerdict(q, e, "vec_id", "embedding", 5, ann,
+          minOverlapPct = 90)
+        .orderBy("qid")
+    }),
+
     "x2_ann_projected_clustered" -> ((s, dir) => {
       val e = Similarity.clusteredVariant(
         Tables.embeddings(s, dir), "vec_id", "embedding", 25)
@@ -5999,6 +6049,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // STREAMING IVF INGEST — the persisted vector index fed from a
+    // stream: batch 0 trains + builds, later logical batches append
+    // through the shared hash-agg argmax, the staleness census runs
+    // after every batch (same-distribution arrivals must never fire),
+    // and the final lists must equal the one-shot batch build's
+    // assignment both ways. Per-batch counts replay closed-form from
+    // vec_id div span; the equality and census verdicts ride booleans.
+    "stream_ivf_ingest" -> ((s, dir) => {
+      graft.streaming.Streams.streamIvfIngest(s, dir, span = 200L, k = 16)
+        .orderBy("batch_id")
+    }),
+
     "stream_countmin" -> ((s, dir) => {
       import s.implicits._
       val sk = graft.streaming.Streams.countMinStream(s, dir, depth = 4, width = 1024)
@@ -9333,6 +9395,16 @@ object SparkEntry {
         |  true AS sims_exact, true AS recall_floor_met
         |FROM embeddings WHERE vec_id % 100 = 0 ORDER BY qid""".stripMargin,
 
+    "x2_ann_ivfpq" ->
+      """SELECT vec_id AS qid, true AS returned_le_k, true AS rk_dense,
+        |  true AS sims_exact, true AS recall_floor_met
+        |FROM embeddings WHERE vec_id % 100 = 0 ORDER BY qid""".stripMargin,
+
+    "x2_ann_ivfpq_clustered" ->
+      """SELECT vec_id AS qid, true AS returned_le_k, true AS rk_dense,
+        |  true AS sims_exact, true AS recall_floor_met
+        |FROM embeddings WHERE vec_id % 100 = 0 ORDER BY qid""".stripMargin,
+
     "x2_ann_ivf" ->
       """SELECT vec_id AS qid, true AS returned_le_k, true AS rk_dense,
         |  true AS sims_exact, true AS recall_floor_met
@@ -11464,6 +11536,25 @@ object SparkEntry {
     // Exact replay of batch-granular greedy admission: the four index
     // generations unroll as chained CTEs (idx_{b+1} = idx_b + batch b's
     // admitted docs), blockers at integer-Jaccard ≥ 50%.
+    // Streaming IVF ingest replay: per-logical-batch counts are pure
+    // arithmetic over vec_id div span; census/equality verdicts ride
+    // booleans (the op computes them against its own index).
+    "stream_ivf_ingest" ->
+      """WITH b AS (
+        |  SELECT vec_id // 200 AS batch_id, count(*) AS n_vectors
+        |  FROM embeddings GROUP BY 1),
+        |c AS (
+        |  SELECT batch_id, n_vectors,
+        |    sum(n_vectors) OVER (ORDER BY batch_id) AS run_total,
+        |    first_value(n_vectors) OVER (ORDER BY batch_id) AS n0
+        |  FROM b)
+        |SELECT CAST(batch_id AS BIGINT) AS batch_id,
+        |  CAST(n_vectors AS BIGINT) AS n_vectors,
+        |  CAST(run_total AS BIGINT) AS n_total,
+        |  CAST(run_total - n0 AS BIGINT) AS n_appended,
+        |  TRUE AS no_retrain, TRUE AS matches_batch_build
+        |FROM c ORDER BY batch_id""".stripMargin,
+
     "stream_minhash_incr" ->
       """WITH d AS (
         |  SELECT doc_id,

@@ -1028,4 +1028,120 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("qid"), col("cid"), round(col("_sim"), 6).as("sim"), col("rk"))
   }
+
+  // ------------------------------------------------------------------
+  // IVF-PQ (the FAISS IVFADC composite — Jégou, Douze & Schmid 2011
+  // §IV): partition PRUNING and code COMPRESSION in one probe path.
+  // ------------------------------------------------------------------
+
+  /** Subspace L2 between an exploded subvector and a codebook entry —
+    * the shared kernel of PQ encode and ADC lookup-table build. */
+  private def pqSubL2: Column = aggregate(
+    zip_with(col("subvec"), col("cvec"),
+      (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+    lit(0.0), (acc, x) => acc + x)
+
+  private def pqSubVecs(df: DataFrame, id: String, vec: String,
+      outId: String, m: Int, d: Int): DataFrame =
+    df.select(col(id).as(outId),
+      posexplode(array((0 until m).map(i =>
+        slice(col(vec), i * d + 1, d)): _*)).as(Seq("sub", "subvec")))
+
+  /** Extend a [[writeIvfIndex]] index with PQ artifacts: `codebooks`
+    * (m × kCodes subspace centroids, trained driver-side on a bounded
+    * deterministic sample OF THE LISTS — the source corpus is never
+    * re-read) and `codes` (every list member's m byte-sized codes,
+    * partitioned by cent_id exactly like the lists, so a probe prunes
+    * code partitions the same way it prunes list partitions). The codes
+    * table is the memory story: m bytes per vector instead of 4·dim —
+    * the corpus that cannot hold its floats in RAM holds its codes. */
+  def writeIvfPqCodes(spark: org.apache.spark.sql.SparkSession, path: String,
+      m: Int = 4, kCodes: Int = 16, trainIters: Int = 5, seed: Long = 42L,
+      sampleSize: Int = 1024): Unit = {
+    import spark.implicits._
+    val lists = spark.read.parquet(s"$path/lists")
+    val sample: Array[Seq[Float]] = lists
+      .orderBy(xxhash64(col("cid"), lit(seed)).asc, col("cid").asc)
+      .limit(math.max(kCodes, sampleSize)).select(col("_v"))
+      .as[Seq[Float]].collect()
+    require(sample.nonEmpty, "writeIvfPqCodes: empty index")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val d = dim / m
+    val cbs = trainPqCodebooks(sample, m, kCodes, trainIters)
+    cbs.zipWithIndex.flatMap { case (cb, sub) =>
+      cb.zipWithIndex.map { case (cv, code) => (sub, code.toLong, cv.toSeq) }
+    }.toSeq.toDF("sub", "code", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    val cbDf = broadcast(spark.read.parquet(s"$path/codebooks"))
+    pqSubVecs(lists, "cid", "_v", "cid", m, d)
+      .join(lists.select(col("cid"), col("cent_id")), Seq("cid"))
+      .join(cbDf, Seq("sub"))
+      .groupBy(col("cid"), col("cent_id"), col("sub"))
+      .agg(min_by(col("code"), struct(pqSubL2.as("d2"), col("code"))).as("code"))
+      .write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/codes")
+  }
+
+  /** Probe an IVF-PQ index: rank the broadcast centroids per query,
+    * read ONLY the nprobe probed partitions of the byte-code table
+    * (partition pruning — pinned in PlanShapeSpec), score candidates by
+    * ADC (the query's m×kCodes lookup table, a broadcast join on
+    * (qid, sub, code) with map-side partial sums), shortlist rerank·k
+    * by approximate distance, then re-rank the shortlist EXACTLY
+    * against the probed lists' raw floats — emitted sims are exact,
+    * only candidate order inside the probed cells is approximate (the
+    * quantizedTopK contract stacked on ivfTopKPersisted pruning). */
+  def ivfPqTopKPersisted(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, id: String, vec: String, k: Int,
+      nprobe: Int, rerank: Int = 8): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val cb = spark.read.parquet(s"$path/codebooks")
+    val (m, d) = {
+      val r = cb.agg(max(col("sub")), first(size(col("cvec")))).head()
+      (r.getInt(0) + 1, r.getInt(1))
+    }
+    val q = queries.select(col(id).as("qid"), col(vec).as("_qe"),
+        normSq(col(vec)).as("_nq"))
+      .join(broadcast(cents), expr("true"))
+      .withColumn("_csim",
+        cosineWithNorms(dot(col("_qe"), col("cent_vec")), col("_nq"), col("cent_n")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("_csim").desc, col("cent_id").asc)
+    val probes = q.withColumn("_crk", row_number().over(w))
+      .filter(col("_crk") <= nprobe)
+      .select(col("qid"), col("cent_id"))
+    val probedCells = probes.select(col("cent_id")).distinct()
+      .collect().map(_.getLong(0))
+    // query ADC lookup tables: O(queries · m · kCodes) rows, broadcast
+    val lut = pqSubVecs(queries, id, vec, "qid", m, d)
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("qid"), col("sub"), col("code"), pqSubL2.as("_d2c"))
+    val codes = spark.read.parquet(s"$path/codes")
+      .filter(col("cent_id").isin(probedCells.toIndexedSeq: _*))
+    val proxyW = Window.partitionBy(col("qid"))
+      .orderBy(col("_adc").asc, col("cid").asc)
+    val shortlist = codes
+      .join(broadcast(probes), Seq("cent_id"))
+      .join(broadcast(lut), Seq("qid", "sub", "code"))
+      .filter(col("qid") =!= col("cid"))
+      .groupBy(col("qid"), col("cid"))
+      .agg(sum(col("_d2c")).as("_adc"))
+      .withColumn("_prk", row_number().over(proxyW))
+      .filter(col("_prk") <= k * rerank)
+      .select(col("qid"), col("cid"))
+    val lists = spark.read.parquet(s"$path/lists")
+      .filter(col("cent_id").isin(probedCells.toIndexedSeq: _*))
+      .select(col("cid"), col("_v"), col("_n"))
+    val qv = queries.select(col(id).as("qid"), col(vec).as("_qe"),
+      normSq(col(vec)).as("_nq"))
+    val exactW = Window.partitionBy(col("qid"))
+      .orderBy(col("_sim").desc, col("cid").asc)
+    shortlist
+      .join(lists, Seq("cid"))
+      .join(broadcast(qv), Seq("qid"))
+      .withColumn("_sim",
+        cosineWithNorms(dot(col("_qe"), col("_v")), col("_nq"), col("_n")))
+      .withColumn("rk", row_number().over(exactW).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("cid"), round(col("_sim"), 6).as("sim"), col("rk"))
+  }
 }

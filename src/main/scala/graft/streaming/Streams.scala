@@ -994,4 +994,99 @@ object Streams {
     deleteRecursively(root)
     out
   }
+
+  /** STREAMING IVF INGEST — the persisted vector index's maintain loop
+    * driven from a STREAM (the stream-side twin of x2_ann_ivf_append /
+    * x2_ann_ivf_retrain): embedding vectors arrive in logical batches
+    * (vec_id div span, staged one file per batch with increasing mtime,
+    * drained AvailableNow with maxFilesPerTrigger=1); batch 0 TRAINS
+    * the centroids and builds the persisted index, every later batch is
+    * APPENDED via the same hash-agg argmax assignment (only its
+    * assigned cent_id partitions gain files), and the staleness census
+    * runs after every batch — continuous ingest with drift
+    * surveillance, the loop a 100 TB embedding pipeline actually runs.
+    * Inside foreachBatch, rows are regrouped by logical batch and
+    * applied in ascending order, so the result is deterministic even if
+    * the source coalesces staged files into one trigger (the
+    * streamMinhashIncr discipline).
+    *
+    * Returns one row per logical batch — (batch_id, n_vectors, census
+    * n_total / n_appended after the batch, no_retrain) — plus
+    * `matches_batch_build` on every row: the final incremental-ingest
+    * == one-shot-build assignment equality, checked both ways. */
+  def streamIvfIngest(spark: SparkSession, sfDir: String,
+      span: Long = 200L, k: Int = 16): DataFrame = {
+    import java.nio.file._
+    val ss = stateSession(spark, 4)
+    val runId = java.util.UUID.randomUUID().toString.replace("-", "")
+    val root = Paths.get(scratchRoot, s"graft_ivfing_$runId")
+    val resultsDir = root.resolve("results").toString
+    val idxDir = root.resolve("index").toString
+    val e = graft.io.Tables.embeddings(ss, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val landing = root.resolve("landing")
+    Files.createDirectories(landing)
+    val nBatches =
+      (e.agg(max(col("vec_id"))).head().getLong(0) / span).toInt + 1
+    (0 until nBatches).foreach { b =>
+      val stage = root.resolve(s"stage_$b")
+      e.filter(call_function("div", col("vec_id"), lit(span)) === b)
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = Files.list(stage).filter(p =>
+        p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      val tgt = landing.resolve(f"batch$b%04d.parquet")
+      Files.move(part, tgt, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(tgt,
+        attribute.FileTime.fromMillis(1000000000000L + b * 60000L)): Unit
+    }
+    def processLogicalBatch(batch: DataFrame, b: Long): Unit = {
+      val vecs = batch.localCheckpoint(true)
+      if (b == 0L) {
+        val cents = graft.ops.Similarity.trainKMeans(
+          vecs, "vec_id", "embedding", k, iters = 3)
+        graft.ops.Similarity.writeIvfIndex(
+          vecs, "vec_id", "embedding", cents, idxDir)
+      } else
+        graft.ops.Similarity.appendToIvfIndex(
+          ss, vecs, "vec_id", "embedding", idxDir)
+      val c = graft.ops.Similarity.ivfIndexCensus(ss, idxDir).collect()(0)
+      import ss.implicits._
+      Seq((b, vecs.count(), c.getAs[Long]("n_total"),
+          c.getAs[Long]("n_appended"), !c.getAs[Boolean]("needs_retrain")))
+        .toDF("batch_id", "n_vectors", "n_total", "n_appended", "no_retrain")
+        .write.mode("append").parquet(resultsDir)
+    }
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val q = ss.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(landing.toString)
+      .writeStream
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bs = batch.select(call_function("div", col("vec_id"), lit(span))
+          .as("_b")).distinct().orderBy("_b").collect().map(_.getLong(0))
+        bs.foreach { b =>
+          processLogicalBatch(
+            batch.filter(call_function("div", col("vec_id"), lit(span)) === b), b)
+        }
+      }
+      .start()
+    q.awaitTermination()
+    // equality pin: incremental lists == one-shot assignment of ALL
+    // vectors under the batch-0-trained centroids, both directions
+    val cents = ss.read.parquet(s"$idxDir/centroids")
+    val direct = graft.ops.Similarity.assignToCentroids(
+        e, "vec_id", "embedding", cents)
+      .select(col("cid"), col("cent_id"))
+    val lists = ss.read.parquet(s"$idxDir/lists")
+      .select(col("cid"), col("cent_id"))
+    val eq = lists.exceptAll(direct).isEmpty &&
+      direct.exceptAll(lists).isEmpty
+    val out = spark.read.parquet(resultsDir)
+      .withColumn("matches_batch_build", lit(eq))
+      .localCheckpoint(true)
+    deleteRecursively(root)
+    out
+  }
 }

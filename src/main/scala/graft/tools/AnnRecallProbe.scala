@@ -58,6 +58,21 @@ object AnnRecallProbe {
               outDim = 8, shortlistFactor = sf), 5)
           println(s"[annrecall] $dir $fx projected slf=$sf recall=$r%")
         }
+        // IVF-PQ composite: pruning recall × ADC-shortlist recall — the
+        // x2_ann_ivfpq floor is pinned from these numbers
+        val path = java.nio.file.Files.createTempDirectory("ivfpqpr").toString
+        Similarity.writeIvfIndex(corpus, "vec_id", "embedding", cents, path)
+        for (m <- Seq(4, 8); rr <- Seq(8, 16)) {
+          Similarity.writeIvfPqCodes(spark, path, m = m, kCodes = 16)
+          val r = recallPct(q, corpus,
+            Similarity.ivfPqTopKPersisted(spark, path, q, "vec_id", "embedding",
+              5, nprobe = 6, rerank = rr), 5)
+          println(s"[annrecall] $dir $fx ivfpq m=$m rerank=$rr recall=$r%")
+        }
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p2 => java.nio.file.Files.delete(p2))
+        finally walk.close()
       }
       e.unpersist(); clustered.unpersist()
     }

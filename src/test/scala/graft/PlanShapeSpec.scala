@@ -456,6 +456,34 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       .forEach(p => java.nio.file.Files.delete(p))
   }
 
+  test("IVF-PQ probe: the byte-code scan is pruned to the probed cent_id " +
+      "partitions, and all three rank stages push group limits") {
+    import graft.ops.Similarity
+    import org.apache.spark.sql.functions.col
+    val e = graft.io.Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") % 100 === 0)
+    val cents = Similarity.trainKMeans(e, "vec_id", "embedding", k = 8, iters = 2)
+    val path = java.nio.file.Files.createTempDirectory("ivfpqwgl").toString
+    Similarity.writeIvfIndex(e, "vec_id", "embedding", cents, path)
+    Similarity.writeIvfPqCodes(spark, path, m = 8, kCodes = 16)
+    val p = Similarity.ivfPqTopKPersisted(spark, path, q, "vec_id",
+        "embedding", 5, nprobe = 2, rerank = 8)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // both the codes scan and the rerank lists scan carry the probed
+    // cells as partition predicates
+    assert("PartitionFilters: \\[[^\\]]*cent_id".r.findAllIn(p).size >= 2,
+      "codes + lists scans must be partition-pruned:\n" +
+        p.linesIterator.take(30).mkString("\n"))
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 3,
+      "nprobe rank, ADC shortlist, and final top-k must push group limits:\n" +
+        p.linesIterator.take(30).mkString("\n"))
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(x => java.nio.file.Files.delete(x))
+    finally walk.close()
+  }
+
   test("rank<=k coverage sweep (r10 ask #7): every remaining window-rank " +
       "filter in the operator surface pushes WindowGroupLimit") {
     // The full pinned set is now: ml_ols_residuals, x4_bm25_retrieve,
