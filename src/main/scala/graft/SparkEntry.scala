@@ -1157,6 +1157,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // X4 — Gopher quality rules (Rae et al. 2021, table A1): the
+    // published repetition/format heuristic battery production corpus
+    // filters descend from — duplicate-line, bullet-line, ellipsis-line
+    // fractions, symbol-to-word ratio, alphabetic-word fraction, the
+    // 8-word English-indicator hit count, mean word length — as exact
+    // integer ppm/micros with the PAPER'S thresholds in the composite
+    // verdict. Every column replays bit-for-bit in SQL.
+    "x4_gopher_rules" -> ((s, dir) => {
+      TextAnalysis.gopherSignals(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // X4 — per-document quality scoring (integer-exact heuristics).
     "x4_quality_score" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
@@ -2565,6 +2577,52 @@ object SparkEntry {
         .filter(col("_nm") === nf)
         .select(col("id_a"), col("id_b"))
       Dedup.clusterWithSizes(clipPairs).orderBy("id")
+    }),
+
+    // X5 — CROSS-CODEC audio dedup incl. the LOSSLESS member: the same
+    // PCM shipped as FLAC (bit-exact round trip) and as MPEG-1 Layer II
+    // at 192 kbps must fingerprint identically — FLAC vs source is a
+    // MUST (losslessness makes it exact), MP2 vs FLAC is the measured
+    // lossy↔lossless dedup claim (band energies are what the lossy
+    // codec preserves; same family evidence as the 96-vs-192 gate).
+    // flac_compressed pins rice-coded fixed-predictor residuals beating
+    // raw PCM on the tonal fixture.
+    "x5_audio_crosscodec" -> ((s, dir) => {
+      import s.implicits._
+      val nf = 2
+      Tables.documents(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val bands = Array((1 + id % 7).toInt, (9 + id % 5).toInt,
+            (16 + id / 5 % 5).toInt, (23 + id / 25 % 4).toInt)
+          val amps = Array(0.5, 0.25, 0.12, 0.06)
+          val pcm = Array.tabulate(1152 * nf) { i =>
+            var v = 0.0
+            var b = 0
+            while (b < 4) {
+              v += amps(b) * math.sin(
+                2 * math.Pi * (bands(b) + 0.5) * 750.0 * i / 48000.0)
+              b += 1
+            }
+            math.round(v * 32767).toShort
+          }
+          val srcFp = graft.ops.MpegAudio.audioFingerprints(
+            pcm.map(_ / 32768.0))
+          val flacEnc = graft.ops.Flac.encodeFlac(
+            Array(pcm.map(_.toInt)), 48000, blockSize = 1152)
+          val (_, fchans) = graft.ops.Flac.decodeFlac(id, flacEnc)
+          val flacFp = graft.ops.MpegAudio.audioFingerprints(
+            fchans(0).map(_ / 32768.0))
+          val mp2Fp = graft.ops.MpegAudio.audioFingerprints(
+            graft.ops.MpegAudio.decodeMpegAudio(id,
+              graft.ops.MpegAudio.encodeMp2(pcm, 192)))
+          (id, nf, flacFp == srcFp,
+            mp2Fp.zip(flacFp).forall { case ((_, a), (_, b)) => a == b },
+            flacEnc.length < 2 * pcm.length)
+        }
+        .toDF("doc_id", "n_frames", "flac_matches_source",
+          "mp2_matches_flac", "flac_compressed")
+        .orderBy("doc_id")
     }),
 
     // X5 — MEDIA SNIFF + DISPATCH: the intake FRONT DOOR — a blob
@@ -7090,6 +7148,46 @@ object SparkEntry {
         |FROM w WHERE chunk_id * 48 < n
         |ORDER BY doc_id, chunk_id""".stripMargin,
 
+    // Gopher battery replay: same tokenizations, trunc-div ppm, the
+    // paper's thresholds inlined.
+    "x4_gopher_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split_regex(lower(text), '\s+') AS w,
+        |    string_split(text, chr(10)) AS ln, text
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(w, x -> len(x))) * 1000000
+        |      // len(w) AS BIGINT) AS mean_word_len_micro,
+        |    CAST((len(ln) - len(list_distinct(ln))) * 1000000 // len(ln)
+        |      AS BIGINT) AS dup_line_ppm,
+        |    CAST(len(list_filter(ln, l ->
+        |        substring(trim(l), 1, 1) IN ('-', '*', '•'))) * 1000000
+        |      // len(ln) AS BIGINT) AS bullet_line_ppm,
+        |    CAST(len(list_filter(ln, l ->
+        |        trim(l) LIKE '%...' OR trim(l) LIKE '%…')) * 1000000
+        |      // len(ln) AS BIGINT) AS ellipsis_line_ppm,
+        |    CAST((len(text) - len(regexp_replace(text, '[#…]', '', 'g')))
+        |      * 1000000 // len(w) AS BIGINT) AS symbol_word_ppm,
+        |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+        |      * 1000000 // len(w) AS BIGINT) AS alpha_word_ppm,
+        |    CAST(len(list_filter(
+        |        ['the','be','to','of','and','that','have','with'],
+        |        sw -> list_contains(w, sw))) AS BIGINT) AS n_stop_hits
+        |  FROM t)
+        |SELECT doc_id, n_words, mean_word_len_micro, dup_line_ppm,
+        |  bullet_line_ppm, ellipsis_line_ppm, symbol_word_ppm,
+        |  alpha_word_ppm, n_stop_hits,
+        |  (n_words >= 50 AND n_words <= 100000
+        |    AND mean_word_len_micro >= 3000000
+        |    AND mean_word_len_micro <= 10000000
+        |    AND symbol_word_ppm < 100000 AND bullet_line_ppm < 900000
+        |    AND ellipsis_line_ppm < 300000 AND alpha_word_ppm >= 800000
+        |    AND n_stop_hits >= 2 AND dup_line_ppm < 300000) AS gopher_pass
+        |FROM s ORDER BY doc_id""".stripMargin,
+
     "x4_quality_score" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -7967,6 +8065,13 @@ object SparkEntry {
         |  CAST(1152 * (2 + doc_id % 3) AS BIGINT) AS n_samples,
         |  TRUE AS spectrum_exact, TRUE AS tones_ok
         |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,
+
+    // Cross-codec fingerprint replay: all three verdicts ride booleans.
+    "x5_audio_crosscodec" ->
+      """SELECT doc_id, CAST(2 AS INTEGER) AS n_frames,
+        |  TRUE AS flac_matches_source, TRUE AS mp2_matches_flac,
+        |  TRUE AS flac_compressed
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
 
     // FLAC census replay: frame count includes the partial tail block
     // (ceil division); the lossless/mode/compression verdicts ride

@@ -2934,6 +2934,8 @@ object Multimodal {
     else if (at(0) == 'P' && at(1) == 'K' && at(2) == 0x03 && at(3) == 0x04)
       "application/zip"
     else if (at(0) == 'P' && at(1) == '5') "image/x-pgm"
+    else if (at(0) == 'f' && at(1) == 'L' && at(2) == 'a' && at(3) == 'C')
+      "audio/flac"
     else if (at(0) == 0x1F && at(1) == 0x8B) "application/gzip"
     else if (payload.length >= 12 && at(0) == 'R' && at(1) == 'I' &&
         at(2) == 'F' && at(3) == 'F') {
@@ -2984,6 +2986,9 @@ object Multimodal {
         case "application/x-tar" =>
           decodeTarEntries(r.doc_id, r.payload).map(_._2.length.toLong).sum
         case "audio/wav" => decodeWav(r.doc_id, r.payload).n_samples
+        case "audio/flac" =>
+          val (_, chans) = Flac.decodeFlac(r.doc_id, r.payload)
+          chans.map(_.length.toLong).sum
         case "video/avi" =>
           decodeAviFrames(r.doc_id, r.payload)
             .map(f => f.width.toLong * f.height).sum

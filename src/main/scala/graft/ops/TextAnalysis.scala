@@ -27,6 +27,74 @@ object TextAnalysis {
   def wordOccurrences(text: Column, words: Seq[String]): Column =
     size(filter(tokens(text), t => t.isInCollection(words))).cast("long")
 
+  // ------------------------------------------------------------------
+  // Gopher quality rules (Rae et al. 2021, "Scaling Language Models",
+  // table A1 — the published repetition/format heuristic battery most
+  // production corpus filters descend from). All signals are exact
+  // integer ppm/micros over the shared `\s+`/newline tokenizations, so
+  // a DuckDB oracle replays every column bit-for-bit; the composite
+  // verdict applies the PAPER'S published thresholds. Per-row HOFs
+  // only — narrow, codegen-friendly, no shuffle.
+  // ------------------------------------------------------------------
+
+  /** The paper's 8-word English-indicator set ("contains at least two
+    * of ..."). */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Per-document Gopher rule signals + the composite verdict:
+    * (id, n_words, mean_word_len_micro, dup_line_ppm, bullet_line_ppm,
+    * ellipsis_line_ppm, symbol_word_ppm, alpha_word_ppm, n_stop_hits,
+    * gopher_pass). Thresholds (paper values): 50 ≤ words ≤ 100k, mean
+    * word length in [3, 10], symbol-to-word ratio < 0.1 ('#' and '…'),
+    * < 90% bullet lines, < 30% ellipsis lines, ≥ 80% words with an
+    * alphabetic character, ≥ 2 of the 8 indicator words, and < 30%
+    * duplicate lines (the line-repetition family collapsed to its
+    * by-count member — the fixture has no multi-line dup structure to
+    * distinguish the char-weighted variants). */
+  def gopherSignals(df: org.apache.spark.sql.DataFrame, id: String,
+      text: String): org.apache.spark.sql.DataFrame = {
+    val w = tokens(lower(col(text)))
+    val nWords = size(w).cast("long")
+    val sumLen = aggregate(w, lit(0L), (a, x) => a + length(x))
+    val lines = split(col(text), "\n")
+    val nLines = size(lines).cast("long")
+    val dupLines = nLines - size(array_distinct(lines)).cast("long")
+    val bulletLines = size(filter(lines,
+      l => substring(trim(l), 1, 1).isInCollection(Seq("-", "*", "•"))))
+      .cast("long")
+    val ellipsisLines = size(filter(lines,
+      l => trim(l).endsWith("...") || trim(l).endsWith("…"))).cast("long")
+    val symbols = (length(col(text)) -
+      length(regexp_replace(col(text), "[#…]", ""))).cast("long")
+    val alphaWords = size(filter(w, x => x.rlike("[a-z]"))).cast("long")
+    val stopHits = size(filter(
+      array(gopherStopwords.map(lit): _*),
+      sw => array_contains(w, sw))).cast("long")
+    // exact trunc division (Spark `div` ≡ DuckDB `//`, the pinned pair)
+    def ppm(num: Column, den: Column): Column =
+      call_function("div", num * 1000000L, den)
+    df.select(col(id),
+        nWords.as("n_words"),
+        ppm(sumLen, nWords).as("mean_word_len_micro"),
+        ppm(dupLines, nLines).as("dup_line_ppm"),
+        ppm(bulletLines, nLines).as("bullet_line_ppm"),
+        ppm(ellipsisLines, nLines).as("ellipsis_line_ppm"),
+        ppm(symbols, nWords).as("symbol_word_ppm"),
+        ppm(alphaWords, nWords).as("alpha_word_ppm"),
+        stopHits.as("n_stop_hits"))
+      .withColumn("gopher_pass",
+        col("n_words") >= 50L && col("n_words") <= 100000L &&
+          col("mean_word_len_micro") >= 3000000L &&
+          col("mean_word_len_micro") <= 10000000L &&
+          col("symbol_word_ppm") < 100000L &&
+          col("bullet_line_ppm") < 900000L &&
+          col("ellipsis_line_ppm") < 300000L &&
+          col("alpha_word_ppm") >= 800000L &&
+          col("n_stop_hits") >= 2L &&
+          col("dup_line_ppm") < 300000L)
+  }
+
   def punctCount(text: Column): Column =
     (length(text) - length(regexp_replace(text, "[.,!?;:]", ""))).cast("long")
 

@@ -795,6 +795,18 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       Seq(encodeJpeg(w, h, pix)))) == "video/avi")
     assert(sniffMediaType(graft.ops.MpegAudio.syntheticStream(2, 96, 1)) ==
       "audio/mpeg")
+    // FLAC (round 11): magic + the dispatcher's unit count = samples
+    // summed over channels (decode verifies CRC/MD5 on the way)
+    val flacPcm = Array.tabulate(600)(i => (i * 37) % 2000 - 1000)
+    val flac = graft.ops.Flac.encodeFlac(Array(flacPcm, flacPcm), 48000,
+      blockSize = 256)
+    assert(sniffMediaType(flac) == "audio/flac")
+    locally {
+      import spark.implicits._
+      val st = sniffStats(Seq(MediaRecord(77L, flac, "flac", "xx")).toDS())
+        .collect()(0)
+      assert(st.media_type == "audio/flac" && st.n_units == 1200L)
+    }
     // two sync-looking bytes with an invalid rest must NOT be mpeg
     // (0xFF 0xFF = reserved layer after the ID bits)
     assert(sniffMediaType(Array[Byte](0xFF.toByte, 0xFF.toByte,
