@@ -6119,6 +6119,19 @@ object SparkEntry {
         .orderBy("batch_id")
     }),
 
+    // The SELF-HEALING variant: the final logical batch is poisoned
+    // into the degenerate zero-vector regime, the post-append census
+    // FIRES inside foreachBatch, the ingest retrains right there
+    // (zero-norm quarantine + stats reset) and re-censuses clean —
+    // detect → retrain → verify running unattended in the stream. The
+    // equality pin compares against the scorable corpus under the
+    // RETRAINED centroids.
+    "stream_ivf_heal" -> ((s, dir) => {
+      graft.streaming.Streams.streamIvfIngestSelfHealing(s, dir,
+          span = 200L, k = 16)
+        .orderBy("batch_id")
+    }),
+
     "stream_countmin" -> ((s, dir) => {
       import s.implicits._
       val sk = graft.streaming.Streams.countMinStream(s, dir, depth = 4, width = 1024)
@@ -11657,8 +11670,35 @@ object SparkEntry {
         |  CAST(n_vectors AS BIGINT) AS n_vectors,
         |  CAST(run_total AS BIGINT) AS n_total,
         |  CAST(run_total - n0 AS BIGINT) AS n_appended,
-        |  TRUE AS no_retrain, TRUE AS matches_batch_build
+        |  TRUE AS no_retrain, FALSE AS census_fired, FALSE AS retrained,
+        |  FALSE AS post_retrain_clear, TRUE AS matches_batch_build
         |FROM c ORDER BY batch_id""".stripMargin,
+
+    // Self-healing replay: the poisoned LAST batch fires, retrains, and
+    // leaves the index holding only the scorable corpus (n_total drops
+    // by the poisoned batch's count, n_appended resets to 0).
+    "stream_ivf_heal" ->
+      """WITH b AS (
+        |  SELECT vec_id // 200 AS batch_id, count(*) AS n_vectors
+        |  FROM embeddings GROUP BY 1),
+        |mx AS (SELECT max(batch_id) AS mb FROM b),
+        |c AS (
+        |  SELECT batch_id, n_vectors,
+        |    sum(n_vectors) OVER (ORDER BY batch_id) AS run_total,
+        |    first_value(n_vectors) OVER (ORDER BY batch_id) AS n0
+        |  FROM b)
+        |SELECT CAST(c.batch_id AS BIGINT) AS batch_id,
+        |  CAST(c.n_vectors AS BIGINT) AS n_vectors,
+        |  CAST(CASE WHEN c.batch_id = mx.mb THEN c.run_total - c.n_vectors
+        |    ELSE c.run_total END AS BIGINT) AS n_total,
+        |  CAST(CASE WHEN c.batch_id = mx.mb THEN 0
+        |    ELSE c.run_total - c.n0 END AS BIGINT) AS n_appended,
+        |  TRUE AS no_retrain,
+        |  (c.batch_id = mx.mb) AS census_fired,
+        |  (c.batch_id = mx.mb) AS retrained,
+        |  (c.batch_id = mx.mb) AS post_retrain_clear,
+        |  TRUE AS matches_batch_build
+        |FROM c, mx ORDER BY batch_id""".stripMargin,
 
     "stream_minhash_incr" ->
       """WITH d AS (

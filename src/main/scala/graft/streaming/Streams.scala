@@ -1014,8 +1014,25 @@ object Streams {
     * n_total / n_appended after the batch, no_retrain) — plus
     * `matches_batch_build` on every row: the final incremental-ingest
     * == one-shot-build assignment equality, checked both ways. */
+  /** [[streamIvfIngest]] with the FULL maintain loop closed inside the
+    * stream: `degenLastBatch` poisons the final logical batch into the
+    * zero-vector regime (the upstream-model-bug signature) before
+    * staging, and when the post-append census FIRES inside
+    * foreachBatch, the ingest RETRAINS right there (zero-norm
+    * quarantine, stats reset) and re-censuses — the
+    * detect → retrain → verify loop running unattended in the stream,
+    * which is how a 100 TB ingest actually operates. Extra columns:
+    * census_fired (per batch), retrained (this batch triggered a
+    * retrain), post_retrain_clear (the re-census verdict; null-free:
+    * false where no retrain ran). The final equality pin compares
+    * against the batch-build assignment of the SCORABLE corpus. */
+  def streamIvfIngestSelfHealing(spark: SparkSession, sfDir: String,
+      span: Long = 200L, k: Int = 16): DataFrame =
+    streamIvfIngest(spark, sfDir, span, k, degenLastBatch = true)
+
   def streamIvfIngest(spark: SparkSession, sfDir: String,
-      span: Long = 200L, k: Int = 16): DataFrame = {
+      span: Long = 200L, k: Int = 16,
+      degenLastBatch: Boolean = false): DataFrame = {
     import java.nio.file._
     val ss = stateSession(spark, 4)
     val runId = java.util.UUID.randomUUID().toString.replace("-", "")
@@ -1030,8 +1047,13 @@ object Streams {
       (e.agg(max(col("vec_id"))).head().getLong(0) / span).toInt + 1
     (0 until nBatches).foreach { b =>
       val stage = root.resolve(s"stage_$b")
-      e.filter(call_function("div", col("vec_id"), lit(span)) === b)
-        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val raw = e.filter(call_function("div", col("vec_id"), lit(span)) === b)
+      val staged =
+        if (degenLastBatch && b == nBatches - 1)
+          raw.select(col("vec_id"),
+            transform(col("embedding"), _ => lit(0.0f)).as("embedding"))
+        else raw
+      staged.coalesce(1).write.mode("overwrite").parquet(stage.toString)
       val part = Files.list(stage).filter(p =>
         p.getFileName.toString.endsWith(".parquet")).findFirst().get()
       val tgt = landing.resolve(f"batch$b%04d.parquet")
@@ -1050,10 +1072,22 @@ object Streams {
         graft.ops.Similarity.appendToIvfIndex(
           ss, vecs, "vec_id", "embedding", idxDir)
       val c = graft.ops.Similarity.ivfIndexCensus(ss, idxDir).collect()(0)
+      val fired = c.getAs[Boolean]("needs_retrain")
+      // the self-healing step: when the census fires, retrain RIGHT
+      // HERE (zero-norm quarantine + stats reset) and re-census — the
+      // index the next batch appends to is already healthy again
+      val after =
+        if (fired) {
+          graft.ops.Similarity.retrainIvfIndex(ss, idxDir, k, iters = 3)
+          graft.ops.Similarity.ivfIndexCensus(ss, idxDir).collect()(0)
+        } else c
       import ss.implicits._
-      Seq((b, vecs.count(), c.getAs[Long]("n_total"),
-          c.getAs[Long]("n_appended"), !c.getAs[Boolean]("needs_retrain")))
-        .toDF("batch_id", "n_vectors", "n_total", "n_appended", "no_retrain")
+      Seq((b, vecs.count(), after.getAs[Long]("n_total"),
+          after.getAs[Long]("n_appended"),
+          !after.getAs[Boolean]("needs_retrain"),
+          fired, fired, fired && !after.getAs[Boolean]("needs_retrain")))
+        .toDF("batch_id", "n_vectors", "n_total", "n_appended",
+          "no_retrain", "census_fired", "retrained", "post_retrain_clear")
         .write.mode("append").parquet(resultsDir)
     }
     val schema = StructType(Seq(StructField("vec_id", LongType),
@@ -1073,11 +1107,19 @@ object Streams {
       }
       .start()
     q.awaitTermination()
-    // equality pin: incremental lists == one-shot assignment of ALL
-    // vectors under the batch-0-trained centroids, both directions
+    // equality pin: incremental lists == one-shot assignment of the
+    // SCORABLE corpus under the index's CURRENT centroids (batch-0's
+    // when no retrain ran; the retrained ones when it did — retrain is
+    // a fresh build over the lists, so the equality holds either way),
+    // both directions
     val cents = ss.read.parquet(s"$idxDir/centroids")
+    val scorable =
+      if (degenLastBatch)
+        e.filter(call_function("div", col("vec_id"), lit(span)) <
+          nBatches - 1)
+      else e
     val direct = graft.ops.Similarity.assignToCentroids(
-        e, "vec_id", "embedding", cents)
+        scorable, "vec_id", "embedding", cents)
       .select(col("cid"), col("cent_id"))
     val lists = ss.read.parquet(s"$idxDir/lists")
       .select(col("cid"), col("cent_id"))
