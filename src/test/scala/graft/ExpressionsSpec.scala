@@ -159,4 +159,28 @@ class ExpressionsSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException](
       graft.expr.UnicodeNormalize(col("t"), "NFX"))
   }
+
+  test("URL canonicalization: case, default ports, dup slashes, " +
+      "fragments, tracking params, param sort; schemeless is NULL; " +
+      "non-default ports and encodings pass through") {
+    import spark.implicits._
+    val in = Seq(
+      "HTTP://Example.COM:80//a//b?utm_source=x&b=2&a=1#frag",
+      "https://example.com:443/",
+      "https://example.com:8443/x?gclid=1",
+      "http://example.com",
+      "http://example.com/p?a=1&A=2", // case-sensitive params kept, sorted bytewise
+      "example.com/no-scheme",
+      "http://example.com/p%20q?x=%2F" // percent-encoding untouched (boundary)
+    ).toDF("url")
+    val out = in.select(graft.ops.Url.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(out(0).contains("http://example.com/a/b?a=1&b=2"))
+    assert(out(1).contains("https://example.com/"))
+    assert(out(2).contains("https://example.com:8443/x"))
+    assert(out(3).contains("http://example.com/"))
+    assert(out(4).contains("http://example.com/p?A=2&a=1"))
+    assert(out(5).isEmpty)
+    assert(out(6).contains("http://example.com/p%20q?x=%2F"))
+  }
 }

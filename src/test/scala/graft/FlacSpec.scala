@@ -82,21 +82,20 @@ class FlacSpec extends AnyFunSuite {
       e4.getMessage.contains("CRC"))
   }
 
-  test("named boundaries fail loudly: LPC subframe type, no fLaC marker, " +
-      ">16-bit, >2 channels") {
+  test("boundaries and corruption fail loudly: flipped subframe type " +
+      "(CRC catches the misparse), no fLaC marker, >16-bit, >2 channels") {
     val x = pcm(1200, 3L, 330.0)
     val enc = Flac.encodeFlac(Array(x), 48000, blockSize = 1024)
     val si = Flac.readStreamInfo(enc, 30L)
     // frame layout: 4B fixed header fields + 1B frame number (0) + 2B
-    // block size + 1B CRC-8, then the first subframe header byte
+    // block size + 1B CRC-8, then the first subframe header byte —
+    // flipping the type misparses the frame and the CRC-16 catches it
     val subOff = si.firstFrameOff + 8
-    val lpc = enc.clone(); lpc(subOff) = 0x40.toByte // type 0b100000 = LPC o1
-    // re-stamp CRC-16 so the boundary (not the checksum) trips — the
-    // CRC field is the last 2 bytes of the frame; easiest honest path:
-    // expect either the LPC message (if CRC passes) or decode to fail
-    // before it — so instead corrupt nothing else and accept LPC OR CRC
-    val e1 = intercept[IllegalArgumentException](Flac.decodeFlac(30L, lpc))
-    assert(e1.getMessage.contains("LPC") || e1.getMessage.contains("CRC"))
+    val bad = enc.clone(); bad(subOff) = 0x40.toByte
+    val e1 = intercept[IllegalArgumentException](Flac.decodeFlac(30L, bad))
+    assert(e1.getMessage.contains("CRC") ||
+      e1.getMessage.contains("truncated") ||
+      e1.getMessage.contains("precision") || e1.getMessage.contains("order"))
     val e2 = intercept[IllegalArgumentException](
       Flac.readStreamInfo("notflac".getBytes ++ enc, 31L))
     assert(e2.getMessage.contains("fLaC"))
@@ -104,5 +103,41 @@ class FlacSpec extends AnyFunSuite {
       Flac.encodeFlac(Array(Array(40000)), 48000))
     intercept[IllegalArgumentException](
       Flac.encodeFlac(Array.fill(3)(x), 48000))
+  }
+
+  test("LPC subframes (round 11): HIGH-frequency tonal content picks LPC " +
+      "(finite differences amplify above fs/6 — the regime fixed orders " +
+      "lose) and round-trips bit-exactly; every other regime stays " +
+      "lossless whichever predictor wins") {
+    // 7 kHz + 11 kHz at 48 kHz: a 4-pole signal where the order-k
+    // difference residual is ~the signal amplitude, so FIXED is no
+    // better than order 0 and windowed-Levinson LPC wins outright
+    val hf = Array.tabulate(4096)(i =>
+      (9000 * math.sin(2 * math.Pi * 7000.0 * i / 48000.0) +
+        4000 * math.sin(2 * math.Pi * 11000.0 * i / 48000.0)).toInt)
+    val enc = Flac.encodeFlac(Array(hf), 48000, blockSize = 2048)
+    val (frames, chans) = Flac.decodeFlac(40L, enc)
+    assert(chans(0).sameElements(hf))
+    assert(frames.forall(_.subframe_types.forall(t => (t & 0x20) != 0)),
+      s"high-frequency sines must pick LPC: ${frames.map(_.subframe_types)}")
+    assert(enc.length < 2 * hf.length,
+      s"LPC must beat raw on the tonal fixture: ${enc.length} B")
+    // low-frequency smooth content: fixed differences are already
+    // near-perfect there; whoever wins, the contract is lossless
+    val lf = Array.tabulate(4000)(i =>
+      (9000 * math.sin(2 * math.Pi * 217.0 * i / 48000.0) +
+        4000 * math.sin(2 * math.Pi * 431.0 * i / 48000.0)).toInt)
+    assert(Flac.decodeFlac(41L,
+      Flac.encodeFlac(Array(lf), 48000, blockSize = 2048))._2(0)
+      .sameElements(lf))
+    val noisy = pcm(3000, 13L, 700.0)
+    assert(Flac.decodeFlac(42L,
+      Flac.encodeFlac(Array(noisy), 48000, blockSize = 1024))._2(0)
+      .sameElements(noisy))
+    // stereo with LPC subframes still reconstructs exactly
+    val r = hf.map(v => math.max(-32768, math.min(32767, v + 5)))
+    val enc3 = Flac.encodeFlac(Array(hf, r), 48000, blockSize = 2048)
+    val (_, ch3) = Flac.decodeFlac(43L, enc3)
+    assert(ch3(0).sameElements(hf) && ch3(1).sameElements(r))
   }
 }
