@@ -5099,29 +5099,6 @@ object SparkEntry {
     // registered domain), a 3-label exception (city.kawasaki.jp), and
     // a host that IS a public suffix (co.uk → no registered domain).
     // Oracle replays the same rule table + matching algebra in SQL.
-    // X4 — URL canonicalization (crawl hygiene before URL-keyed dedup:
-    // scheme/host case, default ports, duplicate slashes, fragments,
-    // tracking params, bytewise param sort). The oracle replays the
-    // GENERATOR — expected canonical form is a closed form of doc_id —
-    // so the truth is independent of the implementation.
-    "x4_url_canonicalize" -> ((s, dir) => {
-      val https = col("doc_id") % 2 === 0
-      val scheme = when(https, lit("HTTPS")).otherwise(lit("HTTP"))
-      val port = when(col("doc_id") % 3 === 0,
-          when(https, lit(":443")).otherwise(lit(":80")))
-        .when(col("doc_id") % 3 === 1, lit(":8080"))
-        .otherwise(lit(""))
-      val messy = concat(scheme, lit("://WWW.Site"),
-        (col("doc_id") % 7).cast("string"), lit(".COM"), port,
-        lit("//a"), (col("doc_id") % 5).cast("string"), lit("//b"),
-        lit("?z=1&utm_source=x&a="), (col("doc_id") % 4).cast("string"),
-        lit("&fbclid=abc#sec"), (col("doc_id") % 3).cast("string"))
-      Tables.documents(s, dir)
-        .select(col("doc_id"), messy.as("url"))
-        .withColumn("canonical", graft.ops.Url.canonicalizeUrl(col("url")))
-        .orderBy("doc_id")
-    }),
-
     "x4_url_domains_psl" -> ((s, dir) => {
       val hosts = Tables.documents(s, dir).select(col("doc_id"),
         when(col("doc_id") % 7 === 0,
@@ -9969,25 +9946,6 @@ object SparkEntry {
     // label. Rule VALUES list the builtin-subset rules reachable by
     // the planted hosts (absent rules can never match, so equality is
     // unaffected).
-    // Generator replay: both the messy input and its canonical form are
-    // closed forms of doc_id — the truth never touches the operator.
-    "x4_url_canonicalize" ->
-      """SELECT doc_id,
-        |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'HTTP' END)
-        |    || '://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) || '.COM'
-        |    || (CASE WHEN doc_id % 3 = 0 THEN
-        |          (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
-        |        WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END)
-        |    || '//a' || CAST(doc_id % 5 AS VARCHAR) || '//b'
-        |    || '?z=1&utm_source=x&a=' || CAST(doc_id % 4 AS VARCHAR)
-        |    || '&fbclid=abc#sec' || CAST(doc_id % 3 AS VARCHAR) AS url,
-        |  (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END)
-        |    || '://www.site' || CAST(doc_id % 7 AS VARCHAR) || '.com'
-        |    || (CASE WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END)
-        |    || '/a' || CAST(doc_id % 5 AS VARCHAR) || '/b?a='
-        |    || CAST(doc_id % 4 AS VARCHAR) || '&z=1' AS canonical
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
     "x4_url_domains_psl" ->
       """WITH docs AS (
         |  SELECT doc_id,

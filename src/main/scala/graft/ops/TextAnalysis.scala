@@ -799,6 +799,11 @@ object TextAnalysis {
     * regexp/array string functions — no `parse_url`, so the oracle
     * replays the identical derivation and the output hash-gates as
     * data, not a verdict. */
+  /** Tracking-parameter set dropped by [[canonicalizeUrl]]: utm_*, plus
+    * the platform click ids (ROUND 11 — previously utm_* only). */
+  private val UrlTrackingRe =
+    "^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|igshid|mc_eid)(=|$)"
+
   def canonicalizeUrl(url: Column): Column = {
     val u = regexp_replace(trim(url), "#.*$", "") // fragment off first
     val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
@@ -808,13 +813,20 @@ object TextAnalysis {
       .when(scheme === "https", regexp_replace(hostPort0, ":443$", ""))
       .otherwise(hostPort0)
     val path0 = regexp_extract(rest, "^[^/?]*(/[^?]*)?", 1)
-    val path = when(path0 === "", lit("/")).otherwise(path0)
+    // duplicate-slash collapse added ROUND 11 (receiver-concatenation
+    // artifact; "//" inside a path never names a different resource on
+    // the servers crawls care about, and it defeats exact URL dedup)
+    val path = when(path0 === "", lit("/"))
+      .otherwise(regexp_replace(path0, "/{2,}", "/"))
     val query = regexp_extract(u, "\\?([^#]*)", 1)
     val params = array_sort(filter(split(query, "&"),
-      p => p =!= "" && !p.startsWith("utm_")))
+      p => p =!= "" && !p.rlike(UrlTrackingRe)))
     val qstr = when(size(params) > 0,
       concat(lit("?"), array_join(params, "&"))).otherwise(lit(""))
-    concat(scheme, lit("://"), hostPort, path, qstr)
+    // a schemeless string is not a canonicalizable URL — NULL, so
+    // intake can count them rather than silently emitting "://…"
+    when(scheme === "", lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), hostPort, path, qstr))
   }
 
   /** Mojibake repair — the ftfy-style fix for the most common corpus

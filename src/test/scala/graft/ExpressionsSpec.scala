@@ -173,7 +173,8 @@ class ExpressionsSpec extends AnyFunSuite with SparkTestBase {
       "example.com/no-scheme",
       "http://example.com/p%20q?x=%2F" // percent-encoding untouched (boundary)
     ).toDF("url")
-    val out = in.select(graft.ops.Url.canonicalizeUrl(col("url")).as("c"))
+    val out = in.select(
+        graft.ops.TextAnalysis.canonicalizeUrl(col("url")).as("c"))
       .collect().map(r => Option(r.getString(0)))
     assert(out(0).contains("http://example.com/a/b?a=1&b=2"))
     assert(out(1).contains("https://example.com/"))
