@@ -558,7 +558,7 @@ object Flac {
       subs.foreach { case (x, bps) => writeSubframe(bw, x, bps) }
       (mode, bw.toBytes, bw.bitCount)
     }
-    val (mode, _, _) = coded.minBy(_._3)
+    val (mode, bodyBytes, _) = coded.minBy(_._3)
     // header
     val hw = new BitWriter
     hw.put(0x3FFE, 14) // sync
@@ -575,22 +575,10 @@ object Flac {
     val frameOut = new java.io.ByteArrayOutputStream()
     frameOut.write(headBytes)
     frameOut.write(crc8(headBytes, 0, headBytes.length))
-    // subframes written CONTIGUOUSLY in bit space (no per-subframe byte
-    // alignment) — re-encode into one writer
-    val bw = new BitWriter
-    val subs: Array[(Array[Int], Int)] =
-      if (chunk.length == 1) Array((chunk(0), Bps))
-      else {
-        val (a, b) = decorrelate(chunk(0), chunk(1), mode)
-        mode match {
-          case 1 => Array((a, Bps), (b, Bps))
-          case 8 => Array((a, Bps), (b, Bps + 1))
-          case 9 => Array((a, Bps + 1), (b, Bps))
-          case 10 => Array((a, Bps), (b, Bps + 1))
-        }
-      }
-    subs.foreach { case (x, bps) => writeSubframe(bw, x, bps) }
-    frameOut.write(bw.toBytes) // padToByte inside toBytes
+    // subframes were written CONTIGUOUSLY in bit space into one writer
+    // per candidate mode (padding only at the very end), so the chosen
+    // candidate's bytes ARE the frame body — no re-encode
+    frameOut.write(bodyBytes)
     val body = frameOut.toByteArray
     val crc = crc16(body, 0, body.length)
     frameOut.write(crc >> 8); frameOut.write(crc & 0xFF)
