@@ -509,6 +509,11 @@ object Flac {
     require(channels.map(_.length).distinct.length == 1,
       "flac: channels must be equal length")
     require(blockSize >= 16 && blockSize <= 65535, "flac: bad block size")
+    // STREAMINFO's sample-rate field is 20 bits: a larger value would be
+    // silently bit-masked by BitWriter.put into a structurally valid
+    // stream with the WRONG declared rate (advisor r11)
+    require(sampleRate > 0 && sampleRate < (1 << 20),
+      "flac: sample rate out of STREAMINFO range")
     channels.foreach(_.foreach(v =>
       require(v >= -32768 && v <= 32767, "flac: 16-bit samples")))
     val total = channels(0).length
@@ -689,6 +694,10 @@ object Flac {
       val subs = subsT.map(_._1)
       br.alignToByte()
       val crcAt = br.bytePos
+      // truncated-at-CRC stream must fail as a NAMED decode error, not
+      // AIOOBE — the sniff/census paths classify on IAE (advisor r11)
+      require(crcAt + 2 <= payload.length,
+        s"flac: bit stream truncated (doc $docId)")
       val wantCrc16 = ((payload(crcAt) & 0xFF) << 8) | (payload(crcAt + 1) & 0xFF)
       require(crc16(payload, off, crcAt) == wantCrc16,
         f"flac: frame CRC-16 mismatch (doc $docId)")

@@ -1573,6 +1573,13 @@ object MpegAudio {
       reservoir: Boolean = false, withCrc: Boolean = false): Array[Byte] = {
     mp3ValidateArgs(granules.flatMap(g => Seq(g._1, g._2)),
       globalGains.flatMap(g => Seq(g._1, g._2)), bigValuesPairs)
+    // mp3ValidateArgs sees the FLATTENED per-channel list (2× length, so
+    // its own even-count check is vacuous here — advisor r11): the
+    // stereo frame invariant is 2 granule PAIRS per frame, checked on
+    // the unflattened input so an odd count fails loudly instead of
+    // being truncated by nFrames = length / 2.
+    require(granules.length % 2 == 0,
+      "mp3: an even number of granules (2 per frame)")
     require(granules.length == globalGains.length, "mp3: one gain pair per granule")
     val fs = Mp2Rate
     val frameBytes = 144 * bitrateKbps * 1000 / fs

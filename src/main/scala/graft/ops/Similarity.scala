@@ -583,8 +583,13 @@ object Similarity {
     * action this function can take silently.)
     *
     * The new layout is staged under `_retrain/` beside the live one and
-    * swapped in only after all writes succeed — a failed retrain leaves
-    * the serving index untouched. */
+    * swapped in only after all writes succeed. The swap itself is
+    * crash-safe by rename-only sequencing: live parts are first RENAMED
+    * aside into `_old/` (no deletes), the staged parts are moved in,
+    * and only then is `_old/` deleted — a crash before the swap leaves
+    * the serving index untouched, and a crash mid-swap leaves every
+    * part recoverable in either `_old/` or `_retrain/` (nothing is
+    * destroyed before its replacement is in place). */
   def retrainIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       k: Int, iters: Int, seed: Long = 42L, sampleSize: Int = 1024): Unit = {
     val held = spark.read.parquet(s"$path/lists")
@@ -602,11 +607,22 @@ object Similarity {
         .forEach(q => Files.delete(q))
       finally walk.close()
     }
-    Seq("centroids", "lists", "stats", "quarantine").foreach { part =>
-      rmTree(Paths.get(path, part))
+    // Crash-safe swap (advisor r11): rename live parts aside first —
+    // renames only, nothing destroyed until every replacement is in.
+    val old = Paths.get(path, "_old")
+    rmTree(old) // stale debris from a previous crashed swap
+    Files.createDirectories(old)
+    val parts = Seq("centroids", "lists", "stats", "quarantine")
+    parts.foreach { part =>
+      val live = Paths.get(path, part)
+      if (Files.exists(live))
+        Files.move(live, old.resolve(part), StandardCopyOption.ATOMIC_MOVE)
+    }
+    parts.foreach { part =>
       Files.move(Paths.get(stage, part), Paths.get(path, part),
         StandardCopyOption.ATOMIC_MOVE)
     }
+    rmTree(old)
     rmTree(Paths.get(stage))
   }
 

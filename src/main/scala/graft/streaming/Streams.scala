@@ -918,8 +918,8 @@ object Streams {
       val stage = root.resolve(s"stage_$b")
       strm.filter(call_function("div", col("doc_id"), lit(span)) === b)
         .coalesce(1).write.mode("overwrite").parquet(stage.toString)
-      val part = Files.list(stage).filter(p =>
-        p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      val part = listDir(stage).find(
+        _.getFileName.toString.endsWith(".parquet")).get
       val tgt = landing.resolve(f"batch$b%04d.parquet")
       Files.move(part, tgt, StandardCopyOption.REPLACE_EXISTING)
       Files.setLastModifiedTime(tgt,
@@ -1054,8 +1054,8 @@ object Streams {
             transform(col("embedding"), _ => lit(0.0f)).as("embedding"))
         else raw
       staged.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-      val part = Files.list(stage).filter(p =>
-        p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      val part = listDir(stage).find(
+        _.getFileName.toString.endsWith(".parquet")).get
       val tgt = landing.resolve(f"batch$b%04d.parquet")
       Files.move(part, tgt, StandardCopyOption.REPLACE_EXISTING)
       Files.setLastModifiedTime(tgt,
