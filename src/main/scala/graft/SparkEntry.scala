@@ -6125,10 +6125,14 @@ object SparkEntry {
     // (zero-norm quarantine + stats reset) and re-censuses clean —
     // detect → retrain → verify running unattended in the stream. The
     // equality pin compares against the scorable corpus under the
-    // RETRAINED centroids.
+    // RETRAINED centroids. Runs singleTrigger (whole landing dir in one
+    // AvailableNow trigger): foreachBatch regroups by logical batch so
+    // the output is IDENTICAL to the per-file drain (StreamingSpec pins
+    // the row-level equality) minus ~10 per-trigger streaming floors;
+    // stream_ivf_ingest stays multi-trigger to pin trigger boundaries.
     "stream_ivf_heal" -> ((s, dir) => {
       graft.streaming.Streams.streamIvfIngestSelfHealing(s, dir,
-          span = 200L, k = 16)
+          span = 200L, k = 16, singleTrigger = true)
         .orderBy("batch_id")
     }),
 

@@ -1027,12 +1027,23 @@ object Streams {
     * false where no retrain ran). The final equality pin compares
     * against the batch-build assignment of the SCORABLE corpus. */
   def streamIvfIngestSelfHealing(spark: SparkSession, sfDir: String,
-      span: Long = 200L, k: Int = 16): DataFrame =
-    streamIvfIngest(spark, sfDir, span, k, degenLastBatch = true)
+      span: Long = 200L, k: Int = 16,
+      singleTrigger: Boolean = false): DataFrame =
+    streamIvfIngest(spark, sfDir, span, k, degenLastBatch = true,
+      singleTrigger = singleTrigger)
 
+  /** `singleTrigger`: drain the whole landing dir in ONE AvailableNow
+    * trigger instead of one file per trigger. Because foreachBatch
+    * regroups rows by logical batch and applies them in ascending
+    * order, the OUTPUT is identical either way (a StreamingSpec pins
+    * the row-level equality) — what differs is only how many
+    * micro-batch floors the certification pays. The heal gate runs
+    * single-trigger (saves ~10 per-trigger floors); the ingest gate
+    * stays multi-trigger to pin the trigger-boundary behavior. */
   def streamIvfIngest(spark: SparkSession, sfDir: String,
       span: Long = 200L, k: Int = 16,
-      degenLastBatch: Boolean = false): DataFrame = {
+      degenLastBatch: Boolean = false,
+      singleTrigger: Boolean = false): DataFrame = {
     import java.nio.file._
     val ss = stateSession(spark, 4)
     val runId = java.util.UUID.randomUUID().toString.replace("-", "")
@@ -1092,8 +1103,10 @@ object Streams {
     }
     val schema = StructType(Seq(StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType))))
-    val q = ss.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(landing.toString)
+    val reader = ss.readStream.schema(schema)
+    val q = (if (singleTrigger) reader
+             else reader.option("maxFilesPerTrigger", "1"))
+      .parquet(landing.toString)
       .writeStream
       .option("checkpointLocation", root.resolve("ckpt").toString)
       .trigger(Trigger.AvailableNow())
