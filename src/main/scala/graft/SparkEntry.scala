@@ -812,9 +812,14 @@ object SparkEntry {
     // nprobe probed code partitions (PlanShapeSpec pins the
     // PartitionFilters), ADC-scores via the query's broadcast lookup
     // table, and exact-reranks the shortlist against the probed lists'
-    // raw floats — sims exact, order approximate. Floor pinned from
-    // tools/AnnRecallProbe (m=8, kCodes=16, nprobe=6, rerank=16 on the
-    // adversarial RANDOM fixture): 72/64/60% across sf0.001/0.01/0.1 —
+    // raw floats — sims exact, order approximate. Codes are RESIDUAL
+    // (v − centroid, classical IVFADC) since r12; the AnnRecallProbe
+    // raw-vs-residual A/B measured them EQUAL within noise on this
+    // iid-random fixture (centroid/vector norm ratio 0.27-0.33 — the
+    // coarse quantizer explains almost nothing on iid data, so residual
+    // ≈ raw; every clustered fixture saturates 100% under both). Floor
+    // pinned from the r12 residual sweep (m=8, kCodes=16, nprobe=6,
+    // rerank=16, RANDOM fixture): 76/60/58% across sf0.001/0.01/0.1 —
     // 40 sits under the worst measurement; the clustered sibling below
     // measures 100% at every SF.
     "x2_ann_ivfpq" -> ((s, dir) => {

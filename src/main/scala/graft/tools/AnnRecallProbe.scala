@@ -39,7 +39,12 @@ object AnnRecallProbe {
         .select(col("vec_id"), col("embedding")).persist()
       val clustered = graft.ops.Similarity.clusteredVariant(e, "vec_id", "embedding", 25)
         .persist()
-      Seq(("random", e), ("clustered", clustered)).foreach { case (fx, corpus) =>
+      // the regime BETWEEN the extremes: real cluster structure (the
+      // coarse quantizer explains true variance, so residual codes have
+      // room to win) but not so tight that every config saturates 100%
+      val mild = graft.ops.Similarity.clusteredVariant(e, "vec_id", "embedding", 25,
+        pull = 0.5).persist()
+      Seq(("random", e), ("clustered", clustered), ("mild", mild)).foreach { case (fx, corpus) =>
         val q = corpus.filter(col("vec_id") % 100 === 0)
         Seq(4, 6, 8).foreach { p =>
           val r = recallPct(q, corpus,
@@ -62,19 +67,33 @@ object AnnRecallProbe {
         // x2_ann_ivfpq floor is pinned from these numbers
         val path = java.nio.file.Files.createTempDirectory("ivfpqpr").toString
         Similarity.writeIvfIndex(corpus, "vec_id", "embedding", cents, path)
-        for (m <- Seq(4, 8); rr <- Seq(8, 16)) {
-          Similarity.writeIvfPqCodes(spark, path, m = m, kCodes = 16)
+        // residual-vs-raw geometry diagnostic: when the coarse centroids
+        // are tiny relative to the vectors (iid random data), residual ≈
+        // raw and the IVFADC residual win CANNOT appear
+        val cn = spark.read.parquet(s"$path/centroids")
+          .agg(avg(sqrt(aggregate(col("cent_vec"),
+            lit(0.0), (a, x) => a + x.cast("double") * x))))
+          .head().getDouble(0)
+        val vn = corpus.agg(avg(sqrt(aggregate(col("embedding"),
+            lit(0.0), (a, x) => a + x.cast("double") * x))))
+          .head().getDouble(0)
+        println(f"[annrecall] $dir $fx geometry centroid_norm=$cn%.3f " +
+          f"vector_norm=$vn%.3f ratio=${cn / vn}%.3f")
+        for (m <- Seq(4, 8); rr <- Seq(8, 16); res <- Seq(false, true)) {
+          Similarity.writeIvfPqCodes(spark, path, m = m, kCodes = 16,
+            residual = res)
           val r = recallPct(q, corpus,
             Similarity.ivfPqTopKPersisted(spark, path, q, "vec_id", "embedding",
               5, nprobe = 6, rerank = rr), 5)
-          println(s"[annrecall] $dir $fx ivfpq m=$m rerank=$rr recall=$r%")
+          val form = if (res) "residual" else "raw"
+          println(s"[annrecall] $dir $fx ivfpq m=$m rerank=$rr $form recall=$r%")
         }
         val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
         try walk.sorted(java.util.Comparator.reverseOrder())
           .forEach(p2 => java.nio.file.Files.delete(p2))
         finally walk.close()
       }
-      e.unpersist(); clustered.unpersist()
+      e.unpersist(); clustered.unpersist(); mild.unpersist()
     }
     spark.stop()
   }
