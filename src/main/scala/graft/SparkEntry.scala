@@ -2192,6 +2192,56 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // X5 — FLAC foreign-file features (round 12): the three subframe
+    // mechanisms every reference-encoder FLAC uses that were named
+    // boundaries until now — WASTED BITS (shared trailing zeros hoisted
+    // to the subframe header), NONZERO RICE PARTITION ORDERS
+    // (per-partition parameters over variance-switching content), and
+    // the RICE ESCAPE CODE (raw signed residuals where unary quotients
+    // explode). Each doc packs one engineered frame per mechanism into
+    // a single stream (3 × 1024-sample frames), round-trips it
+    // LOSSLESSLY (bit-for-bit — the FLAC oracle), and reports which
+    // mechanisms the decoder observed; all three must fire on every
+    // doc by construction.
+    "x5_flac_foreign" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val tone = 200.0 + (id % 20) * 40.0
+          // frame 0: 13-bit tone shifted <<3 — every sample shares 3
+          // trailing zero bits
+          val a = Array.tabulate(1024)(i => math.max(-4096, math.min(4095,
+            (400 * math.sin(2 * math.Pi * tone * i / 48000.0)).toInt +
+              (((i.toLong * 2654435761L + id) % 401L) - 200L).toInt)) << 3)
+          // frame 1: 3/4 quiet tone + 1/4 mid-scale noise — partitions
+          // separate the regimes, po > 0 wins
+          val b = Array.tabulate(1024) { i =>
+            if ((i / 256) % 4 < 3)
+              (400 * math.sin(2 * math.Pi * tone * i / 48000.0)).toInt
+            else (((i.toLong * 2654435761L + id + 5L) % 40000L) - 20000L).toInt
+          }
+          // frame 2: quiet half + full-scale noise half — the loud
+          // partition's residuals span ~17 bits, raw beats rice
+          val c = Array.tabulate(1024) { i =>
+            if (i < 512)
+              (300 * math.sin(2 * math.Pi * tone * i / 48000.0)).toInt
+            else (((i.toLong * 2654435761L + id + 11L) % 65000L) - 32500L).toInt
+          }
+          val x = a ++ b ++ c
+          val enc = graft.ops.Flac.encodeFlac(Array(x), 48000, blockSize = 1024)
+          val (frames, dec) = graft.ops.Flac.decodeFlac(id, enc)
+          (id, frames.length.toLong,
+            dec(0).sameElements(x),
+            frames.exists(_.wasted_bits.exists(_ >= 3)),
+            frames.exists(_.partition_orders.exists(_ > 0)),
+            frames.exists(_.rice_escaped.contains(true)))
+        }
+        .toDF("doc_id", "n_frames", "lossless", "used_wasted_bits",
+          "used_partition_orders", "used_rice_escape")
+        .orderBy("doc_id")
+    }),
+
     // X5 — ANIMATED GIF: the real "video" container of the family —
     // every frame decoded through its own LZW code stream, with
     // Graphic Control Extension timing (delay centiseconds) and
@@ -8107,6 +8157,12 @@ object SparkEntry {
         |  CAST(1024 * (2 + doc_id % 3) + (doc_id % 5) * 100 AS BIGINT)
         |    AS n_samples,
         |  TRUE AS lossless, TRUE AS modes_ok, TRUE AS compressed_smaller
+        |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,
+
+    "x5_flac_foreign" ->
+      """SELECT doc_id, CAST(3 AS BIGINT) AS n_frames,
+        |  TRUE AS lossless, TRUE AS used_wasted_bits,
+        |  TRUE AS used_partition_orders, TRUE AS used_rice_escape
         |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,
 
     // Mixed-corpus reservoir census: families 1/3/4 (mod 5) pack

