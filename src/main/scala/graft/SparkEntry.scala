@@ -2087,6 +2087,162 @@ object SparkEntry {
     // reservoir_ppm is exact integer micros of the per-doc reservoir
     // fraction; `decodable` is the measured decode verdict, false
     // exactly where the named intensity boundary fires.
+    // X5 — MP3 SHORT BLOCKS / WINDOW SWITCHING (round 12, the r11
+    // verdict's top ask): granules cycle through all four block types
+    // (long, start, SHORT with per-window subblock gains and short-
+    // layout scalefactors, stop), with nonzero long scalefactors +
+    // preflag + scalefac_scale on the long types — every mechanism the
+    // round lifted, pinned by bit-exact planted-spectrum recovery
+    // against the closed-form requant formulas (gain · 2^(−2·sbg) ·
+    // 2^(−mult·sf) per band/window, short lines through the reorder
+    // map). The window chain itself is validated by the TDAC
+    // perfect-reconstruction test in MpegAudioSpec.
+    "x5_decode_mp3_short" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val mpa = graft.ops.MpegAudio
+          val nFrames = (2 + id % 3).toInt
+          val nGr = 2 * nFrames
+          val (sfbL, sfbS) = mpa.mp3SfbTables(48000)
+          val pretab = mpa.mp3PretabValues
+          val omap = mpa.mp3ShortOrderMap(48000)
+          val inv = new Array[Int](576)
+          omap.zipWithIndex.foreach { case (nat, dec) => inv(nat) = dec }
+          val specs = (0 until nGr).map { g =>
+            val bt = Array(0, 2, 1, 2, 3, 2)(((id + g) % 6).toInt)
+            val gg = 200 + ((id + g) % 20).toInt
+            if (bt == 2) {
+              val lines = new Array[Int](576)
+              val b1 = 2 + ((id + g) % 9).toInt
+              val w1 = (g % 3 + 3) % 3
+              lines(3 * sfbS(b1) + w1 * (sfbS(b1 + 1) - sfbS(b1))) = 1
+              val b2 = 6 + ((3 * id + g) % 6).toInt
+              val w2 = ((id + 2 * g) % 3).toInt
+              lines(3 * sfbS(b2) + w2 * (sfbS(b2 + 1) - sfbS(b2)) + 1) = -1
+              mpa.Mp3GranSpec(lines = lines, globalGain = gg, blockType = 2,
+                scalefacCompress = 9,
+                sfShort = Array.tabulate(12, 3)((b, w) => (b + w + g) % 4),
+                subblockGain = Array(g % 3, (g + 1) % 3, (g + 2) % 3))
+            } else {
+              val lines = new Array[Int](576)
+              val b1 = 2 + ((id + g) % 12).toInt
+              val b2 = 15 + ((3 * id + g) % 6).toInt
+              lines(sfbL(b1)) = 1
+              lines(sfbL(b2) + 1) = -1
+              mpa.Mp3GranSpec(lines = lines, globalGain = gg, blockType = bt,
+                scalefacCompress = 13,
+                sfLong = Array.tabulate(21)(b => (b + g) % 8),
+                preflag = (id + g) % 2 == 0, scalefacScale = g % 2 == 1)
+            }
+          }
+          val kbps = Array(192, 224, 256, 320)((id % 4).toInt)
+          val enc = mpa.encodeMp3Advanced(specs, kbps, withCrc = id % 3 == 0)
+          val spectra = mpa.mp3StreamSpectra(id, enc)
+          val specOk = spectra.length == nGr &&
+            spectra.zipWithIndex.forall { case (xr, g) =>
+              val sp = specs(g)
+              val gain = math.pow(2.0, (sp.globalGain - 210) / 4.0)
+              val mult = if (sp.scalefacScale) 1.0 else 0.5
+              val expected = new Array[Double](576)
+              if (sp.blockType == 2) {
+                var pos = 0
+                for (b <- 0 until 13; w <- 0 until 3;
+                     _ <- sfbS(b) until sfbS(b + 1)) {
+                  if (sp.lines(pos) != 0) {
+                    val sf = if (b < 12) sp.sfShort(b)(w) else 0
+                    expected(omap(pos)) = sp.lines(pos) * gain *
+                      math.pow(2.0, -2.0 * sp.subblockGain(w) - mult * sf)
+                  }
+                  pos += 1
+                }
+              } else {
+                for (b <- 0 until 22; i <- sfbL(b) until sfbL(b + 1)) {
+                  if (sp.lines(i) != 0) {
+                    val sf = (if (b < 21) sp.sfLong(b) else 0) +
+                      (if (sp.preflag) pretab(b) else 0)
+                    expected(i) = sp.lines(i) * gain * math.pow(2.0, -mult * sf)
+                  }
+                }
+              }
+              (0 until 576).forall(i => math.abs(xr(i) - expected(i)) < 1e-12)
+            }
+          val pcm = mpa.decodeMpegAudio(id, enc)
+          val clean = pcm.length == 1152L * nFrames &&
+            pcm.forall(v => !v.isNaN && !v.isInfinite)
+          val nShort = specs.count(_.blockType == 2).toLong
+          val nSwitched = specs.count(_.blockType != 0).toLong
+          (id, nFrames, nShort, nSwitched, specOk, clean)
+        }
+        .toDF("doc_id", "n_frames", "n_short_granules", "n_switched_granules",
+          "spectrum_exact", "decode_clean")
+        .orderBy("doc_id")
+    }),
+
+    // X5 — MP3 INTENSITY STEREO (round 12, r11 ask #8 — the channel-
+    // mode matrix's last member): the side channel carries per-band
+    // POSITIONS instead of spectra; reconstruction L = xr·tan(p·π/12)/
+    // (1+tan), R = xr/(1+tan), p=6 all-left exactly, p=7 illegal →
+    // pass-through — pinned bit-exactly per band. Half the corpus also
+    // sets the MS bit (mode_extension 3): with rzero = 0 every band is
+    // intensity, so the reconstruction must be identical either way.
+    "x5_decode_mp3_intensity" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val mpa = graft.ops.MpegAudio
+          val nFrames = (2 + id % 3).toInt
+          val nGr = 2 * nFrames
+          val (sfbL, _) = mpa.mp3SfbTables(48000)
+          val grans = (0 until nGr).map { g =>
+            val lines = new Array[Int](576)
+            (0 until 21).foreach(b =>
+              lines(sfbL(b) + ((id + g + b) % 4).toInt) =
+                if ((g + b) % 2 == 0) 1 else -1)
+            val gg = 202 + ((id + g) % 16).toInt
+            val isPos = Array.tabulate(21)(b => ((id + g + b) % 8).toInt)
+            (mpa.Mp3GranSpec(lines = lines, globalGain = gg), isPos)
+          }
+          val kbps = Array(224, 256, 320, 320)((id % 4).toInt)
+          val alsoMs = id % 2 == 0
+          val enc = mpa.encodeMp3IntensityStereo(grans, kbps,
+            alsoMs = alsoMs, withCrc = id % 3 == 1)
+          val census = mpa.mp3ChannelModeCensus(id, enc)
+          val nIntensity = census.count(c => c._2 == 1 && (c._3 & 1) != 0)
+          val spectra = mpa.mp3StreamSpectraStereo(id, enc)
+          val specOk = spectra.length == nGr &&
+            spectra.zipWithIndex.forall { case (xrs, g) =>
+              val (sp, isPos) = grans(g)
+              val gain = math.pow(2.0, (sp.globalGain - 210) / 4.0)
+              (0 until 22).forall { b =>
+                val p = if (b < 21) isPos(b) else isPos(20)
+                val (fl, fr) =
+                  if (p == 7) (1.0, 0.0)
+                  else if (p == 6) (1.0, 0.0)
+                  else {
+                    val r = math.tan(p * math.Pi / 12.0)
+                    (r / (1 + r), 1.0 / (1 + r))
+                  }
+                (sfbL(b) until sfbL(b + 1)).forall { i =>
+                  val m = sp.lines(i) * gain
+                  math.abs(xrs(0)(i) - m * fl) < 1e-12 &&
+                    math.abs(xrs(1)(i) - m * fr) < 1e-12
+                }
+              }
+            }
+          val chans = mpa.decodeMpegAudioChannels(id, enc)
+          val clean = chans.length == 2 &&
+            chans.forall(c => c.length == 1152L * nFrames &&
+              c.forall(v => !v.isNaN && !v.isInfinite))
+          (id, nFrames, nIntensity, alsoMs, specOk, clean)
+        }
+        .toDF("doc_id", "n_frames", "n_intensity_frames", "also_ms",
+          "spectrum_exact", "decode_clean")
+        .orderBy("doc_id")
+    }),
+
     "x5_mp3_reservoir_mix" -> ((s, dir) => {
       import s.implicits._
       Tables.documents(s, dir).filter(col("doc_id") < 200)
@@ -2104,8 +2260,18 @@ object SparkEntry {
           val gains = (0 until nGr).map(g => 200 + ((id + g) % 20).toInt)
           val kbps = Array(160, 192, 224, 256)((id % 4).toInt)
           val enc = fam match {
-            case 0 | 2 =>
+            case 0 =>
               graft.ops.MpegAudio.encodeMp3(granules, gains, kbps)
+            case 2 =>
+              // SHORT-BLOCK mono (round 12): the transient regime most
+              // real encoder output occupies — was outside the census
+              // corpus while window switching was a named boundary
+              graft.ops.MpegAudio.encodeMp3Advanced(
+                (0 until nGr).map(g => graft.ops.MpegAudio.Mp3GranSpec(
+                  lines = granules(g), globalGain = gains(g),
+                  blockType = 2,
+                  subblockGain = Array(g % 3, (g + 1) % 3, (g + 2) % 3))),
+                kbps)
             case 1 | 3 =>
               graft.ops.MpegAudio.encodeMp3Reservoir(granules, gains, kbps)
             case _ =>
@@ -2115,8 +2281,8 @@ object SparkEntry {
                 (0 until nGr).map(g => (gains(g), gains((g + 1) % nGr))),
                 kbps, msStereo = true, reservoir = true)
               // patch mode_extension 2 → 3 on every header: the
-              // intensity regime a crawl contains and this decoder
-              // refuses by name
+              // MS+intensity regime a crawl contains — refused by name
+              // through round 11, DECODED since round 12
               val patched = st.clone()
               graft.ops.MpegAudio.walkFrames(id, st).foreach(f =>
                 patched(f.byte_off.toInt + 3) =
@@ -2126,12 +2292,17 @@ object SparkEntry {
           val census = graft.ops.MpegAudio.mp3ChannelModeCensus(id, enc)
           val nRes = census.count(_._4 > 0)
           val nIntensity = census.count(c => (c._3 & 1) != 0)
+          // the measured decode verdict: through round 11 the intensity
+          // family was refused by name (decodable fraction 0.8 of this
+          // corpus); round 12's intensity + short-block decode lifts
+          // the whole corpus to 1.0 — the census instrument records it
           val decodable = try {
             val chans = graft.ops.MpegAudio.decodeMpegAudioChannels(id, enc)
             chans.forall(_.forall(v => !v.isNaN && !v.isInfinite))
           } catch {
             case e: IllegalArgumentException
-                if e.getMessage.contains("intensity") => false
+                if e.getMessage.contains("intensity") ||
+                  e.getMessage.contains("boundary") => false
           }
           (id, nFrames, nRes, 1000000L * nRes / nFrames, nIntensity,
             decodable)
@@ -8179,8 +8350,35 @@ object SparkEntry {
         |    ELSE 0 END AS BIGINT) AS reservoir_ppm,
         |  CAST(CASE WHEN doc_id % 5 = 4 THEN 2 + doc_id % 4 ELSE 0 END
         |    AS INTEGER) AS n_intensity_frames,
-        |  (doc_id % 5 <> 4) AS decodable
+        |  TRUE AS decodable
         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+
+    // Short-block / window-switching fixtures: block types cycle
+    // [long, short, start, short, stop, short] per granule, so granule
+    // g is short iff (doc_id + g) % 6 in {1, 3, 5}; spectra and PCM
+    // verdicts ride booleans.
+    "x5_decode_mp3_short" ->
+      """WITH g AS (SELECT d.doc_id, s.g FROM documents d,
+        |    (SELECT unnest(range(12)) AS g) s
+        |  WHERE d.doc_id < 150 AND s.g < 2 * (2 + d.doc_id % 3))
+        |SELECT doc_id,
+        |  CAST(2 + doc_id % 3 AS INTEGER) AS n_frames,
+        |  CAST(SUM(CASE WHEN (doc_id + g) % 6 IN (1,3,5) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_short_granules,
+        |  CAST(SUM(CASE WHEN (doc_id + g) % 6 <> 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_switched_granules,
+        |  TRUE AS spectrum_exact, TRUE AS decode_clean
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Intensity-stereo fixtures: every frame is joint-stereo with the
+    // intensity bit set; exact position reconstruction rides booleans.
+    "x5_decode_mp3_intensity" ->
+      """SELECT doc_id,
+        |  CAST(2 + doc_id % 3 AS INTEGER) AS n_frames,
+        |  CAST(2 + doc_id % 3 AS INTEGER) AS n_intensity_frames,
+        |  (doc_id % 2 = 0) AS also_ms,
+        |  TRUE AS spectrum_exact, TRUE AS decode_clean
+        |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,
 
     // Census replay of the Layer I/II round trip; reconstruction
     // quality rides the verdict boolean (measured 35-42 dB on the

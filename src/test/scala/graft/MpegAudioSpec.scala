@@ -411,8 +411,10 @@ class MpegAudioSpec extends AnyFunSuite {
     assert(cS(0).exists(math.abs(_) > 1e-6))
   }
 
-  test("stereo boundaries fail loudly by name: intensity stereo, " +
-      "Layer II stereo, mid-stream channel change") {
+  test("stereo boundaries: intensity-patched streams now DECODE " +
+      "(round 12 — MS applies below the intensity region, positions " +
+      "above); Layer II stereo and mid-stream channel change still " +
+      "fail loudly by name") {
     import graft.ops.MpegAudio
     val spec = new Array[Int](576); spec(40) = 1
     val st = MpegAudio.encodeMp3Stereo(Seq((spec, spec), (spec, spec)),
@@ -424,9 +426,16 @@ class MpegAudioSpec extends AnyFunSuite {
       (intens(f.byte_off.toInt + 3) | 0x10).toByte)
     // the census SEES the mode without decoding (intake-scan path)
     assert(MpegAudio.mp3ChannelModeCensus(24L, intens).forall(_._3 == 3))
-    val e1 = intercept[IllegalArgumentException](
-      MpegAudio.decodeMpegAudioChannels(24L, intens))
-    assert(e1.getMessage.contains("intensity"))
+    // the planted line (40) sits below the intensity region (side
+    // channel rzero = 44 → first whole band at 50 for 48 kHz), so the
+    // intensity-patched decode must EQUAL the plain-MS decode
+    val msOut = MpegAudio.decodeMpegAudioChannels(24L, st)
+    val inOut = MpegAudio.decodeMpegAudioChannels(24L, intens)
+    (0 until 2).foreach { ch =>
+      assert(msOut(ch).length == inOut(ch).length)
+      msOut(ch).indices.foreach(i =>
+        assert(math.abs(msOut(ch)(i) - inOut(ch)(i)) < 1e-12))
+    }
     // Layer II stereo: patch a valid mono L2 stream's mode bits
     val mp2 = MpegAudio.syntheticStream(2, 96, 3)
     val mp2st = mp2.clone()
@@ -458,10 +467,186 @@ class MpegAudioSpec extends AnyFunSuite {
     assert(e1.getMessage.contains("bit-reservoir"))
     // window_switching bit of granule 0: side-info bit index
     // 18 (mdb/priv/scfsi) + 33 (part23/bv/gain/sfc) = 51 after the
-    // 4-byte header -> byte 10, MSB-first bit 3 (mask 0x10)
+    // 4-byte header -> byte 10, MSB-first bit 3 (mask 0x10). With the
+    // flag corrupted ON, the next 2 bits (the old table_select high
+    // bits, 00) parse as block_type 0 — reserved under window
+    // switching, the named error (round 12: switching itself decodes;
+    // the corruption is caught by the grammar, not a blanket refusal)
     val wsf = enc.clone(); wsf(10) = (wsf(10) | 0x10).toByte
     val e2 = intercept[IllegalArgumentException](
       MpegAudio.decodeMpegAudio(9L, wsf))
-    assert(e2.getMessage.contains("window switching"))
+    assert(e2.getMessage.contains("block_type 0 is reserved"))
+  }
+
+  test("window switching satisfies TDAC perfect reconstruction (round " +
+      "12): a forward-MDCT'd signal through the long→start→short→stop→" +
+      "long window chain overlap-adds back to a constant multiple of " +
+      "itself — the only validator the formula-defined windows admit") {
+    import graft.ops.MpegAudio
+    val (winLong, winStart, winShort, winStop) = MpegAudio.mp3WindowTables
+    def basis36(n: Int, k: Int): Double =
+      math.cos(math.Pi / 72.0 * (2 * n + 19) * (2 * k + 1))
+    def basis12(n: Int, k: Int): Double =
+      math.cos(math.Pi / 24.0 * (2 * n + 7) * (2 * k + 1))
+    // smooth deterministic signal, blocks hop by 18 with 36-sample span
+    val nBlocks = 8
+    val x = Array.tabulate(18 * (nBlocks + 1) + 18)(i =>
+      math.sin(0.05 * i) + 0.4 * math.cos(0.31 * i + 1.0))
+    val blockTypes = Array(0, 0, 1, 2, 3, 0, 1, 2) // chain incl. both transitions
+    def winOf(bt: Int): Array[Double] = bt match {
+      case 0 => winLong; case 1 => winStart; case 3 => winStop
+      case _ => throw new IllegalStateException("short handled separately")
+    }
+    val out = new Array[Double](x.length)
+    for (b <- 0 until nBlocks) {
+      val off = 18 * b
+      if (blockTypes(b) == 2) {
+        // three 12-point MDCTs hopping by 6 over the middle 24 samples.
+        // The 12-point IMDCT·MDCT pair carries round-trip constant 6 vs
+        // the 36-point pair's 18, so the FORWARD coefficients scale by
+        // 3 — the compensation a real encoder bakes into quantization
+        // (the decoder IMDCT is normative); the test targets WINDOW
+        // alias cancellation, which needs matched amplitudes
+        for (w <- 0 until 3) {
+          val xk = Array.tabulate(6)(k =>
+            3.0 * (0 until 12).map(n =>
+              x(off + 6 + 6 * w + n) * winShort(n) * basis12(n, k)).sum)
+          for (n <- 0 until 12)
+            out(off + 6 + 6 * w + n) +=
+              (0 until 6).map(k => xk(k) * basis12(n, k)).sum * winShort(n)
+        }
+      } else {
+        val win = winOf(blockTypes(b))
+        val xk = Array.tabulate(18)(k =>
+          (0 until 36).map(n => x(off + n) * win(n) * basis36(n, k)).sum)
+        for (n <- 0 until 36)
+          out(off + n) +=
+            (0 until 18).map(k => xk(k) * basis36(n, k)).sum * win(n)
+      }
+    }
+    // interior samples (fully covered by two overlapping blocks) must be
+    // a CONSTANT multiple of the input — measure the constant on the
+    // first all-long region, then hold it through every transition
+    val c = out(30) / x(30)
+    assert(c > 1.0, s"degenerate reconstruction constant $c")
+    (24 until 18 * nBlocks).foreach { i =>
+      assert(math.abs(out(i) - c * x(i)) < 1e-9 * math.max(1.0, math.abs(c * x(i))),
+        s"TDAC broke at sample $i (block ${i / 18}): ${out(i)} vs ${c * x(i)}")
+    }
+  }
+
+  test("short blocks + subblock gains + short scalefactors round-trip " +
+      "bit-exactly through the advanced fixture encoder (round 12)") {
+    import graft.ops.MpegAudio
+    val omap = MpegAudio.mp3ShortOrderMap(48000)
+    val (_, sfbS) = MpegAudio.mp3SfbTables(48000)
+    // decoded-order position of (band, window, line-in-band)
+    def decPos(b: Int, w: Int, i: Int): Int =
+      3 * sfbS(b) + w * (sfbS(b + 1) - sfbS(b)) + i
+    val sfShort = Array.tabulate(12, 3)((b, w) => (b + 2 * w) % 4)
+    val sbg = Array(0, 1, 2)
+    val lines = new Array[Int](576)
+    val planted = Seq((2, 0, 1, 1), (5, 1, 2, -1), (8, 2, 3, 1), (11, 0, 0, -1))
+    planted.foreach { case (b, w, i, v) => lines(decPos(b, w, i)) = v }
+    val g = MpegAudio.Mp3GranSpec(lines = lines, globalGain = 205,
+      blockType = 2, scalefacCompress = 9, sfShort = sfShort,
+      subblockGain = sbg, scalefacScale = true)
+    val enc = MpegAudio.encodeMp3Advanced(Seq(g, g), 256)
+    val spectra = MpegAudio.mp3StreamSpectra(70L, enc)
+    assert(spectra.length == 2)
+    val expected = new Array[Double](576)
+    planted.foreach { case (b, w, i, v) =>
+      val sc = math.pow(2.0, (205 - 210) / 4.0 - 2.0 * sbg(w) - 1.0 * sfShort(b)(w))
+      expected(omap(decPos(b, w, i))) = v * sc
+    }
+    spectra.foreach { xr =>
+      (0 until 576).foreach(i => assert(math.abs(xr(i) - expected(i)) < 1e-12,
+        s"short-block spectrum mismatch at line $i: ${xr(i)} vs ${expected(i)}"))
+    }
+    // PCM-domain check: energy must land in the planted lines' SUBBANDS
+    // (validates the reorder + 12-point IMDCT independently of the map)
+    val tone = new Array[Int](576)
+    val sb = 7
+    // plant one line per window at natural subband 7 → decoded positions
+    // are wherever the map sends them; invert the map
+    val inv = new Array[Int](576)
+    omap.zipWithIndex.foreach { case (nat, dec) => inv(nat) = dec }
+    (0 until 3).foreach(w => tone(inv(18 * sb + 6 * w + 2)) = 1)
+    val g2 = MpegAudio.Mp3GranSpec(lines = tone, globalGain = 230, blockType = 2)
+    val enc2 = MpegAudio.encodeMp3Advanced(Seq(g2, g2, g2, g2), 256)
+    val pcm = MpegAudio.decodeMpegAudio(71L, enc2)
+    MpegAudio.audioFingerprints(pcm).drop(1).foreach { case (_, fp) =>
+      assert(((fp >> 15) & 31).toInt == sb,
+        s"short-block energy landed in subband ${(fp >> 15) & 31}, not $sb")
+    }
+  }
+
+  test("nonzero long scalefactors + preflag + scalefac_scale round-trip " +
+      "bit-exactly (round 12): per-band gains follow the requant " +
+      "formula closed-form") {
+    import graft.ops.MpegAudio
+    val (sfbL, _) = MpegAudio.mp3SfbTables(48000)
+    val pretab = MpegAudio.mp3PretabValues
+    val sf = Array.tabulate(21)(b => (b * 5) % 8) // fits slen (3,3) = sfc 13
+    val lines = new Array[Int](576)
+    val plantedBands = Seq(1, 7, 12, 16, 19)
+    plantedBands.foreach(b => lines(sfbL(b)) = if (b % 2 == 0) 1 else -1)
+    Seq(false, true).foreach { pre =>
+      Seq(false, true).foreach { sfs =>
+        val g = MpegAudio.Mp3GranSpec(lines = lines, globalGain = 210,
+          scalefacCompress = 13, sfLong = sf, preflag = pre,
+          scalefacScale = sfs)
+        val enc = MpegAudio.encodeMp3Advanced(Seq(g, g), 224)
+        val spectra = MpegAudio.mp3StreamSpectra(72L, enc)
+        val mult = if (sfs) 1.0 else 0.5
+        spectra.foreach { xr =>
+          plantedBands.foreach { b =>
+            val want = (if (b % 2 == 0) 1.0 else -1.0) *
+              math.pow(2.0, -mult * (sf(b) + (if (pre) pretab(b) else 0)))
+            assert(math.abs(xr(sfbL(b)) - want) < 1e-12,
+              s"band $b (pre=$pre sfs=$sfs): ${xr(sfbL(b))} vs $want")
+          }
+        }
+      }
+    }
+  }
+
+  test("intensity stereo reconstructs positions exactly (round 12): " +
+      "L = xr·tan(p·π/12)/(1+tan), R = xr/(1+tan), position 6 = all " +
+      "left, position 7 = pass-through") {
+    import graft.ops.MpegAudio
+    val (sfbL, _) = MpegAudio.mp3SfbTables(48000)
+    val lines = new Array[Int](576)
+    // plant one line in every band so every position is exercised
+    (0 until 21).foreach(b => lines(sfbL(b)) = 1)
+    val isPos = Array.tabulate(21)(b => b % 8)
+    val g = MpegAudio.Mp3GranSpec(lines = lines, globalGain = 210)
+    val enc = MpegAudio.encodeMp3IntensityStereo(
+      Seq((g, isPos), (g, isPos)), 320)
+    assert(MpegAudio.mp3ChannelModeCensus(73L, enc).forall(c =>
+      c._2 == 1 && (c._3 & 1) == 1))
+    val spectra = MpegAudio.mp3StreamSpectraStereo(73L, enc)
+    assert(spectra.length == 2)
+    spectra.foreach { xrs =>
+      (0 until 21).foreach { b =>
+        val i = sfbL(b)
+        val p = isPos(b)
+        val (wl, wr) =
+          if (p == 7) (1.0, 0.0) // illegal position: decoder keeps L, R=0 stays
+          else if (p == 6) (1.0, 0.0)
+          else {
+            val r = math.tan(p * math.Pi / 12.0)
+            (r / (1 + r), 1.0 / (1 + r))
+          }
+        assert(math.abs(xrs(0)(i) - wl) < 1e-12,
+          s"band $b pos $p L: ${xrs(0)(i)} vs $wl")
+        assert(math.abs(xrs(1)(i) - wr) < 1e-12,
+          s"band $b pos $p R: ${xrs(1)(i)} vs $wr")
+      }
+    }
+    // PCM decode runs clean end-to-end (synthesis over both channels)
+    val chans = MpegAudio.decodeMpegAudioChannels(73L, enc)
+    assert(chans.length == 2 && chans(0).exists(math.abs(_) > 1e-9))
+    assert(chans(0).forall(v => !v.isNaN && !v.isInfinite))
   }
 }
