@@ -2243,6 +2243,71 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // X5 — MP3 SCFSI granule-sharing (round 12): the side-info bits
+    // that let a frame's SECOND granule reuse the first's scalefactors
+    // per band group (sfb 0-5 / 6-10 / 11-15 / 16-20) and transmit no
+    // bits for them — LAME emits this routinely, so real-crawl decode
+    // needs it. Every 4-bit pattern appears in the corpus (scfsi =
+    // 1 + doc_id % 15, never zero); granule 2's scalefactors differ
+    // from granule 1's exactly in the NON-shared groups, so a decoder
+    // that misreads the sharing map gets the wrong per-band gains and
+    // the bit-exact spectrum check reds.
+    "x5_decode_mp3_scfsi" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val mpa = graft.ops.MpegAudio
+          val nFrames = (2 + id % 3).toInt
+          val (sfbL, _) = mpa.mp3SfbTables(48000)
+          val scfsi = (1 + id % 15).toInt
+          def shared(b: Int): Boolean = {
+            val grp = if (b < 6) 0 else if (b < 11) 1 else if (b < 16) 2 else 3
+            ((scfsi >> (3 - grp)) & 1) == 1
+          }
+          val specs = (0 until 2 * nFrames).map { g =>
+            val lines = new Array[Int](576)
+            (0 until 21).foreach(b =>
+              lines(sfbL(b) + ((id + g + b) % 4).toInt) =
+                if ((g + b) % 2 == 0) 1 else -1)
+            val frame = g / 2
+            val sf0 = Array.tabulate(21)(b => ((id + frame + b) % 8).toInt)
+            val sf = if (g % 2 == 0) sf0
+              else Array.tabulate(21)(b =>
+                if (shared(b)) sf0(b) else ((id + frame + 3 * b + 1) % 8).toInt)
+            mpa.Mp3GranSpec(lines = lines,
+              globalGain = 204 + ((id + g) % 12).toInt,
+              scalefacCompress = 13, sfLong = sf,
+              preflag = (id + g) % 3 == 0)
+          }
+          val kbps = Array(192, 224, 256, 320)((id % 4).toInt)
+          val enc = mpa.encodeMp3Advanced(specs, kbps,
+            withCrc = id % 2 == 1, scfsi = scfsi)
+          val pretab = mpa.mp3PretabValues
+          val spectra = mpa.mp3StreamSpectra(id, enc)
+          val specOk = spectra.length == specs.length &&
+            spectra.zipWithIndex.forall { case (xr, g) =>
+              val sp = specs(g)
+              val gain = math.pow(2.0, (sp.globalGain - 210) / 4.0)
+              val expected = new Array[Double](576)
+              for (b <- 0 until 22; i <- sfbL(b) until sfbL(b + 1))
+                if (sp.lines(i) != 0) {
+                  val sf = (if (b < 21) sp.sfLong(b) else 0) +
+                    (if (sp.preflag) pretab(b) else 0)
+                  expected(i) = sp.lines(i) * gain * math.pow(2.0, -0.5 * sf)
+                }
+              (0 until 576).forall(i => math.abs(xr(i) - expected(i)) < 1e-12)
+            }
+          val pcm = mpa.decodeMpegAudio(id, enc)
+          val clean = pcm.length == 1152L * nFrames &&
+            pcm.forall(v => !v.isNaN && !v.isInfinite)
+          (id, nFrames, scfsi, specOk, clean)
+        }
+        .toDF("doc_id", "n_frames", "scfsi_pattern", "spectrum_exact",
+          "decode_clean")
+        .orderBy("doc_id")
+    }),
+
     "x5_mp3_reservoir_mix" -> ((s, dir) => {
       import s.implicits._
       Tables.documents(s, dir).filter(col("doc_id") < 200)
@@ -8369,6 +8434,15 @@ object SparkEntry {
         |    AS BIGINT) AS n_switched_granules,
         |  TRUE AS spectrum_exact, TRUE AS decode_clean
         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // scfsi fixtures: the 4-bit pattern replays closed-form; spectrum
+    // and PCM verdicts ride booleans.
+    "x5_decode_mp3_scfsi" ->
+      """SELECT doc_id,
+        |  CAST(2 + doc_id % 3 AS INTEGER) AS n_frames,
+        |  CAST(1 + doc_id % 15 AS INTEGER) AS scfsi_pattern,
+        |  TRUE AS spectrum_exact, TRUE AS decode_clean
+        |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,
 
     // Intensity-stereo fixtures: every frame is joint-stereo with the
     // intensity bit set; exact position reconstruction rides booleans.

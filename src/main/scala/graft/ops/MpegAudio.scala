@@ -955,7 +955,8 @@ object MpegAudio {
   // and short layouts applied through the per-rate sfb boundary
   // tables (round 12 — see the transcription note at Mp3SfbLong),
   // preflag/pretab, scalefac_scale, per-window subblock gains, the
-  // short-block reorder, MS and INTENSITY joint stereo, per-subband
+  // short-block reorder, scfsi granule-sharing, MS and INTENSITY
+  // joint stereo, per-subband
   // overlap-add, frequency inversion, and the shared polyphase
   // synthesis. What fails LOUDLY by name: MIXED blocks
   // (mixed_block_flag 1 — the long-below/short-above hybrid LAME
@@ -966,7 +967,7 @@ object MpegAudio {
   // no-foreign-validator honesty boundary as the Layer I/II prototype
   // filter and the Table C.3 note in the module doc; a silently
   // mis-remembered code would decode garbage, a named refusal is
-  // diagnosable), count1 table A, scfsi granule-sharing, intensity on
+  // diagnosable), count1 table A, intensity on
   // a window-switched granule, and a main_data_begin pointing before
   // the stream start (a cut stream — reservoir underflow). The
   // encoders are spectral-domain FIXTURE GENERATORS (lines in
@@ -1158,21 +1159,34 @@ object MpegAudio {
     g
   }
 
+  /** scfsi band groups (§2.4.2.7): long sfb ranges whose granule-2
+    * scalefactors may be SHARED from granule 1 — 0–5, 6–10, 11–15,
+    * 16–20, selected by the per-channel 4-bit scfsi (MSB = group 0). */
+  private val Mp3ScfsiGroups: Array[Int] = Array(0, 6, 11, 16, 21)
+  private def scfsiShared(scfsi: Int, sfb: Int): Boolean = {
+    val grp = if (sfb < 6) 0 else if (sfb < 11) 1 else if (sfb < 16) 2 else 3
+    ((scfsi >> (3 - grp)) & 1) == 1
+  }
+
   /** Parse the side info (17 bytes mono / 32 bytes stereo, §2.4.1.7) →
-    * (main_data_begin, granules[granule][channel]). */
+    * (main_data_begin, per-channel scfsi, granules[granule][channel]).
+    * scfsi granule-sharing is DECODED since round 12. */
   private def readMp3SideInfo(br: BitReader, nch: Int,
-      docId: Long): (Int, Array[Array[Mp3Granule]]) = {
+      docId: Long): (Int, Array[Int], Array[Array[Mp3Granule]]) = {
     val mainDataBegin = br.read(9)
     br.read(if (nch == 1) 5 else 3) // private_bits
+    val scfsi = Array.fill(nch)(br.read(4))
+    val grs = Array.fill(2)(Array.fill(nch)(readMp3GranuleInfo(br, docId)))
+    // scfsi is defined on the long scalefactor layout only (§2.4.2.7):
+    // a short-block granule in a nonzero-scfsi channel is malformed
     var ch = 0
     while (ch < nch) {
-      val scfsi = br.read(4)
-      require(scfsi == 0,
-        s"mpeg: layer III scfsi=$scfsi needs granule-shared scalefactors (doc $docId)")
+      require(scfsi(ch) == 0 ||
+        (grs(0)(ch).blockType != 2 && grs(1)(ch).blockType != 2),
+        s"mpeg: layer III scfsi=${scfsi(ch)} with short blocks (doc $docId)")
       ch += 1
     }
-    val grs = Array.fill(2)(Array.fill(nch)(readMp3GranuleInfo(br, docId)))
-    (mainDataBegin, grs)
+    (mainDataBegin, scfsi, grs)
   }
 
   /** Decoded-position → natural-position map for short (block type 2)
@@ -1209,7 +1223,8 @@ object MpegAudio {
     * scalefac_scale, and per-window subblock gains. Consumes exactly
     * part2_3_length bits or fails loudly. */
   private def decodeMp3GranuleSpectrum(br: BitReader, g: Mp3Granule,
-      sampleRate: Int, docId: Long): Mp3DecodedGranule = {
+      sampleRate: Int, scfsi: Int, prevSf: Array[Int],
+      docId: Long): Mp3DecodedGranule = {
     val start = br.bitPosition
     val (s1, s2) = Mp3Slen(g.scalefacCompress)
     val short = g.blockType == 2
@@ -1225,9 +1240,16 @@ object MpegAudio {
         b += 1
       }
     } else {
+      // scfsi (round 12): bands in a SHARED group copy granule 1's
+      // values and consume NO bits; scfsi is 0 for the first granule
       var i = 0
       while (i < 21) {
-        sfLong(i) = if (i < 11) br.read(s1) else br.read(s2)
+        sfLong(i) =
+          if (scfsi != 0 && scfsiShared(scfsi, i)) {
+            require(prevSf != null,
+              s"mpeg: internal scfsi state error (doc $docId)")
+            prevSf(i)
+          } else if (i < 11) br.read(s1) else br.read(s2)
         i += 1
       }
     }
@@ -1432,12 +1454,12 @@ object MpegAudio {
     * Granules come back [granule][channel]. */
   private def mp3FrameMainData(payload: Array[Byte], frameOff: Int,
       h: FrameHeader, resv: Mp3Reservoir, docId: Long):
-      (BitReader, Array[Array[Mp3Granule]]) = {
+      (BitReader, Array[Int], Array[Array[Mp3Granule]]) = {
     val nch = if (h.mono) 1 else 2
     val sideBytes = if (nch == 1) 17 else 32
     val crc2 = if (h.crcProtected) 2 else 0
     val br = new BitReader(payload, frameOff + 4 + crc2)
-    val (mdb, grs) = readMp3SideInfo(br, nch, docId)
+    val (mdb, scfsi, grs) = readMp3SideInfo(br, nch, docId)
     if (h.crcProtected) {
       val want = ((payload(frameOff + 4) & 0xFF) << 8) |
         (payload(frameOff + 5) & 0xFF)
@@ -1452,7 +1474,7 @@ object MpegAudio {
         s"prior frames) (doc $docId)")
     resv.append(payload, frameOff + 4 + crc2 + sideBytes,
       frameOff + h.frameBytes)
-    (resv.readerAt(startByte), grs)
+    (resv.readerAt(startByte), scfsi, grs)
   }
 
   /** Joint-stereo post-processing of one granule's requantized channel
@@ -1529,12 +1551,17 @@ object MpegAudio {
   private def decodeMp3Frame(payload: Array[Byte], frameOff: Int,
       h: FrameHeader, sts: Array[Mp3State], resv: Mp3Reservoir,
       accs: Array[Array[Double]], outBase: Int, docId: Long): Unit = {
-    val (mbr, grs) = mp3FrameMainData(payload, frameOff, h, resv, docId)
+    val (mbr, scfsi, grs) = mp3FrameMainData(payload, frameOff, h, resv, docId)
     val nch = grs(0).length
+    val prevSf = new Array[Array[Int]](nch)
     var g = 0
     while (g < 2) {
-      val decs = Array.tabulate(nch)(ch =>
-        decodeMp3GranuleSpectrum(mbr, grs(g)(ch), h.sampleRate, docId))
+      val decs = Array.tabulate(nch) { ch =>
+        val d = decodeMp3GranuleSpectrum(mbr, grs(g)(ch), h.sampleRate,
+          if (g == 1) scfsi(ch) else 0, prevSf(ch), docId)
+        if (g == 0) prevSf(ch) = d.sfLong
+        d
+      }
       val xrs = decs.map(_.xr)
       if (nch == 2) mp3ApplyStereo(h, xrs, decs(1), docId)
       var ch = 0
@@ -1561,9 +1588,14 @@ object MpegAudio {
       require(h.layer == 3, s"mpeg: not a layer III frame (doc $docId)")
       require(h.mono, s"mpeg: mp3StreamSpectra is the mono surface — use " +
         s"mp3StreamSpectraStereo (doc $docId)")
-      val (mbr, grs) = mp3FrameMainData(payload, off, h, resv, docId)
-      grs.map(g =>
-        decodeMp3GranuleSpectrum(mbr, g(0), h.sampleRate, docId).xr).toSeq
+      val (mbr, scfsi, grs) = mp3FrameMainData(payload, off, h, resv, docId)
+      var prevSf: Array[Int] = null
+      grs.zipWithIndex.map { case (g, gi) =>
+        val d = decodeMp3GranuleSpectrum(mbr, g(0), h.sampleRate,
+          if (gi == 1) scfsi(0) else 0, prevSf, docId)
+        if (gi == 0) prevSf = d.sfLong
+        d.xr
+      }.toSeq
     }
   }
 
@@ -1579,10 +1611,15 @@ object MpegAudio {
       val h = parseHeader(payload, off, docId)
       require(h.layer == 3 && !h.mono,
         s"mpeg: not a stereo layer III frame (doc $docId)")
-      val (mbr, grs) = mp3FrameMainData(payload, off, h, resv, docId)
-      grs.map { g =>
-        val decs = Array.tabulate(2)(ch =>
-          decodeMp3GranuleSpectrum(mbr, g(ch), h.sampleRate, docId))
+      val (mbr, scfsi, grs) = mp3FrameMainData(payload, off, h, resv, docId)
+      val prevSf = new Array[Array[Int]](2)
+      grs.zipWithIndex.map { case (g, gi) =>
+        val decs = Array.tabulate(2) { ch =>
+          val d = decodeMp3GranuleSpectrum(mbr, g(ch), h.sampleRate,
+            if (gi == 1) scfsi(ch) else 0, prevSf(ch), docId)
+          if (gi == 0) prevSf(ch) = d.sfLong
+          d
+        }
         val xrs = decs.map(_.xr)
         mp3ApplyStereo(h, xrs, decs(1), docId)
         xrs
@@ -1715,13 +1752,25 @@ object MpegAudio {
       "mp3: subblock gains apply to short blocks only")
   }
 
-  /** Scalefactor (part2) bit count for a granule spec. */
-  private def mp3Part2Bits(g: Mp3GranSpec): Int = {
+  /** Scalefactor (part2) bit count for a granule spec; `scfsi` (second
+    * granule only) zeroes the shared groups' bits. */
+  private def mp3Part2Bits(g: Mp3GranSpec, scfsi: Int = 0): Int = {
     val (s1, s2) = Mp3Slen(g.scalefacCompress)
-    if (g.blockType == 2) 18 * s1 + 18 * s2 else 11 * s1 + 10 * s2
+    if (g.blockType == 2) 18 * s1 + 18 * s2
+    else {
+      var bits = 0
+      var i = 0
+      while (i < 21) {
+        if (scfsi == 0 || !scfsiShared(scfsi, i))
+          bits += (if (i < 11) s1 else s2)
+        i += 1
+      }
+      bits
+    }
   }
 
-  private def mp3WriteScalefacs(bw: BitWriter, g: Mp3GranSpec): Unit = {
+  private def mp3WriteScalefacs(bw: BitWriter, g: Mp3GranSpec,
+      scfsi: Int = 0): Unit = {
     val (s1, s2) = Mp3Slen(g.scalefacCompress)
     if (g.blockType == 2) {
       var b = 0
@@ -1732,7 +1781,11 @@ object MpegAudio {
       }
     } else {
       var i = 0
-      while (i < 21) { bw.put(g.sfLong(i), if (i < 11) s1 else s2); i += 1 }
+      while (i < 21) {
+        if (scfsi == 0 || !scfsiShared(scfsi, i))
+          bw.put(g.sfLong(i), if (i < 11) s1 else s2)
+        i += 1
+      }
     }
   }
 
@@ -2037,30 +2090,40 @@ object MpegAudio {
     * preflag/pretab, and scalefac_scale. part2_3_length accounts for
     * the scalefactor bits PLUS the Huffman bits, exactly as decoded. */
   def encodeMp3Advanced(granules: Seq[Mp3GranSpec], bitrateKbps: Int,
-      withCrc: Boolean = false): Array[Byte] = {
+      withCrc: Boolean = false, scfsi: Int = 0): Array[Byte] = {
     require(granules.nonEmpty && granules.length % 2 == 0,
       "mp3: an even number of granules (2 per frame)")
     granules.foreach(mp3ValidateGranSpec)
+    require(scfsi >= 0 && scfsi < 16, "mp3: scfsi is 4 bits")
+    if (scfsi != 0) granules.grouped(2).foreach { case Seq(g0, g1) =>
+      require(g0.blockType != 2 && g1.blockType != 2,
+        "mp3: scfsi is defined on the long scalefactor layout only")
+      (0 until 21).foreach(b => require(!scfsiShared(scfsi, b) ||
+        g0.sfLong(b) == g1.sfLong(b),
+        s"mp3: scfsi-shared band $b differs between the granules"))
+      case other => throw new IllegalStateException(s"mp3: $other")
+    }
     val fs = Mp2Rate
     val frameBytes = 144 * bitrateKbps * 1000 / fs
     val out = new java.io.ByteArrayOutputStream()
     granules.grouped(2).foreach { case Seq(g0, g1) =>
-      val p23 = Array(g0, g1).map(g =>
-        mp3Part2Bits(g) + mp3GranuleBits(g.lines, g.bigValuesPairs))
+      val p23 = Array(
+        mp3Part2Bits(g0) + mp3GranuleBits(g0.lines, g0.bigValuesPairs),
+        mp3Part2Bits(g1, scfsi) + mp3GranuleBits(g1.lines, g1.bigValuesPairs))
       require(p23.forall(_ < 4096), "mp3: part2_3_length overflows 12 bits")
       val budget = (frameBytes - 4 - (if (withCrc) 2 else 0) - 17) * 8
       require(p23.sum <= budget,
         s"mp3: main data ${p23.sum} bits exceeds the $budget-bit frame budget " +
           s"at $bitrateKbps kbps — raise the bitrate")
       val sw = new BitWriter
-      sw.put(0, 9); sw.put(0, 5); sw.put(0, 4) // mdb/private/scfsi
+      sw.put(0, 9); sw.put(0, 5); sw.put(scfsi, 4) // mdb/private/scfsi
       mp3WriteGranuleSideAdv(sw, p23(0), g0)
       mp3WriteGranuleSideAdv(sw, p23(1), g1)
       val dw = new BitWriter
-      Seq(g0, g1).foreach { g =>
-        mp3WriteScalefacs(dw, g)
-        mp3WriteGranuleData(dw, g.lines, g.bigValuesPairs)
-      }
+      mp3WriteScalefacs(dw, g0)
+      mp3WriteGranuleData(dw, g0.lines, g0.bigValuesPairs)
+      mp3WriteScalefacs(dw, g1, scfsi)
+      mp3WriteGranuleData(dw, g1.lines, g1.bigValuesPairs)
       out.write(mp3AssembleFrame(bitrateKbps, withCrc, sw.toBytes,
         dw.toBytes, frameBytes))
       case other => throw new IllegalStateException(s"mp3: $other")
@@ -2101,7 +2164,7 @@ object MpegAudio {
         scalefacCompress = 13, sfLong = p))
       val lp23 = Seq(l0, l1).map(g =>
         mp3Part2Bits(g) + mp3GranuleBits(g.lines, g.bigValuesPairs))
-      val sp23 = sides.map(mp3Part2Bits) // positions only, zero Huffman bits
+      val sp23 = sides.map(s => mp3Part2Bits(s)) // positions only, zero Huffman bits
       require((lp23 ++ sp23).forall(_ < 4096),
         "mp3: part2_3_length overflows 12 bits")
       val budget = (frameBytes - 4 - (if (withCrc) 2 else 0) - 32) * 8

@@ -649,4 +649,50 @@ class MpegAudioSpec extends AnyFunSuite {
     assert(chans.length == 2 && chans(0).exists(math.abs(_) > 1e-9))
     assert(chans(0).forall(v => !v.isNaN && !v.isInfinite))
   }
+
+  test("scfsi granule-sharing decodes (round 12): shared groups copy " +
+      "granule 1's scalefactors and consume no bits, non-shared groups " +
+      "read fresh values — spectra exact under every 4-bit pattern") {
+    import graft.ops.MpegAudio
+    val (sfbL, _) = MpegAudio.mp3SfbTables(48000)
+    (0 until 16).foreach { scfsi =>
+      def shared(b: Int): Boolean = {
+        val grp = if (b < 6) 0 else if (b < 11) 1 else if (b < 16) 2 else 3
+        ((scfsi >> (3 - grp)) & 1) == 1
+      }
+      val sf0 = Array.tabulate(21)(b => (b * 3) % 8)
+      val sf1 = Array.tabulate(21)(b => if (shared(b)) sf0(b) else (b * 5 + 1) % 8)
+      val lines = new Array[Int](576)
+      (0 until 21).foreach(b => lines(sfbL(b)) = 1)
+      val g0 = MpegAudio.Mp3GranSpec(lines = lines, globalGain = 210,
+        scalefacCompress = 13, sfLong = sf0)
+      val g1 = g0.copy(sfLong = sf1)
+      val enc = MpegAudio.encodeMp3Advanced(Seq(g0, g1), 256, scfsi = scfsi)
+      val spectra = MpegAudio.mp3StreamSpectra(80L + scfsi, enc)
+      assert(spectra.length == 2)
+      Seq(sf0, sf1).zip(spectra).foreach { case (sf, xr) =>
+        (0 until 21).foreach { b =>
+          val want = math.pow(2.0, -0.5 * sf(b))
+          assert(math.abs(xr(sfbL(b)) - want) < 1e-12,
+            s"scfsi=$scfsi band $b: ${xr(sfbL(b))} vs $want")
+        }
+      }
+    }
+    // a shared-group mismatch between granules fails loudly at encode
+    val bad = intercept[IllegalArgumentException] {
+      val lines = new Array[Int](576); lines(0) = 1
+      val g0 = MpegAudio.Mp3GranSpec(lines = lines, globalGain = 210,
+        scalefacCompress = 13, sfLong = Array.fill(21)(2))
+      val g1 = g0.copy(sfLong = Array.fill(21)(3))
+      MpegAudio.encodeMp3Advanced(Seq(g0, g1), 256, scfsi = 8)
+    }
+    assert(bad.getMessage.contains("scfsi-shared band"))
+    // scfsi with short blocks is malformed, both directions by name
+    val badShort = intercept[IllegalArgumentException] {
+      val g = MpegAudio.Mp3GranSpec(lines = new Array[Int](576),
+        globalGain = 210, blockType = 2)
+      MpegAudio.encodeMp3Advanced(Seq(g, g), 256, scfsi = 1)
+    }
+    assert(badShort.getMessage.contains("long scalefactor layout"))
+  }
 }
