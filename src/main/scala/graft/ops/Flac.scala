@@ -37,10 +37,14 @@ package graft.ops
   * residuals — both directions, chosen whenever raw beats rice), and
   * WASTED BITS (decode: unary-counted shift restored after
   * reconstruction; encode: shared trailing-zero bits hoisted into the
-  * subframe header). HONEST BOUNDARY, loud by name at decode: 5-bit
-  * rice (RICE2, method 01), negative quantization shifts, >2 channels,
-  * >16-bit, table-coded block-size/sample-rate headers, and
-  * variable-blocksize streams are not carried.
+  * subframe header), plus TABLE-CODED frame headers (block-size codes
+  * on both dyadic ladders incl. the reference encoder's default 4096
+  * = code 12, sample-rate codes 1–11 and the explicit byte forms
+  * 12–14, the 16-bit sample-size code — emitted whenever the value
+  * has a code, decoded always, every form cross-checked against
+  * STREAMINFO). HONEST BOUNDARY, loud by name at decode: 5-bit rice
+  * (RICE2, method 01), negative quantization shifts, >2 channels,
+  * >16-bit, and variable-blocksize streams are not carried.
   *
   * Scale shape: pure per-payload kernels under `mapPartitions`, zero
   * shuffle — 100 TB throughput is cores × per-core frames/s, like the
@@ -686,14 +690,38 @@ object Flac {
     while (off < total) {
       val n = math.min(blockSize, total - off)
       val chunk = channels.map(c => java.util.Arrays.copyOfRange(c, off, off + n))
-      out.write(encodeFrame(chunk, frame, n))
+      out.write(encodeFrame(chunk, frame, n, sampleRate))
       frame += 1; off += n
     }
     out.toByteArray
   }
 
+  /** Frame-header code tables (RFC 9639 §9.1 — tiny, replicated
+    * verbatim across public decoders, structurally checkable: the
+    * block-size codes are exact powers scattered on two dyadic ladders,
+    * the rate codes name standard audio rates; same transcription bar
+    * as MpegAudio's sfb tables). Reference encoders emit these on
+    * essentially every file (flac's default 4096 block = code 12), so
+    * foreign intake must read them; this encoder emits them whenever
+    * the value has a code and falls back to the self-describing
+    * explicit forms otherwise. */
+  private val BlockSizeCodes: Map[Int, Int] = Map(
+    192 -> 1, 576 -> 2, 1152 -> 3, 2304 -> 4, 4608 -> 5,
+    256 -> 8, 512 -> 9, 1024 -> 10, 2048 -> 11, 4096 -> 12,
+    8192 -> 13, 16384 -> 14, 32768 -> 15)
+  private val SampleRateCodes: Map[Int, Int] = Map(
+    88200 -> 1, 176400 -> 2, 192000 -> 3, 8000 -> 4, 16000 -> 5,
+    22050 -> 6, 24000 -> 7, 32000 -> 8, 44100 -> 9, 48000 -> 10,
+    96000 -> 11)
+  locally {
+    BlockSizeCodes.foreach { case (bs, c) => // dyadic-ladder self-check
+      assert(if (c >= 8) bs == 256 << (c - 8)
+             else if (c >= 2) bs == 576 << (c - 2) else bs == 192)
+    }
+  }
+
   private def encodeFrame(chunk: Array[Array[Int]], frameNo: Int,
-      n: Int): Array[Byte] = {
+      n: Int, sampleRate: Int): Array[Byte] = {
     // pick channel assignment by exact coded subframe size
     val candidates: Seq[(Int, Array[(Array[Int], Int)])] =
       if (chunk.length == 1) Seq((0, Array((chunk(0), Bps))))
@@ -713,18 +741,21 @@ object Flac {
       (mode, bw.toBytes, bw.bitCount)
     }
     val (mode, bodyBytes, _) = coded.minBy(_._3)
-    // header
+    // header: table codes when the value has one (what reference
+    // encoders emit), self-describing explicit forms otherwise
+    val bsCode = BlockSizeCodes.get(n)
+    val srCode = SampleRateCodes.get(sampleRate)
     val hw = new BitWriter
     hw.put(0x3FFE, 14) // sync
     hw.put(0, 1) // reserved
     hw.put(0, 1) // blocking strategy: fixed
-    hw.put(7, 4) // block size: explicit 16-bit at end of header
-    hw.put(0, 4) // sample rate: from STREAMINFO
+    hw.put(bsCode.getOrElse(7).toLong, 4)
+    hw.put(srCode.getOrElse(0).toLong, 4)
     hw.put(mode.toLong, 4) // channel assignment
-    hw.put(0, 3) // sample size: from STREAMINFO
+    hw.put(4, 3) // sample size: 16-bit, coded explicitly (code 0b100)
     hw.put(0, 1) // reserved
     writeUtf8Num(hw, frameNo.toLong)
-    hw.put(n.toLong - 1, 16)
+    if (bsCode.isEmpty) hw.put(n.toLong - 1, 16)
     val headBytes = hw.toBytes
     val frameOut = new java.io.ByteArrayOutputStream()
     frameOut.write(headBytes)
@@ -806,27 +837,48 @@ object Flac {
       require(br.read(1) == 0,
         s"flac: variable-blocksize frames are a named boundary (doc $docId)")
       val bsCode = br.read(4).toInt
+      require(bsCode != 0, s"flac: reserved block-size code 0 (doc $docId)")
       val srCode = br.read(4).toInt
-      require(srCode == 0,
-        s"flac: non-STREAMINFO sample-rate code $srCode not carried (doc $docId)")
+      require(srCode != 15, s"flac: invalid sample-rate code 15 (doc $docId)")
       val mode = br.read(4).toInt
       require(mode == 0 || mode == 1 || mode == 8 || mode == 9 || mode == 10,
         s"flac: channel assignment $mode not carried (doc $docId)")
       val nchFrame = if (mode == 0) 1 else 2
       require(nchFrame == si.channels,
         s"flac: frame/STREAMINFO channel mismatch (doc $docId)")
-      require(br.read(3) == 0,
-        s"flac: non-STREAMINFO sample-size code not carried (doc $docId)")
+      val ssCode = br.read(3).toInt
+      require(ssCode == 0 || ssCode == 4,
+        s"flac: sample-size code $ssCode (only 16-bit is carried; doc $docId)")
       require(br.read(1) == 0, s"flac: reserved bit set (doc $docId)")
       val fno = readUtf8Num(br, docId)
       require(fno == frame, s"flac: frame number $fno != $frame (doc $docId)")
+      // table-coded block sizes (round 12): the two dyadic ladders
+      // reference encoders emit (flac's default 4096 block = code 12),
+      // plus the self-describing 8/16-bit end-of-header forms
       val n = bsCode match {
+        case 1 => 192
+        case c if c >= 2 && c <= 5 => 576 << (c - 2)
         case 6 => br.read(8).toInt + 1
         case 7 => br.read(16).toInt + 1
-        case c => throw new IllegalArgumentException(
-          s"flac: table-coded block size $c not carried (self-describing " +
-            s"streams only; doc $docId)")
+        case c => 256 << (c - 8)
       }
+      // explicit sample-rate byte forms (codes 12-14) follow the block
+      // size bytes; table codes 1-11 carry the rate in the code itself.
+      // Every form must AGREE with STREAMINFO (fixed-rate streams).
+      val frameRate = srCode match {
+        case 0 => si.sampleRate
+        case 12 => br.read(8).toInt * 1000
+        case 13 => br.read(16).toInt
+        case 14 => br.read(16).toInt * 10
+        case c => Seq(88200, 176400, 192000, 8000, 16000, 22050, 24000,
+          32000, 44100, 48000, 96000)(c - 1)
+      }
+      require(frameRate == si.sampleRate,
+        s"flac: frame sample rate $frameRate != STREAMINFO " +
+          s"${si.sampleRate} (doc $docId)")
+      require(outBase + n <= si.totalSamples,
+        s"flac: frame block size $n overruns the declared sample count " +
+          s"(doc $docId)")
       val crc8At = br.bytePos
       val wantCrc8 = br.read(8).toInt
       require(crc8(payload, off, crc8At) == wantCrc8,
