@@ -43,7 +43,11 @@ package graft.ops
   * 12–14, the 16-bit sample-size code — emitted whenever the value
   * has a code, decoded always, every form cross-checked against
   * STREAMINFO). HONEST BOUNDARY, loud by name at decode: 5-bit rice
-  * (RICE2, method 01), negative quantization shifts, >2 channels,
+  * (RICE2, method 01 — the form reference encoders reserve for >16-bit
+  * depths, i.e. outside this codec's carried regime; under the
+  * exact-cost planner the escape code dominates it for every ≤17-bit
+  * residual distribution, so carrying it would add a path no in-regime
+  * stream exercises), negative quantization shifts, >2 channels,
   * >16-bit, and variable-blocksize streams are not carried.
   *
   * Scale shape: pure per-payload kernels under `mapPartitions`, zero
