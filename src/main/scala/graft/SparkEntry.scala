@@ -2243,6 +2243,83 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // X5 — MP3 MIXED BLOCKS (round 12, the last window-switching
+    // form): block_type 2 with mixed_block_flag — the two lowest
+    // subbands stay long-windowed (long sfb 0-7 scalefactors, no
+    // subblock gain, the single sb0/sb1 alias boundary) while
+    // everything above runs short windows (bands 3-11, per-window
+    // gains). Each doc plants lines in BOTH regions; bit-exact
+    // spectrum recovery through the mixed order map + clean PCM pin
+    // the hybrid requant/reorder/synthesis paths.
+    "x5_decode_mp3_mixed" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val mpa = graft.ops.MpegAudio
+          val nFrames = (2 + id % 3).toInt
+          val nGr = 2 * nFrames
+          val (sfbL, sfbS) = mpa.mp3SfbTables(48000)
+          val omap = mpa.mp3ShortOrderMap(48000, mixed = true)
+          def decPos(b: Int, w: Int): Int =
+            36 + (3 until b).map(bb => 3 * (sfbS(bb + 1) - sfbS(bb))).sum +
+              w * (sfbS(b + 1) - sfbS(b))
+          val specs = (0 until nGr).map { g =>
+            val lines = new Array[Int](576)
+            val longLine = ((id + g) % 36).toInt
+            lines(longLine) = 1
+            val b = 3 + ((id + 2 * g) % 9).toInt
+            val w = ((id + g) % 3).toInt
+            lines(decPos(b, w)) = -1
+            mpa.Mp3GranSpec(lines = lines,
+              globalGain = 203 + ((id + g) % 14).toInt,
+              blockType = 2, mixedBlock = true, scalefacCompress = 13,
+              sfLong = Array.tabulate(21)(bb =>
+                if (bb < 8) ((id + g + bb) % 8).toInt else 0),
+              sfShort = Array.tabulate(12, 3)((bb, ww) =>
+                if (bb >= 3) ((id + g + bb + ww) % 8).toInt else 0),
+              subblockGain = Array(g % 3, (g + 1) % 3, (g + 2) % 3),
+              scalefacScale = (id + g) % 2 == 0)
+          }
+          val kbps = Array(192, 224, 256, 320)((id % 4).toInt)
+          val enc = mpa.encodeMp3Advanced(specs, kbps, withCrc = id % 3 == 2)
+          val spectra = mpa.mp3StreamSpectra(id, enc)
+          val specOk = spectra.length == nGr &&
+            spectra.zipWithIndex.forall { case (xr, g) =>
+              val sp = specs(g)
+              val gain = math.pow(2.0, (sp.globalGain - 210) / 4.0)
+              val mult = if (sp.scalefacScale) 1.0 else 0.5
+              val expected = new Array[Double](576)
+              // long region: lines 0-35 identity through long sfb 0-7
+              var b = 0
+              for (i <- 0 until 36 if sp.lines(i) != 0) {
+                while (sfbL(b + 1) <= i) b += 1
+                expected(i) = sp.lines(i) * gain *
+                  math.pow(2.0, -mult * sp.sfLong(b))
+              }
+              // short region: decoded order from band 3
+              var pos = 36
+              for (bb <- 3 until 13; ww <- 0 until 3;
+                   _ <- sfbS(bb) until sfbS(bb + 1)) {
+                if (sp.lines(pos) != 0) {
+                  val sf = if (bb < 12) sp.sfShort(bb)(ww) else 0
+                  expected(omap(pos)) = sp.lines(pos) * gain *
+                    math.pow(2.0, -2.0 * sp.subblockGain(ww) - mult * sf)
+                }
+                pos += 1
+              }
+              (0 until 576).forall(i => math.abs(xr(i) - expected(i)) < 1e-12)
+            }
+          val pcm = mpa.decodeMpegAudio(id, enc)
+          val clean = pcm.length == 1152L * nFrames &&
+            pcm.forall(v => !v.isNaN && !v.isInfinite)
+          (id, nFrames, nGr.toLong, specOk, clean)
+        }
+        .toDF("doc_id", "n_frames", "n_mixed_granules", "spectrum_exact",
+          "decode_clean")
+        .orderBy("doc_id")
+    }),
+
     // X5 — MP3 SCFSI granule-sharing (round 12): the side-info bits
     // that let a frame's SECOND granule reuse the first's scalefactors
     // per band group (sfb 0-5 / 6-10 / 11-15 / 16-20) and transmit no
@@ -8434,6 +8511,15 @@ object SparkEntry {
         |    AS BIGINT) AS n_switched_granules,
         |  TRUE AS spectrum_exact, TRUE AS decode_clean
         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Mixed-block fixtures: every granule is mixed; verdicts ride
+    // booleans.
+    "x5_decode_mp3_mixed" ->
+      """SELECT doc_id,
+        |  CAST(2 + doc_id % 3 AS INTEGER) AS n_frames,
+        |  CAST(2 * (2 + doc_id % 3) AS BIGINT) AS n_mixed_granules,
+        |  TRUE AS spectrum_exact, TRUE AS decode_clean
+        |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,
 
     // scfsi fixtures: the 4-bit pattern replays closed-form; spectrum
     // and PCM verdicts ride booleans.

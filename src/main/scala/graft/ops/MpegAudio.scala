@@ -958,9 +958,11 @@ object MpegAudio {
   // short-block reorder, scfsi granule-sharing, MS and INTENSITY
   // joint stereo, per-subband
   // overlap-add, frequency inversion, and the shared polyphase
-  // synthesis. What fails LOUDLY by name: MIXED blocks
-  // (mixed_block_flag 1 — the long-below/short-above hybrid LAME
-  // essentially never emits), big-values Huffman tables 2–31 (only
+  // synthesis, and MIXED blocks (the long-below/short-above hybrid:
+  // two long-windowed subbands with long sfb 0-7 scalefactors under
+  // the single sb0/sb1 alias boundary, short windows with per-window
+  // gains above — completing the window-switching grammar). What
+  // fails LOUDLY by name: big-values Huffman tables 2–31 (only
   // the two tables whose code assignments are reconstructible with
   // certainty from the public spec are carried — thousands of
   // code/length pairs with no structural self-check is the same
@@ -1100,7 +1102,7 @@ object MpegAudio {
       scalefacCompress: Int, tableSelect: Array[Int], count1TableB: Boolean,
       blockType: Int, subblockGain: Array[Int],
       preflag: Boolean, scalefacScale: Boolean,
-      region0Count: Int, region1Count: Int)
+      region0Count: Int, region1Count: Int, mixedBlock: Boolean = false)
 
   /** One decoded channel-granule: the natural-order requantized
     * spectrum, the long-block scalefactors (intensity positions when
@@ -1108,7 +1110,7 @@ object MpegAudio {
     * all-zero line (rzero — the intensity region starts at the first
     * scalefactor band at or above it), and the block type. */
   private case class Mp3DecodedGranule(xr: Array[Double], sfLong: Array[Int],
-      rzero: Int, blockType: Int)
+      rzero: Int, blockType: Int, mixedBlock: Boolean = false)
 
   /** One channel-granule's 59-bit side-info block (§2.4.1.7) — the
     * shared grammar of the 17-byte mono and 32-byte stereo layouts.
@@ -1131,9 +1133,8 @@ object MpegAudio {
           s"mpeg: layer III window_switching with block_type 0 is reserved " +
             s"(doc $docId)")
         val mixed = br.read(1)
-        require(mixed == 0,
-          s"mpeg: layer III mixed blocks are a named boundary of this " +
-            s"decoder (doc $docId)")
+        require(mixed == 0 || bt == 2,
+          s"mpeg: layer III mixed_block_flag with block_type $bt (doc $docId)")
         val ts = Array(br.read(5), br.read(5), 0)
         val sbg = Array(br.read(3), br.read(3), br.read(3))
         val preflag = br.read(1)
@@ -1142,7 +1143,7 @@ object MpegAudio {
         // regions are implicit for window-switched granules: region0 =
         // the first 36 lines, region1 = the rest (§2.4.2.7)
         Mp3Granule(part23, bigValues, globalGain, sfc, ts, c1t == 1,
-          bt, sbg, preflag == 1, sfScale == 1, -1, -1)
+          bt, sbg, preflag == 1, sfScale == 1, -1, -1, mixed == 1)
       } else {
         val ts = Array.fill(3)(br.read(5))
         val r0 = br.read(4); val r1 = br.read(3)
@@ -1197,11 +1198,18 @@ object MpegAudio {
     * — the map's correctness is validated INDEPENDENTLY by the
     * PCM-domain tone checks (a wrong map moves energy to the wrong
     * polyphase subband). */
-  def mp3ShortOrderMap(sampleRate: Int): Array[Int] = {
+  def mp3ShortOrderMap(sampleRate: Int): Array[Int] =
+    mp3ShortOrderMap(sampleRate, mixed = false)
+
+  /** `mixed = true` gives the MIXED-block order: the first 36 lines
+    * (the two long-windowed subbands, long sfb 0–7) are identity, the
+    * short part starts at short band 3 (per-window frequency 12). */
+  def mp3ShortOrderMap(sampleRate: Int, mixed: Boolean): Array[Int] = {
     val s = Mp3SfbShort(sampleRate)
     val map = new Array[Int](576)
     var pos = 0
-    var b = 0
+    if (mixed) while (pos < 36) { map(pos) = pos; pos += 1 }
+    var b = if (mixed) 3 else 0
     while (b < 13) {
       var w = 0
       while (w < 3) {
@@ -1230,7 +1238,20 @@ object MpegAudio {
     val short = g.blockType == 2
     val sfLong = new Array[Int](22)       // sfb 0-20 coded; 21 stays 0
     val sfShort = Array.ofDim[Int](13, 3) // bands 0-11 coded; 12 stays 0
-    if (short) {
+    if (short && g.mixedBlock) {
+      // mixed layout (§2.4.2.7): slen1 covers long sfb 0-7 AND short
+      // bands 3-5; slen2 covers short bands 6-11
+      var i = 0
+      while (i < 8) { sfLong(i) = br.read(s1); i += 1 }
+      var b = 3
+      while (b < 12) {
+        var w = 0
+        while (w < 3) {
+          sfShort(b)(w) = br.read(if (b < 6) s1 else s2); w += 1
+        }
+        b += 1
+      }
+    } else if (short) {
       var b = 0
       while (b < 12) {
         var w = 0
@@ -1310,9 +1331,25 @@ object MpegAudio {
     }
     if (short) {
       val sfbS = Mp3SfbShort(sampleRate)
-      val omap = mp3ShortOrderMap(sampleRate)
+      val omap = mp3ShortOrderMap(sampleRate, g.mixedBlock)
       var pos = 0
-      var b = 0
+      if (g.mixedBlock) {
+        // long region (lines 0-35, long sfb 0-7): long formula, no
+        // subblock gain; pretab is zero through sfb 7 but applied for
+        // uniformity
+        var b = 0
+        var i = 0
+        while (i < 36) {
+          while (sfbL(b + 1) <= i) b += 1
+          if (dec(i) != 0) {
+            val sf = sfLong(b) + (if (g.preflag) Mp3Pretab(b) else 0)
+            xr(i) = mag(dec(i), gain * math.pow(2.0, -mult * sf))
+          }
+          i += 1
+        }
+        pos = 36
+      }
+      var b = if (g.mixedBlock) 3 else 0
       while (b < 13) {
         var w = 0
         while (w < 3) {
@@ -1339,7 +1376,7 @@ object MpegAudio {
         i += 1
       }
     }
-    Mp3DecodedGranule(xr, sfLong, rzero, g.blockType)
+    Mp3DecodedGranule(xr, sfLong, rzero, g.blockType, g.mixedBlock)
   }
 
   /** Per-stream Layer III synthesis state: each subband's 18-sample
@@ -1388,11 +1425,14 @@ object MpegAudio {
     * (§2.4.3.4.10.1 applies it to long blocks only); types 0/1/3 run
     * the 36-point IMDCT under the long/start/stop window. */
   private def mp3SynthesizeGranule(xr: Array[Double], blockType: Int,
-      st: Mp3State, acc: Array[Double], outBase: Int): Unit = {
-    if (blockType != 2) {
-      // alias-reduction butterflies across each subband boundary
+      mixed: Boolean, st: Mp3State, acc: Array[Double], outBase: Int): Unit = {
+    // alias reduction applies to long-windowed subband boundaries only:
+    // all 31 for long/start/stop, the single sb0/sb1 boundary for mixed
+    // blocks, none for pure short blocks (round 12)
+    val aliasUntil = if (blockType != 2) 32 else if (mixed) 2 else 1
+    if (aliasUntil > 1) {
       var sb = 1
-      while (sb < 32) {
+      while (sb < aliasUntil) {
         var i = 0
         while (i < 8) {
           val lo = 18 * sb - 1 - i; val hi = 18 * sb + i
@@ -1409,7 +1449,7 @@ object MpegAudio {
     var sb = 0
     while (sb < 32) {
       val out36 = new Array[Double](36)
-      if (blockType == 2) {
+      if (blockType == 2 && !(mixed && sb < 2)) {
         var w = 0
         while (w < 3) {
           var n = 0
@@ -1422,7 +1462,9 @@ object MpegAudio {
           w += 1
         }
       } else {
-        val basis = Imdct36ByType(blockType)
+        // mixed blocks transform their two long subbands under the
+        // NORMAL long window (block type 0)
+        val basis = Imdct36ByType(if (blockType == 2) 0 else blockType)
         var n = 0
         while (n < 36) {
           var a = 0.0; var k = 0
@@ -1566,8 +1608,8 @@ object MpegAudio {
       if (nch == 2) mp3ApplyStereo(h, xrs, decs(1), docId)
       var ch = 0
       while (ch < nch) {
-        mp3SynthesizeGranule(xrs(ch), decs(ch).blockType, sts(ch),
-          accs(ch), outBase + 576 * g)
+        mp3SynthesizeGranule(xrs(ch), decs(ch).blockType,
+          decs(ch).mixedBlock, sts(ch), accs(ch), outBase + 576 * g)
         ch += 1
       }
       g += 1
@@ -1717,7 +1759,8 @@ object MpegAudio {
       sfShort: Array[Array[Int]] = Array.ofDim[Int](12, 3),
       subblockGain: Array[Int] = Array(0, 0, 0),
       preflag: Boolean = false,
-      scalefacScale: Boolean = false)
+      scalefacScale: Boolean = false,
+      mixedBlock: Boolean = false)
 
   private def mp3ValidateGranSpec(g: Mp3GranSpec): Unit = {
     require(g.lines.length == 576 && g.lines.forall(v => v >= -1 && v <= 1),
@@ -1728,6 +1771,8 @@ object MpegAudio {
     require(g.blockType >= 0 && g.blockType <= 3, "mp3: bad block_type")
     require(g.scalefacCompress >= 0 && g.scalefacCompress < 16,
       "mp3: scalefac_compress is 4 bits")
+    require(!g.mixedBlock || g.blockType == 2,
+      "mp3: mixed_block_flag needs block_type 2")
     val (s1, s2) = Mp3Slen(g.scalefacCompress)
     if (g.blockType == 2) {
       require(g.sfShort.length == 12 && g.sfShort.forall(_.length == 3),
@@ -1736,6 +1781,14 @@ object MpegAudio {
         val slen = if (b < 6) s1 else s2
         ws.foreach(v => require(v >= 0 && v < (1 << slen),
           s"mp3: short scalefactor $v does not fit slen $slen"))
+      }
+      if (g.mixedBlock) {
+        require(g.sfLong.length == 21, "mp3: long scalefactors are sfb 0-20")
+        (0 until 8).foreach(b => require(
+          g.sfLong(b) >= 0 && g.sfLong(b) < (1 << s1),
+          s"mp3: mixed long scalefactor does not fit slen $s1"))
+        (0 until 3).foreach(b => require(g.sfShort(b).forall(_ == 0),
+          "mp3: mixed blocks have no short bands below band 3"))
       }
     } else {
       require(g.sfLong.length == 21, "mp3: long scalefactors are sfb 0-20")
@@ -1756,7 +1809,8 @@ object MpegAudio {
     * granule only) zeroes the shared groups' bits. */
   private def mp3Part2Bits(g: Mp3GranSpec, scfsi: Int = 0): Int = {
     val (s1, s2) = Mp3Slen(g.scalefacCompress)
-    if (g.blockType == 2) 18 * s1 + 18 * s2
+    if (g.blockType == 2 && g.mixedBlock) 17 * s1 + 18 * s2
+    else if (g.blockType == 2) 18 * s1 + 18 * s2
     else {
       var bits = 0
       var i = 0
@@ -1772,7 +1826,16 @@ object MpegAudio {
   private def mp3WriteScalefacs(bw: BitWriter, g: Mp3GranSpec,
       scfsi: Int = 0): Unit = {
     val (s1, s2) = Mp3Slen(g.scalefacCompress)
-    if (g.blockType == 2) {
+    if (g.blockType == 2 && g.mixedBlock) {
+      var i = 0
+      while (i < 8) { bw.put(g.sfLong(i), s1); i += 1 }
+      var b = 3
+      while (b < 12) {
+        var w = 0
+        while (w < 3) { bw.put(g.sfShort(b)(w), if (b < 6) s1 else s2); w += 1 }
+        b += 1
+      }
+    } else if (g.blockType == 2) {
       var b = 0
       while (b < 12) {
         var w = 0
@@ -1801,7 +1864,7 @@ object MpegAudio {
     if (g.blockType != 0) {
       bw.put(1, 1) // window_switching_flag
       bw.put(g.blockType, 2)
-      bw.put(0, 1) // mixed_block_flag
+      bw.put(if (g.mixedBlock) 1 else 0, 1)
       bw.put(tbl, 5); bw.put(tbl, 5)
       g.subblockGain.foreach(v => bw.put(v, 3))
     } else {

@@ -650,6 +650,77 @@ class MpegAudioSpec extends AnyFunSuite {
     assert(chans(0).forall(v => !v.isNaN && !v.isInfinite))
   }
 
+  test("mixed blocks decode (round 12): two long-windowed subbands " +
+      "below, short windows above — long-region lines requantize with " +
+      "long sfb 0-7 scalefactors (no subblock gain), short-region lines " +
+      "with short bands 3-11 + per-window gains; spectra exact, PCM " +
+      "energy lands in the planted subbands of BOTH regions") {
+    import graft.ops.MpegAudio
+    val (sfbL, sfbS) = MpegAudio.mp3SfbTables(48000)
+    val omap = MpegAudio.mp3ShortOrderMap(48000, mixed = true)
+    val sfLong = Array.tabulate(21)(b => if (b < 8) (b * 3) % 8 else 0)
+    val sfShort = Array.tabulate(12, 3)((b, w) =>
+      if (b >= 3) (b + w) % 4 else 0)
+    val sbg = Array(1, 0, 2)
+    val lines = new Array[Int](576)
+    // long region: line 20 sits in long sfb 5 ([20,24))
+    lines(20) = 1
+    // short region: decoded pos of (band 7, window 2, line 0):
+    // 36 + Σ_{b=3..6} 3·width(b) + 2·width(7)
+    val decPos7 = 36 + (3 until 7).map(b => 3 * (sfbS(b + 1) - sfbS(b))).sum +
+      2 * (sfbS(8) - sfbS(7))
+    lines(decPos7) = -1
+    val g = MpegAudio.Mp3GranSpec(lines = lines, globalGain = 208,
+      blockType = 2, mixedBlock = true, scalefacCompress = 13,
+      sfLong = sfLong, sfShort = sfShort, subblockGain = sbg,
+      scalefacScale = true)
+    val enc = MpegAudio.encodeMp3Advanced(Seq(g, g), 256)
+    val spectra = MpegAudio.mp3StreamSpectra(95L, enc)
+    assert(spectra.length == 2)
+    val gain = math.pow(2.0, (208 - 210) / 4.0)
+    val expected = new Array[Double](576)
+    expected(20) = gain * math.pow(2.0, -1.0 * sfLong(5)) // long sfb 5, mult 1
+    expected(omap(decPos7)) =
+      -gain * math.pow(2.0, -2.0 * sbg(2) - 1.0 * sfShort(7)(2))
+    spectra.foreach { xr =>
+      (0 until 576).foreach(i => assert(math.abs(xr(i) - expected(i)) < 1e-12,
+        s"mixed spectrum mismatch at line $i: ${xr(i)} vs ${expected(i)}"))
+    }
+    // PCM: long-region line 20 is subband 1; the short-region line maps
+    // to subband omap(decPos7)/18 — both must receive the energy
+    val sbLong = 20 / 18
+    val sbShort = omap(decPos7) / 18
+    val toneL = new Array[Int](576); toneL(18 * sbLong + 4) = 1
+    val gL = MpegAudio.Mp3GranSpec(lines = toneL, globalGain = 230,
+      blockType = 2, mixedBlock = true)
+    val pcmL = MpegAudio.decodeMpegAudio(96L,
+      MpegAudio.encodeMp3Advanced(Seq(gL, gL, gL, gL), 256))
+    MpegAudio.audioFingerprints(pcmL).drop(1).foreach { case (_, fp) =>
+      assert(((fp >> 15) & 31).toInt == sbLong,
+        s"mixed long-region energy in subband ${(fp >> 15) & 31}, not $sbLong")
+    }
+    val inv = new Array[Int](576)
+    omap.zipWithIndex.foreach { case (nat, dec) => inv(nat) = dec }
+    val toneS = new Array[Int](576)
+    (0 until 3).foreach(w => toneS(inv(18 * sbShort + 6 * w + 2)) = 1)
+    val gS = MpegAudio.Mp3GranSpec(lines = toneS, globalGain = 230,
+      blockType = 2, mixedBlock = true)
+    val pcmS = MpegAudio.decodeMpegAudio(97L,
+      MpegAudio.encodeMp3Advanced(Seq(gS, gS, gS, gS), 256))
+    MpegAudio.audioFingerprints(pcmS).drop(1).foreach { case (_, fp) =>
+      assert(((fp >> 15) & 31).toInt == sbShort,
+        s"mixed short-region energy in subband ${(fp >> 15) & 31}, not $sbShort")
+    }
+    // mixed with a non-short block type fails loudly at encode
+    val bad = intercept[IllegalArgumentException](
+      MpegAudio.encodeMp3Advanced(Seq(
+        MpegAudio.Mp3GranSpec(lines = new Array[Int](576), globalGain = 210,
+          blockType = 1, mixedBlock = true),
+        MpegAudio.Mp3GranSpec(lines = new Array[Int](576), globalGain = 210)),
+        256))
+    assert(bad.getMessage.contains("mixed_block_flag needs block_type 2"))
+  }
+
   test("scfsi granule-sharing decodes (round 12): shared groups copy " +
       "granule 1's scalefactors and consume no bits, non-shared groups " +
       "read fresh values — spectra exact under every 4-bit pattern") {
