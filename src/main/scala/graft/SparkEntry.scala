@@ -2555,6 +2555,130 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // X5 — FLAC BIT DEPTHS (round 12, session 2): 8-bit and 24-bit
+    // streams end-to-end — 24-bit is the hi-res standard, the most
+    // common foreign regime after CD 16-bit. Even docs carry 24-bit
+    // heavy-tailed noise whose optimal rice parameter exceeds 14, so
+    // the RICE2 method (0b01, 5-bit parameters) MUST fire — the form
+    // reference encoders emit for >16-bit depths; odd docs carry 8-bit
+    // tonal content where the exact-cost planner must discover that
+    // plain 4-bit rice still wins. Both round-trip bit-for-bit (the
+    // lossless oracle) with byte-per-depth little-endian MD5 verified.
+    "x5_flac_depth" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val bps = if (id % 2 == 0) 24 else 8
+          val n = 1024 * (2 + id % 3).toInt
+          def wave(seed: Long): Array[Int] =
+            if (bps == 24)
+              Array.tabulate(n) { i =>
+                val h = (i.toLong * 2654435761L + seed) % 2147483647L
+                val base = (h % 120000L - 60000L).toInt
+                val spike = if (i % 37 == 0)
+                  (((h >> 17) % 3000000L) - 1500000L).toInt else 0
+                base + spike
+              }
+            else
+              Array.tabulate(n) { i =>
+                val t = 90.0 * math.sin(
+                  2 * math.Pi * (200.0 + (id % 20) * 30.0) * i / 48000.0)
+                val h = (i.toLong * 2654435761L + seed) % 2147483647L
+                math.max(-128, math.min(127, (t + h % 40L - 20L).toInt))
+              }
+          val mono = id % 3 == 0
+          val chans: Array[Array[Int]] =
+            if (mono) Array(wave(id)) else Array(wave(id), wave(id + 7))
+          val enc = graft.ops.Flac.encodeFlac(chans,
+            if (bps == 24) 96000 else 48000, blockSize = 1024, bps = bps)
+          val si = graft.ops.Flac.readStreamInfo(enc, id)
+          val (frames, dec) = graft.ops.Flac.decodeFlac(id, enc)
+          val lossless = dec.length == chans.length &&
+            dec.zip(chans).forall { case (a, b) => a.sameElements(b) }
+          (id, si.bitsPerSample, chans.length, frames.length, n.toLong,
+            lossless, frames.exists(_.rice_methods.contains(1)))
+        }
+        .toDF("doc_id", "bits_per_sample", "n_channels", "n_frames",
+          "n_samples", "lossless", "used_rice2")
+        .orderBy("doc_id")
+    }),
+
+    // X5 — FLAC MULTICHANNEL (round 12, session 2): 3-8 channels
+    // (surround layouts) coded independently under channel-assignment
+    // code nch−1 — the only multichannel form the format defines —
+    // at 16-bit and 24-bit depths, round-tripped bit-for-bit with the
+    // per-frame census pinning the assignment code on every frame.
+    "x5_flac_multichannel" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val nch = 3 + (id % 6).toInt
+          val bps = if (id % 4 == 0) 24 else 16
+          val amp = if (bps == 24) 2000000.0 else 8000.0
+          val nmod = if (bps == 24) 130000L else 1200L
+          val n = 2048
+          val chans = Array.tabulate(nch) { ch =>
+            Array.tabulate(n) { i =>
+              val t = amp * math.sin(
+                2 * math.Pi * (180.0 + 70.0 * ch + (id % 10) * 11.0) * i / 48000.0)
+              val h = (i.toLong * 2654435761L + id + ch * 131L) % 2147483647L
+              (t + h % nmod - nmod / 2).toInt
+            }
+          }
+          val enc = graft.ops.Flac.encodeFlac(chans, 48000,
+            blockSize = 1024, bps = bps)
+          val si = graft.ops.Flac.readStreamInfo(enc, id)
+          val (frames, dec) = graft.ops.Flac.decodeFlac(id, enc)
+          val lossless = dec.length == nch &&
+            dec.zip(chans).forall { case (a, b) => a.sameElements(b) }
+          val modeOk = frames.forall(f => f.channel_mode == nch - 1 &&
+            f.subframe_types.length == nch)
+          (id, si.channels, si.bitsPerSample, frames.length, lossless, modeOk)
+        }
+        .toDF("doc_id", "n_channels", "bits_per_sample", "n_frames",
+          "lossless", "mode_ok")
+        .orderBy("doc_id")
+    }),
+
+    // X5 — FLAC VARIABLE BLOCKSIZE (round 12, session 2): blocking
+    // strategy 1 — frame headers code the frame's first SAMPLE number
+    // (extended UTF-8 forms), STREAMINFO carries min≠max, and the
+    // encoder's alternating schedule makes every stream exercise both
+    // sizes. The census replays the exact per-id frame count and the
+    // min/max block fields; losslessness rides the MD5/CRC oracle.
+    "x5_flac_varblock" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val n = 2048 + (id % 3).toInt * 512
+          val tone = 240.0 + (id % 15) * 35.0
+          def wave(seed: Long): Array[Int] = Array.tabulate(n) { i =>
+            val t = 8000.0 * math.sin(2 * math.Pi * tone * i / 48000.0)
+            val h = (i.toLong * 2654435761L + seed) % 2147483647L
+            math.max(-32768, math.min(32767, (t + h % 1200L - 600L).toInt))
+          }
+          val chans: Array[Array[Int]] =
+            if (id % 2 == 0) Array(wave(id))
+            else {
+              val l = wave(id)
+              Array(l, l.map(v => math.max(-32768, math.min(32767, v + 4))))
+            }
+          val enc = graft.ops.Flac.encodeFlac(chans, 48000,
+            blockSize = 1024, variableBlocks = true)
+          val si = graft.ops.Flac.readStreamInfo(enc, id)
+          val (frames, dec) = graft.ops.Flac.decodeFlac(id, enc)
+          val lossless = dec.length == chans.length &&
+            dec.zip(chans).forall { case (a, b) => a.sameElements(b) }
+          (id, frames.length, si.minBlock, si.blockSize, n.toLong, lossless)
+        }
+        .toDF("doc_id", "n_frames", "min_block", "max_block", "n_samples",
+          "lossless")
+        .orderBy("doc_id")
+    }),
+
     // X5 — ANIMATED GIF: the real "video" container of the family —
     // every frame decoded through its own LZW code stream, with
     // Graphic Control Extension timing (delay centiseconds) and
@@ -8476,6 +8600,48 @@ object SparkEntry {
       """SELECT doc_id, CAST(3 AS BIGINT) AS n_frames,
         |  TRUE AS lossless, TRUE AS used_wasted_bits,
         |  TRUE AS used_partition_orders, TRUE AS used_rice_escape
+        |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,
+
+    // Depth census replay: 24-bit (even docs) must pick RICE2 for its
+    // wide residuals, 8-bit (odd docs) must stay on 4-bit rice — both
+    // facts fall out of the exact-cost planner, and losslessness rides
+    // the MD5/CRC checks inside decode.
+    "x5_flac_depth" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 24 ELSE 8 END AS INTEGER)
+        |    AS bits_per_sample,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END AS INTEGER)
+        |    AS n_channels,
+        |  CAST(2 + doc_id % 3 AS INTEGER) AS n_frames,
+        |  CAST(1024 * (2 + doc_id % 3) AS BIGINT) AS n_samples,
+        |  TRUE AS lossless,
+        |  (doc_id % 2 = 0) AS used_rice2
+        |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,
+
+    // Multichannel census replay: channel count and depth fall out of
+    // the id scheme; assignment code nch−1 and losslessness ride the
+    // booleans (decode throws on CRC/MD5 violations).
+    "x5_flac_multichannel" ->
+      """SELECT doc_id,
+        |  CAST(3 + doc_id % 6 AS INTEGER) AS n_channels,
+        |  CAST(CASE WHEN doc_id % 4 = 0 THEN 24 ELSE 16 END AS INTEGER)
+        |    AS bits_per_sample,
+        |  CAST(2 AS INTEGER) AS n_frames,
+        |  TRUE AS lossless, TRUE AS mode_ok
+        |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,
+
+    // Variable-blocksize census replay: the alternating 1024/512
+    // schedule gives 3 frames for n=2048 (1024+512+512-tail) and
+    // n=2560 (1024+512+1024), 4 for n=3072 (1024+512+1024+512);
+    // min/max block pins that strategy 1 actually produced min != max.
+    "x5_flac_varblock" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 4 ELSE 3 END AS INTEGER)
+        |    AS n_frames,
+        |  CAST(512 AS INTEGER) AS min_block,
+        |  CAST(1024 AS INTEGER) AS max_block,
+        |  CAST(2048 + (doc_id % 3) * 512 AS BIGINT) AS n_samples,
+        |  TRUE AS lossless
         |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,
 
     // Mixed-corpus reservoir census: families 1/3/4 (mod 5) pack

@@ -42,13 +42,28 @@ package graft.ops
   * = code 12, sample-rate codes 1–11 and the explicit byte forms
   * 12–14, the 16-bit sample-size code — emitted whenever the value
   * has a code, decoded always, every form cross-checked against
-  * STREAMINFO). HONEST BOUNDARY, loud by name at decode: 5-bit rice
-  * (RICE2, method 01 — the form reference encoders reserve for >16-bit
-  * depths, i.e. outside this codec's carried regime; under the
-  * exact-cost planner the escape code dominates it for every ≤17-bit
-  * residual distribution, so carrying it would add a path no in-regime
-  * stream exercises), negative quantization shifts, >2 channels,
-  * >16-bit, and variable-blocksize streams are not carried.
+  * STREAMINFO). BIT DEPTHS 8/16/24 are carried end-to-end (round-12
+  * extension — 24-bit is the hi-res standard, the most common foreign
+  * regime after CD 16-bit): STREAMINFO + table-coded sample sizes
+  * (codes 0b001/0b100/0b110), byte-per-depth little-endian MD5, side
+  * channels at bps+1 up to 25 bits, and with >16-bit in regime the
+  * RICE2 method (0b01 — 5-bit parameters 0–30, escape 31) is now
+  * carried in BOTH directions: the exact-cost planner prices both
+  * methods per block and reference >16-bit encoders emit RICE2, so
+  * foreign hi-res intake requires it (at ≤16-bit the 4-bit method
+  * keeps winning on cost, which the planner discovers rather than
+  * assumes). CHANNELS 1–8 are carried: stereo with all four
+  * decorrelation modes chosen by exact coded cost, 3+ (surround
+  * layouts) coded independently under channel-assignment code nch−1 —
+  * the only multichannel form the format defines. VARIABLE-BLOCKSIZE
+  * streams (blocking strategy 1) are carried both directions: the
+  * frame header codes the frame's first SAMPLE number in the extended
+  * UTF-8 forms (up to 36 bits), STREAMINFO min≠max, and the encoder
+  * exercises the grammar with a deterministic alternating schedule.
+  * HONEST BOUNDARY, loud by name at decode: non-byte-aligned depths
+  * (12/20-bit, whose MD5 byte packing we will not guess) and 32-bit
+  * (whose side channel overflows Int), and negative quantization
+  * shifts are not carried.
   *
   * Scale shape: pure per-payload kernels under `mapPartitions`, zero
   * shuffle — 100 TB throughput is cores × per-core frames/s, like the
@@ -139,27 +154,43 @@ object Flac {
     crc
   }
 
-  /** UTF-8-style coded number (the frame-number coding — same scheme as
-    * UTF-8 but extended; our frame counts fit the 1–3 byte forms). */
+  /** UTF-8-style coded number (the frame/sample-number coding — same
+    * scheme as UTF-8 but extended to 7-byte forms carrying 36 bits;
+    * variable-blocksize streams code the frame's STARTING SAMPLE here,
+    * so the full range matters). Byte-count capacities: 7, 11, 16, 21,
+    * 26, 31, 36 bits. */
+  private val Utf8Caps = Array(7, 11, 16, 21, 26, 31, 36)
+
   private def writeUtf8Num(bw: BitWriter, v: Long): Unit = {
-    require(v >= 0 && v < (1L << 16), "flac: frame number out of carried range")
-    if (v < 0x80) bw.put(v, 8)
-    else if (v < 0x800) {
-      bw.put(0xC0L | (v >> 6), 8); bw.put(0x80L | (v & 0x3F), 8)
-    } else {
-      bw.put(0xE0L | (v >> 12), 8); bw.put(0x80L | ((v >> 6) & 0x3F), 8)
-      bw.put(0x80L | (v & 0x3F), 8)
-    }
+    require(v >= 0 && v < (1L << 36), "flac: coded number out of range")
+    if (v < 0x80) { bw.put(v, 8); return }
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(v)
+    var k = 1 // continuation-byte count; total bytes = k + 1
+    while (Utf8Caps(k) < bits) k += 1
+    val lead = (0xFF << (8 - (k + 1))) & 0xFF
+    bw.put((lead | (v >>> (6 * k)).toInt).toLong, 8)
+    var j = k - 1
+    while (j >= 0) { bw.put(0x80L | ((v >>> (6 * j)) & 0x3F), 8); j -= 1 }
   }
 
   private def readUtf8Num(br: BitReader, docId: Long): Long = {
-    val b0 = br.read(8)
-    if ((b0 & 0x80) == 0) b0
-    else if ((b0 & 0xE0) == 0xC0) ((b0 & 0x1F) << 6) | (br.read(8) & 0x3F)
-    else if ((b0 & 0xF0) == 0xE0)
-      ((b0 & 0x0F) << 12) | ((br.read(8) & 0x3F) << 6) | (br.read(8) & 0x3F)
-    else throw new IllegalArgumentException(
-      s"flac: frame number beyond the carried UTF-8 range (doc $docId)")
+    val b0 = br.read(8).toInt
+    if ((b0 & 0x80) == 0) return b0.toLong
+    var cont = 0 // continuation bytes: leading ones in b0 minus one
+    var mask = 0x40
+    while (mask != 0 && (b0 & mask) != 0) { cont += 1; mask >>= 1 }
+    require(cont >= 1 && cont <= 6,
+      s"flac: malformed coded-number lead byte $b0 (doc $docId)")
+    var v = (b0 & (mask - 1)).toLong
+    var j = 0
+    while (j < cont) {
+      val b = br.read(8).toInt
+      require((b & 0xC0) == 0x80,
+        s"flac: bad coded-number continuation byte (doc $docId)")
+      v = (v << 6) | (b & 0x3F)
+      j += 1
+    }
+    v
   }
 
   // ------------------------------------------------------------------
@@ -199,26 +230,38 @@ object Flac {
     if (r == 0L) 0
     else 65 - java.lang.Long.numberOfLeadingZeros(if (r < 0) ~r else r)
 
-  /** An exact-cost residual-coding plan: partition order, per-partition
-    * 4-bit parameter (15 = escape) and escape width, and the total bit
-    * cost INCLUDING the method/order/parameter fields. */
-  private final case class RicePlan(po: Int, params: Array[Int],
+  /** An exact-cost residual-coding plan: coding method (0 = 4-bit rice,
+    * 1 = 5-bit RICE2), partition order, per-partition parameter (15 /
+    * 31 = the method's escape) and escape width, and the total bit cost
+    * INCLUDING the method/order/parameter fields. */
+  private final case class RicePlan(method: Int, po: Int, params: Array[Int],
       rawBits: Array[Int], totalBits: Long)
 
-  /** Exhaustive-exact rice plan over partition orders 0..6 (bounded by
+  /** Per-method grammar constants: parameter-field width and the
+    * all-ones escape value (RFC 9639 §9.2.7: method 00 → 4-bit
+    * parameters, escape 0b1111; method 01 → 5-bit parameters, escape
+    * 0b11111). */
+  private def riceParamBits(method: Int): Int = if (method == 0) 4 else 5
+  private def riceEscape(method: Int): Int = if (method == 0) 15 else 31
+
+  /** Exhaustive-exact rice plan over BOTH coding methods (4-bit rice
+    * params 0..14 and RICE2 5-bit params 0..30 — the latter is what
+    * reference encoders emit for >16-bit depths, where optimal
+    * parameters exceed 14), partition orders 0..6 (bounded by
     * block-size divisibility and a non-empty warm-up partition), every
-    * 4-bit parameter 0..14 per partition, and the escape code where raw
-    * storage beats rice. One O(15·n) pass computes per-leaf cost
-    * vectors at the deepest order; coarser orders merge children
-    * pairwise (costs add, escape widths max), so the whole sweep costs
-    * O(15·n + 15·2^po·po) — the FLAC reference encoder's `-A` style
-    * exact search, not the mean heuristic. */
+    * parameter per partition, and the escape code where raw storage
+    * beats rice. One O(31·n) pass computes per-leaf cost vectors at the
+    * deepest order; coarser orders merge children pairwise (costs add,
+    * escape widths max), so the whole sweep costs O(31·n +
+    * 31·2^po·po) — the FLAC reference encoder's `-A` style exact
+    * search, not the mean heuristic. */
   private def planRice(us: Array[Long], n: Int, order: Int): RicePlan = {
+    val MaxP = 30 // RICE2's largest non-escape parameter
     var maxPo = 0
     while (maxPo < 6 && (n & ((1 << (maxPo + 1)) - 1)) == 0 &&
       (n >> (maxPo + 1)) > order) maxPo += 1
     var parts = 1 << maxPo
-    var costs = Array.ofDim[Long](parts, 15)
+    var costs = Array.ofDim[Long](parts, MaxP + 1)
     var escW = new Array[Int](parts)
     var counts = new Array[Int](parts)
     var from = 0
@@ -230,7 +273,7 @@ object Flac {
       while (i < from + count) {
         val u = us(i)
         var p = 0
-        while (p < 15) { costs(part)(p) += (u >>> p) + 1 + p; p += 1 }
+        while (p <= MaxP) { costs(part)(p) += (u >>> p) + 1 + p; p += 1 }
         val bb = signedBitsNeeded(unzigzag(u))
         if (bb > escW(part)) escW(part) = bb
         i += 1
@@ -241,33 +284,45 @@ object Flac {
     var best: RicePlan = null
     var po = maxPo
     while (po >= 0) {
-      val params = new Array[Int](parts)
-      val raw = new Array[Int](parts)
-      var total = 2L + 4L
-      part = 0
-      while (part < parts) {
-        var bestP = 0; var bestBits = Long.MaxValue
-        var p = 0
-        while (p < 15) {
-          if (costs(part)(p) < bestBits) { bestBits = costs(part)(p); bestP = p }
-          p += 1
+      var method = 0
+      while (method <= 1) {
+        val pBits = riceParamBits(method)
+        val pMax = if (method == 0) 14 else MaxP
+        val params = new Array[Int](parts)
+        val raw = new Array[Int](parts)
+        var total = 2L + 4L
+        part = 0
+        while (part < parts) {
+          var bestP = 0; var bestBits = Long.MaxValue
+          var p = 0
+          while (p <= pMax) {
+            if (costs(part)(p) < bestBits) { bestBits = costs(part)(p); bestP = p }
+            p += 1
+          }
+          // escape raw width is a 5-bit field: a >31-bit residual (only
+          // reachable through a pathological LPC predictor) can never
+          // escape — rice at pMax still codes it exactly
+          val esc = if (escW(part) > 31) Long.MaxValue / 4
+            else 5L + counts(part).toLong * escW(part)
+          if (esc < bestBits) {
+            params(part) = riceEscape(method); raw(part) = escW(part)
+            total += pBits + esc
+          } else { params(part) = bestP; total += pBits + bestBits }
+          part += 1
         }
-        val esc = 5L + counts(part).toLong * escW(part)
-        if (esc < bestBits) { params(part) = 15; raw(part) = escW(part); total += 4 + esc }
-        else { params(part) = bestP; total += 4 + bestBits }
-        part += 1
+        if (best == null || total < best.totalBits)
+          best = RicePlan(method, po, params, raw, total)
+        method += 1
       }
-      if (best == null || total < best.totalBits)
-        best = RicePlan(po, params, raw, total)
       if (po > 0) {
         val np = parts / 2
-        val nCosts = Array.ofDim[Long](np, 15)
+        val nCosts = Array.ofDim[Long](np, MaxP + 1)
         val nEsc = new Array[Int](np)
         val nCnt = new Array[Int](np)
         var k = 0
         while (k < np) {
           var p = 0
-          while (p < 15) {
+          while (p <= MaxP) {
             nCosts(k)(p) = costs(2 * k)(p) + costs(2 * k + 1)(p); p += 1
           }
           nEsc(k) = math.max(escW(2 * k), escW(2 * k + 1))
@@ -378,15 +433,17 @@ object Flac {
 
   private def writeRice(bw: BitWriter, us: Array[Long], n: Int, order: Int,
       plan: RicePlan): Unit = {
-    bw.put(0, 2) // residual method 00 = 4-bit rice
+    bw.put(plan.method.toLong, 2) // 00 = 4-bit rice, 01 = 5-bit RICE2
     bw.put(plan.po.toLong, 4)
+    val pBits = riceParamBits(plan.method)
+    val escape = riceEscape(plan.method)
     var from = 0
     var part = 0
     while (part < (1 << plan.po)) {
       val count = (n >> plan.po) - (if (part == 0) order else 0)
       val p = plan.params(part)
-      bw.put(p.toLong, 4)
-      if (p == 15) { // escape: raw signed residuals
+      bw.put(p.toLong, pBits)
+      if (p == escape) { // escape: raw signed residuals
         val w = plan.rawBits(part)
         bw.put(w.toLong, 5)
         var i = from
@@ -491,9 +548,11 @@ object Flac {
   }
 
   /** Per-subframe decode census: type code, wasted-bit count, rice
-    * partition order (0 for CONSTANT/VERBATIM), escape-code presence. */
+    * partition order (0 for CONSTANT/VERBATIM), escape-code presence,
+    * and the residual coding method (0 = 4-bit rice, 1 = RICE2; 0 for
+    * CONSTANT/VERBATIM which carry no residual section). */
   final case class SubframeInfo(tpe: Int, wasted: Int, partitionOrder: Int,
-      escaped: Boolean)
+      escaped: Boolean, riceMethod: Int)
 
   private def readSubframe(br: BitReader, n: Int, bps: Int,
       docId: Long): (Array[Int], SubframeInfo) = {
@@ -507,7 +566,7 @@ object Flac {
       s"flac: wasted bits $wasted >= sample size $bps (doc $docId)")
     val sbps = bps - wasted
     val x = new Array[Int](n)
-    var poEsc = (0, false)
+    var poEsc = (0, false, 0)
     if (tpe == 0) { // CONSTANT
       val v = br.readSigned(sbps)
       java.util.Arrays.fill(x, v)
@@ -541,23 +600,29 @@ object Flac {
       var i = 0
       while (i < n) { x(i) = x(i) << wasted; i += 1 }
     }
-    (x, SubframeInfo(tpe, wasted, poEsc._1, poEsc._2))
+    (x, SubframeInfo(tpe, wasted, poEsc._1, poEsc._2, poEsc._3))
   }
 
   /** Shared rice-residual reader: fills x[order..n) via `rebuild`
-    * (which sees the signed residual value). Carries the FULL 4-bit
-    * rice grammar (r11 ask #2): any partition order whose geometry is
-    * valid (n divisible by 2^po, first partition non-empty after the
+    * (which sees the signed residual value). Carries the FULL rice
+    * grammar in BOTH methods (r11 ask #2 + the round-12 depth lift):
+    * method 00 (4-bit parameters, escape 0b1111) and method 01 (RICE2,
+    * 5-bit parameters, escape 0b11111 — what reference encoders emit
+    * for >16-bit depths); any partition order whose geometry is valid
+    * (n divisible by 2^po, first partition non-empty after the
     * predictor warm-up — partitions 1.. hold n/2^po residuals, partition
     * 0 holds n/2^po − order), per-partition parameters, and the escape
-    * code (param 0b1111 → 5-bit width, residuals stored as raw signed
-    * two's complement, NOT zigzagged; width 0 means all-zero). */
+    * code (method's all-ones param → 5-bit width, residuals stored as
+    * raw signed two's complement, NOT zigzagged; width 0 means
+    * all-zero). */
   private def readRiceInto(br: BitReader, x: Array[Int], n: Int,
       order: Int, docId: Long)(
-      rebuild: (Array[Int], Int, Long) => Int): (Int, Boolean) = {
-    val method = br.read(2)
-    require(method == 0L,
-      s"flac: residual method $method not carried (4-bit rice only; doc $docId)")
+      rebuild: (Array[Int], Int, Long) => Int): (Int, Boolean, Int) = {
+    val method = br.read(2).toInt
+    require(method == 0 || method == 1,
+      s"flac: reserved residual method $method (doc $docId)")
+    val pBits = riceParamBits(method)
+    val escape = riceEscape(method)
     val po = br.read(4).toInt
     require((n & ((1 << po) - 1)) == 0,
       s"flac: block size $n not divisible into 2^$po partitions (doc $docId)")
@@ -568,8 +633,8 @@ object Flac {
     var part = 0
     while (part < (1 << po)) {
       val count = (n >> po) - (if (part == 0) order else 0)
-      val p = br.read(4).toInt
-      if (p == 15) { // escape: raw signed residuals at an explicit width
+      val p = br.read(pBits).toInt
+      if (p == escape) { // escape: raw signed residuals at an explicit width
         escaped = true
         val rawBits = br.read(5).toInt
         var j = 0
@@ -589,7 +654,7 @@ object Flac {
       }
       part += 1
     }
-    (po, escaped)
+    (po, escaped, method)
   }
 
   // ------------------------------------------------------------------
@@ -634,20 +699,25 @@ object Flac {
   // Stream encode
   // ------------------------------------------------------------------
 
-  private val Bps = 16
+  /** Carried bit depths: the byte-aligned set whose MD5 sample packing
+    * is unambiguous (bps/8 little-endian bytes each) and whose side
+    * channel (bps+1 ≤ 25 bits) fits Int arithmetic. */
+  private val CarriedDepths = Set(8, 16, 24)
 
   /** MD5 of the unencoded audio (channel-interleaved little-endian
-    * 16-bit samples — the STREAMINFO integrity field, verified at
-    * decode). */
-  private def audioMd5(channels: Array[Array[Int]]): Array[Byte] = {
+    * samples at bps/8 bytes each — the STREAMINFO integrity field,
+    * verified at decode). */
+  private def audioMd5(channels: Array[Array[Int]], bps: Int): Array[Byte] = {
     val md = java.security.MessageDigest.getInstance("MD5")
+    val bytes = bps / 8
     val n = channels(0).length
     var i = 0
     while (i < n) {
       var ch = 0
       while (ch < channels.length) {
         val v = channels(ch)(i)
-        md.update((v & 0xFF).toByte); md.update(((v >> 8) & 0xFF).toByte)
+        var b = 0
+        while (b < bytes) { md.update(((v >> (8 * b)) & 0xFF).toByte); b += 1 }
         ch += 1
       }
       i += 1
@@ -655,14 +725,17 @@ object Flac {
     md.digest()
   }
 
-  /** Encode 16-bit PCM channels (1 or 2, equal length) as a FLAC
+  /** Encode PCM channels (1–8, equal length, 8/16/24-bit) as a FLAC
     * stream: fLaC marker + STREAMINFO (with real MD5) + fixed-blocksize
     * frames. Stereo frames pick the cheapest of the four decorrelation
-    * modes by exact coded size. */
+    * modes by exact coded size; 3+ channels (surround layouts) code
+    * independently under channel-assignment code nch−1, the only
+    * multichannel form the format defines. */
   def encodeFlac(channels: Array[Array[Int]], sampleRate: Int,
-      blockSize: Int = 1024): Array[Byte] = {
-    require(channels.length == 1 || channels.length == 2,
-      "flac: 1 or 2 channels")
+      blockSize: Int = 1024, bps: Int = 16,
+      variableBlocks: Boolean = false): Array[Byte] = {
+    require(channels.length >= 1 && channels.length <= 8,
+      "flac: 1-8 channels (3-bit STREAMINFO field)")
     require(channels.map(_.length).distinct.length == 1,
       "flac: channels must be equal length")
     require(blockSize >= 16 && blockSize <= 65535, "flac: bad block size")
@@ -671,30 +744,51 @@ object Flac {
     // stream with the WRONG declared rate (advisor r11)
     require(sampleRate > 0 && sampleRate < (1 << 20),
       "flac: sample rate out of STREAMINFO range")
+    require(CarriedDepths(bps), s"flac: bit depth $bps not carried (8/16/24)")
+    val lo = -(1 << (bps - 1)); val hi = (1 << (bps - 1)) - 1
     channels.foreach(_.foreach(v =>
-      require(v >= -32768 && v <= 32767, "flac: 16-bit samples")))
+      require(v >= lo && v <= hi, s"flac: sample out of $bps-bit range")))
     val total = channels(0).length
     require(total > 0, "flac: empty input")
+    // block schedule: fixed streams repeat blockSize; variable streams
+    // (blocking strategy 1) alternate blockSize and blockSize/2 — a
+    // deterministic schedule that exercises the strategy's grammar
+    // (per-frame sizes, sample-number header coding, min≠max
+    // STREAMINFO) without inventing a rate-control heuristic
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Int]
+    locally {
+      var off = 0; var i = 0
+      while (off < total) {
+        val want = if (!variableBlocks || i % 2 == 0) blockSize
+          else math.max(16, blockSize / 2)
+        sizes += math.min(want, total - off)
+        off += sizes.last; i += 1
+      }
+    }
+    // STREAMINFO min/max block size exclude the possibly-shorter last
+    // frame (the spec's stated exception) unless it is the only frame
+    val bodySizes = if (sizes.length > 1) sizes.init else sizes
     val out = new java.io.ByteArrayOutputStream()
     out.write(Array[Byte]('f', 'L', 'a', 'C'))
     // STREAMINFO: last-block flag + type 0, length 34
     val si = new BitWriter
     si.put(1, 1); si.put(0, 7); si.put(34, 24)
-    si.put(blockSize.toLong, 16); si.put(blockSize.toLong, 16) // min/max block
+    si.put(bodySizes.min.toLong, 16); si.put(bodySizes.max.toLong, 16)
     si.put(0, 24); si.put(0, 24) // min/max frame size: 0 = unknown
     si.put(sampleRate.toLong, 20)
     si.put(channels.length.toLong - 1, 3)
-    si.put(Bps.toLong - 1, 5)
+    si.put(bps.toLong - 1, 5)
     si.put(total.toLong, 36)
     val siBytes = si.toBytes
     out.write(siBytes)
-    out.write(audioMd5(channels))
+    out.write(audioMd5(channels, bps))
     var frame = 0
     var off = 0
     while (off < total) {
-      val n = math.min(blockSize, total - off)
+      val n = sizes(frame)
       val chunk = channels.map(c => java.util.Arrays.copyOfRange(c, off, off + n))
-      out.write(encodeFrame(chunk, frame, n, sampleRate))
+      val codedNo = if (variableBlocks) off.toLong else frame.toLong
+      out.write(encodeFrame(chunk, codedNo, n, sampleRate, bps, variableBlocks))
       frame += 1; off += n
     }
     out.toByteArray
@@ -724,18 +818,25 @@ object Flac {
     }
   }
 
-  private def encodeFrame(chunk: Array[Array[Int]], frameNo: Int,
-      n: Int, sampleRate: Int): Array[Byte] = {
-    // pick channel assignment by exact coded subframe size
+  /** Frame-header sample-size codes for the carried byte-aligned
+    * depths (RFC 9639 §9.1.4: 0b001 = 8, 0b100 = 16, 0b110 = 24). */
+  private val SampleSizeCodes: Map[Int, Int] = Map(8 -> 1, 16 -> 4, 24 -> 6)
+
+  private def encodeFrame(chunk: Array[Array[Int]], codedNo: Long,
+      n: Int, sampleRate: Int, bps: Int, varBlocks: Boolean): Array[Byte] = {
+    // pick channel assignment by exact coded subframe size (stereo);
+    // mono and 3+ channels have exactly one form — independent coding
+    // at code channels−1
     val candidates: Seq[(Int, Array[(Array[Int], Int)])] =
-      if (chunk.length == 1) Seq((0, Array((chunk(0), Bps))))
+      if (chunk.length != 2)
+        Seq((chunk.length - 1, chunk.map(c => (c, bps))))
       else Seq(1, 8, 9, 10).map { mode =>
         val (a, b) = decorrelate(chunk(0), chunk(1), mode)
         val bits: Array[(Array[Int], Int)] = mode match {
-          case 1 => Array((a, Bps), (b, Bps))
-          case 8 => Array((a, Bps), (b, Bps + 1))
-          case 9 => Array((a, Bps + 1), (b, Bps))
-          case 10 => Array((a, Bps), (b, Bps + 1))
+          case 1 => Array((a, bps), (b, bps))
+          case 8 => Array((a, bps), (b, bps + 1))
+          case 9 => Array((a, bps + 1), (b, bps))
+          case 10 => Array((a, bps), (b, bps + 1))
         }
         (mode, bits)
       }
@@ -752,13 +853,13 @@ object Flac {
     val hw = new BitWriter
     hw.put(0x3FFE, 14) // sync
     hw.put(0, 1) // reserved
-    hw.put(0, 1) // blocking strategy: fixed
+    hw.put(if (varBlocks) 1 else 0, 1) // blocking strategy
     hw.put(bsCode.getOrElse(7).toLong, 4)
     hw.put(srCode.getOrElse(0).toLong, 4)
     hw.put(mode.toLong, 4) // channel assignment
-    hw.put(4, 3) // sample size: 16-bit, coded explicitly (code 0b100)
+    hw.put(SampleSizeCodes(bps).toLong, 3) // table-coded sample size
     hw.put(0, 1) // reserved
-    writeUtf8Num(hw, frameNo.toLong)
+    writeUtf8Num(hw, codedNo) // frame no (fixed) / first sample (variable)
     if (bsCode.isEmpty) hw.put(n.toLong - 1, 16)
     val headBytes = hw.toBytes
     val frameOut = new java.io.ByteArrayOutputStream()
@@ -778,9 +879,9 @@ object Flac {
   // Stream decode
   // ------------------------------------------------------------------
 
-  case class FlacStreamInfo(blockSize: Int, sampleRate: Int, channels: Int,
-      bitsPerSample: Int, totalSamples: Long, md5: Array[Byte],
-      firstFrameOff: Int)
+  case class FlacStreamInfo(blockSize: Int, minBlock: Int, sampleRate: Int,
+      channels: Int, bitsPerSample: Int, totalSamples: Long,
+      md5: Array[Byte], firstFrameOff: Int)
 
   def readStreamInfo(payload: Array[Byte], docId: Long): FlacStreamInfo = {
     require(payload.length > 42 && payload(0) == 'f' && payload(1) == 'L' &&
@@ -798,18 +899,18 @@ object Flac {
         require(len == 34, s"flac: bad STREAMINFO length $len (doc $docId)")
         val br = new BitReader(payload, off + 4)
         val minB = br.read(16).toInt; val maxB = br.read(16).toInt
-        require(minB == maxB,
-          s"flac: variable block size is a named boundary (doc $docId)")
+        require(minB >= 16 && minB <= maxB,
+          s"flac: invalid STREAMINFO block sizes $minB/$maxB (doc $docId)")
         br.read(24); br.read(24)
         val rate = br.read(20).toInt
         val nch = br.read(3).toInt + 1
         val bps = br.read(5).toInt + 1
-        require(bps == Bps, s"flac: only 16-bit carried (got $bps; doc $docId)")
-        require(nch <= 2, s"flac: >2 channels is a named boundary (doc $docId)")
+        require(CarriedDepths(bps),
+          s"flac: $bps-bit depth is a named boundary (8/16/24 carried; doc $docId)")
         val tot = br.read(36)
         val md5 = java.util.Arrays.copyOfRange(payload, off + 4 + 18,
           off + 4 + 34)
-        si = FlacStreamInfo(minB, rate, nch, bps, tot, md5, -1)
+        si = FlacStreamInfo(maxB, minB, rate, nch, bps, tot, md5, -1)
       }
       off += 4 + len
     }
@@ -820,7 +921,7 @@ object Flac {
   case class FlacFrameInfo(frame_id: Int, n_samples: Int, channel_mode: Int,
       byte_off: Long, frame_bytes: Int, subframe_types: Seq[Int],
       wasted_bits: Seq[Int], partition_orders: Seq[Int],
-      rice_escaped: Seq[Boolean])
+      rice_escaped: Seq[Boolean], rice_methods: Seq[Int])
 
   /** Decode a full stream: STREAMINFO + every frame (CRC-8 and CRC-16
     * verified, MD5 of the reconstructed audio checked against
@@ -833,29 +934,49 @@ object Flac {
     var off = si.firstFrameOff
     var outBase = 0
     var frame = 0
+    var streamStrategy = -1 // pinned by the first frame; mixing is invalid
     while (outBase < si.totalSamples) {
       val br = new BitReader(payload, off)
       require(br.read(14) == 0x3FFE,
         s"flac: lost frame sync at byte $off (doc $docId)")
       require(br.read(1) == 0, s"flac: reserved bit set (doc $docId)")
-      require(br.read(1) == 0,
-        s"flac: variable-blocksize frames are a named boundary (doc $docId)")
+      val strategy = br.read(1).toInt // 0 fixed / 1 variable blocksize
+      if (streamStrategy < 0) streamStrategy = strategy
+      else require(strategy == streamStrategy,
+        s"flac: mixed blocking strategies in one stream (doc $docId)")
       val bsCode = br.read(4).toInt
       require(bsCode != 0, s"flac: reserved block-size code 0 (doc $docId)")
       val srCode = br.read(4).toInt
       require(srCode != 15, s"flac: invalid sample-rate code 15 (doc $docId)")
       val mode = br.read(4).toInt
-      require(mode == 0 || mode == 1 || mode == 8 || mode == 9 || mode == 10,
-        s"flac: channel assignment $mode not carried (doc $docId)")
-      val nchFrame = if (mode == 0) 1 else 2
+      // 0-7 = mode+1 independent channels (mono through 7.1 surround);
+      // 8/9/10 = the stereo decorrelations; 11-15 reserved by the spec
+      require(mode <= 10,
+        s"flac: reserved channel assignment $mode (doc $docId)")
+      val nchFrame = if (mode <= 7) mode + 1 else 2
       require(nchFrame == si.channels,
         s"flac: frame/STREAMINFO channel mismatch (doc $docId)")
       val ssCode = br.read(3).toInt
-      require(ssCode == 0 || ssCode == 4,
-        s"flac: sample-size code $ssCode (only 16-bit is carried; doc $docId)")
+      // table-coded sample sizes for the carried depths (0 = from
+      // STREAMINFO; 1/4/6 = 8/16/24-bit); 12/20/32-bit stay named
+      val frameBps = ssCode match {
+        case 0 => si.bitsPerSample
+        case 1 => 8
+        case 4 => 16
+        case 6 => 24
+        case c => throw new IllegalArgumentException(
+          s"flac: sample-size code $c is a named boundary (doc $docId)")
+      }
+      require(frameBps == si.bitsPerSample,
+        s"flac: frame sample size $frameBps != STREAMINFO " +
+          s"${si.bitsPerSample} (doc $docId)")
       require(br.read(1) == 0, s"flac: reserved bit set (doc $docId)")
       val fno = readUtf8Num(br, docId)
-      require(fno == frame, s"flac: frame number $fno != $frame (doc $docId)")
+      if (strategy == 0)
+        require(fno == frame, s"flac: frame number $fno != $frame (doc $docId)")
+      else // variable blocksize codes the frame's FIRST SAMPLE number
+        require(fno == outBase,
+          s"flac: frame sample number $fno != $outBase (doc $docId)")
       // table-coded block sizes (round 12): the two dyadic ladders
       // reference encoders emit (flac's default 4096 block = code 12),
       // plus the self-describing 8/16-bit end-of-header forms
@@ -887,16 +1008,16 @@ object Flac {
       val wantCrc8 = br.read(8).toInt
       require(crc8(payload, off, crc8At) == wantCrc8,
         f"flac: frame-header CRC-8 mismatch (doc $docId)")
+      val bps = si.bitsPerSample
       val subsT: Array[(Array[Int], SubframeInfo)] = mode match {
-        case 0 => Array(readSubframe(br, n, Bps, docId))
-        case 1 => Array(readSubframe(br, n, Bps, docId),
-          readSubframe(br, n, Bps, docId))
-        case 8 => Array(readSubframe(br, n, Bps, docId),
-          readSubframe(br, n, Bps + 1, docId))
-        case 9 => Array(readSubframe(br, n, Bps + 1, docId),
-          readSubframe(br, n, Bps, docId))
-        case 10 => Array(readSubframe(br, n, Bps, docId),
-          readSubframe(br, n, Bps + 1, docId))
+        case m if m <= 7 =>
+          Array.fill(m + 1)(readSubframe(br, n, bps, docId))
+        case 8 => Array(readSubframe(br, n, bps, docId),
+          readSubframe(br, n, bps + 1, docId))
+        case 9 => Array(readSubframe(br, n, bps + 1, docId),
+          readSubframe(br, n, bps, docId))
+        case 10 => Array(readSubframe(br, n, bps, docId),
+          readSubframe(br, n, bps + 1, docId))
       }
       val subs = subsT.map(_._1)
       br.alignToByte()
@@ -910,22 +1031,24 @@ object Flac {
         f"flac: frame CRC-16 mismatch (doc $docId)")
       val frameBytes = crcAt + 2 - off
       val rec: Array[Array[Int]] =
-        if (si.channels == 1) subs
+        if (mode <= 7) subs
         else { val (l, r) = recorrelate(subs(0), subs(1), mode); Array(l, r) }
+      val rlo = -(1 << (bps - 1)); val rhi = (1 << (bps - 1)) - 1
       var ch = 0
       while (ch < si.channels) {
         System.arraycopy(rec(ch), 0, channels(ch), outBase, n)
-        rec(ch).foreach(v => require(v >= -32768 && v <= 32767,
-          s"flac: decoded sample out of 16-bit range (doc $docId)"))
+        rec(ch).foreach(v => require(v >= rlo && v <= rhi,
+          s"flac: decoded sample out of $bps-bit range (doc $docId)"))
         ch += 1
       }
       infos += FlacFrameInfo(frame, n, mode, off.toLong, frameBytes,
         subsT.map(_._2.tpe).toSeq, subsT.map(_._2.wasted).toSeq,
         subsT.map(_._2.partitionOrder).toSeq,
-        subsT.map(_._2.escaped).toSeq)
+        subsT.map(_._2.escaped).toSeq,
+        subsT.map(_._2.riceMethod).toSeq)
       outBase += n; off += frameBytes; frame += 1
     }
-    require(java.util.Arrays.equals(audioMd5(channels), si.md5),
+    require(java.util.Arrays.equals(audioMd5(channels, si.bitsPerSample), si.md5),
       s"flac: STREAMINFO MD5 mismatch — lossless contract violated (doc $docId)")
     (infos.result(), channels)
   }

@@ -83,7 +83,8 @@ class FlacSpec extends AnyFunSuite {
   }
 
   test("boundaries and corruption fail loudly: flipped subframe type " +
-      "(CRC catches the misparse), no fLaC marker, >16-bit, >2 channels") {
+      "(CRC catches the misparse), no fLaC marker, out-of-range sample, " +
+      ">8 channels") {
     val x = pcm(1200, 3L, 330.0)
     val enc = Flac.encodeFlac(Array(x), 48000, blockSize = 1024)
     val si = Flac.readStreamInfo(enc, 30L)
@@ -102,7 +103,32 @@ class FlacSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Flac.encodeFlac(Array(Array(40000)), 48000))
     intercept[IllegalArgumentException](
-      Flac.encodeFlac(Array.fill(3)(x), 48000))
+      Flac.encodeFlac(Array.fill(9)(x), 48000))
+  }
+
+  test("multichannel (round 12): 3-8 channels code independently under " +
+      "assignment code nch-1 and round-trip bit-exactly at 16- and " +
+      "24-bit depths") {
+    (3 to 8).foreach { nch =>
+      val chans = Array.tabulate(nch)(ch => pcm(2500, ch * 31L + 5L,
+        220.0 * (ch + 1)))
+      val enc = Flac.encodeFlac(chans, 48000, blockSize = 1024)
+      val si = Flac.readStreamInfo(enc, 80L + nch)
+      assert(si.channels == nch)
+      val (frames, dec) = Flac.decodeFlac(80L + nch, enc)
+      assert(frames.forall(_.channel_mode == nch - 1),
+        s"$nch channels must use assignment code ${nch - 1}")
+      assert(frames.forall(_.subframe_types.length == nch))
+      (0 until nch).foreach(ch => assert(dec(ch).sameElements(chans(ch)),
+        s"channel $ch of $nch not lossless"))
+    }
+    // 5.1 at 24-bit: the hi-res surround shape
+    val c24 = Array.tabulate(6)(ch => Array.tabulate(2048)(i =>
+      (2000000.0 * math.sin(2 * math.Pi * (300.0 + 100 * ch) * i / 96000.0))
+        .toInt))
+    val (_, d24) = Flac.decodeFlac(89L,
+      Flac.encodeFlac(c24, 96000, blockSize = 1024, bps = 24))
+    (0 until 6).foreach(ch => assert(d24(ch).sameElements(c24(ch))))
   }
 
   test("LPC subframes (round 11): HIGH-frequency tonal content picks LPC " +
@@ -188,14 +214,17 @@ class FlacSpec extends AnyFunSuite {
   test("rice escape code (round 12): a full-scale-noise partition is " +
       "stored raw (param 15 + explicit width) where unary quotients " +
       "would explode, and the stream round-trips bit-exactly") {
-    // loud half: order-1 residual of +/-32k noise spans ~17 bits —
-    // rice at p=14 still pays ~20 bits/value, raw 17 wins
+    // loud half: NEAR-MAX-magnitude random-sign noise — zigzag values
+    // concentrate just below a power of two, where rice (either method)
+    // pays the quotient terminator every sample and raw width wins
+    // decisively even against RICE2's finer parameters
     val x = Array.tabulate(1024) { i =>
       if (i < 512)
         (300 * math.sin(2 * math.Pi * 200.0 * i / 48000.0)).toInt
       else {
         val h = (i.toLong * 2654435761L + 11L) % 2147483647L
-        ((h % 65000L) - 32500L).toInt
+        val mag = 28000 + (h % 4500L).toInt
+        if (((h >> 20) & 1L) == 0L) mag else -mag
       }
     }
     val enc = Flac.encodeFlac(Array(x), 48000, blockSize = 1024)
@@ -248,6 +277,137 @@ class FlacSpec extends AnyFunSuite {
     }
     val e = intercept[IllegalArgumentException](Flac.decodeFlac(92L, bad))
     assert(e.getMessage.contains("sample rate"), e.getMessage)
+  }
+
+  test("bit depths (round 12): 8-bit and 24-bit streams round-trip " +
+      "bit-exactly, mono and stereo, with table-coded sample sizes") {
+    // 8-bit: tone + noise clamped to +/-128
+    val x8 = Array.tabulate(3000) { i =>
+      val t = 90.0 * math.sin(2 * math.Pi * 440.0 * i / 48000.0)
+      val h = (i.toLong * 2654435761L + 3L) % 2147483647L
+      math.max(-128, math.min(127, (t + h % 40L - 20L).toInt))
+    }
+    val enc8 = Flac.encodeFlac(Array(x8), 48000, blockSize = 1024, bps = 8)
+    val (f8, d8) = Flac.decodeFlac(70L, enc8)
+    assert(d8(0).sameElements(x8), "8-bit not lossless")
+    assert(Flac.readStreamInfo(enc8, 70L).bitsPerSample == 8)
+    assert(f8.map(_.n_samples).sum == x8.length)
+    // 24-bit: hi-res scale tone + wide noise
+    val x24 = Array.tabulate(4000) { i =>
+      val t = 4000000.0 * math.sin(2 * math.Pi * 500.0 * i / 48000.0)
+      val h = (i.toLong * 2654435761L + 9L) % 2147483647L
+      math.max(-(1 << 23), math.min((1 << 23) - 1,
+        (t + h % 130000L - 65000L).toInt))
+    }
+    val enc24 = Flac.encodeFlac(Array(x24), 96000, blockSize = 1024, bps = 24)
+    val (_, d24) = Flac.decodeFlac(71L, enc24)
+    assert(d24(0).sameElements(x24), "24-bit not lossless")
+    assert(Flac.readStreamInfo(enc24, 71L).bitsPerSample == 24)
+    // 24-bit stereo: side channel at 25 bits stays exact
+    val r24 = x24.map(v => math.max(-(1 << 23), math.min((1 << 23) - 1, v + 17)))
+    val (fs, ds) = Flac.decodeFlac(72L,
+      Flac.encodeFlac(Array(x24, r24), 96000, blockSize = 1024, bps = 24))
+    assert(ds(0).sameElements(x24) && ds(1).sameElements(r24))
+    assert(fs.exists(f => Set(8, 9, 10)(f.channel_mode)),
+      "correlated 24-bit channels should pick a side mode")
+  }
+
+  test("24-bit MD5 packing is pinned independently: STREAMINFO MD5 " +
+      "equals an in-test MD5 over 3-byte little-endian interleaved " +
+      "samples (the RFC 9639 byte layout, not a shared helper)") {
+    val l = Array.tabulate(2048)(i =>
+      (3000000.0 * math.sin(2 * math.Pi * 700.0 * i / 96000.0)).toInt)
+    val r = l.map(v => -v / 2)
+    val enc = Flac.encodeFlac(Array(l, r), 96000, blockSize = 1024, bps = 24)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until l.length).foreach { i =>
+      Seq(l(i), r(i)).foreach { v =>
+        md.update((v & 0xFF).toByte)
+        md.update(((v >> 8) & 0xFF).toByte)
+        md.update(((v >> 16) & 0xFF).toByte)
+      }
+    }
+    assert(Flac.readStreamInfo(enc, 73L).md5.sameElements(md.digest()))
+  }
+
+  test("RICE2 (round 12): 24-bit noise whose optimal rice parameter " +
+      "exceeds 14 is coded with method 01 (5-bit parameters), decodes " +
+      "bit-exactly, and beats both 4-bit rice and the escape on size") {
+    // heavy-tailed ~17-bit noise with sparse ~21-bit spikes: optimal
+    // p ~ 16-17 (method 1), escape pays the 22-bit max width, 4-bit
+    // rice saturates at p=14 with fat quotients
+    val x = Array.tabulate(4096) { i =>
+      val h = (i.toLong * 2654435761L + 77L) % 2147483647L
+      val base = (h % 120000L - 60000L).toInt
+      val spike = if (i % 37 == 0) (((h >> 17) % 3000000L) - 1500000L).toInt
+        else 0
+      math.max(-(1 << 23), math.min((1 << 23) - 1, base + spike))
+    }
+    val enc = Flac.encodeFlac(Array(x), 96000, blockSize = 1024, bps = 24)
+    val (frames, dec) = Flac.decodeFlac(74L, enc)
+    assert(dec(0).sameElements(x), "RICE2 stream not lossless")
+    assert(frames.exists(_.rice_methods.contains(1)),
+      s"wide residuals must pick method 01: ${frames.map(_.rice_methods)}")
+    // at 16-bit the 4-bit method keeps winning (the planner discovers
+    // this; RICE2's extra param bit buys nothing when p <= 14 suffices)
+    val x16 = pcm(4096, 8L, 550.0)
+    val (f16, _) = Flac.decodeFlac(75L,
+      Flac.encodeFlac(Array(x16), 48000, blockSize = 1024))
+    assert(f16.forall(_.rice_methods.forall(_ == 0)),
+      s"16-bit content should stay on method 00: ${f16.map(_.rice_methods)}")
+  }
+
+  test("depth boundaries fail loudly: out-of-range samples for the " +
+      "declared depth, and non-carried depths (12/20/32-bit)") {
+    val x = Array.tabulate(64)(i => i - 32)
+    intercept[IllegalArgumentException](
+      Flac.encodeFlac(Array(Array.fill(64)(200)), 48000, bps = 8))
+    intercept[IllegalArgumentException](
+      Flac.encodeFlac(Array(Array.fill(64)(1 << 23)), 48000, bps = 24))
+    Seq(12, 20, 32).foreach { d =>
+      val e = intercept[IllegalArgumentException](
+        Flac.encodeFlac(Array(x), 48000, bps = d))
+      assert(e.getMessage.contains("not carried"))
+    }
+  }
+
+  test("variable blocksize (round 12): blocking strategy 1 streams code " +
+      "the frame's first SAMPLE number, alternate block sizes, carry " +
+      "min != max in STREAMINFO, and round-trip bit-exactly") {
+    val x = pcm(5000, 33L, 480.0) // 1024+512+1024+512+1024+512+392
+    val enc = Flac.encodeFlac(Array(x), 48000, blockSize = 1024,
+      variableBlocks = true)
+    val si = Flac.readStreamInfo(enc, 95L)
+    assert(si.minBlock == 512 && si.blockSize == 1024,
+      s"STREAMINFO min/max must reflect the schedule: ${si.minBlock}/${si.blockSize}")
+    val (frames, dec) = Flac.decodeFlac(95L, enc)
+    assert(dec(0).sameElements(x), "variable-blocksize stream not lossless")
+    assert(frames.map(_.n_samples).toSeq ==
+      Seq(1024, 512, 1024, 512, 1024, 512, 392))
+    // stereo + 24-bit variable streams stay exact
+    val l24 = Array.tabulate(3000)(i =>
+      (3000000.0 * math.sin(2 * math.Pi * 600.0 * i / 96000.0)).toInt)
+    val r24 = l24.map(v => v / 3 + 11)
+    val (_, d24) = Flac.decodeFlac(96L, Flac.encodeFlac(Array(l24, r24),
+      96000, blockSize = 1024, bps = 24, variableBlocks = true))
+    assert(d24(0).sameElements(l24) && d24(1).sameElements(r24))
+    // a fixed-strategy stream still pins frame NUMBERS (regression)
+    val encF = Flac.encodeFlac(Array(x), 48000, blockSize = 1024)
+    assert(Flac.readStreamInfo(encF, 97L).minBlock == 1024)
+    assert(Flac.decodeFlac(97L, encF)._2(0).sameElements(x))
+  }
+
+  test("extended UTF-8 coded numbers: sample numbers needing 4+ byte " +
+      "forms round-trip (a variable stream whose later frames start " +
+      "beyond 2^16 samples)") {
+    // 70000 samples: frame starts cross 65536 — the old 3-byte cap
+    val x = Array.tabulate(70000)(i =>
+      (6000.0 * math.sin(2 * math.Pi * 350.0 * i / 48000.0)).toInt)
+    val enc = Flac.encodeFlac(Array(x), 48000, blockSize = 4096,
+      variableBlocks = true)
+    val (frames, dec) = Flac.decodeFlac(98L, enc)
+    assert(dec(0).sameElements(x))
+    assert(frames.map(_.n_samples).sum == 70000)
   }
 
   test("foreign rice geometry fails loudly by name: a partition order " +
