@@ -2243,6 +2243,91 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // X5 — MP3 INTENSITY ON SHORT BLOCKS (round 12, session 2): the
+    // last structural member of the stereo matrix — each short
+    // window's zero bound is determined SEPARATELY (§2.4.3.4.9.3),
+    // positions come from the side channel's short scalefactor slots
+    // at/above that window's bound, and MS (when also set) applies to
+    // each window's bands below its bound. The side channel carries
+    // real spectral data in the below-bound bands, so the per-window
+    // bound derivation is exercised nontrivially; bit-exact expected
+    // spectra replay every position/window/bound combination.
+    "x5_decode_mp3_intensity_short" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val mpa = graft.ops.MpegAudio
+          val nFrames = (2 + id % 3).toInt
+          val nGr = 2 * nFrames
+          val (_, sfbS) = mpa.mp3SfbTables(48000)
+          def width(b: Int) = sfbS(b + 1) - sfbS(b)
+          def decPos(b: Int, w: Int): Int =
+            (0 until b).map(bb => 3 * width(bb)).sum + w * width(b)
+          def natLine(b: Int, w: Int): Int = {
+            val f = sfbS(b)
+            18 * (f / 6) + 6 * w + (f % 6)
+          }
+          val grans = (0 until nGr).map { g =>
+            def bound(w: Int) = ((id + g + w) % 3).toInt
+            def pos(b: Int, w: Int) = ((id + g + b + 2 * w) % 8).toInt
+            def lSign(b: Int, w: Int) = if ((g + b + w) % 2 == 0) 1 else -1
+            val linesL = new Array[Int](576)
+            (0 until 12).foreach(b => (0 until 3).foreach(w =>
+              linesL(decPos(b, w)) = lSign(b, w)))
+            val linesS = new Array[Int](576)
+            (0 until 3).foreach(w => (0 until bound(w)).foreach(b =>
+              linesS(decPos(b, w)) = if ((b + w + g) % 2 == 0) 1 else -1))
+            val sfS = Array.tabulate(12, 3)((b, w) =>
+              if (b >= bound(w)) pos(b, w) else 0)
+            (mpa.Mp3GranSpec(lines = linesL, globalGain = 210,
+              blockType = 2),
+              mpa.Mp3GranSpec(lines = linesS, globalGain = 210,
+                blockType = 2, scalefacCompress = 13, sfShort = sfS))
+          }
+          val alsoMs = id % 2 == 0
+          val enc = mpa.encodeMp3StereoAdvanced(grans, 320,
+            modeExt = if (alsoMs) 3 else 1, withCrc = id % 3 == 1)
+          val census = mpa.mp3ChannelModeCensus(id, enc)
+          val nIntensity = census.count(c => c._2 == 1 && (c._3 & 1) != 0)
+          val spectra = mpa.mp3StreamSpectraStereo(id, enc)
+          val inv = 1.0 / math.sqrt(2.0)
+          val specOk = spectra.length == nGr &&
+            spectra.zipWithIndex.forall { case (xrs, g) =>
+              def bound(w: Int) = ((id + g + w) % 3).toInt
+              def pos(b: Int, w: Int) = ((id + g + b + 2 * w) % 8).toInt
+              (0 until 12).forall { b =>
+                (0 until 3).forall { w =>
+                  val i = natLine(b, w)
+                  val lv = (if ((g + b + w) % 2 == 0) 1 else -1).toDouble
+                  val sv = if (b < bound(w))
+                    (if ((b + w + g) % 2 == 0) 1.0 else -1.0) else 0.0
+                  val (el, er) =
+                    if (b >= bound(w)) {
+                      val p = pos(b, w)
+                      if (p >= 6) (lv, 0.0)
+                      else {
+                        val r = math.tan(p * math.Pi / 12.0)
+                        (lv * r / (1 + r), lv / (1 + r))
+                      }
+                    } else if (alsoMs) ((lv + sv) * inv, (lv - sv) * inv)
+                    else (lv, sv)
+                  math.abs(xrs(0)(i) - el) < 1e-12 &&
+                    math.abs(xrs(1)(i) - er) < 1e-12
+                }
+              }
+            }
+          val chans = mpa.decodeMpegAudioChannels(id, enc)
+          val clean = chans.length == 2 &&
+            chans.forall(c => c.length == 1152L * nFrames &&
+              c.forall(v => !v.isNaN && !v.isInfinite))
+          (id, nFrames, nIntensity, alsoMs, specOk, clean)
+        }
+        .toDF("doc_id", "n_frames", "n_intensity_frames", "also_ms",
+          "spectrum_exact", "decode_clean")
+        .orderBy("doc_id")
+    }),
+
     // X5 — MP3 MIXED BLOCKS (round 12, the last window-switching
     // form): block_type 2 with mixed_block_flag — the two lowest
     // subbands stay long-windowed (long sfb 0-7 scalefactors, no
@@ -8699,6 +8784,17 @@ object SparkEntry {
     // Intensity-stereo fixtures: every frame is joint-stereo with the
     // intensity bit set; exact position reconstruction rides booleans.
     "x5_decode_mp3_intensity" ->
+      """SELECT doc_id,
+        |  CAST(2 + doc_id % 3 AS INTEGER) AS n_frames,
+        |  CAST(2 + doc_id % 3 AS INTEGER) AS n_intensity_frames,
+        |  (doc_id % 2 = 0) AS also_ms,
+        |  TRUE AS spectrum_exact, TRUE AS decode_clean
+        |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,
+
+    // Intensity-on-short census replay: every frame is joint-stereo
+    // with the intensity bit; per-window bounds/positions are verified
+    // in-query against the planted construction (spectrum_exact).
+    "x5_decode_mp3_intensity_short" ->
       """SELECT doc_id,
         |  CAST(2 + doc_id % 3 AS INTEGER) AS n_frames,
         |  CAST(2 + doc_id % 3 AS INTEGER) AS n_intensity_frames,

@@ -970,7 +970,10 @@ object MpegAudio {
   // filter and the Table C.3 note in the module doc; a silently
   // mis-remembered code would decode garbage, a named refusal is
   // diagnosable), count1 table A, intensity on
-  // a window-switched granule, and a main_data_begin pointing before
+  // a MIXED-block granule (pure short-block intensity decodes since
+  // round-12 session 2: per-window zero bounds, positions in the short
+  // scalefactor slots, MS below each window's bound), and a
+  // main_data_begin pointing before
   // the stream start (a cut stream — reservoir underflow). The
   // encoders are spectral-domain FIXTURE GENERATORS (lines in
   // {−1,0,1}, amplitude via global_gain/scalefactors), not
@@ -983,7 +986,9 @@ object MpegAudio {
   // spec-legal stuffing past it; [[encodeMp3Advanced]] drives the
   // round-12 grammar — block types, scalefactors, subblock gains,
   // preflag, scalefac_scale; [[encodeMp3IntensityStereo]] plants
-  // per-band intensity positions).
+  // per-band intensity positions; [[encodeMp3StereoAdvanced]] writes
+  // arbitrary granule PAIRS with an explicit mode_extension — the
+  // intensity-on-short fixture surface).
   // ------------------------------------------------------------------
 
   /** scalefac_compress → (slen1, slen2), ISO table. slen1 covers sfb
@@ -1110,7 +1115,8 @@ object MpegAudio {
     * all-zero line (rzero — the intensity region starts at the first
     * scalefactor band at or above it), and the block type. */
   private case class Mp3DecodedGranule(xr: Array[Double], sfLong: Array[Int],
-      rzero: Int, blockType: Int, mixedBlock: Boolean = false)
+      rzero: Int, blockType: Int, mixedBlock: Boolean = false,
+      sfShort: Array[Array[Int]] = null, isBoundShort: Array[Int] = null)
 
   /** One channel-granule's 59-bit side-info block (§2.4.1.7) — the
     * shared grammar of the 17-byte mono and 32-byte stereo layouts.
@@ -1349,6 +1355,10 @@ object MpegAudio {
         }
         pos = 36
       }
+      // per-window intensity bounds (§2.4.3.4.9.3: short blocks
+      // determine the zero part for each window separately): bound(w) =
+      // one past the last band with ANY nonzero coded line in window w
+      val lastNz = Array(-1, -1, -1)
       var b = if (g.mixedBlock) 3 else 0
       while (b < 13) {
         var w = 0
@@ -1357,13 +1367,18 @@ object MpegAudio {
             math.pow(2.0, -2.0 * g.subblockGain(w) - mult * sfShort(b)(w))
           var f = sfbS(b)
           while (f < sfbS(b + 1)) {
-            if (dec(pos) != 0) xr(omap(pos)) = mag(dec(pos), sc)
+            if (dec(pos) != 0) {
+              xr(omap(pos)) = mag(dec(pos), sc)
+              if (b > lastNz(w)) lastNz(w) = b
+            }
             pos += 1; f += 1
           }
           w += 1
         }
         b += 1
       }
+      return Mp3DecodedGranule(xr, sfLong, rzero, g.blockType, g.mixedBlock,
+        sfShort, lastNz.map(_ + 1))
     } else {
       var b = 0
       var i = 0
@@ -1527,62 +1542,95 @@ object MpegAudio {
     * carry a POSITION in the side channel's scalefactor slot —
     * is_ratio = tan(is_pos·π/12), li = xr·ratio/(1+ratio),
     * ri = xr/(1+ratio); is_pos 7 is illegal and leaves the band
-    * untouched (the spec's prescribed fallback). Intensity is applied
-    * on LONG-block granules; intensity + window switching in the same
-    * granule remains a named boundary (LAME never emits it — short
-    * blocks force per-window intensity positions this fixture grammar
-    * cannot round-trip). Plain stereo / dual channel pass through. */
+    * untouched (the spec's prescribed fallback). On SHORT-block
+    * granules (round 12, session 2) the zero part is determined for
+    * each of the three windows separately (§2.4.3.4.9.3): window w's
+    * intensity region starts one band past its last nonzero coded
+    * band, positions come from the side channel's SHORT scalefactor
+    * slots sfShort(band)(window) (band 12 reuses band 11's, the short
+    * analog of sfb21→20), and MS — when also set — applies to each
+    * window's bands BELOW its bound. Intensity on MIXED blocks remains
+    * a named boundary (the long/short region split would need a hybrid
+    * bound no reference encoder emits). Plain stereo / dual channel
+    * pass through. */
   private def mp3ApplyStereo(h: FrameHeader, xrs: Array[Array[Double]],
       side: Mp3DecodedGranule, docId: Long): Unit = {
     if (xrs.length != 2 || h.mode != 1) return
     val intensity = (h.modeExt & 1) != 0
     val ms = (h.modeExt & 2) != 0
+    val inv = 1.0 / math.sqrt(2.0)
+    def msLine(i: Int): Unit = {
+      val mi = xrs(0)(i); val si = xrs(1)(i)
+      xrs(0)(i) = (mi + si) * inv
+      xrs(1)(i) = (mi - si) * inv
+    }
+    // intensity split factors for a position, or null for is_pos 7
+    // (illegal: the spec's fallback leaves the band untouched);
+    // is_pos 6 is tan(π/2) = ∞: all energy left, exactly
+    def isFactors(isPos: Int): (Double, Double) =
+      if (isPos == 7) null
+      else if (isPos == 6) (1.0, 0.0)
+      else {
+        val ratio = math.tan(isPos * math.Pi / 12.0)
+        (ratio / (1.0 + ratio), 1.0 / (1.0 + ratio))
+      }
+    def isLine(i: Int, f: (Double, Double)): Unit = {
+      val v = xrs(0)(i)
+      xrs(0)(i) = v * f._1
+      xrs(1)(i) = v * f._2
+    }
+    if (intensity && side.blockType == 2) {
+      require(!side.mixedBlock,
+        s"mpeg: layer III intensity on a mixed-block granule is a " +
+          s"named boundary of this decoder (doc $docId)")
+      val sfbS = Mp3SfbShort(h.sampleRate)
+      var b = 0
+      while (b < 13) {
+        var w = 0
+        while (w < 3) {
+          val inIntensity = b >= side.isBoundShort(w)
+          // band 12 has no coded short scalefactor: reuse band 11's
+          val f = if (inIntensity)
+            isFactors(side.sfShort(math.min(b, 11))(w)) else null
+          var fr = sfbS(b)
+          while (fr < sfbS(b + 1)) {
+            val i = 18 * (fr / 6) + 6 * w + (fr % 6) // natural-order line
+            if (inIntensity) { if (f != null) isLine(i, f) }
+            else if (ms) msLine(i)
+            fr += 1
+          }
+          w += 1
+        }
+        b += 1
+      }
+      return
+    }
     val sfbL = Mp3SfbLong(h.sampleRate)
-    // intensity region: scalefactor bands fully at/above the side
-    // channel's rzero; empty when intensity is off
+    // long-block intensity region: scalefactor bands fully at/above the
+    // side channel's rzero; empty when intensity is off
     val intensityStart =
       if (!intensity) 576
       else {
         require(side.blockType == 0,
-          s"mpeg: layer III intensity on a window-switched granule is a " +
-            s"named boundary of this decoder (doc $docId)")
+          s"mpeg: layer III intensity on a start/stop-block granule is " +
+            s"a named boundary of this decoder (doc $docId)")
         var b = 0
         while (b < 22 && sfbL(b) < side.rzero) b += 1
         sfbL(b)
       }
     if (ms) {
-      val inv = 1.0 / math.sqrt(2.0)
-      val m = xrs(0); val s = xrs(1)
       var i = 0
-      while (i < intensityStart) {
-        val mi = m(i); val si = s(i)
-        m(i) = (mi + si) * inv
-        s(i) = (mi - si) * inv
-        i += 1
-      }
+      while (i < intensityStart) { msLine(i); i += 1 }
     }
     if (intensity && intensityStart < 576) {
-      val l = xrs(0); val r = xrs(1)
       var b = 0
       while (b < 22) {
         if (sfbL(b) >= intensityStart) {
           // sfb21 has no coded scalefactor: it reuses sfb20's position
-          val isPos = side.sfLong(math.min(b, 20))
-          if (isPos != 7) {
-            // is_pos 6 is tan(π/2) = ∞: all energy left, exactly
-            val (fl, fr) =
-              if (isPos == 6) (1.0, 0.0)
-              else {
-                val ratio = math.tan(isPos * math.Pi / 12.0)
-                (ratio / (1.0 + ratio), 1.0 / (1.0 + ratio))
-              }
+          val f = isFactors(side.sfLong(math.min(b, 20)))
+          if (f != null) {
             var i = sfbL(b)
-            while (i < sfbL(b + 1)) {
-              val v = l(i)
-              l(i) = v * fl
-              r(i) = v * fr
-              i += 1
-            }
+            while (i < sfbL(b + 1)) { isLine(i, f); i += 1 }
           }
         }
         b += 1
@@ -2249,6 +2297,52 @@ object MpegAudio {
       }
       out.write(mp3AssembleFrame(bitrateKbps, withCrc, sw.toBytes,
         dw.toBytes, frameBytes, mode = 1, modeExt = if (alsoMs) 3 else 1))
+      case other => throw new IllegalStateException(s"mp3: $other")
+    }
+    out.toByteArray
+  }
+
+  /** Encode a JOINT-STEREO Layer III stream from full-grammar granule
+    * PAIRS at 48 kHz with an explicit mode_extension (round 12,
+    * session 2) — the general fixture surface for the joint-stereo
+    * matrix over any block geometry the advanced grammar supports.
+    * With modeExt bit 0 set, the right granule is the intensity SIDE
+    * channel: its scalefactor slots at/above each window's (or the
+    * long spectrum's) zero bound carry intensity positions; slots
+    * below the bound are its real requant scalefactors for whatever
+    * spectral data it codes there. */
+  def encodeMp3StereoAdvanced(granules: Seq[(Mp3GranSpec, Mp3GranSpec)],
+      bitrateKbps: Int, modeExt: Int = 0,
+      withCrc: Boolean = false): Array[Byte] = {
+    require(granules.nonEmpty && granules.length % 2 == 0,
+      "mp3: an even number of granules (2 per frame)")
+    require(modeExt >= 0 && modeExt <= 3, "mp3: mode_extension is 2 bits")
+    granules.foreach { case (l, r) =>
+      mp3ValidateGranSpec(l); mp3ValidateGranSpec(r)
+    }
+    val fs = Mp2Rate
+    val frameBytes = 144 * bitrateKbps * 1000 / fs
+    val out = new java.io.ByteArrayOutputStream()
+    granules.grouped(2).foreach { case Seq((l0, r0), (l1, r1)) =>
+      val gs = Seq(l0, r0, l1, r1)
+      val p23 = gs.map(g =>
+        mp3Part2Bits(g) + mp3GranuleBits(g.lines, g.bigValuesPairs))
+      require(p23.forall(_ < 4096), "mp3: part2_3_length overflows 12 bits")
+      val budget = (frameBytes - 4 - (if (withCrc) 2 else 0) - 32) * 8
+      require(p23.sum <= budget,
+        s"mp3: main data exceeds the $budget-bit frame budget at " +
+          s"$bitrateKbps kbps — raise the bitrate")
+      val sw = new BitWriter
+      sw.put(0, 9); sw.put(0, 3)  // mdb / private_bits
+      sw.put(0, 4); sw.put(0, 4)  // scfsi ch0 / ch1
+      gs.zip(p23).foreach { case (g, p) => mp3WriteGranuleSideAdv(sw, p, g) }
+      val dw = new BitWriter
+      gs.foreach { g =>
+        mp3WriteScalefacs(dw, g)
+        mp3WriteGranuleData(dw, g.lines, g.bigValuesPairs)
+      }
+      out.write(mp3AssembleFrame(bitrateKbps, withCrc, sw.toBytes,
+        dw.toBytes, frameBytes, mode = 1, modeExt = modeExt))
       case other => throw new IllegalStateException(s"mp3: $other")
     }
     out.toByteArray

@@ -766,4 +766,84 @@ class MpegAudioSpec extends AnyFunSuite {
     }
     assert(badShort.getMessage.contains("long scalefactor layout"))
   }
+
+  test("intensity on short blocks (round 12, session 2): each window's " +
+      "zero bound is determined separately, positions come from the " +
+      "side channel's short scalefactor slots (band 12 reuses 11), MS " +
+      "applies below each window's bound when also set; spectra exact") {
+    import graft.ops.MpegAudio
+    val (_, sfbS) = MpegAudio.mp3SfbTables(48000)
+    def width(b: Int) = sfbS(b + 1) - sfbS(b)
+    def decPos(b: Int, w: Int): Int =
+      (0 until b).map(bb => 3 * width(bb)).sum + w * width(b)
+    def natLine(b: Int, w: Int): Int = {
+      val f = sfbS(b)
+      18 * (f / 6) + 6 * w + (f % 6)
+    }
+    // left: one line planted at the first frequency of EVERY (band,
+    // window); side: data only in bands < bound_w, bound_w = w
+    val linesL = new Array[Int](576)
+    (0 until 12).foreach(b => (0 until 3).foreach(w =>
+      linesL(decPos(b, w)) = 1))
+    val linesS = new Array[Int](576)
+    (0 until 3).foreach(w => (0 until w).foreach(b =>
+      linesS(decPos(b, w)) = if ((b + w) % 2 == 0) 1 else -1))
+    val posOf = Array.tabulate(12, 3)((b, w) => (b + w) % 8)
+    val sfS = Array.tabulate(12, 3)((b, w) => if (b >= w) posOf(b)(w) else 0)
+    val gl = MpegAudio.Mp3GranSpec(lines = linesL, globalGain = 210,
+      blockType = 2)
+    val gr = MpegAudio.Mp3GranSpec(lines = linesS, globalGain = 210,
+      blockType = 2, scalefacCompress = 13, sfShort = sfS)
+    Seq(1, 3).foreach { modeExt =>
+      val enc = MpegAudio.encodeMp3StereoAdvanced(
+        Seq((gl, gr), (gl, gr)), 320, modeExt = modeExt)
+      val census = MpegAudio.mp3ChannelModeCensus(100L + modeExt, enc)
+      assert(census.forall(c => c._2 == 1 && (c._3 & 1) == 1))
+      val spectra = MpegAudio.mp3StreamSpectraStereo(100L + modeExt, enc)
+      assert(spectra.length == 2)
+      val inv = 1.0 / math.sqrt(2.0)
+      spectra.foreach { xrs =>
+        (0 until 13).foreach { b =>
+          (0 until 3).foreach { w =>
+            // band 12 exists in the layout but neither channel planted
+            // data there; it still takes band 11's position (no-op on
+            // zero lines) — only check planted lines
+            if (b < 12) {
+              val i = natLine(b, w)
+              val lv = 1.0
+              val sv = if (b < w) (if ((b + w) % 2 == 0) 1.0 else -1.0) else 0.0
+              val (el, er) =
+                if (b >= w) { // intensity region of window w
+                  val p = posOf(b)(w)
+                  if (p == 7) (lv, 0.0)
+                  else if (p == 6) (lv, 0.0)
+                  else {
+                    val r = math.tan(p * math.Pi / 12.0)
+                    (lv * r / (1 + r), lv / (1 + r))
+                  }
+                } else if (modeExt == 3) // MS below the bound
+                  ((lv + sv) * inv, (lv - sv) * inv)
+                else (lv, sv) // intensity-only: below-bound passes through
+              assert(math.abs(xrs(0)(i) - el) < 1e-12,
+                s"modeExt=$modeExt b=$b w=$w L: ${xrs(0)(i)} vs $el")
+              assert(math.abs(xrs(1)(i) - er) < 1e-12,
+                s"modeExt=$modeExt b=$b w=$w R: ${xrs(1)(i)} vs $er")
+            }
+          }
+        }
+      }
+      // PCM decode runs clean end-to-end through short-block synthesis
+      val chans = MpegAudio.decodeMpegAudioChannels(102L + modeExt, enc)
+      assert(chans.length == 2 && chans(0).exists(math.abs(_) > 1e-9))
+      assert(chans.forall(_.forall(v => !v.isNaN && !v.isInfinite)))
+    }
+    // intensity on MIXED blocks stays a named boundary
+    val gm = MpegAudio.Mp3GranSpec(lines = new Array[Int](576),
+      globalGain = 210, blockType = 2, mixedBlock = true)
+    val encBad = MpegAudio.encodeMp3StereoAdvanced(
+      Seq((gl, gm), (gl, gm)), 320, modeExt = 1)
+    val e = intercept[IllegalArgumentException](
+      MpegAudio.mp3StreamSpectraStereo(105L, encBad))
+    assert(e.getMessage.contains("mixed-block"), e.getMessage)
+  }
 }
