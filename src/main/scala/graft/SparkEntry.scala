@@ -2328,6 +2328,77 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // X5 — MP3 TAGGED-CRAWL INTAKE (round 12, session 2): real crawl
+    // MP3s are wrapped — ID3v2 prefix (v2.3 plain / v2.4 syncsafe
+    // frame sizes, latin1 and UTF-16 text, padding, footer, binary
+    // frames to skip), a Xing/Info VBR first frame (the LAME
+    // convention: zero side info + magic + frame/byte counts), and an
+    // ID3v1 128-byte trailer. mp3IntakeCensus strips the tags, parses
+    // the metadata, detects the info frame, and walks the audio — the
+    // scan a corpus intake runs on every crawl MP3. The census fields
+    // replay closed-form; the stripped audio must decode clean.
+    "x5_mp3_id3_intake" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val mpa = graft.ops.MpegAudio
+          val nFrames = (2 + id % 3).toInt
+          val grans = (0 until 2 * nFrames).map { g =>
+            val lines = new Array[Int](576)
+            lines((30 + (id + g) % 40).toInt) = 1
+            lines
+          }
+          val gains = (0 until 2 * nFrames).map(g => 204 + ((id + g) % 10).toInt)
+          val audio = mpa.encodeMp3(grans, gains, 160)
+          val major = if (id % 2 == 0) 3 else 4
+          val texts = Seq("TIT2" -> s"title-$id",
+            "TPE1" -> s"artist-${id % 7}") ++
+            (if (id % 2 == 1) Seq("TALB" -> s"album-${id % 5}") else Nil)
+          val bins = if (id % 5 == 2)
+            Seq("APIC" -> Array.tabulate(((id % 5) * 3 + 4).toInt)(i =>
+              (i + id).toByte)) else Nil
+          val footer = major == 4 && id % 4 == 3
+          val v2 = graft.ops.Id3.encodeId3v2(texts, major = major,
+            utf16 = id % 3 == 0,
+            padding = if (footer) 0 else ((id % 4) * 7).toInt,
+            withFooter = footer, binaryFrames = bins)
+          val hasXing = id % 3 != 1
+          val xing = if (hasXing)
+            mpa.makeMp3InfoFrame(160, mono = true, nFrames = nFrames,
+              nBytes = audio.length, vbr = id % 2 == 0)
+          else Array.empty[Byte]
+          val hasV1 = id % 2 == 0
+          val v1 = if (hasV1)
+            graft.ops.Id3.encodeId3v1(s"t-$id", s"p-${id % 3}", "alb",
+              "2004", "c", (id % 9).toInt + 1, (id % 80).toInt)
+          else Array.empty[Byte]
+          val payload = v2 ++ xing ++ audio ++ v1
+          val c = mpa.mp3IntakeCensus(id, payload)
+          val pcm = mpa.decodeMpegAudio(id, java.util.Arrays.copyOfRange(
+            payload, c.audioStart + xing.length, c.audioEnd))
+          val clean = pcm.length == 1152 * nFrames &&
+            pcm.forall(v => !v.isNaN && !v.isInfinite)
+          val tmap = c.id3v2.get.textFrames.toMap
+          val v1Ok = if (hasV1)
+            c.id3v1.exists(t => t.title == s"t-$id" &&
+              t.artist == s"p-${id % 3}" && t.track == (id % 9).toInt + 1)
+          else c.id3v1.isEmpty
+          val xingOk = if (hasXing)
+            c.xing.exists(x => x.vbr == (id % 2 == 0) &&
+              x.nFrames == c.nAudioFrames && x.nBytes == audio.length)
+          else c.xing.isEmpty
+          (id, c.id3v2.get.major, c.id3v2.get.textFrames.size,
+            tmap.getOrElse("TIT2", ""), tmap.getOrElse("TPE1", ""),
+            c.id3v2.get.nSkippedFrames, v1Ok, c.xing.isDefined, xingOk,
+            c.nAudioFrames, c.nSamples, clean)
+        }
+        .toDF("doc_id", "v2_major", "n_text_frames", "title", "artist",
+          "n_skipped_frames", "v1_ok", "has_xing", "xing_ok",
+          "n_audio_frames", "n_samples", "decode_clean")
+        .orderBy("doc_id")
+    }),
+
     // X5 — MP3 MIXED BLOCKS (round 12, the last window-switching
     // form): block_type 2 with mixed_block_flag — the two lowest
     // subbands stay long-windowed (long sfb 0-7 scalefactors, no
@@ -8789,6 +8860,27 @@ object SparkEntry {
         |  CAST(2 + doc_id % 3 AS INTEGER) AS n_intensity_frames,
         |  (doc_id % 2 = 0) AS also_ms,
         |  TRUE AS spectrum_exact, TRUE AS decode_clean
+        |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,
+
+    // Tagged-crawl intake replay: tag versions, text-frame counts and
+    // values, binary-frame skips, V1/Xing verdicts, audio frame/sample
+    // counts — all closed-form from the id scheme.
+    "x5_mp3_id3_intake" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS INTEGER)
+        |    AS v2_major,
+        |  CAST(CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 2 END AS INTEGER)
+        |    AS n_text_frames,
+        |  'title-' || doc_id AS title,
+        |  'artist-' || (doc_id % 7) AS artist,
+        |  CAST(CASE WHEN doc_id % 5 = 2 THEN 1 ELSE 0 END AS INTEGER)
+        |    AS n_skipped_frames,
+        |  TRUE AS v1_ok,
+        |  (doc_id % 3 <> 1) AS has_xing,
+        |  TRUE AS xing_ok,
+        |  CAST(2 + doc_id % 3 AS INTEGER) AS n_audio_frames,
+        |  CAST(1152 * (2 + doc_id % 3) AS BIGINT) AS n_samples,
+        |  TRUE AS decode_clean
         |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,
 
     // Intensity-on-short census replay: every frame is joint-stereo

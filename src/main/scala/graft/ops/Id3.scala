@@ -1,0 +1,241 @@
+package graft.ops
+
+/** ID3 tag intake (the id3.org informal standards: ID3v1/v1.1 and
+  * ID3v2.3/v2.4) — the metadata wrappers around essentially every
+  * real-crawl MP3. `walkFrames` deliberately requires audio frames to
+  * tile the payload; this layer finds the AUDIO SPAN inside a tagged
+  * file (ID3v2 prefix via the syncsafe tag size, ID3v1 128-byte "TAG"
+  * suffix) and extracts the text metadata a corpus-intake pipeline
+  * keeps (title/artist/album/...).
+  *
+  * Carried exactly per the public documents:
+  *   - ID3v2 header: "ID3", major (3 or 4), revision, flags (v2.4
+  *     footer bit 0x10 honored: +10 trailing bytes), 28-bit SYNCSAFE
+  *     size (4 bytes, high bit of each clear) counting everything
+  *     after the 10-byte header (excluding the footer).
+  *   - Text frames ("T***"): 4-char id, size (v2.3: plain 32-bit
+  *     big-endian; v2.4: syncsafe), 2 flag bytes, body = encoding byte
+  *     + text. Encodings carried: 0 = ISO-8859-1, 1 = UTF-16 with BOM
+  *     (both endiannesses), 3 = UTF-8 (v2.4). Encoding 2 (UTF-16BE
+  *     without BOM, v2.4-only) is a named boundary. Trailing NUL
+  *     terminators are stripped. Non-text frames are skipped by size.
+  *   - ID3v1: final 128 bytes, "TAG" + 30 title + 30 artist +
+  *     30 album + 4 year + 30 comment (v1.1: comment[28] == 0 makes
+  *     comment[29] the track) + genre. Fields are NUL/space-trimmed
+  *     ISO-8859-1.
+  *
+  * Scale shape: pure per-payload kernels — like the rest of the codec
+  * layer, 100 TB intake throughput is cores × payloads/s, no shuffle.
+  */
+object Id3 {
+
+  // ------------------------------------------------------------------
+  // Syncsafe integers (7 bits per byte, high bit clear)
+  // ------------------------------------------------------------------
+
+  private[graft] def syncsafe(v: Int): Array[Byte] = {
+    require(v >= 0 && v < (1 << 28), "id3: syncsafe size out of range")
+    Array(((v >> 21) & 0x7F).toByte, ((v >> 14) & 0x7F).toByte,
+      ((v >> 7) & 0x7F).toByte, (v & 0x7F).toByte)
+  }
+
+  private def readSyncsafe(p: Array[Byte], off: Int, docId: Long): Int = {
+    var v = 0
+    var i = 0
+    while (i < 4) {
+      val b = p(off + i) & 0xFF
+      require((b & 0x80) == 0, s"id3: non-syncsafe size byte (doc $docId)")
+      v = (v << 7) | b
+      i += 1
+    }
+    v
+  }
+
+  private def readBe32(p: Array[Byte], off: Int): Long =
+    ((p(off) & 0xFFL) << 24) | ((p(off + 1) & 0xFFL) << 16) |
+      ((p(off + 2) & 0xFFL) << 8) | (p(off + 3) & 0xFFL)
+
+  // ------------------------------------------------------------------
+  // ID3v2 encode (fixture/metadata writer)
+  // ------------------------------------------------------------------
+
+  /** Encode an ID3v2 tag holding text frames. `major` 3 or 4; text
+    * encoding is UTF-16-with-BOM when `utf16` (legal in both
+    * versions), ISO-8859-1 otherwise (non-latin1 chars require utf16).
+    * `padding` appends NUL bytes inside the tag (players rewrite tags
+    * in place through padding — intake must skip it). */
+  def encodeId3v2(textFrames: Seq[(String, String)], major: Int = 3,
+      utf16: Boolean = false, padding: Int = 0,
+      withFooter: Boolean = false,
+      binaryFrames: Seq[(String, Array[Byte])] = Nil): Array[Byte] = {
+    require(major == 3 || major == 4, "id3: v2.3 or v2.4 only")
+    require(!withFooter || major == 4, "id3: footer is v2.4-only")
+    require(padding >= 0, "id3: negative padding")
+    require(!withFooter || padding == 0,
+      "id3: a footered tag must not have padding (v2.4 §3.4)")
+    val body = new java.io.ByteArrayOutputStream()
+    def writeFrameHeader(id: String, size: Int): Unit = {
+      body.write(id.getBytes("ISO-8859-1"))
+      if (major == 4) body.write(syncsafe(size))
+      else body.write(Array(((size >> 24) & 0xFF).toByte,
+        ((size >> 16) & 0xFF).toByte, ((size >> 8) & 0xFF).toByte,
+        (size & 0xFF).toByte))
+      body.write(0); body.write(0) // frame flags
+    }
+    // non-text frames (APIC pictures, GEOB blobs, ...) — intake skips
+    // them by size; fixtures use them to exercise that skip
+    binaryFrames.foreach { case (id, bytes) =>
+      require(id.length == 4 && id.head != 'T' &&
+        id.forall(c => c.isUpper || c.isDigit),
+        s"id3: binary frame id must be non-text 4-char, got $id")
+      writeFrameHeader(id, bytes.length)
+      body.write(bytes)
+    }
+    textFrames.foreach { case (id, text) =>
+      require(id.length == 4 && id.head == 'T' &&
+        id.forall(c => c.isUpper || c.isDigit),
+        s"id3: text frame id must be T***, got $id")
+      if (!utf16) require(text.forall(_ < 256),
+        "id3: non-latin1 text needs utf16 = true")
+      val enc: Array[Byte] =
+        if (utf16) Array(0xFF.toByte, 0xFE.toByte) ++ // BOM, little-endian
+          text.flatMap(c => Seq((c & 0xFF).toByte, ((c >> 8) & 0xFF).toByte))
+        else text.map(_.toByte).toArray
+      val size = 1 + enc.length
+      writeFrameHeader(id, size)
+      body.write(if (utf16) 1 else 0) // encoding byte
+      body.write(enc)
+    }
+    (0 until padding).foreach(_ => body.write(0))
+    val frames = body.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("ID3".getBytes("ISO-8859-1"))
+    out.write(major); out.write(0)
+    out.write(if (withFooter) 0x10 else 0)
+    out.write(syncsafe(frames.length))
+    out.write(frames)
+    if (withFooter) {
+      out.write("3DI".getBytes("ISO-8859-1"))
+      out.write(major); out.write(0); out.write(0x10)
+      out.write(syncsafe(frames.length))
+    }
+    out.toByteArray
+  }
+
+  /** Encode an ID3v1.1 tag (the fixed 128-byte trailer). */
+  def encodeId3v1(title: String, artist: String, album: String,
+      year: String, comment: String, track: Int, genre: Int): Array[Byte] = {
+    require(track >= 0 && track < 256 && genre >= 0 && genre < 256,
+      "id3: v1 track/genre are bytes")
+    require(year.length <= 4 && comment.length <= 28 &&
+      Seq(title, artist, album).forall(_.length <= 30),
+      "id3: v1 field overflow")
+    val out = new Array[Byte](128)
+    def put(s: String, off: Int, len: Int): Unit =
+      s.getBytes("ISO-8859-1").take(len).copyToArray(out, off)
+    put("TAG", 0, 3)
+    put(title, 3, 30); put(artist, 33, 30); put(album, 63, 30)
+    put(year, 93, 4); put(comment, 97, 28)
+    out(125) = 0 // v1.1 marker: comment[28] == 0 → track follows
+    out(126) = track.toByte
+    out(127) = genre.toByte
+    out
+  }
+
+  // ------------------------------------------------------------------
+  // Parse
+  // ------------------------------------------------------------------
+
+  case class Id3v2Info(major: Int, tagBytes: Int, hasFooter: Boolean,
+      textFrames: Seq[(String, String)], nSkippedFrames: Int)
+
+  case class Id3v1Info(title: String, artist: String, album: String,
+      year: String, track: Int, genre: Int)
+
+  /** Parse an ID3v2 tag at offset 0, or None when no "ID3" magic.
+    * `tagBytes` is the FULL prefix length to skip (header + body +
+    * footer when present). */
+  def parseId3v2(payload: Array[Byte], docId: Long): Option[Id3v2Info] = {
+    if (payload.length < 10 || payload(0) != 'I' || payload(1) != 'D' ||
+      payload(2) != '3') return None
+    val major = payload(3) & 0xFF
+    require(major == 3 || major == 4,
+      s"id3: v2.$major is a named boundary (v2.3/v2.4 carried; doc $docId)")
+    val flags = payload(5) & 0xFF
+    require((flags & 0x40) == 0,
+      s"id3: extended header is a named boundary (doc $docId)")
+    require((flags & 0x80) == 0,
+      s"id3: unsynchronised tag is a named boundary (doc $docId)")
+    val hasFooter = (flags & 0x10) != 0
+    val size = readSyncsafe(payload, 6, docId)
+    val tagBytes = 10 + size + (if (hasFooter) 10 else 0)
+    require(tagBytes <= payload.length,
+      s"id3: tag size $size overruns payload (doc $docId)")
+    val texts = Seq.newBuilder[(String, String)]
+    var skipped = 0
+    var off = 10
+    val end = 10 + size
+    var inPadding = false
+    while (off + 10 <= end && !inPadding) {
+      if (payload(off) == 0) inPadding = true // NUL id byte = padding
+      else {
+        val id = new String(payload, off, 4, "ISO-8859-1")
+        require(id.forall(c => c.isUpper || c.isDigit),
+          s"id3: malformed frame id at $off (doc $docId)")
+        val fsize =
+          if (major == 4) readSyncsafe(payload, off + 4, docId)
+          else readBe32(payload, off + 4).toInt
+        require(fsize >= 0 && off + 10 + fsize <= end,
+          s"id3: frame $id overruns tag (doc $docId)")
+        if (id.head == 'T' && fsize >= 1) {
+          val enc = payload(off + 10) & 0xFF
+          val raw = java.util.Arrays.copyOfRange(payload, off + 11,
+            off + 10 + fsize)
+          val text = enc match {
+            case 0 => new String(raw, "ISO-8859-1")
+            case 1 =>
+              require(raw.length >= 2 && (raw(0) & 0xFF) + (raw(1) & 0xFF)
+                == 0xFF + 0xFE, s"id3: UTF-16 text without BOM (doc $docId)")
+              new String(raw, "UTF-16") // BOM-aware
+            case 3 =>
+              require(major == 4,
+                s"id3: UTF-8 text is v2.4-only (doc $docId)")
+              new String(raw, "UTF-8")
+            case e => throw new IllegalArgumentException(
+              s"id3: text encoding $e is a named boundary (doc $docId)")
+          }
+          texts += ((id, text.takeWhile(_ != 0.toChar)))
+        } else skipped += 1
+        off += 10 + fsize
+      }
+    }
+    Some(Id3v2Info(major, tagBytes, hasFooter, texts.result(), skipped))
+  }
+
+  /** Parse a trailing ID3v1 tag, or None when the last 128 bytes carry
+    * no "TAG" magic. */
+  def parseId3v1(payload: Array[Byte]): Option[Id3v1Info] = {
+    if (payload.length < 128) return None
+    val off = payload.length - 128
+    if (payload(off) != 'T' || payload(off + 1) != 'A' ||
+      payload(off + 2) != 'G') return None
+    def str(o: Int, len: Int): String =
+      new String(payload, off + o, len, "ISO-8859-1")
+        .takeWhile(_ != 0.toChar).trim
+    val v11 = payload(off + 125) == 0 && payload(off + 126) != 0
+    Some(Id3v1Info(str(3, 30), str(33, 30), str(63, 30), str(93, 4),
+      if (v11) payload(off + 126) & 0xFF else 0, payload(off + 127) & 0xFF))
+  }
+
+  /** The audio span of a possibly-tagged payload: (start, end) byte
+    * offsets bracketing the MPEG audio stream, plus the parsed tags. */
+  def audioSpan(payload: Array[Byte],
+      docId: Long): (Int, Int, Option[Id3v2Info], Option[Id3v1Info]) = {
+    val v2 = parseId3v2(payload, docId)
+    val start = v2.map(_.tagBytes).getOrElse(0)
+    val v1 = parseId3v1(payload)
+    val end = payload.length - (if (v1.isDefined) 128 else 0)
+    require(start < end, s"id3: no audio between the tags (doc $docId)")
+    (start, end, v2, v1)
+  }
+}

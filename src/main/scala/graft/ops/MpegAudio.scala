@@ -2347,4 +2347,78 @@ object MpegAudio {
     }
     out.toByteArray
   }
+
+  // ------------------------------------------------------------------
+  // Crawl intake: Xing/Info VBR header + tagged-file census (round 12,
+  // session 2). The LAME convention (publicly documented): frame 0 of
+  // most encoder output is a VALID Layer III frame whose side info is
+  // all zero and whose main-data region opens with "Xing" (VBR) or
+  // "Info" (CBR), a 32-bit big-endian flags word, and optional
+  // frame/byte counts — players compute duration from it without a
+  // full walk, decoders skip it as silence. Composed with ops.Id3's
+  // tag spans, this makes real tagged crawl MP3s walkable.
+  // ------------------------------------------------------------------
+
+  case class XingInfo(vbr: Boolean, nFrames: Int, nBytes: Int)
+
+  /** A well-formed Xing/Info first frame at 48 kHz (flags = frames +
+    * bytes fields present). */
+  def makeMp3InfoFrame(bitrateKbps: Int, mono: Boolean, nFrames: Int,
+      nBytes: Int, vbr: Boolean): Array[Byte] = {
+    val frameBytes = 144 * bitrateKbps * 1000 / Mp2Rate
+    val side = new Array[Byte](if (mono) 17 else 32)
+    val body = new java.io.ByteArrayOutputStream()
+    body.write((if (vbr) "Xing" else "Info").getBytes("ISO-8859-1"))
+    body.write(Array[Byte](0, 0, 0, 3)) // flags: frames | bytes
+    Seq(nFrames, nBytes).foreach { v =>
+      body.write((v >> 24) & 0xFF); body.write((v >> 16) & 0xFF)
+      body.write((v >> 8) & 0xFF); body.write(v & 0xFF)
+    }
+    mp3AssembleFrame(bitrateKbps, withCrc = false, side, body.toByteArray,
+      frameBytes, mode = if (mono) 3 else 0)
+  }
+
+  /** Parse a Xing/Info header in the frame at `off`, or None when the
+    * frame carries no such magic at the post-side-info position. */
+  def mp3XingInfo(docId: Long, payload: Array[Byte],
+      off: Int = 0): Option[XingInfo] = {
+    val h = parseHeader(payload, off, docId)
+    if (h.layer != 3) return None
+    val sideBytes = if (h.mono) 17 else 32
+    var p = off + 4 + (if (h.crcProtected) 2 else 0) + sideBytes
+    if (p + 8 > off + h.frameBytes || p + 8 > payload.length) return None
+    val magic = new String(payload, p, 4, "ISO-8859-1")
+    if (magic != "Xing" && magic != "Info") return None
+    p += 4
+    def be32(): Int = {
+      val v = ((payload(p) & 0xFF) << 24) | ((payload(p + 1) & 0xFF) << 16) |
+        ((payload(p + 2) & 0xFF) << 8) | (payload(p + 3) & 0xFF)
+      p += 4; v
+    }
+    val flags = be32()
+    require(p + 4 * Integer.bitCount(flags & 3) <= off + h.frameBytes,
+      s"mpeg: Xing fields overrun the info frame (doc $docId)")
+    val nf = if ((flags & 1) != 0) be32() else -1
+    val nb = if ((flags & 2) != 0) be32() else -1
+    Some(XingInfo(magic == "Xing", nf, nb))
+  }
+
+  /** Tagged-crawl intake census: strip ID3v2/ID3v1 (ops.Id3), detect a
+    * Xing/Info first frame, walk the remaining audio frames — the scan
+    * a real corpus-intake runs on every crawl MP3. */
+  case class Mp3IntakeInfo(audioStart: Int, audioEnd: Int,
+      id3v2: Option[Id3.Id3v2Info], id3v1: Option[Id3.Id3v1Info],
+      xing: Option[XingInfo], nAudioFrames: Int, nSamples: Long)
+
+  def mp3IntakeCensus(docId: Long, payload: Array[Byte]): Mp3IntakeInfo = {
+    val (start, end, v2, v1) = Id3.audioSpan(payload, docId)
+    val audio = java.util.Arrays.copyOfRange(payload, start, end)
+    val xing = mp3XingInfo(docId, audio)
+    val dataOff =
+      if (xing.isDefined) parseHeader(audio, 0, docId).frameBytes else 0
+    val frames = walkFrames(docId,
+      java.util.Arrays.copyOfRange(audio, dataOff, audio.length))
+    Mp3IntakeInfo(start, end, v2, v1, xing, frames.length,
+      frames.map(_.n_samples.toLong).sum)
+  }
 }
