@@ -2351,18 +2351,27 @@ object SparkEntry {
           }
           val gains = (0 until 2 * nFrames).map(g => 204 + ((id + g) % 10).toInt)
           val audio = mpa.encodeMp3(grans, gains, 160)
-          val major = if (id % 2 == 0) 3 else 4
-          val texts = Seq("TIT2" -> s"title-$id",
-            "TPE1" -> s"artist-${id % 7}") ++
+          // majors cycle 2/3/4/4(footer); v2.2 only lands on even ids
+          // (no TALB there — its v2.2 id would be TAL), unsync on the
+          // id%5==0 non-footer docs (the pre-v2.4 tag-level scheme)
+          val major = (id % 4).toInt match {
+            case 0 => 2; case 1 => 3; case _ => 4
+          }
+          val titleId = if (major == 2) "TT2" else "TIT2"
+          val artistId = if (major == 2) "TP1" else "TPE1"
+          val texts = Seq(titleId -> s"title-$id",
+            artistId -> s"artist-${id % 7}") ++
             (if (id % 2 == 1) Seq("TALB" -> s"album-${id % 5}") else Nil)
           val bins = if (id % 5 == 2)
-            Seq("APIC" -> Array.tabulate(((id % 5) * 3 + 4).toInt)(i =>
-              (i + id).toByte)) else Nil
+            Seq((if (major == 2) "PIC" else "APIC") ->
+              Array.tabulate(((id % 5) * 3 + 4).toInt)(i =>
+                (i + id).toByte)) else Nil
           val footer = major == 4 && id % 4 == 3
+          val unsyncTag = id % 5 == 0 && !footer
           val v2 = graft.ops.Id3.encodeId3v2(texts, major = major,
             utf16 = id % 3 == 0,
             padding = if (footer) 0 else ((id % 4) * 7).toInt,
-            withFooter = footer, binaryFrames = bins)
+            withFooter = footer, binaryFrames = bins, unsync = unsyncTag)
           val hasXing = id % 3 != 1
           val xing = if (hasXing)
             mpa.makeMp3InfoFrame(160, mono = true, nFrames = nFrames,
@@ -2388,14 +2397,83 @@ object SparkEntry {
             c.xing.exists(x => x.vbr == (id % 2 == 0) &&
               x.nFrames == c.nAudioFrames && x.nBytes == audio.length)
           else c.xing.isEmpty
-          (id, c.id3v2.get.major, c.id3v2.get.textFrames.size,
-            tmap.getOrElse("TIT2", ""), tmap.getOrElse("TPE1", ""),
+          (id, c.id3v2.get.major, c.id3v2.get.unsync,
+            c.id3v2.get.textFrames.size,
+            tmap.getOrElse(titleId, ""), tmap.getOrElse(artistId, ""),
             c.id3v2.get.nSkippedFrames, v1Ok, c.xing.isDefined, xingOk,
             c.nAudioFrames, c.nSamples, clean)
         }
-        .toDF("doc_id", "v2_major", "n_text_frames", "title", "artist",
-          "n_skipped_frames", "v1_ok", "has_xing", "xing_ok",
+        .toDF("doc_id", "v2_major", "v2_unsync", "n_text_frames", "title",
+          "artist", "n_skipped_frames", "v1_ok", "has_xing", "xing_ok",
           "n_audio_frames", "n_samples", "decode_clean")
+        .orderBy("doc_id")
+    }),
+
+    // X5 — HETEROGENEOUS AUDIO METADATA EXTRACTION (round 12, session
+    // 2 capstone): one query over a MIXED corpus — ID3v2-tagged MP3s
+    // (with and without Xing first frames) and Vorbis-tagged FLACs —
+    // sniff-dispatched to the right tag system and reduced to ONE
+    // uniform metadata schema (type, title, artist, duration samples,
+    // rate): the scan a training-data pipeline runs to build its audio
+    // metadata table. The sniffer recognizes the ID3 prefix (crawl
+    // MP3s rarely start with a bare syncword).
+    "x5_audio_metadata_corpus" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val mpa = graft.ops.MpegAudio
+          val payload: Array[Byte] =
+            if (id % 2 == 0) {
+              val nFrames = (2 + id % 3).toInt
+              val grans = (0 until 2 * nFrames).map { g =>
+                val lines = new Array[Int](576)
+                lines((25 + (id + g) % 50).toInt) = 1
+                lines
+              }
+              val audio = mpa.encodeMp3(grans,
+                (0 until 2 * nFrames).map(g => 206 + ((id + g) % 8).toInt),
+                160)
+              val v2 = graft.ops.Id3.encodeId3v2(
+                Seq("TIT2" -> s"title-$id", "TPE1" -> s"artist-${id % 7}"),
+                major = if (id % 4 == 0) 3 else 4, utf16 = id % 3 == 0)
+              val xing = if (id % 3 == 0)
+                mpa.makeMp3InfoFrame(160, mono = true, nFrames,
+                  audio.length, vbr = true)
+              else Array.empty[Byte]
+              v2 ++ xing ++ audio
+            } else {
+              val n = 1024 * (2 + id % 3).toInt
+              val tone = 220.0 + (id % 18) * 40.0
+              val x = Array.tabulate(n) { i =>
+                val t = 8000.0 * math.sin(2 * math.Pi * tone * i / 48000.0)
+                val h = (i.toLong * 2654435761L + id) % 2147483647L
+                math.max(-32768, math.min(32767, (t + h % 1200L - 600L).toInt))
+              }
+              graft.ops.Flac.encodeFlac(Array(x), 48000,
+                tags = Seq("TITLE" -> s"title-$id",
+                  "ARTIST" -> s"artist-${id % 7}"),
+                withSeekTable = id % 3 == 0)
+            }
+          val t = Multimodal.sniffMediaType(payload)
+          val (title, artist, samples, rate) = t match {
+            case "audio/mpeg" =>
+              val c = mpa.mp3IntakeCensus(id, payload)
+              val tm = c.id3v2.map(_.textFrames.toMap).getOrElse(Map.empty)
+              (tm.getOrElse("TIT2", ""), tm.getOrElse("TPE1", ""),
+                c.nSamples, 48000)
+            case "audio/flac" =>
+              val meta = graft.ops.Flac.readFlacMeta(payload, id)
+              val si = graft.ops.Flac.readStreamInfo(payload, id)
+              val tm = meta.tags.toMap
+              (tm.getOrElse("TITLE", ""), tm.getOrElse("ARTIST", ""),
+                si.totalSamples, si.sampleRate)
+            case _ => ("", "", 0L, 0)
+          }
+          (id, t, title, artist, samples, rate)
+        }
+        .toDF("doc_id", "media_type", "title", "artist", "n_samples",
+          "sample_rate")
         .orderBy("doc_id")
     }),
 
@@ -2832,6 +2910,56 @@ object SparkEntry {
         }
         .toDF("doc_id", "n_frames", "min_block", "max_block", "n_samples",
           "lossless")
+        .orderBy("doc_id")
+    }),
+
+    // X5 — FLAC METADATA BLOCKS (round 12, session 2): what real crawl
+    // FLACs carry around the audio — VORBIS_COMMENT tags (the format's
+    // one little-endian corner, per the Vorbis spec), a SEEKTABLE with
+    // real per-frame seekpoints, and PADDING. The seekpoints are
+    // verified against the decode census: every point must land
+    // EXACTLY on a frame boundary with the right first-sample number —
+    // a wrong offset or a misread length desyncs a specific row.
+    "x5_flac_metadata" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val n = 1024 * (2 + id % 3).toInt
+          val tone = 200.0 + (id % 20) * 45.0
+          def wave(seed: Long): Array[Int] = Array.tabulate(n) { i =>
+            val t = 8000.0 * math.sin(2 * math.Pi * tone * i / 48000.0)
+            val h = (i.toLong * 2654435761L + seed) % 2147483647L
+            math.max(-32768, math.min(32767, (t + h % 1200L - 600L).toInt))
+          }
+          val chans: Array[Array[Int]] =
+            if (id % 3 == 0) Array(wave(id)) else Array(wave(id), wave(id + 9))
+          val tags = Seq("TITLE" -> s"title-$id",
+            "ARTIST" -> s"artist-${id % 7}") ++
+            (if (id % 2 == 1) Seq("ALBUM" -> s"album-${id % 5}") else Nil)
+          val pad = ((id % 4) * 16).toInt
+          val enc = graft.ops.Flac.encodeFlac(chans, 48000,
+            blockSize = 1024, tags = tags, vendor = "graft flac 1.0",
+            withSeekTable = true, metaPadding = pad)
+          val meta = graft.ops.Flac.readFlacMeta(enc, id)
+          val si = graft.ops.Flac.readStreamInfo(enc, id)
+          val (frames, dec) = graft.ops.Flac.decodeFlac(id, enc)
+          val lossless = dec.length == chans.length &&
+            dec.zip(chans).forall { case (a, b) => a.sameElements(b) }
+          val tmap = meta.tags.toMap
+          val starts = frames.map(_.n_samples.toLong).scanLeft(0L)(_ + _).init
+          val seekOk = meta.seekPoints.length == frames.length &&
+            meta.seekPoints.zip(frames).zip(starts).forall {
+              case ((sp, f), s0) =>
+                si.firstFrameOff + sp.offset == f.byte_off &&
+                  sp.nSamples == f.n_samples && sp.sample == s0
+            }
+          (id, meta.tags.length, tmap.getOrElse("TITLE", ""),
+            tmap.getOrElse("ARTIST", ""), meta.vendor == "graft flac 1.0",
+            meta.seekPoints.length, seekOk, meta.paddingBytes, lossless)
+        }
+        .toDF("doc_id", "n_tags", "title", "artist", "vendor_ok",
+          "n_seekpoints", "seek_ok", "padding_bytes", "lossless")
         .orderBy("doc_id")
     }),
 
@@ -8786,6 +8914,22 @@ object SparkEntry {
         |  TRUE AS lossless, TRUE AS mode_ok
         |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,
 
+    // Metadata census replay: tag counts/values, per-frame seekpoint
+    // count, padding bytes — all closed-form; seekpoint exactness and
+    // losslessness ride the booleans.
+    "x5_flac_metadata" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 2 END AS INTEGER)
+        |    AS n_tags,
+        |  'title-' || doc_id AS title,
+        |  'artist-' || (doc_id % 7) AS artist,
+        |  TRUE AS vendor_ok,
+        |  CAST(2 + doc_id % 3 AS INTEGER) AS n_seekpoints,
+        |  TRUE AS seek_ok,
+        |  CAST((doc_id % 4) * 16 AS INTEGER) AS padding_bytes,
+        |  TRUE AS lossless
+        |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,
+
     // Variable-blocksize census replay: the alternating 1024/512
     // schedule gives 3 frames for n=2048 (1024+512+512-tail) and
     // n=2560 (1024+512+1024), 4 for n=3072 (1024+512+1024+512);
@@ -8867,8 +9011,10 @@ object SparkEntry {
     // counts — all closed-form from the id scheme.
     "x5_mp3_id3_intake" ->
       """SELECT doc_id,
-        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS INTEGER)
+        |  CAST(CASE WHEN doc_id % 4 = 0 THEN 2
+        |            WHEN doc_id % 4 = 1 THEN 3 ELSE 4 END AS INTEGER)
         |    AS v2_major,
+        |  (doc_id % 5 = 0 AND doc_id % 4 <> 3) AS v2_unsync,
         |  CAST(CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 2 END AS INTEGER)
         |    AS n_text_frames,
         |  'title-' || doc_id AS title,
@@ -8882,6 +9028,21 @@ object SparkEntry {
         |  CAST(1152 * (2 + doc_id % 3) AS BIGINT) AS n_samples,
         |  TRUE AS decode_clean
         |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,
+
+    // Heterogeneous metadata replay: type by parity, tag strings and
+    // durations closed-form from the id scheme (MP3 even docs: 1152
+    // samples x frames; FLAC odd docs: 1024 x frames).
+    "x5_audio_metadata_corpus" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'audio/mpeg' ELSE 'audio/flac'
+        |    END AS media_type,
+        |  'title-' || doc_id AS title,
+        |  'artist-' || (doc_id % 7) AS artist,
+        |  CAST((2 + doc_id % 3) *
+        |    CASE WHEN doc_id % 2 = 0 THEN 1152 ELSE 1024 END AS BIGINT)
+        |    AS n_samples,
+        |  CAST(48000 AS INTEGER) AS sample_rate
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
 
     // Intensity-on-short census replay: every frame is joint-stereo
     // with the intensity bit; per-window bounds/positions are verified

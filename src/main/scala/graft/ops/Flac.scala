@@ -726,14 +726,25 @@ object Flac {
   }
 
   /** Encode PCM channels (1–8, equal length, 8/16/24-bit) as a FLAC
-    * stream: fLaC marker + STREAMINFO (with real MD5) + fixed-blocksize
-    * frames. Stereo frames pick the cheapest of the four decorrelation
-    * modes by exact coded size; 3+ channels (surround layouts) code
-    * independently under channel-assignment code nch−1, the only
-    * multichannel form the format defines. */
+    * stream: fLaC marker + STREAMINFO (with real MD5) + optional
+    * metadata blocks + fixed-blocksize frames. Stereo frames pick the
+    * cheapest of the four decorrelation modes by exact coded size; 3+
+    * channels (surround layouts) code independently under
+    * channel-assignment code nch−1, the only multichannel form the
+    * format defines.
+    *
+    * Metadata (round 12, session 2 — what real crawl FLACs carry):
+    * `tags` emits a VORBIS_COMMENT block (type 4 — LITTLE-endian
+    * lengths per the Vorbis spec, unlike everything else in FLAC;
+    * KEY=value UTF-8 comments + `vendor`); `withSeekTable` emits a
+    * SEEKTABLE (type 3) with one REAL seekpoint per frame (first
+    * sample, byte offset relative to the first frame, frame samples);
+    * `metaPadding` > 0 emits a PADDING block (type 1). */
   def encodeFlac(channels: Array[Array[Int]], sampleRate: Int,
       blockSize: Int = 1024, bps: Int = 16,
-      variableBlocks: Boolean = false): Array[Byte] = {
+      variableBlocks: Boolean = false,
+      tags: Seq[(String, String)] = Nil, vendor: String = "graft",
+      withSeekTable: Boolean = false, metaPadding: Int = 0): Array[Byte] = {
     require(channels.length >= 1 && channels.length <= 8,
       "flac: 1-8 channels (3-bit STREAMINFO field)")
     require(channels.map(_.length).distinct.length == 1,
@@ -768,11 +779,58 @@ object Flac {
     // STREAMINFO min/max block size exclude the possibly-shorter last
     // frame (the spec's stated exception) unless it is the only frame
     val bodySizes = if (sizes.length > 1) sizes.init else sizes
+    // encode the frames FIRST so seekpoints carry REAL byte offsets
+    val frameRegion = new java.io.ByteArrayOutputStream()
+    val seekPts = Seq.newBuilder[(Long, Long, Int)] // (sample, off, n)
+    var frame = 0
+    var off = 0
+    while (off < total) {
+      val n = sizes(frame)
+      val chunk = channels.map(c => java.util.Arrays.copyOfRange(c, off, off + n))
+      val codedNo = if (variableBlocks) off.toLong else frame.toLong
+      seekPts += ((off.toLong, frameRegion.size.toLong, n))
+      frameRegion.write(encodeFrame(chunk, codedNo, n, sampleRate, bps,
+        variableBlocks))
+      frame += 1; off += n
+    }
+    // metadata blocks after STREAMINFO, each (type, body)
+    val blocks = Seq.newBuilder[(Int, Array[Byte])]
+    if (withSeekTable) {
+      val b = new java.io.ByteArrayOutputStream()
+      seekPts.result().foreach { case (sample, foff, n) =>
+        Seq(sample, foff).foreach { v =>
+          var s = 56
+          while (s >= 0) { b.write(((v >>> s) & 0xFF).toInt); s -= 8 }
+        }
+        b.write((n >> 8) & 0xFF); b.write(n & 0xFF)
+      }
+      blocks += ((3, b.toByteArray))
+    }
+    if (tags.nonEmpty) {
+      val b = new java.io.ByteArrayOutputStream()
+      def le32(v: Int): Unit = {
+        b.write(v & 0xFF); b.write((v >> 8) & 0xFF)
+        b.write((v >> 16) & 0xFF); b.write((v >> 24) & 0xFF)
+      }
+      def utf8(s: String): Array[Byte] = s.getBytes("UTF-8")
+      val vb = utf8(vendor)
+      le32(vb.length); b.write(vb)
+      le32(tags.length)
+      tags.foreach { case (k, v) =>
+        require(k.nonEmpty && k.forall(c => c >= 0x20 && c <= 0x7D && c != '='),
+          s"flac: invalid vorbis comment key $k")
+        val cb = utf8(s"$k=$v")
+        le32(cb.length); b.write(cb)
+      }
+      blocks += ((4, b.toByteArray))
+    }
+    if (metaPadding > 0) blocks += ((1, new Array[Byte](metaPadding)))
+    val metaBlocks = blocks.result()
     val out = new java.io.ByteArrayOutputStream()
     out.write(Array[Byte]('f', 'L', 'a', 'C'))
-    // STREAMINFO: last-block flag + type 0, length 34
+    // STREAMINFO: last-block flag (when nothing follows) + type 0 + 34
     val si = new BitWriter
-    si.put(1, 1); si.put(0, 7); si.put(34, 24)
+    si.put(if (metaBlocks.isEmpty) 1 else 0, 1); si.put(0, 7); si.put(34, 24)
     si.put(bodySizes.min.toLong, 16); si.put(bodySizes.max.toLong, 16)
     si.put(0, 24); si.put(0, 24) // min/max frame size: 0 = unknown
     si.put(sampleRate.toLong, 20)
@@ -782,16 +840,100 @@ object Flac {
     val siBytes = si.toBytes
     out.write(siBytes)
     out.write(audioMd5(channels, bps))
-    var frame = 0
-    var off = 0
-    while (off < total) {
-      val n = sizes(frame)
-      val chunk = channels.map(c => java.util.Arrays.copyOfRange(c, off, off + n))
-      val codedNo = if (variableBlocks) off.toLong else frame.toLong
-      out.write(encodeFrame(chunk, codedNo, n, sampleRate, bps, variableBlocks))
-      frame += 1; off += n
+    metaBlocks.zipWithIndex.foreach { case ((tpe, body), i) =>
+      require(body.length < (1 << 24), "flac: metadata block too large")
+      val last = i == metaBlocks.length - 1
+      out.write((if (last) 0x80 else 0) | tpe)
+      out.write((body.length >> 16) & 0xFF)
+      out.write((body.length >> 8) & 0xFF)
+      out.write(body.length & 0xFF)
+      out.write(body)
     }
+    frameRegion.writeTo(out)
     out.toByteArray
+  }
+
+  // ------------------------------------------------------------------
+  // Metadata-block intake (round 12, session 2)
+  // ------------------------------------------------------------------
+
+  case class FlacSeekPoint(sample: Long, offset: Long, nSamples: Int)
+
+  /** Parsed metadata of a FLAC stream: Vorbis comments (vendor +
+    * KEY=value tags, keys canonicalised UPPER per the case-insensitive
+    * spec), real seekpoints (placeholders sample=2^64−1 skipped),
+    * padding byte total, and the raw block-type sequence. */
+  case class FlacMeta(vendor: String, tags: Seq[(String, String)],
+      seekPoints: Seq[FlacSeekPoint], paddingBytes: Int,
+      blockTypes: Seq[Int])
+
+  def readFlacMeta(payload: Array[Byte], docId: Long): FlacMeta = {
+    require(payload.length > 42 && payload(0) == 'f' && payload(1) == 'L' &&
+      payload(2) == 'a' && payload(3) == 'C', s"flac: no fLaC marker (doc $docId)")
+    var vendor = ""
+    val tags = Seq.newBuilder[(String, String)]
+    val seeks = Seq.newBuilder[FlacSeekPoint]
+    var padding = 0
+    val types = Seq.newBuilder[Int]
+    var off = 4
+    var last = false
+    while (!last) {
+      val hdr = payload(off) & 0xFF
+      last = (hdr & 0x80) != 0
+      val tpe = hdr & 0x7F
+      val len = ((payload(off + 1) & 0xFF) << 16) |
+        ((payload(off + 2) & 0xFF) << 8) | (payload(off + 3) & 0xFF)
+      require(off + 4 + len <= payload.length,
+        s"flac: metadata block overruns payload (doc $docId)")
+      types += tpe
+      val body = off + 4
+      tpe match {
+        case 1 => padding += len
+        case 3 =>
+          require(len % 18 == 0,
+            s"flac: seektable length $len not a multiple of 18 (doc $docId)")
+          var p = body
+          while (p < body + len) {
+            def be64(at: Int): Long = {
+              var v = 0L; var i = 0
+              while (i < 8) { v = (v << 8) | (payload(at + i) & 0xFFL); i += 1 }
+              v
+            }
+            val sample = be64(p)
+            if (sample != -1L) // 0xFFFF... = placeholder point
+              seeks += FlacSeekPoint(sample, be64(p + 8),
+                ((payload(p + 16) & 0xFF) << 8) | (payload(p + 17) & 0xFF))
+            p += 18
+          }
+        case 4 =>
+          var p = body
+          def le32(): Int = {
+            val v = (payload(p) & 0xFF) | ((payload(p + 1) & 0xFF) << 8) |
+              ((payload(p + 2) & 0xFF) << 16) | ((payload(p + 3) & 0xFF) << 24)
+            p += 4; v
+          }
+          val vlen = le32()
+          require(p + vlen <= body + len,
+            s"flac: vorbis vendor overruns block (doc $docId)")
+          vendor = new String(payload, p, vlen, "UTF-8"); p += vlen
+          val n = le32()
+          var i = 0
+          while (i < n) {
+            val clen = le32()
+            require(clen >= 0 && p + clen <= body + len,
+              s"flac: vorbis comment overruns block (doc $docId)")
+            val c = new String(payload, p, clen, "UTF-8"); p += clen
+            val eq = c.indexOf('=')
+            require(eq > 0, s"flac: vorbis comment without '=' (doc $docId)")
+            tags += ((c.substring(0, eq).toUpperCase(java.util.Locale.ROOT),
+              c.substring(eq + 1)))
+            i += 1
+          }
+        case _ => ()
+      }
+      off += 4 + len
+    }
+    FlacMeta(vendor, tags.result(), seeks.result(), padding, types.result())
   }
 
   /** Frame-header code tables (RFC 9639 §9.1 — tiny, replicated

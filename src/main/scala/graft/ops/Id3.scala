@@ -9,16 +9,20 @@ package graft.ops
   * keeps (title/artist/album/...).
   *
   * Carried exactly per the public documents:
-  *   - ID3v2 header: "ID3", major (3 or 4), revision, flags (v2.4
-  *     footer bit 0x10 honored: +10 trailing bytes), 28-bit SYNCSAFE
-  *     size (4 bytes, high bit of each clear) counting everything
-  *     after the 10-byte header (excluding the footer).
-  *   - Text frames ("T***"): 4-char id, size (v2.3: plain 32-bit
-  *     big-endian; v2.4: syncsafe), 2 flag bytes, body = encoding byte
-  *     + text. Encodings carried: 0 = ISO-8859-1, 1 = UTF-16 with BOM
-  *     (both endiannesses), 3 = UTF-8 (v2.4). Encoding 2 (UTF-16BE
-  *     without BOM, v2.4-only) is a named boundary. Trailing NUL
-  *     terminators are stripped. Non-text frames are skipped by size.
+  *   - ID3v2 header: "ID3", major (2, 3 or 4), revision, flags (v2.4
+  *     footer bit 0x10 honored: +10 trailing bytes; unsynchronisation
+  *     bit 0x80 honored: the body's 0xFF 0x00 escapes are reversed
+  *     before the frame walk — the pre-v2.4 tag-level scheme),
+  *     28-bit SYNCSAFE size (4 bytes, high bit of each clear) counting
+  *     everything after the 10-byte header (excluding the footer).
+  *   - Text frames: v2.2 = 3-char id ("TT2") + 3-byte size, no flags;
+  *     v2.3/v2.4 = 4-char id ("TIT2") + size (v2.3: plain 32-bit
+  *     big-endian; v2.4: syncsafe) + 2 flag bytes. Body = encoding
+  *     byte + text. Encodings carried: 0 = ISO-8859-1, 1 = UTF-16 with
+  *     BOM (both endiannesses), 3 = UTF-8 (v2.4). Encoding 2 (UTF-16BE
+  *     without BOM, v2.4-only) is a named boundary, as are the
+  *     extended header and v2.2 compression. Trailing NUL terminators
+  *     are stripped. Non-text frames are skipped by size.
   *   - ID3v1: final 128 bytes, "TAG" + 30 title + 30 artist +
   *     30 album + 4 year + 30 comment (v1.1: comment[28] == 0 makes
   *     comment[29] the track) + genre. Fields are NUL/space-trimmed
@@ -59,42 +63,52 @@ object Id3 {
   // ID3v2 encode (fixture/metadata writer)
   // ------------------------------------------------------------------
 
-  /** Encode an ID3v2 tag holding text frames. `major` 3 or 4; text
-    * encoding is UTF-16-with-BOM when `utf16` (legal in both
-    * versions), ISO-8859-1 otherwise (non-latin1 chars require utf16).
-    * `padding` appends NUL bytes inside the tag (players rewrite tags
-    * in place through padding — intake must skip it). */
+  /** Encode an ID3v2 tag holding text frames. `major` 2, 3 or 4 (2.2
+    * uses 3-char frame ids and 3-byte sizes); text encoding is
+    * UTF-16-with-BOM when `utf16` (legal in all versions), ISO-8859-1
+    * otherwise (non-latin1 chars require utf16). `padding` appends NUL
+    * bytes inside the tag (players rewrite tags in place through
+    * padding — intake must skip it). `unsync` applies the tag-level
+    * unsynchronisation scheme (0xFF → 0xFF 0x00 over the whole body,
+    * flag 0x80) that pre-v2.4 writers used to keep false syncwords out
+    * of the tag. */
   def encodeId3v2(textFrames: Seq[(String, String)], major: Int = 3,
       utf16: Boolean = false, padding: Int = 0,
       withFooter: Boolean = false,
-      binaryFrames: Seq[(String, Array[Byte])] = Nil): Array[Byte] = {
-    require(major == 3 || major == 4, "id3: v2.3 or v2.4 only")
+      binaryFrames: Seq[(String, Array[Byte])] = Nil,
+      unsync: Boolean = false): Array[Byte] = {
+    require(major >= 2 && major <= 4, "id3: v2.2/v2.3/v2.4 only")
     require(!withFooter || major == 4, "id3: footer is v2.4-only")
     require(padding >= 0, "id3: negative padding")
     require(!withFooter || padding == 0,
       "id3: a footered tag must not have padding (v2.4 §3.4)")
+    require(!(unsync && withFooter),
+      "id3: unsync fixture grammar is the pre-v2.4 tag-level form")
+    val idLen = if (major == 2) 3 else 4
     val body = new java.io.ByteArrayOutputStream()
     def writeFrameHeader(id: String, size: Int): Unit = {
       body.write(id.getBytes("ISO-8859-1"))
-      if (major == 4) body.write(syncsafe(size))
+      if (major == 2) body.write(Array(((size >> 16) & 0xFF).toByte,
+        ((size >> 8) & 0xFF).toByte, (size & 0xFF).toByte))
+      else if (major == 4) body.write(syncsafe(size))
       else body.write(Array(((size >> 24) & 0xFF).toByte,
         ((size >> 16) & 0xFF).toByte, ((size >> 8) & 0xFF).toByte,
         (size & 0xFF).toByte))
-      body.write(0); body.write(0) // frame flags
+      if (major != 2) { body.write(0); body.write(0) } // frame flags
     }
-    // non-text frames (APIC pictures, GEOB blobs, ...) — intake skips
-    // them by size; fixtures use them to exercise that skip
+    // non-text frames (APIC/PIC pictures, GEOB blobs, ...) — intake
+    // skips them by size; fixtures use them to exercise that skip
     binaryFrames.foreach { case (id, bytes) =>
-      require(id.length == 4 && id.head != 'T' &&
+      require(id.length == idLen && id.head != 'T' &&
         id.forall(c => c.isUpper || c.isDigit),
-        s"id3: binary frame id must be non-text 4-char, got $id")
+        s"id3: binary frame id must be non-text $idLen-char, got $id")
       writeFrameHeader(id, bytes.length)
       body.write(bytes)
     }
     textFrames.foreach { case (id, text) =>
-      require(id.length == 4 && id.head == 'T' &&
+      require(id.length == idLen && id.head == 'T' &&
         id.forall(c => c.isUpper || c.isDigit),
-        s"id3: text frame id must be T***, got $id")
+        s"id3: text frame id must be T-prefixed $idLen-char, got $id")
       if (!utf16) require(text.forall(_ < 256),
         "id3: non-latin1 text needs utf16 = true")
       val enc: Array[Byte] =
@@ -107,11 +121,12 @@ object Id3 {
       body.write(enc)
     }
     (0 until padding).foreach(_ => body.write(0))
-    val frames = body.toByteArray
+    val frames =
+      if (unsync) applyUnsync(body.toByteArray) else body.toByteArray
     val out = new java.io.ByteArrayOutputStream()
     out.write("ID3".getBytes("ISO-8859-1"))
     out.write(major); out.write(0)
-    out.write(if (withFooter) 0x10 else 0)
+    out.write((if (withFooter) 0x10 else 0) | (if (unsync) 0x80 else 0))
     out.write(syncsafe(frames.length))
     out.write(frames)
     if (withFooter) {
@@ -147,50 +162,90 @@ object Id3 {
   // ------------------------------------------------------------------
 
   case class Id3v2Info(major: Int, tagBytes: Int, hasFooter: Boolean,
-      textFrames: Seq[(String, String)], nSkippedFrames: Int)
+      unsync: Boolean, textFrames: Seq[(String, String)],
+      nSkippedFrames: Int)
 
   case class Id3v1Info(title: String, artist: String, album: String,
       year: String, track: Int, genre: Int)
 
+  /** Reverse the unsynchronisation scheme: every 0xFF 0x00 pair in the
+    * tag body collapses back to 0xFF (the 0x00 was inserted at write
+    * time so no false MPEG syncword appears inside the tag). */
+  private def deUnsync(body: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(body.length)
+    var i = 0
+    while (i < body.length) {
+      out.write(body(i))
+      if ((body(i) & 0xFF) == 0xFF && i + 1 < body.length &&
+        body(i + 1) == 0) i += 2
+      else i += 1
+    }
+    out.toByteArray
+  }
+
+  private[graft] def applyUnsync(body: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(body.length + 16)
+    body.foreach { b =>
+      out.write(b)
+      if ((b & 0xFF) == 0xFF) out.write(0)
+    }
+    out.toByteArray
+  }
+
   /** Parse an ID3v2 tag at offset 0, or None when no "ID3" magic.
+    * Versions 2.2 (3-char ids, 3-byte sizes), 2.3 and 2.4 are carried,
+    * as is TAG-LEVEL unsynchronisation (flag 0x80 — the v2.2/v2.3
+    * form; the body is de-unsynchronised before the frame walk).
     * `tagBytes` is the FULL prefix length to skip (header + body +
     * footer when present). */
   def parseId3v2(payload: Array[Byte], docId: Long): Option[Id3v2Info] = {
     if (payload.length < 10 || payload(0) != 'I' || payload(1) != 'D' ||
       payload(2) != '3') return None
     val major = payload(3) & 0xFF
-    require(major == 3 || major == 4,
-      s"id3: v2.$major is a named boundary (v2.3/v2.4 carried; doc $docId)")
+    require(major >= 2 && major <= 4,
+      s"id3: v2.$major is a named boundary (v2.2/v2.3/v2.4 carried; doc $docId)")
     val flags = payload(5) & 0xFF
-    require((flags & 0x40) == 0,
+    if (major == 2) require((flags & 0x40) == 0,
+      s"id3: v2.2 compression is a named boundary (doc $docId)")
+    else require((flags & 0x40) == 0,
       s"id3: extended header is a named boundary (doc $docId)")
-    require((flags & 0x80) == 0,
-      s"id3: unsynchronised tag is a named boundary (doc $docId)")
-    val hasFooter = (flags & 0x10) != 0
+    val unsync = (flags & 0x80) != 0
+    val hasFooter = major == 4 && (flags & 0x10) != 0
     val size = readSyncsafe(payload, 6, docId)
     val tagBytes = 10 + size + (if (hasFooter) 10 else 0)
     require(tagBytes <= payload.length,
       s"id3: tag size $size overruns payload (doc $docId)")
+    val rawBody = java.util.Arrays.copyOfRange(payload, 10, 10 + size)
+    // v2.4 moved unsynchronisation to per-frame flags; the tag-level
+    // flag there means "all frames unsynchronised" — same body-level
+    // reversal applies for the frames we read (none carry data-length
+    // indicators in this intake)
+    val body = if (unsync) deUnsync(rawBody) else rawBody
+    val idLen = if (major == 2) 3 else 4
+    val headLen = if (major == 2) 6 else 10
     val texts = Seq.newBuilder[(String, String)]
     var skipped = 0
-    var off = 10
-    val end = 10 + size
+    var off = 0
+    val end = body.length
     var inPadding = false
-    while (off + 10 <= end && !inPadding) {
-      if (payload(off) == 0) inPadding = true // NUL id byte = padding
+    while (off + headLen <= end && !inPadding) {
+      if (body(off) == 0) inPadding = true // NUL id byte = padding
       else {
-        val id = new String(payload, off, 4, "ISO-8859-1")
+        val id = new String(body, off, idLen, "ISO-8859-1")
         require(id.forall(c => c.isUpper || c.isDigit),
           s"id3: malformed frame id at $off (doc $docId)")
-        val fsize =
-          if (major == 4) readSyncsafe(payload, off + 4, docId)
-          else readBe32(payload, off + 4).toInt
-        require(fsize >= 0 && off + 10 + fsize <= end,
+        val fsize = major match {
+          case 2 => ((body(off + 3) & 0xFF) << 16) |
+            ((body(off + 4) & 0xFF) << 8) | (body(off + 5) & 0xFF)
+          case 3 => readBe32(body, off + 4).toInt
+          case _ => readSyncsafe(body, off + 4, docId)
+        }
+        require(fsize >= 0 && off + headLen + fsize <= end,
           s"id3: frame $id overruns tag (doc $docId)")
         if (id.head == 'T' && fsize >= 1) {
-          val enc = payload(off + 10) & 0xFF
-          val raw = java.util.Arrays.copyOfRange(payload, off + 11,
-            off + 10 + fsize)
+          val enc = body(off + headLen) & 0xFF
+          val raw = java.util.Arrays.copyOfRange(body, off + headLen + 1,
+            off + headLen + fsize)
           val text = enc match {
             case 0 => new String(raw, "ISO-8859-1")
             case 1 =>
@@ -206,10 +261,11 @@ object Id3 {
           }
           texts += ((id, text.takeWhile(_ != 0.toChar)))
         } else skipped += 1
-        off += 10 + fsize
+        off += headLen + fsize
       }
     }
-    Some(Id3v2Info(major, tagBytes, hasFooter, texts.result(), skipped))
+    Some(Id3v2Info(major, tagBytes, hasFooter, unsync, texts.result(),
+      skipped))
   }
 
   /** Parse a trailing ID3v1 tag, or None when the last 128 bytes carry

@@ -2947,6 +2947,8 @@ object Multimodal {
     } else if (payload.length >= 512 && at(257) == 'u' && at(258) == 's' &&
         at(259) == 't' && at(260) == 'a' && at(261) == 'r')
       "application/x-tar"
+    else if (at(0) == 'I' && at(1) == 'D' && at(2) == '3')
+      "audio/mpeg" // ID3v2-tagged MPEG audio (the common crawl shape)
     else if (at(0) == 0xFF && (at(1) & 0xE0) == 0xE0 &&
         (try { MpegAudio.parseHeader(payload, 0, -1L); true }
          catch { case _: IllegalArgumentException => false }))
@@ -2993,8 +2995,9 @@ object Multimodal {
           decodeAviFrames(r.doc_id, r.payload)
             .map(f => f.width.toLong * f.height).sum
         case "audio/mpeg" =>
-          MpegAudio.walkFrames(r.doc_id, r.payload)
-            .map(_.n_samples.toLong).sum
+          // intake census strips ID3 tags / Xing first frame so tagged
+          // crawl files count their AUDIO samples, like bare streams
+          MpegAudio.mp3IntakeCensus(r.doc_id, r.payload).nSamples
         case _ => 0L
       }
       MediaSniff(r.doc_id, t, r.payload.length.toLong, units)

@@ -410,6 +410,43 @@ class FlacSpec extends AnyFunSuite {
     assert(frames.map(_.n_samples).sum == 70000)
   }
 
+  test("metadata blocks (round 12): VORBIS_COMMENT tags (little-endian " +
+      "lengths, UTF-8, keys case-canonicalised), a SEEKTABLE whose " +
+      "points land EXACTLY on the decoded frame boundaries, PADDING " +
+      "counted; the stream with metadata still decodes losslessly") {
+    val x = pcm(3000, 41L, 520.0)
+    val tags = Seq("TITLE" -> "Söme Tïtle", "ARTIST" -> "An Artist",
+      "ALBUM" -> "A")
+    val enc = Flac.encodeFlac(Array(x), 48000, blockSize = 1024,
+      tags = tags, vendor = "graft flac 1.0", withSeekTable = true,
+      metaPadding = 64)
+    val meta = Flac.readFlacMeta(enc, 200L)
+    assert(meta.vendor == "graft flac 1.0")
+    assert(meta.tags == tags)
+    assert(meta.paddingBytes == 64)
+    assert(meta.blockTypes == Seq(0, 3, 4, 1))
+    val si = Flac.readStreamInfo(enc, 200L)
+    val (frames, dec) = Flac.decodeFlac(200L, enc)
+    assert(dec(0).sameElements(x), "metadata stream not lossless")
+    assert(meta.seekPoints.length == frames.length)
+    meta.seekPoints.zip(frames).foreach { case (sp, f) =>
+      assert(si.firstFrameOff + sp.offset == f.byte_off,
+        s"seekpoint offset ${sp.offset} misses frame at ${f.byte_off}")
+      assert(sp.nSamples == f.n_samples)
+    }
+    assert(meta.seekPoints.map(_.sample) ==
+      frames.map(_.n_samples.toLong).scanLeft(0L)(_ + _).init)
+    // a lowercase key canonicalises; '=' in a key is rejected at encode
+    val low = Flac.encodeFlac(Array(x.take(1024)), 48000,
+      tags = Seq("title" -> "x"))
+    assert(Flac.readFlacMeta(low, 201L).tags == Seq("TITLE" -> "x"))
+    intercept[IllegalArgumentException](Flac.encodeFlac(
+      Array(x.take(1024)), 48000, tags = Seq("ti=tle" -> "x")))
+    // no metadata → STREAMINFO is the single (last) block
+    assert(Flac.readFlacMeta(Flac.encodeFlac(Array(x.take(1024)), 48000),
+      202L).blockTypes == Seq(0))
+  }
+
   test("foreign rice geometry fails loudly by name: a partition order " +
       "that does not divide the block size is a classified decode error") {
     val x = pcm(1024, 3L, 440.0)

@@ -90,17 +90,47 @@ class Id3Spec extends AnyFunSuite {
     val c2 = MpegAudio.mp3IntakeCensus(23L, audio)
     assert(c2.audioStart == 0 && c2.id3v2.isEmpty && c2.id3v1.isEmpty &&
       c2.xing.isEmpty && c2.nAudioFrames == nAudioFrames)
+    // the sniffer recognizes the ID3 prefix as MPEG audio (crawl MP3s
+    // rarely start with a bare syncword), and the dispatcher counts the
+    // AUDIO samples through the tag strip
+    assert(graft.ops.Multimodal.sniffMediaType(tagged) == "audio/mpeg")
+    assert(graft.ops.Multimodal.sniffMediaType(audio) == "audio/mpeg")
   }
 
-  test("named boundaries and malformations fail loudly: ID3v2.2, the " +
-      "unsynchronisation flag, UTF-16 without BOM, overrunning sizes") {
+  test("ID3v2.2 (3-char ids, 3-byte sizes) and tag-level " +
+      "unsynchronisation round-trip — incl. UTF-16 text whose BOM and " +
+      "0xFF code units the unsync scheme must escape and restore") {
+    val texts22 = Seq("TT2" -> "Old Title", "TP1" -> "Old Artist")
+    val v22 = Id3.encodeId3v2(texts22, major = 2)
+    val p22 = Id3.parseId3v2(v22, 40L).get
+    assert(p22.major == 2 && !p22.unsync)
+    assert(p22.textFrames == texts22 && p22.tagBytes == v22.length)
+    // v2.2 binary frame (PIC) skipped by size, 0xFF bytes inside
+    val v22b = Id3.encodeId3v2(texts22, major = 2,
+      binaryFrames = Seq("PIC" -> Array[Byte](-1, 0, -1, 3)))
+    assert(Id3.parseId3v2(v22b, 41L).get.nSkippedFrames == 1)
+    // unsync over UTF-16 text: 'ÿ' (U+00FF) is the worst case — its LE
+    // code unit FF 00 must survive the FF -> FF 00 escaping
+    val texts = Seq("TIT2" -> "ÿ title ÿ", "TPE1" -> "P")
+    val u = Id3.encodeId3v2(texts, major = 3, utf16 = true, unsync = true)
+    val pu = Id3.parseId3v2(u, 42L).get
+    assert(pu.unsync && pu.textFrames == texts && pu.tagBytes == u.length)
+    // an unsynced v2.2 tag composes too
+    val u22 = Id3.encodeId3v2(texts22, major = 2, unsync = true,
+      binaryFrames = Seq("PIC" -> Array[Byte](-1, -1, -1)))
+    val pu22 = Id3.parseId3v2(u22, 43L).get
+    assert(pu22.textFrames == texts22 && pu22.nSkippedFrames == 1)
+  }
+
+  test("named boundaries and malformations fail loudly: unknown v2.x, " +
+      "the extended-header flag, UTF-16 without BOM, overrunning sizes") {
     val good = Id3.encodeId3v2(Seq("TIT2" -> "x"), major = 3)
-    val v22 = good.clone(); v22(3) = 2
-    val e1 = intercept[IllegalArgumentException](Id3.parseId3v2(v22, 30L))
-    assert(e1.getMessage.contains("v2.2"))
-    val unsync = good.clone(); unsync(5) = 0x80.toByte
-    val e2 = intercept[IllegalArgumentException](Id3.parseId3v2(unsync, 31L))
-    assert(e2.getMessage.contains("unsynchronised"))
+    val v25 = good.clone(); v25(3) = 5
+    val e1 = intercept[IllegalArgumentException](Id3.parseId3v2(v25, 30L))
+    assert(e1.getMessage.contains("v2.5"))
+    val ext = good.clone(); ext(5) = 0x40.toByte
+    val e2 = intercept[IllegalArgumentException](Id3.parseId3v2(ext, 31L))
+    assert(e2.getMessage.contains("extended header"))
     // UTF-16 text frame without a BOM
     val u16 = Id3.encodeId3v2(Seq("TIT2" -> "ab"), major = 3, utf16 = true)
     val noBom = u16.clone()
