@@ -908,6 +908,8 @@ object Flac {
         case 4 =>
           var p = body
           def le32(): Int = {
+            require(p + 4 <= body + len,
+              s"flac: vorbis length field overruns block (doc $docId)")
             val v = (payload(p) & 0xFF) | ((payload(p + 1) & 0xFF) << 8) |
               ((payload(p + 2) & 0xFF) << 16) | ((payload(p + 3) & 0xFF) << 24)
             p += 4; v

@@ -242,6 +242,14 @@ object Id3 {
         }
         require(fsize >= 0 && off + headLen + fsize <= end,
           s"id3: frame $id overruns tag (doc $docId)")
+        // format flags that change the body layout (compression,
+        // encryption, per-frame unsync, data-length indicator,
+        // grouping) are named boundaries — parsing through them
+        // silently would yield garbage text
+        if (major == 3) require((body(off + 9) & 0xE0) == 0,
+          s"id3: v2.3 frame format flags are a named boundary (doc $docId)")
+        if (major == 4) require((body(off + 9) & 0x4F) == 0,
+          s"id3: v2.4 frame format flags are a named boundary (doc $docId)")
         if (id.head == 'T' && fsize >= 1) {
           val enc = body(off + headLen) & 0xFF
           val raw = java.util.Arrays.copyOfRange(body, off + headLen + 1,

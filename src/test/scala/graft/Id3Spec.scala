@@ -143,5 +143,10 @@ class Id3Spec extends AnyFunSuite {
     val cut = java.util.Arrays.copyOf(good, good.length - 2)
     val e4 = intercept[IllegalArgumentException](Id3.parseId3v2(cut, 33L))
     assert(e4.getMessage.contains("overruns"))
+    // per-frame format flags that change the body layout (compression
+    // bit here) are a named boundary, not silent garbage
+    val comp = good.clone(); comp(19) = 0x80.toByte // frame flags byte 2
+    val e5 = intercept[IllegalArgumentException](Id3.parseId3v2(comp, 34L))
+    assert(e5.getMessage.contains("format flags"))
   }
 }
