@@ -2410,22 +2410,25 @@ object SparkEntry {
     }),
 
     // X5 — HETEROGENEOUS AUDIO METADATA EXTRACTION (round 12, session
-    // 2 capstone): one query over a MIXED corpus — ID3v2-tagged MP3s
-    // (with and without Xing first frames) and Vorbis-tagged FLACs —
-    // sniff-dispatched to the right tag system and reduced to ONE
-    // uniform metadata schema (type, title, artist, duration samples,
-    // rate): the scan a training-data pipeline runs to build its audio
+    // 2 capstone): one query over a MIXED corpus spanning all three
+    // audio tag systems — ID3v2-tagged MP3s (with and without Xing
+    // first frames), Vorbis-tagged FLACs, and LIST/INFO-tagged WAVs —
+    // sniff-dispatched to the right parser and reduced to ONE uniform
+    // metadata schema (type, title, artist, duration samples, rate):
+    // the scan a training-data pipeline runs to build its audio
     // metadata table. The sniffer recognizes the ID3 prefix (crawl
     // MP3s rarely start with a bare syncword).
     "x5_audio_metadata_corpus" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir).filter(col("doc_id") < 200)
+      Tables.documents(s, dir).filter(col("doc_id") < 201)
         .select(col("doc_id")).as[Long]
         .map { id =>
           val mpa = graft.ops.MpegAudio
-          val payload: Array[Byte] =
-            if (id % 2 == 0) {
-              val nFrames = (2 + id % 3).toInt
+          val m = ((id / 3) % 3).toInt // per-format size knob
+          val title = s"title-$id"; val artist = s"artist-${id % 7}"
+          val payload: Array[Byte] = (id % 3).toInt match {
+            case 0 =>
+              val nFrames = 2 + m
               val grans = (0 until 2 * nFrames).map { g =>
                 val lines = new Array[Int](576)
                 lines((25 + (id + g) % 50).toInt) = 1
@@ -2435,15 +2438,16 @@ object SparkEntry {
                 (0 until 2 * nFrames).map(g => 206 + ((id + g) % 8).toInt),
                 160)
               val v2 = graft.ops.Id3.encodeId3v2(
-                Seq("TIT2" -> s"title-$id", "TPE1" -> s"artist-${id % 7}"),
-                major = if (id % 4 == 0) 3 else 4, utf16 = id % 3 == 0)
-              val xing = if (id % 3 == 0)
+                Seq("TIT2" -> title, "TPE1" -> artist),
+                major = if ((id / 3) % 2 == 0) 3 else 4,
+                utf16 = (id / 3) % 4 == 1)
+              val xing = if ((id / 3) % 2 == 0)
                 mpa.makeMp3InfoFrame(160, mono = true, nFrames,
                   audio.length, vbr = true)
               else Array.empty[Byte]
               v2 ++ xing ++ audio
-            } else {
-              val n = 1024 * (2 + id % 3).toInt
+            case 1 =>
+              val n = 1024 * (2 + m)
               val tone = 220.0 + (id % 18) * 40.0
               val x = Array.tabulate(n) { i =>
                 val t = 8000.0 * math.sin(2 * math.Pi * tone * i / 48000.0)
@@ -2451,12 +2455,17 @@ object SparkEntry {
                 math.max(-32768, math.min(32767, (t + h % 1200L - 600L).toInt))
               }
               graft.ops.Flac.encodeFlac(Array(x), 48000,
-                tags = Seq("TITLE" -> s"title-$id",
-                  "ARTIST" -> s"artist-${id % 7}"),
-                withSeekTable = id % 3 == 0)
-            }
+                tags = Seq("TITLE" -> title, "ARTIST" -> artist),
+                withSeekTable = (id / 3) % 2 == 0)
+            case _ =>
+              val n = 1000 * (2 + m)
+              Multimodal.encodeWav(44100,
+                i => ((i.toLong * 2654435761L + id) % 2001L - 1000L).toInt,
+                n, tags = Seq("INAM" -> title, "IART" -> artist,
+                  "ICRD" -> "2005"))
+          }
           val t = Multimodal.sniffMediaType(payload)
-          val (title, artist, samples, rate) = t match {
+          val (ti, ar, samples, rate) = t match {
             case "audio/mpeg" =>
               val c = mpa.mp3IntakeCensus(id, payload)
               val tm = c.id3v2.map(_.textFrames.toMap).getOrElse(Map.empty)
@@ -2468,9 +2477,14 @@ object SparkEntry {
               val tm = meta.tags.toMap
               (tm.getOrElse("TITLE", ""), tm.getOrElse("ARTIST", ""),
                 si.totalSamples, si.sampleRate)
+            case "audio/wav" =>
+              val st = Multimodal.decodeWav(id, payload)
+              val tm = Multimodal.readWavInfo(id, payload).toMap
+              (tm.getOrElse("INAM", ""), tm.getOrElse("IART", ""),
+                st.n_samples, st.sample_rate)
             case _ => ("", "", 0L, 0)
           }
-          (id, t, title, artist, samples, rate)
+          (id, t, ti, ar, samples, rate)
         }
         .toDF("doc_id", "media_type", "title", "artist", "n_samples",
           "sample_rate")
@@ -9034,15 +9048,18 @@ object SparkEntry {
     // samples x frames; FLAC odd docs: 1024 x frames).
     "x5_audio_metadata_corpus" ->
       """SELECT doc_id,
-        |  CASE WHEN doc_id % 2 = 0 THEN 'audio/mpeg' ELSE 'audio/flac'
-        |    END AS media_type,
+        |  CASE CAST(doc_id % 3 AS INTEGER)
+        |    WHEN 0 THEN 'audio/mpeg' WHEN 1 THEN 'audio/flac'
+        |    ELSE 'audio/wav' END AS media_type,
         |  'title-' || doc_id AS title,
         |  'artist-' || (doc_id % 7) AS artist,
-        |  CAST((2 + doc_id % 3) *
-        |    CASE WHEN doc_id % 2 = 0 THEN 1152 ELSE 1024 END AS BIGINT)
+        |  CAST((2 + (doc_id // 3) % 3) *
+        |    CASE CAST(doc_id % 3 AS INTEGER)
+        |      WHEN 0 THEN 1152 WHEN 1 THEN 1024 ELSE 1000 END AS BIGINT)
         |    AS n_samples,
-        |  CAST(48000 AS INTEGER) AS sample_rate
-        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 44100 ELSE 48000 END
+        |    AS INTEGER) AS sample_rate
+        |FROM documents WHERE doc_id < 201 ORDER BY doc_id""".stripMargin,
 
     // Intensity-on-short census replay: every frame is joint-stereo
     // with the intensity bit; per-window bounds/positions are verified

@@ -195,19 +195,83 @@ object Multimodal {
   /** Build a minimal RIFF/WAVE payload: 'fmt ' chunk (PCM, mono,
     * 16-bit little-endian) + 'data' chunk. Fixture-side twin of
     * [[decodeWav]]. */
-  def encodeWav(sampleRate: Int, samples: Int => Int, nSamples: Int): Array[Byte] = {
+  /** 16-bit mono PCM WAV. `tags` (round 12, session 2) emits a
+    * LIST/INFO chunk before `data` — the RIFF metadata convention
+    * (INAM title, IART artist, IPRD album, ICRD date, ...): each
+    * subchunk is fourcc + LE size + NUL-terminated ASCII text,
+    * word-aligned with a pad byte after odd sizes. */
+  def encodeWav(sampleRate: Int, samples: Int => Int, nSamples: Int,
+      tags: Seq[(String, String)] = Nil): Array[Byte] = {
     val dataBytes = nSamples * 2
-    val out = java.nio.ByteBuffer.allocate(44 + dataBytes)
+    val listBody: Array[Byte] =
+      if (tags.isEmpty) Array.empty
+      else {
+        val b = new java.io.ByteArrayOutputStream()
+        b.write("INFO".getBytes("US-ASCII"))
+        tags.foreach { case (k, v) =>
+          require(k.length == 4 && k.forall(c => c.isUpper || c.isDigit),
+            s"wav: INFO tag fourcc must be 4 upper/digit chars, got $k")
+          require(v.forall(c => c >= 0x20 && c < 0x7F),
+            "wav: INFO text is printable ASCII")
+          val tb = v.getBytes("US-ASCII") :+ 0.toByte // NUL-terminated
+          b.write(k.getBytes("US-ASCII"))
+          b.write(tb.length & 0xFF); b.write((tb.length >> 8) & 0xFF)
+          b.write((tb.length >> 16) & 0xFF); b.write((tb.length >> 24) & 0xFF)
+          b.write(tb)
+          if (tb.length % 2 == 1) b.write(0) // word alignment
+        }
+        b.toByteArray
+      }
+    val listChunk = if (listBody.isEmpty) 0 else 8 + listBody.length
+    val out = java.nio.ByteBuffer.allocate(44 + listChunk + dataBytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + listChunk + dataBytes)
       .put("WAVE".getBytes("US-ASCII"))
     out.put("fmt ".getBytes("US-ASCII")).putInt(16)
       .putShort(1).putShort(1) // PCM, mono
       .putInt(sampleRate).putInt(sampleRate * 2).putShort(2).putShort(16)
+    if (listChunk > 0) {
+      out.put("LIST".getBytes("US-ASCII")).putInt(listBody.length)
+      out.put(listBody)
+    }
     out.put("data".getBytes("US-ASCII")).putInt(dataBytes)
     var i = 0
     while (i < nSamples) { out.putShort(samples(i).toShort); i += 1 }
     out.array()
+  }
+
+  /** LIST/INFO tags of a WAV payload: (fourcc, text) pairs with the
+    * NUL terminator stripped; empty when no LIST/INFO chunk exists. */
+  def readWavInfo(docId: Long, payload: Array[Byte]): Seq[(String, String)] = {
+    val buf = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+    }
+    require(fourcc() == "RIFF", s"not a RIFF payload (doc $docId)")
+    buf.getInt
+    require(fourcc() == "WAVE", s"not a WAVE payload (doc $docId)")
+    val tags = Seq.newBuilder[(String, String)]
+    while (buf.remaining() >= 8) {
+      val (id, size) = (fourcc(), buf.getInt)
+      if (id == "LIST" && size >= 4) {
+        val end = buf.position() + size
+        if (fourcc() == "INFO") {
+          while (buf.position() + 8 <= end) {
+            val sub = fourcc()
+            val slen = buf.getInt
+            require(slen >= 0 && buf.position() + slen <= end,
+              s"wav: INFO subchunk $sub overruns LIST (doc $docId)")
+            val tb = new Array[Byte](slen); buf.get(tb)
+            val text = new String(tb, "US-ASCII").takeWhile(_ != 0.toChar)
+            tags += ((sub, text))
+            if (slen % 2 == 1 && buf.position() < end) buf.get() // pad
+          }
+        }
+        buf.position(end)
+      } else buf.position(buf.position() + size)
+    }
+    tags.result()
   }
 
   /** Walk RIFF chunks (generic — tolerates extra chunks before 'data'),

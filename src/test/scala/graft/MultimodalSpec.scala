@@ -95,6 +95,19 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("not PCM"))
   }
 
+  test("WAV LIST/INFO tags (round 12): NUL-terminated word-aligned " +
+      "subchunks round-trip (odd and even text lengths), the tagged " +
+      "stream still decodes, untagged streams have no tags") {
+    val tags = Seq("INAM" -> "A Title", "IART" -> "Someone",
+      "ICRD" -> "2005") // 7(odd→pad), 7, 4 — both alignments hit
+    val w = encodeWav(44100, Seq(1, -2, 3, -4)(_), 4, tags = tags)
+    assert(readWavInfo(5L, w) == tags)
+    assert(decodeWav(5L, w) == WavStats(5L, 44100, 4L,
+      4L * 1000000L / 44100L, 10L, 4))
+    assert(readWavInfo(6L, encodeWav(8000, Seq(1)(_), 1)).isEmpty)
+    assert(sniffMediaType(w) == "audio/wav")
+  }
+
   test("GIF decode: hand-assembled LZW byte vector (decoder pinned independently of the encoder)") {
     // 3×1 image, pixels [1,1,2], 4-color palette, min code size 2:
     // codes CLEAR(4) 1 1 2 EOI(5) at 3 bits LSB-first = bytes 4C 54.
