@@ -2353,7 +2353,9 @@ object SparkEntry {
           val audio = mpa.encodeMp3(grans, gains, 160)
           // majors cycle 2/3/4/4(footer); v2.2 only lands on even ids
           // (no TALB there — its v2.2 id would be TAL), unsync on the
-          // id%5==0 non-footer docs (the pre-v2.4 tag-level scheme)
+          // id%5==0 pre-v2.4 docs (the tag-level scheme is v2.2/v2.3-
+          // only — v2.4 moved unsync to per-frame flags, a named
+          // boundary the parser rejects loudly)
           val major = (id % 4).toInt match {
             case 0 => 2; case 1 => 3; case _ => 4
           }
@@ -2367,7 +2369,7 @@ object SparkEntry {
               Array.tabulate(((id % 5) * 3 + 4).toInt)(i =>
                 (i + id).toByte)) else Nil
           val footer = major == 4 && id % 4 == 3
-          val unsyncTag = id % 5 == 0 && !footer
+          val unsyncTag = id % 5 == 0 && major <= 3
           val v2 = graft.ops.Id3.encodeId3v2(texts, major = major,
             utf16 = id % 3 == 0,
             padding = if (footer) 0 else ((id % 4) * 7).toInt,
@@ -9028,7 +9030,7 @@ object SparkEntry {
         |  CAST(CASE WHEN doc_id % 4 = 0 THEN 2
         |            WHEN doc_id % 4 = 1 THEN 3 ELSE 4 END AS INTEGER)
         |    AS v2_major,
-        |  (doc_id % 5 = 0 AND doc_id % 4 <> 3) AS v2_unsync,
+        |  (doc_id % 5 = 0 AND doc_id % 4 <= 1) AS v2_unsync,
         |  CAST(CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 2 END AS INTEGER)
         |    AS n_text_frames,
         |  'title-' || doc_id AS title,

@@ -915,10 +915,12 @@ object Flac {
             p += 4; v
           }
           val vlen = le32()
-          require(p + vlen <= body + len,
+          require(vlen >= 0 && p + vlen <= body + len,
             s"flac: vorbis vendor overruns block (doc $docId)")
           vendor = new String(payload, p, vlen, "UTF-8"); p += vlen
           val n = le32()
+          require(n >= 0,
+            s"flac: negative vorbis comment count (doc $docId)")
           var i = 0
           while (i < n) {
             val clen = le32()

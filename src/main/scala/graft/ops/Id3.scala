@@ -84,6 +84,12 @@ object Id3 {
       "id3: a footered tag must not have padding (v2.4 §3.4)")
     require(!(unsync && withFooter),
       "id3: unsync fixture grammar is the pre-v2.4 tag-level form")
+    // v2.4 §6.1 moved unsynchronisation to per-frame flags with
+    // post-unsync frame sizes; a v2.4 tag with tag-level unsync and
+    // pre-unsync sizes is a shape no conformant writer produces — the
+    // tag-level scheme here is v2.2/v2.3-only by construction
+    require(!(unsync && major == 4),
+      "id3: tag-level unsynchronisation is pre-v2.4 (v2.4 is per-frame)")
     val idLen = if (major == 2) 3 else 4
     val body = new java.io.ByteArrayOutputStream()
     def writeFrameHeader(id: String, size: Int): Unit = {
@@ -210,16 +216,21 @@ object Id3 {
     else require((flags & 0x40) == 0,
       s"id3: extended header is a named boundary (doc $docId)")
     val unsync = (flags & 0x80) != 0
+    // v2.4 §6.1: the tag-level unsync flag there means every frame is
+    // unsynchronised with POST-unsync frame sizes — a different layout
+    // from the whole-body v2.2/v2.3 scheme this intake carries. Parsing
+    // a conformant v2.4-unsync tag with v2.3 semantics would misread
+    // every frame size past the first escaped byte, so refuse loudly.
+    require(!(unsync && major == 4),
+      s"id3: v2.4 per-frame unsynchronisation is a named boundary (doc $docId)")
     val hasFooter = major == 4 && (flags & 0x10) != 0
     val size = readSyncsafe(payload, 6, docId)
     val tagBytes = 10 + size + (if (hasFooter) 10 else 0)
     require(tagBytes <= payload.length,
       s"id3: tag size $size overruns payload (doc $docId)")
     val rawBody = java.util.Arrays.copyOfRange(payload, 10, 10 + size)
-    // v2.4 moved unsynchronisation to per-frame flags; the tag-level
-    // flag there means "all frames unsynchronised" — same body-level
-    // reversal applies for the frames we read (none carry data-length
-    // indicators in this intake)
+    // tag-level (v2.2/v2.3) unsynchronisation: whole-body reversal
+    // before the frame walk; the v2.4 per-frame form is rejected above
     val body = if (unsync) deUnsync(rawBody) else rawBody
     val idLen = if (major == 2) 3 else 4
     val headLen = if (major == 2) 6 else 10

@@ -2412,13 +2412,27 @@ object MpegAudio {
 
   def mp3IntakeCensus(docId: Long, payload: Array[Byte]): Mp3IntakeInfo = {
     val (start, end, v2, v1) = Id3.audioSpan(payload, docId)
-    val audio = java.util.Arrays.copyOfRange(payload, start, end)
-    val xing = mp3XingInfo(docId, audio)
-    val dataOff =
-      if (xing.isDefined) parseHeader(audio, 0, docId).frameBytes else 0
-    val frames = walkFrames(docId,
-      java.util.Arrays.copyOfRange(audio, dataOff, audio.length))
-    Mp3IntakeInfo(start, end, v2, v1, xing, frames.length,
-      frames.map(_.n_samples.toLong).sum)
+    def census(audioEnd: Int,
+        v1Tag: Option[Id3.Id3v1Info]): Mp3IntakeInfo = {
+      val audio = java.util.Arrays.copyOfRange(payload, start, audioEnd)
+      val xing = mp3XingInfo(docId, audio)
+      val dataOff =
+        if (xing.isDefined) parseHeader(audio, 0, docId).frameBytes else 0
+      val frames = walkFrames(docId,
+        java.util.Arrays.copyOfRange(audio, dataOff, audio.length))
+      Mp3IntakeInfo(start, audioEnd, v2, v1Tag, xing, frames.length,
+        frames.map(_.n_samples.toLong).sum)
+    }
+    if (v1.isEmpty) census(end, None)
+    else try census(end, v1) catch {
+      // 'TAG' at length-128 can legally occur INSIDE bare audio bytes —
+      // a false ID3v1 positive. Strip the trailer only when the trimmed
+      // span still frame-tiles; when trimming breaks the tiling and the
+      // untrimmed walk succeeds, the 128 bytes were audio all along.
+      // A genuinely corrupt stream fails both ways → original error.
+      case e: IllegalArgumentException =>
+        try census(payload.length, None)
+        catch { case _: IllegalArgumentException => throw e }
+    }
   }
 }

@@ -252,6 +252,15 @@ object Multimodal {
     buf.getInt
     require(fourcc() == "WAVE", s"not a WAVE payload (doc $docId)")
     val tags = Seq.newBuilder[(String, String)]
+    // RIFF word-alignment: every chunk whose size is odd is followed by
+    // a pad byte (trailing chunk may legally omit it) — skipping it is
+    // what keeps the walk in sync past odd-sized foreign chunks
+    def advancePast(chunkEnd: Int, size: Int): Unit = {
+      require(size >= 0 && chunkEnd <= buf.limit(),
+        s"wav: chunk overruns payload (doc $docId)")
+      val padded = chunkEnd + (size & 1)
+      buf.position(math.min(padded, buf.limit()))
+    }
     while (buf.remaining() >= 8) {
       val (id, size) = (fourcc(), buf.getInt)
       if (id == "LIST" && size >= 4) {
@@ -268,8 +277,8 @@ object Multimodal {
             if (slen % 2 == 1 && buf.position() < end) buf.get() // pad
           }
         }
-        buf.position(end)
-      } else buf.position(buf.position() + size)
+        advancePast(end, size)
+      } else advancePast(buf.position() + size, size)
     }
     tags.result()
   }
@@ -311,7 +320,11 @@ object Multimodal {
             i += 1
           }
           stats = Some((n.toLong, sumAbs, peak))
-        case _ => buf.position(buf.position() + size) // skip unknown chunk
+        case _ => // skip unknown chunk, honoring the RIFF pad byte
+          require(size >= 0 && buf.position() + size <= buf.limit(),
+            s"wav: chunk $id overruns payload (doc $docId)")
+          buf.position(
+            math.min(buf.position() + size + (size & 1), buf.limit()))
       }
     }
     val (n, sumAbs, peak) = stats.getOrElse(
@@ -959,6 +972,157 @@ object Multimodal {
     val c = new java.util.zip.CRC32
     c.update(bytes, off, len)
     c.getValue.toInt
+  }
+
+  // -------------------------------------------------------------------
+  // PNG tEXt + GIF comment metadata — the image siblings of WAV
+  // LIST/INFO (r13 image-metadata capstone): crawl PNGs carry tEXt
+  // chunks (RFC 2083 §4.2.3: keyword NUL text, latin1), crawl GIFs
+  // carry 89a comment extensions (0x21 0xFE + sub-blocks). Both
+  // decoders already skip these by construction (PNG: ancillary-chunk
+  // skip with CRC check; GIF: extension skip), so tagged streams keep
+  // decoding — these are the intake/write sides.
+  // -------------------------------------------------------------------
+
+  /** Insert tEXt chunks right after IHDR (the conventional position).
+    * Keywords: 1-79 printable latin1, no NUL; text: latin1. */
+  def insertPngText(png: Array[Byte],
+      tags: Seq[(String, String)]): Array[Byte] = {
+    require(png.length >= 33, "png: too short for IHDR")
+    val ihdrEnd = 8 + 8 + 13 + 4
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(png, 0, ihdrEnd)
+    tags.foreach { case (k, v) =>
+      require(k.nonEmpty && k.length <= 79 &&
+        k.forall(c => c >= 0x20 && c <= 0xFF && c != 0x7F),
+        s"png: bad tEXt keyword '$k'")
+      require(v.forall(c => c <= 0xFF && c != 0), s"png: bad tEXt text")
+      val body = k.map(_.toByte).toArray ++ Array(0.toByte) ++
+        v.map(_.toByte).toArray
+      val chunk = "tEXt".getBytes("US-ASCII") ++ body
+      val len = body.length
+      out.write(len >>> 24); out.write((len >>> 16) & 0xFF)
+      out.write((len >>> 8) & 0xFF); out.write(len & 0xFF)
+      out.write(chunk)
+      val crc = pngCrc(chunk, 0, chunk.length)
+      out.write(crc >>> 24); out.write((crc >>> 16) & 0xFF)
+      out.write((crc >>> 8) & 0xFF); out.write(crc & 0xFF)
+    }
+    out.write(png, ihdrEnd, png.length - ihdrEnd)
+    out.toByteArray
+  }
+
+  /** (keyword, text) pairs of every tEXt chunk, CRC-checked like the
+    * raster decoder checks its chunks. */
+  def readPngText(docId: Long,
+      payload: Array[Byte]): Seq[(String, String)] = {
+    require(payload.length >= 8, s"png: truncated signature (doc $docId)")
+    var i = 0
+    while (i < 8) {
+      require(payload(i) == PngSig(i), s"png: bad signature (doc $docId)")
+      i += 1
+    }
+    def be32(p: Int): Int = ((payload(p) & 0xFF) << 24) |
+      ((payload(p + 1) & 0xFF) << 16) | ((payload(p + 2) & 0xFF) << 8) |
+      (payload(p + 3) & 0xFF)
+    val tags = Seq.newBuilder[(String, String)]
+    var pos = 8
+    var done = false
+    while (!done) {
+      require(pos + 8 <= payload.length,
+        s"png: truncated chunk header (doc $docId)")
+      val len = be32(pos)
+      val typ = new String(payload, pos + 4, 4, "US-ASCII")
+      require(len >= 0 && pos + 8 + len + 4 <= payload.length,
+        s"png: truncated $typ chunk (doc $docId)")
+      require(pngCrc(payload, pos + 4, len + 4) == be32(pos + 8 + len),
+        s"png: bad CRC in $typ (doc $docId)")
+      if (typ == "tEXt") {
+        val body = pos + 8
+        var nul = body
+        while (nul < body + len && payload(nul) != 0) nul += 1
+        require(nul > body && nul < body + len,
+          s"png: tEXt chunk without keyword separator (doc $docId)")
+        tags += ((new String(payload, body, nul - body, "ISO-8859-1"),
+          new String(payload, nul + 1, body + len - nul - 1, "ISO-8859-1")))
+      } else if (typ == "IEND") done = true
+      pos += 8 + len + 4
+    }
+    tags.result()
+  }
+
+  /** GIF comment-extension offset: header + logical screen descriptor
+    * + global color table (when present). */
+  private def gifAfterGct(payload: Array[Byte], docId: Long): Int = {
+    require(payload.length >= 13 &&
+      new String(payload, 0, 6, "US-ASCII").startsWith("GIF"),
+      s"gif: bad header (doc $docId)")
+    val packed = payload(10) & 0xFF
+    13 + (if ((packed & 0x80) != 0) 3 * (2 << (packed & 7)) else 0)
+  }
+
+  /** Insert an 89a comment extension after the global color table
+    * (before any image/GCE, where reference encoders put it). Text is
+    * cut into ≤255-byte sub-blocks. */
+  def insertGifComment(gif: Array[Byte], text: String): Array[Byte] = {
+    require(text.forall(c => c >= 0x20 && c <= 0xFF),
+      "gif: comment must be printable latin1")
+    val at = gifAfterGct(gif, -1L)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(gif, 0, at)
+    out.write(0x21); out.write(0xFE)
+    text.map(_.toByte).grouped(255).foreach { blk =>
+      out.write(blk.length); out.write(blk.toArray)
+    }
+    out.write(0) // block terminator
+    out.write(gif, at, gif.length - at)
+    out.toByteArray
+  }
+
+  /** Every comment extension's text (sub-blocks concatenated), walked
+    * with the same extension grammar the frame decoders skip by. */
+  def readGifComments(docId: Long, payload: Array[Byte]): Seq[String] = {
+    var pos = gifAfterGct(payload, docId)
+    val res = Seq.newBuilder[String]
+    var done = false
+    while (!done) {
+      require(pos < payload.length, s"gif: missing trailer (doc $docId)")
+      (payload(pos) & 0xFF) match {
+        case 0x3B => done = true
+        case 0x21 =>
+          val label = payload(pos + 1) & 0xFF
+          pos += 2
+          val text = new java.io.ByteArrayOutputStream()
+          var blk = payload(pos) & 0xFF
+          while (blk != 0) {
+            require(pos + 1 + blk < payload.length,
+              s"gif: extension sub-block overruns payload (doc $docId)")
+            if (label == 0xFE) text.write(payload, pos + 1, blk)
+            pos += 1 + blk
+            blk = payload(pos) & 0xFF
+          }
+          pos += 1
+          if (label == 0xFE)
+            res += new String(text.toByteArray, "ISO-8859-1")
+        case 0x2C =>
+          // image descriptor: skip LCT + LZW data sub-blocks
+          val packed = payload(pos + 9) & 0xFF
+          pos += 10 + (if ((packed & 0x80) != 0) 3 * (2 << (packed & 7))
+                       else 0)
+          pos += 1 // LZW minimum code size
+          var blk = payload(pos) & 0xFF
+          while (blk != 0) {
+            require(pos + 1 + blk < payload.length,
+              s"gif: image sub-block overruns payload (doc $docId)")
+            pos += 1 + blk
+            blk = payload(pos) & 0xFF
+          }
+          pos += 1
+        case b => throw new IllegalArgumentException(
+          f"gif: unexpected block introducer 0x$b%02X (doc $docId)")
+      }
+    }
+    res.result()
   }
 
   /** Paeth predictor (RFC 2083 §6.6): nearest of left/above/upper-left

@@ -1028,9 +1028,10 @@ object Streams {
     * against the batch-build assignment of the SCORABLE corpus. */
   def streamIvfIngestSelfHealing(spark: SparkSession, sfDir: String,
       span: Long = 200L, k: Int = 16,
-      singleTrigger: Boolean = false): DataFrame =
+      singleTrigger: Boolean = false,
+      verifyCensus: Boolean = false): DataFrame =
     streamIvfIngest(spark, sfDir, span, k, degenLastBatch = true,
-      singleTrigger = singleTrigger)
+      singleTrigger = singleTrigger, verifyCensus = verifyCensus)
 
   /** `singleTrigger`: drain the whole landing dir in ONE AvailableNow
     * trigger instead of one file per trigger. Because foreachBatch
@@ -1043,7 +1044,8 @@ object Streams {
   def streamIvfIngest(spark: SparkSession, sfDir: String,
       span: Long = 200L, k: Int = 16,
       degenLastBatch: Boolean = false,
-      singleTrigger: Boolean = false): DataFrame = {
+      singleTrigger: Boolean = false,
+      verifyCensus: Boolean = false): DataFrame = {
     import java.nio.file._
     val ss = stateSession(spark, 4)
     val runId = java.util.UUID.randomUUID().toString.replace("-", "")
@@ -1074,15 +1076,33 @@ object Streams {
     }
     def processLogicalBatch(batch: DataFrame, b: Long): Unit = {
       val vecs = batch.localCheckpoint(true)
-      if (b == 0L) {
-        val cents = graft.ops.Similarity.trainKMeans(
-          vecs, "vec_id", "embedding", k, iters = 3)
-        graft.ops.Similarity.writeIvfIndex(
-          vecs, "vec_id", "embedding", cents, idxDir)
-      } else
-        graft.ops.Similarity.appendToIvfIndex(
-          ss, vecs, "vec_id", "embedding", idxDir)
-      val c = graft.ops.Similarity.ivfIndexCensus(ss, idxDir).collect()(0)
+      // the census is maintained INCREMENTALLY (r13): batch 0 seeds the
+      // running tables from the build stats; every append folds its own
+      // per-list stats in — O(touched lists + 1) per batch instead of a
+      // full stats re-read, the shape that survives lists >> batch.
+      // Running == recomputed is pinned per batch in StreamingSpec.
+      val c =
+        if (b == 0L) {
+          val cents = graft.ops.Similarity.trainKMeans(
+            vecs, "vec_id", "embedding", k, iters = 3)
+          graft.ops.Similarity.writeIvfIndex(
+            vecs, "vec_id", "embedding", cents, idxDir)
+          graft.ops.Similarity.initIvfCensusRunning(ss, idxDir)
+          graft.ops.Similarity.readIvfCensusRunning(ss, idxDir).collect()(0)
+        } else {
+          val bstats = graft.ops.Similarity.appendToIvfIndex(
+            ss, vecs, "vec_id", "embedding", idxDir)
+          graft.ops.Similarity.updateIvfCensusRunning(ss, idxDir, bstats)
+            .collect()(0)
+        }
+      // StreamingSpec's equality pin: the incrementally-maintained
+      // verdict must equal a full recompute from the stats table, at
+      // every batch boundary the loop ever acts on
+      if (verifyCensus) {
+        val rec = graft.ops.Similarity.ivfIndexCensus(ss, idxDir).collect()(0)
+        require(c.toSeq == rec.toSeq,
+          s"running census diverged at batch $b: $c vs recomputed $rec")
+      }
       val fired = c.getAs[Boolean]("needs_retrain")
       // the self-healing step: when the census fires, retrain RIGHT
       // HERE (zero-norm quarantine + stats reset) and re-census — the
@@ -1090,7 +1110,16 @@ object Streams {
       val after =
         if (fired) {
           graft.ops.Similarity.retrainIvfIndex(ss, idxDir, k, iters = 3)
-          graft.ops.Similarity.ivfIndexCensus(ss, idxDir).collect()(0)
+          graft.ops.Similarity.initIvfCensusRunning(ss, idxDir)
+          val post =
+            graft.ops.Similarity.readIvfCensusRunning(ss, idxDir).collect()(0)
+          if (verifyCensus) {
+            val rec = graft.ops.Similarity.ivfIndexCensus(ss, idxDir)
+              .collect()(0)
+            require(post.toSeq == rec.toSeq,
+              s"post-retrain running census diverged: $post vs $rec")
+          }
+          post
         } else c
       import ss.implicits._
       Seq((b, vecs.count(), after.getAs[Long]("n_total"),

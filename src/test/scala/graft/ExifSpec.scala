@@ -1,0 +1,108 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Exif, Multimodal}
+import graft.ops.Exif.ExifMeta
+
+class ExifSpec extends AnyFunSuite {
+
+  private def gray(w: Int, h: Int): Array[Byte] =
+    Multimodal.encodeJpeg(w, h, i => (i * 7) % 256)
+
+  test("EXIF APP1 round-trip in BOTH endiannesses: every carried field " +
+      "replays exactly (ASCII NUL-terminated, SHORT/LONG dims, exact " +
+      "rationals), spliced after SOI like camera firmware writes it") {
+    Seq(false, true).foreach { be =>
+      val meta = ExifMeta(bigEndian = be,
+        description = Some("a test image"), make = Some("graftcam"),
+        model = Some("GC-1"), orientation = Some(6),
+        dateTime = Some("2013:05:02 12:00:00"),
+        exposureTime = Some((1L, 125L)), fNumber = Some((28L, 10L)),
+        iso = Some(400), dateTimeOriginal = Some("2013:05:01 08:30:00"),
+        pixelX = Some(16L), pixelY = Some(8L))
+      val tagged = Exif.insertJpegSegments(gray(16, 8),
+        Seq(Exif.encodeJfifApp0(72, 96), Exif.encodeExifApp1(meta)))
+      val c = Exif.readJpegMeta(1L, tagged)
+      assert(c.exif.contains(meta), s"be=$be: ${c.exif}")
+      assert(c.jfif.exists(j => j.major == 1 && j.minor == 2 &&
+        j.units == 1 && j.xDensity == 72 && j.yDensity == 96))
+      assert(c.nComments == 0 && c.nUnknownApps == 0)
+      assert(c.metaBytes > 0)
+    }
+  }
+
+  test("unknown APPn segments and COM are counted and skipped; GPS " +
+      "pointer and MakerNote-style unknown tags are counted, never " +
+      "parsed through; the bare stream has no metadata") {
+    val meta = ExifMeta(bigEndian = false, make = Some("m"),
+      orientation = Some(1))
+    val tagged = Exif.insertJpegSegments(gray(8, 8),
+      Seq(Exif.encodeAppSegment(5, Array[Byte](1, 2, 3)),
+        Exif.encodeExifApp1(meta),
+        Exif.encodeJpegComment("crawl junk"),
+        Exif.encodeAppSegment(13, Array[Byte](9))))
+    val c = Exif.readJpegMeta(2L, tagged)
+    assert(c.nUnknownApps == 2 && c.nComments == 1)
+    assert(c.exif.exists(e => e.make.contains("m") && e.nUnknownTags == 0))
+    val bare = Exif.readJpegMeta(3L, gray(8, 8))
+    assert(bare.jfif.isEmpty && bare.exif.isEmpty && bare.metaBytes == 0)
+  }
+
+  test("strip removes every APPn/COM segment and the stripped stream " +
+      "decodes to the SAME raster as the tagged one (the decoder skips " +
+      "tags by length; strip just makes the bytes canonical)") {
+    val base = gray(24, 16)
+    val meta = ExifMeta(bigEndian = true, model = Some("GC-2"),
+      orientation = Some(3), pixelX = Some(24L), pixelY = Some(16L))
+    val tagged = Exif.insertJpegSegments(base,
+      Seq(Exif.encodeJfifApp0(300, 300, units = 2),
+        Exif.encodeExifApp1(meta), Exif.encodeJpegComment("c")))
+    val stripped = Exif.stripJpegMeta(4L, tagged)
+    assert(stripped.sameElements(base), "strip must recover the bare bytes")
+    val (w1, h1, r1, _) = Multimodal.decodeJpegRaster(tagged)
+    val (w2, h2, r2, _) = Multimodal.decodeJpegRaster(stripped)
+    assert(w1 == w2 && h1 == h2 && r1.sameElements(r2))
+    assert(Exif.readJpegMeta(5L, stripped).metaBytes == 0)
+  }
+
+  test("corruption and spec violations fail loudly by name: bad TIFF " +
+      "byte-order mark, wrong magic, field data overrunning the block, " +
+      "a known tag with an off-spec type, orientation out of range") {
+    val meta = ExifMeta(bigEndian = false, make = Some("vendor"),
+      orientation = Some(2), exposureTime = Some((1L, 60L)))
+    val app1 = Exif.encodeExifApp1(meta)
+    val tiffAt = 4 + 6 // segment header + "Exif\0\0"
+    def corrupt(f: Array[Byte] => Unit): Array[Byte] = {
+      val c = app1.clone(); f(c); c
+    }
+    def intake(seg: Array[Byte]): Exif.JpegMetaInfo =
+      Exif.readJpegMeta(6L, Exif.insertJpegSegments(gray(8, 8), Seq(seg)))
+    val e1 = intercept[IllegalArgumentException](intake(
+      corrupt(c => { c(tiffAt) = 'X'; c(tiffAt + 1) = 'X' })))
+    assert(e1.getMessage.contains("byte-order"))
+    val e2 = intercept[IllegalArgumentException](intake(
+      corrupt(c => c(tiffAt + 2) = 99)))
+    assert(e2.getMessage.contains("magic"))
+    // IFD0 entry 0 is Make (ascending tag order): its value offset is
+    // at tiff+8(hdr)+2(count)+8 — smash it past the block
+    val e3 = intercept[IllegalArgumentException](intake(
+      corrupt { c =>
+        val at = tiffAt + 8 + 2 + 8
+        c(at) = 0xFF.toByte; c(at + 1) = 0xFF.toByte
+      }))
+    assert(e3.getMessage.contains("overruns"))
+    // flip Make's type from ASCII(2) to SHORT(3)
+    val e4 = intercept[IllegalArgumentException](intake(
+      corrupt { c => c(tiffAt + 8 + 2 + 2) = 3 }))
+    assert(e4.getMessage.contains("must be ASCII"))
+    intercept[IllegalArgumentException](
+      Exif.encodeExifApp1(ExifMeta(bigEndian = false, orientation = Some(9))))
+    // orientation 0 planted in the segment is loud at intake too
+    val e5 = intercept[IllegalArgumentException](intake(corrupt { c =>
+      // entry 1 is Orientation (0x0112 > 0x010F): value at +12 entry
+      val at = tiffAt + 8 + 2 + 12 + 8
+      c(at) = 0; c(at + 1) = 0
+    }))
+    assert(e5.getMessage.contains("orientation"))
+  }
+}

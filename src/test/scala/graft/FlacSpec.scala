@@ -447,6 +447,25 @@ class FlacSpec extends AnyFunSuite {
       202L).blockTypes == Seq(0))
   }
 
+  test("corrupt VORBIS_COMMENT length fields with the sign bit set " +
+      "fail loudly by name (negative le32 would otherwise pass the " +
+      "overrun guard as p+len < p)") {
+    val x = pcm(1024, 42L, 520.0)
+    val enc = Flac.encodeFlac(Array(x), 48000,
+      tags = Seq("TITLE" -> "t"), vendor = "v")
+    // layout: fLaC(4) + STREAMINFO hdr(4)+34 + VC hdr(4) -> vendor
+    // length le32 at 46; vendor "v" (1 byte) -> comment count at 51
+    val negVendor = enc.clone(); negVendor(49) = 0x80.toByte
+    val e1 = intercept[IllegalArgumentException](
+      Flac.readFlacMeta(negVendor, 203L))
+    assert(e1.getMessage.contains("vendor overruns"), e1.getMessage)
+    val negCount = enc.clone(); negCount(54) = 0x80.toByte
+    val e2 = intercept[IllegalArgumentException](
+      Flac.readFlacMeta(negCount, 204L))
+    assert(e2.getMessage.contains("negative vorbis comment count"),
+      e2.getMessage)
+  }
+
   test("foreign rice geometry fails loudly by name: a partition order " +
       "that does not divide the block size is a classified decode error") {
     val x = pcm(1024, 3L, 440.0)

@@ -149,4 +149,24 @@ class Id3Spec extends AnyFunSuite {
     val e5 = intercept[IllegalArgumentException](Id3.parseId3v2(comp, 34L))
     assert(e5.getMessage.contains("format flags"))
   }
+
+  test("v2.4 unsynchronisation is per-frame (post-unsync sizes) — the " +
+      "tag-level scheme is v2.2/v2.3-only: encoder refuses the " +
+      "non-conformant combination, parser rejects the flag loudly") {
+    // encoder: the fixture grammar cannot produce a v2.4 tag with
+    // tag-level unsync + pre-unsync frame sizes (id3v2.4 §6.1)
+    val eEnc = intercept[IllegalArgumentException](
+      Id3.encodeId3v2(Seq("TIT2" -> "x"), major = 4, unsync = true))
+    assert(eEnc.getMessage.contains("pre-v2.4"))
+    // parser: a v2.4 tag carrying the tag-level unsync flag would need
+    // per-frame post-unsync sizes we don't carry — named boundary
+    val v4 = Id3.encodeId3v2(Seq("TIT2" -> "x"), major = 4)
+    val flagged = v4.clone(); flagged(5) = 0x80.toByte
+    val ePar = intercept[IllegalArgumentException](
+      Id3.parseId3v2(flagged, 35L))
+    assert(ePar.getMessage.contains("per-frame unsynchronisation"))
+    // the pre-v2.4 majors still round-trip the tag-level scheme
+    assert(Id3.parseId3v2(Id3.encodeId3v2(Seq("TIT2" -> "x"), major = 3,
+      unsync = true), 36L).get.unsync)
+  }
 }

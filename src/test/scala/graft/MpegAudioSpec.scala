@@ -846,4 +846,35 @@ class MpegAudioSpec extends AnyFunSuite {
       MpegAudio.mp3StreamSpectraStereo(105L, encBad))
     assert(e.getMessage.contains("mixed-block"), e.getMessage)
   }
+
+  test("intake census: 'TAG' read at length-128 inside a BARE stream " +
+      "is a false ID3v1 positive — stripping 128 bytes breaks frame " +
+      "tiling, so the census falls back to the untrimmed walk; a " +
+      "stream that fails both ways surfaces the original error") {
+    val spec = new Array[Int](576); spec(40) = 1
+    val audio = MpegAudio.encodeMp3(Seq.fill(4)(spec), Seq.fill(4)(210),
+      160) // 2 frames x 480 B at 48 kHz
+    val off = audio.length - 128
+    // the planted magic lands strictly inside frame 2's data bytes
+    // (frame starts at 480; 832 - 480 = 352 >> header+side info)
+    assert(off == 832 && audio.length == 960)
+    val bare = audio.clone()
+    bare(off) = 'T'; bare(off + 1) = 'A'; bare(off + 2) = 'G'
+    val c = MpegAudio.mp3IntakeCensus(900L, bare)
+    assert(c.id3v1.isEmpty && c.audioEnd == bare.length &&
+      c.nAudioFrames == 2 && c.nSamples == 2 * 1152L)
+    // a REAL trailing ID3v1 tag still strips (tiling holds trimmed)
+    val tagged = audio ++ graft.ops.Id3.encodeId3v1("t", "a", "alb",
+      "2004", "c", 3, 17)
+    val ct = MpegAudio.mp3IntakeCensus(901L, tagged)
+    assert(ct.id3v1.exists(_.title == "t") && ct.audioEnd == audio.length)
+    // corrupt both ways: truncated audio + fake TAG -> loud failure
+    val corrupt = java.util.Arrays.copyOfRange(bare, 0, bare.length - 7)
+    val junk = corrupt.clone()
+    junk(junk.length - 128) = 'T'; junk(junk.length - 127) = 'A'
+    junk(junk.length - 126) = 'G'
+    val e = intercept[IllegalArgumentException](
+      MpegAudio.mp3IntakeCensus(902L, junk))
+    assert(e.getMessage.contains("doc 902"), e.getMessage)
+  }
 }

@@ -108,6 +108,39 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(sniffMediaType(w) == "audio/wav")
   }
 
+  test("WAV RIFF word alignment: an odd-sized foreign chunk before " +
+      "LIST/data carries a pad byte — both walks skip it and stay in " +
+      "sync; a chunk size overrunning the payload fails loudly") {
+    val tags = Seq("INAM" -> "T")
+    val base = encodeWav(44100, Seq(1, -2, 3, -4)(_), 4, tags = tags)
+    // splice `junk` (size 5, odd -> 1 pad byte) right after "WAVE"
+    val junk = java.nio.ByteBuffer.allocate(8 + 5 + 1)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    junk.put("junk".getBytes("US-ASCII")).putInt(5)
+      .put(Array[Byte](9, 8, 7, 6, 5)).put(0.toByte)
+    val spliced = java.nio.ByteBuffer
+      .allocate(base.length + junk.capacity())
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    spliced.put(base, 0, 12).put(junk.array())
+      .put(base, 12, base.length - 12)
+    val w = spliced.array()
+    // fix the RIFF size field (bytes 4-7) to cover the spliced chunk
+    java.nio.ByteBuffer.wrap(w).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, w.length - 8)
+    assert(readWavInfo(7L, w) == tags)
+    assert(decodeWav(7L, w) == WavStats(7L, 44100, 4L,
+      4L * 1000000L / 44100L, 10L, 4))
+    // a foreign chunk whose size overruns the payload is loud, not a
+    // silent desync
+    val bad = w.clone()
+    java.nio.ByteBuffer.wrap(bad).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(16, 1 << 20) // junk chunk size -> 1 MiB
+    val e = intercept[IllegalArgumentException](readWavInfo(8L, bad))
+    assert(e.getMessage.contains("overruns payload"))
+    val e2 = intercept[IllegalArgumentException](decodeWav(8L, bad))
+    assert(e2.getMessage.contains("overruns payload"))
+  }
+
   test("GIF decode: hand-assembled LZW byte vector (decoder pinned independently of the encoder)") {
     // 3×1 image, pixels [1,1,2], 4-color palette, min code size 2:
     // codes CLEAR(4) 1 1 2 EOI(5) at 3 bits LSB-first = bytes 4C 54.

@@ -402,4 +402,62 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       rows(s"$fresh/lists", Seq("cid", "cent_id")))
     rmTree(path); rmTree(fresh)
   }
+
+  test("IVF running census (r13): init/update track the full stats " +
+      "recompute EXACTLY across appends, a fired trigger, and a " +
+      "retrain reset; an update folds only the batch's own stat rows " +
+      "and never scans the stats table") {
+    val e = graft.io.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // build on HALF the corpus: the census fit baseline is in-sample,
+    // and a 125-vector build showed a 0.26 generalization gap on this
+    // fixture (fired spuriously) — 250 keeps same-distribution appends
+    // inside the 0.20 threshold, matching the stream gate's 200/200
+    val a = e.filter(col("vec_id") % 4 < 2)
+    val b1 = e.filter(col("vec_id") % 4 === 2)
+    val b2 = e.filter(col("vec_id") % 4 === 3)
+    val degen = b2.select(col("vec_id"),
+      transform(col("embedding"), _ => lit(0.0f)).as("embedding"))
+    val cents = Similarity.trainKMeans(a, "vec_id", "embedding",
+      k = 16, iters = 2)
+    val p = java.nio.file.Files.createTempDirectory("ivfrun").toString
+    Similarity.writeIvfIndex(a, "vec_id", "embedding", cents, p)
+    Similarity.initIvfCensusRunning(spark, p)
+    def pin(tag: String): org.apache.spark.sql.Row = {
+      val run = Similarity.readIvfCensusRunning(spark, p).collect()(0)
+      val rec = Similarity.ivfIndexCensus(spark, p).collect()(0)
+      assert(run.toSeq == rec.toSeq,
+        s"$tag: running=$run vs recomputed=$rec")
+      run
+    }
+    pin("post-build")
+    val s1 = Similarity.appendToIvfIndex(spark, b1, "vec_id", "embedding", p)
+    val u1 = Similarity.updateIvfCensusRunning(spark, p, s1).collect()(0)
+    assert(u1.toSeq == pin("append-1").toSeq,
+      "update verdict differs from its own re-read")
+    val s2 = Similarity.appendToIvfIndex(spark, b2, "vec_id", "embedding", p)
+    // the no-scan discipline: with the stats table parked OUT of the
+    // index, update and read still work — only init ever reads stats
+    val statsDir = java.nio.file.Paths.get(p, "stats")
+    val parked = java.nio.file.Paths.get(p, "_stats_parked")
+    java.nio.file.Files.move(statsDir, parked)
+    val u2 = Similarity.updateIvfCensusRunning(spark, p, s2).collect()(0)
+    assert(u2.toSeq ==
+      Similarity.readIvfCensusRunning(spark, p).collect()(0).toSeq)
+    java.nio.file.Files.move(parked, statsDir)
+    assert(u2.toSeq == pin("append-2").toSeq)
+    assert(!u2.getAs[Boolean]("needs_retrain"),
+      s"same-distribution appends must stay quiet: $u2")
+    // the degenerate batch fires through the INCREMENTAL path too
+    val s3 = Similarity.appendToIvfIndex(spark, degen, "vec_id", "embedding", p)
+    val u3 = Similarity.updateIvfCensusRunning(spark, p, s3).collect()(0)
+    assert(u3.getAs[Boolean]("needs_retrain") &&
+      u3.toSeq == pin("degen").toSeq, s"fit trigger via running census: $u3")
+    // retrain resets the baseline; re-init rebuilds the running tables
+    Similarity.retrainIvfIndex(spark, p, k = 16, iters = 2)
+    Similarity.initIvfCensusRunning(spark, p)
+    val after = pin("post-retrain")
+    assert(!after.getAs[Boolean]("needs_retrain") &&
+      after.getAs[Long]("n_appended") == 0L, s"baseline reset: $after")
+    rmTree(p)
+  }
 }

@@ -214,15 +214,18 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
   test("streaming IVF: single-trigger drain is row-identical to the " +
       "per-file drain (foreachBatch regroups by logical batch, so " +
       "maxFilesPerTrigger is a pure certification-cost knob — the r11 " +
-      "judge ask #6 equality pin)") {
+      "judge ask #6 equality pin); verifyCensus=true additionally pins " +
+      "the r13 INCREMENTAL census == full stats recompute at every " +
+      "batch boundary, including across the in-stream retrain") {
     val dir = "/root/testdata/sf0.001"
     def canon(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
       df.orderBy("batch_id").collect().map(_.toSeq).toSeq
     val multi = canon(graft.streaming.Streams
-      .streamIvfIngestSelfHealing(spark, dir, span = 200L, k = 16))
+      .streamIvfIngestSelfHealing(spark, dir, span = 200L, k = 16,
+        verifyCensus = true))
     val single = canon(graft.streaming.Streams
       .streamIvfIngestSelfHealing(spark, dir, span = 200L, k = 16,
-        singleTrigger = true))
+        singleTrigger = true, verifyCensus = true))
     assert(multi.nonEmpty && multi.length == 3) // 500 vecs / span 200
     assert(multi == single,
       "single-trigger streaming-IVF output diverged from per-file drain")
