@@ -2493,6 +2493,132 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // X5 — JPEG TAGGED-CRAWL INTAKE (round 13, judge ask #4): real
+    // crawl JPEGs carry JFIF APP0 and EXIF APP1 (a TIFF 6.0 IFD block,
+    // either endianness) the way crawl MP3s carry ID3 — plus COM
+    // segments and vendor APPn blobs the intake must SKIP and count.
+    // readJpegMeta walks SOI→SOS, parses the common EXIF 2.3 tag set
+    // (orientation/make/model/timestamps/dims/exposure), counts
+    // MakerNote-style unknown tags by type size, and the de-tagged
+    // stream (stripJpegMeta) must equal the bare bytes and decode to
+    // the identical raster. Every census field replays closed-form.
+    "x5_jpeg_exif_intake" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val ex = graft.ops.Exif
+          val base = Multimodal.encodeJpeg(16, 8,
+            i => ((i * 7 + id) % 256).toInt)
+          val hasJfif = id % 3 != 1
+          val hasDt = id % 4 != 2
+          val meta = ex.ExifMeta(bigEndian = id % 2 == 0,
+            make = Some(s"cam-${id % 5}"), model = Some(s"m-${id % 3}"),
+            orientation = Some(1 + (id % 8).toInt),
+            dateTime = if (hasDt)
+              Some(f"2013:05:${(id % 28) + 1}%02d 10:00:00") else None,
+            exposureTime = Some((1L, 60L + id % 200)),
+            iso = Some((100 * (1 + id % 4)).toInt),
+            pixelX = Some(16L), pixelY = Some(8L),
+            makerNote = if (id % 4 == 3)
+              Some(Array.tabulate(((id % 5) * 7 + 3).toInt)(i =>
+                (i + id).toByte)) else None)
+          val segs =
+            (if (hasJfif) Seq(ex.encodeJfifApp0(
+              72 + (id % 5).toInt, 72 + (id % 7).toInt)) else Nil) ++
+            Seq(ex.encodeExifApp1(meta)) ++
+            (if (id % 5 == 2)
+              Seq(ex.encodeAppSegment(5, Array.tabulate(9)(i =>
+                (i * 3 + id).toByte))) else Nil) ++
+            (if (id % 2 == 1)
+              Seq(ex.encodeJpegComment(s"crawl-note-$id")) else Nil)
+          val tagged = ex.insertJpegSegments(base, segs)
+          val c = ex.readJpegMeta(id, tagged)
+          val e = c.exif.get
+          val stripped = ex.stripJpegMeta(id, tagged)
+          val (w1, h1, r1, _) = Multimodal.decodeJpegRaster(tagged)
+          val (w2, h2, r2, _) = Multimodal.decodeJpegRaster(stripped)
+          val clean = stripped.sameElements(base) &&
+            w1 == w2 && h1 == h2 && r1.sameElements(r2) &&
+            ex.readJpegMeta(id, stripped).metaBytes == 0
+          (id, c.jfif.isDefined,
+            c.jfif.map(_.xDensity).getOrElse(0),
+            c.jfif.map(_.yDensity).getOrElse(0),
+            e.bigEndian, e.orientation.get, e.make.getOrElse(""),
+            e.model.getOrElse(""), e.dateTime.getOrElse(""),
+            e.iso.get, e.exposureTime.get._2, e.nUnknownTags,
+            c.nUnknownApps, c.nComments, e.pixelX.get, e.pixelY.get,
+            clean)
+        }
+        .toDF("doc_id", "has_jfif", "x_density", "y_density",
+          "big_endian", "orientation", "make", "model", "date_time",
+          "iso", "exposure_den", "n_unknown_tags", "n_unknown_apps",
+          "n_comments", "pixel_x", "pixel_y", "decode_clean")
+        .orderBy("doc_id")
+    }),
+
+    // X5 — HETEROGENEOUS IMAGE METADATA EXTRACTION (round 13 capstone,
+    // the image twin of x5_audio_metadata_corpus): one query over a
+    // MIXED corpus spanning the three image tag systems — EXIF-tagged
+    // JPEGs (ImageDescription/Artist in the TIFF block, endianness
+    // cycling), tEXt-tagged PNGs (Title/Author keywords per RFC 2083),
+    // and comment-tagged GIF89a — sniff-dispatched to the right parser
+    // and reduced to ONE uniform metadata schema (type, title, author,
+    // width, height): the scan a training-data pipeline runs to build
+    // its image metadata table.
+    "x5_image_metadata_corpus" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).filter(col("doc_id") < 201)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val ex = graft.ops.Exif
+          val m = ((id / 3) % 3).toInt // per-format size knob
+          val w = 16 + 8 * m; val h = 8 + 4 * m
+          val title = s"title-$id"; val author = s"author-${id % 7}"
+          val payload: Array[Byte] = (id % 3).toInt match {
+            case 0 =>
+              val base = Multimodal.encodeJpeg(w, h,
+                i => ((i * 5 + id) % 256).toInt)
+              ex.insertJpegSegments(base, Seq(
+                ex.encodeJfifApp0(72, 72),
+                ex.encodeExifApp1(ex.ExifMeta(
+                  bigEndian = (id / 3) % 2 == 0,
+                  description = Some(title), artist = Some(author),
+                  pixelX = Some(w.toLong), pixelY = Some(h.toLong)))))
+            case 1 =>
+              Multimodal.insertPngText(
+                Multimodal.encodePng(w, h, i => ((i * 3 + id) % 256).toInt),
+                Seq("Title" -> title, "Author" -> author))
+            case _ =>
+              Multimodal.insertGifComment(
+                Multimodal.encodeGif(w, h, 4, i => ((i + id) % 16).toInt),
+                s"$title;$author")
+          }
+          val t = Multimodal.sniffMediaType(payload)
+          val (ti, au, ww, hh) = t match {
+            case "image/jpeg" =>
+              val e = ex.readJpegMeta(id, payload).exif.get
+              (e.description.getOrElse(""), e.artist.getOrElse(""),
+                e.pixelX.get.toInt, e.pixelY.get.toInt)
+            case "image/png" =>
+              val tm = Multimodal.readPngText(id, payload).toMap
+              val (pw, ph, _, _) = Multimodal.decodePngRaster(payload)
+              (tm.getOrElse("Title", ""), tm.getOrElse("Author", ""),
+                pw, ph)
+            case "image/gif" =>
+              val parts = Multimodal.readGifComments(id, payload)
+                .headOption.getOrElse(";").split(";", 2)
+              val f = Multimodal.decodeGifFrame(id, payload)
+              (parts(0), parts(1), f.width, f.height)
+            case _ => ("", "", 0, 0)
+          }
+          (id, t, ti, au, ww, hh)
+        }
+        .toDF("doc_id", "media_type", "title", "author", "width",
+          "height")
+        .orderBy("doc_id")
+    }),
+
     // X5 — MP3 MIXED BLOCKS (round 12, the last window-switching
     // form): block_type 2 with mixed_block_flag — the two lowest
     // subbands stay long-windowed (long sfb 0-7 scalefactors, no
@@ -9044,6 +9170,48 @@ object SparkEntry {
         |  CAST(1152 * (2 + doc_id % 3) AS BIGINT) AS n_samples,
         |  TRUE AS decode_clean
         |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,
+
+    // JPEG tagged-crawl intake replay: JFIF presence/densities, TIFF
+    // endianness, the EXIF field set, unknown-tag/-segment/comment
+    // counts — all closed-form from the id scheme; decode_clean pins
+    // strip == bare bytes + raster equality.
+    "x5_jpeg_exif_intake" ->
+      """SELECT doc_id,
+        |  (doc_id % 3 <> 1) AS has_jfif,
+        |  CAST(CASE WHEN doc_id % 3 <> 1 THEN 72 + doc_id % 5
+        |            ELSE 0 END AS INTEGER) AS x_density,
+        |  CAST(CASE WHEN doc_id % 3 <> 1 THEN 72 + doc_id % 7
+        |            ELSE 0 END AS INTEGER) AS y_density,
+        |  (doc_id % 2 = 0) AS big_endian,
+        |  CAST(1 + doc_id % 8 AS INTEGER) AS orientation,
+        |  'cam-' || (doc_id % 5) AS make,
+        |  'm-' || (doc_id % 3) AS model,
+        |  CASE WHEN doc_id % 4 <> 2 THEN '2013:05:' ||
+        |    lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || ' 10:00:00'
+        |    ELSE '' END AS date_time,
+        |  CAST(100 * (1 + doc_id % 4) AS INTEGER) AS iso,
+        |  CAST(60 + doc_id % 200 AS BIGINT) AS exposure_den,
+        |  CAST(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END AS INTEGER)
+        |    AS n_unknown_tags,
+        |  CAST(CASE WHEN doc_id % 5 = 2 THEN 1 ELSE 0 END AS INTEGER)
+        |    AS n_unknown_apps,
+        |  CAST(doc_id % 2 AS INTEGER) AS n_comments,
+        |  CAST(16 AS BIGINT) AS pixel_x, CAST(8 AS BIGINT) AS pixel_y,
+        |  TRUE AS decode_clean
+        |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,
+
+    // Heterogeneous image-metadata replay: type by doc_id mod 3, tag
+    // strings closed-form, dims from the shared size knob.
+    "x5_image_metadata_corpus" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INTEGER)
+        |    WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'image/png'
+        |    ELSE 'image/gif' END AS media_type,
+        |  'title-' || doc_id AS title,
+        |  'author-' || (doc_id % 7) AS author,
+        |  CAST(16 + 8 * ((doc_id // 3) % 3) AS INTEGER) AS width,
+        |  CAST(8 + 4 * ((doc_id // 3) % 3) AS INTEGER) AS height
+        |FROM documents WHERE doc_id < 201 ORDER BY doc_id""".stripMargin,
 
     // Heterogeneous metadata replay: type by parity, tag strings and
     // durations closed-form from the id scheme (MP3 even docs: 1152

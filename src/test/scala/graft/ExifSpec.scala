@@ -16,6 +16,7 @@ class ExifSpec extends AnyFunSuite {
       val meta = ExifMeta(bigEndian = be,
         description = Some("a test image"), make = Some("graftcam"),
         model = Some("GC-1"), orientation = Some(6),
+        artist = Some("A. Person"),
         dateTime = Some("2013:05:02 12:00:00"),
         exposureTime = Some((1L, 125L)), fNumber = Some((28L, 10L)),
         iso = Some(400), dateTimeOriginal = Some("2013:05:01 08:30:00"),
@@ -46,6 +47,17 @@ class ExifSpec extends AnyFunSuite {
     assert(c.exif.exists(e => e.make.contains("m") && e.nUnknownTags == 0))
     val bare = Exif.readJpegMeta(3L, gray(8, 8))
     assert(bare.jfif.isEmpty && bare.exif.isEmpty && bare.metaBytes == 0)
+    // MakerNote is vendor-opaque by spec: encoded as tag 0x927C, the
+    // intake counts it as unknown and never parses it (both the inline
+    // <=4-byte form and the offset form)
+    Seq(3, 40).foreach { n =>
+      val mn = ExifMeta(bigEndian = true, iso = Some(200),
+        makerNote = Some(Array.tabulate(n)(_.toByte)))
+      val cm = Exif.readJpegMeta(7L, Exif.insertJpegSegments(gray(8, 8),
+        Seq(Exif.encodeExifApp1(mn))))
+      assert(cm.exif.exists(e => e.nUnknownTags == 1 &&
+        e.makerNote.isEmpty && e.iso.contains(200)), s"n=$n: ${cm.exif}")
+    }
   }
 
   test("strip removes every APPn/COM segment and the stripped stream " +

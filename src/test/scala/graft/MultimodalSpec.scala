@@ -141,6 +141,34 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(e2.getMessage.contains("overruns payload"))
   }
 
+  test("PNG tEXt + GIF comment metadata (r13): tags round-trip with " +
+      "correct CRCs / sub-block grammar, the tagged streams still " +
+      "decode to the same raster, untagged streams have no tags") {
+    val pix = (i: Int) => (i * 11) % 256
+    // PNG: odd+even text lengths, CRC-checked by the reader
+    val tags = Seq("Title" -> "A Graft Image", "Author" -> "someone")
+    val png = encodePng(16, 8, pix)
+    val tagged = insertPngText(png, tags)
+    assert(readPngText(1L, tagged) == tags)
+    assert(readPngText(2L, png).isEmpty)
+    val (w0, h0, r0, _) = decodePngRaster(png)
+    val (w1, h1, r1, _) = decodePngRaster(tagged)
+    assert(w0 == w1 && h0 == h1 && r0.sameElements(r1))
+    // corrupt the tEXt CRC: loud, not silent
+    val bad = tagged.clone(); bad(41) = (bad(41) ^ 1).toByte
+    intercept[IllegalArgumentException](readPngText(3L, bad))
+    // GIF: comment extension before the image, incl. a >255-byte text
+    // that must split into sub-blocks
+    val gif = encodeGif(12, 6, 4, i => pix(i) % 16)
+    val long = "x" * 300
+    val gtag = insertGifComment(insertGifComment(gif, "hello crawl"), long)
+    assert(readGifComments(4L, gtag) == Seq(long, "hello crawl"))
+    assert(readGifComments(5L, gif).isEmpty)
+    val f0 = decodeGifFrame(6L, gif)
+    val f1 = decodeGifFrame(7L, gtag)
+    assert(f0.raster.sameElements(f1.raster))
+  }
+
   test("GIF decode: hand-assembled LZW byte vector (decoder pinned independently of the encoder)") {
     // 3×1 image, pixels [1,1,2], 4-color palette, min code size 2:
     // codes CLEAR(4) 1 1 2 EOI(5) at 3 bits LSB-first = bytes 4C 54.
