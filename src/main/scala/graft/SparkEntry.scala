@@ -2619,6 +2619,43 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // X5 — EXIF ORIENTATION NORMALIZATION (round 13): the transform a
+    // crawl pipeline applies BEFORE perceptual hashing — a camera-
+    // rotated duplicate must hash identically to its upright twin, and
+    // pHash is not rotation-invariant. Fixture: the upright scene is
+    // transformed by the INVERSE of each doc's orientation (what a
+    // camera writing that tag produces), carried losslessly in a PNG
+    // eXIf chunk (the standardized TIFF-block chunk; lossless codec ->
+    // the normalization verdict is bit-exact, which JPEG's quantizer
+    // could not pin). Intake: read the tag, normalize, compare to the
+    // upright raster.
+    "x5_exif_orient_normalize" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val ex = graft.ops.Exif
+          val (w, h) = (16, 8)
+          val upright = Array.tabulate(w * h)(i => ((i * 7 + id) % 256).toInt)
+          val o = 1 + (id % 8).toInt
+          val (sw, sh, stored) =
+            ex.applyOrientation(w, h, upright, ex.inverseOrientation(o))
+          val png = Multimodal.insertPngExif(
+            Multimodal.encodePng(sw, sh, stored(_)),
+            ex.encodeExifTiff(ex.ExifMeta(bigEndian = id % 2 == 0,
+              orientation = Some(o), model = Some(s"gc-${id % 3}"))))
+          val meta = Multimodal.readPngExif(id, png).get
+          val (dw, dh, raster, _) = Multimodal.decodePngRaster(png)
+          val (nw, nh, norm) =
+            ex.applyOrientation(dw, dh, raster, meta.orientation.get)
+          (id, meta.bigEndian, meta.orientation.get, dw, dh, nw, nh,
+            norm.sameElements(upright))
+        }
+        .toDF("doc_id", "big_endian", "orientation", "stored_w",
+          "stored_h", "norm_w", "norm_h", "normalized_equal")
+        .orderBy("doc_id")
+    }),
+
     // X5 — MP3 MIXED BLOCKS (round 12, the last window-switching
     // form): block_type 2 with mixed_block_flag — the two lowest
     // subbands stay long-windowed (long sfb 0-7 scalefactors, no
@@ -9198,6 +9235,21 @@ object SparkEntry {
         |  CAST(doc_id % 2 AS INTEGER) AS n_comments,
         |  CAST(16 AS BIGINT) AS pixel_x, CAST(8 AS BIGINT) AS pixel_y,
         |  TRUE AS decode_clean
+        |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,
+
+    // Orientation-normalization replay: orientation cycles 1-8 by id;
+    // values 5-8 (id%8 >= 4) swap the stored dims; the normalized dims
+    // are always the upright 16x8 and equality is pinned as a boolean.
+    "x5_exif_orient_normalize" ->
+      """SELECT doc_id,
+        |  (doc_id % 2 = 0) AS big_endian,
+        |  CAST(1 + doc_id % 8 AS INTEGER) AS orientation,
+        |  CAST(CASE WHEN doc_id % 8 >= 4 THEN 8 ELSE 16 END AS INTEGER)
+        |    AS stored_w,
+        |  CAST(CASE WHEN doc_id % 8 >= 4 THEN 16 ELSE 8 END AS INTEGER)
+        |    AS stored_h,
+        |  CAST(16 AS INTEGER) AS norm_w, CAST(8 AS INTEGER) AS norm_h,
+        |  TRUE AS normalized_equal
         |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,
 
     // Heterogeneous image-metadata replay: type by doc_id mod 3, tag

@@ -1051,6 +1051,60 @@ object Multimodal {
     tags.result()
   }
 
+  /** Insert a PNG eXIf chunk (PNG 1.2 extension, standardized 2017:
+    * body = the same TIFF block APP1 carries) right after IHDR. */
+  def insertPngExif(png: Array[Byte], tiffBlock: Array[Byte]): Array[Byte] = {
+    require(png.length >= 33, "png: too short for IHDR")
+    val ihdrEnd = 8 + 8 + 13 + 4
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(png, 0, ihdrEnd)
+    val chunk = "eXIf".getBytes("US-ASCII") ++ tiffBlock
+    val len = tiffBlock.length
+    out.write(len >>> 24); out.write((len >>> 16) & 0xFF)
+    out.write((len >>> 8) & 0xFF); out.write(len & 0xFF)
+    out.write(chunk)
+    val crc = pngCrc(chunk, 0, chunk.length)
+    out.write(crc >>> 24); out.write((crc >>> 16) & 0xFF)
+    out.write((crc >>> 8) & 0xFF); out.write(crc & 0xFF)
+    out.write(png, ihdrEnd, png.length - ihdrEnd)
+    out.toByteArray
+  }
+
+  /** The eXIf chunk's parsed EXIF metadata, or None when absent.
+    * CRC-checked like every other chunk walk here. */
+  def readPngExif(docId: Long,
+      payload: Array[Byte]): Option[Exif.ExifMeta] = {
+    require(payload.length >= 8, s"png: truncated signature (doc $docId)")
+    var i = 0
+    while (i < 8) {
+      require(payload(i) == PngSig(i), s"png: bad signature (doc $docId)")
+      i += 1
+    }
+    def be32(p: Int): Int = ((payload(p) & 0xFF) << 24) |
+      ((payload(p + 1) & 0xFF) << 16) | ((payload(p + 2) & 0xFF) << 8) |
+      (payload(p + 3) & 0xFF)
+    var pos = 8
+    var res: Option[Exif.ExifMeta] = None
+    var done = false
+    while (!done) {
+      require(pos + 8 <= payload.length,
+        s"png: truncated chunk header (doc $docId)")
+      val len = be32(pos)
+      val typ = new String(payload, pos + 4, 4, "US-ASCII")
+      require(len >= 0 && pos + 8 + len + 4 <= payload.length,
+        s"png: truncated $typ chunk (doc $docId)")
+      require(pngCrc(payload, pos + 4, len + 4) == be32(pos + 8 + len),
+        s"png: bad CRC in $typ (doc $docId)")
+      if (typ == "eXIf")
+        res = Some(Exif.parseExifTiff(
+          java.util.Arrays.copyOfRange(payload, pos + 8, pos + 8 + len),
+          docId))
+      else if (typ == "IEND") done = true
+      pos += 8 + len + 4
+    }
+    res
+  }
+
   /** GIF comment-extension offset: header + logical screen descriptor
     * + global color table (when present). */
   private def gifAfterGct(payload: Array[Byte], docId: Long): Int = {

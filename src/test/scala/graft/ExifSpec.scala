@@ -77,6 +77,47 @@ class ExifSpec extends AnyFunSuite {
     assert(Exif.readJpegMeta(5L, stripped).metaBytes == 0)
   }
 
+  test("orientation normalization: all 8 EXIF orientations recover the " +
+      "upright raster bit-exactly on a non-square asymmetric image; " +
+      "rotations 6/8 are mutual inverses, the rest self-inverse; " +
+      "PNG eXIf carries the tag losslessly end-to-end") {
+    val (w, h) = (5, 3)
+    val upright = Array.tabulate(w * h)(i => (i * 37 + 11) % 256)
+    (1 to 8).foreach { o =>
+      // stored = what a camera writing orientation o produces: the
+      // upright scene transformed by the INVERSE of o's display fix
+      val inv = Exif.inverseOrientation(o)
+      val (sw, sh, stored) = Exif.applyOrientation(w, h, upright, inv)
+      if (o >= 5) assert(sw == h && sh == w) else assert(sw == w && sh == h)
+      val (nw, nh, norm) = Exif.applyOrientation(sw, sh, stored, o)
+      assert(nw == w && nh == h && norm.sameElements(upright),
+        s"orientation $o did not recover upright")
+    }
+    intercept[IllegalArgumentException](
+      Exif.applyOrientation(w, h, upright, 0))
+    intercept[IllegalArgumentException](
+      Exif.applyOrientation(w, h, upright.take(5), 1))
+    // PNG eXIf end-to-end: lossless codec -> exact normalization
+    Seq(false, true).foreach { be =>
+      val o = if (be) 6 else 7
+      val inv = Exif.inverseOrientation(o)
+      val (sw, sh, stored) = Exif.applyOrientation(w, h, upright, inv)
+      val png = Multimodal.insertPngExif(
+        Multimodal.encodePng(sw, sh, stored(_)),
+        Exif.encodeExifTiff(ExifMeta(bigEndian = be,
+          orientation = Some(o), make = Some("gc"))))
+      val meta = Multimodal.readPngExif(10L, png).get
+      assert(meta.orientation.contains(o) && meta.bigEndian == be &&
+        meta.make.contains("gc"))
+      val (dw, dh, raster, _) = Multimodal.decodePngRaster(png)
+      val (nw, nh, norm) =
+        Exif.applyOrientation(dw, dh, raster, meta.orientation.get)
+      assert(nw == w && nh == h && norm.sameElements(upright))
+      assert(Multimodal.readPngExif(11L,
+        Multimodal.encodePng(sw, sh, stored(_))).isEmpty)
+    }
+  }
+
   test("corruption and spec violations fail loudly by name: bad TIFF " +
       "byte-order mark, wrong magic, field data overrunning the block, " +
       "a known tag with an off-spec type, orientation out of range") {
