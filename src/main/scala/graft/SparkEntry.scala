@@ -2619,6 +2619,52 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // X5 — EXIF GPS INTAKE (round 13, post-cert extra): geo-tagged
+    // crawl JPEGs carry the GPS sub-IFD (EXIF 2.3 §4.6.6) — hemisphere
+    // refs + deg/min/sec RATIONAL triplets. The intake keeps the
+    // rationals exact; the gate reduces them to signed deci-arcseconds
+    // (deg·36000 + min·600 + tenths-of-arcsec, sign from the ref) with
+    // integer arithmetic only, replayed closed-form. A MakerNote rides
+    // along on id%4==3 docs to pin that unknown-tag skips and the GPS
+    // walk compose.
+    "x5_jpeg_gps_intake" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val ex = graft.ops.Exif
+          val latRef = if (id % 2 == 0) 'N' else 'S'
+          val lonRef = if (id % 3 == 0) 'E' else 'W'
+          val g = ex.Gps(latRef,
+            Seq((10L + id % 80, 1L), (id % 60, 1L), (id % 600, 10L)),
+            lonRef,
+            Seq((20L + id % 160, 1L), ((id * 7) % 60, 1L),
+              ((id * 13) % 600, 10L)))
+          val meta = ex.ExifMeta(bigEndian = id % 2 == 0,
+            make = Some(s"cam-${id % 5}"), gps = Some(g),
+            makerNote = if (id % 4 == 3)
+              Some(Array.tabulate(7)(i => (i + id).toByte)) else None)
+          val tagged = ex.insertJpegSegments(
+            Multimodal.encodeJpeg(8, 8, i => ((i + id) % 256).toInt),
+            Seq(ex.encodeExifApp1(meta)))
+          val e = ex.readJpegMeta(id, tagged).exif.get
+          val p = e.gps.get
+          def deciArcsec(t: Seq[(Long, Long)], neg: Boolean): Long = {
+            // fixture grain: deg/1, min/1, tenths-of-arcsec/10 — exact
+            val v = t(0)._1 / t(0)._2 * 36000L +
+              t(1)._1 / t(1)._2 * 600L + t(2)._1 * 10L / t(2)._2
+            if (neg) -v else v
+          }
+          (id, e.bigEndian, p.latRef.toString, p.lonRef.toString,
+            deciArcsec(p.lat, p.latRef == 'S'),
+            deciArcsec(p.lon, p.lonRef == 'W'),
+            e.nUnknownTags, p == g)
+        }
+        .toDF("doc_id", "big_endian", "lat_ref", "lon_ref",
+          "lat_deciarcsec", "lon_deciarcsec", "n_unknown_tags", "gps_ok")
+        .orderBy("doc_id")
+    }),
+
     // X5 — EXIF ORIENTATION NORMALIZATION (round 13): the transform a
     // crawl pipeline applies BEFORE perceptual hashing — a camera-
     // rotated duplicate must hash identically to its upright twin, and
@@ -9235,6 +9281,24 @@ object SparkEntry {
         |  CAST(doc_id % 2 AS INTEGER) AS n_comments,
         |  CAST(16 AS BIGINT) AS pixel_x, CAST(8 AS BIGINT) AS pixel_y,
         |  TRUE AS decode_clean
+        |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,
+
+    // GPS intake replay: refs by parity, position reduced to signed
+    // deci-arcseconds with integer arithmetic — all closed-form.
+    "x5_jpeg_gps_intake" ->
+      """SELECT doc_id,
+        |  (doc_id % 2 = 0) AS big_endian,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'N' ELSE 'S' END AS lat_ref,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'E' ELSE 'W' END AS lon_ref,
+        |  CAST((CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END) *
+        |    ((10 + doc_id % 80) * 36000 + (doc_id % 60) * 600 +
+        |     (doc_id % 600)) AS BIGINT) AS lat_deciarcsec,
+        |  CAST((CASE WHEN doc_id % 3 = 0 THEN 1 ELSE -1 END) *
+        |    ((20 + doc_id % 160) * 36000 + ((doc_id * 7) % 60) * 600 +
+        |     ((doc_id * 13) % 600)) AS BIGINT) AS lon_deciarcsec,
+        |  CAST(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END AS INTEGER)
+        |    AS n_unknown_tags,
+        |  TRUE AS gps_ok
         |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,
 
     // Orientation-normalization replay: orientation cycles 1-8 by id;

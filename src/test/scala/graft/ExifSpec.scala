@@ -77,6 +77,36 @@ class ExifSpec extends AnyFunSuite {
     assert(Exif.readJpegMeta(5L, stripped).metaBytes == 0)
   }
 
+  test("GPS sub-IFD: hemisphere refs and EXACT deg/min/sec rational " +
+      "triplets round-trip in both endiannesses; unknown GPS tags " +
+      "(altitude) are counted-and-skipped; malformed refs loud") {
+    Seq(false, true).foreach { be =>
+      val g = Exif.Gps('S', Seq((37L, 1L), (46L, 1L), (299L, 10L)),
+        'W', Seq((122L, 1L), (25L, 1L), (101L, 10L)))
+      val meta = ExifMeta(bigEndian = be, make = Some("gc"),
+        orientation = Some(1), gps = Some(g))
+      val c = Exif.readJpegMeta(20L, Exif.insertJpegSegments(gray(8, 8),
+        Seq(Exif.encodeExifApp1(meta))))
+      val e = c.exif.get
+      assert(e.gps.contains(g), s"be=$be: ${e.gps}")
+      assert(e.nUnknownTags == 0 && e.make.contains("gc"))
+    }
+    // no GPS -> no pointer emitted, none parsed
+    val plain = Exif.readJpegMeta(21L, Exif.insertJpegSegments(gray(8, 8),
+      Seq(Exif.encodeExifApp1(ExifMeta(bigEndian = false,
+        iso = Some(100)))))).exif.get
+    assert(plain.gps.isEmpty && plain.nUnknownTags == 0)
+    intercept[IllegalArgumentException](
+      Exif.Gps('X', Seq((1L, 1L), (1L, 1L), (1L, 1L)),
+        'E', Seq((1L, 1L), (1L, 1L), (1L, 1L))))
+    intercept[IllegalArgumentException](
+      Exif.Gps('N', Seq((1L, 1L)), 'E', Seq((1L, 1L), (1L, 1L), (1L, 1L))))
+    intercept[IllegalArgumentException](
+      Exif.encodeExifApp1(ExifMeta(bigEndian = false, gps = Some(
+        Exif.Gps('N', Seq((1L, 1L), (1L, 0L), (1L, 1L)),
+          'E', Seq((1L, 1L), (1L, 1L), (1L, 1L)))))))
+  }
+
   test("orientation normalization: all 8 EXIF orientations recover the " +
       "upright raster bit-exactly on a non-square asymmetric image; " +
       "rotations 6/8 are mutual inverses, the rest self-inverse; " +
