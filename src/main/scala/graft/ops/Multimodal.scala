@@ -1033,7 +1033,9 @@ object Multimodal {
         s"png: truncated chunk header (doc $docId)")
       val len = be32(pos)
       val typ = new String(payload, pos + 4, 4, "US-ASCII")
-      require(len >= 0 && pos + 8 + len + 4 <= payload.length,
+      // compare in Long: len near Int.MaxValue wraps the Int sum
+      // negative and would slip past the guard into a raw AIOOBE
+      require(len >= 0 && pos.toLong + 8 + len + 4 <= payload.length.toLong,
         s"png: truncated $typ chunk (doc $docId)")
       require(pngCrc(payload, pos + 4, len + 4) == be32(pos + 8 + len),
         s"png: bad CRC in $typ (doc $docId)")
@@ -1091,7 +1093,9 @@ object Multimodal {
         s"png: truncated chunk header (doc $docId)")
       val len = be32(pos)
       val typ = new String(payload, pos + 4, 4, "US-ASCII")
-      require(len >= 0 && pos + 8 + len + 4 <= payload.length,
+      // compare in Long: len near Int.MaxValue wraps the Int sum
+      // negative and would slip past the guard into a raw AIOOBE
+      require(len >= 0 && pos.toLong + 8 + len + 4 <= payload.length.toLong,
         s"png: truncated $typ chunk (doc $docId)")
       require(pngCrc(payload, pos + 4, len + 4) == be32(pos + 8 + len),
         s"png: bad CRC in $typ (doc $docId)")
@@ -1144,6 +1148,8 @@ object Multimodal {
       (payload(pos) & 0xFF) match {
         case 0x3B => done = true
         case 0x21 =>
+          require(pos + 2 < payload.length,
+            s"gif: extension header overruns payload (doc $docId)")
           val label = payload(pos + 1) & 0xFF
           pos += 2
           val text = new java.io.ByteArrayOutputStream()
@@ -1160,10 +1166,14 @@ object Multimodal {
             res += new String(text.toByteArray, "ISO-8859-1")
         case 0x2C =>
           // image descriptor: skip LCT + LZW data sub-blocks
+          require(pos + 10 <= payload.length,
+            s"gif: image descriptor overruns payload (doc $docId)")
           val packed = payload(pos + 9) & 0xFF
           pos += 10 + (if ((packed & 0x80) != 0) 3 * (2 << (packed & 7))
                        else 0)
           pos += 1 // LZW minimum code size
+          require(pos < payload.length,
+            s"gif: image data overruns payload (doc $docId)")
           var blk = payload(pos) & 0xFF
           while (blk != 0) {
             require(pos + 1 + blk < payload.length,
@@ -1263,7 +1273,8 @@ object Multimodal {
       require(pos + 8 <= payload.length, "png: truncated chunk header")
       val len = be32(pos)
       val typ = new String(payload, pos + 4, 4, "US-ASCII")
-      require(len >= 0 && pos + 8 + len + 4 <= payload.length, s"png: truncated $typ chunk")
+      require(len >= 0 && pos.toLong + 8 + len + 4 <= payload.length.toLong,
+        s"png: truncated $typ chunk")
       require(pngCrc(payload, pos + 4, len + 4) == be32(pos + 8 + len), s"png: bad CRC in $typ")
       typ match {
         case "IHDR" =>

@@ -188,4 +188,31 @@ class ExifSpec extends AnyFunSuite {
     }))
     assert(e5.getMessage.contains("orientation"))
   }
+
+  test("field COUNT corruption fails loudly by name (r13 advisor): a " +
+      "negative count (u32 high bit) and an sz*count Int overflow both " +
+      "hit the named guard instead of wrapping past extent validation") {
+    // minimal little-endian block: IFD0 = [Make, ExifPointer]
+    val t1 = Exif.encodeExifTiff(ExifMeta(bigEndian = false,
+      make = Some("vendorname")))
+    // Make entry at 10: tag(2) typ(2) count@14(4) value(4)
+    val c1 = t1.clone(); c1(17) = 0x80.toByte // count -> 0x8000000B < 0
+    val e1 = intercept[IllegalArgumentException](Exif.parseExifTiff(c1, 20L))
+    assert(e1.getMessage.contains("field count overruns TIFF block"))
+    // unknown-tag path (the silent one pre-fix): MakerNote entry with
+    // type smashed to RATIONAL(5, size 8) and count 0x30000000 so
+    // 8*count overflows Int to negative -- must be loud, not counted
+    val t2 = Exif.encodeExifTiff(ExifMeta(bigEndian = false,
+      makerNote = Some(Array[Byte](1, 2, 3, 4, 5, 6))))
+    // IFD0=[ExifPointer]@8 (18 B), ExifIFD@26: ExifVersion@28, MakerNote@40
+    assert((t2(40) & 0xFF) == 0x7C && (t2(41) & 0xFF) == 0x92) // tag check
+    val c2 = t2.clone()
+    c2(42) = 5; c2(43) = 0          // type RATIONAL
+    c2(44) = 0; c2(45) = 0; c2(46) = 0; c2(47) = 0x30 // count 0x30000000
+    val e2 = intercept[IllegalArgumentException](Exif.parseExifTiff(c2, 21L))
+    assert(e2.getMessage.contains("field count overruns TIFF block"))
+    // sanity: the uncorrupted blocks still parse
+    assert(Exif.parseExifTiff(t1, 22L).make.contains("vendorname"))
+    assert(Exif.parseExifTiff(t2, 23L).nUnknownTags == 1)
+  }
 }

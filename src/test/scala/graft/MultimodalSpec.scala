@@ -232,7 +232,7 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       PngStats(4L, 3, 5, 8, 15L, expected.sum.toLong, 5, 32, idat.length.toLong))
     // an ancillary chunk between IHDR and IDAT must be skipped
     val withText = sig ++ chunk("IHDR", ihdr) ++
-      chunk("tEXt", "k v".getBytes("US-ASCII")) ++ chunk("IDAT", idat) ++
+      chunk("tEXt", "k\u0000v".getBytes("US-ASCII")) ++ chunk("IDAT", idat) ++
       chunk("IEND", Array.emptyByteArray)
     assert(decodePngRaster(withText)._3.toSeq == expected)
     // IDAT split across two chunks must concatenate
@@ -1015,5 +1015,36 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       decodeTarEntries(5L, tar.take(tar.length - 1024)))
     assert(e3.getMessage.contains("truncated header") ||
       e3.getMessage.contains("terminator"))
+  }
+
+  test("truncation guards compute in Long / check bounds (r13 advisor): " +
+      "a PNG chunk length near Int.MaxValue and a GIF cut mid-extension " +
+      "or mid-descriptor fail by name, never a raw index exception") {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val sig = b(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+    // len = 0x7FFFFFF8: pos+8+len+4 wraps negative in Int and would
+    // slip past the guard into pngCrc -> AIOOBE without the Long compare
+    val hugePng = sig ++ b(0x7F, 0xFF, 0xFF, 0xF8) ++
+      "tEXt".getBytes("US-ASCII")
+    val e1 = intercept[IllegalArgumentException](readPngText(30L, hugePng))
+    assert(e1.getMessage.contains("truncated tEXt chunk"))
+    val e2 = intercept[IllegalArgumentException](readPngExif(31L, hugePng))
+    assert(e2.getMessage.contains("truncated tEXt chunk"))
+    val e3 = intercept[IllegalArgumentException](decodePngRaster(hugePng))
+    assert(e3.getMessage.contains("truncated tEXt chunk"))
+    // GIF89a header + LSD (13 bytes, no GCT) then a lone 0x21: the
+    // extension label/length bytes are past the end
+    val gifHead = "GIF89a".getBytes("US-ASCII") ++ b(3, 0, 1, 0, 0, 0, 0)
+    val e4 = intercept[IllegalArgumentException](
+      readGifComments(32L, gifHead ++ b(0x21)))
+    assert(e4.getMessage.contains("extension header overruns payload"))
+    // image descriptor cut before its packed byte
+    val e5 = intercept[IllegalArgumentException](
+      readGifComments(33L, gifHead ++ b(0x2C, 0, 0, 0)))
+    assert(e5.getMessage.contains("image descriptor overruns payload"))
+    // descriptor complete but LZW min-code-size byte missing
+    val e6 = intercept[IllegalArgumentException](
+      readGifComments(34L, gifHead ++ b(0x2C, 0, 0, 0, 0, 1, 0, 1, 0, 0)))
+    assert(e6.getMessage.contains("image data overruns payload"))
   }
 }
