@@ -460,4 +460,67 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       after.getAs[Long]("n_appended") == 0L, s"baseline reset: $after")
     rmTree(p)
   }
+
+  test("IVF running census crash recovery (r14): a torn summary fails " +
+      "loudly by name; a crash between the two sidecar writes (fresh " +
+      "counts, stale summary) and a missing counts file are both " +
+      "recovered by the documented re-init, which reproduces the " +
+      "recompute exactly and keeps subsequent updates exact") {
+    import java.nio.file.{Files, Paths}
+    val e = graft.io.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val a = e.filter(col("vec_id") % 4 < 2)
+    val b1 = e.filter(col("vec_id") % 4 === 2)
+    val b2 = e.filter(col("vec_id") % 4 === 3)
+    val cents = Similarity.trainKMeans(a, "vec_id", "embedding",
+      k = 16, iters = 2)
+    val p = Files.createTempDirectory("ivfcrash").toString
+    Similarity.writeIvfIndex(a, "vec_id", "embedding", cents, p)
+    Similarity.initIvfCensusRunning(spark, p)
+    def recovered(tag: String): Unit = {
+      val run = Similarity.readIvfCensusRunning(spark, p).collect()(0)
+      val rec = Similarity.ivfIndexCensus(spark, p).collect()(0)
+      assert(run.toSeq == rec.toSeq,
+        s"$tag: running=$run vs recomputed=$rec")
+    }
+    val summaryP = Paths.get(p, "census", "summary.json")
+    val countsP = Paths.get(p, "census", "list_counts.bin")
+    // 1) torn summary: a field missing fires the named error that
+    // points at the recovery, never a silent zero or a parse crash
+    val good = Files.readAllBytes(summaryP)
+    val torn = new String(good, "UTF-8")
+      .replaceAll(""","asum":-?\d+""", "")
+    Files.write(summaryP, torn.getBytes("UTF-8"))
+    val e1 = intercept[IllegalArgumentException](
+      Similarity.readIvfCensusRunning(spark, p).collect())
+    assert(e1.getMessage.contains("summary.json missing asum") &&
+      e1.getMessage.contains("re-run initIvfCensusRunning"), e1.getMessage)
+    Files.write(summaryP, good)
+    recovered("torn-summary-restored")
+    // 2) crash BETWEEN the two writes: counts already moved, summary
+    // still the pre-batch one. Simulate by snapshotting the summary,
+    // updating, then restoring the stale summary over the fresh counts.
+    val stale = Files.readAllBytes(summaryP)
+    val s1 = Similarity.appendToIvfIndex(spark, b1, "vec_id", "embedding", p)
+    Similarity.updateIvfCensusRunning(spark, p, s1).collect()
+    Files.write(summaryP, stale)
+    val runStale = Similarity.readIvfCensusRunning(spark, p).collect()(0)
+    val recNow = Similarity.ivfIndexCensus(spark, p).collect()(0)
+    assert(runStale.toSeq != recNow.toSeq,
+      "stale summary must actually diverge for the recovery to matter")
+    Similarity.initIvfCensusRunning(spark, p) // the documented recovery
+    recovered("post-crash-reinit")
+    // 3) missing counts file: the read side throws (no sidecar to
+    // trust), re-init rebuilds it, and the NEXT update is exact again
+    Files.delete(countsP)
+    intercept[java.io.IOException](
+      Similarity.updateIvfCensusRunning(spark, p, s1))
+    Similarity.initIvfCensusRunning(spark, p)
+    recovered("post-delete-reinit")
+    val s2 = Similarity.appendToIvfIndex(spark, b2, "vec_id", "embedding", p)
+    val u2 = Similarity.updateIvfCensusRunning(spark, p, s2).collect()(0)
+    assert(u2.toSeq ==
+      Similarity.ivfIndexCensus(spark, p).collect()(0).toSeq,
+      s"post-recovery update must stay exact: $u2")
+    rmTree(p)
+  }
 }
