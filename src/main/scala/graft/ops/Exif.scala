@@ -90,9 +90,13 @@ object Exif {
   case class JfifInfo(major: Int, minor: Int, units: Int,
       xDensity: Int, yDensity: Int)
 
-  /** Full intake census of one JPEG's metadata segments (SOI → SOS). */
+  /** Full intake census of one JPEG's metadata segments (SOI → SOS).
+    * `xmp` is the APP1 XMP packet ([[Xmp]], r14) — the third metadata
+    * system real crawl JPEGs carry, distinguished from EXIF by its
+    * namespace header inside the same marker. */
   case class JpegMetaInfo(jfif: Option[JfifInfo], exif: Option[ExifMeta],
-      nComments: Int, nUnknownApps: Int, metaBytes: Int)
+      nComments: Int, nUnknownApps: Int, metaBytes: Int,
+      xmp: Option[Xmp.XmpMeta] = None)
 
   // -------------------------------------------------------------------
   // encode — JFIF APP0
@@ -478,6 +482,7 @@ object Exif {
     var pos = 2
     var jfif: Option[JfifInfo] = None
     var exif: Option[ExifMeta] = None
+    var xmp: Option[Xmp.XmpMeta] = None
     var nCom = 0; var nUnk = 0; var metaBytes = 0
     var done = false
     while (!done) {
@@ -509,6 +514,13 @@ object Exif {
             java.util.Arrays.copyOfRange(payload, body + 6, body + blen),
             docId))
           metaBytes += 2 + len
+        } else if (m == 0xE1 && blen >= Xmp.Header.length &&
+          new String(payload, body, Xmp.Header.length,
+            "US-ASCII") == Xmp.Header) {
+          xmp = Some(Xmp.parseXmpPacket(docId,
+            java.util.Arrays.copyOfRange(payload,
+              body + Xmp.Header.length, body + blen)))
+          metaBytes += 2 + len
         } else if (m == 0xFE) {
           nCom += 1; metaBytes += 2 + len
         } else if (m >= 0xE0 && m <= 0xEF) {
@@ -517,7 +529,7 @@ object Exif {
         pos += 2 + len
       }
     }
-    JpegMetaInfo(jfif, exif, nCom, nUnk, metaBytes)
+    JpegMetaInfo(jfif, exif, nCom, nUnk, metaBytes, xmp)
   }
 
   /** Apply an EXIF orientation (tag 0x0112, values 1-8) to a row-major
