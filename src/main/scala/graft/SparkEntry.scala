@@ -2352,10 +2352,11 @@ object SparkEntry {
           val gains = (0 until 2 * nFrames).map(g => 204 + ((id + g) % 10).toInt)
           val audio = mpa.encodeMp3(grans, gains, 160)
           // majors cycle 2/3/4/4(footer); v2.2 only lands on even ids
-          // (no TALB there — its v2.2 id would be TAL), unsync on the
-          // id%5==0 pre-v2.4 docs (the tag-level scheme is v2.2/v2.3-
-          // only — v2.4 moved unsync to per-frame flags, a named
-          // boundary the parser rejects loudly)
+          // (no TALB there — its v2.2 id would be TAL). unsync on the
+          // id%5==0 docs in each major's OWN scheme: tag-level
+          // whole-body on v2.2/v2.3, per-frame flags with stored sizes
+          // on v2.4 (§6.1) — the even ones of those also carrying the
+          // §4.1.2 data length indicator the parser verifies
           val major = (id % 4).toInt match {
             case 0 => 2; case 1 => 3; case _ => 4
           }
@@ -2369,11 +2370,12 @@ object SparkEntry {
               Array.tabulate(((id % 5) * 3 + 4).toInt)(i =>
                 (i + id).toByte)) else Nil
           val footer = major == 4 && id % 4 == 3
-          val unsyncTag = id % 5 == 0 && major <= 3
+          val unsyncTag = id % 5 == 0
           val v2 = graft.ops.Id3.encodeId3v2(texts, major = major,
             utf16 = id % 3 == 0,
             padding = if (footer) 0 else ((id % 4) * 7).toInt,
-            withFooter = footer, binaryFrames = bins, unsync = unsyncTag)
+            withFooter = footer, binaryFrames = bins, unsync = unsyncTag,
+            withDli = unsyncTag && major == 4 && id % 2 == 0)
           val hasXing = id % 3 != 1
           val xing = if (hasXing)
             mpa.makeMp3InfoFrame(160, mono = true, nFrames = nFrames,
@@ -9306,7 +9308,7 @@ object SparkEntry {
         |  CAST(CASE WHEN doc_id % 4 = 0 THEN 2
         |            WHEN doc_id % 4 = 1 THEN 3 ELSE 4 END AS INTEGER)
         |    AS v2_major,
-        |  (doc_id % 5 = 0 AND doc_id % 4 <= 1) AS v2_unsync,
+        |  (doc_id % 5 = 0) AS v2_unsync,
         |  CAST(CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 2 END AS INTEGER)
         |    AS n_text_frames,
         |  'title-' || doc_id AS title,

@@ -11,10 +11,13 @@ package graft.ops
   * Carried exactly per the public documents:
   *   - ID3v2 header: "ID3", major (2, 3 or 4), revision, flags (v2.4
   *     footer bit 0x10 honored: +10 trailing bytes; unsynchronisation
-  *     bit 0x80 honored: the body's 0xFF 0x00 escapes are reversed
-  *     before the frame walk — the pre-v2.4 tag-level scheme),
-  *     28-bit SYNCSAFE size (4 bytes, high bit of each clear) counting
-  *     everything after the 10-byte header (excluding the footer).
+  *     bit 0x80 honored in BOTH schemes: v2.2/v2.3 reverse the whole
+  *     body's 0xFF 0x00 escapes before the frame walk, v2.4 §6.1
+  *     restores each frame individually — per-frame format flag 0x02,
+  *     STORED frame sizes, optional §4.1.2 data length indicator
+  *     verified against the restored length), 28-bit SYNCSAFE size
+  *     (4 bytes, high bit of each clear) counting everything after
+  *     the 10-byte header (excluding the footer).
   *   - Text frames: v2.2 = 3-char id ("TT2") + 3-byte size, no flags;
   *     v2.3/v2.4 = 4-char id ("TIT2") + size (v2.3: plain 32-bit
   *     big-endian; v2.4: syncsafe) + 2 flag bytes. Body = encoding
@@ -68,31 +71,37 @@ object Id3 {
     * UTF-16-with-BOM when `utf16` (legal in all versions), ISO-8859-1
     * otherwise (non-latin1 chars require utf16). `padding` appends NUL
     * bytes inside the tag (players rewrite tags in place through
-    * padding — intake must skip it). `unsync` applies the tag-level
-    * unsynchronisation scheme (0xFF → 0xFF 0x00 over the whole body,
-    * flag 0x80) that pre-v2.4 writers used to keep false syncwords out
-    * of the tag. */
+    * padding — intake must skip it). `unsync` applies the version's
+    * own unsynchronisation scheme (keeping false MPEG syncwords out of
+    * the tag): v2.2/v2.3 escape 0xFF → 0xFF 0x00 over the WHOLE body
+    * behind header flag 0x80; v2.4 (§6.1) escapes each frame body
+    * individually behind its per-frame format flag 0x02, with the
+    * frame size counting the STORED (post-unsync) bytes — header flag
+    * 0x80 is set too since every frame here is unsynchronised.
+    * `withDli` (v2.4-unsync only) prefixes each frame body with the
+    * §4.1.2 data length indicator (syncsafe original length, flag
+    * 0x01), the way writers record the restored size. */
   def encodeId3v2(textFrames: Seq[(String, String)], major: Int = 3,
       utf16: Boolean = false, padding: Int = 0,
       withFooter: Boolean = false,
       binaryFrames: Seq[(String, Array[Byte])] = Nil,
-      unsync: Boolean = false): Array[Byte] = {
+      unsync: Boolean = false, withDli: Boolean = false): Array[Byte] = {
     require(major >= 2 && major <= 4, "id3: v2.2/v2.3/v2.4 only")
     require(!withFooter || major == 4, "id3: footer is v2.4-only")
     require(padding >= 0, "id3: negative padding")
     require(!withFooter || padding == 0,
       "id3: a footered tag must not have padding (v2.4 §3.4)")
-    require(!(unsync && withFooter),
-      "id3: unsync fixture grammar is the pre-v2.4 tag-level form")
-    // v2.4 §6.1 moved unsynchronisation to per-frame flags with
-    // post-unsync frame sizes; a v2.4 tag with tag-level unsync and
-    // pre-unsync sizes is a shape no conformant writer produces — the
-    // tag-level scheme here is v2.2/v2.3-only by construction
-    require(!(unsync && major == 4),
-      "id3: tag-level unsynchronisation is pre-v2.4 (v2.4 is per-frame)")
+    require(!withDli || (unsync && major == 4),
+      "id3: the data length indicator fixture is the v2.4 unsync form")
+    val perFrameUnsync = unsync && major == 4
     val idLen = if (major == 2) 3 else 4
     val body = new java.io.ByteArrayOutputStream()
-    def writeFrameHeader(id: String, size: Int): Unit = {
+    def writeFrame(id: String, raw: Array[Byte]): Unit = {
+      val stored =
+        if (perFrameUnsync && withDli) syncsafe(raw.length) ++ applyUnsync(raw)
+        else if (perFrameUnsync) applyUnsync(raw)
+        else raw
+      val size = stored.length
       body.write(id.getBytes("ISO-8859-1"))
       if (major == 2) body.write(Array(((size >> 16) & 0xFF).toByte,
         ((size >> 8) & 0xFF).toByte, (size & 0xFF).toByte))
@@ -100,7 +109,12 @@ object Id3 {
       else body.write(Array(((size >> 24) & 0xFF).toByte,
         ((size >> 16) & 0xFF).toByte, ((size >> 8) & 0xFF).toByte,
         (size & 0xFF).toByte))
-      if (major != 2) { body.write(0); body.write(0) } // frame flags
+      if (major != 2) { // frame status + format flags
+        body.write(0)
+        body.write(if (perFrameUnsync) 0x02 | (if (withDli) 1 else 0)
+          else 0)
+      }
+      body.write(stored, 0, stored.length)
     }
     // non-text frames (APIC/PIC pictures, GEOB blobs, ...) — intake
     // skips them by size; fixtures use them to exercise that skip
@@ -108,8 +122,7 @@ object Id3 {
       require(id.length == idLen && id.head != 'T' &&
         id.forall(c => c.isUpper || c.isDigit),
         s"id3: binary frame id must be non-text $idLen-char, got $id")
-      writeFrameHeader(id, bytes.length)
-      body.write(bytes)
+      writeFrame(id, bytes)
     }
     textFrames.foreach { case (id, text) =>
       require(id.length == idLen && id.head == 'T' &&
@@ -121,14 +134,11 @@ object Id3 {
         if (utf16) Array(0xFF.toByte, 0xFE.toByte) ++ // BOM, little-endian
           text.flatMap(c => Seq((c & 0xFF).toByte, ((c >> 8) & 0xFF).toByte))
         else text.map(_.toByte).toArray
-      val size = 1 + enc.length
-      writeFrameHeader(id, size)
-      body.write(if (utf16) 1 else 0) // encoding byte
-      body.write(enc)
+      writeFrame(id, (if (utf16) 1 else 0).toByte +: enc)
     }
     (0 until padding).foreach(_ => body.write(0))
-    val frames =
-      if (unsync) applyUnsync(body.toByteArray) else body.toByteArray
+    val frames = if (unsync && major < 4) applyUnsync(body.toByteArray)
+      else body.toByteArray
     val out = new java.io.ByteArrayOutputStream()
     out.write("ID3".getBytes("ISO-8859-1"))
     out.write(major); out.write(0)
@@ -200,8 +210,11 @@ object Id3 {
 
   /** Parse an ID3v2 tag at offset 0, or None when no "ID3" magic.
     * Versions 2.2 (3-char ids, 3-byte sizes), 2.3 and 2.4 are carried,
-    * as is TAG-LEVEL unsynchronisation (flag 0x80 — the v2.2/v2.3
-    * form; the body is de-unsynchronised before the frame walk).
+    * as are BOTH unsynchronisation schemes: tag-level flag 0x80 on
+    * v2.2/v2.3 (whole-body reversal before the frame walk) and the
+    * v2.4 per-frame form (format flag 0x02 with stored sizes, the
+    * header flag read as "all frames unsynchronised", and the data
+    * length indicator restored and VERIFIED when flag 0x01 is set).
     * `tagBytes` is the FULL prefix length to skip (header + body +
     * footer when present). */
   def parseId3v2(payload: Array[Byte], docId: Long): Option[Id3v2Info] = {
@@ -216,13 +229,6 @@ object Id3 {
     else require((flags & 0x40) == 0,
       s"id3: extended header is a named boundary (doc $docId)")
     val unsync = (flags & 0x80) != 0
-    // v2.4 §6.1: the tag-level unsync flag there means every frame is
-    // unsynchronised with POST-unsync frame sizes — a different layout
-    // from the whole-body v2.2/v2.3 scheme this intake carries. Parsing
-    // a conformant v2.4-unsync tag with v2.3 semantics would misread
-    // every frame size past the first escaped byte, so refuse loudly.
-    require(!(unsync && major == 4),
-      s"id3: v2.4 per-frame unsynchronisation is a named boundary (doc $docId)")
     val hasFooter = major == 4 && (flags & 0x10) != 0
     val size = readSyncsafe(payload, 6, docId)
     val tagBytes = 10 + size + (if (hasFooter) 10 else 0)
@@ -230,8 +236,12 @@ object Id3 {
       s"id3: tag size $size overruns payload (doc $docId)")
     val rawBody = java.util.Arrays.copyOfRange(payload, 10, 10 + size)
     // tag-level (v2.2/v2.3) unsynchronisation: whole-body reversal
-    // before the frame walk; the v2.4 per-frame form is rejected above
-    val body = if (unsync) deUnsync(rawBody) else rawBody
+    // before the frame walk. v2.4 moved the scheme per-frame (§6.1:
+    // frame sizes count the STORED bytes, each frame carries format
+    // flag 0x02; the header flag there only asserts that ALL frames
+    // are unsynchronised), so for v2.4 the body walks as stored and
+    // each frame's data is restored individually below.
+    val body = if (unsync && major < 4) deUnsync(rawBody) else rawBody
     val idLen = if (major == 2) 3 else 4
     val headLen = if (major == 2) 6 else 10
     val texts = Seq.newBuilder[(String, String)]
@@ -253,18 +263,36 @@ object Id3 {
         }
         require(fsize >= 0 && off + headLen + fsize <= end,
           s"id3: frame $id overruns tag (doc $docId)")
-        // format flags that change the body layout (compression,
-        // encryption, per-frame unsync, data-length indicator,
-        // grouping) are named boundaries — parsing through them
-        // silently would yield garbage text
+        // format flags that change the body layout beyond what this
+        // intake restores (compression, encryption, grouping) are
+        // named boundaries — parsing through them silently would
+        // yield garbage text. v2.4 per-frame unsynchronisation (0x02)
+        // and the data length indicator (0x01) ARE restored (§6.1,
+        // §4.1.2); v2.3 has no per-frame unsync bit.
         if (major == 3) require((body(off + 9) & 0xE0) == 0,
           s"id3: v2.3 frame format flags are a named boundary (doc $docId)")
-        if (major == 4) require((body(off + 9) & 0x4F) == 0,
+        if (major == 4) require((body(off + 9) & 0x4C) == 0,
           s"id3: v2.4 frame format flags are a named boundary (doc $docId)")
+        val frameUnsync = major == 4 &&
+          ((body(off + 9) & 0x02) != 0 || unsync)
+        val hasDli = major == 4 && (body(off + 9) & 0x01) != 0
         if (id.head == 'T' && fsize >= 1) {
-          val enc = body(off + headLen) & 0xFF
-          val raw = java.util.Arrays.copyOfRange(body, off + headLen + 1,
+          var data = java.util.Arrays.copyOfRange(body, off + headLen,
             off + headLen + fsize)
+          if (hasDli) {
+            require(data.length >= 4,
+              s"id3: frame $id too short for its data length indicator (doc $docId)")
+            val orig = readSyncsafe(data, 0, docId)
+            data = java.util.Arrays.copyOfRange(data, 4, data.length)
+            if (frameUnsync) data = deUnsync(data)
+            require(data.length == orig,
+              s"id3: frame $id data length indicator mismatch: " +
+                s"$orig declared, ${data.length} restored (doc $docId)")
+          } else if (frameUnsync) data = deUnsync(data)
+          require(data.length >= 1,
+            s"id3: frame $id has no encoding byte (doc $docId)")
+          val enc = data(0) & 0xFF
+          val raw = java.util.Arrays.copyOfRange(data, 1, data.length)
           val text = enc match {
             case 0 => new String(raw, "ISO-8859-1")
             case 1 =>

@@ -150,23 +150,60 @@ class Id3Spec extends AnyFunSuite {
     assert(e5.getMessage.contains("format flags"))
   }
 
-  test("v2.4 unsynchronisation is per-frame (post-unsync sizes) — the " +
-      "tag-level scheme is v2.2/v2.3-only: encoder refuses the " +
-      "non-conformant combination, parser rejects the flag loudly") {
-    // encoder: the fixture grammar cannot produce a v2.4 tag with
-    // tag-level unsync + pre-unsync frame sizes (id3v2.4 §6.1)
-    val eEnc = intercept[IllegalArgumentException](
-      Id3.encodeId3v2(Seq("TIT2" -> "x"), major = 4, unsync = true))
-    assert(eEnc.getMessage.contains("pre-v2.4"))
-    // parser: a v2.4 tag carrying the tag-level unsync flag would need
-    // per-frame post-unsync sizes we don't carry — named boundary
-    val v4 = Id3.encodeId3v2(Seq("TIT2" -> "x"), major = 4)
-    val flagged = v4.clone(); flagged(5) = 0x80.toByte
-    val ePar = intercept[IllegalArgumentException](
-      Id3.parseId3v2(flagged, 35L))
-    assert(ePar.getMessage.contains("per-frame unsynchronisation"))
+  test("v2.4 PER-FRAME unsynchronisation (id3v2.4 §6.1) round-trips: " +
+      "stored sizes, flag 0x02 per frame, header flag as all-frames; " +
+      "the data length indicator is restored and verified; foreign " +
+      "selective/tag-only flag shapes parse; DLI mismatch is loud") {
+    // UTF-16 'ÿ' is the worst case: its LE code unit FF 00 collides
+    // with the unsync escape and must survive the round-trip
+    val texts = Seq("TIT2" -> "ÿ title ÿ", "TPE1" -> "P")
+    val u4 = Id3.encodeId3v2(texts, major = 4, utf16 = true,
+      unsync = true, padding = 5,
+      binaryFrames = Seq("APIC" -> Array[Byte](-1, -1, 0, -1, 3)))
+    val p4 = Id3.parseId3v2(u4, 35L).get
+    assert(p4.unsync && p4.major == 4 && p4.textFrames == texts &&
+      p4.nSkippedFrames == 1 && p4.tagBytes == u4.length)
+    // the wire really is the per-frame scheme: first frame (APIC) has
+    // format flag 0x02 and a STORED size larger than its raw body
+    assert((u4(19) & 0x03) == 0x02, "per-frame unsync flag must be set")
+    // raw FF FF 00 FF 03 gains three 00 escapes -> stored size 8
+    assert(((u4(17) & 0x7F) | ((u4(16) & 0x7F) << 7)) == 8,
+      "APIC stored size must count the inserted escape bytes")
+    // data length indicator: round-trips, and the declared length is
+    // VERIFIED against the restored bytes — a lying DLI is loud
+    val d4 = Id3.encodeId3v2(texts, major = 4, utf16 = true,
+      unsync = true, withDli = true)
+    val pd = Id3.parseId3v2(d4, 36L).get
+    assert(pd.textFrames == texts && pd.tagBytes == d4.length)
+    assert((d4(19) & 0x03) == 0x03, "unsync + DLI flags must be set")
+    val lie = d4.clone(); lie(23) = ((lie(23) & 0xFF) ^ 1).toByte // DLI low byte
+    val eDli = intercept[IllegalArgumentException](Id3.parseId3v2(lie, 37L))
+    assert(eDli.getMessage.contains("data length indicator"))
+    // foreign shape 1: per-frame flags WITHOUT the header bit (a writer
+    // that unsynced only the frames that needed it) still restores
+    val selective = u4.clone(); selective(5) = 0
+    val ps = Id3.parseId3v2(selective, 38L).get
+    assert(!ps.unsync && ps.textFrames == texts)
+    // foreign shape 2: header bit asserting all-frames-unsync with the
+    // per-frame bits cleared (contradictory but seen in the wild) is
+    // read as all-frames — clear ONLY the text frames' flag bytes
+    val single = Id3.encodeId3v2(Seq("TIT2" -> "ÿ"), major = 4,
+      utf16 = true, unsync = true)
+    val tagOnly = single.clone(); tagOnly(19) = 0
+    assert(Id3.parseId3v2(tagOnly, 39L).get.textFrames ==
+      Seq("TIT2" -> "ÿ"))
+    // compression/encryption/grouping stay named boundaries in v2.4
+    val comp = Id3.encodeId3v2(Seq("TIT2" -> "x"), major = 4)
+    val badFlag = comp.clone(); badFlag(19) = 0x40.toByte
+    val eFlag = intercept[IllegalArgumentException](
+      Id3.parseId3v2(badFlag, 40L))
+    assert(eFlag.getMessage.contains("format flags"))
     // the pre-v2.4 majors still round-trip the tag-level scheme
     assert(Id3.parseId3v2(Id3.encodeId3v2(Seq("TIT2" -> "x"), major = 3,
-      unsync = true), 36L).get.unsync)
+      unsync = true), 41L).get.unsync)
+    // and the DLI fixture grammar is v2.4-unsync-only, loudly
+    val eGram = intercept[IllegalArgumentException](Id3.encodeId3v2(
+      Seq("TIT2" -> "x"), major = 3, withDli = true))
+    assert(eGram.getMessage.contains("v2.4 unsync form"))
   }
 }
