@@ -1017,11 +1017,15 @@ object Streams {
   /** [[streamIvfIngest]] with the FULL maintain loop closed inside the
     * stream: `degenLastBatch` poisons the final logical batch into the
     * zero-vector regime (the upstream-model-bug signature) before
-    * staging, and when the post-append census FIRES inside
-    * foreachBatch, the ingest RETRAINS right there (zero-norm
-    * quarantine, stats reset) and re-censuses — the
-    * detect → retrain → verify loop running unattended in the stream,
-    * which is how a 100 TB ingest actually operates. Extra columns:
+    * staging, and when EITHER detection signal fires inside
+    * foreachBatch — the cumulative census or the per-batch
+    * admission-fit guard (r14: batch fit under half the build fit; a
+    * single poisoned batch dilutes out of the cumulative averages as
+    * history grows, measured in CensusMarginProbe) — the ingest
+    * RETRAINS right there (zero-norm quarantine, stats reset) and
+    * re-censuses — the detect → retrain → verify loop running
+    * unattended in the stream, which is how a 100 TB ingest actually
+    * operates. Extra columns:
     * census_fired (per batch), retrained (this batch triggered a
     * retrain), post_retrain_clear (the re-census verdict; null-free:
     * false where no retrain ran). The final equality pin compares
@@ -1081,6 +1085,7 @@ object Streams {
       // per-list stats in — O(touched lists + 1) per batch instead of a
       // full stats re-read, the shape that survives lists >> batch.
       // Running == recomputed is pinned per batch in StreamingSpec.
+      var batchFit = Long.MaxValue // batch 0 is the build itself
       val c =
         if (b == 0L) {
           val cents = graft.ops.Similarity.trainKMeans(
@@ -1092,6 +1097,11 @@ object Streams {
         } else {
           val bstats = graft.ops.Similarity.appendToIvfIndex(
             ss, vecs, "vec_id", "embedding", idxDir)
+          // this batch's own admission fit, off the already-materialized
+          // O(touched lists) stat rows — no extra scan
+          batchFit = bstats
+            .agg((sum(col("sum_sim_micro")) / sum(col("n"))).cast("long"))
+            .head().getLong(0)
           graft.ops.Similarity.updateIvfCensusRunning(ss, idxDir, bstats)
             .collect()(0)
         }
@@ -1103,8 +1113,20 @@ object Streams {
         require(c.toSeq == rec.toSeq,
           s"running census diverged at batch $b: $c vs recomputed $rec")
       }
-      val fired = c.getAs[Boolean]("needs_retrain")
-      // the self-healing step: when the census fires, retrain RIGHT
+      // two detection signals (r14): the census catches CUMULATIVE
+      // drift (skew growth, append-fit decay across the history), and
+      // the per-batch admission-fit guard catches a SINGLE degenerate
+      // batch (the upstream-model-bug signature) that history would
+      // dilute out of the cumulative averages — batch fit under HALF
+      // the build fit is a scale-free multiplicative verdict (normal
+      // same-distribution batches sit at ~55% of the in-sample build
+      // fit on this corpus at every measured sf; a zero/garbage batch
+      // sits at ~0 — two orders of magnitude of separation, vs the
+      // 0.25% margin the diluted cumulative drop left at sf0.1, probed
+      // in tools/CensusMarginProbe)
+      val fired = c.getAs[Boolean]("needs_retrain") ||
+        (b > 0L && batchFit * 2L < c.getAs[Long]("build_fit_micro"))
+      // the self-healing step: when either signal fires, retrain RIGHT
       // HERE (zero-norm quarantine + stats reset) and re-census — the
       // index the next batch appends to is already healthy again
       val after =
