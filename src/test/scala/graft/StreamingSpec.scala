@@ -231,6 +231,19 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       "single-trigger streaming-IVF output diverged from per-file drain")
     // the heal loop fired + cleared in both modes
     assert(multi.last.last == true) // matches_batch_build
+    // the detection fires EXACTLY at the poisoned batch (r14: via the
+    // per-batch admission-fit guard — scale-free, unlike the cumulative
+    // fit drop whose poison signal dilutes with append history) and
+    // nowhere else; retrain runs there and re-censuses clean
+    multi.foreach { r =>
+      val (bid, fired, retr, clear) = (r(0).asInstanceOf[Long],
+        r(5).asInstanceOf[Boolean], r(6).asInstanceOf[Boolean],
+        r(7).asInstanceOf[Boolean])
+      if (bid == 2L) assert(fired && retr && clear,
+        s"poisoned batch must fire+retrain+clear: $r")
+      else assert(!fired && !retr && !clear,
+        s"healthy batch must stay quiet: $r")
+    }
   }
 
   test("incremental admission refuses a maxId that does not divide into " +
