@@ -2386,11 +2386,19 @@ object SparkEntry {
                 (i + id).toByte)) else Nil
           val footer = major == 4 && id % 4 == 3
           val unsyncTag = id % 5 == 0
+          // r14 widens the cycle further: extended headers (both
+          // layouts, CRCs verified at parse) on the id%7==0 docs, and
+          // the v2.4 BOM-less UTF-16BE encoding (2) on the id%6==0
+          // v2.4 docs (same text values — the encoding is invisible to
+          // the oracle columns, the ext header is pinned via v2_ext)
+          val extH = id % 7 == 0 && major >= 3
+          val be2 = major == 4 && id % 6 == 0
           val v2 = graft.ops.Id3.encodeId3v2(texts, major = major,
-            utf16 = id % 3 == 0,
+            utf16 = id % 3 == 0 && !be2, utf16be = be2,
             padding = if (footer) 0 else ((id % 4) * 7).toInt,
             withFooter = footer, binaryFrames = bins, unsync = unsyncTag,
-            withDli = unsyncTag && major == 4 && id % 2 == 0)
+            withDli = unsyncTag && major == 4 && id % 2 == 0,
+            withExtHeader = extH)
           val hasXing = id % 3 != 1
           val xing = if (hasXing)
             mpa.makeMp3InfoFrame(160, mono = true, nFrames = nFrames,
@@ -2417,12 +2425,13 @@ object SparkEntry {
               x.nFrames == c.nAudioFrames && x.nBytes == audio.length)
           else c.xing.isEmpty
           (id, c.id3v2.get.major, c.id3v2.get.unsync,
-            c.id3v2.get.textFrames.size,
+            c.id3v2.get.hasExtHeader, c.id3v2.get.textFrames.size,
             tmap.getOrElse(titleId, ""), tmap.getOrElse(artistId, ""),
             c.id3v2.get.nSkippedFrames, v1Ok, c.xing.isDefined, xingOk,
             c.nAudioFrames, c.nSamples, clean)
         }
-        .toDF("doc_id", "v2_major", "v2_unsync", "n_text_frames", "title",
+        .toDF("doc_id", "v2_major", "v2_unsync", "v2_ext",
+          "n_text_frames", "title",
           "artist", "n_skipped_frames", "v1_ok", "has_xing", "xing_ok",
           "n_audio_frames", "n_samples", "decode_clean")
         .orderBy("doc_id")
@@ -9350,6 +9359,7 @@ object SparkEntry {
         |            WHEN doc_id % 4 = 1 THEN 3 ELSE 4 END AS INTEGER)
         |    AS v2_major,
         |  (doc_id % 5 = 0) AS v2_unsync,
+        |  (doc_id % 7 = 0 AND doc_id % 4 >= 1) AS v2_ext,
         |  CAST(CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 2 END AS INTEGER)
         |    AS n_text_frames,
         |  'title-' || doc_id AS title,

@@ -22,10 +22,16 @@ package graft.ops
   *     v2.3/v2.4 = 4-char id ("TIT2") + size (v2.3: plain 32-bit
   *     big-endian; v2.4: syncsafe) + 2 flag bytes. Body = encoding
   *     byte + text. Encodings carried: 0 = ISO-8859-1, 1 = UTF-16 with
-  *     BOM (both endiannesses), 3 = UTF-8 (v2.4). Encoding 2 (UTF-16BE
-  *     without BOM, v2.4-only) is a named boundary, as are the
-  *     extended header and v2.2 compression. Trailing NUL terminators
-  *     are stripped. Non-text frames are skipped by size.
+  *     BOM (both endiannesses), 2 = UTF-16BE without BOM (v2.4-only),
+  *     3 = UTF-8 (v2.4). Trailing NUL terminators are stripped.
+  *     Non-text frames are skipped by size.
+  *   - Extended headers (flag 0x40, r14): both layouts parsed and
+  *     validated — v2.3 §3.2 (size excluding its 4 size bytes, 2-byte
+  *     flags, padding size, CRC-32 over frames-sans-padding VERIFIED)
+  *     and v2.4 §3.2 (syncsafe size including itself, length-prefixed
+  *     flag data, 35-bit syncsafe CRC over frames+padding VERIFIED;
+  *     update/restrictions flags validated and consumed). v2.2
+  *     compression stays the named boundary (never fully specified).
   *   - ID3v1: final 128 bytes, "TAG" + 30 title + 30 artist +
   *     30 album + 4 year + 30 comment (v1.1: comment[28] == 0 makes
   *     comment[29] the track) + genre. Fields are NUL/space-trimmed
@@ -85,7 +91,9 @@ object Id3 {
       utf16: Boolean = false, padding: Int = 0,
       withFooter: Boolean = false,
       binaryFrames: Seq[(String, Array[Byte])] = Nil,
-      unsync: Boolean = false, withDli: Boolean = false): Array[Byte] = {
+      unsync: Boolean = false, withDli: Boolean = false,
+      utf16be: Boolean = false,
+      withExtHeader: Boolean = false): Array[Byte] = {
     require(major >= 2 && major <= 4, "id3: v2.2/v2.3/v2.4 only")
     require(!withFooter || major == 4, "id3: footer is v2.4-only")
     require(padding >= 0, "id3: negative padding")
@@ -93,6 +101,11 @@ object Id3 {
       "id3: a footered tag must not have padding (v2.4 §3.4)")
     require(!withDli || (unsync && major == 4),
       "id3: the data length indicator fixture is the v2.4 unsync form")
+    require(!utf16be || major == 4,
+      "id3: encoding 2 (UTF-16BE without BOM) is v2.4-only")
+    require(!(utf16 && utf16be), "id3: pick one UTF-16 form")
+    require(!withExtHeader || major >= 3,
+      "id3: the extended header is v2.3/v2.4-only")
     val perFrameUnsync = unsync && major == 4
     val idLen = if (major == 2) 3 else 4
     val body = new java.io.ByteArrayOutputStream()
@@ -128,26 +141,58 @@ object Id3 {
       require(id.length == idLen && id.head == 'T' &&
         id.forall(c => c.isUpper || c.isDigit),
         s"id3: text frame id must be T-prefixed $idLen-char, got $id")
-      if (!utf16) require(text.forall(_ < 256),
+      if (!utf16 && !utf16be) require(text.forall(_ < 256),
         "id3: non-latin1 text needs utf16 = true")
       val enc: Array[Byte] =
         if (utf16) Array(0xFF.toByte, 0xFE.toByte) ++ // BOM, little-endian
           text.flatMap(c => Seq((c & 0xFF).toByte, ((c >> 8) & 0xFF).toByte))
+        else if (utf16be) // encoding 2: big-endian code units, NO BOM
+          text.flatMap(c =>
+            Seq(((c >> 8) & 0xFF).toByte, (c & 0xFF).toByte)).toArray
         else text.map(_.toByte).toArray
-      writeFrame(id, (if (utf16) 1 else 0).toByte +: enc)
+      val encByte = if (utf16) 1 else if (utf16be) 2 else 0
+      writeFrame(id, encByte.toByte +: enc)
     }
     (0 until padding).foreach(_ => body.write(0))
-    val frames = if (unsync && major < 4) applyUnsync(body.toByteArray)
-      else body.toByteArray
+    def be32b(v: Long): Array[Byte] = Array(((v >>> 24) & 0xFF).toByte,
+      ((v >>> 16) & 0xFF).toByte, ((v >>> 8) & 0xFF).toByte,
+      (v & 0xFF).toByte)
+    val framesRaw = body.toByteArray // frames + padding, pre tag-unsync
+    // extended header, written with its CRC so the parse-side
+    // verification is exercised: v2.3 sizes it excluding the 4 size
+    // bytes (10 with CRC) and its CRC covers frames WITHOUT padding;
+    // v2.4 sizes it syncsafe including itself (12 with CRC), the CRC
+    // is a 35-bit syncsafe value covering frames AND padding
+    val withExt: Array[Byte] =
+      if (!withExtHeader) framesRaw
+      else if (major == 3) {
+        val crc = new java.util.zip.CRC32
+        crc.update(framesRaw, 0, framesRaw.length - padding)
+        be32b(10L) ++ Array(0x80.toByte, 0.toByte) ++
+          be32b(padding.toLong) ++ be32b(crc.getValue) ++ framesRaw
+      } else {
+        val crc = new java.util.zip.CRC32
+        crc.update(framesRaw)
+        val v = crc.getValue
+        val crc35 = Array.tabulate(5)(i =>
+          ((v >>> (7 * (4 - i))) & 0x7F).toByte)
+        syncsafe(12) ++ Array(1.toByte, 0x20.toByte, 5.toByte) ++
+          crc35 ++ framesRaw
+      }
+    val frames = if (unsync && major < 4) applyUnsync(withExt)
+      else withExt
     val out = new java.io.ByteArrayOutputStream()
     out.write("ID3".getBytes("ISO-8859-1"))
     out.write(major); out.write(0)
-    out.write((if (withFooter) 0x10 else 0) | (if (unsync) 0x80 else 0))
+    out.write((if (withFooter) 0x10 else 0) | (if (unsync) 0x80 else 0) |
+      (if (withExtHeader) 0x40 else 0))
     out.write(syncsafe(frames.length))
     out.write(frames)
     if (withFooter) {
       out.write("3DI".getBytes("ISO-8859-1"))
-      out.write(major); out.write(0); out.write(0x10)
+      out.write(major); out.write(0) // footer flags mirror the header's
+      out.write(0x10 | (if (unsync) 0x80 else 0) |
+        (if (withExtHeader) 0x40 else 0))
       out.write(syncsafe(frames.length))
     }
     out.toByteArray
@@ -179,7 +224,7 @@ object Id3 {
 
   case class Id3v2Info(major: Int, tagBytes: Int, hasFooter: Boolean,
       unsync: Boolean, textFrames: Seq[(String, String)],
-      nSkippedFrames: Int)
+      nSkippedFrames: Int, hasExtHeader: Boolean = false)
 
   case class Id3v1Info(title: String, artist: String, album: String,
       year: String, track: Int, genre: Int)
@@ -226,8 +271,7 @@ object Id3 {
     val flags = payload(5) & 0xFF
     if (major == 2) require((flags & 0x40) == 0,
       s"id3: v2.2 compression is a named boundary (doc $docId)")
-    else require((flags & 0x40) == 0,
-      s"id3: extended header is a named boundary (doc $docId)")
+    val hasExt = major >= 3 && (flags & 0x40) != 0
     val unsync = (flags & 0x80) != 0
     val hasFooter = major == 4 && (flags & 0x10) != 0
     val size = readSyncsafe(payload, 6, docId)
@@ -244,9 +288,81 @@ object Id3 {
     val body = if (unsync && major < 4) deUnsync(rawBody) else rawBody
     val idLen = if (major == 2) 3 else 4
     val headLen = if (major == 2) 6 else 10
+    // extended header (header flag 0x40): parsed, validated, and its
+    // CRC-32 — when carried — VERIFIED, not skipped blind. The two
+    // specs differ: v2.3 §3.2 sizes it EXCLUDING the 4 size bytes
+    // (6 or 10), carries a 2-byte flag word (bit15 = CRC) + a 4-byte
+    // padding size, and its CRC covers frames only (padding excluded);
+    // v2.4 §3.2 sizes it syncsafe INCLUDING itself, carries
+    // one flag byte (0x40 update / 0x20 CRC / 0x10 restrictions) with
+    // per-flag length-prefixed data, a 35-bit syncsafe CRC, and covers
+    // frames AND padding (everything between ext header and footer).
+    var extSkip = 0
+    if (hasExt && major == 3) {
+      require(body.length >= 10,
+        s"id3: extended header overruns tag (doc $docId)")
+      val extSize = readBe32(body, 0).toInt
+      require(extSize == 6 || extSize == 10,
+        s"id3: v2.3 extended header size must be 6 or 10, got $extSize (doc $docId)")
+      val extFlags = ((body(4) & 0xFF) << 8) | (body(5) & 0xFF)
+      require((extFlags & 0x7FFF) == 0,
+        s"id3: v2.3 extended flags 0x${extFlags.toHexString} are a named boundary (doc $docId)")
+      val hasCrc = (extFlags & 0x8000) != 0
+      require(hasCrc == (extSize == 10),
+        s"id3: v2.3 extended header CRC flag/size mismatch (doc $docId)")
+      val padSize = readBe32(body, 6).toInt
+      extSkip = 4 + extSize
+      require(padSize >= 0 && extSkip + padSize <= body.length,
+        s"id3: v2.3 extended-header padding size overruns tag (doc $docId)")
+      if (hasCrc) {
+        val crc = new java.util.zip.CRC32
+        crc.update(body, extSkip, body.length - extSkip - padSize)
+        require(crc.getValue == readBe32(body, 10),
+          s"id3: v2.3 extended-header CRC mismatch (doc $docId)")
+      }
+    } else if (hasExt) { // v2.4
+      require(body.length >= 6,
+        s"id3: extended header overruns tag (doc $docId)")
+      val extSize = readSyncsafe(body, 0, docId)
+      require(extSize >= 6 && extSize <= body.length,
+        s"id3: v2.4 extended header size $extSize overruns tag (doc $docId)")
+      require((body(4) & 0xFF) == 1,
+        s"id3: v2.4 extended header must carry one flag byte (doc $docId)")
+      val ef = body(5) & 0xFF
+      require((ef & 0x8F) == 0,
+        s"id3: v2.4 extended flags 0x${ef.toHexString} are a named boundary (doc $docId)")
+      var at = 6
+      def flagData(expectLen: Int, what: String): Int = {
+        require(at < extSize && (body(at) & 0xFF) == expectLen,
+          s"id3: v2.4 extended $what data length must be $expectLen (doc $docId)")
+        val v = at + 1; at += 1 + expectLen
+        require(at <= extSize,
+          s"id3: v2.4 extended $what data overruns header (doc $docId)")
+        v
+      }
+      if ((ef & 0x40) != 0) flagData(0, "tag-is-update"): Unit
+      if ((ef & 0x20) != 0) {
+        val c = flagData(5, "CRC")
+        var crcVal = 0L
+        (0 until 5).foreach { i =>
+          val b = body(c + i) & 0xFF
+          require((b & 0x80) == 0,
+            s"id3: non-syncsafe CRC byte (doc $docId)")
+          crcVal = (crcVal << 7) | b
+        }
+        val crc = new java.util.zip.CRC32
+        crc.update(body, extSize, body.length - extSize)
+        require(crc.getValue == crcVal,
+          s"id3: v2.4 extended-header CRC mismatch (doc $docId)")
+      }
+      if ((ef & 0x10) != 0) flagData(1, "restrictions"): Unit
+      require(at == extSize,
+        s"id3: v2.4 extended header has trailing bytes (doc $docId)")
+      extSkip = extSize
+    }
     val texts = Seq.newBuilder[(String, String)]
     var skipped = 0
-    var off = 0
+    var off = extSkip
     val end = body.length
     var inPadding = false
     while (off + headLen <= end && !inPadding) {
@@ -299,6 +415,12 @@ object Id3 {
               require(raw.length >= 2 && (raw(0) & 0xFF) + (raw(1) & 0xFF)
                 == 0xFF + 0xFE, s"id3: UTF-16 text without BOM (doc $docId)")
               new String(raw, "UTF-16") // BOM-aware
+            case 2 =>
+              require(major == 4,
+                s"id3: UTF-16BE text (encoding 2) is v2.4-only (doc $docId)")
+              require(raw.length % 2 == 0,
+                s"id3: odd UTF-16BE byte count (doc $docId)")
+              new String(raw, "UTF-16BE") // the BOM-less v2.4 form
             case 3 =>
               require(major == 4,
                 s"id3: UTF-8 text is v2.4-only (doc $docId)")
@@ -312,7 +434,7 @@ object Id3 {
       }
     }
     Some(Id3v2Info(major, tagBytes, hasFooter, unsync, texts.result(),
-      skipped))
+      skipped, hasExt))
   }
 
   /** Parse a trailing ID3v1 tag, or None when the last 128 bytes carry

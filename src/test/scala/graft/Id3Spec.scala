@@ -206,4 +206,62 @@ class Id3Spec extends AnyFunSuite {
       Seq("TIT2" -> "x"), major = 3, withDli = true))
     assert(eGram.getMessage.contains("v2.4 unsync form"))
   }
+
+  test("extended headers (v2.3 and v2.4 layouts) parse, validate, and " +
+      "VERIFY their CRCs; encoding 2 (UTF-16BE, no BOM) round-trips " +
+      "v2.4-only; corrupted CRCs and malformed layouts are loud") {
+    val texts = Seq("TIT2" -> "Ext Title", "TPE1" -> "P")
+    // v2.3: CRC over frames sans padding; composes with padding AND
+    // with tag-level unsync (the ext header sits inside the unsynced
+    // region and must survive the reversal)
+    val v3 = Id3.encodeId3v2(texts, major = 3, padding = 7,
+      withExtHeader = true)
+    val p3 = Id3.parseId3v2(v3, 50L).get
+    assert(p3.hasExtHeader && p3.textFrames == texts &&
+      p3.tagBytes == v3.length)
+    val v3u = Id3.encodeId3v2(texts, major = 3, padding = 3,
+      withExtHeader = true, unsync = true, utf16 = true)
+    val p3u = Id3.parseId3v2(v3u, 51L).get
+    assert(p3u.hasExtHeader && p3u.unsync && p3u.textFrames == texts)
+    // flip a frame byte: the v2.3 ext CRC must catch it loudly
+    val bad3 = v3.clone()
+    bad3(10 + 14 + 11) = (bad3(10 + 14 + 11) ^ 1).toByte // inside TIT2 text
+    val e3 = intercept[IllegalArgumentException](Id3.parseId3v2(bad3, 52L))
+    assert(e3.getMessage.contains("CRC mismatch"))
+    // padding corruption is OUTSIDE the v2.3 CRC by spec -- quiet
+    val padOk = v3.clone(); padOk(v3.length - 1) = 9
+    assert(Id3.parseId3v2(padOk, 53L).get.textFrames == texts)
+    // v2.4: syncsafe 35-bit CRC over frames AND padding; composes with
+    // per-frame unsync + footer... footer forbids padding, so exercise
+    // padding and footer separately
+    val v4 = Id3.encodeId3v2(texts, major = 4, padding = 5,
+      withExtHeader = true, utf16be = true)
+    val p4 = Id3.parseId3v2(v4, 54L).get
+    assert(p4.hasExtHeader && p4.textFrames == texts)
+    val bad4 = v4.clone(); bad4(v4.length - 1) = 9 // padding IS covered
+    val e4 = intercept[IllegalArgumentException](Id3.parseId3v2(bad4, 55L))
+    assert(e4.getMessage.contains("CRC mismatch"))
+    val v4fu = Id3.encodeId3v2(texts, major = 4, withExtHeader = true,
+      withFooter = true, unsync = true, utf16 = true)
+    val p4fu = Id3.parseId3v2(v4fu, 56L).get
+    assert(p4fu.hasExtHeader && p4fu.hasFooter && p4fu.unsync &&
+      p4fu.textFrames == texts && p4fu.tagBytes == v4fu.length)
+    // encoding 2: exact BE code units, no BOM, non-latin1 content
+    val t2 = Seq("TIT2" -> "\u00ff title \u0142")
+    val enc2 = Id3.encodeId3v2(t2, major = 4, utf16be = true)
+    assert(Id3.parseId3v2(enc2, 57L).get.textFrames == t2)
+    // the encoding byte on the wire really is 2 (frame hdr 10B after tag hdr)
+    assert(enc2(20) == 2)
+    // encoding 2 planted in a v2.3 tag is loud (v2.4-only by spec)
+    val v3enc = Id3.encodeId3v2(Seq("TIT2" -> "ab"), major = 3)
+    val smug = v3enc.clone(); smug(20) = 2
+    val e5 = intercept[IllegalArgumentException](Id3.parseId3v2(smug, 58L))
+    assert(e5.getMessage.contains("v2.4-only"))
+    intercept[IllegalArgumentException](
+      Id3.encodeId3v2(t2, major = 3, utf16be = true))
+    // malformed v2.4 ext layouts: wrong flag-byte count, trailing bytes
+    val badN = v4fu.clone(); badN(14) = 2 // number-of-flag-bytes
+    val e6 = intercept[IllegalArgumentException](Id3.parseId3v2(badN, 59L))
+    assert(e6.getMessage.contains("one flag byte"))
+  }
 }
