@@ -3121,29 +3121,42 @@ object SparkEntry {
       Tables.documents(s, dir).filter(col("doc_id") < 150)
         .select(col("doc_id")).as[Long]
         .map { id =>
-          val bps = if (id % 2 == 0) 24 else 8
+          // r14 widens the cycle to every carried depth, including the
+          // non-byte-aligned pair: 24/8/12/20 by id%4. The hi-res
+          // depths (24, 20) carry wide noise whose optimal rice
+          // parameter exceeds 14, so the exact-cost planner must pick
+          // RICE2 there and plain rice on the small depths.
+          val bps = (id % 4).toInt match {
+            case 0 => 24; case 1 => 8; case 2 => 12; case _ => 20
+          }
           val n = 1024 * (2 + id % 3).toInt
           def wave(seed: Long): Array[Int] =
-            if (bps == 24)
+            if (bps >= 20) {
+              val lim = (1 << (bps - 1)) - 1
               Array.tabulate(n) { i =>
                 val h = (i.toLong * 2654435761L + seed) % 2147483647L
                 val base = (h % 120000L - 60000L).toInt
                 val spike = if (i % 37 == 0)
-                  (((h >> 17) % 3000000L) - 1500000L).toInt else 0
-                base + spike
+                  (((h >> 17) % 600000L) - 300000L).toInt else 0
+                math.max(-lim - 1, math.min(lim, base + spike))
               }
-            else
+            } else {
+              val lim = (1 << (bps - 1)) - 1
+              val amp = if (bps == 12) 1400.0 else 90.0
+              val nz = if (bps == 12) 600L else 40L
               Array.tabulate(n) { i =>
-                val t = 90.0 * math.sin(
+                val t = amp * math.sin(
                   2 * math.Pi * (200.0 + (id % 20) * 30.0) * i / 48000.0)
                 val h = (i.toLong * 2654435761L + seed) % 2147483647L
-                math.max(-128, math.min(127, (t + h % 40L - 20L).toInt))
+                math.max(-lim - 1,
+                  math.min(lim, (t + h % nz - nz / 2).toInt))
               }
+            }
           val mono = id % 3 == 0
           val chans: Array[Array[Int]] =
             if (mono) Array(wave(id)) else Array(wave(id), wave(id + 7))
           val enc = graft.ops.Flac.encodeFlac(chans,
-            if (bps == 24) 96000 else 48000, blockSize = 1024, bps = bps)
+            if (bps >= 20) 96000 else 48000, blockSize = 1024, bps = bps)
           val si = graft.ops.Flac.readStreamInfo(enc, id)
           val (frames, dec) = graft.ops.Flac.decodeFlac(id, enc)
           val lossless = dec.length == chans.length &&
@@ -9236,14 +9249,15 @@ object SparkEntry {
     // the MD5/CRC checks inside decode.
     "x5_flac_depth" ->
       """SELECT doc_id,
-        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 24 ELSE 8 END AS INTEGER)
-        |    AS bits_per_sample,
+        |  CAST(CASE CAST(doc_id % 4 AS INTEGER)
+        |    WHEN 0 THEN 24 WHEN 1 THEN 8 WHEN 2 THEN 12 ELSE 20 END
+        |    AS INTEGER) AS bits_per_sample,
         |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END AS INTEGER)
         |    AS n_channels,
         |  CAST(2 + doc_id % 3 AS INTEGER) AS n_frames,
         |  CAST(1024 * (2 + doc_id % 3) AS BIGINT) AS n_samples,
         |  TRUE AS lossless,
-        |  (doc_id % 2 = 0) AS used_rice2
+        |  (doc_id % 4 = 0 OR doc_id % 4 = 3) AS used_rice2
         |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,
 
     // Multichannel census replay: channel count and depth fall out of

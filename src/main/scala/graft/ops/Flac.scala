@@ -45,7 +45,7 @@ package graft.ops
   * STREAMINFO). BIT DEPTHS 8/16/24 are carried end-to-end (round-12
   * extension — 24-bit is the hi-res standard, the most common foreign
   * regime after CD 16-bit): STREAMINFO + table-coded sample sizes
-  * (codes 0b001/0b100/0b110), byte-per-depth little-endian MD5, side
+  * (codes 0b001/0b100/0b110), ceil(bps/8)-byte little-endian MD5, side
   * channels at bps+1 up to 25 bits, and with >16-bit in regime the
   * RICE2 method (0b01 — 5-bit parameters 0–30, escape 31) is now
   * carried in BOTH directions: the exact-cost planner prices both
@@ -60,10 +60,17 @@ package graft.ops
   * frame header codes the frame's first SAMPLE number in the extended
   * UTF-8 forms (up to 36 bits), STREAMINFO min≠max, and the encoder
   * exercises the grammar with a deterministic alternating schedule.
-  * HONEST BOUNDARY, loud by name at decode: non-byte-aligned depths
-  * (12/20-bit, whose MD5 byte packing we will not guess) and 32-bit
-  * (whose side channel overflows Int), and negative quantization
-  * shifts are not carried.
+  * NON-BYTE-ALIGNED DEPTHS 12/20 are carried since r14 (sample-size
+  * codes 0b010/0b101; MD5 packs each sample into ceil(bps/8)
+  * little-endian signed bytes per RFC 9639 §9.1.1 — the packing rule
+  * is shared by this encoder and decoder, so like every
+  * self-round-tripped corner here it is pinned to the RFC text, not
+  * to a foreign implementation).
+  * HONEST BOUNDARY, loud by name at decode: 32-bit depth (side
+  * channel and residuals overflow Int arithmetic), and negative
+  * quantization shifts (forbidden on the wire by RFC 9639 §9.2.4 —
+  * rejecting is conformance, kept loud in case a pre-RFC encoder
+  * emitted one).
   *
   * Scale shape: pure per-payload kernels under `mapPartitions`, zero
   * shuffle — 100 TB throughput is cores × per-core frames/s, like the
@@ -699,17 +706,20 @@ object Flac {
   // Stream encode
   // ------------------------------------------------------------------
 
-  /** Carried bit depths: the byte-aligned set whose MD5 sample packing
-    * is unambiguous (bps/8 little-endian bytes each) and whose side
-    * channel (bps+1 ≤ 25 bits) fits Int arithmetic. */
-  private val CarriedDepths = Set(8, 16, 24)
+  /** Carried bit depths ≤ 24 bits: the MD5 sample packing is
+    * ceil(bps/8) little-endian signed bytes per sample (RFC 9639
+    * §9.1.1 — the non-byte-aligned depths 12/20 pad each sample to
+    * the smallest whole byte count, r14), and the side channel
+    * (bps+1 ≤ 25 bits) fits Int arithmetic. 32-bit stays a named
+    * boundary: its side channel and residuals overflow Int. */
+  private val CarriedDepths = Set(8, 12, 16, 20, 24)
 
   /** MD5 of the unencoded audio (channel-interleaved little-endian
     * samples at bps/8 bytes each — the STREAMINFO integrity field,
     * verified at decode). */
   private def audioMd5(channels: Array[Array[Int]], bps: Int): Array[Byte] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val bytes = bps / 8
+    val bytes = (bps + 7) / 8
     val n = channels(0).length
     var i = 0
     while (i < n) {
@@ -755,7 +765,8 @@ object Flac {
     // stream with the WRONG declared rate (advisor r11)
     require(sampleRate > 0 && sampleRate < (1 << 20),
       "flac: sample rate out of STREAMINFO range")
-    require(CarriedDepths(bps), s"flac: bit depth $bps not carried (8/16/24)")
+    require(CarriedDepths(bps),
+      s"flac: bit depth $bps not carried (8/12/16/20/24)")
     val lo = -(1 << (bps - 1)); val hi = (1 << (bps - 1)) - 1
     channels.foreach(_.foreach(v =>
       require(v >= lo && v <= hi, s"flac: sample out of $bps-bit range")))
@@ -964,9 +975,12 @@ object Flac {
     }
   }
 
-  /** Frame-header sample-size codes for the carried byte-aligned
-    * depths (RFC 9639 §9.1.4: 0b001 = 8, 0b100 = 16, 0b110 = 24). */
-  private val SampleSizeCodes: Map[Int, Int] = Map(8 -> 1, 16 -> 4, 24 -> 6)
+  /** Frame-header sample-size codes for the carried depths (RFC 9639
+    * §9.1.4: 0b001 = 8, 0b010 = 12, 0b100 = 16, 0b101 = 20,
+    * 0b110 = 24; 0b111 = 32 stays a named boundary with the rest of
+    * the 32-bit regime). */
+  private val SampleSizeCodes: Map[Int, Int] =
+    Map(8 -> 1, 12 -> 2, 16 -> 4, 20 -> 5, 24 -> 6)
 
   private def encodeFrame(chunk: Array[Array[Int]], codedNo: Long,
       n: Int, sampleRate: Int, bps: Int, varBlocks: Boolean): Array[Byte] = {
@@ -1052,7 +1066,8 @@ object Flac {
         val nch = br.read(3).toInt + 1
         val bps = br.read(5).toInt + 1
         require(CarriedDepths(bps),
-          s"flac: $bps-bit depth is a named boundary (8/16/24 carried; doc $docId)")
+          s"flac: $bps-bit depth is a named boundary " +
+            s"(8/12/16/20/24 carried; doc $docId)")
         val tot = br.read(36)
         val md5 = java.util.Arrays.copyOfRange(payload, off + 4 + 18,
           off + 4 + 34)
@@ -1104,11 +1119,14 @@ object Flac {
         s"flac: frame/STREAMINFO channel mismatch (doc $docId)")
       val ssCode = br.read(3).toInt
       // table-coded sample sizes for the carried depths (0 = from
-      // STREAMINFO; 1/4/6 = 8/16/24-bit); 12/20/32-bit stay named
+      // STREAMINFO; 1/2/4/5/6 = 8/12/16/20/24-bit); 32-bit (code 7)
+      // stays named with the rest of that regime
       val frameBps = ssCode match {
         case 0 => si.bitsPerSample
         case 1 => 8
+        case 2 => 12
         case 4 => 16
+        case 5 => 20
         case 6 => 24
         case c => throw new IllegalArgumentException(
           s"flac: sample-size code $c is a named boundary (doc $docId)")

@@ -358,17 +358,69 @@ class FlacSpec extends AnyFunSuite {
   }
 
   test("depth boundaries fail loudly: out-of-range samples for the " +
-      "declared depth, and non-carried depths (12/20/32-bit)") {
+      "declared depth, and the non-carried 32-bit depth") {
     val x = Array.tabulate(64)(i => i - 32)
     intercept[IllegalArgumentException](
       Flac.encodeFlac(Array(Array.fill(64)(200)), 48000, bps = 8))
     intercept[IllegalArgumentException](
       Flac.encodeFlac(Array(Array.fill(64)(1 << 23)), 48000, bps = 24))
-    Seq(12, 20, 32).foreach { d =>
-      val e = intercept[IllegalArgumentException](
-        Flac.encodeFlac(Array(x), 48000, bps = d))
-      assert(e.getMessage.contains("not carried"))
+    val e = intercept[IllegalArgumentException](
+      Flac.encodeFlac(Array(x), 48000, bps = 32))
+    assert(e.getMessage.contains("not carried"))
+  }
+
+  test("non-byte-aligned depths 12/20 (r14): mono and stereo streams " +
+      "round-trip bit-exactly with table-coded sample sizes, and the " +
+      "MD5 packing (ceil(bps/8) little-endian bytes per RFC 9639) is " +
+      "pinned by an IN-TEST digest, not the shared helper") {
+    def tone(n: Int, amp: Double, seed: Long, noise: Long): Array[Int] =
+      Array.tabulate(n) { i =>
+        val t = amp * math.sin(2 * math.Pi * 440.0 * i / 48000.0)
+        val h = (i.toLong * 2654435761L + seed) % 2147483647L
+        (t + h % noise - noise / 2).toInt
+      }
+    // 12-bit: range +/-2048, packs into 2 LE bytes per sample
+    val x12 = tone(3000, 1500.0, 5L, 300L)
+      .map(v => math.max(-2048, math.min(2047, v)))
+    val enc12 = Flac.encodeFlac(Array(x12), 48000, blockSize = 1024,
+      bps = 12)
+    val (f12, d12) = Flac.decodeFlac(80L, enc12)
+    assert(d12(0).sameElements(x12), "12-bit not lossless")
+    assert(Flac.readStreamInfo(enc12, 80L).bitsPerSample == 12)
+    assert(f12.map(_.n_samples).sum == x12.length)
+    val md12 = java.security.MessageDigest.getInstance("MD5")
+    x12.foreach { v =>
+      md12.update((v & 0xFF).toByte)
+      md12.update(((v >> 8) & 0xFF).toByte) // sign bits live here
     }
+    assert(Flac.readStreamInfo(enc12, 80L).md5.sameElements(md12.digest()),
+      "12-bit MD5 must pack 2 LE bytes per sample")
+    // 20-bit stereo: range +/-2^19, 3 LE bytes, side channel at 21 bits
+    val l20 = tone(4000, 300000.0, 9L, 50000L)
+      .map(v => math.max(-(1 << 19), math.min((1 << 19) - 1, v)))
+    val r20 = l20.map(v => math.max(-(1 << 19),
+      math.min((1 << 19) - 1, v + 23)))
+    val enc20 = Flac.encodeFlac(Array(l20, r20), 48000, blockSize = 1024,
+      bps = 20)
+    val (f20, d20) = Flac.decodeFlac(81L, enc20)
+    assert(d20(0).sameElements(l20) && d20(1).sameElements(r20),
+      "20-bit not lossless")
+    assert(Flac.readStreamInfo(enc20, 81L).bitsPerSample == 20)
+    assert(f20.exists(f => Set(8, 9, 10)(f.channel_mode)),
+      "correlated 20-bit channels should pick a side mode")
+    val md20 = java.security.MessageDigest.getInstance("MD5")
+    (0 until l20.length).foreach { i =>
+      Seq(l20(i), r20(i)).foreach { v =>
+        md20.update((v & 0xFF).toByte)
+        md20.update(((v >> 8) & 0xFF).toByte)
+        md20.update(((v >> 16) & 0xFF).toByte)
+      }
+    }
+    assert(Flac.readStreamInfo(enc20, 81L).md5.sameElements(md20.digest()),
+      "20-bit MD5 must pack 3 LE bytes per sample")
+    // out-of-range for the declared depth stays loud
+    intercept[IllegalArgumentException](
+      Flac.encodeFlac(Array(Array.fill(64)(3000)), 48000, bps = 12))
   }
 
   test("variable blocksize (round 12): blocking strategy 1 streams code " +
