@@ -2720,6 +2720,44 @@ object SparkEntry {
     // integer arithmetic only, replayed closed-form. A MakerNote rides
     // along on id%4==3 docs to pin that unknown-tag skips and the GPS
     // walk compose.
+    // X5 — EXIF THUMBNAIL + INTEROPERABILITY INTAKE (round 14): IFD1,
+    // the thumbnail IFD behind IFD0's next-IFD pointer, walked for
+    // real — Compression 6 validated, JPEGInterchangeFormat/Length
+    // bounds-checked, the embedded JPEG extracted BYTE-EXACTLY and
+    // decoded; plus the Interoperability sub-IFD's index (R98/THM/R03,
+    // the DCF set). A MakerNote rides on id%4==3 docs to pin that
+    // unknown-tag skips compose with the two extra IFD walks.
+    "x5_jpeg_thumbnail_intake" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val ex = graft.ops.Exif
+          val (tw, th) = if (id % 2 == 0) (8, 8) else (16, 8)
+          val thumb = Multimodal.encodeJpeg(tw, th,
+            i => ((i * 11 + id) % 256).toInt)
+          val ix = (id % 3).toInt match {
+            case 0 => "R98"; case 1 => "THM"; case _ => "R03"
+          }
+          val meta = ex.ExifMeta(bigEndian = id % 2 == 0,
+            make = Some(s"cam-${id % 5}"), interopIndex = Some(ix),
+            thumbnail = Some(thumb),
+            makerNote = if (id % 4 == 3)
+              Some(Array.tabulate(7)(i => (i + id).toByte)) else None)
+          val tagged = ex.insertJpegSegments(
+            Multimodal.encodeJpeg(16, 8, i => ((i + id) % 256).toInt),
+            Seq(ex.encodeExifApp1(meta)))
+          val e = ex.readJpegMeta(id, tagged).exif.get
+          val t = e.thumbnail.get
+          val (dw, dh, _, _) = Multimodal.decodeJpegRaster(t)
+          (id, e.bigEndian, e.interopIndex.getOrElse(""),
+            dw, dh, t.sameElements(thumb), e.nUnknownTags)
+        }
+        .toDF("doc_id", "big_endian", "interop_index", "thumb_w",
+          "thumb_h", "thumb_exact", "n_unknown_tags")
+        .orderBy("doc_id")
+    }),
+
     "x5_jpeg_gps_intake" -> ((s, dir) => {
       import s.implicits._
       Tables.documents(s, dir).filter(col("doc_id") < 150)
@@ -9415,6 +9453,22 @@ object SparkEntry {
         |  CAST(doc_id % 2 AS INTEGER) AS n_comments,
         |  CAST(16 AS BIGINT) AS pixel_x, CAST(8 AS BIGINT) AS pixel_y,
         |  TRUE AS decode_clean
+        |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,
+
+    // Thumbnail/interop replay: index by id%3, dims by parity,
+    // byte-exactness and the unknown-tag census closed-form.
+    "x5_jpeg_thumbnail_intake" ->
+      """SELECT doc_id,
+        |  (doc_id % 2 = 0) AS big_endian,
+        |  CASE CAST(doc_id % 3 AS INTEGER)
+        |    WHEN 0 THEN 'R98' WHEN 1 THEN 'THM' ELSE 'R03' END
+        |    AS interop_index,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS INTEGER)
+        |    AS thumb_w,
+        |  CAST(8 AS INTEGER) AS thumb_h,
+        |  TRUE AS thumb_exact,
+        |  CAST(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END AS INTEGER)
+        |    AS n_unknown_tags
         |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,
 
     // GPS intake replay: refs by parity, position reduced to signed

@@ -29,11 +29,16 @@ package graft.ops
   *
   * Honesty boundaries, loud at parse: the GPS sub-IFD's position set
   * (refs + deg/min/sec rational triplets, exact) is parsed, its other
-  * tags counted-and-skipped; Interoperability sub-IFDs and IFD1
-  * (thumbnail) are skipped-by-pointer but their contents are not
-  * parsed; MakerNote is treated as an opaque unknown tag (it is
-  * one, by spec); multi-strip TIFF image data is out of scope (the
-  * TIFF block here is metadata-only, as in every camera JPEG). */
+  * tags counted-and-skipped; the Interoperability sub-IFD (r14: tag
+  * 0xA005, its InteroperabilityIndex R98/THM/R03 carried, other tags
+  * counted) and IFD1 (r14: the thumbnail IFD behind IFD0's next-IFD
+  * pointer — Compression 6, JPEGInterchangeFormat/Length validated
+  * in-block, the embedded JPEG extracted and its SOI checked, other
+  * tags counted) are walked for real; MakerNote is treated as an
+  * opaque unknown tag (it is one, by spec); multi-strip TIFF image
+  * data is out of scope (the TIFF block here is metadata-only, as in
+  * every camera JPEG — thumbnails use the JPEG-interchange form, not
+  * strips). */
 object Exif {
 
   // -------------------------------------------------------------------
@@ -54,6 +59,10 @@ object Exif {
   private val TDateTimeOriginal = 0x9003
   private val TPixelX = 0xA002
   private val TPixelY = 0xA003
+  private val TInteropPointer = 0xA005
+  private val TCompression = 0x0103
+  private val TJif = 0x0201 // JPEGInterchangeFormat: thumbnail offset
+  private val TJifLen = 0x0202
 
   private val TypeSizes = Map(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 4, 5 -> 8,
     6 -> 1, 7 -> 1, 8 -> 2, 9 -> 4, 10 -> 8, 11 -> 4, 12 -> 8)
@@ -74,6 +83,8 @@ object Exif {
       pixelX: Option[Long] = None, pixelY: Option[Long] = None,
       makerNote: Option[Array[Byte]] = None,
       gps: Option[Gps] = None,
+      interopIndex: Option[String] = None,
+      thumbnail: Option[Array[Byte]] = None,
       nUnknownTags: Int = 0)
 
   /** GPS sub-IFD position (EXIF 2.3 §4.6.6, tags 1-4): hemisphere refs
@@ -222,18 +233,43 @@ object Exif {
       Seq(refEntry(1, g.latRef), tripletEntry(2, g.lat),
         refEntry(3, g.lonRef), tripletEntry(4, g.lon))
     }
-    // layout: header(8) | IFD0 | ExifIFD | GpsIFD | data area
+    val interopIfd: Seq[Entry] = meta.interopIndex.toSeq.map { ix =>
+      Entry(1, 2, ix.length + 1,
+        if (ix.length + 1 <= 4)
+          Some(java.util.Arrays.copyOf(ascii(ix), 4)) else None,
+        if (ix.length + 1 <= 4) None else Some(ascii(ix)))
+    }
+    // IFD1 — the thumbnail IFD behind IFD0's next-IFD pointer, in the
+    // JPEG-interchange form every camera uses (EXIF 2.3 §4.6.4):
+    // Compression 6, JPEGInterchangeFormat = offset of the embedded
+    // JPEG in the block (a LONG whose VALUE is the offset — the data
+    // branch below emits exactly that), JPEGInterchangeFormatLength.
+    val ifd1: Seq[Entry] = meta.thumbnail.toSeq.flatMap { t =>
+      require(t.length >= 4 && (t(0) & 0xFF) == 0xFF &&
+        (t(1) & 0xFF) == 0xD8, "exif: thumbnail is not a JPEG (no SOI)")
+      Seq(shortEntry(TCompression, 6),
+        Entry(TJif, 4, 1, None, Some(t)),
+        longEntry(TJifLen, t.length.toLong))
+    }
+    // layout: header(8) | IFD0 | ExifIFD | [GpsIFD] | [InteropIFD] |
+    //         [IFD1] | data area
     def ifdSize(es: Seq[Entry]): Int = 2 + es.length * 12 + 4
     val ifd0All = ifd0 ++
       Seq(Entry(TExifPointer, 4, 1, None, None)) ++ // patched below
       (if (gpsIfd.nonEmpty) Seq(Entry(TGpsPointer, 4, 1, None, None))
        else Nil)
+    val exifIfdAll = exifIfd ++ (if (interopIfd.nonEmpty)
+      Seq(Entry(TInteropPointer, 4, 1, None, None)) else Nil)
     val ifd0Off = 8
     val exifOff = ifd0Off + ifdSize(ifd0All)
-    val gpsOff = exifOff + ifdSize(exifIfd)
-    var dataOff = gpsOff + (if (gpsIfd.nonEmpty) ifdSize(gpsIfd) else 0)
+    val gpsOff = exifOff + ifdSize(exifIfdAll)
+    val interopOff = gpsOff + (if (gpsIfd.nonEmpty) ifdSize(gpsIfd) else 0)
+    val ifd1Off = interopOff +
+      (if (interopIfd.nonEmpty) ifdSize(interopIfd) else 0)
+    var dataOff = ifd1Off + (if (ifd1.nonEmpty) ifdSize(ifd1) else 0)
     val data = new java.io.ByteArrayOutputStream()
-    def writeIfd(out: java.io.ByteArrayOutputStream, es: Seq[Entry]): Unit = {
+    def writeIfd(out: java.io.ByteArrayOutputStream, es: Seq[Entry],
+        nextIfd: Long = 0L): Unit = {
       out.write(u16b(es.length), 0, 2)
       es.foreach { e =>
         out.write(u16b(e.tag), 0, 2)
@@ -245,6 +281,7 @@ object Exif {
             val payload =
               if (e.tag == TExifPointer) u32b(exifOff.toLong)
               else if (e.tag == TGpsPointer) u32b(gpsOff.toLong)
+              else if (e.tag == TInteropPointer) u32b(interopOff.toLong)
               else {
                 val d = e.data.get
                 val at = dataOff
@@ -255,15 +292,18 @@ object Exif {
             out.write(payload, 0, 4)
         }
       }
-      out.write(u32b(0L), 0, 4) // no next IFD
+      out.write(u32b(nextIfd), 0, 4)
     }
     val tiff = new java.io.ByteArrayOutputStream()
     tiff.write((if (be) "MM" else "II").getBytes("US-ASCII"))
     tiff.write(u16b(42), 0, 2)
     tiff.write(u32b(ifd0Off.toLong), 0, 4)
-    writeIfd(tiff, ifd0All)
-    writeIfd(tiff, exifIfd)
+    writeIfd(tiff, ifd0All,
+      nextIfd = if (ifd1.nonEmpty) ifd1Off.toLong else 0L)
+    writeIfd(tiff, exifIfdAll)
     if (gpsIfd.nonEmpty) writeIfd(tiff, gpsIfd)
+    if (interopIfd.nonEmpty) writeIfd(tiff, interopIfd)
+    if (ifd1.nonEmpty) writeIfd(tiff, ifd1)
     tiff.write(data.toByteArray)
     tiff.toByteArray
   }
@@ -336,6 +376,7 @@ object Exif {
     var unknown = 0
     var exifIfdOff = 0L
     var gpsIfdOff = 0L
+    var interopIfdOff = 0L
 
     def fieldBytes(at: Int, typ: Int, count: Int): (Int, Int) = {
       val sz = TypeSizes.getOrElse(typ, throw new IllegalArgumentException(
@@ -376,7 +417,7 @@ object Exif {
       (u32(off), u32(off + 4))
     }
 
-    def walkIfd(ifdOff: Long, isExifIfd: Boolean): Unit = {
+    def walkIfd(ifdOff: Long, isExifIfd: Boolean): Long = {
       val base = ifdOff.toInt
       val n = u16(base)
       var i = 0
@@ -408,6 +449,10 @@ object Exif {
             require(typ2 == 4,
               s"exif: GPS IFD pointer must be LONG (doc $docId)")
             gpsIfdOff = u32(at + 8)
+          case TInteropPointer if isExifIfd =>
+            require(typ2 == 4,
+              s"exif: Interoperability IFD pointer must be LONG (doc $docId)")
+            interopIfdOff = u32(at + 8)
           case TExposureTime if isExifIfd =>
             meta = meta.copy(exposureTime = Some(rationalAt(at, typ2, tag)))
           case TFNumber if isExifIfd =>
@@ -429,8 +474,64 @@ object Exif {
         }
         i += 1
       }
-      // next-IFD pointer: IFD1 (thumbnail) is a named skip, not a walk
-      u32(base + 2 + n * 12): Unit
+      // next-IFD pointer: IFD0's leads to IFD1 (thumbnail), walked by
+      // the caller; ExifIFD's is 0 in every conformant file
+      u32(base + 2 + n * 12)
+    }
+    // Interoperability sub-IFD (EXIF 2.3 §4.6.7): the index
+    // (R98/THM/R03) is the carried field; other tags counted
+    def walkInterop(ifdOff: Long): Unit = {
+      val base = ifdOff.toInt
+      val n = u16(base)
+      var i = 0
+      while (i < n) {
+        val at = base + 2 + i * 12
+        val tag = u16(at)
+        val typ2 = u16(at + 2); val cnt = u32(at + 4).toInt
+        if (tag == 1)
+          meta = meta.copy(interopIndex = Some(asciiAt(at, typ2, cnt, tag)))
+        else { fieldBytes(at, typ2, cnt): Unit; unknown += 1 }
+        i += 1
+      }
+    }
+    // IFD1 — the thumbnail IFD (EXIF 2.3 §4.6.4, JPEG-interchange
+    // form): Compression must be 6 (JPEG), the offset/length pair is
+    // validated against the block, and the embedded JPEG's SOI is
+    // checked before the bytes are carried. Its tag space overlaps
+    // IFD0's, so it gets its own walk — routing it through walkIfd
+    // would let thumbnail fields overwrite the primary image's.
+    def walkIfd1(ifdOff: Long): Unit = {
+      val base = ifdOff.toInt
+      val n = u16(base)
+      var comp = -1; var jif = -1L; var jifLen = -1L
+      var i = 0
+      while (i < n) {
+        val at = base + 2 + i * 12
+        val tag = u16(at)
+        val typ2 = u16(at + 2); val cnt = u32(at + 4).toInt
+        tag match {
+          case TCompression =>
+            comp = shortAt(at, typ2, tag)
+          case TJif =>
+            require(typ2 == 4,
+              s"exif: JPEGInterchangeFormat must be LONG (doc $docId)")
+            jif = u32(at + 8)
+          case TJifLen =>
+            jifLen = shortOrLongAt(at, typ2, tag)
+          case _ => fieldBytes(at, typ2, cnt): Unit; unknown += 1
+        }
+        i += 1
+      }
+      require(comp == 6,
+        s"exif: IFD1 thumbnail compression $comp is not JPEG (6) (doc $docId)")
+      require(jif >= 0L && jifLen >= 4L &&
+        jif + jifLen <= block.length.toLong,
+        s"exif: thumbnail offset/length overruns TIFF block (doc $docId)")
+      val t = java.util.Arrays.copyOfRange(block, jif.toInt,
+        (jif + jifLen).toInt)
+      require((t(0) & 0xFF) == 0xFF && (t(1) & 0xFF) == 0xD8,
+        s"exif: IFD1 thumbnail has no JPEG SOI (doc $docId)")
+      meta = meta.copy(thumbnail = Some(t))
     }
     // GPS sub-IFD (EXIF 2.3 §4.6.6): hemisphere refs + exact
     // deg/min/sec rational triplets; other GPS tags (altitude,
@@ -467,9 +568,11 @@ object Exif {
         s"exif: GPS IFD missing lat/lon fields (doc $docId)")
       meta = meta.copy(gps = Some(Gps(latRef, lat, lonRef, lon)))
     }
-    walkIfd(u32(4), isExifIfd = false)
-    if (exifIfdOff != 0L) walkIfd(exifIfdOff, isExifIfd = true)
+    val ifd1Off = walkIfd(u32(4), isExifIfd = false)
+    if (exifIfdOff != 0L) walkIfd(exifIfdOff, isExifIfd = true): Unit
     if (gpsIfdOff != 0L) walkGps(gpsIfdOff)
+    if (interopIfdOff != 0L) walkInterop(interopIfdOff)
+    if (ifd1Off != 0L) walkIfd1(ifd1Off)
     meta.copy(nUnknownTags = unknown)
   }
 

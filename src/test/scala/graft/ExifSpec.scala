@@ -215,4 +215,71 @@ class ExifSpec extends AnyFunSuite {
     assert(Exif.parseExifTiff(t1, 22L).make.contains("vendorname"))
     assert(Exif.parseExifTiff(t2, 23L).nUnknownTags == 1)
   }
+
+  test("Interoperability sub-IFD and IFD1 thumbnail (r14): the index " +
+      "and the embedded JPEG round-trip both endiannesses, the " +
+      "thumbnail decodes, sub-IFD unknown tags are counted, and " +
+      "compression/offset/SOI corruption is loud") {
+    val thumb = Multimodal.encodeJpeg(8, 8, i => (i * 11) % 256)
+    Seq(false, true).foreach { be =>
+      val meta = ExifMeta(bigEndian = be, make = Some("gc"),
+        orientation = Some(1), interopIndex = Some("R98"),
+        thumbnail = Some(thumb))
+      val block = Exif.encodeExifTiff(meta)
+      val p = Exif.parseExifTiff(block, 60L)
+      assert(p.interopIndex.contains("R98") && p.make.contains("gc"))
+      assert(p.thumbnail.exists(_.sameElements(thumb)),
+        s"be=$be: thumbnail bytes must round-trip exactly")
+      // the carried thumbnail really is a decodable JPEG
+      val (tw, th, _, _) = Multimodal.decodeJpegRaster(p.thumbnail.get)
+      assert(tw == 8 && th == 8)
+      assert(p.nUnknownTags == 0)
+      // and the same through the full APP1 + marker walk
+      val tagged = Exif.insertJpegSegments(
+        Multimodal.encodeJpeg(16, 8, i => (i * 7) % 256),
+        Seq(Exif.encodeExifApp1(meta)))
+      val c = Exif.readJpegMeta(61L, tagged)
+      assert(c.exif.get.thumbnail.exists(_.sameElements(thumb)) &&
+        c.exif.get.interopIndex.contains("R98"))
+    }
+    // THM (DCF thumbnail file) and R03 (DCF option) index values carry
+    assert(Exif.parseExifTiff(Exif.encodeExifTiff(ExifMeta(
+      bigEndian = false, interopIndex = Some("THM"))), 62L)
+      .interopIndex.contains("THM"))
+    // corruption: thumbnail SOI flipped inside the block is loud
+    val block = Exif.encodeExifTiff(ExifMeta(bigEndian = false,
+      interopIndex = Some("R98"), thumbnail = Some(thumb)))
+    val pre = thumb.take(8)
+    val tIdx = block.indices.find(i => i + 8 <= block.length &&
+      java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(block, i, i + 8), pre)).get
+    val badSoi = block.clone(); badSoi(tIdx + 1) = 0xD9.toByte
+    val e1 = intercept[IllegalArgumentException](
+      Exif.parseExifTiff(badSoi, 63L))
+    assert(e1.getMessage.contains("no JPEG SOI"))
+    // corruption: IFD1 compression != 6 (LE entry bytes for tag 0x0103
+    // SHORT 1 value 6) is loud by name
+    val compEntry = Array[Byte](0x03, 0x01, 3, 0, 1, 0, 0, 0, 6, 0, 0, 0)
+    val cIdx = block.indices.find(i => i + 12 <= block.length &&
+      java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(block, i, i + 12), compEntry)).get
+    val badComp = block.clone(); badComp(cIdx + 8) = 1
+    val e2 = intercept[IllegalArgumentException](
+      Exif.parseExifTiff(badComp, 64L))
+    assert(e2.getMessage.contains("not JPEG (6)"))
+    // corruption: thumbnail length overrunning the block is loud (the
+    // JIFLen entry follows compression's in ascending-tag order; its
+    // value is at +8 of the THIRD ifd1 entry -- smash the length high)
+    val lenEntryPre = Array[Byte](0x02, 0x02, 4, 0, 1, 0, 0, 0)
+    val lIdx = block.indices.find(i => i + 8 <= block.length &&
+      java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(block, i, i + 8), lenEntryPre)).get
+    val badLen = block.clone(); badLen(lIdx + 8 + 2) = 0x7F.toByte
+    val e3 = intercept[IllegalArgumentException](
+      Exif.parseExifTiff(badLen, 65L))
+    assert(e3.getMessage.contains("overruns TIFF block"))
+    // encode refuses a non-JPEG thumbnail outright
+    intercept[IllegalArgumentException](Exif.encodeExifTiff(ExifMeta(
+      bigEndian = false, thumbnail = Some(Array[Byte](1, 2, 3, 4, 5)))))
+  }
 }
