@@ -2632,6 +2632,45 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // X5 — EXTENDED XMP (round 14): XMP serializations too large for
+    // one APP1 segment ship as GUID-framed continuation chunks (XMP
+    // Part 3 §1.1.3.1) — the main packet names the uppercase-MD5 GUID
+    // in xmpNote:HasExtendedXMP, readers reassemble (gap/overlap/MD5/
+    // GUID-agreement verified) and merge with main-packet-wins
+    // semantics. Odd docs stage the chunks in reverse segment order to
+    // pin that reassembly keys on offsets, not wire order.
+    "x5_jpeg_xmp_extended" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val ex = graft.ops.Exif
+          val xm = graft.ops.Xmp
+          val tl = 20000 + (id % 5).toInt * 4000
+          val bigTitle = new String(Array.tabulate(tl)(i =>
+            ('a' + ((i + id) % 26)).toChar))
+          val full = xm.encodeXmpPacket(title = Some(bigTitle),
+            creators = Seq(s"author-${id % 7}"))
+          val (guid, segs) = xm.encodeExtendedXmp(full, chunkSize = 8000)
+          val main = xm.encodeXmpApp1(xm.encodeXmpPacket(
+            createDate = Some(f"2019-06-${(id % 28) + 1}%02d"),
+            hasExtendedXmp = Some(guid)))
+          val ordered = if (id % 2 == 1) segs.reverse else segs
+          val base = Multimodal.encodeJpeg(16, 8,
+            i => ((i * 5 + id) % 256).toInt)
+          val tagged = ex.insertJpegSegments(base, main +: ordered)
+          val x = ex.readJpegMeta(id, tagged).xmp.get
+          val clean = ex.stripJpegMeta(id, tagged).sameElements(base)
+          (id, tl, x.title.contains(bigTitle),
+            x.creators.headOption.getOrElse(""),
+            x.createDate.getOrElse(""), segs.length >= 3,
+            x.hasExtendedXmp.contains(guid), clean)
+        }
+        .toDF("doc_id", "title_len", "title_exact", "first_creator",
+          "create_date", "multi_chunk", "guid_ok", "strip_clean")
+        .orderBy("doc_id")
+    }),
+
     // X5 — HETEROGENEOUS IMAGE METADATA EXTRACTION (round 13 capstone,
     // the image twin of x5_audio_metadata_corpus; r14 widens it to the
     // FOUR image tag systems): one query over a MIXED corpus spanning
@@ -9520,6 +9559,18 @@ object SparkEntry {
         |  (doc_id % 3 = 0) AS has_exif,
         |  CAST(0 AS INTEGER) AS n_unknown_apps,
         |  TRUE AS decode_clean
+        |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,
+
+    // ExtendedXMP replay: planted title length and the booleans are
+    // closed-form (multi_chunk holds by construction: full > 2 chunks).
+    "x5_jpeg_xmp_extended" ->
+      """SELECT doc_id,
+        |  CAST(20000 + (doc_id % 5) * 4000 AS INTEGER) AS title_len,
+        |  TRUE AS title_exact,
+        |  'author-' || (doc_id % 7) AS first_creator,
+        |  '2019-06-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+        |    AS create_date,
+        |  TRUE AS multi_chunk, TRUE AS guid_ok, TRUE AS strip_clean
         |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,
 
     // Heterogeneous image-metadata replay: type/tag-system by doc_id

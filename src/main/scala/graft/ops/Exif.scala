@@ -586,6 +586,7 @@ object Exif {
     var jfif: Option[JfifInfo] = None
     var exif: Option[ExifMeta] = None
     var xmp: Option[Xmp.XmpMeta] = None
+    val xmpExt = Seq.newBuilder[Xmp.ExtChunk]
     var nCom = 0; var nUnk = 0; var metaBytes = 0
     var done = false
     while (!done) {
@@ -624,6 +625,13 @@ object Exif {
             java.util.Arrays.copyOfRange(payload,
               body + Xmp.Header.length, body + blen)))
           metaBytes += 2 + len
+        } else if (m == 0xE1 && blen >= Xmp.ExtHeader.length &&
+          new String(payload, body, Xmp.ExtHeader.length,
+            "US-ASCII") == Xmp.ExtHeader) {
+          xmpExt += Xmp.parseExtChunk(docId,
+            java.util.Arrays.copyOfRange(payload,
+              body + Xmp.ExtHeader.length, body + blen))
+          metaBytes += 2 + len
         } else if (m == 0xFE) {
           nCom += 1; metaBytes += 2 + len
         } else if (m >= 0xE0 && m <= 0xEF) {
@@ -631,6 +639,22 @@ object Exif {
         }
         pos += 2 + len
       }
+    }
+    // ExtendedXMP (XMP Part 3): reassemble the continuation chunks,
+    // verify GUID/MD5/coverage, and merge under the main packet. A
+    // main packet naming a GUID with no chunks present, or chunks with
+    // no main packet, are both loud — silently dropping either half
+    // would lose crawl metadata.
+    val ext = xmpExt.result()
+    (xmp.flatMap(_.hasExtendedXmp), ext) match {
+      case (None, Nil) => ()
+      case (Some(guid), chunks) =>
+        val full = Xmp.assembleExtendedXmp(docId, guid, chunks)
+        xmp = xmp.map(m =>
+          Xmp.mergeExtended(m, Xmp.parseXmpPacket(docId, full)))
+      case (None, _) => throw new IllegalArgumentException(
+        s"xmp: ExtendedXMP chunks with no HasExtendedXMP in the main " +
+          s"packet (doc $docId)")
     }
     JpegMetaInfo(jfif, exif, nCom, nUnk, metaBytes, xmp)
   }

@@ -23,25 +23,149 @@ package graft.ops
   * camera/editor stacks emit into JPEG); nested structured properties
   * (rdf:Description inside a property element) and rdf:parseType
   * shorthands are counted as "other" by their top-level property
-  * element, not descended into; ExtendedXMP continuation segments
-  * (packets >64 KiB split across APP1s with a GUID header) are out of
-  * scope — the encoder refuses to build one. */
+  * element, not descended into; ExtendedXMP continuation
+  * segments (packets >64 KiB split across APP1s behind a GUID header)
+  * are CARRIED since r14 — split/reassembled with gap/overlap/MD5/
+  * GUID-agreement verification and spec merge semantics (main packet
+  * wins); a single over-64 KiB packet without the extension framing
+  * still refuses loudly at encode. */
 object Xmp {
 
   /** APP1 body prefix distinguishing XMP from EXIF (both are APP1). */
   val Header = "http://ns.adobe.com/xap/1.0/\u0000"
 
+  /** APP1 body prefix of ExtendedXMP continuation segments (XMP Part 3
+    * §1.1.3.1, r14): header + 32-char ASCII-hex GUID + 4-byte BE full
+    * length of the whole ExtendedXMP serialization + 4-byte BE offset
+    * of this chunk's portion + the chunk bytes. The GUID is the
+    * uppercase MD5 of the full serialization, and the MAIN packet
+    * names it in xmpNote:HasExtendedXMP. */
+  val ExtHeader = "http://ns.adobe.com/xmp/extension/\u0000"
+
   private val RdfNs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
   private val DcNs = "http://purl.org/dc/elements/1.1/"
   private val XmpNs = "http://ns.adobe.com/xap/1.0/"
+  private val XmpNoteNs = "http://ns.adobe.com/xmp/note/"
   private val XmlnsNs = "http://www.w3.org/2000/xmlns/"
   private val XmlNs = "http://www.w3.org/XML/1998/namespace"
 
   /** Parsed packet: the carried crawl set plus a census of every
-    * other property (element or attribute form, any namespace). */
+    * other property (element or attribute form, any namespace).
+    * `hasExtendedXmp` is the main packet's xmpNote:HasExtendedXMP
+    * GUID when ExtendedXMP continuation segments are present. */
   case class XmpMeta(title: Option[String] = None,
       creators: Seq[String] = Nil, createDate: Option[String] = None,
-      nOtherProps: Int = 0)
+      nOtherProps: Int = 0, hasExtendedXmp: Option[String] = None)
+
+  /** The GUID the spec requires: uppercase hex MD5 of the full
+    * ExtendedXMP serialization. */
+  def extendedXmpGuid(full: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(full)
+      .map(b => f"${b & 0xFF}%02X").mkString
+
+  /** Split an oversized XMP serialization into ExtendedXMP APP1
+    * segments of ≤ `chunkSize` payload bytes each (XMP Part 3
+    * §1.1.3.1 wire layout). Returns (guid, segments) — the caller
+    * writes the guid into the MAIN packet via `hasExtendedXmp`. */
+  def encodeExtendedXmp(full: Array[Byte],
+      chunkSize: Int = 60000): (String, Seq[Array[Byte]]) = {
+    require(full.nonEmpty, "xmp: empty ExtendedXMP serialization")
+    require(chunkSize > 0 && chunkSize <= 65000,
+      s"xmp: ExtendedXMP chunk size $chunkSize out of range")
+    val guid = extendedXmpGuid(full)
+    val hdr = ExtHeader.getBytes("US-ASCII")
+    val segs = full.grouped(chunkSize).zipWithIndex.map {
+      case (chunk, i) =>
+        val off = i.toLong * chunkSize
+        val out = new java.io.ByteArrayOutputStream()
+        out.write(0xFF); out.write(0xE1)
+        val len = 2 + hdr.length + 32 + 4 + 4 + chunk.length
+        require(len <= 0xFFFF, "xmp: ExtendedXMP chunk over one APP1")
+        out.write(len >>> 8); out.write(len & 0xFF)
+        out.write(hdr)
+        out.write(guid.getBytes("US-ASCII"))
+        out.write(((full.length >>> 24) & 0xFF).toInt)
+        out.write(((full.length >>> 16) & 0xFF).toInt)
+        out.write(((full.length >>> 8) & 0xFF).toInt)
+        out.write((full.length & 0xFF).toInt)
+        out.write(((off >>> 24) & 0xFF).toInt)
+        out.write(((off >>> 16) & 0xFF).toInt)
+        out.write(((off >>> 8) & 0xFF).toInt)
+        out.write((off & 0xFF).toInt)
+        out.write(chunk)
+        out.toByteArray
+    }.toSeq
+    (guid, segs)
+  }
+
+  /** One parsed ExtendedXMP chunk (the bytes after [[ExtHeader]]). */
+  case class ExtChunk(guid: String, fullLength: Long, offset: Long,
+      data: Array[Byte])
+
+  def parseExtChunk(docId: Long, body: Array[Byte]): ExtChunk = {
+    require(body.length > 40,
+      s"xmp: ExtendedXMP chunk truncated (doc $docId)")
+    val guid = new String(body, 0, 32, "US-ASCII")
+    require(guid.forall(c => c.isDigit || (c >= 'A' && c <= 'F')),
+      s"xmp: ExtendedXMP GUID is not uppercase hex (doc $docId)")
+    def be32(p: Int): Long = ((body(p) & 0xFFL) << 24) |
+      ((body(p + 1) & 0xFFL) << 16) | ((body(p + 2) & 0xFFL) << 8) |
+      (body(p + 3) & 0xFFL)
+    ExtChunk(guid, be32(32), be32(36),
+      java.util.Arrays.copyOfRange(body, 40, body.length))
+  }
+
+  /** Reassemble ExtendedXMP chunks: one GUID, gap-free and
+    * overlap-free coverage of the declared length, and the GUID must
+    * equal the MD5 of the assembled bytes AND the main packet's
+    * xmpNote:HasExtendedXMP — every violation loud by name. Returns
+    * the assembled serialization, which the caller parses like any
+    * packet and merges (main packet wins on conflicts). */
+  def assembleExtendedXmp(docId: Long, declaredGuid: String,
+      chunks: Seq[ExtChunk]): Array[Byte] = {
+    require(chunks.nonEmpty, s"xmp: no ExtendedXMP chunks (doc $docId)")
+    val guids = chunks.map(_.guid).distinct
+    require(guids == Seq(declaredGuid),
+      s"xmp: ExtendedXMP GUID mismatch: segments carry " +
+        s"${guids.mkString(",")}, main packet names $declaredGuid (doc $docId)")
+    val total = chunks.head.fullLength
+    require(chunks.forall(_.fullLength == total),
+      s"xmp: ExtendedXMP chunks disagree on full length (doc $docId)")
+    require(total > 0 && total <= 64L * 1024 * 1024,
+      s"xmp: ExtendedXMP length $total out of range (doc $docId)")
+    val full = new Array[Byte](total.toInt)
+    val seen = new Array[Boolean](total.toInt)
+    chunks.foreach { c =>
+      require(c.offset >= 0 && c.offset + c.data.length <= total,
+        s"xmp: ExtendedXMP chunk overruns declared length (doc $docId)")
+      var i = 0
+      while (i < c.data.length) {
+        val at = c.offset.toInt + i
+        require(!seen(at),
+          s"xmp: ExtendedXMP chunks overlap at $at (doc $docId)")
+        seen(at) = true
+        full(at) = c.data(i)
+        i += 1
+      }
+    }
+    require(seen.forall(identity),
+      s"xmp: ExtendedXMP coverage has gaps (doc $docId)")
+    require(extendedXmpGuid(full) == declaredGuid,
+      s"xmp: ExtendedXMP MD5 does not match its GUID (doc $docId)")
+    full
+  }
+
+  /** Merge the extended packet's fields under the main packet's (XMP
+    * Part 3: the extended serialization holds the properties that did
+    * not fit — the main packet wins where both carry a value). */
+  def mergeExtended(main: XmpMeta, ext: XmpMeta): XmpMeta =
+    XmpMeta(
+      title = main.title.orElse(ext.title),
+      creators = if (main.creators.nonEmpty) main.creators
+                 else ext.creators,
+      createDate = main.createDate.orElse(ext.createDate),
+      nOtherProps = main.nOtherProps + ext.nOtherProps,
+      hasExtendedXmp = main.hasExtendedXmp)
 
   private def xmlEscape(s: String): String = s.flatMap {
     case '&' => "&amp;"
@@ -66,7 +190,11 @@ object Xmp {
   def encodeXmpPacket(title: Option[String] = None,
       creators: Seq[String] = Nil, createDate: Option[String] = None,
       attrForm: Boolean = false,
-      other: Seq[(String, String)] = Nil): Array[Byte] = {
+      other: Seq[(String, String)] = Nil,
+      hasExtendedXmp: Option[String] = None): Array[Byte] = {
+    hasExtendedXmp.foreach(g => require(g.length == 32 &&
+      g.forall(c => c.isDigit || (c >= 'A' && c <= 'F')),
+      s"xmp: HasExtendedXMP must be a 32-char uppercase-hex GUID, got $g"))
     (title.toSeq ++ creators ++ createDate ++ other.map(_._2)).foreach {
       v => require(!v.exists(_ < 0x20),
         s"xmp: control character in property value: $v")
@@ -77,10 +205,12 @@ object Xmp {
     }
     val simpleProps =
       createDate.map(("CreateDate", _)).toSeq ++ other
-    val attrs = if (attrForm)
+    val attrs = (if (attrForm)
       simpleProps.map { case (k, v) =>
         s""" xmp:$k="${xmlEscape(v)}"""" }.mkString
-    else ""
+    else "") ++ hasExtendedXmp.map(g =>
+      s""" xmlns:xmpNote="$XmpNoteNs" xmpNote:HasExtendedXMP="$g"""")
+      .getOrElse("")
     val body = new StringBuilder
     title.foreach { t =>
       body ++= "   <dc:title><rdf:Alt>" +
@@ -112,7 +242,7 @@ object Xmp {
     val hdr = Header.getBytes("US-ASCII")
     val len = 2 + hdr.length + packet.length
     require(len <= 0xFFFF,
-      "xmp: packet over one APP1 segment (ExtendedXMP is out of scope)")
+      "xmp: packet over one APP1 segment — split it with encodeExtendedXmp")
     val out = new java.io.ByteArrayOutputStream()
     out.write(0xFF); out.write(0xE1)
     out.write(len >>> 8); out.write(len & 0xFF)
@@ -216,6 +346,8 @@ object Xmp {
                 meta = meta.copy(title = Some(a.getNodeValue))
               case (DcNs, "creator") =>
                 meta = meta.copy(creators = Seq(a.getNodeValue))
+              case (XmpNoteNs, "HasExtendedXMP") =>
+                meta = meta.copy(hasExtendedXmp = Some(a.getNodeValue))
               case _ => other += 1
             }
           }
@@ -229,6 +361,9 @@ object Xmp {
                 creators = arrayTexts(prop).filter(_.nonEmpty))
             case (XmpNs, "CreateDate") =>
               meta = meta.copy(createDate =
+                Some(prop.getTextContent.trim))
+            case (XmpNoteNs, "HasExtendedXMP") =>
+              meta = meta.copy(hasExtendedXmp =
                 Some(prop.getTextContent.trim))
             case _ => other += 1
           }

@@ -128,7 +128,7 @@ class XmpSpec extends AnyFunSuite {
       Xmp.encodeXmpPacket(title = Some("a\u0001b")))
     val e5 = intercept[IllegalArgumentException](Xmp.encodeXmpApp1(
       Array.fill(70000)('x'.toByte)))
-    assert(e5.getMessage.contains("ExtendedXMP"))
+    assert(e5.getMessage.contains("split it with encodeExtendedXmp"))
     // a truncated XMP APP1 inside a JPEG is loud through the walk too
     val seg = Xmp.encodeXmpApp1(Xmp.encodeXmpPacket(title = Some("t")))
     val cut = Exif.insertJpegSegments(gray(8, 8), Seq(seg))
@@ -136,5 +136,76 @@ class XmpSpec extends AnyFunSuite {
     val e6 = intercept[IllegalArgumentException](
       Exif.readJpegMeta(5L, cut))
     assert(e6.getMessage.contains("truncated"))
+  }
+
+  test("ExtendedXMP (XMP Part 3, r14): an oversized packet splits into " +
+      "GUID-framed APP1 chunks, reassembles with MD5/coverage checks, " +
+      "and merges under the main packet; GUID mismatch, gaps, overlap, " +
+      "orphan chunks, and a lying MD5 are loud") {
+    // a packet too big for one APP1: a long dc:title plus creators
+    val bigTitle = "T" * 70000
+    val full = Xmp.encodeXmpPacket(title = Some(bigTitle),
+      creators = Seq("Ext Author"))
+    assert(full.length > 65535)
+    intercept[IllegalArgumentException](Xmp.encodeXmpApp1(full))
+    val (guid, segs) = Xmp.encodeExtendedXmp(full, chunkSize = 20000)
+    assert(segs.length == (full.length + 19999) / 20000)
+    val main = Xmp.encodeXmpApp1(Xmp.encodeXmpPacket(
+      createDate = Some("2021-03-04"), hasExtendedXmp = Some(guid)))
+    val base = Multimodal.encodeJpeg(8, 8, i => (i * 3) % 256)
+    val tagged = Exif.insertJpegSegments(base, main +: segs)
+    val c = Exif.readJpegMeta(70L, tagged)
+    val x = c.xmp.get
+    assert(x.title.contains(bigTitle), "extended title must merge in")
+    assert(x.creators == Seq("Ext Author"))
+    assert(x.createDate.contains("2021-03-04"), "main packet wins/stays")
+    assert(x.hasExtendedXmp.contains(guid))
+    assert(c.nUnknownApps == 0,
+      "extension chunks must not land in the unknown-APP census")
+    // chunk order must not matter (spec orders by offset; readers
+    // cannot rely on segment order in the wild)
+    val shuffled = Exif.insertJpegSegments(base, main +: segs.reverse)
+    assert(Exif.readJpegMeta(71L, shuffled).xmp.get.title
+      .contains(bigTitle))
+    // strip removes main + all chunks
+    assert(Exif.stripJpegMeta(72L, tagged).sameElements(base))
+    // orphan chunks (no HasExtendedXMP in main) are loud
+    val orphan = Exif.insertJpegSegments(base,
+      Xmp.encodeXmpApp1(Xmp.encodeXmpPacket(title = Some("t"))) +: segs)
+    val e1 = intercept[IllegalArgumentException](
+      Exif.readJpegMeta(73L, orphan))
+    assert(e1.getMessage.contains("no HasExtendedXMP"))
+    // main naming a GUID with zero chunks present is loud
+    val noChunks = Exif.insertJpegSegments(base, Seq(main))
+    val e2 = intercept[IllegalArgumentException](
+      Exif.readJpegMeta(74L, noChunks))
+    assert(e2.getMessage.contains("no ExtendedXMP chunks"))
+    // a missing middle chunk = coverage gap, loud
+    val gap = Exif.insertJpegSegments(base,
+      main +: (segs.take(1) ++ segs.drop(2)))
+    val e3 = intercept[IllegalArgumentException](
+      Exif.readJpegMeta(75L, gap))
+    assert(e3.getMessage.contains("gaps"))
+    // a duplicated chunk = overlap, loud
+    val dup = Exif.insertJpegSegments(base, main +: (segs :+ segs.head))
+    val e4 = intercept[IllegalArgumentException](
+      Exif.readJpegMeta(76L, dup))
+    assert(e4.getMessage.contains("overlap"))
+    // GUID disagreement between main and chunks is loud
+    val wrongGuid = Xmp.encodeXmpApp1(Xmp.encodeXmpPacket(
+      hasExtendedXmp = Some("0" * 32)))
+    val e5 = intercept[IllegalArgumentException](Exif.readJpegMeta(77L,
+      Exif.insertJpegSegments(base, wrongGuid +: segs)))
+    assert(e5.getMessage.contains("GUID mismatch"))
+    // a corrupted payload byte flips the MD5 -> loud
+    val corrupt = segs.map(_.clone())
+    corrupt.head(corrupt.head.length - 1) =
+      (corrupt.head(corrupt.head.length - 1) ^ 1).toByte
+    val e6 = intercept[IllegalArgumentException](Exif.readJpegMeta(78L,
+      Exif.insertJpegSegments(base, main +: corrupt)))
+    assert(e6.getMessage.contains("MD5 does not match"))
+    // bad GUID shape refused at encode
+    intercept[IllegalArgumentException](
+      Xmp.encodeXmpPacket(hasExtendedXmp = Some("nothex")))
   }
 }
