@@ -2632,6 +2632,50 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // X5 — COLOR PNG DECODE (round 14): the crawl's PNGs are mostly
+    // truecolor/palette/RGBA, not grayscale — the decoder now carries
+    // color types 2/3/6 at 8-bit depth (byte-at-bpp filters, PLTE
+    // lookup with bounds checks, alpha carried exactly). This gate is
+    // VALUE-level: every decoded channel sum is recomputed by the
+    // oracle from the planted per-pixel formulas over generate_series
+    // — not a boolean self-grade.
+    "x5_png_color_decode" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = 16 + 8 * ((id / 3) % 2).toInt; val h = 8
+          val m = (id % 3).toInt // 0 -> type 2, 1 -> type 3, 2 -> type 6
+          def r(i: Int) = ((i * 37 + id) % 256).toInt
+          def g(i: Int) = ((i * 91 + 5 + id) % 256).toInt
+          def b(i: Int) = ((i * 53 + 2 * id) % 256).toInt
+          def a(i: Int) = ((i * 7 + 3 + id) % 256).toInt
+          val pal = Array.tabulate(16)(c =>
+            (((c * 17 + id) % 256).toInt << 16) |
+              (((c * 29 + 3 * id) % 256).toInt << 8) |
+              ((c * 5 + 7 * id) % 256).toInt)
+          val png = m match {
+            case 0 => Multimodal.encodePngColor(w, h, 2,
+              i => (r(i) << 16) | (g(i) << 8) | b(i))
+            case 1 => Multimodal.encodePngColor(w, h, 3,
+              i => ((i * 3 + id) % 16).toInt, palette = pal)
+            case _ => Multimodal.encodePngColor(w, h, 6,
+              i => (a(i) << 24) | (r(i) << 16) | (g(i) << 8) | b(i))
+          }
+          val (dw, dh, px, _) = Multimodal.decodePngRgb(id, png)
+          var rs = 0L; var gs = 0L; var bs = 0L; var as = 0L
+          px.foreach { p =>
+            rs += (p >> 16) & 0xFF; gs += (p >> 8) & 0xFF
+            bs += p & 0xFF; as += (p >>> 24) & 0xFF
+          }
+          val ct = m match { case 0 => 2; case 1 => 3; case _ => 6 }
+          (id, ct, dw, dh, rs, gs, bs, as)
+        }
+        .toDF("doc_id", "color_type", "width", "height", "r_sum",
+          "g_sum", "b_sum", "a_sum")
+        .orderBy("doc_id")
+    }),
+
     // X5 — EXTENDED XMP (round 14): XMP serializations too large for
     // one APP1 segment ship as GUID-framed continuation chunks (XMP
     // Part 3 §1.1.3.1) — the main packet names the uppercase-MD5 GUID
@@ -9560,6 +9604,38 @@ object SparkEntry {
         |  CAST(0 AS INTEGER) AS n_unknown_apps,
         |  TRUE AS decode_clean
         |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,
+
+    // Color-PNG replay: every channel sum recomputed from the planted
+    // per-pixel formulas over a lateral generate_series — the decode
+    // path (filters at bpp, PLTE lookup, alpha) is value-gated.
+    "x5_png_color_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(16 + 8 * ((doc_id // 3) % 2) AS INTEGER) AS w,
+        |    8 AS h, CAST(doc_id % 3 AS INTEGER) AS m
+        |  FROM documents WHERE doc_id < 150),
+        |px AS (
+        |  SELECT d.doc_id, d.w, d.h, d.m,
+        |    CASE WHEN d.m = 1
+        |      THEN (((t.i*3 + d.doc_id) % 16) * 17 + d.doc_id) % 256
+        |      ELSE (t.i*37 + d.doc_id) % 256 END AS r,
+        |    CASE WHEN d.m = 1
+        |      THEN (((t.i*3 + d.doc_id) % 16) * 29 + 3*d.doc_id) % 256
+        |      ELSE (t.i*91 + 5 + d.doc_id) % 256 END AS g,
+        |    CASE WHEN d.m = 1
+        |      THEN (((t.i*3 + d.doc_id) % 16) * 5 + 7*d.doc_id) % 256
+        |      ELSE (t.i*53 + 2*d.doc_id) % 256 END AS b,
+        |    CASE WHEN d.m = 2 THEN (t.i*7 + 3 + d.doc_id) % 256
+        |      ELSE 255 END AS a
+        |  FROM d, LATERAL (SELECT unnest(generate_series(0, d.w*d.h - 1))
+        |    AS i) t)
+        |SELECT doc_id,
+        |  CAST(CASE m WHEN 0 THEN 2 WHEN 1 THEN 3 ELSE 6 END AS INTEGER)
+        |    AS color_type,
+        |  CAST(min(w) AS INTEGER) AS width, CAST(min(h) AS INTEGER) AS height,
+        |  CAST(sum(r) AS BIGINT) AS r_sum, CAST(sum(g) AS BIGINT) AS g_sum,
+        |  CAST(sum(b) AS BIGINT) AS b_sum, CAST(sum(a) AS BIGINT) AS a_sum
+        |FROM px GROUP BY doc_id, m ORDER BY doc_id""".stripMargin,
 
     // ExtendedXMP replay: planted title length and the booleans are
     // closed-form (multi_chunk holds by construction: full > 2 chunks).

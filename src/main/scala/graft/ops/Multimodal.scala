@@ -1255,18 +1255,134 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Build an 8-bit COLOR non-interlaced PNG (r14): color type 2
+    * (truecolor, `pixel` returns packed 0xRRGGBB), 6 (truecolor+alpha,
+    * packed 0xAARRGGBB), or 3 (palette — `pixel` returns an index into
+    * `palette`, written as the PLTE chunk). Per-row filters cycle
+    * `row % 5` on BYTES at the type's bpp, like the grayscale twin. */
+  def encodePngColor(width: Int, height: Int, colorType: Int,
+      pixel: Int => Int, palette: Array[Int] = null): Array[Byte] = {
+    require(width > 0 && height > 0, s"png: bad dims ${width}x$height")
+    require(colorType == 2 || colorType == 3 || colorType == 6,
+      s"png: encodePngColor writes color types 2/3/6, got $colorType")
+    if (colorType == 3) {
+      require(palette != null && palette.nonEmpty && palette.length <= 256,
+        "png: palette encode needs 1..256 PLTE entries")
+    } else require(palette == null, "png: PLTE is color-type-3-only")
+    val bpp = pngBpp(colorType)
+    val rowBytes = width * bpp
+    // expand to channel bytes once, then filter over bytes
+    val chan = new Array[Byte](rowBytes * height)
+    var i = 0
+    while (i < width * height) {
+      val v = pixel(i)
+      colorType match {
+        case 2 =>
+          chan(3 * i) = ((v >> 16) & 0xFF).toByte
+          chan(3 * i + 1) = ((v >> 8) & 0xFF).toByte
+          chan(3 * i + 2) = (v & 0xFF).toByte
+        case 3 =>
+          require(v >= 0 && v < palette.length,
+            s"png: palette index $v outside 0..${palette.length - 1}")
+          chan(i) = v.toByte
+        case _ =>
+          chan(4 * i) = ((v >> 16) & 0xFF).toByte
+          chan(4 * i + 1) = ((v >> 8) & 0xFF).toByte
+          chan(4 * i + 2) = (v & 0xFF).toByte
+          chan(4 * i + 3) = ((v >>> 24) & 0xFF).toByte
+      }
+      i += 1
+    }
+    val raw = new Array[Byte]((rowBytes + 1) * height)
+    var r = 0
+    while (r < height) {
+      val f = r % 5
+      val base = r * (rowBytes + 1)
+      raw(base) = f.toByte
+      var x = 0
+      while (x < rowBytes) {
+        val cur = chan(r * rowBytes + x) & 0xFF
+        val left = if (x >= bpp) chan(r * rowBytes + x - bpp) & 0xFF else 0
+        val above = if (r > 0) chan((r - 1) * rowBytes + x) & 0xFF else 0
+        val ul = if (x >= bpp && r > 0)
+          chan((r - 1) * rowBytes + x - bpp) & 0xFF else 0
+        val filtered = f match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - above
+          case 3 => cur - ((left + above) >> 1)
+          case _ => cur - paeth(left, above, ul)
+        }
+        raw(base + 1 + x) = (filtered & 0xFF).toByte
+        x += 1
+      }
+      r += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val zout = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](4096)
+    while (!defl.finished()) { val n = defl.deflate(tmp); zout.write(tmp, 0, n) }
+    defl.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSig)
+    def be32(v: Int): Array[Byte] =
+      Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      out.write(be32(data.length))
+      val td = typ.getBytes("US-ASCII") ++ data
+      out.write(td)
+      out.write(be32(pngCrc(td, 0, td.length)))
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+    chunk("IHDR", ihdr.array())
+    if (colorType == 3)
+      chunk("PLTE", palette.flatMap(c => Seq(
+        ((c >> 16) & 0xFF).toByte, ((c >> 8) & 0xFF).toByte,
+        (c & 0xFF).toByte)))
+    chunk("IDAT", zout.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
   /** Decode an 8-bit grayscale PNG: signature + chunk walk (CRC of every
     * chunk verified — corruption fails loudly, never decodes as noise),
     * multi-IDAT concatenation, zlib inflate, per-row unfilter. Returns
     * (width, height, raster row-major 0..255, compressed IDAT bytes). */
-  def decodePngRaster(payload: Array[Byte]): (Int, Int, Array[Int], Int) = {
+  /** Bytes-per-pixel for the 8-bit-depth color types this decoder
+    * carries (RFC 2083 §4.1.1): 0 gray, 2 truecolor, 3 palette,
+    * 6 truecolor+alpha. Gray+alpha (4) is a named boundary. */
+  private def pngBpp(color: Int): Int = color match {
+    case 0 => 1
+    case 2 => 3
+    case 3 => 1
+    case 6 => 4
+    case 4 => throw new IllegalArgumentException(
+      "png: gray+alpha (color type 4) is a named boundary")
+    case c => throw new IllegalArgumentException(
+      s"png: color type $c is not defined by the spec")
+  }
+
+  /** Shared scanline core: chunk walk (CRC-checked), IHDR validation,
+    * PLTE capture, IDAT inflate, and the per-BYTE unfilter at the
+    * color type's bpp (filters predict from the byte bpp positions
+    * left, RFC 2083 §6.2 — at bpp 1 this is exactly the per-pixel
+    * form). Returns (w, h, colorType, reconstructed bytes laid out
+    * rowBytes per row with the filter byte removed, palette or null,
+    * compressed IDAT length). */
+  private def pngScanlines(payload: Array[Byte])
+      : (Int, Int, Int, Array[Byte], Array[Int], Int) = {
     require(payload.length >= 8, "png: truncated signature")
     var i = 0
     while (i < 8) { require(payload(i) == PngSig(i), "png: bad signature"); i += 1 }
     def be32(p: Int): Int = ((payload(p) & 0xFF) << 24) | ((payload(p + 1) & 0xFF) << 16) |
       ((payload(p + 2) & 0xFF) << 8) | (payload(p + 3) & 0xFF)
     var pos = 8
-    var width = -1; var height = -1
+    var width = -1; var height = -1; var color = -1
+    var palette: Array[Int] = null
     val idat = new java.io.ByteArrayOutputStream()
     var done = false
     while (!done) {
@@ -1280,11 +1396,19 @@ object Multimodal {
         case "IHDR" =>
           width = be32(pos + 8); height = be32(pos + 12)
           val depth = payload(pos + 16) & 0xFF
-          val color = payload(pos + 17) & 0xFF
+          color = payload(pos + 17) & 0xFF
           val interlace = payload(pos + 20) & 0xFF
-          require(depth == 8 && color == 0,
-            s"png: only 8-bit grayscale supported (depth=$depth colorType=$color)")
+          require(depth == 8,
+            s"png: only 8-bit channel depth supported (depth=$depth)")
+          pngBpp(color): Unit // validates the color type, loudly
           require(interlace == 0, "png: Adam7 interlace not supported")
+        case "PLTE" =>
+          require(len > 0 && len % 3 == 0 && len <= 256 * 3,
+            s"png: PLTE length $len is not a palette")
+          palette = Array.tabulate(len / 3)(c =>
+            ((payload(pos + 8 + 3 * c) & 0xFF) << 16) |
+              ((payload(pos + 8 + 3 * c + 1) & 0xFF) << 8) |
+              (payload(pos + 8 + 3 * c + 2) & 0xFF))
         case "IDAT" => idat.write(payload, pos + 8, len)
         case "IEND" => done = true
         case _      => () // ancillary chunks (tEXt, pHYs, …) skipped
@@ -1292,8 +1416,12 @@ object Multimodal {
       pos += 8 + len + 4
     }
     require(width > 0 && height > 0, "png: missing or empty IHDR")
+    if (color == 3) require(palette != null,
+      "png: palette image without a PLTE chunk")
+    val bpp = pngBpp(color)
+    val rowBytes = width * bpp
     val comp = idat.toByteArray
-    val raw = new Array[Byte]((width + 1) * height)
+    val raw = new Array[Byte]((rowBytes + 1) * height)
     val inf = new java.util.zip.Inflater()
     inf.setInput(comp)
     var off = 0
@@ -1303,17 +1431,18 @@ object Multimodal {
       off += n
     }
     inf.end()
-    val px = new Array[Int](width * height)
+    val out = new Array[Byte](rowBytes * height)
     var r = 0
     while (r < height) {
-      val base = r * (width + 1)
+      val base = r * (rowBytes + 1)
       val f = raw(base) & 0xFF
       var x = 0
-      while (x < width) {
+      while (x < rowBytes) {
         val v = raw(base + 1 + x) & 0xFF
-        val left = if (x > 0) px(r * width + x - 1) else 0
-        val above = if (r > 0) px((r - 1) * width + x) else 0
-        val ul = if (x > 0 && r > 0) px((r - 1) * width + x - 1) else 0
+        val left = if (x >= bpp) out(r * rowBytes + x - bpp) & 0xFF else 0
+        val above = if (r > 0) out((r - 1) * rowBytes + x) & 0xFF else 0
+        val ul = if (x >= bpp && r > 0)
+          out((r - 1) * rowBytes + x - bpp) & 0xFF else 0
         val recon = f match {
           case 0 => v
           case 1 => v + left
@@ -1323,12 +1452,82 @@ object Multimodal {
           case other => throw new IllegalArgumentException(
             s"png: bad filter type $other in row $r")
         }
-        px(r * width + x) = recon & 0xFF
+        out(r * rowBytes + x) = (recon & 0xFF).toByte
         x += 1
       }
       r += 1
     }
-    (width, height, px, comp.length)
+    (width, height, color, out, palette, comp.length)
+  }
+
+  def decodePngRaster(payload: Array[Byte]): (Int, Int, Array[Int], Int) = {
+    val (width, height, color, bytes, _, nComp) = pngScanlines(payload)
+    require(color == 0,
+      s"png: grayscale raster path needs color type 0, got $color — " +
+        "decode color images through decodePngRgb")
+    val px = new Array[Int](width * height)
+    var i = 0
+    while (i < px.length) { px(i) = bytes(i) & 0xFF; i += 1 }
+    (width, height, px, nComp)
+  }
+
+  /** Decode an 8-bit PNG of any carried color type to packed
+    * 0xAARGGBB pixels (alpha 255 where the type has none; palette
+    * indices bounds-checked against PLTE). The color twin of
+    * [[decodePngRaster]], with the same packed-RGB contract as
+    * [[decodeJpegRgb]]. */
+  def decodePngRgb(docId: Long,
+      payload: Array[Byte]): (Int, Int, Array[Int], Int) = {
+    val (w, h, color, bytes, palette, nComp) = pngScanlines(payload)
+    val px = new Array[Int](w * h)
+    var i = 0
+    color match {
+      case 0 =>
+        while (i < px.length) {
+          val g = bytes(i) & 0xFF
+          px(i) = 0xFF000000 | (g << 16) | (g << 8) | g; i += 1
+        }
+      case 2 =>
+        while (i < px.length) {
+          px(i) = 0xFF000000 | ((bytes(3 * i) & 0xFF) << 16) |
+            ((bytes(3 * i + 1) & 0xFF) << 8) | (bytes(3 * i + 2) & 0xFF)
+          i += 1
+        }
+      case 3 =>
+        while (i < px.length) {
+          val ix = bytes(i) & 0xFF
+          require(ix < palette.length,
+            s"png: palette index $ix outside PLTE of ${palette.length} (doc $docId)")
+          px(i) = 0xFF000000 | palette(ix); i += 1
+        }
+      case _ => // 6, validated in pngScanlines
+        while (i < px.length) {
+          px(i) = ((bytes(4 * i + 3) & 0xFF) << 24) |
+            ((bytes(4 * i) & 0xFF) << 16) |
+            ((bytes(4 * i + 1) & 0xFF) << 8) | (bytes(4 * i + 2) & 0xFF)
+          i += 1
+        }
+    }
+    (w, h, px, nComp)
+  }
+
+  /** Luma raster of any carried PNG — the color-blind hash-path entry:
+    * the same ×2¹⁶ fixed-point Y = .299R+.587G+.114B the JPEG codec
+    * uses, so one image saved as color PNG and color JPEG lands on the
+    * same luma (gray input passes through exactly: the constants sum
+    * to 65536). Alpha is ignored (hashing composites nothing). */
+  def decodePngLuma(docId: Long,
+      payload: Array[Byte]): (Int, Int, Array[Int]) = {
+    val (w, h, px, _) = decodePngRgb(docId, payload)
+    val out = new Array[Int](px.length)
+    var i = 0
+    while (i < px.length) {
+      val r = (px(i) >> 16) & 0xFF; val g = (px(i) >> 8) & 0xFF
+      val b = px(i) & 0xFF
+      out(i) = clamp8((FixYR * r + FixYG * g + FixYB * b + 32768) >> 16)
+      i += 1
+    }
+    (w, h, out)
   }
 
   /** Raster statistics of a decoded PNG — the gate-facing form. */

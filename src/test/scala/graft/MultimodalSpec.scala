@@ -1047,4 +1047,81 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       readGifComments(34L, gifHead ++ b(0x2C, 0, 0, 0, 0, 1, 0, 1, 0, 0)))
     assert(e6.getMessage.contains("image data overruns payload"))
   }
+
+  test("color PNG (r14): truecolor/palette/RGBA round-trip exactly, " +
+      "grayscale content lands on the identical luma through every " +
+      "path, and a hand-assembled Sub-filtered RGB vector pins the " +
+      "byte-at-bpp filter arithmetic independently of the encoder") {
+    val w = 16; val h = 8; val n = w * h
+    def rgb(i: Int): Int = (((i * 37 + 11) % 256) << 16) |
+      (((i * 91 + 5) % 256) << 8) | ((i * 53 + 2) % 256)
+    // type 2 (truecolor): exact, alpha forced FF
+    val p2 = encodePngColor(w, h, 2, rgb)
+    val (w2, h2, px2, _) = decodePngRgb(1L, p2)
+    assert(w2 == w && h2 == h)
+    assert((0 until n).forall(i => px2(i) == (0xFF000000 | rgb(i))),
+      "truecolor must round-trip exactly")
+    // type 6 (RGBA): alpha carried exactly
+    def argb(i: Int): Int = (((i * 7 + 3) % 256) << 24) | rgb(i)
+    val p6 = encodePngColor(w, h, 6, argb)
+    val (_, _, px6, _) = decodePngRgb(2L, p6)
+    assert((0 until n).forall(i => px6(i) == argb(i)),
+      "RGBA must round-trip exactly, alpha included")
+    // type 3 (palette): 16 colors, indices map through PLTE
+    val pal = Array.tabulate(16)(c => (c * 17 << 16) | (255 - c * 13 << 8) | c * 5)
+    val p3 = encodePngColor(w, h, 3, i => (i * 3) % 16, palette = pal)
+    val (_, _, px3, _) = decodePngRgb(3L, p3)
+    assert((0 until n).forall(i =>
+      px3(i) == (0xFF000000 | pal((i * 3) % 16))))
+    // gray content: type-2 of (g,g,g) decodes to the same luma as the
+    // grayscale codec (the fixed-point Y constants sum to 2^16, so
+    // gray passes through EXACTLY)
+    val gray = (i: Int) => (i * 11) % 256
+    val pg2 = encodePngColor(w, h, 2, i => gray(i) * 0x010101)
+    val (_, _, luma) = decodePngLuma(4L, pg2)
+    val (_, _, g0, _) = decodePngRaster(encodePng(w, h, gray))
+    assert(luma.sameElements(g0), "gray-through-color luma must be exact")
+    // the grayscale raster path refuses color images by name
+    val eGray = intercept[IllegalArgumentException](decodePngRaster(p2))
+    assert(eGray.getMessage.contains("decodePngRgb"))
+    // gray+alpha stays a named boundary
+    val p4hdr = p2.clone(); p4hdr(25) = 4 // IHDR color-type byte
+    // (CRC now wrong — recompute so the boundary fires, not the CRC)
+    val ihdrTd = "IHDR".getBytes("US-ASCII") ++
+      java.util.Arrays.copyOfRange(p4hdr, 16, 29)
+    val crcC = new java.util.zip.CRC32; crcC.update(ihdrTd)
+    val crc = crcC.getValue
+    p4hdr(29) = (crc >>> 24).toByte; p4hdr(30) = (crc >>> 16).toByte
+    p4hdr(31) = (crc >>> 8).toByte; p4hdr(32) = crc.toByte
+    val e4 = intercept[IllegalArgumentException](decodePngRgb(5L, p4hdr))
+    assert(e4.getMessage.contains("color type 4"))
+    // hand-assembled type-2 vector: 2x1 RGB, Sub filter — left
+    // predictor must reach back bpp=3 BYTES, not 1
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val raw = b(1, 10, 20, 30, 3, 4, 5) // filter 1; px1 = px0 + (3,4,5)
+    val adler = { val a = new java.util.zip.Adler32; a.update(raw); a.getValue }
+    val idat = b(0x78, 0x01, 0x01, 7, 0, 0xF8, 0xFF) ++ raw ++
+      b(((adler >> 24) & 0xFF).toInt, ((adler >> 16) & 0xFF).toInt,
+        ((adler >> 8) & 0xFF).toInt, (adler & 0xFF).toInt)
+    def be32(v: Long): Array[Byte] = b(((v >> 24) & 0xFF).toInt,
+      ((v >> 16) & 0xFF).toInt, ((v >> 8) & 0xFF).toInt, (v & 0xFF).toInt)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val td = typ.getBytes("US-ASCII") ++ data
+      val c = new java.util.zip.CRC32; c.update(td)
+      be32(data.length.toLong) ++ td ++ be32(c.getValue)
+    }
+    val sig = b(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+    val ihdr = be32(2) ++ be32(1) ++ b(8, 2, 0, 0, 0)
+    val handmade = sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", idat) ++
+      chunk("IEND", Array.emptyByteArray)
+    val (hw, hh, hpx, _) = decodePngRgb(6L, handmade)
+    assert(hw == 2 && hh == 1)
+    assert(hpx(0) == 0xFF0A141E && hpx(1) == 0xFF0D1823,
+      f"hand vector decoded 0x${hpx(0)}%08X 0x${hpx(1)}%08X")
+    // palette image without PLTE is loud
+    val noPlte = sig ++ chunk("IHDR", be32(2) ++ be32(1) ++ b(8, 3, 0, 0, 0)) ++
+      chunk("IDAT", idat) ++ chunk("IEND", Array.emptyByteArray)
+    val eP = intercept[IllegalArgumentException](decodePngRgb(7L, noPlte))
+    assert(eP.getMessage.contains("without a PLTE"))
+  }
 }
