@@ -2676,6 +2676,40 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // X5 — CROSS-FORMAT COLOR LUMA (round 14): one palette image saved
+    // as color PNG (type 3) and color GIF must decode to the SAME
+    // packed RGB and the SAME fixed-point luma (both lossless, one
+    // ×2¹⁶ constant set across JPEG/PNG/GIF) — the invariant that lets
+    // color crawl images join the luma hash/dedup path regardless of
+    // container. The luma sum is VALUE-gated: DuckDB recomputes it
+    // from the planted palette formulas, including the >>16 fixed-
+    // point arithmetic.
+    "x5_color_luma_crossformat" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = 16 + 8 * ((id / 3) % 2).toInt; val h = 8
+          val pal = Array.tabulate(16)(c =>
+            (((c * 17 + id) % 256).toInt << 16) |
+              (((c * 29 + 3 * id) % 256).toInt << 8) |
+              ((c * 5 + 7 * id) % 256).toInt)
+          def idx(i: Int) = ((i * 3 + id) % 16).toInt
+          val png = Multimodal.encodePngColor(w, h, 3, idx, palette = pal)
+          val gif = Multimodal.encodeGifPalette(w, h, 4, idx, pal)
+          val (pw, ph, prgb, _) = Multimodal.decodePngRgb(id, png)
+          val (gw, gh, grgb) = Multimodal.gifRgbRaster(id, gif)
+          val (_, _, pl) = Multimodal.decodePngLuma(id, png)
+          val (_, _, gl) = Multimodal.gifLumaRaster(id, gif)
+          (id, pw, ph,
+            pw == gw && ph == gh && prgb.sameElements(grgb),
+            pl.sameElements(gl), pl.map(_.toLong).sum)
+        }
+        .toDF("doc_id", "width", "height", "rgb_equal", "luma_equal",
+          "luma_sum")
+        .orderBy("doc_id")
+    }),
+
     // X5 — EXTENDED XMP (round 14): XMP serializations too large for
     // one APP1 segment ship as GUID-framed continuation chunks (XMP
     // Part 3 §1.1.3.1) — the main packet names the uppercase-MD5 GUID
@@ -9604,6 +9638,28 @@ object SparkEntry {
         |  CAST(0 AS INTEGER) AS n_unknown_apps,
         |  TRUE AS decode_clean
         |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,
+
+    // Cross-format luma replay: the palette formulas and the ×2¹⁶
+    // fixed-point luma (non-negative >>16 = integer division) are
+    // recomputed per pixel in SQL.
+    "x5_color_luma_crossformat" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(16 + 8 * ((doc_id // 3) % 2) AS INTEGER) AS w, 8 AS h
+        |  FROM documents WHERE doc_id < 150),
+        |px AS (
+        |  SELECT d.doc_id, d.w, d.h,
+        |    (19595 * ((((t.i*3 + d.doc_id) % 16) * 17 + d.doc_id) % 256) +
+        |     38470 * ((((t.i*3 + d.doc_id) % 16) * 29 + 3*d.doc_id) % 256) +
+        |      7471 * ((((t.i*3 + d.doc_id) % 16) * 5 + 7*d.doc_id) % 256) +
+        |     32768) // 65536 AS lum
+        |  FROM d, LATERAL (SELECT unnest(generate_series(0, d.w*d.h - 1))
+        |    AS i) t)
+        |SELECT doc_id, CAST(min(w) AS INTEGER) AS width,
+        |  CAST(min(h) AS INTEGER) AS height,
+        |  TRUE AS rgb_equal, TRUE AS luma_equal,
+        |  CAST(sum(lum) AS BIGINT) AS luma_sum
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Color-PNG replay: every channel sum recomputed from the planted
     // per-pixel formulas over a lateral generate_series — the decode

@@ -372,9 +372,19 @@ object Multimodal {
     * [[decodeGif]] — and a real writer: any GIF decoder renders its
     * output. */
   def encodeGif(width: Int, height: Int, colorBits: Int,
-      pixel: Int => Int): Array[Byte] = {
+      pixel: Int => Int): Array[Byte] =
+    encodeGifPalette(width, height, colorBits, pixel, null)
+
+  /** [[encodeGif]] with an explicit COLOR global palette (r14): packed
+    * 0xRRGGBB entries, padded to the 2^colorBits table the format
+    * requires; null keeps the grayscale ramp the fixtures default to. */
+  def encodeGifPalette(width: Int, height: Int, colorBits: Int,
+      pixel: Int => Int, palette: Array[Int]): Array[Byte] = {
     require(colorBits >= 2 && colorBits <= 8, "GIF needs 2..8 bits/pixel")
     val nColors = 1 << colorBits
+    require(palette == null || (palette.nonEmpty &&
+      palette.length <= nColors),
+      s"gif: palette must have 1..$nColors entries")
     val out = new java.io.ByteArrayOutputStream()
     def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
     out.write("GIF89a".getBytes("US-ASCII"))
@@ -382,9 +392,16 @@ object Multimodal {
     out.write(0x80 | ((colorBits - 1) << 4) | (colorBits - 1)) // GCT present
     out.write(0); out.write(0) // bg index, aspect
     var c = 0
-    while (c < nColors) { // grayscale ramp palette
-      val g = c * 255 / (nColors - 1)
-      out.write(g); out.write(g); out.write(g); c += 1
+    while (c < nColors) {
+      if (palette == null) { // grayscale ramp palette
+        val g = c * 255 / (nColors - 1)
+        out.write(g); out.write(g); out.write(g)
+      } else {
+        val rgb = if (c < palette.length) palette(c) else 0
+        out.write((rgb >> 16) & 0xFF); out.write((rgb >> 8) & 0xFF)
+        out.write(rgb & 0xFF)
+      }
+      c += 1
     }
     out.write(0x2C); le16(0); le16(0); le16(width); le16(height); out.write(0)
     lzwEncodeRaster(out, colorBits, width * height, pixel)
@@ -924,6 +941,31 @@ object Multimodal {
       r
     }
     (f.width, f.height, f.raster.map(gray))
+  }
+
+  /** Packed-RGB raster of a GIF frame (palette-mapped) — the color
+    * twin of [[gifGrayRaster]] with [[decodeJpegRgb]]'s contract. */
+  def gifRgbRaster(docId: Long, payload: Array[Byte])
+      : (Int, Int, Array[Int]) = {
+    val f = decodeGifFrame(docId, payload)
+    (f.width, f.height, f.raster.map(ix => 0xFF000000 | f.palette(ix)))
+  }
+
+  /** Luma raster of ANY GIF (r14): palette RGB through the same ×2¹⁶
+    * fixed-point Y constants as the JPEG and PNG color paths, so one
+    * image saved as color GIF / color PNG lands on the SAME luma
+    * (both lossless) — color GIFs join the luma hash path without the
+    * achromatic-palette restriction [[gifGrayRaster]] keeps for the
+    * integer-exact grayscale contract. */
+  def gifLumaRaster(docId: Long, payload: Array[Byte])
+      : (Int, Int, Array[Int]) = {
+    val f = decodeGifFrame(docId, payload)
+    val luma = f.palette.map { rgb =>
+      val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF
+      val b = rgb & 0xFF
+      clamp8((FixYR * r + FixYG * g + FixYB * b + 32768) >> 16)
+    }
+    (f.width, f.height, f.raster.map(luma))
   }
 
   /** Exact statistics over a decoded GIF raster (palette indices). */

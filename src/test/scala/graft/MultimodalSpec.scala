@@ -249,12 +249,13 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     // bad signature / truncation rejected
     intercept[IllegalArgumentException](decodePngRaster("JFIF1234".getBytes))
     intercept[IllegalArgumentException](decodePngRaster(handmade.dropRight(6)))
-    // unsupported layout (color type 2 = RGB) fails at the IHDR, loudly
-    val rgbIhdr = be32(3) ++ be32(5) ++ b(8, 2, 0, 0, 0)
-    val rgb = sig ++ chunk("IHDR", rgbIhdr) ++ chunk("IDAT", idat) ++
+    // unsupported layout (color type 4 = gray+alpha, the remaining
+    // named boundary now that 2/3/6 are carried) fails at the IHDR
+    val gaIhdr = be32(3) ++ be32(5) ++ b(8, 4, 0, 0, 0)
+    val ga = sig ++ chunk("IHDR", gaIhdr) ++ chunk("IDAT", idat) ++
       chunk("IEND", Array.emptyByteArray)
-    val e2 = intercept[IllegalArgumentException](decodePngRaster(rgb))
-    assert(e2.getMessage.contains("grayscale"))
+    val e2 = intercept[IllegalArgumentException](decodePngRaster(ga))
+    assert(e2.getMessage.contains("gray+alpha"))
   }
 
   test("PNG round trip + cross-check against the JDK's ImageIO codec, both directions") {
@@ -1123,5 +1124,40 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       chunk("IDAT", idat) ++ chunk("IEND", Array.emptyByteArray)
     val eP = intercept[IllegalArgumentException](decodePngRgb(7L, noPlte))
     assert(eP.getMessage.contains("without a PLTE"))
+  }
+
+  test("color GIF luma/RGB (r14): an explicit color palette round-trips " +
+      "through the GIF codec, gifRgbRaster matches the PNG type-3 twin " +
+      "pixel-for-pixel, gifLumaRaster shares the JPEG/PNG luma " +
+      "constants, and the integer-exact gray path still refuses color") {
+    val w = 12; val h = 6
+    val pal = Array.tabulate(16)(c => (c * 15 << 16) | (200 - c * 9 << 8) | c * 11)
+    val idx = (i: Int) => (i * 5 + 2) % 16
+    val gif = encodeGifPalette(w, h, 4, idx, pal)
+    val png = encodePngColor(w, h, 3, idx, palette = pal)
+    val (gw, gh, grgb) = gifRgbRaster(10L, gif)
+    val (pw, ph, prgb, _) = decodePngRgb(11L, png)
+    assert(gw == pw && gh == ph && grgb.sameElements(prgb),
+      "one palette image in two lossless containers must decode equal")
+    val (_, _, gl) = gifLumaRaster(12L, gif)
+    val (_, _, plm) = decodePngLuma(13L, png)
+    assert(gl.sameElements(plm))
+    // the luma really is the shared fixed-point formula
+    (0 until w * h).foreach { i =>
+      val rgb = pal(idx(i))
+      val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
+      assert(gl(i) == ((19595 * r + 38470 * g + 7471 * b + 32768) >> 16))
+    }
+    // gray ramp through the luma path is the identity (constants sum 2^16)
+    val grayGif = encodeGif(w, h, 4, i => (i + 1) % 16)
+    val (_, _, gg) = gifLumaRaster(14L, grayGif)
+    val (_, _, ggray) = gifGrayRaster(15L, grayGif)
+    assert(gg.sameElements(ggray))
+    // the integer-exact achromatic contract is untouched: color refuses
+    val e = intercept[IllegalArgumentException](gifGrayRaster(16L, gif))
+    assert(e.getMessage.contains("achromatic"))
+    // palette larger than the table refuses at encode
+    intercept[IllegalArgumentException](
+      encodeGifPalette(w, h, 2, idx, pal)) // 16 entries > 2^2
   }
 }
