@@ -2654,13 +2654,18 @@ object SparkEntry {
             (((c * 17 + id) % 256).toInt << 16) |
               (((c * 29 + 3 * id) % 256).toInt << 8) |
               ((c * 5 + 7 * id) % 256).toInt)
+          // odd docs ship ADAM7-interlaced (r14): the seven-pass
+          // decode must land on the identical channel sums
+          val lace = id % 2 == 1
+          def enc(ct: Int, pix: Int => Int, p: Array[Int]) =
+            if (lace) Multimodal.encodePngAdam7(w, h, ct, pix, p)
+            else Multimodal.encodePngColor(w, h, ct, pix, p)
           val png = m match {
-            case 0 => Multimodal.encodePngColor(w, h, 2,
-              i => (r(i) << 16) | (g(i) << 8) | b(i))
-            case 1 => Multimodal.encodePngColor(w, h, 3,
-              i => ((i * 3 + id) % 16).toInt, palette = pal)
-            case _ => Multimodal.encodePngColor(w, h, 6,
-              i => (a(i) << 24) | (r(i) << 16) | (g(i) << 8) | b(i))
+            case 0 => enc(2,
+              i => (r(i) << 16) | (g(i) << 8) | b(i), null)
+            case 1 => enc(3, i => ((i * 3 + id) % 16).toInt, pal)
+            case _ => enc(6,
+              i => (a(i) << 24) | (r(i) << 16) | (g(i) << 8) | b(i), null)
           }
           val (dw, dh, px, _) = Multimodal.decodePngRgb(id, png)
           var rs = 0L; var gs = 0L; var bs = 0L; var as = 0L
@@ -2669,10 +2674,10 @@ object SparkEntry {
             bs += p & 0xFF; as += (p >>> 24) & 0xFF
           }
           val ct = m match { case 0 => 2; case 1 => 3; case _ => 6 }
-          (id, ct, dw, dh, rs, gs, bs, as)
+          (id, ct, lace, dw, dh, rs, gs, bs, as)
         }
-        .toDF("doc_id", "color_type", "width", "height", "r_sum",
-          "g_sum", "b_sum", "a_sum")
+        .toDF("doc_id", "color_type", "interlaced", "width", "height",
+          "r_sum", "g_sum", "b_sum", "a_sum")
         .orderBy("doc_id")
     }),
 
@@ -9688,6 +9693,7 @@ object SparkEntry {
         |SELECT doc_id,
         |  CAST(CASE m WHEN 0 THEN 2 WHEN 1 THEN 3 ELSE 6 END AS INTEGER)
         |    AS color_type,
+        |  (doc_id % 2 = 1) AS interlaced,
         |  CAST(min(w) AS INTEGER) AS width, CAST(min(h) AS INTEGER) AS height,
         |  CAST(sum(r) AS BIGINT) AS r_sum, CAST(sum(g) AS BIGINT) AS g_sum,
         |  CAST(sum(b) AS BIGINT) AS b_sum, CAST(sum(a) AS BIGINT) AS a_sum

@@ -1424,6 +1424,7 @@ object Multimodal {
       ((payload(p + 2) & 0xFF) << 8) | (payload(p + 3) & 0xFF)
     var pos = 8
     var width = -1; var height = -1; var color = -1
+    var interlaced = 0
     var palette: Array[Int] = null
     val idat = new java.io.ByteArrayOutputStream()
     var done = false
@@ -1443,7 +1444,9 @@ object Multimodal {
           require(depth == 8,
             s"png: only 8-bit channel depth supported (depth=$depth)")
           pngBpp(color): Unit // validates the color type, loudly
-          require(interlace == 0, "png: Adam7 interlace not supported")
+          require(interlace == 0 || interlace == 1,
+            s"png: interlace method $interlace is not defined")
+          interlaced = interlace
         case "PLTE" =>
           require(len > 0 && len % 3 == 0 && len <= 256 * 3,
             s"png: PLTE length $len is not a palette")
@@ -1463,28 +1466,186 @@ object Multimodal {
     val bpp = pngBpp(color)
     val rowBytes = width * bpp
     val comp = idat.toByteArray
-    val raw = new Array[Byte]((rowBytes + 1) * height)
+    val out: Array[Byte] =
+      if (interlaced == 0) {
+        val raw = inflateExact(comp, (rowBytes + 1) * height)
+        val o = new Array[Byte](rowBytes * height)
+        unfilterInto(raw, 0, height, rowBytes, bpp, o, 0)
+        o
+      } else {
+        // Adam7 (RFC 2083 §2.6): seven sub-images, each with its own
+        // filtered scanlines — filters predict within the PASS, and
+        // reconstructed pixels scatter to (x0 + i·dx, y0 + j·dy)
+        val dims = Adam7.map { case (x0, y0, dx, dy) =>
+          (math.max(0, (width - x0 + dx - 1) / dx),
+            math.max(0, (height - y0 + dy - 1) / dy))
+        }
+        val total = dims.map { case (pw, ph) =>
+          if (pw == 0 || ph == 0) 0 else (pw * bpp + 1) * ph
+        }.sum
+        val raw = inflateExact(comp, total)
+        val o = new Array[Byte](rowBytes * height)
+        var rawOff = 0
+        Adam7.zip(dims).foreach { case ((x0, y0, dx, dy), (pw, ph)) =>
+          if (pw > 0 && ph > 0) {
+            val passRow = pw * bpp
+            val pass = new Array[Byte](passRow * ph)
+            unfilterInto(raw, rawOff, ph, passRow, bpp, pass, 0)
+            rawOff += (passRow + 1) * ph
+            var j = 0
+            while (j < ph) {
+              var i = 0
+              while (i < pw) {
+                val dst = ((y0 + j * dy) * width + (x0 + i * dx)) * bpp
+                System.arraycopy(pass, (j * pw + i) * bpp, o, dst, bpp)
+                i += 1
+              }
+              j += 1
+            }
+          }
+        }
+        o
+      }
+    (width, height, color, out, palette, comp.length)
+  }
+
+  /** Build an 8-bit ADAM7-INTERLACED PNG (r14) of any carried color
+    * type — the fixture twin of the interlaced decode path. `pixel`
+    * follows [[encodePng]]/[[encodePngColor]]'s contracts per type
+    * (gray value, packed RGB/ARGB, or palette index). Filters cycle
+    * `(pass + row) % 5` within each pass. */
+  def encodePngAdam7(width: Int, height: Int, colorType: Int,
+      pixel: Int => Int, palette: Array[Int] = null): Array[Byte] = {
+    require(width > 0 && height > 0, s"png: bad dims ${width}x$height")
+    val bpp = pngBpp(colorType)
+    if (colorType == 3)
+      require(palette != null && palette.nonEmpty && palette.length <= 256,
+        "png: palette encode needs 1..256 PLTE entries")
+    def chanBytes(v: Int, dst: Array[Byte], at: Int): Unit =
+      colorType match {
+        case 0 => dst(at) = (v & 0xFF).toByte
+        case 2 =>
+          dst(at) = ((v >> 16) & 0xFF).toByte
+          dst(at + 1) = ((v >> 8) & 0xFF).toByte
+          dst(at + 2) = (v & 0xFF).toByte
+        case 3 =>
+          require(v >= 0 && v < palette.length,
+            s"png: palette index $v outside 0..${palette.length - 1}")
+          dst(at) = v.toByte
+        case _ =>
+          dst(at) = ((v >> 16) & 0xFF).toByte
+          dst(at + 1) = ((v >> 8) & 0xFF).toByte
+          dst(at + 2) = (v & 0xFF).toByte
+          dst(at + 3) = ((v >>> 24) & 0xFF).toByte
+      }
+    val raw = new java.io.ByteArrayOutputStream()
+    Adam7.zipWithIndex.foreach { case ((x0, y0, dx, dy), p) =>
+      val pw = math.max(0, (width - x0 + dx - 1) / dx)
+      val ph = math.max(0, (height - y0 + dy - 1) / dy)
+      if (pw > 0 && ph > 0) {
+        val passRow = pw * bpp
+        val chan = new Array[Byte](passRow * ph)
+        var j = 0
+        while (j < ph) {
+          var i = 0
+          while (i < pw) {
+            chanBytes(pixel((y0 + j * dy) * width + (x0 + i * dx)),
+              chan, (j * pw + i) * bpp)
+            i += 1
+          }
+          j += 1
+        }
+        var r = 0
+        while (r < ph) {
+          val f = (p + r) % 5
+          raw.write(f)
+          var x = 0
+          while (x < passRow) {
+            val at = r * passRow + x
+            val cur = chan(at) & 0xFF
+            val left = if (x >= bpp) chan(at - bpp) & 0xFF else 0
+            val above = if (r > 0) chan(at - passRow) & 0xFF else 0
+            val ul = if (x >= bpp && r > 0) chan(at - passRow - bpp) & 0xFF
+              else 0
+            val filtered = f match {
+              case 0 => cur
+              case 1 => cur - left
+              case 2 => cur - above
+              case 3 => cur - ((left + above) >> 1)
+              case _ => cur - paeth(left, above, ul)
+            }
+            raw.write(filtered & 0xFF)
+            x += 1
+          }
+          r += 1
+        }
+      }
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw.toByteArray); defl.finish()
+    val zout = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](4096)
+    while (!defl.finished()) { val n = defl.deflate(tmp); zout.write(tmp, 0, n) }
+    defl.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSig)
+    def be32(v: Int): Array[Byte] =
+      Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      out.write(be32(data.length))
+      val td = typ.getBytes("US-ASCII") ++ data
+      out.write(td)
+      out.write(be32(pngCrc(td, 0, td.length)))
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(1.toByte) // interlace: Adam7
+    chunk("IHDR", ihdr.array())
+    if (colorType == 3)
+      chunk("PLTE", palette.flatMap(c => Seq(
+        ((c >> 16) & 0xFF).toByte, ((c >> 8) & 0xFF).toByte,
+        (c & 0xFF).toByte)))
+    chunk("IDAT", zout.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Adam7 pass origins and strides (x0, y0, dx, dy), RFC 2083 §2.6. */
+  private val Adam7 = Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+    (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  private def inflateExact(comp: Array[Byte], n: Int): Array[Byte] = {
+    val raw = new Array[Byte](n)
     val inf = new java.util.zip.Inflater()
     inf.setInput(comp)
     var off = 0
     while (off < raw.length) {
-      val n = inf.inflate(raw, off, raw.length - off)
-      require(n > 0, "png: truncated or corrupt DEFLATE stream")
-      off += n
+      val k = inf.inflate(raw, off, raw.length - off)
+      require(k > 0, "png: truncated or corrupt DEFLATE stream")
+      off += k
     }
     inf.end()
-    val out = new Array[Byte](rowBytes * height)
+    raw
+  }
+
+  /** Reconstruct `rows` filtered scanlines of `rowBytes` bytes each
+    * (raw layout: filter byte + row) into `out` — the RFC 2083 §6.2
+    * per-BYTE filters with predictors reaching back `bpp` bytes. */
+  private def unfilterInto(raw: Array[Byte], rawOff: Int, rows: Int,
+      rowBytes: Int, bpp: Int, out: Array[Byte], outOff: Int): Unit = {
     var r = 0
-    while (r < height) {
-      val base = r * (rowBytes + 1)
+    while (r < rows) {
+      val base = rawOff + r * (rowBytes + 1)
       val f = raw(base) & 0xFF
       var x = 0
       while (x < rowBytes) {
+        val at = outOff + r * rowBytes + x
         val v = raw(base + 1 + x) & 0xFF
-        val left = if (x >= bpp) out(r * rowBytes + x - bpp) & 0xFF else 0
-        val above = if (r > 0) out((r - 1) * rowBytes + x) & 0xFF else 0
-        val ul = if (x >= bpp && r > 0)
-          out((r - 1) * rowBytes + x - bpp) & 0xFF else 0
+        val left = if (x >= bpp) out(at - bpp) & 0xFF else 0
+        val above = if (r > 0) out(at - rowBytes) & 0xFF else 0
+        val ul = if (x >= bpp && r > 0) out(at - rowBytes - bpp) & 0xFF
+          else 0
         val recon = f match {
           case 0 => v
           case 1 => v + left
@@ -1494,12 +1655,11 @@ object Multimodal {
           case other => throw new IllegalArgumentException(
             s"png: bad filter type $other in row $r")
         }
-        out(r * rowBytes + x) = (recon & 0xFF).toByte
+        out(at) = (recon & 0xFF).toByte
         x += 1
       }
       r += 1
     }
-    (width, height, color, out, palette, comp.length)
   }
 
   def decodePngRaster(payload: Array[Byte]): (Int, Int, Array[Int], Int) = {

@@ -1160,4 +1160,47 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException](
       encodeGifPalette(w, h, 2, idx, pal)) // 16 entries > 2^2
   }
+
+  test("Adam7 interlace (r14): interlaced gray/truecolor/palette/RGBA " +
+      "decode pixel-identically to their sequential twins at sizes " +
+      "that exercise empty and ragged passes; filters restart per pass") {
+    // sizes chosen to hit the corner geometry: 1x1 (only pass 1),
+    // 3x3 (passes 5-7 ragged, several empty), 8x8 (every pass exactly
+    // once per cell), 13x7 and 20x11 (ragged everything)
+    val sizes = Seq((1, 1), (3, 3), (8, 8), (13, 7), (20, 11))
+    sizes.foreach { case (w, h) =>
+      val gray = (i: Int) => (i * 29 + 7) % 256
+      val (sw, sh, sp, _) = decodePngRaster(encodePng(w, h, gray))
+      val (iw, ih, ip, _) = decodePngRaster(encodePngAdam7(w, h, 0, gray))
+      assert(sw == iw && sh == ih && sp.sameElements(ip),
+        s"gray ${w}x$h: interlaced != sequential")
+      val rgb = (i: Int) => (((i * 37 + 11) % 256) << 16) |
+        (((i * 91 + 5) % 256) << 8) | ((i * 53 + 2) % 256)
+      val (_, _, s2, _) = decodePngRgb(20L, encodePngColor(w, h, 2, rgb))
+      val (_, _, i2, _) = decodePngRgb(21L, encodePngAdam7(w, h, 2, rgb))
+      assert(s2.sameElements(i2), s"rgb ${w}x$h: interlaced != sequential")
+      val argb = (i: Int) => (((i * 7 + 3) % 256) << 24) | rgb(i)
+      val (_, _, s6, _) = decodePngRgb(22L, encodePngColor(w, h, 6, argb))
+      val (_, _, i6, _) = decodePngRgb(23L, encodePngAdam7(w, h, 6, argb))
+      assert(s6.sameElements(i6), s"rgba ${w}x$h")
+      val pal = Array.tabulate(16)(c => (c * 17 << 16) | (c * 3 << 8) | c)
+      val idx = (i: Int) => (i * 3 + 1) % 16
+      val (_, _, s3, _) = decodePngRgb(24L,
+        encodePngColor(w, h, 3, idx, palette = pal))
+      val (_, _, i3, _) = decodePngRgb(25L,
+        encodePngAdam7(w, h, 3, idx, palette = pal))
+      assert(s3.sameElements(i3), s"palette ${w}x$h")
+    }
+    // undefined interlace method stays loud
+    val plain = encodePng(4, 4, _ => 7)
+    val bad = plain.clone(); bad(28) = 2 // IHDR interlace byte
+    val td = "IHDR".getBytes("US-ASCII") ++
+      java.util.Arrays.copyOfRange(bad, 16, 29)
+    val c = new java.util.zip.CRC32; c.update(td)
+    val v = c.getValue
+    bad(29) = (v >>> 24).toByte; bad(30) = (v >>> 16).toByte
+    bad(31) = (v >>> 8).toByte; bad(32) = v.toByte
+    val e = intercept[IllegalArgumentException](decodePngRaster(bad))
+    assert(e.getMessage.contains("interlace method 2"))
+  }
 }
