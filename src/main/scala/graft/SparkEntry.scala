@@ -2700,18 +2700,21 @@ object SparkEntry {
               (((c * 29 + 3 * id) % 256).toInt << 8) |
               ((c * 5 + 7 * id) % 256).toInt)
           def idx(i: Int) = ((i * 3 + id) % 16).toInt
+          // odd docs ship the GIF interlaced (r14): the 4-pass decode
+          // must land on the identical RGB/luma
           val png = Multimodal.encodePngColor(w, h, 3, idx, palette = pal)
-          val gif = Multimodal.encodeGifPalette(w, h, 4, idx, pal)
+          val gif = Multimodal.encodeGifPalette(w, h, 4, idx, pal,
+            interlaced = id % 2 == 1)
           val (pw, ph, prgb, _) = Multimodal.decodePngRgb(id, png)
           val (gw, gh, grgb) = Multimodal.gifRgbRaster(id, gif)
           val (_, _, pl) = Multimodal.decodePngLuma(id, png)
           val (_, _, gl) = Multimodal.gifLumaRaster(id, gif)
-          (id, pw, ph,
+          (id, pw, ph, id % 2 == 1,
             pw == gw && ph == gh && prgb.sameElements(grgb),
             pl.sameElements(gl), pl.map(_.toLong).sum)
         }
-        .toDF("doc_id", "width", "height", "rgb_equal", "luma_equal",
-          "luma_sum")
+        .toDF("doc_id", "width", "height", "gif_interlaced",
+          "rgb_equal", "luma_equal", "luma_sum")
         .orderBy("doc_id")
     }),
 
@@ -9662,6 +9665,7 @@ object SparkEntry {
         |    AS i) t)
         |SELECT doc_id, CAST(min(w) AS INTEGER) AS width,
         |  CAST(min(h) AS INTEGER) AS height,
+        |  (doc_id % 2 = 1) AS gif_interlaced,
         |  TRUE AS rgb_equal, TRUE AS luma_equal,
         |  CAST(sum(lum) AS BIGINT) AS luma_sum
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,

@@ -379,7 +379,8 @@ object Multimodal {
     * 0xRRGGBB entries, padded to the 2^colorBits table the format
     * requires; null keeps the grayscale ramp the fixtures default to. */
   def encodeGifPalette(width: Int, height: Int, colorBits: Int,
-      pixel: Int => Int, palette: Array[Int]): Array[Byte] = {
+      pixel: Int => Int, palette: Array[Int],
+      interlaced: Boolean = false): Array[Byte] = {
     require(colorBits >= 2 && colorBits <= 8, "GIF needs 2..8 bits/pixel")
     val nColors = 1 << colorBits
     require(palette == null || (palette.nonEmpty &&
@@ -403,8 +404,15 @@ object Multimodal {
       }
       c += 1
     }
-    out.write(0x2C); le16(0); le16(0); le16(width); le16(height); out.write(0)
-    lzwEncodeRaster(out, colorBits, width * height, pixel)
+    out.write(0x2C); le16(0); le16(0); le16(width); le16(height)
+    out.write(if (interlaced) 0x40 else 0)
+    if (interlaced) {
+      // transmit rows in the 4-pass order; the decoder's deinterlace
+      // is the inverse permutation
+      val order = gifInterlaceOrder(height)
+      lzwEncodeRaster(out, colorBits, width * height,
+        i => pixel(order(i / width) * width + i % width))
+    } else lzwEncodeRaster(out, colorBits, width * height, pixel)
     out.write(0x3B)
     out.toByteArray
   }
@@ -547,8 +555,10 @@ object Multimodal {
           val localPacked = payload(pos + 9) & 0xFF
           val lctSize =
             if ((localPacked & 0x80) != 0) 1 << ((localPacked & 7) + 1) else 0
-          val (raster, _, after) =
+          val (raster0, _, after) =
             lzwDecodeRaster(payload, pos + 10 + 3 * lctSize, w, h, docId)
+          val raster = if ((localPacked & 0x40) != 0)
+            gifDeinterlace(raster0, w, h) else raster0
           frames += GifAnimFrame(frameId, left, top, w, h, pendingDelay, raster)
           frameId += 1; pendingDelay = 0
           pos = after
@@ -914,8 +924,10 @@ object Multimodal {
     val lctSize = if ((localPacked & 0x80) != 0) 1 << ((localPacked & 7) + 1) else 0
     val (palOff, palSize) =
       if (lctSize > 0) (pos + 10, lctSize) else (13, gctSize)
+    val interlaced = (localPacked & 0x40) != 0
     pos += 10 + 3 * lctSize
-    val (raster, nCodeBytes, _) = lzwDecodeRaster(payload, pos, w, h, docId)
+    val (raster0, nCodeBytes, _) = lzwDecodeRaster(payload, pos, w, h, docId)
+    val raster = if (interlaced) gifDeinterlace(raster0, w, h) else raster0
     val palette = Array.tabulate(palSize) { c =>
       ((payload(palOff + 3 * c) & 0xFF) << 16) |
         ((payload(palOff + 3 * c + 1) & 0xFF) << 8) |
@@ -1609,6 +1621,34 @@ object Multimodal {
     chunk("IDAT", zout.toByteArray)
     chunk("IEND", Array.emptyByteArray)
     out.toByteArray
+  }
+
+  /** GIF 4-pass interlace row order (GIF89a appendix E): the actual
+    * raster row for each TRANSMITTED row — rows 0,8,16,… then 4,12,…
+    * then 2,6,10,… then 1,3,5,… (r14: previously the interlace bit was
+    * silently ignored and an interlaced GIF decoded scrambled). */
+  private def gifInterlaceOrder(h: Int): Array[Int] = {
+    val order = new Array[Int](h)
+    var t = 0
+    Seq((0, 8), (4, 8), (2, 4), (1, 2)).foreach { case (start, step) =>
+      var r = start
+      while (r < h) { order(t) = r; t += 1; r += step }
+    }
+    order
+  }
+
+  /** Remap a transmitted-order raster to display order when the image
+    * descriptor's interlace bit is set. */
+  private def gifDeinterlace(raster: Array[Int], w: Int, h: Int)
+      : Array[Int] = {
+    val order = gifInterlaceOrder(h)
+    val out = new Array[Int](raster.length)
+    var t = 0
+    while (t < h) {
+      System.arraycopy(raster, t * w, out, order(t) * w, w)
+      t += 1
+    }
+    out
   }
 
   /** Adam7 pass origins and strides (x0, y0, dx, dy), RFC 2083 §2.6. */

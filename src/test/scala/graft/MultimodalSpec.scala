@@ -1203,4 +1203,40 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     val e = intercept[IllegalArgumentException](decodePngRaster(bad))
     assert(e.getMessage.contains("interlace method 2"))
   }
+
+  test("GIF interlace (r14): interlaced frames decode pixel-identically " +
+      "to sequential twins (the interlace bit was previously IGNORED — " +
+      "an interlaced GIF decoded scrambled with no error); the 4-pass " +
+      "row order is pinned by hand on a 10-row image") {
+    Seq((3, 1), (8, 8), (12, 6), (7, 10), (16, 17)).foreach { case (w, h) =>
+      val idx = (i: Int) => (i * 7 + 1) % 16
+      val pal = Array.tabulate(16)(c => c * 0x010101)
+      val seqG = encodeGifPalette(w, h, 4, idx, pal)
+      val lace = encodeGifPalette(w, h, 4, idx, pal, interlaced = true)
+      val fs = decodeGifFrame(30L, seqG)
+      val fl = decodeGifFrame(31L, lace)
+      assert(fs.raster.sameElements(fl.raster), s"${w}x$h interlaced")
+      // the two streams really differ on the wire (rows permuted)
+      if (h > 4) assert(!seqG.sameElements(lace))
+      // animated walk takes the same path
+      assert(decodeGifFrames(32L, lace).head.raster
+        .sameElements(fs.raster))
+    }
+    // hand pin of the GIF89a appendix-E pass order at h=10: transmitted
+    // rows land on 0,8, 4, 2,6, 1,3,5,7,9
+    val h = 10; val w = 1
+    // pixel value = its actual row index; transmit interlaced and check
+    // the decoder restores row r to value r
+    val lace10 = encodeGifPalette(w, h, 4, i => i % 16, null,
+      interlaced = true)
+    val f10 = decodeGifFrame(33L, lace10)
+    assert(f10.raster.toSeq == (0 until 10).map(_ % 16))
+    // and the raw transmission order is the appendix-E permutation:
+    // decode WITHOUT deinterlacing by clearing the interlace bit
+    // (descriptor packed byte sits 10 bytes into the descriptor that
+    // follows the 13-byte header + 48-byte GCT)
+    val noBit = lace10.clone(); noBit(13 + 48 + 9) = 0
+    assert(decodeGifFrame(34L, noBit).raster.toSeq ==
+      Seq(0, 8, 4, 2, 6, 1, 3, 5, 7, 9))
+  }
 }
