@@ -2655,17 +2655,24 @@ object SparkEntry {
               (((c * 29 + 3 * id) % 256).toInt << 8) |
               ((c * 5 + 7 * id) % 256).toInt)
           // odd docs ship ADAM7-interlaced (r14): the seven-pass
-          // decode must land on the identical channel sums
+          // decode must land on the identical channel sums. Palette
+          // docs also carry a tRNS chunk covering the first 10 PLTE
+          // entries (the rest opaque per spec) so a_sum value-gates
+          // the transparency path too.
           val lace = id % 2 == 1
-          def enc(ct: Int, pix: Int => Int, p: Array[Int]) =
-            if (lace) Multimodal.encodePngAdam7(w, h, ct, pix, p)
-            else Multimodal.encodePngColor(w, h, ct, pix, p)
+          val trns = Array.tabulate(10)(c =>
+            ((c * 16 + id % 16) % 256).toInt)
+          def enc(ct: Int, pix: Int => Int, p: Array[Int],
+              t: Array[Int]) =
+            if (lace) Multimodal.encodePngAdam7(w, h, ct, pix, p, t)
+            else Multimodal.encodePngColor(w, h, ct, pix, p, t)
           val png = m match {
             case 0 => enc(2,
-              i => (r(i) << 16) | (g(i) << 8) | b(i), null)
-            case 1 => enc(3, i => ((i * 3 + id) % 16).toInt, pal)
+              i => (r(i) << 16) | (g(i) << 8) | b(i), null, null)
+            case 1 => enc(3, i => ((i * 3 + id) % 16).toInt, pal, trns)
             case _ => enc(6,
-              i => (a(i) << 24) | (r(i) << 16) | (g(i) << 8) | b(i), null)
+              i => (a(i) << 24) | (r(i) << 16) | (g(i) << 8) | b(i),
+              null, null)
           }
           val (dw, dh, px, _) = Multimodal.decodePngRgb(id, png)
           var rs = 0L; var gs = 0L; var bs = 0L; var as = 0L
@@ -9691,6 +9698,8 @@ object SparkEntry {
         |      THEN (((t.i*3 + d.doc_id) % 16) * 5 + 7*d.doc_id) % 256
         |      ELSE (t.i*53 + 2*d.doc_id) % 256 END AS b,
         |    CASE WHEN d.m = 2 THEN (t.i*7 + 3 + d.doc_id) % 256
+        |      WHEN d.m = 1 AND (t.i*3 + d.doc_id) % 16 < 10
+        |      THEN (((t.i*3 + d.doc_id) % 16) * 16 + d.doc_id % 16) % 256
         |      ELSE 255 END AS a
         |  FROM d, LATERAL (SELECT unnest(generate_series(0, d.w*d.h - 1))
         |    AS i) t)

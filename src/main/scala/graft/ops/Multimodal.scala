@@ -1315,7 +1315,14 @@ object Multimodal {
     * `palette`, written as the PLTE chunk). Per-row filters cycle
     * `row % 5` on BYTES at the type's bpp, like the grayscale twin. */
   def encodePngColor(width: Int, height: Int, colorType: Int,
-      pixel: Int => Int, palette: Array[Int] = null): Array[Byte] = {
+      pixel: Int => Int, palette: Array[Int] = null,
+      trnsAlphas: Array[Int] = null): Array[Byte] = {
+    require(trnsAlphas == null || colorType == 3,
+      "png: the per-index tRNS fixture form is color-type-3-only")
+    require(trnsAlphas == null || (palette != null &&
+      trnsAlphas.length <= palette.length &&
+      trnsAlphas.forall(a => a >= 0 && a <= 255)),
+      "png: tRNS alphas must be 0..255, at most one per PLTE entry")
     require(width > 0 && height > 0, s"png: bad dims ${width}x$height")
     require(colorType == 2 || colorType == 3 || colorType == 6,
       s"png: encodePngColor writes color types 2/3/6, got $colorType")
@@ -1393,10 +1400,13 @@ object Multimodal {
       .put(8.toByte).put(colorType.toByte)
       .put(0.toByte).put(0.toByte).put(0.toByte)
     chunk("IHDR", ihdr.array())
-    if (colorType == 3)
+    if (colorType == 3) {
       chunk("PLTE", palette.flatMap(c => Seq(
         ((c >> 16) & 0xFF).toByte, ((c >> 8) & 0xFF).toByte,
         (c & 0xFF).toByte)))
+      if (trnsAlphas != null)
+        chunk("tRNS", trnsAlphas.map(_.toByte))
+    }
     chunk("IDAT", zout.toByteArray)
     chunk("IEND", Array.emptyByteArray)
     out.toByteArray
@@ -1428,7 +1438,7 @@ object Multimodal {
     * rowBytes per row with the filter byte removed, palette or null,
     * compressed IDAT length). */
   private def pngScanlines(payload: Array[Byte])
-      : (Int, Int, Int, Array[Byte], Array[Int], Int) = {
+      : (Int, Int, Int, Array[Byte], Array[Int], Array[Byte], Int) = {
     require(payload.length >= 8, "png: truncated signature")
     var i = 0
     while (i < 8) { require(payload(i) == PngSig(i), "png: bad signature"); i += 1 }
@@ -1438,6 +1448,7 @@ object Multimodal {
     var width = -1; var height = -1; var color = -1
     var interlaced = 0
     var palette: Array[Int] = null
+    var trns: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
     var done = false
     while (!done) {
@@ -1466,6 +1477,9 @@ object Multimodal {
             ((payload(pos + 8 + 3 * c) & 0xFF) << 16) |
               ((payload(pos + 8 + 3 * c + 1) & 0xFF) << 8) |
               (payload(pos + 8 + 3 * c + 2) & 0xFF))
+        case "tRNS" =>
+          trns = java.util.Arrays.copyOfRange(payload, pos + 8,
+            pos + 8 + len)
         case "IDAT" => idat.write(payload, pos + 8, len)
         case "IEND" => done = true
         case _      => () // ancillary chunks (tEXt, pHYs, …) skipped
@@ -1475,6 +1489,20 @@ object Multimodal {
     require(width > 0 && height > 0, "png: missing or empty IHDR")
     if (color == 3) require(palette != null,
       "png: palette image without a PLTE chunk")
+    // tRNS shape per color type (RFC 2083 §4.2.1): per-index alphas at
+    // 3 (at most one per PLTE entry), a 2-byte gray key at 0, a 6-byte
+    // RGB key at 2; forbidden with an alpha channel (6)
+    if (trns != null) color match {
+      case 3 => require(trns.length <= palette.length,
+        s"png: tRNS carries ${trns.length} alphas for a " +
+          s"${palette.length}-entry PLTE")
+      case 0 => require(trns.length == 2,
+        s"png: gray tRNS must be 2 bytes, got ${trns.length}")
+      case 2 => require(trns.length == 6,
+        s"png: truecolor tRNS must be 6 bytes, got ${trns.length}")
+      case _ => throw new IllegalArgumentException(
+        "png: tRNS is forbidden with an alpha channel (color type 6)")
+    }
     val bpp = pngBpp(color)
     val rowBytes = width * bpp
     val comp = idat.toByteArray
@@ -1518,7 +1546,7 @@ object Multimodal {
         }
         o
       }
-    (width, height, color, out, palette, comp.length)
+    (width, height, color, out, palette, trns, comp.length)
   }
 
   /** Build an 8-bit ADAM7-INTERLACED PNG (r14) of any carried color
@@ -1527,7 +1555,10 @@ object Multimodal {
     * (gray value, packed RGB/ARGB, or palette index). Filters cycle
     * `(pass + row) % 5` within each pass. */
   def encodePngAdam7(width: Int, height: Int, colorType: Int,
-      pixel: Int => Int, palette: Array[Int] = null): Array[Byte] = {
+      pixel: Int => Int, palette: Array[Int] = null,
+      trnsAlphas: Array[Int] = null): Array[Byte] = {
+    require(trnsAlphas == null || colorType == 3,
+      "png: the per-index tRNS fixture form is color-type-3-only")
     require(width > 0 && height > 0, s"png: bad dims ${width}x$height")
     val bpp = pngBpp(colorType)
     if (colorType == 3)
@@ -1614,10 +1645,13 @@ object Multimodal {
       .put(8.toByte).put(colorType.toByte)
       .put(0.toByte).put(0.toByte).put(1.toByte) // interlace: Adam7
     chunk("IHDR", ihdr.array())
-    if (colorType == 3)
+    if (colorType == 3) {
       chunk("PLTE", palette.flatMap(c => Seq(
         ((c >> 16) & 0xFF).toByte, ((c >> 8) & 0xFF).toByte,
         (c & 0xFF).toByte)))
+      if (trnsAlphas != null)
+        chunk("tRNS", trnsAlphas.map(_.toByte))
+    }
     chunk("IDAT", zout.toByteArray)
     chunk("IEND", Array.emptyByteArray)
     out.toByteArray
@@ -1703,7 +1737,7 @@ object Multimodal {
   }
 
   def decodePngRaster(payload: Array[Byte]): (Int, Int, Array[Int], Int) = {
-    val (width, height, color, bytes, _, nComp) = pngScanlines(payload)
+    val (width, height, color, bytes, _, _, nComp) = pngScanlines(payload)
     require(color == 0,
       s"png: grayscale raster path needs color type 0, got $color — " +
         "decode color images through decodePngRgb")
@@ -1720,27 +1754,39 @@ object Multimodal {
     * [[decodeJpegRgb]]. */
   def decodePngRgb(docId: Long,
       payload: Array[Byte]): (Int, Int, Array[Int], Int) = {
-    val (w, h, color, bytes, palette, nComp) = pngScanlines(payload)
+    val (w, h, color, bytes, palette, trns, nComp) = pngScanlines(payload)
     val px = new Array[Int](w * h)
     var i = 0
     color match {
       case 0 =>
+        // tRNS at type 0 is a 2-byte gray COLOR KEY (depth 8: low byte)
+        val key = if (trns == null) -1 else trns(1) & 0xFF
         while (i < px.length) {
           val g = bytes(i) & 0xFF
-          px(i) = 0xFF000000 | (g << 16) | (g << 8) | g; i += 1
+          val a = if (g == key) 0 else 0xFF
+          px(i) = (a << 24) | (g << 16) | (g << 8) | g; i += 1
         }
       case 2 =>
+        // tRNS at type 2 is a 6-byte RGB color key (2 bytes/channel)
+        val key = if (trns == null) -1
+          else ((trns(1) & 0xFF) << 16) | ((trns(3) & 0xFF) << 8) |
+            (trns(5) & 0xFF)
         while (i < px.length) {
-          px(i) = 0xFF000000 | ((bytes(3 * i) & 0xFF) << 16) |
+          val rgb = ((bytes(3 * i) & 0xFF) << 16) |
             ((bytes(3 * i + 1) & 0xFF) << 8) | (bytes(3 * i + 2) & 0xFF)
-          i += 1
+          val a = if (rgb == key) 0 else 0xFF
+          px(i) = (a << 24) | rgb; i += 1
         }
       case 3 =>
+        // tRNS at type 3 is per-index alpha; indices past its length
+        // are opaque (RFC 2083 §4.2.1)
         while (i < px.length) {
           val ix = bytes(i) & 0xFF
           require(ix < palette.length,
             s"png: palette index $ix outside PLTE of ${palette.length} (doc $docId)")
-          px(i) = 0xFF000000 | palette(ix); i += 1
+          val a = if (trns != null && ix < trns.length) trns(ix) & 0xFF
+            else 0xFF
+          px(i) = (a << 24) | palette(ix); i += 1
         }
       case _ => // 6, validated in pngScanlines
         while (i < px.length) {

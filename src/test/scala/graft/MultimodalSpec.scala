@@ -1239,4 +1239,66 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(decodeGifFrame(34L, noBit).raster.toSeq ==
       Seq(0, 8, 4, 2, 6, 1, 3, 5, 7, 9))
   }
+
+  test("PNG tRNS transparency (r14): per-index palette alphas, gray and " +
+      "RGB color keys all land in the decoded alpha channel exactly; " +
+      "shape violations and tRNS-with-alpha-channel are loud") {
+    val w = 8; val h = 4
+    // type 3: 8 palette entries, alphas only for the first 5 -> the
+    // rest are opaque per spec
+    val pal = Array.tabulate(8)(c => c * 0x030201)
+    val alphas = Array(0, 64, 128, 192, 255)
+    val idx = (i: Int) => i % 8
+    val p3 = encodePngColor(w, h, 3, idx, palette = pal,
+      trnsAlphas = alphas)
+    val (_, _, px3, _) = decodePngRgb(40L, p3)
+    (0 until w * h).foreach { i =>
+      val a = if (idx(i) < 5) alphas(idx(i)) else 255
+      assert(px3(i) == ((a << 24) | pal(idx(i))),
+        f"i=$i got 0x${px3(i)}%08X")
+    }
+    // type 0: gray color key via a hand-built tRNS chunk (encoder is
+    // type-3-only, so splice the chunk between IHDR and IDAT)
+    val gray = encodePng(w, h, i => i % 8)
+    def chunkOf(typ: String, data: Array[Byte]): Array[Byte] = {
+      val td = typ.getBytes("US-ASCII") ++ data
+      val c = new java.util.zip.CRC32; c.update(td)
+      val be = (v: Long) => Array(((v >> 24) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        (v & 0xFF).toByte)
+      be(data.length.toLong) ++ td ++ be(c.getValue)
+    }
+    val ihdrEnd = 8 + 12 + 13
+    val g5 = gray.take(ihdrEnd) ++
+      chunkOf("tRNS", Array[Byte](0, 5)) ++ gray.drop(ihdrEnd)
+    val (_, _, pxg, _) = decodePngRgb(41L, g5)
+    (0 until w * h).foreach { i =>
+      val g = i % 8
+      val a = if (g == 5) 0 else 0xFF
+      assert(pxg(i) == ((a << 24) | (g << 16) | (g << 8) | g))
+    }
+    // type 2: RGB color key (6 bytes, 2 per channel)
+    val rgb = (i: Int) => ((i % 3) << 16) | 0x0207
+    val p2 = encodePngColor(w, h, 2, rgb)
+    val key2 = Array[Byte](0, 1, 0, 2, 0, 7) // keys out pixels with r=1
+    val p2k = p2.take(ihdrEnd) ++ chunkOf("tRNS", key2) ++ p2.drop(ihdrEnd)
+    val (_, _, px2, _) = decodePngRgb(42L, p2k)
+    (0 until w * h).foreach { i =>
+      val a = if (i % 3 == 1) 0 else 0xFF
+      assert(px2(i) == ((a << 24) | rgb(i)))
+    }
+    // violations: wrong key length, too many palette alphas, tRNS on
+    // an alpha-channel image
+    val badLen = gray.take(ihdrEnd) ++
+      chunkOf("tRNS", Array[Byte](5)) ++ gray.drop(ihdrEnd)
+    val e1 = intercept[IllegalArgumentException](decodePngRgb(43L, badLen))
+    assert(e1.getMessage.contains("must be 2 bytes"))
+    intercept[IllegalArgumentException](encodePngColor(w, h, 3, idx,
+      palette = pal, trnsAlphas = Array.fill(9)(1)))
+    val p6 = encodePngColor(w, h, 6, i => 0x11000000 | rgb(i))
+    val p6t = p6.take(ihdrEnd) ++ chunkOf("tRNS", Array[Byte](0, 1)) ++
+      p6.drop(ihdrEnd)
+    val e2 = intercept[IllegalArgumentException](decodePngRgb(44L, p6t))
+    assert(e2.getMessage.contains("forbidden with an alpha channel"))
+  }
 }
