@@ -66,11 +66,16 @@ package graft.ops
   * is shared by this encoder and decoder, so like every
   * self-round-tripped corner here it is pinned to the RFC text, not
   * to a foreign implementation).
-  * HONEST BOUNDARY, loud by name at decode: 32-bit depth (side
-  * channel and residuals overflow Int arithmetic), and negative
-  * quantization shifts (forbidden on the wire by RFC 9639 §9.2.4 —
-  * rejecting is conformance, kept loud in case a pre-RFC encoder
-  * emitted one).
+  * ROUND 15 closes the last two depth-regime boundaries: 32-BIT DEPTH
+  * is carried end-to-end (the codec's internal sample arrays are Long,
+  * so the 33-bit side channel and ~2^37 order-4 residuals that
+  * overflowed Int compute exactly; sample-size code 0b111, 4-byte LE
+  * MD5 packing), and NEGATIVE QLP SHIFTS decode (the 5-bit field is
+  * signed two's complement per the pre-RFC format spec; a negative
+  * value left-shifts the accumulator — RFC 9639 forbids encoders
+  * writing one, and ours never does, but pre-RFC foreign files are
+  * met with the historical public semantics rather than a refusal;
+  * `encodeFlacForeignLpc` is the fixture writer that pins it).
   *
   * Scale shape: pure per-payload kernels under `mapPartitions`, zero
   * shuffle — 100 TB throughput is cores × per-core frames/s, like the
@@ -119,6 +124,12 @@ object Flac {
     def readSigned(bits: Int): Int = {
       val v = read(bits)
       ((v << (64 - bits)).toLong >> (64 - bits)).toInt // sign-extend
+    }
+    // sample-width signed reads: up to 33 bits (32-bit depth's side
+    // channel, r15) — must sign-extend in Long
+    def readSignedLong(bits: Int): Long = {
+      val v = read(bits)
+      (v << (64 - bits)) >> (64 - bits)
     }
     def alignToByte(): Unit = { pos = (pos + 7) & ~7L }
     def bytePos: Int = (pos >>> 3).toInt
@@ -207,20 +218,24 @@ object Flac {
   private val FixedCoef: Array[Array[Int]] = Array(
     Array(), Array(1), Array(2, -1), Array(3, -3, 1), Array(4, -6, 4, -1))
 
-  private def residual(x: Array[Int], i: Int, order: Int): Long = {
-    var r = x(i).toLong
+  // sample arrays are Long end-to-end inside the codec (r15): the
+  // 32-bit regime's side channel is 33 bits and its order-4 residuals
+  // reach ~2^37 — Int arithmetic overflows exactly where the old
+  // named boundary said it would
+  private def residual(x: Array[Long], i: Int, order: Int): Long = {
+    var r = x(i)
     val c = FixedCoef(order)
     var j = 0
     while (j < order) { r -= c(j).toLong * x(i - 1 - j); j += 1 }
     r
   }
 
-  private def restore(x: Array[Int], i: Int, order: Int, r: Long): Int = {
+  private def restore(x: Array[Long], i: Int, order: Int, r: Long): Long = {
     var v = r
     val c = FixedCoef(order)
     var j = 0
     while (j < order) { v += c(j).toLong * x(i - 1 - j); j += 1 }
-    v.toInt
+    v
   }
 
   // ------------------------------------------------------------------
@@ -365,7 +380,7 @@ object Flac {
     * the predictor; measured meanAbsRes 33 unwindowed vs 0.7 windowed
     * on a two-tone fixture); prediction itself always runs on the RAW
     * integers. */
-  private[graft] def lpcQuantized(x: Array[Int],
+  private[graft] def lpcQuantized(x: Array[Long],
       order: Int): Option[(Array[Int], Int)] = {
     val n = x.length
     if (n <= order * 2) return None
@@ -425,13 +440,18 @@ object Flac {
   }
 
   /** Exact integer LPC prediction of x[i] from the preceding `order`
-    * samples: (Σ q[j]·x[i−1−j]) >> shift, 64-bit accumulator. */
-  private[graft] def lpcPredict(x: Array[Int], i: Int, q: Array[Int],
+    * samples: (Σ q[j]·x[i−1−j]) >> shift, 64-bit accumulator. A
+    * NEGATIVE shift (r15) left-shifts the accumulator — the 5-bit
+    * wire field is signed two's complement per the original format
+    * spec, and the historical public decoder semantics for a negative
+    * value are `sum << −shift`; RFC 9639 forbids ENCODERS from
+    * writing one (ours never does), but pre-RFC files exist. */
+  private[graft] def lpcPredict(x: Array[Long], i: Int, q: Array[Int],
       shift: Int): Long = {
     var acc = 0L
     var j = 0
     while (j < q.length) { acc += q(j).toLong * x(i - 1 - j); j += 1 }
-    acc >> shift
+    if (shift >= 0) acc >> shift else acc << -shift
   }
 
   // ------------------------------------------------------------------
@@ -471,12 +491,12 @@ object Flac {
     }
   }
 
-  private def writeSubframe(bw: BitWriter, x0: Array[Int], bps0: Int): Unit = {
+  private def writeSubframe(bw: BitWriter, x0: Array[Long], bps0: Int): Unit = {
     val n = x0.length
     // CONSTANT?
     if (x0.forall(_ == x0(0))) {
       bw.put(0, 1); bw.put(0, 6); bw.put(0, 1) // pad/type=CONSTANT/wasted
-      bw.put(x0(0).toLong & ((1L << bps0) - 1), bps0)
+      bw.put(x0(0) & ((1L << bps0) - 1), bps0)
       return
     }
     // wasted bits (r11 ask #2): trailing zero bits shared by EVERY
@@ -485,8 +505,9 @@ object Flac {
     var wasted = Integer.MAX_VALUE
     var i0 = 0
     while (i0 < n && wasted > 0) {
-      if (x0(i0) != 0)
-        wasted = math.min(wasted, Integer.numberOfTrailingZeros(x0(i0)))
+      if (x0(i0) != 0L)
+        wasted = math.min(wasted,
+          java.lang.Long.numberOfTrailingZeros(x0(i0)))
       i0 += 1
     }
     if (wasted >= bps0) wasted = bps0 - 1 // all-zero is CONSTANT above
@@ -519,7 +540,7 @@ object Flac {
         val us = new Array[Long](n - order2)
         var i = order2
         while (i < n) {
-          us(i - order2) = zigzag(x(i).toLong - lpcPredict(x, i, q, shift))
+          us(i - order2) = zigzag(x(i) - lpcPredict(x, i, q, shift))
           i += 1
         }
         val plan = planRice(us, n, order2)
@@ -533,7 +554,7 @@ object Flac {
         header(0x20 | (order2 - 1)) // LPC
         var i = 0
         while (i < order2) {
-          bw.put(x(i).toLong & ((1L << bps) - 1), bps); i += 1
+          bw.put(x(i) & ((1L << bps) - 1), bps); i += 1
         }
         bw.put(LpcPrecision.toLong - 1, 4)
         bw.put(shift.toLong, 5)
@@ -543,12 +564,12 @@ object Flac {
       case None if bestBits >= n.toLong * bps =>
         header(1) // VERBATIM
         var i = 0
-        while (i < n) { bw.put(x(i).toLong & ((1L << bps) - 1), bps); i += 1 }
+        while (i < n) { bw.put(x(i) & ((1L << bps) - 1), bps); i += 1 }
       case None =>
         header(8 | bestOrder) // FIXED|order
         var i = 0
         while (i < bestOrder) {
-          bw.put(x(i).toLong & ((1L << bps) - 1), bps); i += 1
+          bw.put(x(i) & ((1L << bps) - 1), bps); i += 1
         }
         writeRice(bw, bestUs, n, bestOrder, bestPlan)
     }
@@ -562,7 +583,7 @@ object Flac {
       escaped: Boolean, riceMethod: Int)
 
   private def readSubframe(br: BitReader, n: Int, bps: Int,
-      docId: Long): (Array[Int], SubframeInfo) = {
+      docId: Long): (Array[Long], SubframeInfo) = {
     require(br.read(1) == 0L, s"flac: subframe sync padding bit set (doc $docId)")
     val tpe = br.read(6).toInt
     // wasted bits (r11 ask #2): flag 1 → unary count follows (k−1 zeros
@@ -572,18 +593,18 @@ object Flac {
     require(wasted < bps,
       s"flac: wasted bits $wasted >= sample size $bps (doc $docId)")
     val sbps = bps - wasted
-    val x = new Array[Int](n)
+    val x = new Array[Long](n)
     var poEsc = (0, false, 0)
     if (tpe == 0) { // CONSTANT
-      val v = br.readSigned(sbps)
+      val v = br.readSignedLong(sbps)
       java.util.Arrays.fill(x, v)
     } else if (tpe == 1) { // VERBATIM
       var i = 0
-      while (i < n) { x(i) = br.readSigned(sbps); i += 1 }
+      while (i < n) { x(i) = br.readSignedLong(sbps); i += 1 }
     } else if ((tpe & 0x38) == 8 && (tpe & 7) <= 4) { // FIXED, order 0-4
       val order = tpe & 7
       var i = 0
-      while (i < order) { x(i) = br.readSigned(sbps); i += 1 }
+      while (i < order) { x(i) = br.readSignedLong(sbps); i += 1 }
       poEsc = readRiceInto(br, x, n, order, docId)(
         (xs, i2, u) => restore(xs, i2, order, u))
     } else if ((tpe & 0x20) != 0) { // LPC, order 1-32
@@ -591,16 +612,18 @@ object Flac {
       require(order < n,
         s"flac: LPC order $order >= block size $n (doc $docId)")
       var i = 0
-      while (i < order) { x(i) = br.readSigned(sbps); i += 1 }
+      while (i < order) { x(i) = br.readSignedLong(sbps); i += 1 }
       val precM1 = br.read(4).toInt
       require(precM1 != 15, s"flac: invalid qlp precision (doc $docId)")
       val precision = precM1 + 1
+      // 5-bit SIGNED two's complement per the original format spec
+      // (r15): values ≥ 16 decode as the negative left-shift form —
+      // RFC 9639 forbids writing them, pre-RFC files may carry them
       val shiftRaw = br.read(5).toInt
-      require(shiftRaw < 16,
-        s"flac: negative qlp shift is a named boundary (doc $docId)")
+      val shift = if (shiftRaw >= 16) shiftRaw - 32 else shiftRaw
       val q = Array.fill(order)(br.readSigned(precision))
       poEsc = readRiceInto(br, x, n, order, docId)(
-        (xs, i2, u) => (lpcPredict(xs, i2, q, shiftRaw) + u).toInt)
+        (xs, i2, u) => lpcPredict(xs, i2, q, shift) + u)
     } else throw new IllegalArgumentException(
       s"flac: reserved subframe type $tpe (doc $docId)")
     if (wasted > 0) {
@@ -622,9 +645,9 @@ object Flac {
     * code (method's all-ones param → 5-bit width, residuals stored as
     * raw signed two's complement, NOT zigzagged; width 0 means
     * all-zero). */
-  private def readRiceInto(br: BitReader, x: Array[Int], n: Int,
+  private def readRiceInto(br: BitReader, x: Array[Long], n: Int,
       order: Int, docId: Long)(
-      rebuild: (Array[Int], Int, Long) => Int): (Int, Boolean, Int) = {
+      rebuild: (Array[Long], Int, Long) => Long): (Int, Boolean, Int) = {
     val method = br.read(2).toInt
     require(method == 0 || method == 1,
       s"flac: reserved residual method $method (doc $docId)")
@@ -646,7 +669,7 @@ object Flac {
         val rawBits = br.read(5).toInt
         var j = 0
         while (j < count) {
-          val r = if (rawBits == 0) 0L else br.readSigned(rawBits).toLong
+          val r = if (rawBits == 0) 0L else br.readSignedLong(rawBits)
           x(i) = rebuild(x, i, r)
           i += 1; j += 1
         }
@@ -672,8 +695,8 @@ object Flac {
     * 1 = 2-channel independent, 8 left/side, 9 right/side, 10 mid/side
     * (the spec's 4-bit field values; 2-channel independent is 0b0001 =
     * channels−1). */
-  private def decorrelate(l: Array[Int], r: Array[Int],
-      mode: Int): (Array[Int], Array[Int]) = mode match {
+  private def decorrelate(l: Array[Long], r: Array[Long],
+      mode: Int): (Array[Long], Array[Long]) = mode match {
     case 1 => (l, r)
     case 8 => (l, Array.tabulate(l.length)(i => l(i) - r(i))) // left/side
     case 9 => (Array.tabulate(l.length)(i => l(i) - r(i)), r) // right(=ch1)/side? see recorrelate
@@ -684,16 +707,16 @@ object Flac {
     case m => throw new IllegalArgumentException(s"flac: bad mode $m")
   }
 
-  private def recorrelate(a: Array[Int], b: Array[Int],
-      mode: Int): (Array[Int], Array[Int]) = mode match {
+  private def recorrelate(a: Array[Long], b: Array[Long],
+      mode: Int): (Array[Long], Array[Long]) = mode match {
     case 1 => (a, b)
     case 8 => (a, Array.tabulate(a.length)(i => a(i) - b(i))) // L, L-side
     case 9 => (Array.tabulate(a.length)(i => a(i) + b(i)), b) // side+R, R
     case 10 =>
-      val l = new Array[Int](a.length); val r = new Array[Int](a.length)
+      val l = new Array[Long](a.length); val r = new Array[Long](a.length)
       var i = 0
       while (i < a.length) {
-        val mid2 = (a(i) << 1) | (b(i) & 1)
+        val mid2 = (a(i) << 1) | (b(i) & 1L)
         l(i) = (mid2 + b(i)) >> 1
         r(i) = (mid2 - b(i)) >> 1
         i += 1
@@ -706,17 +729,18 @@ object Flac {
   // Stream encode
   // ------------------------------------------------------------------
 
-  /** Carried bit depths ≤ 24 bits: the MD5 sample packing is
-    * ceil(bps/8) little-endian signed bytes per sample (RFC 9639
-    * §9.1.1 — the non-byte-aligned depths 12/20 pad each sample to
-    * the smallest whole byte count, r14), and the side channel
-    * (bps+1 ≤ 25 bits) fits Int arithmetic. 32-bit stays a named
-    * boundary: its side channel and residuals overflow Int. */
-  private val CarriedDepths = Set(8, 12, 16, 20, 24)
+  /** Carried bit depths — ALL of RFC 9639's: the MD5 sample packing
+    * is ceil(bps/8) little-endian signed bytes per sample (§9.1.1 —
+    * the non-byte-aligned depths 12/20 pad each sample to the
+    * smallest whole byte count, r14). 32-bit carried since r15: the
+    * codec's sample arrays are Long end-to-end, so the 33-bit side
+    * channel and the ~2^37 order-4 residuals that overflowed Int (the
+    * old named boundary) compute exactly. */
+  private val CarriedDepths = Set(8, 12, 16, 20, 24, 32)
 
   /** MD5 of the unencoded audio (channel-interleaved little-endian
-    * samples at bps/8 bytes each — the STREAMINFO integrity field,
-    * verified at decode). */
+    * samples at ceil(bps/8) bytes each, the RFC 9639 §9.1.5 packing —
+    * the STREAMINFO integrity field, verified at decode). */
   private def audioMd5(channels: Array[Array[Int]], bps: Int): Array[Byte] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val bytes = (bps + 7) / 8
@@ -735,7 +759,8 @@ object Flac {
     md.digest()
   }
 
-  /** Encode PCM channels (1–8, equal length, 8/16/24-bit) as a FLAC
+  /** Encode PCM channels (1–8, equal length, any RFC 9639 depth
+    * 8/12/16/20/24/32) as a FLAC
     * stream: fLaC marker + STREAMINFO (with real MD5) + optional
     * metadata blocks + fixed-blocksize frames. Stereo frames pick the
     * cheapest of the four decorrelation modes by exact coded size; 3+
@@ -766,8 +791,9 @@ object Flac {
     require(sampleRate > 0 && sampleRate < (1 << 20),
       "flac: sample rate out of STREAMINFO range")
     require(CarriedDepths(bps),
-      s"flac: bit depth $bps not carried (8/12/16/20/24)")
-    val lo = -(1 << (bps - 1)); val hi = (1 << (bps - 1)) - 1
+      s"flac: bit depth $bps not carried (8/12/16/20/24/32)")
+    // bounds in Long: (1 << 31) wraps negative in Int at bps = 32
+    val lo = -(1L << (bps - 1)); val hi = (1L << (bps - 1)) - 1
     channels.foreach(_.foreach(v =>
       require(v >= lo && v <= hi, s"flac: sample out of $bps-bit range")))
     val total = channels(0).length
@@ -797,7 +823,8 @@ object Flac {
     var off = 0
     while (off < total) {
       val n = sizes(frame)
-      val chunk = channels.map(c => java.util.Arrays.copyOfRange(c, off, off + n))
+      val chunk: Array[Array[Long]] = channels.map(c =>
+        Array.tabulate(n)(i => c(off + i).toLong))
       val codedNo = if (variableBlocks) off.toLong else frame.toLong
       seekPts += ((off.toLong, frameRegion.size.toLong, n))
       frameRegion.write(encodeFrame(chunk, codedNo, n, sampleRate, bps,
@@ -975,24 +1002,23 @@ object Flac {
     }
   }
 
-  /** Frame-header sample-size codes for the carried depths (RFC 9639
-    * §9.1.4: 0b001 = 8, 0b010 = 12, 0b100 = 16, 0b101 = 20,
-    * 0b110 = 24; 0b111 = 32 stays a named boundary with the rest of
-    * the 32-bit regime). */
+  /** Frame-header sample-size codes for ALL the spec's depths
+    * (RFC 9639 §9.1.4: 0b001 = 8, 0b010 = 12, 0b100 = 16, 0b101 = 20,
+    * 0b110 = 24, 0b111 = 32 — the last carried since r15). */
   private val SampleSizeCodes: Map[Int, Int] =
-    Map(8 -> 1, 12 -> 2, 16 -> 4, 20 -> 5, 24 -> 6)
+    Map(8 -> 1, 12 -> 2, 16 -> 4, 20 -> 5, 24 -> 6, 32 -> 7)
 
-  private def encodeFrame(chunk: Array[Array[Int]], codedNo: Long,
+  private def encodeFrame(chunk: Array[Array[Long]], codedNo: Long,
       n: Int, sampleRate: Int, bps: Int, varBlocks: Boolean): Array[Byte] = {
     // pick channel assignment by exact coded subframe size (stereo);
     // mono and 3+ channels have exactly one form — independent coding
     // at code channels−1
-    val candidates: Seq[(Int, Array[(Array[Int], Int)])] =
+    val candidates: Seq[(Int, Array[(Array[Long], Int)])] =
       if (chunk.length != 2)
         Seq((chunk.length - 1, chunk.map(c => (c, bps))))
       else Seq(1, 8, 9, 10).map { mode =>
         val (a, b) = decorrelate(chunk(0), chunk(1), mode)
-        val bits: Array[(Array[Int], Int)] = mode match {
+        val bits: Array[(Array[Long], Int)] = mode match {
           case 1 => Array((a, bps), (b, bps))
           case 8 => Array((a, bps), (b, bps + 1))
           case 9 => Array((a, bps + 1), (b, bps))
@@ -1035,6 +1061,76 @@ object Flac {
     frameOut.toByteArray
   }
 
+  /** FOREIGN-SHAPE fixture writer (r15): a single-frame mono stream
+    * whose one subframe is LPC with CALLER-SUPPLIED quantized
+    * coefficients and shift — including a NEGATIVE shift, coded in
+    * the 5-bit two's-complement field the pre-RFC format spec
+    * defines. The production encoder never emits a negative shift
+    * (RFC 9639 forbids writing one); this writer exists so the
+    * decoder's handling of such pre-RFC foreign files is pinned
+    * against planted content, residuals computed with the SAME
+    * negative-left-shift prediction the decoder restores with. */
+  private[graft] def encodeFlacForeignLpc(x: Array[Int], sampleRate: Int,
+      bps: Int, q: Array[Int], shift: Int,
+      precision: Int = LpcPrecision): Array[Byte] = {
+    val n = x.length
+    require(n >= 16 && n <= 65535, "flac: bad foreign block size")
+    require(shift >= -16 && shift <= 15,
+      "flac: shift outside the signed 5-bit field")
+    require(q.nonEmpty && q.length <= 32 && q.length < n,
+      "flac: bad foreign LPC order")
+    val order = q.length
+    val xl = x.map(_.toLong)
+    val us = new Array[Long](n - order)
+    var i = order
+    while (i < n) {
+      us(i - order) = zigzag(xl(i) - lpcPredict(xl, i, q, shift)); i += 1
+    }
+    val plan = planRice(us, n, order)
+    val bw = new BitWriter
+    bw.put(0, 1); bw.put((0x20 | (order - 1)).toLong, 6); bw.put(0, 1)
+    var w = 0
+    while (w < order) { bw.put(xl(w) & ((1L << bps) - 1), bps); w += 1 }
+    bw.put(precision.toLong - 1, 4)
+    bw.put((shift & 0x1F).toLong, 5) // two's complement on the wire
+    q.foreach(c => bw.put(c.toLong & ((1L << precision) - 1), precision))
+    writeRice(bw, us, n, order, plan)
+    val bodyBytes = bw.toBytes
+    // frame header: fixed-blocksize, explicit end-of-header block
+    // size, rate and sample size from the self-describing forms
+    val hw = new BitWriter
+    hw.put(0x3FFE, 14); hw.put(0, 1); hw.put(0, 1)
+    hw.put(7, 4) // block size: 16-bit at end of header
+    hw.put(0, 4) // rate: STREAMINFO
+    hw.put(0, 4) // mono
+    hw.put(SampleSizeCodes(bps).toLong, 3)
+    hw.put(0, 1)
+    writeUtf8Num(hw, 0L)
+    hw.put(n.toLong - 1, 16)
+    val headBytes = hw.toBytes
+    val frameOut = new java.io.ByteArrayOutputStream()
+    frameOut.write(headBytes)
+    frameOut.write(crc8(headBytes, 0, headBytes.length))
+    frameOut.write(bodyBytes)
+    val body = frameOut.toByteArray
+    val crc = crc16(body, 0, body.length)
+    frameOut.write(crc >> 8); frameOut.write(crc & 0xFF)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte]('f', 'L', 'a', 'C'))
+    val si = new BitWriter
+    si.put(1, 1); si.put(0, 7); si.put(34, 24)
+    si.put(n.toLong, 16); si.put(n.toLong, 16)
+    si.put(0, 24); si.put(0, 24)
+    si.put(sampleRate.toLong, 20)
+    si.put(0, 3) // mono
+    si.put(bps.toLong - 1, 5)
+    si.put(n.toLong, 36)
+    out.write(si.toBytes)
+    out.write(audioMd5(Array(x), bps))
+    frameOut.writeTo(out)
+    out.toByteArray
+  }
+
   // ------------------------------------------------------------------
   // Stream decode
   // ------------------------------------------------------------------
@@ -1066,8 +1162,8 @@ object Flac {
         val nch = br.read(3).toInt + 1
         val bps = br.read(5).toInt + 1
         require(CarriedDepths(bps),
-          s"flac: $bps-bit depth is a named boundary " +
-            s"(8/12/16/20/24 carried; doc $docId)")
+          s"flac: $bps-bit depth is not defined by RFC 9639 " +
+            s"(8/12/16/20/24/32 carried; doc $docId)")
         val tot = br.read(36)
         val md5 = java.util.Arrays.copyOfRange(payload, off + 4 + 18,
           off + 4 + 34)
@@ -1118,9 +1214,9 @@ object Flac {
       require(nchFrame == si.channels,
         s"flac: frame/STREAMINFO channel mismatch (doc $docId)")
       val ssCode = br.read(3).toInt
-      // table-coded sample sizes for the carried depths (0 = from
-      // STREAMINFO; 1/2/4/5/6 = 8/12/16/20/24-bit); 32-bit (code 7)
-      // stays named with the rest of that regime
+      // table-coded sample sizes (0 = from STREAMINFO; 1/2/4/5/6/7 =
+      // 8/12/16/20/24/32-bit — the whole §9.1.4 table since r15;
+      // code 3 is the table's one reserved value)
       val frameBps = ssCode match {
         case 0 => si.bitsPerSample
         case 1 => 8
@@ -1128,8 +1224,9 @@ object Flac {
         case 4 => 16
         case 5 => 20
         case 6 => 24
+        case 7 => 32
         case c => throw new IllegalArgumentException(
-          s"flac: sample-size code $c is a named boundary (doc $docId)")
+          s"flac: reserved sample-size code $c (doc $docId)")
       }
       require(frameBps == si.bitsPerSample,
         s"flac: frame sample size $frameBps != STREAMINFO " +
@@ -1173,7 +1270,7 @@ object Flac {
       require(crc8(payload, off, crc8At) == wantCrc8,
         f"flac: frame-header CRC-8 mismatch (doc $docId)")
       val bps = si.bitsPerSample
-      val subsT: Array[(Array[Int], SubframeInfo)] = mode match {
+      val subsT: Array[(Array[Long], SubframeInfo)] = mode match {
         case m if m <= 7 =>
           Array.fill(m + 1)(readSubframe(br, n, bps, docId))
         case 8 => Array(readSubframe(br, n, bps, docId),
@@ -1194,15 +1291,21 @@ object Flac {
       require(crc16(payload, off, crcAt) == wantCrc16,
         f"flac: frame CRC-16 mismatch (doc $docId)")
       val frameBytes = crcAt + 2 - off
-      val rec: Array[Array[Int]] =
+      val rec: Array[Array[Long]] =
         if (mode <= 7) subs
         else { val (l, r) = recorrelate(subs(0), subs(1), mode); Array(l, r) }
-      val rlo = -(1 << (bps - 1)); val rhi = (1 << (bps - 1)) - 1
+      val rlo = -(1L << (bps - 1)); val rhi = (1L << (bps - 1)) - 1
       var ch = 0
       while (ch < si.channels) {
-        System.arraycopy(rec(ch), 0, channels(ch), outBase, n)
-        rec(ch).foreach(v => require(v >= rlo && v <= rhi,
-          s"flac: decoded sample out of $bps-bit range (doc $docId)"))
+        val rc = rec(ch)
+        var k = 0
+        while (k < n) {
+          val v = rc(k)
+          require(v >= rlo && v <= rhi,
+            s"flac: decoded sample out of $bps-bit range (doc $docId)")
+          channels(ch)(outBase + k) = v.toInt // ≤ 32 bits proven above
+          k += 1
+        }
         ch += 1
       }
       infos += FlacFrameInfo(frame, n, mode, off.toLong, frameBytes,

@@ -358,15 +358,97 @@ class FlacSpec extends AnyFunSuite {
   }
 
   test("depth boundaries fail loudly: out-of-range samples for the " +
-      "declared depth, and the non-carried 32-bit depth") {
-    val x = Array.tabulate(64)(i => i - 32)
+      "declared depth, and depths RFC 9639 does not define") {
     intercept[IllegalArgumentException](
       Flac.encodeFlac(Array(Array.fill(64)(200)), 48000, bps = 8))
     intercept[IllegalArgumentException](
       Flac.encodeFlac(Array(Array.fill(64)(1 << 23)), 48000, bps = 24))
     val e = intercept[IllegalArgumentException](
-      Flac.encodeFlac(Array(x), 48000, bps = 32))
+      Flac.encodeFlac(Array(Array.tabulate(64)(i => i - 32)), 48000,
+        bps = 17))
     assert(e.getMessage.contains("not carried"))
+  }
+
+  test("32-bit depth (r15): full-range mono and correlated stereo " +
+      "round-trip bit-exactly — the 33-bit side channel and wide fixed " +
+      "residuals that overflowed Int compute exactly in Long; MD5 packs " +
+      "4 LE bytes; sample-size code 0b111 on the wire") {
+    val n = 3000
+    // full-range content INCLUDING both Int extremes — the exact
+    // values whose side-channel differences overflow 32-bit math
+    val l32 = Array.tabulate(n) { i =>
+      if (i == 7) Int.MinValue else if (i == 11) Int.MaxValue
+      else {
+        val h = (i.toLong * 2654435761L + 3L) % 4294967296L
+        (h - 2147483648L).toInt
+      }
+    }
+    val encM = Flac.encodeFlac(Array(l32), 96000, blockSize = 1024,
+      bps = 32)
+    val (fM, dM) = Flac.decodeFlac(90L, encM)
+    assert(dM(0).sameElements(l32), "32-bit mono not lossless")
+    assert(Flac.readStreamInfo(encM, 90L).bitsPerSample == 32)
+    // sample-size code 7 rides in every frame header (bits 12-14 of
+    // the 4th/5th header bytes): re-decode proves it parses; pin the
+    // STREAMINFO-independent code by checking the first frame's byte
+    val off = Flac.readStreamInfo(encM, 90L).firstFrameOff
+    assert(((encM(off + 3) >> 1) & 7) == 7, "frame must code 0b111")
+    // correlated stereo: R = L + small delta → side modes win and the
+    // side channel needs 33 bits at the extremes
+    val r32 = l32.map(v => if (v > Int.MaxValue - 40) v - 37 else v + 37)
+    val encS = Flac.encodeFlac(Array(l32, r32), 96000, blockSize = 1024,
+      bps = 32)
+    val (fS, dS) = Flac.decodeFlac(91L, encS)
+    assert(dS(0).sameElements(l32) && dS(1).sameElements(r32),
+      "32-bit stereo not lossless")
+    assert(fS.exists(f => Set(8, 9, 10)(f.channel_mode)),
+      "correlated 32-bit channels should pick a side mode")
+    // MD5: 4 little-endian bytes per sample, pinned by an in-test digest
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until n).foreach { i =>
+      Seq(l32(i), r32(i)).foreach { v =>
+        md.update((v & 0xFF).toByte); md.update(((v >> 8) & 0xFF).toByte)
+        md.update(((v >> 16) & 0xFF).toByte)
+        md.update(((v >> 24) & 0xFF).toByte)
+      }
+    }
+    assert(Flac.readStreamInfo(encS, 91L).md5.sameElements(md.digest()),
+      "32-bit MD5 must pack 4 LE bytes per sample")
+    // hi-res depths keep RICE2 in play
+    assert(fM.exists(_.rice_methods.contains(1)) ||
+      fS.exists(_.rice_methods.contains(1)),
+      "full-range 32-bit noise should engage RICE2")
+  }
+
+  test("negative qlp shift (r15): a pre-RFC foreign LPC frame whose " +
+      "5-bit shift field codes a NEGATIVE two's-complement value " +
+      "decodes with the historical left-shift semantics, bit-exactly; " +
+      "the production encoder still never writes one") {
+    // planted samples: bounded closed form, so residuals under the
+    // q0=1, shift=-2 predictor (predict = x[i-1] << 2) stay small
+    val n = 1024
+    val x = Array.tabulate(n)(i =>
+      (((i.toLong * 2654435761L + 17L) % 4001L) - 2000L).toInt)
+    val foreign = Flac.encodeFlacForeignLpc(x, 48000, bps = 16,
+      q = Array(1), shift = -2)
+    // wire check: the shift field (5 bits) holds 0b11110 = -2
+    val (frames, dec) = Flac.decodeFlac(92L, foreign)
+    assert(dec(0).sameElements(x),
+      "negative-shift foreign frame must reconstruct exactly")
+    assert(frames.length == 1 && (frames.head.subframe_types.head & 0x20) != 0,
+      "the single subframe must be LPC")
+    // a POSITIVE foreign shift through the same writer agrees with the
+    // normal path (control: the writer itself is not the thing pinned)
+    val pos = Flac.encodeFlacForeignLpc(x, 48000, bps = 16,
+      q = Array(1), shift = 2)
+    assert(Flac.decodeFlac(93L, pos)._2.apply(0).sameElements(x))
+    // and at 32-bit depth the two r15 lifts compose
+    val x32 = Array.tabulate(n)(i =>
+      (((i.toLong * 2654435761L + 23L) % 2000003L) - 1000001L).toInt * 512)
+    val f32 = Flac.encodeFlacForeignLpc(x32, 96000, bps = 32,
+      q = Array(1), shift = -1)
+    assert(Flac.decodeFlac(94L, f32)._2.apply(0).sameElements(x32),
+      "negative shift × 32-bit composition must reconstruct exactly")
   }
 
   test("non-byte-aligned depths 12/20 (r14): mono and stereo streams " +
