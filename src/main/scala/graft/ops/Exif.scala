@@ -35,10 +35,11 @@ package graft.ops
   * pointer — Compression 6, JPEGInterchangeFormat/Length validated
   * in-block, the embedded JPEG extracted and its SOI checked, other
   * tags counted) are walked for real; MakerNote is treated as an
-  * opaque unknown tag (it is one, by spec); multi-strip TIFF image
-  * data is out of scope (the TIFF block here is metadata-only, as in
-  * every camera JPEG — thumbnails use the JPEG-interchange form, not
-  * strips). */
+  * opaque unknown tag (it is one, by spec). Multi-strip TIFF image
+  * data: the TIFF block HERE is metadata-only (as in every camera
+  * JPEG — thumbnails use the JPEG-interchange form, not strips);
+  * standalone .tif files with strip-based image data decode through
+  * [[Tiff]] (r15), which reuses THIS parser for their metadata walk. */
 object Exif {
 
   // -------------------------------------------------------------------

@@ -933,6 +933,17 @@ object Multimodal {
         ((payload(palOff + 3 * c + 1) & 0xFF) << 8) |
         (payload(palOff + 3 * c + 2) & 0xFF)
     }
+    // a crafted GIF whose LZW min-code size exceeds the color table's
+    // bits can emit raster indices past the palette — fail loudly by
+    // name here (r15), matching the PNG path's PLTE bounds check,
+    // instead of an anonymous ArrayIndexOutOfBounds in a rasterizer
+    var px = 0
+    while (px < raster.length) {
+      require(raster(px) < palette.length,
+        s"gif: raster index ${raster(px)} outside the " +
+          s"${palette.length}-entry color table (doc $docId)")
+      px += 1
+    }
     GifFrame(w, h, if (lctSize > 0) lctSize else gctSize, raster,
       nCodeBytes, palette)
   }
@@ -1002,17 +1013,19 @@ object Multimodal {
   }
 
   // -------------------------------------------------------------------
-  // PNG (8-bit grayscale) — the second genuinely COMPRESSED codec, and
-  // the first DEFLATE-based one: entropy coding rides java.util.zip's
+  // PNG — the second genuinely COMPRESSED codec, and the first
+  // DEFLATE-based one: entropy coding rides java.util.zip's
   // Inflater/Deflater (part of the JDK, not an external codec library),
   // while everything PNG-specific — chunk walk with CRC verification,
   // IHDR parse, scanline filter reconstruction including the Paeth
-  // predictor — is implemented here byte-for-byte per RFC 2083. The
-  // encoder twin CYCLES the filter type per row (None/Sub/Up/Average/
-  // Paeth), so a round trip exercises every filter path on any image
-  // taller than four rows. Scope boundary: 8-bit grayscale (color type
-  // 0), non-interlaced — other layouts fail loudly at the IHDR, they do
-  // not decode as garbage.
+  // predictor, sub-byte/16-bit sample packing — is implemented here
+  // byte-for-byte per RFC 2083. The encoder twins CYCLE the filter
+  // type per row (None/Sub/Up/Average/Paeth), so a round trip
+  // exercises every filter path on any image taller than four rows.
+  // Coverage (r15): the FULL §4.1.1 depth×color-type matrix — gray at
+  // 1/2/4/8/16, palette at 1/2/4/8, truecolor/gray+alpha/RGBA at 8/16
+  // — sequential and Adam7, with tRNS where the spec allows. Illegal
+  // depth×type cells fail loudly at the IHDR, never decode as garbage.
   // -------------------------------------------------------------------
 
   /** Decoded PNG statistics (gate-facing; integer-only). */
@@ -1412,40 +1425,98 @@ object Multimodal {
     out.toByteArray
   }
 
-  /** Decode an 8-bit grayscale PNG: signature + chunk walk (CRC of every
-    * chunk verified — corruption fails loudly, never decodes as noise),
-    * multi-IDAT concatenation, zlib inflate, per-row unfilter. Returns
-    * (width, height, raster row-major 0..255, compressed IDAT bytes). */
-  /** Bytes-per-pixel for the 8-bit-depth color types this decoder
-    * carries (RFC 2083 §4.1.1): 0 gray, 2 truecolor, 3 palette,
-    * 6 truecolor+alpha. Gray+alpha (4) is a named boundary. */
+  /** Channels per color type (RFC 2083 §4.1.1): 0 gray, 2 truecolor,
+    * 3 palette index, 4 gray+alpha, 6 truecolor+alpha. The decoder
+    * carries ALL FIVE types since r15. */
+  private def pngChannels(color: Int): Int = color match {
+    case 0 => 1
+    case 2 => 3
+    case 3 => 1
+    case 4 => 2
+    case 6 => 4
+    case c => throw new IllegalArgumentException(
+      s"png: color type $c is not defined by the spec")
+  }
+
+  /** The legal depth×type matrix (RFC 2083 §4.1.1 table): gray at
+    * 1/2/4/8/16, palette at 1/2/4/8, the multi-channel types at 8/16.
+    * Since r15 the decoder carries the WHOLE matrix. */
+  private def pngValidateDepth(color: Int, depth: Int): Unit = {
+    val ok = color match {
+      case 0         => depth == 1 || depth == 2 || depth == 4 ||
+        depth == 8 || depth == 16
+      case 3         => depth == 1 || depth == 2 || depth == 4 || depth == 8
+      case 2 | 4 | 6 => depth == 8 || depth == 16
+      case c => throw new IllegalArgumentException(
+        s"png: color type $c is not defined by the spec")
+    }
+    require(ok,
+      s"png: depth $depth is not legal for color type $color (RFC 2083 §4.1.1)")
+  }
+
+  /** Bytes-per-pixel at depth 8 for the LEGACY fixture encoders
+    * ([[encodePngColor]]/[[encodePngAdam7]], whose channel writers are
+    * 8-bit): 0 gray, 2 truecolor, 3 palette, 6 truecolor+alpha.
+    * Gray+alpha and the non-8-bit depths encode through the
+    * generalized [[encodePngEx]]. */
   private def pngBpp(color: Int): Int = color match {
     case 0 => 1
     case 2 => 3
     case 3 => 1
     case 6 => 4
     case 4 => throw new IllegalArgumentException(
-      "png: gray+alpha (color type 4) is a named boundary")
+      "png: gray+alpha encodes through encodePngEx, not the 8-bit fixture writers")
     case c => throw new IllegalArgumentException(
       s"png: color type $c is not defined by the spec")
   }
 
-  /** Shared scanline core: chunk walk (CRC-checked), IHDR validation,
-    * PLTE capture, IDAT inflate, and the per-BYTE unfilter at the
-    * color type's bpp (filters predict from the byte bpp positions
-    * left, RFC 2083 §6.2 — at bpp 1 this is exactly the per-pixel
-    * form). Returns (w, h, colorType, reconstructed bytes laid out
-    * rowBytes per row with the filter byte removed, palette or null,
-    * compressed IDAT length). */
+  /** Unpack `count` samples of `depth` bits from reconstructed
+    * scanline bytes starting at `byteOff`: sub-byte samples are packed
+    * MSB-first within each byte (RFC 2083 §2.3), 16-bit samples are
+    * big-endian; 8-bit pass through. Row boundaries always start a
+    * fresh byte (padding bits, if any, live at the row's end). */
+  private def unpackRow(bytes: Array[Byte], byteOff: Int, depth: Int,
+      count: Int, out: Array[Int], outOff: Int): Unit = depth match {
+    case 8 =>
+      var i = 0
+      while (i < count) {
+        out(outOff + i) = bytes(byteOff + i) & 0xFF; i += 1
+      }
+    case 16 =>
+      var i = 0
+      while (i < count) {
+        out(outOff + i) = ((bytes(byteOff + 2 * i) & 0xFF) << 8) |
+          (bytes(byteOff + 2 * i + 1) & 0xFF)
+        i += 1
+      }
+    case _ => // 1, 2, 4
+      val per = 8 / depth
+      val mask = (1 << depth) - 1
+      var i = 0
+      while (i < count) {
+        val b = bytes(byteOff + i / per) & 0xFF
+        out(outOff + i) = (b >> (8 - depth * (i % per + 1))) & mask
+        i += 1
+      }
+  }
+
+  /** Shared scanline core: chunk walk (CRC-checked), IHDR validation
+    * over the FULL depth×type matrix (r15), PLTE capture, IDAT
+    * inflate, the per-BYTE unfilter at the type's filter stride
+    * (max(1, channels·depth/8) bytes, RFC 2083 §6.2 — sub-byte depths
+    * filter at stride 1), then bit/byte unpack to NATIVE samples.
+    * Returns (w, h, colorType, depth, samples row-major in channel
+    * order at their native 0..2^depth−1 range, palette or null, raw
+    * tRNS body or null, compressed IDAT length). */
   private def pngScanlines(payload: Array[Byte])
-      : (Int, Int, Int, Array[Byte], Array[Int], Array[Byte], Int) = {
+      : (Int, Int, Int, Int, Array[Int], Array[Int], Array[Byte], Int) = {
     require(payload.length >= 8, "png: truncated signature")
     var i = 0
     while (i < 8) { require(payload(i) == PngSig(i), "png: bad signature"); i += 1 }
     def be32(p: Int): Int = ((payload(p) & 0xFF) << 24) | ((payload(p + 1) & 0xFF) << 16) |
       ((payload(p + 2) & 0xFF) << 8) | (payload(p + 3) & 0xFF)
     var pos = 8
-    var width = -1; var height = -1; var color = -1
+    var width = -1; var height = -1; var color = -1; var depth = -1
     var interlaced = 0
     var palette: Array[Int] = null
     var trns: Array[Byte] = null
@@ -1461,12 +1532,10 @@ object Multimodal {
       typ match {
         case "IHDR" =>
           width = be32(pos + 8); height = be32(pos + 12)
-          val depth = payload(pos + 16) & 0xFF
+          depth = payload(pos + 16) & 0xFF
           color = payload(pos + 17) & 0xFF
           val interlace = payload(pos + 20) & 0xFF
-          require(depth == 8,
-            s"png: only 8-bit channel depth supported (depth=$depth)")
-          pngBpp(color): Unit // validates the color type, loudly
+          pngValidateDepth(color, depth) // whole matrix carried (r15)
           require(interlace == 0 || interlace == 1,
             s"png: interlace method $interlace is not defined")
           interlaced = interlace
@@ -1491,7 +1560,7 @@ object Multimodal {
       "png: palette image without a PLTE chunk")
     // tRNS shape per color type (RFC 2083 §4.2.1): per-index alphas at
     // 3 (at most one per PLTE entry), a 2-byte gray key at 0, a 6-byte
-    // RGB key at 2; forbidden with an alpha channel (6)
+    // RGB key at 2; forbidden with an alpha channel (4 and 6)
     if (trns != null) color match {
       case 3 => require(trns.length <= palette.length,
         s"png: tRNS carries ${trns.length} alphas for a " +
@@ -1501,52 +1570,63 @@ object Multimodal {
       case 2 => require(trns.length == 6,
         s"png: truecolor tRNS must be 6 bytes, got ${trns.length}")
       case _ => throw new IllegalArgumentException(
-        "png: tRNS is forbidden with an alpha channel (color type 6)")
+        s"png: tRNS is forbidden with an alpha channel (color type $color)")
     }
-    val bpp = pngBpp(color)
-    val rowBytes = width * bpp
+    val channels = pngChannels(color)
+    val bitsPerPx = channels * depth
+    val filterBpp = math.max(1, bitsPerPx / 8) // §6.2 filter stride
+    val rowBytes = (width * bitsPerPx + 7) / 8
     val comp = idat.toByteArray
-    val out: Array[Byte] =
-      if (interlaced == 0) {
-        val raw = inflateExact(comp, (rowBytes + 1) * height)
-        val o = new Array[Byte](rowBytes * height)
-        unfilterInto(raw, 0, height, rowBytes, bpp, o, 0)
-        o
-      } else {
-        // Adam7 (RFC 2083 §2.6): seven sub-images, each with its own
-        // filtered scanlines — filters predict within the PASS, and
-        // reconstructed pixels scatter to (x0 + i·dx, y0 + j·dy)
-        val dims = Adam7.map { case (x0, y0, dx, dy) =>
-          (math.max(0, (width - x0 + dx - 1) / dx),
-            math.max(0, (height - y0 + dy - 1) / dy))
-        }
-        val total = dims.map { case (pw, ph) =>
-          if (pw == 0 || ph == 0) 0 else (pw * bpp + 1) * ph
-        }.sum
-        val raw = inflateExact(comp, total)
-        val o = new Array[Byte](rowBytes * height)
-        var rawOff = 0
-        Adam7.zip(dims).foreach { case ((x0, y0, dx, dy), (pw, ph)) =>
-          if (pw > 0 && ph > 0) {
-            val passRow = pw * bpp
-            val pass = new Array[Byte](passRow * ph)
-            unfilterInto(raw, rawOff, ph, passRow, bpp, pass, 0)
-            rawOff += (passRow + 1) * ph
-            var j = 0
-            while (j < ph) {
-              var i = 0
-              while (i < pw) {
-                val dst = ((y0 + j * dy) * width + (x0 + i * dx)) * bpp
-                System.arraycopy(pass, (j * pw + i) * bpp, o, dst, bpp)
-                i += 1
+    val samples = new Array[Int](width * height * channels)
+    if (interlaced == 0) {
+      val raw = inflateExact(comp, (rowBytes + 1) * height)
+      val o = new Array[Byte](rowBytes * height)
+      unfilterInto(raw, 0, height, rowBytes, filterBpp, o, 0)
+      var r = 0
+      while (r < height) {
+        unpackRow(o, r * rowBytes, depth, width * channels,
+          samples, r * width * channels)
+        r += 1
+      }
+    } else {
+      // Adam7 (RFC 2083 §2.6): seven sub-images, each with its own
+      // filtered scanlines — filters predict within the PASS, each
+      // pass row starts a fresh byte, and reconstructed SAMPLES
+      // scatter to (x0 + i·dx, y0 + j·dy)
+      val dims = Adam7.map { case (x0, y0, dx, dy) =>
+        (math.max(0, (width - x0 + dx - 1) / dx),
+          math.max(0, (height - y0 + dy - 1) / dy))
+      }
+      val total = dims.map { case (pw, ph) =>
+        if (pw == 0 || ph == 0) 0 else ((pw * bitsPerPx + 7) / 8 + 1) * ph
+      }.sum
+      val raw = inflateExact(comp, total)
+      var rawOff = 0
+      Adam7.zip(dims).foreach { case ((x0, y0, dx, dy), (pw, ph)) =>
+        if (pw > 0 && ph > 0) {
+          val passRow = (pw * bitsPerPx + 7) / 8
+          val pass = new Array[Byte](passRow * ph)
+          unfilterInto(raw, rawOff, ph, passRow, filterBpp, pass, 0)
+          rawOff += (passRow + 1) * ph
+          val rowSamp = new Array[Int](pw * channels)
+          var j = 0
+          while (j < ph) {
+            unpackRow(pass, j * passRow, depth, pw * channels, rowSamp, 0)
+            var i = 0
+            while (i < pw) {
+              val dst = ((y0 + j * dy) * width + (x0 + i * dx)) * channels
+              var c = 0
+              while (c < channels) {
+                samples(dst + c) = rowSamp(i * channels + c); c += 1
               }
-              j += 1
+              i += 1
             }
+            j += 1
           }
         }
-        o
       }
-    (width, height, color, out, palette, trns, comp.length)
+    }
+    (width, height, color, depth, samples, palette, trns, comp.length)
   }
 
   /** Build an 8-bit ADAM7-INTERLACED PNG (r14) of any carried color
@@ -1557,8 +1637,17 @@ object Multimodal {
   def encodePngAdam7(width: Int, height: Int, colorType: Int,
       pixel: Int => Int, palette: Array[Int] = null,
       trnsAlphas: Array[Int] = null): Array[Byte] = {
+    // r15 advisor: the validations the non-interlaced twin enforces —
+    // out-of-range alphas must not silently truncate through .toByte,
+    // a stray palette on a non-palette type must not silently drop
     require(trnsAlphas == null || colorType == 3,
       "png: the per-index tRNS fixture form is color-type-3-only")
+    require(trnsAlphas == null || (palette != null &&
+      trnsAlphas.length <= palette.length &&
+      trnsAlphas.forall(a => a >= 0 && a <= 255)),
+      "png: tRNS alphas must be 0..255, at most one per PLTE entry")
+    require(colorType == 3 || palette == null,
+      "png: PLTE is color-type-3-only")
     require(width > 0 && height > 0, s"png: bad dims ${width}x$height")
     val bpp = pngBpp(colorType)
     if (colorType == 3)
@@ -1657,6 +1746,153 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Build a PNG at ANY legal depth×color-type cell of the RFC 2083
+    * §4.1.1 matrix (r15), sequential or Adam7-interlaced — the fixture
+    * twin of the generalized decode and the writer a real pipeline
+    * producing 16-bit/sub-byte imagery would use. `sample(i, c)`
+    * returns the NATIVE value of channel `c` (spec order: gray;
+    * R,G,B; palette index; gray,alpha; R,G,B,A) of pixel `i`, range
+    * 0..2^depth−1. Sub-byte samples pack MSB-first within each byte
+    * (§2.3, rows padded to a byte boundary); 16-bit samples are
+    * big-endian. `trnsRaw` is the raw tRNS body in the §4.2.1 shape
+    * for the type (per-index alphas at 3, 2-byte gray key at 0,
+    * 6-byte RGB key at 2). Filters cycle (pass + row) % 5 at the
+    * §6.2 stride max(1, channels·depth/8). */
+  def encodePngEx(width: Int, height: Int, depth: Int, colorType: Int,
+      sample: (Int, Int) => Int, palette: Array[Int] = null,
+      trnsRaw: Array[Byte] = null,
+      interlaced: Boolean = false): Array[Byte] = {
+    require(width > 0 && height > 0, s"png: bad dims ${width}x$height")
+    pngValidateDepth(colorType, depth)
+    val channels = pngChannels(colorType)
+    val maxVal = if (depth == 16) 0xFFFF else (1 << depth) - 1
+    if (colorType == 3)
+      require(palette != null && palette.nonEmpty &&
+        palette.length <= math.min(256, 1 << depth),
+        s"png: palette encode at depth $depth needs 1..${math.min(256, 1 << depth)} PLTE entries")
+    else require(palette == null, "png: PLTE is color-type-3-only")
+    if (trnsRaw != null) colorType match {
+      case 3 => require(trnsRaw.length <= palette.length,
+        "png: tRNS carries more alphas than PLTE entries")
+      case 0 => require(trnsRaw.length == 2,
+        "png: gray tRNS key must be 2 bytes")
+      case 2 => require(trnsRaw.length == 6,
+        "png: truecolor tRNS key must be 6 bytes")
+      case _ => throw new IllegalArgumentException(
+        s"png: tRNS is forbidden with an alpha channel (color type $colorType)")
+    }
+    val bitsPerPx = channels * depth
+    val filterBpp = math.max(1, bitsPerPx / 8)
+    def packRow(vals: Array[Int], count: Int, dst: Array[Byte],
+        dstOff: Int): Unit = depth match {
+      case 8 =>
+        var i = 0
+        while (i < count) { dst(dstOff + i) = vals(i).toByte; i += 1 }
+      case 16 =>
+        var i = 0
+        while (i < count) {
+          dst(dstOff + 2 * i) = (vals(i) >> 8).toByte
+          dst(dstOff + 2 * i + 1) = vals(i).toByte
+          i += 1
+        }
+      case _ =>
+        val per = 8 / depth
+        var i = 0
+        while (i < count) {
+          val at = dstOff + i / per
+          dst(at) = (dst(at) |
+            (vals(i) << (8 - depth * (i % per + 1)))).toByte
+          i += 1
+        }
+    }
+    val passes = if (interlaced) Adam7 else Seq((0, 0, 1, 1))
+    val raw = new java.io.ByteArrayOutputStream()
+    passes.zipWithIndex.foreach { case ((x0, y0, dx, dy), p) =>
+      val pw = math.max(0, (width - x0 + dx - 1) / dx)
+      val ph = math.max(0, (height - y0 + dy - 1) / dy)
+      if (pw > 0 && ph > 0) {
+        val passRow = (pw * bitsPerPx + 7) / 8
+        val packed = new Array[Byte](passRow * ph)
+        val rowVals = new Array[Int](pw * channels)
+        var j = 0
+        while (j < ph) {
+          var i = 0
+          while (i < pw) {
+            val pix = (y0 + j * dy) * width + (x0 + i * dx)
+            var c = 0
+            while (c < channels) {
+              val v = sample(pix, c)
+              require(v >= 0 && v <= maxVal,
+                s"png: sample $v outside 0..$maxVal at depth $depth")
+              if (colorType == 3) require(v < palette.length,
+                s"png: palette index $v outside 0..${palette.length - 1}")
+              rowVals(i * channels + c) = v
+              c += 1
+            }
+            i += 1
+          }
+          packRow(rowVals, pw * channels, packed, j * passRow)
+          j += 1
+        }
+        var r = 0
+        while (r < ph) {
+          val f = (p + r) % 5
+          raw.write(f)
+          var x = 0
+          while (x < passRow) {
+            val at = r * passRow + x
+            val cur = packed(at) & 0xFF
+            val left = if (x >= filterBpp) packed(at - filterBpp) & 0xFF
+              else 0
+            val above = if (r > 0) packed(at - passRow) & 0xFF else 0
+            val ul = if (x >= filterBpp && r > 0)
+              packed(at - passRow - filterBpp) & 0xFF else 0
+            val filtered = f match {
+              case 0 => cur
+              case 1 => cur - left
+              case 2 => cur - above
+              case 3 => cur - ((left + above) >> 1)
+              case _ => cur - paeth(left, above, ul)
+            }
+            raw.write(filtered & 0xFF)
+            x += 1
+          }
+          r += 1
+        }
+      }
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw.toByteArray); defl.finish()
+    val zout = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](4096)
+    while (!defl.finished()) { val n = defl.deflate(tmp); zout.write(tmp, 0, n) }
+    defl.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSig)
+    def be32(v: Int): Array[Byte] =
+      Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      out.write(be32(data.length))
+      val td = typ.getBytes("US-ASCII") ++ data
+      out.write(td)
+      out.write(be32(pngCrc(td, 0, td.length)))
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(depth.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte)
+      .put((if (interlaced) 1 else 0).toByte)
+    chunk("IHDR", ihdr.array())
+    if (colorType == 3)
+      chunk("PLTE", palette.flatMap(c => Seq(
+        ((c >> 16) & 0xFF).toByte, ((c >> 8) & 0xFF).toByte,
+        (c & 0xFF).toByte)))
+    if (trnsRaw != null) chunk("tRNS", trnsRaw)
+    chunk("IDAT", zout.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
   /** GIF 4-pass interlace row order (GIF89a appendix E): the actual
     * raster row for each TRANSMITTED row — rows 0,8,16,… then 4,12,…
     * then 2,6,10,… then 1,3,5,… (r14: previously the interlace bit was
@@ -1699,6 +1935,16 @@ object Multimodal {
       require(k > 0, "png: truncated or corrupt DEFLATE stream")
       off += k
     }
+    // surplus scanline data (e.g. an IHDR whose depth/type implies a
+    // smaller raster than the stream carries) must fail loudly, not
+    // silently decode a prefix (r15): drain any buffered tail —
+    // finished() alone can read false when the trailer hasn't been
+    // pulled yet
+    if (!inf.finished()) {
+      val probe = new Array[Byte](1)
+      require(inf.inflate(probe) == 0 && inf.finished(),
+        "png: IDAT carries more scanline data than the IHDR layout implies")
+    }
     inf.end()
     raw
   }
@@ -1736,63 +1982,96 @@ object Multimodal {
     }
   }
 
-  def decodePngRaster(payload: Array[Byte]): (Int, Int, Array[Int], Int) = {
-    val (width, height, color, bytes, _, _, nComp) = pngScanlines(payload)
+  /** Grayscale samples + depth — shared by the raster and stats forms. */
+  private def pngGraySamples(payload: Array[Byte])
+      : (Int, Int, Int, Array[Int], Int) = {
+    val (width, height, color, depth, smp, _, _, nComp) =
+      pngScanlines(payload)
     require(color == 0,
       s"png: grayscale raster path needs color type 0, got $color — " +
         "decode color images through decodePngRgb")
-    val px = new Array[Int](width * height)
-    var i = 0
-    while (i < px.length) { px(i) = bytes(i) & 0xFF; i += 1 }
-    (width, height, px, nComp)
+    (width, height, depth, smp, nComp)
   }
 
-  /** Decode an 8-bit PNG of any carried color type to packed
-    * 0xAARGGBB pixels (alpha 255 where the type has none; palette
-    * indices bounds-checked against PLTE). The color twin of
+  /** Decode a grayscale (color type 0) PNG at ANY legal depth
+    * (1/2/4/8/16 since r15) to its NATIVE samples — the integer-exact
+    * hash-path contract: no rescaling, values 0..2^depth−1. Returns
+    * (width, height, raster row-major, compressed IDAT bytes). */
+  def decodePngRaster(payload: Array[Byte]): (Int, Int, Array[Int], Int) = {
+    val (width, height, _, smp, nComp) = pngGraySamples(payload)
+    (width, height, smp, nComp)
+  }
+
+  /** Scale a native sample to 8 bits, round-nearest: v·255/max is
+    * EXACT bit replication for depths 1/2/4 (×255/×85/×17), identity
+    * at 8, and (v·255 + 32767)/65535 at 16 — the deterministic
+    * integer form an oracle can replay. */
+  private def pngScale8(v: Int, depth: Int): Int = depth match {
+    case 8  => v
+    case 16 => (v * 255 + 32767) / 65535
+    case d  => v * 255 / ((1 << d) - 1)
+  }
+
+  /** Decode a PNG of ANY carried color type and depth (the full RFC
+    * 2083 matrix since r15) to packed 0xAARRGGBB pixels: channels
+    * scaled to 8 bits via [[pngScale8]], alpha 255 where the type has
+    * none, color keys compared at the NATIVE depth (§4.2.1 stores the
+    * key in the 2-byte field's low bits), palette indices
+    * bounds-checked against PLTE. The color twin of
     * [[decodePngRaster]], with the same packed-RGB contract as
     * [[decodeJpegRgb]]. */
   def decodePngRgb(docId: Long,
       payload: Array[Byte]): (Int, Int, Array[Int], Int) = {
-    val (w, h, color, bytes, palette, trns, nComp) = pngScanlines(payload)
+    val (w, h, color, depth, smp, palette, trns, nComp) =
+      pngScanlines(payload)
+    def key16(at: Int): Int =
+      if (trns == null) -1
+      else ((trns(at) & 0xFF) << 8) | (trns(at + 1) & 0xFF)
     val px = new Array[Int](w * h)
     var i = 0
     color match {
       case 0 =>
-        // tRNS at type 0 is a 2-byte gray COLOR KEY (depth 8: low byte)
-        val key = if (trns == null) -1 else trns(1) & 0xFF
+        val key = key16(0)
         while (i < px.length) {
-          val g = bytes(i) & 0xFF
-          val a = if (g == key) 0 else 0xFF
+          val gv = smp(i)
+          val g = pngScale8(gv, depth)
+          val a = if (gv == key) 0 else 0xFF
           px(i) = (a << 24) | (g << 16) | (g << 8) | g; i += 1
         }
       case 2 =>
-        // tRNS at type 2 is a 6-byte RGB color key (2 bytes/channel)
-        val key = if (trns == null) -1
-          else ((trns(1) & 0xFF) << 16) | ((trns(3) & 0xFF) << 8) |
-            (trns(5) & 0xFF)
+        val (kr, kg, kb) = (key16(0), key16(2), key16(4))
         while (i < px.length) {
-          val rgb = ((bytes(3 * i) & 0xFF) << 16) |
-            ((bytes(3 * i + 1) & 0xFF) << 8) | (bytes(3 * i + 2) & 0xFF)
-          val a = if (rgb == key) 0 else 0xFF
-          px(i) = (a << 24) | rgb; i += 1
+          val rv = smp(3 * i); val gv = smp(3 * i + 1)
+          val bv = smp(3 * i + 2)
+          val a = if (rv == kr && gv == kg && bv == kb) 0 else 0xFF
+          px(i) = (a << 24) | (pngScale8(rv, depth) << 16) |
+            (pngScale8(gv, depth) << 8) | pngScale8(bv, depth)
+          i += 1
         }
       case 3 =>
         // tRNS at type 3 is per-index alpha; indices past its length
-        // are opaque (RFC 2083 §4.2.1)
+        // are opaque (RFC 2083 §4.2.1); PLTE entries are 8-bit at
+        // every palette depth
         while (i < px.length) {
-          val ix = bytes(i) & 0xFF
+          val ix = smp(i)
           require(ix < palette.length,
             s"png: palette index $ix outside PLTE of ${palette.length} (doc $docId)")
           val a = if (trns != null && ix < trns.length) trns(ix) & 0xFF
             else 0xFF
           px(i) = (a << 24) | palette(ix); i += 1
         }
+      case 4 =>
+        while (i < px.length) {
+          val g = pngScale8(smp(2 * i), depth)
+          val a = pngScale8(smp(2 * i + 1), depth)
+          px(i) = (a << 24) | (g << 16) | (g << 8) | g; i += 1
+        }
       case _ => // 6, validated in pngScanlines
         while (i < px.length) {
-          px(i) = ((bytes(4 * i + 3) & 0xFF) << 24) |
-            ((bytes(4 * i) & 0xFF) << 16) |
-            ((bytes(4 * i + 1) & 0xFF) << 8) | (bytes(4 * i + 2) & 0xFF)
+          px(i) = (pngScale8(smp(4 * i + 3), depth) << 24) |
+            (pngScale8(smp(4 * i), depth) << 16) |
+            (pngScale8(smp(4 * i + 1), depth) << 8) |
+            pngScale8(smp(4 * i + 2), depth)
           i += 1
         }
     }
@@ -1818,9 +2097,11 @@ object Multimodal {
     (w, h, out)
   }
 
-  /** Raster statistics of a decoded PNG — the gate-facing form. */
+  /** Raster statistics of a decoded grayscale PNG — the gate-facing
+    * form. Since r15 reports the NATIVE bit depth and native-sample
+    * sums for the whole 1/2/4/8/16 gray matrix. */
   def decodePng(docId: Long, payload: Array[Byte]): PngStats = {
-    val (w, h, px, nIdat) = decodePngRaster(payload)
+    val (w, h, depth, px, nIdat) = pngGraySamples(payload)
     var sum = 0L; var mn = Int.MaxValue; var mx = -1
     var i = 0
     while (i < px.length) {
@@ -1828,7 +2109,7 @@ object Multimodal {
       i += 1
     }
     val empty = px.isEmpty
-    PngStats(docId, w, h, 8, px.length.toLong, sum,
+    PngStats(docId, w, h, depth, px.length.toLong, sum,
       if (empty) 0 else mn, if (empty) 0 else mx, nIdat.toLong)
   }
 
@@ -3717,6 +3998,9 @@ object Multimodal {
     else if (at(0) == 'f' && at(1) == 'L' && at(2) == 'a' && at(3) == 'C')
       "audio/flac"
     else if (at(0) == 0x1F && at(1) == 0x8B) "application/gzip"
+    else if ((at(0) == 'I' && at(1) == 'I' && at(2) == 42 && at(3) == 0) ||
+        (at(0) == 'M' && at(1) == 'M' && at(2) == 0 && at(3) == 42))
+      "image/tiff" // standalone TIFF (r15): II*\0 / MM\0*
     else if (payload.length >= 12 && at(0) == 'R' && at(1) == 'I' &&
         at(2) == 'F' && at(3) == 'F') {
       new String(payload, 8, 4, "US-ASCII") match {
@@ -3763,6 +4047,9 @@ object Multimodal {
           val (w, h, _, _) = parsePgmHeader(r.payload, r.doc_id)
           w.toLong * h
         case "application/gzip" => gunzip(r.payload).length.toLong
+        case "image/tiff" =>
+          val t2 = Tiff.decodeTiff(r.doc_id, r.payload)
+          t2.width.toLong * t2.height
         case "application/zip" =>
           decodeZipEntries(r.doc_id, r.payload).map(_._3.length.toLong).sum
         case "application/x-tar" =>

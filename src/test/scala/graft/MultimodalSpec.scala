@@ -249,13 +249,14 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     // bad signature / truncation rejected
     intercept[IllegalArgumentException](decodePngRaster("JFIF1234".getBytes))
     intercept[IllegalArgumentException](decodePngRaster(handmade.dropRight(6)))
-    // unsupported layout (color type 4 = gray+alpha, the remaining
-    // named boundary now that 2/3/6 are carried) fails at the IHDR
-    val gaIhdr = be32(3) ++ be32(5) ++ b(8, 4, 0, 0, 0)
-    val ga = sig ++ chunk("IHDR", gaIhdr) ++ chunk("IDAT", idat) ++
+    // an ILLEGAL depth×type cell (palette at 16-bit, RFC 2083 §4.1.1)
+    // fails at the IHDR by name — the r14 type-4 boundary is GONE
+    // (gray+alpha decodes since r15; see the depth-matrix battery)
+    val badIhdr = be32(3) ++ be32(5) ++ b(16, 3, 0, 0, 0)
+    val badCell = sig ++ chunk("IHDR", badIhdr) ++ chunk("IDAT", idat) ++
       chunk("IEND", Array.emptyByteArray)
-    val e2 = intercept[IllegalArgumentException](decodePngRaster(ga))
-    assert(e2.getMessage.contains("gray+alpha"))
+    val e2 = intercept[IllegalArgumentException](decodePngRaster(badCell))
+    assert(e2.getMessage.contains("not legal for color type"))
   }
 
   test("PNG round trip + cross-check against the JDK's ImageIO codec, both directions") {
@@ -1085,9 +1086,12 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     // the grayscale raster path refuses color images by name
     val eGray = intercept[IllegalArgumentException](decodePngRaster(p2))
     assert(eGray.getMessage.contains("decodePngRgb"))
-    // gray+alpha stays a named boundary
+    // a LYING header (truecolor data relabeled gray+alpha — type 4 is
+    // carried since r15, so the smaller 2-channel layout now implies
+    // less scanline data than the stream holds) fails loudly instead
+    // of silently decoding a prefix
     val p4hdr = p2.clone(); p4hdr(25) = 4 // IHDR color-type byte
-    // (CRC now wrong — recompute so the boundary fires, not the CRC)
+    // (CRC now wrong — recompute so the layout check fires, not the CRC)
     val ihdrTd = "IHDR".getBytes("US-ASCII") ++
       java.util.Arrays.copyOfRange(p4hdr, 16, 29)
     val crcC = new java.util.zip.CRC32; crcC.update(ihdrTd)
@@ -1095,7 +1099,7 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     p4hdr(29) = (crc >>> 24).toByte; p4hdr(30) = (crc >>> 16).toByte
     p4hdr(31) = (crc >>> 8).toByte; p4hdr(32) = crc.toByte
     val e4 = intercept[IllegalArgumentException](decodePngRgb(5L, p4hdr))
-    assert(e4.getMessage.contains("color type 4"))
+    assert(e4.getMessage.contains("more scanline data"))
     // hand-assembled type-2 vector: 2x1 RGB, Sub filter — left
     // predictor must reach back bpp=3 BYTES, not 1
     def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
@@ -1300,5 +1304,224 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       p6.drop(ihdrEnd)
     val e2 = intercept[IllegalArgumentException](decodePngRgb(44L, p6t))
     assert(e2.getMessage.contains("forbidden with an alpha channel"))
+  }
+
+  test("PNG depth matrix (r15): all 15 legal depth×type cells of RFC " +
+      "2083 §4.1.1 round-trip natively through encodePngEx, sequential " +
+      "AND Adam7; gray stats report the native depth; illegal cells " +
+      "and out-of-range samples are loud") {
+    val matrix = Seq(0 -> Seq(1, 2, 4, 8, 16), 2 -> Seq(8, 16),
+      3 -> Seq(1, 2, 4, 8), 4 -> Seq(8, 16), 6 -> Seq(8, 16))
+    def s8(v: Int, d: Int): Int =
+      if (d == 8) v else if (d == 16) (v * 255 + 32767) / 65535
+      else v * 255 / ((1 << d) - 1)
+    val w = 13; val h = 7 // ragged against every Adam7 pass geometry
+    for ((ct, depths) <- matrix; depth <- depths;
+        lace <- Seq(false, true)) {
+      val tag = s"ct=$ct depth=$depth lace=$lace"
+      val nCh = ct match {
+        case 0 | 3 => 1; case 2 => 3; case 4 => 2; case _ => 4
+      }
+      val maxV = if (depth == 16) 0xFFFF else (1 << depth) - 1
+      val pal = if (ct == 3)
+        Array.tabulate(math.min(1 << depth, 16))(c => c * 0x050301 + 7)
+      else null
+      val lim = if (ct == 3) pal.length else maxV + 1
+      def sample(i: Int, c: Int): Int = (i * (3 + 2 * c) + 7 * c + depth) % lim
+      val png = encodePngEx(w, h, depth, ct, sample, pal,
+        interlaced = lace)
+      if (ct == 0) {
+        // native-sample contract + stats carry the real depth
+        val (dw, dh, smp, _) = decodePngRaster(png)
+        assert(dw == w && dh == h, tag)
+        (0 until w * h).foreach(i => assert(smp(i) == sample(i, 0),
+          s"$tag native i=$i"))
+        val st = decodePng(7L, png)
+        assert(st.bit_depth == depth &&
+          st.px_sum == (0 until w * h).map(i => sample(i, 0).toLong).sum,
+          tag)
+      }
+      // packed-RGB contract: every channel scaled by the documented
+      // integer formula (exact replication below 8, round-nearest /257
+      // form at 16)
+      val (rw, rh, px, _) = decodePngRgb(8L, png)
+      assert(rw == w && rh == h, tag)
+      (0 until w * h).foreach { i =>
+        val exp = ct match {
+          case 0 =>
+            val g = s8(sample(i, 0), depth)
+            0xFF000000 | (g << 16) | (g << 8) | g
+          case 2 => 0xFF000000 | (s8(sample(i, 0), depth) << 16) |
+            (s8(sample(i, 1), depth) << 8) | s8(sample(i, 2), depth)
+          case 3 => 0xFF000000 | pal(sample(i, 0))
+          case 4 =>
+            val g = s8(sample(i, 0), depth)
+            (s8(sample(i, 1), depth) << 24) | (g << 16) | (g << 8) | g
+          case _ => (s8(sample(i, 3), depth) << 24) |
+            (s8(sample(i, 0), depth) << 16) |
+            (s8(sample(i, 1), depth) << 8) | s8(sample(i, 2), depth)
+        }
+        assert(px(i) == exp, f"$tag i=$i got 0x${px(i)}%08X want 0x$exp%08X")
+      }
+    }
+    // illegal cells refuse at encode AND decode (decode side pinned in
+    // the handmade-vector test); out-of-range samples refuse at encode
+    intercept[IllegalArgumentException](
+      encodePngEx(2, 2, 16, 3, (_, _) => 0, Array(1)))
+    intercept[IllegalArgumentException](
+      encodePngEx(2, 2, 4, 2, (_, _) => 0))
+    val eRange = intercept[IllegalArgumentException](
+      encodePngEx(2, 2, 4, 0, (_, _) => 16))
+    assert(eRange.getMessage.contains("outside 0..15"))
+  }
+
+  test("PNG sub-byte and 16-bit sample layout pinned BY HAND (r15): " +
+      "MSB-first packing with row padding (stored-DEFLATE vector, no " +
+      "Deflater in the loop); 16-bit filters predict at stride 2") {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    def be32(v: Long): Array[Byte] = b(((v >> 24) & 0xFF).toInt,
+      ((v >> 16) & 0xFF).toInt, ((v >> 8) & 0xFF).toInt, (v & 0xFF).toInt)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val td = typ.getBytes("US-ASCII") ++ data
+      val c = new java.util.zip.CRC32; c.update(td)
+      be32(data.length.toLong) ++ td ++ be32(c.getValue)
+    }
+    def stored(raw: Array[Byte]): Array[Byte] = {
+      val adler = { val a = new java.util.zip.Adler32; a.update(raw); a.getValue }
+      b(0x78, 0x01, 0x01, raw.length & 0xFF, raw.length >> 8,
+        ~raw.length & 0xFF, (~raw.length >> 8) & 0xFF) ++ raw ++
+        b(((adler >> 24) & 0xFF).toInt, ((adler >> 16) & 0xFF).toInt,
+          ((adler >> 8) & 0xFF).toInt, (adler & 0xFF).toInt)
+    }
+    val sig = b(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+    // depth-2 gray, 5×2: samples 3,1,0,2,3 / 1,2,3,0,1 pack MSB-first
+    // as 11_01_00_10 11_000000 / 01_10_11_00 01_000000 with 6 padding
+    // bits closing each row
+    val ihdr2 = be32(5) ++ be32(2) ++ b(2, 0, 0, 0, 0)
+    val raw2 = b(0, 0xD2, 0xC0, 0, 0x6C, 0x40)
+    val png2 = sig ++ chunk("IHDR", ihdr2) ++
+      chunk("IDAT", stored(raw2)) ++ chunk("IEND", Array.emptyByteArray)
+    val (w2, h2, smp2, _) = decodePngRaster(png2)
+    assert(w2 == 5 && h2 == 2 &&
+      smp2.toSeq == Seq(3, 1, 0, 2, 3, 1, 2, 3, 0, 1))
+    // depth-1 gray, 10×1: 1010 1100 11 → 0xAC 0xC0
+    val ihdr1 = be32(10) ++ be32(1) ++ b(1, 0, 0, 0, 0)
+    val png1 = sig ++ chunk("IHDR", ihdr1) ++
+      chunk("IDAT", stored(b(0, 0xAC, 0xC0))) ++
+      chunk("IEND", Array.emptyByteArray)
+    assert(decodePngRaster(png1)._3.toSeq ==
+      Seq(1, 0, 1, 0, 1, 1, 0, 0, 1, 1))
+    // depth-16 gray 2×2 with a Sub-filtered second row: filter bytes
+    // predict at stride TWO, so recon = raw + out[at−2] per RFC 2083
+    // §6.2 — row1 raw (0x01,0x00, 0x00,0xFF) over row-local left
+    // yields 0x0100, 0x0100+0x00FF=0x01FF
+    val ihdr16 = be32(2) ++ be32(2) ++ b(16, 0, 0, 0, 0)
+    val raw16 = b(0, 0x12, 0x34, 0xAB, 0xCD, // row0 None: 0x1234 0xABCD
+      1, 0x01, 0x00, 0x00, 0xFF) // row1 Sub at stride 2
+    val png16 = sig ++ chunk("IHDR", ihdr16) ++
+      chunk("IDAT", stored(raw16)) ++ chunk("IEND", Array.emptyByteArray)
+    assert(decodePngRaster(png16)._3.toSeq ==
+      Seq(0x1234, 0xABCD, 0x0100, 0x01FF))
+  }
+
+  test("PNG 16-bit and sub-byte depths cross-check against the JDK's " +
+      "ImageIO codec in both directions (r15)") {
+    val rng = new scala.util.Random(315)
+    // 16-bit gray: our encoder → ImageIO reader, native samples
+    val (w, h) = (11, 6)
+    val g16 = Array.fill(w * h)(rng.nextInt(65536))
+    val enc16 = encodePngEx(w, h, 16, 0, (i, _) => g16(i))
+    val img16 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(enc16))
+    assert(img16.getWidth == w && img16.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(img16.getRaster.getSample(x, y, 0) == g16(y * w + x),
+        s"ImageIO disagrees at ($x,$y)")
+    // …and the reverse: the JDK ENCODER's 16-bit output reads natively
+    val jdk = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      jdk.getRaster.setSample(x, y, 0, g16(y * w + x))
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(jdk, "png", baos))
+    val (dw, dh, dec, _) = decodePngRaster(baos.toByteArray)
+    assert(dw == w && dh == h && dec.toSeq == g16.toSeq)
+    // 16-bit truecolor: our encoder → ImageIO, per-band native samples
+    val rgb16 = Array.fill(w * h * 3)(rng.nextInt(65536))
+    val encC = encodePngEx(w, h, 16, 2, (i, c) => rgb16(3 * i + c))
+    val imgC = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(encC))
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      assert(imgC.getRaster.getSample(x, y, c) == rgb16(3 * (y * w + x) + c))
+    // sub-byte gray (1/2/4): ImageIO's raster carries the native bits
+    for (d <- Seq(1, 2, 4)) {
+      val px = Array.fill(w * h)(rng.nextInt(1 << d))
+      val encD = encodePngEx(w, h, d, 0, (i, _) => px(i))
+      val imgD = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(encD))
+      for (y <- 0 until h; x <- 0 until w)
+        assert(imgD.getRaster.getSample(x, y, 0) == px(y * w + x),
+          s"depth $d at ($x,$y)")
+    }
+  }
+
+  test("PNG tRNS at depth (r15): 16-bit gray and RGB color keys " +
+      "compare at the NATIVE depth, sub-byte palette alphas apply, " +
+      "and type-4/6 tRNS stays forbidden through encodePngEx") {
+    val w = 8; val h = 3
+    // 16-bit gray key 0x1234: only exact native matches go transparent
+    val gv = Array.tabulate(w * h)(i => if (i % 5 == 0) 0x1234 else 0x1233 + i)
+    val gKey = encodePngEx(w, h, 16, 0, (i, _) => gv(i),
+      trnsRaw = Array[Byte](0x12, 0x34))
+    val (_, _, pxg, _) = decodePngRgb(60L, gKey)
+    (0 until w * h).foreach { i =>
+      val a = if (gv(i) == 0x1234) 0 else 0xFF
+      assert((pxg(i) >>> 24) == a, s"gray16 key i=$i")
+    }
+    // 16-bit RGB key: all three channels must match natively
+    val kr = 0x0102; val kg = 0xFFFE; val kb = 0x8000
+    def rv(i: Int) = if (i % 4 == 0) kr else i
+    def gv2(i: Int) = if (i % 4 == 0) kg else 2 * i + 1
+    def bv(i: Int) = if (i % 2 == 0) kb else i + 3 // matches b alone on 2-mod
+    val cKey = encodePngEx(w, h, 16, 2,
+      (i, c) => c match { case 0 => rv(i); case 1 => gv2(i); case _ => bv(i) },
+      trnsRaw = Array[Byte](0x01, 0x02, 0xFF.toByte, 0xFE.toByte,
+        0x80.toByte, 0x00))
+    val (_, _, pxc, _) = decodePngRgb(61L, cKey)
+    (0 until w * h).foreach { i =>
+      val a = if (i % 4 == 0) 0 else 0xFF // only full-triple matches
+      assert((pxc(i) >>> 24) == a, s"rgb16 key i=$i")
+    }
+    // depth-2 palette with per-index alphas for entries 0..1
+    val pal = Array(0x111111, 0x222222, 0x333333, 0x444444)
+    val p2t = encodePngEx(w, h, 2, 3, (i, _) => i % 4, pal,
+      trnsRaw = Array[Byte](10, 200.toByte))
+    val (_, _, pxp, _) = decodePngRgb(62L, p2t)
+    (0 until w * h).foreach { i =>
+      val a = (i % 4) match { case 0 => 10; case 1 => 200; case _ => 255 }
+      assert(pxp(i) == ((a << 24) | pal(i % 4)), s"pal2 i=$i")
+    }
+    // alpha-channel types refuse tRNS at encode, matching the decoder
+    intercept[IllegalArgumentException](encodePngEx(2, 2, 16, 4,
+      (_, _) => 0, trnsRaw = Array[Byte](0, 0)))
+    intercept[IllegalArgumentException](encodePngEx(2, 2, 8, 6,
+      (_, _) => 0, trnsRaw = Array[Byte](0, 0)))
+  }
+
+  test("GIF raster indices outside the color table fail loudly by name " +
+      "(r15 advisor): a crafted GIF whose LZW min-code size exceeds " +
+      "the declared palette bits names the doc, not an anonymous AIOOBE") {
+    // encode 4 pixels 0..3 at colorBits=2 (4-entry GCT), then shrink
+    // the DECLARED table to 2 entries: patch the screen descriptor's
+    // GCT-size bits and drop palette entries 2..3 (6 bytes at 19..24).
+    // The LZW stream still carries min-code 2 → raster indices 2,3.
+    val g = encodeGif(4, 1, 2, i => i)
+    val crafted = (g.take(19) ++ g.drop(25)).toArray
+    crafted(10) = 0x80.toByte // GCT present, size bits 0 → 2 entries
+    val e = intercept[IllegalArgumentException](decodeGifFrame(99L, crafted))
+    assert(e.getMessage.contains("outside the 2-entry color table") &&
+      e.getMessage.contains("doc 99"))
+    // the untouched encode still decodes — the guard is not overbroad
+    assert(decodeGifFrame(100L, g).raster.toSeq == Seq(0, 1, 2, 3))
   }
 }
