@@ -47,6 +47,25 @@ object SparkEntry {
     else df.filter((key % 1000003L + 7L) * 2654435761L %
       2147483647L % 1000000L < 62500L)
 
+  /** Scale-adaptive ANN query roster (r15 — the sf10 probe's finding):
+    * the x2 verdicts brute-force EXACT top-k over the corpus, so a
+    * roster that is a constant FRACTION of the corpus (vec_id % 100)
+    * makes the VERDICT quadratic — invisible through sf1.0 (20k
+    * vectors / 200 queries / 4M pairs) and 827 s at sf10 (200k
+    * vectors / 2k queries / 400M pairs). Past 30k corpus vectors the
+    * roster thins by the same DuckDB-replayable multiplicative hash
+    * family to ~300 queries, so verdict work grows LINEARLY with the
+    * corpus from there; at or below 30k (every driver scale AND
+    * sf1.0) the threshold keeps the full % 100 roster bit-identical
+    * to every prior round. The count() is a gate-harness probe (see
+    * [[scaleSubset]]); the production analog is planner column stats. */
+  private def annRoster(e: DataFrame): DataFrame = {
+    val lim = 30000000000L / math.max(e.count(), 30000L)
+    e.filter(col("vec_id") % 100 === 0 &&
+      (col("vec_id") % 1000003L + 7L) * 2654435761L %
+        2147483647L % 1000000L < lim)
+  }
+
   /** Shared S10-family round-trip gate: write events (optionally sliced)
     * through a format boundary, read back, infer-then-coerce when the
     * format doesn't carry its schema (CSV/JSONL/XML; ORC does), then
@@ -531,7 +550,7 @@ object SparkEntry {
     // X2 — exact brute-force top-k cosine (float-mul/double-sum contract).
     "x2_topk_cosine" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val q = e.filter(col("vec_id") % 100 === 0)
+      val q = annRoster(e)
       Similarity.topKBruteForce(q, e, "vec_id", "embedding", 5)
         .orderBy("qid", "rk")
     }),
@@ -587,7 +606,7 @@ object SparkEntry {
     // gate red — that is the gate working.
     "x2_ann_quantized" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val q = e.filter(col("vec_id") % 100 === 0)
+      val q = annRoster(e)
       Similarity.quantizedTopK(q, e, "vec_id", "embedding", 5)
         .orderBy("qid", "rk")
     }),
@@ -605,7 +624,7 @@ object SparkEntry {
     // 11% at sf0.1, one point above the floor).
     "x2_ann_pq" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val q = e.filter(col("vec_id") % 100 === 0)
+      val q = annRoster(e)
       val ann = Similarity.pqTopK(q, e, "vec_id", "embedding", 5,
         m = 4, kCodes = 16, trainIters = 5, rerank = 8)
       Similarity.annVerdict(q, e, "vec_id", "embedding", 5, ann,
@@ -633,7 +652,7 @@ object SparkEntry {
     // (x2_ann_lsh_clustered) with a 60% floor.
     "x2_ann_lsh" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val q = e.filter(col("vec_id") % 100 === 0)
+      val q = annRoster(e)
       val ann = Similarity.lshBucketTopK(q, e, "vec_id", "embedding", 5, planes = 4)
       Similarity.annVerdict(q, e, "vec_id", "embedding", 5, ann,
           minOverlapPct = 5)
@@ -649,7 +668,7 @@ object SparkEntry {
     "x2_ann_lsh_clustered" -> ((s, dir) => {
       val e = Similarity.clusteredVariant(
         Tables.embeddings(s, dir), "vec_id", "embedding", 25)
-      val q = e.filter(col("vec_id") % 100 === 0)
+      val q = annRoster(e)
       val ann = Similarity.lshBucketTopK(q, e, "vec_id", "embedding", 5, planes = 6)
       Similarity.annVerdict(q, e, "vec_id", "embedding", 5, ann,
           minOverlapPct = 60)
@@ -659,7 +678,7 @@ object SparkEntry {
     "x2_ann_ivf_clustered" -> ((s, dir) => {
       val e = Similarity.clusteredVariant(
         Tables.embeddings(s, dir), "vec_id", "embedding", 25)
-      val q = e.filter(col("vec_id") % 100 === 0)
+      val q = annRoster(e)
       val cents = Similarity.trainKMeans(e, "vec_id", "embedding", k = 16, iters = 3)
       val ann = Similarity.ivfTopKWith(q, e, "vec_id", "embedding", 5, cents, nprobe = 2)
       Similarity.annVerdict(q, e, "vec_id", "embedding", 5, ann,
@@ -675,7 +694,7 @@ object SparkEntry {
     // persisted == in-memory equality is pinned in SimilaritySpec.
     "x2_ann_ivf_persisted" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val q = e.filter(col("vec_id") % 100 === 0)
+      val q = annRoster(e)
       // build-once per JVM (keyed by fixture identity, deleted at exit):
       // the index is the artifact, not the query — rebuilding it per
       // invocation both misstates the probe-path cost and leaked a
@@ -726,7 +745,7 @@ object SparkEntry {
       val countsOk = census.getAs[Long]("n_total") == e.count() &&
         census.getAs[Long]("n_appended") == b.count()
       val noRetrain = !census.getAs[Boolean]("needs_retrain")
-      val q = e.filter(col("vec_id") % 100 === 0)
+      val q = annRoster(e)
       val ann = Similarity.ivfTopKPersisted(s, path, q, "vec_id", "embedding",
         5, nprobe = 6)
       Similarity.annVerdict(q, e, "vec_id", "embedding", 5, ann,
@@ -809,7 +828,7 @@ object SparkEntry {
         finally walk.close()
       }
       val cert = s.read.parquet(s"$path/cert").collect()(0)
-      val q = e.filter(col("vec_id") % 100 === 0 && col("vec_id") % 3 =!= 0)
+      val q = annRoster(e).filter(col("vec_id") % 3 =!= 0)
       val ann = Similarity.ivfTopKPersisted(s, path, q, "vec_id", "embedding",
         5, nprobe = 6)
       Similarity.annVerdict(q, a, "vec_id", "embedding", 5, ann,
@@ -844,7 +863,7 @@ object SparkEntry {
     // measures 100% at every SF.
     "x2_ann_ivfpq" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val q = e.filter(col("vec_id") % 100 === 0)
+      val q = annRoster(e)
       val path = Similarity.cachedIvfIndex(
           "ivfpq|" + fixtureKey(dir, "embeddings.parquet")) { p =>
         val cents = Similarity.trainKMeans(e, "vec_id", "embedding",
@@ -865,7 +884,7 @@ object SparkEntry {
     "x2_ann_ivfpq_clustered" -> ((s, dir) => {
       val e = Similarity.clusteredVariant(
         Tables.embeddings(s, dir), "vec_id", "embedding", 25)
-      val q = e.filter(col("vec_id") % 100 === 0)
+      val q = annRoster(e)
       val path = Similarity.cachedIvfIndex(
           "ivfpqc|" + fixtureKey(dir, "embeddings.parquet")) { p =>
         val cents = Similarity.trainKMeans(e, "vec_id", "embedding",
@@ -883,7 +902,7 @@ object SparkEntry {
     "x2_ann_projected_clustered" -> ((s, dir) => {
       val e = Similarity.clusteredVariant(
         Tables.embeddings(s, dir), "vec_id", "embedding", 25)
-      val q = e.filter(col("vec_id") % 100 === 0)
+      val q = annRoster(e)
       val ann = Similarity.projectedTopK(q, e, "vec_id", "embedding", 5,
         outDim = 8, shortlistFactor = 8)
       Similarity.annVerdict(q, e, "vec_id", "embedding", 5, ann,
@@ -4682,7 +4701,7 @@ object SparkEntry {
     // margin while still catching a probe-path or list-assignment break.
     "x2_ann_ivf" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val q = e.filter(col("vec_id") % 100 === 0)
+      val q = annRoster(e)
       val ann = graft.ops.Similarity.ivfTopK(q, e, "vec_id", "embedding", 5,
         nCentroids = 16, nprobe = 3)
       Similarity.annVerdict(q, e, "vec_id", "embedding", 5, ann,
@@ -4695,7 +4714,7 @@ object SparkEntry {
     // train on the corpus, assign lists, probe.
     "x2_ann_ivf_kmeans" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val q = e.filter(col("vec_id") % 100 === 0)
+      val q = annRoster(e)
       val cents = graft.ops.Similarity.trainKMeans(e, "vec_id", "embedding",
         k = 16, iters = 3)
       val ann = graft.ops.Similarity.ivfTopKWith(q, e, "vec_id", "embedding", 5,
@@ -6554,7 +6573,7 @@ object SparkEntry {
     // contracts, which are recall-independent.
     "x2_ann_projected" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val q = e.filter(col("vec_id") % 100 === 0)
+      val q = annRoster(e)
       val ann = Similarity.projectedTopK(q, e, "vec_id", "embedding", 5,
         outDim = 8, shortlistFactor = 4)
       Similarity.annVerdict(q, e, "vec_id", "embedding", 5, ann,
@@ -8340,7 +8359,11 @@ object SparkEntry {
         |      i -> q.embedding[i] * c.embedding[i]))
         |      / (sqrt(q.nrm) * sqrt(c.nrm)) AS sim
         |  FROM v q, v c
-        |  WHERE q.vec_id % 100 = 0 AND q.vec_id != c.vec_id),
+        |  WHERE q.vec_id % 100 = 0 AND q.vec_id != c.vec_id
+        |    AND ((q.vec_id % 1000003 + 7) * 2654435761)
+        |        % 2147483647 % 1000000
+        |      < 30000000000 // GREATEST(
+        |          (SELECT count(*) FROM embeddings), 30000)),
         |r AS (
         |  SELECT qid, cid, sim,
         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rk
@@ -11383,7 +11406,11 @@ object SparkEntry {
         |      i -> q.embedding[i] * c.embedding[i]))
         |      / (sqrt(q.nrm) * sqrt(c.nrm)) AS sim
         |  FROM v q, v c
-        |  WHERE q.vec_id % 100 = 0 AND q.vec_id != c.vec_id),
+        |  WHERE q.vec_id % 100 = 0 AND q.vec_id != c.vec_id
+        |    AND ((q.vec_id % 1000003 + 7) * 2654435761)
+        |        % 2147483647 % 1000000
+        |      < 30000000000 // GREATEST(
+        |          (SELECT count(*) FROM embeddings), 30000)),
         |r AS (
         |  SELECT qid, cid, sim,
         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rk
@@ -11399,34 +11426,64 @@ object SparkEntry {
     "x2_ann_lsh" ->
       """SELECT vec_id AS qid, true AS returned_le_k, true AS rk_dense,
         |  true AS sims_exact, true AS recall_floor_met
-        |FROM embeddings WHERE vec_id % 100 = 0 ORDER BY qid""".stripMargin,
+        |FROM embeddings WHERE vec_id % 100 = 0
+        |  AND ((vec_id % 1000003 + 7) * 2654435761)
+        |      % 2147483647 % 1000000
+        |    < 30000000000 // GREATEST(
+        |        (SELECT count(*) FROM embeddings), 30000)
+        |ORDER BY qid""".stripMargin,
 
     "x2_ann_lsh_clustered" ->
       """SELECT vec_id AS qid, true AS returned_le_k, true AS rk_dense,
         |  true AS sims_exact, true AS recall_floor_met
-        |FROM embeddings WHERE vec_id % 100 = 0 ORDER BY qid""".stripMargin,
+        |FROM embeddings WHERE vec_id % 100 = 0
+        |  AND ((vec_id % 1000003 + 7) * 2654435761)
+        |      % 2147483647 % 1000000
+        |    < 30000000000 // GREATEST(
+        |        (SELECT count(*) FROM embeddings), 30000)
+        |ORDER BY qid""".stripMargin,
 
     "x2_ann_ivf_clustered" ->
       """SELECT vec_id AS qid, true AS returned_le_k, true AS rk_dense,
         |  true AS sims_exact, true AS recall_floor_met
-        |FROM embeddings WHERE vec_id % 100 = 0 ORDER BY qid""".stripMargin,
+        |FROM embeddings WHERE vec_id % 100 = 0
+        |  AND ((vec_id % 1000003 + 7) * 2654435761)
+        |      % 2147483647 % 1000000
+        |    < 30000000000 // GREATEST(
+        |        (SELECT count(*) FROM embeddings), 30000)
+        |ORDER BY qid""".stripMargin,
 
     "x2_ann_projected_clustered" ->
       """SELECT vec_id AS qid, true AS returned_le_k, true AS rk_dense,
         |  true AS sims_exact, true AS recall_floor_met
-        |FROM embeddings WHERE vec_id % 100 = 0 ORDER BY qid""".stripMargin,
+        |FROM embeddings WHERE vec_id % 100 = 0
+        |  AND ((vec_id % 1000003 + 7) * 2654435761)
+        |      % 2147483647 % 1000000
+        |    < 30000000000 // GREATEST(
+        |        (SELECT count(*) FROM embeddings), 30000)
+        |ORDER BY qid""".stripMargin,
 
     "x2_ann_ivf_persisted" ->
       """SELECT vec_id AS qid, true AS returned_le_k, true AS rk_dense,
         |  true AS sims_exact, true AS recall_floor_met
-        |FROM embeddings WHERE vec_id % 100 = 0 ORDER BY qid""".stripMargin,
+        |FROM embeddings WHERE vec_id % 100 = 0
+        |  AND ((vec_id % 1000003 + 7) * 2654435761)
+        |      % 2147483647 % 1000000
+        |    < 30000000000 // GREATEST(
+        |        (SELECT count(*) FROM embeddings), 30000)
+        |ORDER BY qid""".stripMargin,
 
     "x2_ann_ivf_append" ->
       """SELECT vec_id AS qid, true AS returned_le_k, true AS rk_dense,
         |  true AS sims_exact, true AS recall_floor_met,
         |  true AS append_equals_rebuild, true AS census_counts_match,
         |  true AS no_retrain_needed
-        |FROM embeddings WHERE vec_id % 100 = 0 ORDER BY qid""".stripMargin,
+        |FROM embeddings WHERE vec_id % 100 = 0
+        |  AND ((vec_id % 1000003 + 7) * 2654435761)
+        |      % 2147483647 % 1000000
+        |    < 30000000000 // GREATEST(
+        |        (SELECT count(*) FROM embeddings), 30000)
+        |ORDER BY qid""".stripMargin,
 
     "x2_ann_ivf_retrain" ->
       """SELECT vec_id AS qid, true AS returned_le_k, true AS rk_dense,
@@ -11434,32 +11491,61 @@ object SparkEntry {
         |  true AS census_fired, true AS census_cleared,
         |  true AS retrain_equals_fresh_build, true AS quarantine_matches
         |FROM embeddings WHERE vec_id % 100 = 0 AND vec_id % 3 <> 0
+        |  AND ((vec_id % 1000003 + 7) * 2654435761)
+        |      % 2147483647 % 1000000
+        |    < 30000000000 // GREATEST(
+        |        (SELECT count(*) FROM embeddings), 30000)
         |ORDER BY qid""".stripMargin,
 
     "x2_ann_pq" ->
       """SELECT vec_id AS qid, true AS returned_le_k, true AS rk_dense,
         |  true AS sims_exact, true AS recall_floor_met
-        |FROM embeddings WHERE vec_id % 100 = 0 ORDER BY qid""".stripMargin,
+        |FROM embeddings WHERE vec_id % 100 = 0
+        |  AND ((vec_id % 1000003 + 7) * 2654435761)
+        |      % 2147483647 % 1000000
+        |    < 30000000000 // GREATEST(
+        |        (SELECT count(*) FROM embeddings), 30000)
+        |ORDER BY qid""".stripMargin,
 
     "x2_ann_ivfpq" ->
       """SELECT vec_id AS qid, true AS returned_le_k, true AS rk_dense,
         |  true AS sims_exact, true AS recall_floor_met
-        |FROM embeddings WHERE vec_id % 100 = 0 ORDER BY qid""".stripMargin,
+        |FROM embeddings WHERE vec_id % 100 = 0
+        |  AND ((vec_id % 1000003 + 7) * 2654435761)
+        |      % 2147483647 % 1000000
+        |    < 30000000000 // GREATEST(
+        |        (SELECT count(*) FROM embeddings), 30000)
+        |ORDER BY qid""".stripMargin,
 
     "x2_ann_ivfpq_clustered" ->
       """SELECT vec_id AS qid, true AS returned_le_k, true AS rk_dense,
         |  true AS sims_exact, true AS recall_floor_met
-        |FROM embeddings WHERE vec_id % 100 = 0 ORDER BY qid""".stripMargin,
+        |FROM embeddings WHERE vec_id % 100 = 0
+        |  AND ((vec_id % 1000003 + 7) * 2654435761)
+        |      % 2147483647 % 1000000
+        |    < 30000000000 // GREATEST(
+        |        (SELECT count(*) FROM embeddings), 30000)
+        |ORDER BY qid""".stripMargin,
 
     "x2_ann_ivf" ->
       """SELECT vec_id AS qid, true AS returned_le_k, true AS rk_dense,
         |  true AS sims_exact, true AS recall_floor_met
-        |FROM embeddings WHERE vec_id % 100 = 0 ORDER BY qid""".stripMargin,
+        |FROM embeddings WHERE vec_id % 100 = 0
+        |  AND ((vec_id % 1000003 + 7) * 2654435761)
+        |      % 2147483647 % 1000000
+        |    < 30000000000 // GREATEST(
+        |        (SELECT count(*) FROM embeddings), 30000)
+        |ORDER BY qid""".stripMargin,
 
     "x2_ann_ivf_kmeans" ->
       """SELECT vec_id AS qid, true AS returned_le_k, true AS rk_dense,
         |  true AS sims_exact, true AS recall_floor_met
-        |FROM embeddings WHERE vec_id % 100 = 0 ORDER BY qid""".stripMargin,
+        |FROM embeddings WHERE vec_id % 100 = 0
+        |  AND ((vec_id % 1000003 + 7) * 2654435761)
+        |      % 2147483647 % 1000000
+        |    < 30000000000 // GREATEST(
+        |        (SELECT count(*) FROM embeddings), 30000)
+        |ORDER BY qid""".stripMargin,
 
     "window_ntile_distributed" ->
       """SELECT c_custkey,
@@ -11954,7 +12040,12 @@ object SparkEntry {
     "x2_ann_projected" ->
       """SELECT vec_id AS qid, true AS returned_le_k, true AS rk_dense,
         |  true AS sims_exact, true AS recall_floor_met
-        |FROM embeddings WHERE vec_id % 100 = 0 ORDER BY qid""".stripMargin,
+        |FROM embeddings WHERE vec_id % 100 = 0
+        |  AND ((vec_id % 1000003 + 7) * 2654435761)
+        |      % 2147483647 % 1000000
+        |    < 30000000000 // GREATEST(
+        |        (SELECT count(*) FROM embeddings), 30000)
+        |ORDER BY qid""".stripMargin,
 
     "x2_random_projection" ->
       """WITH p AS (SELECT unnest(generate_series(0, 7)) AS pos),

@@ -4037,7 +4037,11 @@ object Multimodal {
       val t = sniffMediaType(r.payload)
       val units: Long = t match {
         case "image/png" =>
-          val (w, h, _, _) = decodePngRaster(r.payload); w.toLong * h
+          // the COLOR decode entry (r15): a crawl PNG of any carried
+          // color type / depth censuses its pixels — the gray-only
+          // raster path would refuse color payloads here
+          val (w, h, _, _) = decodePngRgb(r.doc_id, r.payload)
+          w.toLong * h
         case "image/gif" =>
           decodeGifFrames(r.doc_id, r.payload)
             .map(f => f.width.toLong * f.height).sum

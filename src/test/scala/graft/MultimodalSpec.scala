@@ -883,6 +883,16 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
         .collect()(0)
       assert(st.media_type == "audio/flac" && st.n_units == 1200L)
     }
+    // a COLOR png (r15): the sniff census must count its pixels, not
+    // refuse through the gray-only raster path
+    locally {
+      import spark.implicits._
+      val cpng = encodePngColor(w, h, 2,
+        i => (pix(i) << 16) | (pix(i + 1) << 8) | pix(i + 2))
+      val st = sniffStats(Seq(MediaRecord(78L, cpng, "png", "xx")).toDS())
+        .collect()(0)
+      assert(st.media_type == "image/png" && st.n_units == (w * h).toLong)
+    }
     // two sync-looking bytes with an invalid rest must NOT be mpeg
     // (0xFF 0xFF = reserved layer after the ID bits)
     assert(sniffMediaType(Array[Byte](0xFF.toByte, 0xFF.toByte,
