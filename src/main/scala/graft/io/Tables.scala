@@ -16,8 +16,40 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
-  def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
+  /** Scale-adaptive scan widening for the FACT tables (optimization
+    * guide §2.5, "input skew: one huge unsplittable file"): the fixture
+    * tables are single-file, single-ROW-GROUP parquet, so Spark's split
+    * planning yields ONE scan partition regardless of core count, and
+    * every map-side kernel downstream — tokenizers, shingle hashes,
+    * codec decodes, partial aggregation — ran serially on one core
+    * while the rest of the session idled. When the whole table fits in
+    * one split (size ≤ spark.sql.files.maxPartitionBytes — exactly the
+    * regime where one round-robin exchange is cheap), repartition to
+    * the session's parallelism right after the read. On a production
+    * multi-split table the condition is false and this is the IDENTITY,
+    * so nothing here tunes for local mode; the threshold derives from
+    * the session's own split size, not a constant. Filters and
+    * projections still push through the Repartition to the scan
+    * (verified: PushedFilters/ReadSchema unchanged — PlanShapeSpec keeps
+    * pinning them), and per-row results are partitioning-independent,
+    * so every query's output is unchanged. Dimension tables (nation,
+    * region, supplier, customer, part) are left alone: they ride
+    * broadcast sides where an extra exchange only adds a stage. */
+  private def spread(spark: SparkSession, df: DataFrame, path: String): DataFrame = {
+    val cores = spark.sparkContext.defaultParallelism
+    if (cores <= 1) return df
+    val size =
+      try java.nio.file.Files.size(java.nio.file.Paths.get(path))
+      catch { case _: Exception => Long.MaxValue }
+    val oneSplit = size <= spark.sessionState.conf.filesMaxPartitionBytes
+    if (oneSplit) df.repartition(cores) else df
+  }
+
+  private def loadSpread(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spread(spark, load(spark, sfDir, name), s"$sfDir/$name.parquet")
+
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = loadSpread(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = loadSpread(spark, sfDir, "orders")
   def customer(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "customer")
   def supplier(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "supplier")
   def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
@@ -35,7 +67,7 @@ object Tables {
     * and the fixture's wall times mean UTC. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = load(spark, sfDir, "events")
+    val raw = loadSpread(spark, sfDir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
@@ -45,8 +77,8 @@ object Tables {
       case _ => raw
     }
   }
-  def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
-  def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
+  def documents(spark: SparkSession, sfDir: String): DataFrame = loadSpread(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = loadSpread(spark, sfDir, "embeddings")
 
   /** CSV write with the reference's conventions: header row, no index
     * column (`df.to_csv(index=False)`, `src/lms_to_s3_lambda.py:211`). */

@@ -70,17 +70,30 @@ object Reagg {
       minSupport: Long = 2, maxBasket: Int = 1000): DataFrame = {
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
     require(maxBasket >= 2, s"maxBasket must be >= 2, got $maxBasket")
-    val items = df.select(col(basket).as("_b"), col(item).as("_i")).distinct()
-    val sized = items.join(
-      items.groupBy("_b").agg(count(lit(1)).as("_bn"))
-        .filter(col("_bn") <= maxBasket).select(col("_b")), Seq("_b"))
+    // One basket-grain hash agg (map-side combined collect_set) replaces
+    // the previous distinct + count-join + basket-keyed SELF-JOIN chain
+    // (opt guide §2.3 "aggregate before you shuffle" / §2.4): the pair
+    // fan-out now happens as a per-row array HOF ABOVE the only corpus
+    // shuffle and flows straight into a pair-keyed hash agg with
+    // map-side combine — the |items|² pair rows never cross the network.
+    // Sets are sorted, so (i < j) array positions give exactly the
+    // canonical a < b string pairs the self-join's filter produced.
+    val sets = df.select(col(basket).as("_b"), col(item).as("_i"))
+      .groupBy(col("_b")).agg(array_sort(collect_set(col("_i"))).as("_is"))
+      .filter(size(col("_is")) <= maxBasket)
+      .select(col("_is"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // all census terms over the SAME capped basket universe, or the
     // probabilities stop being probabilities
-    val n = sized.select(col("_b")).distinct().agg(count(lit(1)).as("_n"))
-    val itemC = sized.groupBy(col("_i")).agg(count(lit(1)).as("_c"))
-    sized.select(col("_b"), col("_i").as("a"))
-      .join(sized.select(col("_b"), col("_i").as("b")), Seq("_b"))
-      .filter(col("a") < col("b"))
+    val n = sets.agg(count(lit(1)).as("_n"))
+    val itemC = sets.select(explode(col("_is")).as("_i"))
+      .groupBy(col("_i")).agg(count(lit(1)).as("_c"))
+    val out = sets
+      .select(explode(expr(
+        """flatten(transform(_is, (x, i) ->
+          |  transform(slice(_is, i + 2, size(_is) - i - 1),
+          |    y -> struct(x AS a, y AS b))))""".stripMargin)).as("_p"))
+      .select(col("_p.a").as("a"), col("_p.b").as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("pair_n"))
       .filter(col("pair_n") >= minSupport)
       .join(itemC.select(col("_i").as("a"), col("_c").as("_ca")), Seq("a"))
@@ -88,6 +101,11 @@ object Reagg {
       .crossJoin(broadcast(n))
       .select(col("a"), col("b"), col("pair_n"),
         expr("(pair_n * _n * 1000000) div (_ca * _cb)").as("lift_micro"))
+    // freeze the three consumers' shared input, then release the cache:
+    // the returned plan must not depend on unpersisted blocks
+    val frozen = out.localCheckpoint(true)
+    sets.unpersist(blocking = false)
+    frozen
   }
 
   /** Rolling N-day distinct entities — the DAU→WAU/MAU family, the

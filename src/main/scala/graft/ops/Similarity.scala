@@ -466,8 +466,19 @@ object Similarity {
     * corpus. A 100 TB ingest loop is: append batches cheaply, run the
     * census, re-train + rebuild only when it says so. */
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
-      newVecs: DataFrame, id: String, vec: String, path: String): DataFrame = {
-    val cents = spark.read.parquet(s"$path/centroids")
+      newVecs: DataFrame, id: String, vec: String, path: String): DataFrame =
+    appendToIvfIndexWith(spark, newVecs, id, vec, path,
+      spark.read.parquet(s"$path/centroids"))
+
+  /** [[appendToIvfIndex]] with the centroid table INJECTED — the form a
+    * maintain loop that already holds the centroids (it trained them, or
+    * read them once) uses, so each appended batch skips the per-batch
+    * centroids-parquet read job. The caller is responsible for passing
+    * centroids that match `$path/centroids` (the streaming loop
+    * invalidates its cached copy on retrain). */
+  def appendToIvfIndexWith(spark: org.apache.spark.sql.SparkSession,
+      newVecs: DataFrame, id: String, vec: String, path: String,
+      cents: DataFrame): DataFrame = {
     val assigned = assignToCentroids(newVecs, id, vec, cents)
     assigned
       .select(col("cid"), col("_v"), col("_n"), col("cent_id"))
@@ -707,10 +718,22 @@ object Similarity {
     * length. */
   def updateIvfCensusRunning(spark: org.apache.spark.sql.SparkSession,
       path: String, batchStats: DataFrame, maxSkewMicro: Long = 4000000L,
+      maxFitDropMicro: Long = 200000L): DataFrame =
+    updateIvfCensusRunningRows(spark, path,
+      batchStats.select(col("cent_id"), col("n"),
+        col("sum_sim_micro")).collect(),
+      maxSkewMicro, maxFitDropMicro)
+
+  /** [[updateIvfCensusRunning]] from ALREADY-COLLECTED batch stat rows
+    * (cent_id, n, sum_sim_micro) — the maintain loop collects the
+    * O(touched lists) rows once and feeds both the admission-fit guard
+    * and this fold, instead of running a separate aggregation job plus
+    * a second collect over the same materialized frame. */
+  def updateIvfCensusRunningRows(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: Array[org.apache.spark.sql.Row],
+      maxSkewMicro: Long = 4000000L,
       maxFitDropMicro: Long = 200000L): DataFrame = {
     val (counts, s) = readCensusSidecar(path)
-    val batch = batchStats.select(col("cent_id"), col("n"),
-      col("sum_sim_micro")).collect()
     var (dn, dsim, filled) = (0L, 0L, 0L)
     var tmax = s(4)
     batch.foreach { r =>

@@ -568,26 +568,33 @@ object TextAnalysis {
     var vocab = wordCensus
       .select(split(col("word"), "").as("sym"), col("cnt"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    vocab.count()
     val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    // ONE action per round (opt guide §1.2 — the loop previously ran an
+    // eager materializing count() per round on top of the census
+    // collect, doubling the vocab-scale passes): each round's census is
+    // the first evaluation of the current vocab, so it FILLS the cache
+    // as a side effect of the collect; the previous round's blocks only
+    // become dead at that point, so the unpersist is deferred one round.
+    var prev: org.apache.spark.sql.DataFrame = null
     var r = 0
     var done = false
     while (r < nMerges && !done) {
       val top = bpePairCensus(vocab)
         .orderBy(col("n").desc, col("a").asc, col("b").asc)
         .limit(1).collect()
+      if (prev != null) { prev.unpersist(blocking = false); prev = null }
       if (top.isEmpty) done = true
       else {
         val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((r + 1, a, b, n))
         val next = bpeMergePair(vocab, a, b).persist(StorageLevel.MEMORY_AND_DISK)
-        next.count()
-        vocab.unpersist()
+        prev = vocab
         vocab = next
         r += 1
       }
     }
-    vocab.unpersist()
+    vocab.unpersist(blocking = false)
+    if (prev != null) prev.unpersist(blocking = false)
     merges.toList
   }
 

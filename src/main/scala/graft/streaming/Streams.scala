@@ -119,6 +119,42 @@ object Streams {
     java.nio.file.Files.delete(p)
   }
 
+  /** Stage logical stream batches as ONE Spark job (opt guide §2.4):
+    * `withB` carries a `_b` batch column; hash-repartitioning by `_b`
+    * puts each batch entirely in one task, so the partitionBy write
+    * emits exactly ONE parquet file per `_b=` dir (the invariant the
+    * one-file-per-trigger drains rely on — a batch split across files
+    * could straddle triggers). Each part file is then moved into
+    * `landing` as `batchNNNN.parquet` with strictly increasing mtimes.
+    * Replaces the previous per-batch filter+coalesce(1)+write loop,
+    * which re-scanned the source once PER BATCH. */
+  private def stageBatchFiles(withB: org.apache.spark.sql.DataFrame,
+      nBatches: Int, root: java.nio.file.Path,
+      landing: java.nio.file.Path): Unit = {
+    import java.nio.file._
+    val stage = root.resolve("stage_all")
+    withB.repartition(nBatches, col("_b"))
+      .write.mode("overwrite").partitionBy("_b").parquet(stage.toString)
+    (0 until nBatches).foreach { b =>
+      val dir = stage.resolve(s"_b=$b")
+      // an EMPTY logical batch gets no partition dir: skip it — the old
+      // per-batch loop staged a 0-row file whose trigger was a no-op
+      // (no rows → no logical batch → no verdict/index work), so no
+      // file at all is behaviorally identical
+      if (Files.exists(dir)) {
+        val part = listDir(dir).find(
+          _.getFileName.toString.endsWith(".parquet")).getOrElse(
+          throw new IllegalStateException(
+            s"stageBatchFiles: no parquet file staged for batch $b"))
+        val tgt = landing.resolve(f"batch$b%04d.parquet")
+        Files.move(part, tgt, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(tgt,
+          attribute.FileTime.fromMillis(1000000000000L + b * 60000L)): Unit
+      }
+    }
+    deleteRecursive(stage)
+  }
+
   private def stageLandingDir(sfDir: String): String =
     stageLanding(sfDir, "events")
 
@@ -883,7 +919,6 @@ object Streams {
     val span = maxId / nBatches
     val runId = java.util.UUID.randomUUID().toString.replace("-", "")
     val root = Paths.get(scratchRoot, s"graft_incr_$runId")
-    val resultsDir = root.resolve("results").toString
     // generation-addressed index dirs; swapped on compaction
     var gen = 0
     def docsDir(g: Int) = root.resolve(s"docs_g$g").toString
@@ -914,19 +949,20 @@ object Streams {
     val strm = graft.io.Tables.documents(ss, sfDir)
       .filter(col("doc_id") < maxId && col("doc_id") % 5 =!= 3)
       .select(col("doc_id"), col("text"))
-    (0 until nBatches).foreach { b =>
-      val stage = root.resolve(s"stage_$b")
-      strm.filter(call_function("div", col("doc_id"), lit(span)) === b)
-        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
-      val part = listDir(stage).find(
-        _.getFileName.toString.endsWith(".parquet")).get
-      val tgt = landing.resolve(f"batch$b%04d.parquet")
-      Files.move(part, tgt, StandardCopyOption.REPLACE_EXISTING)
-      Files.setLastModifiedTime(tgt,
-        attribute.FileTime.fromMillis(1000000000000L + b * 60000L)): Unit
-    }
+    // one staging job for all logical batches (see [[stageBatchFiles]];
+    // the previous loop re-scanned the documents table once per batch)
+    stageBatchFiles(
+      strm.withColumn("_b", call_function("div", col("doc_id"), lit(span))),
+      nBatches, root, landing)
 
     // ---- the drain: per logical batch, verdicts then index append ----
+    // verdict rows buffer driver-side (≤ span rows per batch) and are
+    // returned as ONE local frame after the drain — replaces a per-batch
+    // results-parquet append job plus the final read-back job; the rows
+    // are identical, and the in-batch consumer (admitted ids) reads the
+    // same collected rows instead of re-joining the verdict frame
+    val verdictRows = new scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.sql.Row]()
     def processLogicalBatch(batch: DataFrame, b: Long): Unit = {
       val inc = shingled(batch).localCheckpoint(true)
       val idxPost = ss.read.parquet(postDir(gen))
@@ -954,10 +990,13 @@ object Streams {
           col("n_blockers").isNull.as("admitted"),
           coalesce(col("n_blockers"), lit(0L)).as("n_blockers"),
           col("first_blocker"))
-        .localCheckpoint(true)
-      verdicts.write.mode("append").parquet(resultsDir)
-      val admitted = inc.join(
-        verdicts.filter(col("admitted")).select(col("doc_id")), Seq("doc_id"))
+        .collect()
+      verdictRows ++= verdicts
+      val admittedIds = verdicts.filter(_.getAs[Boolean]("admitted"))
+        .map(_.getAs[Long]("doc_id"))
+      val admitted =
+        if (admittedIds.isEmpty) inc.filter(lit(false))
+        else inc.filter(col("doc_id").isin(admittedIds: _*))
       admitted.write.mode("append").parquet(docsDir(gen))
       postings(admitted).write.mode("append").parquet(postDir(gen))
       if ((b + 1) % compactEvery == 0) {
@@ -990,7 +1029,13 @@ object Streams {
       }
       .start()
     q.awaitTermination()
-    val out = spark.read.parquet(resultsDir).localCheckpoint(true)
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("batch_id", LongType),
+      StructField("admitted", org.apache.spark.sql.types.BooleanType),
+      StructField("n_blockers", LongType),
+      StructField("first_blocker", LongType)))
+    val out = spark.createDataFrame(
+      java.util.Arrays.asList(verdictRows.toSeq: _*), outSchema)
     deleteRecursively(root)
     out
   }
@@ -1054,7 +1099,6 @@ object Streams {
     val ss = stateSession(spark, 4)
     val runId = java.util.UUID.randomUUID().toString.replace("-", "")
     val root = Paths.get(scratchRoot, s"graft_ivfing_$runId")
-    val resultsDir = root.resolve("results").toString
     val idxDir = root.resolve("index").toString
     val e = graft.io.Tables.embeddings(ss, sfDir)
       .select(col("vec_id"), col("embedding"))
@@ -1062,22 +1106,37 @@ object Streams {
     Files.createDirectories(landing)
     val nBatches =
       (e.agg(max(col("vec_id"))).head().getLong(0) / span).toInt + 1
-    (0 until nBatches).foreach { b =>
-      val stage = root.resolve(s"stage_$b")
-      val raw = e.filter(call_function("div", col("vec_id"), lit(span)) === b)
-      val staged =
-        if (degenLastBatch && b == nBatches - 1)
-          raw.select(col("vec_id"),
-            transform(col("embedding"), _ => lit(0.0f)).as("embedding"))
-        else raw
-      staged.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-      val part = listDir(stage).find(
-        _.getFileName.toString.endsWith(".parquet")).get
-      val tgt = landing.resolve(f"batch$b%04d.parquet")
-      Files.move(part, tgt, StandardCopyOption.REPLACE_EXISTING)
-      Files.setLastModifiedTime(tgt,
-        attribute.FileTime.fromMillis(1000000000000L + b * 60000L)): Unit
-    }
+    // ONE staging pass (opt guide §2.4 — the previous per-batch loop ran
+    // nBatches separate filter+write jobs, each a full scan of the
+    // embeddings table): compute the logical batch as a column, apply
+    // the degenerate-batch poison with a when(), hash-repartition by _b
+    // (each batch entirely in one task → exactly ONE file per partition
+    // dir, the invariant the one-file-per-trigger drain needs) and
+    // partitionBy-write once; then move each part file into the landing
+    // dir with the same strictly-increasing mtimes as before. Staged
+    // file CONTENT per batch is identical (same rows, same schema).
+    stageBatchFiles(
+      { val withB = e.withColumn("_b",
+          call_function("div", col("vec_id"), lit(span)))
+        val staged =
+          if (degenLastBatch)
+            withB.select(col("vec_id"),
+              when(col("_b") === (nBatches - 1).toLong,
+                transform(col("embedding"), _ => lit(0.0f)))
+                .otherwise(col("embedding")).as("embedding"), col("_b"))
+          else withB.select(col("vec_id"), col("embedding"), col("_b"))
+        staged },
+      nBatches, root, landing)
+    // the trained/retrained centroid table, cached driver-side across
+    // batches: k rows the build itself produced — re-reading the
+    // centroids parquet on EVERY append was one read job per batch for
+    // data this loop already holds (opt guide §2.4). `null` forces a
+    // (one-time) read from the index, e.g. after a retrain.
+    var centsCache: DataFrame = null
+    // per-batch result rows, written ONCE after the drain instead of
+    // one tiny parquet-append job per batch — same rows, same schema
+    val resultRows = new scala.collection.mutable.ArrayBuffer[
+      (Long, Long, Long, Long, Boolean, Boolean, Boolean, Boolean)]()
     def processLogicalBatch(batch: DataFrame, b: Long): Unit = {
       val vecs = batch.localCheckpoint(true)
       // the census is maintained INCREMENTALLY (r13): batch 0 seeds the
@@ -1092,17 +1151,27 @@ object Streams {
             vecs, "vec_id", "embedding", k, iters = 3)
           graft.ops.Similarity.writeIvfIndex(
             vecs, "vec_id", "embedding", cents, idxDir)
+          centsCache = cents
           graft.ops.Similarity.initIvfCensusRunning(ss, idxDir)
           graft.ops.Similarity.readIvfCensusRunning(ss, idxDir).collect()(0)
         } else {
-          val bstats = graft.ops.Similarity.appendToIvfIndex(
-            ss, vecs, "vec_id", "embedding", idxDir)
-          // this batch's own admission fit, off the already-materialized
-          // O(touched lists) stat rows — no extra scan
-          batchFit = bstats
-            .agg((sum(col("sum_sim_micro")) / sum(col("n"))).cast("long"))
-            .head().getLong(0)
-          graft.ops.Similarity.updateIvfCensusRunning(ss, idxDir, bstats)
+          if (centsCache == null)
+            centsCache = ss.read.parquet(s"$idxDir/centroids")
+              .localCheckpoint(true)
+          val bstats = graft.ops.Similarity.appendToIvfIndexWith(
+            ss, vecs, "vec_id", "embedding", idxDir, centsCache)
+          // ONE bounded collect of the already-materialized O(touched
+          // lists) stat rows feeds BOTH the admission-fit guard and the
+          // running-census fold (previously a separate agg job + a
+          // second collect). Arithmetic is unchanged: sum(long)/sum(long)
+          // is double division in Spark SQL, cast("long") truncates —
+          // exactly what the Scala expression below computes.
+          val rows = bstats.select(col("cent_id"), col("n"),
+            col("sum_sim_micro")).collect()
+          val dn = rows.map(_.getAs[Long]("n")).sum
+          val dsim = rows.map(_.getAs[Long]("sum_sim_micro")).sum
+          batchFit = (dsim.toDouble / dn).toLong
+          graft.ops.Similarity.updateIvfCensusRunningRows(ss, idxDir, rows)
             .collect()(0)
         }
       // StreamingSpec's equality pin: the incrementally-maintained
@@ -1132,6 +1201,7 @@ object Streams {
       val after =
         if (fired) {
           graft.ops.Similarity.retrainIvfIndex(ss, idxDir, k, iters = 3)
+          centsCache = null // retrain rewrote the centroids on disk
           graft.ops.Similarity.initIvfCensusRunning(ss, idxDir)
           val post =
             graft.ops.Similarity.readIvfCensusRunning(ss, idxDir).collect()(0)
@@ -1143,14 +1213,10 @@ object Streams {
           }
           post
         } else c
-      import ss.implicits._
-      Seq((b, vecs.count(), after.getAs[Long]("n_total"),
-          after.getAs[Long]("n_appended"),
-          !after.getAs[Boolean]("needs_retrain"),
-          fired, fired, fired && !after.getAs[Boolean]("needs_retrain")))
-        .toDF("batch_id", "n_vectors", "n_total", "n_appended",
-          "no_retrain", "census_fired", "retrained", "post_retrain_clear")
-        .write.mode("append").parquet(resultsDir)
+      resultRows += ((b, vecs.count(), after.getAs[Long]("n_total"),
+        after.getAs[Long]("n_appended"),
+        !after.getAs[Boolean]("needs_retrain"),
+        fired, fired, fired && !after.getAs[Boolean]("needs_retrain")))
     }
     val schema = StructType(Seq(StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType))))
@@ -1187,11 +1253,21 @@ object Streams {
       .select(col("cid"), col("cent_id"))
     val lists = ss.read.parquet(s"$idxDir/lists")
       .select(col("cid"), col("cent_id"))
-    val eq = lists.exceptAll(direct).isEmpty &&
-      direct.exceptAll(lists).isEmpty
-    val out = spark.read.parquet(resultsDir)
+    // multiset equality in ONE job (previously two exceptAll plans, each
+    // its own shuffle + isEmpty action): per-(cid, cent_id) signed
+    // counts sum to zero on every key ⟺ lists ≡ direct as multisets —
+    // the same both-directions verdict exceptAll computed
+    val eq = lists.withColumn("_s", lit(1L))
+      .unionByName(direct.withColumn("_s", lit(-1L)))
+      .groupBy(col("cid"), col("cent_id"))
+      .agg(sum(col("_s")).as("_d"))
+      .filter(col("_d") =!= 0L)
+      .isEmpty
+    import spark.implicits._
+    val out = resultRows.toSeq
+      .toDF("batch_id", "n_vectors", "n_total", "n_appended",
+        "no_retrain", "census_fired", "retrained", "post_retrain_clear")
       .withColumn("matches_batch_build", lit(eq))
-      .localCheckpoint(true)
     deleteRecursively(root)
     out
   }
