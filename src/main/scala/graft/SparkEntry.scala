@@ -178,10 +178,36 @@ object SparkEntry {
     * one −40 pixel per id, both in the first 8 pixels and sum-balanced
     * so the mean — hence every unperturbed bit — is identical across a
     * group). Hash frame: (doc_id, hash_lo, hash_hi, n_ones). */
+  /** Doc-id roster feeding a per-row codec/synthesis kernel, spread
+    * across the session's cores: the documents fixture is a single-
+    * split parquet (one scan task), so without the repartition every
+    * encode/decode kernel below a `.map`/`.flatMap` over these ids ran
+    * SERIALLY on one core while the rest of the session idled (opt
+    * guide §2.5/§2.6). The exchange moves only the filtered ids — a
+    * few hundred longs, effectively free — unlike spreading the full
+    * text table, which tools/SpreadAb measured a net loss for cheap
+    * map work (see Tables.spreadScan). Row-identical: the kernels are
+    * pure per-row functions of the id, and every gate orders its
+    * output. */
+  private def kernelIds(s: SparkSession, dir: String, below: Long)
+      : org.apache.spark.sql.Dataset[Long] = {
+    import s.implicits._
+    Tables.documents(s, dir).filter(col("doc_id") < below)
+      .select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
+  }
+
+  /** Documents with the single-split scan spread across cores — ONLY
+    * for gates whose per-row text kernels (shingle/token hashing over
+    * the full text) dominate the query; each use A/B-verified with
+    * tools/SpreadAb (blanket spreading measured a net loss — see
+    * Tables.spreadScan). */
+  private def docsSpread(s: SparkSession, dir: String): DataFrame =
+    Tables.spreadTable(s, dir, "documents", Tables.documents(s, dir))
+
   private def phashFixtureHashes(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val recs = Tables.documents(s, dir).filter(col("doc_id") < 500)
-      .select(col("doc_id")).as[Long]
+    val recs = kernelIds(s, dir, 500)
       .map { id =>
         val g = id / 4
         Multimodal.MediaRecord(id, Multimodal.encodePgm(8, 8, 255, { k =>
@@ -928,7 +954,7 @@ object SparkEntry {
     // 15/15, 0/0 across SFs; a borderline j≈0.3 pair would legitimately
     // band-miss, which is the documented LSH trade).
     "x3_minhash_neardup" -> ((s, dir) => {
-      val d = Tables.documents(s, dir).filter(col("doc_id") < 400)
+      val d = docsSpread(s, dir).filter(col("doc_id") < 400)
       val emitted = Dedup.minHashNearDups(d, "doc_id", "text",
           shingleK = 3, bands = 8, rows = 4, minJaccard = 0.3)
         .select(col("id_a"), col("id_b"), lit(1).as("_e"))
@@ -1666,8 +1692,7 @@ object SparkEntry {
     // strict-< silence decision from the formula.
     "x5_audio_energy" -> ((s, dir) => {
       import s.implicits._
-      val recs = Tables.documents(s, dir).filter(col("doc_id") < 300)
-        .select(col("doc_id")).as[Long]
+      val recs = kernelIds(s, dir, 300)
         .map { id =>
           val n = (1000 + (id % 5) * 100).toInt
           Multimodal.MediaRecord(id, Multimodal.encodeWav(8000, { i =>
@@ -1682,8 +1707,7 @@ object SparkEntry {
 
     "x5_decode_pgm" -> ((s, dir) => {
       import s.implicits._
-      val recs = Tables.documents(s, dir).filter(col("doc_id") < 500)
-        .select(col("doc_id")).as[Long]
+      val recs = kernelIds(s, dir, 500)
         .map { id =>
           val w = (4 + id % 13).toInt; val h = (3 + id % 7).toInt
           Multimodal.MediaRecord(id,
@@ -1698,8 +1722,7 @@ object SparkEntry {
     // parser; duration/Σ|s|/peak all exact integers.
     "x5_decode_wav" -> ((s, dir) => {
       import s.implicits._
-      val recs = Tables.documents(s, dir).filter(col("doc_id") < 500)
-        .select(col("doc_id")).as[Long]
+      val recs = kernelIds(s, dir, 500)
         .map { id =>
           val n = (50 + id % 100).toInt
           Multimodal.MediaRecord(id,
@@ -1718,8 +1741,7 @@ object SparkEntry {
     // the hash.
     "x5_resize_pgm" -> ((s, dir) => {
       import s.implicits._
-      val recs = Tables.documents(s, dir).filter(col("doc_id") < 500)
-        .select(col("doc_id")).as[Long]
+      val recs = kernelIds(s, dir, 500)
         .map { id =>
           val w = (4 + id % 13).toInt; val h = (3 + id % 7).toInt
           val src = Multimodal.encodePgm(w, h, 255,
@@ -1742,8 +1764,7 @@ object SparkEntry {
     // the hash.
     "x5_decode_gif" -> ((s, dir) => {
       import s.implicits._
-      val recs = Tables.documents(s, dir).filter(col("doc_id") < 500)
-        .select(col("doc_id")).as[Long]
+      val recs = kernelIds(s, dir, 500)
         .map { id =>
           val w = (10 + id % 20).toInt; val h = (8 + id % 9).toInt
           Multimodal.MediaRecord(id,
@@ -1768,8 +1789,7 @@ object SparkEntry {
     // reconstruction and flips the hash.
     "x5_decode_png" -> ((s, dir) => {
       import s.implicits._
-      val recs = Tables.documents(s, dir).filter(col("doc_id") < 500)
-        .select(col("doc_id")).as[Long]
+      val recs = kernelIds(s, dir, 500)
         .map { id =>
           val w = (24 + id % 21).toInt; val h = (16 + id % 9).toInt
           Multimodal.MediaRecord(id,
@@ -1794,8 +1814,7 @@ object SparkEntry {
     // dct_saves_bytes (pinned TRUE) proves entropy coding genuinely ran.
     "x5_decode_jpeg" -> ((s, dir) => {
       import s.implicits._
-      val recs = Tables.documents(s, dir).filter(col("doc_id") < 400)
-        .select(col("doc_id")).as[Long]
+      val recs = kernelIds(s, dir, 400)
         .map { id =>
           val w = (8 * (2 + id % 3)).toInt; val h = (8 * (1 + id % 4)).toInt
           Multimodal.MediaRecord(id,
@@ -1821,8 +1840,7 @@ object SparkEntry {
     // well-defined.
     "x5_audio_spectral" -> ((s, dir) => {
       import s.implicits._
-      val recs = Tables.documents(s, dir).filter(col("doc_id") < 400)
-        .select(col("doc_id")).as[Long]
+      val recs = kernelIds(s, dir, 400)
         .map { id =>
           val n = (64 + (id % 5) * 16).toInt
           Multimodal.MediaRecord(id, Multimodal.encodeWav(8000,
@@ -1840,8 +1858,7 @@ object SparkEntry {
     // flips the hash.
     "x5_wav_resample" -> ((s, dir) => {
       import s.implicits._
-      val recs = Tables.documents(s, dir).filter(col("doc_id") < 400)
-        .select(col("doc_id")).as[Long]
+      val recs = kernelIds(s, dir, 400)
         .map { id =>
           val n = (50 + id % 100).toInt
           val src = Multimodal.encodeWav((8000 * (1 + id % 3)).toInt,
@@ -1862,8 +1879,7 @@ object SparkEntry {
     // never touches). Every header field and offset replays in SQL.
     "x5_mpeg_frames" -> ((s, dir) => {
       import s.implicits._
-      val recs = Tables.documents(s, dir).filter(col("doc_id") < 300)
-        .select(col("doc_id")).as[Long]
+      val recs = kernelIds(s, dir, 300)
         .map { id =>
           val layer = (1 + id % 3).toInt
           val kbps = layer match {
@@ -1897,8 +1913,7 @@ object SparkEntry {
     // pattern as the ANN recall and sketch-error gates.
     "x5_decode_mp2" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir).filter(col("doc_id") < 200)
-        .select(col("doc_id")).as[Long]
+      kernelIds(s, dir, 200)
         .map { id =>
           val layer = if (id % 5 == 0) 1 else 2
           val kbps = if (layer == 1) Array(128, 192, 256, 384)((id % 4).toInt)
@@ -1936,8 +1951,7 @@ object SparkEntry {
     // same measured-then-pinned pattern as the L1/L2 SNR gate.
     "x5_decode_mp3" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir).filter(col("doc_id") < 150)
-        .select(col("doc_id")).as[Long]
+      kernelIds(s, dir, 150)
         .map { id =>
           val nFrames = (2 + id % 3).toInt
           val nGr = 2 * nFrames
@@ -1998,8 +2012,7 @@ object SparkEntry {
     // is pure transport).
     "x5_decode_mp3_reservoir" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir).filter(col("doc_id") < 150)
-        .select(col("doc_id")).as[Long]
+      kernelIds(s, dir, 150)
         .map { id =>
           val nFrames = (2 + id % 3).toInt
           val nGr = 2 * nFrames
@@ -2064,8 +2077,7 @@ object SparkEntry {
     // (MpegAudioSpec).
     "x5_decode_mp3_stereo" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir).filter(col("doc_id") < 150)
-        .select(col("doc_id")).as[Long]
+      kernelIds(s, dir, 150)
         .map { id =>
           val nFrames = (2 + id % 3).toInt
           val nGr = 2 * nFrames
@@ -2153,8 +2165,7 @@ object SparkEntry {
     // perfect-reconstruction test in MpegAudioSpec.
     "x5_decode_mp3_short" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir).filter(col("doc_id") < 150)
-        .select(col("doc_id")).as[Long]
+      kernelIds(s, dir, 150)
         .map { id =>
           val mpa = graft.ops.MpegAudio
           val nFrames = (2 + id % 3).toInt
@@ -2243,8 +2254,7 @@ object SparkEntry {
     // intensity, so the reconstruction must be identical either way.
     "x5_decode_mp3_intensity" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir).filter(col("doc_id") < 150)
-        .select(col("doc_id")).as[Long]
+      kernelIds(s, dir, 150)
         .map { id =>
           val mpa = graft.ops.MpegAudio
           val nFrames = (2 + id % 3).toInt
@@ -2308,8 +2318,7 @@ object SparkEntry {
     // spectra replay every position/window/bound combination.
     "x5_decode_mp3_intensity_short" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir).filter(col("doc_id") < 150)
-        .select(col("doc_id")).as[Long]
+      kernelIds(s, dir, 150)
         .map { id =>
           val mpa = graft.ops.MpegAudio
           val nFrames = (2 + id % 3).toInt
@@ -2393,8 +2402,7 @@ object SparkEntry {
     // replay closed-form; the stripped audio must decode clean.
     "x5_mp3_id3_intake" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir).filter(col("doc_id") < 150)
-        .select(col("doc_id")).as[Long]
+      kernelIds(s, dir, 150)
         .map { id =>
           val mpa = graft.ops.MpegAudio
           val nFrames = (2 + id % 3).toInt
@@ -2487,8 +2495,7 @@ object SparkEntry {
     // MP3s rarely start with a bare syncword).
     "x5_audio_metadata_corpus" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir).filter(col("doc_id") < 201)
-        .select(col("doc_id")).as[Long]
+      kernelIds(s, dir, 201)
         .map { id =>
           val mpa = graft.ops.MpegAudio
           val m = ((id / 3) % 3).toInt // per-format size knob
@@ -2569,8 +2576,7 @@ object SparkEntry {
     // the identical raster. Every census field replays closed-form.
     "x5_jpeg_exif_intake" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir).filter(col("doc_id") < 150)
-        .select(col("doc_id")).as[Long]
+      kernelIds(s, dir, 150)
         .map { id =>
           val ex = graft.ops.Exif
           val base = Multimodal.encodeJpeg(16, 8,
@@ -2633,8 +2639,7 @@ object SparkEntry {
     // dispatched by header, not marker. decode_clean pins strip==bare.
     "x5_jpeg_xmp_intake" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir).filter(col("doc_id") < 150)
-        .select(col("doc_id")).as[Long]
+      kernelIds(s, dir, 150)
         .map { id =>
           val ex = graft.ops.Exif
           val xm = graft.ops.Xmp
@@ -2680,8 +2685,7 @@ object SparkEntry {
     // — not a boolean self-grade.
     "x5_png_color_decode" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir).filter(col("doc_id") < 150)
-        .select(col("doc_id")).as[Long]
+      kernelIds(s, dir, 150)
         .map { id =>
           val w = 16 + 8 * ((id / 3) % 2).toInt; val h = 8
           val m = (id % 3).toInt // 0 -> type 2, 1 -> type 3, 2 -> type 6
@@ -2738,8 +2742,7 @@ object SparkEntry {
     // the stats decoder.
     "x5_png_depth_matrix" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir).filter(col("doc_id") < 150)
-        .select(col("doc_id")).as[Long]
+      kernelIds(s, dir, 150)
         .map { id =>
           val cts  = Array(0, 0, 0, 0, 0, 2, 2, 3, 3, 3, 3, 4, 4, 6, 6)
           val deps = Array(1, 2, 4, 8, 16, 8, 16, 1, 2, 4, 8, 8, 16, 8, 16)
@@ -2781,8 +2784,7 @@ object SparkEntry {
     // oracle from the planted formulas.
     "x5_tiff_intake" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir).filter(col("doc_id") < 150)
-        .select(col("doc_id")).as[Long]
+      kernelIds(s, dir, 150)
         .map { id =>
           val m = (id % 3).toInt
           val be = id % 2 == 1
@@ -2831,8 +2833,7 @@ object SparkEntry {
     // point arithmetic.
     "x5_color_luma_crossformat" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir).filter(col("doc_id") < 150)
-        .select(col("doc_id")).as[Long]
+      kernelIds(s, dir, 150)
         .map { id =>
           val w = 16 + 8 * ((id / 3) % 2).toInt; val h = 8
           val pal = Array.tabulate(16)(c =>
@@ -2867,8 +2868,7 @@ object SparkEntry {
     // pin that reassembly keys on offsets, not wire order.
     "x5_jpeg_xmp_extended" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir).filter(col("doc_id") < 150)
-        .select(col("doc_id")).as[Long]
+      kernelIds(s, dir, 150)
         .map { id =>
           val ex = graft.ops.Exif
           val xm = graft.ops.Xmp
@@ -2910,8 +2910,7 @@ object SparkEntry {
     // runs to build its image metadata table.
     "x5_image_metadata_corpus" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir).filter(col("doc_id") < 201)
-        .select(col("doc_id")).as[Long]
+      kernelIds(s, dir, 201)
         .map { id =>
           val ex = graft.ops.Exif
           val m = ((id / 4) % 3).toInt // per-format size knob
@@ -2994,8 +2993,7 @@ object SparkEntry {
     // unknown-tag skips compose with the two extra IFD walks.
     "x5_jpeg_thumbnail_intake" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir).filter(col("doc_id") < 150)
-        .select(col("doc_id")).as[Long]
+      kernelIds(s, dir, 150)
         .map { id =>
           val ex = graft.ops.Exif
           val (tw, th) = if (id % 2 == 0) (8, 8) else (16, 8)
@@ -3025,8 +3023,7 @@ object SparkEntry {
 
     "x5_jpeg_gps_intake" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir).filter(col("doc_id") < 150)
-        .select(col("doc_id")).as[Long]
+      kernelIds(s, dir, 150)
         .map { id =>
           val ex = graft.ops.Exif
           val latRef = if (id % 2 == 0) 'N' else 'S'
@@ -3073,8 +3070,7 @@ object SparkEntry {
     // upright raster.
     "x5_exif_orient_normalize" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir).filter(col("doc_id") < 150)
-        .select(col("doc_id")).as[Long]
+      kernelIds(s, dir, 150)
         .map { id =>
           val ex = graft.ops.Exif
           val (w, h) = (16, 8)
@@ -3108,8 +3104,7 @@ object SparkEntry {
     // the hybrid requant/reorder/synthesis paths.
     "x5_decode_mp3_mixed" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir).filter(col("doc_id") < 150)
-        .select(col("doc_id")).as[Long]
+      kernelIds(s, dir, 150)
         .map { id =>
           val mpa = graft.ops.MpegAudio
           val nFrames = (2 + id % 3).toInt
@@ -3186,8 +3181,7 @@ object SparkEntry {
     // the bit-exact spectrum check reds.
     "x5_decode_mp3_scfsi" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir).filter(col("doc_id") < 150)
-        .select(col("doc_id")).as[Long]
+      kernelIds(s, dir, 150)
         .map { id =>
           val mpa = graft.ops.MpegAudio
           val nFrames = (2 + id % 3).toInt
@@ -3242,8 +3236,7 @@ object SparkEntry {
 
     "x5_mp3_reservoir_mix" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir).filter(col("doc_id") < 200)
-        .select(col("doc_id")).as[Long]
+      kernelIds(s, dir, 200)
         .map { id =>
           val fam = (id % 5).toInt
           val nFrames = (2 + id % 4).toInt
@@ -3323,8 +3316,7 @@ object SparkEntry {
     // fixed-predictor residuals beat raw PCM on every doc.
     "x5_flac_roundtrip" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir).filter(col("doc_id") < 150)
-        .select(col("doc_id")).as[Long]
+      kernelIds(s, dir, 150)
         .map { id =>
           val n = 1024 * (2 + id % 3).toInt + (id % 5).toInt * 100
           def wave(seed: Long, tone: Double): Array[Int] =
@@ -3373,8 +3365,7 @@ object SparkEntry {
     // doc by construction.
     "x5_flac_foreign" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir).filter(col("doc_id") < 150)
-        .select(col("doc_id")).as[Long]
+      kernelIds(s, dir, 150)
         .map { id =>
           val tone = 200.0 + (id % 20) * 40.0
           // frame 0: 13-bit tone shifted <<3 — every sample shares 3
@@ -3434,8 +3425,7 @@ object SparkEntry {
     // lossless oracle) with byte-per-depth little-endian MD5 verified.
     "x5_flac_depth" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir).filter(col("doc_id") < 150)
-        .select(col("doc_id")).as[Long]
+      kernelIds(s, dir, 150)
         .map { id =>
           // r14 widened the cycle to the non-byte-aligned pair
           // (24/8/12/20 by id%4); r15 adds 32-bit — the regime whose
@@ -3513,8 +3503,7 @@ object SparkEntry {
     // per-frame census pinning the assignment code on every frame.
     "x5_flac_multichannel" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir).filter(col("doc_id") < 150)
-        .select(col("doc_id")).as[Long]
+      kernelIds(s, dir, 150)
         .map { id =>
           val nch = 3 + (id % 6).toInt
           val bps = if (id % 4 == 0) 24 else 16
@@ -3552,8 +3541,7 @@ object SparkEntry {
     // min/max block fields; losslessness rides the MD5/CRC oracle.
     "x5_flac_varblock" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir).filter(col("doc_id") < 150)
-        .select(col("doc_id")).as[Long]
+      kernelIds(s, dir, 150)
         .map { id =>
           val n = 2048 + (id % 3).toInt * 512
           val tone = 240.0 + (id % 15) * 35.0
@@ -3590,8 +3578,7 @@ object SparkEntry {
     // a wrong offset or a misread length desyncs a specific row.
     "x5_flac_metadata" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir).filter(col("doc_id") < 150)
-        .select(col("doc_id")).as[Long]
+      kernelIds(s, dir, 150)
         .map { id =>
           val n = 1024 * (2 + id % 3).toInt
           val tone = 200.0 + (id % 20) * 45.0
@@ -3640,8 +3627,7 @@ object SparkEntry {
     // frame-boundary LZW slip scrambles a specific frame's row.
     "x5_gif_frames" -> ((s, dir) => {
       import s.implicits._
-      val recs = Tables.documents(s, dir).filter(col("doc_id") < 300)
-        .select(col("doc_id")).as[Long]
+      val recs = kernelIds(s, dir, 300)
         .map { id =>
           val nf = (2 + id % 4).toInt
           val frames = (0 until nf).map { j =>
@@ -3669,8 +3655,7 @@ object SparkEntry {
     // frame-order slip scrambles a specific frame's row.
     "x5_avi_frames" -> ((s, dir) => {
       import s.implicits._
-      val recs = Tables.documents(s, dir).filter(col("doc_id") < 300)
-        .select(col("doc_id")).as[Long]
+      val recs = kernelIds(s, dir, 300)
         .map { id =>
           val nf = (2 + id % 3).toInt
           val w = (8 * (2 + id % 2)).toInt
@@ -3699,8 +3684,7 @@ object SparkEntry {
     // inside all three scans.
     "x5_decode_jpeg_progressive" -> ((s, dir) => {
       import s.implicits._
-      val recs = Tables.documents(s, dir).filter(col("doc_id") < 400)
-        .select(col("doc_id")).as[Long]
+      val recs = kernelIds(s, dir, 400)
         .map { id =>
           val w = (8 * (2 + id % 3)).toInt; val h = (8 * (1 + id % 4)).toInt
           Multimodal.MediaRecord(id,
@@ -3733,8 +3717,7 @@ object SparkEntry {
     // oracle is layout-blind while the walk is exercised for real.
     "x5_decode_jpeg_color" -> ((s, dir) => {
       import s.implicits._
-      val recs = Tables.documents(s, dir).filter(col("doc_id") < 300)
-        .select(col("doc_id")).as[Long]
+      val recs = kernelIds(s, dir, 300)
         .map { id =>
           val w = (16 * (1 + id % 2)).toInt; val h = (16 * (1 + id % 3)).toInt
           val nonInt = id % 5 == 1 && id % 7 != 0
@@ -3767,8 +3750,7 @@ object SparkEntry {
     // makes a lossy-format copy FINDABLE by exact hash.
     "x5_phash_jpeg" -> ((s, dir) => {
       import s.implicits._
-      val hashes = Tables.documents(s, dir).filter(col("doc_id") < 200)
-        .select(col("doc_id")).as[Long]
+      val hashes = kernelIds(s, dir, 200)
         .flatMap { id =>
           val (w, h) = (16, 16)
           def pix(i: Int): Int = {
@@ -3799,8 +3781,7 @@ object SparkEntry {
     // dedup and is exactly what raster-level hashing exists for.
     "x5_phash_formats" -> ((s, dir) => {
       import s.implicits._
-      val hashes = Tables.documents(s, dir).filter(col("doc_id") < 100)
-        .select(col("doc_id")).as[Long]
+      val hashes = kernelIds(s, dir, 100)
         .flatMap { id =>
           val (w, h) = (16, 16)
           def pix(i: Int): Int = {
@@ -3840,8 +3821,7 @@ object SparkEntry {
     // pair must land in one cluster of exactly 2.
     "x5_phash_requant" -> ((s, dir) => {
       import s.implicits._
-      val hashes = Tables.documents(s, dir).filter(col("doc_id") < 150)
-        .select(col("doc_id")).as[Long]
+      val hashes = kernelIds(s, dir, 150)
         .flatMap { id =>
           val (w, h) = (64, 64)
           def mix(a: Long): Long = {
@@ -3885,8 +3865,7 @@ object SparkEntry {
     // that x5_phash_formats' exact-hash equality cannot cover.
     "x5_phash_lossy_formats" -> ((s, dir) => {
       import s.implicits._
-      val hashes = Tables.documents(s, dir).filter(col("doc_id") < 100)
-        .select(col("doc_id")).as[Long]
+      val hashes = kernelIds(s, dir, 100)
         .flatMap { id =>
           val (w, h) = (64, 64)
           def mix(a: Long): Long = {
@@ -3934,8 +3913,7 @@ object SparkEntry {
     "x5_video_neardup" -> ((s, dir) => {
       import s.implicits._
       val nf = 3
-      val frames = Tables.documents(s, dir).filter(col("doc_id") < 120)
-        .select(col("doc_id")).as[Long]
+      val frames = kernelIds(s, dir, 120)
         .flatMap { id =>
           val (w, h) = (64, 64)
           def mix(a: Long): Long = {
@@ -3987,8 +3965,7 @@ object SparkEntry {
     "x5_audio_neardup" -> ((s, dir) => {
       import s.implicits._
       val nf = 2
-      val fps = Tables.documents(s, dir).filter(col("doc_id") < 100)
-        .select(col("doc_id")).as[Long]
+      val fps = kernelIds(s, dir, 100)
         .flatMap { id =>
           val bands = Array((1 + id % 7).toInt, (9 + id % 5).toInt,
             (16 + id / 5 % 5).toInt, (23 + id / 25 % 4).toInt)
@@ -4034,8 +4011,7 @@ object SparkEntry {
     "x5_audio_crosscodec" -> ((s, dir) => {
       import s.implicits._
       val nf = 2
-      Tables.documents(s, dir).filter(col("doc_id") < 100)
-        .select(col("doc_id")).as[Long]
+      kernelIds(s, dir, 100)
         .map { id =>
           val bands = Array((1 + id % 7).toInt, (9 + id % 5).toInt,
             (16 + id / 5 % 5).toInt, (23 + id / 25 % 4).toInt)
@@ -4080,8 +4056,7 @@ object SparkEntry {
     // from the id scheme.
     "x5_media_sniff" -> ((s, dir) => {
       import s.implicits._
-      val recs = Tables.documents(s, dir).filter(col("doc_id") < 360)
-        .select(col("doc_id")).as[Long]
+      val recs = kernelIds(s, dir, 360)
         .map { id =>
           val (w, h) = (16, 16)
           def pix(i: Int): Int = {
@@ -4127,8 +4102,7 @@ object SparkEntry {
     // same content-digest discipline as the gunzip gate.
     "x5_zip_entries" -> ((s, dir) => {
       import s.implicits._
-      val recs = Tables.documents(s, dir).filter(col("doc_id") < 250)
-        .select(col("doc_id")).as[Long]
+      val recs = kernelIds(s, dir, 250)
         .map { id =>
           val nm = (1 + id % 3).toInt
           val members = (0 until nm).map { j =>
@@ -4151,8 +4125,7 @@ object SparkEntry {
     // digest discipline as the ZIP gate.
     "x5_targz_entries" -> ((s, dir) => {
       import s.implicits._
-      val recs = Tables.documents(s, dir).filter(col("doc_id") < 250)
-        .select(col("doc_id")).as[Long]
+      val recs = kernelIds(s, dir, 250)
         .map { id =>
           val nm = (1 + id % 3).toInt
           val members = (0 until nm).map { j =>

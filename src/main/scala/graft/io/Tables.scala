@@ -16,28 +16,30 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** Scale-adaptive scan widening for the FACT tables (optimization
-    * guide §2.5, "input skew: one huge unsplittable file"): the fixture
-    * tables are single-file, single-ROW-GROUP parquet, so Spark's split
-    * planning yields ONE scan partition regardless of core count, and
-    * every map-side kernel downstream — tokenizers, shingle hashes,
-    * codec decodes, partial aggregation — ran serially on one core
-    * while the rest of the session idled. When the whole table fits in
-    * one split (size ≤ spark.sql.files.maxPartitionBytes — exactly the
-    * regime where one round-robin exchange is cheap), repartition to
-    * the session's parallelism right after the read. On a production
-    * multi-split table the condition is false and this is the IDENTITY,
-    * so nothing here tunes for local mode; the threshold derives from
-    * the session's own split size, not a constant. Filters and
-    * projections still push through the Repartition to the scan
-    * (verified: PushedFilters/ReadSchema unchanged — PlanShapeSpec keeps
-    * pinning them), and per-row results are partitioning-independent,
-    * so every query's output is unchanged. Dimension tables (nation,
-    * region, supplier, customer, part) are left alone: they ride
-    * broadcast sides where an extra exchange only adds a stage. */
-  private def spread(spark: SparkSession, df: DataFrame, path: String): DataFrame = {
+  /** Scale-adaptive scan widening (optimization guide §2.5, "input
+    * skew: one huge unsplittable file"): the fixture tables are
+    * single-file, single-ROW-GROUP parquet, so Spark's split planning
+    * yields ONE scan partition regardless of core count — a map-side
+    * kernel downstream runs serially on one core while the rest of the
+    * session idles. `spreadScan` repartitions to the session's
+    * parallelism when the whole file fits one split (size ≤
+    * spark.sql.files.maxPartitionBytes — exactly the regime where the
+    * exchange is cheap); on a production multi-split table it is the
+    * IDENTITY, so nothing here tunes FOR local mode.
+    *
+    * Deliberately NOT applied inside the table loaders: a same-session
+    * alternating A/B (tools/SpreadAb, 3 pairs/query) measured the
+    * blanket form a large net LOSS — only queries whose per-row map
+    * work is genuinely expensive win (codec kernels 0.68×, shingle
+    * hashing 0.69×), while ordinary scan→agg/join queries pay the
+    * full-payload exchange plus 32 task floors for map work that took
+    * milliseconds (q1 2.3×, join_amplification_census 4.4×,
+    * sketch_ams_f2 2.8×). Callers with heavy per-row kernels opt in at
+    * the point of use; everything else keeps the serial scan. */
+  def spreadScan(spark: SparkSession, df: DataFrame, path: String): DataFrame = {
     val cores = spark.sparkContext.defaultParallelism
     if (cores <= 1) return df
+    if (!spark.conf.getOption(ScanSpreadKey).forall(_.toBoolean)) return df
     val size =
       try java.nio.file.Files.size(java.nio.file.Paths.get(path))
       catch { case _: Exception => Long.MaxValue }
@@ -45,11 +47,17 @@ object Tables {
     if (oneSplit) df.repartition(cores) else df
   }
 
-  private def loadSpread(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spread(spark, load(spark, sfDir, name), s"$sfDir/$name.parquet")
+  /** Kill switch for [[spreadScan]] (A/B instrument + production escape
+    * hatch): `spark.graft.scan.spread=false` disables the widening. */
+  val ScanSpreadKey = "spark.graft.scan.spread"
 
-  def lineitem(spark: SparkSession, sfDir: String): DataFrame = loadSpread(spark, sfDir, "lineitem")
-  def orders(spark: SparkSession, sfDir: String): DataFrame = loadSpread(spark, sfDir, "orders")
+  /** [[spreadScan]] for a loaded fixture table, by name. */
+  def spreadTable(spark: SparkSession, sfDir: String, name: String,
+      df: DataFrame): DataFrame =
+    spreadScan(spark, df, s"$sfDir/$name.parquet")
+
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
   def customer(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "customer")
   def supplier(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "supplier")
   def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
@@ -67,7 +75,7 @@ object Tables {
     * and the fixture's wall times mean UTC. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = loadSpread(spark, sfDir, "events")
+    val raw = load(spark, sfDir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
@@ -77,8 +85,8 @@ object Tables {
       case _ => raw
     }
   }
-  def documents(spark: SparkSession, sfDir: String): DataFrame = loadSpread(spark, sfDir, "documents")
-  def embeddings(spark: SparkSession, sfDir: String): DataFrame = loadSpread(spark, sfDir, "embeddings")
+  def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 
   /** CSV write with the reference's conventions: header row, no index
     * column (`df.to_csv(index=False)`, `src/lms_to_s3_lambda.py:211`). */
