@@ -1455,25 +1455,16 @@ object SparkEntry {
       val r = base.join(broadcast(coef), "l_returnflag")
         .withColumn("resid_micro", col("y_cents") * 1000000L -
           (col("b0_micros") + col("b1_micros") * col("x_qty")))
-      // Two-level top-k (opt guide §2.5): l_returnflag has THREE values,
-      // so the single window sorted the whole fact table in 3 giant
-      // partitions (measured: the two sorts carried ~2.4 of the query's
-      // 2.75 s). Level 1 takes the top 3 within (group, deterministic
-      // salt) — 32-way parallel sorts of small slices; level 2 re-ranks
-      // the ≤ 3·32 survivors per group under the SAME total order, so
-      // the global top 3 (which must lie inside some salt's top 3) and
-      // their rk values are identical. The salt is hash-derived from the
-      // row's own values (guide §2.5: never rand()), so the plan is
-      // deterministic under retries and any input partitioning.
-      val ord = Seq(abs(col("resid_micro")).desc, col("resid_micro").asc,
-        col("y_cents").asc, col("x_qty").asc)
-      val w1 = Window.partitionBy(col("l_returnflag"),
-        pmod(xxhash64(col("y_cents"), col("x_qty"), col("resid_micro")),
-          lit(32)).as("_salt")).orderBy(ord: _*)
-      val w = Window.partitionBy(col("l_returnflag")).orderBy(ord: _*)
-      r.withColumn("_srk", row_number().over(w1))
-        .filter(col("_srk") <= 3)
-        .withColumn("rk", row_number().over(w).cast("long"))
+      // Examined for the 3-partition-window hazard and deliberately
+      // KEPT as a single window (r15 optimization round): Spark's
+      // rank-limit pushdown (WindowGroupLimit) already bounds each
+      // partition to the top 3 map-side before the exchange and sort,
+      // so a two-level salted top-k rewrite only added an exchange —
+      // measured 1.22× WORSE in an interleaved before/after A/B.
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(abs(col("resid_micro")).desc, col("resid_micro").asc,
+          col("y_cents").asc, col("x_qty").asc)
+      r.withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 3)
         .select("l_returnflag", "rk", "y_cents", "x_qty", "resid_micro")
         .orderBy("l_returnflag", "rk")

@@ -75,7 +75,17 @@ object Packing {
     * sum itself is ill-defined. Range partition indices ascend with the
     * given order, so the offset table stays partition-id ordered. */
   def assignShardsOrdered(df: DataFrame, order: Seq[Column], weight: String,
-      budget: Long, numPartitions: Int = 0): DataFrame = {
+      budget: Long, numPartitions: Int = 0): DataFrame =
+    assignShardsOrderedWithTotal(df, order, weight, budget, numPartitions)._1
+
+  /** [[assignShardsOrdered]] plus the GRAND TOTAL of `weight`, which the
+    * driver-side offset fold computes anyway: callers that need n (the
+    * weight-1 rank case) or sum(weight) — [[ntileOrdered]],
+    * [[graft.ops.Reagg.abcClasses]] — previously ran one more
+    * aggregation job + broadcast over the ranged frame to re-derive a
+    * number already sitting in the prefix-sum accumulator. */
+  def assignShardsOrderedWithTotal(df: DataFrame, order: Seq[Column],
+      weight: String, budget: Long, numPartitions: Int = 0): (DataFrame, Long) = {
     require(budget > 0, s"shard budget must be positive, got $budget")
     require(order.nonEmpty, "need at least one ordering column")
     val spark = df.sparkSession
@@ -131,7 +141,7 @@ object Packing {
         Row.fromSeq(r.toSeq :+ acc :+ (acc - w) / budget)
       }
     }
-    spark.createDataFrame(out, outSchema)
+    (spark.createDataFrame(out, outSchema), acc)
   }
 
   /** Distributed global ranking functions — `ntile` / `percent_rank` /
@@ -150,15 +160,18 @@ object Packing {
   def ntileOrdered(df: DataFrame, order: Seq[Column], k: Int,
       numPartitions: Int = 0): DataFrame = {
     require(k > 0, s"ntile bucket count must be positive, got $k")
-    val ranked = assignShardsOrdered(df.withColumn("_one", lit(1L)), order, "_one",
-        budget = Long.MaxValue, numPartitions)
+    // n comes out of the prefix-sum's own offset fold (the weight-1
+    // total IS the row count) — no second scan, no broadcast join
+    val (rankedRaw, total) = assignShardsOrderedWithTotal(
+      df.withColumn("_one", lit(1L)), order, "_one",
+      budget = Long.MaxValue, numPartitions)
+    val ranked = rankedRaw
       .drop("_one", "shard")
       .withColumnRenamed("cum_w", "rank")
-    val n = ranked.agg(count(lit(1)).as("_n"))
     val i = col("rank") - 1L
     val q = expr(s"_n div ${k}L")
     val r = col("_n") % k
-    ranked.crossJoin(broadcast(n))
+    ranked.withColumn("_n", lit(total))
       .withColumn("bucket",
         when(i < r * (q + 1L), expr(s"(rank - 1L) div (_n div ${k}L + 1L)") + 1L)
           .otherwise(r + expr(s"((rank - 1L) - (_n % ${k}L) * (_n div ${k}L + 1L)) div (_n div ${k}L)") + 1L))

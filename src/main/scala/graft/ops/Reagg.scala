@@ -148,10 +148,12 @@ object Reagg {
     require(cut1Pct >= 1 && cut1Pct < cut2Pct && cut2Pct < 100,
       s"need 1 <= cut1 < cut2 < 100, got $cut1Pct/$cut2Pct")
     val per = df.groupBy(col(key)).agg(sum(value).as("_v"))
-    val ranked = Packing.assignShardsOrdered(per,
+    // the grand total falls out of the prefix-sum's offset fold — the
+    // previous separate sum-agg + broadcast re-scanned `per` for a
+    // number the driver already held
+    val (ranked, total) = Packing.assignShardsOrderedWithTotal(per,
       Seq(col("_v").desc, col(key).asc), "_v", budget = Long.MaxValue)
-    val total = per.agg(sum(col("_v")).as("_t"))
-    ranked.crossJoin(broadcast(total))
+    ranked.withColumn("_t", lit(total))
       .select(col(key), col("_v").as("value"), col("cum_w").as("cum_value"),
         when(col("cum_w") * 100 <= col("_t") * cut1Pct, lit("A"))
           .when(col("cum_w") * 100 <= col("_t") * cut2Pct, lit("B"))
