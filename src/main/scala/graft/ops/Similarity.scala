@@ -484,13 +484,26 @@ object Similarity {
       .select(col("cid"), col("_v"), col("_n"), col("cent_id"))
       .write.mode("append").partitionBy("cent_id")
       .parquet(s"$path/lists")
-    // the batch's per-list stats are returned (materialized — O(touched
-    // lists) rows) so a caller maintaining the RUNNING census
+    // the batch's per-list stats are returned MATERIALIZED — O(touched
+    // lists) rows — so a caller maintaining the RUNNING census
     // ([[updateIvfCensusRunning]]) can fold them in without re-deriving
-    // the assignment
-    val bstats = assigned.groupBy(col("cent_id"))
+    // the assignment. Collect-first instead of the previous eager
+    // localCheckpoint: the rows come back in one job, the stats-table
+    // append then writes from a LOCAL relation (no recompute, no
+    // checkpoint block shuffle), and every downstream collect over the
+    // returned frame is free.
+    val rows = assigned.groupBy(col("cent_id"))
       .agg(count(lit(1)).as("n"), sum(col("_sim_micro")).as("sum_sim_micro"))
-      .localCheckpoint(true)
+      .collect()
+    val bstatsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cent_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("sum_sim_micro",
+        org.apache.spark.sql.types.LongType)))
+    val bstats = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), bstatsSchema)
     bstats.withColumn("phase", lit("append"))
       .coalesce(1).write.mode("append").parquet(s"$path/stats")
     bstats

@@ -1138,6 +1138,14 @@ object Streams {
     val resultRows = new scala.collection.mutable.ArrayBuffer[
       (Long, Long, Long, Long, Boolean, Boolean, Boolean, Boolean)]()
     def processLogicalBatch(batch: DataFrame, b: Long): Unit = {
+      // label the loop's jobs (opt guide §1.5) so per-phase cost is
+      // attributable in the UI / JobProf
+      def label(l: String): Unit =
+        ss.sparkContext.setJobDescription(s"ivf-ingest b=$b: $l")
+      // per-batch eager checkpoint KEPT (A/B'd: dropping it and letting
+      // the 2-3 consumers re-scan the batch file measured ~2 s slower —
+      // each action re-plans the streaming relation)
+      label("checkpoint batch")
       val vecs = batch.localCheckpoint(true)
       // the census is maintained INCREMENTALLY (r13): batch 0 seeds the
       // running tables from the build stats; every append folds its own
@@ -1147,17 +1155,23 @@ object Streams {
       var batchFit = Long.MaxValue // batch 0 is the build itself
       val c =
         if (b == 0L) {
+          label("train")
           val cents = graft.ops.Similarity.trainKMeans(
             vecs, "vec_id", "embedding", k, iters = 3)
+          label("build index")
           graft.ops.Similarity.writeIvfIndex(
             vecs, "vec_id", "embedding", cents, idxDir)
           centsCache = cents
+          label("census init")
           graft.ops.Similarity.initIvfCensusRunning(ss, idxDir)
           graft.ops.Similarity.readIvfCensusRunning(ss, idxDir).collect()(0)
         } else {
-          if (centsCache == null)
+          if (centsCache == null) {
+            label("reload centroids")
             centsCache = ss.read.parquet(s"$idxDir/centroids")
               .localCheckpoint(true)
+          }
+          label("append")
           val bstats = graft.ops.Similarity.appendToIvfIndexWith(
             ss, vecs, "vec_id", "embedding", idxDir, centsCache)
           // ONE bounded collect of the already-materialized O(touched
@@ -1166,6 +1180,7 @@ object Streams {
           // second collect). Arithmetic is unchanged: sum(long)/sum(long)
           // is double division in Spark SQL, cast("long") truncates —
           // exactly what the Scala expression below computes.
+          label("census fold")
           val rows = bstats.select(col("cent_id"), col("n"),
             col("sum_sim_micro")).collect()
           val dn = rows.map(_.getAs[Long]("n")).sum
@@ -1213,10 +1228,12 @@ object Streams {
           }
           post
         } else c
+      label("result row")
       resultRows += ((b, vecs.count(), after.getAs[Long]("n_total"),
         after.getAs[Long]("n_appended"),
         !after.getAs[Boolean]("needs_retrain"),
         fired, fired, fired && !after.getAs[Boolean]("needs_retrain")))
+      ss.sparkContext.setJobDescription(null)
     }
     val schema = StructType(Seq(StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType))))
