@@ -188,13 +188,16 @@ object SparkEntry {
     * text table, which tools/SpreadAb measured a net loss for cheap
     * map work (see Tables.spreadScan). Row-identical: the kernels are
     * pure per-row functions of the id, and every gate orders its
-    * output. */
+    * output. Honors the same `spark.graft.scan.spread` kill switch as
+    * Tables.spreadScan so one conf disables every spread behavior
+    * (the documented production escape hatch / SpreadAb toggle). */
   private def kernelIds(s: SparkSession, dir: String, below: Long)
       : org.apache.spark.sql.Dataset[Long] = {
     import s.implicits._
-    Tables.documents(s, dir).filter(col("doc_id") < below)
+    val ids = Tables.documents(s, dir).filter(col("doc_id") < below)
       .select(col("doc_id")).as[Long]
-      .repartition(s.sparkContext.defaultParallelism)
+    if (!s.conf.getOption(Tables.ScanSpreadKey).forall(_.toBoolean)) ids
+    else ids.repartition(s.sparkContext.defaultParallelism)
   }
 
   /** Documents with the single-split scan spread across cores — ONLY

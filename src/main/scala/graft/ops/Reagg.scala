@@ -78,7 +78,12 @@ object Reagg {
     // map-side combine — the |items|² pair rows never cross the network.
     // Sets are sorted, so (i < j) array positions give exactly the
     // canonical a < b string pairs the self-join's filter produced.
+    // NULL items are excluded from basket sizing and from pairs: the
+    // explicit filter makes that intentional (collect_set would drop
+    // them silently, but then a null row would not have counted toward
+    // the maxBasket cap either — pair output was always null-free).
     val sets = df.select(col(basket).as("_b"), col(item).as("_i"))
+      .filter(col("_i").isNotNull)
       .groupBy(col("_b")).agg(array_sort(collect_set(col("_i"))).as("_is"))
       .filter(size(col("_is")) <= maxBasket)
       .select(col("_is"))
@@ -150,7 +155,10 @@ object Reagg {
     val per = df.groupBy(col(key)).agg(sum(value).as("_v"))
     // the grand total falls out of the prefix-sum's offset fold — the
     // previous separate sum-agg + broadcast re-scanned `per` for a
-    // number the driver already held
+    // number the driver already held. Integral-weight contract: the
+    // fold sums weights after coalesce(cast('long')), so the per-key
+    // value column must be integral (counts, cents) — a fractional
+    // value would truncate per row before the cutoff arithmetic.
     val (ranked, total) = Packing.assignShardsOrderedWithTotal(per,
       Seq(col("_v").desc, col(key).asc), "_v", budget = Long.MaxValue)
     ranked.withColumn("_t", lit(total))

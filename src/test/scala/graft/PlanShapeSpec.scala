@@ -135,10 +135,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
   test("distributed ntile: no Window operator exists anywhere in the plan") {
     // the entire point of the op: the single-reducer global Window the
     // naive form plans is absent — rank came from the prefix sum (behind
-    // the checkpoint) and n rides a broadcast join
+    // the checkpoint) and n is a literal folded in from the prefix-sum
+    // offset pass (r15), so no broadcast join and no second Aggregate
+    // remain either
     val p = plan("window_ntile_distributed")
     assert(!p.contains("Window"), "scale path must not contain a Window operator")
-    assert(p.contains("Broadcast"), "n must arrive via a one-row broadcast")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "n must not arrive via a broadcast join — it is folded in as a literal")
+    assert(!p.contains("Aggregate"),
+      "no second Aggregate for n — the offset fold already produced it")
   }
 
   test("LM NLL: the model rides broadcasts, the corpus never sort-merges") {
