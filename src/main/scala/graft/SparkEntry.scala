@@ -1177,18 +1177,26 @@ object SparkEntry {
         .select(col("doc_id"),
           posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos", "w")))
         .filter(length(col("w")) >= 4)
+      // vocab is consumed by the sequence join, the node universe, and
+      // (pre-r16) every pagerank round's universe restore: freeze it so
+      // the tokenize+distinct+df-census pipeline runs ONCE (opt guide
+      // §1.2 — it re-ran ~8× inside the old plan tree)
       val vocab = toks.select("doc_id", "w").distinct()
         .groupBy("w").agg(count(lit(1)).as("_df"))
         .filter(col("_df") >= 5).select("w")
-      val sq = toks.join(vocab, "w")
-        .withColumn("rn",
-          row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
-        .select(col("doc_id"), col("rn"), col("w"))
-      val pairs = sq.join(
-          sq.select(col("doc_id"), (col("rn") - 1).as("rn"),
-            col("w").as("w2")),
-          Seq("doc_id", "rn"))
+        .localCheckpoint(true)
+      // adjacent-in-filtered-sequence pairs via lead() over the SAME
+      // doc-keyed window the old row_number used — one window pass
+      // instead of window + (doc_id, rn) self-join (two shuffles and a
+      // second evaluation of the tokenize subtree, opt guide §2.4);
+      // the pair multiset is identical (pos is unique per doc). Frozen
+      // because the union reads it twice.
+      val pairs = toks.join(vocab, "w")
+        .withColumn("w2", lead(col("w"), 1)
+          .over(Window.partitionBy("doc_id").orderBy("pos")))
+        .filter(col("w2").isNotNull)
         .select(col("w").as("src"), col("w2").as("dst"))
+        .localCheckpoint(true)
       val edges = pairs.unionByName(
         pairs.select(col("dst").as("src"), col("src").as("dst")))
       graft.ops.Graph.pagerankKeyed(edges, "src", "dst", vocab, "w",

@@ -70,7 +70,12 @@ object Graph {
     require(iters >= 0 && iters <= 1000, s"iters must be in [0,1000], got $iters")
     val e = edges.select(
       col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-    val n = nodes.select(col(nodeCol).cast("long").as("node"))
+    // persist the node universe too: every round's universe-restore
+    // join (and the rank init) re-evaluated the caller's node PLAN —
+    // one scan per round for a frame that never changes (opt guide
+    // §1.2). |V| rows, bounded; released after the last round (safe:
+    // each round's result is eagerly pinned, nothing lazy reads n).
+    val n = nodes.select(col(nodeCol).cast("long").as("node")).persist()
 
     // Degree-join once; persist so every round reuses the hash(src)
     // partitioning instead of re-shuffling the edge table.
@@ -82,6 +87,7 @@ object Graph {
       ranks = Packing.pinExchange(round(ed, ranks, n))
     }
     ed.unpersist()
+    if (iters > 0) n.unpersist()
     ranks.select(col("node"), col("r").as("rank_micro"))
   }
 
@@ -311,7 +317,8 @@ object Graph {
       nodes: DataFrame, nodeCol: String, iters: Int): DataFrame = {
     require(iters >= 0 && iters <= 1000, s"iters must be in [0,1000], got $iters")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val n = nodes.select(col(nodeCol).as("node"))
+    // node universe persisted across rounds — see [[pagerank]]
+    val n = nodes.select(col(nodeCol).as("node")).persist()
     val ed = e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
       .persist()
     var ranks = n.select(col("node"), lit(1000000L).as("r"))
@@ -319,6 +326,7 @@ object Graph {
       ranks = Packing.pinExchange(round(ed, ranks, n))
     }
     ed.unpersist()
+    if (iters > 0) n.unpersist()
     ranks.select(col("node"), col("r").as("rank_micro"))
   }
 

@@ -32,13 +32,11 @@ object Mixing {
       numPartitions: Int = 0): DataFrame = {
     require(order.nonEmpty, "need at least one ordering column")
     val spark = df.sparkSession
-    val parts = if (numPartitions > 0) numPartitions
-      else spark.conf.get("spark.sql.shuffle.partitions").toInt
     // eager checkpoint: phases 2 and 3 must see the SAME sampled range
     // boundaries (see Packing.assignShards for the full rationale;
-    // local vs reliable per Packing.ReliableCheckpointKey)
-    val ranged = Packing.pinExchange(df.repartitionByRange(parts, order: _*)
-      .sortWithinPartitions(order: _*))
+    // local vs reliable per Packing.ReliableCheckpointKey, width per
+    // Packing.AdaptiveWidthKey — AQE-coalesced unless the caller pins)
+    val ranged = Packing.rangedBy(df, order, numPartitions)
     val counts = ranged
       .select(spark_partition_id().as("_pid"), col(group))
       .groupBy(col("_pid"), col(group))

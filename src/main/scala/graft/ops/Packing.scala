@@ -46,6 +46,40 @@ object Packing {
     * range partitioning, which is the correctness requirement. */
   val ReliableCheckpointKey = "spark.graft.prefixSum.reliableCheckpoint"
 
+  /** Conf key (default TRUE) for the prefix-sum family's exchange
+    * width: when the caller does not pin `numPartitions`, the range
+    * exchange is planned WITHOUT an explicit partition count so AQE's
+    * partition coalescing sizes it from the actual shuffled bytes
+    * (opt guide §2: scale-adaptive partitioning, never a constant) —
+    * a key-grain frame of a few thousand rows collapses to one or two
+    * tasks per phase instead of `spark.sql.shuffle.partitions` tiny
+    * ones, while a corpus-sized input keeps the full width. Results
+    * are identical either way: prefix sums are independent of where
+    * partition boundaries fall (AQE merges CONTIGUOUS range
+    * partitions, so partition-index order still ascends with the
+    * range order, which is all phases 2/3 need). `false` restores the
+    * fixed shuffle-partitions width (the A/B instrument). */
+  val AdaptiveWidthKey = "spark.graft.prefixSum.adaptiveWidth"
+
+  /** The pinned-or-adaptive range exchange shared by the prefix-sum
+    * family: explicit width when `numPartitions` > 0 or the adaptive
+    * form is disabled, otherwise AQE-coalescible. */
+  private[ops] def rangedBy(df: DataFrame, order: Seq[Column],
+      numPartitions: Int): DataFrame = {
+    val spark = df.sparkSession
+    val adaptive = numPartitions <= 0 &&
+      spark.conf.getOption(AdaptiveWidthKey).forall(_.toBoolean) &&
+      spark.conf.get("spark.sql.adaptive.enabled", "true").toBoolean &&
+      spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.enabled", "true").toBoolean
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val shuffled =
+      if (adaptive) df.repartitionByRange(order: _*)
+      else df.repartitionByRange(parts, order: _*)
+    pinExchange(shuffled.sortWithinPartitions(order: _*))
+  }
+
   /** Pin a range exchange so later jobs see the SAME physical
     * partitioning (boundaries come from sampling — re-evaluating could
     * draw different ones). Shared by the whole prefix-sum family
@@ -89,8 +123,6 @@ object Packing {
     require(budget > 0, s"shard budget must be positive, got $budget")
     require(order.nonEmpty, "need at least one ordering column")
     val spark = df.sparkSession
-    val parts = if (numPartitions > 0) numPartitions
-      else spark.conf.get("spark.sql.shuffle.partitions").toInt
     // null (or uncastable) weights pack as zero-cost rows — phase 3's
     // positional getLong cannot tolerate nulls, and silently dropping
     // the rows would change the output contract (one row per input row)
@@ -104,9 +136,8 @@ object Packing {
     // plan still reads the cache); checkpoint blocks are instead
     // reclaimed by the ContextCleaner once the returned frame is
     // dropped. Local vs reliable is the caller's durability choice —
-    // see [[ReliableCheckpointKey]].
-    val ranged = pinExchange(normalized.repartitionByRange(parts, order: _*)
-      .sortWithinPartitions(order: _*))
+    // see [[ReliableCheckpointKey]]; width per [[AdaptiveWidthKey]].
+    val ranged = rangedBy(normalized, order, numPartitions)
     // Phase 1+2: per-partition totals -> driver prefix sum. Range
     // partition indices ascend with the key range, so offset order is
     // partition-id order. Only P (pid, sum) rows ever reach the driver.
@@ -117,7 +148,9 @@ object Packing {
       .orderBy(col("_pid"))
       .collect()
     var acc = 0L
-    val offsets = new Array[Long](parts)
+    // sized from the CHECKPOINTED frame's actual partition count (the
+    // adaptive exchange's width is only known post-execution)
+    val offsets = new Array[Long](ranged.rdd.getNumPartitions)
     totals.foreach { r =>
       offsets(r.getInt(0)) = acc
       acc += r.getLong(1)

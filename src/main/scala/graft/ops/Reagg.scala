@@ -190,10 +190,17 @@ object Reagg {
   def rfmSegments(df: DataFrame, key: String, dateCol: String,
       amountCents: Column, k: Int = 5, numPartitions: Int = 0): DataFrame = {
     require(k >= 2 && k <= 10, s"k must be in [2,10], got $k")
+    // the key-grain base is consumed FOUR times (three ntile passes +
+    // the final join): freeze it once so the fact-table groupBy runs a
+    // single pass instead of four (opt guide §1.2 — at 100 TB that is
+    // three saved corpus scans; blocks are reclaimed by the
+    // ContextCleaner when the returned frame is dropped, the
+    // pinExchange discipline)
     val base = df.groupBy(col(key)).agg(
       max(col(dateCol)).as("last_date"),
       count(lit(1)).as("frequency"),
       sum(amountCents).as("monetary_cents"))
+      .localCheckpoint(true)
     def score(order: Seq[Column], name: String) =
       Packing.ntileOrdered(base, order, k, numPartitions)
         .select(col(key), col("bucket").as(name))

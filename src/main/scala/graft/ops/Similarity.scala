@@ -479,34 +479,56 @@ object Similarity {
   def appendToIvfIndexWith(spark: org.apache.spark.sql.SparkSession,
       newVecs: DataFrame, id: String, vec: String, path: String,
       cents: DataFrame): DataFrame = {
+    val rows = appendToIvfIndexRows(spark, newVecs, id, vec, path, cents)
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), batchStatsSchema)
+  }
+
+  private val batchStatsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("cent_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("n",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("sum_sim_micro",
+      org.apache.spark.sql.types.LongType)))
+
+  /** [[appendToIvfIndexWith]] returning the batch's per-list stat rows
+    * DIRECTLY (cent_id, n, sum_sim_micro) — the streaming maintain
+    * loop's form: it feeds the rows to the admission-fit guard and the
+    * running-census fold without wrapping them in a local relation
+    * only to collect them straight back out (one job per batch in the
+    * r16 JobProf rollup). The stats-table append still writes from the
+    * local relation (source of truth unchanged). */
+  private[graft] def appendToIvfIndexRows(
+      spark: org.apache.spark.sql.SparkSession,
+      newVecs: DataFrame, id: String, vec: String, path: String,
+      cents: DataFrame): Array[org.apache.spark.sql.Row] = {
+    // the assignment is consumed twice (lists write + stats agg); the
+    // eager pin evaluates the broadcast-join argmax ONCE per batch —
+    // both consumers then read executor-resident blocks (r16 JobProf:
+    // the double evaluation was rebuilding the centroid broadcast and
+    // re-running the argmax per consumer). Blocks freed before return.
     val assigned = assignToCentroids(newVecs, id, vec, cents)
+      .localCheckpoint(true)
     assigned
       .select(col("cid"), col("_v"), col("_n"), col("cent_id"))
       .write.mode("append").partitionBy("cent_id")
       .parquet(s"$path/lists")
-    // the batch's per-list stats are returned MATERIALIZED — O(touched
+    // the batch's per-list stats come back MATERIALIZED — O(touched
     // lists) rows — so a caller maintaining the RUNNING census
     // ([[updateIvfCensusRunning]]) can fold them in without re-deriving
     // the assignment. Collect-first instead of the previous eager
     // localCheckpoint: the rows come back in one job, the stats-table
     // append then writes from a LOCAL relation (no recompute, no
-    // checkpoint block shuffle), and every downstream collect over the
-    // returned frame is free.
+    // checkpoint block shuffle).
     val rows = assigned.groupBy(col("cent_id"))
       .agg(count(lit(1)).as("n"), sum(col("_sim_micro")).as("sum_sim_micro"))
       .collect()
-    val bstatsSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("cent_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("n",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("sum_sim_micro",
-        org.apache.spark.sql.types.LongType)))
-    val bstats = spark.createDataFrame(
-      java.util.Arrays.asList(rows: _*), bstatsSchema)
-    bstats.withColumn("phase", lit("append"))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), batchStatsSchema)
+      .withColumn("phase", lit("append"))
       .coalesce(1).write.mode("append").parquet(s"$path/stats")
-    bstats
+    graft.ops.Dedup.freeLocalCheckpoint(assigned)
+    rows
   }
 
   /** STALENESS CENSUS over a persisted index's stats table — O(lists)

@@ -561,40 +561,43 @@ object TextAnalysis {
       text: String, nMerges: Int): Seq[(Int, String, String, Long)] =
     trainBpeMergesOn(pretokenVocab(df, text), nMerges)
 
-  /** The trainer loop over any prepared (word, cnt) vocabulary. */
+  /** The trainer loop over any prepared (word, cnt) vocabulary.
+    *
+    * Lineage is TRUNCATED per round (eager localCheckpoint, the
+    * [[graft.ops.Dedup.clusterPairs]] discipline), not merely cached:
+    * with persist(), round r's logical plan still chained r nested
+    * [[mergeOncePass]] folds, so Catalyst re-analyzed — and codegen
+    * re-compiled — an expression tree that GREW per round (measured:
+    * first-touch x4_bpe_merges 9.5 s of which ~1 s was in jobs; the
+    * rest was driver planning + compiling the chained folds). The
+    * checkpoint makes every round's census plan exactly one fold over
+    * a LogicalRDD — constant size, constant codegen. One materializing
+    * job per round replaces the census's cache-fill; the previous
+    * round's blocks are freed as soon as the next round materializes
+    * (freeLocalCheckpoint — unpersist() is a no-op on checkpoints). */
   def trainBpeMergesOn(wordCensus: org.apache.spark.sql.DataFrame,
       nMerges: Int): Seq[(Int, String, String, Long)] = {
-    import org.apache.spark.storage.StorageLevel
     var vocab = wordCensus
       .select(split(col("word"), "").as("sym"), col("cnt"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
-    // ONE action per round (opt guide §1.2 — the loop previously ran an
-    // eager materializing count() per round on top of the census
-    // collect, doubling the vocab-scale passes): each round's census is
-    // the first evaluation of the current vocab, so it FILLS the cache
-    // as a side effect of the collect; the previous round's blocks only
-    // become dead at that point, so the unpersist is deferred one round.
-    var prev: org.apache.spark.sql.DataFrame = null
     var r = 0
     var done = false
     while (r < nMerges && !done) {
       val top = bpePairCensus(vocab)
         .orderBy(col("n").desc, col("a").asc, col("b").asc)
         .limit(1).collect()
-      if (prev != null) { prev.unpersist(blocking = false); prev = null }
       if (top.isEmpty) done = true
       else {
         val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((r + 1, a, b, n))
-        val next = bpeMergePair(vocab, a, b).persist(StorageLevel.MEMORY_AND_DISK)
-        prev = vocab
+        val next = bpeMergePair(vocab, a, b).localCheckpoint(true)
+        graft.ops.Dedup.freeLocalCheckpoint(vocab)
         vocab = next
         r += 1
       }
     }
-    vocab.unpersist(blocking = false)
-    if (prev != null) prev.unpersist(blocking = false)
+    graft.ops.Dedup.freeLocalCheckpoint(vocab)
     merges.toList
   }
 

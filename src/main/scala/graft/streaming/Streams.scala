@@ -1144,15 +1144,27 @@ object Streams {
         ss.sparkContext.setJobDescription(s"ivf-ingest b=$b: $l")
       // per-batch eager checkpoint KEPT (A/B'd: dropping it and letting
       // the 2-3 consumers re-scan the batch file measured ~2 s slower —
-      // each action re-plans the streaming relation)
-      label("checkpoint batch")
-      val vecs = batch.localCheckpoint(true)
+      // each action re-plans the streaming relation). The pin now
+      // happens ONCE PER TRIGGER (see foreachBatch below): under the
+      // heal gate's single-trigger drain all ~10 logical batches arrive
+      // in one trigger and the old per-slice pin ran ten checkpoint
+      // jobs of the streaming relation where one suffices — each
+      // logical slice here is a narrow filter over the already-local
+      // pinned RDD.
+      val vecs = batch
       // the census is maintained INCREMENTALLY (r13): batch 0 seeds the
       // running tables from the build stats; every append folds its own
       // per-list stats in — O(touched lists + 1) per batch instead of a
       // full stats re-read, the shape that survives lists >> batch.
       // Running == recomputed is pinned per batch in StreamingSpec.
       var batchFit = Long.MaxValue // batch 0 is the build itself
+      // the batch's row count falls out of work the loop already does
+      // (batch 0: the init census's n_total IS the build row count;
+      // later batches: the collected stat rows' n sum to exactly the
+      // appended count, since every vector is assigned) — the previous
+      // per-batch vecs.count() was one more job per trigger for a
+      // number already in hand (opt guide §1.2)
+      var batchN = 0L
       val c =
         if (b == 0L) {
           label("train")
@@ -1164,7 +1176,10 @@ object Streams {
           centsCache = cents
           label("census init")
           graft.ops.Similarity.initIvfCensusRunning(ss, idxDir)
-          graft.ops.Similarity.readIvfCensusRunning(ss, idxDir).collect()(0)
+          val init =
+            graft.ops.Similarity.readIvfCensusRunning(ss, idxDir).collect()(0)
+          batchN = init.getAs[Long]("n_total")
+          init
         } else {
           if (centsCache == null) {
             label("reload centroids")
@@ -1172,20 +1187,20 @@ object Streams {
               .localCheckpoint(true)
           }
           label("append")
-          val bstats = graft.ops.Similarity.appendToIvfIndexWith(
-            ss, vecs, "vec_id", "embedding", idxDir, centsCache)
-          // ONE bounded collect of the already-materialized O(touched
-          // lists) stat rows feeds BOTH the admission-fit guard and the
-          // running-census fold (previously a separate agg job + a
-          // second collect). Arithmetic is unchanged: sum(long)/sum(long)
+          // the append returns the batch's stat ROWS directly (r16:
+          // wrapping them in a local relation only to collect them
+          // straight back out was one more job per batch); the rows
+          // feed BOTH the admission-fit guard and the running-census
+          // fold. Arithmetic is unchanged: sum(long)/sum(long)
           // is double division in Spark SQL, cast("long") truncates —
           // exactly what the Scala expression below computes.
+          val rows = graft.ops.Similarity.appendToIvfIndexRows(
+            ss, vecs, "vec_id", "embedding", idxDir, centsCache)
           label("census fold")
-          val rows = bstats.select(col("cent_id"), col("n"),
-            col("sum_sim_micro")).collect()
           val dn = rows.map(_.getAs[Long]("n")).sum
           val dsim = rows.map(_.getAs[Long]("sum_sim_micro")).sum
           batchFit = (dsim.toDouble / dn).toLong
+          batchN = dn
           graft.ops.Similarity.updateIvfCensusRunningRows(ss, idxDir, rows)
             .collect()(0)
         }
@@ -1229,7 +1244,7 @@ object Streams {
           post
         } else c
       label("result row")
-      resultRows += ((b, vecs.count(), after.getAs[Long]("n_total"),
+      resultRows += ((b, batchN, after.getAs[Long]("n_total"),
         after.getAs[Long]("n_appended"),
         !after.getAs[Boolean]("needs_retrain"),
         fired, fired, fired && !after.getAs[Boolean]("needs_retrain")))
@@ -1245,11 +1260,16 @@ object Streams {
       .option("checkpointLocation", root.resolve("ckpt").toString)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val bs = batch.select(call_function("div", col("vec_id"), lit(span))
+        // pin the TRIGGER's rows once (the regroup scan doubles as the
+        // materializing action's input), then slice logical batches
+        // with narrow filters over the local RDD
+        ss.sparkContext.setJobDescription("ivf-ingest: checkpoint trigger")
+        val pinned = batch.localCheckpoint(true)
+        val bs = pinned.select(call_function("div", col("vec_id"), lit(span))
           .as("_b")).distinct().orderBy("_b").collect().map(_.getLong(0))
         bs.foreach { b =>
           processLogicalBatch(
-            batch.filter(call_function("div", col("vec_id"), lit(span)) === b), b)
+            pinned.filter(call_function("div", col("vec_id"), lit(span)) === b), b)
         }
       }
       .start()

@@ -14,10 +14,16 @@ object Plans {
       "w6_cdc_apply", "x1_embedding_neardup_exact",
       "sql_q21_sole_blame", "sql_lateral_topn", "agg_reaggregate_monthly",
       "layout_zorder_values", "mix_epoch_replicate")
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val builder = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    // extra confs via QTIME_CONF="key=val,..." (QTime's A/B convention)
+    // so before/after plan dumps can pin a kill-switch arm
+    sys.env.get("QTIME_CONF").foreach(_.split(",").filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { n =>
       println(s"\n========== $n ==========")

@@ -74,6 +74,44 @@ class PackingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("adaptive width (r16): AQE-coalesced exchange, identical results, kill switch restores fixed width") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val rng = new scala.util.Random(23)
+    val df = (1 to 800).map(i => (i.toLong, (rng.nextInt(20) + 1).toLong)).toDF("k", "w")
+    // child session pinned wide, so the coalescing is observable
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "32")
+    val df2 = s2.createDataFrame(df.collect().toSeq.asInstanceOf[Seq[org.apache.spark.sql.Row]].asJava, df.schema)
+    val adaptive = graft.ops.Packing.assignShards(df2, "k", "w", 100L)
+    // tiny input + AQE coalescing ⇒ far fewer range partitions than the
+    // session's 32 (the r16 scale-adaptive width; ConfAb measured the
+    // fixed form 1.3-2× slower across the prefix-sum family)
+    assert(adaptive.rdd.getNumPartitions < 32,
+      s"adaptive width did not coalesce: ${adaptive.rdd.getNumPartitions} partitions")
+    val got = adaptive.select("k", "cum_w", "shard").as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    s2.conf.set(graft.ops.Packing.AdaptiveWidthKey, "false")
+    val fixed = graft.ops.Packing.assignShards(df2, "k", "w", 100L)
+    assert(fixed.rdd.getNumPartitions == 32,
+      s"kill switch must restore the fixed 32-wide exchange, got ${fixed.rdd.getNumPartitions}")
+    val exp = fixed.select("k", "cum_w", "shard").as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == exp, "adaptive width changed prefix-sum results")
+    // groupwiseRank rides the same exchange helper
+    s2.conf.unset(graft.ops.Packing.AdaptiveWidthKey)
+    val g = (1 to 300).map(i => (i.toLong, s"s${i % 3}")).toDF("id", "src")
+    val g2 = s2.createDataFrame(g.collect().toSeq.asInstanceOf[Seq[org.apache.spark.sql.Row]].asJava, g.schema)
+    val ranked = graft.ops.Mixing.groupwiseRank(g2, "src", Seq(col("id")))
+    assert(ranked.rdd.getNumPartitions < 32, "groupwiseRank exchange did not coalesce")
+    val ranks = ranked.select("id", "grp_rank").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val naiveRanks = { import org.apache.spark.sql.expressions.Window
+      g.withColumn("grp_rank", row_number().over(
+        Window.partitionBy("src").orderBy("id")).cast("long"))
+        .select("id", "grp_rank").as[(Long, Long)].collect().sortBy(_._1).toSeq }
+    assert(ranks == naiveRanks, "adaptive width changed groupwise ranks")
+  }
+
   test("every shard starts within budget (first doc offset < budget boundary)") {
     import spark.implicits._
     val df = (1 to 200).map(i => (i.toLong, 37L)).toDF("k", "w")
