@@ -999,6 +999,9 @@ object Streams {
         else inc.filter(col("doc_id").isin(admittedIds: _*))
       admitted.write.mode("append").parquet(docsDir(gen))
       postings(admitted).write.mode("append").parquet(postDir(gen))
+      // free the batch pin's blocks now (no-op-unpersist rationale —
+      // see the ingest loop's trigger pin)
+      graft.ops.Dedup.freeLocalCheckpoint(inc)
       if ((b + 1) % compactEvery == 0) {
         // compaction: fold the accumulated appends into one generation
         ss.read.parquet(docsDir(gen)).coalesce(1)
@@ -1271,6 +1274,10 @@ object Streams {
           processLogicalBatch(
             pinned.filter(call_function("div", col("vec_id"), lit(span)) === b), b)
         }
+        // free the trigger pin's blocks NOW (unpersist is a no-op on
+        // checkpoints; waiting on driver GC + ContextCleaner lets pins
+        // pile up across triggers and queries)
+        graft.ops.Dedup.freeLocalCheckpoint(pinned)
       }
       .start()
     q.awaitTermination()
